@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Generic operator library — the Spark-native re-expression of the
+  * reference's Polars idioms (SURVEY.md §2). Every windowed operator
+  * takes explicit `partition` columns: the reference runs each of these
+  * globally on a single pre-filtered pool (v3/helpers/swap_math.py:66–68,
+  * pool_helpers.py:177–180), which is fine per-pool but collapses to one
+  * task at 100 TB — callers partition by their entity key
+  * (e.g. `address`, `chain_name`, `user_id`) so the window parallelizes.
+  */
+object Ops {
+
+  private def spec(partition: Seq[Column], order: Seq[Column]): WindowSpec =
+    if (partition.isEmpty) Window.orderBy(order: _*)
+    else Window.partitionBy(partition: _*).orderBy(order: _*)
+
+  /** Running sum over `order` within `partition` — the reference's
+    * `cumsum()` (swap_math.py:68, swap.py:154–158). */
+  def cumSum(df: DataFrame, value: Column, order: Seq[Column],
+             partition: Seq[Column], out: String): DataFrame =
+    df.withColumn(out, sum(value).over(
+      spec(partition, order).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+  /** Next row's value — the reference's `shift(-1)` (pool_helpers.py:82).
+    * Missing last value is filled with `default` when given (P7). */
+  def leadCol(df: DataFrame, value: Column, order: Seq[Column],
+              partition: Seq[Column], out: String,
+              default: Option[Column] = None): DataFrame = {
+    val led = lead(value, 1).over(spec(partition, order))
+    df.withColumn(out, default.fold(led)(d => coalesce(led, d)))
+  }
+
+  /** Forward fill — the reference's `forward_fill()` after resample
+    * (pool_helpers.py:177–180). */
+  def forwardFill(df: DataFrame, cols: Seq[String], order: Seq[Column],
+                  partition: Seq[Column]): DataFrame = {
+    val w = spec(partition, order)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cols.foldLeft(df)((d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+  }
+
+  /** Keep exactly the last row per key in the given order — the
+    * reference's `.sort(k).group_by(k).last()` (pool_helpers.py:144–146).
+    * Spark's `last()` is shuffle-nondeterministic, so this is a
+    * row_number over an explicit ordering (SURVEY.md §7.4 risk #1). */
+  def lastPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame =
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(keys: _*).orderBy(order.map(_.desc): _*)))
+      .filter(col("__rn") === 1).drop("__rn")
+
+  /** Latest row strictly before `bound` per partition — the reference's
+    * `filter(as_of < x).tail(1)` (state.py:204–209). */
+  def latestBefore(df: DataFrame, asOf: Column, bound: Column,
+                   order: Seq[Column], partition: Seq[Column]): DataFrame = {
+    val filtered = df.filter(asOf < bound)
+    if (partition.isEmpty) filtered.orderBy(order.map(_.desc): _*).limit(1)
+    else lastPerKey(filtered, partition, order)
+  }
+
+  /** Epoch-aligned time bucket on an epoch-nanoseconds key; returns
+    * bucket start in epoch *seconds*. Matches Polars
+    * `group_by_dynamic(every=...)` left-closed epoch-aligned buckets
+    * (pool_helpers.py:148–149) and DuckDB
+    * `(epoch_ns(ts) // (s*1e9)) * s`. */
+  def bucketNs(tsNs: Column, everySeconds: Long): Column = {
+    val everyNs = everySeconds * 1000000000L
+    // Integer `div`, not `/`: double division loses exactness above 2^53
+    // and would mis-bucket events within ~100ns of a boundary.
+    call_function("div", tsNs, lit(everyNs)) * everySeconds
+  }
+
+  /** Same as bucketNs for an epoch-microseconds key. */
+  def bucketUs(tsUs: Column, everySeconds: Long): Column =
+    call_function("div", tsUs, lit(everySeconds * 1000000L)) * everySeconds
+
+  /** Epoch-aligned bucket of a TimestampType column; returns bucket
+    * start as timestamp (= Spark `window(ts, dur).start`). */
+  def bucketTs(ts: Column, dur: String): Column =
+    window(ts, dur).getField("start")
+
+  /** Time-bucketed aggregation ("resample", A7). `bucket` must be an
+    * epoch-aligned bucket expression from bucketNs/bucketTs. */
+  def resample(df: DataFrame, bucket: Column, keys: Seq[Column],
+               aggs: Seq[Column]): DataFrame =
+    df.groupBy((keys :+ bucket.as("bucket")): _*).agg(aggs.head, aggs.tail: _*)
+
+  /** Backward as-of join (J2): for each left row, attach `valueCols`
+    * from the latest right row with `right.on <= left.on`, equal `by`
+    * keys. Implemented as union + ignore-nulls window (one shuffle,
+    * no row explosion) rather than a range join — scales to any
+    * left/right size and parallelizes over `by`.
+    * Re-expresses Polars `join_asof` (pool_helpers.py:202). */
+  def asofJoin(left: DataFrame, right: DataFrame, on: String,
+               by: Seq[String], valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "asofJoin needs at least one value column")
+    val leftCols = left.columns.toSeq
+    val carried = leftCols.filterNot(c => c == on || by.contains(c))
+    // Common shape: by ++ on ++ carried-left-cols ++ right-value-cols ++ side
+    val lNorm = left.select(
+      (by.map(col) :+ col(on)) ++ carried.map(col) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) :+
+        lit(1).as("__side"): _*)
+    val rNorm = right.select(
+      (by.map(col) :+ col(on)) ++
+        carried.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(col) :+ lit(0).as("__side"): _*)
+    // Right rows sort before left rows at equal `on` → "<=" semantics.
+    val w = spec(by.map(col), Seq(col(on).asc, col("__side").asc))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(lNorm.unionByName(rNorm))((d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    filled.filter(col("__side") === 1).drop("__side")
+      .select(leftCols.map(col) ++ valueCols.map(col): _*)
+  }
+
+  /** Full-outer combine on a key with zero-fill (J1) — the reference's
+    * `tl.join(tu, on="tick", how="outer").fill_null(0)`
+    * (swap_math.py:62–66). Key columns must share a name. */
+  def outerCombine(a: DataFrame, b: DataFrame, key: Seq[String],
+                   fill: Double = 0.0): DataFrame =
+    a.join(b, key, "full_outer").na.fill(fill)
+
+  /** Dictionary remap via broadcast join (P10) — the reference's
+    * `map_dict(mapping)` (data_update.py:266–277). `mapping` must have
+    * columns (`from`, `to`); unmapped values keep the original. */
+  def remap(df: DataFrame, column: String, mapping: DataFrame,
+            from: String = "from", to: String = "to"): DataFrame = {
+    val m = mapping.select(col(from).as("__from"), col(to).as("__to"))
+    df.join(broadcast(m), df(column) === col("__from"), "left")
+      .withColumn(column, coalesce(col("__to"), col(column)))
+      .drop("__from", "__to")
+  }
+
+  /** First row (per partition) whose running sum of `value` reaches
+    * `threshold` (O3) — the reference's cumulative-liquidity tick
+    * selection `filter(cumulative >= target).head(1)` (swap.py:168). */
+  def firstWhereCumGE(df: DataFrame, value: Column, threshold: Column,
+                      order: Seq[Column], partition: Seq[Column],
+                      cumName: String = "cum"): DataFrame = {
+    val withCum = cumSum(df, value, order, partition, cumName)
+    val hit = withCum.filter(col(cumName) >= threshold)
+    if (partition.isEmpty) hit.orderBy(order: _*).limit(1)
+    else hit.withColumn("__rn", row_number().over(spec(partition.map(c => c), order)))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+}

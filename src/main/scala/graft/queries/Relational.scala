@@ -1,0 +1,327 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Ops
+
+/** Oracle-checked queries covering SURVEY.md §2's relational inventory
+  * (S1, P1–P12, J1–J4, A1–A9, W1–W4, O1–O4) over the driver testdata.
+  * Each entry name carries the operator ids it exercises; the DuckDB SQL
+  * in `oracle` is the semantic contract.
+  *
+  * Determinism rules (SURVEY.md §7.4 risk #1/#3):
+  *  - every result has a total ORDER BY on a unique key in both engines;
+  *  - double aggregates whose addition order is engine-dependent are
+  *    `round`-ed identically on both sides;
+  *  - `events.ts` is epoch-nanoseconds (LongType here, `epoch_us(ts)` in
+  *    DuckDB) — exact integer event-time, never truncated.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+  /** 2024-02-01T00:00:00Z as epoch-ns — W4 point-in-time bound. */
+  private val Cutoff = 1706745600000000L
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+
+    ("s1_p2_scan_filter_project",
+      ((s: SparkSession, d: String) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_returnflag") === "R" &&
+            col("l_shipdate") >= lit("1995-07-01").cast("timestamp"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))): Q,
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_shipdate >= TIMESTAMP '1995-07-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    ("p4_p5_computed_cast",
+      ((s: SparkSession, d: String) =>
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            floor(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+              (lit(1) + col("l_tax")) * 100 + 0.5).cast("long").as("charge_c"),
+            col("l_quantity").cast("long").as("qty_int"),
+            upper(col("l_returnflag")).as("flag_uc"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))): Q,
+      Some("""SELECT l_orderkey, l_linenumber,
+        |CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT) AS charge_c,
+        |CAST(l_quantity AS BIGINT) AS qty_int,
+        |upper(l_returnflag) AS flag_uc
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    ("a1_groupby_sum",
+      ((s: SparkSession, d: String) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity")).as("sum_qty"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+              .as("sum_disc_price"),
+            count(lit(1)).as("n_rows"),
+            round(avg(col("l_quantity")), 4).as("avg_qty"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))): Q,
+      Some("""SELECT l_returnflag, l_linestatus,
+        |sum(l_quantity) AS sum_qty,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |count(*) AS n_rows,
+        |round(avg(l_quantity), 4) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    ("a2_last_per_key",
+      ((s: SparkSession, d: String) =>
+        Ops.lastPerKey(Tables.events(s, d),
+            keys = Seq(col("user_id")), order = Seq(col("ts_us"), col("event_id")))
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+            col("event_type"), col("value"))
+          .orderBy(col("user_id"))): Q,
+      Some("""SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value
+        |FROM (SELECT *, row_number() OVER
+        |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin)),
+
+    ("a3_global_minmax",
+      ((s: SparkSession, d: String) =>
+        Tables.orders(s, d)
+          .agg(max(col("o_totalprice")).as("max_price"),
+            min(col("o_totalprice")).as("min_price"),
+            count(lit(1)).as("n_orders"),
+            countDistinct(col("o_custkey")).as("n_custs"),
+            min(col("o_orderdate")).cast("timestamp").cast("long").as("min_date_s"))): Q,
+      Some("""SELECT max(o_totalprice) AS max_price, min(o_totalprice) AS min_price,
+        |count(*) AS n_orders, count(DISTINCT o_custkey) AS n_custs,
+        |CAST(epoch(min(o_orderdate)) AS BIGINT) AS min_date_s
+        |FROM orders""".stripMargin)),
+
+    ("a5_median_quantile",
+      ((s: SparkSession, d: String) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(expr("percentile(l_quantity, 0.5)").as("med_qty"),
+            round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99_price"))
+          .orderBy(col("l_returnflag"))): Q,
+      Some("""SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med_qty,
+        |round(quantile_cont(l_extendedprice, 0.99), 2) AS p99_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    ("a6_distinct_sorted",
+      ((s: SparkSession, d: String) =>
+        Tables.events(s, d).select(col("event_type")).distinct()
+          .orderBy(col("event_type"))): Q,
+      Some("SELECT DISTINCT event_type FROM events ORDER BY event_type")),
+
+    ("a7_resample_15m",
+      ((s: SparkSession, d: String) =>
+        Tables.events(s, d)
+          .groupBy(Ops.bucketUs(col("ts_us"), 900).as("bucket_s"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value")), 2).as("sum_value"),
+            min(col("event_id")).as("first_event"))
+          .orderBy(col("bucket_s"))): Q,
+      Some("""SELECT (epoch_us(ts) // 900000000) * 900 AS bucket_s,
+        |count(*) AS n_events, round(sum(value), 2) AS sum_value,
+        |min(event_id) AS first_event
+        |FROM events GROUP BY 1 ORDER BY bucket_s""".stripMargin)),
+
+    ("a8_w1_cumsum",
+      ((s: SparkSession, d: String) =>
+        Ops.cumSum(Tables.events(s, d), col("value"),
+            order = Seq(col("ts_us"), col("event_id")),
+            partition = Seq(col("user_id")), out = "running")
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            round(col("running"), 2).as("running"))
+          .orderBy(col("user_id"), col("ts_us"), col("event_id"))): Q,
+      Some("""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+        |FROM events ORDER BY user_id, ts_us, event_id""".stripMargin)),
+
+    ("w2_p9_lead",
+      ((s: SparkSession, d: String) =>
+        Ops.leadCol(Tables.events(s, d), col("ts_us"),
+            order = Seq(col("ts_us"), col("event_id")),
+            partition = Seq(col("user_id")), out = "next_ts_us")
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            col("next_ts_us"),
+            (col("next_ts_us") - col("ts_us")).as("gap_us"))
+          .orderBy(col("user_id"), col("ts_us"), col("event_id"))): Q,
+      Some("""SELECT user_id, event_id, ts_us, next_ts_us,
+        |next_ts_us - ts_us AS gap_us
+        |FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS next_ts_us
+        |  FROM events)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin)),
+
+    ("w3_p8_forward_fill",
+      ((s: SparkSession, d: String) =>
+        Ops.forwardFill(
+            Tables.events(s, d).withColumn("last_purchase_value",
+              when(col("event_type") === "purchase", col("value"))),
+            cols = Seq("last_purchase_value"),
+            order = Seq(col("ts_us"), col("event_id")),
+            partition = Seq(col("user_id")))
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            col("last_purchase_value"))
+          .orderBy(col("user_id"), col("ts_us"), col("event_id"))): Q,
+      Some("""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |  OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS last_purchase_value
+        |FROM events ORDER BY user_id, ts_us, event_id""".stripMargin)),
+
+    ("w4_latest_before",
+      ((s: SparkSession, d: String) =>
+        Ops.latestBefore(Tables.events(s, d), col("ts_us"), lit(Cutoff),
+            order = Seq(col("ts_us"), col("event_id")),
+            partition = Seq(col("user_id")))
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+            col("value"))
+          .orderBy(col("user_id"))): Q,
+      Some(s"""SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+        |FROM (SELECT *, row_number() OVER
+        |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE epoch_us(ts) < $Cutoff)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    ("j1_p7_full_outer_coalesce",
+      ((s: SparkSession, d: String) => {
+        val o = Tables.orders(s, d)
+          .groupBy(col("o_custkey").as("custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("total_spent"))
+        val c = Tables.customer(s, d)
+          .select(col("c_custkey").as("custkey"), col("c_name"), col("c_acctbal"))
+        Ops.outerCombine(c, o, Seq("custkey")).orderBy(col("custkey"))
+      }): Q,
+      Some("""SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+        |c.c_name, coalesce(c.c_acctbal, 0) AS c_acctbal,
+        |coalesce(o.n_orders, 0) AS n_orders,
+        |coalesce(o.total_spent, 0) AS total_spent
+        |FROM customer c
+        |FULL JOIN (SELECT o_custkey, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_spent
+        |  FROM orders GROUP BY o_custkey) o
+        |ON c.c_custkey = o.o_custkey
+        |ORDER BY custkey""".stripMargin)),
+
+    ("j2_asof_join",
+      ((s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us"), col("event_id"))
+        val logins = Ops.lastPerKey(
+            ev.filter(col("event_type") === "login"),
+            keys = Seq(col("user_id"), col("ts_us")), order = Seq(col("event_id")))
+          .select(col("user_id"), col("ts_us"), col("value"))
+        Ops.asofJoin(purchases, logins, on = "ts_us", by = Seq("user_id"),
+            valueCols = Seq("value"))
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+            col("value").as("login_value"))
+          .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+      }): Q,
+      Some("""SELECT l.user_id, epoch_us(l.ts) AS ts_us, l.event_id,
+        |r.value AS login_value
+        |FROM (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM
+        |  (SELECT user_id, ts, value, row_number() OVER
+        |    (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |   FROM events WHERE event_type = 'login') WHERE rn = 1) r
+        |ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.user_id, ts_us, l.event_id""".stripMargin)),
+
+    ("j3_equi_theta_join",
+      ((s: SparkSession, d: String) =>
+        Tables.lineitem(s, d).join(Tables.orders(s, d),
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") > col("o_orderdate"), "inner")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum(col("l_extendedprice")), 2).as("revenue"))
+          .orderBy(col("o_orderpriority"))): Q,
+      Some("""SELECT o_orderpriority, count(*) AS n_rows,
+        |round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN orders
+        |ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    ("j5_broadcast_dim_join",
+      ((s: SparkSession, d: String) =>
+        Tables.lineitem(s, d).join(broadcast(Tables.part(s, d)),
+            col("l_partkey") === col("p_partkey"), "inner")
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_quantity")).as("sum_qty"),
+            round(sum(col("p_retailprice")), 2).as("sum_retail"))
+          .orderBy(col("p_brand"))): Q,
+      Some("""SELECT p_brand, count(*) AS n_rows, sum(l_quantity) AS sum_qty,
+        |round(sum(p_retailprice), 2) AS sum_retail
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    ("p10_remap_broadcast",
+      ((s: SparkSession, d: String) => {
+        val mapping = s.createDataFrame(Seq(
+          ("FRANCE", "FR"), ("GERMANY", "DE"), ("CHINA", "CN")))
+          .toDF("from", "to")
+        Ops.remap(Tables.nation(s, d), "n_name", mapping)
+          .select(col("n_nationkey"), col("n_name"))
+          .orderBy(col("n_nationkey"))
+      }): Q,
+      Some("""SELECT n_nationkey,
+        |CASE n_name WHEN 'FRANCE' THEN 'FR' WHEN 'GERMANY' THEN 'DE'
+        |  WHEN 'CHINA' THEN 'CN' ELSE n_name END AS n_name
+        |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
+    ("j4_union_all",
+      ((s: SparkSession, d: String) => {
+        val a = Tables.events(s, d).filter(col("event_type") === "purchase")
+          .select(col("event_id"), lit("purchase").as("src"))
+        val b = Tables.orders(s, d)
+          .select(col("o_orderkey").as("event_id"), lit("order").as("src"))
+        a.unionByName(b).groupBy(col("src"))
+          .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_id"),
+            max(col("event_id")).as("max_id"))
+          .orderBy(col("src"))
+      }): Q,
+      Some("""SELECT src, count(*) AS n, min(event_id) AS min_id,
+        |max(event_id) AS max_id
+        |FROM (SELECT event_id, 'purchase' AS src FROM events
+        |      WHERE event_type = 'purchase'
+        |      UNION ALL
+        |      SELECT o_orderkey AS event_id, 'order' AS src FROM orders)
+        |GROUP BY src ORDER BY src""".stripMargin)),
+
+    ("o1_o3_topk",
+      ((s: SparkSession, d: String) =>
+        Tables.orders(s, d)
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(25)
+          .select(col("o_orderkey"), col("o_totalprice"))): Q,
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin)),
+
+    ("o3_first_where_cum_ge",
+      ((s: SparkSession, d: String) =>
+        Ops.firstWhereCumGE(
+            Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
+            value = col("o_totalprice"), threshold = lit(1000000.0),
+            order = Seq(col("o_totalprice").desc, col("o_orderkey")),
+            partition = Seq())
+          .select(col("o_orderkey"), col("o_totalprice"),
+            round(col("cum"), 2).as("cum"))): Q,
+      Some("""SELECT o_orderkey, o_totalprice, round(cum, 2) AS cum
+        |FROM (SELECT o_orderkey, o_totalprice,
+        |  sum(o_totalprice) OVER (ORDER BY o_totalprice DESC, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM orders)
+        |WHERE cum >= 1000000
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 1""".stripMargin))
+  )
+}

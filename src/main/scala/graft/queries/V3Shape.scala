@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Ops
+
+/** The reference's two signature relational pipelines, re-expressed over
+  * the driver testdata so the DuckDB oracle can grade them:
+  *
+  *  - `v3_liquidity_distribution` — the exact shape of `createLiq`
+  *    (reference v3/helpers/swap_math.py:25–71): two grouped-sum legs →
+  *    full-outer join on tick → zero-fill → net → cumulative sum.
+  *  - `v3_price_series_asof` — the exact shape of `getPriceSeries`
+  *    (reference v3/helpers/pool_helpers.py:134–204): two independent
+  *    resample legs → backward as-of join.
+  *
+  * The same code paths run against the real Uniswap event tables in
+  * `graft.v3` (see Liquidity.scala / Series.scala); these testdata
+  * doubles keep the *operators* under the correctness gate.
+  */
+object V3Shape {
+  import Relational.Q
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+
+    ("v3_liquidity_distribution",
+      ((s: SparkSession, d: String) => {
+        val li = Tables.lineitem(s, d)
+        val lower = li.groupBy(col("l_partkey").as("tick"))
+          .agg(sum(col("l_quantity")).as("liq_lower"))
+        val upper = li.groupBy(col("l_suppkey").as("tick"))
+          .agg((-sum(col("l_quantity"))).as("liq_upper"))
+        val net = Ops.outerCombine(lower, upper, Seq("tick"))
+          .withColumn("net_liq", col("liq_lower") + col("liq_upper"))
+        Ops.cumSum(net, col("net_liq"), order = Seq(col("tick")),
+            partition = Seq(), out = "liquidity")
+          .select(col("tick"), col("net_liq"), col("liquidity"))
+          .orderBy(col("tick"))
+      }): Q,
+      Some("""WITH lo AS (SELECT l_partkey AS tick, sum(l_quantity) AS liq_lower
+        |  FROM lineitem GROUP BY 1),
+        |hi AS (SELECT l_suppkey AS tick, -sum(l_quantity) AS liq_upper
+        |  FROM lineitem GROUP BY 1),
+        |net AS (SELECT coalesce(lo.tick, hi.tick) AS tick,
+        |  coalesce(liq_lower, 0) + coalesce(liq_upper, 0) AS net_liq
+        |  FROM lo FULL JOIN hi ON lo.tick = hi.tick)
+        |SELECT tick, net_liq,
+        |  sum(net_liq) OVER (ORDER BY tick
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS liquidity
+        |FROM net ORDER BY tick""".stripMargin)),
+
+    ("v3_price_series_asof",
+      ((s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+        val legA = ev
+          .groupBy(Ops.bucketUs(col("ts_us"), 900).as("bucket_s"))
+          .agg(max(col("ts_us")).as("last_event_us"))
+        val legB = Ops.lastPerKey(
+            ev.filter(col("event_type") === "purchase")
+              .withColumn("bucket_s", Ops.bucketUs(col("ts_us"), 900)),
+            keys = Seq(col("bucket_s")), order = Seq(col("ts_us"), col("event_id")))
+          .select(col("bucket_s"), col("value").as("last_purchase"))
+        Ops.asofJoin(legA, legB, on = "bucket_s", by = Seq(),
+            valueCols = Seq("last_purchase"))
+          .select(col("bucket_s"), col("last_event_us"), col("last_purchase"))
+          .orderBy(col("bucket_s"))
+      }): Q,
+      Some("""WITH a AS (SELECT (epoch_us(ts) // 900000000) * 900 AS bucket_s,
+        |  max(epoch_us(ts)) AS last_event_us FROM events GROUP BY 1),
+        |b AS (SELECT bucket_s, value AS last_purchase FROM
+        |  (SELECT (epoch_us(ts) // 900000000) * 900 AS bucket_s, value,
+        |    row_number() OVER (PARTITION BY (epoch_us(ts) // 900000000) * 900
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |   FROM events WHERE event_type = 'purchase') WHERE rn = 1)
+        |SELECT a.bucket_s, a.last_event_us, b.last_purchase
+        |FROM a ASOF LEFT JOIN b ON a.bucket_s >= b.bucket_s
+        |ORDER BY a.bucket_s""".stripMargin))
+  )
+}
