@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Relational, V3Shape}
+import graft.queries.{Llm, Relational, V3Shape}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,7 @@ import graft.queries.{Relational, V3Shape}
 object SparkEntry {
 
   private def registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    Relational.entries ++ V3Shape.entries
+    Relational.entries ++ V3Shape.entries ++ Llm.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's signature pipeline: liquidity-distribution shape

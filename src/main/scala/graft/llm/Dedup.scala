@@ -1,0 +1,148 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale document deduplication operators (BASELINE.json north
+  * star): exact, MinHash+LSH, SimHash, and n-gram Jaccard. All shapes
+  * are shuffle-bounded: candidates come from equi-joins on computed
+  * keys (band signature / rare shingle / simhash band), never from a
+  * quadratic cross join, so they survive a 100 TB corpus.
+  */
+object Dedup {
+
+  /** Exact dedup: one surviving row per identical text, deterministic
+    * keeper (min id), duplicate count. A single hash-aggregate. */
+  def exact(df: DataFrame, text: String, id: String): DataFrame =
+    df.groupBy(col(text))
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dupes"))
+
+  /** Distinct word k-shingles per document: (id, shingle). Documents
+    * with fewer than k tokens produce none. */
+  def wordShingles(df: DataFrame, text: String, id: String, k: Int): DataFrame = {
+    val toks = split(col(text), " ")
+    df.select(col(id), toks.as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col(id), explode(sequence(lit(1), size(col("toks")) - (k - 1))).as("i"))
+      .withColumn("shingle", concat_ws(" ", slice(split(col(text), " "), col("i"), lit(k))))
+      .select(col(id), col("shingle")).distinct()
+  }
+
+  /** Distinct word k-shingles computed from a pre-tokenized frame —
+    * used internally so `text` need not survive into the explode. */
+  private def shinglesFromToks(df: DataFrame, id: String, k: Int): DataFrame =
+    df.filter(size(col("toks")) >= k)
+      .select(col(id), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - (k - 1))).as("i"))
+      .select(col(id), concat_ws(" ", slice(col("toks"), col("i"), lit(k))).as("shingle"))
+      .distinct()
+
+  def tokenize(df: DataFrame, text: String, id: String): DataFrame =
+    df.select(col(id), split(col(text), " ").as("toks"))
+
+  /** MinHash signatures: for each of `numPerms` seeded hash functions,
+    * the minimum md5 over the document's shingles. md5-on-string is
+    * deliberately the hash: byte-identical across engines (the DuckDB
+    * oracle recomputes it), and min() over hex strings is a valid
+    * min-wise hash. One hash-aggregate, `numPerms` agg columns — no
+    * row explosion. Output: (id, h0..h{n-1}). */
+  def minhashSignatures(shingles: DataFrame, id: String, numPerms: Int): DataFrame = {
+    val aggs = (0 until numPerms).map(i =>
+      min(md5(concat(lit(s"$i|"), col("shingle")).cast("binary"))).as(s"h$i"))
+    shingles.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: split the signature into `bands` bands of
+    * `rowsPerBand` hashes; documents sharing any band signature are
+    * candidate pairs. The join key is (band, signature) — candidates
+    * cost one shuffle regardless of corpus size. Output: (a, b). */
+  def lshCandidatePairs(sigs: DataFrame, id: String,
+                        bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandRows = (0 until bands).map { b =>
+      val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      sigs.select(col(id), lit(b).as("band"), md5(concat(hs: _*).cast("binary")).as("sig"))
+    }
+    val all = bandRows.reduce(_ unionByName _)
+    val l = all.select(col(id).as("a"), col("band"), col("sig"))
+    val r = all.select(col(id).as("b"), col("band"), col("sig"))
+    l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** End-to-end MinHash-LSH near-dup candidates over a text column. */
+  def minhashLsh(df: DataFrame, text: String, id: String, shingleK: Int = 5,
+                 numPerms: Int = 8, bands: Int = 4): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    val sh = shinglesFromToks(tokenize(df, text, id), id, shingleK)
+    lshCandidatePairs(minhashSignatures(sh, id, numPerms), id, bands, numPerms / bands)
+  }
+
+  /** Exact Jaccard near-dup pairs with a rare-shingle candidate filter:
+    * only document pairs sharing a shingle whose document frequency is
+    * ≤ `maxDf` are compared (common shingles would otherwise explode
+    * the self-join quadratically — this cap is the scale lever).
+    * Output: (a, b, jacc_bp) with Jaccard ≥ `minJaccard`, as exact
+    * basis points. */
+  def ngramJaccardPairs(df: DataFrame, text: String, id: String,
+                        k: Int = 5, maxDf: Int = 5,
+                        minJaccard: Double = 0.5): DataFrame = {
+    val sh = shinglesFromToks(tokenize(df, text, id), id, k).cache()
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val rare = dfreq.filter(col("df") <= maxDf).select("shingle")
+    val shA = sh.select(col(id).as("a"), col("shingle"))
+    val shB = sh.select(col(id).as("b"), col("shingle"))
+    val cand = shA.join(rare, Seq("shingle")).join(shB, Seq("shingle"))
+      .filter(col("a") < col("b")).select(col("a"), col("b")).distinct()
+    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n"))
+    val inter = shA.join(shB, Seq("shingle"))
+      .join(cand, Seq("a", "b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col(id).as("a"), col("n").as("na")), Seq("a"))
+      .join(sizes.select(col(id).as("b"), col("n").as("nb")), Seq("b"))
+      .withColumn("jacc", lit(1.0) * col("c") / (col("na") + col("nb") - col("c")))
+      .filter(col("jacc") >= minJaccard)
+      .select(col("a"), col("b"),
+        floor(col("jacc") * 10000 + 0.5).cast("long").as("jacc_bp"))
+  }
+
+  /** 64-bit SimHash over word k-shingles: per-bit majority vote of
+    * xxhash64 shingle hashes. 64 aggregate columns, one shuffle. */
+  def simhash(df: DataFrame, text: String, id: String, k: Int = 2): DataFrame = {
+    val sh = shinglesFromToks(tokenize(df, text, id), id, k)
+      .withColumn("h", xxhash64(col("shingle")))
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$i"))
+    val voted = sh.groupBy(col(id)).agg(votes.head, votes.tail: _*)
+    val packed = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
+    voted.select(col(id), packed.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: candidates share one of `bands` equal-width
+    * bit bands — by pigeonhole, any pair within Hamming distance
+    * `bands − 1` must agree on ≥1 band — then exact Hamming filter.
+    * More bands ⇒ higher detectable distance but coarser keys (bigger
+    * candidate buckets): 4×16-bit for tight dedup at corpus scale,
+    * 8×8-bit when documents are long enough that near-dups drift
+    * several bits. */
+  def simhashPairs(sims: DataFrame, id: String, maxHamming: Int = 7,
+                   bands: Int = 8): DataFrame = {
+    require(64 % bands == 0 && maxHamming < bands,
+      "need bands | 64 and maxHamming < bands for the pigeonhole guarantee")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val banded = (0 until bands).map(b =>
+      sims.select(col(id), lit(b).as("band"),
+        shiftrightunsigned(col("simhash"), b * width).bitwiseAND(mask).as("key"),
+        col("simhash")))
+      .reduce(_ unionByName _)
+    val l = banded.select(col(id).as("a"), col("band"), col("key"), col("simhash").as("sa"))
+    val r = banded.select(col(id).as("b"), col("band"), col("key"), col("simhash").as("sb"))
+    l.join(r, Seq("band", "key")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming")).distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-quality operators for training-data pipelines: token counting,
+  * quality stats, n-gram-heuristic language id, fingerprinting. All
+  * per-row narrow transforms (no shuffle) built from codegen'd string
+  * functions — they run at scan speed over a 100 TB corpus.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count (simple space split — the cross-engine
+    * deterministic baseline; a BPE-ish regex variant below). */
+  def tokenCount(text: Column): Column = size(split(trim(text), " "))
+
+  /** BPE-ish subword proxy: count of letter-runs, digit-runs and
+    * non-space punctuation — approximates tokenizer unit count
+    * without a vocab. */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Per-document quality stats: token count, type-token ratio (bp),
+    * punctuation ratio (bp), mean token length (char). */
+  def qualityStats(df: DataFrame, text: String, id: String): DataFrame = {
+    val toks = split(trim(col(text)), " ")
+    val nTok = size(toks)
+    val nChar = length(col(text))
+    val punct = length(regexp_replace(col(text), "[^.,!?;:]", ""))
+    df.select(col(id),
+      nTok.as("n_tokens"),
+      floor(lit(10000.0) * size(array_distinct(toks)) / nTok + 0.5)
+        .cast("long").as("ttr_bp"),
+      floor(lit(10000.0) * punct / nChar + 0.5).cast("long").as("punct_bp"),
+      floor(lit(100.0) * (nChar - (nTok - 1)) / nTok + 0.5)
+        .cast("long").as("mean_tok_len_c"))
+  }
+
+  /** Stopword-class patterns for the n-gram language heuristic. */
+  val LangPatterns: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in)\\b",
+    "de" -> "\\b(der|die|das|und|nicht)\\b",
+    "fr" -> "\\b(le|les|et|des|une)\\b",
+    "es" -> "\\b(el|los|las|y|una)\\b")
+
+  /** Language id by stopword-class argmax with fixed priority order on
+    * ties (en > de > fr > es) — a deterministic heuristic, not a
+    * model. Adds one count column per language plus `pred_lang`. */
+  def langId(df: DataFrame, text: String, id: String): DataFrame = {
+    val lowered = lower(col(text))
+    val counts = LangPatterns.map { case (l, p) =>
+      regexp_count(lowered, lit(p)).as(s"n_$l")
+    }
+    val withCounts = df.select((col(id) +: counts): _*)
+    val Seq(en, de, fr, es) = LangPatterns.map(lp => col(s"n_${lp._1}"))
+    withCounts.withColumn("pred_lang",
+      when(en >= de && en >= fr && en >= es, "en")
+        .when(de >= fr && de >= es, "de")
+        .when(fr >= es, "fr")
+        .otherwise("es"))
+  }
+
+  /** Canonical-form fingerprint: lowercase → strip non-alphanumerics →
+    * collapse whitespace → md5. Collisions ⇒ near-identical documents
+    * modulo case/punctuation/spacing (a dedup key). */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " ")).cast("binary"))
+
+  /** Content-defined rolling fingerprint: xxhash64 of each k-token
+    * window, min-sampled — a locality-sensitive document sketch that
+    * survives local edits (used for shift-tolerant dedup keys). */
+  def rollingMinFingerprint(df: DataFrame, text: String, id: String,
+                            k: Int = 8): DataFrame =
+    Dedup.wordShingles(df, text, id, k)
+      .groupBy(col(id))
+      .agg(min(xxhash64(col("shingle"))).as("roll_fp"))
+}

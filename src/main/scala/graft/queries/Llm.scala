@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.llm.{Dedup, Multimodal, Sessionize, Similarity, TextAnalysis}
+
+/** Oracle-checked queries for the LLM-data-pipeline operators
+  * (BASELINE.json north star): dedup (exact / MinHash-LSH / SimHash /
+  * n-gram Jaccard), similarity search, text analysis, sessionization,
+  * multimodal byte plumbing. Where the operator's hash is shared with
+  * DuckDB (md5), the full pipeline is SQL-checkable; engine-specific
+  * hashes (xxhash64) get rows-only checks.
+  *
+  * Fractional outputs are integerized with the cross-engine-exact
+  * `floor(x·10^k + 0.5)` pattern (see Relational).
+  */
+object Llm {
+  import Relational.Q
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+
+    ("llm_dedup_exact",
+      ((s: SparkSession, d: String) =>
+        Dedup.exact(Tables.documents(s, d), "text", "doc_id")
+          .select(col("keep_id"), col("n_dupes"))
+          .orderBy(col("keep_id"))): Q,
+      Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_dupes
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
+
+    ("llm_dedup_minhash_lsh",
+      ((s: SparkSession, d: String) =>
+        Dedup.minhashLsh(Tables.documents(s, d), "text", "doc_id",
+            shingleK = 5, numPerms = 8, bands = 4)
+          .orderBy(col("a"), col("b"))): Q,
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
+        |        FROM toks)),
+        |mh AS (SELECT doc_id,
+        |  min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
+        |  min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
+        |  min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
+        |  min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
+        |  FROM sh GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, md5(h0 || h1) AS sig FROM mh UNION ALL
+        |  SELECT doc_id, 1, md5(h2 || h3) FROM mh UNION ALL
+        |  SELECT doc_id, 2, md5(h4 || h5) FROM mh UNION ALL
+        |  SELECT doc_id, 3, md5(h6 || h7) FROM mh)
+        |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig
+        |  AND l.doc_id < r.doc_id
+        |ORDER BY a, b""".stripMargin)),
+
+    ("llm_dedup_ngram_jaccard",
+      ((s: SparkSession, d: String) =>
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
+            k = 5, maxDf = 5, minJaccard = 0.5)
+          .orderBy(col("a"), col("b"))): Q,
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
+        |        FROM toks)),
+        |dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+        |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN dfreq USING (shingle) JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id AND dfreq.df <= 5),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  JOIN cand ON cand.a = a.doc_id AND cand.b = b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i.a, i.b,
+        |  CAST(floor(1.0 * i.c / (sa.n + sb.n - i.c) * 10000 + 0.5) AS BIGINT)
+        |    AS jacc_bp
+        |FROM inter i JOIN sizes sa ON sa.doc_id = i.a
+        |  JOIN sizes sb ON sb.doc_id = i.b
+        |WHERE 1.0 * i.c / (sa.n + sb.n - i.c) >= 0.5
+        |ORDER BY a, b""".stripMargin)),
+
+    // engine-specific hash (xxhash64) → rows-only check; correctness is
+    // covered by LlmSpec invariants (near-dup pairs ⊇ jaccard pairs)
+    ("llm_dedup_simhash",
+      ((s: SparkSession, d: String) =>
+        Dedup.simhashPairs(
+            Dedup.simhash(Tables.documents(s, d), "text", "doc_id", k = 2),
+            "doc_id", maxHamming = 7, bands = 8)
+          .orderBy(col("a"), col("b"))): Q,
+      None),
+
+    ("llm_similarity_topk",
+      ((s: SparkSession, d: String) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 5)
+          .select(col("q_id"), col("vec_id"),
+            floor(col("score") * 1000000 + 0.5).cast("long").as("score_e6"),
+            col("rn"))
+          .orderBy(col("q_id"), col("rn"))
+      }): Q,
+      Some("""WITH q AS (SELECT vec_id AS q_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+        |  FROM embeddings),
+        |sc AS (SELECT q_id, vec_id, list_cosine_similarity(qe, ce) AS score
+        |  FROM q, c WHERE vec_id != q_id),
+        |r AS (SELECT *, row_number() OVER
+        |  (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn FROM sc)
+        |SELECT q_id, vec_id,
+        |  CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6, rn
+        |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)),
+
+    ("llm_embedding_neardup",
+      ((s: SparkSession, d: String) =>
+        Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id",
+            "embedding", threshold = 0.45)
+          .select(col("a"), col("b"),
+            floor(col("score") * 1000000 + 0.5).cast("long").as("score_e6"))
+          .orderBy(col("a"), col("b"))): Q,
+      Some("""WITH c AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+        |  FROM embeddings)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        |  CAST(floor(list_cosine_similarity(a.ce, b.ce) * 1000000 + 0.5)
+        |    AS BIGINT) AS score_e6
+        |FROM c a JOIN c b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.ce, b.ce) >= 0.45
+        |ORDER BY a, b""".stripMargin)),
+
+    // LSH bucketing uses engine-side plane generation → rows-only;
+    // recall vs brute force asserted in LlmSpec
+    ("llm_similarity_ann_lsh",
+      ((s: SparkSession, d: String) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.annTopK(e, e.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 5, numPlanes = 4)
+          .select(col("q_id"), col("vec_id"),
+            floor(col("score") * 1000000 + 0.5).cast("long").as("score_e6"),
+            col("rn"))
+          .orderBy(col("q_id"), col("rn"))
+      }): Q,
+      None),
+
+    ("llm_text_quality",
+      ((s: SparkSession, d: String) =>
+        TextAnalysis.qualityStats(Tables.documents(s, d), "text", "doc_id")
+          .orderBy(col("doc_id"))): Q,
+      Some("""SELECT doc_id,
+        |len(string_split(trim(text), ' ')) AS n_tokens,
+        |CAST(floor(10000.0 * len(list_distinct(string_split(trim(text), ' ')))
+        |  / len(string_split(trim(text), ' ')) + 0.5) AS BIGINT) AS ttr_bp,
+        |CAST(floor(10000.0 * length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+        |  / length(text) + 0.5) AS BIGINT) AS punct_bp,
+        |CAST(floor(100.0 * (length(text) - (len(string_split(trim(text), ' ')) - 1))
+        |  / len(string_split(trim(text), ' ')) + 0.5) AS BIGINT) AS mean_tok_len_c
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    ("llm_text_langid",
+      ((s: SparkSession, d: String) =>
+        TextAnalysis.langId(Tables.documents(s, d), "text", "doc_id")
+          .orderBy(col("doc_id"))): Q,
+      Some("""SELECT doc_id,
+        |len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS n_en,
+        |len(regexp_extract_all(lower(text), '\b(der|die|das|und|nicht)\b')) AS n_de,
+        |len(regexp_extract_all(lower(text), '\b(le|les|et|des|une)\b')) AS n_fr,
+        |len(regexp_extract_all(lower(text), '\b(el|los|las|y|una)\b')) AS n_es,
+        |CASE WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+        |  WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+        |  WHEN n_fr >= n_es THEN 'fr' ELSE 'es' END AS pred_lang
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    ("llm_text_fingerprint",
+      ((s: SparkSession, d: String) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            TextAnalysis.fingerprint(col("text")).as("fp"))
+          .orderBy(col("doc_id"))): Q,
+      Some("""SELECT doc_id,
+        |md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |  ' +', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    ("llm_sessionize",
+      ((s: SparkSession, d: String) =>
+        Sessionize.sessions(Tables.events(s, d), "user_id", "ts_us",
+            order = Seq(col("ts_us"), col("event_id")),
+            gapMicros = 1800000000L, valueCol = "value")
+          .orderBy(col("user_id"), col("session_id"))): Q,
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+        |  FROM events),
+        |l AS (SELECT *, lag(ts_us) OVER
+        |  (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
+        |s AS (SELECT *, sum(CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
+        |    THEN 1 ELSE 0 END) OVER
+        |  (PARTITION BY user_id ORDER BY ts_us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM l)
+        |SELECT user_id, session_id, min(ts_us) AS session_start_us,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin)),
+
+    ("llm_multimodal_bytes",
+      ((s: SparkSession, d: String) =>
+        Multimodal.asBinary(Tables.documents(s, d), "text", "payload")
+          .select(col("doc_id"),
+            length(col("payload")).cast("long").as("byte_len"),
+            md5(col("payload")).as("content_md5"))
+          .orderBy(col("doc_id"))): Q,
+      Some("""SELECT doc_id, octet_length(encode(text)) AS byte_len,
+        |md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -1,0 +1,86 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** Invariant tests for the LLM operators whose hashes are engine-
+  * specific (no SQL oracle): SimHash, ANN-LSH, multimodal stubs. The
+  * oracle-checked operators (minhash/jaccard) double as ground truth
+  * here: planted near-duplicates in `documents` have word-3gram
+  * Jaccard ≈ 0.98, so hash-based detectors must find them. */
+class LlmSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+  private lazy val docs = Tables.documents(spark, dir).cache()
+  private lazy val emb = Tables.embeddings(spark, dir).cache()
+
+  private lazy val trueDups: Set[(Long, Long)] =
+    Dedup.ngramJaccardPairs(docs, "text", "doc_id", k = 5, maxDf = 5,
+        minJaccard = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("simhash finds the planted near-duplicates") {
+    assert(trueDups.size >= 20) // ~25 planted pairs at sf0.01
+    val simPairs = Dedup.simhashPairs(
+        Dedup.simhash(docs, "text", "doc_id", k = 2), "doc_id",
+        maxHamming = 7, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = trueDups.count(simPairs.contains).toDouble / trueDups.size
+    assert(recall >= 0.8, s"simhash recall $recall over ${trueDups.size} true pairs")
+  }
+
+  test("minhash LSH finds the planted near-duplicates") {
+    val lsh = Dedup.minhashLsh(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = trueDups.count(lsh.contains).toDouble / trueDups.size
+    assert(recall >= 0.9, s"lsh recall $recall")
+  }
+
+  test("ann lsh results are bucket-consistent, correctly scored, deterministic") {
+    val queries = emb.filter(col("vec_id") < 10)
+    def run() = Similarity.annTopK(emb, queries, "vec_id", "embedding",
+      k = 5, numPlanes = 4).collect()
+    val a = run(); val b = run()
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
+    // every hit must share the query's bucket
+    val planes = Similarity.planes(4, 64)
+    val buckets = Similarity.withLshBucket(emb, "embedding", planes)
+      .select(col("vec_id"), col("lsh_bucket"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a.forall(r => buckets(r.getLong(0)) == buckets(r.getLong(1))))
+    // ann scores can never beat brute-force top-1 for the same query
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(a.forall(r => r.getDouble(2) <= bf(r.getLong(0)) + 1e-12))
+  }
+
+  test("extractFeatures: schema, batch shape, determinism, normalization") {
+    val withBin = Multimodal.asBinary(docs.limit(50), "text", "payload")
+    val feats = Multimodal.extractFeatures(withBin, "payload", dim = 64)
+    assert(feats.schema("features").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+    val rows = feats.select(col("doc_id"), col("features")).collect()
+    assert(rows.length == 50)
+    val f = rows.head.getSeq[Float](1)
+    assert(f.length == 64)
+    assert(math.abs(f.sum - 1.0f) < 1e-3) // histogram normalized
+    val again = Multimodal.extractFeatures(withBin, "payload", dim = 64)
+      .select(col("doc_id"), col("features")).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("media meta: byte length and format sniffing") {
+    val withBin = Multimodal.asBinary(docs.limit(5), "text", "payload")
+    val meta = Multimodal.withMediaMeta(withBin, "payload")
+      .select(col("media_meta.n_bytes"), col("media_meta.format")).collect()
+    assert(meta.forall(_.getLong(0) > 0))
+    assert(meta.forall(_.getString(1) == "unknown")) // text payloads
+  }
+
+  test("sampleFrames emits stride-sampled chunks") {
+    val withBin = Multimodal.asBinary(docs.limit(3), "text", "payload")
+    val frames = Multimodal.sampleFrames(withBin, "payload", frames = 8, stride = 2)
+    val perDoc = frames.groupBy(col("doc_id")).count().collect()
+    assert(perDoc.forall(_.getLong(1) == 4)) // 0,2,4,6
+  }
+}
