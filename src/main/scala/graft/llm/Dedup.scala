@@ -19,18 +19,12 @@ object Dedup {
 
   /** Distinct word k-shingles per document: (id, shingle). Documents
     * with fewer than k tokens produce none. */
-  def wordShingles(df: DataFrame, text: String, id: String, k: Int): DataFrame = {
-    val toks = split(col(text), " ")
-    df.select(col(id), toks.as("toks"))
-      .filter(size(col("toks")) >= k)
-      .select(col(id), explode(sequence(lit(1), size(col("toks")) - (k - 1))).as("i"))
-      .withColumn("shingle", concat_ws(" ", slice(split(col(text), " "), col("i"), lit(k))))
-      .select(col(id), col("shingle")).distinct()
-  }
+  def wordShingles(df: DataFrame, text: String, id: String, k: Int): DataFrame =
+    shinglesFromToks(tokenize(df, text, id), id, k)
 
   /** Distinct word k-shingles computed from a pre-tokenized frame —
     * used internally so `text` need not survive into the explode. */
-  private def shinglesFromToks(df: DataFrame, id: String, k: Int): DataFrame =
+  def shinglesFromToks(df: DataFrame, id: String, k: Int): DataFrame =
     df.filter(size(col("toks")) >= k)
       .select(col(id), col("toks"),
         explode(sequence(lit(1), size(col("toks")) - (k - 1))).as("i"))
@@ -58,11 +52,13 @@ object Dedup {
     * cost one shuffle regardless of corpus size. Output: (a, b). */
   def lshCandidatePairs(sigs: DataFrame, id: String,
                         bands: Int, rowsPerBand: Int): DataFrame = {
-    val bandRows = (0 until bands).map { b =>
+    // posexplode of per-band signatures, not a bands-way union: one pass
+    // over the signature aggregate instead of `bands` recomputes
+    val bandSigs = array((0 until bands).map { b =>
       val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      sigs.select(col(id), lit(b).as("band"), md5(concat(hs: _*).cast("binary")).as("sig"))
-    }
-    val all = bandRows.reduce(_ unionByName _)
+      md5(concat(hs: _*).cast("binary"))
+    }: _*)
+    val all = sigs.select(col(id), posexplode(bandSigs).as(Seq("band", "sig")))
     val l = all.select(col(id).as("a"), col("band"), col("sig"))
     val r = all.select(col(id).as("b"), col("band"), col("sig"))
     l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
@@ -133,11 +129,11 @@ object Dedup {
       "need bands | 64 and maxHamming < bands for the pigeonhole guarantee")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val banded = (0 until bands).map(b =>
-      sims.select(col(id), lit(b).as("band"),
-        shiftrightunsigned(col("simhash"), b * width).bitwiseAND(mask).as("key"),
-        col("simhash")))
-      .reduce(_ unionByName _)
+    // single-pass banding via posexplode (see lshCandidatePairs)
+    val keys = array((0 until bands).map(b =>
+      shiftrightunsigned(col("simhash"), b * width).bitwiseAND(mask)): _*)
+    val banded = sims.select(col(id), col("simhash"),
+      posexplode(keys).as(Seq("band", "key")))
     val l = banded.select(col(id).as("a"), col("band"), col("key"), col("simhash").as("sa"))
     val r = banded.select(col(id).as("b"), col("band"), col("key"), col("simhash").as("sb"))
     l.join(r, Seq("band", "key")).filter(col("a") < col("b"))

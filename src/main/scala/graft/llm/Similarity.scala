@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
 
 /** Similarity search over an embedding column (ArrayType(FloatType)).
   *
@@ -11,13 +12,17 @@ import org.apache.spark.sql.functions._
   * fully parallel over the corpus), and a random-hyperplane LSH path
   * whose candidate set comes from an equi-join on a bucket key — the
   * 100 TB shape, trading recall for a corpus-partitionable probe.
+  *
+  * Hot-loop engineering: the float→double cast and the row's norm are
+  * computed once per row *before* any pair join, and the per-pair dot
+  * product is the codegen'd [[graft.functions.DotProduct]] expression —
+  * all with fold order identical to DuckDB's double list functions, so
+  * scores stay bit-identical to the oracle.
   */
 object Similarity {
 
-  /** Cosine similarity between two float-array columns, computed as a
-    * sequential double fold (dot / (√na·√nb)) — bit-identical to
-    * DuckDB's `list_cosine_similarity` on double lists, which the
-    * oracle uses. */
+  /** Reference cosine via higher-order functions — readable spec
+    * implementation; the join paths below use the codegen'd form. */
   def cosine(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -26,30 +31,42 @@ object Similarity {
     dot / (norm(a) * norm(b))
   }
 
+  /** Cast-to-double + per-row norm precompute (one narrow projection). */
+  private def prepped(df: DataFrame, id: String, emb: String,
+                      idAs: String, embAs: String, nrmAs: String): DataFrame = {
+    VectorFunctions.register(df.sparkSession)
+    df.select(col(id).as(idAs),
+        transform(col(emb), x => x.cast("double")).as(embAs))
+      .withColumn(nrmAs, sqrt(VectorFunctions.dot(col(embAs), col(embAs))))
+  }
+
+  private def pairScore: Column =
+    VectorFunctions.dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm"))
+
   /** Brute-force top-k: for each row of `queries` (small, broadcast),
     * the k nearest corpus rows by cosine. Output:
     * (q_id, id, score, rn). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, id: String,
                      emb: String, k: Int): DataFrame = {
-    val q = queries.select(col(id).as("q_id"), col(emb).as("q_emb"))
-    val scored = corpus.select(col(id), col(emb))
-      .join(broadcast(q), col("q_id") =!= col(id))
-      .withColumn("score", cosine(col("q_emb"), col(emb)))
-    scored.withColumn("rn", row_number().over(
+    val q = prepped(queries, id, emb, "q_id", "q_emb", "q_nrm")
+    val c = prepped(corpus, id, emb, id, "c_emb", "c_nrm")
+    c.join(broadcast(q), col("q_id") =!= col(id))
+      .withColumn("score", pairScore)
+      .withColumn("rn", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("score").desc, col(id))))
       .filter(col("rn") <= k)
       .select(col("q_id"), col(id), col("score"), col("rn"))
   }
 
   /** All pairs with cosine ≥ threshold — embedding-space near-dup
-    * detection. Quadratic: keep for oracle-scale corpora; at fleet
-    * scale use [[lshBuckets]] first. */
+    * detection. Quadratic by contract (exact); at fleet scale block
+    * with [[withLshBucket]] first. */
   def nearDupPairs(corpus: DataFrame, id: String, emb: String,
                    threshold: Double): DataFrame = {
-    val a = corpus.select(col(id).as("a"), col(emb).as("ea"))
-    val b = corpus.select(col(id).as("b"), col(emb).as("eb"))
+    val a = prepped(corpus, id, emb, "a", "q_emb", "q_nrm")
+    val b = prepped(corpus, id, emb, "b", "c_emb", "c_nrm")
     a.join(b, col("a") < col("b"))
-      .withColumn("score", cosine(col("ea"), col("eb")))
+      .withColumn("score", pairScore)
       .filter(col("score") >= threshold)
       .select(col("a"), col("b"), col("score"))
   }
@@ -73,10 +90,10 @@ object Similarity {
     * v·plane_p > 0. One narrow projection, no shuffle. */
   def withLshBucket(df: DataFrame, emb: String,
                     planes: Array[Array[Double]]): DataFrame = {
+    VectorFunctions.register(df.sparkSession)
+    val asDouble = transform(col(emb), x => x.cast("double"))
     val bucket = planes.zipWithIndex.map { case (plane, p) =>
-      val dot = aggregate(
-        zip_with(col(emb), typedlit(plane.toSeq), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
+      val dot = VectorFunctions.dot(asDouble, typedlit(plane.toSeq))
       when(dot > 0, lit(1 << p)).otherwise(0)
     }.reduce(_ + _)
     df.withColumn("lsh_bucket", bucket)
@@ -89,11 +106,16 @@ object Similarity {
   def annTopK(corpus: DataFrame, queries: DataFrame, id: String,
               emb: String, k: Int, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val ps = planes(numPlanes, dim)
-    val c = withLshBucket(corpus, emb, ps)
-    val q = withLshBucket(queries, emb, ps)
-      .select(col(id).as("q_id"), col(emb).as("q_emb"), col("lsh_bucket"))
-    c.join(q, Seq("lsh_bucket")).filter(col("q_id") =!= col(id))
-      .withColumn("score", cosine(col("q_emb"), col(emb)))
+    def prep(df: DataFrame, idAs: String, embAs: String, nrmAs: String) =
+      withLshBucket(df, emb, ps)
+        .select(col(id).as(idAs), col("lsh_bucket"),
+          transform(col(emb), x => x.cast("double")).as(embAs))
+        .withColumn(nrmAs, sqrt(VectorFunctions.dot(col(embAs), col(embAs))))
+    val cPrep = prep(corpus, id, "c_emb", "c_nrm")
+    val qPrep = prep(queries, "q_id", "q_emb", "q_nrm")
+    cPrep.join(broadcast(qPrep), Seq("lsh_bucket"))
+      .filter(col("q_id") =!= col(id))
+      .withColumn("score", pairScore)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("score").desc, col(id))))
       .filter(col("rn") <= k)
