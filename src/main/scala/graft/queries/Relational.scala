@@ -307,6 +307,36 @@ object Relational {
       Some("""SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin)),
 
+    ("o5_slice",
+      ((s: SparkSession, d: String) =>
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("o_orderkey"))))
+          .filter(col("rn").between(101, 110))
+          .select(col("rn"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("rn"))): Q,
+      Some("""SELECT rn, o_orderkey, o_totalprice
+        |FROM (SELECT o_orderkey, o_totalprice,
+        |  row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+        |WHERE rn BETWEEN 101 AND 110 ORDER BY rn""".stripMargin)),
+
+    ("f1_f3_scalar_math",
+      ((s: SparkSession, d: String) =>
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            sqrt(col("l_extendedprice")).as("sqrt_price"),
+            floor(col("l_quantity") / 7).cast("long").as("qty_div7"),
+            abs(col("l_discount") - 0.05).as("disc_dev"),
+            greatest(col("l_tax"), col("l_discount")).as("max_rate"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))): Q,
+      Some("""SELECT l_orderkey, l_linenumber,
+        |sqrt(l_extendedprice) AS sqrt_price,
+        |CAST(floor(l_quantity / 7) AS BIGINT) AS qty_div7,
+        |abs(l_discount - 0.05) AS disc_dev,
+        |greatest(l_tax, l_discount) AS max_rate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     ("o3_first_where_cum_ge",
       ((s: SparkSession, d: String) =>
         Ops.firstWhereCumGE(
