@@ -89,9 +89,17 @@ object Dedup {
     val shB = sh.select(col(id).as("b"), col("shingle"))
     val cand = shA.join(rare, Seq("shingle")).join(shB, Seq("shingle"))
       .filter(col("a") < col("b")).select(col("a"), col("b")).distinct()
+      .cache() // tiny (near-dup pairs); read by three consumers below
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n"))
-    val inter = shA.join(shB, Seq("shingle"))
-      .join(cand, Seq("a", "b"))
+    // intersection counts only over candidate documents: semi-joining the
+    // shingle sides first keeps the heavy shingle⋈shingle join linear in
+    // the (small) candidate set instead of the whole corpus
+    val candDocs = cand.select(col("a").as(id))
+      .union(cand.select(col("b").as(id))).distinct()
+    val shAc = shA.join(candDocs.select(col(id).as("a")), Seq("a"), "left_semi")
+    val shBc = shB.join(candDocs.select(col(id).as("b")), Seq("b"), "left_semi")
+    val inter = shAc.join(shBc, Seq("shingle"))
+      .join(cand, Seq("a", "b"), "left_semi")
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
     inter
       .join(sizes.select(col(id).as("a"), col("n").as("na")), Seq("a"))
