@@ -82,6 +82,15 @@ object Ops {
   def bucketTs(ts: Column, dur: String): Column =
     window(ts, dur).getField("start")
 
+  /** Ceiling of a timestamp to the next bucket boundary (exact
+    * boundaries stay put) — the reference's `ceil_dt` helper
+    * (pool_helpers.py:37–41, F8). */
+  def ceilTs(ts: Column, dur: String): Column = {
+    val start = bucketTs(ts, dur)
+    when(start === ts, ts)
+      .otherwise(window(ts, dur).getField("end"))
+  }
+
   /** Time-bucketed aggregation ("resample", A7). `bucket` must be an
     * epoch-aligned bucket expression from bucketNs/bucketTs. */
   def resample(df: DataFrame, bucket: Column, keys: Seq[Column],
