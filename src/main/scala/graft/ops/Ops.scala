@@ -126,6 +126,76 @@ object Ops {
       .select(leftCols.map(col) ++ valueCols.map(col): _*)
   }
 
+  /** Scalable global forward fill: a global `Window.orderBy` collapses
+    * to one task; this is the two-pass alternative for keyless
+    * event-time fills at fleet scale.
+    *
+    *  1. bucketize rows by approximate range quantiles of the numeric
+    *     `on` column (driver gets only the ≤`numBuckets` boundaries);
+    *  2. forward fill *within* each bucket in parallel;
+    *  3. compute each bucket's last non-null value (tiny frame), chain
+    *     the fills across buckets with one small window, and broadcast
+    *     the per-bucket seeds back as the fallback for rows before a
+    *     bucket's first non-null.
+    *
+    * Order inside a bucket is (`on`, `order`...); equal `on` values
+    * always share a bucket, so results equal the single-window fill.
+    */
+  def rangedForwardFill(df: DataFrame, cols: Seq[String], on: String,
+                        order: Seq[Column], numBuckets: Int = 64): DataFrame = {
+    val probes = (1 until numBuckets).map(_.toDouble / numBuckets).toArray
+    val bounds = df.stat.approxQuantile(on, probes, 0.001).distinct.sorted
+    val bucketCol = bounds.zipWithIndex.foldRight(lit(bounds.length)) {
+      case ((b, i), acc) => when(col(on) <= b, i).otherwise(acc)
+    }
+    val bucketed = df.withColumn("__bucket", bucketCol)
+    val fullOrder = col(on) +: order
+
+    // pass 1: parallel within-bucket fill
+    val wWithin = Window.partitionBy(col("__bucket")).orderBy(fullOrder: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = cols.foldLeft(bucketed)((d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(wWithin)))
+
+    // pass 2: per-bucket last non-null (via struct-max over the order),
+    // chained across buckets, shifted one bucket forward as seeds
+    val lastAggs = cols.map(c => max(when(col(c).isNotNull,
+      struct((fullOrder :+ col(c).as("v")): _*))).getField("v").as(s"__last_$c"))
+    val bucketLast = bucketed.groupBy(col("__bucket"))
+      .agg(lastAggs.head, lastAggs.tail: _*)
+    val wBuckets = Window.orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seeds = cols.foldLeft(bucketLast)((d, c) =>
+        d.withColumn(s"__last_$c", last(col(s"__last_$c"), ignoreNulls = true).over(wBuckets)))
+      .select((col("__bucket") +:
+        cols.map(c => lag(col(s"__last_$c"), 1).over(Window.orderBy(col("__bucket")))
+          .as(s"__seed_$c"))): _*)
+
+    val joined = within.join(broadcast(seeds), Seq("__bucket"), "left")
+    cols.foldLeft(joined)((d, c) =>
+        d.withColumn(c, coalesce(col(c), col(s"__seed_$c"))))
+      .drop("__bucket" +: cols.map(c => s"__seed_$c"): _*)
+  }
+
+  /** Backward as-of join without a `by` key, built on
+    * [[rangedForwardFill]] — the fleet-scale form of [[asofJoin]]'s
+    * keyless case (which would otherwise run in one task). */
+  def asofJoinRanged(left: DataFrame, right: DataFrame, on: String,
+                     valueCols: Seq[String], numBuckets: Int = 64): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val carried = leftCols.filterNot(_ == on)
+    val lNorm = left.select((col(on) +: carried.map(col)) ++
+      valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) :+
+      lit(1).as("__side"): _*)
+    val rNorm = right.select((col(on) +:
+      carried.map(c => lit(null).cast(left.schema(c).dataType).as(c))) ++
+      valueCols.map(col) :+ lit(0).as("__side"): _*)
+    val filled = rangedForwardFill(lNorm.unionByName(rNorm), valueCols,
+      on, Seq(col("__side").asc), numBuckets)
+    filled.filter(col("__side") === 1).drop("__side")
+      .select(leftCols.map(col) ++ valueCols.map(col): _*)
+  }
+
   /** Full-outer combine on a key with zero-fill (J1) — the reference's
     * `tl.join(tu, on="tick", how="outer").fill_null(0)`
     * (swap_math.py:62–66). Key columns must share a name. */
