@@ -214,6 +214,27 @@ object Ops {
       .drop("__from", "__to")
   }
 
+  /** Frame comparator (§2.8) — the engine-side equivalent of the
+    * reference's golden `assert_frame_equal` (test_helpers.py:63):
+    * schema equality plus an empty symmetric difference under bag
+    * semantics (`exceptAll` both ways, so duplicate multiplicity
+    * counts). Returns None when equal, or a description of the first
+    * difference found. */
+  def frameDiff(a: DataFrame, b: DataFrame, sample: Int = 5): Option[String] = {
+    // compare (name, type) only: nullability and metadata change across
+    // parquet round-trips without changing the data contract
+    def shape(df: DataFrame) = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    if (shape(a) != shape(b))
+      return Some(s"schema mismatch: ${a.schema.simpleString} vs ${b.schema.simpleString}")
+    val onlyA = a.exceptAll(b).limit(sample).collect()
+    if (onlyA.nonEmpty)
+      return Some(s"rows only in left: ${onlyA.mkString("; ")}")
+    val onlyB = b.exceptAll(a).limit(sample).collect()
+    if (onlyB.nonEmpty)
+      return Some(s"rows only in right: ${onlyB.mkString("; ")}")
+    None
+  }
+
   /** First row (per partition) whose running sum of `value` reaches
     * `threshold` (O3) — the reference's cumulative-liquidity tick
     * selection `filter(cumulative >= target).head(1)` (swap.py:168). */

@@ -71,6 +71,22 @@ object Relational {
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    ("a10_rollup",
+      ((s: SparkSession, d: String) =>
+        Tables.lineitem(s, d)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n_rows"),
+            grouping_id(col("l_returnflag"), col("l_linestatus")).as("gid"))
+          .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first)): Q,
+      Some("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |count(*) AS n_rows,
+        |GROUPING(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+        .stripMargin)),
+
     ("a2_last_per_key",
       ((s: SparkSession, d: String) =>
         Ops.lastPerKey(Tables.events(s, d),
