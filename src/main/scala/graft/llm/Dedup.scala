@@ -110,6 +110,37 @@ object Dedup {
         floor(col("jacc") * 10000 + 0.5).cast("long").as("jacc_bp"))
   }
 
+  /** Connected components over near-dup pairs → duplicate clusters:
+    * every document labeled with the minimum id in its component, so
+    * "keep one per cluster" = keep rows where id == cluster. Iterative
+    * min-label propagation on DataFrames (converges in O(component
+    * diameter) rounds — near-dup clusters are shallow); lineage cut per
+    * round with localCheckpoint so plans stay bounded. Output:
+    * (id, cluster) for every id appearing in `pairs`. */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("n")).distinct()
+      .withColumn("label", col("n")).localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neighborMin = edges.join(labels, col("dst") === col("n"))
+        .groupBy(col("src")).agg(min(col("label")).as("nl"))
+      val updated = labels.join(neighborMin,
+          labels("n") === neighborMin("src"), "left")
+        .select(labels("n"), labels("label"),
+          least(labels("label"), coalesce(col("nl"), labels("label"))).as("next"))
+        .localCheckpoint()
+      changed = updated.filter(col("next") =!= col("label")).count()
+      labels = updated.select(col("n"), col("next").as("label"))
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("n").as("id"), col("label").as("cluster"))
+  }
+
   /** 64-bit SimHash over word k-shingles: per-bit majority vote of
     * xxhash64 shingle hashes. 64 aggregate columns, one shuffle. */
   def simhash(df: DataFrame, text: String, id: String, k: Int = 2): DataFrame = {

@@ -81,6 +81,43 @@ object Llm {
         |WHERE 1.0 * i.c / (sa.n + sb.n - i.c) >= 0.5
         |ORDER BY a, b""".stripMargin)),
 
+    ("llm_dedup_clusters",
+      ((s: SparkSession, d: String) =>
+        Dedup.duplicateClusters(
+            Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
+              k = 5, maxDf = 5, minJaccard = 0.5)
+              .select(col("a"), col("b")))
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))): Q,
+      Some("""WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
+        |        FROM toks)),
+        |dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+        |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN dfreq USING (shingle) JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id AND dfreq.df <= 5),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  JOIN cand ON cand.a = a.doc_id AND cand.b = b.doc_id
+        |  GROUP BY 1, 2),
+        |jpairs AS (SELECT i.a, i.b FROM inter i
+        |  JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+        |  WHERE 1.0 * i.c / (sa.n + sb.n - i.c) >= 0.5),
+        |nodes AS (SELECT a AS n FROM jpairs UNION SELECT b FROM jpairs),
+        |dedges AS (SELECT a AS lo, b AS hi FROM jpairs
+        |  UNION ALL SELECT b, a FROM jpairs),
+        |cc(n, label) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT e.hi, cc.label FROM cc JOIN dedges e ON cc.n = e.lo
+        |  WHERE cc.label < e.hi)
+        |SELECT n AS doc_id, min(label) AS cluster FROM cc
+        |GROUP BY n ORDER BY doc_id""".stripMargin)),
+
     // engine-specific hash (xxhash64) → rows-only check; correctness is
     // covered by LlmSpec invariants (near-dup pairs ⊇ jaccard pairs)
     ("llm_dedup_simhash",
@@ -158,6 +195,19 @@ object Llm {
         |  / length(text) + 0.5) AS BIGINT) AS punct_bp,
         |CAST(floor(100.0 * (length(text) - (len(string_split(trim(text), ' ')) - 1))
         |  / len(string_split(trim(text), ' ')) + 0.5) AS BIGINT) AS mean_tok_len_c
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    ("llm_text_tokens",
+      ((s: SparkSession, d: String) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+            TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish_tokens"))
+          .orderBy(col("doc_id"))): Q,
+      Some("""SELECT doc_id,
+        |len(string_split(trim(text), ' ')) AS n_ws_tokens,
+        |len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |  AS n_bpeish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
     ("llm_text_langid",
