@@ -117,10 +117,37 @@ object Dedup {
     * diameter) rounds — near-dup clusters are shallow); lineage cut per
     * round with localCheckpoint so plans stay bounded. Output:
     * (id, cluster) for every id appearing in `pairs`. */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
+                        driverThreshold: Long = 1000000L): DataFrame = {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
       .distinct().cache()
+    // near-dup graphs are tiny relative to their corpus; below the
+    // threshold a driver-side union-find beats O(diameter) Spark rounds
+    // (same min-id labels either way — the distributed path is the
+    // fleet-scale fallback, exercised in LlmSpec with threshold 0)
+    val nEdges = edges.count()
+    if (nEdges <= driverThreshold) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val out = parent.keys.toSeq.sorted.map(n => (n, find(n)))
+      edges.unpersist()
+      return out.toDF("id", "cluster")
+    }
     var labels = edges.select(col("src").as("n")).distinct()
       .withColumn("label", col("n")).localCheckpoint()
     var changed = 1L

@@ -36,6 +36,17 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.9, s"lsh recall $recall")
   }
 
+  test("duplicateClusters: driver union-find and distributed label propagation agree") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        k = 5, maxDf = 5, minJaccard = 0.5)
+      .select(col("a"), col("b")).cache()
+    val fast = Dedup.duplicateClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val distributed = Dedup.duplicateClusters(pairs, driverThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(fast == distributed && fast.nonEmpty)
+  }
+
   test("ann lsh results are bucket-consistent, correctly scored, deterministic") {
     val queries = emb.filter(col("vec_id") < 10)
     def run() = Similarity.annTopK(emb, queries, "vec_id", "embedding",
