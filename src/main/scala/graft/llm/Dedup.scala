@@ -22,14 +22,19 @@ object Dedup {
   def wordShingles(df: DataFrame, text: String, id: String, k: Int): DataFrame =
     shinglesFromToks(tokenize(df, text, id), id, k)
 
-  /** Distinct word k-shingles computed from a pre-tokenized frame —
-    * used internally so `text` need not survive into the explode. */
-  def shinglesFromToks(df: DataFrame, id: String, k: Int): DataFrame =
-    df.filter(size(col("toks")) >= k)
+  /** Word k-shingles computed from a pre-tokenized frame — used
+    * internally so `text` need not survive into the explode. `dedup`
+    * controls set semantics: jaccard/simhash need distinct shingles
+    * (one shuffle), while min-wise hashing is duplicate-invariant and
+    * skips it. */
+  def shinglesFromToks(df: DataFrame, id: String, k: Int,
+                       dedup: Boolean = true): DataFrame = {
+    val exploded = df.filter(size(col("toks")) >= k)
       .select(col(id), col("toks"),
         explode(sequence(lit(1), size(col("toks")) - (k - 1))).as("i"))
       .select(col(id), concat_ws(" ", slice(col("toks"), col("i"), lit(k))).as("shingle"))
-      .distinct()
+    if (dedup) exploded.distinct() else exploded
+  }
 
   def tokenize(df: DataFrame, text: String, id: String): DataFrame =
     df.select(col(id), split(col(text), " ").as("toks"))
@@ -69,7 +74,8 @@ object Dedup {
   def minhashLsh(df: DataFrame, text: String, id: String, shingleK: Int = 5,
                  numPerms: Int = 8, bands: Int = 4): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
-    val sh = shinglesFromToks(tokenize(df, text, id), id, shingleK)
+    // min() is invariant under duplicate shingles → skip the distinct
+    val sh = shinglesFromToks(tokenize(df, text, id), id, shingleK, dedup = false)
     lshCandidatePairs(minhashSignatures(sh, id, numPerms), id, bands, numPerms / bands)
   }
 
