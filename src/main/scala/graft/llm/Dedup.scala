@@ -177,18 +177,11 @@ object Dedup {
   /** 64-bit SimHash over word k-shingles: per-bit majority vote of
     * xxhash64 shingle hashes. 64 aggregate columns, one shuffle. */
   def simhash(df: DataFrame, text: String, id: String, k: Int = 2): DataFrame = {
-    val sh = shinglesFromToks(tokenize(df, text, id), id, k)
+    graft.functions.SimhashAgg.register(df.sparkSession)
+    shinglesFromToks(tokenize(df, text, id), id, k)
       .withColumn("h", xxhash64(col("shingle")))
-    // branch-free majority vote: per-bit ones-count plus one total count;
-    // bit set iff ones > total/2 (strictly — ties vote 0, matching the
-    // former ±1 formulation's `votes > 0`)
-    val ones = (0 until 64).map(i =>
-      sum(shiftrightunsigned(col("h"), i).bitwiseAND(1)).as(s"b$i"))
-    val voted = sh.groupBy(col(id))
-      .agg(count(lit(1)).as("n"), ones: _*)
-    val packed = (0 until 64).map(i =>
-      when(col(s"b$i") * 2 > col("n"), lit(1L << i)).otherwise(0L)).reduce(_ + _)
-    voted.select(col(id), packed.as("simhash"))
+      .groupBy(col(id))
+      .agg(graft.functions.SimhashAgg.simhashOf(col("h")).as("simhash"))
   }
 
   /** SimHash near-dup pairs: candidates share one of `bands` equal-width
