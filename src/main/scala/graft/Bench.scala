@@ -22,15 +22,24 @@ object Bench {
     // warmup: one small end-to-end job through parquet + codegen
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
 
+    // Consume with a noop-format write, not count(): under a count,
+    // ColumnPruning/EliminateSorts delete every unreferenced projection
+    // and sort, so narrow queries would time the scan instead of the
+    // computation. The noop sink materializes every output column.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None
+      } catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // failed queries are reported, not silently timed as if they ran
+    val errs = results.collect { case (k, _, Some(e)) =>
+      "\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup: one surviving row per identical text, deterministic
-    * keeper (min id), duplicate count. A single hash-aggregate. */
+    * keeper (min id), duplicate count. A single hash-aggregate — keyed
+    * on sha2(text), not the text itself, so the shuffle moves 32-byte
+    * digests instead of whole documents (the difference between
+    * shuffling ~100 TB and ~100 GB at fleet scale; collision
+    * probability of sha-256 is negligible against any corpus size). */
   def exact(df: DataFrame, text: String, id: String): DataFrame =
-    df.groupBy(col(text))
+    df.groupBy(sha2(col(text), 256).as("text_sha"))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dupes"))
 
   /** Distinct word k-shingles per document: (id, shingle). Documents
@@ -107,13 +111,21 @@ object Dedup {
     val inter = shAc.join(shBc, Seq("shingle"))
       .join(cand, Seq("a", "b"), "left_semi")
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
-    inter
+    val out = inter
       .join(sizes.select(col(id).as("a"), col("n").as("na")), Seq("a"))
       .join(sizes.select(col(id).as("b"), col("n").as("nb")), Seq("b"))
       .withColumn("jacc", lit(1.0) * col("c") / (col("na") + col("nb") - col("c")))
       .filter(col("jacc") >= minJaccard)
       .select(col("a"), col("b"),
         floor(col("jacc") * 10000 + 0.5).cast("long").as("jacc_bp"))
+    // materialize the (tiny) pair set eagerly so the interior caches can
+    // be dropped before returning — callers (duplicateClusters chief
+    // among them) otherwise re-trigger the shingle pipeline per action
+    // and leak sh/cand for the session
+    val snap = out.localCheckpoint()
+    sh.unpersist(false)
+    cand.unpersist(false)
+    snap
   }
 
   /** Connected components over near-dup pairs → duplicate clusters:
@@ -171,15 +183,31 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    // silently returning under-merged labels would corrupt downstream
+    // "keep one per cluster" dedup — fail loudly instead (components
+    // with diameter > maxIter need a larger maxIter)
+    if (changed > 0) throw new IllegalStateException(
+      s"duplicateClusters: label propagation did not converge in $maxIter rounds")
     labels.select(col("n").as("id"), col("label").as("cluster"))
   }
 
+  /** 64-bit shingle hash derived from md5 — the cross-engine hash (the
+    * DuckDB oracle recomputes it from the same hex): the first 16 hex
+    * chars parsed as two 32-bit halves and packed. xxhash64 would be
+    * ~3× faster but is Spark-only, which demotes the whole operator to
+    * a rows-only check. */
+  def md5Hash64(s: Column): Column = {
+    val hex = md5(s.cast("binary"))
+    shiftleft(conv(substring(hex, 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(hex, 9, 8), 16, 10).cast("long"))
+  }
+
   /** 64-bit SimHash over word k-shingles: per-bit majority vote of
-    * xxhash64 shingle hashes. 64 aggregate columns, one shuffle. */
+    * md5-derived shingle hashes (one custom aggregate, one shuffle). */
   def simhash(df: DataFrame, text: String, id: String, k: Int = 2): DataFrame = {
     graft.functions.SimhashAgg.register(df.sparkSession)
     shinglesFromToks(tokenize(df, text, id), id, k)
-      .withColumn("h", xxhash64(col("shingle")))
+      .withColumn("h", md5Hash64(col("shingle")))
       .groupBy(col(id))
       .agg(graft.functions.SimhashAgg.simhashOf(col("h")).as("simhash"))
   }
@@ -206,7 +234,7 @@ object Dedup {
     val r = banded.select(col(id).as("b"), col("band"), col("key"), col("simhash").as("sb"))
     l.join(r, Seq("band", "key")).filter(col("a") < col("b"))
       .select(col("a"), col("b"),
-        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming")).distinct()
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming")).distinct()
       .filter(col("hamming") <= maxHamming)
   }
 }

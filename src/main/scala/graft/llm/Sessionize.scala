@@ -19,7 +19,11 @@ object Sessionize {
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
-  /** Per-session rollup: start time, event count, value sum. */
+  /** Per-session rollup: start time, event count, value sum. The sum is
+    * integerized to cents per-row BEFORE aggregating (floor(x*100+0.5))
+    * so the result is exact integer arithmetic — independent of the
+    * partial-aggregation addition order, hence identical across engines
+    * and across cluster sizes. */
   def sessions(df: DataFrame, entity: String, tsUs: String,
                order: Seq[Column], gapMicros: Long,
                valueCol: String): DataFrame =
@@ -27,5 +31,5 @@ object Sessionize {
       .groupBy(col(entity), col("session_id"))
       .agg(min(col(tsUs)).as("session_start_us"),
         count(lit(1)).as("n_events"),
-        round(sum(col(valueCol)), 2).as("sum_value"))
+        sum(floor(col(valueCol) * 100 + 0.5).cast("long")).as("sum_value_c"))
 }

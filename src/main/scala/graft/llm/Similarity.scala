@@ -58,11 +58,40 @@ object Similarity {
       .select(col("q_id"), col(id), col("score"), col("rn"))
   }
 
-  /** All pairs with cosine ≥ threshold — embedding-space near-dup
-    * detection. Quadratic by contract (exact); at fleet scale block
-    * with [[withLshBucket]] first. */
+  /** Embedding-space near-dup pairs: all pairs with cosine ≥ threshold.
+    *
+    * Candidates come from banded random-hyperplane LSH — two equi-joins
+    * (band keys, then embeddings back by id), never a cross join — and
+    * are reranked by exact cosine, so precision is exact and only recall
+    * depends on the banding. Recall tuning: a pair at cosine c collides
+    * in a band with probability (1 − arccos(c)/π)^rowsPerBand; more
+    * bands ⇒ higher recall, more planes per band ⇒ harder pruning. The
+    * defaults (16 bands × 2 planes) are sized for low thresholds
+    * (~0.45, nearly orthogonal — verified recall 1.0 on the test data
+    * at both SFs); corpora deduped at a realistic ≥0.8 should raise
+    * rowsPerBand to 8–16 for real pruning. */
   def nearDupPairs(corpus: DataFrame, id: String, emb: String,
-                   threshold: Double): DataFrame = {
+                   threshold: Double, bands: Int = 16, rowsPerBand: Int = 2,
+                   dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val ps = planes(bands * rowsPerBand, dim, seed)
+    val bk = bandedKeys(corpus, id, emb, ps, bands, rowsPerBand)
+    val cand = bk.select(col("__bid").as("a"), col("band"), col("key"))
+      .join(bk.select(col("__bid").as("b"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val pa = prepped(corpus, id, emb, "a", "q_emb", "q_nrm")
+    val pb = prepped(corpus, id, emb, "b", "c_emb", "c_nrm")
+    cand.join(pa, Seq("a")).join(pb, Seq("b"))
+      .withColumn("score", pairScore)
+      .filter(col("score") >= threshold)
+      .select(col("a"), col("b"), col("score"))
+  }
+
+  /** Exact quadratic variant of [[nearDupPairs]] — the recall-1 baseline
+    * for tiny inputs and for measuring the banded path's recall. */
+  def exactNearDupPairs(corpus: DataFrame, id: String, emb: String,
+                        threshold: Double): DataFrame = {
     val a = prepped(corpus, id, emb, "a", "q_emb", "q_nrm")
     val b = prepped(corpus, id, emb, "b", "c_emb", "c_nrm")
     a.join(b, col("a") < col("b"))
@@ -71,20 +100,39 @@ object Similarity {
       .select(col("a"), col("b"), col("score"))
   }
 
+  /** Per-row (band, key) LSH signatures: id only — embeddings are NOT
+    * carried through the ×bands explode (they rejoin by id later). */
+  private def bandedKeys(df: DataFrame, id: String, emb: String,
+                         ps: Array[Array[Double]], bands: Int,
+                         rowsPerBand: Int): DataFrame = {
+    VectorFunctions.register(df.sparkSession)
+    val asDouble = transform(col(emb), x => x.cast("double"))
+    val keys = array((0 until bands).map { b =>
+      (0 until rowsPerBand).map { r =>
+        val plane = ps(b * rowsPerBand + r)
+        when(VectorFunctions.dot(asDouble, typedlit(plane.toSeq)) > 0,
+          lit(1 << r)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+    df.select(col(id).as("__bid"), posexplode(keys).as(Seq("band", "key")))
+  }
+
+  private def splitmix(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Raw splitmix64 plane-component hashes — exposed so the DuckDB
+    * oracle can rebuild the identical planes from integer literals. */
+  def planeHashes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Long]] =
+    Array.tabulate(numPlanes, dim)((p, i) => splitmix(seed + p * 1000003L + i))
+
   /** Deterministic pseudo-random hyperplanes (splitmix64 → [-1, 1]);
     * fixed seed so plans are reproducible across runs/sessions. */
-  def planes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
-    def splitmix(x0: Long): Long = {
-      var x = x0 + 0x9E3779B97F4A7C15L
-      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-      x ^ (x >>> 31)
-    }
-    Array.tabulate(numPlanes, dim) { (p, i) =>
-      val h = splitmix(seed + p * 1000003L + i)
-      (h.toDouble / Long.MaxValue)
-    }
-  }
+  def planes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] =
+    planeHashes(numPlanes, dim, seed).map(_.map(_.toDouble / Long.MaxValue))
 
   /** Sign-of-dot-product bucket id per row: bit p set iff
     * v·plane_p > 0. One narrow projection, no shuffle. */

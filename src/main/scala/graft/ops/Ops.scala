@@ -91,6 +91,16 @@ object Ops {
       .otherwise(window(ts, dur).getField("end"))
   }
 
+  /** Polars-parity median as an aggregate expression:
+    * `quantile(0.5, interpolation="nearest")` = the ascending-sorted
+    * element at 0-based index floor(n/2) (round-half-away of (n−1)/2).
+    * Implemented as an in-group sort (collect_list → sort_array), so it
+    * is for bounded groups (per-bucket medians) — global medians use
+    * exact `percentile` (A5). Ref pool_helpers.py:186–188. */
+  def quantileNearestAgg(value: Column): Column =
+    element_at(sort_array(collect_list(value)),
+      (count(value) / 2).cast("int") + lit(1))
+
   /** Time-bucketed aggregation ("resample", A7). `bucket` must be an
     * epoch-aligned bucket expression from bucketNs/bucketTs. */
   def resample(df: DataFrame, bucket: Column, keys: Seq[Column],
@@ -108,6 +118,12 @@ object Ops {
     require(valueCols.nonEmpty, "asofJoin needs at least one value column")
     val leftCols = left.columns.toSeq
     val carried = leftCols.filterNot(c => c == on || by.contains(c))
+    // a carried left column sharing a valueCol name would emit two
+    // same-named columns (real value + null placeholder) and fail
+    // ambiguously downstream — reject it up front
+    val clash = carried.toSet.intersect(valueCols.toSet)
+    require(clash.isEmpty,
+      s"asofJoin: left columns ${clash.mkString(", ")} collide with valueCols — alias them first")
     // Common shape: by ++ on ++ carried-left-cols ++ right-value-cols ++ side
     val lNorm = left.select(
       (by.map(col) :+ col(on)) ++ carried.map(col) ++

@@ -18,6 +18,20 @@ import graft.llm.{Dedup, Multimodal, Sessionize, Similarity, TextAnalysis}
 object Llm {
   import Relational.Q
 
+  /** DuckDB expression for the ANN-LSH bucket of the double list `e`:
+    * the exact planes Spark uses, rebuilt from their raw splitmix64
+    * hashes (integer literal / Long.MaxValue — both engines round the
+    * division identically, and list_dot_product folds left-to-right in
+    * double just like the codegen'd DotProduct). */
+  private def annBucketSql(numPlanes: Int, dim: Int): String = {
+    val hs = graft.llm.Similarity.planeHashes(numPlanes, dim)
+    (0 until numPlanes).map { p =>
+      val plane = hs(p).map(h =>
+        s"CAST($h AS DOUBLE)/9223372036854775807.0").mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(e, $plane) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     ("llm_dedup_exact",
@@ -118,15 +132,42 @@ object Llm {
         |SELECT n AS doc_id, min(label) AS cluster FROM cc
         |GROUP BY n ORDER BY doc_id""".stripMargin)),
 
-    // engine-specific hash (xxhash64) → rows-only check; correctness is
-    // covered by LlmSpec invariants (near-dup pairs ⊇ jaccard pairs)
+    // fully SQL-checkable: the shingle hash is md5-derived (first 16
+    // hex chars as two 32-bit halves), so DuckDB recomputes the entire
+    // simhash → banding → hamming pipeline bit-for-bit
     ("llm_dedup_simhash",
       ((s: SparkSession, d: String) =>
         Dedup.simhashPairs(
             Dedup.simhash(Tables.documents(s, d), "text", "doc_id", k = 2),
             "doc_id", maxHamming = 7, bands = 8)
           .orderBy(col("a"), col("b"))): Q,
-      None),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS shingle
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+        |        FROM toks)),
+        |hs AS (SELECT doc_id,
+        |  (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+        |    * 4294967296 + lo AS h
+        |  FROM (SELECT doc_id,
+        |        ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS hi,
+        |        ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS lo FROM sh)),
+        |bits AS (SELECT doc_id, i,
+        |  CASE WHEN sum(CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) > 0
+        |    THEN 1 ELSE 0 END AS bit
+        |  FROM hs, (SELECT unnest(generate_series(0, 63)) AS i) g
+        |  GROUP BY doc_id, i),
+        |bands AS (SELECT doc_id, i // 8 AS band, sum(bit * (1 << (i % 8))) AS key
+        |  FROM bits GROUP BY doc_id, band),
+        |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |  FROM bands l JOIN bands r
+        |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+        |ham AS (SELECT c.a, c.b,
+        |  CAST(sum(CASE WHEN x.bit != y.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |  FROM cand c JOIN bits x ON x.doc_id = c.a
+        |    JOIN bits y ON y.doc_id = c.b AND y.i = x.i
+        |  GROUP BY c.a, c.b)
+        |SELECT a, b, hamming FROM ham WHERE hamming <= 7 ORDER BY a, b""".stripMargin)),
 
     ("llm_similarity_topk",
       ((s: SparkSession, d: String) => {
@@ -169,8 +210,9 @@ object Llm {
         |WHERE list_cosine_similarity(a.ce, b.ce) >= 0.45
         |ORDER BY a, b""".stripMargin)),
 
-    // LSH bucketing uses engine-side plane generation → rows-only;
-    // recall vs brute force asserted in LlmSpec
+    // fully SQL-checkable: the splitmix64 plane hashes are inlined as
+    // integer literals and divided to doubles in SQL — identical IEEE
+    // values both engines, so buckets and scores match bit-for-bit
     ("llm_similarity_ann_lsh",
       ((s: SparkSession, d: String) => {
         val e = Tables.embeddings(s, d)
@@ -181,7 +223,20 @@ object Llm {
             col("rn"))
           .orderBy(col("q_id"), col("rn"))
       }): Q,
-      None),
+      Some(s"""WITH emb AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |bk AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
+        |  ${annBucketSql(numPlanes = 4, dim = 64)} AS bucket FROM emb),
+        |sc AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+        |  list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS score
+        |  FROM bk q JOIN bk c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+        |  WHERE q.vec_id < 10),
+        |r AS (SELECT *, row_number() OVER
+        |  (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn FROM sc)
+        |SELECT q_id, vec_id,
+        |  CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6, rn
+        |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)),
 
     ("llm_text_quality",
       ((s: SparkSession, d: String) =>
@@ -251,7 +306,8 @@ object Llm {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM l)
         |SELECT user_id, session_id, min(ts_us) AS session_start_us,
-        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |  count(*) AS n_events,
+        |  sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_c
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin)),
 
     ("llm_multimodal_bytes",

@@ -53,38 +53,37 @@ object Series {
     val ordered = Seq(col("block_number"), col("transaction_index"), col("log_index"))
     val poolSwaps = swaps.filter(col("address") === pool)
     val gasCols = if (gas) Seq("gas_price", "gas_used") else Seq.empty
-    val perBucket = Ops.lastPerKey(
-        poolSwaps
-          .select((Seq(col("block_timestamp"),
-            col("tick").cast("long").as("tick")) ++
-            gasCols.map(c => col(c).cast("double").as(c)) ++ ordered): _*)
-          .withColumn("bucket", Ops.bucketTs(col("block_timestamp"), dur)),
-        keys = Seq(col("bucket")), order = ordered)
-      .select((Seq(col("bucket").as("block_timestamp"), col("tick")) ++
-        gasCols.map(col)): _*)
 
     val tickAsOf =
-      if (!gas) perBucket
+      if (!gas)
+        Ops.lastPerKey(
+            poolSwaps
+              .select((Seq(col("block_timestamp"),
+                col("tick").cast("long").as("tick")) ++ ordered): _*)
+              .withColumn("bucket", Ops.bucketTs(col("block_timestamp"), dur)),
+            keys = Seq(col("bucket")), order = ordered)
+          .select(col("bucket").as("block_timestamp"), col("tick"))
       else {
-        // median gas within each bucket (reference quantile(0.5)),
-        // then forward fill tick+gas across buckets
-        val med = Ops.lastPerKey(
-          poolSwaps
-            .withColumn("bucket", Ops.bucketTs(col("block_timestamp"), dur))
-            .groupBy(col("bucket"))
-            .agg(percentile_approx(col("gas_price").cast("double"), lit(0.5), lit(10000))
-                .as("gas_price_med"),
-              percentile_approx(col("gas_used").cast("double"), lit(0.5), lit(10000))
-                .as("gas_used_med")),
-          keys = Seq(col("bucket")), order = Seq(col("bucket")))
-        val joined = perBucket
-          .withColumnRenamed("block_timestamp", "bucket")
-          .drop("gas_price", "gas_used")
-          .join(med, Seq("bucket"), "left")
-          .withColumnRenamed("gas_price_med", "gas_price")
-          .withColumnRenamed("gas_used_med", "gas_used")
+        // gas path (pool_helpers.py:160–190): dedup to ONE row per
+        // block_timestamp first (the reference's unique → sort →
+        // group_by(ts).last(); its "last" among equal timestamps is
+        // order-nondeterministic — resolved here by the explicit event
+        // order), then per bucket: last tick by time, and the
+        // Polars-parity nearest-interpolation median of the per-
+        // timestamp gas values; forward fill all three across buckets.
+        val perTs = Ops.lastPerKey(
+            poolSwaps.select((Seq(col("block_timestamp"),
+              col("tick").cast("long").as("tick")) ++
+              gasCols.map(c => col(c).cast("long").as(c)) ++ ordered): _*),
+            keys = Seq(col("block_timestamp")), order = ordered)
+          .withColumn("bucket", Ops.bucketTs(col("block_timestamp"), dur))
+        val agged = perTs.groupBy(col("bucket"))
+          .agg(max_by(col("tick"), col("block_timestamp")).as("tick"),
+            // reference: quantile(0.5) over UInt64 gas → Float64
+            Ops.quantileNearestAgg(col("gas_price")).cast("double").as("gas_price"),
+            Ops.quantileNearestAgg(col("gas_used")).cast("double").as("gas_used"))
           .withColumnRenamed("bucket", "block_timestamp")
-        Ops.forwardFill(joined, Seq("tick", "gas_price", "gas_used"),
+        Ops.forwardFill(agged, Seq("tick", "gas_price", "gas_used"),
           order = Seq(col("block_timestamp")), partition = Seq.empty)
       }
 

@@ -65,6 +65,19 @@ class LlmSpec extends SparkSpec {
     assert(a.forall(r => r.getDouble(2) <= bf(r.getLong(0)) + 1e-12))
   }
 
+  test("banded nearDupPairs: equi-join plan, full agreement with exact pairs") {
+    val banded = Similarity.nearDupPairs(emb, "vec_id", "embedding", threshold = 0.45)
+    // the scale contract: candidates come from equi-joins, never a
+    // quadratic nested-loop/cartesian pair enumeration
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("Cartesian"),
+      s"near-dup plan fell back to an all-pairs join:\n$plan")
+    val exact = Similarity.exactNearDupPairs(emb, "vec_id", "embedding", 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = banded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exact, s"banded vs exact: missed ${exact.diff(got)}, extra ${got.diff(exact)}")
+  }
+
   test("extractFeatures: schema, batch shape, determinism, normalization") {
     val withBin = Multimodal.asBinary(docs.limit(50), "text", "payload")
     val feats = Multimodal.extractFeatures(withBin, "payload", dim = 64)
