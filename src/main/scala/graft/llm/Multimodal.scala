@@ -8,12 +8,13 @@ import org.apache.spark.sql.types._
   * typed metadata struct, and partition-wise decode/feature-extract
   * operators.
   *
-  * The Spark-side shape is real and tested — schema, partitioning,
-  * batch-per-partition processing — while the actual codec call is a
-  * STUB (`fakeDecode`): this container ships no image/audio libraries,
-  * so the decoder is a deterministic byte-level fake with the same
-  * signature a libjpeg/ffmpeg-backed implementation would have. Swap
-  * `fakeDecode` for the real codec and nothing else changes.
+  * Image payloads decode for real through `javax.imageio` (pure JVM —
+  * PNG/JPEG/GIF/BMP, no native libraries needed): pixel dimensions land
+  * in `media_meta` and features are a luminance histogram of the actual
+  * pixels. Non-image payloads (and formats ImageIO can't read — audio,
+  * video) fall back to `fakeDecode`, a deterministic byte-histogram
+  * stand-in with the same signature a ffmpeg-backed codec would have;
+  * swap it out and nothing else changes.
   */
 object Multimodal {
 
@@ -24,23 +25,81 @@ object Multimodal {
     StructField("n_bytes", LongType)))
 
   /** Wrap a binary payload column with extracted metadata. Header
-    * sniffing is real (magic bytes); width/height come from the stub
-    * decode. */
+    * sniffing is a pure-column expression (magic bytes); width/height
+    * stay null here — [[withDecodedMeta]] fills them via the real
+    * decoder when the payload is an image. */
   def withMediaMeta(df: DataFrame, bin: String): DataFrame = {
     val fmt = when(substring(col(bin), 1, 3) === lit("ÿØÿ".getBytes("ISO-8859-1")), "jpeg")
       .when(substring(col(bin), 1, 4) === lit(Array[Byte](0x89.toByte, 'P', 'N', 'G')), "png")
       .otherwise("unknown")
     df.withColumn("media_meta", struct(
       fmt.as("format"),
-      lit(null).cast(IntegerType).as("width"),   // filled by decode
+      lit(null).cast(IntegerType).as("width"),   // filled by withDecodedMeta
       lit(null).cast(IntegerType).as("height"),
       length(col(bin)).cast(LongType).as("n_bytes")))
   }
 
-  /** STUB decoder — deterministic fake standing in for the real codec.
-    * Real impl: hand `bytes` to the image/audio library and return its
-    * pixel/PCM buffer. Here: a fixed-size "image" whose pixels are a
-    * byte histogram of the payload (deterministic, content-sensitive). */
+  /** Real pixel dimensions via javax.imageio, or None when the payload
+    * is not a decodable image. */
+  def decodeDims(bytes: Array[Byte]): Option[(Int, Int)] =
+    if (bytes == null) None
+    else try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        .map(img => (img.getWidth, img.getHeight))
+    } catch { case _: Exception => None }
+
+  /** [[withMediaMeta]] plus a real decode pass: partition-wise ImageIO
+    * read filling width/height (nulls for non-images). Decode cost is
+    * per-row and embarrassingly parallel — the scan-speed shape. */
+  def withDecodedMeta(df: DataFrame, bin: String): DataFrame = {
+    val base = withMediaMeta(df, bin)
+    val outSchema = base.schema
+    val binIdx = base.schema.fieldIndex(bin)
+    val metaIdx = base.schema.fieldIndex("media_meta")
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    base.mapPartitions { rows =>
+      rows.map { r =>
+        val meta = r.getStruct(metaIdx)
+        val dims = decodeDims(r.get(binIdx).asInstanceOf[Array[Byte]])
+        val filled = Row(meta.get(0), dims.map(d => Int.box(d._1)).orNull,
+          dims.map(d => Int.box(d._2)).orNull, meta.get(3))
+        Row.fromSeq(r.toSeq.updated(metaIdx, filled))
+      }
+    }
+  }
+
+  /** Real image feature extraction: decode via javax.imageio and bin
+    * the pixels' luminance (ITU-R BT.601 integer weights) into a
+    * normalized `targetDim`-bucket histogram. None when not an image. */
+  def imageDecode(bytes: Array[Byte], targetDim: Int): Option[Array[Float]] =
+    if (bytes == null) None
+    else try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map { img =>
+        val hist = new Array[Float](targetDim)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            hist(lum * targetDim / 256) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = math.max(w * h, 1)
+        var j = 0
+        while (j < targetDim) { hist(j) /= n.toFloat; j += 1 }
+        hist
+      }
+    } catch { case _: Exception => None }
+
+  /** Fallback decoder for non-image payloads — deterministic
+    * byte-histogram stand-in with the codec signature (the real audio/
+    * video codecs are not pure-JVM; swap this out, nothing else
+    * changes). */
   def fakeDecode(bytes: Array[Byte], targetDim: Int): Array[Float] = {
     val hist = new Array[Float](targetDim)
     if (bytes != null) {
@@ -53,10 +112,11 @@ object Multimodal {
     hist
   }
 
-  /** Partition-wise decode + feature extraction: the real batch shape —
-    * one decoder context per partition (codecs are expensive to init),
-    * rows streamed through it. Output schema: input columns +
-    * `features array<float>`. */
+  /** Partition-wise decode + feature extraction: one decoder context
+    * per partition (codecs are expensive to init), rows streamed
+    * through it. Images get real pixel-luminance features
+    * ([[imageDecode]]); everything else the byte-histogram fallback.
+    * Output schema: input columns + `features array<float>`. */
   def extractFeatures(df: DataFrame, bin: String, dim: Int = 64): DataFrame = {
     val outSchema = df.schema.add(StructField("features", ArrayType(FloatType)))
     val binIdx = df.schema.fieldIndex(bin)
@@ -65,7 +125,8 @@ object Multimodal {
       // per-partition decoder init would go here (codec context reuse)
       rows.map { r =>
         val bytes = r.get(binIdx).asInstanceOf[Array[Byte]]
-        Row.fromSeq(r.toSeq :+ fakeDecode(bytes, dim).toSeq)
+        val feats = imageDecode(bytes, dim).getOrElse(fakeDecode(bytes, dim))
+        Row.fromSeq(r.toSeq :+ feats.toSeq)
       }
     }
   }

@@ -93,6 +93,38 @@ class LlmSpec extends SparkSpec {
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("real image decode: pixel dimensions and luminance features from a PNG") {
+    import spark.implicits._
+    // 7x5 PNG rendered in-memory: black except one white pixel
+    val img = new java.awt.image.BufferedImage(7, 5,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(3, 2, 0xFFFFFF)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val df = Seq((1L, png), (2L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+
+    val meta = Multimodal.withDecodedMeta(df, "payload")
+      .select(col("doc_id"), col("media_meta.format"),
+        col("media_meta.width"), col("media_meta.height"))
+      .orderBy(col("doc_id")).collect()
+    assert(meta(0).getString(1) == "png")
+    assert(meta(0).getInt(2) == 7 && meta(0).getInt(3) == 5) // real dims
+    assert(meta(1).getString(1) == "unknown")
+    assert(meta(1).isNullAt(2) && meta(1).isNullAt(3))
+
+    val feats = Multimodal.extractFeatures(df, "payload", dim = 64)
+      .orderBy(col("doc_id")).collect().map(_.getSeq[Float](2))
+    // 34 black pixels → bin 0, 1 white pixel (lum 255) → last bin
+    assert(math.abs(feats(0)(0) - 34f / 35) < 1e-6)
+    assert(math.abs(feats(0)(63) - 1f / 35) < 1e-6)
+    assert(math.abs(feats(0).sum - 1f) < 1e-5)
+    // non-image payload falls back to the byte histogram
+    assert(feats(1).toArray.sameElements(
+      Multimodal.fakeDecode("not an image".getBytes("UTF-8"), 64)))
+  }
+
   test("media meta: byte length and format sniffing") {
     val withBin = Multimodal.asBinary(docs.limit(5), "text", "payload")
     val meta = Multimodal.withMediaMeta(withBin, "payload")

@@ -44,6 +44,21 @@ class OpsScaleSpec extends SparkSpec {
     plain.zip(ranged).foreach { case (p, r) => assert(p == r, s"$p vs $r") }
   }
 
+  test("quantileNearestAgg matches Polars quantile(0.5, nearest) ranks") {
+    import spark.implicits._
+    // (group, values, expected nearest-median): odd n → middle element,
+    // even n → upper-middle (round-half-away of the fractional index)
+    val df = Seq(
+      ("a", 10L), ("a", 20L), ("a", 30L),                 // n=3 → 20
+      ("b", 1L), ("b", 2L), ("b", 3L), ("b", 4L),         // n=4 → 3
+      ("c", 7L),                                          // n=1 → 7
+      ("d", 5L), ("d", 1L)                                // n=2 → 5 (sorted upper)
+    ).toDF("g", "v")
+    val got = df.groupBy(col("g")).agg(Ops.quantileNearestAgg(col("v")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 20L, "b" -> 3L, "c" -> 7L, "d" -> 5L), got.toString)
+  }
+
   test("rangedForwardFill parallelizes: more than one bucket actually used") {
     val ev = Tables.events(spark, dir)
       .withColumn("pv", when(col("event_type") === "purchase", col("value")))

@@ -132,6 +132,31 @@ class V3GoldenSpec extends SparkSpec {
     assert(got.last.getLong(2) == -43997L)
   }
 
+  test("price series golden, gas path: per-ts dedup + nearest-median gas") {
+    // expected computed independently (DuckDB): dedup to one row per
+    // block_timestamp by event order, 6h buckets, tick = last by time,
+    // gas = quantile(0.5, "nearest") over the per-timestamp rows,
+    // forward-filled, as-of joined onto the chain-wide bn buckets
+    val start = Timestamp.from(Instant.parse("2021-05-05T00:00:00Z"))
+    val got = pool.getPriceSeries(start, "6h", gas = true)
+      .orderBy(col("block_timestamp")).collect()
+    assert(got.length == 4)
+    assert(got.map(_.getLong(1)).toSeq ==
+      Seq(12371525L, 12374077L, 12375700L, 12376625L))
+    // bucket 00:00 precedes the pool's first swap → all values null
+    assert(got.head.isNullAt(2) && got.head.isNullAt(3) && got.head.isNullAt(4))
+    // 06:00 (single-swap bucket) and its forward fill into 12:00
+    for (i <- Seq(1, 2)) {
+      assert(got(i).getLong(2) == -43172L, s"tick row $i")
+      assert(got(i).getDouble(3) == 40000000000.0, s"gas_price row $i")
+      assert(got(i).getDouble(4) == 147901.0, s"gas_used row $i")
+    }
+    // 18:00: 55 per-timestamp rows → nearest-median (1-based rank 28)
+    assert(got(3).getLong(2) == -43997L)
+    assert(got(3).getDouble(3) == 69000000000.0)
+    assert(got(3).getDouble(4) == 157539.0)
+  }
+
   test("getBNAtDate") {
     val dt = Timestamp.from(Instant.parse("2021-05-05T00:00:00Z"))
     assert(pool.getBNAtDate(dt).contains(12376625L))
