@@ -192,20 +192,19 @@ object Dedup {
   }
 
   /** 64-bit shingle hash derived from md5 — the cross-engine hash (the
-    * DuckDB oracle recomputes it from the same hex): the first 16 hex
-    * chars parsed as two 32-bit halves and packed. xxhash64 would be
-    * ~3× faster but is Spark-only, which demotes the whole operator to
-    * a rows-only check. */
-  def md5Hash64(s: Column): Column = {
-    val hex = md5(s.cast("binary"))
-    shiftleft(conv(substring(hex, 1, 8), 16, 10).cast("long"), 32)
-      .bitwiseOR(conv(substring(hex, 9, 8), 16, 10).cast("long"))
-  }
+    * DuckDB oracle recomputes it as two hex-parsed 32-bit halves).
+    * xxhash64 would be ~3× faster but is Spark-only, which demotes the
+    * whole operator to a rows-only check; the native
+    * [[graft.functions.Md5Hash64Expr]] reads the digest bytes directly,
+    * skipping the hex-string materialize/parse of the composable form. */
+  def md5Hash64(s: Column): Column =
+    graft.functions.Md5Hash64Expr.of(s.cast("binary"))
 
   /** 64-bit SimHash over word k-shingles: per-bit majority vote of
     * md5-derived shingle hashes (one custom aggregate, one shuffle). */
   def simhash(df: DataFrame, text: String, id: String, k: Int = 2): DataFrame = {
     graft.functions.SimhashAgg.register(df.sparkSession)
+    graft.functions.Md5Hash64Expr.register(df.sparkSession)
     shinglesFromToks(tokenize(df, text, id), id, k)
       .withColumn("h", md5Hash64(col("shingle")))
       .groupBy(col(id))

@@ -68,8 +68,15 @@ object Similarity {
     * bands ⇒ higher recall, more planes per band ⇒ harder pruning. The
     * defaults (16 bands × 2 planes) are sized for low thresholds
     * (~0.45, nearly orthogonal — verified recall 1.0 on the test data
-    * at both SFs); corpora deduped at a realistic ≥0.8 should raise
-    * rowsPerBand to 8–16 for real pruning. */
+    * at both SFs).
+    *
+    * SCALE WARNING: candidates grow as Σ_buckets |bucket|², so 2-plane
+    * bands (4 buckets) stop pruning past ~10k rows — that is inherent
+    * to hyperplane LSH near orthogonality (near-orthogonal "near-dups"
+    * are not clusterable), not a plan defect. Corpora deduped at a
+    * realistic threshold (≥ 0.8) must raise rowsPerBand to 8–16
+    * (256–65k buckets/band) and scale bands for recall; see ScaleProbe
+    * for the measured 0.8/32×8 configuration. */
   def nearDupPairs(corpus: DataFrame, id: String, emb: String,
                    threshold: Double, bands: Int = 16, rowsPerBand: Int = 2,
                    dim: Int = 64, seed: Long = 42L): DataFrame = {
@@ -145,6 +152,61 @@ object Similarity {
       when(dot > 0, lit(1 << p)).otherwise(0)
     }.reduce(_ + _)
     df.withColumn("lsh_bucket", bucket)
+  }
+
+  /** Fixed seed for the IVF coarse quantizer — distinct from the
+    * hyperplane seed so the two index families never share geometry. */
+  val IvfSeed: Long = 777L
+
+  /** IVF coarse-quantizer centroids. Deterministic splitmix64 vectors,
+    * not k-means: training would tighten the lists around the data
+    * distribution (and is pluggable — any Array[Array[Double]] works),
+    * but fixed centroids keep assignment reproducible across engines,
+    * which is what makes the whole index oracle-checkable. */
+  def ivfCentroids(nLists: Int, dim: Int, seed: Long = IvfSeed): Array[Array[Double]] =
+    planes(nLists, dim, seed)
+
+  /** Nearest-centroid list id (0-based; ties → lowest id). A pure
+    * projection — `array_position(scores, array_max(scores))` — so
+    * corpus assignment costs no shuffle and no window. */
+  private def ivfListId(asDouble: Column, cs: Array[Array[Double]]): Column = {
+    val scores = array(cs.map(c =>
+      VectorFunctions.dot(asDouble, typedlit(c.toSeq))): _*)
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+  }
+
+  /** IVF-flat ANN top-k: the inverted-file scale path. Corpus rows are
+    * bucketed into `nLists` inverted lists by nearest centroid (one
+    * narrow projection); each query probes its `nProbe` nearest lists
+    * (broadcast — queries are small) and reranks candidates by exact
+    * cosine. Candidates shrink by ~nProbe/nLists versus brute force;
+    * raise nLists for harder pruning, nProbe for recall. Output:
+    * (q_id, id, score, rn). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, emb: String,
+              k: Int, nLists: Int = 8, nProbe: Int = 2,
+              dim: Int = 64): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val cs = ivfCentroids(nLists, dim)
+    val c = prepped(corpus, id, emb, id, "c_emb", "c_nrm")
+      .withColumn("list_id", ivfListId(col("c_emb"), cs))
+    // per-query probe set: top-nProbe centroid ids by dot product
+    val qScores = array(cs.map(cc =>
+      VectorFunctions.dot(col("q_emb"), typedlit(cc.toSeq))): _*)
+    val q = prepped(queries, id, emb, "q_id", "q_emb", "q_nrm")
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        posexplode(qScores).as(Seq("list_id", "c_score")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("c_score").desc, col("list_id"))))
+      .filter(col("pr") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("list_id"))
+    c.join(broadcast(q), Seq("list_id"))
+      .filter(col("q_id") =!= col(id))
+      .withColumn("score", pairScore)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("score").desc, col(id))))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col(id), col("score"), col("rn"))
   }
 
   /** ANN top-k: candidates = corpus rows in the query's bucket

@@ -32,6 +32,19 @@ object Llm {
     }.mkString("(", " + ", ")")
   }
 
+  /** DuckDB expression: per-centroid dot-product scores of the double
+    * list `e` against the IVF coarse quantizer — same exact-literal
+    * reconstruction as [[annBucketSql]]. */
+  private def ivfScoresSql(nLists: Int, dim: Int): String = {
+    val hs = graft.llm.Similarity.planeHashes(nLists, dim,
+      graft.llm.Similarity.IvfSeed)
+    (0 until nLists).map { c =>
+      val cen = hs(c).map(h =>
+        s"CAST($h AS DOUBLE)/9223372036854775807.0").mkString("[", ", ", "]")
+      s"list_dot_product(e, $cen)"
+    }.mkString("[", ", ", "]")
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     ("llm_dedup_exact",
@@ -232,6 +245,41 @@ object Llm {
         |  list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS score
         |  FROM bk q JOIN bk c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
         |  WHERE q.vec_id < 10),
+        |r AS (SELECT *, row_number() OVER
+        |  (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn FROM sc)
+        |SELECT q_id, vec_id,
+        |  CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6, rn
+        |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)),
+
+    // IVF-flat with deterministic centroids: assignment, probing and
+    // rerank all recomputed in SQL from the same centroid literals
+    ("llm_similarity_ivf",
+      ((s: SparkSession, d: String) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 5, nLists = 8, nProbe = 2)
+          .select(col("q_id"), col("vec_id"),
+            floor(col("score") * 1000000 + 0.5).cast("long").as("score_e6"),
+            col("rn"))
+          .orderBy(col("q_id"), col("rn"))
+      }): Q,
+      Some(s"""WITH emb AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |pre AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
+        |  ${ivfScoresSql(nLists = 8, dim = 64)} AS cs FROM emb),
+        |corp AS (SELECT vec_id, e, nrm,
+        |  list_position(cs, list_max(cs)) - 1 AS list_id FROM pre),
+        |qp AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn,
+        |  i - 1 AS list_id, cs[i] AS c_score
+        |  FROM pre, (SELECT unnest(generate_series(1, 8)) AS i) g
+        |  WHERE vec_id < 10),
+        |qr AS (SELECT *, row_number() OVER
+        |  (PARTITION BY q_id ORDER BY c_score DESC, list_id) AS pr FROM qp),
+        |sc AS (SELECT p.q_id, c.vec_id,
+        |  list_dot_product(p.qe, c.e) / (p.qn * c.nrm) AS score
+        |  FROM (SELECT * FROM qr WHERE pr <= 2) p
+        |  JOIN corp c ON c.list_id = p.list_id AND c.vec_id != p.q_id),
         |r AS (SELECT *, row_number() OVER
         |  (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn FROM sc)
         |SELECT q_id, vec_id,

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.Row
 
@@ -32,6 +32,79 @@ object Streaming {
       .groupBy((window(col(tsCol), every).as("bucket") +:
         keys.map(col)): _*)
       .agg(aggs.head, aggs.tail: _*)
+
+  /** One event entering the streaming sessionizer. `tsUs` is event time
+    * in epoch microseconds; `value` is integerized to cents inside the
+    * operator (the same cross-engine determinism rule as the batch
+    * [[graft.llm.Sessionize]]). */
+  final case class SessionEvent(userId: Long, tsUs: Long, value: Double)
+
+  /** Open-session state kept per user between micro-batches. */
+  final case class SessionState(sessionId: Long, startUs: Long, lastUs: Long,
+                                n: Long, sumCents: Long)
+
+  /** A closed session — same shape and semantics as the batch
+    * `Sessionize.sessions` rollup. */
+  final case class SessionOut(user_id: Long, session_id: Long,
+                              session_start_us: Long, n_events: Long,
+                              sum_value_c: Long)
+
+  /** Streaming gap-based sessionization: the custom-state operator the
+    * batch window form (`Sessionize.sessionIds`) cannot express
+    * incrementally. State is one open session per user
+    * (`flatMapGroupsWithState`); a session closes when a newer event
+    * arrives beyond `gapMicros`, or when the event-time watermark
+    * passes its gap horizon (timeout). Sessions ids restart per user,
+    * ordered by session start — the batch operator's numbering.
+    *
+    * Caller must set an event-time watermark on `tsUs`'s timestamp
+    * column before grouping; state size is O(active users), the shape
+    * that survives an unbounded stream. */
+  def sessionize(events: Dataset[SessionEvent],
+                 gapMicros: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // keep a closed sentinel (n = 0) so later events continue
+            // the per-user session numbering instead of restarting at 1
+            val s = state.get
+            state.update(s.copy(n = 0))
+            if (s.n > 0)
+              Iterator(SessionOut(userId, s.sessionId, s.startUs, s.n, s.sumCents))
+            else Iterator.empty
+          } else {
+            // micro-batch arrival order is not event order — sort the
+            // (bounded, per-trigger) group before folding
+            val evs = it.toSeq.sortBy(e => (e.tsUs, e.value))
+            var open = state.getOption.filter(_.n > 0)
+            var lastId = state.getOption.map(_.sessionId).getOrElse(0L)
+            val closed = Seq.newBuilder[SessionOut]
+            evs.foreach { e =>
+              val cents = math.floor(e.value * 100 + 0.5).toLong
+              open match {
+                case Some(s) if e.tsUs - s.lastUs <= gapMicros =>
+                  open = Some(s.copy(lastUs = math.max(s.lastUs, e.tsUs),
+                    n = s.n + 1, sumCents = s.sumCents + cents))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.sessionId, s.startUs, s.n, s.sumCents)
+                  lastId = s.sessionId
+                  open = Some(SessionState(lastId + 1, e.tsUs, e.tsUs, 1L, cents))
+                case None =>
+                  open = Some(SessionState(lastId + 1, e.tsUs, e.tsUs, 1L, cents))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // close once the watermark is past the session's gap horizon
+              state.setTimeoutTimestamp((s.lastUs + gapMicros) / 1000L + 1L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 
   /** Incremental lake append: every file dropped into `srcDir` lands in
     * the destination exactly once (file-source checkpointing replaces

