@@ -230,6 +230,24 @@ object Ops {
       .drop("__from", "__to")
   }
 
+  /** Two-phase aggregation for skewed keys ("salting"): rows first
+    * aggregate under (key, salt) — spreading a hot key over `salts`
+    * reducers — then the per-salt partials combine under the key alone.
+    * `partialAggs` must be re-combinable by `finalAggs` (sum→sum,
+    * count→sum, min→min, max→max...). Spark's partial aggregation
+    * already map-side combines; salting additionally splits the
+    * *reduce* side, for keys so hot one reducer would spill — the
+    * explicit form of what AQE's skew handling does for joins.
+    * The salt is deterministic (hash of `saltBy`, e.g. a high-card
+    * column), so results are reproducible. */
+  def saltedAgg(df: DataFrame, keys: Seq[Column], saltBy: Column, salts: Int,
+                partialAggs: Seq[Column], finalAggs: Seq[Column]): DataFrame =
+    df.withColumn("__salt", pmod(xxhash64(saltBy), lit(salts)))
+      .groupBy((keys :+ col("__salt")): _*)
+      .agg(partialAggs.head, partialAggs.tail: _*)
+      .groupBy(keys: _*)
+      .agg(finalAggs.head, finalAggs.tail: _*)
+
   /** Frame comparator (§2.8) — the engine-side equivalent of the
     * reference's golden `assert_frame_equal` (test_helpers.py:63):
     * schema equality plus an empty symmetric difference under bag

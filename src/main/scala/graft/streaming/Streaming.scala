@@ -106,6 +106,18 @@ object Streaming {
       }
   }
 
+  /** Streaming exact dedup: keep the first row per `keys` with state
+    * bounded by the event-time watermark — a duplicate arriving within
+    * the watermark horizon is dropped, one arriving later is the
+    * caller's late-data policy (same contract as any watermarked op).
+    * The streaming form of `Dedup.exact`'s keeper semantics; use a
+    * content hash (e.g. `sha2(text, 256)`) as the key so state stores
+    * digests, not documents. */
+  def dedupStream(events: DataFrame, tsCol: String, lateness: String,
+                  keys: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Incremental lake append: every file dropped into `srcDir` lands in
     * the destination exactly once (file-source checkpointing replaces
     * the reference's max-block resume scan). `AvailableNow` processes

@@ -65,6 +65,18 @@ class LlmSpec extends SparkSpec {
     assert(a.forall(r => r.getDouble(2) <= bf(r.getLong(0)) + 1e-12))
   }
 
+  test("Md5Hash64Expr equals the composable hex form (the oracle contract)") {
+    graft.functions.Md5Hash64Expr.register(spark)
+    val hexForm = shiftleft(
+        conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(md5(col("text").cast("binary")), 9, 8), 16, 10).cast("long"))
+    val diff = docs.select(
+        graft.functions.Md5Hash64Expr.of(col("text").cast("binary")).as("fast"),
+        hexForm.as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diff == 0)
+  }
+
   test("ivf top-k: deterministic, never beats brute force, prunes candidates") {
     val queries = emb.filter(col("vec_id") < 10)
     def run() = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",

@@ -44,6 +44,24 @@ class OpsScaleSpec extends SparkSpec {
     plain.zip(ranged).foreach { case (p, r) => assert(p == r, s"$p vs $r") }
   }
 
+  test("saltedAgg equals the direct aggregation") {
+    val ev = Tables.events(spark, dir)
+    val direct = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("v_c"),
+        max(col("ts_us")).as("last_us"))
+      .orderBy(col("event_type")).collect()
+    val salted = Ops.saltedAgg(ev, keys = Seq(col("event_type")),
+        saltBy = col("event_id"), salts = 8,
+        partialAggs = Seq(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100 + 0.5).cast("long")).as("v_c"),
+          max(col("ts_us")).as("last_us")),
+        finalAggs = Seq(sum(col("n")).as("n"), sum(col("v_c")).as("v_c"),
+          max(col("last_us")).as("last_us")))
+      .orderBy(col("event_type")).collect()
+    assert(direct.length == salted.length && direct.sameElements(salted))
+  }
+
   test("quantileNearestAgg matches Polars quantile(0.5, nearest) ranks") {
     import spark.implicits._
     // (group, values, expected nearest-median): odd n → middle element,

@@ -73,6 +73,29 @@ class StreamingSpec extends SparkSpec {
       s"got ${got.mkString(";")} want ${want.mkString(";")}")
   }
 
+  test("streaming dedup drops in-watermark duplicates, keeps one per key") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1600000000000000L
+    val mem = MemoryStream[(Long, String)]
+    val ds = mem.toDF().toDF("ts_us", "text")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withColumn("key", sha2(col("text"), 256))
+    val q = Streaming.dedupStream(ds, "ts", "10 minutes", Seq("key"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("deduped").start()
+    try {
+      mem.addData((base, "a"), (base + 1L, "a"), (base + 2L, "b"))
+      q.processAllAvailable()
+      mem.addData((base + 3L, "a"), (base + 4L, "c")) // "a" still in state
+      q.processAllAvailable()
+    } finally q.stop()
+    val texts = spark.table("deduped").select("text")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(texts == Seq("a", "b", "c"), texts.toString)
+  }
+
   test("lake append stream lands each dropped file exactly once") {
     val batch = Tables.events(spark, dir)
       .withColumn("ts", timestamp_micros(col("ts_us")))
