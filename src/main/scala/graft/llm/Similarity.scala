@@ -154,6 +154,24 @@ object Similarity {
     df.withColumn("lsh_bucket", bucket)
   }
 
+  /** Symmetric per-vector int8 quantization — the 4× storage/bandwidth
+    * lever for a 100 TB embedding corpus. scale = max|x|/127;
+    * q_i = floor(x_i/scale + 0.5) as tinyint (so |x − q·scale| ≤
+    * scale/2). A pure narrow projection, no shuffle; every step is
+    * deterministic IEEE arithmetic, so the DuckDB oracle recomputes it
+    * bit-for-bit. Zero vectors quantize to zeros with scale 0. Output:
+    * input columns + (scale double, q array<tinyint>). */
+  def quantizeInt8(df: DataFrame, emb: String): DataFrame = {
+    val asDouble = transform(col(emb), x => x.cast("double"))
+    val scale = aggregate(asDouble, lit(0.0),
+      (acc, x) => greatest(acc, abs(x))) / 127.0
+    df.withColumn("scale", scale)
+      .withColumn("q", when(col("scale") > 0,
+          transform(asDouble, x =>
+            floor(x / col("scale") + 0.5).cast("tinyint")))
+        .otherwise(transform(asDouble, _ => lit(0).cast("tinyint"))))
+  }
+
   /** Fixed seed for the IVF coarse quantizer — distinct from the
     * hyperplane seed so the two index families never share geometry. */
   val IvfSeed: Long = 777L

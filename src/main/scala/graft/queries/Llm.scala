@@ -286,6 +286,31 @@ object Llm {
         |  CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6, rn
         |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)),
 
+    // per-vector int8 quantization: scale and quantized checksums are
+    // deterministic IEEE arithmetic, recomputed exactly in SQL
+    ("llm_embedding_quantize",
+      ((s: SparkSession, d: String) =>
+        Similarity.quantizeInt8(Tables.embeddings(s, d), "embedding")
+          .select(col("vec_id"),
+            floor(col("scale") * 1000000000L + 0.5).cast("long").as("scale_e9"),
+            aggregate(col("q"), lit(0L), (a, x) => a + x.cast("long")).as("q_sum"),
+            aggregate(col("q"), lit(0L), (a, x) => a + abs(x.cast("long"))).as("q_l1"))
+          .orderBy(col("vec_id"))): Q,
+      Some("""WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, e,
+        |  list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM e),
+        |q AS (SELECT vec_id, scale,
+        |  CASE WHEN scale > 0
+        |    THEN list_transform(e, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+        |    ELSE list_transform(e, x -> 0::BIGINT) END AS qv
+        |  FROM s)
+        |SELECT vec_id, CAST(floor(scale * 1000000000 + 0.5) AS BIGINT) AS scale_e9,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1
+        |FROM q ORDER BY vec_id""".stripMargin)),
+
     ("llm_text_quality",
       ((s: SparkSession, d: String) =>
         TextAnalysis.qualityStats(Tables.documents(s, d), "text", "doc_id")

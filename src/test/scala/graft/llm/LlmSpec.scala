@@ -65,6 +65,27 @@ class LlmSpec extends SparkSpec {
     assert(a.forall(r => r.getDouble(2) <= bf(r.getLong(0)) + 1e-12))
   }
 
+  test("int8 quantization: range, round-trip error bound, zero-vector safety") {
+    import spark.implicits._
+    val q = Similarity.quantizeInt8(emb, "embedding")
+      .select(col("vec_id"), col("scale"), col("q"), col("embedding")).collect()
+    assert(q.length == 500)
+    q.foreach { r =>
+      val scale = r.getDouble(1)
+      val qs = r.getSeq[Byte](2)
+      val xs = r.getSeq[Float](3)
+      assert(qs.forall(v => v >= -127 && v <= 127))
+      // dequantization error is bounded by half a step
+      qs.zip(xs).foreach { case (qi, x) =>
+        assert(math.abs(x.toDouble - qi * scale) <= scale / 2 + 1e-12) }
+    }
+    // zero vector → scale 0, all-zero codes, no NaNs
+    val z = Similarity.quantizeInt8(
+        Seq((1L, Array.fill(4)(0.0f))).toDF("vec_id", "embedding"), "embedding")
+      .select(col("scale"), col("q")).collect().head
+    assert(z.getDouble(0) == 0.0 && z.getSeq[Byte](1).forall(_ == 0))
+  }
+
   test("Md5Hash64Expr equals the composable hex form (the oracle contract)") {
     graft.functions.Md5Hash64Expr.register(spark)
     val hexForm = shiftleft(
