@@ -172,6 +172,31 @@ object Similarity {
         .otherwise(transform(asDouble, _ => lit(0).cast("tinyint"))))
   }
 
+  /** Brute-force top-k over int8 codes — retrieval on the quantized
+    * corpus ([[quantizeInt8]]) at 1/4 the memory bandwidth. The
+    * per-vector scales cancel out of the cosine, so ranking reduces to
+    * the integer cosine of the code vectors; code dot products are
+    * sums of |q| ≤ 127 products, exact in double for any fold order —
+    * the whole scorer is cross-engine exact, not just approximately
+    * right. Output: (q_id, id, score, rn), score = quantized cosine. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, id: String,
+                    emb: String, k: Int): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    def codes(df: DataFrame, idAs: String, qAs: String, nAs: String) =
+      quantizeInt8(df, emb)
+        .select(col(id).as(idAs),
+          transform(col("q"), x => x.cast("double")).as(qAs))
+        .withColumn(nAs, sqrt(VectorFunctions.dot(col(qAs), col(qAs))))
+    val c = codes(corpus, id, "c_emb", "c_nrm")
+    val q = codes(queries, "q_id", "q_emb", "q_nrm")
+    c.join(broadcast(q), col("q_id") =!= col(id))
+      .withColumn("score", pairScore)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("score").desc, col(id))))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col(id), col("score"), col("rn"))
+  }
+
   /** Fixed seed for the IVF coarse quantizer — distinct from the
     * hyperplane seed so the two index families never share geometry. */
   val IvfSeed: Long = 777L

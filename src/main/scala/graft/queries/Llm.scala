@@ -311,6 +311,39 @@ object Llm {
         |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1
         |FROM q ORDER BY vec_id""".stripMargin)),
 
+    // retrieval over the int8 codes: scales cancel from the cosine, so
+    // ranking is the integer cosine of code vectors — sums of small-int
+    // products are exact in double, making the scorer cross-engine
+    // exact for any fold order
+    ("llm_similarity_quantized_topk",
+      ((s: SparkSession, d: String) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.quantizedTopK(e, e.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 5)
+          .select(col("q_id"), col("vec_id"),
+            floor(col("score") * 1000000 + 0.5).cast("long").as("score_e6"),
+            col("rn"))
+          .orderBy(col("q_id"), col("rn"))
+      }): Q,
+      Some("""WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, e,
+        |  list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM e),
+        |q AS (SELECT vec_id, CASE WHEN scale > 0
+        |  THEN list_transform(e, x -> CAST(CAST(floor(x / scale + 0.5) AS BIGINT) AS DOUBLE))
+        |  ELSE list_transform(e, x -> 0.0) END AS qv FROM s),
+        |n AS (SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS qn FROM q),
+        |sc AS (SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+        |  list_dot_product(a.qv, b.qv) / (a.qn * b.qn) AS score
+        |  FROM (SELECT * FROM n WHERE vec_id < 10) a
+        |  JOIN n b ON b.vec_id != a.vec_id),
+        |r AS (SELECT *, row_number() OVER
+        |  (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn FROM sc)
+        |SELECT q_id, vec_id,
+        |  CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6, rn
+        |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)),
+
     ("llm_text_quality",
       ((s: SparkSession, d: String) =>
         TextAnalysis.qualityStats(Tables.documents(s, d), "text", "doc_id")

@@ -86,6 +86,22 @@ class LlmSpec extends SparkSpec {
     assert(z.getDouble(0) == 0.0 && z.getSeq[Byte](1).forall(_ == 0))
   }
 
+  test("quantized top-k tracks the exact ranking closely") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val qk = Similarity.quantizedTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    // int8 codes keep ~7 bits of precision — top-5 sets should overlap
+    // heavily with the float ranking
+    val overlap = (0L until 10L).map { q =>
+      val a = (1 to 5).flatMap(r => qk.get((q, r))).toSet
+      val b = (1 to 5).flatMap(r => bf.get((q, r))).toSet
+      a.intersect(b).size
+    }.sum
+    assert(overlap >= 40, s"top-5 overlap only $overlap/50")
+  }
+
   test("Md5Hash64Expr equals the composable hex form (the oracle contract)") {
     graft.functions.Md5Hash64Expr.register(spark)
     val hexForm = shiftleft(
