@@ -61,6 +61,13 @@ object ScaleProbe {
     time("ann_topk")(llm.Similarity.annTopK(emb,
       emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
       numPlanes = 4))
+    time("ivf_topk")(llm.Similarity.ivfTopK(emb,
+      emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
+      nLists = 8, nProbe = 2))
+    time("quantize_int8")(llm.Similarity.quantizeInt8(emb, "embedding")
+      .select(col("vec_id"), col("scale"), col("q")))
+    time("quantized_topk")(llm.Similarity.quantizedTopK(emb,
+      emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5))
     time("sessionize")(llm.Sessionize.sessions(events, "user_id", "ts_us",
       order = Seq(col("ts_us"), col("event_id")),
       gapMicros = 1800000000L, valueCol = "value"))
