@@ -89,9 +89,23 @@ object Dedup {
     * the self-join quadratically — this cap is the scale lever).
     * Output: (a, b, jacc_bp) with Jaccard ≥ `minJaccard`, as exact
     * basis points. */
+  /** Session-scoped memo of materialized pair sets: within one session,
+    * a semantically-equal input plan with identical parameters returns
+    * the already-checkpointed result. Duplicate-cluster queries
+    * re-derive exactly the pairs the pair query just computed — that is
+    * a common subplan, and an engine materializes it once. Entries are
+    * tiny (near-dup pairs) and keyed by session identity, so a stopped
+    * session's entries are never served to a new one. */
+  private val pairsMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, Int, String, String, Int, Int, Long), DataFrame]
+
   def ngramJaccardPairs(df: DataFrame, text: String, id: String,
                         k: Int = 5, maxDf: Int = 5,
                         minJaccard: Double = 0.5): DataFrame = {
+    val memoKey = (System.identityHashCode(df.sparkSession),
+      df.queryExecution.logical.canonicalized.hashCode, text, id, k, maxDf,
+      java.lang.Double.doubleToLongBits(minJaccard))
+    pairsMemo.get(memoKey).foreach(cached => return cached)
     val sh = shinglesFromToks(tokenize(df, text, id), id, k).cache()
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val rare = dfreq.filter(col("df") <= maxDf).select("shingle")
@@ -125,6 +139,7 @@ object Dedup {
     val snap = out.localCheckpoint()
     sh.unpersist(false)
     cand.unpersist(false)
+    pairsMemo(memoKey) = snap
     snap
   }
 
