@@ -75,6 +75,48 @@ object V3Shape {
         |   FROM events WHERE event_type = 'purchase') WHERE rn = 1)
         |SELECT a.bucket_s, a.last_event_us, b.last_purchase
         |FROM a ASOF LEFT JOIN b ON a.bucket_s >= b.bucket_s
+        |ORDER BY a.bucket_s""".stripMargin)),
+
+    // the gas=true shape of getPriceSeries (pool_helpers.py:160–190):
+    // dedup to one row per timestamp, then per bucket the last value by
+    // time AND the Polars-parity nearest-interpolation median, as-of
+    // joined onto the chain-wide bucket leg
+    ("v3_price_series_gas",
+      ((s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+        val legA = ev
+          .groupBy(Ops.bucketUs(col("ts_us"), 900).as("bucket_s"))
+          .agg(max(col("ts_us")).as("last_event_us"))
+        val perTs = Ops.lastPerKey(
+            ev.filter(col("event_type") === "purchase")
+              .select(col("ts_us"), col("event_id"),
+                floor(col("value") * 100 + 0.5).cast("long").as("vc")),
+            keys = Seq(col("ts_us")), order = Seq(col("event_id")))
+          .withColumn("bucket_s", Ops.bucketUs(col("ts_us"), 900))
+        val legB = perTs.groupBy(col("bucket_s"))
+          .agg(max_by(col("vc"), col("ts_us")).as("last_value_c"),
+            Ops.quantileNearestAgg(col("vc")).as("med_value_c"))
+        Ops.asofJoin(legA, legB, on = "bucket_s", by = Seq(),
+            valueCols = Seq("last_value_c", "med_value_c"))
+          .select(col("bucket_s"), col("last_event_us"),
+            col("last_value_c"), col("med_value_c"))
+          .orderBy(col("bucket_s"))
+      }): Q,
+      Some("""WITH e AS (SELECT epoch_us(ts) AS ts_us, event_id, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |p AS (SELECT ts_us, value FROM (SELECT *, row_number() OVER
+        |  (PARTITION BY ts_us ORDER BY event_id DESC) AS rn FROM e)
+        |  WHERE rn = 1),
+        |b AS (SELECT (ts_us // 900000000) * 900 AS bucket_s, ts_us,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM p),
+        |g AS (SELECT bucket_s, max_by(vc, ts_us) AS last_value_c,
+        |  list_sort(list(vc))[len(list(vc)) // 2 + 1] AS med_value_c
+        |  FROM b GROUP BY bucket_s),
+        |a AS (SELECT (epoch_us(ts) // 900000000) * 900 AS bucket_s,
+        |  max(epoch_us(ts)) AS last_event_us FROM events GROUP BY 1)
+        |SELECT a.bucket_s AS bucket_s, a.last_event_us,
+        |  g.last_value_c, g.med_value_c
+        |FROM a ASOF LEFT JOIN g ON a.bucket_s >= g.bucket_s
         |ORDER BY a.bucket_s""".stripMargin))
   )
 }
