@@ -20,18 +20,27 @@ object TextAnalysis {
   def bpeishTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
 
+  /** English stopwords for the quality-signal ratio (fixed minimal
+    * list — the signal wants "how much glue text", not linguistics). */
+  val Stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of",
+    "to", "in", "is", "it", "that", "for", "on", "with", "as", "at", "by")
+
   /** Per-document quality stats: token count, type-token ratio (bp),
-    * punctuation ratio (bp), mean token length (char). */
+    * punctuation ratio (bp), stopword ratio (bp), mean token length
+    * (char). */
   def qualityStats(df: DataFrame, text: String, id: String): DataFrame = {
     val toks = split(trim(col(text)), " ")
     val nTok = size(toks)
     val nChar = length(col(text))
     val punct = length(regexp_replace(col(text), "[^.,!?;:]", ""))
+    val nStop = size(filter(transform(toks, t => lower(t)),
+      t => t.isInCollection(Stopwords)))
     df.select(col(id),
       nTok.as("n_tokens"),
       floor(lit(10000.0) * size(array_distinct(toks)) / nTok + 0.5)
         .cast("long").as("ttr_bp"),
       floor(lit(10000.0) * punct / nChar + 0.5).cast("long").as("punct_bp"),
+      floor(lit(10000.0) * nStop / nTok + 0.5).cast("long").as("stopword_bp"),
       floor(lit(100.0) * (nChar - (nTok - 1)) / nTok + 0.5)
         .cast("long").as("mean_tok_len_c"))
   }

@@ -354,6 +354,10 @@ object Llm {
         |  / len(string_split(trim(text), ' ')) + 0.5) AS BIGINT) AS ttr_bp,
         |CAST(floor(10000.0 * length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
         |  / length(text) + 0.5) AS BIGINT) AS punct_bp,
+        |CAST(floor(10000.0 * len(list_filter(string_split(trim(text), ' '),
+        |    t -> lower(t) IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in',
+        |      'is', 'it', 'that', 'for', 'on', 'with', 'as', 'at', 'by')))
+        |  / len(string_split(trim(text), ' ')) + 0.5) AS BIGINT) AS stopword_bp,
         |CAST(floor(100.0 * (length(text) - (len(string_split(trim(text), ' ')) - 1))
         |  / len(string_split(trim(text), ' ')) + 0.5) AS BIGINT) AS mean_tok_len_c
         |FROM documents ORDER BY doc_id""".stripMargin)),
