@@ -76,12 +76,15 @@ object TextAnalysis {
     md5(trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " ")).cast("binary"))
 
-  /** Content-defined rolling fingerprint: xxhash64 of each k-token
-    * window, min-sampled — a locality-sensitive document sketch that
-    * survives local edits (used for shift-tolerant dedup keys). */
+  /** Content-defined rolling fingerprint: md5-derived 64-bit hash of
+    * each k-token window, min-sampled — a locality-sensitive document
+    * sketch that survives local edits (used for shift-tolerant dedup
+    * keys). Cross-engine hash ⇒ DuckDB-checkable like simhash. */
   def rollingMinFingerprint(df: DataFrame, text: String, id: String,
-                            k: Int = 8): DataFrame =
+                            k: Int = 8): DataFrame = {
+    graft.functions.Md5Hash64Expr.register(df.sparkSession)
     Dedup.wordShingles(df, text, id, k)
       .groupBy(col(id))
-      .agg(min(xxhash64(col("shingle"))).as("roll_fp"))
+      .agg(min(Dedup.md5Hash64(col("shingle"))).as("roll_fp"))
+  }
 }

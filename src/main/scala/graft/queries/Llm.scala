@@ -400,6 +400,27 @@ object Llm {
         |  ' +', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // shift-tolerant rolling sketch: min md5-derived hash over 8-token
+    // windows, recomputed exactly in SQL
+    ("llm_text_rolling_fp",
+      ((s: SparkSession, d: String) =>
+        TextAnalysis.rollingMinFingerprint(Tables.documents(s, d),
+            "text", "doc_id", k = 8)
+          .orderBy(col("doc_id"))): Q,
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS shingle
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-7)) AS i
+        |        FROM toks)),
+        |hs AS (SELECT doc_id,
+        |  (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+        |    * 4294967296 + lo AS h
+        |  FROM (SELECT doc_id,
+        |        ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS hi,
+        |        ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS lo FROM sh))
+        |SELECT doc_id, min(h) AS roll_fp FROM hs
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     ("llm_sessionize",
       ((s: SparkSession, d: String) =>
         Sessionize.sessions(Tables.events(s, d), "user_id", "ts_us",
