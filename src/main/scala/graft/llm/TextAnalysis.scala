@@ -83,7 +83,9 @@ object TextAnalysis {
   def rollingMinFingerprint(df: DataFrame, text: String, id: String,
                             k: Int = 8): DataFrame = {
     graft.functions.Md5Hash64Expr.register(df.sparkSession)
-    Dedup.wordShingles(df, text, id, k)
+    // min() is duplicate-invariant → skip the shingle distinct (one
+    // less shuffle, same trick as the min-wise minhash path)
+    Dedup.shinglesFromToks(Dedup.tokenize(df, text, id), id, k, dedup = false)
       .groupBy(col(id))
       .agg(min(Dedup.md5Hash64(col("shingle"))).as("roll_fp"))
   }

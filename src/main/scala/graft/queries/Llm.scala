@@ -8,9 +8,10 @@ import graft.llm.{Dedup, Multimodal, Sessionize, Similarity, TextAnalysis}
 /** Oracle-checked queries for the LLM-data-pipeline operators
   * (BASELINE.json north star): dedup (exact / MinHash-LSH / SimHash /
   * n-gram Jaccard), similarity search, text analysis, sessionization,
-  * multimodal byte plumbing. Where the operator's hash is shared with
-  * DuckDB (md5), the full pipeline is SQL-checkable; engine-specific
-  * hashes (xxhash64) get rows-only checks.
+  * multimodal byte plumbing. Every operator hashes with md5-derived
+  * values shared by both engines, so every pipeline — including the
+  * sketches (simhash, rolling fingerprint) and the LSH/IVF indexes —
+  * is recomputed end-to-end by the DuckDB oracle.
   *
   * Fractional outputs are integerized with the cross-engine-exact
   * `floor(x·10^k + 0.5)` pattern (see Relational).
