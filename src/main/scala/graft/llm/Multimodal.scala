@@ -131,6 +131,45 @@ object Multimodal {
     }
   }
 
+  /** Real image resize: decode via javax.imageio, bilinear-rescale to
+    * (w, h), re-encode as PNG. Non-image payloads pass through
+    * unchanged (nulls stay null) — the pipeline shape is
+    * filter-on-format upstream, not crash-on-bytes here. */
+  def resizeImage(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    if (bytes == null) None
+    else try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map { img =>
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+        g.dispose()
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", baos)
+        baos.toByteArray
+      }
+    } catch { case _: Exception => None }
+
+  /** Partition-wise resize over a binary image column: decodable rows
+    * are replaced by the (w, h) PNG re-encode, the rest pass through.
+    * Same batch shape as [[extractFeatures]]. */
+  def resizeImages(df: DataFrame, bin: String, w: Int, h: Int): DataFrame = {
+    val outSchema = df.schema
+    val binIdx = df.schema.fieldIndex(bin)
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.get(binIdx).asInstanceOf[Array[Byte]]
+        resizeImage(bytes, w, h) match {
+          case Some(resized) => Row.fromSeq(r.toSeq.updated(binIdx, resized))
+          case None => r
+        }
+      }
+    }
+  }
+
   /** Frame sampling stub for video-like payloads: split the payload
     * into `frames` equal chunks ("frames"), keep every `stride`-th —
     * the real version replaces chunking with container demux. Output:

@@ -192,6 +192,26 @@ class LlmSpec extends SparkSpec {
       Multimodal.fakeDecode("not an image".getBytes("UTF-8"), 64)))
   }
 
+  test("resizeImages rescales decodable payloads, passes others through") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(16, 12,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(8, 6, 0xFF0000)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val df = Seq((1L, baos.toByteArray), (2L, "plain text".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val resized = Multimodal.resizeImages(df, "payload", w = 4, h = 3)
+    val dims = Multimodal.withDecodedMeta(resized, "payload")
+      .select(col("doc_id"), col("media_meta.width"), col("media_meta.height"))
+      .orderBy(col("doc_id")).collect()
+    assert(dims(0).getInt(1) == 4 && dims(0).getInt(2) == 3)
+    assert(dims(1).isNullAt(1)) // non-image untouched, still not an image
+    val passthrough = resized.filter(col("doc_id") === 2)
+      .select(col("payload")).collect().head.getAs[Array[Byte]](0)
+    assert(new String(passthrough, "UTF-8") == "plain text")
+  }
+
   test("media meta: byte length and format sniffing") {
     val withBin = Multimodal.asBinary(docs.limit(5), "text", "payload")
     val meta = Multimodal.withMediaMeta(withBin, "payload")
