@@ -131,6 +131,47 @@ object Multimodal {
     }
   }
 
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("sample_rate", FloatType),
+    StructField("channels", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("n_bytes", LongType)))
+
+  /** Real audio header decode via javax.sound.sampled (pure JVM —
+    * WAV/AIFF/AU): sample rate, channel count, frame length. None for
+    * non-audio payloads. */
+  def decodeAudioMeta(bytes: Array[Byte]): Option[(Float, Int, Long)] =
+    if (bytes == null) None
+    else try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = ais.getFormat
+        Some((f.getSampleRate, f.getChannels, ais.getFrameLength))
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  /** Partition-wise audio metadata: input columns + `audio_meta`
+    * (null struct fields for non-audio payloads). Same batch shape as
+    * the image path. */
+  def withAudioMeta(df: DataFrame, bin: String): DataFrame = {
+    val outSchema = df.schema.add(StructField("audio_meta", audioMetaSchema))
+    val binIdx = df.schema.fieldIndex(bin)
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.get(binIdx).asInstanceOf[Array[Byte]]
+        val meta = decodeAudioMeta(bytes) match {
+          case Some((sr, ch, fr)) =>
+            Row(sr, ch, fr, if (bytes == null) 0L else bytes.length.toLong)
+          case None => Row(null, null, null,
+            if (bytes == null) 0L else bytes.length.toLong)
+        }
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }
+  }
+
   /** Real image resize: decode via javax.imageio, bilinear-rescale to
     * (w, h), re-encode as PNG. Non-image payloads pass through
     * unchanged (nulls stay null) — the pipeline shape is

@@ -212,6 +212,27 @@ class LlmSpec extends SparkSpec {
     assert(new String(passthrough, "UTF-8") == "plain text")
   }
 
+  test("audio meta: real WAV header decode, nulls for non-audio") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](1600 * 2) // 1600 mono 16-bit frames
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 1600)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    val df = Seq((1L, baos.toByteArray), (2L, "not audio".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val meta = Multimodal.withAudioMeta(df, "payload")
+      .select(col("doc_id"), col("audio_meta.sample_rate"),
+        col("audio_meta.channels"), col("audio_meta.n_frames"))
+      .orderBy(col("doc_id")).collect()
+    assert(meta(0).getFloat(1) == 8000f)
+    assert(meta(0).getInt(2) == 1)
+    assert(meta(0).getLong(3) == 1600L)
+    assert(meta(1).isNullAt(1) && meta(1).isNullAt(2) && meta(1).isNullAt(3))
+  }
+
   test("media meta: byte length and format sniffing") {
     val withBin = Multimodal.asBinary(docs.limit(5), "text", "payload")
     val meta = Multimodal.withMediaMeta(withBin, "payload")
