@@ -432,14 +432,14 @@ object Llm {
         |  FROM events),
         |l AS (SELECT *, lag(ts_us) OVER
         |  (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
-        |s AS (SELECT *, sum(CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
+        |s AS (SELECT *, CAST(sum(CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
         |    THEN 1 ELSE 0 END) OVER
         |  (PARTITION BY user_id ORDER BY ts_us, event_id
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM l)
         |SELECT user_id, session_id, min(ts_us) AS session_start_us,
         |  count(*) AS n_events,
-        |  sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_c
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin)),
 
     ("llm_multimodal_bytes",

@@ -52,6 +52,13 @@ def main():
             if pd.api.types.is_datetime64_any_dtype(e) or pd.api.types.is_datetime64_any_dtype(g):
                 e = pd.to_datetime(e, utc=True).astype("datetime64[us, UTC]")
                 g = pd.to_datetime(g, utc=True).astype("datetime64[us, UTC]")
+            # The driver hashes raw values: an int column on one side vs a
+            # float column on the other (e.g. DuckDB HUGEINT -> pandas
+            # float64) hash-mismatches even when values compare equal.
+            ef_, gf_ = pd.api.types.is_float_dtype(e), pd.api.types.is_float_dtype(g)
+            if ef_ != gf_:
+                bad_cols.append(f"{c} (dtype mismatch: exp={e.dtype} got={g.dtype} — driver hash would differ)")
+                continue
             if pd.api.types.is_float_dtype(e) or pd.api.types.is_float_dtype(g):
                 ef, gf = e.astype(float), g.astype(float)
                 same = (ef.values == gf.values) | (ef.isna().values & gf.isna().values)
