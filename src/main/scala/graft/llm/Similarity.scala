@@ -31,11 +31,16 @@ object Similarity {
     dot / (norm(a) * norm(b))
   }
 
-  /** Cast-to-double + per-row norm precompute (one narrow projection). */
+  /** Cast-to-double + per-row norm precompute (one narrow projection).
+    * Fans the input out to full parallelism first: the dot-product
+    * work (norms here, bucket keys in [[bandedKeys]]) is CPU-bound and
+    * would otherwise run inside however few scan tasks the file layout
+    * produced (see [[graft.ops.Ops.parallelizeInput]]). */
   private def prepped(df: DataFrame, id: String, emb: String,
                       idAs: String, embAs: String, nrmAs: String): DataFrame = {
     VectorFunctions.register(df.sparkSession)
-    df.select(col(id).as(idAs),
+    graft.ops.Ops.parallelizeInput(df, col(id))
+      .select(col(id).as(idAs),
         transform(col(emb), x => x.cast("double")).as(embAs))
       .withColumn(nrmAs, sqrt(VectorFunctions.dot(col(embAs), col(embAs))))
   }
@@ -109,10 +114,11 @@ object Similarity {
 
   /** Per-row (band, key) LSH signatures: id only — embeddings are NOT
     * carried through the ×bands explode (they rejoin by id later). */
-  private def bandedKeys(df: DataFrame, id: String, emb: String,
+  private def bandedKeys(df0: DataFrame, id: String, emb: String,
                          ps: Array[Array[Double]], bands: Int,
                          rowsPerBand: Int): DataFrame = {
-    VectorFunctions.register(df.sparkSession)
+    VectorFunctions.register(df0.sparkSession)
+    val df = graft.ops.Ops.parallelizeInput(df0, col(id))
     val asDouble = transform(col(emb), x => x.cast("double"))
     val keys = array((0 until bands).map { b =>
       (0 until rowsPerBand).map { r =>
@@ -143,9 +149,10 @@ object Similarity {
 
   /** Sign-of-dot-product bucket id per row: bit p set iff
     * v·plane_p > 0. One narrow projection, no shuffle. */
-  def withLshBucket(df: DataFrame, emb: String,
+  def withLshBucket(df0: DataFrame, emb: String,
                     planes: Array[Array[Double]]): DataFrame = {
-    VectorFunctions.register(df.sparkSession)
+    VectorFunctions.register(df0.sparkSession)
+    val df = graft.ops.Ops.parallelizeInput(df0)
     val asDouble = transform(col(emb), x => x.cast("double"))
     val bucket = planes.zipWithIndex.map { case (plane, p) =>
       val dot = VectorFunctions.dot(asDouble, typedlit(plane.toSeq))

@@ -28,7 +28,8 @@ object TextAnalysis {
   /** Per-document quality stats: token count, type-token ratio (bp),
     * punctuation ratio (bp), stopword ratio (bp), mean token length
     * (char). */
-  def qualityStats(df: DataFrame, text: String, id: String): DataFrame = {
+  def qualityStats(df0: DataFrame, text: String, id: String): DataFrame = {
+    val df = graft.ops.Ops.parallelizeInput(df0, col(id))
     val toks = split(trim(col(text)), " ")
     val nTok = size(toks)
     val nChar = length(col(text))
@@ -55,7 +56,8 @@ object TextAnalysis {
   /** Language id by stopword-class argmax with fixed priority order on
     * ties (en > de > fr > es) — a deterministic heuristic, not a
     * model. Adds one count column per language plus `pred_lang`. */
-  def langId(df: DataFrame, text: String, id: String): DataFrame = {
+  def langId(df0: DataFrame, text: String, id: String): DataFrame = {
+    val df = graft.ops.Ops.parallelizeInput(df0, col(id))
     val lowered = lower(col(text))
     val counts = LangPatterns.map { case (l, p) =>
       regexp_count(lowered, lit(p)).as(s"n_$l")

@@ -18,6 +18,24 @@ object Ops {
     if (partition.isEmpty) Window.orderBy(order: _*)
     else Window.partitionBy(partition: _*).orderBy(order: _*)
 
+  /** Ensure a CPU-heavy narrow pipeline gets at least the session's
+    * shuffle parallelism. A small input that arrives in fewer
+    * partitions than the session target — one parquet file, one row
+    * group — would otherwise run its whole per-row projection
+    * (tokenize/shingle/regex/dot-product) inside a single scan task on
+    * one core: the narrow-stage analog of the keyless-window trap, and
+    * one AQE cannot fix (it only re-plans *after* a shuffle). At fleet
+    * scale scans already exceed the target and this is a no-op; when
+    * taken, the repartition moves only the raw input bytes. Hash
+    * `keys` when given (cheap, deterministic); keyless falls back to
+    * round-robin. */
+  def parallelizeInput(df: DataFrame, keys: Column*): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= target) df
+    else if (keys.nonEmpty) df.repartition(target, keys: _*)
+    else df.repartition(target)
+  }
+
   /** Running sum over `order` within `partition` — the reference's
     * `cumsum()` (swap_math.py:68, swap.py:154–158). */
   def cumSum(df: DataFrame, value: Column, order: Seq[Column],

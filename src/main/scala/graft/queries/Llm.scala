@@ -33,6 +33,58 @@ object Llm {
     }.mkString("(", " + ", ")")
   }
 
+  /** DuckDB SQL recomputing the banded-hyperplane near-dup pipeline
+    * end-to-end: splitmix64 plane hashes rebuilt IN SQL with exact
+    * unsigned-64 HUGEINT arithmetic (verified bit-equal to
+    * [[graft.llm.Similarity.planeHashes]]), planes assembled as
+    * i-ordered lists (so `list_dot_product` folds left-to-right like
+    * the codegen'd DotProduct), band keys from sign-of-dot-products,
+    * candidates from the band equi-join, exact cosine rerank. At 256
+    * planes this is ~2 KB of SQL versus ~1 MB of inlined literals
+    * (the [[annBucketSql]] recipe), and DuckDB runs it 10× faster. */
+  private def nearDupScaleSql(threshold: Double, bands: Int,
+                              rowsPerBand: Int, dim: Int,
+                              seed: Long = 42L): String = {
+    // splitmix64 constants, split for overflow-free mod-2^64 multiply:
+    // a*b mod 2^64 = ((a*b_hi mod 2^32)*2^32 + a*b_lo) mod 2^64, every
+    // intermediate < 2^97 — inside HUGEINT's 128-bit range
+    val A  = java.lang.Long.toUnsignedString(0x9E3779B97F4A7C15L)
+    val c1 = 0xBF58476D1CE4E5B9L; val c2 = 0x94D049BB133111EBL
+    val M64 = "18446744073709551616"
+    s"""WITH pi AS (SELECT p, i FROM range(${bands * rowsPerBand}) t1(p), range($dim) t2(i)),
+    |s0 AS (SELECT p, i, CAST($seed + p*1000003 + i AS HUGEINT) AS x FROM pi),
+    |s1 AS (SELECT p, i, (x + $A) % $M64 AS x FROM s0),
+    |s2 AS (SELECT p, i, xor(x, x // 1073741824) AS t FROM s1),
+    |s3 AS (SELECT p, i, (((t * ${c1 >>> 32}) % 4294967296) * 4294967296
+    |  + t * ${c1 & 0xFFFFFFFFL}) % $M64 AS x FROM s2),
+    |s4 AS (SELECT p, i, xor(x, x // 134217728) AS t FROM s3),
+    |s5 AS (SELECT p, i, (((t * ${c2 >>> 32}) % 4294967296) * 4294967296
+    |  + t * ${c2 & 0xFFFFFFFFL}) % $M64 AS x FROM s4),
+    |s6 AS (SELECT p, i, xor(x, x // 2147483648) AS x FROM s5),
+    |planes AS MATERIALIZED (SELECT p,
+    |  list(CAST(CAST(CASE WHEN x >= 9223372036854775808
+    |      THEN x - $M64 ELSE x END AS BIGINT) AS DOUBLE)
+    |    / 9223372036854775807.0 ORDER BY i) AS pl
+    |  FROM s6 GROUP BY p),
+    |emb AS MATERIALIZED (SELECT vec_id,
+    |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+    |pre AS MATERIALIZED (SELECT vec_id, e,
+    |  sqrt(list_dot_product(e, e)) AS nrm FROM emb),
+    |bk AS MATERIALIZED (SELECT vec_id, p // $rowsPerBand AS band,
+    |  CAST(sum(CASE WHEN list_dot_product(e, pl) > 0
+    |    THEN 1 << (p % $rowsPerBand) ELSE 0 END) AS BIGINT) AS key
+    |  FROM emb, planes GROUP BY vec_id, band),
+    |cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+    |  FROM bk l JOIN bk r ON l.band = r.band AND l.key = r.key
+    |    AND l.vec_id < r.vec_id),
+    |sc AS (SELECT c.a, c.b,
+    |  list_dot_product(x.e, y.e) / (x.nrm * y.nrm) AS score
+    |  FROM cand c JOIN pre x ON x.vec_id = c.a
+    |    JOIN pre y ON y.vec_id = c.b)
+    |SELECT a, b, CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6
+    |FROM sc WHERE score >= $threshold ORDER BY a, b""".stripMargin
+  }
+
   /** DuckDB expression: per-centroid dot-product scores of the double
     * list `e` against the IVF coarse quantizer — same exact-literal
     * reconstruction as [[annBucketSql]]. */
@@ -224,6 +276,23 @@ object Llm {
         |WHERE list_cosine_similarity(a.ce, b.ce) >= 0.45
         |ORDER BY a, b""".stripMargin)),
 
+    // the 100 TB configuration of the same operator: a realistic dedup
+    // threshold with 8-plane bands (256 buckets/band), so candidate
+    // cost stays ~linear instead of the 2-plane recall study's n²/4
+    // growth (see Similarity.nearDupPairs scaladoc + ScaleProbe). The
+    // corpus genuinely has no pairs at cosine ≥ 0.8 (max observed pair
+    // ≈ 0.51), so the honest answer is empty — the oracle recomputes
+    // the entire banding + rerank pipeline in SQL and must agree
+    ("llm_embedding_neardup_scale",
+      ((s: SparkSession, d: String) =>
+        Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id",
+            "embedding", threshold = 0.8, bands = 32, rowsPerBand = 8)
+          .select(col("a"), col("b"),
+            floor(col("score") * 1000000 + 0.5).cast("long").as("score_e6"))
+          .orderBy(col("a"), col("b"))): Q,
+      Some(nearDupScaleSql(threshold = 0.8, bands = 32, rowsPerBand = 8,
+        dim = 64))),
+
     // fully SQL-checkable: the splitmix64 plane hashes are inlined as
     // integer literals and divided to doubles in SQL — identical IEEE
     // values both engines, so buckets and scores match bit-for-bit
@@ -365,7 +434,7 @@ object Llm {
 
     ("llm_text_tokens",
       ((s: SparkSession, d: String) =>
-        Tables.documents(s, d)
+        graft.ops.Ops.parallelizeInput(Tables.documents(s, d), col("doc_id"))
           .select(col("doc_id"),
             TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
             TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish_tokens"))
@@ -392,7 +461,7 @@ object Llm {
 
     ("llm_text_fingerprint",
       ((s: SparkSession, d: String) =>
-        Tables.documents(s, d)
+        graft.ops.Ops.parallelizeInput(Tables.documents(s, d), col("doc_id"))
           .select(col("doc_id"),
             TextAnalysis.fingerprint(col("text")).as("fp"))
           .orderBy(col("doc_id"))): Q,
@@ -422,6 +491,10 @@ object Llm {
         |SELECT doc_id, min(h) AS roll_fp FROM hs
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // int64-range assumption: the oracle's CAST(sum(cents) AS BIGINT)
+    // errors loudly in DuckDB if a session's cent sum ever exceeded
+    // int64 (Spark's non-ANSI sum would silently wrap) — unreachable at
+    // any test scale, and a loud error beats a silent divergence
     ("llm_sessionize",
       ((s: SparkSession, d: String) =>
         Sessionize.sessions(Tables.events(s, d), "user_id", "ts_us",

@@ -71,6 +71,40 @@ object Relational {
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    // the same aggregation as a1 through the salted two-phase plan
+    // (Ops.saltedAgg): the hot-key scale lever, proven equivalent under
+    // the oracle gate, not just in a spec. Money is integerized to
+    // cents PER ROW (not round-after-sum) because the salted plan's
+    // partial fold order differs from the oracle's single sum — integer
+    // sums are exact under any fold order; avg is derived from the two
+    // exact sums so it is a single deterministic division
+    ("a1_groupby_sum_salted",
+      ((s: SparkSession, d: String) =>
+        Ops.saltedAgg(Tables.lineitem(s, d),
+            keys = Seq(col("l_returnflag"), col("l_linestatus")),
+            saltBy = col("l_orderkey"), salts = 8,
+            partialAggs = Seq(
+              sum(col("l_quantity")).as("s_qty"),
+              sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+                * 100 + 0.5).cast("long")).as("s_dp_c"),
+              count(lit(1)).as("s_n")),
+            finalAggs = Seq(
+              sum(col("s_qty")).as("sum_qty"),
+              sum(col("s_dp_c")).as("sum_disc_price_c"),
+              sum(col("s_n")).as("n_rows"),
+              floor(sum(col("s_qty")) / sum(col("s_n")) * 10000 + 0.5)
+                .cast("long").as("avg_qty_e4")))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))): Q,
+      Some("""SELECT l_returnflag, l_linestatus,
+        |sum(l_quantity) AS sum_qty,
+        |CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |  AS BIGINT)) AS BIGINT) AS sum_disc_price_c,
+        |count(*) AS n_rows,
+        |CAST(floor(sum(l_quantity) / count(*) * 10000 + 0.5) AS BIGINT)
+        |  AS avg_qty_e4
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
     ("a10_rollup",
       ((s: SparkSession, d: String) =>
         Tables.lineitem(s, d)

@@ -145,6 +145,51 @@ class LlmSpec extends SparkSpec {
     assert(got == exact, s"banded vs exact: missed ${exact.diff(got)}, extra ${got.diff(exact)}")
   }
 
+  test("pairs memo: hits on semantically-equal plans, never cross-serves different inputs") {
+    // identical input plan + params → the memoized instance is served
+    val first = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      k = 5, maxDf = 5, minJaccard = 0.5)
+    val second = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      k = 5, maxDf = 5, minJaccard = 0.5)
+    assert(first eq second, "memo missed for an identical plan")
+    // a DIFFERENT input plan with the same parameter key must not be
+    // served the cached pair set (the lookup confirms sameResult on the
+    // stored canonicalized plan, not a hash): a subset of the corpus
+    // can't contain pairs with ids outside it
+    val subset = Dedup.ngramJaccardPairs(docs.filter(col("doc_id") < 250),
+      "text", "doc_id", k = 5, maxDf = 5, minJaccard = 0.5)
+    assert(!(subset eq first))
+    val subsetIds = subset.collect().flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+    assert(subsetIds.nonEmpty && subsetIds.forall(_ < 250))
+    val fullIds = first.collect().flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+    assert(fullIds.exists(_ >= 250), "test needs pairs above the subset cut")
+    // and the subset plan is itself memoized now
+    assert(Dedup.ngramJaccardPairs(docs.filter(col("doc_id") < 250),
+      "text", "doc_id", k = 5, maxDf = 5, minJaccard = 0.5) eq subset)
+  }
+
+  test("scale-config banding (32 bands × 8 planes): equi-join plan, exact-precision subset") {
+    // the llm_embedding_neardup_scale gate row is honestly empty at
+    // threshold 0.8 (the corpus has no pairs that similar), so this
+    // spec exercises the same banding non-vacuously at 0.4
+    val banded = Similarity.nearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.4, bands = 32, rowsPerBand = 8)
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("Cartesian"),
+      s"scale-config near-dup plan fell back to an all-pairs join:\n$plan")
+    val got = banded.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = Similarity.exactNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // precision is exact (rerank); recall < 1 by construction at this
+    // low threshold, but the banding must still surface real pairs
+    assert(got.nonEmpty, "32×8 banding found nothing at 0.4")
+    got.foreach { case (pair, score) =>
+      assert(exact.contains(pair), s"banded pair $pair not in exact set")
+      assert(score == exact(pair), s"score mismatch for $pair")
+    }
+  }
+
   test("extractFeatures: schema, batch shape, determinism, normalization") {
     val withBin = Multimodal.asBinary(docs.limit(50), "text", "payload")
     val feats = Multimodal.extractFeatures(withBin, "payload", dim = 64)
