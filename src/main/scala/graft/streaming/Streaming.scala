@@ -58,23 +58,41 @@ object Streaming {
     * ordered by session start — the batch operator's numbering.
     *
     * Caller must set an event-time watermark on `tsUs`'s timestamp
-    * column before grouping; state size is O(active users), the shape
-    * that survives an unbounded stream. */
-  def sessionize(events: Dataset[SessionEvent],
-                 gapMicros: Long): Dataset[SessionOut] = {
+    * column before grouping. State is genuinely bounded: a closed
+    * session leaves only a numbering sentinel, and the sentinel itself
+    * expires once the user has been dormant for `retentionGaps` gap
+    * lengths — so state is O(users active within the retention
+    * horizon), not O(users ever seen). A user returning after that
+    * horizon restarts at session 1 (the explicit retention contract;
+    * raise `retentionGaps` to trade state for longer numbering
+    * continuity). */
+  def sessionize(events: Dataset[SessionEvent], gapMicros: Long,
+                 retentionGaps: Int = 100): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    val retentionMicros = gapMicros * retentionGaps
     events.groupByKey(_.userId)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId, it, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
-            // keep a closed sentinel (n = 0) so later events continue
-            // the per-user session numbering instead of restarting at 1
             val s = state.get
-            state.update(s.copy(n = 0))
-            if (s.n > 0)
+            if (s.n > 0) {
+              // close the open session; keep only a numbering sentinel
+              // (n = 0) with a far-horizon expiry so a soon-returning
+              // user continues the per-user session numbering
+              state.update(s.copy(n = 0))
+              // clamp past the current watermark: if the stream already
+              // advanced beyond the retention horizon, the sentinel
+              // expires at the next opportunity instead of throwing
+              state.setTimeoutTimestamp(
+                math.max((s.lastUs + retentionMicros) / 1000L + 1L,
+                  state.getCurrentWatermarkMs() + 1L))
               Iterator(SessionOut(userId, s.sessionId, s.startUs, s.n, s.sumCents))
-            else Iterator.empty
+            } else {
+              // dormant past the retention horizon: forget the user
+              state.remove()
+              Iterator.empty
+            }
           } else {
             // micro-batch arrival order is not event order — sort the
             // (bounded, per-trigger) group before folding

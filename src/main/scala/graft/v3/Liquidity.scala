@@ -53,14 +53,28 @@ object Liquidity {
     * liquidity (float noise guard), tick range [tick_a, tick_b) via
     * lead, last boundary = (MAX_TICK // ts) * ts, per-tick sqrt prices
     * and token reserves. Float op order mirrors the reference
-    * (`(1.0001 ** t) ** 0.5`) for bit parity. */
-  def swapDF(liq: DataFrame, tickSpacing: Long): DataFrame = {
+    * (`(1.0001 ** t) ** 0.5`) for bit parity.
+    *
+    * The keyless window matches the reference's single-pool contract
+    * and is bounded (≤ 2·MAX_TICK/ts rows per pool); for a fleet-wide
+    * precompute use [[swapDFBy]]. */
+  def swapDF(liq: DataFrame, tickSpacing: Long): DataFrame =
+    swapDFBy(liq, tickSpacing, Seq.empty)
+
+  /** Fleet-scale variant of [[swapDF]]: the lead window (and therefore
+    * every shuffle) partitions by `keys` (e.g. chain_name, address), so
+    * the per-tick precompute parallelizes over pools instead of
+    * collapsing onto one task — the same contract as [[createLiqBy]].
+    * Key columns are carried through the output. */
+  def swapDFBy(liq: DataFrame, tickSpacing: Long, keys: Seq[String]): DataFrame = {
     val lastBoundary = Math.floorDiv(SwapMath.MaxTick, tickSpacing) * tickSpacing
-    val w = Window.orderBy(col("tick"))
+    val kc = keys.map(col)
+    val w = if (keys.isEmpty) Window.orderBy(col("tick"))
+            else Window.partitionBy(kc: _*).orderBy(col("tick"))
     liq.filter(col("liquidity") > 0)
       .withColumn("tick_a", col("tick"))
       .withColumn("tick_b", coalesce(lead(col("tick"), 1).over(w), lit(lastBoundary)))
-      .select(col("liquidity"), col("tick_a"), col("tick_b"))
+      .select((kc :+ col("liquidity") :+ col("tick_a") :+ col("tick_b")): _*)
       .withColumn("p_a", pow(pow(lit(1.0001), col("tick_a")), 0.5))
       .withColumn("p_b", pow(pow(lit(1.0001), col("tick_b")), 0.5))
       .withColumn("yInTick", col("liquidity") * (col("p_b") - col("p_a")))

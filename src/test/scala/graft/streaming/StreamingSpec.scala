@@ -73,6 +73,46 @@ class StreamingSpec extends SparkSpec {
       s"got ${got.mkString(";")} want ${want.mkString(";")}")
   }
 
+  test("sessionize state: numbering continues across a timeout, then expires") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val base = 1600000000000000L // epoch µs
+    val s = 1000000L             // 1 second in µs
+    val gap = 60 * s
+    // retention = 3 gaps = 180 s: a user dormant longer is forgotten
+    val mem = MemoryStream[(Long, Long, Double)]
+    val ds = mem.toDF().toDF("userId", "tsUs", "value")
+      .withColumn("ts", timestamp_micros(col("tsUs")))
+      .withWatermark("ts", "0 seconds")
+      .as[Streaming.SessionEvent]
+    val q = Streaming.sessionize(ds, gap, retentionGaps = 3).writeStream
+      .outputMode("append").format("memory").queryName("session_retention").start()
+    try {
+      def step(evs: (Long, Long, Double)*): Unit = {
+        mem.addData(evs: _*); q.processAllAvailable()
+      }
+      step((1L, base, 1.0))                 // open session 1
+      step((99L, base + 120 * s, 0.0))      // watermark past gap → close s1
+      step((1L, base + 130 * s, 2.0))       // back WITHIN retention
+      step((99L, base + 200 * s, 0.0))      // close s2 — numbering must continue
+      step((99L, base + 400 * s, 0.0))      // dormant past retention → forget user 1
+      step((1L, base + 420 * s, 3.0))       // back AFTER retention
+      step((99L, base + 600 * s, 0.0))      // close the post-expiry session
+    } finally q.stop()
+
+    val got = spark.table("session_retention")
+      .filter(col("user_id") === 1)
+      .select("session_id", "session_start_us")
+      .orderBy("session_start_us").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq(
+      (1L, base),            // first session
+      (2L, base + 130 * s),  // sentinel alive → numbering continued
+      (1L, base + 420 * s)), // sentinel expired → numbering restarted
+      s"got ${got.mkString(";")}")
+  }
+
   test("streaming dedup drops in-watermark duplicates, keeps one per key") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

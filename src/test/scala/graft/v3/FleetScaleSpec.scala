@@ -51,6 +51,48 @@ class FleetScaleSpec extends SparkSpec {
     }
   }
 
+  test("swapDFBy over a multi-pool frame matches per-pool swapDF, no keyless window") {
+    val mb = spark.read
+      .schema(Schemas.mintBurn)
+      .parquet("/root/reference/v3/data/examples/pool_mint_burn_events/example.parquet")
+      .withColumn("amount", col("amount").cast("double"))
+      .withColumn("tick_lower", col("tick_lower").cast("long"))
+      .withColumn("tick_upper", col("tick_upper").cast("long"))
+      .withColumn("type_of_event", col("type_of_event").cast("double"))
+      .withColumn("as_of", col("block_number") + col("transaction_index") / lit(1e4))
+      .filter(col("as_of") < 12376625.0)
+    val liqBy = Liquidity.createLiqBy(mb, Seq("address"))
+    val ts = 60L
+
+    val fleetDf = Liquidity.swapDFBy(liqBy, ts, Seq("address"))
+    // the whole point: the fleet plan never funnels through a single
+    // partition (the keyless window's Exchange SinglePartition)
+    val plan = fleetDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"single-partition exchange in fleet plan:\n$plan")
+    val fleet = fleetDf.collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(r => (r.getLong(2), r.getLong(3), r.getDouble(1),
+        r.getDouble(6), r.getDouble(7))).sortBy(t => (t._1, t._2)).toSeq)
+      .toMap
+
+    val pools = liqBy.select("address").distinct().as[String].collect().sorted
+    for (p <- pools.take(5)) {
+      val single = Liquidity.swapDF(
+          liqBy.filter(col("address") === p).drop("address"), ts)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(0),
+          r.getDouble(5), r.getDouble(6))).sortBy(t => (t._1, t._2)).toSeq
+      val got = fleet.getOrElse(p, Seq.empty)
+      assert(got.map(t => (t._1, t._2)) == single.map(t => (t._1, t._2)),
+        s"tick ranges for $p")
+      got.zip(single).foreach { case (a, b) =>
+        assertRel(a._3, b._3, 1e-12)
+        assertRel(a._4, b._4, 1e-12)
+        assertRel(a._5, b._5, 1e-12)
+      }
+    }
+  }
+
   test("property: tick -> sqrtPriceX96 -> tickFloor round-trips onto the spacing grid") {
     val ticks = Gen.choose(-800000L, 800000L)
     val spacings = Gen.oneOf(1L, 10L, 60L, 200L)
