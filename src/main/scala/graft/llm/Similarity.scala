@@ -216,6 +216,39 @@ object Similarity {
   def ivfCentroids(nLists: Int, dim: Int, seed: Long = IvfSeed): Array[Array[Double]] =
     planes(nLists, dim, seed)
 
+  /** Fixed-iteration Lloyd's trainer for the IVF coarse quantizer:
+    * assign every vector to its nearest (max-dot) centroid, recentre
+    * each list on the member mean, repeat `iters` times. No random
+    * sampling anywhere — init is the deterministic [[ivfCentroids]]
+    * and the iteration count is fixed, so retraining on the same data
+    * reproduces the same index. Per iteration: one narrow assignment
+    * pass plus a (list, dimension)-keyed aggregate whose result is
+    * nLists×dim scalars — the only driver collect. Lists that capture
+    * no vectors keep their previous centroid. At fleet scale, train on
+    * a sample: the quantizer needs the distribution, not the corpus. */
+  def trainIvfCentroids(corpus: DataFrame, emb: String, nLists: Int,
+                        iters: Int = 5, dim: Int = 64,
+                        seed: Long = IvfSeed): Array[Array[Double]] = {
+    VectorFunctions.register(corpus.sparkSession)
+    val asDouble = graft.ops.Ops.parallelizeInput(corpus)
+      .select(transform(col(emb), x => x.cast("double")).as("e"))
+      .localCheckpoint()
+    var cs = ivfCentroids(nLists, dim, seed)
+    for (_ <- 0 until iters) {
+      val next = Array.tabulate(nLists, dim)((l, i) => cs(l)(i))
+      asDouble.withColumn("list_id", ivfListId(col("e"), cs))
+        .select(col("list_id"), posexplode(col("e")).as(Seq("i", "x")))
+        .groupBy(col("list_id"), col("i"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+        }
+      cs = next
+    }
+    cs
+  }
+
   /** Nearest-centroid list id (0-based; ties → lowest id). A pure
     * projection — `array_position(scores, array_max(scores))` — so
     * corpus assignment costs no shuffle and no window. */
@@ -234,9 +267,11 @@ object Similarity {
     * (q_id, id, score, rn). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, emb: String,
               k: Int, nLists: Int = 8, nProbe: Int = 2,
-              dim: Int = 64): DataFrame = {
+              dim: Int = 64,
+              centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
-    val cs = ivfCentroids(nLists, dim)
+    val cs = centroids.getOrElse(ivfCentroids(nLists, dim))
+    require(cs.length == nLists, s"expected $nLists centroids, got ${cs.length}")
     val c = prepped(corpus, id, emb, id, "c_emb", "c_nrm")
       .withColumn("list_id", ivfListId(col("c_emb"), cs))
     // per-query probe set: top-nProbe centroid ids by dot product

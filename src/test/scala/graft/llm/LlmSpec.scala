@@ -132,6 +132,31 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("Cartesian"))
   }
 
+  test("k-means-trained IVF centroids: deterministic, recall not worse than fixed") {
+    val queries = emb.filter(col("vec_id") < 10)
+    def recall(centroids: Option[Array[Array[Double]]]): Double = {
+      val got = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+          k = 5, nLists = 8, nProbe = 2, centroids = centroids)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val truth = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+          k = 5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      truth.count(got.contains).toDouble / truth.size
+    }
+    val trained = Similarity.trainIvfCentroids(emb, "embedding", nLists = 8,
+      iters = 5)
+    // fixed iteration count + deterministic init → retraining reproduces
+    // the identical index
+    val again = Similarity.trainIvfCentroids(emb, "embedding", nLists = 8,
+      iters = 5)
+    assert(trained.flatten.toSeq == again.flatten.toSeq)
+    val rFixed = recall(None)
+    val rTrained = recall(Some(trained))
+    // training tightens lists around the data: recall at equal probe
+    // budget must not degrade (and usually improves)
+    assert(rTrained >= rFixed - 1e-9, s"trained $rTrained < fixed $rFixed")
+    assert(rTrained >= 0.5, s"trained recall $rTrained implausibly low")
+  }
+
   test("banded nearDupPairs: equi-join plan, full agreement with exact pairs") {
     val banded = Similarity.nearDupPairs(emb, "vec_id", "embedding", threshold = 0.45)
     // the scale contract: candidates come from equi-joins, never a

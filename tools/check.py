@@ -52,11 +52,26 @@ def main():
             if pd.api.types.is_datetime64_any_dtype(e) or pd.api.types.is_datetime64_any_dtype(g):
                 e = pd.to_datetime(e, utc=True).astype("datetime64[us, UTC]")
                 g = pd.to_datetime(g, utc=True).astype("datetime64[us, UTC]")
-            # The driver hashes raw values: an int column on one side vs a
-            # float column on the other (e.g. DuckDB HUGEINT -> pandas
-            # float64) hash-mismatches even when values compare equal.
-            ef_, gf_ = pd.api.types.is_float_dtype(e), pd.api.types.is_float_dtype(g)
-            if ef_ != gf_:
+            # The driver hashes raw VALUES, so kind drift — int on one
+            # side vs float on the other (e.g. DuckDB HUGEINT -> pandas
+            # float64) — hash-mismatches even when values compare
+            # equal. Width within a kind does NOT matter: Spark's
+            # row_number()/size() emit int32 against DuckDB BIGINT and
+            # those rows have been green in the driver's gate since
+            # round 1, so comparing itemsize would false-fail locally.
+            # Normalize pandas extension dtypes (pyarrow-backed Int64
+            # etc.) through their numpy_dtype so a nullable-int vs
+            # float pairing is still flagged.
+            def _kind(s):
+                d = s.dtype
+                d = getattr(d, "numpy_dtype", d)  # pandas extension dtypes
+                try:
+                    k = np.dtype(d).kind
+                except TypeError:
+                    return None
+                return "i" if k == "u" else k
+            ek, gk = _kind(e), _kind(g)
+            if ek is None or gk is None or ek != gk:
                 bad_cols.append(f"{c} (dtype mismatch: exp={e.dtype} got={g.dtype} — driver hash would differ)")
                 continue
             if pd.api.types.is_float_dtype(e) or pd.api.types.is_float_dtype(g):
