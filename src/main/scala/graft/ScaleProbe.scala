@@ -49,6 +49,11 @@ object ScaleProbe {
       maxHamming = 7, bands = 8))
     time("jaccard_pairs")(llm.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
       k = 5, maxDf = 5, minJaccard = 0.5))
+    // measures the connected-components increment (the pair set above
+    // is session-memoized, exactly as in a real engine run)
+    time("dedup_clusters")(llm.Dedup.duplicateClusters(
+      llm.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        k = 5, maxDf = 5, minJaccard = 0.5).select(col("a"), col("b"))))
     // Near-dup at a *realistic* dedup threshold (0.8): the banding must
     // match the threshold — 8 planes/band ⇒ 256 buckets/band of real
     // pruning. The registry's 0.45-threshold variant needs 2-plane
@@ -68,6 +73,11 @@ object ScaleProbe {
       .select(col("vec_id"), col("scale"), col("q")))
     time("quantized_topk")(llm.Similarity.quantizedTopK(emb,
       emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5))
+    locally {
+      val t0 = System.nanoTime()
+      llm.Similarity.trainIvfCentroids(emb, "embedding", nLists = 8, iters = 2)
+      println(f"""{"probe":"ivf_train_2it","k":$k,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+    }
     time("sessionize")(llm.Sessionize.sessions(events, "user_id", "ts_us",
       order = Seq(col("ts_us"), col("event_id")),
       gapMicros = 1800000000L, valueCol = "value"))

@@ -1,0 +1,67 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset-assembly operators for training pipelines:
+  * train/val/test splitting and per-stratum downsampling. Both are
+  * pure narrow projections over a salted md5 hash bucket — no
+  * shuffle, no RNG state, no sampling drift between runs or engines:
+  * the same (salt, id) always lands in the same bucket, on Spark and
+  * in the DuckDB oracle alike (md5 is the repo's cross-engine hash;
+  * see Dedup.md5Hash64). Reassembling a 100 TB corpus is therefore
+  * reproducible and incremental — new rows join the same split their
+  * id dictates, without touching old ones.
+  */
+object Sampling {
+
+  /** Salted hash bucket in [0, buckets): the first 8 md5 hex digits of
+    * `salt|id`, parsed as an integer. 32 bits of hash over ≤ 10^6
+    * buckets keeps per-bucket skew negligible. */
+  def hashBucket(id: Column, salt: String, buckets: Int): Column =
+    conv(substring(md5(concat(lit(salt + "|"), id.cast("string")).cast("binary")),
+      1, 8), 16, 10).cast("long") % buckets
+
+  /** Deterministic train/val/test (or any) split: each row gets the
+    * first label whose cumulative weight covers its hash bucket.
+    * `fractions` must sum to ≤ 1; rows past the total (if < 1) get
+    * null — a held-out remainder. Changing `salt` reshuffles every
+    * assignment; changing only the fractions moves the minimum number
+    * of rows (bucket boundaries shift, ids keep their buckets). */
+  def datasetSplit(df: DataFrame, id: Column,
+                   fractions: Seq[(String, Double)],
+                   salt: String = "split",
+                   buckets: Int = 10000,
+                   out: String = "split"): DataFrame = {
+    val total = fractions.map(_._2).sum
+    require(total <= 1.0 + 1e-9, s"fractions sum to $total > 1")
+    val b = hashBucket(id, salt, buckets)
+    val cuts = fractions.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.round(c * buckets))
+    // build the CASE from the last label backwards so the first
+    // matching (lowest) cut wins
+    val assigned = fractions.zip(cuts).reverse
+      .foldLeft[Column](lit(null).cast("string")) {
+        case (els, ((label, _), cut)) => when(b < cut, lit(label)).otherwise(els)
+      }
+    df.withColumn(out, assigned)
+  }
+
+  /** Per-stratum deterministic downsample: keep a row iff its hash
+    * bucket falls under the stratum's rate. Strata absent from `rates`
+    * keep `defaultRate`. The salt is independent of [[datasetSplit]]'s
+    * so sampling and splitting don't correlate. */
+  def stratifiedSample(df: DataFrame, id: Column, stratum: Column,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 1.0,
+                       salt: String = "sample",
+                       buckets: Int = 10000): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val rate = rates.toSeq.sortBy(_._1)
+      .foldLeft[Column](lit(defaultRate)) { case (els, (s, r)) =>
+        when(stratum === s, lit(r)).otherwise(els)
+      }
+    df.filter(hashBucket(id, salt, buckets) < round(rate * buckets))
+  }
+}

@@ -71,6 +71,21 @@ object TextAnalysis {
         .otherwise("es"))
   }
 
+  /** Exact corpus-wide heavy hitters: the k most frequent whitespace
+    * tokens with a total (count desc, token asc) tie-break. One
+    * map-side-combined aggregation — the explode never crosses the
+    * wire raw, only per-partition (token, partial count) rows shuffle —
+    * then a TakeOrdered of k rows. The exact counterpart of a
+    * count-min/space-saving sketch: at 100 TB the shuffled partials
+    * are bounded by (partitions × distinct tokens per partition), and
+    * vocabulary grows sublinearly in corpus size. */
+  def topTokens(df: DataFrame, text: String, k: Int): DataFrame =
+    graft.ops.Ops.parallelizeInput(df)
+      .select(explode(split(trim(col(text)), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
   /** Canonical-form fingerprint: lowercase → strip non-alphanumerics →
     * collapse whitespace → md5. Collisions ⇒ near-identical documents
     * modulo case/punctuation/spacing (a dedup key). */

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Dedup, Multimodal, Sessionize, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis}
 
 /** Oracle-checked queries for the LLM-data-pipeline operators
   * (BASELINE.json north star): dedup (exact / MinHash-LSH / SimHash /
@@ -490,6 +490,50 @@ object Llm {
         |        ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS lo FROM sh))
         |SELECT doc_id, min(h) AS roll_fp FROM hs
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // deterministic dataset assembly: split assignment and stratified
+    // sampling are salted-md5 bucket projections, so the oracle
+    // recomputes the exact assignment (md5 is the cross-engine hash)
+    ("llm_split_assign",
+      ((s: SparkSession, d: String) =>
+        Sampling.datasetSplit(Tables.documents(s, d), col("doc_id"),
+            fractions = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+          .select(col("doc_id"), col("split"))
+          .orderBy(col("doc_id"))): Q,
+      Some("""SELECT doc_id,
+        |CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'val'
+        |  ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |    % 10000 AS b
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin)),
+
+    ("llm_sample_stratified",
+      ((s: SparkSession, d: String) =>
+        Sampling.stratifiedSample(Tables.events(s, d), col("event_id"),
+            col("event_type"), rates = Map("purchase" -> 0.5),
+            defaultRate = 0.1)
+          .select(col("event_id"), col("event_type"))
+          .orderBy(col("event_id"))): Q,
+      Some("""SELECT event_id, event_type FROM (
+        |  SELECT event_id, event_type,
+        |    ('0x' || substr(md5('sample|' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 10000 AS b
+        |  FROM events)
+        |WHERE b < CASE WHEN event_type = 'purchase' THEN 5000 ELSE 1000 END
+        |ORDER BY event_id""".stripMargin)),
+
+    // exact heavy hitters: one map-side-combined aggregation, total
+    // (count, token) tie-break so the top-k set is deterministic
+    ("llm_heavy_hitters",
+      ((s: SparkSession, d: String) =>
+        TextAnalysis.topTokens(Tables.documents(s, d), "text", k = 25)
+          .orderBy(col("n").desc, col("token"))): Q,
+      Some("""SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(trim(text), ' ')) AS token
+        |      FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 25""".stripMargin)),
 
     // int64-range assumption: the oracle's CAST(sum(cents) AS BIGINT)
     // errors loudly in DuckDB if a session's cent sum ever exceeded
