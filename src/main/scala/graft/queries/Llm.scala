@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Dedup, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.llm.{Chunking, Dedup, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis}
 
 /** Oracle-checked queries for the LLM-data-pipeline operators
   * (BASELINE.json north star): dedup (exact / MinHash-LSH / SimHash /
@@ -534,6 +534,59 @@ object Llm {
         |FROM (SELECT unnest(string_split(trim(text), ' ')) AS token
         |      FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 25""".stripMargin)),
+
+    // sample prep: overlapping token chunks (64-token windows, stride
+    // 48) — the chunk itself is fingerprinted with md5 so the oracle
+    // compares exact chunk CONTENT, not just counts
+    ("llm_chunk_docs",
+      ((s: SparkSession, d: String) =>
+        Chunking.chunkDocuments(Tables.documents(s, d), "text", "doc_id",
+            chunkTokens = 64, overlap = 16)
+          .select(col("doc_id"), col("chunk_id"),
+            size(col("chunk")).cast("long").as("n_chunk_tokens"),
+            md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_fp"))
+          .orderBy(col("doc_id"), col("chunk_id"))): Q,
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |n AS (SELECT doc_id, t, len(t) AS n FROM toks),
+        |c AS (SELECT doc_id, t,
+        |  unnest(generate_series(0, 1 + (greatest(n - 64, 0) + 47) // 48 - 1))
+        |    AS chunk_id
+        |  FROM n)
+        |SELECT doc_id, chunk_id,
+        |  CAST(len(t[chunk_id*48+1 : chunk_id*48+64]) AS BIGINT)
+        |    AS n_chunk_tokens,
+        |  md5(array_to_string(t[chunk_id*48+1 : chunk_id*48+64], ' '))
+        |    AS chunk_fp
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // sample prep: greedy in-order packing into 2048-token context
+    // bins, sharded (8 shards) so the running sum stays partitioned at
+    // scale; integer-exact so the oracle recomputes the assignment
+    ("llm_pack_sequences",
+      ((s: SparkSession, d: String) =>
+        Chunking.packSequences(
+            Tables.documents(s, d)
+              .select(col("doc_id"),
+                TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+                pmod(col("doc_id"), lit(8)).as("shard")),
+            tokenCount = col("n_tokens"), budget = 2048L,
+            order = Seq(col("doc_id")), shard = Seq(col("shard")))
+          .select(col("doc_id"), col("shard"), col("n_tokens"),
+            col("cum_tokens"), col("bin"), col("bin_offset"))
+          .orderBy(col("doc_id"))): Q,
+      Some("""WITH n AS (SELECT doc_id, doc_id % 8 AS shard,
+        |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_tokens
+        |  FROM n)
+        |SELECT doc_id, shard, n_tokens, cum_tokens,
+        |  CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS bin,
+        |  CAST((cum_tokens - n_tokens) % 2048 AS BIGINT) AS bin_offset
+        |FROM c ORDER BY doc_id""".stripMargin)),
 
     // int64-range assumption: the oracle's CAST(sum(cents) AS BIGINT)
     // errors loudly in DuckDB if a session's cent sum ever exceeded
