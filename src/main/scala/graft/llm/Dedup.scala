@@ -66,23 +66,67 @@ object Dedup {
     shingles.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-document (band, sig) LSH keys: the signature split into
+    * `bands` bands of `rowsPerBand` hashes, each band fingerprinted.
+    * posexplode of per-band signatures, not a bands-way union: one
+    * pass over the signature aggregate instead of `bands` recomputes.
+    * This IS the persistent dedup index shape — store it in the lake
+    * and new batches join against it (see
+    * [[lshCandidatePairsIncremental]]). */
+  def bandSignatures(sigs: DataFrame, id: String,
+                     bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandSigs = array((0 until bands).map { b =>
+      val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      md5(concat(hs: _*).cast("binary"))
+    }: _*)
+    sigs.select(col(id), posexplode(bandSigs).as(Seq("band", "sig")))
+  }
+
   /** LSH banding: split the signature into `bands` bands of
     * `rowsPerBand` hashes; documents sharing any band signature are
     * candidate pairs. The join key is (band, signature) — candidates
     * cost one shuffle regardless of corpus size. Output: (a, b). */
   def lshCandidatePairs(sigs: DataFrame, id: String,
                         bands: Int, rowsPerBand: Int): DataFrame = {
-    // posexplode of per-band signatures, not a bands-way union: one pass
-    // over the signature aggregate instead of `bands` recomputes
-    val bandSigs = array((0 until bands).map { b =>
-      val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      md5(concat(hs: _*).cast("binary"))
-    }: _*)
-    val all = sigs.select(col(id), posexplode(bandSigs).as(Seq("band", "sig")))
+    val all = bandSignatures(sigs, id, bands, rowsPerBand)
     val l = all.select(col(id).as("a"), col("band"), col("sig"))
     val r = all.select(col(id).as("b"), col("band"), col("sig"))
     l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
+  }
+
+  /** Incremental near-dup candidates: a NEW batch's band signatures
+    * joined against the union of the existing index and the batch —
+    * exactly the pairs a full recompute would emit that touch the new
+    * batch (band signatures are per-document, so batching cannot
+    * change them), without ever re-hashing the corpus. This is how a
+    * growing 100 TB corpus stays deduped: signatures are computed once
+    * per document, banded once, persisted, and each ingest joins only
+    * its delta. Output: (a, b) normalized a < b, ≥ 1 side new. */
+  def lshCandidatePairsIncremental(newSigs: DataFrame, indexSigs: DataFrame,
+                                   id: String, bands: Int,
+                                   rowsPerBand: Int): DataFrame = {
+    val bNew = bandSignatures(newSigs, id, bands, rowsPerBand)
+      .select(col(id).as("a"), col("band"), col("sig"))
+    val bAll = bandSignatures(indexSigs, id, bands, rowsPerBand)
+      .select(col(id).as("b"), col("band"), col("sig"))
+      .unionByName(bNew.select(col("a").as("b"), col("band"), col("sig")))
+    bNew.join(bAll, Seq("band", "sig")).filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+  }
+
+  /** End-to-end incremental MinHash-LSH: signatures for the new batch
+    * only, candidates against the existing signature index. */
+  def minhashLshIncremental(newDocs: DataFrame, indexSigs: DataFrame,
+                            text: String, id: String, shingleK: Int = 5,
+                            numPerms: Int = 8, bands: Int = 4): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    val sh = shinglesFromToks(tokenize(newDocs, text, id), id, shingleK,
+      dedup = false)
+    lshCandidatePairsIncremental(minhashSignatures(sh, id, numPerms),
+      indexSigs, id, bands, numPerms / bands)
   }
 
   /** End-to-end MinHash-LSH near-dup candidates over a text column. */

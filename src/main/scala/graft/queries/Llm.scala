@@ -134,6 +134,45 @@ object Llm {
         |  AND l.doc_id < r.doc_id
         |ORDER BY a, b""".stripMargin)),
 
+    // incremental dedup: the 20% "new batch" (doc_id ≡ 4 mod 5) joins
+    // against the 80% existing signature index — the oracle is the
+    // FULL recompute filtered to pairs touching the batch, which must
+    // be identical because band signatures are per-document
+    ("llm_dedup_minhash_incremental",
+      ((s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val oldSigs = Dedup.minhashSignatures(
+          Dedup.shinglesFromToks(
+            Dedup.tokenize(docs.filter(pmod(col("doc_id"), lit(5)) =!= 4),
+              "text", "doc_id"), "doc_id", 5, dedup = false),
+          "doc_id", numPerms = 8)
+        Dedup.minhashLshIncremental(
+            docs.filter(pmod(col("doc_id"), lit(5)) === 4), oldSigs,
+            "text", "doc_id", shingleK = 5, numPerms = 8, bands = 4)
+          .orderBy(col("a"), col("b"))
+      }): Q,
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
+        |        FROM toks)),
+        |mh AS (SELECT doc_id,
+        |  min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
+        |  min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
+        |  min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
+        |  min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
+        |  FROM sh GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, md5(h0 || h1) AS sig FROM mh UNION ALL
+        |  SELECT doc_id, 1, md5(h2 || h3) FROM mh UNION ALL
+        |  SELECT doc_id, 2, md5(h4 || h5) FROM mh UNION ALL
+        |  SELECT doc_id, 3, md5(h6 || h7) FROM mh)
+        |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig
+        |  AND l.doc_id < r.doc_id
+        |WHERE l.doc_id % 5 = 4 OR r.doc_id % 5 = 4
+        |ORDER BY a, b""".stripMargin)),
+
     ("llm_dedup_ngram_jaccard",
       ((s: SparkSession, d: String) =>
         Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",

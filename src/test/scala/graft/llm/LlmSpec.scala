@@ -170,6 +170,23 @@ class LlmSpec extends SparkSpec {
     assert(got == exact, s"banded vs exact: missed ${exact.diff(got)}, extra ${got.diff(exact)}")
   }
 
+  test("incremental minhash-LSH equals the full recompute restricted to the batch") {
+    val isNew = pmod(col("doc_id"), lit(5)) === 4
+    val oldSigs = Dedup.minhashSignatures(
+      Dedup.shinglesFromToks(
+        Dedup.tokenize(docs.filter(!isNew), "text", "doc_id"),
+        "doc_id", 5, dedup = false), "doc_id", numPerms = 8)
+    val inc = Dedup.minhashLshIncremental(docs.filter(isNew), oldSigs,
+        "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minhashLsh(docs, "text", "doc_id")
+      .filter(pmod(col("a"), lit(5)) === 4 || pmod(col("b"), lit(5)) === 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == full,
+      s"missed ${full.diff(inc)}, extra ${inc.diff(full)}")
+    assert(inc.nonEmpty, "batch should contain some planted duplicates")
+  }
+
   test("pairs memo: hits on semantically-equal plans, never cross-serves different inputs") {
     // identical input plan + params → the memoized instance is served
     val first = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
