@@ -328,6 +328,42 @@ class LlmSpec extends SparkSpec {
     assert(meta.forall(_.getString(1) == "unknown")) // text payloads
   }
 
+  test("sampleFrames demuxes real animated-GIF frames") {
+    import spark.implicits._
+    // author a 5-frame 4x3 animated GIF in-memory (pure JVM writer)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    val colors = Seq(0xFF0000, 0x00FF00, 0x0000FF, 0xFFFF00, 0x00FFFF)
+    colors.foreach { c =>
+      val img = new java.awt.image.BufferedImage(4, 3,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 4; y <- 0 until 3) img.setRGB(x, y, c)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+
+    val df = Seq((1L, baos.toByteArray)).toDF("doc_id", "payload")
+    val frames = Multimodal.sampleFrames(df, "payload", frames = 8, stride = 2)
+      .orderBy(col("frame_idx")).collect()
+    // real demux: the container has 5 frames, so stride-2 sampling stops
+    // at index 4 — NOT the fallback's 0,2,4,6 chunk indices
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 2, 4))
+    frames.foreach { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+      assert(img.getWidth == 4 && img.getHeight == 3) // real pixel dims
+    }
+    // frame 2 (index 2) was authored blue — the demuxed content is real
+    val f2 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(frames(1).getAs[Array[Byte]](2)))
+    val rgb = f2.getRGB(1, 1)
+    assert((rgb & 0xFF) > 200 && ((rgb >> 16) & 0xFF) < 64,
+      f"frame 2 not blue: 0x$rgb%08x")
+  }
+
   test("sampleFrames emits stride-sampled chunks") {
     val withBin = Multimodal.asBinary(docs.limit(3), "text", "payload")
     val frames = Multimodal.sampleFrames(withBin, "payload", frames = 8, stride = 2)
