@@ -241,7 +241,12 @@ object Dedup {
     // the frame goes out of scope; only the cand cache needs explicit
     // release
     cand.unpersist(false)
-    pairsMemo.updateWith(memoKey)(old => Some((plan, snap) :: old.getOrElse(Nil)))
+    // bounded memo: keep the most recent few plans per parameter key —
+    // a long-lived session cycling through many inputs must not pin an
+    // unbounded set of checkpointed pair frames (evicted entries are
+    // freed by the ContextCleaner once unreferenced)
+    pairsMemo.updateWith(memoKey)(old =>
+      Some(((plan, snap) :: old.getOrElse(Nil)).take(4)))
     snap
   }
 
