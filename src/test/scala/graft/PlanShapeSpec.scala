@@ -1,0 +1,51 @@
+package graft
+
+/** Plan-shape regression guard over the ENTIRE query registry: no
+  * query may plan a single-partition exchange or an all-pairs join
+  * unless it is on the documented exception list with a reason. A new
+  * operator that accidentally funnels through one task or falls back
+  * to a nested-loop join fails here before it ships. Plans are built,
+  * not executed — the whole sweep costs seconds. */
+class PlanShapeSpec extends SparkSpec {
+
+  /** Documented exceptions (query → why the shape is correct). */
+  private val allowedSinglePartition = Map(
+    "a3_global_minmax" ->
+      "global aggregate: parallel partials, one-row final combine",
+    "o1_o3_topk" ->
+      "global top-k: TakeOrdered / one-row-per-partition final",
+    "o3_first_where_cum_ge" ->
+      "reference per-pool cumulative selection; bounded rows (VERDICT r3)",
+    "o5_slice" ->
+      "reference global row_number slice; bounded rows",
+    "v3_liquidity_distribution" ->
+      "single-pool reference pipeline; <= 2*MAX_TICK/ts rows; fleet form is createLiqBy/swapDFBy",
+    "v3_price_series_asof" ->
+      "single-pool resampled series; bounded buckets; keyless escape hatch is asofJoinRanged",
+    "v3_price_series_gas" ->
+      "single-pool resampled series; bounded buckets")
+
+  private val allowedAllPairs = Map(
+    "llm_similarity_topk" ->
+      "brute-force cosine baseline: exhaustive by definition, queries broadcast",
+    "llm_similarity_quantized_topk" ->
+      "brute-force retrieval over int8 codes: same deliberate baseline shape")
+
+  test("no registry query plans an undocumented single-partition exchange or all-pairs join") {
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      val bad = Seq.newBuilder[String]
+      if (plan.contains("Exchange SinglePartition") &&
+          !allowedSinglePartition.contains(name))
+        bad += s"$name: Exchange SinglePartition"
+      if ((plan.contains("CartesianProduct") ||
+           plan.contains("BroadcastNestedLoopJoin")) &&
+          !allowedAllPairs.contains(name))
+        bad += s"$name: all-pairs join"
+      bad.result()
+    }
+    assert(violations.isEmpty,
+      s"undocumented plan shapes:\n${violations.mkString("\n")}")
+  }
+}
