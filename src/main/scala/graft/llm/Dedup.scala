@@ -54,16 +54,27 @@ object Dedup {
     graft.ops.Ops.parallelizeInput(df, col(id))
       .select(col(id), split(col(text), " ").as("toks"))
 
-  /** MinHash signatures: for each of `numPerms` seeded hash functions,
-    * the minimum md5 over the document's shingles. md5-on-string is
-    * deliberately the hash: byte-identical across engines (the DuckDB
-    * oracle recomputes it), and min() over hex strings is a valid
-    * min-wise hash. One hash-aggregate, `numPerms` agg columns — no
-    * row explosion. Output: (id, h0..h{n-1}). */
+  /** MinHash signatures: `numPerms` min-wise hash lanes per document.
+    * md5 is deliberately the hash (byte-identical across engines — the
+    * DuckDB oracle recomputes it), but each digest supplies FOUR
+    * 32-bit lanes, so `numPerms` permutations cost ⌈numPerms/4⌉ md5
+    * calls per shingle instead of `numPerms` (lanes of one digest are
+    * independent PRF outputs — standard digest splitting). The seeded
+    * digests are materialized in a projection FIRST so each md5 is
+    * computed exactly once per shingle, then the aggregate takes mins
+    * of the parsed hex lanes. One hash-aggregate, no row explosion.
+    * Output: (id, h0..h{n-1}) as longs in [0, 2^32). */
   def minhashSignatures(shingles: DataFrame, id: String, numPerms: Int): DataFrame = {
-    val aggs = (0 until numPerms).map(i =>
-      min(md5(concat(lit(s"$i|"), col("shingle")).cast("binary"))).as(s"h$i"))
-    shingles.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+    val nDigests = (numPerms + 3) / 4
+    val withDigests = shingles.select(col(id) +:
+      (0 until nDigests).map(d =>
+        md5(concat(lit(s"$d|"), col("shingle")).cast("binary")).as(s"__m$d")): _*)
+    val aggs = (0 until numPerms).map { i =>
+      val lane = conv(substring(col(s"__m${i / 4}"), (i % 4) * 8 + 1, 8), 16, 10)
+        .cast("long")
+      min(lane).as(s"h$i")
+    }
+    withDigests.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Per-document (band, sig) LSH keys: the signature split into
@@ -76,8 +87,9 @@ object Dedup {
   def bandSignatures(sigs: DataFrame, id: String,
                      bands: Int, rowsPerBand: Int): DataFrame = {
     val bandSigs = array((0 until bands).map { b =>
-      val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      md5(concat(hs: _*).cast("binary"))
+      val hs = (0 until rowsPerBand).map(r =>
+        col(s"h${b * rowsPerBand + r}").cast("string"))
+      md5(concat_ws("|", hs: _*).cast("binary"))
     }: _*)
     sigs.select(col(id), posexplode(bandSigs).as(Seq("band", "sig")))
   }

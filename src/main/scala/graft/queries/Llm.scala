@@ -118,17 +118,27 @@ object Llm {
         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
         |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
         |        FROM toks)),
+        |md AS (SELECT doc_id, md5('0|' || shingle) AS m0,
+        |  md5('1|' || shingle) AS m1 FROM sh),
         |mh AS (SELECT doc_id,
-        |  min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
-        |  min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
-        |  min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
-        |  min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
-        |  FROM sh GROUP BY doc_id),
+        |  min(('0x' || substr(m0, 1, 8))::BIGINT) AS h0,
+        |  min(('0x' || substr(m0, 9, 8))::BIGINT) AS h1,
+        |  min(('0x' || substr(m0, 17, 8))::BIGINT) AS h2,
+        |  min(('0x' || substr(m0, 25, 8))::BIGINT) AS h3,
+        |  min(('0x' || substr(m1, 1, 8))::BIGINT) AS h4,
+        |  min(('0x' || substr(m1, 9, 8))::BIGINT) AS h5,
+        |  min(('0x' || substr(m1, 17, 8))::BIGINT) AS h6,
+        |  min(('0x' || substr(m1, 25, 8))::BIGINT) AS h7
+        |  FROM md GROUP BY doc_id),
         |bands AS (
-        |  SELECT doc_id, 0 AS band, md5(h0 || h1) AS sig FROM mh UNION ALL
-        |  SELECT doc_id, 1, md5(h2 || h3) FROM mh UNION ALL
-        |  SELECT doc_id, 2, md5(h4 || h5) FROM mh UNION ALL
-        |  SELECT doc_id, 3, md5(h6 || h7) FROM mh)
+        |  SELECT doc_id, 0 AS band,
+        |    md5(CAST(h0 AS VARCHAR) || '|' || CAST(h1 AS VARCHAR)) AS sig FROM mh
+        |  UNION ALL SELECT doc_id, 1,
+        |    md5(CAST(h2 AS VARCHAR) || '|' || CAST(h3 AS VARCHAR)) FROM mh
+        |  UNION ALL SELECT doc_id, 2,
+        |    md5(CAST(h4 AS VARCHAR) || '|' || CAST(h5 AS VARCHAR)) FROM mh
+        |  UNION ALL SELECT doc_id, 3,
+        |    md5(CAST(h6 AS VARCHAR) || '|' || CAST(h7 AS VARCHAR)) FROM mh)
         |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
         |FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig
         |  AND l.doc_id < r.doc_id
@@ -156,17 +166,27 @@ object Llm {
         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
         |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
         |        FROM toks)),
+        |md AS (SELECT doc_id, md5('0|' || shingle) AS m0,
+        |  md5('1|' || shingle) AS m1 FROM sh),
         |mh AS (SELECT doc_id,
-        |  min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
-        |  min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
-        |  min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
-        |  min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
-        |  FROM sh GROUP BY doc_id),
+        |  min(('0x' || substr(m0, 1, 8))::BIGINT) AS h0,
+        |  min(('0x' || substr(m0, 9, 8))::BIGINT) AS h1,
+        |  min(('0x' || substr(m0, 17, 8))::BIGINT) AS h2,
+        |  min(('0x' || substr(m0, 25, 8))::BIGINT) AS h3,
+        |  min(('0x' || substr(m1, 1, 8))::BIGINT) AS h4,
+        |  min(('0x' || substr(m1, 9, 8))::BIGINT) AS h5,
+        |  min(('0x' || substr(m1, 17, 8))::BIGINT) AS h6,
+        |  min(('0x' || substr(m1, 25, 8))::BIGINT) AS h7
+        |  FROM md GROUP BY doc_id),
         |bands AS (
-        |  SELECT doc_id, 0 AS band, md5(h0 || h1) AS sig FROM mh UNION ALL
-        |  SELECT doc_id, 1, md5(h2 || h3) FROM mh UNION ALL
-        |  SELECT doc_id, 2, md5(h4 || h5) FROM mh UNION ALL
-        |  SELECT doc_id, 3, md5(h6 || h7) FROM mh)
+        |  SELECT doc_id, 0 AS band,
+        |    md5(CAST(h0 AS VARCHAR) || '|' || CAST(h1 AS VARCHAR)) AS sig FROM mh
+        |  UNION ALL SELECT doc_id, 1,
+        |    md5(CAST(h2 AS VARCHAR) || '|' || CAST(h3 AS VARCHAR)) FROM mh
+        |  UNION ALL SELECT doc_id, 2,
+        |    md5(CAST(h4 AS VARCHAR) || '|' || CAST(h5 AS VARCHAR)) FROM mh
+        |  UNION ALL SELECT doc_id, 3,
+        |    md5(CAST(h6 AS VARCHAR) || '|' || CAST(h7 AS VARCHAR)) FROM mh)
         |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
         |FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig
         |  AND l.doc_id < r.doc_id
