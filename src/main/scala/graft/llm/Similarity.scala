@@ -87,23 +87,17 @@ object Similarity {
                    dim: Int = 64, seed: Long = 42L): DataFrame = {
     val ps = planes(bands * rowsPerBand, dim, seed)
     val bk = bandedKeys(corpus, id, emb, ps, bands, rowsPerBand)
-    // candidates are NOT pre-deduped: a pair colliding in k bands is
-    // reranked k times, but multi-band collisions are rare (a few % at
-    // real bucket sizes) while a distinct over the full candidate set
-    // is a complete extra shuffle of the largest intermediate in the
-    // pipeline. The (tiny) post-threshold survivors dedupe instead.
     val cand = bk.select(col("__bid").as("a"), col("band"), col("key"))
       .join(bk.select(col("__bid").as("b"), col("band"), col("key")),
         Seq("band", "key"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"))
+      .select(col("a"), col("b")).distinct()
     val pa = prepped(corpus, id, emb, "a", "q_emb", "q_nrm")
     val pb = prepped(corpus, id, emb, "b", "c_emb", "c_nrm")
     cand.join(pa, Seq("a")).join(pb, Seq("b"))
       .withColumn("score", pairScore)
       .filter(col("score") >= threshold)
       .select(col("a"), col("b"), col("score"))
-      .dropDuplicates("a", "b")
   }
 
   /** Exact quadratic variant of [[nearDupPairs]] — the recall-1 baseline
