@@ -100,6 +100,29 @@ object Similarity {
       .select(col("a"), col("b"), col("score"))
   }
 
+  /** Planted near-duplicates for recall evaluation: every `every`-th row
+    * (by id) gains a copy at id+`idOffset` whose coordinates are jittered
+    * by a fixed ±4% per-index pattern (multiplier 1 + 0.02·((i mod 5) − 2)
+    * ∈ {0.96 … 1.04}), giving cosine(v, v′) ≈ 0.999 — above any realistic
+    * dedup threshold. This is the standard planted-pair protocol for
+    * testing a near-dup pipeline on a corpus with no natural duplicates;
+    * every step is deterministic IEEE double arithmetic, so the DuckDB
+    * oracle recomputes the identical augmented corpus (see
+    * queries/Llm.scala `nearDupScaleSql`). Output: (id, emb) with emb
+    * cast to array<double>; a narrow union of two projections — no
+    * shuffle, no data written. */
+  def withPlantedDups(corpus: DataFrame, id: String, emb: String,
+                      every: Int = 20, idOffset: Long = 1000000L): DataFrame = {
+    val base = corpus.select(col(id),
+      transform(col(emb), x => x.cast("double")).as(emb))
+    val planted = base.filter(pmod(col(id), lit(every)) === 0)
+      .select((col(id) + lit(idOffset)).as(id),
+        transform(col(emb), (x, i) =>
+          x * (lit(1.0) + lit(0.02) * (pmod(i, lit(5)).cast("double") - lit(2.0))))
+          .as(emb))
+    base.unionByName(planted)
+  }
+
   /** Exact quadratic variant of [[nearDupPairs]] — the recall-1 baseline
     * for tiny inputs and for measuring the banded path's recall. */
   def exactNearDupPairs(corpus: DataFrame, id: String, emb: String,

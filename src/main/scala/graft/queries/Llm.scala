@@ -44,7 +44,16 @@ object Llm {
     * (the [[annBucketSql]] recipe), and DuckDB runs it 10× faster. */
   private def nearDupScaleSql(threshold: Double, bands: Int,
                               rowsPerBand: Int, dim: Int,
-                              seed: Long = 42L): String = {
+                              seed: Long = 42L,
+                              plantedEvery: Int = 0): String = {
+    // mirror of Similarity.withPlantedDups: copies at id+1000000 with the
+    // fixed ±4% per-index jitter (DuckDB lambda index i is 1-based, Spark's
+    // is 0-based — hence (i-1) here)
+    val plantedUnion = if (plantedEvery <= 0) "" else s"""
+    |  UNION ALL SELECT vec_id + 1000000, list_transform(embedding,
+    |    (x, i) -> CAST(x AS DOUBLE)
+    |      * (1.0 + 0.02 * (CAST((i - 1) % 5 AS DOUBLE) - 2.0)))
+    |  FROM embeddings WHERE vec_id % $plantedEvery = 0""".stripMargin
     // splitmix64 constants, split for overflow-free mod-2^64 multiply:
     // a*b mod 2^64 = ((a*b_hi mod 2^32)*2^32 + a*b_lo) mod 2^64, every
     // intermediate < 2^97 — inside HUGEINT's 128-bit range
@@ -67,7 +76,7 @@ object Llm {
     |    / 9223372036854775807.0 ORDER BY i) AS pl
     |  FROM s6 GROUP BY p),
     |emb AS MATERIALIZED (SELECT vec_id,
-    |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+    |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings$plantedUnion),
     |pre AS MATERIALIZED (SELECT vec_id, e,
     |  sqrt(list_dot_product(e, e)) AS nrm FROM emb),
     |bk AS MATERIALIZED (SELECT vec_id, p // $rowsPerBand AS band,
@@ -339,18 +348,24 @@ object Llm {
     // threshold with 8-plane bands (256 buckets/band), so candidate
     // cost stays ~linear instead of the 2-plane recall study's n²/4
     // growth (see Similarity.nearDupPairs scaladoc + ScaleProbe). The
-    // corpus genuinely has no pairs at cosine ≥ 0.8 (max observed pair
-    // ≈ 0.51), so the honest answer is empty — the oracle recomputes
-    // the entire banding + rerank pipeline in SQL and must agree
+    // corpus has no natural pairs at cosine ≥ 0.8 (max observed pair
+    // ≈ 0.51), so near-duplicates are PLANTED: every 20th vector gains
+    // a deterministically jittered copy (withPlantedDups — the standard
+    // planted-pair recall protocol), and the oracle recomputes the
+    // plant + banding + rerank pipeline end-to-end in SQL — the row
+    // proves the scale-safe config actually recovers pairs, not just
+    // that two engines agree on an empty answer
     ("llm_embedding_neardup_scale",
       ((s: SparkSession, d: String) =>
-        Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id",
-            "embedding", threshold = 0.8, bands = 32, rowsPerBand = 8)
+        Similarity.nearDupPairs(
+            Similarity.withPlantedDups(Tables.embeddings(s, d), "vec_id",
+              "embedding", every = 20),
+            "vec_id", "embedding", threshold = 0.8, bands = 32, rowsPerBand = 8)
           .select(col("a"), col("b"),
             floor(col("score") * 1000000 + 0.5).cast("long").as("score_e6"))
           .orderBy(col("a"), col("b"))): Q,
       Some(nearDupScaleSql(threshold = 0.8, bands = 32, rowsPerBand = 8,
-        dim = 64))),
+        dim = 64, plantedEvery = 20))),
 
     // fully SQL-checkable: the splitmix64 plane hashes are inlined as
     // integer literals and divided to doubles in SQL — identical IEEE

@@ -211,9 +211,8 @@ class LlmSpec extends SparkSpec {
   }
 
   test("scale-config banding (32 bands × 8 planes): equi-join plan, exact-precision subset") {
-    // the llm_embedding_neardup_scale gate row is honestly empty at
-    // threshold 0.8 (the corpus has no pairs that similar), so this
-    // spec exercises the same banding non-vacuously at 0.4
+    // the corpus has no natural pairs at threshold 0.8, so this spec
+    // exercises the same banding non-vacuously at 0.4
     val banded = Similarity.nearDupPairs(emb, "vec_id", "embedding",
       threshold = 0.4, bands = 32, rowsPerBand = 8)
     val plan = banded.queryExecution.executedPlan.toString
@@ -230,6 +229,26 @@ class LlmSpec extends SparkSpec {
       assert(exact.contains(pair), s"banded pair $pair not in exact set")
       assert(score == exact(pair), s"score mismatch for $pair")
     }
+  }
+
+  test("planted near-dups: the 0.8/32x8 gate config recovers every planted pair") {
+    // the llm_embedding_neardup_scale gate row runs this exact pipeline:
+    // every 20th vector gains a jittered copy (cosine ~0.999), and the
+    // scale-safe banding must recover all of them with exact scores
+    val aug = Similarity.withPlantedDups(emb, "vec_id", "embedding", every = 20)
+    val nPlanted = emb.filter(pmod(col("vec_id"), lit(20)) === 0).count()
+    val got = Similarity.nearDupPairs(aug, "vec_id", "embedding",
+        threshold = 0.8, bands = 32, rowsPerBand = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(got.nonEmpty, "planted pairs not recovered")
+    // every recovered pair is a planted (v, v+1e6) pair with the
+    // expected near-1 cosine, and none of the planted pairs is missed
+    got.foreach { case ((a, b), score) =>
+      assert(b == a + 1000000L, s"unexpected non-planted pair ($a, $b)")
+      assert(score > 0.99 && score <= 1.0, s"planted pair score $score")
+    }
+    assert(got.length == nPlanted,
+      s"recovered ${got.length} of $nPlanted planted pairs")
   }
 
   test("extractFeatures: schema, batch shape, determinism, normalization") {
