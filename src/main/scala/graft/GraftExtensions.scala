@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProduct, Md5Hash64Expr, SearchSortedExpr, SimhashAgg}
+
+/** Cluster-wide deployment surface for the graft custom expressions.
+  *
+  * `--conf spark.sql.extensions=graft.GraftExtensions` attaches every
+  * native function to each session's catalog at session build time —
+  * the standard way a cluster operator ships a library so that pure-SQL
+  * users (spark-sql, Thrift server, notebooks) can call `graft_dot`,
+  * `graft_md5_hash64`, `graft_search_sorted` and `graft_simhash_agg`
+  * without touching the Scala API. The per-object `register(spark)`
+  * calls remain for programmatic sessions; this class is the
+  * no-code-changes injection point and registers the same builders
+  * (same names, same expressions — one source of truth per function).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def fn(name: String, builder: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, name),
+      builder)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(fn(graft.functions.VectorFunctions.DotName,
+      exprs => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction(fn(Md5Hash64Expr.Name,
+      exprs => Md5Hash64Expr(exprs.head)))
+    ext.injectFunction(fn(SearchSortedExpr.Name,
+      exprs => SearchSortedExpr(exprs(0), exprs(1))))
+    ext.injectFunction(fn(SimhashAgg.Name,
+      exprs => SimhashAgg(exprs.head).toAggregateExpression()))
+  }
+}

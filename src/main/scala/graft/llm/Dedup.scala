@@ -21,6 +21,35 @@ object Dedup {
     df.groupBy(sha2(col(text), 256).as("text_sha"))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dupes"))
 
+  /** Benchmark decontamination: flag training documents that share any
+    * word k-gram with an evaluation/benchmark set — the n-gram-overlap
+    * protocol used to scrub eval leakage from pretraining corpora
+    * (13-grams is the published convention; `k` is a parameter because
+    * short synthetic documents need smaller windows). Output, one row
+    * per CONTAMINATED training document: (id, n_hit_shingles = distinct
+    * leaked k-grams, n_bench_docs = distinct benchmark documents hit).
+    * Anti-joining the flagged ids back out of the corpus is the caller's
+    * one-line cleanup step.
+    *
+    * Scale shape: the benchmark side is small by nature (eval suites are
+    * MBs against a 100 TB corpus), so its distinct shingle set is
+    * broadcast — the corpus-sized side never shuffles; contamination
+    * detection runs at scan speed like any broadcast semi-join. Set
+    * `broadcastBench = false` for the rare giant-benchmark case to fall
+    * back to a shuffle equi-join on the shingle. */
+  def decontaminate(train: DataFrame, bench: DataFrame, text: String,
+                    id: String, k: Int = 13,
+                    broadcastBench: Boolean = true): DataFrame = {
+    val trainSh = wordShingles(train, text, id, k)
+    val benchSh0 = wordShingles(bench, text, id, k)
+      .select(col(id).as("bench_id"), col("shingle"))
+    val benchSh = if (broadcastBench) broadcast(benchSh0) else benchSh0
+    trainSh.join(benchSh, Seq("shingle"))
+      .groupBy(col(id))
+      .agg(countDistinct(col("shingle")).as("n_hit_shingles"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
+
   /** Distinct word k-shingles per document: (id, shingle). Documents
     * with fewer than k tokens produce none. */
   def wordShingles(df: DataFrame, text: String, id: String, k: Int): DataFrame =

@@ -86,6 +86,33 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Repetition quality signals per document over word k-grams — the
+    * within-document counterpart of cross-document dedup (boilerplate,
+    * keyword stuffing and generation loops show up as repeated n-grams
+    * long before they show up as duplicate documents). Per document:
+    * n_grams (total k-gram occurrences), dup_gram_bp (fraction of
+    * occurrences whose k-gram repeats within the document, basis
+    * points), top_gram_bp (fraction contributed by the single most
+    * frequent k-gram). Two keyed aggregations — (id, gram) then (id) —
+    * so state is per-document and the pipeline scales like any grouped
+    * agg; documents with fewer than k tokens produce no row. */
+  def repetitionSignals(df: DataFrame, text: String, id: String,
+                        k: Int = 2): DataFrame = {
+    val grams = Dedup.shinglesFromToks(Dedup.tokenize(df, text, id), id, k,
+      dedup = false)
+    val perGram = grams.groupBy(col(id), col("shingle"))
+      .agg(count(lit(1)).as("c"))
+    perGram.groupBy(col(id))
+      .agg(sum(col("c")).as("n_grams"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_occ"),
+        max(col("c")).as("top_c"))
+      .select(col(id), col("n_grams"),
+        floor(lit(10000.0) * col("dup_occ") / col("n_grams") + 0.5)
+          .cast("long").as("dup_gram_bp"),
+        floor(lit(10000.0) * col("top_c") / col("n_grams") + 0.5)
+          .cast("long").as("top_gram_bp"))
+  }
+
   /** Canonical-form fingerprint: lowercase → strip non-alphanumerics →
     * collapse whitespace → md5. Collisions ⇒ near-identical documents
     * modulo case/punctuation/spacing (a dedup key). */

@@ -583,6 +583,38 @@ object Llm {
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin)),
 
+    // benchmark decontamination: train docs sharing any word 8-gram
+    // with the held-out test split. The split is the deterministic
+    // salted-md5 assignment above, so the oracle recomputes split +
+    // shingling + overlap end-to-end; 8-grams (not the published 13)
+    // because the synthetic docs average ~54 tokens
+    ("llm_decontaminate",
+      ((s: SparkSession, d: String) => {
+        val sp = Sampling.datasetSplit(Tables.documents(s, d), col("doc_id"),
+          fractions = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        Dedup.decontaminate(sp.filter(col("split") === "train"),
+            sp.filter(col("split") === "test"), "text", "doc_id", k = 8)
+          .orderBy(col("doc_id"))
+      }): Q,
+      Some("""WITH sp AS (SELECT doc_id, text,
+        |  CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, text,
+        |    ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 10000 AS b FROM documents)),
+        |toks AS (SELECT doc_id, split, string_split(text, ' ') AS t FROM sp
+        |  WHERE len(string_split(text, ' ')) >= 8),
+        |sh AS (SELECT DISTINCT doc_id, split,
+        |    array_to_string(t[i:i+7], ' ') AS shingle
+        |  FROM (SELECT doc_id, split, t, unnest(generate_series(1, len(t)-7)) AS i
+        |        FROM toks))
+        |SELECT tr.doc_id,
+        |  count(DISTINCT tr.shingle) AS n_hit_shingles,
+        |  count(DISTINCT te.doc_id) AS n_bench_docs
+        |FROM sh tr JOIN sh te ON tr.shingle = te.shingle
+        |WHERE tr.split = 'train' AND te.split = 'test'
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin)),
+
     ("llm_sample_stratified",
       ((s: SparkSession, d: String) =>
         Sampling.stratifiedSample(Tables.events(s, d), col("event_id"),
@@ -608,6 +640,26 @@ object Llm {
         |FROM (SELECT unnest(string_split(trim(text), ' ')) AS token
         |      FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 25""".stripMargin)),
+
+    // within-document repetition signals over word 2-grams: integer
+    // counts plus two IEEE-exact basis-point ratios (same cents-trick
+    // rounding as every other bp column)
+    ("llm_text_repetition",
+      ((s: SparkSession, d: String) =>
+        TextAnalysis.repetitionSignals(Tables.documents(s, d), "text",
+            "doc_id", k = 2)
+          .orderBy(col("doc_id"))): Q,
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |g AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+        |        FROM toks)),
+        |pg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |  CAST(floor(10000.0 * sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c)
+        |    + 0.5) AS BIGINT) AS dup_gram_bp,
+        |  CAST(floor(10000.0 * max(c) / sum(c) + 0.5) AS BIGINT) AS top_gram_bp
+        |FROM pg GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // sample prep: overlapping token chunks (64-token windows, stride
     // 48) — the chunk itself is fingerprinted with md5 so the oracle

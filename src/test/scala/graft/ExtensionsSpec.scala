@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** End-to-end check of the cluster deployment surface: a session built
+  * with [[GraftExtensions]] answers pure SQL over every graft native
+  * function, with no programmatic `register` call.
+  *
+  * The class is instantiated REFLECTIVELY (no-arg constructor, cast to
+  * `SparkSessionExtensions => Unit`) — exactly the contract
+  * `spark.sql.extensions=graft.GraftExtensions` relies on; the conf
+  * path itself only takes effect at SparkContext creation, which a
+  * shared-context test suite cannot exercise, so reflective
+  * construction + `withExtensions` covers the same code path Spark's
+  * `applyExtensions` runs. The suite session's SparkContext is reused
+  * (never stopped); active/default sessions are restored afterwards. */
+class ExtensionsSpec extends SparkSpec {
+
+  test("GraftExtensions exposes every native function to pure SQL") {
+    spark.sparkContext // force the shared context up front
+    val ext = Class.forName("graft.GraftExtensions")
+      .getDeclaredConstructor().newInstance()
+      .asInstanceOf[SparkSessionExtensions => Unit]
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(ext)
+      .getOrCreate()
+    try {
+      assert(s2 ne spark, "expected a fresh session over the shared context")
+      val r = s2.sql(
+        """SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
+          |  graft_md5_hash64(cast('abc' AS binary)) AS h,
+          |  graft_search_sorted(array(1.0D, 5.0D, 9.0D), 5.0D) AS idx
+          |""".stripMargin).head()
+      assert(r.getDouble(0) == 11.0)
+      assert(r.getLong(1) ==
+        graft.functions.Md5Hash64Expr.hash("abc".getBytes("UTF-8")))
+      assert(r.getInt(2) == 2) // first index with arr(i) > 5.0
+      // simhash of {1, 3, 2}: bit0 votes +1, bit1 votes +1, rest −3 → 3
+      val sim = s2.sql(
+        "SELECT graft_simhash_agg(h) AS s FROM VALUES (1L), (3L), (2L) AS t(h)")
+        .head().getLong(0)
+      assert(sim == 3L)
+    } finally {
+      prevActive.foreach(SparkSession.setActiveSession)
+      prevDefault.foreach(SparkSession.setDefaultSession)
+    }
+  }
+}

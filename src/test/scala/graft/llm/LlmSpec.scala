@@ -36,6 +36,35 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.9, s"lsh recall $recall")
   }
 
+  test("decontaminate: flags exactly the train docs sharing a k-gram, broadcast plan") {
+    import spark.implicits._
+    val train = Seq((1L, "a b c d e"), (2L, "p q r s t"), (3L, "a b c x y"))
+      .toDF("doc_id", "text")
+    val bench = Seq((10L, "z z a b c"), (11L, "m n o u v"), (12L, "b c x q j"))
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, bench, "text", "doc_id", k = 3)
+    // doc 1 leaks "a b c" (bench 10); doc 3 leaks "a b c" (10) and
+    // "b c x" (12); doc 2 leaks nothing
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L, 1L), (3L, 2L, 2L)))
+    // the benchmark side must broadcast — the corpus side never shuffles
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
+  test("repetitionSignals: hand-computed fractions, short docs dropped") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b a"), (2L, "x y z w"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(df, "text", "doc_id", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    // doc 1: grams (a b, b a, a b, b a) → n=4, all repeated → 10000 bp,
+    // top gram 2/4 → 5000 bp. doc 2: 3 unique grams → 0 bp, top 1/3 →
+    // 3333 bp. doc 3: 1 token < k → no row.
+    assert(got == Seq((1L, 4L, 10000L, 5000L), (2L, 3L, 0L, 3333L)))
+  }
+
   test("duplicateClusters: driver union-find and distributed label propagation agree") {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
         k = 5, maxDf = 5, minJaccard = 0.5)
