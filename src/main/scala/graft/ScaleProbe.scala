@@ -78,6 +78,14 @@ object ScaleProbe {
       llm.Similarity.trainIvfCentroids(emb, "embedding", nLists = 8, iters = 2)
       println(f"""{"probe":"ivf_train_2it","k":$k,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
     }
+    // decontamination: the benchmark side stays fixed-size while the
+    // corpus replicates — the realistic shape (eval suites don't grow
+    // with the corpus), so the probe shows the broadcast-join scan scale
+    time("decontaminate")(llm.Dedup.decontaminate(docs,
+      Tables.documents(spark, sfDir).filter(pmod(col("doc_id"), lit(20)) === 0),
+      "text", "doc_id", k = 8))
+    time("repetition_signals")(llm.TextAnalysis.repetitionSignals(
+      docs, "text", "doc_id", k = 2))
     time("sessionize")(llm.Sessionize.sessions(events, "user_id", "ts_us",
       order = Seq(col("ts_us"), col("event_id")),
       gapMicros = 1800000000L, valueCol = "value"))

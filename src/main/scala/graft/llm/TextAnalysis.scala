@@ -113,6 +113,47 @@ object TextAnalysis {
           .cast("long").as("top_gram_bp"))
   }
 
+  /** TF-IDF salient terms: the top-k most distinctive tokens per
+    * document — the standard relevance/curation primitive (keyword
+    * extraction, topic balancing, retrieval features). Corpus-wide
+    * document frequency joined onto per-document term frequency, score
+    * = tf · idf, top-k by a TOTAL (score desc, term asc) order so the
+    * result set is deterministic.
+    *
+    * `logIdf = false` (default) scores with the rational idf
+    * (N+1)/(df+1) instead of its logarithm: every arithmetic step is
+    * then one exact-rounded IEEE multiply/divide, bit-reproducible in
+    * the SQL oracle — `ln` implementations differ by ulps across
+    * engines' libm, which is exactly the kind of silent divergence the
+    * hash gate exists to catch. Pass `logIdf = true` for the classic
+    * log damping in production ranking (same pipeline shape, engine-
+    * local determinism only).
+    *
+    * Scale: tf is a (doc, term) aggregate, df a (term) aggregate, the
+    * join a standard shuffle on term (vocabulary grows sublinearly in
+    * corpus size), the top-k a per-document window — all keyed, no
+    * driver data path; the corpus row count is the one scalar pulled
+    * to the driver. */
+  def tfidfTopTerms(df0: DataFrame, text: String, id: String, k: Int = 3,
+                    logIdf: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = df0.count()
+    val tf = Dedup.tokenize(df0, text, id)
+      .select(col(id), explode(col("toks")).as("term"))
+      .groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = col("tf") * lit(nDocs + 1) / (col("df") + lit(1))
+    val score = if (logIdf) col("tf") * log(lit(nDocs + 1.0) / (col("df") + 1)) else idf
+    tf.join(dfreq, Seq("term"))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(id)).orderBy(col("score").desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select(col(id), col("term"), col("tf"), col("df"),
+        floor(col("score") * 1000000 + 0.5).cast("long").as("score_e6"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Canonical-form fingerprint: lowercase → strip non-alphanumerics →
     * collapse whitespace → md5. Collisions ⇒ near-identical documents
     * modulo case/punctuation/spacing (a dedup key). */

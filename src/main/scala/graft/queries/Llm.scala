@@ -661,6 +661,31 @@ object Llm {
         |  CAST(floor(10000.0 * max(c) / sum(c) + 0.5) AS BIGINT) AS top_gram_bp
         |FROM pg GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // TF-IDF salient terms, rational idf (N+1)/(df+1) so every step is
+    // exact-rounded IEEE arithmetic the oracle reproduces bit-for-bit
+    // (see TextAnalysis.tfidfTopTerms scaladoc for the ln caveat)
+    ("llm_text_tfidf",
+      ((s: SparkSession, d: String) =>
+        TextAnalysis.tfidfTopTerms(Tables.documents(s, d), "text",
+            "doc_id", k = 3)
+          .orderBy(col("doc_id"), col("rank"))): Q,
+      Some("""WITH tf AS (SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT doc_id, term, tf, df,
+        |  tf * (n.n + 1) / (df + 1) AS score FROM tf JOIN dfq USING (term)
+        |  CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY score DESC, term) AS rank FROM s)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+        |  CAST(df AS BIGINT) AS df,
+        |  CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
     // sample prep: overlapping token chunks (64-token windows, stride
     // 48) — the chunk itself is fingerprinted with md5 so the oracle
     // compares exact chunk CONTENT, not just counts

@@ -136,6 +136,62 @@ object Streaming {
     events.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming near-dup index maintenance — the streaming form of
+    * [[graft.llm.Dedup.minhashLshIncremental]] for a continuously
+    * growing corpus. Each micro-batch of new documents: (a) computes
+    * its minhash signatures once, (b) emits candidate pairs against
+    * the persisted signature index plus the batch itself, (c) appends
+    * its signatures to the index. `foreachBatch` supplies batch
+    * boundaries and checkpointing; the per-batch work is the proven
+    * batch operator, so streaming and batch dedup agree by
+    * construction (band signatures are per-document).
+    *
+    * Exactly-once: both sinks are partitioned by `batch_id` and
+    * written with dynamic partition overwrite, so a retried batch
+    * replaces its own partition instead of duplicating it. A crash
+    * between the two writes re-derives the same pairs on retry (the
+    * index may then already contain the batch's own signatures — the
+    * candidate join is distinct over ids, so the pair set is
+    * unchanged). At fleet scale the index holds fixed-width signature
+    * rows — a ~100-byte sketch per document, read once per batch,
+    * orders of magnitude smaller than the corpus it summarizes. */
+  def dedupIndexStream(docs: DataFrame, text: String, id: String,
+                       indexDir: String, pairsDir: String,
+                       checkpointDir: String,
+                       shingleK: Int = 5, numPerms: Int = 8,
+                       bands: Int = 4): DataStreamWriter[Row] = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val sigs = graft.llm.Dedup.minhashSignatures(
+            graft.llm.Dedup.shinglesFromToks(
+              graft.llm.Dedup.tokenize(batch, text, id), id, shingleK,
+              dedup = false), id, numPerms)
+          .localCheckpoint()
+        val index =
+          try spark.read.parquet(indexDir).drop("batch_id")
+          catch { // first batch: no index yet
+            case _: org.apache.spark.sql.AnalysisException => sigs.limit(0)
+          }
+        val pairs = graft.llm.Dedup.lshCandidatePairsIncremental(
+          sigs, index, id, bands, numPerms / bands)
+        pairs.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(pairsDir)
+        // signatures land last: a crash before this point re-runs the
+        // batch with the index still excluding it
+        sigs.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(indexDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+  }
+
   /** Incremental lake append: every file dropped into `srcDir` lands in
     * the destination exactly once (file-source checkpointing replaces
     * the reference's max-block resume scan). `AvailableNow` processes

@@ -65,6 +65,30 @@ class LlmSpec extends SparkSpec {
     assert(got == Seq((1L, 4L, 10000L, 5000L), (2L, 3L, 0L, 3333L)))
   }
 
+  test("tfidfTopTerms: hand-computed scores, total tie-break, log variant ranks rarer higher") {
+    import spark.implicits._
+    val df = Seq((1L, "apple apple banana"), (2L, "banana cherry"),
+      (3L, "cherry cherry cherry")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(df, "text", "doc_id", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .sortBy(t => (t._1, t._6)).toSeq
+    // N=3; score = tf·(N+1)/(df+1): apple 2·4/2=4, banana@1 4/3,
+    // banana@2 = cherry@2 = 4/3 (tie → term asc), cherry@3 3·4/3=4
+    assert(got == Seq(
+      (1L, "apple", 2L, 1L, 4000000L, 1L),
+      (1L, "banana", 1L, 2L, 1333333L, 2L),
+      (2L, "banana", 1L, 2L, 1333333L, 1L),
+      (2L, "cherry", 1L, 2L, 1333333L, 2L),
+      (3L, "cherry", 3L, 2L, 4000000L, 1L)), got.toString)
+    // log variant: same pipeline, rarer term still outranks given equal tf
+    val logTop = TextAnalysis.tfidfTopTerms(df, "text", "doc_id", k = 1,
+        logIdf = true)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(logTop(1L) == "apple" && logTop(3L) == "cherry")
+  }
+
   test("duplicateClusters: driver union-find and distributed label propagation agree") {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
         k = 5, maxDf = 5, minJaccard = 0.5)

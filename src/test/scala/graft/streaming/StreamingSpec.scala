@@ -136,6 +136,41 @@ class StreamingSpec extends SparkSpec {
     assert(texts == Seq("a", "b", "c"), texts.toString)
   }
 
+  test("streaming dedup index: incremental pairs across batches equal the full recompute") {
+    val docs = Tables.documents(spark, dir)
+    val srcDir = Files.createTempDirectory("dedup-idx-src").toString
+    val base = Files.createTempDirectory("dedup-idx").toString
+    val (indexDir, pairsDir, ckDir) =
+      (s"$base/index", s"$base/pairs", s"$base/ck")
+
+    def runOnce(): Unit = {
+      val src = Streaming.fileStream(spark, srcDir, docs.schema)
+      val q = Streaming.dedupIndexStream(src, "text", "doc_id",
+        indexDir, pairsDir, ckDir).start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    // batch 0: 80% of the corpus; batch 1: the rest
+    docs.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+    docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+
+    val got = spark.read.parquet(pairsDir).select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.llm.Dedup.minhashLsh(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && want.nonEmpty,
+      s"streaming ${got.size} pairs vs batch ${want.size}")
+    // the index now holds one signature row per (long-enough) document
+    val nSigs = spark.read.parquet(indexDir).count()
+    val nDocs = graft.llm.Dedup.minhashSignatures(
+      graft.llm.Dedup.wordShingles(docs, "text", "doc_id", 5),
+      "doc_id", 8).count()
+    assert(nSigs == nDocs)
+  }
+
   test("lake append stream lands each dropped file exactly once") {
     val batch = Tables.events(spark, dir)
       .withColumn("ts", timestamp_micros(col("ts_us")))
