@@ -6,12 +6,16 @@ import org.apache.spark.sql.functions._
 /** Scale probe: replicate the sf-dir inputs `K`× with disjoint keys and
   * time the heavy pipelines, looking for super-linear cliffs the
   * per-round bench (fixed SF) cannot see. Emits one JSON line per
-  * probe. Usage: runMain graft.ScaleProbe [sfDir] [K]
+  * probe. Usage: runMain graft.ScaleProbe [sfDir] [K] [probe,probe,…]
+  * (the optional third arg runs only the named probes — for isolating
+  * one stage's variance without paying for the whole suite).
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val k = args.lift(1).map(_.toInt).getOrElse(20)
+    val only: Option[Set[String]] =
+      args.lift(2).map(_.split(",").map(_.trim).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -29,19 +33,59 @@ object ScaleProbe {
         .drop("__copy")
     }
 
-    val docs = rep(Tables.documents(spark, sfDir), Seq("doc_id"))
-      .localCheckpoint()
-    val emb = rep(Tables.embeddings(spark, sfDir), Seq("vec_id"))
-      .localCheckpoint()
+    // Documents replicate with every token suffixed by the copy index:
+    // within-copy shingle/jaccard/minhash structure is exactly the base
+    // corpus's (the suffix is consistent inside a copy), while copies
+    // share no shingles at all — K independent corpora, like the
+    // sign-flipped embeddings below. Exact-copy replication instead
+    // gives every shingle document frequency ≥ K, which (a) makes every
+    // LSH band bucket K× denser (candidate pairs ~K²) and (b) pushes
+    // every shingle past the jaccard rare-shingle cap (maxDf), so that
+    // probe degenerates to shuffling shingles and dropping them.
+    val docs = {
+      val copies = spark.range(k).select(col("id").as("__copy"))
+      Tables.documents(spark, sfDir).crossJoin(copies)
+        .withColumn("text", concat_ws(" ",
+          transform(split(col("text"), " "),
+            t => concat(t, lit("_"), col("__copy")))))
+        .withColumn("doc_id", col("doc_id") + col("__copy") * 1000000000L)
+        .drop("__copy")
+        .localCheckpoint()
+    }
+    // Embeddings replicate with a copy-dependent ±1 sign pattern
+    // (sign of dim i = bit (i mod 6) of the copy index): within-copy
+    // geometry is EXACTLY preserved (signs cancel in every within-copy
+    // dot product), while cross-copy cosines collapse to ≤ ~0.67 —
+    // below any probed threshold. Replicating EXACT copies instead
+    // makes every copy collide in every LSH band, so bucket
+    // populations grow K× and candidate pairs K² (measured 8× wall
+    // clock at K = 20 on the near-dup probe): that is a duplicate-
+    // cluster stress test by construction, not a corpus-growth
+    // measurement. Sign-flipping replicates K independent corpora —
+    // the question the probe is asking. Patterns repeat past K = 64.
+    val signs: Seq[Seq[Double]] = (0 until k).map(c =>
+      (0 until 6).map(r => 1.0 - 2.0 * ((c >> r) & 1)))
+    val emb = {
+      val copies = spark.range(k).select(col("id").as("__copy"))
+      Tables.embeddings(spark, sfDir).crossJoin(copies)
+        .withColumn("embedding", transform(col("embedding"), (x, i) =>
+          x.cast("double") * element_at(
+            element_at(typedlit(signs), (col("__copy") + 1).cast("int")),
+            (pmod(i, lit(6)) + 1).cast("int"))))
+        .withColumn("vec_id", col("vec_id") + col("__copy") * 1000000000L)
+        .drop("__copy")
+        .localCheckpoint()
+    }
     val events = rep(Tables.events(spark, sfDir), Seq("event_id", "user_id"))
       .localCheckpoint()
 
-    def time(name: String)(df: => DataFrame): Unit = {
-      val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"probe":"$name","k":$k,"sec":$sec%.2f}""")
-    }
+    def time(name: String)(df: => DataFrame): Unit =
+      if (only.forall(_.contains(name))) {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"$name","k":$k,"sec":$sec%.2f}""")
+      }
 
     time("minhash_lsh")(llm.Dedup.minhashLsh(docs, "text", "doc_id"))
     time("simhash_pairs")(llm.Dedup.simhashPairs(
@@ -63,6 +107,14 @@ object ScaleProbe {
     // probe it, document it (Similarity.nearDupPairs scaladoc).
     time("neardup_banded_t0.8")(llm.Similarity.nearDupPairs(emb, "vec_id",
       "embedding", threshold = 0.8, bands = 32, rowsPerBand = 8))
+    // Candidate cost is ~ bands · n² / 2^rowsPerBand (buckets/band =
+    // 2^rowsPerBand; random pairs collide in a band with prob
+    // 2^-rowsPerBand) — so rowsPerBand is a function of corpus size,
+    // not a constant: 8 planes = 256 buckets is right for ~10k rows and
+    // quadratic at 100k, where 16 planes (65k buckets) restores sparse
+    // buckets. This probe demonstrates the lever at the same data size.
+    time("neardup_banded_16x16")(llm.Similarity.nearDupPairs(emb, "vec_id",
+      "embedding", threshold = 0.8, bands = 16, rowsPerBand = 16))
     time("ann_topk")(llm.Similarity.annTopK(emb,
       emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
       numPlanes = 4))
@@ -73,16 +125,19 @@ object ScaleProbe {
       .select(col("vec_id"), col("scale"), col("q")))
     time("quantized_topk")(llm.Similarity.quantizedTopK(emb,
       emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5))
-    locally {
+    if (only.forall(_.contains("ivf_train_2it"))) {
       val t0 = System.nanoTime()
       llm.Similarity.trainIvfCentroids(emb, "embedding", nLists = 8, iters = 2)
       println(f"""{"probe":"ivf_train_2it","k":$k,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
     }
     // decontamination: the benchmark side stays fixed-size while the
     // corpus replicates — the realistic shape (eval suites don't grow
-    // with the corpus), so the probe shows the broadcast-join scan scale
+    // with the corpus), so the probe shows the broadcast-join scan
+    // scale. The benchmark is drawn from copy 0 so token suffixes line
+    // up and the overlap is non-vacuous.
     time("decontaminate")(llm.Dedup.decontaminate(docs,
-      Tables.documents(spark, sfDir).filter(pmod(col("doc_id"), lit(20)) === 0),
+      docs.filter(col("doc_id") < 1000000000L &&
+        pmod(col("doc_id"), lit(20)) === 0),
       "text", "doc_id", k = 8))
     time("repetition_signals")(llm.TextAnalysis.repetitionSignals(
       docs, "text", "doc_id", k = 2))

@@ -75,13 +75,20 @@ object Similarity {
     * (~0.45, nearly orthogonal — verified recall 1.0 on the test data
     * at both SFs).
     *
-    * SCALE WARNING: candidates grow as Σ_buckets |bucket|², so 2-plane
-    * bands (4 buckets) stop pruning past ~10k rows — that is inherent
-    * to hyperplane LSH near orthogonality (near-orthogonal "near-dups"
-    * are not clusterable), not a plan defect. Corpora deduped at a
-    * realistic threshold (≥ 0.8) must raise rowsPerBand to 8–16
-    * (256–65k buckets/band) and scale bands for recall; see ScaleProbe
-    * for the measured 0.8/32×8 configuration. */
+    * SCALE MODEL: a random (non-dup) pair collides in a band with
+    * probability 2^-rowsPerBand, so candidates ≈ bands · n² /
+    * 2^rowsPerBand — quadratic at ANY fixed rowsPerBand, with the
+    * constant controlled by bucket width. rowsPerBand is therefore a
+    * function of corpus size, not a tuning constant: keep
+    * 2^rowsPerBand ≳ n (rowsPerBand ≈ log₂ n) so buckets stay sparse,
+    * and scale bands to hold recall (a pair at cosine c survives with
+    * prob 1 − (1 − (1 − arccos(c)/π)^rowsPerBand)^bands — for
+    * real near-dups, c ≈ 1, per-band survival stays high even at 16
+    * planes). Measured at 100k rows (ScaleProbe, 20×): 32×8 = 256
+    * buckets/band → ~1.2e9 candidates, 376 s; 16×16 = 65k buckets/band
+    * → ~2.4M candidates, 6.8 s, with full recall on planted
+    * cosine-0.999 pairs. The 2-plane default exists only for the
+    * low-threshold (~0.45) recall study. */
   def nearDupPairs(corpus: DataFrame, id: String, emb: String,
                    threshold: Double, bands: Int = 16, rowsPerBand: Int = 2,
                    dim: Int = 64, seed: Long = 42L): DataFrame = {

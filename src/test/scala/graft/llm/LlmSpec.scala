@@ -302,6 +302,14 @@ class LlmSpec extends SparkSpec {
     }
     assert(got.length == nPlanted,
       s"recovered ${got.length} of $nPlanted planted pairs")
+    // the log₂(n)-sized bucket config (16 planes/band — the 100k-row
+    // shape, see the nearDupPairs scale model) must also be full-recall
+    // on near-1-cosine pairs
+    val wide = Similarity.nearDupPairs(aug, "vec_id", "embedding",
+        threshold = 0.8, bands = 16, rowsPerBand = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide == got.map(_._1).toSet,
+      s"16x16 recovered ${wide.size} of ${got.length} planted pairs")
   }
 
   test("extractFeatures: schema, batch shape, determinism, normalization") {
