@@ -345,9 +345,10 @@ object Llm {
         |ORDER BY a, b""".stripMargin)),
 
     // the 100 TB configuration of the same operator: a realistic dedup
-    // threshold with 8-plane bands (256 buckets/band), so candidate
-    // cost stays ~linear instead of the 2-plane recall study's n²/4
-    // growth (see Similarity.nearDupPairs scaladoc + ScaleProbe). The
+    // threshold with 12-plane bands (4096 buckets/band — sized per the
+    // scale model 2^rowsPerBand ≳ n for the 5k-row bench corpus;
+    // candidates ≈ bands·n²/2^rowsPerBand, see Similarity.nearDupPairs
+    // scaladoc + ScaleProbe for the measured lever). The
     // corpus has no natural pairs at cosine ≥ 0.8 (max observed pair
     // ≈ 0.51), so near-duplicates are PLANTED: every 20th vector gains
     // a deterministically jittered copy (withPlantedDups — the standard
@@ -360,11 +361,11 @@ object Llm {
         Similarity.nearDupPairs(
             Similarity.withPlantedDups(Tables.embeddings(s, d), "vec_id",
               "embedding", every = 20),
-            "vec_id", "embedding", threshold = 0.8, bands = 32, rowsPerBand = 8)
+            "vec_id", "embedding", threshold = 0.8, bands = 32, rowsPerBand = 12)
           .select(col("a"), col("b"),
             floor(col("score") * 1000000 + 0.5).cast("long").as("score_e6"))
           .orderBy(col("a"), col("b"))): Q,
-      Some(nearDupScaleSql(threshold = 0.8, bands = 32, rowsPerBand = 8,
+      Some(nearDupScaleSql(threshold = 0.8, bands = 32, rowsPerBand = 12,
         dim = 64, plantedEvery = 20))),
 
     // fully SQL-checkable: the splitmix64 plane hashes are inlined as

@@ -284,14 +284,14 @@ class LlmSpec extends SparkSpec {
     }
   }
 
-  test("planted near-dups: the 0.8/32x8 gate config recovers every planted pair") {
+  test("planted near-dups: the 0.8/32x12 gate config recovers every planted pair") {
     // the llm_embedding_neardup_scale gate row runs this exact pipeline:
     // every 20th vector gains a jittered copy (cosine ~0.999), and the
     // scale-safe banding must recover all of them with exact scores
     val aug = Similarity.withPlantedDups(emb, "vec_id", "embedding", every = 20)
     val nPlanted = emb.filter(pmod(col("vec_id"), lit(20)) === 0).count()
     val got = Similarity.nearDupPairs(aug, "vec_id", "embedding",
-        threshold = 0.8, bands = 32, rowsPerBand = 8)
+        threshold = 0.8, bands = 32, rowsPerBand = 12)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
     assert(got.nonEmpty, "planted pairs not recovered")
     // every recovered pair is a planted (v, v+1e6) pair with the
