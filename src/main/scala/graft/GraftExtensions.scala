@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, Md5Hash64Expr, SearchSortedExpr, SimhashAgg}
+import graft.functions.{BandKeysExpr, DotProduct, Md5Hash64Expr, SearchSortedExpr, SimhashAgg}
 
 /** Cluster-wide deployment surface for the graft custom expressions.
   *
@@ -34,5 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => SearchSortedExpr(exprs(0), exprs(1))))
     ext.injectFunction(fn(SimhashAgg.Name,
       exprs => SimhashAgg(exprs.head).toAggregateExpression()))
+    ext.injectFunction(fn(BandKeysExpr.Name,
+      exprs => BandKeysExpr.fromExprs(exprs)))
   }
 }

@@ -143,21 +143,21 @@ object Similarity {
   }
 
   /** Per-row (band, key) LSH signatures: id only — embeddings are NOT
-    * carried through the ×bands explode (they rejoin by id later). */
+    * carried through the ×bands explode (they rejoin by id later).
+    * All keys come from ONE native [[graft.functions.BandKeysExpr]]:
+    * the composable per-plane form (bands·rowsPerBand DotProduct/when
+    * trees) generates a projection whose codegen compile time alone
+    * dominated the banding stage at 384 planes (~2 s of a 2.7 s warm
+    * near-dup run at sf0.1 — the arithmetic itself is ~tens of ms). */
   private def bandedKeys(df0: DataFrame, id: String, emb: String,
                          ps: Array[Array[Double]], bands: Int,
                          rowsPerBand: Int): DataFrame = {
-    VectorFunctions.register(df0.sparkSession)
+    graft.functions.BandKeysExpr.register(df0.sparkSession)
     val df = graft.ops.Ops.parallelizeInput(df0, col(id))
     val asDouble = transform(col(emb), x => x.cast("double"))
-    val keys = array((0 until bands).map { b =>
-      (0 until rowsPerBand).map { r =>
-        val plane = ps(b * rowsPerBand + r)
-        when(VectorFunctions.dot(asDouble, typedlit(plane.toSeq)) > 0,
-          lit(1 << r)).otherwise(lit(0))
-      }.reduce(_ + _)
-    }: _*)
-    df.select(col(id).as("__bid"), posexplode(keys).as(Seq("band", "key")))
+    df.select(col(id).as("__bid"),
+      posexplode(graft.functions.BandKeysExpr.of(asDouble, ps, rowsPerBand))
+        .as(Seq("band", "key")))
   }
 
   private def splitmix(x0: Long): Long = {
@@ -178,17 +178,15 @@ object Similarity {
     planeHashes(numPlanes, dim, seed).map(_.map(_.toDouble / Long.MaxValue))
 
   /** Sign-of-dot-product bucket id per row: bit p set iff
-    * v·plane_p > 0. One narrow projection, no shuffle. */
+    * v·plane_p > 0. One narrow projection, no shuffle — a single
+    * native band-keys evaluation (one band of `planes.length` bits). */
   def withLshBucket(df0: DataFrame, emb: String,
                     planes: Array[Array[Double]]): DataFrame = {
-    VectorFunctions.register(df0.sparkSession)
+    graft.functions.BandKeysExpr.register(df0.sparkSession)
     val df = graft.ops.Ops.parallelizeInput(df0)
     val asDouble = transform(col(emb), x => x.cast("double"))
-    val bucket = planes.zipWithIndex.map { case (plane, p) =>
-      val dot = VectorFunctions.dot(asDouble, typedlit(plane.toSeq))
-      when(dot > 0, lit(1 << p)).otherwise(0)
-    }.reduce(_ + _)
-    df.withColumn("lsh_bucket", bucket)
+    df.withColumn("lsh_bucket", element_at(
+      graft.functions.BandKeysExpr.of(asDouble, planes, planes.length), 1))
   }
 
   /** Symmetric per-vector int8 quantization — the 4× storage/bandwidth
@@ -330,6 +328,7 @@ object Similarity {
     * lower it ↑recall. */
   def annTopK(corpus: DataFrame, queries: DataFrame, id: String,
               emb: String, k: Int, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
     val ps = planes(numPlanes, dim)
     def prep(df: DataFrame, idAs: String, embAs: String, nrmAs: String) =
       withLshBucket(df, emb, ps)

@@ -47,6 +47,13 @@ class ExtensionsSpec extends SparkSpec {
         "SELECT graft_simhash_agg(h) AS s FROM VALUES (1L), (3L), (2L) AS t(h)")
         .head().getLong(0)
       assert(sim == 3L)
+      // band keys of v=(1,-1) vs planes (1,0) [dot 1 > 0 → bit0] and
+      // (0,1) [dot −1 → clear]: one 2-plane band → [1]
+      val bk = s2.sql(
+        """SELECT graft_band_keys(array(1.0D, -1.0D),
+          |  array(array(1.0D, 0.0D), array(0.0D, 1.0D)), 2) AS k
+          |""".stripMargin).head().getSeq[Int](0)
+      assert(bk == Seq(1))
     } finally {
       prevActive.foreach(SparkSession.setActiveSession)
       prevDefault.foreach(SparkSession.setDefaultSession)

@@ -312,6 +312,26 @@ class LlmSpec extends SparkSpec {
       s"16x16 recovered ${wide.size} of ${got.length} planted pairs")
   }
 
+  test("BandKeysExpr equals the composable per-plane form (bit-identical signs)") {
+    import graft.functions.{BandKeysExpr, VectorFunctions}
+    val (bands, rpb) = (8, 4)
+    val ps = Similarity.planes(bands * rpb, 64)
+    VectorFunctions.register(spark)
+    BandKeysExpr.register(spark)
+    val asDouble = transform(col("embedding"), x => x.cast("double"))
+    val composable = array((0 until bands).map { b =>
+      (0 until rpb).map { r =>
+        when(VectorFunctions.dot(asDouble, typedlit(ps(b * rpb + r).toSeq)) > 0,
+          lit(1 << r)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+    val both = emb.select(col("vec_id"),
+      BandKeysExpr.of(asDouble, ps, rpb).as("native"),
+      composable.as("composed"))
+    assert(both.filter(col("native") =!= col("composed")).isEmpty,
+      "native band keys diverge from the composable form")
+  }
+
   test("extractFeatures: schema, batch shape, determinism, normalization") {
     val withBin = Multimodal.asBinary(docs.limit(50), "text", "payload")
     val feats = Multimodal.extractFeatures(withBin, "payload", dim = 64)
