@@ -85,8 +85,8 @@ object Similarity {
     * prob 1 − (1 − (1 − arccos(c)/π)^rowsPerBand)^bands — for
     * real near-dups, c ≈ 1, per-band survival stays high even at 16
     * planes). Measured at 100k rows (ScaleProbe, 20×): 32×8 = 256
-    * buckets/band → ~1.2e9 candidates, 376 s; 16×16 = 65k buckets/band
-    * → ~2.4M candidates, 6.8 s, with full recall on planted
+    * buckets/band → ~1.2e9 candidates, 300 s; 16×16 = 65k buckets/band
+    * → ~2.4M candidates, 3.2 s, with full recall on planted
     * cosine-0.999 pairs. The 2-plane default exists only for the
     * low-threshold (~0.45) recall study. */
   def nearDupPairs(corpus: DataFrame, id: String, emb: String,
