@@ -141,6 +141,22 @@ object ScaleProbe {
       "text", "doc_id", k = 8))
     time("repetition_signals")(llm.TextAnalysis.repetitionSignals(
       docs, "text", "doc_id", k = 2))
+    // boilerplate: banner planted AFTER replication, so the banner
+    // grams repeat across copies (boilerplate is cross-corpus by
+    // nature) while document grams stay copy-local — df skew like a
+    // real web crawl's
+    time("boilerplate")(llm.Dedup.removeBoilerplate(
+      llm.Dedup.withPlantedBoilerplate(docs, "text", "doc_id"),
+      "text", "doc_id", k = 5, minDf = 50L))
+    time("pii_redact")(llm.TextAnalysis.redactPii(
+      llm.TextAnalysis.withPlantedPii(docs, "text", "doc_id"),
+      "text", "doc_id"))
+    // semantic dedup: nLists follows corpus size (n/targetClusterSize
+    // — the scaladoc's scaling rule), keeping within-cluster pair work
+    // flat as the corpus replicates
+    time("semdedup_nlists64")(llm.Similarity.semDedup(
+      llm.Similarity.withPlantedDups(emb, "vec_id", "embedding", every = 20),
+      "vec_id", "embedding", threshold = 0.95, nLists = 64))
     time("sessionize")(llm.Sessionize.sessions(events, "user_id", "ts_us",
       order = Seq(col("ts_us"), col("event_id")),
       gapMicros = 1800000000L, valueCol = "value"))

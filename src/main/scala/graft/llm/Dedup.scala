@@ -50,6 +50,72 @@ object Dedup {
         countDistinct(col("bench_id")).as("n_bench_docs"))
   }
 
+  /** Corpus-level boilerplate removal — the line-dedup step of the
+    * CCNet/RefinedWeb pipelines, at word-n-gram granularity (the
+    * synthetic corpus has no newlines; the semantics are identical:
+    * drop any text unit repeated across ≥ `minDf` documents). A token
+    * is removed iff some k-gram window containing it occurs in at
+    * least `minDf` DISTINCT documents; the cleaned document is the
+    * kept tokens in original order. Output per document: (id,
+    * n_tokens, n_removed, cleaned_md5 = md5 of the re-joined kept
+    * text; empty-string md5 when everything was boilerplate).
+    *
+    * Scale shape: k-grams travel as the 64-bit [[md5Hash64]] (8-byte
+    * shuffle keys, not strings); document frequency is one keyed
+    * aggregation; frequent grams come back via an equi-join on the
+    * hash (NOT a broadcast — at fleet scale the frequent-gram set is
+    * unbounded); position reassembly is a per-document sort inside one
+    * grouped aggregation. Every stage is keyed on (gram) or (id) — no
+    * quadratic step anywhere. */
+  def removeBoilerplate(df0: DataFrame, text: String, id: String,
+                        k: Int = 5, minDf: Long = 50L): DataFrame = {
+    graft.functions.Md5Hash64Expr.register(df0.sparkSession)
+    val toks = tokenize(df0, text, id)
+    val n = size(col("toks"))
+    // one row per window start s (1-based, matching slice())
+    val grams = toks.filter(n >= k)
+      .select(col(id), col("toks"),
+        explode(sequence(lit(1), n - (k - 1))).as("s"))
+      .select(col(id), col("s"),
+        md5Hash64(concat_ws(" ", slice(col("toks"), col("s"), lit(k)))).as("g"))
+    val frequent = grams.select(col(id), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("g"))
+    // 1-based token positions covered by any frequent window
+    val removed = grams.join(frequent, Seq("g"))
+      .select(col(id), explode(sequence(col("s"), col("s") + (k - 1))).as("p"))
+      .distinct()
+    val positions = toks
+      .select(col(id), posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col(id), (col("p0") + 1).as("p"), col("tok"))
+    val kept = positions.join(removed, Seq(id, "p"), "left_anti")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+            x => x.getField("tok"))).cast("binary")).as("cleaned_md5"))
+    toks.select(col(id), n.cast("long").as("n_tokens"))
+      .join(kept, Seq(id), "left")
+      .select(col(id), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned_md5"), md5(lit("").cast("binary")))
+          .as("cleaned_md5"))
+  }
+
+  /** Planted boilerplate for gate non-vacuity: the synthetic corpus is
+    * i.i.d. word salad, so no k-gram naturally crosses `minDf`
+    * documents — prepend a fixed banner to every third document
+    * (id%3=0), exactly the repeated-header shape line-dedup exists to
+    * strip. Mirrored verbatim in the DuckDB oracle. */
+  val BoilerplateBanner =
+    "subscribe to our newsletter for updates terms of service apply"
+
+  def withPlantedBoilerplate(df: DataFrame, text: String, id: String): DataFrame =
+    df.withColumn(text,
+      when(pmod(col(id), lit(3)) === 0,
+        concat(lit(BoilerplateBanner + " "), col(text))).otherwise(col(text)))
+
   /** Distinct word k-shingles per document: (id, shingle). Documents
     * with fewer than k tokens produce none. */
   def wordShingles(df: DataFrame, text: String, id: String, k: Int): DataFrame =

@@ -47,6 +47,48 @@ object Sampling {
     df.withColumn(out, assigned)
   }
 
+  /** Per-source epoch plan for mixture reweighting: how many times to
+    * repeat each source so its share of the assembled corpus reaches
+    * the target weight — the static-mixture application step of
+    * domain-reweighting recipes (upsample Wikipedia/books, leave web
+    * crawl at one epoch). epochs_s = max(1, ⌈weight_s · total /
+    * size_s⌉), where size is any per-row cost measure (chars, tokens)
+    * and `total` its corpus-wide sum: a source holding share p of the
+    * corpus and assigned weight w repeats ⌈w/p⌉ times. Exact-integer
+    * sums; the one double product (w·total/size_s) is two exact-
+    * rounded IEEE ops, bit-equal in the DuckDB oracle. Output:
+    * (source, src_size, epochs) — |sources| rows. */
+  def mixtureEpochs(df: DataFrame, source: String, size: Column,
+                    weights: Map[String, Double],
+                    defaultWeight: Double): DataFrame = {
+    val bySrc = df.groupBy(col(source)).agg(sum(size).as("src_size"))
+    val total = bySrc.agg(sum(col("src_size")).as("total_size"))
+    val w = weights.toSeq.sortBy(_._1)
+      .foldLeft[Column](lit(defaultWeight)) { case (els, (s, v)) =>
+        when(col(source) === s, lit(v)).otherwise(els)
+      }
+    bySrc.crossJoin(broadcast(total))
+      .select(col(source), col("src_size"),
+        greatest(lit(1L),
+          ceil(w * col("total_size") / col("src_size"))).as("epochs"))
+  }
+
+  /** Apply the [[mixtureEpochs]] plan: every row repeats `epochs`
+    * times with an `epoch` index (0-based) — the materialized
+    * upsampled corpus (downstream shuffling/packing distinguishes
+    * copies by (id, epoch)). The plan is |sources| rows, broadcast;
+    * the corpus side explodes in place — no shuffle, scan-shaped at
+    * 100 TB. */
+  def mixtureUpsample(df: DataFrame, source: String, size: Column,
+                      weights: Map[String, Double],
+                      defaultWeight: Double): DataFrame = {
+    val plan = mixtureEpochs(df, source, size, weights, defaultWeight)
+      .select(col(source), col("epochs"))
+    df.join(broadcast(plan), Seq(source))
+      .withColumn("epoch", explode(sequence(lit(0L), col("epochs") - 1)))
+      .drop("epochs")
+  }
+
   /** Per-stratum deterministic downsample: keep a row iff its hash
     * bucket falls under the stratum's rate. Strata absent from `rates`
     * keep `defaultRate`. The salt is independent of [[datasetSplit]]'s

@@ -130,6 +130,47 @@ object Similarity {
     base.unionByName(planted)
   }
 
+  /** SemDeDup-style semantic dedup: cluster the corpus with the IVF
+    * coarse quantizer, compare embeddings ONLY within a cluster, and
+    * remove every vector whose cosine to a LOWER-id cluster-mate
+    * reaches `threshold` (the paper's keep-one-per-ε-ball rule with a
+    * deterministic keeper). Output, one row per input vector:
+    * (id, list_id, n_lower = lower-id cluster-mates, removed,
+    * max_lower = best cosine to a lower-id cluster-mate, null when
+    * n_lower = 0).
+    *
+    * Scale shape: candidate pairs are bounded by the cluster
+    * partition — Σ|cluster|²/2, never n²/2 — and the cluster join is
+    * an equi-join on list_id. `nLists` is a function of corpus size,
+    * not a constant: keep nLists ≈ n/targetClusterSize (the paper uses
+    * ~100k clusters at billions of rows) so per-cluster work stays
+    * flat; cluster assignment itself is a narrow projection. Pass
+    * [[trainIvfCentroids]] output for data-adapted clusters. */
+  def semDedup(corpus: DataFrame, id: String, emb: String,
+               threshold: Double, nLists: Int = 8, dim: Int = 64,
+               centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val cs = centroids.getOrElse(ivfCentroids(nLists, dim))
+    require(cs.length == nLists, s"expected $nLists centroids, got ${cs.length}")
+    val p = prepped(corpus, id, emb, id, "c_emb", "c_nrm")
+      .withColumn("list_id", ivfListId(col("c_emb"), cs))
+    val lo = p.select(col(id).as("a"), col("list_id"),
+      col("c_emb").as("q_emb"), col("c_nrm").as("q_nrm"))
+    val hi = p.select(col(id).as("b"), col("list_id"),
+      col("c_emb"), col("c_nrm"))
+    val perB = hi.join(lo, Seq("list_id"))
+      .filter(col("a") < col("b"))
+      .withColumn("score", pairScore)
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n_lower"), max(col("score")).as("max_lower"))
+    p.select(col(id), col("list_id"))
+      .join(perB.withColumnRenamed("b", id), Seq(id), "left")
+      .select(col(id), col("list_id"),
+        coalesce(col("n_lower"), lit(0L)).as("n_lower"),
+        coalesce(col("max_lower") >= threshold, lit(false)).as("removed"),
+        col("max_lower"))
+  }
+
   /** Exact quadratic variant of [[nearDupPairs]] — the recall-1 baseline
     * for tiny inputs and for measuring the banded path's recall. */
   def exactNearDupPairs(corpus: DataFrame, id: String, emb: String,

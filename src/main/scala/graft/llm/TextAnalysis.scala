@@ -154,6 +154,60 @@ object TextAnalysis {
         col("rank").cast("long").as("rank"))
   }
 
+  /** PII patterns for detection/redaction: (name, regex, replacement).
+    * The regexes stay inside the RE2 ∩ java.util.regex common subset
+    * (character classes, bounded repetition, ASCII \b) so the Spark
+    * scan and the DuckDB oracle match byte-identically. Deliberately
+    * high-precision shapes — a corpus scrub wants "definitely an
+    * email", not "anything with an @". */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"))
+
+  /** PII detection + redaction — the standard pre-training scrub
+    * (emails, IPv4s, international-format phone numbers). Per document:
+    * one count per pattern over the ORIGINAL text, plus the md5 and
+    * length of the redacted text (patterns applied in [[PiiPatterns]]
+    * order; replacement tokens contain no digits or '@', so later
+    * patterns never match inside an earlier replacement). A pure
+    * narrow projection of codegen'd regex ops — scan speed at 100 TB,
+    * no shuffle. */
+  def redactPii(df0: DataFrame, text: String, id: String): DataFrame = {
+    val df = graft.ops.Ops.parallelizeInput(df0, col(id))
+    val counts = PiiPatterns.map { case (n, p, _) =>
+      regexp_count(col(text), lit(p)).cast("long").as(s"n_$n")
+    }
+    val redacted = PiiPatterns.foldLeft(col(text)) {
+      case (c, (_, p, r)) => regexp_replace(c, p, r)
+    }
+    df.select((col(id) +: counts) :+
+      length(redacted).cast("long").as("redacted_len") :+
+      md5(redacted.cast("binary")).as("redacted_md5"): _*)
+  }
+
+  /** Planted PII for gate non-vacuity: the synthetic corpus has no
+    * '@', no digits — a redaction row over it would prove two engines
+    * agree on zero. Appends deterministic id-derived PII to a subset
+    * of documents (email on id%7=0, IPv4 on id%5=0, phone on id%11=0),
+    * every step exact string arithmetic mirrored in the DuckDB oracle
+    * — the planted-pair protocol of [[Similarity.withPlantedDups]]
+    * applied to text. */
+  def withPlantedPii(df: DataFrame, text: String, id: String): DataFrame = {
+    val d = col(id).cast("string")
+    val planted = concat(col(text),
+      when(pmod(col(id), lit(7)) === 0,
+        concat(lit(" contact user"), d, lit("@example.com"))).otherwise(lit("")),
+      when(pmod(col(id), lit(5)) === 0,
+        concat(lit(" from 10."), pmod(col(id), lit(256)).cast("string"),
+          lit(".0."), pmod(col(id), lit(100)).cast("string"))).otherwise(lit("")),
+      when(pmod(col(id), lit(11)) === 0,
+        concat(lit(" call +1-415-555-"),
+          lpad(pmod(col(id), lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    df.withColumn(text, planted)
+  }
+
   /** Canonical-form fingerprint: lowercase → strip non-alphanumerics →
     * collapse whitespace → md5. Collisions ⇒ near-identical documents
     * modulo case/punctuation/spacing (a dedup key). */

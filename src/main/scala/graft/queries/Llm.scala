@@ -42,18 +42,22 @@ object Llm {
     * candidates from the band equi-join, exact cosine rerank. At 256
     * planes this is ~2 KB of SQL versus ~1 MB of inlined literals
     * (the [[annBucketSql]] recipe), and DuckDB runs it 10× faster. */
+  /** SQL mirror of [[graft.llm.Similarity.withPlantedDups]]: copies at
+    * id+1000000 with the fixed ±4% per-index jitter (DuckDB lambda
+    * index i is 1-based, Spark's is 0-based — hence (i-1) here).
+    * Appended to a `FROM embeddings` select producing (vec_id, list). */
+  private def plantedEmbSql(every: Int): String =
+    if (every <= 0) "" else s"""
+    |  UNION ALL SELECT vec_id + 1000000, list_transform(embedding,
+    |    (x, i) -> CAST(x AS DOUBLE)
+    |      * (1.0 + 0.02 * (CAST((i - 1) % 5 AS DOUBLE) - 2.0)))
+    |  FROM embeddings WHERE vec_id % $every = 0""".stripMargin
+
   private def nearDupScaleSql(threshold: Double, bands: Int,
                               rowsPerBand: Int, dim: Int,
                               seed: Long = 42L,
                               plantedEvery: Int = 0): String = {
-    // mirror of Similarity.withPlantedDups: copies at id+1000000 with the
-    // fixed ±4% per-index jitter (DuckDB lambda index i is 1-based, Spark's
-    // is 0-based — hence (i-1) here)
-    val plantedUnion = if (plantedEvery <= 0) "" else s"""
-    |  UNION ALL SELECT vec_id + 1000000, list_transform(embedding,
-    |    (x, i) -> CAST(x AS DOUBLE)
-    |      * (1.0 + 0.02 * (CAST((i - 1) % 5 AS DOUBLE) - 2.0)))
-    |  FROM embeddings WHERE vec_id % $plantedEvery = 0""".stripMargin
+    val plantedUnion = plantedEmbSql(plantedEvery)
     // splitmix64 constants, split for overflow-free mod-2^64 multiply:
     // a*b mod 2^64 = ((a*b_hi mod 2^32)*2^32 + a*b_lo) mod 2^64, every
     // intermediate < 2^97 — inside HUGEINT's 128-bit range
@@ -368,6 +372,41 @@ object Llm {
       Some(nearDupScaleSql(threshold = 0.8, bands = 32, rowsPerBand = 12,
         dim = 64, plantedEvery = 20))),
 
+    // SemDeDup-style semantic dedup over the planted corpus: IVF
+    // cluster assignment, within-cluster pairwise cosine, remove on a
+    // lower-id match ≥ 0.95. Assignment, pair scores and the removal
+    // verdict are all recomputed in SQL (centroids rebuilt from
+    // splitmix literals like the IVF row); planted jittered copies
+    // make the removed set non-empty.
+    ("llm_dedup_semantic",
+      ((s: SparkSession, d: String) =>
+        Similarity.semDedup(
+            Similarity.withPlantedDups(Tables.embeddings(s, d), "vec_id",
+              "embedding", every = 20),
+            "vec_id", "embedding", threshold = 0.95, nLists = 8)
+          .select(col("vec_id"), col("list_id"), col("n_lower"), col("removed"),
+            coalesce(floor(col("max_lower") * 1000000 + 0.5).cast("long"),
+              lit(-1L)).as("max_lower_e6"))
+          .orderBy(col("vec_id"))): Q,
+      Some(s"""WITH emb AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings${plantedEmbSql(20)}),
+        |pre AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
+        |  ${ivfScoresSql(nLists = 8, dim = 64)} AS cs FROM emb),
+        |corp AS (SELECT vec_id, e, nrm,
+        |  list_position(cs, list_max(cs)) - 1 AS list_id FROM pre),
+        |pr AS (SELECT b.vec_id AS vec_id, count(*) AS n_lower,
+        |    max(list_dot_product(a.e, b.e) / (a.nrm * b.nrm)) AS ms
+        |  FROM corp a JOIN corp b
+        |    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+        |  GROUP BY b.vec_id)
+        |SELECT c.vec_id, c.list_id, coalesce(p.n_lower, 0) AS n_lower,
+        |  coalesce(p.ms >= 0.95, false) AS removed,
+        |  coalesce(CAST(floor(p.ms * 1000000 + 0.5) AS BIGINT), -1)
+        |    AS max_lower_e6
+        |FROM corp c LEFT JOIN pr p USING (vec_id)
+        |ORDER BY c.vec_id""".stripMargin)),
+
     // fully SQL-checkable: the splitmix64 plane hashes are inlined as
     // integer literals and divided to doubles in SQL — identical IEEE
     // values both engines, so buckets and scores match bit-for-bit
@@ -566,6 +605,82 @@ object Llm {
         |SELECT doc_id, min(h) AS roll_fp FROM hs
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // PII detection + redaction over deterministically planted PII
+    // (the synthetic corpus has no '@' or digits — the planted-pair
+    // protocol keeps the row non-vacuous). Counts, redacted length and
+    // redacted-text md5 are all recomputed end-to-end in SQL; the
+    // regexes live in the RE2 ∩ java.util.regex common subset.
+    ("llm_pii_redact",
+      ((s: SparkSession, d: String) =>
+        TextAnalysis.redactPii(
+            TextAnalysis.withPlantedPii(Tables.documents(s, d), "text", "doc_id"),
+            "text", "doc_id")
+          .orderBy(col("doc_id"))): Q,
+      Some("""WITH p AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+        |       || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+        |  || CASE WHEN doc_id % 5 = 0 THEN ' from 10.'
+        |       || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+        |       || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+        |  || CASE WHEN doc_id % 11 = 0 THEN ' call +1-415-555-'
+        |       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |  AS text FROM documents),
+        |r AS (SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(text,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ipv4,
+        |  len(regexp_extract_all(text,
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phone,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS red
+        |  FROM p)
+        |SELECT doc_id, n_email, n_ipv4, n_phone,
+        |  length(red) AS redacted_len, md5(red) AS redacted_md5
+        |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // corpus-level boilerplate removal (CCNet line-dedup at word-5-gram
+    // granularity) over a planted repeated banner on every third doc.
+    // The oracle recomputes gram hashing (the 64-bit md5 reconstruction
+    // shared with simhash), document frequency, covered positions and
+    // the cleaned-text md5 end-to-end.
+    ("llm_boilerplate_ngrams",
+      ((s: SparkSession, d: String) =>
+        Dedup.removeBoilerplate(
+            Dedup.withPlantedBoilerplate(Tables.documents(s, d), "text", "doc_id"),
+            "text", "doc_id", k = 5, minDf = 50L)
+          .orderBy(col("doc_id"))): Q,
+      Some(s"""WITH p AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+        |    THEN '${Dedup.BoilerplateBanner} ' || text ELSE text END AS text
+        |  FROM documents),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM p),
+        |g0 AS (SELECT doc_id, i AS s, md5(array_to_string(t[i:i+4], ' ')) AS m
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
+        |        FROM toks WHERE len(t) >= 5)),
+        |grams AS (SELECT doc_id, s,
+        |  (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+        |    * 4294967296 + lo AS g
+        |  FROM (SELECT doc_id, s,
+        |        ('0x' || substr(m, 1, 8))::BIGINT AS hi,
+        |        ('0x' || substr(m, 9, 8))::BIGINT AS lo FROM g0)),
+        |freq AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM grams)
+        |  GROUP BY g HAVING count(*) >= 50),
+        |rem AS (SELECT DISTINCT doc_id, s + j AS pp
+        |  FROM grams JOIN freq USING (g), range(5) r(j)),
+        |pos AS (SELECT doc_id, i AS pp, t[i] AS tok
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+        |        FROM toks)),
+        |kept AS (SELECT doc_id, count(*) AS n_kept,
+        |    md5(string_agg(tok, ' ' ORDER BY pp)) AS cleaned_md5
+        |  FROM pos ANTI JOIN rem USING (doc_id, pp) GROUP BY doc_id)
+        |SELECT t.doc_id, len(t.t) AS n_tokens,
+        |  len(t.t) - coalesce(k.n_kept, 0) AS n_removed,
+        |  coalesce(k.cleaned_md5, md5('')) AS cleaned_md5
+        |FROM toks t LEFT JOIN kept k USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin)),
+
     // deterministic dataset assembly: split assignment and stratified
     // sampling are salted-md5 bucket projections, so the oracle
     // recomputes the exact assignment (md5 is the cross-engine hash)
@@ -630,6 +745,34 @@ object Llm {
         |  FROM events)
         |WHERE b < CASE WHEN event_type = 'purchase' THEN 5000 ELSE 1000 END
         |ORDER BY event_id""".stripMargin)),
+
+    // static mixture reweighting: per-source integer epoch counts from
+    // target weights (upweight src0/src3, default share elsewhere),
+    // then the exploded upsampled corpus. The one double product is
+    // two exact-rounded IEEE ops, recomputed identically in SQL (the
+    // literals are CAST to DOUBLE so DuckDB doesn't use DECIMAL).
+    ("llm_mixture_upsample",
+      ((s: SparkSession, d: String) =>
+        Sampling.mixtureUpsample(
+            Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+            "source", col("n_chars"),
+            weights = Map("src0" -> 0.2, "src3" -> 0.1),
+            defaultWeight = 0.04)
+          .select(col("doc_id"), col("source"), col("epoch"))
+          .orderBy(col("doc_id"), col("epoch"))): Q,
+      Some("""WITH bysrc AS (SELECT source, sum(n_chars) AS src_size
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT sum(src_size) AS total_size FROM bysrc),
+        |plan AS (SELECT source, greatest(1, CAST(ceil(
+        |    CASE WHEN source = 'src0' THEN CAST(0.2 AS DOUBLE)
+        |      WHEN source = 'src3' THEN CAST(0.1 AS DOUBLE)
+        |      ELSE CAST(0.04 AS DOUBLE) END
+        |    * total_size / src_size) AS BIGINT)) AS epochs
+        |  FROM bysrc, tot)
+        |SELECT doc_id, source,
+        |  unnest(generate_series(0, epochs - 1)) AS epoch
+        |FROM documents JOIN plan USING (source)
+        |ORDER BY doc_id, epoch""".stripMargin)),
 
     // exact heavy hitters: one map-side-combined aggregation, total
     // (count, token) tie-break so the top-k set is deterministic

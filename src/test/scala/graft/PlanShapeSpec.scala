@@ -23,13 +23,17 @@ class PlanShapeSpec extends SparkSpec {
     "v3_price_series_asof" ->
       "single-pool resampled series; bounded buckets; keyless escape hatch is asofJoinRanged",
     "v3_price_series_gas" ->
-      "single-pool resampled series; bounded buckets")
+      "single-pool resampled series; bounded buckets",
+    "llm_mixture_upsample" ->
+      "epoch plan: |sources|-row aggregate to a one-row total; corpus side only broadcast-joins the plan")
 
   private val allowedAllPairs = Map(
     "llm_similarity_topk" ->
       "brute-force cosine baseline: exhaustive by definition, queries broadcast",
     "llm_similarity_quantized_topk" ->
-      "brute-force retrieval over int8 codes: same deliberate baseline shape")
+      "brute-force retrieval over int8 codes: same deliberate baseline shape",
+    "llm_mixture_upsample" ->
+      "one-row total joined onto the |sources|-row plan (scalar join); corpus side never all-pairs")
 
   test("no registry query plans an undocumented single-partition exchange or all-pairs join") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
