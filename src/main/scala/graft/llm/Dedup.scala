@@ -66,7 +66,14 @@ object Dedup {
     * hash (NOT a broadcast — at fleet scale the frequent-gram set is
     * unbounded); position reassembly is a per-document sort inside one
     * grouped aggregation. Every stage is keyed on (gram) or (id) — no
-    * quadratic step anywhere. */
+    * quadratic step, and no per-gram occurrence list is ever
+    * materialized (a hot boilerplate gram can occur billions of times
+    * at fleet scale — collect-and-filter shapes OOM on exactly the
+    * grams this operator exists to remove). The declarative cost: the
+    * gram subplan is evaluated twice (df count, cover join) — at fleet
+    * scale persist the gram frame, or keep it in the lake like the
+    * minhash signature index, and both consumers read one
+    * materialization. */
   def removeBoilerplate(df0: DataFrame, text: String, id: String,
                         k: Int = 5, minDf: Long = 50L): DataFrame = {
     graft.functions.Md5Hash64Expr.register(df0.sparkSession)
