@@ -81,6 +81,40 @@ class CurationSpec extends SparkSpec {
     assert(up.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("removeBoilerplate: all-boilerplate and shorter-than-k documents") {
+    import spark.implicits._
+    val banner = "x y z w v"                 // 5 tokens = one 5-gram
+    val docs = (0L until 60L).map { i =>
+      if (i < 58) (i, s"$banner unique$i")   // banner + 1 own token
+      else if (i == 58) (i, banner)          // ONLY boilerplate
+      else (i, "a b c")                      // shorter than k: no grams
+    }.toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplate(docs, "text", "doc_id", k = 5, minDf = 50L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // the all-banner doc empties out: md5 of the empty string
+    assert(out(58L).getLong(2) == 5L &&
+      out(58L).getString(3) == "d41d8cd98f00b204e9800998ecf8427e")
+    // a shorter-than-k doc contributes no grams and keeps everything
+    assert(out(59L).getLong(2) == 0L)
+    // ordinary docs keep exactly their unique token
+    assert(out(0L).getLong(1) == 6L && out(0L).getLong(2) == 5L)
+  }
+
+  test("redactPii: adjacent and multiple PII in one document") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "mail a.b+c@ex-1.co.uk then 192.168.0.1 call +1-415-555-0199"),
+      (1L, "two mails x@y.io z@w.ai and ips 1.2.3.4 5.6.7.8"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getLong(1) == 1L && out(0L).getLong(2) == 1L &&
+      out(0L).getLong(3) == 1L)
+    assert(out(1L).getLong(1) == 2L && out(1L).getLong(2) == 2L &&
+      out(1L).getLong(3) == 0L)
+    assert(out(2L).getLong(1) + out(2L).getLong(2) + out(2L).getLong(3) == 0L)
+  }
+
   test("semDedup: planted copies removed, bases kept, cluster-bounded join") {
     val planted = Similarity.withPlantedDups(embs, "vec_id", "embedding",
       every = 20)
