@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BandKeysExpr, DotProduct, Md5Hash64Expr, SearchSortedExpr, SimhashAgg}
+import graft.functions.{BandKeysExpr, DotProduct, Md5Hash64Expr, Md5LanesExpr, SearchSortedExpr, SimhashAgg}
 
 /** Cluster-wide deployment surface for the graft custom expressions.
   *
@@ -34,6 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => SearchSortedExpr(exprs(0), exprs(1))))
     ext.injectFunction(fn(SimhashAgg.Name,
       exprs => SimhashAgg(exprs.head).toAggregateExpression()))
+    ext.injectFunction(fn(Md5LanesExpr.Name,
+      exprs => Md5LanesExpr(exprs.head)))
     ext.injectFunction(fn(BandKeysExpr.Name,
       exprs => BandKeysExpr.fromExprs(exprs)))
   }

@@ -88,6 +88,19 @@ object ScaleProbe {
       }
 
     time("minhash_lsh")(llm.Dedup.minhashLsh(docs, "text", "doc_id"))
+    // diagnostic stage splits of minhash_lsh (same data, same params):
+    // shingle explode alone, + seeded digests, + the signature agg
+    time("minhash_shingles")(llm.Dedup.shinglesFromToks(
+      llm.Dedup.tokenize(docs, "text", "doc_id"), "doc_id", 5, dedup = false))
+    time("minhash_digests")(llm.Dedup.shinglesFromToks(
+        llm.Dedup.tokenize(docs, "text", "doc_id"), "doc_id", 5, dedup = false)
+      .select(col("doc_id"),
+        md5(concat(lit("0|"), col("shingle")).cast("binary")).as("m0"),
+        md5(concat(lit("1|"), col("shingle")).cast("binary")).as("m1")))
+    time("minhash_sigs")(llm.Dedup.minhashSignatures(
+      llm.Dedup.shinglesFromToks(
+        llm.Dedup.tokenize(docs, "text", "doc_id"), "doc_id", 5, dedup = false),
+      "doc_id", numPerms = 8))
     time("simhash_pairs")(llm.Dedup.simhashPairs(
       llm.Dedup.simhash(docs, "text", "doc_id", k = 2), "doc_id",
       maxHamming = 7, bands = 8))

@@ -46,11 +46,17 @@ object Md5Hash64Expr {
   private val digests = ThreadLocal.withInitial[MessageDigest](() =>
     MessageDigest.getInstance("MD5"))
 
-  /** First 8 md5 digest bytes, big-endian signed long. */
-  def hash(bytes: Array[Byte]): Long = {
+  /** Raw 16-byte md5 digest (thread-local MessageDigest) — shared by
+    * the digest-direct expressions ([[hash]], [[Md5LanesExpr]]). */
+  private[functions] def digest(bytes: Array[Byte]): Array[Byte] = {
     val md = digests.get()
     md.reset()
-    val d = md.digest(bytes)
+    md.digest(bytes)
+  }
+
+  /** First 8 md5 digest bytes, big-endian signed long. */
+  def hash(bytes: Array[Byte]): Long = {
+    val d = digest(bytes)
     var h = 0L
     var i = 0
     while (i < 8) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }

@@ -167,16 +167,21 @@ object Dedup {
     * of the parsed hex lanes. One hash-aggregate, no row explosion.
     * Output: (id, h0..h{n-1}) as longs in [0, 2^32). */
   def minhashSignatures(shingles: DataFrame, id: String, numPerms: Int): DataFrame = {
+    graft.functions.Md5LanesExpr.register(shingles.sparkSession)
     val nDigests = (numPerms + 3) / 4
-    val withDigests = shingles.select(col(id) +:
+    // one native digest-direct evaluation per seeded digest: the
+    // composable conv(substring(hex)) form ran four string-radix
+    // conversions per digest per shingle and dominated the pipeline
+    // (5.9 s of 7.3 s at the 10× probe) — Md5LanesExpr reads the four
+    // unsigned-32 lanes straight off the digest bytes, bit-identical
+    val withLanes = shingles.select(col(id) +:
       (0 until nDigests).map(d =>
-        md5(concat(lit(s"$d|"), col("shingle")).cast("binary")).as(s"__m$d")): _*)
+        graft.functions.Md5LanesExpr.of(
+          concat(lit(s"$d|"), col("shingle")).cast("binary")).as(s"__l$d")): _*)
     val aggs = (0 until numPerms).map { i =>
-      val lane = conv(substring(col(s"__m${i / 4}"), (i % 4) * 8 + 1, 8), 16, 10)
-        .cast("long")
-      min(lane).as(s"h$i")
+      min(element_at(col(s"__l${i / 4}"), i % 4 + 1)).as(s"h$i")
     }
-    withDigests.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+    withLanes.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Per-document (band, sig) LSH keys: the signature split into

@@ -47,6 +47,16 @@ class ExtensionsSpec extends SparkSpec {
         "SELECT graft_simhash_agg(h) AS s FROM VALUES (1L), (3L), (2L) AS t(h)")
         .head().getLong(0)
       assert(sim == 3L)
+      // md5 lanes of 'abc': four unsigned-32 big-endian digest lanes
+      val lanes = s2.sql(
+        "SELECT graft_md5_lanes(cast('abc' AS binary)) AS l")
+        .head().getSeq[Long](0)
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest("abc".getBytes("UTF-8"))
+      val want = (0 until 4).map(i =>
+        ((d(4 * i) & 0xFFL) << 24) | ((d(4 * i + 1) & 0xFFL) << 16) |
+          ((d(4 * i + 2) & 0xFFL) << 8) | (d(4 * i + 3) & 0xFFL))
+      assert(lanes == want)
       // band keys of v=(1,-1) vs planes (1,0) [dot 1 > 0 → bit0] and
       // (0,1) [dot −1 → clear]: one 2-plane band → [1]
       val bk = s2.sql(

@@ -167,6 +167,19 @@ class LlmSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("Md5LanesExpr equals the composable hex-lane form (the oracle contract)") {
+    graft.functions.Md5LanesExpr.register(spark)
+    val m = md5(col("text").cast("binary"))
+    val hexLanes = (0 until 4).map(i =>
+      conv(substring(m, i * 8 + 1, 8), 16, 10).cast("long"))
+    val fast = graft.functions.Md5LanesExpr.of(col("text").cast("binary"))
+    val diff = docs.select(
+        (0 until 4).map(i =>
+          (element_at(fast, i + 1) =!= hexLanes(i)).as(s"d$i")): _*)
+      .filter(col("d0") || col("d1") || col("d2") || col("d3")).count()
+    assert(diff == 0)
+  }
+
   test("ivf top-k: deterministic, never beats brute force, prunes candidates") {
     val queries = emb.filter(col("vec_id") < 10)
     def run() = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
