@@ -21,6 +21,54 @@ object Dedup {
     df.groupBy(sha2(col(text), 256).as("text_sha"))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dupes"))
 
+  /** The persisted exact-dedup index shape: one row per corpus
+    * document with its content digest (32-byte shuffle/join key) and
+    * the 64-bit [[md5Hash64]] the Bloom prefilter probes. Store this
+    * in the lake next to the minhash signature index — each ingest
+    * batch dedups against it without ever re-reading corpus text. */
+  def exactIndex(df: DataFrame, text: String, id: String): DataFrame = {
+    graft.functions.Md5Hash64Expr.register(df.sparkSession)
+    df.select(col(id), sha2(col(text), 256).as("text_sha"),
+      md5Hash64(col(text)).as("h64"))
+  }
+
+  /** Incremental exact dedup: which documents of a NEW batch already
+    * exist in the corpus index, with a Bloom prefilter pruning the
+    * index scan. Output, one row per batch document with ≥1 exact
+    * match: (new_id, dup_of = minimum matching corpus id,
+    * n_index_dupes).
+    *
+    * Scale shape: the batch is ingest-sized (the reference caps pulls
+    * at 200k rows), so its 64-bit hashes fit a driver-built
+    * [[org.apache.spark.util.sketch.BloomFilter]] of a few MB that
+    * ships to every index-scan task as a plan literal
+    * ([[graft.functions.BloomMightContainExpr]]). The 100 TB index is
+    * then filtered DURING ITS SCAN — only rows whose hash might match
+    * reach the confirming equi-join, so the join's shuffle moves
+    * ~|batch| candidate rows instead of the whole index. Bloom false
+    * positives are discarded by the exact sha-256 join (false
+    * negatives are impossible), so the result is byte-identical to the
+    * unpruned join — which is why the operator stays under the DuckDB
+    * oracle. At `fpp` = 1% the prefilter passes ~|batch| + 0.01·|index|
+    * rows; tighten fpp as the index grows (cost is ~1.2 bytes/key per
+    * halving). */
+  def exactIncremental(batch: DataFrame, index: DataFrame, text: String,
+                       id: String, fpp: Double = 0.01): DataFrame = {
+    val b = exactIndex(batch, text, id)
+      .select(col(id).as("new_id"), col("text_sha"), col("h64"))
+    // driver-side filter build over the batch hashes — bounded by the
+    // ingest batch size, the same class of driver scalar the reference
+    // pulls (expected-items from a cheap count; both jobs are tiny)
+    val nBatch = b.count().max(1L)
+    val bloom = b.stat.bloomFilter("h64", nBatch, fpp)
+    graft.functions.BloomMightContainExpr.register(index.sparkSession)
+    val pruned = index
+      .filter(graft.functions.BloomMightContainExpr.of(col("h64"), bloom))
+    pruned.join(b.select(col("new_id"), col("text_sha")), Seq("text_sha"))
+      .groupBy(col("new_id"))
+      .agg(min(col(id)).as("dup_of"), count(lit(1)).as("n_index_dupes"))
+  }
+
   /** Benchmark decontamination: flag training documents that share any
     * word k-gram with an evaluation/benchmark set — the n-gram-overlap
     * protocol used to scrub eval leakage from pretraining corpora

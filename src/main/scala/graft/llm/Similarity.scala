@@ -171,6 +171,42 @@ object Similarity {
         col("max_lower"))
   }
 
+  /** Embedding-space corpus clustering for curation: every vector
+    * assigned to its nearest coarse centroid (the same deterministic
+    * quantizer the IVF index uses — k-means-trainable via
+    * [[trainIvfCentroids]]), with per-cluster statistics attached.
+    * This is the primitive behind cluster-balanced sampling, SemDeDup's
+    * partitioning and topic-mixture audits. Output per vector:
+    * (id, list_id, c_score = dot product to its centroid, cluster_n,
+    * cluster_min_id).
+    *
+    * Scale shape: assignment is a pure narrow projection (no shuffle);
+    * the statistics are one (list_id)-keyed aggregate producing nLists
+    * rows, broadcast back onto the assignment — the corpus is read
+    * once and never reshuffled. All outputs are order-independent
+    * (count/min aggregates, deterministic dot-product fold), so the
+    * whole operator is oracle-checkable. */
+  def clusterStats(corpus: DataFrame, id: String, emb: String,
+                   nLists: Int = 8, dim: Int = 64,
+                   centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val cs = centroids.getOrElse(ivfCentroids(nLists, dim))
+    require(cs.length == nLists, s"expected $nLists centroids, got ${cs.length}")
+    val scores = array(cs.map(c =>
+      VectorFunctions.dot(col("c_emb"), typedlit(c.toSeq))): _*)
+    val assigned = prepped(corpus, id, emb, id, "c_emb", "c_nrm")
+      .withColumn("__cs", scores)
+      .select(col(id),
+        (array_position(col("__cs"), array_max(col("__cs"))) - 1)
+          .cast("int").as("list_id"),
+        array_max(col("__cs")).as("c_score"))
+    val stats = assigned.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("cluster_n"), min(col(id)).as("cluster_min_id"))
+    assigned.join(broadcast(stats), Seq("list_id"))
+      .select(col(id), col("list_id"), col("c_score"),
+        col("cluster_n"), col("cluster_min_id"))
+  }
+
   /** Exact quadratic variant of [[nearDupPairs]] — the recall-1 baseline
     * for tiny inputs and for measuring the banded path's recall. */
   def exactNearDupPairs(corpus: DataFrame, id: String, emb: String,

@@ -208,6 +208,102 @@ object TextAnalysis {
     df.withColumn(text, planted)
   }
 
+  /** HTML character entities decoded by [[stripMarkup]], applied in
+    * order — `&amp;` LAST, the single-pass convention: `&amp;lt;`
+    * decodes to the literal text `&lt;`, not to `<` (decoding it to
+    * `<` would un-escape content the author explicitly escaped). */
+  val MarkupEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Markup stripping — the first step of every web-corpus pipeline
+    * (raw crawl HTML → trainable text): drop comments, drop tags,
+    * decode the common character entities, collapse whitespace. Per
+    * document: n_tags (tag count in the ORIGINAL text), clean_len and
+    * clean_md5 of the cleaned text. A pure narrow projection of
+    * codegen'd regex/replace ops — scan speed at 100 TB, no shuffle;
+    * the regexes live in the RE2 ∩ java.util.regex common subset so
+    * the DuckDB oracle reproduces the cleaned bytes exactly.
+    *
+    * Comments are stripped BEFORE tags (a comment may contain `--`
+    * but never `<`/`>` by the HTML grammar), and entities are decoded
+    * AFTER tag stripping — `&lt;b&gt;` is content, not markup, and
+    * must survive as the literal text `<b>`. */
+  def stripMarkup(df0: DataFrame, text: String, id: String): DataFrame = {
+    val df = graft.ops.Ops.parallelizeInput(df0, col(id))
+    val noComments = regexp_replace(col(text), "<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "<[^<>]+>", " ")
+    val decoded = MarkupEntities.foldLeft(noTags) {
+      case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))
+    }
+    val cleaned = trim(regexp_replace(decoded, " +", " "))
+    df.select(col(id),
+      regexp_count(col(text), lit("<[^<>]+>")).cast("long").as("n_tags"),
+      length(cleaned).cast("long").as("clean_len"),
+      md5(cleaned.cast("binary")).as("clean_md5"))
+  }
+
+  /** Planted markup for gate non-vacuity: the synthetic corpus has no
+    * '<' — a markup-strip row over it would prove two engines agree on
+    * the identity function. Wraps/appends deterministic id-derived
+    * markup (block wrapper on id%3=0, link with encoded entities on
+    * id%4=0, comment+void tag on id%5=0), mirrored verbatim in the
+    * DuckDB oracle. */
+  def withPlantedMarkup(df: DataFrame, text: String, id: String): DataFrame =
+    df.withColumn(text, concat(
+      when(pmod(col(id), lit(5)) === 0, lit("<!-- header --><br/> "))
+        .otherwise(lit("")),
+      when(pmod(col(id), lit(3)) === 0,
+          concat(lit("<div class=\"doc\"><p>"), col(text), lit("</p></div>")))
+        .otherwise(col(text)),
+      when(pmod(col(id), lit(4)) === 0,
+          lit(" <a href=\"https://ex.am/p?q=1&amp;r=2\">click &lt;here&gt;</a>"))
+        .otherwise(lit(""))))
+
+  /** Composite quality gate — the C4/Gopher-style document filter that
+    * turns the individual signals into one keep/drop verdict. A
+    * document is kept iff every rule passes; `reasons` is the OR of
+    * the failed rules' bits so a curation run can report WHY documents
+    * were dropped (the standard audit output of a filtering stage):
+    * 1 = too short, 2 = too long, 4 = mean token length out of range,
+    * 8 = low type-token ratio, 16 = repeated n-grams, 32 = too few
+    * stopwords. Signals are the integer-exact basis-point columns of
+    * [[qualityStats]] and [[repetitionSignals]] — the whole verdict is
+    * cross-engine exact. Narrow scan + one per-document grouped agg
+    * (the k-gram signal); joins on the document id. */
+  def qualityGate(df: DataFrame, text: String, id: String, k: Int = 2,
+                  minTokens: Long = 20L, maxTokens: Long = 1000L,
+                  minMeanTokLenC: Long = 300L, maxMeanTokLenC: Long = 700L,
+                  minTtrBp: Long = 3000L, maxDupGramBp: Long = 2000L,
+                  minStopwordBp: Long = 100L): DataFrame = {
+    val q = qualityStats(df, text, id)
+    val r = repetitionSignals(df, text, id, k)
+      .select(col(id), col("dup_gram_bp"))
+    def bit(cond: Column, b: Int) = when(cond, lit(b.toLong)).otherwise(lit(0L))
+    q.join(r, Seq(id), "left")
+      .withColumn("dup_gram_bp", coalesce(col("dup_gram_bp"), lit(0L)))
+      .withColumn("reasons",
+        bit(col("n_tokens") < minTokens, 1) +
+        bit(col("n_tokens") > maxTokens, 2) +
+        bit(col("mean_tok_len_c") < minMeanTokLenC ||
+            col("mean_tok_len_c") > maxMeanTokLenC, 4) +
+        bit(col("ttr_bp") < minTtrBp, 8) +
+        bit(col("dup_gram_bp") > maxDupGramBp, 16) +
+        bit(col("stopword_bp") < minStopwordBp, 32))
+      .withColumn("keep", col("reasons") === 0L)
+  }
+
+  /** Planted within-document repetition (generation-loop shape) for
+    * gate non-vacuity: appends the same 4-token phrase 8 times to
+    * every `every`-th document, driving its duplicate-2-gram fraction
+    * past any threshold. Mirrored verbatim in the DuckDB oracle. */
+  def withPlantedRepetition(df: DataFrame, text: String, id: String,
+                            every: Int = 6): DataFrame =
+    df.withColumn(text,
+      when(pmod(col(id), lit(every)) === 0,
+        concat(col(text), repeat(lit(" click here to win"), 8)))
+        .otherwise(col(text)))
+
   /** Canonical-form fingerprint: lowercase → strip non-alphanumerics →
     * collapse whitespace → md5. Collisions ⇒ near-identical documents
     * modulo case/punctuation/spacing (a dedup key). */

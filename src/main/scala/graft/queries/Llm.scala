@@ -916,6 +916,132 @@ object Llm {
           .orderBy(col("doc_id"))): Q,
       Some("""SELECT doc_id, octet_length(encode(text)) AS byte_len,
         |md5(text) AS content_md5
-        |FROM documents ORDER BY doc_id""".stripMargin))
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // embedding-space corpus clustering: nearest-centroid assignment
+    // (a narrow projection) + per-cluster stats (nLists-row aggregate
+    // broadcast back); centroids rebuilt in SQL from the splitmix
+    // literals like the IVF row
+    ("llm_cluster_assign",
+      ((s: SparkSession, d: String) =>
+        Similarity.clusterStats(Tables.embeddings(s, d), "vec_id",
+            "embedding", nLists = 8)
+          .select(col("vec_id"), col("list_id"),
+            floor(col("c_score") * 1000000 + 0.5).cast("long").as("c_score_e6"),
+            col("cluster_n"), col("cluster_min_id"))
+          .orderBy(col("vec_id"))): Q,
+      Some(s"""WITH emb AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |pre AS (SELECT vec_id, ${ivfScoresSql(nLists = 8, dim = 64)} AS cs
+        |  FROM emb),
+        |corp AS (SELECT vec_id, list_position(cs, list_max(cs)) - 1 AS list_id,
+        |  list_max(cs) AS c_score FROM pre),
+        |st AS (SELECT list_id, count(*) AS cluster_n,
+        |  min(vec_id) AS cluster_min_id FROM corp GROUP BY list_id)
+        |SELECT vec_id, list_id,
+        |  CAST(floor(c_score * 1000000 + 0.5) AS BIGINT) AS c_score_e6,
+        |  cluster_n, cluster_min_id
+        |FROM corp JOIN st USING (list_id) ORDER BY vec_id""".stripMargin)),
+
+    // markup stripping over planted id-derived HTML (the synthetic
+    // corpus has no '<'): comments → tags → entity decode (&amp; last)
+    // → whitespace collapse, cleaned bytes md5-verified end-to-end
+    ("llm_strip_markup",
+      ((s: SparkSession, d: String) =>
+        TextAnalysis.stripMarkup(
+            TextAnalysis.withPlantedMarkup(Tables.documents(s, d), "text",
+              "doc_id"),
+            "text", "doc_id")
+          .orderBy(col("doc_id"))): Q,
+      Some("""WITH p AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN '<!-- header --><br/> ' ELSE '' END
+        |  || CASE WHEN doc_id % 3 = 0
+        |       THEN '<div class="doc"><p>' || text || '</p></div>'
+        |       ELSE text END
+        |  || CASE WHEN doc_id % 4 = 0
+        |       THEN ' <a href="https://ex.am/p?q=1&amp;r=2">click &lt;here&gt;</a>'
+        |       ELSE '' END AS text
+        |  FROM documents),
+        |c AS (SELECT doc_id, text, trim(regexp_replace(
+        |  replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(regexp_replace(text, '<!--.*?-->', ' ', 'g'),
+        |      '<[^<>]+>', ' ', 'g'),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&nbsp;', ' '), '&amp;', '&'),
+        |  ' +', ' ', 'g')) AS clean FROM p)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '<[^<>]+>')) AS BIGINT) AS n_tags,
+        |  CAST(length(clean) AS BIGINT) AS clean_len, md5(clean) AS clean_md5
+        |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // composite C4/Gopher quality gate over planted generation-loop
+    // repetition: every signal integer-exact, the verdict a bitmask
+    // both engines compute from the same basis points
+    ("llm_quality_gate",
+      ((s: SparkSession, d: String) =>
+        TextAnalysis.qualityGate(
+            TextAnalysis.withPlantedRepetition(Tables.documents(s, d), "text",
+              "doc_id", every = 6),
+            "text", "doc_id", k = 2)
+          .orderBy(col("doc_id"))): Q,
+      Some("""WITH p AS (SELECT doc_id, text || CASE WHEN doc_id % 6 = 0
+        |    THEN repeat(' click here to win', 8) ELSE '' END AS text
+        |  FROM documents),
+        |q AS (SELECT doc_id,
+        |  len(string_split(trim(text), ' ')) AS n_tokens,
+        |  CAST(floor(10000.0 * len(list_distinct(string_split(trim(text), ' ')))
+        |    / len(string_split(trim(text), ' ')) + 0.5) AS BIGINT) AS ttr_bp,
+        |  CAST(floor(10000.0 * length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+        |    / length(text) + 0.5) AS BIGINT) AS punct_bp,
+        |  CAST(floor(10000.0 * len(list_filter(string_split(trim(text), ' '),
+        |      t -> lower(t) IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in',
+        |        'is', 'it', 'that', 'for', 'on', 'with', 'as', 'at', 'by')))
+        |    / len(string_split(trim(text), ' ')) + 0.5) AS BIGINT) AS stopword_bp,
+        |  CAST(floor(100.0 * (length(text) - (len(string_split(trim(text), ' ')) - 1))
+        |    / len(string_split(trim(text), ' ')) + 0.5) AS BIGINT) AS mean_tok_len_c
+        |  FROM p),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM p
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |g AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+        |        FROM toks)),
+        |pg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+        |r AS (SELECT doc_id,
+        |  CAST(floor(10000.0 * sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c)
+        |    + 0.5) AS BIGINT) AS dup_gram_bp FROM pg GROUP BY doc_id),
+        |j AS (SELECT q.*, coalesce(r.dup_gram_bp, 0) AS dup_gram_bp
+        |  FROM q LEFT JOIN r USING (doc_id)),
+        |v AS (SELECT *,
+        |  CAST(CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END
+        |   + CASE WHEN n_tokens > 1000 THEN 2 ELSE 0 END
+        |   + CASE WHEN mean_tok_len_c < 300 OR mean_tok_len_c > 700 THEN 4 ELSE 0 END
+        |   + CASE WHEN ttr_bp < 3000 THEN 8 ELSE 0 END
+        |   + CASE WHEN dup_gram_bp > 2000 THEN 16 ELSE 0 END
+        |   + CASE WHEN stopword_bp < 100 THEN 32 ELSE 0 END AS BIGINT) AS reasons
+        |  FROM j)
+        |SELECT doc_id, n_tokens, ttr_bp, punct_bp, stopword_bp, mean_tok_len_c,
+        |  dup_gram_bp, reasons, reasons = 0 AS keep
+        |FROM v ORDER BY doc_id""".stripMargin)),
+
+    // incremental exact dedup: a re-ingested batch (every 10th doc,
+    // shifted ids) probed against the corpus digest index through the
+    // Bloom-prefiltered scan; the prefilter cannot change the answer
+    // (exact join confirms), so the oracle is the plain text join
+    ("llm_dedup_exact_incremental",
+      ((s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        Dedup.exactIncremental(batch,
+            Dedup.exactIndex(docs, "text", "doc_id"), "text", "doc_id")
+          .orderBy(col("new_id"))
+      }): Q,
+      Some("""WITH b AS (SELECT doc_id + 100000 AS new_id, text
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT b.new_id, min(d.doc_id) AS dup_of,
+        |  count(*) AS n_index_dupes
+        |FROM b JOIN documents d ON d.text = b.text
+        |GROUP BY b.new_id ORDER BY new_id""".stripMargin))
   )
 }

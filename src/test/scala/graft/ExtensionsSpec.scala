@@ -64,6 +64,16 @@ class ExtensionsSpec extends SparkSpec {
           |  array(array(1.0D, 0.0D), array(0.0D, 1.0D)), 2) AS k
           |""".stripMargin).head().getSeq[Int](0)
       assert(bk == Seq(1))
+      // bloom might-contain: a 1-element filter finds its member
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(1L, 0.01)
+      bf.putLong(42L)
+      val bytes = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bytes)
+      val hex = bytes.toByteArray.map("%02X".format(_)).mkString
+      val bl = s2.sql(
+        s"SELECT graft_bloom_might_contain(42L, x'$hex') AS m")
+        .head().getBoolean(0)
+      assert(bl)
     } finally {
       prevActive.foreach(SparkSession.setActiveSession)
       prevDefault.foreach(SparkSession.setDefaultSession)

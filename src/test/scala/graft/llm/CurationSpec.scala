@@ -115,6 +115,136 @@ class CurationSpec extends SparkSpec {
     assert(out(2L).getLong(1) + out(2L).getLong(2) + out(2L).getLong(3) == 0L)
   }
 
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("stripMarkup: tags, comments, entity order, whitespace collapse") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "<div class=\"x\"><p>hello <b>world</b></p></div>"),
+      (1L, "<!-- a -- comment -->before<br/>after"),
+      // &amp;lt; must decode to the literal text "&lt;", never to "<"
+      (2L, "a &amp;lt; b &lt;tag&gt; c &quot;q&quot; &#39;s&#39; &nbsp;d"),
+      (3L, "no markup at all"),
+      (4L, "spaced   <i>  out  </i>   text")).toDF("doc_id", "text")
+    val out = TextAnalysis.stripMarkup(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def check(id: Long, nTags: Long, clean: String): Unit = {
+      assert(out(id).getLong(1) == nTags, s"doc $id n_tags")
+      assert(out(id).getLong(2) == clean.length.toLong, s"doc $id len")
+      assert(out(id).getString(3) == md5Hex(clean), s"doc $id md5")
+    }
+    check(0L, 6L, "hello world")
+    // n_tags counts every <...> group of the RAW text — comments too
+    check(1L, 2L, "before after")
+    check(2L, 0L, "a &lt; b <tag> c \"q\" 's' d")
+    check(3L, 0L, "no markup at all")
+    check(4L, 2L, "spaced out text")
+  }
+
+  test("stripMarkup: unplanted docs of the gate corpus are untouched") {
+    val planted = TextAnalysis.withPlantedMarkup(docs, "text", "doc_id")
+    val out = TextAnalysis.stripMarkup(planted, "text", "doc_id")
+    val unplanted = out
+      .filter(pmod(col("doc_id"), lit(3)) =!= 0 &&
+        pmod(col("doc_id"), lit(4)) =!= 0 && pmod(col("doc_id"), lit(5)) =!= 0)
+      .join(docs.select(col("doc_id"),
+        md5(col("text").cast("binary")).as("orig_md5"),
+        length(col("text")).cast("long").as("orig_len")), Seq("doc_id"))
+    assert(unplanted.count() > 0)
+    assert(unplanted.filter(col("n_tags") =!= 0L ||
+      col("clean_md5") =!= col("orig_md5") ||
+      col("clean_len") =!= col("orig_len")).count() == 0)
+  }
+
+  test("qualityGate: each rule fires its own reason bit") {
+    import spark.implicits._
+    val good = ("alpha the bravo codes delta eagle frost gamma hotel india " +
+      "juliet kilos lemon mango north oscar paper quill romeo sugar tango " +
+      "uncle")   // 22 tokens, ~5-char mean, has a stopword, all grams unique
+    val docs = Seq(
+      (0L, good),
+      (1L, "too short the text"),                  // bit 1 (4 tokens)
+      (2L, good + (" verylongtokenx" * 40)),       // drifts mean length → bit 4
+      (3L, ("the spam " * 30).trim),               // bits 8+16 (low ttr, dup grams)
+      (4L, good.replaceAll("\\bthe\\b", "thx"))    // no stopwords → bit 32
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityGate(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("reasons"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(0L) == (0L, true))
+    assert((out(1L)._1 & 1L) != 0 && !out(1L)._2)
+    assert((out(2L)._1 & 4L) != 0 && !out(2L)._2)
+    assert((out(3L)._1 & 8L) != 0 && (out(3L)._1 & 16L) != 0 && !out(3L)._2)
+    assert((out(4L)._1 & 32L) != 0 && !out(4L)._2)
+  }
+
+  test("qualityGate: planted repetition always trips the repetition rule") {
+    val out = TextAnalysis.qualityGate(
+      TextAnalysis.withPlantedRepetition(docs, "text", "doc_id", every = 6),
+      "text", "doc_id").cache()
+    // keep ⇔ reasons == 0, everywhere
+    assert(out.filter(col("keep") =!= (col("reasons") === 0L)).count() == 0)
+    // every planted doc has the repetition bit; some unplanted docs keep
+    assert(out.filter(pmod(col("doc_id"), lit(6)) === 0)
+      .filter((col("reasons").bitwiseAND(16L)) === 0L).count() == 0)
+    assert(out.filter(col("keep")).count() > 0)
+  }
+
+  test("clusterStats: sizes partition the corpus, assignment matches semDedup") {
+    val out = Similarity.clusterStats(embs, "vec_id", "embedding",
+      nLists = 8).cache()
+    val n = embs.count()
+    assert(out.count() == n)
+    // cluster_n is consistent: per-cluster row count equals the stat
+    assert(out.groupBy(col("list_id"), col("cluster_n"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") =!= col("cluster_n")).count() == 0)
+    assert(out.select(col("list_id"), col("cluster_n")).distinct()
+      .agg(sum(col("cluster_n"))).first().getLong(0) == n)
+    // same quantizer ⇒ same assignment as semDedup's list_id
+    val sd = Similarity.semDedup(embs, "vec_id", "embedding",
+      threshold = 0.95, nLists = 8).select(col("vec_id"), col("list_id").as("sd"))
+    assert(out.join(sd, Seq("vec_id"))
+      .filter(col("list_id") =!= col("sd")).count() == 0)
+    // stats come back via a broadcast join — corpus side never reshuffles
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("Cartesian"))
+  }
+
+  test("bloom might-contain: no false negatives, filter prunes") {
+    import spark.implicits._
+    graft.functions.BloomMightContainExpr.register(spark)
+    val members = (0L until 1000L).map(i => i * 2654435761L)
+    val bloom = members.toDF("h64").stat.bloomFilter("h64", 1000L, 0.01)
+    val probe = (0L until 4000L).map(i => i * 2654435761L).toDF("h64")
+    val kept = probe.filter(
+        graft.functions.BloomMightContainExpr.of(col("h64"), bloom))
+      .collect().map(_.getLong(0)).toSet
+    assert(members.forall(kept.contains))          // no false negatives
+    assert(kept.size < 1400)                       // and it actually prunes
+  }
+
+  test("exactIncremental: bloom-pruned result equals the unpruned join") {
+    import spark.implicits._
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      .unionByName(Seq((999999L, "a document the corpus has never seen"))
+        .toDF("doc_id", "text"))
+    val index = Dedup.exactIndex(docs, "text", "doc_id")
+    val got = Dedup.exactIncremental(batch, index, "text", "doc_id").cache()
+    val want = index.join(
+        Dedup.exactIndex(batch, "text", "doc_id")
+          .select(col("doc_id").as("new_id"), col("text_sha")),
+        Seq("text_sha"))
+      .groupBy(col("new_id"))
+      .agg(min(col("doc_id")).as("dup_of"), count(lit(1)).as("n_index_dupes"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the never-seen doc produced no row
+    assert(got.filter(col("new_id") === 999999L).isEmpty)
+  }
+
   test("semDedup: planted copies removed, bases kept, cluster-bounded join") {
     val planted = Similarity.withPlantedDups(embs, "vec_id", "embedding",
       every = 20)
