@@ -170,6 +170,24 @@ object ScaleProbe {
     time("semdedup_nlists64")(llm.Similarity.semDedup(
       llm.Similarity.withPlantedDups(emb, "vec_id", "embedding", every = 20),
       "vec_id", "embedding", threshold = 0.95, nLists = 64))
+    // cluster assignment + stats: nLists follows corpus size like
+    // semdedup; assignment is narrow, stats an nLists-row aggregate
+    time("cluster_stats_nlists64")(llm.Similarity.clusterStats(
+      emb, "vec_id", "embedding", nLists = 64))
+    time("strip_markup")(llm.TextAnalysis.stripMarkup(
+      llm.TextAnalysis.withPlantedMarkup(docs, "text", "doc_id"),
+      "text", "doc_id"))
+    time("quality_gate")(llm.TextAnalysis.qualityGate(
+      llm.TextAnalysis.withPlantedRepetition(docs, "text", "doc_id"),
+      "text", "doc_id"))
+    // incremental exact dedup: the batch stays ingest-sized (copy 0)
+    // while the index replicates with the corpus — the Bloom prefilter
+    // is what keeps the growing index scan-local
+    time("exact_incremental")(llm.Dedup.exactIncremental(
+      docs.filter(col("doc_id") < 1000000000L &&
+          pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")),
+      llm.Dedup.exactIndex(docs, "text", "doc_id"), "text", "doc_id"))
     time("sessionize")(llm.Sessionize.sessions(events, "user_id", "ts_us",
       order = Seq(col("ts_us"), col("event_id")),
       gapMicros = 1800000000L, valueCol = "value"))
