@@ -188,6 +188,19 @@ object ScaleProbe {
           pmod(col("doc_id"), lit(10)) === 0)
         .select((col("doc_id") + 100000L).as("doc_id"), col("text")),
       llm.Dedup.exactIndex(docs, "text", "doc_id"), "text", "doc_id"))
+    // deterministic shuffle: shards follow executor count ×4 so each
+    // per-shard window sorts |corpus|/shards rows
+    time("shuffle_order")(llm.Sampling.shuffleOrder(
+      docs.select(col("doc_id")), col("doc_id"), shards = 64))
+    // semantic decontamination: eval side fixed (copy-0 plant) while
+    // the train corpus replicates — banding per the scale model
+    // (16 planes at n = 100k), eval keys/embeddings broadcast
+    time("semantic_decont")(llm.Similarity.semanticDecontaminate(
+      emb,
+      llm.Similarity.withPlantedDups(
+        emb.filter(col("vec_id") < 1000000000L), "vec_id", "embedding",
+        every = 20).filter(col("vec_id") >= 1000000L),
+      "vec_id", "embedding", threshold = 0.8, bands = 16, rowsPerBand = 16))
     time("sessionize")(llm.Sessionize.sessions(events, "user_id", "ts_us",
       order = Seq(col("ts_us"), col("event_id")),
       gapMicros = 1800000000L, valueCol = "value"))

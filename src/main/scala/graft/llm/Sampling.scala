@@ -89,6 +89,32 @@ object Sampling {
       .drop("epochs")
   }
 
+  /** Deterministic global training order — the "shuffle the corpus"
+    * step of dataset assembly, as a reproducible computation instead
+    * of an RNG pass: order rows by a salted 64-bit md5 hash. Output:
+    * input + (order_key, shard, pos), where pos is the dense 0-based
+    * rank within the shard and readers interleave shards round-robin
+    * (shard r, pos 0), (shard r+1, pos 0), … — a full pass visits
+    * every row exactly once in hash order.
+    *
+    * Scale shape: the hash is a narrow projection; the only wide step
+    * is one row_number window PER SHARD, so no global single-partition
+    * sort ever materializes — pick `shards` ≈ a few × executor count
+    * and each window sorts |corpus|/shards rows. Same-salt runs
+    * reproduce the same order on any engine (md5 is the cross-engine
+    * hash); a new salt is a fresh epoch permutation. */
+  def shuffleOrder(df: DataFrame, id: Column, shards: Int = 8,
+                   salt: String = "shuffle"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.Md5Hash64Expr.register(df.sparkSession)
+    val h = Dedup.md5Hash64(concat(lit(salt + "|"), id.cast("string")))
+    df.withColumn("order_key", h)
+      .withColumn("shard", pmod(col("order_key"), lit(shards.toLong)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("order_key"), id))
+        .cast("long") - 1L)
+  }
+
   /** Per-stratum deterministic downsample: keep a row iff its hash
     * bucket falls under the stratum's rate. Strata absent from `rates`
     * keep `defaultRate`. The salt is independent of [[datasetSplit]]'s

@@ -171,6 +171,44 @@ object Similarity {
         col("max_lower"))
   }
 
+  /** Cross-set semantic decontamination: training vectors whose cosine
+    * to ANY eval/benchmark vector reaches `threshold` — the
+    * embedding-space counterpart of [[Dedup.decontaminate]]'s n-gram
+    * overlap scrub (paraphrased eval leakage shares no n-grams but
+    * sits next to the benchmark in embedding space). Output, one row
+    * per CONTAMINATED training vector: (id, n_eval_hits, max_cos);
+    * anti-joining the ids back out is the caller's cleanup step.
+    *
+    * Scale shape: both sides get banded hyperplane-LSH keys from the
+    * same planes (one native [[graft.functions.BandKeysExpr]] each, a
+    * narrow projection); candidates are the (band, key) equi-join.
+    * The eval side is small by nature (benchmarks are MBs against a
+    * 100 TB corpus), so its keys AND its embeddings are broadcast —
+    * the corpus side never shuffles, making the whole scrub
+    * scan-shaped like the n-gram variant. Banding follows the scale
+    * model of [[nearDupPairs]] (rowsPerBand ≈ log₂ n of the TRAIN
+    * side); recall holds because real leakage sits at cosine ≈ 1. */
+  def semanticDecontaminate(train: DataFrame, eval: DataFrame, id: String,
+                            emb: String, threshold: Double,
+                            bands: Int = 32, rowsPerBand: Int = 12,
+                            dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val ps = planes(bands * rowsPerBand, dim, seed)
+    val bt = bandedKeys(train, id, emb, ps, bands, rowsPerBand)
+      .select(col("__bid").as("t"), col("band"), col("key"))
+    val be = bandedKeys(eval, id, emb, ps, bands, rowsPerBand)
+      .select(col("__bid").as("e"), col("band"), col("key"))
+    val cand = bt.join(broadcast(be), Seq("band", "key"))
+      .select(col("t"), col("e")).distinct()
+    val pt = prepped(train, id, emb, "t", "q_emb", "q_nrm")
+    val pe = prepped(eval, id, emb, "e", "c_emb", "c_nrm")
+    cand.join(pt, Seq("t")).join(broadcast(pe), Seq("e"))
+      .withColumn("score", pairScore)
+      .filter(col("score") >= threshold)
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("score")).as("max_cos"))
+      .select(col("t").as(id), col("n_eval_hits"), col("max_cos"))
+  }
+
   /** Embedding-space corpus clustering for curation: every vector
     * assigned to its nearest coarse centroid (the same deterministic
     * quantizer the IVF index uses — k-means-trainable via

@@ -53,18 +53,19 @@ object Llm {
     |      * (1.0 + 0.02 * (CAST((i - 1) % 5 AS DOUBLE) - 2.0)))
     |  FROM embeddings WHERE vec_id % $every = 0""".stripMargin
 
-  private def nearDupScaleSql(threshold: Double, bands: Int,
-                              rowsPerBand: Int, dim: Int,
-                              seed: Long = 42L,
-                              plantedEvery: Int = 0): String = {
-    val plantedUnion = plantedEmbSql(plantedEvery)
+  /** WITH-fragment rebuilding the splitmix64 hyperplanes in exact
+    * HUGEINT arithmetic (bit-equal to
+    * [[graft.llm.Similarity.planeHashes]]): CTEs `pi`…`s6` plus
+    * `planes(p, pl)`. Shared by the near-dup gate row and the
+    * semantic-decontamination row. */
+  private def planesCteSql(nPlanes: Int, dim: Int, seed: Long): String = {
     // splitmix64 constants, split for overflow-free mod-2^64 multiply:
     // a*b mod 2^64 = ((a*b_hi mod 2^32)*2^32 + a*b_lo) mod 2^64, every
     // intermediate < 2^97 — inside HUGEINT's 128-bit range
     val A  = java.lang.Long.toUnsignedString(0x9E3779B97F4A7C15L)
     val c1 = 0xBF58476D1CE4E5B9L; val c2 = 0x94D049BB133111EBL
     val M64 = "18446744073709551616"
-    s"""WITH pi AS (SELECT p, i FROM range(${bands * rowsPerBand}) t1(p), range($dim) t2(i)),
+    s"""pi AS (SELECT p, i FROM range($nPlanes) t1(p), range($dim) t2(i)),
     |s0 AS (SELECT p, i, CAST($seed + p*1000003 + i AS HUGEINT) AS x FROM pi),
     |s1 AS (SELECT p, i, (x + $A) % $M64 AS x FROM s0),
     |s2 AS (SELECT p, i, xor(x, x // 1073741824) AS t FROM s1),
@@ -78,7 +79,15 @@ object Llm {
     |  list(CAST(CAST(CASE WHEN x >= 9223372036854775808
     |      THEN x - $M64 ELSE x END AS BIGINT) AS DOUBLE)
     |    / 9223372036854775807.0 ORDER BY i) AS pl
-    |  FROM s6 GROUP BY p),
+    |  FROM s6 GROUP BY p)""".stripMargin
+  }
+
+  private def nearDupScaleSql(threshold: Double, bands: Int,
+                              rowsPerBand: Int, dim: Int,
+                              seed: Long = 42L,
+                              plantedEvery: Int = 0): String = {
+    val plantedUnion = plantedEmbSql(plantedEvery)
+    s"""WITH ${planesCteSql(bands * rowsPerBand, dim, seed)},
     |emb AS MATERIALIZED (SELECT vec_id,
     |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings$plantedUnion),
     |pre AS MATERIALIZED (SELECT vec_id, e,
@@ -96,6 +105,44 @@ object Llm {
     |    JOIN pre y ON y.vec_id = c.b)
     |SELECT a, b, CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6
     |FROM sc WHERE score >= $threshold ORDER BY a, b""".stripMargin
+  }
+
+  /** DuckDB SQL recomputing the cross-set semantic decontamination
+    * end-to-end: the eval side is the planted jittered copies (the
+    * same plant rule as [[plantedEmbSql]], standalone), both sides get
+    * band keys from the shared [[planesCteSql]] planes, candidates
+    * come from the cross-set (band, key) join, and contaminated train
+    * vectors aggregate their reranked hits. */
+  private def semanticDecontSql(threshold: Double, bands: Int,
+                                rowsPerBand: Int, dim: Int,
+                                seed: Long = 42L,
+                                plantedEvery: Int = 20): String = {
+    def bkSql(src: String) =
+      s"""(SELECT vec_id, p // $rowsPerBand AS band,
+      |  CAST(sum(CASE WHEN list_dot_product(e, pl) > 0
+      |    THEN 1 << (p % $rowsPerBand) ELSE 0 END) AS BIGINT) AS key
+      |  FROM $src, planes GROUP BY vec_id, band)""".stripMargin
+    s"""WITH ${planesCteSql(bands * rowsPerBand, dim, seed)},
+    |tr AS MATERIALIZED (SELECT vec_id,
+    |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+    |ev AS MATERIALIZED (SELECT vec_id + 1000000 AS vec_id,
+    |  list_transform(embedding, (x, i) -> CAST(x AS DOUBLE)
+    |    * (1.0 + 0.02 * (CAST((i - 1) % 5 AS DOUBLE) - 2.0))) AS e
+    |  FROM embeddings WHERE vec_id % $plantedEvery = 0),
+    |pt AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM tr),
+    |pe AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM ev),
+    |bkt AS ${bkSql("tr")},
+    |bke AS ${bkSql("ev")},
+    |cand AS (SELECT DISTINCT l.vec_id AS t, r.vec_id AS ev_id
+    |  FROM bkt l JOIN bke r ON l.band = r.band AND l.key = r.key),
+    |sc AS (SELECT c.t, c.ev_id,
+    |  list_dot_product(x.e, y.e) / (x.nrm * y.nrm) AS score
+    |  FROM cand c JOIN pt x ON x.vec_id = c.t
+    |    JOIN pe y ON y.vec_id = c.ev_id)
+    |SELECT t AS vec_id, count(*) AS n_eval_hits,
+    |  CAST(floor(max(score) * 1000000 + 0.5) AS BIGINT) AS max_cos_e6
+    |FROM sc WHERE score >= $threshold
+    |GROUP BY t ORDER BY vec_id""".stripMargin
   }
 
   /** DuckDB expression: per-centroid dot-product scores of the double
@@ -1042,6 +1089,47 @@ object Llm {
         |SELECT b.new_id, min(d.doc_id) AS dup_of,
         |  count(*) AS n_index_dupes
         |FROM b JOIN documents d ON d.text = b.text
-        |GROUP BY b.new_id ORDER BY new_id""".stripMargin))
+        |GROUP BY b.new_id ORDER BY new_id""".stripMargin)),
+
+    // deterministic training order: salted 64-bit md5 order key,
+    // per-shard dense positions — "shuffle" as a reproducible
+    // computation; the oracle rebuilds key, shard and rank exactly
+    ("llm_shuffle_order",
+      ((s: SparkSession, d: String) =>
+        Sampling.shuffleOrder(Tables.documents(s, d).select(col("doc_id")),
+            col("doc_id"), shards = 8)
+          .orderBy(col("doc_id"))): Q,
+      Some("""WITH h AS (SELECT doc_id,
+        |  (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+        |    * 4294967296 + lo AS order_key
+        |  FROM (SELECT doc_id,
+        |    ('0x' || substr(md5('shuffle|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hi,
+        |    ('0x' || substr(md5('shuffle|' || CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT AS lo
+        |  FROM documents)),
+        |s AS (SELECT doc_id, order_key,
+        |  ((order_key % 8) + 8) % 8 AS shard FROM h)
+        |SELECT doc_id, order_key, shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY order_key, doc_id) - 1
+        |    AS pos
+        |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // cross-set semantic decontamination at the gate banding (32×12):
+    // the eval set is the planted jittered copies, so every 20th train
+    // vector is contaminated by construction; band keys, candidates
+    // and reranked hits all recomputed in SQL from the splitmix planes
+    ("llm_decontaminate_semantic",
+      ((s: SparkSession, d: String) => {
+        val base = Tables.embeddings(s, d)
+        val eval = Similarity.withPlantedDups(base, "vec_id", "embedding",
+            every = 20)
+          .filter(col("vec_id") >= 1000000L)
+        Similarity.semanticDecontaminate(base, eval, "vec_id", "embedding",
+            threshold = 0.8, bands = 32, rowsPerBand = 12)
+          .select(col("vec_id"), col("n_eval_hits"),
+            floor(col("max_cos") * 1000000 + 0.5).cast("long").as("max_cos_e6"))
+          .orderBy(col("vec_id"))
+      }): Q,
+      Some(semanticDecontSql(threshold = 0.8, bands = 32, rowsPerBand = 12,
+        dim = 64, plantedEvery = 20)))
   )
 }

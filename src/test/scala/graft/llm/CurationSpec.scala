@@ -245,6 +245,42 @@ class CurationSpec extends SparkSpec {
     assert(got.filter(col("new_id") === 999999L).isEmpty)
   }
 
+  test("shuffleOrder: dense per-shard positions, reproducible, salt-sensitive") {
+    val a = Sampling.shuffleOrder(docs.select(col("doc_id")), col("doc_id"),
+      shards = 8).cache()
+    assert(a.count() == docs.count())
+    // positions are dense 0..n_shard-1 within every shard
+    val dense = a.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), min(col("pos")).as("lo"), max(col("pos")).as("hi"))
+      .filter(col("lo") =!= 0L || col("hi") =!= col("n") - 1)
+    assert(dense.count() == 0)
+    // same salt reproduces the identical assignment
+    val b = Sampling.shuffleOrder(docs.select(col("doc_id")), col("doc_id"),
+      shards = 8)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // a different salt is a different permutation
+    val c = Sampling.shuffleOrder(docs.select(col("doc_id")), col("doc_id"),
+      shards = 8, salt = "epoch2")
+    assert(a.join(c, Seq("doc_id", "shard", "pos"), "inner").count() <
+      docs.count() / 2)
+  }
+
+  test("semanticDecontaminate: flags exactly the planted leakage, broadcast eval") {
+    val eval = Similarity.withPlantedDups(embs, "vec_id", "embedding",
+        every = 20)
+      .filter(col("vec_id") >= 1000000L)
+    val out = Similarity.semanticDecontaminate(embs, eval, "vec_id",
+      "embedding", threshold = 0.8, bands = 32, rowsPerBand = 12).cache()
+    val flagged = out.select("vec_id").collect().map(_.getLong(0)).toSet
+    val plantedBases = embs.filter(pmod(col("vec_id"), lit(20)) === 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == plantedBases)
+    assert(out.filter(col("max_cos") < 0.8).count() == 0)
+    // the eval side broadcasts; no cartesian anywhere
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("Cartesian"))
+  }
+
   test("semDedup: planted copies removed, bases kept, cluster-bounded join") {
     val planted = Similarity.withPlantedDups(embs, "vec_id", "embedding",
       every = 20)
