@@ -127,7 +127,12 @@ object Dedup {
     graft.functions.Md5Hash64Expr.register(df0.sparkSession)
     val toks = tokenize(df0, text, id)
     val n = size(col("toks"))
-    // one row per window start s (1-based, matching slice())
+    // one row per window start s (1-based, matching slice()). NOT
+    // checkpointed: materializing the gram frame for its two consumers
+    // was measured SLOWER at bench scale (1.30 → 1.51 s min-of-4 —
+    // the narrow tokenize+hash recompute is cheaper than writing ~10M
+    // gram rows to block storage); the fleet-scale persist advice in
+    // the scaladoc applies when the recompute is no longer scan-cheap
     val grams = toks.filter(n >= k)
       .select(col(id), col("toks"),
         explode(sequence(lit(1), n - (k - 1))).as("s"))

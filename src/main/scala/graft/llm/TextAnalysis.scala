@@ -293,6 +293,29 @@ object TextAnalysis {
       .withColumn("keep", col("reasons") === 0L)
   }
 
+  /** Per-slice curation report — the audit table every filtering run
+    * produces: for each value of `dims` (source, language, shard, …),
+    * document and token counts before and after the [[qualityGate]],
+    * plus the kept fraction in basis points. One grouped aggregation
+    * over |dims| keys after the gate's per-document verdict — report
+    * cardinality is the dimension cross product, so the output is
+    * dashboard-sized at any corpus scale. */
+  def corpusReport(df: DataFrame, text: String, id: String,
+                   dims: Seq[String]): DataFrame = {
+    val gate = qualityGate(df, text, id)
+      .select(col(id), col("n_tokens").cast("long").as("n_tokens"), col("keep"))
+    df.select(col(id) +: dims.map(col): _*)
+      .join(gate, Seq(id))
+      .groupBy(dims.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(when(col("keep"), col("n_tokens")).otherwise(0L))
+          .as("sum_kept_tokens"))
+      .withColumn("kept_bp",
+        floor(lit(10000.0) * col("n_kept") / col("n_docs") + 0.5).cast("long"))
+  }
+
   /** Planted within-document repetition (generation-loop shape) for
     * gate non-vacuity: appends the same 4-token phrase 8 times to
     * every `every`-th document, driving its duplicate-2-gram fraction

@@ -145,6 +145,44 @@ object Llm {
     |GROUP BY t ORDER BY vec_id""".stripMargin
   }
 
+  /** CTE chain recomputing the composite quality gate over a `src`
+    * CTE of (doc_id, text): quality signals, 2-gram repetition, and
+    * the reason bitmask, ending in `v` (doc_id, signals…, reasons).
+    * Shared by the gate row and the per-source corpus report. */
+  private val gateCtesSql: String =
+    """q AS (SELECT doc_id,
+    |  len(string_split(trim(text), ' ')) AS n_tokens,
+    |  CAST(floor(10000.0 * len(list_distinct(string_split(trim(text), ' ')))
+    |    / len(string_split(trim(text), ' ')) + 0.5) AS BIGINT) AS ttr_bp,
+    |  CAST(floor(10000.0 * length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+    |    / length(text) + 0.5) AS BIGINT) AS punct_bp,
+    |  CAST(floor(10000.0 * len(list_filter(string_split(trim(text), ' '),
+    |      t -> lower(t) IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in',
+    |        'is', 'it', 'that', 'for', 'on', 'with', 'as', 'at', 'by')))
+    |    / len(string_split(trim(text), ' ')) + 0.5) AS BIGINT) AS stopword_bp,
+    |  CAST(floor(100.0 * (length(text) - (len(string_split(trim(text), ' ')) - 1))
+    |    / len(string_split(trim(text), ' ')) + 0.5) AS BIGINT) AS mean_tok_len_c
+    |  FROM src),
+    |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM src
+    |  WHERE len(string_split(text, ' ')) >= 2),
+    |g AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+    |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+    |        FROM toks)),
+    |pg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+    |r AS (SELECT doc_id,
+    |  CAST(floor(10000.0 * sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c)
+    |    + 0.5) AS BIGINT) AS dup_gram_bp FROM pg GROUP BY doc_id),
+    |j AS (SELECT q.*, coalesce(r.dup_gram_bp, 0) AS dup_gram_bp
+    |  FROM q LEFT JOIN r USING (doc_id)),
+    |v AS (SELECT *,
+    |  CAST(CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END
+    |   + CASE WHEN n_tokens > 1000 THEN 2 ELSE 0 END
+    |   + CASE WHEN mean_tok_len_c < 300 OR mean_tok_len_c > 700 THEN 4 ELSE 0 END
+    |   + CASE WHEN ttr_bp < 3000 THEN 8 ELSE 0 END
+    |   + CASE WHEN dup_gram_bp > 2000 THEN 16 ELSE 0 END
+    |   + CASE WHEN stopword_bp < 100 THEN 32 ELSE 0 END AS BIGINT) AS reasons
+    |  FROM j)""".stripMargin
+
   /** DuckDB expression: per-centroid dot-product scores of the double
     * list `e` against the IVF coarse quantizer — same exact-literal
     * reconstruction as [[annBucketSql]]. */
@@ -1032,41 +1070,10 @@ object Llm {
               "doc_id", every = 6),
             "text", "doc_id", k = 2)
           .orderBy(col("doc_id"))): Q,
-      Some("""WITH p AS (SELECT doc_id, text || CASE WHEN doc_id % 6 = 0
+      Some(s"""WITH src AS (SELECT doc_id, text || CASE WHEN doc_id % 6 = 0
         |    THEN repeat(' click here to win', 8) ELSE '' END AS text
         |  FROM documents),
-        |q AS (SELECT doc_id,
-        |  len(string_split(trim(text), ' ')) AS n_tokens,
-        |  CAST(floor(10000.0 * len(list_distinct(string_split(trim(text), ' ')))
-        |    / len(string_split(trim(text), ' ')) + 0.5) AS BIGINT) AS ttr_bp,
-        |  CAST(floor(10000.0 * length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
-        |    / length(text) + 0.5) AS BIGINT) AS punct_bp,
-        |  CAST(floor(10000.0 * len(list_filter(string_split(trim(text), ' '),
-        |      t -> lower(t) IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in',
-        |        'is', 'it', 'that', 'for', 'on', 'with', 'as', 'at', 'by')))
-        |    / len(string_split(trim(text), ' ')) + 0.5) AS BIGINT) AS stopword_bp,
-        |  CAST(floor(100.0 * (length(text) - (len(string_split(trim(text), ' ')) - 1))
-        |    / len(string_split(trim(text), ' ')) + 0.5) AS BIGINT) AS mean_tok_len_c
-        |  FROM p),
-        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM p
-        |  WHERE len(string_split(text, ' ')) >= 2),
-        |g AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
-        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
-        |        FROM toks)),
-        |pg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
-        |r AS (SELECT doc_id,
-        |  CAST(floor(10000.0 * sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c)
-        |    + 0.5) AS BIGINT) AS dup_gram_bp FROM pg GROUP BY doc_id),
-        |j AS (SELECT q.*, coalesce(r.dup_gram_bp, 0) AS dup_gram_bp
-        |  FROM q LEFT JOIN r USING (doc_id)),
-        |v AS (SELECT *,
-        |  CAST(CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END
-        |   + CASE WHEN n_tokens > 1000 THEN 2 ELSE 0 END
-        |   + CASE WHEN mean_tok_len_c < 300 OR mean_tok_len_c > 700 THEN 4 ELSE 0 END
-        |   + CASE WHEN ttr_bp < 3000 THEN 8 ELSE 0 END
-        |   + CASE WHEN dup_gram_bp > 2000 THEN 16 ELSE 0 END
-        |   + CASE WHEN stopword_bp < 100 THEN 32 ELSE 0 END AS BIGINT) AS reasons
-        |  FROM j)
+        |${gateCtesSql}
         |SELECT doc_id, n_tokens, ttr_bp, punct_bp, stopword_bp, mean_tok_len_c,
         |  dup_gram_bp, reasons, reasons = 0 AS keep
         |FROM v ORDER BY doc_id""".stripMargin)),
@@ -1130,6 +1137,28 @@ object Llm {
           .orderBy(col("vec_id"))
       }): Q,
       Some(semanticDecontSql(threshold = 0.8, bands = 32, rowsPerBand = 12,
-        dim = 64, plantedEvery = 20)))
+        dim = 64, plantedEvery = 20))),
+
+    // the curation report card: per-(source, lang) doc/token counts
+    // before and after the quality gate — gate verdicts recomputed by
+    // the shared CTE chain over the PLAIN corpus (the short/ttr/
+    // stopword rules fire naturally), then one grouped rollup
+    ("llm_corpus_report",
+      ((s: SparkSession, d: String) =>
+        TextAnalysis.corpusReport(Tables.documents(s, d), "text", "doc_id",
+            dims = Seq("source", "lang"))
+          .orderBy(col("source"), col("lang"))): Q,
+      Some(s"""WITH src AS (SELECT doc_id, text FROM documents),
+        |${gateCtesSql}
+        |SELECT d.source, d.lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN v.reasons = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(sum(v.n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(CASE WHEN v.reasons = 0 THEN v.n_tokens ELSE 0 END)
+        |    AS BIGINT) AS sum_kept_tokens,
+        |  CAST(floor(10000.0 * sum(CASE WHEN v.reasons = 0 THEN 1 ELSE 0 END)
+        |    / count(*) + 0.5) AS BIGINT) AS kept_bp
+        |FROM v JOIN documents d USING (doc_id)
+        |GROUP BY d.source, d.lang ORDER BY d.source, d.lang""".stripMargin))
   )
 }

@@ -245,6 +245,19 @@ class CurationSpec extends SparkSpec {
     assert(got.filter(col("new_id") === 999999L).isEmpty)
   }
 
+  test("corpusReport: slices partition the corpus, totals match the gate") {
+    val rep = TextAnalysis.corpusReport(docs, "text", "doc_id",
+      dims = Seq("source", "lang")).cache()
+    assert(rep.agg(sum(col("n_docs"))).first().getLong(0) == docs.count())
+    assert(rep.filter(col("n_kept") > col("n_docs") ||
+      col("sum_kept_tokens") > col("sum_tokens")).count() == 0)
+    // corpus-wide kept count matches the gate's own verdicts
+    val kept = TextAnalysis.qualityGate(docs, "text", "doc_id")
+      .filter(col("keep")).count()
+    assert(rep.agg(sum(col("n_kept"))).first().getLong(0) == kept)
+    assert(kept > 0 && kept < docs.count())
+  }
+
   test("shuffleOrder: dense per-shard positions, reproducible, salt-sensitive") {
     val a = Sampling.shuffleOrder(docs.select(col("doc_id")), col("doc_id"),
       shards = 8).cache()
