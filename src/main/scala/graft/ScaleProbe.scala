@@ -201,6 +201,11 @@ object ScaleProbe {
         emb.filter(col("vec_id") < 1000000000L), "vec_id", "embedding",
         every = 20).filter(col("vec_id") >= 1000000L),
       "vec_id", "embedding", threshold = 0.8, bands = 16, rowsPerBand = 16))
+    // the composed curation pipeline end-to-end (strip → redact →
+    // gate → dedup → shuffle) over the fully-planted corpus
+    time("curation_pipeline")(llm.Curation.pipeline(
+      llm.Curation.withPlantedEverything(docs, "text", "doc_id"),
+      "text", "doc_id", shards = 64))
     time("sessionize")(llm.Sessionize.sessions(events, "user_id", "ts_us",
       order = Seq(col("ts_us"), col("event_id")),
       gapMicros = 1800000000L, valueCol = "value"))

@@ -1,0 +1,67 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end curation pipeline — the composition a real
+  * training-data run executes, as ONE declarative plan: markup strip →
+  * PII redaction → quality gate → exact dedup → deterministic shuffle.
+  * Each stage is an existing oracle-checked operator; composing them in
+  * a single DataFrame expression lets Catalyst pipeline the three
+  * narrow text transforms into one scan pass, with only the gate's
+  * gram aggregate, the dedup aggregate and the per-shard rank windows
+  * as wide stages.
+  *
+  * Stage order is load-bearing: dedup runs on the CLEANED, REDACTED
+  * text (two raw documents that differ only in markup or in the PII
+  * they leak are the same training document), and the gate judges the
+  * text the model would actually train on.
+  */
+object Curation {
+
+  /** Run the pipeline; one output row per SURVIVING document:
+    * (id, clean_md5 = md5 of the cleaned text, order_key, shard, pos)
+    * — the assembled training corpus in its reproducible read order.
+    * Dropped documents (gate failures, non-keeper duplicates) simply
+    * don't appear; per-document drop forensics are [[TextAnalysis
+    * .qualityGate]]'s `reasons` and [[Dedup.exact]]'s counts. */
+  def pipeline(df: DataFrame, text: String, id: String,
+               shards: Int = 8): DataFrame = {
+    val cleaned = graft.ops.Ops.parallelizeInput(df, col(id))
+      .select(col(id),
+        TextAnalysis.redactText(TextAnalysis.stripMarkupText(col(text)))
+          .as(text))
+    val gate = TextAnalysis.qualityGate(cleaned, text, id)
+      .select(col(id), col("keep"))
+    val kept = cleaned.join(gate, Seq(id)).filter(col("keep"))
+      .select(col(id), md5(col(text).cast("binary")).as("clean_md5"))
+    // exact dedup on the cleaned text: deterministic keeper = min id
+    val keepers = kept.groupBy(col("clean_md5"))
+      .agg(min(col(id)).as(id))
+      .select(col(id))
+    val survivors = kept.join(keepers, Seq(id), "left_semi")
+    Sampling.shuffleOrder(survivors, col(id), shards)
+      .select(col(id), col("clean_md5"), col("order_key"), col("shard"),
+        col("pos"))
+  }
+
+  /** Compose every planting rule (markup + PII + repetition + exact
+    * copies at `id + copyOffset` for each `id % copyEvery = 0`) so one
+    * corpus exercises every pipeline stage. `copyOffset` must preserve
+    * id mod {3,4,5,6,7,11} — the plant moduli — so a copy gets
+    * byte-identical decorations and BECOMES an exact duplicate after
+    * redaction (the id-derived PII differs, but redaction collapses
+    * it); 924000 = lcm(3,4,5,6,7,11)·200 does, and keeps copy ids
+    * disjoint from base ids at any test SF. */
+  def withPlantedEverything(df: DataFrame, text: String, id: String,
+                            copyEvery: Int = 10,
+                            copyOffset: Long = 924000L): DataFrame = {
+    val withCopies = df.select(col(id), col(text))
+      .unionByName(df.filter(pmod(col(id), lit(copyEvery)) === 0)
+        .select((col(id) + copyOffset).as(id), col(text)))
+    TextAnalysis.withPlantedRepetition(
+      TextAnalysis.withPlantedPii(
+        TextAnalysis.withPlantedMarkup(withCopies, text, id), text, id),
+      text, id, every = 6)
+  }
+}

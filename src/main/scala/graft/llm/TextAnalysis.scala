@@ -173,14 +173,19 @@ object TextAnalysis {
     * patterns never match inside an earlier replacement). A pure
     * narrow projection of codegen'd regex ops — scan speed at 100 TB,
     * no shuffle. */
+  /** The redaction transform of [[redactPii]] as a reusable Column —
+    * also the scrub stage of [[Curation.pipeline]]. */
+  def redactText(text: Column): Column =
+    PiiPatterns.foldLeft(text) {
+      case (c, (_, p, r)) => regexp_replace(c, p, r)
+    }
+
   def redactPii(df0: DataFrame, text: String, id: String): DataFrame = {
     val df = graft.ops.Ops.parallelizeInput(df0, col(id))
     val counts = PiiPatterns.map { case (n, p, _) =>
       regexp_count(col(text), lit(p)).cast("long").as(s"n_$n")
     }
-    val redacted = PiiPatterns.foldLeft(col(text)) {
-      case (c, (_, p, r)) => regexp_replace(c, p, r)
-    }
+    val redacted = redactText(col(text))
     df.select((col(id) +: counts) :+
       length(redacted).cast("long").as("redacted_len") :+
       md5(redacted.cast("binary")).as("redacted_md5"): _*)
@@ -229,14 +234,20 @@ object TextAnalysis {
     * but never `<`/`>` by the HTML grammar), and entities are decoded
     * AFTER tag stripping — `&lt;b&gt;` is content, not markup, and
     * must survive as the literal text `<b>`. */
-  def stripMarkup(df0: DataFrame, text: String, id: String): DataFrame = {
-    val df = graft.ops.Ops.parallelizeInput(df0, col(id))
-    val noComments = regexp_replace(col(text), "<!--.*?-->", " ")
+  /** The cleaning transform of [[stripMarkup]] as a reusable Column —
+    * also the first stage of [[Curation.pipeline]]. */
+  def stripMarkupText(text: Column): Column = {
+    val noComments = regexp_replace(text, "<!--.*?-->", " ")
     val noTags = regexp_replace(noComments, "<[^<>]+>", " ")
     val decoded = MarkupEntities.foldLeft(noTags) {
       case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))
     }
-    val cleaned = trim(regexp_replace(decoded, " +", " "))
+    trim(regexp_replace(decoded, " +", " "))
+  }
+
+  def stripMarkup(df0: DataFrame, text: String, id: String): DataFrame = {
+    val df = graft.ops.Ops.parallelizeInput(df0, col(id))
+    val cleaned = stripMarkupText(col(text))
     df.select(col(id),
       regexp_count(col(text), lit("<[^<>]+>")).cast("long").as("n_tags"),
       length(cleaned).cast("long").as("clean_len"),

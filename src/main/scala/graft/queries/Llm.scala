@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Chunking, Dedup, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.llm.{Chunking, Curation, Dedup, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis}
 
 /** Oracle-checked queries for the LLM-data-pipeline operators
   * (BASELINE.json north star): dedup (exact / MinHash-LSH / SimHash /
@@ -144,6 +144,58 @@ object Llm {
     |FROM sc WHERE score >= $threshold
     |GROUP BY t ORDER BY vec_id""".stripMargin
   }
+
+  /** SQL CTE bodies mirroring the planting rules (markup on id mod
+    * 3/4/5, PII on id mod 7/5/11, repetition on id mod 6) and SQL
+    * expressions mirroring the strip/redact transforms — one source of
+    * truth shared by the per-operator rows and the end-to-end
+    * curation-pipeline row. Each `plant*Cte(from)` yields
+    * `SELECT doc_id, <planted> AS text FROM from`. */
+  private def plantMarkupCte(from: String): String =
+    s"""SELECT doc_id,
+    |  CASE WHEN doc_id % 5 = 0 THEN '<!-- header --><br/> ' ELSE '' END
+    |  || CASE WHEN doc_id % 3 = 0
+    |       THEN '<div class="doc"><p>' || text || '</p></div>'
+    |       ELSE text END
+    |  || CASE WHEN doc_id % 4 = 0
+    |       THEN ' <a href="https://ex.am/p?q=1&amp;r=2">click &lt;here&gt;</a>'
+    |       ELSE '' END AS text
+    |  FROM $from""".stripMargin
+
+  private def plantPiiCte(from: String): String =
+    s"""SELECT doc_id, text
+    |  || CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+    |       || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+    |  || CASE WHEN doc_id % 5 = 0 THEN ' from 10.'
+    |       || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+    |       || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+    |  || CASE WHEN doc_id % 11 = 0 THEN ' call +1-415-555-'
+    |       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    |  AS text FROM $from""".stripMargin
+
+  private def plantRepetitionCte(from: String): String =
+    s"""SELECT doc_id, text || CASE WHEN doc_id % 6 = 0
+    |    THEN repeat(' click here to win', 8) ELSE '' END AS text
+    |  FROM $from""".stripMargin
+
+  /** The [[graft.llm.TextAnalysis.stripMarkupText]] transform over the
+    * SQL expression `inner`. */
+  private def stripSqlExpr(inner: String): String =
+    s"""trim(regexp_replace(
+    |  replace(replace(replace(replace(replace(replace(
+    |    regexp_replace(regexp_replace($inner, '<!--.*?-->', ' ', 'g'),
+    |      '<[^<>]+>', ' ', 'g'),
+    |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+    |    '&nbsp;', ' '), '&amp;', '&'),
+    |  ' +', ' ', 'g'))""".stripMargin
+
+  /** The [[graft.llm.TextAnalysis.redactText]] transform over the SQL
+    * expression `inner`, built from the same [[graft.llm.TextAnalysis
+    * .PiiPatterns]] literals the Spark side applies. */
+  private def redactSqlExpr(inner: String): String =
+    graft.llm.TextAnalysis.PiiPatterns.foldLeft(inner) {
+      case (acc, (_, p, r)) => s"regexp_replace($acc, '$p', '$r', 'g')"
+    }
 
   /** CTE chain recomputing the composite quality gate over a `src`
     * CTE of (doc_id, text): quality signals, 2-gram repetition, and
@@ -701,15 +753,7 @@ object Llm {
             TextAnalysis.withPlantedPii(Tables.documents(s, d), "text", "doc_id"),
             "text", "doc_id")
           .orderBy(col("doc_id"))): Q,
-      Some("""WITH p AS (SELECT doc_id, text
-        |  || CASE WHEN doc_id % 7 = 0 THEN ' contact user'
-        |       || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
-        |  || CASE WHEN doc_id % 5 = 0 THEN ' from 10.'
-        |       || CAST(doc_id % 256 AS VARCHAR) || '.0.'
-        |       || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
-        |  || CASE WHEN doc_id % 11 = 0 THEN ' call +1-415-555-'
-        |       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
-        |  AS text FROM documents),
+      Some(raw"""WITH p AS (__PLANT__),
         |r AS (SELECT doc_id,
         |  len(regexp_extract_all(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
@@ -724,7 +768,8 @@ object Llm {
         |  FROM p)
         |SELECT doc_id, n_email, n_ipv4, n_phone,
         |  length(red) AS redacted_len, md5(red) AS redacted_md5
-        |FROM r ORDER BY doc_id""".stripMargin)),
+        |FROM r ORDER BY doc_id""".stripMargin
+        .replace("__PLANT__", plantPiiCte("documents")))),
 
     // corpus-level boilerplate removal (CCNet line-dedup at word-5-gram
     // granularity) over a planted repeated banner on every third doc.
@@ -1039,26 +1084,17 @@ object Llm {
               "doc_id"),
             "text", "doc_id")
           .orderBy(col("doc_id"))): Q,
-      Some("""WITH p AS (SELECT doc_id,
-        |  CASE WHEN doc_id % 5 = 0 THEN '<!-- header --><br/> ' ELSE '' END
-        |  || CASE WHEN doc_id % 3 = 0
-        |       THEN '<div class="doc"><p>' || text || '</p></div>'
-        |       ELSE text END
-        |  || CASE WHEN doc_id % 4 = 0
-        |       THEN ' <a href="https://ex.am/p?q=1&amp;r=2">click &lt;here&gt;</a>'
-        |       ELSE '' END AS text
-        |  FROM documents),
-        |c AS (SELECT doc_id, text, trim(regexp_replace(
-        |  replace(replace(replace(replace(replace(replace(
-        |    regexp_replace(regexp_replace(text, '<!--.*?-->', ' ', 'g'),
-        |      '<[^<>]+>', ' ', 'g'),
-        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
-        |    '&nbsp;', ' '), '&amp;', '&'),
-        |  ' +', ' ', 'g')) AS clean FROM p)
+      // the plant/strip fragments are spliced AFTER stripMargin — their
+      // multi-line bodies contain `||` continuations that stripMargin
+      // would otherwise eat as margin characters
+      Some("""WITH p AS (__PLANT__),
+        |c AS (SELECT doc_id, text, __STRIP__ AS clean FROM p)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '<[^<>]+>')) AS BIGINT) AS n_tags,
         |  CAST(length(clean) AS BIGINT) AS clean_len, md5(clean) AS clean_md5
-        |FROM c ORDER BY doc_id""".stripMargin)),
+        |FROM c ORDER BY doc_id""".stripMargin
+        .replace("__PLANT__", plantMarkupCte("documents"))
+        .replace("__STRIP__", stripSqlExpr("text")))),
 
     // composite C4/Gopher quality gate over planted generation-loop
     // repetition: every signal integer-exact, the verdict a bitmask
@@ -1070,9 +1106,7 @@ object Llm {
               "doc_id", every = 6),
             "text", "doc_id", k = 2)
           .orderBy(col("doc_id"))): Q,
-      Some(s"""WITH src AS (SELECT doc_id, text || CASE WHEN doc_id % 6 = 0
-        |    THEN repeat(' click here to win', 8) ELSE '' END AS text
-        |  FROM documents),
+      Some(s"""WITH src AS (${plantRepetitionCte("documents")}),
         |${gateCtesSql}
         |SELECT doc_id, n_tokens, ttr_bp, punct_bp, stopword_bp, mean_tok_len_c,
         |  dup_gram_bp, reasons, reasons = 0 AS keep
@@ -1159,6 +1193,50 @@ object Llm {
         |  CAST(floor(10000.0 * sum(CASE WHEN v.reasons = 0 THEN 1 ELSE 0 END)
         |    / count(*) + 0.5) AS BIGINT) AS kept_bp
         |FROM v JOIN documents d USING (doc_id)
-        |GROUP BY d.source, d.lang ORDER BY d.source, d.lang""".stripMargin))
+        |GROUP BY d.source, d.lang ORDER BY d.source, d.lang""".stripMargin)),
+
+    // the end-to-end curation pipeline as ONE query: markup strip →
+    // PII redact → quality gate → exact dedup (on the cleaned text,
+    // where the planted +924000 copies become true duplicates) →
+    // deterministic shuffle. Every stage's SQL fragment is the shared
+    // one its per-operator row uses — the oracle replays the entire
+    // composition
+    ("llm_curation_pipeline",
+      ((s: SparkSession, d: String) =>
+        Curation.pipeline(
+            Curation.withPlantedEverything(Tables.documents(s, d), "text",
+              "doc_id"),
+            "text", "doc_id", shards = 8)
+          .orderBy(col("doc_id"))): Q,
+      Some(s"""WITH d0 AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 924000, text FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |pm AS (__PM__),
+        |pp AS (__PP__),
+        |pr AS (${plantRepetitionCte("pp")}),
+        |src AS (SELECT doc_id, __CLEAN__ AS text FROM pr),
+        |${gateCtesSql},
+        |kept AS (SELECT s.doc_id, md5(s.text) AS clean_md5
+        |  FROM src s JOIN v USING (doc_id) WHERE v.reasons = 0),
+        |keepers AS (SELECT min(doc_id) AS doc_id FROM kept
+        |  GROUP BY clean_md5),
+        |surv AS (SELECT k.doc_id, k.clean_md5 FROM kept k
+        |  JOIN keepers USING (doc_id)),
+        |h AS (SELECT doc_id, clean_md5,
+        |  (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+        |    * 4294967296 + lo AS order_key
+        |  FROM (SELECT doc_id, clean_md5,
+        |    ('0x' || substr(md5('shuffle|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hi,
+        |    ('0x' || substr(md5('shuffle|' || CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT AS lo
+        |  FROM surv)),
+        |sh AS (SELECT doc_id, clean_md5, order_key,
+        |  ((order_key % 8) + 8) % 8 AS shard FROM h)
+        |SELECT doc_id, clean_md5, order_key, shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY order_key, doc_id) - 1
+        |    AS pos
+        |FROM sh ORDER BY doc_id""".stripMargin
+        .replace("__PM__", plantMarkupCte("d0"))
+        .replace("__PP__", plantPiiCte("pm"))
+        .replace("__CLEAN__", redactSqlExpr(stripSqlExpr("text")))))
   )
 }

@@ -245,6 +245,30 @@ class CurationSpec extends SparkSpec {
     assert(got.filter(col("new_id") === 999999L).isEmpty)
   }
 
+  test("Curation.pipeline: copies dedup to their base, gate respected, dense order") {
+    val planted = Curation.withPlantedEverything(docs, "text", "doc_id")
+    val out = Curation.pipeline(planted, "text", "doc_id", shards = 8).cache()
+    // no planted copy survives (each is an exact post-redaction dup of
+    // a lower-id base), and a surviving base exists for every kept copy
+    assert(out.filter(col("doc_id") >= 924000L).count() == 0)
+    // survivors are exactly the gate-kept keepers: recompute the gate
+    // over the cleaned text and the dedup keeper rule independently
+    val cleaned = planted.select(col("doc_id"),
+      TextAnalysis.redactText(TextAnalysis.stripMarkupText(col("text")))
+        .as("text"))
+    val keptIds = TextAnalysis.qualityGate(cleaned, "text", "doc_id")
+      .filter(col("keep")).select(col("doc_id"))
+    val keepers = cleaned.join(keptIds, Seq("doc_id"), "left_semi")
+      .groupBy(md5(col("text").cast("binary"))).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    assert(out.select("doc_id").exceptAll(keepers).isEmpty &&
+      keepers.exceptAll(out.select("doc_id")).isEmpty)
+    // per-shard positions are dense 0..n-1
+    assert(out.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), max(col("pos")).as("hi"))
+      .filter(col("hi") =!= col("n") - 1).count() == 0)
+  }
+
   test("corpusReport: slices partition the corpus, totals match the gate") {
     val rep = TextAnalysis.corpusReport(docs, "text", "doc_id",
       dims = Seq("source", "lang")).cache()
