@@ -192,6 +192,81 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
   }
 
+  /** Streaming curation — the incremental form of
+    * [[graft.llm.Curation.pipeline]], which is how a fleet-scale corpus
+    * actually arrives (crawl drops, not one batch). Each micro-batch:
+    * (a) strip markup + redact PII (one narrow scan pass), (b) quality
+    * gate, (c) exact dedup WITHIN the batch (keeper = min id) and
+    * AGAINST the persisted digest index — the index scan is pruned by a
+    * Bloom filter built from the batch's 64-bit digests
+    * ([[graft.llm.Dedup.exactIncremental]]'s lever; an anti-join is
+    * unaffected by Bloom false positives and false negatives are
+    * impossible, so results equal the unpruned anti-join), (d) append
+    * survivors and their digests. Keeper across batches is FIRST
+    * ARRIVAL — equal to the batch pipeline's min-id keeper whenever
+    * arrival order is id order (the spec's equivalence case).
+    *
+    * The deterministic shuffle/pos assignment deliberately stays an
+    * epoch-assembly step over the survivors table (a global rank is
+    * not incremental); [[graft.llm.Sampling.shuffleOrder]] over
+    * `survivorsDir` is one narrow pass at training-launch time.
+    *
+    * Exactly-once: both sinks partition by `batch_id` with dynamic
+    * partition overwrite, and the index read EXCLUDES the current
+    * batch's own partition — a retried batch that crashed between the
+    * two writes re-derives identical survivors instead of anti-joining
+    * against its own digests and emitting nothing. */
+  def curationStream(docs: DataFrame, text: String, id: String,
+                     survivorsDir: String, indexDir: String,
+                     checkpointDir: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val cleaned = graft.ops.Ops.parallelizeInput(batch, col(id))
+          .select(col(id),
+            graft.llm.TextAnalysis.redactText(
+              graft.llm.TextAnalysis.stripMarkupText(col(text))).as(text))
+        val gate = graft.llm.TextAnalysis.qualityGate(cleaned, text, id)
+          .select(col(id), col("keep"))
+        graft.functions.Md5Hash64Expr.register(spark)
+        val kept = cleaned.join(gate, Seq(id)).filter(col("keep"))
+          .select(col(id), md5(col(text).cast("binary")).as("clean_md5"),
+            graft.llm.Dedup.md5Hash64(col(text)).as("h64"))
+          .localCheckpoint()
+        val withinBatch = kept.join(
+          kept.groupBy(col("clean_md5")).agg(min(col(id)).as(id)),
+          Seq(id, "clean_md5"), "left_semi")
+        val index =
+          try spark.read.parquet(indexDir)
+            .where(col("batch_id") =!= batchId).drop("batch_id")
+          catch { // first batch: no index yet
+            case _: org.apache.spark.sql.AnalysisException =>
+              kept.select(col("clean_md5"), col("h64")).limit(0)
+          }
+        val nBatch = withinBatch.count().max(1L)
+        val bloom = withinBatch.stat.bloomFilter("h64", nBatch, 0.01)
+        graft.functions.BloomMightContainExpr.register(spark)
+        val prunedIndex = index
+          .filter(graft.functions.BloomMightContainExpr.of(col("h64"), bloom))
+          .select(col("clean_md5"))
+        val survivors = withinBatch
+          .join(prunedIndex, Seq("clean_md5"), "left_anti")
+          .localCheckpoint()
+        survivors.select(col(id), col("clean_md5"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(survivorsDir)
+        survivors.select(col("clean_md5"), col("h64"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(indexDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+
   /** Incremental lake append: every file dropped into `srcDir` lands in
     * the destination exactly once (file-source checkpointing replaces
     * the reference's max-block resume scan). `AvailableNow` processes

@@ -171,6 +171,40 @@ class StreamingSpec extends SparkSpec {
     assert(nSigs == nDocs)
   }
 
+  test("streaming curation across batches equals the batch pipeline") {
+    val planted = graft.llm.Curation.withPlantedEverything(
+      Tables.documents(spark, dir), "text", "doc_id")
+    val srcDir = Files.createTempDirectory("curation-src").toString
+    val base = Files.createTempDirectory("curation").toString
+    val (survDir, indexDir, ckDir) = (s"$base/surv", s"$base/index", s"$base/ck")
+
+    def runOnce(): Unit = {
+      val src = Streaming.fileStream(spark, srcDir, planted.schema)
+      val q = Streaming.curationStream(src, "text", "doc_id",
+        survDir, indexDir, ckDir).start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    // arrival order = id order, so first-arrival keeper = min-id keeper:
+    // bases land in batch 0, the planted +924000 copies in batch 1
+    planted.filter(col("doc_id") < 924000L)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+    planted.filter(col("doc_id") >= 924000L)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+
+    val got = spark.read.parquet(survDir)
+      .select(col("doc_id"), col("clean_md5"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = graft.llm.Curation.pipeline(planted, "text", "doc_id")
+      .select(col("doc_id"), col("clean_md5"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want && want.nonEmpty,
+      s"streaming ${got.size} survivors vs batch ${want.size}")
+    // every copy was killed by the cross-batch index anti-join
+    assert(!got.exists(_._1 >= 924000L))
+  }
+
   test("lake append stream lands each dropped file exactly once") {
     val batch = Tables.events(spark, dir)
       .withColumn("ts", timestamp_micros(col("ts_us")))
