@@ -27,10 +27,16 @@ object Curation {
     * .qualityGate]]'s `reasons` and [[Dedup.exact]]'s counts. */
   def pipeline(df: DataFrame, text: String, id: String,
                shards: Int = 8): DataFrame = {
+    // materialized once: three consumers (quality signals, repetition
+    // grams, the dedup digest) each re-run the 11-step regex/replace
+    // chain otherwise — here the recompute is regex-expensive, so the
+    // checkpoint wins (the opposite call from removeBoilerplate's
+    // cheap tokenize+hash recompute; both measured)
     val cleaned = graft.ops.Ops.parallelizeInput(df, col(id))
       .select(col(id),
         TextAnalysis.redactText(TextAnalysis.stripMarkupText(col(text)))
           .as(text))
+      .localCheckpoint()
     val gate = TextAnalysis.qualityGate(cleaned, text, id)
       .select(col(id), col("keep"))
     val kept = cleaned.join(gate, Seq(id)).filter(col("keep"))
