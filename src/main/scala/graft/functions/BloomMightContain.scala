@@ -52,6 +52,9 @@ case class BloomMightContainExpr(left: Expression, right: Expression)
   override protected def nullSafeEval(key: Any, filterBytes: Any): Any =
     bloom.mightContainLong(key.asInstanceOf[Long])
 
+  /** Direct kernel probe for property tests. */
+  private[graft] def probe(key: Long): Boolean = bloom.mightContainLong(key)
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bloom", bloom,
       classOf[BloomFilter].getName)

@@ -222,10 +222,14 @@ object Streaming {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // materialized once per batch — three consumers re-run the
+        // regex-expensive clean chain otherwise (same measured call as
+        // the batch pipeline)
         val cleaned = graft.ops.Ops.parallelizeInput(batch, col(id))
           .select(col(id),
             graft.llm.TextAnalysis.redactText(
               graft.llm.TextAnalysis.stripMarkupText(col(text))).as(text))
+          .localCheckpoint()
         val gate = graft.llm.TextAnalysis.qualityGate(cleaned, text, id)
           .select(col(id), col("keep"))
         graft.functions.Md5Hash64Expr.register(spark)

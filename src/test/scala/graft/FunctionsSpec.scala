@@ -65,6 +65,25 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("BloomMightContainExpr: no false negatives over random keys") {
+    val keys = samples(Gen.choose(Long.MinValue, Long.MaxValue), n = 500)
+    val members = keys.take(250).distinct
+    val bloom = org.apache.spark.util.sketch.BloomFilter
+      .create(members.length.toLong.max(1L), 0.01)
+    members.foreach(bloom.putLong)
+    val out = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(out)
+    val expr = graft.functions.BloomMightContainExpr.expr(
+      org.apache.spark.sql.catalyst.expressions.Literal(1L), out.toByteArray)
+      .asInstanceOf[graft.functions.BloomMightContainExpr]
+    // the deserialized-from-literal filter answers exactly like the
+    // original: every member found, probes agree bit-for-bit
+    keys.foreach { k =>
+      assert(expr.probe(k) == bloom.mightContainLong(k))
+    }
+    assert(members.forall(expr.probe))
+  }
+
   test("Md5Hash64Expr.hash equals the first 8 digest bytes, big-endian signed") {
     val cases = samples(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))
       .map(_.toArray), n = 100)
