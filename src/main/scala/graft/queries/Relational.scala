@@ -402,6 +402,26 @@ object Relational {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM orders)
         |WHERE cum >= 1000000
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 1""".stripMargin))
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 1""".stripMargin)),
+
+    // semi-structured extraction: JSON path into a string column (the
+    // universal event-payload shape), then a keyed aggregate over the
+    // extracted value — get_json_object is codegen'd, so extraction
+    // runs at scan speed and only the 5-row aggregate shuffles
+    ("f12_json_extract",
+      ((s: SparkSession, d: String) =>
+        Tables.events(s, d)
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+          .orderBy(col("event_type"))): Q,
+      Some("""SELECT event_type, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
