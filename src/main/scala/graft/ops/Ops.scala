@@ -248,6 +248,39 @@ object Ops {
       .drop("__from", "__to")
   }
 
+  /** Ordered-funnel detection — sequential pattern matching per entity
+    * (a MATCH_RECOGNIZE-lite): the earliest time of each stage, where
+    * stage i+1 must occur strictly AFTER the entity's earliest
+    * stage-i completion (standard conversion-funnel semantics).
+    * Output, one row per entity that reached stage 1:
+    * (entity, s1_ts … sk_ts, stages_reached) — a stage's ts is null
+    * once the funnel breaks, so stages_reached = count of non-nulls.
+    *
+    * Shape: one conditional-min keyed aggregate per stage, each
+    * joined back on the entity key — stage i+1's min is correlated
+    * with stage i's result, so the chain is inherently `stages`
+    * aggregates, all partitioned on the same key (co-partitioned
+    * shuffles; no window, no per-entity state, no driver loop).
+    * Deterministic: min() is order-independent. */
+  def funnelStages(events: DataFrame, entity: String, ts: String,
+                   stage: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "need at least one stage")
+    val e = events.select(col(entity), col(ts).as("__ts"),
+      col(stage).as("__s"))
+    var acc: DataFrame = e.filter(col("__s") === stages.head)
+      .groupBy(col(entity)).agg(min(col("__ts")).as("s1_ts"))
+    for (i <- 2 to stages.length) {
+      val next = e.filter(col("__s") === stages(i - 1))
+        .join(acc.select(col(entity), col(s"s${i - 1}_ts")), Seq(entity))
+        .filter(col("__ts") > col(s"s${i - 1}_ts"))
+        .groupBy(col(entity)).agg(min(col("__ts")).as(s"s${i}_ts"))
+      acc = acc.join(next, Seq(entity), "left")
+    }
+    acc.withColumn("stages_reached",
+      stages.indices.map(i =>
+        when(col(s"s${i + 1}_ts").isNotNull, 1L).otherwise(0L)).reduce(_ + _))
+  }
+
   /** Two-phase aggregation for skewed keys ("salting"): rows first
     * aggregate under (key, salt) — spreading a hot key over `salts`
     * reducers — then the per-salt partials combine under the key alone.

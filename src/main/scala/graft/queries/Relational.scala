@@ -404,6 +404,32 @@ object Relational {
         |WHERE cum >= 1000000
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 1""".stripMargin)),
 
+    // sequential pattern matching (conversion funnel): per-stage
+    // conditional mins chained on the entity key — stage i+1 must
+    // strictly follow the entity's earliest stage-i completion
+    ("a11_funnel_stages",
+      ((s: SparkSession, d: String) =>
+        Ops.funnelStages(Tables.events(s, d), "user_id", "ts_us",
+            "event_type", stages = Seq("view", "click", "purchase"))
+          .orderBy(col("user_id"))): Q,
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events),
+        |s1 AS (SELECT user_id, min(ts_us) AS s1_ts FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(ts_us) AS s2_ts FROM e
+        |  JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND ts_us > s1_ts GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(ts_us) AS s3_ts FROM e
+        |  JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts_us > s2_ts GROUP BY e.user_id)
+        |SELECT s1.user_id, s1_ts, s2_ts, s3_ts,
+        |  CAST(CASE WHEN s1_ts IS NOT NULL THEN 1 ELSE 0 END
+        |   + CASE WHEN s2_ts IS NOT NULL THEN 1 ELSE 0 END
+        |   + CASE WHEN s3_ts IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS stages_reached
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin)),
+
     // semi-structured extraction: JSON path into a string column (the
     // universal event-payload shape), then a keyed aggregate over the
     // extracted value — get_json_object is codegen'd, so extraction
