@@ -281,6 +281,28 @@ object Ops {
         when(col(s"s${i + 1}_ts").isNotNull, 1L).otherwise(0L)).reduce(_ + _))
   }
 
+  /** Retention cohorts: entities grouped by first-activity period
+    * ("cohort"), counted per (cohort, periods-since-cohort) — the
+    * standard cohort-retention table. Two keyed aggregations: per
+    * entity (first activity, one shuffle on the entity key), then per
+    * (cohort, offset) over the entity's distinct active periods.
+    * Periods are integer event-time buckets (`ts / periodUs`), so the
+    * whole table is exact integer arithmetic — deterministic on any
+    * engine. Output: (cohort_period, period_offset, n_active). */
+  def retentionCohorts(events: DataFrame, entity: String, ts: String,
+                       periodUs: Long): DataFrame = {
+    val e = events.select(col(entity),
+      call_function("div", col(ts), lit(periodUs)).as("__p"))
+    val first = e.groupBy(col(entity)).agg(min(col("__p")).as("__cohort"))
+    e.join(first, Seq(entity))
+      .select(col(entity), col("__cohort"),
+        (col("__p") - col("__cohort")).as("__off"))
+      .distinct()
+      .groupBy(col("__cohort").as("cohort_period"),
+        col("__off").as("period_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** Two-phase aggregation for skewed keys ("salting"): rows first
     * aggregate under (key, salt) — spreading a hot key over `salts`
     * reducers — then the per-salt partials combine under the key alone.

@@ -404,6 +404,23 @@ object Relational {
         |WHERE cum >= 1000000
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 1""".stripMargin)),
 
+    // cohort retention: first-activity day buckets × day offsets,
+    // exact integer bucketing so both engines agree bit-for-bit
+    ("a12_retention_cohorts",
+      ((s: SparkSession, d: String) =>
+        Ops.retentionCohorts(Tables.events(s, d), "user_id", "ts_us",
+            periodUs = 86400000000L)
+          .orderBy(col("cohort_period"), col("period_offset"))): Q,
+      Some("""WITH e AS (SELECT user_id,
+        |  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS p FROM events),
+        |f AS (SELECT user_id, min(p) AS cohort FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT e.user_id, f.cohort, e.p - f.cohort AS off
+        |  FROM e JOIN f USING (user_id))
+        |SELECT cohort AS cohort_period, off AS period_offset,
+        |  count(*) AS n_active
+        |FROM a GROUP BY cohort, off
+        |ORDER BY cohort_period, period_offset""".stripMargin)),
+
     // sequential pattern matching (conversion funnel): per-stage
     // conditional mins chained on the entity key — stage i+1 must
     // strictly follow the entity's earliest stage-i completion

@@ -36,4 +36,25 @@ class FunnelSpec extends SparkSpec {
     assert(!out.contains(5L))
     assert(out(6L) == ((Some(5L), Some(7L), None, 2L)))
   }
+
+  test("retentionCohorts: first-period anchoring, distinct per period") {
+    import spark.implicits._
+    val p = 100L // period
+    val events = Seq(
+      // user 1: cohort 0, active periods 0, 1, 1 (dup), 3
+      (1L, 10L), (1L, 150L), (1L, 199L), (1L, 310L),
+      // user 2: cohort 1, active periods 1, 2
+      (2L, 100L), (2L, 250L),
+      // user 3: cohort 0, active only period 0
+      (3L, 50L)
+    ).toDF("user_id", "ts_us")
+    val got = Ops.retentionCohorts(events, "user_id", "ts_us", p)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (0L, 0L) -> 2L,  // users 1 and 3 in cohort 0, offset 0
+      (0L, 1L) -> 1L,  // user 1 (period 1 counted once despite 2 events)
+      (0L, 3L) -> 1L,  // user 1
+      (1L, 0L) -> 1L,  // user 2
+      (1L, 1L) -> 1L)) // user 2
+  }
 }
