@@ -209,6 +209,15 @@ object ScaleProbe {
     time("sessionize")(llm.Sessionize.sessions(events, "user_id", "ts_us",
       order = Seq(col("ts_us"), col("event_id")),
       gapMicros = 1800000000L, valueCol = "value"))
+    time("funnel")(ops.Ops.funnelStages(events, "user_id", "ts_us",
+      "event_type", Seq("view", "click", "purchase")))
+    time("retention")(ops.Ops.retentionCohorts(events, "user_id", "ts_us",
+      periodUs = 86400000000L))
+    time("json_extract")(events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k")))
     time("resample_15m")(ops.Ops.resample(
       events.withColumn("bucket_s", ops.Ops.bucketUs(col("ts_us"), 900L)),
       col("bucket_s"), Seq.empty,
