@@ -95,9 +95,21 @@ object BandKeysExpr {
       case a: ArrayData =>
         a.toObjectArray(ArrayType(DoubleType)).toSeq.map {
           case inner: ArrayData => inner.toDoubleArray().toSeq
+          case other => throw new IllegalArgumentException(
+            s"band_keys planes must be array<array<double>>, got $other")
         }
+      case other => throw new IllegalArgumentException(
+        s"band_keys planes must be an array literal, got $other")
     }
-    val rpb = exprs(2).eval().asInstanceOf[Int]
+    // compute() flattens row-major with dim = head length — ragged
+    // planes would silently misalign every subsequent offset
+    require(planes.nonEmpty && planes.forall(_.length == planes.head.length),
+      "band_keys planes must be non-empty and uniformly sized")
+    val rpb = exprs(2).eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"band_keys rowsPerBand must be an int literal, got $other")
+    }
     BandKeysExpr(exprs(0), planes, rpb)
   }
 

@@ -25,13 +25,18 @@ object Curation {
     * Dropped documents (gate failures, non-keeper duplicates) simply
     * don't appear; per-document drop forensics are [[TextAnalysis
     * .qualityGate]]'s `reasons` and [[Dedup.exact]]'s counts. */
-  def pipeline(df: DataFrame, text: String, id: String,
-               shards: Int = 8): DataFrame = {
-    // materialized once: three consumers (quality signals, repetition
-    // grams, the dedup digest) each re-run the 11-step regex/replace
-    // chain otherwise — here the recompute is regex-expensive, so the
-    // checkpoint wins (the opposite call from removeBoilerplate's
-    // cheap tokenize+hash recompute; both measured)
+  /** The per-batch stage SHARED by [[pipeline]] and
+    * [[graft.streaming.Streaming.curationStream]] — one definition so
+    * the batch and streaming paths cannot drift (their equivalence
+    * spec is then structural, not coincidental): clean (strip +
+    * redact, materialized once — three gate consumers re-run the
+    * 11-step regex chain otherwise; measured 1.99 → 1.46 s at sf0.1),
+    * quality gate, and the gate-kept rows' digests. Output:
+    * (id, clean_md5, h64), checkpointed — every caller fans it into
+    * multiple consumers (keeper aggregate, bloom build, joins). */
+  private[graft] def cleanGateDigest(df: DataFrame, text: String,
+                                     id: String): DataFrame = {
+    graft.functions.Md5Hash64Expr.register(df.sparkSession)
     val cleaned = graft.ops.Ops.parallelizeInput(df, col(id))
       .select(col(id),
         TextAnalysis.redactText(TextAnalysis.stripMarkupText(col(text)))
@@ -39,14 +44,24 @@ object Curation {
       .localCheckpoint()
     val gate = TextAnalysis.qualityGate(cleaned, text, id)
       .select(col(id), col("keep"))
-    val kept = cleaned.join(gate, Seq(id)).filter(col("keep"))
-      .select(col(id), md5(col(text).cast("binary")).as("clean_md5"))
-    // exact dedup on the cleaned text: deterministic keeper = min id
-    val keepers = kept.groupBy(col("clean_md5"))
-      .agg(min(col(id)).as(id))
-      .select(col(id))
-    val survivors = kept.join(keepers, Seq(id), "left_semi")
-    Sampling.shuffleOrder(survivors, col(id), shards)
+    cleaned.join(gate, Seq(id)).filter(col("keep"))
+      .select(col(id), md5(col(text).cast("binary")).as("clean_md5"),
+        Dedup.md5Hash64(col(text)).as("h64"))
+      .localCheckpoint()
+  }
+
+  /** Exact-dedup keeper rule, shared for the same reason: keep the
+    * minimum id per cleaned-text digest. */
+  private[graft] def keepMinPerDigest(kept: DataFrame, id: String): DataFrame =
+    kept.join(kept.groupBy(col("clean_md5")).agg(min(col(id)).as(id)),
+      Seq(id, "clean_md5"), "left_semi")
+
+  def pipeline(df: DataFrame, text: String, id: String,
+               shards: Int = 8): DataFrame = {
+    val kept = cleanGateDigest(df, text, id)
+    val survivors = keepMinPerDigest(kept, id)
+    Sampling.shuffleOrder(survivors.select(col(id), col("clean_md5")),
+        col(id), shards)
       .select(col(id), col("clean_md5"), col("order_key"), col("shard"),
         col("pos"))
   }

@@ -54,8 +54,11 @@ object Dedup {
     * halving). */
   def exactIncremental(batch: DataFrame, index: DataFrame, text: String,
                        id: String, fpp: Double = 0.01): DataFrame = {
+    // materialized once: the digest projection otherwise re-hashes the
+    // batch text three times (count job, bloom job, confirm join)
     val b = exactIndex(batch, text, id)
       .select(col(id).as("new_id"), col("text_sha"), col("h64"))
+      .localCheckpoint()
     // driver-side filter build over the batch hashes — bounded by the
     // ingest batch size, the same class of driver scalar the reference
     // pulls (expected-items from a cheap count; both jobs are tiny)

@@ -69,8 +69,14 @@ object Sampling {
       }
     bySrc.crossJoin(broadcast(total))
       .select(col(source), col("src_size"),
-        greatest(lit(1L),
-          ceil(w * col("total_size") / col("src_size"))).as("epochs"))
+        // a zero-size source would make w·total/0 = +Inf and
+        // ceil(+Inf) → Long.MaxValue epochs, which the upsample
+        // explode turns into an absurd job — fail loudly instead
+        when(col("src_size") > 0,
+          greatest(lit(1L), ceil(w * col("total_size") / col("src_size"))))
+          .otherwise(raise_error(concat(lit("mixtureEpochs: source '"),
+            col(source), lit("' has non-positive total size"))))
+          .as("epochs"))
   }
 
   /** Apply the [[mixtureEpochs]] plan: every row repeats `epochs`

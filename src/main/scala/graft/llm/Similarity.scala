@@ -232,7 +232,11 @@ object Similarity {
     require(cs.length == nLists, s"expected $nLists centroids, got ${cs.length}")
     val scores = array(cs.map(c =>
       VectorFunctions.dot(col("c_emb"), typedlit(c.toSeq))): _*)
-    val assigned = prepped(corpus, id, emb, id, "c_emb", "c_nrm")
+    // no norm column: assignment is argmax-of-dot, so the per-row
+    // sqrt(dot(e,e)) that prepped() computes would be pure waste here
+    val assigned = graft.ops.Ops.parallelizeInput(corpus, col(id))
+      .select(col(id).as(id),
+        transform(col(emb), x => x.cast("double")).as("c_emb"))
       .withColumn("__cs", scores)
       .select(col(id),
         (array_position(col("__cs"), array_max(col("__cs"))) - 1)
@@ -294,7 +298,13 @@ object Similarity {
 
   /** Sign-of-dot-product bucket id per row: bit p set iff
     * v·plane_p > 0. One narrow projection, no shuffle — a single
-    * native band-keys evaluation (one band of `planes.length` bits). */
+    * native band-keys evaluation (one band of `planes.length` bits).
+    *
+    * Null contract: a null embedding null-propagates to a null bucket
+    * (the native expression is a standard null-propagating unary), so
+    * such rows drop out of every bucket equi-join — they are
+    * unsearchable, not bucketed arbitrarily. Filter or impute null
+    * embeddings upstream if they must participate. */
   def withLshBucket(df0: DataFrame, emb: String,
                     planes: Array[Array[Double]]): DataFrame = {
     graft.functions.BandKeysExpr.register(df0.sparkSession)

@@ -291,8 +291,13 @@ object Ops {
     * engine. Output: (cohort_period, period_offset, n_active). */
   def retentionCohorts(events: DataFrame, entity: String, ts: String,
                        periodUs: Long): DataFrame = {
+    // FLOOR division, exact in integers: `div` truncates toward zero,
+    // which would merge the two periods around a negative epoch origin
+    // (and disagree with SQL floor-div `//` oracles); subtracting the
+    // non-negative pmod first makes the quotient exact at any sign
     val e = events.select(col(entity),
-      call_function("div", col(ts), lit(periodUs)).as("__p"))
+      call_function("div",
+        col(ts) - pmod(col(ts), lit(periodUs)), lit(periodUs)).as("__p"))
     val first = e.groupBy(col(entity)).agg(min(col("__p")).as("__cohort"))
     e.join(first, Seq(entity))
       .select(col(entity), col("__cohort"),

@@ -15,6 +15,16 @@ import org.apache.spark.sql.Row
   */
 object Streaming {
 
+  /** True iff `dir` exists and contains at least one file — the
+    * "has a first batch been written yet" probe for the index sinks
+    * (distinguishes a genuinely absent index from a read error, which
+    * must stay loud). */
+  private[streaming] def dirHasData(spark: SparkSession, dir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(path) && fs.listStatus(path).nonEmpty
+  }
+
   /** File-source stream over a directory of parquet drops. */
   def fileStream(spark: SparkSession, dir: String, schema: StructType,
                  maxFilesPerTrigger: Int = 16): DataFrame =
@@ -169,11 +179,11 @@ object Streaming {
               graft.llm.Dedup.tokenize(batch, text, id), id, shingleK,
               dedup = false), id, numPerms)
           .localCheckpoint()
+        // existence-checked, not exception-caught (see curationStream)
         val index =
-          try spark.read.parquet(indexDir).drop("batch_id")
-          catch { // first batch: no index yet
-            case _: org.apache.spark.sql.AnalysisException => sigs.limit(0)
-          }
+          if (Streaming.dirHasData(spark, indexDir))
+            spark.read.parquet(indexDir).drop("batch_id")
+          else sigs.limit(0)
         val pairs = graft.llm.Dedup.lshCandidatePairsIncremental(
           sigs, index, id, bands, numPerms / bands)
         pairs.withColumn("batch_id", lit(batchId))
@@ -222,31 +232,20 @@ object Streaming {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        // materialized once per batch — three consumers re-run the
-        // regex-expensive clean chain otherwise (same measured call as
-        // the batch pipeline)
-        val cleaned = graft.ops.Ops.parallelizeInput(batch, col(id))
-          .select(col(id),
-            graft.llm.TextAnalysis.redactText(
-              graft.llm.TextAnalysis.stripMarkupText(col(text))).as(text))
-          .localCheckpoint()
-        val gate = graft.llm.TextAnalysis.qualityGate(cleaned, text, id)
-          .select(col(id), col("keep"))
-        graft.functions.Md5Hash64Expr.register(spark)
-        val kept = cleaned.join(gate, Seq(id)).filter(col("keep"))
-          .select(col(id), md5(col(text).cast("binary")).as("clean_md5"),
-            graft.llm.Dedup.md5Hash64(col(text)).as("h64"))
-          .localCheckpoint()
-        val withinBatch = kept.join(
-          kept.groupBy(col("clean_md5")).agg(min(col(id)).as(id)),
-          Seq(id, "clean_md5"), "left_semi")
+        // the clean → gate → digest stage and the keeper rule are the
+        // batch pipeline's own definitions — shared code, so the
+        // streaming/batch equivalence is structural
+        val kept = graft.llm.Curation.cleanGateDigest(batch, text, id)
+        val withinBatch = graft.llm.Curation.keepMinPerDigest(kept, id)
+        // existence-checked, not exception-caught: a blanket
+        // AnalysisException catch would also swallow schema drift on a
+        // REAL index (e.g. a missing batch_id column) and silently
+        // disable cross-batch dedup — the worst failure mode
         val index =
-          try spark.read.parquet(indexDir)
-            .where(col("batch_id") =!= batchId).drop("batch_id")
-          catch { // first batch: no index yet
-            case _: org.apache.spark.sql.AnalysisException =>
-              kept.select(col("clean_md5"), col("h64")).limit(0)
-          }
+          if (Streaming.dirHasData(spark, indexDir))
+            spark.read.parquet(indexDir)
+              .where(col("batch_id") =!= batchId).drop("batch_id")
+          else kept.select(col("clean_md5"), col("h64")).limit(0)
         val nBatch = withinBatch.count().max(1L)
         val bloom = withinBatch.stat.bloomFilter("h64", nBatch, 0.01)
         graft.functions.BloomMightContainExpr.register(spark)
