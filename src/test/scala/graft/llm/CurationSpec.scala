@@ -318,6 +318,19 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && !plan.contains("Cartesian"))
   }
 
+  test("mixtureEpochs: a zero-size source fails loudly, not with MaxValue epochs") {
+    import spark.implicits._
+    val docs2 = Seq((1L, "srcA", 10L), (2L, "srcB", 0L))
+      .toDF("doc_id", "source", "n_chars")
+    val ex = intercept[Exception] {
+      Sampling.mixtureEpochs(docs2, "source", col("n_chars"),
+        weights = Map("srcA" -> 0.5), defaultWeight = 0.1).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("non-positive total size")))
+  }
+
   test("semDedup: planted copies removed, bases kept, cluster-bounded join") {
     val planted = Similarity.withPlantedDups(embs, "vec_id", "embedding",
       every = 20)

@@ -57,4 +57,14 @@ class FunnelSpec extends SparkSpec {
       (1L, 0L) -> 1L,  // user 2
       (1L, 1L) -> 1L)) // user 2
   }
+
+  test("retentionCohorts: FLOOR period bucketing for pre-epoch timestamps") {
+    import spark.implicits._
+    // ts −50 is period −1 under floor division; truncating div would
+    // merge [−99, 99] into one double-width bucket around the origin
+    val events = Seq((1L, -50L), (2L, 50L)).toDF("user_id", "ts_us")
+    val got = Ops.retentionCohorts(events, "user_id", "ts_us", 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((-1L, 0L) -> 1L, (0L, 0L) -> 1L))
+  }
 }
