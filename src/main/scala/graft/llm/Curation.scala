@@ -66,6 +66,36 @@ object Curation {
         col("pos"))
   }
 
+  /** Drop forensics for the pipeline — one row per INPUT document
+    * (where [[pipeline]] emits only survivors): the gate's reason
+    * bitmask, the keeper it duplicated (null unless dropped as a
+    * duplicate), and the final verdict. This is the audit table a
+    * curation run ships alongside the corpus: every removal is
+    * attributable to a rule bit or a keeper id. Same stages as
+    * [[pipeline]] (shared clean/gate/digest), plus one keeper join
+    * back onto the full gate output. Output: (id, reasons, keep,
+    * dup_of, survived). */
+  def audit(df: DataFrame, text: String, id: String): DataFrame = {
+    graft.functions.Md5Hash64Expr.register(df.sparkSession)
+    val cleaned = graft.ops.Ops.parallelizeInput(df, col(id))
+      .select(col(id),
+        TextAnalysis.redactText(TextAnalysis.stripMarkupText(col(text)))
+          .as(text))
+      .localCheckpoint()
+    val gate = TextAnalysis.qualityGate(cleaned, text, id)
+      .select(col(id), col("reasons"), col("keep"))
+    val kept = cleaned.join(gate.filter(col("keep")).select(col(id)), Seq(id))
+      .select(col(id), md5(col(text).cast("binary")).as("clean_md5"))
+    val keepers = kept.groupBy(col("clean_md5"))
+      .agg(min(col(id)).as("__keeper"))
+    val dupOf = kept.join(keepers, Seq("clean_md5"))
+      .select(col(id),
+        when(col("__keeper") =!= col(id), col("__keeper")).as("dup_of"))
+    gate.join(dupOf, Seq(id), "left")
+      .select(col(id), col("reasons"), col("keep"), col("dup_of"),
+        (col("keep") && col("dup_of").isNull).as("survived"))
+  }
+
   /** Compose every planting rule (markup + PII + repetition + exact
     * copies at `id + copyOffset` for each `id % copyEvery = 0`) so one
     * corpus exercises every pipeline stage. `copyOffset` must preserve

@@ -1195,6 +1195,40 @@ object Llm {
         |FROM v JOIN documents d USING (doc_id)
         |GROUP BY d.source, d.lang ORDER BY d.source, d.lang""".stripMargin)),
 
+    // the pipeline's drop-forensics companion: one row per INPUT doc
+    // with the gate reason bitmask, the keeper it duplicated, and the
+    // final verdict — every removal attributable. Same shared SQL
+    // fragments as the pipeline row
+    ("llm_curation_audit",
+      ((s: SparkSession, d: String) =>
+        Curation.audit(
+            Curation.withPlantedEverything(Tables.documents(s, d), "text",
+              "doc_id"),
+            "text", "doc_id")
+          .orderBy(col("doc_id"))): Q,
+      Some(s"""WITH d0 AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 924000, text FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |pm AS (__PM__),
+        |pp AS (__PP__),
+        |pr AS (${plantRepetitionCte("pp")}),
+        |src AS (SELECT doc_id, __CLEAN__ AS text FROM pr),
+        |${gateCtesSql},
+        |kept AS (SELECT s.doc_id, md5(s.text) AS clean_md5
+        |  FROM src s JOIN v USING (doc_id) WHERE v.reasons = 0),
+        |keepers AS (SELECT clean_md5, min(doc_id) AS keeper FROM kept
+        |  GROUP BY clean_md5),
+        |dup AS (SELECT k.doc_id,
+        |  CASE WHEN kp.keeper != k.doc_id THEN kp.keeper END AS dup_of
+        |  FROM kept k JOIN keepers kp USING (clean_md5))
+        |SELECT v.doc_id, v.reasons, v.reasons = 0 AS keep, d.dup_of,
+        |  (v.reasons = 0 AND d.dup_of IS NULL) AS survived
+        |FROM v LEFT JOIN dup d USING (doc_id)
+        |ORDER BY v.doc_id""".stripMargin
+        .replace("__PM__", plantMarkupCte("d0"))
+        .replace("__PP__", plantPiiCte("pm"))
+        .replace("__CLEAN__", redactSqlExpr(stripSqlExpr("text"))))),
+
     // the end-to-end curation pipeline as ONE query: markup strip →
     // PII redact → quality gate → exact dedup (on the cleaned text,
     // where the planted +924000 copies become true duplicates) →

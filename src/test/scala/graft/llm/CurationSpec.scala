@@ -269,6 +269,29 @@ class CurationSpec extends SparkSpec {
       .filter(col("hi") =!= col("n") - 1).count() == 0)
   }
 
+  test("Curation.audit: verdicts reconcile exactly with the pipeline") {
+    val planted = Curation.withPlantedEverything(docs, "text", "doc_id")
+    val audit = Curation.audit(planted, "text", "doc_id").cache()
+    // one verdict per input document
+    assert(audit.count() == planted.count())
+    // survived ⇔ emitted by the pipeline
+    val survIds = Curation.pipeline(planted, "text", "doc_id")
+      .select("doc_id")
+    assert(audit.filter(col("survived")).select("doc_id")
+      .exceptAll(survIds).isEmpty &&
+      survIds.exceptAll(audit.filter(col("survived")).select("doc_id")).isEmpty)
+    // duplicate attribution points at a surviving keeper with a lower id
+    val dups = audit.filter(col("dup_of").isNotNull).cache()
+    assert(dups.count() > 0)
+    assert(dups.filter(col("dup_of") >= col("doc_id")).count() == 0)
+    assert(dups.select(col("dup_of").as("doc_id"))
+      .exceptAll(survIds).isEmpty)
+    // verdict algebra: keep ⇔ reasons = 0; survived ⇒ keep ∧ no dup
+    assert(audit.filter(col("keep") =!= (col("reasons") === 0L)).count() == 0)
+    assert(audit.filter(col("survived") &&
+      (!col("keep") || col("dup_of").isNotNull)).count() == 0)
+  }
+
   test("corpusReport: slices partition the corpus, totals match the gate") {
     val rep = TextAnalysis.corpusReport(docs, "text", "doc_id",
       dims = Seq("source", "lang")).cache()
