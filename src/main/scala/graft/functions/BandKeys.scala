@@ -103,8 +103,9 @@ object BandKeysExpr {
     }
     // compute() flattens row-major with dim = head length — ragged
     // planes would silently misalign every subsequent offset
-    require(planes.nonEmpty && planes.forall(_.length == planes.head.length),
-      "band_keys planes must be non-empty and uniformly sized")
+    require(planes.nonEmpty && planes.head.nonEmpty &&
+      planes.forall(_.length == planes.head.length),
+      "band_keys planes must be non-empty, non-degenerate and uniformly sized")
     val rpb = exprs(2).eval() match {
       case i: Int => i
       case other => throw new IllegalArgumentException(

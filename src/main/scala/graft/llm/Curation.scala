@@ -19,34 +19,46 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Run the pipeline; one output row per SURVIVING document:
-    * (id, clean_md5 = md5 of the cleaned text, order_key, shard, pos)
-    * — the assembled training corpus in its reproducible read order.
-    * Dropped documents (gate failures, non-keeper duplicates) simply
-    * don't appear; per-document drop forensics are [[TextAnalysis
-    * .qualityGate]]'s `reasons` and [[Dedup.exact]]'s counts. */
-  /** The per-batch stage SHARED by [[pipeline]] and
-    * [[graft.streaming.Streaming.curationStream]] — one definition so
-    * the batch and streaming paths cannot drift (their equivalence
-    * spec is then structural, not coincidental): clean (strip +
-    * redact, materialized once — three gate consumers re-run the
-    * 11-step regex chain otherwise; measured 1.99 → 1.46 s at sf0.1),
-    * quality gate, and the gate-kept rows' digests. Output:
-    * (id, clean_md5, h64), checkpointed — every caller fans it into
-    * multiple consumers (keeper aggregate, bloom build, joins). */
-  private[graft] def cleanGateDigest(df: DataFrame, text: String,
-                                     id: String): DataFrame = {
-    graft.functions.Md5Hash64Expr.register(df.sparkSession)
-    val cleaned = graft.ops.Ops.parallelizeInput(df, col(id))
+  /** The clean stage (strip + redact), materialized once — its three
+    * gate consumers re-run the 11-step regex chain otherwise (measured
+    * 1.99 → 1.46 s at sf0.1). Shared by every entry point below so the
+    * batch, audit and streaming paths cannot drift. */
+  private def cleanedText(df: DataFrame, text: String, id: String): DataFrame =
+    graft.ops.Ops.parallelizeInput(df, col(id))
       .select(col(id),
         TextAnalysis.redactText(TextAnalysis.stripMarkupText(col(text)))
           .as(text))
       .localCheckpoint()
-    val gate = TextAnalysis.qualityGate(cleaned, text, id)
-      .select(col(id), col("keep"))
-    cleaned.join(gate, Seq(id)).filter(col("keep"))
-      .select(col(id), md5(col(text).cast("binary")).as("clean_md5"),
-        Dedup.md5Hash64(col(text)).as("h64"))
+
+  /** Gate verdicts over the cleaned text: (id, reasons, keep),
+    * checkpointed — the frame is tiny (three columns) and every caller
+    * fans it into ≥ 2 consumers, each of which would otherwise re-run
+    * the gate's gram aggregate over the whole corpus. */
+  private def gateVerdicts(cleaned: DataFrame, text: String,
+                           id: String): DataFrame =
+    TextAnalysis.qualityGate(cleaned, text, id)
+      .select(col(id), col("reasons"), col("keep"))
+      .localCheckpoint()
+
+  /** The per-batch stage SHARED by [[pipeline]], [[audit]] and
+    * [[graft.streaming.Streaming.curationStream]] (one definition, so
+    * their equivalence specs are structural, not coincidental):
+    * clean → gate → the gate-kept rows' digests. Output:
+    * (id, clean_md5[, h64]), checkpointed — every caller fans it into
+    * multiple consumers (keeper aggregate, bloom build, joins). `h64`
+    * (the Bloom probe key) is computed only when asked for — the batch
+    * paths never use it. */
+  private[graft] def cleanGateDigest(df: DataFrame, text: String, id: String,
+                                     withH64: Boolean = false): DataFrame = {
+    val cleaned = cleanedText(df, text, id)
+    val gate = gateVerdicts(cleaned, text, id)
+    val digests = Seq(md5(col(text).cast("binary")).as("clean_md5")) ++
+      (if (withH64) { // registered lazily: only the streaming path needs it
+        graft.functions.Md5Hash64Expr.register(df.sparkSession)
+        Seq(Dedup.md5Hash64(col(text)).as("h64"))
+      } else Seq.empty)
+    cleaned.join(gate.filter(col("keep")).select(col(id)), Seq(id))
+      .select(col(id) +: digests: _*)
       .localCheckpoint()
   }
 
@@ -56,6 +68,12 @@ object Curation {
     kept.join(kept.groupBy(col("clean_md5")).agg(min(col(id)).as(id)),
       Seq(id, "clean_md5"), "left_semi")
 
+  /** Run the pipeline; one output row per SURVIVING document:
+    * (id, clean_md5 = md5 of the cleaned text, order_key, shard, pos)
+    * — the assembled training corpus in its reproducible read order.
+    * Dropped documents (gate failures, non-keeper duplicates) simply
+    * don't appear; [[audit]] is the companion that attributes every
+    * removal. */
   def pipeline(df: DataFrame, text: String, id: String,
                shards: Int = 8): DataFrame = {
     val kept = cleanGateDigest(df, text, id)
@@ -71,21 +89,16 @@ object Curation {
     * bitmask, the keeper it duplicated (null unless dropped as a
     * duplicate), and the final verdict. This is the audit table a
     * curation run ships alongside the corpus: every removal is
-    * attributable to a rule bit or a keeper id. Same stages as
-    * [[pipeline]] (shared clean/gate/digest), plus one keeper join
+    * attributable to a rule bit or a keeper id. Built from the same
+    * shared clean/gate stages as the pipeline, plus one keeper join
     * back onto the full gate output. Output: (id, reasons, keep,
     * dup_of, survived). */
   def audit(df: DataFrame, text: String, id: String): DataFrame = {
-    graft.functions.Md5Hash64Expr.register(df.sparkSession)
-    val cleaned = graft.ops.Ops.parallelizeInput(df, col(id))
-      .select(col(id),
-        TextAnalysis.redactText(TextAnalysis.stripMarkupText(col(text)))
-          .as(text))
-      .localCheckpoint()
-    val gate = TextAnalysis.qualityGate(cleaned, text, id)
-      .select(col(id), col("reasons"), col("keep"))
+    val cleaned = cleanedText(df, text, id)
+    val gate = gateVerdicts(cleaned, text, id)
     val kept = cleaned.join(gate.filter(col("keep")).select(col(id)), Seq(id))
       .select(col(id), md5(col(text).cast("binary")).as("clean_md5"))
+      .localCheckpoint() // two consumers below re-hash the text otherwise
     val keepers = kept.groupBy(col("clean_md5"))
       .agg(min(col(id)).as("__keeper"))
     val dupOf = kept.join(keepers, Seq("clean_md5"))

@@ -61,12 +61,16 @@ object Dedup {
       .localCheckpoint()
     // driver-side filter build over the batch hashes — bounded by the
     // ingest batch size, the same class of driver scalar the reference
-    // pulls (expected-items from a cheap count; both jobs are tiny)
-    val nBatch = b.count().max(1L)
-    val bloom = b.stat.bloomFilter("h64", nBatch, fpp)
-    graft.functions.BloomMightContainExpr.register(index.sparkSession)
-    val pruned = index
-      .filter(graft.functions.BloomMightContainExpr.of(col("h64"), bloom))
+    // pulls (expected-items from a cheap count; both jobs are tiny).
+    // An empty batch skips the build: a zero-row stat.bloomFilter has
+    // no backing bits and its probes NPE
+    val nBatch = b.count()
+    val pruned = if (nBatch == 0) index.limit(0)
+    else {
+      val bloom = b.stat.bloomFilter("h64", nBatch, fpp)
+      graft.functions.BloomMightContainExpr.register(index.sparkSession)
+      index.filter(graft.functions.BloomMightContainExpr.of(col("h64"), bloom))
+    }
     pruned.join(b.select(col("new_id"), col("text_sha")), Seq("text_sha"))
       .groupBy(col("new_id"))
       .agg(min(col(id)).as("dup_of"), count(lit(1)).as("n_index_dupes"))

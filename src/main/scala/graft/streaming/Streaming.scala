@@ -15,14 +15,33 @@ import org.apache.spark.sql.Row
   */
 object Streaming {
 
-  /** True iff `dir` exists and contains at least one file — the
-    * "has a first batch been written yet" probe for the index sinks
-    * (distinguishes a genuinely absent index from a read error, which
-    * must stay loud). */
+  /** True iff `dir` exists and contains at least one VISIBLE data file
+    * (recursively; `_`/`.`-prefixed markers and staging artifacts like
+    * `_SUCCESS` or `.spark-staging` don't count — an all-dropped first
+    * batch leaves only markers, and reading that as a table would wedge
+    * the stream). The "has a first batch been written yet" probe for
+    * the index sinks: distinguishes a genuinely absent/empty index from
+    * a read error, which must stay loud. */
   private[streaming] def dirHasData(spark: SparkSession, dir: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(path) && fs.listStatus(path).nonEmpty
+    if (!fs.exists(path)) return false
+    val root = path.toUri.getPath
+    def visible(p: org.apache.hadoop.fs.Path): Boolean = {
+      // every component under `dir` must be a plain name — a hidden
+      // ANCESTOR (e.g. .spark-staging-…/batch_id=0/part-0) hides the
+      // whole subtree, exactly like Spark's own file listing
+      var cur = p
+      while (cur != null && cur.toUri.getPath != root) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) return false
+        cur = cur.getParent
+      }
+      true
+    }
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) if (visible(it.next().getPath)) return true
+    false
   }
 
   /** File-source stream over a directory of parquet drops. */
@@ -235,7 +254,8 @@ object Streaming {
         // the clean → gate → digest stage and the keeper rule are the
         // batch pipeline's own definitions — shared code, so the
         // streaming/batch equivalence is structural
-        val kept = graft.llm.Curation.cleanGateDigest(batch, text, id)
+        val kept = graft.llm.Curation.cleanGateDigest(batch, text, id,
+          withH64 = true)
         val withinBatch = graft.llm.Curation.keepMinPerDigest(kept, id)
         // existence-checked, not exception-caught: a blanket
         // AnalysisException catch would also swallow schema drift on a
@@ -246,12 +266,18 @@ object Streaming {
             spark.read.parquet(indexDir)
               .where(col("batch_id") =!= batchId).drop("batch_id")
           else kept.select(col("clean_md5"), col("h64")).limit(0)
-        val nBatch = withinBatch.count().max(1L)
-        val bloom = withinBatch.stat.bloomFilter("h64", nBatch, 0.01)
-        graft.functions.BloomMightContainExpr.register(spark)
-        val prunedIndex = index
-          .filter(graft.functions.BloomMightContainExpr.of(col("h64"), bloom))
-          .select(col("clean_md5"))
+        // an EMPTY batch (every doc gate-dropped) must skip the Bloom
+        // build: a zero-row stat.bloomFilter yields a filter with no
+        // backing bits whose probes NPE — and no index row can match
+        // an empty batch anyway
+        val nBatch = withinBatch.count()
+        val prunedIndex = if (nBatch == 0) index.limit(0).select(col("clean_md5"))
+        else {
+          val bloom = withinBatch.stat.bloomFilter("h64", nBatch, 0.01)
+          graft.functions.BloomMightContainExpr.register(spark)
+          index.filter(graft.functions.BloomMightContainExpr.of(col("h64"), bloom))
+            .select(col("clean_md5"))
+        }
         val survivors = withinBatch
           .join(prunedIndex, Seq("clean_md5"), "left_anti")
           .localCheckpoint()

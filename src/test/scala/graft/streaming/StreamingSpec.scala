@@ -205,6 +205,38 @@ class StreamingSpec extends SparkSpec {
     assert(!got.exists(_._1 >= 924000L))
   }
 
+  test("streaming curation survives an all-dropped first batch") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("curation0-src").toString
+    val base = Files.createTempDirectory("curation0").toString
+    val (survDir, indexDir, ckDir) = (s"$base/surv", s"$base/index", s"$base/ck")
+    val schema = Seq((0L, "x")).toDF("doc_id", "text").schema
+
+    def runOnce(): Unit = {
+      val src = Streaming.fileStream(spark, srcDir, schema)
+      val q = Streaming.curationStream(src, "text", "doc_id",
+        survDir, indexDir, ckDir).start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    // batch 0: every doc fails the gate (too short) — the index sink
+    // receives only marker files; the stream must NOT wedge on batch 1
+    (0L until 5L).map(i => (i, "too short")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+    // zero survivors: the sink holds only marker files
+    assert(!Streaming.dirHasData(spark, survDir))
+    // batch 1: a real corpus; survivors land, duplicates still dedup
+    val good = "alpha the bravo codes delta eagle frost gamma hotel india " +
+      "juliet kilos lemon mango north oscar paper quill romeo sugar tango uncle"
+    Seq((100L, good), (101L, good), (102L, good + " extra words here"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+    val surv = spark.read.parquet(survDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surv == Set(100L, 102L)) // 101 deduped within the batch
+  }
+
   test("lake append stream lands each dropped file exactly once") {
     val batch = Tables.events(spark, dir)
       .withColumn("ts", timestamp_micros(col("ts_us")))
