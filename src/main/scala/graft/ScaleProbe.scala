@@ -206,6 +206,9 @@ object ScaleProbe {
     time("curation_pipeline")(llm.Curation.pipeline(
       llm.Curation.withPlantedEverything(docs, "text", "doc_id"),
       "text", "doc_id", shards = 64))
+    time("curation_audit")(llm.Curation.audit(
+      llm.Curation.withPlantedEverything(docs, "text", "doc_id"),
+      "text", "doc_id"))
     time("sessionize")(llm.Sessionize.sessions(events, "user_id", "ts_us",
       order = Seq(col("ts_us"), col("event_id")),
       gapMicros = 1800000000L, valueCol = "value"))
