@@ -108,7 +108,9 @@ object Sampling {
     * sort ever materializes — pick `shards` ≈ a few × executor count
     * and each window sorts |corpus|/shards rows. Same-salt runs
     * reproduce the same order on any engine (md5 is the cross-engine
-    * hash); a new salt is a fresh epoch permutation. */
+    * hash); a new salt is a fresh epoch permutation. `id` must be
+    * unique — it is the hash input AND the rank tie-break, so
+    * duplicate ids would make their relative order engine-dependent. */
   def shuffleOrder(df: DataFrame, id: Column, shards: Int = 8,
                    salt: String = "shuffle"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
