@@ -49,7 +49,16 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) =>
       "\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // also land the line in a file: the driver captures stdout's tail,
+    // which has truncated long runs' leading entries before (r5 §wrong-6)
+    try {
+      val out = java.nio.file.Paths.get("target/bench_last.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"bench_last.json write failed: $e") }
     spark.stop()
   }
 }

@@ -227,6 +227,39 @@ object ScaleProbe {
       Seq(count(lit(1)).as("n"),
         sum(floor(col("value") * 100 + 0.5).cast("long")).as("v_c"))))
 
+    // Streaming-index lifecycle: a per-micro-batch sink accumulates one
+    // batch_id= partition per batch; this measures the per-batch index
+    // READ (listing + scan + the existence probe — what every stream
+    // batch pays) at 10·k accumulated batches, then again after
+    // compactIndex. "Flat as batch count grows" = the compacted read
+    // should track the 10-batch cost, not the 10·k-batch cost.
+    if (only.forall(_.contains("index_compaction"))) {
+      def buildIndex(nBatches: Int): String = {
+        val d = java.nio.file.Files.createTempDirectory("probe-index").toString
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("clean_md5"),
+            pmod(col("doc_id"), lit(nBatches.toLong)).as("batch_id"))
+          .repartition(col("batch_id"))
+          .write.partitionBy("batch_id").mode("overwrite").parquet(d)
+        d
+      }
+      def readCost(d: String): Double = {
+        val t0 = System.nanoTime()
+        streaming.Streaming.dirHasData(spark, d)
+        spark.read.parquet(d).where(col("batch_id") =!= -999L)
+          .drop("batch_id").write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val small = buildIndex(10)
+      println(f"""{"probe":"index_read_10batches","k":$k,"sec":${readCost(small)}%.2f}""")
+      val big = buildIndex(10 * k)
+      println(f"""{"probe":"index_read_${10 * k}batches","k":$k,"sec":${readCost(big)}%.2f}""")
+      val t0 = System.nanoTime()
+      streaming.Streaming.compactIndex(spark, big)
+      println(f"""{"probe":"index_compaction","k":$k,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      println(f"""{"probe":"index_read_compacted","k":$k,"sec":${readCost(big)}%.2f}""")
+    }
+
     spark.stop()
   }
 }

@@ -41,13 +41,22 @@ case class BloomMightContainExpr(left: Expression, right: Expression)
     else if (right.dataType != BinaryType || !right.foldable)
       TypeCheckResult.TypeCheckFailure(
         "bloom_might_contain needs a foldable binary filter")
+    else if (right.eval() == null)
+      // a NULL literal would otherwise pass analysis and NPE when
+      // codegen forces the lazy deserialization below — reject it
+      // while the error can still carry a usable message
+      TypeCheckResult.TypeCheckFailure(
+        "bloom_might_contain filter is NULL — build the filter before planning")
     else TypeCheckResult.TypeCheckSuccess
 
   // deserialized once per expression instance; BloomFilter reads are
   // thread-safe (the backing bit array is only read after construction)
-  @transient private lazy val bloom: BloomFilter =
+  @transient private lazy val bloom: BloomFilter = {
+    val bytes = right.eval()
+    require(bytes != null, "bloom_might_contain: filter literal is NULL")
     BloomFilter.readFrom(
-      new ByteArrayInputStream(right.eval().asInstanceOf[Array[Byte]]))
+      new ByteArrayInputStream(bytes.asInstanceOf[Array[Byte]]))
+  }
 
   override protected def nullSafeEval(key: Any, filterBytes: Any): Any =
     bloom.mightContainLong(key.asInstanceOf[Long])

@@ -19,26 +19,64 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Materialization strategy for the pipeline's shared intermediates.
+    * Batch entry points use [[LocalCheckpoint]] (lineage-truncating;
+    * blocks are freed when the RDD is GC'd — fine for a finite job).
+    * [[graft.streaming.Streaming.curationStream]] runs the stage once
+    * per micro-batch FOREVER, so it uses a [[TrackedPersist]] and
+    * releases every block at the end of each batch — otherwise
+    * executor block storage grows for the life of the stream. */
+  private[graft] sealed trait Materializer {
+    def apply(df: DataFrame): DataFrame
+    def releaseAll(): Unit
+  }
+
+  /** Batch default: eager lineage-truncating local checkpoint. */
+  private[graft] object LocalCheckpoint extends Materializer {
+    def apply(df: DataFrame): DataFrame = df.localCheckpoint()
+    def releaseAll(): Unit = ()
+  }
+
+  /** Streaming: eager persist, tracked so the caller can release every
+    * intermediate at the end of the micro-batch. MEMORY_AND_DISK (not
+    * localCheckpoint) — persisted blocks survive recompute on executor
+    * loss, which a long-running stream will eventually see. */
+  private[graft] final class TrackedPersist extends Materializer {
+    private val frames = scala.collection.mutable.Buffer.empty[DataFrame]
+    def apply(df: DataFrame): DataFrame = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count() // eager, like localCheckpoint(eager = true)
+      frames.synchronized { frames += p }
+      p
+    }
+    def releaseAll(): Unit = frames.synchronized {
+      frames.foreach(_.unpersist(blocking = false)); frames.clear()
+    }
+  }
+
   /** The clean stage (strip + redact), materialized once — its three
     * gate consumers re-run the 11-step regex chain otherwise (measured
     * 1.99 → 1.46 s at sf0.1). Shared by every entry point below so the
-    * batch, audit and streaming paths cannot drift. */
-  private def cleanedText(df: DataFrame, text: String, id: String): DataFrame =
-    graft.ops.Ops.parallelizeInput(df, col(id))
+    * batch, audit and streaming paths cannot drift. Executor-local
+    * materialization is the single-job trade-off: a fleet-scale run
+    * would persist the cleaned text to the lake (one parquet write)
+    * and fan consumers out from that table instead of executor-local
+    * storage. */
+  private def cleanedText(df: DataFrame, text: String, id: String,
+                          mat: Materializer): DataFrame =
+    mat(graft.ops.Ops.parallelizeInput(df, col(id))
       .select(col(id),
         TextAnalysis.redactText(TextAnalysis.stripMarkupText(col(text)))
-          .as(text))
-      .localCheckpoint()
+          .as(text)))
 
   /** Gate verdicts over the cleaned text: (id, reasons, keep),
-    * checkpointed — the frame is tiny (three columns) and every caller
+    * materialized — the frame is tiny (three columns) and every caller
     * fans it into ≥ 2 consumers, each of which would otherwise re-run
     * the gate's gram aggregate over the whole corpus. */
-  private def gateVerdicts(cleaned: DataFrame, text: String,
-                           id: String): DataFrame =
-    TextAnalysis.qualityGate(cleaned, text, id)
-      .select(col(id), col("reasons"), col("keep"))
-      .localCheckpoint()
+  private def gateVerdicts(cleaned: DataFrame, text: String, id: String,
+                           mat: Materializer): DataFrame =
+    mat(TextAnalysis.qualityGate(cleaned, text, id)
+      .select(col(id), col("reasons"), col("keep")))
 
   /** The per-batch stage SHARED by [[pipeline]], [[audit]] and
     * [[graft.streaming.Streaming.curationStream]] (one definition, so
@@ -49,17 +87,17 @@ object Curation {
     * (the Bloom probe key) is computed only when asked for — the batch
     * paths never use it. */
   private[graft] def cleanGateDigest(df: DataFrame, text: String, id: String,
-                                     withH64: Boolean = false): DataFrame = {
-    val cleaned = cleanedText(df, text, id)
-    val gate = gateVerdicts(cleaned, text, id)
+                                     withH64: Boolean = false,
+                                     mat: Materializer = LocalCheckpoint): DataFrame = {
+    val cleaned = cleanedText(df, text, id, mat)
+    val gate = gateVerdicts(cleaned, text, id, mat)
     val digests = Seq(md5(col(text).cast("binary")).as("clean_md5")) ++
       (if (withH64) { // registered lazily: only the streaming path needs it
         graft.functions.Md5Hash64Expr.register(df.sparkSession)
         Seq(Dedup.md5Hash64(col(text)).as("h64"))
       } else Seq.empty)
-    cleaned.join(gate.filter(col("keep")).select(col(id)), Seq(id))
-      .select(col(id) +: digests: _*)
-      .localCheckpoint()
+    mat(cleaned.join(gate.filter(col("keep")).select(col(id)), Seq(id))
+      .select(col(id) +: digests: _*))
   }
 
   /** Exact-dedup keeper rule, shared for the same reason: keep the
@@ -94,8 +132,8 @@ object Curation {
     * back onto the full gate output. Output: (id, reasons, keep,
     * dup_of, survived). */
   def audit(df: DataFrame, text: String, id: String): DataFrame = {
-    val cleaned = cleanedText(df, text, id)
-    val gate = gateVerdicts(cleaned, text, id)
+    val cleaned = cleanedText(df, text, id, LocalCheckpoint)
+    val gate = gateVerdicts(cleaned, text, id, LocalCheckpoint)
     val kept = cleaned.join(gate.filter(col("keep")).select(col(id)), Seq(id))
       .select(col(id), md5(col(text).cast("binary")).as("clean_md5"))
       .localCheckpoint() // two consumers below re-hash the text otherwise
@@ -109,6 +147,31 @@ object Curation {
         (col("keep") && col("dup_of").isNull).as("survived"))
   }
 
+  /** Assembly-time keeper reconciliation for
+    * [[graft.streaming.Streaming.curationStream]] output: the stream's
+    * cross-batch keeper is FIRST ARRIVAL, which equals the batch
+    * pipeline's min-id keeper only when arrival order is id order.
+    * This pass re-keys every surviving digest to the GLOBAL min id —
+    * recoverable because the stream's digest index records each
+    * batch's within-batch min id per digest — so the assembled corpus
+    * is byte-equal to [[pipeline]]'s under any arrival order. One
+    * keyed aggregate over the sketch-width index plus a semi-join
+    * against the survivor digests (defensive: a crash between the two
+    * sink writes can briefly leave the sets unequal until the batch
+    * retries). Output: (id, clean_md5), one row per surviving digest —
+    * feed it to [[Sampling.shuffleOrder]] for the training read order,
+    * exactly like the batch pipeline does. */
+  def reconcile(spark: org.apache.spark.sql.SparkSession,
+                survivorsDir: String, indexDir: String,
+                id: String): DataFrame = {
+    val keepers = spark.read.parquet(indexDir)
+      .groupBy(col("clean_md5")).agg(min(col(id)).as(id))
+    val survived = spark.read.parquet(survivorsDir)
+      .select(col("clean_md5")).distinct()
+    keepers.join(survived, Seq("clean_md5"), "left_semi")
+      .select(col(id), col("clean_md5"))
+  }
+
   /** Compose every planting rule (markup + PII + repetition + exact
     * copies at `id + copyOffset` for each `id % copyEvery = 0`) so one
     * corpus exercises every pipeline stage. `copyOffset` must preserve
@@ -120,6 +183,19 @@ object Curation {
   def withPlantedEverything(df: DataFrame, text: String, id: String,
                             copyEvery: Int = 10,
                             copyOffset: Long = 924000L): DataFrame = {
+    // guard the protocol's one unstated assumption: no planted copy id
+    // (id + copyOffset) may alias a REAL document id, or the plant
+    // corrupts silently. Checked exactly (one equi-join + a bounded
+    // 1-row pull), not as max(id) < copyOffset — replicated probe
+    // corpora have sparse ids far above the offset that still don't
+    // alias, and the exact check keeps them legal
+    val aliased = df.select(col(id).cast("long").as("__i"))
+      .join(df.filter(pmod(col(id), lit(copyEvery)) === 0)
+        .select((col(id).cast("long") + copyOffset).as("__i")),
+        Seq("__i"), "left_semi")
+      .limit(1).count()
+    require(aliased == 0L,
+      s"withPlantedEverything: some $id + copyOffset=$copyOffset aliases a real id — planted copies would overwrite real documents")
     val withCopies = df.select(col(id), col(text))
       .unionByName(df.filter(pmod(col(id), lit(copyEvery)) === 0)
         .select((col(id) + copyOffset).as(id), col(text)))

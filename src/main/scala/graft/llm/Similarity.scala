@@ -369,16 +369,30 @@ object Similarity {
   def ivfCentroids(nLists: Int, dim: Int, seed: Long = IvfSeed): Array[Array[Double]] =
     planes(nLists, dim, seed)
 
+  /** Quantization unit for the trainer's recentre sums: coordinates
+    * are rounded to 2⁻²⁰ before summing so the per-list sum is an
+    * exact INTEGER — independent of partition/fold order, hence
+    * bit-reproducible across engines (a double sum is not: its value
+    * depends on addition order). 2⁻²⁰ ≈ 1e-6 sits far below embedding
+    * noise, so the quantization costs nothing in cluster quality. */
+  val TrainQuant: Double = 1048576.0 // 2^20
+
   /** Fixed-iteration Lloyd's trainer for the IVF coarse quantizer:
     * assign every vector to its nearest (max-dot) centroid, recentre
     * each list on the member mean, repeat `iters` times. No random
-    * sampling anywhere — init is the deterministic [[ivfCentroids]]
-    * and the iteration count is fixed, so retraining on the same data
-    * reproduces the same index. Per iteration: one narrow assignment
-    * pass plus a (list, dimension)-keyed aggregate whose result is
-    * nLists×dim scalars — the only driver collect. Lists that capture
-    * no vectors keep their previous centroid. At fleet scale, train on
-    * a sample: the quantizer needs the distribution, not the corpus. */
+    * sampling anywhere — init is the deterministic [[ivfCentroids]],
+    * the iteration count is fixed, and the recentre mean is computed
+    * as an exact integer sum of [[TrainQuant]]-quantized coordinates
+    * followed by ONE rounded IEEE divide — so retraining on the same
+    * data reproduces the same index bit-for-bit on ANY engine (the
+    * `llm_similarity_ivf_trained` oracle row replays all `iters`
+    * rounds in DuckDB and matches by hash). Per iteration: one narrow
+    * assignment pass plus a (list, dimension)-keyed aggregate whose
+    * result is nLists×dim scalars — the only driver collect. Lists
+    * that capture no vectors keep their previous centroid. At fleet
+    * scale, train on a sample: the quantizer needs the distribution,
+    * not the corpus (the exact integer sum stays inside 2⁵³ up to
+    * ~10⁹ sampled rows × unit-scale coordinates). */
   def trainIvfCentroids(corpus: DataFrame, emb: String, nLists: Int,
                         iters: Int = 5, dim: Int = 64,
                         seed: Long = IvfSeed): Array[Array[Double]] = {
@@ -392,10 +406,12 @@ object Similarity {
       asDouble.withColumn("list_id", ivfListId(col("e"), cs))
         .select(col("list_id"), posexplode(col("e")).as(Seq("i", "x")))
         .groupBy(col("list_id"), col("i"))
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .agg(sum(floor(col("x") * TrainQuant + 0.5).cast("long")).as("s"),
+          count(lit(1)).as("n"))
         .collect()
         .foreach { r =>
-          next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+          next(r.getInt(0))(r.getInt(1)) =
+            r.getLong(2).toDouble / (r.getLong(3) * TrainQuant)
         }
       cs = next
     }

@@ -138,9 +138,15 @@ object TextAnalysis {
                     logIdf: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nDocs = df0.count()
+    // materialized once: both `dfreq` and the join below consume `tf`,
+    // and without the checkpoint each re-runs the tokenize→explode→agg
+    // shuffle over the corpus (the repo's measured decision rule:
+    // checkpoint wins when consumers re-run a shuffle — warm reps
+    // 0.96–2.5 s → 0.86–1.05 s at sf0.1/local[32])
     val tf = Dedup.tokenize(df0, text, id)
       .select(col(id), explode(col("toks")).as("term"))
       .groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = col("tf") * lit(nDocs + 1) / (col("df") + lit(1))
     val score = if (logIdf) col("tf") * log(lit(nDocs + 1.0) / (col("df") + 1)) else idf

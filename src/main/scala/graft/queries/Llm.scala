@@ -15,6 +15,11 @@ import graft.llm.{Chunking, Curation, Dedup, Multimodal, Sampling, Sessionize, S
   *
   * Fractional outputs are integerized with the cross-engine-exact
   * `floor(x·10^k + 0.5)` pattern (see Relational).
+  *
+  * int64-range assumption, every `CAST(sum(…) AS BIGINT)` below: DuckDB
+  * sums into HUGEINT and the cast ERRORS LOUDLY past int64, where
+  * Spark's non-ANSI sum would silently wrap — unreachable at any test
+  * scale, and a loud oracle error beats a silent divergence.
   */
 object Llm {
   import Relational.Q
@@ -246,6 +251,47 @@ object Llm {
         s"CAST($h AS DOUBLE)/9223372036854775807.0").mkString("[", ", ", "]")
       s"list_dot_product(e, $cen)"
     }.mkString("[", ", ", "]")
+  }
+
+  /** WITH-fragment replaying [[graft.llm.Similarity.trainIvfCentroids]]
+    * in DuckDB, iteration by iteration: `c0` is the splitmix64 literal
+    * init, then each round `t` is an assignment CTE (argmax dot over
+    * the nLists-row centroid cross join — `row_number` ordered dot
+    * DESC, list_id ASC matches Spark's first-max `array_position`) and
+    * a recentre CTE running the trainer's EXACT arithmetic: integer
+    * sums of 2⁻²⁰-quantized coordinates, one rounded IEEE divide.
+    * Every step is order-independent, so the trained centroids match
+    * Spark's bit-for-bit. Produces `c$iters(list_id, cen)`; callers
+    * must provide an `emb(vec_id, e)` CTE. */
+  private def trainedCentroidsSql(nLists: Int, dim: Int, iters: Int): String = {
+    val hs = graft.llm.Similarity.planeHashes(nLists, dim,
+      graft.llm.Similarity.IvfSeed)
+    val cens = (0 until nLists).map { c =>
+      hs(c).map(h => s"CAST($h AS DOUBLE)/9223372036854775807.0")
+        .mkString("[", ", ", "]")
+    }.mkString("[", ",\n    ", "]")
+    val iterSql = (1 to iters).map { t =>
+      s"""a$t AS (SELECT vec_id, e, list_id FROM (
+    SELECT emb.vec_id, emb.e, c.list_id, row_number() OVER (
+      PARTITION BY emb.vec_id
+      ORDER BY list_dot_product(emb.e, c.cen) DESC, c.list_id) AS rn
+    FROM emb CROSS JOIN c${t - 1} c) WHERE rn = 1),
+  m$t AS (SELECT list_id, g.i AS i,
+      CAST(sum(CAST(floor(e[g.i] * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        / (count(*) * 1048576.0) AS m
+    FROM a$t, (SELECT unnest(generate_series(1, $dim)) AS i) g
+    GROUP BY list_id, g.i),
+  c$t AS (SELECT p.list_id,
+      list(CASE WHEN m.m IS NULL THEN p.cen[g.i] ELSE m.m END ORDER BY g.i) AS cen
+    FROM c${t - 1} p
+    CROSS JOIN (SELECT unnest(generate_series(1, $dim)) AS i) g
+    LEFT JOIN m$t m ON m.list_id = p.list_id AND m.i = g.i
+    GROUP BY p.list_id)"""
+    }.mkString(",\n  ")
+    s"""c0 AS (SELECT g.i - 1 AS list_id, cens[g.i] AS cen
+    FROM (SELECT $cens AS cens),
+      (SELECT unnest(generate_series(1, $nLists)) AS i) g),
+  $iterSql"""
   }
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -589,6 +635,53 @@ object Llm {
         |  FROM embeddings),
         |pre AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
         |  ${ivfScoresSql(nLists = 8, dim = 64)} AS cs FROM emb),
+        |corp AS (SELECT vec_id, e, nrm,
+        |  list_position(cs, list_max(cs)) - 1 AS list_id FROM pre),
+        |qp AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn,
+        |  i - 1 AS list_id, cs[i] AS c_score
+        |  FROM pre, (SELECT unnest(generate_series(1, 8)) AS i) g
+        |  WHERE vec_id < 10),
+        |qr AS (SELECT *, row_number() OVER
+        |  (PARTITION BY q_id ORDER BY c_score DESC, list_id) AS pr FROM qp),
+        |sc AS (SELECT p.q_id, c.vec_id,
+        |  list_dot_product(p.qe, c.e) / (p.qn * c.nrm) AS score
+        |  FROM (SELECT * FROM qr WHERE pr <= 2) p
+        |  JOIN corp c ON c.list_id = p.list_id AND c.vec_id != p.q_id),
+        |r AS (SELECT *, row_number() OVER
+        |  (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn FROM sc)
+        |SELECT q_id, vec_id,
+        |  CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6, rn
+        |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)),
+
+    // IVF-flat with TRAINED centroids: the oracle replays all five
+    // Lloyd's rounds in SQL (exact quantized-integer recentre sums —
+    // see trainedCentroidsSql), then the same probe/rerank as the
+    // fixed-centroid row. The strongest form of the check: DuckDB
+    // re-derives the trained index itself rather than trusting the
+    // engine's training output
+    ("llm_similarity_ivf_trained",
+      ((s: SparkSession, d: String) => {
+        val e = Tables.embeddings(s, d)
+        val cs = Similarity.trainIvfCentroids(e, "embedding", nLists = 8,
+          iters = 5)
+        Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 5, nLists = 8, nProbe = 2,
+            centroids = Some(cs))
+          .select(col("q_id"), col("vec_id"),
+            floor(col("score") * 1000000 + 0.5).cast("long").as("score_e6"),
+            col("rn"))
+          .orderBy(col("q_id"), col("rn"))
+      }): Q,
+      Some(s"""WITH emb AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |  ${trainedCentroidsSql(nLists = 8, dim = 64, iters = 5)},
+        |pre0 AS (SELECT emb.vec_id,
+        |    list(list_dot_product(emb.e, c.cen) ORDER BY c.list_id) AS cs
+        |  FROM emb CROSS JOIN c5 c GROUP BY emb.vec_id),
+        |pre AS (SELECT emb.vec_id, emb.e,
+        |    sqrt(list_dot_product(emb.e, emb.e)) AS nrm, p.cs
+        |  FROM emb JOIN pre0 p USING (vec_id)),
         |corp AS (SELECT vec_id, e, nrm,
         |  list_position(cs, list_max(cs)) - 1 AS list_id FROM pre),
         |qp AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn,

@@ -16,6 +16,10 @@ import graft.ops.Ops
   *    `round`-ed identically on both sides;
   *  - `events.ts` is epoch-nanoseconds (LongType here, `epoch_us(ts)` in
   *    DuckDB) — exact integer event-time, never truncated.
+  *  - int64-range assumption, every `CAST(sum(…) AS BIGINT)`: DuckDB
+  *    sums into HUGEINT and the cast ERRORS LOUDLY past int64, where
+  *    Spark's non-ANSI sum would silently wrap — unreachable at any
+  *    test scale, and a loud oracle error beats a silent divergence.
   */
 object Relational {
 

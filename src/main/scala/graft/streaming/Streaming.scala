@@ -22,17 +22,22 @@ object Streaming {
     * the stream). The "has a first batch been written yet" probe for
     * the index sinks: distinguishes a genuinely absent/empty index from
     * a read error, which must stay loud. */
-  private[streaming] def dirHasData(spark: SparkSession, dir: String): Boolean = {
+  private[graft] def dirHasData(spark: SparkSession, dir: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return false
-    val root = path.toUri.getPath
+    // listFiles returns fully-qualified paths; qualify the root the same
+    // way, or a relative/scheme-less `dir` never matches its own
+    // ancestor and the walk escapes above the index dir (a dot-prefixed
+    // ancestor like /home/x/.work/ would then hide EVERY file and
+    // silently disable cross-batch dedup)
+    val root = fs.makeQualified(path)
     def visible(p: org.apache.hadoop.fs.Path): Boolean = {
       // every component under `dir` must be a plain name — a hidden
       // ANCESTOR (e.g. .spark-staging-…/batch_id=0/part-0) hides the
       // whole subtree, exactly like Spark's own file listing
       var cur = p
-      while (cur != null && cur.toUri.getPath != root) {
+      while (cur != null && cur != root) {
         val n = cur.getName
         if (n.startsWith("_") || n.startsWith(".")) return false
         cur = cur.getParent
@@ -42,6 +47,64 @@ object Streaming {
     val it = fs.listFiles(path, true)
     while (it.hasNext) if (visible(it.next().getPath)) return true
     false
+  }
+
+  /** Compact a `batch_id=`-partitioned index sink ([[curationStream]] /
+    * [[dedupIndexStream]] write one partition per micro-batch, so after
+    * 10⁴–10⁵ batches every batch re-lists and re-reads that many
+    * directories of small files). Rewrites all CLOSED partitions —
+    * everything except the highest non-negative `batch_id`, which a
+    * crashed-and-retried batch may still dynamic-overwrite — into one
+    * size-targeted generation partition `batch_id=<negative gen>`,
+    * then deletes the originals. Negative generation ids can never
+    * collide with a real batch id, so the streams' own
+    * `batch_id =!= currentBatch` index reads and dynamic partition
+    * overwrites are untouched: exactly-once semantics survive a
+    * compaction interleaved between any two batches.
+    *
+    * Run while the stream is quiescent (between `AvailableNow` runs —
+    * the same cadence the reference's batch loop would schedule
+    * maintenance). Crash-safe by set semantics: the compacted
+    * generation lands BEFORE the originals are deleted, so a crash
+    * between the two duplicates rows rather than losing them — the
+    * index IS a set (anti-join / equi-join probes are duplicate-
+    * insensitive), and re-running compaction collapses the duplicates
+    * again via `dropDuplicates` (a no-op on a healthy index, where
+    * every row is unique by construction).
+    *
+    * Returns true iff a compaction happened. */
+  def compactIndex(spark: SparkSession, dir: String,
+                   targetBytes: Long = 128L << 20): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return false
+    val parts = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("batch_id="))
+          scala.util.Try(n.stripPrefix("batch_id=").toLong).toOption
+            .map(v => (st.getPath, v))
+        else None
+      }
+    if (parts.isEmpty) return false
+    val open = parts.map(_._2).filter(_ >= 0L).sorted.lastOption
+    val closed = parts.filterNot { case (_, v) => open.contains(v) }
+    // nothing to gain: no closed partitions, or just one already-
+    // compacted generation
+    if (closed.isEmpty || (closed.size == 1 && closed.head._2 < 0)) return false
+    val gen = math.min(parts.map(_._2).min, 0L) - 1L
+    val bytes = closed.map { case (p, _) => fs.getContentSummary(p).getLength }.sum
+    val numFiles = math.max(1L, (bytes + targetBytes - 1L) / targetBytes).toInt
+    // read the closed partition dirs directly (no root-dir listing, no
+    // partition discovery — the output dir is a sibling, never read)
+    spark.read.parquet(closed.map(_._1.toString): _*)
+      .dropDuplicates()
+      .repartition(numFiles)
+      .write.mode("overwrite").parquet(s"$dir/batch_id=$gen")
+    closed.foreach { case (p, _) => fs.delete(p, true) }
+    true
   }
 
   /** File-source stream over a directory of parquet drops. */
@@ -193,11 +256,13 @@ object Streaming {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val sigs = graft.llm.Dedup.minhashSignatures(
+        // tracked persist + release per micro-batch (see curationStream)
+        val mat = new graft.llm.Curation.TrackedPersist
+        try {
+        val sigs = mat(graft.llm.Dedup.minhashSignatures(
             graft.llm.Dedup.shinglesFromToks(
               graft.llm.Dedup.tokenize(batch, text, id), id, shingleK,
-              dedup = false), id, numPerms)
-          .localCheckpoint()
+              dedup = false), id, numPerms))
         // existence-checked, not exception-caught (see curationStream)
         val index =
           if (Streaming.dirHasData(spark, indexDir))
@@ -215,7 +280,7 @@ object Streaming {
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(indexDir)
-        ()
+        } finally mat.releaseAll()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -233,7 +298,11 @@ object Streaming {
     * impossible, so results equal the unpruned anti-join), (d) append
     * survivors and their digests. Keeper across batches is FIRST
     * ARRIVAL — equal to the batch pipeline's min-id keeper whenever
-    * arrival order is id order (the spec's equivalence case).
+    * arrival order is id order, and re-keyed to the batch pipeline's
+    * keeper under ANY arrival order by the assembly-time
+    * [[graft.llm.Curation.reconcile]] pass (the index records each
+    * batch's min-id per digest precisely so that pass is one keyed
+    * aggregate).
     *
     * The deterministic shuffle/pos assignment deliberately stays an
     * epoch-assembly step over the survivors table (a global rank is
@@ -251,11 +320,18 @@ object Streaming {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // tracked persist, not localCheckpoint: the stage runs every
+        // micro-batch forever, so its intermediates must be released
+        // at the end of each batch or executor block storage grows for
+        // the life of the stream (and persisted blocks survive
+        // executor loss, which localCheckpoint blocks do not)
+        val mat = new graft.llm.Curation.TrackedPersist
+        try {
         // the clean → gate → digest stage and the keeper rule are the
         // batch pipeline's own definitions — shared code, so the
         // streaming/batch equivalence is structural
         val kept = graft.llm.Curation.cleanGateDigest(batch, text, id,
-          withH64 = true)
+          withH64 = true, mat = mat)
         val withinBatch = graft.llm.Curation.keepMinPerDigest(kept, id)
         // existence-checked, not exception-caught: a blanket
         // AnalysisException catch would also swallow schema drift on a
@@ -265,7 +341,7 @@ object Streaming {
           if (Streaming.dirHasData(spark, indexDir))
             spark.read.parquet(indexDir)
               .where(col("batch_id") =!= batchId).drop("batch_id")
-          else kept.select(col("clean_md5"), col("h64")).limit(0)
+          else kept.select(col(id), col("clean_md5"), col("h64")).limit(0)
         // an EMPTY batch (every doc gate-dropped) must skip the Bloom
         // build: a zero-row stat.bloomFilter yields a filter with no
         // backing bits whose probes NPE — and no index row can match
@@ -278,20 +354,27 @@ object Streaming {
           index.filter(graft.functions.BloomMightContainExpr.of(col("h64"), bloom))
             .select(col("clean_md5"))
         }
-        val survivors = withinBatch
-          .join(prunedIndex, Seq("clean_md5"), "left_anti")
-          .localCheckpoint()
+        val survivors = mat(withinBatch
+          .join(prunedIndex, Seq("clean_md5"), "left_anti"))
         survivors.select(col(id), col("clean_md5"))
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(survivorsDir)
-        survivors.select(col("clean_md5"), col("h64"))
+        // the index row is the batch's WITHIN-BATCH keeper (id included,
+        // and written whether or not it survived the cross-batch
+        // anti-join): the digest probes only need (clean_md5, h64), and
+        // the id is what lets [[graft.llm.Curation.reconcile]] recover
+        // the global min-id keeper at assembly time under any arrival
+        // order — the index stays one sketch-width row per (digest,
+        // batch-that-saw-it), duplicate digests across batches are
+        // harmless to the anti-join
+        withinBatch.select(col(id), col("clean_md5"), col("h64"))
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(indexDir)
-        ()
+        } finally mat.releaseAll()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -205,6 +205,110 @@ class StreamingSpec extends SparkSpec {
     assert(!got.exists(_._1 >= 924000L))
   }
 
+  test("index compaction: read-equivalent, exactly-once across interleaved batches") {
+    val planted = graft.llm.Curation.withPlantedEverything(
+      Tables.documents(spark, dir), "text", "doc_id")
+    val srcDir = Files.createTempDirectory("compact-src").toString
+    val base = Files.createTempDirectory("compact").toString
+    val (survDir, indexDir, ckDir) = (s"$base/surv", s"$base/index", s"$base/ck")
+
+    def runOnce(): Unit = {
+      val src = Streaming.fileStream(spark, srcDir, planted.schema)
+      val q = Streaming.curationStream(src, "text", "doc_id",
+        survDir, indexDir, ckDir).start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    def drop(pred: org.apache.spark.sql.Column): Unit = {
+      planted.filter(pred).coalesce(1).write.mode("append").parquet(srcDir)
+      runOnce()
+    }
+    def partDirs(d: String): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("batch_id=")).toSet
+    }
+
+    // three id-ordered batches, then compact, then a fourth batch
+    drop(col("doc_id") < 15)
+    drop(col("doc_id") >= 15 && col("doc_id") < 30)
+    drop(col("doc_id") >= 30 && col("doc_id") < 924000L)
+
+    // read-equivalence: the DATA rows are identical before and after
+    // (batch_id is the partition bookkeeping compaction rewrites)
+    val indexBefore = spark.read.parquet(indexDir).drop("batch_id")
+      .localCheckpoint()
+    val survBefore = spark.read.parquet(survDir).drop("batch_id")
+      .localCheckpoint()
+    assert(Streaming.compactIndex(spark, indexDir))
+    assert(Streaming.compactIndex(spark, survDir))
+    assert(graft.ops.Ops.frameDiff(indexBefore,
+      spark.read.parquet(indexDir).drop("batch_id")).isEmpty)
+    assert(graft.ops.Ops.frameDiff(survBefore,
+      spark.read.parquet(survDir).drop("batch_id")).isEmpty)
+    // batches 0/1 collapsed into one generation; open batch 2 untouched
+    assert(partDirs(indexDir) == Set("batch_id=-1", "batch_id=2"))
+    // re-running against an already-compacted dir is a no-op (one
+    // generation + one open batch — nothing left to merge)
+    assert(!Streaming.compactIndex(spark, indexDir))
+
+    // the stream continues exactly-once across the compaction: the
+    // planted copies still dedup against the compacted index, and the
+    // final corpus equals the batch pipeline's
+    drop(col("doc_id") >= 924000L)
+    val got = spark.read.parquet(survDir)
+      .select(col("doc_id"), col("clean_md5"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = graft.llm.Curation.pipeline(planted, "text", "doc_id")
+      .select(col("doc_id"), col("clean_md5"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want && want.nonEmpty,
+      s"streaming ${got.size} survivors vs batch ${want.size}")
+    assert(!got.exists(_._1 >= 924000L))
+  }
+
+  test("reconcile re-keys streamed survivors to the batch keeper under any arrival order") {
+    val planted = graft.llm.Curation.withPlantedEverything(
+      Tables.documents(spark, dir), "text", "doc_id")
+    val srcDir = Files.createTempDirectory("reconcile-src").toString
+    val base = Files.createTempDirectory("reconcile").toString
+    val (survDir, indexDir, ckDir) = (s"$base/surv", s"$base/index", s"$base/ck")
+
+    def runOnce(): Unit = {
+      val src = Streaming.fileStream(spark, srcDir, planted.schema)
+      val q = Streaming.curationStream(src, "text", "doc_id",
+        survDir, indexDir, ckDir).start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    // WORST-CASE arrival order: the planted +924000 copies arrive
+    // BEFORE their bases, so first-arrival keeps the copy
+    planted.filter(col("doc_id") >= 924000L)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+    planted.filter(col("doc_id") < 924000L)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+
+    val batchKeepers = graft.llm.Curation.pipeline(planted, "text", "doc_id")
+      .select(col("doc_id"), col("clean_md5"))
+    // the raw streamed survivors DIFFER from the batch pipeline here
+    // (copies arrived first and were kept) — the documented contract
+    val raw = spark.read.parquet(survDir).select(col("doc_id"), col("clean_md5"))
+    assert(raw.filter(col("doc_id") >= 924000L).count() > 0)
+
+    // reconcile recovers the batch keeper exactly...
+    val reconciled = graft.llm.Curation.reconcile(
+      spark, survDir, indexDir, "doc_id")
+    assert(graft.ops.Ops.frameDiff(reconciled, batchKeepers).isEmpty)
+    // ...and composed with the epoch-assembly shuffle, the streamed
+    // corpus is row-equal to the batch pipeline's full output
+    val assembled = graft.llm.Sampling.shuffleOrder(reconciled, col("doc_id"))
+      .select(col("doc_id"), col("clean_md5"), col("order_key"),
+        col("shard"), col("pos"))
+    assert(graft.ops.Ops.frameDiff(assembled,
+      graft.llm.Curation.pipeline(planted, "text", "doc_id")).isEmpty)
+  }
+
   test("streaming curation survives an all-dropped first batch") {
     import spark.implicits._
     val srcDir = Files.createTempDirectory("curation0-src").toString

@@ -74,6 +74,19 @@ def main():
             if ek is None or gk is None or ek != gk:
                 bad_cols.append(f"{c} (dtype mismatch: exp={e.dtype} got={g.dtype} — driver hash would differ)")
                 continue
+            # Same-kind WIDTH drift (int32 vs int64, float32 vs float64)
+            # is value-equal under the driver's hash, but it is still
+            # schema drift worth seeing — surface it as a warning
+            # without failing the row.
+            def _size(s):
+                d = getattr(s.dtype, "numpy_dtype", s.dtype)
+                try:
+                    return np.dtype(d).itemsize
+                except TypeError:
+                    return None
+            es, gs = _size(e), _size(g)
+            if es is not None and gs is not None and es != gs:
+                print(f"warn {name}.{c}: width drift exp={e.dtype} got={g.dtype} (values still compared)")
             if pd.api.types.is_float_dtype(e) or pd.api.types.is_float_dtype(g):
                 ef, gf = e.astype(float), g.astype(float)
                 same = (ef.values == gf.values) | (ef.isna().values & gf.isna().values)
