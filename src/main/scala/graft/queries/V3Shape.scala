@@ -117,6 +117,62 @@ object V3Shape {
         |SELECT a.bucket_s AS bucket_s, a.last_event_us,
         |  g.last_value_c, g.med_value_c
         |FROM a ASOF LEFT JOIN g ON a.bucket_s >= g.bucket_s
-        |ORDER BY a.bucket_s""".stripMargin))
+        |ORDER BY a.bucket_s""".stripMargin)),
+
+    // the notebook workload (Crosschain_Liquidity_GIF.ipynb cell 12 →
+    // Analytics.liquiditySurface): per-frame liquidity distributions in
+    // ONE distributed plan — delta → first-visible-frame assignment
+    // (the SearchSorted upper-bound expression; the oracle states the
+    // same rule declaratively as min(frame_id) WHERE bound > as_of) →
+    // frame×tick grid → the two cumulative windows. Every delta is an
+    // integral double, so all sums are exact in any fold order
+    ("v3_liquidity_surface",
+      ((s: SparkSession, d: String) => {
+        val li = Tables.lineitem(s, d)
+        val mb = li.select(
+          col("l_quantity").as("amount"),
+          when(col("l_returnflag") === "R", lit(-1)).otherwise(lit(1))
+            .as("type_of_event"),
+          col("l_partkey").as("tick_lower"),
+          col("l_suppkey").as("tick_upper"),
+          col("l_orderkey").cast("double").as("as_of"))
+        import s.implicits._
+        val frames = Seq((0L, 1500.0), (1L, 15000.0), (2L, 150000.0),
+            (3L, 1.5e9)).toDF("frame_id", "as_of")
+        graft.v3.Analytics.liquiditySurface(mb, frames)
+          .orderBy(col("frame_id"), col("tick"))
+      }): Q,
+      Some("""WITH mb AS (SELECT l_quantity AS amount,
+        |    CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END AS type_of_event,
+        |    l_partkey AS tick_lower, l_suppkey AS tick_upper,
+        |    CAST(l_orderkey AS DOUBLE) AS as_of
+        |  FROM lineitem),
+        |deltas AS (
+        |  SELECT as_of, tick_lower AS tick, amount * type_of_event AS delta
+        |  FROM mb
+        |  UNION ALL
+        |  SELECT as_of, tick_upper AS tick, -(amount * type_of_event)
+        |  FROM mb),
+        |frames AS (SELECT CAST(frame_id AS BIGINT) AS frame_id, bound
+        |  FROM (VALUES (0, 1500.0), (1, 15000.0), (2, 150000.0),
+        |    (3, 1500000000.0)) AS t(frame_id, bound)),
+        |fr AS (SELECT d.tick, d.delta,
+        |    (SELECT min(f.frame_id) FROM frames f WHERE f.bound > d.as_of)
+        |      AS frame_id
+        |  FROM deltas d),
+        |framed AS (SELECT frame_id, tick, sum(delta) AS delta FROM fr
+        |  WHERE frame_id IS NOT NULL GROUP BY 1, 2),
+        |ticks AS (SELECT DISTINCT tick FROM framed),
+        |grid AS (SELECT f.frame_id, t.tick, coalesce(fd.delta, 0.0) AS delta
+        |  FROM frames f CROSS JOIN ticks t
+        |  LEFT JOIN framed fd ON fd.frame_id = f.frame_id AND fd.tick = t.tick),
+        |g1 AS (SELECT frame_id, tick,
+        |  sum(delta) OVER (PARTITION BY tick ORDER BY frame_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS net_at_frame
+        |  FROM grid)
+        |SELECT frame_id, tick,
+        |  sum(net_at_frame) OVER (PARTITION BY frame_id ORDER BY tick
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS liquidity
+        |FROM g1 ORDER BY frame_id, tick""".stripMargin))
   )
 }

@@ -33,7 +33,9 @@ class PlanShapeSpec extends SparkSpec {
     "llm_similarity_quantized_topk" ->
       "brute-force retrieval over int8 codes: same deliberate baseline shape",
     "llm_mixture_upsample" ->
-      "one-row total joined onto the |sources|-row plan (scalar join); corpus side never all-pairs")
+      "one-row total joined onto the |sources|-row plan (scalar join); corpus side never all-pairs",
+    "v3_liquidity_surface" ->
+      "display grid: |frames| x |active ticks| densification (animation frames are driver-small by construction); the event side is keyed aggregation only")
 
   test("no registry query plans an undocumented single-partition exchange or all-pairs join") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
