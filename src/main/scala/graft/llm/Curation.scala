@@ -185,17 +185,23 @@ object Curation {
                             copyOffset: Long = 924000L): DataFrame = {
     // guard the protocol's one unstated assumption: no planted copy id
     // (id + copyOffset) may alias a REAL document id, or the plant
-    // corrupts silently. Checked exactly (one equi-join + a bounded
-    // 1-row pull), not as max(id) < copyOffset — replicated probe
-    // corpora have sparse ids far above the offset that still don't
-    // alias, and the exact check keeps them legal
-    val aliased = df.select(col(id).cast("long").as("__i"))
-      .join(df.filter(pmod(col(id), lit(copyEvery)) === 0)
-        .select((col(id).cast("long") + copyOffset).as("__i")),
-        Seq("__i"), "left_semi")
-      .limit(1).count()
-    require(aliased == 0L,
-      s"withPlantedEverything: some $id + copyOffset=$copyOffset aliases a real id — planted copies would overwrite real documents")
+    // corrupts silently. Two-tier, both bounded driver pulls: if the id
+    // RANGE is narrower than the offset no alias is possible (one
+    // shuffle-free min/max scan — the common case); otherwise check
+    // exactly with an equi-join — replicated probe corpora have sparse
+    // ids far above the offset that still don't alias, and the exact
+    // fallback keeps them legal where a plain max(id) < offset would not
+    val mm = df.agg(min(col(id).cast("long")), max(col(id).cast("long"))).head
+    val rangeSafe = mm.isNullAt(0) || mm.getLong(1) - mm.getLong(0) < copyOffset
+    if (!rangeSafe) {
+      val aliased = df.select(col(id).cast("long").as("__i"))
+        .join(df.filter(pmod(col(id), lit(copyEvery)) === 0)
+          .select((col(id).cast("long") + copyOffset).as("__i")),
+          Seq("__i"), "left_semi")
+        .limit(1).count()
+      require(aliased == 0L,
+        s"withPlantedEverything: some $id + copyOffset=$copyOffset aliases a real id — planted copies would overwrite real documents")
+    }
     val withCopies = df.select(col(id), col(text))
       .unionByName(df.filter(pmod(col(id), lit(copyEvery)) === 0)
         .select((col(id) + copyOffset).as(id), col(text)))

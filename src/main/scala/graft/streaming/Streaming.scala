@@ -64,7 +64,9 @@ object Streaming {
     *
     * Run while the stream is quiescent (between `AvailableNow` runs —
     * the same cadence the reference's batch loop would schedule
-    * maintenance). Crash-safe by set semantics: the compacted
+    * maintenance), or let the stream run it itself every N batches via
+    * the sinks' `compactEvery` knob (inside `foreachBatch` nothing else
+    * reads the index concurrently). Crash-safe by set semantics: the compacted
     * generation lands BEFORE the originals are deleted, so a crash
     * between the two duplicates rows rather than losing them — the
     * index IS a set (anti-join / equi-join probes are duplicate-
@@ -90,7 +92,14 @@ object Streaming {
       }
     if (parts.isEmpty) return false
     val open = parts.map(_._2).filter(_ >= 0L).sorted.lastOption
-    val closed = parts.filterNot { case (_, v) => open.contains(v) }
+    val closedAll = parts.filterNot { case (_, v) => open.contains(v) }
+    // generations already at the size target are SEALED — excluded from
+    // rewrites, so steady-state compaction work is bounded by
+    // (one undersized generation + the new batches), not the whole
+    // accumulated index: total compaction work stays linear in batch
+    // count even when compaction runs every few batches
+    val closed = closedAll.filter { case (p, v) =>
+      v >= 0L || fs.getContentSummary(p).getLength < targetBytes }
     // nothing to gain: no closed partitions, or just one already-
     // compacted generation
     if (closed.isEmpty || (closed.size == 1 && closed.head._2 < 0)) return false
@@ -251,7 +260,8 @@ object Streaming {
                        indexDir: String, pairsDir: String,
                        checkpointDir: String,
                        shingleK: Int = 5, numPerms: Int = 8,
-                       bands: Int = 4): DataStreamWriter[Row] = {
+                       bands: Int = 4,
+                       compactEvery: Int = 0): DataStreamWriter[Row] = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -280,6 +290,13 @@ object Streaming {
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(indexDir)
+        // in-stream maintenance: this batch's partition is the open
+        // (max) one, so compaction never touches a partition a retried
+        // batch would dynamic-overwrite; a crash between compaction and
+        // the checkpoint commit re-runs both, and both are idempotent
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          Streaming.compactIndex(spark, indexDir)
+        ()
         } finally mat.releaseAll()
       }
       .option("checkpointLocation", checkpointDir)
@@ -316,7 +333,8 @@ object Streaming {
     * against its own digests and emitting nothing. */
   def curationStream(docs: DataFrame, text: String, id: String,
                      survivorsDir: String, indexDir: String,
-                     checkpointDir: String): DataStreamWriter[Row] =
+                     checkpointDir: String,
+                     compactEvery: Int = 0): DataStreamWriter[Row] =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
@@ -374,6 +392,13 @@ object Streaming {
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(indexDir)
+        // in-stream maintenance of the DIGEST index only (sketch-width
+        // rows; sealed generations bound the rewrite work). The
+        // survivors table is the corpus itself — compact it at assembly
+        // time if at all, never per-N-batches
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          Streaming.compactIndex(spark, indexDir)
+        ()
         } finally mat.releaseAll()
       }
       .option("checkpointLocation", checkpointDir)

@@ -267,6 +267,47 @@ class StreamingSpec extends SparkSpec {
     assert(!got.exists(_._1 >= 924000L))
   }
 
+  test("in-stream auto-compaction (compactEvery) keeps the index bounded and results exact") {
+    val planted = graft.llm.Curation.withPlantedEverything(
+      Tables.documents(spark, dir), "text", "doc_id")
+    val srcDir = Files.createTempDirectory("autocompact-src").toString
+    val base = Files.createTempDirectory("autocompact").toString
+    val (survDir, indexDir, ckDir) = (s"$base/surv", s"$base/index", s"$base/ck")
+
+    def runOnce(): Unit = {
+      val src = Streaming.fileStream(spark, srcDir, planted.schema)
+      val q = Streaming.curationStream(src, "text", "doc_id",
+        survDir, indexDir, ckDir, compactEvery = 2).start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    def drop(pred: org.apache.spark.sql.Column): Unit = {
+      planted.filter(pred).coalesce(1).write.mode("append").parquet(srcDir)
+      runOnce()
+    }
+    // 4 id-ordered batches; compaction fires inside batches 1 and 3
+    drop(col("doc_id") < 15)
+    drop(col("doc_id") >= 15 && col("doc_id") < 30)
+    drop(col("doc_id") >= 30 && col("doc_id") < 924000L)
+    drop(col("doc_id") >= 924000L)
+
+    // the index dir never accumulates one partition per batch: after 4
+    // batches it holds at most a generation or two plus the open batch
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("batch_id=")).toSeq
+    assert(dirs.size <= 3, s"index partitions not bounded: $dirs")
+
+    // and the curated corpus still equals the batch pipeline's
+    val got = spark.read.parquet(survDir)
+      .select(col("doc_id"), col("clean_md5"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = graft.llm.Curation.pipeline(planted, "text", "doc_id")
+      .select(col("doc_id"), col("clean_md5"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("reconcile re-keys streamed survivors to the batch keeper under any arrival order") {
     val planted = graft.llm.Curation.withPlantedEverything(
       Tables.documents(spark, dir), "text", "doc_id")
