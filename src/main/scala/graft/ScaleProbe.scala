@@ -209,6 +209,11 @@ object ScaleProbe {
     time("curation_audit")(llm.Curation.audit(
       llm.Curation.withPlantedEverything(docs, "text", "doc_id"),
       "text", "doc_id"))
+    // near-dup-aware curation: adds the bounded posting-list jaccard
+    // pass + CC keeper on top of the exact pipeline
+    time("curation_neardup")(llm.Curation.pipelineNearDup(
+      llm.Curation.withPlantedEverything(docs, "text", "doc_id"),
+      "text", "doc_id", shards = 64))
     time("sessionize")(llm.Sessionize.sessions(events, "user_id", "ts_us",
       order = Seq(col("ts_us"), col("event_id")),
       gapMicros = 1800000000L, valueCol = "value"))

@@ -122,6 +122,46 @@ object Curation {
         col("pos"))
   }
 
+  /** [[pipeline]] with a FUZZY dedup stage appended — the shape real
+    * corpus curation runs (C4/RefinedWeb-style): after the exact
+    * min-id keeper, near-duplicate clusters over the cleaned surviving
+    * text (n-gram Jaccard candidate pairs, connected components) are
+    * collapsed to their min-id representative, then the survivors get
+    * the deterministic shuffle order. Exact-first ordering is
+    * load-bearing for cost: byte-identical copies never reach the
+    * shingle shuffle. The fuzzy stage is the exact-Jaccard primitive
+    * ([[Dedup.ngramJaccardPairs]] — posting-list candidates bounded by
+    * maxDf, no self-join) and the CC keeper is
+    * [[Dedup.duplicateClusters]]' min-label (driver union-find under
+    * 1M edges, distributed propagation above); at fleet scale swap the
+    * pair source for [[Dedup.minhashLsh]] — same composition, sketch
+    * candidates. Output: (id, clean_md5, order_key, shard, pos), one
+    * row per surviving document. */
+  def pipelineNearDup(df: DataFrame, text: String, id: String,
+                      shards: Int = 8, k: Int = 5, maxDf: Int = 5,
+                      minJaccard: Double = 0.5): DataFrame = {
+    val cleaned = cleanedText(df, text, id, LocalCheckpoint)
+    val gate = gateVerdicts(cleaned, text, id, LocalCheckpoint)
+    // keep the TEXT through the exact stage: the fuzzy stage shingles it
+    val keptTxt = cleaned
+      .join(gate.filter(col("keep")).select(col(id)), Seq(id))
+      .select(col(id), col(text),
+        md5(col(text).cast("binary")).as("clean_md5"))
+      .localCheckpoint() // fans into the exact keeper and the shingle pass
+    val exactSurv = keepMinPerDigest(keptTxt, id)
+    val pairs = Dedup.ngramJaccardPairs(exactSurv, text, id, k, maxDf,
+      minJaccard).select(col("a"), col("b"))
+    // cluster label IS the min id — every non-label member drops
+    val fuzzyDrops = Dedup.duplicateClusters(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(id))
+    val survivors = exactSurv.join(fuzzyDrops, Seq(id), "left_anti")
+      .select(col(id), col("clean_md5"))
+    Sampling.shuffleOrder(survivors, col(id), shards)
+      .select(col(id), col("clean_md5"), col("order_key"), col("shard"),
+        col("pos"))
+  }
+
   /** Drop forensics for the pipeline — one row per INPUT document
     * (where [[pipeline]] emits only survivors): the gate's reason
     * bitmask, the keeper it duplicated (null unless dropped as a

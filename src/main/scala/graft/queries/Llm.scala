@@ -1364,6 +1364,81 @@ object Llm {
         |FROM sh ORDER BY doc_id""".stripMargin
         .replace("__PM__", plantMarkupCte("d0"))
         .replace("__PP__", plantPiiCte("pm"))
+        .replace("__CLEAN__", redactSqlExpr(stripSqlExpr("text"))))),
+
+    // the near-dup-aware curation pipeline (C4/RefinedWeb shape):
+    // exact keeper first, then n-gram-Jaccard connected components over
+    // the cleaned surviving text collapse fuzzy clusters to their
+    // min-id representative. The oracle replays the full composition —
+    // plants, clean, gate, exact keeper, jaccard pairs, RECURSIVE
+    // min-label components, shuffle — from the same shared fragments
+    // the per-operator rows use
+    ("llm_curation_neardup",
+      ((s: SparkSession, d: String) =>
+        Curation.pipelineNearDup(
+            Curation.withPlantedEverything(Tables.documents(s, d), "text",
+              "doc_id"),
+            "text", "doc_id", shards = 8)
+          .orderBy(col("doc_id"))): Q,
+      Some(s"""WITH RECURSIVE d0 AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 924000, text FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |pm AS (__PM__),
+        |pp AS (__PP__),
+        |pr AS (${plantRepetitionCte("pp")}),
+        |src AS (SELECT doc_id, __CLEAN__ AS text FROM pr),
+        |${gateCtesSql},
+        |kept AS (SELECT s.doc_id, s.text, md5(s.text) AS clean_md5
+        |  FROM src s JOIN v USING (doc_id) WHERE v.reasons = 0),
+        |keepers AS (SELECT min(doc_id) AS doc_id FROM kept
+        |  GROUP BY clean_md5),
+        |es AS (SELECT k.doc_id, k.text, k.clean_md5 FROM kept k
+        |  JOIN keepers USING (doc_id)),
+        |jt AS (SELECT doc_id, string_split(text, ' ') AS t FROM es
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |jsh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
+        |        FROM jt)),
+        |jdf AS (SELECT shingle, count(*) AS df FROM jsh GROUP BY shingle),
+        |jcand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        |  FROM jsh a JOIN jdf USING (shingle) JOIN jsh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id AND jdf.df <= 5),
+        |jsizes AS (SELECT doc_id, count(*) AS n FROM jsh GROUP BY doc_id),
+        |jinter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+        |  FROM jsh a JOIN jsh b USING (shingle)
+        |  JOIN jcand ON jcand.a = a.doc_id AND jcand.b = b.doc_id
+        |  GROUP BY 1, 2),
+        |jpairs AS (SELECT i.a, i.b FROM jinter i
+        |  JOIN jsizes sa ON sa.doc_id = i.a JOIN jsizes sb ON sb.doc_id = i.b
+        |  WHERE 1.0 * i.c / (sa.n + sb.n - i.c) >= 0.5),
+        |nodes AS (SELECT a AS n FROM jpairs UNION SELECT b FROM jpairs),
+        |dedges AS (SELECT a AS lo, b AS hi FROM jpairs
+        |  UNION ALL SELECT b, a FROM jpairs),
+        |cc(n, label) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT e.hi, cc.label FROM cc JOIN dedges e ON cc.n = e.lo
+        |  WHERE cc.label < e.hi),
+        |labels AS (SELECT n AS doc_id, min(label) AS cluster FROM cc
+        |  GROUP BY n),
+        |surv AS (SELECT e.doc_id, e.clean_md5 FROM es e
+        |  LEFT JOIN labels l USING (doc_id)
+        |  WHERE l.doc_id IS NULL OR l.cluster = e.doc_id),
+        |h AS (SELECT doc_id, clean_md5,
+        |  (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+        |    * 4294967296 + lo AS order_key
+        |  FROM (SELECT doc_id, clean_md5,
+        |    ('0x' || substr(md5('shuffle|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hi,
+        |    ('0x' || substr(md5('shuffle|' || CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT AS lo
+        |  FROM surv)),
+        |sh2 AS (SELECT doc_id, clean_md5, order_key,
+        |  ((order_key % 8) + 8) % 8 AS shard FROM h)
+        |SELECT doc_id, clean_md5, order_key, shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY order_key, doc_id) - 1
+        |    AS pos
+        |FROM sh2 ORDER BY doc_id""".stripMargin
+        .replace("__PM__", plantMarkupCte("d0"))
+        .replace("__PP__", plantPiiCte("pm"))
         .replace("__CLEAN__", redactSqlExpr(stripSqlExpr("text")))))
   )
 }

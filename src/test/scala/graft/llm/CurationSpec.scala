@@ -373,4 +373,40 @@ class CurationSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("Cartesian"))
   }
+
+  test("pipelineNearDup: exact survivors minus fuzzy clusters, keeper is min id") {
+    val planted = Curation.withPlantedEverything(docs, "text", "doc_id")
+    val exact = Curation.pipeline(planted, "text", "doc_id")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val fuzzy = Curation.pipelineNearDup(planted, "text", "doc_id")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // strictly a subset: the fuzzy stage only removes, never adds —
+    // and it must actually remove something on this corpus (the
+    // near-dup stage is non-vacuous at test SF)
+    assert(fuzzy.subsetOf(exact))
+    assert(fuzzy.size < exact.size,
+      s"fuzzy stage dropped nothing (${exact.size} survivors)")
+    // the dropped set is EXACTLY the non-minimal members of the
+    // jaccard components over the exact survivors' cleaned text, and
+    // every dropped doc's min-id keeper (its cluster label) survived
+    val cleaned = planted.select(col("doc_id"),
+      TextAnalysis.redactText(TextAnalysis.stripMarkupText(col("text")))
+        .as("text"))
+    import spark.implicits._
+    val exactSurvTxt = cleaned
+      .join(exact.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi")
+    val clusters = Dedup.duplicateClusters(
+        Dedup.ngramJaccardPairs(exactSurvTxt, "text", "doc_id")
+          .select(col("a"), col("b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val wantDropped = clusters.collect { case (id, c) if id != c => id }.toSet
+    assert(exact -- fuzzy == wantDropped)
+    assert(wantDropped.forall(d => fuzzy.contains(clusters(d))))
+    // dense per-shard positions survive the extra stage
+    val out = Curation.pipelineNearDup(planted, "text", "doc_id")
+    val badShards = out.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"))
+      .filter(col("mx") =!= col("n") - 1).count()
+    assert(badShards == 0L)
+  }
 }
