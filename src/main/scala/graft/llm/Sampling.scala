@@ -47,6 +47,30 @@ object Sampling {
     df.withColumn(out, assigned)
   }
 
+  /** Leakage-safe [[datasetSplit]]: rows are assigned by their
+    * DUPLICATE CLUSTER's representative id, not their own — so a
+    * near-duplicate pair can never straddle train and test (the
+    * standard eval-hygiene rule: a test document with a near-copy in
+    * train is leaked, and doc-level hashing splits such pairs ~2·p·(1−p)
+    * of the time). `clusters` is [[Dedup.duplicateClusters]] output
+    * (id, cluster) — docs absent from it are singletons and hash by
+    * their own id, which is exactly `coalesce(cluster, id)`. One
+    * broadcast-or-shuffle equi-join on the id plus the same salted-md5
+    * assignment; the cluster table is pair-graph-sized (near-dup
+    * graphs are tiny relative to their corpus), not corpus-sized. */
+  def datasetSplitByCluster(df: DataFrame, id: Column, clusters: DataFrame,
+                            fractions: Seq[(String, Double)],
+                            salt: String = "split",
+                            buckets: Int = 10000,
+                            out: String = "split"): DataFrame = {
+    val keyed = df.join(
+        clusters.select(col("id").as("__cid"), col("cluster").as("__cluster")),
+        id === col("__cid"), "left")
+    datasetSplit(keyed, coalesce(col("__cluster"), id), fractions, salt,
+        buckets, out)
+      .drop("__cid", "__cluster")
+  }
+
   /** Per-source epoch plan for mixture reweighting: how many times to
     * repeat each source so its share of the assembled corpus reaches
     * the target weight — the static-mixture application step of

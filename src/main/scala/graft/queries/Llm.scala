@@ -922,6 +922,60 @@ object Llm {
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin)),
 
+    // leakage-safe split: assignment keyed by the duplicate CLUSTER's
+    // min-id representative, so a near-dup pair can never straddle
+    // train and test (doc-level hashing leaks such pairs ~2·p·(1−p) of
+    // the time). Oracle recomputes the jaccard components RECURSIVEly
+    // and the salted-md5 assignment over coalesce(cluster, doc_id)
+    ("llm_split_leakage_safe",
+      ((s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val clusters = Dedup.duplicateClusters(
+          Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+            k = 5, maxDf = 5, minJaccard = 0.5).select(col("a"), col("b")))
+        Sampling.datasetSplitByCluster(docs, col("doc_id"), clusters,
+            fractions = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+          .select(col("doc_id"), col("split"))
+          .orderBy(col("doc_id"))
+      }): Q,
+      Some("""WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
+        |        FROM toks)),
+        |dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+        |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN dfreq USING (shingle) JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id AND dfreq.df <= 5),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  JOIN cand ON cand.a = a.doc_id AND cand.b = b.doc_id
+        |  GROUP BY 1, 2),
+        |jpairs AS (SELECT i.a, i.b FROM inter i
+        |  JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+        |  WHERE 1.0 * i.c / (sa.n + sb.n - i.c) >= 0.5),
+        |nodes AS (SELECT a AS n FROM jpairs UNION SELECT b FROM jpairs),
+        |dedges AS (SELECT a AS lo, b AS hi FROM jpairs
+        |  UNION ALL SELECT b, a FROM jpairs),
+        |cc(n, label) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT e.hi, cc.label FROM cc JOIN dedges e ON cc.n = e.lo
+        |  WHERE cc.label < e.hi),
+        |labels AS (SELECT n AS doc_id, min(label) AS cluster FROM cc
+        |  GROUP BY n)
+        |SELECT doc_id,
+        |  CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM (SELECT d.doc_id,
+        |  ('0x' || substr(md5('split|'
+        |    || CAST(coalesce(l.cluster, d.doc_id) AS VARCHAR)), 1, 8))::BIGINT
+        |    % 10000 AS b
+        |  FROM documents d LEFT JOIN labels l USING (doc_id))
+        |ORDER BY doc_id""".stripMargin)),
+
     // benchmark decontamination: train docs sharing any word 8-gram
     // with the held-out test split. The split is the deterministic
     // salted-md5 assignment above, so the oracle recomputes split +

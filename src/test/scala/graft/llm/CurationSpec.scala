@@ -226,6 +226,23 @@ class CurationSpec extends SparkSpec {
     assert(kept.size < 1400)                       // and it actually prunes
   }
 
+  test("bloom might-contain: a NULL filter literal fails analysis, not codegen") {
+    import spark.implicits._
+    graft.functions.BloomMightContainExpr.register(spark)
+    // a foldable NULL binary used to pass the type check and NPE later
+    // when codegen forced the lazy deserialization — it must be
+    // rejected while the error can still say what went wrong
+    val e = intercept[Exception] {
+      Seq(1L).toDF("h64")
+        .filter(org.apache.spark.sql.functions.call_function(
+          graft.functions.BloomMightContainExpr.Name,
+          col("h64"), lit(null).cast("binary")))
+        .collect()
+    }
+    assert(e.getMessage != null && e.getMessage.toLowerCase.contains("null"),
+      s"expected a NULL-filter analysis error, got: $e")
+  }
+
   test("exactIncremental: bloom-pruned result equals the unpruned join") {
     import spark.implicits._
     val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)

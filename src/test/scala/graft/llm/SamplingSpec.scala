@@ -56,4 +56,41 @@ class SamplingSpec extends SparkSpec {
     // a sample is a subset of its input
     assert(sampled.join(ev, Seq("event_id"), "left_anti").count() == 0)
   }
+
+  test("datasetSplitByCluster: no near-dup pair straddles splits, singletons unchanged") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      k = 5, maxDf = 5, minJaccard = 0.5).select(col("a"), col("b"))
+    val clusters = Dedup.duplicateClusters(pairs).cache()
+    assert(clusters.count() > 0) // non-vacuous at this SF
+    val fr = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val byCluster = Sampling.datasetSplitByCluster(docs, col("doc_id"),
+      clusters, fr).select(col("doc_id"), col("split")).cache()
+    // every jaccard pair lands in ONE split — the leakage rule
+    val straddlers = pairs
+      .join(byCluster.withColumnRenamed("doc_id", "a")
+        .withColumnRenamed("split", "sa"), Seq("a"))
+      .join(byCluster.withColumnRenamed("doc_id", "b")
+        .withColumnRenamed("split", "sb"), Seq("b"))
+      .filter(col("sa") =!= col("sb")).count()
+    assert(straddlers == 0L)
+    // doc-level hashing DOES leak on this corpus — the operator earns
+    // its keep (if this ever goes to zero the test corpus stopped
+    // exercising the rule)
+    val plain = Sampling.datasetSplit(docs, col("doc_id"), fr)
+      .select(col("doc_id"), col("split"))
+    val plainStraddlers = pairs
+      .join(plain.withColumnRenamed("doc_id", "a")
+        .withColumnRenamed("split", "sa"), Seq("a"))
+      .join(plain.withColumnRenamed("doc_id", "b")
+        .withColumnRenamed("split", "sb"), Seq("b"))
+      .filter(col("sa") =!= col("sb")).count()
+    assert(plainStraddlers > 0L)
+    // singletons (not in any cluster) keep their plain assignment
+    val singles = byCluster.join(clusters.select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .join(plain.withColumnRenamed("split", "plain_split"), Seq("doc_id"))
+      .filter(col("split") =!= col("plain_split")).count()
+    assert(singles == 0L)
+  }
 }

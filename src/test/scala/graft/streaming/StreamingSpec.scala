@@ -382,6 +382,22 @@ class StreamingSpec extends SparkSpec {
     assert(surv == Set(100L, 102L)) // 101 deduped within the batch
   }
 
+  test("dirHasData: sees data under a dot-prefixed ANCESTOR of the index dir") {
+    import spark.implicits._
+    // hidden components ABOVE the index root must not hide the index:
+    // an index under e.g. /home/x/.work/ is legal, and before the
+    // qualified-path fix the ancestor walk escaped the root and turned
+    // the probe permanently false — silently disabling cross-batch dedup
+    val parent = Files.createTempDirectory("dot-parent")
+    val idx = s"$parent/.work/index"
+    Seq((1L, "x")).toDF("id", "v").write.parquet(idx)
+    assert(Streaming.dirHasData(spark, idx))
+    // hidden components BELOW the root still hide their subtree
+    val idx2 = s"$parent/.work/index2"
+    Seq((1L, "x")).toDF("id", "v").write.parquet(s"$idx2/.staging")
+    assert(!Streaming.dirHasData(spark, idx2))
+  }
+
   test("lake append stream lands each dropped file exactly once") {
     val batch = Tables.events(spark, dir)
       .withColumn("ts", timestamp_micros(col("ts_us")))
