@@ -141,7 +141,11 @@ object Curation {
                       shards: Int = 8, k: Int = 5, maxDf: Int = 5,
                       minJaccard: Double = 0.5): DataFrame = {
     val cleaned = cleanedText(df, text, id, LocalCheckpoint)
-    val gate = gateVerdicts(cleaned, text, id, LocalCheckpoint)
+    // the gate has exactly ONE consumer here (the keep filter), so the
+    // gateVerdicts checkpoint would be a wasted corpus-wide
+    // materialization — same rule, no checkpoint
+    val gate = TextAnalysis.qualityGate(cleaned, text, id)
+      .select(col(id), col("keep"))
     // keep the TEXT through the exact stage: the fuzzy stage shingles it
     val keptTxt = cleaned
       .join(gate.filter(col("keep")).select(col(id)), Seq(id))
