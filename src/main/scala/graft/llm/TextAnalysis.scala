@@ -160,6 +160,55 @@ object TextAnalysis {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Corpus-LM fluency scoring — the CCNet-style quality axis the
+    * stats/gate signals don't cover: how PROBABLE a document's text is
+    * under a language model trained on the corpus itself. The model is
+    * an exact count-based unigram+bigram LM (the published pipelines
+    * score with KenLM; the counting form is the same signal with no
+    * external model, and every step is integer-exact so the DuckDB
+    * oracle reproduces it bit-for-bit):
+    *
+    *  - `uni_score_e12` — mean corpus probability of the document's
+    *    tokens: Σᵢ c(tᵢ) / (n·total), a single exact-rounded divide of
+    *    exact longs, ×10¹² quantized. High = common words; very low =
+    *    gibberish/OOV-heavy.
+    *  - `bi_score_e6` — mean bigram continuation probability: per
+    *    bigram, q = ⌊10⁶·c₂(xy)/c₁(x)+0.5⌋ (exact divide of exact
+    *    longs), then ⌊Σq/m+0.5⌋. High = stereotyped/repetitive
+    *    phrasing; low = incoherent token salad. Documents shorter than
+    *    2 tokens get no row.
+    *
+    * Scale: two corpus-wide keyed aggregates (vocabulary / bigram
+    * vocabulary, both sublinear in corpus size, map-side combined),
+    * two equi-joins on the token/bigram key, one per-document
+    * aggregate — tfidf's exact shuffle shape, no driver data path but
+    * the one total-count scalar. */
+  def lmFluency(df0: DataFrame, text: String, id: String): DataFrame = {
+    val toks = Dedup.tokenize(df0, text, id)
+    val uni = toks.select(col(id), explode(col("toks")).as("term"))
+    val c1 = uni.groupBy(col("term")).agg(count(lit(1)).as("c1"))
+    val total = c1.agg(sum(col("c1"))).head.getLong(0)
+    val uniScore = uni.join(c1, Seq("term"))
+      .groupBy(col(id))
+      .agg(sum(col("c1")).as("sum_c"), count(lit(1)).as("n_tok"))
+      .select(col(id),
+        floor(col("sum_c") * lit(1e12) / (col("n_tok") * lit(total.toDouble))
+          + 0.5).cast("long").as("uni_score_e12"),
+        col("n_tok"))
+    val bi = Dedup.shinglesFromToks(toks, id, 2, dedup = false)
+    val c2 = bi.groupBy(col("shingle")).agg(count(lit(1)).as("c2"))
+    val biScore = bi.join(c2, Seq("shingle"))
+      .withColumn("term", substring_index(col("shingle"), " ", 1))
+      .join(c1, Seq("term"))
+      .withColumn("q", floor(col("c2") * lit(1000000.0) / col("c1") + 0.5)
+        .cast("long"))
+      .groupBy(col(id))
+      .agg(floor(sum(col("q")) / count(lit(1)) + 0.5).cast("long")
+        .as("bi_score_e6"))
+    uniScore.join(biScore, Seq(id))
+      .select(col(id), col("n_tok"), col("uni_score_e12"), col("bi_score_e6"))
+  }
+
   /** PII patterns for detection/redaction: (name, regex, replacement).
     * The regexes stay inside the RE2 ∩ java.util.regex common subset
     * (character classes, bounded repetition, ASCII \b) so the Spark

@@ -922,6 +922,40 @@ object Llm {
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin)),
 
+    // corpus-LM fluency (CCNet-style quality axis): exact count-based
+    // unigram + bigram-continuation scores; every divide runs on exact
+    // integer operands so both engines round identically
+    ("llm_text_lm_fluency",
+      ((s: SparkSession, d: String) =>
+        TextAnalysis.lmFluency(Tables.documents(s, d), "text", "doc_id")
+          .orderBy(col("doc_id"))): Q,
+      Some("""WITH u AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |c1u AS (SELECT term, count(*) AS c1 FROM u GROUP BY term),
+        |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS total FROM c1u),
+        |us AS (SELECT doc_id,
+        |    CAST(floor(CAST(sum(c1) AS DOUBLE) * 1000000000000.0
+        |      / (count(*) * (SELECT total FROM tot)) + 0.5) AS BIGINT)
+        |      AS uni_score_e12,
+        |    count(*) AS n_tok
+        |  FROM u JOIN c1u USING (term) GROUP BY doc_id),
+        |btoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |b AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS shingle
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+        |        FROM btoks)),
+        |c2b AS (SELECT shingle, count(*) AS c2 FROM b GROUP BY shingle),
+        |bq AS (SELECT doc_id,
+        |    CAST(floor(c2 * 1000000.0 / c1 + 0.5) AS BIGINT) AS q
+        |  FROM b JOIN c2b USING (shingle)
+        |  JOIN c1u ON c1u.term = split_part(b.shingle, ' ', 1)),
+        |bs AS (SELECT doc_id,
+        |    CAST(floor(CAST(sum(q) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+        |      AS bi_score_e6
+        |  FROM bq GROUP BY doc_id)
+        |SELECT us.doc_id, us.n_tok, us.uni_score_e12, bs.bi_score_e6
+        |FROM us JOIN bs USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
     // leakage-safe split: assignment keyed by the duplicate CLUSTER's
     // min-id representative, so a near-dup pair can never straddle
     // train and test (doc-level hashing leaks such pairs ~2·p·(1−p) of

@@ -483,4 +483,31 @@ class LlmSpec extends SparkSpec {
     val perDoc = frames.groupBy(col("doc_id")).count().collect()
     assert(perDoc.forall(_.getLong(1) == 4)) // 0,2,4,6
   }
+
+  test("lmFluency: deterministic, covers multi-token docs, repetition raises continuation") {
+    val out = TextAnalysis.lmFluency(docs, "text", "doc_id").cache()
+    // one row per >=2-token document
+    val want = docs.filter(size(split(col("text"), " ")) >= 2).count()
+    assert(out.count() == want)
+    // deterministic: a second run is identical
+    assert(graft.ops.Ops.frameDiff(out,
+      TextAnalysis.lmFluency(docs, "text", "doc_id")).isEmpty)
+    // planted repetition (a 2-gram repeated 30x) pushes the bigram
+    // continuation score UP vs the same doc unplanted: the repeated
+    // bigram's c2/c1 ratio dominates the mean
+    val planted = TextAnalysis.withPlantedRepetition(docs, "text", "doc_id",
+      every = 6)
+    val pl = TextAnalysis.lmFluency(planted, "text", "doc_id")
+      .select(col("doc_id"), col("bi_score_e6").as("pl_bi"))
+    val cmp = out.select(col("doc_id"), col("bi_score_e6"))
+      .join(pl, Seq("doc_id"))
+      .filter(pmod(col("doc_id"), lit(6)) === 0)
+    val lowered = cmp.filter(col("pl_bi") < col("bi_score_e6")).count()
+    assert(lowered == 0L, s"$lowered repetition-planted docs scored LOWER")
+    assert(cmp.filter(col("pl_bi") > col("bi_score_e6")).count() > 0)
+    // scores live in their quantized ranges
+    assert(out.filter(col("bi_score_e6") < 0 ||
+      col("bi_score_e6") > 1000000L).count() == 0)
+    assert(out.filter(col("uni_score_e12") <= 0).count() == 0)
+  }
 }
