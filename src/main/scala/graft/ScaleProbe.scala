@@ -154,6 +154,8 @@ object ScaleProbe {
       "text", "doc_id", k = 8))
     time("repetition_signals")(llm.TextAnalysis.repetitionSignals(
       docs, "text", "doc_id", k = 2))
+    // corpus-LM fluency: two vocabulary-keyed aggs + two equi-joins
+    time("lm_fluency")(llm.TextAnalysis.lmFluency(docs, "text", "doc_id"))
     // boilerplate: banner planted AFTER replication, so the banner
     // grams repeat across copies (boilerplate is cross-corpus by
     // nature) while document grams stay copy-local — df skew like a

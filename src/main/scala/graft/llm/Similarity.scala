@@ -357,6 +357,32 @@ object Similarity {
       .select(col("q_id"), col(id), col("score"), col("rn"))
   }
 
+  /** Mean-pool chunk embeddings into one vector per parent document —
+    * the assembly step between chunk-level encoding and doc-level
+    * retrieval/dedup (chunking long docs for the encoder, pooling back
+    * for the index). Exact by the trainer's rule ([[TrainQuant]]):
+    * coordinates quantize to 2⁻²⁰ before summing, so the per-(doc,
+    * dim) sum is an exact integer and the mean ONE rounded IEEE
+    * divide — bit-reproducible across engines. Output is EXPLODED as
+    * (group_id, i, mean_e9, n_chunks) — scalar columns hash cleanly
+    * in the oracle gate, and a consumer rebuilds the vector with one
+    * `sort_array(collect_list(...))` when it needs the array form.
+    * One narrow explode + one (doc, dim)-keyed aggregate; dims are a
+    * constant factor, so this scales exactly like any grouped agg. */
+  def meanPoolEmbeddings(chunks: DataFrame, group: Column,
+                         emb: String): DataFrame =
+    graft.ops.Ops.parallelizeInput(chunks)
+      .select(group.as("group_id"),
+        posexplode(transform(col(emb), x => x.cast("double")))
+          .as(Seq("i", "x")))
+      .groupBy(col("group_id"), col("i"))
+      .agg(sum(floor(col("x") * TrainQuant + 0.5).cast("long")).as("s"),
+        count(lit(1)).as("n_chunks"))
+      .select(col("group_id"), col("i"),
+        floor(col("s") * lit(1e9) / (col("n_chunks") * TrainQuant) + 0.5)
+          .cast("long").as("mean_e9"),
+        col("n_chunks"))
+
   /** Fixed seed for the IVF coarse quantizer — distinct from the
     * hyperplane seed so the two index families never share geometry. */
   val IvfSeed: Long = 777L

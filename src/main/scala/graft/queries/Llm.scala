@@ -700,6 +700,26 @@ object Llm {
         |  CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6, rn
         |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)),
 
+    // chunk→document mean-pooling: groups of 8 consecutive vectors
+    // pool to one embedding; the quantized-integer recentre sum (the
+    // IVF trainer's rule) makes the mean fold-order independent, so
+    // the oracle matches bit-for-bit on the exploded (group, dim) rows
+    ("llm_embedding_meanpool",
+      ((s: SparkSession, d: String) =>
+        Similarity.meanPoolEmbeddings(Tables.embeddings(s, d),
+            (col("vec_id") / lit(8)).cast("long"), "embedding")
+          .orderBy(col("group_id"), col("i"))): Q,
+      Some("""WITH u AS (SELECT vec_id // 8 AS group_id, g.i - 1 AS i,
+        |    CAST(embedding[g.i] AS DOUBLE) AS x
+        |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g)
+        |SELECT group_id, i,
+        |  CAST(floor(CAST(sum(CAST(floor(x * 1048576.0 + 0.5) AS BIGINT))
+        |      AS DOUBLE) * 1000000000.0 / (count(*) * 1048576.0) + 0.5)
+        |    AS BIGINT) AS mean_e9,
+        |  count(*) AS n_chunks
+        |FROM u GROUP BY group_id, i
+        |ORDER BY group_id, i""".stripMargin)),
+
     // per-vector int8 quantization: scale and quantized checksums are
     // deterministic IEEE arithmetic, recomputed exactly in SQL
     ("llm_embedding_quantize",

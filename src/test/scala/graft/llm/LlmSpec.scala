@@ -484,6 +484,36 @@ class LlmSpec extends SparkSpec {
     assert(perDoc.forall(_.getLong(1) == 4)) // 0,2,4,6
   }
 
+  test("meanPoolEmbeddings: exact means, group sizes, single-chunk identity") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val out = Similarity.meanPoolEmbeddings(emb,
+      (col("vec_id") / lit(8)).cast("long"), "embedding").cache()
+    val nVecs = emb.count()
+    // every group × dim appears once; chunk counts sum to the corpus
+    assert(out.count() == out.select("group_id").distinct().count() * 64)
+    assert(out.filter(col("i") === 0).agg(sum(col("n_chunks"))).head.getLong(0)
+      == nVecs)
+    // pooling a SINGLE chunk returns the (quantized) chunk itself
+    val one = Similarity.meanPoolEmbeddings(emb.limit(1), col("vec_id"),
+      "embedding")
+    val direct = emb.limit(1)
+      .select(col("vec_id").as("group_id"),
+        posexplode(transform(col("embedding"), x => x.cast("double")))
+          .as(Seq("i", "x")))
+      .select(col("group_id"), col("i"),
+        floor(floor(col("x") * 1048576.0 + 0.5).cast("long") * lit(1e9)
+          / lit(1048576.0) + 0.5).cast("long").as("mean_e9"))
+    assert(graft.ops.Ops.frameDiff(one.select("group_id", "i", "mean_e9"),
+      direct).isEmpty)
+    // a hand-built two-chunk group means exactly
+    val two = Seq((0L, Seq(1.0f, -1.0f)), (0L, Seq(0.0f, 1.0f)))
+      .toDF("g", "embedding")
+    val pooled = Similarity.meanPoolEmbeddings(two, col("g"), "embedding")
+      .orderBy(col("i")).collect()
+    assert(pooled.map(_.getLong(2)).toSeq == Seq(500000000L, 0L)) // .5, 0
+  }
+
   test("lmFluency: deterministic, covers multi-token docs, repetition raises continuation") {
     val out = TextAnalysis.lmFluency(docs, "text", "doc_id").cache()
     // one row per >=2-token document
