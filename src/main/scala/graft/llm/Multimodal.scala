@@ -11,10 +11,14 @@ import org.apache.spark.sql.types._
   * Image payloads decode for real through `javax.imageio` (pure JVM —
   * PNG/JPEG/GIF/BMP, no native libraries needed): pixel dimensions land
   * in `media_meta` and features are a luminance histogram of the actual
-  * pixels. Non-image payloads (and formats ImageIO can't read — audio,
-  * video) fall back to `fakeDecode`, a deterministic byte-histogram
-  * stand-in with the same signature a ffmpeg-backed codec would have;
-  * swap it out and nothing else changes.
+  * pixels. Audio headers decode through `javax.sound.sampled`
+  * (WAV/AIFF/AU); multi-frame containers demux for real — animated GIF
+  * via ImageIO, RIFF/AVI MJPEG via [[demuxAviFrames]] (MJPEG frames are
+  * JPEGs, so the whole container parses pure-JVM). Only payloads none
+  * of those claim — inter-frame video codecs like h264/vp9, which are
+  * not pure-JVM — fall back to `fakeDecode`/byte chunking, deterministic
+  * stand-ins with the same signature an ffmpeg-backed codec would have;
+  * swap them out and nothing else changes.
   */
 object Multimodal {
 
@@ -243,11 +247,71 @@ object Multimodal {
       } finally iis.close()
     } catch { case _: Exception => None }
 
+  /** Pure-JVM RIFF/AVI demux for MJPEG video streams: walk the RIFF
+    * chunk tree, collect the video frame chunks (`##dc`/`##db`, inside
+    * `movi` lists, including nested `rec ` groups), stride-sample, and
+    * decode each frame — MJPEG frames ARE JPEGs, so `javax.imageio`
+    * reads them with no native codec — re-encoding as PNG for the same
+    * output contract as [[decodeFrames]]. Defensive on sizes (a chunk
+    * running past the buffer stops the walk rather than throwing);
+    * None when the payload is not RIFF/AVI, has no video chunks, or
+    * its codec is not ImageIO-decodable (true inter-frame codecs like
+    * h264 — the one remaining declared fallback). */
+  def demuxAviFrames(bytes: Array[Byte], frames: Int,
+                     stride: Int): Option[Seq[(Int, Array[Byte])]] = {
+    if (bytes == null || bytes.length < 12) return None
+    def le32(o: Int): Long =
+      (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
+        ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
+    def fourcc(o: Int): String = new String(bytes, o, 4, "ISO-8859-1")
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    val vids = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def isVideoId(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        (id.endsWith("dc") || id.endsWith("db"))
+    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+      var o = start
+      var ok = true
+      while (ok && o + 8 <= end) {
+        val id = fourcc(o)
+        val sz = le32(o + 4)
+        if (sz < 0 || sz > Int.MaxValue - 16 || o + 8 + sz > end) ok = false
+        else {
+          val szI = sz.toInt
+          if (id == "LIST" && szI >= 4)
+            walk(o + 12, o + 8 + szI,
+              inMovi || fourcc(o + 8) == "movi" || fourcc(o + 8) == "rec ")
+          else if (inMovi && isVideoId(id) && szI > 0) vids += ((o + 8, szI))
+          o += 8 + szI + (szI & 1) // chunks pad to even offsets
+        }
+      }
+    }
+    walk(12, bytes.length, inMovi = false)
+    if (vids.isEmpty) return None
+    try {
+      val out = Seq.newBuilder[(Int, Array[Byte])]
+      val it = Iterator.from(0, stride)
+        .takeWhile(_ < math.min(vids.length, frames))
+      while (it.hasNext) {
+        val i = it.next()
+        val (off, len) = vids(i)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+          java.util.Arrays.copyOfRange(bytes, off, off + len)))
+        if (img == null) return None // video chunks, but not an MJPEG-style codec
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        out += ((i, baos.toByteArray))
+      }
+      Some(out.result())
+    } catch { case _: Exception => None }
+  }
+
   /** Frame sampling over video-like payloads: multi-frame image
-    * containers (animated GIF) demux for REAL through [[decodeFrames]];
-    * payloads no ImageIO reader claims — true video codecs are not
-    * pure-JVM — fall back to stride-sampled equal byte chunks, the
-    * declared stand-in with the same output shape an ffmpeg-backed
+    * containers (animated GIF) demux for REAL through [[decodeFrames]],
+    * and RIFF/AVI MJPEG video through [[demuxAviFrames]] — both pure
+    * JVM; payloads neither claims — inter-frame video codecs (h264/vp9)
+    * are not pure-JVM — fall back to stride-sampled equal byte chunks,
+    * the declared stand-in with the same output shape an ffmpeg-backed
     * demuxer would fill. Output: (input columns minus `bin`,
     * frame_idx int, frame binary). */
   def sampleFrames(df: DataFrame, bin: String, frames: Int, stride: Int): DataFrame = {
@@ -259,7 +323,8 @@ object Multimodal {
       rows.flatMap { r =>
         val bytes = r.get(binIdx).asInstanceOf[Array[Byte]]
         val keep = r.toSeq.zipWithIndex.collect { case (v, i) if i != binIdx => v }
-        decodeFrames(bytes, frames, stride) match {
+        decodeFrames(bytes, frames, stride)
+          .orElse(demuxAviFrames(bytes, frames, stride)) match {
           case Some(fs) =>
             fs.map { case (i, b) => Row.fromSeq(keep :+ Int.box(i) :+ b) }
           case None =>

@@ -147,6 +147,28 @@ object Sampling {
         .cast("long") - 1L)
   }
 
+  /** EXACTLY-k deterministic sample per stratum — fixed-size eval/probe
+    * subsets, where [[stratifiedSample]]'s rate form gives only an
+    * expected size. Rank rows within each stratum by (salted md5, id) —
+    * a uniform, reproducible order — and keep rank ≤ k (all rows when
+    * the stratum is smaller). One row_number window per stratum
+    * partition: strata are the parallelism unit, the same shape as
+    * [[shuffleOrder]]'s per-shard rank, so no global sort and no
+    * single-task window at any corpus size (assuming strata ≪ corpus,
+    * which is what stratification means). Changing `salt` redraws the
+    * sample; ids keep their rank order between draws of the same salt. */
+  def takePerStratum(df: DataFrame, id: Column, stratum: Column, k: Int,
+                     salt: String = "take"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.Md5Hash64Expr.register(df.sparkSession)
+    val h = Dedup.md5Hash64(concat(lit(salt + "|"), id.cast("string")))
+    df.withColumn("__h", h)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(stratum).orderBy(col("__h"), id)))
+      .filter(col("__rk") <= k)
+      .drop("__h", "__rk")
+  }
+
   /** Per-stratum deterministic downsample: keep a row iff its hash
     * bucket falls under the stratum's rate. Strata absent from `rates`
     * keep `defaultRate`. The salt is independent of [[datasetSplit]]'s

@@ -942,6 +942,27 @@ object Llm {
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin)),
 
+    // exactly-k per stratum: fixed-size deterministic subsets (eval
+    // sets, probes) — rank by salted md5 within each stratum, keep
+    // rank <= k; the oracle rebuilds the signed-64 hash and the rank
+    ("llm_take_per_stratum",
+      ((s: SparkSession, d: String) =>
+        Sampling.takePerStratum(
+            Tables.events(s, d).select(col("event_id"), col("event_type")),
+            col("event_id"), col("event_type"), k = 100)
+          .orderBy(col("event_id"))): Q,
+      Some("""WITH h AS (SELECT event_id, event_type,
+        |  (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+        |    * 4294967296 + lo AS hk
+        |  FROM (SELECT event_id, event_type,
+        |    ('0x' || substr(md5('take|' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT AS hi,
+        |    ('0x' || substr(md5('take|' || CAST(event_id AS VARCHAR)), 9, 8))::BIGINT AS lo
+        |  FROM events))
+        |SELECT event_id, event_type FROM (
+        |  SELECT event_id, event_type, row_number() OVER
+        |    (PARTITION BY event_type ORDER BY hk, event_id) AS rk FROM h)
+        |WHERE rk <= 100 ORDER BY event_id""".stripMargin)),
+
     // corpus-LM fluency (CCNet-style quality axis): exact count-based
     // unigram + bigram-continuation scores; every divide runs on exact
     // integer operands so both engines round identically

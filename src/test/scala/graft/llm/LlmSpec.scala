@@ -484,6 +484,65 @@ class LlmSpec extends SparkSpec {
     assert(perDoc.forall(_.getLong(1) == 4)) // 0,2,4,6
   }
 
+  test("demuxAviFrames: real MJPEG-AVI demux, stride sampling, codec fallback") {
+    import spark.implicits._
+    // assemble a real RIFF/AVI container: 6 solid-color JPEG frames in
+    // a movi list (frame 3 wrapped in a nested 'rec ' group, as
+    // interleaved AVIs do), plus a dummy hdrl list
+    def le32(n: Int): Array[Byte] =
+      Array((n & 0xFF).toByte, ((n >> 8) & 0xFF).toByte,
+        ((n >> 16) & 0xFF).toByte, ((n >> 24) & 0xFF).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      cc(id) ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def jpegFrame(shade: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 12,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(shade, shade, shade))
+      g.fillRect(0, 0, 16, 12); g.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", baos)
+      baos.toByteArray
+    }
+    val frames = (0 until 6).map(i => jpegFrame(30 + i * 40))
+    val moviBody = cc("movi") ++
+      frames.take(3).flatMap(f => chunk("00dc", f)) ++
+      chunk("LIST", cc("rec ") ++ chunk("00dc", frames(3))) ++
+      frames.drop(4).flatMap(f => chunk("00dc", f))
+    val hdrl = chunk("LIST", cc("hdrl") ++ chunk("avih", new Array[Byte](56)))
+    val riffBody = cc("AVI ") ++ hdrl ++ chunk("LIST", moviBody)
+    val avi = cc("RIFF") ++ le32(riffBody.length) ++ riffBody
+
+    // direct demux: stride 2 below 6 frames → indices 0, 2, 4
+    val got = Multimodal.demuxAviFrames(avi, frames = 6, stride = 2).get
+    assert(got.map(_._1) == Seq(0, 2, 4))
+    got.foreach { case (i, png) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth == 16 && img.getHeight == 12)
+      // the sampled frame carries ITS shade (jpeg-lossy, so approximate)
+      val want = 30 + i * 40
+      val lum = img.getRGB(8, 6) & 0xFF
+      assert(math.abs(lum - want) < 16, s"frame $i: got $lum want ~$want")
+    }
+    // through the operator: AVI rows demux, garbage rows byte-chunk
+    val df = Seq((1L, avi), (2L, Array.fill[Byte](100)(7)))
+      .toDF("id", "payload")
+    val out = Multimodal.sampleFrames(df, "payload", frames = 6, stride = 2)
+      .collect()
+    assert(out.count(_.getLong(0) == 1L) == 3)  // real demux
+    assert(out.count(_.getLong(0) == 2L) == 3)  // fallback chunks (0,2,4)
+    // a RIFF that is not AVI, and an AVI whose chunks are not JPEG,
+    // both decline (fallback path) rather than throw
+    assert(Multimodal.demuxAviFrames(
+      cc("RIFF") ++ le32(4) ++ cc("WAVE"), 6, 2).isEmpty)
+    val junk = cc("RIFF") ++ le32(100) ++ cc("AVI ") ++
+      chunk("LIST", cc("movi") ++ chunk("00dc", Array.fill[Byte](32)(1)))
+    assert(Multimodal.demuxAviFrames(
+      cc("RIFF") ++ le32(junk.length - 8) ++ junk.drop(8), 6, 2).isEmpty)
+  }
+
   test("meanPoolEmbeddings: exact means, group sizes, single-chunk identity") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)

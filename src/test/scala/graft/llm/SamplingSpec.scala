@@ -57,6 +57,29 @@ class SamplingSpec extends SparkSpec {
     assert(sampled.join(ev, Seq("event_id"), "left_anti").count() == 0)
   }
 
+  test("takePerStratum: exactly k per stratum, subset, salt redraws") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.01")
+      .select(col("event_id"), col("event_type"))
+    val k = 50
+    val out = Sampling.takePerStratum(ev, col("event_id"), col("event_type"), k)
+      .cache()
+    // exactly k per stratum (every stratum here has > k rows)
+    val sizes = out.groupBy(col("event_type")).count().collect()
+    assert(sizes.nonEmpty && sizes.forall(_.getLong(1) == k))
+    // a subset of the input, deterministic across runs
+    assert(out.join(ev, Seq("event_id"), "left_anti").count() == 0)
+    assert(graft.ops.Ops.frameDiff(out,
+      Sampling.takePerStratum(ev, col("event_id"), col("event_type"), k)).isEmpty)
+    // a stratum SMALLER than k keeps all its rows
+    val tiny = Sampling.takePerStratum(ev.limit(7), col("event_id"),
+      lit("all"), k)
+    assert(tiny.count() == 7)
+    // a different salt draws a different sample
+    val other = Sampling.takePerStratum(ev, col("event_id"),
+      col("event_type"), k, salt = "take2")
+    assert(out.join(other, Seq("event_id"), "left_anti").count() > 0)
+  }
+
   test("datasetSplitByCluster: no near-dup pair straddles splits, singletons unchanged") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
