@@ -11,8 +11,9 @@ import org.apache.spark.sql.types._
   * Image payloads decode for real through `javax.imageio` (pure JVM —
   * PNG/JPEG/GIF/BMP, no native libraries needed): pixel dimensions land
   * in `media_meta` and features are a luminance histogram of the actual
-  * pixels. Audio headers decode through `javax.sound.sampled`
-  * (WAV/AIFF/AU); multi-frame containers demux for real — animated GIF
+  * pixels. Audio decodes through `javax.sound.sampled` (WAV/AIFF/AU):
+  * headers into `audio_meta` and PCM sample streams into a real RMS
+  * energy envelope; multi-frame containers demux for real — animated GIF
   * via ImageIO, RIFF/AVI MJPEG via [[demuxAviFrames]] (MJPEG frames are
   * JPEGs, so the whole container parses pure-JVM). Only payloads none
   * of those claim — inter-frame video codecs like h264/vp9, which are
@@ -100,10 +101,70 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
-  /** Fallback decoder for non-image payloads — deterministic
-    * byte-histogram stand-in with the codec signature (the real audio/
-    * video codecs are not pure-JVM; swap this out, nothing else
-    * changes). */
+  /** Real PCM audio feature extraction via javax.sound.sampled (pure
+    * JVM — WAV/AIFF/AU): decode the sample stream (16-bit signed PCM,
+    * either endianness, channels averaged), split it into `targetDim`
+    * equal windows, and emit the per-window RMS energy envelope
+    * normalized by the loudest window — the standard cheap audio
+    * fingerprint (silence/speech/music segmentation, duplicate-audio
+    * candidates). None when the payload is not a PCM audio stream. */
+  def audioDecode(bytes: Array[Byte], targetDim: Int): Option[Array[Float]] =
+    if (bytes == null) None
+    else try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        if (enc != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) None
+        else {
+          val data = ais.readAllBytes()
+          val ch = fmt.getChannels
+          val big = fmt.isBigEndian
+          val nSamples = data.length / (2 * ch)
+          if (nSamples < targetDim) None
+          else {
+            // mono mixdown sample s = mean over channels
+            val mono = new Array[Double](nSamples)
+            var s = 0
+            while (s < nSamples) {
+              var c = 0
+              var acc = 0.0
+              while (c < ch) {
+                val o = (s * ch + c) * 2
+                val v =
+                  if (big) ((data(o) << 8) | (data(o + 1) & 0xFF)).toShort
+                  else ((data(o + 1) << 8) | (data(o) & 0xFF)).toShort
+                acc += v
+                c += 1
+              }
+              mono(s) = acc / ch
+              s += 1
+            }
+            val env = new Array[Float](targetDim)
+            var w = 0
+            while (w < targetDim) {
+              val from = (w.toLong * nSamples / targetDim).toInt
+              val until = ((w + 1).toLong * nSamples / targetDim).toInt
+              var acc = 0.0
+              var i = from
+              while (i < until) { acc += mono(i) * mono(i); i += 1 }
+              env(w) = math.sqrt(acc / math.max(until - from, 1)).toFloat
+              w += 1
+            }
+            val mx = env.max
+            if (mx > 0f) { var j = 0; while (j < targetDim) { env(j) /= mx; j += 1 } }
+            Some(env)
+          }
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  /** Fallback decoder for payloads no real decoder claims —
+    * deterministic byte-histogram stand-in with the codec signature
+    * (compressed audio and inter-frame video codecs are not pure-JVM;
+    * swap this out, nothing else changes). */
   def fakeDecode(bytes: Array[Byte], targetDim: Int): Array[Float] = {
     val hist = new Array[Float](targetDim)
     if (bytes != null) {
@@ -119,7 +180,8 @@ object Multimodal {
   /** Partition-wise decode + feature extraction: one decoder context
     * per partition (codecs are expensive to init), rows streamed
     * through it. Images get real pixel-luminance features
-    * ([[imageDecode]]); everything else the byte-histogram fallback.
+    * ([[imageDecode]]), PCM audio the real RMS energy envelope
+    * ([[audioDecode]]); everything else the byte-histogram fallback.
     * Output schema: input columns + `features array<float>`. */
   def extractFeatures(df: DataFrame, bin: String, dim: Int = 64): DataFrame = {
     val outSchema = df.schema.add(StructField("features", ArrayType(FloatType)))
@@ -129,7 +191,9 @@ object Multimodal {
       // per-partition decoder init would go here (codec context reuse)
       rows.map { r =>
         val bytes = r.get(binIdx).asInstanceOf[Array[Byte]]
-        val feats = imageDecode(bytes, dim).getOrElse(fakeDecode(bytes, dim))
+        val feats = imageDecode(bytes, dim)
+          .orElse(audioDecode(bytes, dim))
+          .getOrElse(fakeDecode(bytes, dim))
         Row.fromSeq(r.toSeq :+ feats.toSeq)
       }
     }

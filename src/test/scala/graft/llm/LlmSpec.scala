@@ -484,6 +484,40 @@ class LlmSpec extends SparkSpec {
     assert(perDoc.forall(_.getLong(1) == 4)) // 0,2,4,6
   }
 
+  test("audioDecode: real PCM RMS envelope — burst loud, silence quiet") {
+    // synthesize a WAV: first half a full-scale square wave, second half
+    // silence — the envelope must light up the first windows only
+    val sampleRate = 8000f
+    val n = 8000
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n / 2) {
+      val v: Short = if ((i / 20) % 2 == 0) 20000 else -20000
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+
+    val env = Multimodal.audioDecode(wav, 8).get
+    assert(env.length == 8)
+    assert(env.take(4).forall(_ > 0.9f), env.toSeq.toString)  // the burst
+    assert(env.drop(4).forall(_ < 0.05f), env.toSeq.toString) // the silence
+    // non-audio bytes decline; extractFeatures routes audio for real
+    assert(Multimodal.audioDecode(Array.fill[Byte](64)(3), 8).isEmpty)
+    import spark.implicits._
+    val df = Seq((1L, wav)).toDF("id", "payload")
+    val feats = Multimodal.extractFeatures(df, "payload", dim = 8)
+      .select(col("features")).head.getSeq[Float](0)
+    assert(feats.take(4).forall(_ > 0.9f) && feats.drop(4).forall(_ < 0.05f))
+  }
+
   test("demuxAviFrames: real MJPEG-AVI demux, stride sampling, codec fallback") {
     import spark.implicits._
     // assemble a real RIFF/AVI container: 6 solid-color JPEG frames in
