@@ -263,7 +263,8 @@ object Llm {
     * Every step is order-independent, so the trained centroids match
     * Spark's bit-for-bit. Produces `c$iters(list_id, cen)`; callers
     * must provide an `emb(vec_id, e)` CTE. */
-  private def trainedCentroidsSql(nLists: Int, dim: Int, iters: Int): String = {
+  private def trainedCentroidsSql(nLists: Int, dim: Int, iters: Int,
+                                  src: String = "emb"): String = {
     val hs = graft.llm.Similarity.planeHashes(nLists, dim,
       graft.llm.Similarity.IvfSeed)
     val cens = (0 until nLists).map { c =>
@@ -272,10 +273,10 @@ object Llm {
     }.mkString("[", ",\n    ", "]")
     val iterSql = (1 to iters).map { t =>
       s"""a$t AS (SELECT vec_id, e, list_id FROM (
-    SELECT emb.vec_id, emb.e, c.list_id, row_number() OVER (
-      PARTITION BY emb.vec_id
-      ORDER BY list_dot_product(emb.e, c.cen) DESC, c.list_id) AS rn
-    FROM emb CROSS JOIN c${t - 1} c) WHERE rn = 1),
+    SELECT $src.vec_id, $src.e, c.list_id, row_number() OVER (
+      PARTITION BY $src.vec_id
+      ORDER BY list_dot_product($src.e, c.cen) DESC, c.list_id) AS rn
+    FROM $src CROSS JOIN c${t - 1} c) WHERE rn = 1),
   m$t AS (SELECT list_id, g.i AS i,
       CAST(sum(CAST(floor(e[g.i] * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
         / (count(*) * 1048576.0) AS m
@@ -658,12 +659,16 @@ object Llm {
     // see trainedCentroidsSql), then the same probe/rerank as the
     // fixed-centroid row. The strongest form of the check: DuckDB
     // re-derives the trained index itself rather than trusting the
-    // engine's training output
+    // engine's training output. Training runs on a deterministic HALF
+    // sample (vec_id % 2 = 0) — the documented fleet practice (the
+    // quantizer needs the distribution, not the corpus), mirrored
+    // exactly in the oracle's training CTE
     ("llm_similarity_ivf_trained",
       ((s: SparkSession, d: String) => {
         val e = Tables.embeddings(s, d)
-        val cs = Similarity.trainIvfCentroids(e, "embedding", nLists = 8,
-          iters = 5)
+        val cs = Similarity.trainIvfCentroids(
+          e.filter(pmod(col("vec_id"), lit(2)) === 0), "embedding",
+          nLists = 8, iters = 5)
         Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
             "vec_id", "embedding", k = 5, nLists = 8, nProbe = 2,
             centroids = Some(cs))
@@ -675,7 +680,8 @@ object Llm {
       Some(s"""WITH emb AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         |  FROM embeddings),
-        |  ${trainedCentroidsSql(nLists = 8, dim = 64, iters = 5)},
+        |embt AS (SELECT * FROM emb WHERE vec_id % 2 = 0),
+        |  ${trainedCentroidsSql(nLists = 8, dim = 64, iters = 5, src = "embt")},
         |pre0 AS (SELECT emb.vec_id,
         |    list(list_dot_product(emb.e, c.cen) ORDER BY c.list_id) AS cs
         |  FROM emb CROSS JOIN c5 c GROUP BY emb.vec_id),

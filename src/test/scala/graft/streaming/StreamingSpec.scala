@@ -382,6 +382,37 @@ class StreamingSpec extends SparkSpec {
     assert(surv == Set(100L, 102L)) // 101 deduped within the batch
   }
 
+  test("compactIndex seals full generations: rewrite work stays bounded") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("seal").toString
+    def writeBatch(b: Long): Unit =
+      (0L until 50L).map(i => (b * 1000 + i, s"v$i")).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$dir/batch_id=$b")
+    def gens: Map[String, Long] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(_.isDirectory)
+        .map(st => st.getPath.getName ->
+          fs.getContentSummary(st.getPath).getLength).toMap
+    }
+    // batches 0..3 + open 4; a tiny size target makes the first
+    // compaction produce a generation that is already "full"
+    (0L to 4L).foreach(writeBatch)
+    assert(Streaming.compactIndex(spark, dir, targetBytes = 1024))
+    val afterFirst = gens
+    assert(afterFirst.keySet == Set("batch_id=-1", "batch_id=4"))
+    // more batches arrive; the sealed gen must NOT be rewritten —
+    // the new generation absorbs only the new closed batches
+    (5L to 7L).foreach(writeBatch)
+    assert(Streaming.compactIndex(spark, dir, targetBytes = 1024))
+    val afterSecond = gens
+    assert(afterSecond.keySet == Set("batch_id=-1", "batch_id=-2", "batch_id=7"),
+      afterSecond.keySet.toString)
+    assert(afterSecond("batch_id=-1") == afterFirst("batch_id=-1"))
+    // and the data survives both compactions intact
+    assert(spark.read.parquet(dir).count() == 8 * 50)
+  }
+
   test("dirHasData: sees data under a dot-prefixed ANCESTOR of the index dir") {
     import spark.implicits._
     // hidden components ABOVE the index root must not hide the index:
