@@ -293,9 +293,14 @@ object Streaming {
         // in-stream maintenance: this batch's partition is the open
         // (max) one, so compaction never touches a partition a retried
         // batch would dynamic-overwrite; a crash between compaction and
-        // the checkpoint commit re-runs both, and both are idempotent
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+        // the checkpoint commit re-runs both, and both are idempotent.
+        // BOTH sinks compact — the pairs table grows with the corpus,
+        // but sealed generations bound each rewrite to (one undersized
+        // generation + new batches)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           Streaming.compactIndex(spark, indexDir)
+          Streaming.compactIndex(spark, pairsDir)
+        }
         ()
         } finally mat.releaseAll()
       }

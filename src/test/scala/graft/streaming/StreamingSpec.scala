@@ -145,8 +145,11 @@ class StreamingSpec extends SparkSpec {
 
     def runOnce(): Unit = {
       val src = Streaming.fileStream(spark, srcDir, docs.schema)
+      // compactEvery = 2: the second batch compacts BOTH sinks, so the
+      // assertions below also prove pairs/index read-equivalence
+      // across an in-stream compaction
       val q = Streaming.dedupIndexStream(src, "text", "doc_id",
-        indexDir, pairsDir, ckDir).start()
+        indexDir, pairsDir, ckDir, compactEvery = 2).start()
       try q.awaitTermination() finally if (q.isActive) q.stop()
     }
     // batch 0: 80% of the corpus; batch 1: the rest
