@@ -51,6 +51,10 @@ object Bench {
     val total = results.map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
+    // tail-proof headline: the driver captures only stdout's tail, and
+    // the big line above head-truncates once the per-query map outgrows
+    // the window (r6 §wrong-1). This short trailer always fits.
+    println(s"""{"bench_total":$total,"n_queries":${results.size},"errors":${results.count(_._3.isDefined)}}""")
     // also land the line in a file: the driver captures stdout's tail,
     // which has truncated long runs' leading entries before (r5 §wrong-6)
     try {

@@ -214,6 +214,11 @@ object Curation {
   def reconcile(spark: org.apache.spark.sql.SparkSession,
                 survivorsDir: String, indexDir: String,
                 id: String): DataFrame = {
+    // fail loudly on an index dir with pre-`id` partitions: a picked or
+    // merged footer would otherwise read old partitions' `id` as null
+    // and the min(id) keeper below would be silently wrong
+    graft.streaming.Streaming.assertIndexSchema(spark, indexDir,
+      Seq(id, "clean_md5"))
     val keepers = spark.read.parquet(indexDir)
       .groupBy(col("clean_md5")).agg(min(col(id)).as(id))
     val survived = spark.read.parquet(survivorsDir)

@@ -317,7 +317,10 @@ object Multimodal {
     * decode each frame — MJPEG frames ARE JPEGs, so `javax.imageio`
     * reads them with no native codec — re-encoding as PNG for the same
     * output contract as [[decodeFrames]]. Defensive on sizes (a chunk
-    * running past the buffer stops the walk rather than throwing);
+    * running past the buffer stops the walk rather than throwing) and
+    * on nesting (the chunk tree is walked with an explicit work stack,
+    * so adversarially deep LIST nesting cannot StackOverflowError the
+    * task — corrupt payloads degrade to the byte-chunk fallback);
     * None when the payload is not RIFF/AVI, has no video chunks, or
     * its codec is not ImageIO-decodable (true inter-frame codecs like
     * h264 — the one remaining declared fallback). */
@@ -333,7 +336,17 @@ object Multimodal {
     def isVideoId(id: String): Boolean =
       id.length == 4 && id(0).isDigit && id(1).isDigit &&
         (id.endsWith("dc") || id.endsWith("db"))
-    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+    // Iterative walk with an explicit work stack: nesting depth is
+    // attacker-controlled (each LIST costs only 12 bytes), so recursion
+    // would StackOverflowError — an Error, escaping the catch below and
+    // killing the task instead of falling back. The stack holds
+    // (cursor, end, inMovi) ranges still to scan; frame order is
+    // preserved because a LIST's body is pushed along with the
+    // remainder of the enclosing range and scanned first (LIFO).
+    val work = scala.collection.mutable.Stack[(Int, Int, Boolean)](
+      (12, bytes.length, false))
+    while (work.nonEmpty) {
+      val (start, end, inMovi) = work.pop()
       var o = start
       var ok = true
       while (ok && o + 8 <= end) {
@@ -342,15 +355,21 @@ object Multimodal {
         if (sz < 0 || sz > Int.MaxValue - 16 || o + 8 + sz > end) ok = false
         else {
           val szI = sz.toInt
-          if (id == "LIST" && szI >= 4)
-            walk(o + 12, o + 8 + szI,
-              inMovi || fourcc(o + 8) == "movi" || fourcc(o + 8) == "rec ")
-          else if (inMovi && isVideoId(id) && szI > 0) vids += ((o + 8, szI))
-          o += 8 + szI + (szI & 1) // chunks pad to even offsets
+          val next = o + 8 + szI + (szI & 1) // chunks pad to even offsets
+          if (id == "LIST" && szI >= 4) {
+            // Defer the rest of this range, then descend into the LIST
+            // body first so video chunks are collected in file order.
+            work.push((next, end, inMovi))
+            work.push((o + 12, o + 8 + szI,
+              inMovi || fourcc(o + 8) == "movi" || fourcc(o + 8) == "rec "))
+            ok = false // this range continues via the pushed remainder
+          } else {
+            if (inMovi && isVideoId(id) && szI > 0) vids += ((o + 8, szI))
+            o = next
+          }
         }
       }
     }
-    walk(12, bytes.length, inMovi = false)
     if (vids.isEmpty) return None
     try {
       val out = Seq.newBuilder[(Int, Array[Byte])]

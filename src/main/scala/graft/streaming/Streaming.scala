@@ -49,6 +49,32 @@ object Streaming {
     false
   }
 
+  /** Fail-loud schema validation for a `batch_id=`-partitioned index
+    * dir: every partition's parquet footer must carry `required`.
+    * Guards resume/assembly over a dir written by an OLDER index format
+    * (e.g. the pre-`id` (clean_md5, h64) rows): without this, a plain
+    * `spark.read.parquet` picks one footer — if it picks a new one, old
+    * partitions read `id` as null and [[graft.llm.Curation.reconcile]]'s
+    * `min(id)` keeper goes silently wrong instead of failing. One
+    * footer read per partition, driver-side; no data scan. */
+  private[graft] def assertIndexSchema(spark: SparkSession, dir: String,
+                                       required: Seq[String]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("batch_id=")).foreach { st =>
+      val fields =
+        spark.read.parquet(st.getPath.toString).schema.fieldNames.toSet
+      val missing = required.filterNot(fields)
+      require(missing.isEmpty,
+        s"index partition ${st.getPath} lacks column(s) " +
+          s"${missing.mkString(", ")} — written by an older index format; " +
+          "rebuild the index (re-run the stream from scratch) before " +
+          "resuming or reconciling over it")
+    }
+  }
+
   /** Compact a `batch_id=`-partitioned index sink ([[curationStream]] /
     * [[dedupIndexStream]] write one partition per micro-batch, so after
     * 10⁴–10⁵ batches every batch re-lists and re-reads that many
@@ -97,14 +123,19 @@ object Streaming {
     // rewrites, so steady-state compaction work is bounded by
     // (one undersized generation + the new batches), not the whole
     // accumulated index: total compaction work stays linear in batch
-    // count even when compaction runs every few batches
-    val closed = closedAll.filter { case (p, v) =>
-      v >= 0L || fs.getContentSummary(p).getLength < targetBytes }
+    // count even when compaction runs every few batches.
+    // One listing per partition: getContentSummary is a recursive
+    // listing on object stores, so its result is computed once here and
+    // reused for both the seal filter and the byte total below.
+    val sizes: Map[Long, Long] = closedAll.map { case (p, v) =>
+      v -> fs.getContentSummary(p).getLength }.toMap
+    val closed = closedAll.filter { case (_, v) =>
+      v >= 0L || sizes(v) < targetBytes }
     // nothing to gain: no closed partitions, or just one already-
     // compacted generation
     if (closed.isEmpty || (closed.size == 1 && closed.head._2 < 0)) return false
     val gen = math.min(parts.map(_._2).min, 0L) - 1L
-    val bytes = closed.map { case (p, _) => fs.getContentSummary(p).getLength }.sum
+    val bytes = closed.map { case (_, v) => sizes(v) }.sum
     val numFiles = math.max(1L, (bytes + targetBytes - 1L) / targetBytes).toInt
     // read the closed partition dirs directly (no root-dir listing, no
     // partition discovery — the output dir is a sibling, never read)
@@ -339,10 +370,17 @@ object Streaming {
   def curationStream(docs: DataFrame, text: String, id: String,
                      survivorsDir: String, indexDir: String,
                      checkpointDir: String,
-                     compactEvery: Int = 0): DataStreamWriter[Row] =
+                     compactEvery: Int = 0): DataStreamWriter[Row] = {
+    // once per stream run, on the first micro-batch: a resumed stream
+    // over an index dir written by the pre-`id` format must fail loudly
+    // HERE, not silently null-out reconcile's min(id) at assembly time
+    val schemaChecked = new java.util.concurrent.atomic.AtomicBoolean(false)
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        if (schemaChecked.compareAndSet(false, true))
+          Streaming.assertIndexSchema(spark, indexDir,
+            Seq(id, "clean_md5", "h64"))
         // tracked persist, not localCheckpoint: the stage runs every
         // micro-batch forever, so its intermediates must be released
         // at the end of each batch or executor block storage grows for
@@ -408,6 +446,7 @@ object Streaming {
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
+  }
 
   /** Incremental lake append: every file dropped into `srcDir` lands in
     * the destination exactly once (file-source checkpointing replaces

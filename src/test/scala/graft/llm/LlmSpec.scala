@@ -575,6 +575,28 @@ class LlmSpec extends SparkSpec {
       chunk("LIST", cc("movi") ++ chunk("00dc", Array.fill[Byte](32)(1)))
     assert(Multimodal.demuxAviFrames(
       cc("RIFF") ++ le32(junk.length - 8) ++ junk.drop(8), 6, 2).isEmpty)
+
+    // adversarially deep nesting: 200k nested 'rec ' LISTs (12 bytes
+    // each) around one real frame must NOT StackOverflowError — the
+    // walk is iterative — and still finds the frame at the bottom.
+    // Built flat in one buffer (header-chain left-to-right) to avoid
+    // O(depth^2) concatenation.
+    val depth = 200000
+    val innermost = chunk("00dc", frames(0))
+    val nested = new Array[Byte](12 * depth + innermost.length)
+    var k = 0
+    while (k < depth) {
+      val off = 12 * k
+      System.arraycopy(cc("LIST"), 0, nested, off, 4)
+      System.arraycopy(le32(nested.length - off - 8), 0, nested, off + 4, 4)
+      System.arraycopy(cc("rec "), 0, nested, off + 8, 4)
+      k += 1
+    }
+    System.arraycopy(innermost, 0, nested, 12 * depth, innermost.length)
+    val deepBody = cc("AVI ") ++ chunk("LIST", cc("movi") ++ nested)
+    val deepAvi = cc("RIFF") ++ le32(deepBody.length) ++ deepBody
+    val deepGot = Multimodal.demuxAviFrames(deepAvi, frames = 6, stride = 1).get
+    assert(deepGot.map(_._1) == Seq(0))
   }
 
   test("meanPoolEmbeddings: exact means, group sizes, single-chunk identity") {

@@ -353,6 +353,40 @@ class StreamingSpec extends SparkSpec {
       graft.llm.Curation.pipeline(planted, "text", "doc_id")).isEmpty)
   }
 
+  test("old-format index partitions (no id column) fail loudly, not silently") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("oldfmt").toString
+    val (survDir, indexDir) = (s"$base/surv", s"$base/index")
+    // a new-format partition AND a pre-`id` partition in the same index
+    // dir — the mixed-schema case where an unchecked read silently
+    // nulls `id` for the old rows and reconcile's min(id) goes wrong
+    Seq((5L, "aa", 1L)).toDF("doc_id", "clean_md5", "h64")
+      .write.parquet(s"$indexDir/batch_id=1")
+    Seq(("bb", 2L)).toDF("clean_md5", "h64")
+      .write.parquet(s"$indexDir/batch_id=0")
+    Seq((5L, "aa")).toDF("doc_id", "clean_md5").write.parquet(survDir)
+    val e = intercept[IllegalArgumentException] {
+      graft.llm.Curation.reconcile(spark, survDir, indexDir, "doc_id")
+    }
+    assert(e.getMessage.contains("older index format"))
+    // a resumed STREAM over the same dir fails on its first batch too
+    val srcDir = Files.createTempDirectory("oldfmt-src").toString
+    Seq((1L, "some document text here")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val src = Streaming.fileStream(spark, srcDir,
+      Seq((0L, "x")).toDF("doc_id", "text").schema)
+    val q = Streaming.curationStream(src, "text", "doc_id",
+      survDir, indexDir, s"$base/ck").start()
+    val se = intercept[Exception] {
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    // the cause chain carries the schema require; Spark wraps it in a
+    // StreamingQueryException
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else t.getMessage +: chain(t.getCause)
+    assert(chain(se).exists(m => m != null && m.contains("older index format")))
+  }
+
   test("streaming curation survives an all-dropped first batch") {
     import spark.implicits._
     val srcDir = Files.createTempDirectory("curation0-src").toString
