@@ -49,8 +49,12 @@ object Chunking {
     val w = (if (shard.isEmpty) Window.orderBy(order: _*)
              else Window.partitionBy(shard: _*).orderBy(order: _*))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val start = sum(tokenCount).over(w) - tokenCount
-    df.withColumn("cum_tokens", start + tokenCount)
+    // evaluate the window ONCE (cum_tokens), derive bin/bin_offset from
+    // it in the projection above the Window operator — inlining `start`
+    // into all three outputs makes WindowExec carry three copies of the
+    // same running-sum frame
+    val start = col("cum_tokens") - tokenCount
+    df.withColumn("cum_tokens", sum(tokenCount).over(w))
       .withColumn("bin", call_function("div", start, lit(budget)))
       .withColumn("bin_offset", start % budget)
   }

@@ -106,6 +106,27 @@ object Curation {
     kept.join(kept.groupBy(col("clean_md5")).agg(min(col(id)).as(id)),
       Seq(id, "clean_md5"), "left_semi")
 
+  /** A near-dup candidate-pair generator for [[pipelineNearDup]]'s
+    * fuzzy stage: (exact-surviving docs with cleaned `text`, text col,
+    * id col) → (a, b[, …]) pairs, a < b. The hook is what makes the
+    * documented fleet-scale swap a config change, not a fork. */
+  type PairSource = (DataFrame, String, String) => DataFrame
+
+  /** The default pair source: exact n-gram Jaccard with maxDf-bounded
+    * posting-list candidates — exhaustive recall up to the maxDf cap,
+    * right for corpora where the rare-shingle assumption holds. */
+  def defaultPairSource(k: Int = 5, maxDf: Int = 5,
+                        minJaccard: Double = 0.5): PairSource =
+    (d, t, i) => Dedup.ngramJaccardPairs(d, t, i, k, maxDf, minJaccard)
+
+  /** The fleet-scale pair source: banded MinHash-LSH candidates +
+    * exact Jaccard rerank ([[Dedup.minhashLshReranked]]) — no maxDf
+    * recall cliff, sketch-width shuffle at the candidate stage. */
+  def lshPairSource(shingleK: Int = 5, numPerms: Int = 8, bands: Int = 4,
+                    minJaccard: Double = 0.5): PairSource =
+    (d, t, i) => Dedup.minhashLshReranked(d, t, i, shingleK, numPerms,
+      bands, minJaccard)
+
   /** Run the pipeline; one output row per SURVIVING document:
     * (id, clean_md5 = md5 of the cleaned text, order_key, shard, pos)
     * — the assembled training corpus in its reproducible read order.
@@ -133,10 +154,13 @@ object Curation {
     * ([[Dedup.ngramJaccardPairs]] — posting-list candidates bounded by
     * maxDf, no self-join) and the CC keeper is
     * [[Dedup.duplicateClusters]]' min-label (driver union-find under
-    * 1M edges, distributed propagation above); at fleet scale swap the
-    * pair source for [[Dedup.minhashLsh]] — same composition, sketch
-    * candidates. Output: (id, clean_md5, order_key, shard, pos), one
-    * row per surviving document.
+    * 1M edges, distributed propagation above); at fleet scale pass
+    * `pairSource = Curation.lshPairSource(...)` —
+    * [[Dedup.minhashLshReranked]]'s banded-sketch candidates + exact
+    * rerank under the SAME composition (oracle-proven by the
+    * `llm_curation_neardup_lsh` registry row, not just promised).
+    * Output: (id, clean_md5, order_key, shard, pos), one row per
+    * surviving document.
     *
     * Cost profile (sf0.1, local[32]): ≈ the exact [[pipeline]] (clean
     * + gate + keeper, ~2 s) + the jaccard shingle pass (~2 s) + CC and
@@ -145,7 +169,8 @@ object Curation {
     * probe (5.0 s) shows the composition staying sub-linear. */
   def pipelineNearDup(df: DataFrame, text: String, id: String,
                       shards: Int = 8, k: Int = 5, maxDf: Int = 5,
-                      minJaccard: Double = 0.5): DataFrame = {
+                      minJaccard: Double = 0.5,
+                      pairSource: PairSource = null): DataFrame = {
     val cleaned = cleanedText(df, text, id, LocalCheckpoint)
     // the gate has exactly ONE consumer here (the keep filter), so the
     // gateVerdicts checkpoint would be a wasted corpus-wide
@@ -159,8 +184,9 @@ object Curation {
         md5(col(text).cast("binary")).as("clean_md5"))
       .localCheckpoint() // fans into the exact keeper and the shingle pass
     val exactSurv = keepMinPerDigest(keptTxt, id)
-    val pairs = Dedup.ngramJaccardPairs(exactSurv, text, id, k, maxDf,
-      minJaccard).select(col("a"), col("b"))
+    val src = if (pairSource != null) pairSource
+      else defaultPairSource(k, maxDf, minJaccard)
+    val pairs = src(exactSurv, text, id).select(col("a"), col("b"))
     // cluster label IS the min id — every non-label member drops
     val fuzzyDrops = Dedup.duplicateClusters(pairs)
       .filter(col("id") =!= col("cluster"))
@@ -170,6 +196,45 @@ object Curation {
     Sampling.shuffleOrder(survivors, col(id), shards)
       .select(col(id), col("clean_md5"), col("order_key"), col("shard"),
         col("pos"))
+  }
+
+  /** Epoch assembly as ONE plan — the last seam of the training-data
+    * story fused: survivors (clean → gate → exact min-id keeper) →
+    * deterministic shuffle order ([[Sampling.shuffleOrder]]) → greedy
+    * context-window packing ([[Chunking.packSequences]]) in the
+    * training read order (pos within shard). Output: (id, clean_md5,
+    * order_key, shard, pos, n_tokens, cum_tokens, bin, bin_offset) —
+    * every surviving document with its shard, read position, and the
+    * exact context-window bin its first token falls into.
+    *
+    * 100 TB story: the two wide stages after the keeper are BOTH
+    * per-shard windows over the SAME partitioning key — the rank that
+    * assigns `pos` and the running token sum that assigns `bin` share
+    * one hash exchange on `shard` (Catalyst plans a single Exchange
+    * feeding two Window operators), so no global sort and no
+    * single-partition stage ever materializes; each shard's window
+    * sorts |corpus|/shards rows. Token counts are a narrow projection
+    * of the cleaned text carried through the keeper. */
+  def epochAssembly(df: DataFrame, text: String, id: String,
+                    shards: Int = 8, budget: Long = 2048L): DataFrame = {
+    val cleaned = cleanedText(df, text, id, LocalCheckpoint)
+    // one consumer (the keep filter) — same no-checkpoint rule as
+    // pipelineNearDup's gate
+    val gate = TextAnalysis.qualityGate(cleaned, text, id)
+      .select(col(id), col("keep"))
+    val keptTxt = cleaned
+      .join(gate.filter(col("keep")).select(col(id)), Seq(id))
+      .select(col(id), col(text),
+        md5(col(text).cast("binary")).as("clean_md5"))
+    val survivors = keepMinPerDigest(keptTxt, id)
+      .select(col(id), col("clean_md5"),
+        TextAnalysis.tokenCount(col(text)).cast("long").as("n_tokens"))
+    val ordered = Sampling.shuffleOrder(survivors, col(id), shards)
+    Chunking.packSequences(ordered, col("n_tokens"), budget,
+        order = Seq(col("pos")), shard = Seq(col("shard")))
+      .select(col(id), col("clean_md5"), col("order_key"), col("shard"),
+        col("pos"), col("n_tokens"), col("cum_tokens"), col("bin"),
+        col("bin_offset"))
   }
 
   /** Drop forensics for the pipeline — one row per INPUT document
@@ -210,10 +275,25 @@ object Curation {
     * sink writes can briefly leave the sets unequal until the batch
     * retries). Output: (id, clean_md5), one row per surviving digest —
     * feed it to [[Sampling.shuffleOrder]] for the training read order,
-    * exactly like the batch pipeline does. */
+    * exactly like the batch pipeline does.
+    *
+    * `compactSurvivors` makes the stream's documented "compact the
+    * survivors table at assembly time, if at all" rule executable:
+    * before the keeper pass, the per-batch survivors partitions are
+    * rewritten through [[graft.streaming.Streaming.compactIndex]]
+    * into sealed size-targeted generations (set-equal by construction
+    * — the table is a set and compaction only dedups + repartitions),
+    * so a 10⁵-batch survivors sink is read here and by every epoch
+    * thereafter as a handful of right-sized files instead of 10⁵
+    * directories. Assembly time is the right moment: it is the first
+    * full read of the table, and per-N-batches compaction of the
+    * corpus itself would rewrite corpus bytes continuously. */
   def reconcile(spark: org.apache.spark.sql.SparkSession,
                 survivorsDir: String, indexDir: String,
-                id: String): DataFrame = {
+                id: String,
+                compactSurvivors: Boolean = false): DataFrame = {
+    if (compactSurvivors)
+      graft.streaming.Streaming.compactIndex(spark, survivorsDir)
     // fail loudly on an index dir with pre-`id` partitions: a picked or
     // merged footer would otherwise read old partitions' `id` as null
     // and the min(id) keeper below would be silently wrong

@@ -317,6 +317,52 @@ object Dedup {
     lshCandidatePairs(minhashSignatures(sh, id, numPerms), id, bands, numPerms / bands)
   }
 
+  /** [[minhashLsh]] candidates + EXACT Jaccard rerank — the FLEET-SCALE
+    * near-dup pair source: the sketch join proposes, the exact measure
+    * disposes. Candidates come from one (band, sig) equi-join over the
+    * minhash signatures (one shuffle whose key cardinality is
+    * corpus-sized but whose matches are the near-dup set — never an
+    * all-pairs comparison and never posting lists over raw shingles, so
+    * unlike [[ngramJaccardPairs]] there is no maxDf recall cliff: a
+    * shingle shared by 10⁶ documents costs nothing because only its
+    * 8-hash sketch is ever joined); the rerank recomputes true Jaccard
+    * over the candidates' DISTINCT shingle sets, so every emitted pair
+    * carries its exact score and sketch false positives are filtered
+    * out. False negatives are the LSH recall curve (P[candidate] =
+    * 1-(1-j^rows)^bands) — the documented sketch trade every published
+    * fuzzy-dedup pipeline (C4, RefinedWeb, Gopher) makes.
+    *
+    * 100 TB story: shingles shuffle once (partitioned by shingle, reused
+    * by the signature aggregate and the rerank's intersection counts);
+    * the band join shuffles sketch-width rows only; the rerank touches
+    * candidate documents only (broadcast semi on the tiny candDocs).
+    * Output: (a, b, jacc_bp), a < b, Jaccard ≥ `minJaccard`. */
+  def minhashLshReranked(df: DataFrame, text: String, id: String,
+                         shingleK: Int = 5, numPerms: Int = 8,
+                         bands: Int = 4,
+                         minJaccard: Double = 0.5): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    // ONE shuffle of the exploded shingles to per-document DISTINCT
+    // sets, checkpointed: min-wise hashing is duplicate-invariant, so
+    // the SAME distinct frame feeds the signature aggregate and the
+    // rerank's intersection counts (see ngramJaccardPairs for why the
+    // eager checkpoint, not cache)
+    val shD = shinglesFromToks(tokenize(df, text, id), id, shingleK,
+        dedup = false)
+      .repartition(col("shingle")).dropDuplicates("shingle", id)
+      .localCheckpoint()
+    val sizes = shD.groupBy(col(id)).agg(count(lit(1)).as("n"))
+    val cand = lshCandidatePairs(minhashSignatures(shD, id, numPerms),
+        id, bands, numPerms / bands)
+      .cache() // near-dup-sized; read by the rerank's three consumers
+    val out = jaccardRerank(shD, cand, sizes, id, minJaccard)
+    // materialize the (tiny) result eagerly so the interior cache can
+    // be released before returning (same rule as ngramJaccardPairs)
+    val snap = out.localCheckpoint()
+    cand.unpersist(false)
+    snap
+  }
+
   /** Exact Jaccard near-dup pairs with a rare-shingle candidate filter:
     * only document pairs sharing a shingle whose document frequency is
     * ≤ `maxDf` are compared (common shingles would otherwise explode
@@ -339,6 +385,52 @@ object Dedup {
   private val pairsMemo =
     scala.collection.concurrent.TrieMap.empty[(Int, String, String, Int, Int, Long),
       List[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]]
+
+  /** Unordered (a, b) pairs generated row-locally from a sorted
+    * posting list (a < b because the list is sorted). The lambda is
+    * interpreted, but it only ever touches posting lists — never the
+    * corpus-sized frames. */
+  private def listPairs(postings: DataFrame): DataFrame = {
+    val pairIdx = flatten(transform(
+      sequence(lit(0), size(col("ids")) - 2),
+      i => transform(sequence(i + 1, size(col("ids")) - 1),
+        j => struct(element_at(col("ids"), i + 1).as("a"),
+          element_at(col("ids"), j + 1).as("b")))))
+    postings.select(explode(pairIdx).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+  }
+
+  /** EXACT Jaccard over a candidate pair set — the shared rerank stage
+    * of [[ngramJaccardPairs]] (posting-list candidates) and
+    * [[minhashLshReranked]] (banded-LSH candidates). Intersection
+    * counts only touch candidate documents: restricting `shD` to
+    * candidate docs first (broadcast semi — candDocs is tiny by
+    * construction) keeps the pair expansion linear in the candidate
+    * set instead of the whole corpus. Every shared shingle of a
+    * candidate pair contributes one posting-list pair, so the per-pair
+    * count is exactly |S_a ∩ S_b|. `shD` must hold DISTINCT
+    * (id, shingle) rows; `sizes` their per-id counts. Output:
+    * (a, b, jacc_bp) with Jaccard ≥ `minJaccard`, exact basis points. */
+  private def jaccardRerank(shD: DataFrame, cand: DataFrame,
+                            sizes: DataFrame, id: String,
+                            minJaccard: Double): DataFrame = {
+    val candDocs = cand.select(col("a").as(id))
+      .union(cand.select(col("b").as(id))).distinct()
+    val shC = shD.join(broadcast(candDocs), Seq(id), "left_semi")
+    val interPost = shC.groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col(id))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val inter = listPairs(interPost)
+      .join(cand, Seq("a", "b"), "left_semi")
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col(id).as("a"), col("n").as("na")), Seq("a"))
+      .join(sizes.select(col(id).as("b"), col("n").as("nb")), Seq("b"))
+      .withColumn("jacc", lit(1.0) * col("c") / (col("na") + col("nb") - col("c")))
+      .filter(col("jacc") >= minJaccard)
+      .select(col("a"), col("b"),
+        floor(col("jacc") * 10000 + 0.5).cast("long").as("jacc_bp"))
+  }
 
   def ngramJaccardPairs(df: DataFrame, text: String, id: String,
                         k: Int = 5, maxDf: Int = 5,
@@ -372,45 +464,11 @@ object Dedup {
     // posting list is built)
     val dfreq = shD.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val rare = dfreq.filter(col("df").between(2, maxDf)).select("shingle")
-    // unordered (a, b) pairs generated row-locally from a sorted
-    // posting list (a < b because the list is sorted). The lambda is
-    // interpreted, but it only ever touches posting lists — never the
-    // corpus-sized frames
-    def listPairs(postings: DataFrame): DataFrame = {
-      val pairIdx = flatten(transform(
-        sequence(lit(0), size(col("ids")) - 2),
-        i => transform(sequence(i + 1, size(col("ids")) - 1),
-          j => struct(element_at(col("ids"), i + 1).as("a"),
-            element_at(col("ids"), j + 1).as("b")))))
-      postings.select(explode(pairIdx).as("p"))
-        .select(col("p.a").as("a"), col("p.b").as("b"))
-    }
     val postings = shD.join(rare.hint("shuffle_hash"), Seq("shingle"))
       .groupBy(col("shingle")).agg(sort_array(collect_set(col(id))).as("ids"))
     val cand = listPairs(postings).distinct()
       .cache() // tiny (near-dup pairs); read by three consumers below
-    // intersection counts only over candidate documents: restricting
-    // shD to candidate docs first (broadcast semi — candDocs is tiny
-    // by construction) keeps the pair expansion linear in the
-    // candidate set instead of the whole corpus. Every shared shingle
-    // of a candidate pair contributes one posting-list pair, so the
-    // per-pair count is exactly |S_a ∩ S_b|
-    val candDocs = cand.select(col("a").as(id))
-      .union(cand.select(col("b").as(id))).distinct()
-    val shC = shD.join(broadcast(candDocs), Seq(id), "left_semi")
-    val interPost = shC.groupBy(col("shingle"))
-      .agg(sort_array(collect_set(col(id))).as("ids"))
-      .filter(size(col("ids")) >= 2)
-    val inter = listPairs(interPost)
-      .join(cand, Seq("a", "b"), "left_semi")
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
-    val out = inter
-      .join(sizes.select(col(id).as("a"), col("n").as("na")), Seq("a"))
-      .join(sizes.select(col(id).as("b"), col("n").as("nb")), Seq("b"))
-      .withColumn("jacc", lit(1.0) * col("c") / (col("na") + col("nb") - col("c")))
-      .filter(col("jacc") >= minJaccard)
-      .select(col("a"), col("b"),
-        floor(col("jacc") * 10000 + 0.5).cast("long").as("jacc_bp"))
+    val out = jaccardRerank(shD, cand, sizes, id, minJaccard)
     // materialize the (tiny) pair set eagerly so the interior caches can
     // be dropped before returning — callers (duplicateClusters chief
     // among them) otherwise re-trigger the shingle pipeline per action

@@ -295,6 +295,43 @@ object Llm {
   $iterSql"""
   }
 
+  /** The full batch-curation oracle (plants → clean → gate → exact
+    * min-id keeper → deterministic shuffle), shared VERBATIM by
+    * `llm_curation_pipeline` and `llm_curation_streamed` — the streamed
+    * row's whole point is that stream → reconcile → assembly must match
+    * this exact SQL under any arrival order. */
+  private lazy val curationPipelineSql: String =
+    s"""WITH d0 AS (SELECT doc_id, text FROM documents
+    |  UNION ALL SELECT doc_id + 924000, text FROM documents
+    |  WHERE doc_id % 10 = 0),
+    |pm AS (__PM__),
+    |pp AS (__PP__),
+    |pr AS (${plantRepetitionCte("pp")}),
+    |src AS (SELECT doc_id, __CLEAN__ AS text FROM pr),
+    |${gateCtesSql},
+    |kept AS (SELECT s.doc_id, md5(s.text) AS clean_md5
+    |  FROM src s JOIN v USING (doc_id) WHERE v.reasons = 0),
+    |keepers AS (SELECT min(doc_id) AS doc_id FROM kept
+    |  GROUP BY clean_md5),
+    |surv AS (SELECT k.doc_id, k.clean_md5 FROM kept k
+    |  JOIN keepers USING (doc_id)),
+    |h AS (SELECT doc_id, clean_md5,
+    |  (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+    |    * 4294967296 + lo AS order_key
+    |  FROM (SELECT doc_id, clean_md5,
+    |    ('0x' || substr(md5('shuffle|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hi,
+    |    ('0x' || substr(md5('shuffle|' || CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT AS lo
+    |  FROM surv)),
+    |sh AS (SELECT doc_id, clean_md5, order_key,
+    |  ((order_key % 8) + 8) % 8 AS shard FROM h)
+    |SELECT doc_id, clean_md5, order_key, shard,
+    |  row_number() OVER (PARTITION BY shard ORDER BY order_key, doc_id) - 1
+    |    AS pos
+    |FROM sh ORDER BY doc_id""".stripMargin
+      .replace("__PM__", plantMarkupCte("d0"))
+      .replace("__PP__", plantPiiCte("pm"))
+      .replace("__CLEAN__", redactSqlExpr(stripSqlExpr("text")))
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     ("llm_dedup_exact",
@@ -1470,36 +1507,49 @@ object Llm {
               "doc_id"),
             "text", "doc_id", shards = 8)
           .orderBy(col("doc_id"))): Q,
-      Some(s"""WITH d0 AS (SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 924000, text FROM documents
-        |  WHERE doc_id % 10 = 0),
-        |pm AS (__PM__),
-        |pp AS (__PP__),
-        |pr AS (${plantRepetitionCte("pp")}),
-        |src AS (SELECT doc_id, __CLEAN__ AS text FROM pr),
-        |${gateCtesSql},
-        |kept AS (SELECT s.doc_id, md5(s.text) AS clean_md5
-        |  FROM src s JOIN v USING (doc_id) WHERE v.reasons = 0),
-        |keepers AS (SELECT min(doc_id) AS doc_id FROM kept
-        |  GROUP BY clean_md5),
-        |surv AS (SELECT k.doc_id, k.clean_md5 FROM kept k
-        |  JOIN keepers USING (doc_id)),
-        |h AS (SELECT doc_id, clean_md5,
-        |  (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
-        |    * 4294967296 + lo AS order_key
-        |  FROM (SELECT doc_id, clean_md5,
-        |    ('0x' || substr(md5('shuffle|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hi,
-        |    ('0x' || substr(md5('shuffle|' || CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT AS lo
-        |  FROM surv)),
-        |sh AS (SELECT doc_id, clean_md5, order_key,
-        |  ((order_key % 8) + 8) % 8 AS shard FROM h)
-        |SELECT doc_id, clean_md5, order_key, shard,
-        |  row_number() OVER (PARTITION BY shard ORDER BY order_key, doc_id) - 1
-        |    AS pos
-        |FROM sh ORDER BY doc_id""".stripMargin
-        .replace("__PM__", plantMarkupCte("d0"))
-        .replace("__PP__", plantPiiCte("pm"))
-        .replace("__CLEAN__", redactSqlExpr(stripSqlExpr("text"))))),
+      Some(curationPipelineSql)),
+
+    // the STREAMED curation path itself under the DuckDB oracle: the
+    // query function runs curationStream over three micro-batches in
+    // WORST-CASE arrival order (the planted +924000 copies arrive
+    // before their bases, so first-arrival keeps the copy), then
+    // reconcile re-keys to the global min-id keeper and shuffleOrder
+    // assembles — and the ORACLE IS llm_curation_pipeline's SQL
+    // VERBATIM: stream → reconcile → assembly must equal the batch
+    // pipeline end-to-end under arrival orders the batch never sees
+    ("llm_curation_streamed",
+      ((s: SparkSession, d: String) => {
+        val planted = Curation.withPlantedEverything(
+          Tables.documents(s, d), "text", "doc_id")
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-streamed").toString
+        val srcDir = s"$base/src"
+        def runOnce(): Unit = {
+          val src = graft.streaming.Streaming.fileStream(s, srcDir,
+            planted.schema)
+          val q = graft.streaming.Streaming.curationStream(src, "text",
+            "doc_id", s"$base/surv", s"$base/index", s"$base/ck").start()
+          try q.awaitTermination() finally if (q.isActive) q.stop()
+        }
+        // three tranches, each its own AvailableNow run → three
+        // micro-batches; copies first = the order that breaks a
+        // first-arrival keeper without reconcile
+        Seq(planted.filter(col("doc_id") >= 924000L),
+            planted.filter(col("doc_id") < 924000L &&
+              pmod(col("doc_id"), lit(2)) === 0),
+            planted.filter(col("doc_id") < 924000L &&
+              pmod(col("doc_id"), lit(2)) === 1))
+          .foreach { t =>
+            t.coalesce(1).write.mode("append").parquet(srcDir); runOnce()
+          }
+        Sampling.shuffleOrder(
+            Curation.reconcile(s, s"$base/surv", s"$base/index", "doc_id"),
+            col("doc_id"), shards = 8)
+          .select(col("doc_id"), col("clean_md5"), col("order_key"),
+            col("shard"), col("pos"))
+          .orderBy(col("doc_id"))
+      }): Q,
+      Some(curationPipelineSql)),
 
     // the near-dup-aware curation pipeline (C4/RefinedWeb shape):
     // exact keeper first, then n-gram-Jaccard connected components over
@@ -1572,6 +1622,157 @@ object Llm {
         |  row_number() OVER (PARTITION BY shard ORDER BY order_key, doc_id) - 1
         |    AS pos
         |FROM sh2 ORDER BY doc_id""".stripMargin
+        .replace("__PM__", plantMarkupCte("d0"))
+        .replace("__PP__", plantPiiCte("pm"))
+        .replace("__CLEAN__", redactSqlExpr(stripSqlExpr("text"))))),
+
+    // the FLEET near-dup curation config, oracle-graded: same
+    // composition as llm_curation_neardup but the pair stage is banded
+    // MinHash-LSH candidates (one (band, sig) equi-join over 8-hash
+    // sketches — no posting lists over raw shingles, no maxDf recall
+    // cliff) + exact Jaccard rerank. The oracle rebuilds the minhash
+    // bands exactly as llm_dedup_minhash_lsh does — over the cleaned
+    // exact-surviving text — then reranks, clusters (RECURSIVE
+    // min-label CC) and shuffles with the same shared fragments
+    ("llm_curation_neardup_lsh",
+      ((s: SparkSession, d: String) =>
+        Curation.pipelineNearDup(
+            Curation.withPlantedEverything(Tables.documents(s, d), "text",
+              "doc_id"),
+            "text", "doc_id", shards = 8,
+            pairSource = Curation.lshPairSource(shingleK = 5, numPerms = 8,
+              bands = 4, minJaccard = 0.5))
+          .orderBy(col("doc_id"))): Q,
+      Some(s"""WITH RECURSIVE d0 AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 924000, text FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |pm AS (__PM__),
+        |pp AS (__PP__),
+        |pr AS (${plantRepetitionCte("pp")}),
+        |src AS (SELECT doc_id, __CLEAN__ AS text FROM pr),
+        |${gateCtesSql},
+        |kept AS (SELECT s.doc_id, s.text, md5(s.text) AS clean_md5
+        |  FROM src s JOIN v USING (doc_id) WHERE v.reasons = 0),
+        |keepers AS (SELECT min(doc_id) AS doc_id FROM kept
+        |  GROUP BY clean_md5),
+        |es AS (SELECT k.doc_id, k.text, k.clean_md5 FROM kept k
+        |  JOIN keepers USING (doc_id)),
+        |jt AS (SELECT doc_id, string_split(text, ' ') AS t FROM es
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |jsh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
+        |        FROM jt)),
+        |jmd AS (SELECT doc_id, md5('0|' || shingle) AS m0,
+        |  md5('1|' || shingle) AS m1 FROM jsh),
+        |jmh AS (SELECT doc_id,
+        |  min(('0x' || substr(m0, 1, 8))::BIGINT) AS h0,
+        |  min(('0x' || substr(m0, 9, 8))::BIGINT) AS h1,
+        |  min(('0x' || substr(m0, 17, 8))::BIGINT) AS h2,
+        |  min(('0x' || substr(m0, 25, 8))::BIGINT) AS h3,
+        |  min(('0x' || substr(m1, 1, 8))::BIGINT) AS h4,
+        |  min(('0x' || substr(m1, 9, 8))::BIGINT) AS h5,
+        |  min(('0x' || substr(m1, 17, 8))::BIGINT) AS h6,
+        |  min(('0x' || substr(m1, 25, 8))::BIGINT) AS h7
+        |  FROM jmd GROUP BY doc_id),
+        |jbands AS (
+        |  SELECT doc_id, 0 AS band,
+        |    md5(CAST(h0 AS VARCHAR) || '|' || CAST(h1 AS VARCHAR)) AS sig FROM jmh
+        |  UNION ALL SELECT doc_id, 1,
+        |    md5(CAST(h2 AS VARCHAR) || '|' || CAST(h3 AS VARCHAR)) FROM jmh
+        |  UNION ALL SELECT doc_id, 2,
+        |    md5(CAST(h4 AS VARCHAR) || '|' || CAST(h5 AS VARCHAR)) FROM jmh
+        |  UNION ALL SELECT doc_id, 3,
+        |    md5(CAST(h6 AS VARCHAR) || '|' || CAST(h7 AS VARCHAR)) FROM jmh),
+        |jcand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |  FROM jbands l JOIN jbands r ON l.band = r.band AND l.sig = r.sig
+        |    AND l.doc_id < r.doc_id),
+        |jsizes AS (SELECT doc_id, count(*) AS n FROM jsh GROUP BY doc_id),
+        |jinter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+        |  FROM jsh a JOIN jsh b USING (shingle)
+        |  JOIN jcand ON jcand.a = a.doc_id AND jcand.b = b.doc_id
+        |  GROUP BY 1, 2),
+        |jpairs AS (SELECT i.a, i.b FROM jinter i
+        |  JOIN jsizes sa ON sa.doc_id = i.a JOIN jsizes sb ON sb.doc_id = i.b
+        |  WHERE 1.0 * i.c / (sa.n + sb.n - i.c) >= 0.5),
+        |nodes AS (SELECT a AS n FROM jpairs UNION SELECT b FROM jpairs),
+        |dedges AS (SELECT a AS lo, b AS hi FROM jpairs
+        |  UNION ALL SELECT b, a FROM jpairs),
+        |cc(n, label) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT e.hi, cc.label FROM cc JOIN dedges e ON cc.n = e.lo
+        |  WHERE cc.label < e.hi),
+        |labels AS (SELECT n AS doc_id, min(label) AS cluster FROM cc
+        |  GROUP BY n),
+        |surv AS (SELECT e.doc_id, e.clean_md5 FROM es e
+        |  LEFT JOIN labels l USING (doc_id)
+        |  WHERE l.doc_id IS NULL OR l.cluster = e.doc_id),
+        |h AS (SELECT doc_id, clean_md5,
+        |  (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+        |    * 4294967296 + lo AS order_key
+        |  FROM (SELECT doc_id, clean_md5,
+        |    ('0x' || substr(md5('shuffle|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hi,
+        |    ('0x' || substr(md5('shuffle|' || CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT AS lo
+        |  FROM surv)),
+        |sh2 AS (SELECT doc_id, clean_md5, order_key,
+        |  ((order_key % 8) + 8) % 8 AS shard FROM h)
+        |SELECT doc_id, clean_md5, order_key, shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY order_key, doc_id) - 1
+        |    AS pos
+        |FROM sh2 ORDER BY doc_id""".stripMargin
+        .replace("__PM__", plantMarkupCte("d0"))
+        .replace("__PP__", plantPiiCte("pm"))
+        .replace("__CLEAN__", redactSqlExpr(stripSqlExpr("text"))))),
+
+    // epoch assembly as ONE plan: survivors → deterministic shuffle →
+    // greedy context-window packing in the training read order (pos
+    // within shard). The rank window and the running-sum window share
+    // one exchange on `shard` — no global sort at any corpus size. The
+    // oracle replays the composition from the shared pipeline and
+    // pack fragments
+    ("llm_epoch_assembly",
+      ((s: SparkSession, d: String) =>
+        Curation.epochAssembly(
+            Curation.withPlantedEverything(Tables.documents(s, d), "text",
+              "doc_id"),
+            "text", "doc_id", shards = 8, budget = 2048L)
+          .orderBy(col("doc_id"))): Q,
+      Some(s"""WITH d0 AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 924000, text FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |pm AS (__PM__),
+        |pp AS (__PP__),
+        |pr AS (${plantRepetitionCte("pp")}),
+        |src AS (SELECT doc_id, __CLEAN__ AS text FROM pr),
+        |${gateCtesSql},
+        |kept AS (SELECT s.doc_id, s.text, md5(s.text) AS clean_md5
+        |  FROM src s JOIN v USING (doc_id) WHERE v.reasons = 0),
+        |keepers AS (SELECT min(doc_id) AS doc_id FROM kept
+        |  GROUP BY clean_md5),
+        |surv AS (SELECT k.doc_id, k.text, k.clean_md5 FROM kept k
+        |  JOIN keepers USING (doc_id)),
+        |h AS (SELECT doc_id, text, clean_md5,
+        |  (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+        |    * 4294967296 + lo AS order_key
+        |  FROM (SELECT doc_id, text, clean_md5,
+        |    ('0x' || substr(md5('shuffle|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hi,
+        |    ('0x' || substr(md5('shuffle|' || CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT AS lo
+        |  FROM surv)),
+        |sh AS (SELECT doc_id, text, clean_md5, order_key,
+        |  ((order_key % 8) + 8) % 8 AS shard FROM h),
+        |p AS (SELECT doc_id, clean_md5, order_key, shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY order_key, doc_id) - 1
+        |    AS pos,
+        |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+        |  FROM sh),
+        |c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard
+        |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_tokens FROM p)
+        |SELECT doc_id, clean_md5, order_key, shard, pos, n_tokens,
+        |  cum_tokens,
+        |  CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS bin,
+        |  CAST((cum_tokens - n_tokens) % 2048 AS BIGINT) AS bin_offset
+        |FROM c ORDER BY doc_id""".stripMargin
         .replace("__PM__", plantMarkupCte("d0"))
         .replace("__PP__", plantPiiCte("pm"))
         .replace("__CLEAN__", redactSqlExpr(stripSqlExpr("text")))))

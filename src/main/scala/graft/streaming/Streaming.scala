@@ -144,6 +144,11 @@ object Streaming {
       .repartition(numFiles)
       .write.mode("overwrite").parquet(s"$dir/batch_id=$gen")
     closed.foreach { case (p, _) => fs.delete(p, true) }
+    // drop any cached file listing for the dir: Spark's shared
+    // FileStatusCache would otherwise serve the pre-compaction file
+    // list to the next read of the same path, which then fails with
+    // FILE_NOT_EXIST on the deleted originals
+    spark.catalog.refreshByPath(dir)
     true
   }
 
@@ -438,7 +443,8 @@ object Streaming {
         // in-stream maintenance of the DIGEST index only (sketch-width
         // rows; sealed generations bound the rewrite work). The
         // survivors table is the corpus itself — compact it at assembly
-        // time if at all, never per-N-batches
+        // time if at all (reconcile(compactSurvivors = true)), never
+        // per-N-batches
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           Streaming.compactIndex(spark, indexDir)
         ()

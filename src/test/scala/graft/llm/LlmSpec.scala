@@ -36,6 +36,28 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.9, s"lsh recall $recall")
   }
 
+  test("minhashLshReranked: sketch candidates carry exact Jaccard scores") {
+    val reranked = Dedup.minhashLshReranked(docs, "text", "doc_id",
+        shingleK = 5, numPerms = 8, bands = 4, minJaccard = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // recall on the planted high-jaccard pairs: the sketch proposes
+    val recall = trueDups.count(reranked.keySet.contains).toDouble / trueDups.size
+    assert(recall >= 0.9, s"reranked recall $recall over ${trueDups.size}")
+    // every emitted pair is an LSH band candidate (the rerank only
+    // filters and scores, never invents pairs)...
+    val cand = Dedup.minhashLsh(docs, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reranked.keySet.subsetOf(cand))
+    // ...and carries the EXACT score the posting-list path computes
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", k = 5,
+        maxDf = 5, minJaccard = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val scored = reranked.keySet.intersect(exact.keySet)
+    assert(scored.nonEmpty)
+    scored.foreach(p => assert(reranked(p) == exact(p),
+      s"$p: reranked ${reranked(p)} bp vs exact ${exact(p)} bp"))
+  }
+
   test("decontaminate: flags exactly the train docs sharing a k-gram, broadcast plan") {
     import spark.implicits._
     val train = Seq((1L, "a b c d e"), (2L, "p q r s t"), (3L, "a b c x y"))

@@ -351,6 +351,21 @@ class StreamingSpec extends SparkSpec {
         col("shard"), col("pos"))
     assert(graft.ops.Ops.frameDiff(assembled,
       graft.llm.Curation.pipeline(planted, "text", "doc_id")).isEmpty)
+
+    // assembly-time survivors compaction: the result is row-identical
+    // while the per-batch partitions collapse into a sealed generation
+    // (plus the open last batch, which compaction never touches). Runs
+    // LAST: compaction rewrites files, so pre-compaction DataFrames
+    // over the sink (their listings are captured at creation) must not
+    // be reused after it — the same rule any table rewrite has
+    val reconCompacted = graft.llm.Curation.reconcile(
+      spark, survDir, indexDir, "doc_id", compactSurvivors = true)
+    assert(graft.ops.Ops.frameDiff(reconCompacted, batchKeepers).isEmpty)
+    val partDirs = new java.io.File(survDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName).toSet
+    assert(partDirs.exists(_.startsWith("batch_id=-")),
+      s"expected a sealed generation partition, got $partDirs")
   }
 
   test("old-format index partitions (no id column) fail loudly, not silently") {
