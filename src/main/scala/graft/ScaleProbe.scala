@@ -216,6 +216,16 @@ object ScaleProbe {
     time("curation_neardup")(llm.Curation.pipelineNearDup(
       llm.Curation.withPlantedEverything(docs, "text", "doc_id"),
       "text", "doc_id", shards = 64))
+    // the fleet pair-source config: banded-LSH candidates + exact
+    // rerank — the shape that replaces posting lists at 100 TB
+    time("curation_neardup_lsh")(llm.Curation.pipelineNearDup(
+      llm.Curation.withPlantedEverything(docs, "text", "doc_id"),
+      "text", "doc_id", shards = 64,
+      pairSource = llm.Curation.lshPairSource()))
+    // fused epoch assembly: survivors → shuffle → pack in one plan
+    time("epoch_assembly")(llm.Curation.epochAssembly(
+      llm.Curation.withPlantedEverything(docs, "text", "doc_id"),
+      "text", "doc_id", shards = 64))
     time("sessionize")(llm.Sessionize.sessions(events, "user_id", "ts_us",
       order = Seq(col("ts_us"), col("event_id")),
       gapMicros = 1800000000L, valueCol = "value"))

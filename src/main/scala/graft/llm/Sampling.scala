@@ -169,6 +169,48 @@ object Sampling {
       .drop("__h", "__rk")
   }
 
+  /** Deterministic TOKEN-BUDGET sample per stratum — the form real
+    * mixture specs take ("30B tokens of web, 5B of code"), where
+    * [[takePerStratum]] counts documents and [[stratifiedSample]]
+    * rates are fractions of an unknown total. Rows rank within their
+    * stratum by (salted md5, id) — a uniform reproducible order — and
+    * the kept set is the rank-prefix whose cumulative token count
+    * stays under the stratum's budget: a row is kept iff the tokens
+    * BEFORE it fit (cum − tokens < budget), so the budget is overshot
+    * by at most one document (the same boundary convention as
+    * [[Chunking.packSequences]] bin assignment). Strata absent from
+    * `budgets` get `defaultBudget`.
+    *
+    * Scale shape: one rank window + one running-sum window, BOTH
+    * partitioned by the stratum — they share a single hash exchange
+    * (same fused-window shape as [[Curation.epochAssembly]]), so no
+    * global sort at any corpus size; strata are the parallelism unit.
+    * Deterministic and integer-exact, so the DuckDB oracle replays the
+    * selection bit-for-bit; changing `salt` redraws which documents
+    * fill the budget. Output: input + (n_tokens, cum_tokens), kept
+    * rows only. */
+  def tokenBudgetSample(df: DataFrame, id: Column, stratum: Column,
+                        tokens: Column, budgets: Map[String, Long],
+                        defaultBudget: Long,
+                        salt: String = "budget"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require((budgets.values ++ Seq(defaultBudget)).forall(_ >= 0),
+      "budgets must be >= 0")
+    graft.functions.Md5Hash64Expr.register(df.sparkSession)
+    val h = Dedup.md5Hash64(concat(lit(salt + "|"), id.cast("string")))
+    val budget = budgets.toSeq.sortBy(_._1)
+      .foldLeft[Column](lit(defaultBudget)) { case (els, (s, b)) =>
+        when(stratum === s, lit(b)).otherwise(els)
+      }
+    val w = Window.partitionBy(stratum).orderBy(col("__h"), id)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__h", h)
+      .withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+      .drop("__h")
+  }
+
   /** Per-stratum deterministic downsample: keep a row iff its hash
     * bucket falls under the stratum's rate. Strata absent from `rates`
     * keep `defaultRate`. The salt is independent of [[datasetSplit]]'s

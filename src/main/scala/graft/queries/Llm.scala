@@ -332,6 +332,69 @@ object Llm {
       .replace("__PP__", plantPiiCte("pm"))
       .replace("__CLEAN__", redactSqlExpr(stripSqlExpr("text")))
 
+  /** The full MinHash-LSH band-candidate oracle, shared VERBATIM by
+    * `llm_dedup_minhash_lsh` (one-shot recompute) and
+    * `llm_dedup_stream_pairs` (streamed index accumulation) — band
+    * signatures are per-document, so the streamed union must equal
+    * this full recompute exactly. */
+  private lazy val minhashLshSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    |  WHERE len(string_split(text, ' ')) >= 5),
+    |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+    |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
+    |        FROM toks)),
+    |md AS (SELECT doc_id, md5('0|' || shingle) AS m0,
+    |  md5('1|' || shingle) AS m1 FROM sh),
+    |mh AS (SELECT doc_id,
+    |  min(('0x' || substr(m0, 1, 8))::BIGINT) AS h0,
+    |  min(('0x' || substr(m0, 9, 8))::BIGINT) AS h1,
+    |  min(('0x' || substr(m0, 17, 8))::BIGINT) AS h2,
+    |  min(('0x' || substr(m0, 25, 8))::BIGINT) AS h3,
+    |  min(('0x' || substr(m1, 1, 8))::BIGINT) AS h4,
+    |  min(('0x' || substr(m1, 9, 8))::BIGINT) AS h5,
+    |  min(('0x' || substr(m1, 17, 8))::BIGINT) AS h6,
+    |  min(('0x' || substr(m1, 25, 8))::BIGINT) AS h7
+    |  FROM md GROUP BY doc_id),
+    |bands AS (
+    |  SELECT doc_id, 0 AS band,
+    |    md5(CAST(h0 AS VARCHAR) || '|' || CAST(h1 AS VARCHAR)) AS sig FROM mh
+    |  UNION ALL SELECT doc_id, 1,
+    |    md5(CAST(h2 AS VARCHAR) || '|' || CAST(h3 AS VARCHAR)) FROM mh
+    |  UNION ALL SELECT doc_id, 2,
+    |    md5(CAST(h4 AS VARCHAR) || '|' || CAST(h5 AS VARCHAR)) FROM mh
+    |  UNION ALL SELECT doc_id, 3,
+    |    md5(CAST(h6 AS VARCHAR) || '|' || CAST(h7 AS VARCHAR)) FROM mh)
+    |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+    |FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig
+    |  AND l.doc_id < r.doc_id
+    |ORDER BY a, b""".stripMargin
+
+  /** Write each tranche as one parquet file into `srcDir` with STRICTLY
+    * INCREASING, widely separated mtimes, so a single
+    * `maxFilesPerTrigger = 1` AvailableNow run processes them as
+    * separate micro-batches in EXACTLY this order (FileStreamSource
+    * sorts its backlog by modification time; sub-second write
+    * timestamps could otherwise tie). One stream start for N batches —
+    * the per-run query/checkpoint startup cost is paid once. */
+  private def streamedTranches(srcDir: String,
+                               tranches: Seq[DataFrame]): Unit = {
+    val stamped = scala.collection.mutable.Set.empty[String]
+    // fixed base: only the ORDER of mtimes matters (FileStreamSource's
+    // maxFileAge window is relative to the newest file seen, so an
+    // absolute past epoch is safe), and a fixed base keeps reruns
+    // byte-deterministic
+    val t0 = 1600000000000L
+    tranches.zipWithIndex.foreach { case (t, i) =>
+      t.coalesce(1).write.mode("append").parquet(srcDir)
+      new java.io.File(srcDir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".") && !stamped.contains(f.getName))
+        .foreach { f =>
+          f.setLastModified(t0 + i * 60000L); stamped += f.getName
+        }
+    }
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     ("llm_dedup_exact",
@@ -347,36 +410,35 @@ object Llm {
         Dedup.minhashLsh(Tables.documents(s, d), "text", "doc_id",
             shingleK = 5, numPerms = 8, bands = 4)
           .orderBy(col("a"), col("b"))): Q,
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 5),
-        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
-        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
-        |        FROM toks)),
-        |md AS (SELECT doc_id, md5('0|' || shingle) AS m0,
-        |  md5('1|' || shingle) AS m1 FROM sh),
-        |mh AS (SELECT doc_id,
-        |  min(('0x' || substr(m0, 1, 8))::BIGINT) AS h0,
-        |  min(('0x' || substr(m0, 9, 8))::BIGINT) AS h1,
-        |  min(('0x' || substr(m0, 17, 8))::BIGINT) AS h2,
-        |  min(('0x' || substr(m0, 25, 8))::BIGINT) AS h3,
-        |  min(('0x' || substr(m1, 1, 8))::BIGINT) AS h4,
-        |  min(('0x' || substr(m1, 9, 8))::BIGINT) AS h5,
-        |  min(('0x' || substr(m1, 17, 8))::BIGINT) AS h6,
-        |  min(('0x' || substr(m1, 25, 8))::BIGINT) AS h7
-        |  FROM md GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, 0 AS band,
-        |    md5(CAST(h0 AS VARCHAR) || '|' || CAST(h1 AS VARCHAR)) AS sig FROM mh
-        |  UNION ALL SELECT doc_id, 1,
-        |    md5(CAST(h2 AS VARCHAR) || '|' || CAST(h3 AS VARCHAR)) FROM mh
-        |  UNION ALL SELECT doc_id, 2,
-        |    md5(CAST(h4 AS VARCHAR) || '|' || CAST(h5 AS VARCHAR)) FROM mh
-        |  UNION ALL SELECT doc_id, 3,
-        |    md5(CAST(h6 AS VARCHAR) || '|' || CAST(h7 AS VARCHAR)) FROM mh)
-        |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-        |FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig
-        |  AND l.doc_id < r.doc_id
-        |ORDER BY a, b""".stripMargin)),
+      Some(minhashLshSql)),
+
+    // the STREAMED dedup index under the DuckDB oracle: three
+    // micro-batches through dedupIndexStream (signatures computed once
+    // per document, persisted, each batch's candidates joined against
+    // the accumulated index), then the union of all per-batch pair
+    // partitions — which must equal the FULL recompute, because band
+    // signatures are per-document and every pair is emitted by the
+    // batch of its later-arriving member. The oracle is
+    // llm_dedup_minhash_lsh's SQL VERBATIM
+    ("llm_dedup_stream_pairs",
+      ((s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-dedup-stream").toString
+        val srcDir = s"$base/src"
+        streamedTranches(srcDir,
+          Seq(docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+            docs.filter(pmod(col("doc_id"), lit(3)) === 1),
+            docs.filter(pmod(col("doc_id"), lit(3)) === 2)))
+        val src = graft.streaming.Streaming.fileStream(s, srcDir,
+          docs.schema, maxFilesPerTrigger = 1)
+        val q = graft.streaming.Streaming.dedupIndexStream(src, "text",
+          "doc_id", s"$base/index", s"$base/pairs", s"$base/ck").start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+        s.read.parquet(s"$base/pairs").select(col("a"), col("b"))
+          .distinct().orderBy(col("a"), col("b"))
+      }): Q,
+      Some(minhashLshSql)),
 
     // incremental dedup: the 20% "new batch" (doc_id ≡ 4 mod 5) joins
     // against the 80% existing signature index — the oracle is the
@@ -1524,24 +1586,22 @@ object Llm {
         val base = java.nio.file.Files
           .createTempDirectory("graft-streamed").toString
         val srcDir = s"$base/src"
-        def runOnce(): Unit = {
-          val src = graft.streaming.Streaming.fileStream(s, srcDir,
-            planted.schema)
-          val q = graft.streaming.Streaming.curationStream(src, "text",
-            "doc_id", s"$base/surv", s"$base/index", s"$base/ck").start()
-          try q.awaitTermination() finally if (q.isActive) q.stop()
-        }
-        // three tranches, each its own AvailableNow run → three
-        // micro-batches; copies first = the order that breaks a
-        // first-arrival keeper without reconcile
-        Seq(planted.filter(col("doc_id") >= 924000L),
+        // three tranches, copies FIRST = the arrival order that breaks
+        // a first-arrival keeper without reconcile; one AvailableNow
+        // run with maxFilesPerTrigger=1 turns the three drops into
+        // three micro-batches (FileStreamSource orders by mtime, which
+        // streamedTranches pins per file)
+        streamedTranches(srcDir,
+          Seq(planted.filter(col("doc_id") >= 924000L),
             planted.filter(col("doc_id") < 924000L &&
               pmod(col("doc_id"), lit(2)) === 0),
             planted.filter(col("doc_id") < 924000L &&
-              pmod(col("doc_id"), lit(2)) === 1))
-          .foreach { t =>
-            t.coalesce(1).write.mode("append").parquet(srcDir); runOnce()
-          }
+              pmod(col("doc_id"), lit(2)) === 1)))
+        val src = graft.streaming.Streaming.fileStream(s, srcDir,
+          planted.schema, maxFilesPerTrigger = 1)
+        val q = graft.streaming.Streaming.curationStream(src, "text",
+          "doc_id", s"$base/surv", s"$base/index", s"$base/ck").start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
         Sampling.shuffleOrder(
             Curation.reconcile(s, s"$base/surv", s"$base/index", "doc_id"),
             col("doc_id"), shards = 8)
@@ -1775,6 +1835,43 @@ object Llm {
         |FROM c ORDER BY doc_id""".stripMargin
         .replace("__PM__", plantMarkupCte("d0"))
         .replace("__PP__", plantPiiCte("pm"))
-        .replace("__CLEAN__", redactSqlExpr(stripSqlExpr("text")))))
+        .replace("__CLEAN__", redactSqlExpr(stripSqlExpr("text"))))),
+
+    // token-budget sampling — the form real mixture specs take ("N
+    // tokens of web, M of code"): rank per source by salted md5, keep
+    // the rank-prefix whose cumulative tokens stay under the source's
+    // budget (overshoot ≤ 1 document — packSequences' boundary
+    // convention). Budgets bind at every test SF (per-source corpora
+    // are ≥ 1100 tokens), so the selection is non-vacuous everywhere;
+    // the oracle replays the whole ranked prefix sum exactly
+    ("llm_token_budget_sample",
+      ((s: SparkSession, d: String) =>
+        Sampling.tokenBudgetSample(
+            Tables.documents(s, d).select(col("doc_id"), col("source"),
+              col("text")),
+            col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")),
+            budgets = Map("src0" -> 400L, "src1" -> 800L),
+            defaultBudget = 600L)
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            col("cum_tokens"))
+          .orderBy(col("doc_id"))): Q,
+      Some("""WITH n AS (SELECT doc_id, source,
+        |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+        |  (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+        |    * 4294967296 + lo AS h
+        |  FROM (SELECT doc_id, source, text,
+        |    ('0x' || substr(md5('budget|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hi,
+        |    ('0x' || substr(md5('budget|' || CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT AS lo
+        |  FROM documents)),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_tokens
+        |  FROM n)
+        |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens - n_tokens <
+        |  CASE source WHEN 'src0' THEN 400 WHEN 'src1' THEN 800 ELSE 600 END
+        |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -80,6 +80,54 @@ class SamplingSpec extends SparkSpec {
     assert(out.join(other, Seq("event_id"), "left_anti").count() > 0)
   }
 
+  test("tokenBudgetSample: budget respected with <= 1 doc overshoot, prefix property, salt redraws") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("source"), col("text"))
+    val budgets = Map("src0" -> 400L, "src1" -> 800L)
+    val out = Sampling.tokenBudgetSample(docs, col("doc_id"), col("source"),
+      TextAnalysis.tokenCount(col("text")), budgets, defaultBudget = 600L)
+      .cache()
+    // per-source totals: the LAST kept doc may overshoot, but the
+    // tokens BEFORE it always fit — max(cum - n) < budget per source
+    out.groupBy(col("source"))
+      .agg(max(col("cum_tokens") - col("n_tokens")).as("max_start"))
+      .collect().foreach { r =>
+        val b = budgets.getOrElse(r.getString(0), 600L)
+        assert(r.getLong(1) < b, s"${r.getString(0)}: start ${r.getLong(1)} >= $b")
+      }
+    // every source is non-vacuously truncated at this SF (each holds
+    // >= 1100 tokens, all budgets are <= 800)
+    val keptPerSrc = out.groupBy(col("source")).count().collect()
+    assert(keptPerSrc.length == 20)
+    val inPerSrc = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    keptPerSrc.foreach(r =>
+      assert(r.getLong(1) < inPerSrc(r.getString(0)),
+        s"${r.getString(0)} not truncated"))
+    // prefix property: kept set = the rank-prefix — no kept doc ranks
+    // after a dropped doc of the same source (rank = (md5 h, id))
+    val all = Sampling.tokenBudgetSample(docs, col("doc_id"), col("source"),
+      TextAnalysis.tokenCount(col("text")),
+      budgets = Map.empty, defaultBudget = Long.MaxValue)
+    val ranked = all.join(out.select(col("doc_id"), lit(1).as("__kept")),
+      Seq("doc_id"), "left")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(col("cum_tokens"))
+    val brokenPrefix = ranked
+      .withColumn("__later_kept", max(col("__kept")).over(
+        w.rowsBetween(1, org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .filter(col("__kept").isNull && col("__later_kept") === 1)
+      .count()
+    assert(brokenPrefix == 0L, "kept set is not a rank prefix")
+    // deterministic; a different salt redraws the fill
+    assert(graft.ops.Ops.frameDiff(out,
+      Sampling.tokenBudgetSample(docs, col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")), budgets, 600L)).isEmpty)
+    val other = Sampling.tokenBudgetSample(docs, col("doc_id"), col("source"),
+      TextAnalysis.tokenCount(col("text")), budgets, 600L, salt = "budget2")
+    assert(out.join(other, Seq("doc_id"), "left_anti").count() > 0)
+  }
+
   test("datasetSplitByCluster: no near-dup pair straddles splits, singletons unchanged") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
