@@ -487,6 +487,95 @@ object Dedup {
     snap
   }
 
+  /** EXACT SUBSTRING dedup spans — the "repeated ≥ L-token sequence"
+    * pass of published pipeline recipes (suffix-array substring dedup:
+    * any sequence appearing more than once in the corpus keeps ONE
+    * canonical occurrence; every other occurrence is cut). This is the
+    * shuffle-friendly gram-level form of the suffix-array algorithm:
+    * every L-token gram is hashed (`md5Hash64`, oracle-replayable), a
+    * gram with document frequency ≥ 2 keeps its minimum (doc, pos)
+    * occurrence, and all OTHER marked gram starts merge into maximal
+    * token spans per document (overlapping or adjacent grams coalesce),
+    * which is exactly the token range a suffix-array pass would cut for
+    * repeats of length in [L, 2L).
+    *
+    * Scale shape: one explode + one hash-keyed aggregate for the gram
+    * df/keeper (the only corpus-wide shuffle — key space is the gram
+    * vocabulary), then three windows ALL partitioned by the document id
+    * (previous-max-end, span flag cumsum, span grouping) that share one
+    * exchange; marked rows are duplicated-gram occurrences only, far
+    * smaller than the corpus. The (doc, pos) keeper is packed as
+    * id·2²⁰ + pos for a cross-engine-exact integer min — documents are
+    * assumed < 2²⁰ (~10⁶) tokens, true of any pretraining corpus after
+    * chunking. Output: (id, span_id, span_start, span_end) — 1-based
+    * token intervals [span_start, span_end) to cut, span_id dense per
+    * document. */
+  def repeatedSpans(df: DataFrame, text: String, id: String,
+                    gramLen: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.Md5Hash64Expr.register(df.sparkSession)
+    val toks = tokenize(df, text, id)
+    val grams = toks.filter(size(col("toks")) >= gramLen)
+      .select(col(id),
+        explode(sequence(lit(1), size(col("toks")) - (gramLen - 1))).as("pos"),
+        col("toks"))
+      .select(col(id), col("pos"),
+        md5Hash64(concat_ws(" ",
+          slice(col("toks"), col("pos"), lit(gramLen)))).as("h"))
+    val packed = col(id) * lit(1048576L) + col("pos")
+    val dup = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"), min(packed).as("keep"))
+      .filter(col("df") >= 2)
+    val marked = grams.join(dup.select(col("h"), col("keep")), Seq("h"))
+      .filter(packed =!= col("keep"))
+      .select(col(id), col("pos"))
+    val w = Window.partitionBy(col(id)).orderBy(col("pos"))
+    marked
+      .withColumn("__pme", max(col("pos") + gramLen)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__ns",
+        when(col("__pme").isNull || col("pos") > col("__pme"), 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum(col("__ns"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(id), col("span_id"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + gramLen).cast("long").as("span_end"))
+  }
+
+  /** Apply [[repeatedSpans]]: rebuild each document's token stream with
+    * every cut span removed (the canonical occurrence, kept by the
+    * span marking, survives somewhere in the corpus). Output:
+    * (id, cut_md5 = md5 of the space-rejoined surviving tokens,
+    * n_tokens_cut) — one row per input document, untouched documents
+    * included (their cut_md5 is the rejoined original, so the digest
+    * convention is uniform).
+    *
+    * The token filter is a higher-order lambda (interpreted, not
+    * codegen) — acceptable because it is one narrow pass whose
+    * per-row work is linear in document length, and the span arrays it
+    * probes exist only for marked documents (null for the rest, and
+    * the lambda short-circuits on the null guard). A fleet run that
+    * measures this projection as a bottleneck would move the cut into
+    * `mapPartitions`; the semantics here are the contract. */
+  def cutRepeatedSpans(df: DataFrame, text: String, id: String,
+                       gramLen: Int = 50): DataFrame = {
+    val spans = repeatedSpans(df, text, id, gramLen)
+      .groupBy(col(id))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
+    val toks = split(col(text), " ")
+    val kept = filter(toks, (_, i) =>
+      col("__spans").isNull || !exists(col("__spans"), s =>
+        (i + 1) >= s.getField("span_start") && (i + 1) < s.getField("span_end")))
+    graft.ops.Ops.parallelizeInput(df, col(id))
+      .select(col(id), col(text))
+      .join(spans, Seq(id), "left")
+      .select(col(id),
+        md5(concat_ws(" ", kept).cast("binary")).as("cut_md5"),
+        (size(toks) - size(kept)).cast("long").as("n_tokens_cut"))
+  }
+
   /** Connected components over near-dup pairs → duplicate clusters:
     * every document labeled with the minimum id in its component, so
     * "keep one per cluster" = keep rows where id == cluster. Iterative

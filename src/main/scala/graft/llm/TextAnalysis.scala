@@ -209,6 +209,38 @@ object TextAnalysis {
       .select(col(id), col("n_tok"), col("uni_score_e12"), col("bi_score_e6"))
   }
 
+  /** CCNet-style perplexity bucketing: rank every document within its
+    * stratum (CCNet buckets per LANGUAGE) by model fit — here the
+    * exact [[lmFluency]] bigram score, descending, id tie-break — and
+    * cut the ranking into equal thirds: `head` (most model-like),
+    * `middle`, `tail` (least). The published recipe trains on
+    * head+middle and drops or down-weights tail; this emits the label
+    * so any policy can filter on it. Documents shorter than 2 tokens
+    * carry no fluency score and get no row, exactly like [[lmFluency]].
+    *
+    * Scale: [[lmFluency]]'s two keyed aggregates plus one rank window
+    * and one count window, BOTH partitioned by the stratum — per-
+    * language partitions are the parallelism unit (what per-language
+    * bucketing means), so no global sort at any corpus size. Every
+    * boundary comparison is integer (rk·3 ≤ n), so the DuckDB oracle
+    * reproduces the labels exactly. Output:
+    * (id, stratum, bi_score_e6, bucket). */
+  def perplexityBuckets(df: DataFrame, text: String, id: String,
+                        stratum: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = lmFluency(df, text, id)
+    val joined = df.select(col(id), col(stratum)).join(scored, Seq(id))
+    val w = Window.partitionBy(col(stratum))
+      .orderBy(col("bi_score_e6").desc, col(id))
+    joined
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(stratum))))
+      .select(col(id), col(stratum), col("bi_score_e6"),
+        when(col("__rk") * 3 <= col("__n"), lit("head"))
+          .when(col("__rk") * 3 <= col("__n") * 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** PII patterns for detection/redaction: (name, regex, replacement).
     * The regexes stay inside the RE2 ∩ java.util.regex common subset
     * (character classes, bounded repetition, ASCII \b) so the Spark

@@ -395,6 +395,37 @@ object Llm {
     }
   }
 
+  /** The exact unigram+bigram corpus-LM scoring CTEs (produce `us` with
+    * (doc_id, n_tok, uni_score_e12) and `bs` with (doc_id,
+    * bi_score_e6)), shared by `llm_text_lm_fluency` and
+    * `llm_perplexity_buckets` — the bucket labels must be computed from
+    * the SAME scores the fluency row grades. */
+  private lazy val lmFluencyCtes: String =
+    """u AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+    |  FROM documents),
+    |c1u AS (SELECT term, count(*) AS c1 FROM u GROUP BY term),
+    |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS total FROM c1u),
+    |us AS (SELECT doc_id,
+    |    CAST(floor(CAST(sum(c1) AS DOUBLE) * 1000000000000.0
+    |      / (count(*) * (SELECT total FROM tot)) + 0.5) AS BIGINT)
+    |      AS uni_score_e12,
+    |    count(*) AS n_tok
+    |  FROM u JOIN c1u USING (term) GROUP BY doc_id),
+    |btoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    |  WHERE len(string_split(text, ' ')) >= 2),
+    |b AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS shingle
+    |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+    |        FROM btoks)),
+    |c2b AS (SELECT shingle, count(*) AS c2 FROM b GROUP BY shingle),
+    |bq AS (SELECT doc_id,
+    |    CAST(floor(c2 * 1000000.0 / c1 + 0.5) AS BIGINT) AS q
+    |  FROM b JOIN c2b USING (shingle)
+    |  JOIN c1u ON c1u.term = split_part(b.shingle, ' ', 1)),
+    |bs AS (SELECT doc_id,
+    |    CAST(floor(CAST(sum(q) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+    |      AS bi_score_e6
+    |  FROM bq GROUP BY doc_id)""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     ("llm_dedup_exact",
@@ -1075,32 +1106,34 @@ object Llm {
       ((s: SparkSession, d: String) =>
         TextAnalysis.lmFluency(Tables.documents(s, d), "text", "doc_id")
           .orderBy(col("doc_id"))): Q,
-      Some("""WITH u AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-        |  FROM documents),
-        |c1u AS (SELECT term, count(*) AS c1 FROM u GROUP BY term),
-        |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS total FROM c1u),
-        |us AS (SELECT doc_id,
-        |    CAST(floor(CAST(sum(c1) AS DOUBLE) * 1000000000000.0
-        |      / (count(*) * (SELECT total FROM tot)) + 0.5) AS BIGINT)
-        |      AS uni_score_e12,
-        |    count(*) AS n_tok
-        |  FROM u JOIN c1u USING (term) GROUP BY doc_id),
-        |btoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 2),
-        |b AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS shingle
-        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
-        |        FROM btoks)),
-        |c2b AS (SELECT shingle, count(*) AS c2 FROM b GROUP BY shingle),
-        |bq AS (SELECT doc_id,
-        |    CAST(floor(c2 * 1000000.0 / c1 + 0.5) AS BIGINT) AS q
-        |  FROM b JOIN c2b USING (shingle)
-        |  JOIN c1u ON c1u.term = split_part(b.shingle, ' ', 1)),
-        |bs AS (SELECT doc_id,
-        |    CAST(floor(CAST(sum(q) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
-        |      AS bi_score_e6
-        |  FROM bq GROUP BY doc_id)
+      Some(s"""WITH $lmFluencyCtes
         |SELECT us.doc_id, us.n_tok, us.uni_score_e12, bs.bi_score_e6
         |FROM us JOIN bs USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // CCNet-style perplexity buckets: per-LANGUAGE rank by the exact
+    // bigram fluency score, cut into head/middle/tail thirds (the
+    // recipe trains on head+middle). Integer boundary comparisons
+    // (rk*3 <= n) over the shared fluency CTEs — the oracle reproduces
+    // every label exactly
+    ("llm_perplexity_buckets",
+      ((s: SparkSession, d: String) =>
+        TextAnalysis.perplexityBuckets(Tables.documents(s, d), "text",
+            "doc_id", stratum = "lang")
+          .orderBy(col("doc_id"))): Q,
+      Some(s"""WITH $lmFluencyCtes,
+        |sc AS (SELECT us.doc_id, bs.bi_score_e6 FROM us
+        |  JOIN bs USING (doc_id)),
+        |j AS (SELECT d.doc_id, d.lang, sc.bi_score_e6 FROM documents d
+        |  JOIN sc USING (doc_id)),
+        |r AS (SELECT doc_id, lang, bi_score_e6,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY bi_score_e6 DESC, doc_id) AS BIGINT) AS rk,
+        |  CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n FROM j)
+        |SELECT doc_id, lang, bi_score_e6,
+        |  CASE WHEN rk * 3 <= n THEN 'head'
+        |       WHEN rk * 3 <= n * 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin)),
 
     // leakage-safe split: assignment keyed by the duplicate CLUSTER's
     // min-id representative, so a near-dup pair can never straddle
@@ -1872,6 +1905,98 @@ object Llm {
         |SELECT doc_id, source, n_tokens, cum_tokens FROM c
         |WHERE cum_tokens - n_tokens <
         |  CASE source WHEN 'src0' THEN 400 WHEN 'src1' THEN 800 ELSE 600 END
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // exact-substring dedup spans (the "repeated >= L-token sequence
+    // keeps one occurrence" pipeline pass): 20-token grams hashed with
+    // the shared md5-derived 64-bit hash, df >= 2 grams keep their
+    // minimum (doc, pos) occurrence, all other occurrences merge into
+    // maximal per-document cut spans. The oracle recomputes the gram
+    // hashes, the packed-integer keeper min, and the interval merge
+    // windows exactly
+    ("llm_repeated_spans",
+      ((s: SparkSession, d: String) =>
+        Dedup.repeatedSpans(Tables.documents(s, d), "text", "doc_id",
+            gramLen = 20)
+          .orderBy(col("doc_id"), col("span_start"))): Q,
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 20),
+        |g AS (SELECT doc_id, i AS pos,
+        |  (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+        |    * 4294967296 + lo AS h
+        |  FROM (SELECT doc_id, i,
+        |    ('0x' || substr(md5(gram), 1, 8))::BIGINT AS hi,
+        |    ('0x' || substr(md5(gram), 9, 8))::BIGINT AS lo
+        |  FROM (SELECT doc_id, i, array_to_string(t[i:i+19], ' ') AS gram
+        |    FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-19)) AS i
+        |          FROM toks)))),
+        |d AS (SELECT h, count(*) AS df, min(doc_id * 1048576 + pos) AS keep
+        |  FROM g GROUP BY h),
+        |m AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (h)
+        |  WHERE d.df >= 2 AND g.doc_id * 1048576 + g.pos != d.keep),
+        |x AS (SELECT doc_id, pos, max(pos + 20) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS pme FROM m),
+        |f AS (SELECT doc_id, pos,
+        |  CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END AS ns FROM x),
+        |sp AS (SELECT doc_id, pos, CAST(sum(ns) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS span_id FROM f)
+        |SELECT doc_id, span_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 20 AS BIGINT) AS span_end
+        |FROM sp GROUP BY doc_id, span_id
+        |ORDER BY doc_id, span_start""".stripMargin)),
+
+    // the apply step of exact-substring dedup: every cut span removed,
+    // surviving tokens rejoined and digested — one row per input doc
+    // (uniform digest convention for untouched docs). The oracle
+    // rebuilds the spans, then reassembles each document from its
+    // uncovered token positions with a correlated NOT EXISTS
+    ("llm_repeated_spans_cut",
+      ((s: SparkSession, d: String) =>
+        Dedup.cutRepeatedSpans(Tables.documents(s, d), "text", "doc_id",
+            gramLen = 20)
+          .orderBy(col("doc_id"))): Q,
+      Some("""WITH atoks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |toks AS (SELECT doc_id, t FROM atoks WHERE len(t) >= 20),
+        |g AS (SELECT doc_id, i AS pos,
+        |  (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+        |    * 4294967296 + lo AS h
+        |  FROM (SELECT doc_id, i,
+        |    ('0x' || substr(md5(gram), 1, 8))::BIGINT AS hi,
+        |    ('0x' || substr(md5(gram), 9, 8))::BIGINT AS lo
+        |  FROM (SELECT doc_id, i, array_to_string(t[i:i+19], ' ') AS gram
+        |    FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-19)) AS i
+        |          FROM toks)))),
+        |d AS (SELECT h, count(*) AS df, min(doc_id * 1048576 + pos) AS keep
+        |  FROM g GROUP BY h),
+        |m AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (h)
+        |  WHERE d.df >= 2 AND g.doc_id * 1048576 + g.pos != d.keep),
+        |x AS (SELECT doc_id, pos, max(pos + 20) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS pme FROM m),
+        |f AS (SELECT doc_id, pos,
+        |  CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END AS ns FROM x),
+        |sp AS (SELECT doc_id, pos, CAST(sum(ns) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS span_id FROM f),
+        |spans AS (SELECT doc_id, min(pos) AS span_start,
+        |  max(pos) + 20 AS span_end
+        |  FROM sp GROUP BY doc_id, span_id),
+        |pos AS (SELECT doc_id, t[p] AS tok, p
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS p
+        |        FROM atoks)),
+        |cut AS (SELECT p.doc_id,
+        |  string_agg(p.tok, ' ' ORDER BY p.p) AS txt,
+        |  count(*) AS n_kept
+        |  FROM pos p
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans s WHERE s.doc_id = p.doc_id
+        |    AND p.p >= s.span_start AND p.p < s.span_end)
+        |  GROUP BY p.doc_id)
+        |SELECT a.doc_id, md5(coalesce(c.txt, '')) AS cut_md5,
+        |  CAST(len(a.t) - coalesce(c.n_kept, 0) AS BIGINT) AS n_tokens_cut
+        |FROM atoks a LEFT JOIN cut c USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin))
   )
 }

@@ -58,6 +58,42 @@ class LlmSpec extends SparkSpec {
       s"$p: reranked ${reranked(p)} bp vs exact ${exact(p)} bp"))
   }
 
+  test("repeatedSpans/cutRepeatedSpans: copies cut to nothing, keeper intact, spans maximal") {
+    import spark.implicits._
+    val common = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (1L, common),                                   // keeper (min (doc, pos))
+      (2L, common),                                   // exact copy
+      (3L, s"$common extra unique tail tokens here"), // repeated prefix
+      (4L, (100 to 140).map(i => s"only$i").mkString(" "))) // unique
+      .toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(df, "text", "doc_id", gramLen = 20)
+      .collect()
+    // every duplicated gram's min-(doc,pos) occurrence is doc 1's — the
+    // keeper carries no spans, and the unique doc none either
+    assert(!spans.exists(r => r.getLong(0) == 1L || r.getLong(0) == 4L))
+    // the copy's 11 duplicated gram starts merge into ONE maximal span
+    // covering all 30 tokens: [1, 31)
+    val s2 = spans.filter(_.getLong(0) == 2L)
+    assert(s2.length == 1 && s2.head.getLong(2) == 1L
+      && s2.head.getLong(3) == 31L)
+    // the prefix-sharing doc cuts exactly the shared prefix
+    val s3 = spans.filter(_.getLong(0) == 3L)
+    assert(s3.length == 1 && s3.head.getLong(2) == 1L
+      && s3.head.getLong(3) == 31L)
+    val cut = Dedup.cutRepeatedSpans(df, "text", "doc_id", gramLen = 20)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(cut(1L)._2 == 0L && cut(4L)._2 == 0L) // keeper + unique intact
+    assert(cut(2L)._2 == 30L)                    // copy fully cut
+    assert(cut(2L)._1 == "d41d8cd98f00b204e9800998ecf8427e") // md5("")
+    assert(cut(3L)._2 == 30L)                    // prefix cut, tail kept
+    val tailMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("extra unique tail tokens here".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(cut(3L)._1 == tailMd5)
+  }
+
   test("decontaminate: flags exactly the train docs sharing a k-gram, broadcast plan") {
     import spark.implicits._
     val train = Seq((1L, "a b c d e"), (2L, "p q r s t"), (3L, "a b c x y"))
