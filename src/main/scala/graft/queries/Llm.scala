@@ -1635,8 +1635,12 @@ object Llm {
         val q = graft.streaming.Streaming.curationStream(src, "text",
           "doc_id", s"$base/surv", s"$base/index", s"$base/ck").start()
         try q.awaitTermination() finally if (q.isActive) q.stop()
+        // compactSurvivors: the assembly-time sink compaction runs
+        // INSIDE the graded path, so the oracle also proves the
+        // compacted read is byte-equal to the batch pipeline
         Sampling.shuffleOrder(
-            Curation.reconcile(s, s"$base/surv", s"$base/index", "doc_id"),
+            Curation.reconcile(s, s"$base/surv", s"$base/index", "doc_id",
+              compactSurvivors = true),
             col("doc_id"), shards = 8)
           .select(col("doc_id"), col("clean_md5"), col("order_key"),
             col("shard"), col("pos"))

@@ -94,6 +94,53 @@ class LlmSpec extends SparkSpec {
     assert(cut(3L)._1 == tailMd5)
   }
 
+  test("repeatedSpans: agrees with a brute-force reference on a deterministic corpus") {
+    import spark.implicits._
+    // deterministic pseudo-random corpus with engineered overlaps:
+    // vocabulary small enough that repeated windows arise naturally
+    def tok(seed: Long, i: Int): String = {
+      val x = (seed * 6364136223846793005L + i * 1442695040888963407L)
+      s"w${math.floorMod(x >> 33, 40)}"
+    }
+    val L = 5
+    val corpus = (0 until 24).map { d =>
+      val n = 12 + (d % 9)
+      val base = (0 until n).map(i => tok(d % 6, i)) // 6 families → repeats
+      (d.toLong, base.mkString(" "))
+    }
+    // brute-force reference: every L-gram occurrence, keeper = min
+    // (doc, pos), others marked, intervals merged
+    val occ = scala.collection.mutable.Map.empty[String, List[(Long, Int)]]
+    corpus.foreach { case (d, text) =>
+      val t = text.split(" ")
+      (0 to t.length - L).foreach { p =>
+        val g = t.slice(p, p + L).mkString(" ")
+        occ(g) = (d, p + 1) :: occ.getOrElse(g, Nil)
+      }
+    }
+    val marked = occ.values.filter(_.size >= 2).flatMap { os =>
+      val keep = os.minBy { case (d, p) => (d, p) }
+      os.filterNot(_ == keep)
+    }.toSeq
+    val expected = marked.groupBy(_._1).flatMap { case (d, ps) =>
+      val sorted = ps.map(_._2).distinct.sorted
+      val spans = scala.collection.mutable.Buffer.empty[(Int, Int)]
+      sorted.foreach { p =>
+        if (spans.nonEmpty && p <= spans.last._2) {
+          val (s0, e0) = spans.last
+          spans(spans.length - 1) = (s0, math.max(e0, p + L))
+        } else spans += ((p, p + L))
+      }
+      spans.map { case (s0, e0) => (d, s0.toLong, e0.toLong) }
+    }.toSet
+    val got = Dedup.repeatedSpans(corpus.toDF("doc_id", "text"), "text",
+        "doc_id", gramLen = L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(expected.nonEmpty, "corpus produced no repeats — test is vacuous")
+    assert(got == expected,
+      s"only in spark: ${(got -- expected).take(5)}; only in ref: ${(expected -- got).take(5)}")
+  }
+
   test("decontaminate: flags exactly the train docs sharing a k-gram, broadcast plan") {
     import spark.implicits._
     val train = Seq((1L, "a b c d e"), (2L, "p q r s t"), (3L, "a b c x y"))
