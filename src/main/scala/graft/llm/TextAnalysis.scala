@@ -241,6 +241,52 @@ object TextAnalysis {
           .otherwise(lit("tail")).as("bucket"))
   }
 
+  /** Target-domain importance weights — the scoring step of
+    * importance-resampling data selection (DSIR-style: score every
+    * corpus document by how much better its tokens fit a TARGET
+    * domain's distribution than the corpus's own, then sample by
+    * weight). The published recipe sums log(p_target/p_raw) over
+    * hashed n-grams; `log` is libm-dependent (not cross-engine exact),
+    * so — like tfidf's rational idf — the score here is the mean
+    * quantized likelihood RATIO with add-one smoothing:
+    * per token, q = ⌊(c_t+1)·(R+V) · 2²⁰ / ((c_r+1)·(T+V)) + 0.5⌋
+    * where c_t/c_r are the token's target/corpus counts, T/R the
+    * total target/corpus token counts, V the union vocabulary size —
+    * exact long products, one exactly-rounded IEEE multiply+divide
+    * (bit-equal in any IEEE engine), exact long sum, one final exact
+    * divide. Monotone in the same "more target-like" signal as the
+    * log form. q > 2²⁰ means the token is more likely under the
+    * target than the corpus.
+    *
+    * Scale: two vocabulary-keyed count aggregates (target side is the
+    * small one), two equi-joins on the token key, one per-document
+    * aggregate — lmFluency's shuffle shape; the only driver values are
+    * the three scalars T, R, V. Output: (id, n_tok, dsir_q20). */
+  def targetDomainWeights(corpus: DataFrame, target: DataFrame,
+                          text: String, id: String): DataFrame = {
+    val uni = Dedup.tokenize(corpus, text, id)
+      .select(col(id), explode(col("toks")).as("term"))
+    val tUni = Dedup.tokenize(target, text, id)
+      .select(explode(col("toks")).as("term"))
+    val cr = uni.groupBy(col("term")).agg(count(lit(1)).as("c_r"))
+    val ct = tUni.groupBy(col("term")).agg(count(lit(1)).as("c_t"))
+    val bigR = cr.agg(sum(col("c_r"))).head.getLong(0)
+    val bigT = ct.agg(sum(col("c_t"))).head.getLong(0)
+    val v = cr.select(col("term"))
+      .union(ct.select(col("term"))).distinct().count()
+    uni.join(cr, Seq("term"))
+      .join(ct, Seq("term"), "left")
+      .select(col(id),
+        floor((coalesce(col("c_t"), lit(0L)) + 1L) * lit(bigR + v)
+            * lit(1048576.0)
+            / ((col("c_r") + 1L) * lit(bigT + v)) + 0.5)
+          .cast("long").as("q"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_tok"),
+        floor(sum(col("q")).cast("double") / count(lit(1)) + 0.5)
+          .cast("long").as("dsir_q20"))
+  }
+
   /** PII patterns for detection/redaction: (name, regex, replacement).
     * The regexes stay inside the RE2 ∩ java.util.regex common subset
     * (character classes, bounded repetition, ASCII \b) so the Spark

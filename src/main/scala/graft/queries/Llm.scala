@@ -1135,6 +1135,39 @@ object Llm {
         |       ELSE 'tail' END AS bucket
         |FROM r ORDER BY doc_id""".stripMargin)),
 
+    // DSIR-style target-domain importance weights in exact rational
+    // form: target = the src0 domain, corpus = all documents; per
+    // token q = (c_t+1)(R+V)·2^20 / ((c_r+1)(T+V)) — exact long
+    // products, exactly-rounded IEEE multiply+divide, exact long sum.
+    // The oracle recomputes counts, the three scalars and every
+    // quantized ratio identically
+    ("llm_dsir_weights",
+      ((s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        TextAnalysis.targetDomainWeights(docs,
+            docs.filter(col("source") === "src0"), "text", "doc_id")
+          .orderBy(col("doc_id"))
+      }): Q,
+      Some("""WITH u AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tt AS (SELECT unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE source = 'src0'),
+        |cr AS (SELECT term, count(*) AS c_r FROM u GROUP BY term),
+        |ct AS (SELECT term, count(*) AS c_t FROM tt GROUP BY term),
+        |tot AS (SELECT (SELECT count(*) FROM tt) AS t,
+        |  (SELECT count(*) FROM u) AS r,
+        |  (SELECT count(DISTINCT term) FROM
+        |    (SELECT term FROM tt UNION SELECT term FROM u)) AS v),
+        |q AS (SELECT u.doc_id,
+        |  CAST(floor((coalesce(ct.c_t, 0) + 1) * (tot.r + tot.v)
+        |      * 1048576.0 / ((cr.c_r + 1) * (tot.t + tot.v)) + 0.5)
+        |    AS BIGINT) AS q
+        |  FROM u JOIN cr USING (term) LEFT JOIN ct USING (term), tot)
+        |SELECT doc_id, count(*) AS n_tok,
+        |  CAST(floor(CAST(sum(q) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+        |    AS dsir_q20
+        |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // leakage-safe split: assignment keyed by the duplicate CLUSTER's
     // min-id representative, so a near-dup pair can never straddle
     // train and test (doc-level hashing leaks such pairs ~2·p·(1−p) of

@@ -141,6 +141,24 @@ class LlmSpec extends SparkSpec {
       s"only in spark: ${(got -- expected).take(5)}; only in ref: ${(expected -- got).take(5)}")
   }
 
+  test("targetDomainWeights: target-domain docs outscore the rest, identity-target is flat") {
+    val w = TextAnalysis.targetDomainWeights(docs,
+        docs.filter(col("source") === "src0"), "text", "doc_id")
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .cache()
+    // the target domain's own documents must average a higher weight
+    // than out-of-domain documents — the signal DSIR selects on
+    val avg = w.groupBy(col("source") === "src0")
+      .agg(org.apache.spark.sql.functions.avg(col("dsir_q20")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(avg(true) > avg(false),
+      s"src0 mean ${avg(true)} !> rest mean ${avg(false)}")
+    // target == corpus → every token ratio is exactly (c+1)(R+V) /
+    // ((c+1)(R+V)) = 1 → every score is exactly 2^20
+    val self = TextAnalysis.targetDomainWeights(docs, docs, "text", "doc_id")
+    assert(self.filter(col("dsir_q20") =!= (1L << 20)).count() == 0)
+  }
+
   test("decontaminate: flags exactly the train docs sharing a k-gram, broadcast plan") {
     import spark.implicits._
     val train = Seq((1L, "a b c d e"), (2L, "p q r s t"), (3L, "a b c x y"))
