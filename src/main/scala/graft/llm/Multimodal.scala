@@ -101,6 +101,75 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** 64-bit average-hash (aHash) perceptual image fingerprint: the
+    * image is divided into an 8×8 block grid, each block's mean
+    * luminance (BT.601 integer weights, same as [[imageDecode]]) is
+    * compared to the global mean, and bit by·8+bx is set iff the block
+    * is brighter. Every comparison is an exact integer cross-multiply
+    * (blockSum·totalN > totalSum·blockN) — no float resize, no AWT
+    * interpolation — so the hash is deterministic across JVMs. None
+    * when the payload is not ImageIO-decodable. Near-identical images
+    * (recompression, slight brightness/noise) differ in a few bits;
+    * unrelated images differ in ~32. */
+  def imageAHash(bytes: Array[Byte]): Option[Long] =
+    if (bytes == null) None
+    else try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        val sums = new Array[Long](64)
+        val counts = new Array[Long](64)
+        var totalSum = 0L
+        var y = 0
+        while (y < h) {
+          val by = math.min(y * 8 / h, 7)
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            val b = by * 8 + math.min(x * 8 / w, 7)
+            sums(b) += lum; counts(b) += 1; totalSum += lum
+            x += 1
+          }
+          y += 1
+        }
+        val totalN = w.toLong * h
+        var hash = 0L
+        var b = 0
+        while (b < 64) {
+          if (sums(b) * totalN > totalSum * counts(b)) hash |= 1L << b
+          b += 1
+        }
+        hash
+      }
+    } catch { case _: Exception => None }
+
+  /** Image near-duplicate pairs over a binary column: aHash per
+    * decodable payload (partition-wise decode; non-images drop out),
+    * then the SAME pigeonhole bit-band join + exact Hamming filter the
+    * text SimHash path uses ([[Dedup.simhashPairs]]) — one equi-join
+    * on (band, key), never an all-pairs comparison. This is how an
+    * image corpus dedups at fleet scale: a 64-bit sketch per image,
+    * banded; candidates are hash-bucket collisions only. Output:
+    * (a, b, hamming), a < b. */
+  def imageNearDupPairs(df: DataFrame, bin: String, id: String,
+                        maxHamming: Int = 7, bands: Int = 8): DataFrame = {
+    val binIdx = df.schema.fieldIndex(bin)
+    val idIdx = df.schema.fieldIndex(id)
+    val outSchema = StructType(Seq(df.schema(idIdx),
+      org.apache.spark.sql.types.StructField("simhash",
+        org.apache.spark.sql.types.LongType)))
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    val hashes = df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        imageAHash(r.get(binIdx).asInstanceOf[Array[Byte]])
+          .map(hsh => Row(r.get(idIdx), Long.box(hsh)))
+      }
+    }
+    Dedup.simhashPairs(hashes, id, maxHamming, bands)
+  }
+
   /** Real PCM audio feature extraction via javax.sound.sampled (pure
     * JVM — WAV/AIFF/AU): decode the sample stream (16-bit signed PCM,
     * either endianness, channels averaged), split it into `targetDim`

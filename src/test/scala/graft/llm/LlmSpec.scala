@@ -722,6 +722,46 @@ class LlmSpec extends SparkSpec {
     assert(deepGot.map(_._1) == Seq(0))
   }
 
+  test("imageAHash/imageNearDupPairs: recompressed near-dups pair up, distinct images don't") {
+    import spark.implicits._
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 64).foreach(y => (0 until 64).foreach { x =>
+        val v = f(x, y) & 0xFF; img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      })
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    def jpeg(p: Array[Byte]): Array[Byte] = { // lossy re-encode = near-dup
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", baos)
+      baos.toByteArray
+    }
+    val gradient = png((x, y) => x * 4)            // left-dark → right-bright
+    val gradientJpg = jpeg(gradient)               // recompressed near-dup
+    val inverse = png((x, y) => 255 - x * 4)       // opposite structure
+    val checker = png((x, y) => if (((x / 8) + (y / 8)) % 2 == 0) 230 else 20)
+    val df = Seq((1L, gradient), (2L, gradientJpg), (3L, inverse),
+      (4L, checker), (5L, Array.fill[Byte](64)(9))) // 5 = not an image
+      .toDF("img_id", "payload")
+    // hash determinism + structure: gradient vs inverse differ in many bits
+    val h1 = Multimodal.imageAHash(gradient).get
+    assert(Multimodal.imageAHash(gradient).get == h1)
+    val h3 = Multimodal.imageAHash(inverse).get
+    assert(java.lang.Long.bitCount(h1 ^ h3) > 20)
+    assert(Multimodal.imageAHash(Array.fill[Byte](64)(9)).isEmpty)
+    val pairs = Multimodal.imageNearDupPairs(df, "payload", "img_id",
+        maxHamming = 7, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the recompressed pair is found at small hamming; nothing else is
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"got ${pairs.mkString(", ")}")
+    assert(pairs.head._3 <= 7)
+  }
+
   test("meanPoolEmbeddings: exact means, group sizes, single-chunk identity") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
