@@ -491,4 +491,41 @@ object TextAnalysis {
       .groupBy(col(id))
       .agg(min(Dedup.md5Hash64(col("shingle"))).as("roll_fp"))
   }
+
+  /** Per-group approximate distinct-token count via the mergeable HLL
+    * sketch ([[graft.functions.HllAgg]]). Output: one row per
+    * (group, bucket) with the register value, plus the group's exact
+    * harmonic denominator `s_sum = ∑ 2^(RhoCap − reg)` and the integer
+    * estimate `EstNum div s_sum` — every value exact integer
+    * arithmetic, so the DuckDB oracle replays registers AND estimate
+    * bit-for-bit (trailing-zero rank: `bit_count((w & -w) - 1)`).
+    *
+    * 100 TB story: the whole point of the sketch — counting distinct
+    * tokens per language with `COUNT(DISTINCT)` shuffles every
+    * distinct (group, token) pair; this plan's only exchange carries
+    * 64-byte partial buffers, one per (map task, group), merged by
+    * elementwise max. The explode is narrow; the input repartition is
+    * the standard small-input parallelism guard (fleet scans exceed
+    * the target and skip it). */
+  def distinctTokenSketch(df: DataFrame, text: String, group: String,
+                          id: String): DataFrame = {
+    graft.functions.Md5Hash64Expr.register(df.sparkSession)
+    graft.functions.HllAgg.register(df.sparkSession)
+    val toks = graft.ops.Ops.parallelizeInput(df, col(id))
+      .select(col(group), explode(split(trim(col(text)), " ")).as("tok"))
+    // top 60 bits of the md5 prefix — non-negative, so bucket/width
+    // arithmetic matches DuckDB's ('0x' || substr(md5, 1, 15))::BIGINT
+    val hashed = toks.select(col(group),
+      shiftrightunsigned(Dedup.md5Hash64(col("tok")), 4).as("h60"))
+    val sketched = hashed.groupBy(col(group))
+      .agg(graft.functions.HllAgg.hllOf(col("h60")).as("regs"))
+      .withColumn("s_sum", expr(
+        s"aggregate(regs, CAST(0 AS BIGINT), " +
+          s"(a, r) -> a + CAST(pow(2, ${graft.functions.HllAgg.RhoCap} - r) AS BIGINT))"))
+      .withColumn("est", expr(s"${graft.functions.HllAgg.EstNum}L div s_sum"))
+    sketched.select(col(group), col("s_sum"), col("est"),
+        posexplode(col("regs")).as(Seq("bucket", "register")))
+      .select(col(group), col("bucket").cast("long").as("bucket"),
+        col("register").cast("long").as("register"), col("s_sum"), col("est"))
+  }
 }

@@ -93,4 +93,51 @@ class FunctionsSpec extends AnyFunSuite {
       assert(Md5Hash64Expr.hash(bytes) == want)
     }
   }
+
+  private def hash60Of(s: String): Long =
+    Md5Hash64Expr.hash(s.getBytes("UTF-8")) >>> 4
+
+  test("HllAgg.observe: rho matches the DuckDB bit_count((w & -w) - 1) + 1 formula") {
+    val hashes = samples(Gen.choose(0L, (1L << 60) - 1), n = 500) ++
+      Seq(0L, 1L, 63L, 64L, 128L, 192L, (1L << 60) - 1)
+    hashes.foreach { h =>
+      val buf = new Array[Byte](graft.functions.HllAgg.M)
+      graft.functions.HllAgg.observe(buf, h)
+      val w = h >>> graft.functions.HllAgg.P
+      val rhoSql =
+        if (w == 0L) graft.functions.HllAgg.RhoCap
+        else math.min(
+          java.lang.Long.bitCount((w & -w) - 1) + 1,
+          graft.functions.HllAgg.RhoCap)
+      assert(buf((h & (graft.functions.HllAgg.M - 1)).toInt) == rhoSql.toByte)
+    }
+  }
+
+  test("HllAgg: merge of split streams equals single-pass observe (any split)") {
+    val hashes = (0 until 5000).map(i => hash60Of(s"tok-$i"))
+    val whole = new Array[Byte](graft.functions.HllAgg.M)
+    hashes.foreach(graft.functions.HllAgg.observe(whole, _))
+    val splits = samples(Gen.choose(1, hashes.size - 1), n = 20)
+    splits.foreach { cut =>
+      val a = new Array[Byte](graft.functions.HllAgg.M)
+      val b = new Array[Byte](graft.functions.HllAgg.M)
+      hashes.take(cut).foreach(graft.functions.HllAgg.observe(a, _))
+      hashes.drop(cut).foreach(graft.functions.HllAgg.observe(b, _))
+      val merged = a.zip(b).map { case (x, y) => math.max(x, y).toByte }
+      assert(merged.sameElements(whole), s"split at $cut diverged")
+    }
+  }
+
+  test("HllAgg.sketch: estimate within HLL error bounds at p = 6 and p = 12") {
+    // distinct md5-derived hashes; true cardinality n = 100k. Standard
+    // error is ~1.04/sqrt(m): 13% at m=64, 1.6% at m=4096 — assert 4x.
+    val n = 100000
+    def est(p: Int): Double =
+      graft.functions.HllAgg.sketch(
+        Iterator.range(0, n).map(i => hash60Of(s"item-$i")), p)
+    val e6 = est(6)
+    assert(math.abs(e6 - n) / n < 0.52, s"p=6 estimate $e6 off by >52%")
+    val e12 = est(12)
+    assert(math.abs(e12 - n) / n < 0.065, s"p=12 estimate $e12 off by >6.5%")
+  }
 }
