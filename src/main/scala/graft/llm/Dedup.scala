@@ -183,6 +183,66 @@ object Dedup {
       when(pmod(col(id), lit(3)) === 0,
         concat(lit(BoilerplateBanner + " "), col(text))).otherwise(col(text)))
 
+  /** Planted shared LINES for line-dedup non-vacuity: the synthetic
+    * corpus is one unique line per document, so no line naturally
+    * crosses `minDf` documents — prepend a cookie-banner header to
+    * every 5th document and append a footer to every 3rd (newline
+    * separated, the repeated-chrome shape line-wise dedup strips).
+    * Mirrored verbatim in the DuckDB oracle. */
+  val LineHeader =
+    "cookie notice this site uses cookies accept to continue"
+  val LineFooter =
+    "copyright example site newsletter signup footer navigation links"
+
+  def withPlantedLines(df: DataFrame, text: String, id: String): DataFrame =
+    df.withColumn(text,
+      concat(
+        when(pmod(col(id), lit(5)) === 0, lit(LineHeader + "\n"))
+          .otherwise(lit("")),
+        col(text),
+        when(pmod(col(id), lit(3)) === 0, lit("\n" + LineFooter))
+          .otherwise(lit(""))))
+
+  /** Line-wise corpus dedup (the C4/CCNet/RefinedWeb line-level stage,
+    * complementing [[removeBoilerplate]]'s token-k-gram granularity):
+    * drop every LINE whose exact text occurs in ≥ `minDf` distinct
+    * documents — repeated site chrome (cookie banners, nav, footers)
+    * — and reassemble each document from its surviving lines in
+    * position order. Output per document: `n_lines`, `n_removed`, and
+    * `cleaned_md5` over the kept lines rejoined with newlines (the
+    * oracle recomputes the whole pipeline, reassembly included).
+    *
+    * Scale shape: lines travel as their md5 digest (the cross-engine
+    * key; 16 bytes regardless of line length — the line TEXT never
+    * enters the frequency shuffle). Stages are all keyed: distinct on
+    * (id, digest), df-count on digest, anti-join on digest, one
+    * per-document reassembly aggregation. No broadcast of the
+    * frequent set — like [[removeBoilerplate]]'s frequent grams it is
+    * unbounded at fleet scale, so it returns via the equi-join. */
+  def lineDedup(df0: DataFrame, text: String, id: String,
+                minDf: Long = 20L): DataFrame = {
+    val df = graft.ops.Ops.parallelizeInput(df0, col(id))
+    val lines = df
+      .select(col(id), posexplode(split(col(text), "\n")).as(Seq("pos", "ln")))
+      .withColumn("k", md5(col("ln").cast("binary")))
+    val frequent = lines.select(col(id), col("k")).distinct()
+      .groupBy(col("k")).agg(count(lit(1)).as("line_df"))
+      .filter(col("line_df") >= minDf)
+      .select(col("k"))
+    val kept = lines.join(frequent, Seq("k"), "left_anti")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("pos"), col("ln")))),
+            x => x.getField("ln"))).cast("binary")).as("cleaned_md5"))
+    df.select(col(id), size(split(col(text), "\n")).cast("long").as("n_lines"))
+      .join(kept, Seq(id), "left")
+      .select(col(id), col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned_md5"), md5(lit("").cast("binary")))
+          .as("cleaned_md5"))
+  }
+
   /** Distinct word k-shingles per document: (id, shingle). Documents
     * with fewer than k tokens produce none. */
   def wordShingles(df: DataFrame, text: String, id: String, k: Int): DataFrame =

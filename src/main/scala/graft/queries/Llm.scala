@@ -991,6 +991,41 @@ object Llm {
         |SELECT doc_id, min(h) AS roll_fp FROM hs
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // mergeable HLL distinct sketch (custom TypedImperativeAggregate):
+    // the oracle replays every register AND the estimate exactly —
+    // trailing-zero rank is bit_count((w & -w) - 1) + 1, the harmonic
+    // denominator is an exact long sum of powers of two, the estimate
+    // one exact integer division by the hardcoded bias numerator
+    ("llm_distinct_sketch",
+      ((s: SparkSession, d: String) =>
+        TextAnalysis.distinctTokenSketch(Tables.documents(s, d),
+            "text", "lang", "doc_id")
+          .orderBy(col("lang"), col("bucket"))): Q,
+      Some("""WITH toks AS (SELECT lang,
+        |  unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+        |h AS (SELECT lang, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+        |  FROM toks),
+        |br AS (SELECT lang, h % 64 AS bucket,
+        |  CASE WHEN h // 64 = 0 THEN 50
+        |       ELSE least(bit_count(((h // 64) & -(h // 64)) - 1) + 1, 50)
+        |  END AS rho FROM h),
+        |mx AS (SELECT lang, bucket, max(rho) AS register
+        |  FROM br GROUP BY 1, 2),
+        |grid AS (SELECT lang, bucket
+        |  FROM (SELECT DISTINCT lang FROM documents)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bucket)),
+        |regs AS (SELECT grid.lang, grid.bucket,
+        |  coalesce(mx.register, 0) AS register
+        |  FROM grid LEFT JOIN mx
+        |    ON grid.lang = mx.lang AND grid.bucket = mx.bucket),
+        |s AS (SELECT lang,
+        |  CAST(sum(CAST(2 ** (50 - register) AS BIGINT)) AS BIGINT) AS s_sum
+        |  FROM regs GROUP BY 1)
+        |SELECT r.lang, CAST(r.bucket AS BIGINT) AS bucket,
+        |  CAST(r.register AS BIGINT) AS register, s.s_sum,
+        |  3271257763731268608 // s.s_sum AS est
+        |FROM regs r JOIN s USING (lang) ORDER BY lang, bucket""".stripMargin)),
+
     // PII detection + redaction over deterministically planted PII
     // (the synthetic corpus has no '@' or digits — the planted-pair
     // protocol keeps the row non-vacuous). Counts, redacted length and
@@ -1059,6 +1094,40 @@ object Llm {
         |  coalesce(k.cleaned_md5, md5('')) AS cleaned_md5
         |FROM toks t LEFT JOIN kept k USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin)),
+
+    // line-WISE corpus dedup (whole exact lines in >= minDf docs
+    // dropped, documents reassembled) over planted header/footer
+    // chrome — the C4/RefinedWeb line-level stage at its native
+    // granularity, vs the word-5-gram row above. The oracle replays
+    // plant -> line split -> per-line doc frequency -> anti-join ->
+    // position-ordered reassembly end-to-end (md5 line digests are
+    // the cross-engine join key).
+    ("llm_line_dedup",
+      ((s: SparkSession, d: String) =>
+        Dedup.lineDedup(
+            Dedup.withPlantedLines(Tables.documents(s, d), "text", "doc_id"),
+            "text", "doc_id", minDf = 20L)
+          .orderBy(col("doc_id"))): Q,
+      Some(s"""WITH p AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN '${Dedup.LineHeader}' || chr(10)
+        |      ELSE '' END || text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || '${Dedup.LineFooter}'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM p),
+        |lines AS (SELECT doc_id, i AS pos, l[i] AS ln, md5(l[i]) AS k
+        |  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+        |        FROM ls)),
+        |freq AS (SELECT k FROM (SELECT DISTINCT doc_id, k FROM lines)
+        |  GROUP BY k HAVING count(*) >= 20),
+        |kept AS (SELECT doc_id, count(*) AS n_kept,
+        |    md5(string_agg(ln, chr(10) ORDER BY pos)) AS cleaned_md5
+        |  FROM lines ANTI JOIN freq USING (k) GROUP BY doc_id)
+        |SELECT s.doc_id, len(s.l) AS n_lines,
+        |  len(s.l) - coalesce(k.n_kept, 0) AS n_removed,
+        |  coalesce(k.cleaned_md5, md5('')) AS cleaned_md5
+        |FROM ls s LEFT JOIN kept k USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin)),
 
     // deterministic dataset assembly: split assignment and stratified
     // sampling are salted-md5 bucket projections, so the oracle

@@ -94,6 +94,36 @@ class LlmSpec extends SparkSpec {
     assert(cut(3L)._1 == tailMd5)
   }
 
+  test("lineDedup: drops exactly the >= minDf lines, reassembles in position order") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // 30 docs: a shared header on even ids (df = 15 ≥ 10 → dropped), a
+    // shared-but-rare line on ids < 3 (df = 3 < 10 → kept), and one
+    // unique body line each (kept)
+    val df = (0L until 30L).map { i =>
+      val ls = (if (i % 2 == 0) Seq("shared chrome header") else Nil) ++
+        Seq(s"unique body line $i") ++
+        (if (i < 3) Seq("rare shared line") else Nil)
+      (i, ls.mkString("\n"))
+    }.toDF("doc_id", "text")
+    val out = Dedup.lineDedup(df, "text", "doc_id", minDf = 10L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out.size == 30)
+    assert(out(0L) == ((3L, 1L, md5hex("unique body line 0\nrare shared line"))))
+    assert(out(1L) == ((2L, 0L, md5hex("unique body line 1\nrare shared line"))))
+    assert(out(2L) == ((3L, 1L, md5hex("unique body line 2\nrare shared line"))))
+    assert(out(4L) == ((2L, 1L, md5hex("unique body line 4"))))
+    assert(out(5L) == ((1L, 0L, md5hex("unique body line 5"))))
+    // odd ids never lose a line; even ids lose exactly the header
+    (0L until 30L).foreach { i =>
+      assert(out(i)._2 == (if (i % 2 == 0) 1L else 0L), s"doc $i")
+    }
+  }
+
   test("repeatedSpans: agrees with a brute-force reference on a deterministic corpus") {
     import spark.implicits._
     // deterministic pseudo-random corpus with engineered overlaps:
