@@ -166,6 +166,19 @@ object ScaleProbe {
     time("pii_redact")(llm.TextAnalysis.redactPii(
       llm.TextAnalysis.withPlantedPii(docs, "text", "doc_id"),
       "text", "doc_id"))
+    // line dedup: chrome planted AFTER replication (shared lines are
+    // cross-corpus by nature, like the boilerplate banner); document
+    // body lines stay copy-local
+    time("line_dedup")(llm.Dedup.lineDedup(
+      llm.Dedup.withPlantedLines(docs, "text", "doc_id"),
+      "text", "doc_id", minDf = 20L))
+    // the two sketches: output size is FIXED (64 registers/group,
+    // d × width registers) however the corpus grows — the probes
+    // measure the scan+partial-agg cost, the only part that scales
+    time("distinct_sketch")(llm.TextAnalysis.distinctTokenSketch(
+      docs, "text", "lang", "doc_id"))
+    time("cms_counts")(llm.TextAnalysis.cmsTokenEstimates(
+      docs, "text", width = 256, k = 25))
     // semantic dedup: nLists follows corpus size (n/targetClusterSize
     // — the scaladoc's scaling rule), keeping within-cluster pair work
     // flat as the corpus replicates

@@ -86,6 +86,48 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Count-min sketch token-frequency estimates — the bounded-memory
+    * companion of [[topTokens]]' exact aggregation and the second
+    * canonical streaming sketch next to the HLL
+    * ([[distinctTokenSketch]]). Four hash lanes come from ONE md5
+    * digest per occurrence ([[graft.functions.Md5LanesExpr]] — the
+    * minhash digest-splitting trick), each occurrence increments one
+    * of `width` buckets per lane, and a point estimate is the MIN of
+    * its four bucket counts — an overestimate by construction (every
+    * stage exact integer arithmetic, so the DuckDB oracle replays
+    * registers and estimates verbatim). Output: the exact top-`k`
+    * tokens with their true counts and their sketch estimates
+    * (`cms_est >= n` always; the gap is the collision noise the
+    * ε = e/width bound prices).
+    *
+    * 100 TB story: the register table is d × width rows REGARDLESS of
+    * corpus size — the frequency shuffle carries (lane, bucket) keys
+    * only, partial counts combine map-side, and probing is a
+    * broadcast-sized join against the fixed-size sketch (unlike the
+    * exact path, whose group-by state is the full vocabulary). */
+  def cmsTokenEstimates(df: DataFrame, text: String,
+                        width: Int = 256, k: Int = 25): DataFrame = {
+    graft.functions.Md5LanesExpr.register(df.sparkSession)
+    def lanesOf(tok: Column): Column =
+      graft.functions.Md5LanesExpr.of(tok.cast("binary"))
+    val toks = graft.ops.Ops.parallelizeInput(df)
+      .select(explode(split(trim(col(text)), " ")).as("token"))
+    val regs = toks
+      .select(posexplode(lanesOf(col("token"))).as(Seq("lane", "h32")))
+      .select(col("lane"), (col("h32") % width).as("bucket"))
+      .groupBy(col("lane"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val probes = topTokens(df, text, k)
+      .select(col("token"), col("n"),
+        posexplode(lanesOf(col("token"))).as(Seq("lane", "h32")))
+      .select(col("token"), col("n"), col("lane"),
+        (col("h32") % width).as("bucket"))
+    probes.join(broadcast(regs), Seq("lane", "bucket"))
+      .groupBy(col("token"), col("n"))
+      .agg(min(col("cnt")).as("cms_est"))
+      .orderBy(col("n").desc, col("token"))
+  }
+
   /** Repetition quality signals per document over word k-grams — the
     * within-document counterpart of cross-document dedup (boilerplate,
     * keyword stuffing and generation loops show up as repeated n-grams

@@ -1377,6 +1377,33 @@ object Llm {
         |      FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 25""".stripMargin)),
 
+    // count-min sketch estimates for the exact top-25: 4 lanes from
+    // one md5 digest (the minhash lane reconstruction), width-256
+    // registers, point estimate = min over lanes — every count exact
+    // integer, so the oracle replays registers AND estimates verbatim
+    ("llm_cms_counts",
+      ((s: SparkSession, d: String) =>
+        TextAnalysis.cmsTokenEstimates(Tables.documents(s, d), "text",
+          width = 256, k = 25)): Q,
+      Some("""WITH toks AS (SELECT unnest(string_split(trim(text), ' '))
+        |    AS token FROM documents),
+        |lanes AS (SELECT unnest(generate_series(0, 3)) AS lane),
+        |hits AS (SELECT l.lane,
+        |  ('0x' || substr(md5(t.token), 8 * l.lane + 1, 8))::BIGINT % 256
+        |    AS bucket
+        |  FROM toks t CROSS JOIN lanes l),
+        |regs AS (SELECT lane, bucket, count(*) AS cnt
+        |  FROM hits GROUP BY 1, 2),
+        |exact AS (SELECT token, count(*) AS n FROM toks
+        |  GROUP BY token ORDER BY n DESC, token LIMIT 25),
+        |probes AS (SELECT e.token, e.n, l.lane,
+        |  ('0x' || substr(md5(e.token), 8 * l.lane + 1, 8))::BIGINT % 256
+        |    AS bucket
+        |  FROM exact e CROSS JOIN lanes l)
+        |SELECT p.token, p.n, CAST(min(r.cnt) AS BIGINT) AS cms_est
+        |FROM probes p JOIN regs r USING (lane, bucket)
+        |GROUP BY p.token, p.n ORDER BY p.n DESC, p.token""".stripMargin)),
+
     // within-document repetition signals over word 2-grams: integer
     // counts plus two IEEE-exact basis-point ratios (same cents-trick
     // rounding as every other bp column)

@@ -124,6 +124,22 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("cmsTokenEstimates: estimates dominate exact counts; wide sketch is exact") {
+    val out = TextAnalysis.cmsTokenEstimates(docs, "text", width = 256, k = 25)
+      .collect()
+    assert(out.length == 25)
+    // the CMS guarantee: never an underestimate
+    out.foreach(r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"cms underestimated '${r.getString(0)}': ${r.getLong(2)} < ${r.getLong(1)}"))
+    // a sketch much wider than the vocabulary is collision-free → exact
+    import spark.implicits._
+    val small = Seq((1L, "a b a c"), (2L, "b a")).toDF("doc_id", "text")
+    val est = TextAnalysis.cmsTokenEstimates(small, "text", width = 1 << 16, k = 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(est == Map("a" -> ((3L, 3L)), "b" -> ((2L, 2L)), "c" -> ((1L, 1L))))
+  }
+
   test("repeatedSpans: agrees with a brute-force reference on a deterministic corpus") {
     import spark.implicits._
     // deterministic pseudo-random corpus with engineered overlaps:
