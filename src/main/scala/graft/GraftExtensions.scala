@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BandKeysExpr, BloomMightContainExpr, DotProduct, Md5Hash64Expr, Md5LanesExpr, SearchSortedExpr, SimhashAgg}
+import graft.functions.{BandKeysExpr, BloomMightContainExpr, DotProduct, HllAgg, Md5Hash64Expr, Md5LanesExpr, SearchSortedExpr, SimhashAgg}
 
 /** Cluster-wide deployment surface for the graft custom expressions.
   *
@@ -40,5 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => BandKeysExpr.fromExprs(exprs)))
     ext.injectFunction(fn(BloomMightContainExpr.Name,
       exprs => BloomMightContainExpr(exprs(0), exprs(1))))
+    ext.injectFunction(fn(HllAgg.Name,
+      exprs => HllAgg(exprs.head).toAggregateExpression()))
   }
 }

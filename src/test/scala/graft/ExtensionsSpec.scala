@@ -74,6 +74,12 @@ class ExtensionsSpec extends SparkSpec {
         s"SELECT graft_bloom_might_contain(42L, x'$hex') AS m")
         .head().getBoolean(0)
       assert(bl)
+      // hll registers of {64, 128}: both land in bucket 0 (low 6 bits
+      // clear) with widths 1 and 2 → rho 1 then 2, max = 2; rest 0
+      val hll = s2.sql(
+        "SELECT graft_hll_agg(h) AS r FROM VALUES (64L), (128L) AS t(h)")
+        .head().getSeq[Int](0)
+      assert(hll.head == 2 && hll.tail.forall(_ == 0) && hll.size == 64)
     } finally {
       prevActive.foreach(SparkSession.setActiveSession)
       prevDefault.foreach(SparkSession.setDefaultSession)
