@@ -512,4 +512,45 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("q_id"), col(id), col("score"), col("rn"))
   }
+
+  /** Planted defective vectors for [[embeddingHygiene]] non-vacuity
+    * (the synthetic embeddings are all clean): NaN in element 0 on
+    * id % 31 = 0, +Inf in element 0 on id % 37 = 0, the whole vector
+    * zeroed on id % 41 = 0 — applied in THIS order (zeroing wins on
+    * overlap), mirrored verbatim in the DuckDB oracle. */
+  def withPlantedBadVectors(df: DataFrame, id: String, emb: String): DataFrame =
+    df.withColumn(emb,
+      when(pmod(col(id), lit(41)) === 0,
+        transform(col(emb), _ => lit(0.0f)))
+      .when(pmod(col(id), lit(31)) === 0,
+        transform(col(emb), (x, i) =>
+          when(i === 0, lit(Float.NaN)).otherwise(x)))
+      .when(pmod(col(id), lit(37)) === 0,
+        transform(col(emb), (x, i) =>
+          when(i === 0, lit(Float.PositiveInfinity)).otherwise(x)))
+      .otherwise(col(emb)))
+
+  /** Embedding hygiene gate — the validation every ANN/dedup pipeline
+    * needs before trusting a vector column: per vector, the dimension
+    * count, NaN / ±Inf presence, the all-zero degenerate (undefined
+    * cosine), and the composite `ok` verdict against the expected
+    * dimensionality. A single narrow projection (no shuffle, scan
+    * speed at any corpus size); every check is an exact predicate —
+    * no norms, no epsilons — so the DuckDB oracle replays the row
+    * verbatim. Run it BEFORE [[quantizeInt8]]/[[ivfTopK]]: one NaN
+    * poisons a dot product silently, and zero vectors make cosine
+    * 0/0. */
+  def embeddingHygiene(df: DataFrame, id: String, emb: String,
+                       expectedDim: Int): DataFrame =
+    graft.ops.Ops.parallelizeInput(df, col(id))
+      .select(col(id),
+        size(col(emb)).cast("long").as("n_dims"),
+        exists(col(emb), x => isnan(x)).as("has_nan"),
+        exists(col(emb), x =>
+          x === lit(Float.PositiveInfinity) ||
+          x === lit(Float.NegativeInfinity)).as("has_inf"),
+        forall(col(emb), x => x === lit(0.0f)).as("all_zero"))
+      .withColumn("ok",
+        !col("has_nan") && !col("has_inf") && !col("all_zero") &&
+          col("n_dims") === expectedDim)
 }

@@ -551,16 +551,7 @@ object TextAnalysis {
     * the target and skip it). */
   def distinctTokenSketch(df: DataFrame, text: String, group: String,
                           id: String): DataFrame = {
-    graft.functions.Md5Hash64Expr.register(df.sparkSession)
-    graft.functions.HllAgg.register(df.sparkSession)
-    val toks = graft.ops.Ops.parallelizeInput(df, col(id))
-      .select(col(group), explode(split(trim(col(text)), " ")).as("tok"))
-    // top 60 bits of the md5 prefix — non-negative, so bucket/width
-    // arithmetic matches DuckDB's ('0x' || substr(md5, 1, 15))::BIGINT
-    val hashed = toks.select(col(group),
-      shiftrightunsigned(Dedup.md5Hash64(col("tok")), 4).as("h60"))
-    val sketched = hashed.groupBy(col(group))
-      .agg(graft.functions.HllAgg.hllOf(col("h60")).as("regs"))
+    val sketched = tokenSketchArrays(df, text, group, id)
       .withColumn("s_sum", expr(
         s"aggregate(regs, CAST(0 AS BIGINT), " +
           s"(a, r) -> a + CAST(pow(2, ${graft.functions.HllAgg.RhoCap} - r) AS BIGINT))"))
@@ -569,5 +560,51 @@ object TextAnalysis {
         posexplode(col("regs")).as(Seq("bucket", "register")))
       .select(col(group), col("bucket").cast("long").as("bucket"),
         col("register").cast("long").as("register"), col("s_sum"), col("est"))
+  }
+
+  /** The sketch's aggregation stage alone: one register array per
+    * group ([[distinctTokenSketch]]'s plan minus the estimate
+    * assembly) — the unit a micro-batch persists for incremental
+    * maintenance ([[graft.streaming.Streaming.sketchStream]]). */
+  private def tokenSketchArrays(df: DataFrame, text: String, group: String,
+                                id: String): DataFrame = {
+    graft.functions.Md5Hash64Expr.register(df.sparkSession)
+    graft.functions.HllAgg.register(df.sparkSession)
+    val toks = graft.ops.Ops.parallelizeInput(df, col(id))
+      .select(col(group), explode(split(trim(col(text)), " ")).as("tok"))
+    // top 60 bits of the md5 prefix — non-negative, so bucket/width
+    // arithmetic matches DuckDB's ('0x' || substr(md5, 1, 15))::BIGINT
+    toks.select(col(group),
+        shiftrightunsigned(Dedup.md5Hash64(col("tok")), 4).as("h60"))
+      .groupBy(col(group))
+      .agg(graft.functions.HllAgg.hllOf(col("h60")).as("regs"))
+  }
+
+  /** [[tokenSketchArrays]] exploded to (group, bucket, register) rows
+    * — the persistable register form. */
+  def tokenSketchRegisters(df: DataFrame, text: String, group: String,
+                           id: String): DataFrame =
+    tokenSketchArrays(df, text, group, id)
+      .select(col(group), posexplode(col("regs")).as(Seq("bucket", "register")))
+      .select(col(group), col("bucket").cast("long").as("bucket"),
+        col("register").cast("long").as("register"))
+
+  /** Assemble the graded sketch output from persisted (group, bucket,
+    * register) partial-register rows: merge = MAX per (group, bucket)
+    * — associative, commutative and idempotent, so ANY batch split,
+    * arrival order or replay yields the registers of one pass over
+    * the union — then the same exact integer s_sum/est assembly as
+    * [[distinctTokenSketch]] (shiftleft, not pow: both exact for
+    * longs). Output column-for-column identical to the batch form. */
+  def sketchFromRegisters(regs: DataFrame, group: String): DataFrame = {
+    val merged = regs.groupBy(col(group), col("bucket"))
+      .agg(max(col("register")).as("register"))
+    val stats = merged.groupBy(col(group))
+      .agg(expr("sum(shiftleft(CAST(1 AS BIGINT), " +
+        s"${graft.functions.HllAgg.RhoCap} - register))").as("s_sum"))
+      .withColumn("est", expr(s"${graft.functions.HllAgg.EstNum}L div s_sum"))
+    merged.join(stats, Seq(group))
+      .select(col(group), col("bucket"), col("register"),
+        col("s_sum"), col("est"))
   }
 }

@@ -426,6 +426,39 @@ object Llm {
     |      AS bi_score_e6
     |  FROM bq GROUP BY doc_id)""".stripMargin
 
+  /** DuckDB replay of the HLL distinct sketch (registers, harmonic
+    * denominator, estimate — all exact integer arithmetic; trailing-
+    * zero rank = bit_count((w & -w) - 1) + 1). Shared VERBATIM by
+    * `llm_distinct_sketch` (one-pass batch) and
+    * `llm_distinct_sketch_streamed` (per-batch partials max-merged at
+    * assembly) — the merge-equals-single-pass guarantee is exactly
+    * what sharing the SQL proves. */
+  private lazy val distinctSketchSql: String =
+    """WITH toks AS (SELECT lang,
+    |  unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+    |h AS (SELECT lang, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+    |  FROM toks),
+    |br AS (SELECT lang, h % 64 AS bucket,
+    |  CASE WHEN h // 64 = 0 THEN 50
+    |       ELSE least(bit_count(((h // 64) & -(h // 64)) - 1) + 1, 50)
+    |  END AS rho FROM h),
+    |mx AS (SELECT lang, bucket, max(rho) AS register
+    |  FROM br GROUP BY 1, 2),
+    |grid AS (SELECT lang, bucket
+    |  FROM (SELECT DISTINCT lang FROM documents)
+    |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bucket)),
+    |regs AS (SELECT grid.lang, grid.bucket,
+    |  coalesce(mx.register, 0) AS register
+    |  FROM grid LEFT JOIN mx
+    |    ON grid.lang = mx.lang AND grid.bucket = mx.bucket),
+    |s AS (SELECT lang,
+    |  CAST(sum(CAST(2 ** (50 - register) AS BIGINT)) AS BIGINT) AS s_sum
+    |  FROM regs GROUP BY 1)
+    |SELECT r.lang, CAST(r.bucket AS BIGINT) AS bucket,
+    |  CAST(r.register AS BIGINT) AS register, s.s_sum,
+    |  3271257763731268608 // s.s_sum AS est
+    |FROM regs r JOIN s USING (lang) ORDER BY lang, bucket""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     ("llm_dedup_exact",
@@ -856,6 +889,37 @@ object Llm {
         |FROM u GROUP BY group_id, i
         |ORDER BY group_id, i""".stripMargin)),
 
+    // embedding hygiene gate over planted defects (NaN / +Inf /
+    // all-zero — zeroing wins on overlap, same CASE order both
+    // engines): every check an exact predicate, replayed verbatim
+    ("llm_embedding_hygiene",
+      ((s: SparkSession, d: String) =>
+        Similarity.embeddingHygiene(
+            Similarity.withPlantedBadVectors(Tables.embeddings(s, d),
+              "vec_id", "embedding"),
+            "vec_id", "embedding", expectedDim = 64)
+          .orderBy(col("vec_id"))): Q,
+      Some("""WITH p AS (SELECT vec_id,
+        |  CASE WHEN vec_id % 41 = 0
+        |         THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+        |       WHEN vec_id % 31 = 0
+        |         THEN list_transform(embedding, (x, i) ->
+        |           CASE WHEN i = 1 THEN 'nan'::FLOAT ELSE x END)
+        |       WHEN vec_id % 37 = 0
+        |         THEN list_transform(embedding, (x, i) ->
+        |           CASE WHEN i = 1 THEN 'inf'::FLOAT ELSE x END)
+        |       ELSE embedding END AS e
+        |  FROM embeddings),
+        |f AS (SELECT vec_id, len(e) AS n_dims,
+        |  len(list_filter(e, x -> isnan(x))) > 0 AS has_nan,
+        |  len(list_filter(e, x -> isinf(x))) > 0 AS has_inf,
+        |  len(list_filter(e, x -> x <> CAST(0.0 AS FLOAT))) = 0 AS all_zero
+        |  FROM p)
+        |SELECT vec_id, n_dims, has_nan, has_inf, all_zero,
+        |  (NOT has_nan AND NOT has_inf AND NOT all_zero AND n_dims = 64)
+        |    AS ok
+        |FROM f ORDER BY vec_id""".stripMargin)),
+
     // per-vector int8 quantization: scale and quantized checksums are
     // deterministic IEEE arithmetic, recomputed exactly in SQL
     ("llm_embedding_quantize",
@@ -1001,30 +1065,36 @@ object Llm {
         TextAnalysis.distinctTokenSketch(Tables.documents(s, d),
             "text", "lang", "doc_id")
           .orderBy(col("lang"), col("bucket"))): Q,
-      Some("""WITH toks AS (SELECT lang,
-        |  unnest(string_split(trim(text), ' ')) AS tok FROM documents),
-        |h AS (SELECT lang, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
-        |  FROM toks),
-        |br AS (SELECT lang, h % 64 AS bucket,
-        |  CASE WHEN h // 64 = 0 THEN 50
-        |       ELSE least(bit_count(((h // 64) & -(h // 64)) - 1) + 1, 50)
-        |  END AS rho FROM h),
-        |mx AS (SELECT lang, bucket, max(rho) AS register
-        |  FROM br GROUP BY 1, 2),
-        |grid AS (SELECT lang, bucket
-        |  FROM (SELECT DISTINCT lang FROM documents)
-        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bucket)),
-        |regs AS (SELECT grid.lang, grid.bucket,
-        |  coalesce(mx.register, 0) AS register
-        |  FROM grid LEFT JOIN mx
-        |    ON grid.lang = mx.lang AND grid.bucket = mx.bucket),
-        |s AS (SELECT lang,
-        |  CAST(sum(CAST(2 ** (50 - register) AS BIGINT)) AS BIGINT) AS s_sum
-        |  FROM regs GROUP BY 1)
-        |SELECT r.lang, CAST(r.bucket AS BIGINT) AS bucket,
-        |  CAST(r.register AS BIGINT) AS register, s.s_sum,
-        |  3271257763731268608 // s.s_sum AS est
-        |FROM regs r JOIN s USING (lang) ORDER BY lang, bucket""".stripMargin)),
+      Some(distinctSketchSql)),
+
+    // the STREAMED sketch under the DuckDB oracle: three micro-batches
+    // through sketchStream (each batch aggregates only its own rows
+    // into 64 partial registers per group; the corpus is never
+    // re-read), then the assembly-time max-merge — which must equal
+    // the single-pass batch sketch because max-merge is associative,
+    // commutative and idempotent. The oracle is llm_distinct_sketch's
+    // SQL VERBATIM; batches split round-robin so every group spans
+    // all three
+    ("llm_distinct_sketch_streamed",
+      ((s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-sketch-stream").toString
+        val srcDir = s"$base/src"
+        streamedTranches(srcDir,
+          Seq(docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+            docs.filter(pmod(col("doc_id"), lit(3)) === 1),
+            docs.filter(pmod(col("doc_id"), lit(3)) === 2)))
+        val src = graft.streaming.Streaming.fileStream(s, srcDir,
+          docs.schema, maxFilesPerTrigger = 1)
+        val q = graft.streaming.Streaming.sketchStream(src, "text",
+          "lang", "doc_id", s"$base/regs", s"$base/ck").start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+        TextAnalysis.sketchFromRegisters(
+            s.read.parquet(s"$base/regs").drop("batch_id"), "lang")
+          .orderBy(col("lang"), col("bucket"))
+      }): Q,
+      Some(distinctSketchSql)),
 
     // PII detection + redaction over deterministically planted PII
     // (the synthetic corpus has no '@' or digits — the planted-pair

@@ -159,6 +159,38 @@ object Streaming {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
 
+  /** Incremental HLL sketch maintenance — the mergeable-sketch story
+    * ([[graft.functions.HllAgg]]) made executable: each micro-batch
+    * aggregates ONLY ITS OWN rows into per-group partial registers
+    * (64 fixed rows per group) and writes them under its `batch_id=`
+    * partition (dynamic overwrite → exactly-once; a retried batch
+    * replaces itself). The corpus is never re-read: assembly-time
+    * [[graft.llm.TextAnalysis.sketchFromRegisters]] max-merges the
+    * accumulated partials, and because max-merge is associative,
+    * commutative AND idempotent, any batch split, arrival order or
+    * replay yields exactly the single-pass batch sketch. Sink growth
+    * is 64 rows × groups × batches — [[compactIndex]] folds sealed
+    * partitions on the same schedule as the dedup sinks
+    * (`compactEvery`); correctness is unaffected because merged
+    * registers are insensitive to how partials are grouped. */
+  def sketchStream(docs: DataFrame, text: String, group: String, id: String,
+                   sinkDir: String, checkpointDir: String,
+                   compactEvery: Int = 0): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.llm.TextAnalysis.tokenSketchRegisters(batch, text, group, id)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(sinkDir)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          Streaming.compactIndex(batch.sparkSession, sinkDir)
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+
   /** Streaming resample: per-window aggregates with a watermark bound
     * on state (late rows beyond `lateness` are dropped — the streaming
     * answer to the reference's desync guard, state.py:103–106). */

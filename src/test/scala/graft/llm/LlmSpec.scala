@@ -287,6 +287,27 @@ class LlmSpec extends SparkSpec {
     assert(a.forall(r => r.getDouble(2) <= bf(r.getLong(0)) + 1e-12))
   }
 
+  test("embeddingHygiene: flags exactly the planted defects, plant order respected") {
+    val out = Similarity.embeddingHygiene(
+        Similarity.withPlantedBadVectors(emb, "vec_id", "embedding"),
+        "vec_id", "embedding", expectedDim = 64)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))))
+      .toMap
+    assert(out.size == 500)
+    out.foreach { case (id, (nan, inf, zero, ok)) =>
+      val expZero = id % 41 == 0
+      val expNan = !expZero && id % 31 == 0
+      val expInf = !expZero && id % 31 != 0 && id % 37 == 0
+      assert((nan, inf, zero) == ((expNan, expInf, expZero)), s"vec $id flags")
+      assert(ok == !(expNan || expInf || expZero), s"vec $id verdict")
+    }
+    // non-vacuous: some of every defect class at 500 vectors
+    assert(out.values.count(_._1) > 0 && out.values.count(_._2) > 0 &&
+      out.values.count(_._3) > 0)
+  }
+
   test("int8 quantization: range, round-trip error bound, zero-vector safety") {
     import spark.implicits._
     val q = Similarity.quantizeInt8(emb, "embedding")

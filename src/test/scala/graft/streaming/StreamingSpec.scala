@@ -174,6 +174,43 @@ class StreamingSpec extends SparkSpec {
     assert(nSigs == nDocs)
   }
 
+  test("sketchStream: merged partials equal the batch sketch; replay and compaction are harmless") {
+    val docs = Tables.documents(spark, dir)
+    val srcDir = Files.createTempDirectory("sketch-src").toString
+    val base = Files.createTempDirectory("sketch").toString
+
+    def runOnce(): Unit = {
+      val src = Streaming.fileStream(spark, srcDir, docs.schema,
+        maxFilesPerTrigger = 1)
+      // compactEvery = 2 also exercises in-stream register compaction
+      val q = Streaming.sketchStream(src, "text", "lang", "doc_id",
+        s"$base/regs", s"$base/ck", compactEvery = 2).start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    // worst-case split: three interleaved tranches, two stream runs
+    docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+    docs.filter(pmod(col("doc_id"), lit(3)) =!= 2)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+
+    val want = graft.llm.TextAnalysis.distinctTokenSketch(
+      docs, "text", "lang", "doc_id").collect().toSet
+    val regs = spark.read.parquet(s"$base/regs")
+    val got = graft.llm.TextAnalysis.sketchFromRegisters(
+      regs.drop("batch_id"), "lang").collect().toSet
+    assert(got == want && want.nonEmpty)
+    // idempotence under replayed partials: duplicating any batch's
+    // rows cannot move a max-merge — the exactly-once guarantee
+    // degrades gracefully even if a sink partition were duplicated
+    val replayed = regs.drop("batch_id")
+      .union(regs.drop("batch_id").limit(200))
+    val got2 = graft.llm.TextAnalysis.sketchFromRegisters(replayed, "lang")
+      .collect().toSet
+    assert(got2 == want)
+  }
+
   test("streaming curation across batches equals the batch pipeline") {
     val planted = graft.llm.Curation.withPlantedEverything(
       Tables.documents(spark, dir), "text", "doc_id")
