@@ -589,6 +589,57 @@ object TextAnalysis {
       .select(col(group), col("bucket").cast("long").as("bucket"),
         col("register").cast("long").as("register"))
 
+  /** Hashed-feature linear classifier scoring — the model-based
+    * quality-filter stage (fasttext-style): features are unigrams and
+    * word bigrams hashed into `width` buckets, the model is a
+    * (bucket → weight) table joined by BROADCAST (a linear model is a
+    * few MB however big the corpus — the realistic distribution
+    * path), and a document's logit is the exact integer sum of its
+    * features' quantized weights. `keep` = logit ≥ 0. Real deployments
+    * load trained weights into the same table shape; here the weights
+    * are a deterministic md5-derived stand-in so the DuckDB oracle
+    * replays feature hashing, lookup and scores verbatim (a trained
+    * model would be exactly as replayable — the weights are data, not
+    * code).
+    *
+    * 100 TB story: the corpus side is one narrow explode (no shuffle
+    * before the broadcast join); the per-document sum is a keyed
+    * aggregation whose partial combine reduces each map task to one
+    * row per document. The model never shuffles. */
+  def classifierScore(df: DataFrame, text: String, id: String,
+                      weights: DataFrame, width: Int): DataFrame = {
+    graft.functions.Md5Hash64Expr.register(df.sparkSession)
+    val toks = graft.ops.Ops.parallelizeInput(df, col(id))
+      .select(col(id), split(trim(col(text)), " ").as("t"))
+    val uni = toks.select(col(id),
+      explode(col("t")).as("f")).select(col(id),
+      concat(lit("u|"), col("f")).as("feat"))
+    val bi = toks.filter(size(col("t")) >= 2)
+      .select(col(id), col("t"),
+        explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+      .select(col(id), concat(lit("b|"),
+        concat_ws(" ", slice(col("t"), col("i"), lit(2)))).as("feat"))
+    val hashed = uni.unionAll(bi).select(col(id),
+      (shiftrightunsigned(Dedup.md5Hash64(col("feat")), 4) % width)
+        .as("bucket"))
+    hashed.join(broadcast(weights), Seq("bucket"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("w_e6")).as("logit_e6"))
+      .withColumn("keep", col("logit_e6") >= 0)
+  }
+
+  /** Deterministic md5-derived stand-in weight table for
+    * [[classifierScore]]: bucket b → ±1e6-range integer weight. */
+  def standInWeights(spark: org.apache.spark.sql.SparkSession,
+                     width: Int): DataFrame = {
+    graft.functions.Md5Hash64Expr.register(spark)
+    spark.range(width).select(col("id").as("bucket"),
+      (shiftrightunsigned(Dedup.md5Hash64(
+          concat(lit("w|"), col("id").cast("string"))), 4) % 2000001
+        - 1000000L).as("w_e6"))
+  }
+
   /** Assemble the graded sketch output from persisted (group, bucket,
     * register) partial-register rows: merge = MAX per (group, bucket)
     * — associative, commutative and idempotent, so ANY batch split,

@@ -1671,6 +1671,36 @@ object Llm {
         |  dup_gram_bp, reasons, reasons = 0 AS keep
         |FROM v ORDER BY doc_id""".stripMargin)),
 
+    // model-based quality filter: hashed unigram+bigram features,
+    // broadcast (bucket -> weight) model, exact integer logit sums.
+    // The stand-in weights are md5-derived so the oracle replays
+    // hashing, lookup and scores verbatim — trained weights would be
+    // exactly as replayable (the model is data, not code)
+    ("llm_quality_classifier",
+      ((s: SparkSession, d: String) =>
+        TextAnalysis.classifierScore(Tables.documents(s, d), "text",
+            "doc_id", TextAnalysis.standInWeights(s, 262144), 262144)
+          .orderBy(col("doc_id"))): Q,
+      Some("""WITH w AS (SELECT b AS bucket,
+        |  ('0x' || substr(md5('w|' || b), 1, 15))::BIGINT % 2000001
+        |    - 1000000 AS w_e6
+        |  FROM (SELECT unnest(generate_series(0, 262143)) AS b)),
+        |toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+        |  FROM documents),
+        |uni AS (SELECT doc_id, 'u|' || tok AS feat
+        |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
+        |bi AS (SELECT doc_id, 'b|' || array_to_string(t[i:i+1], ' ') AS feat
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+        |        FROM toks WHERE len(t) >= 2)),
+        |f AS (SELECT doc_id,
+        |  ('0x' || substr(md5(feat), 1, 15))::BIGINT % 262144 AS bucket
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi))
+        |SELECT f.doc_id, count(*) AS n_feats,
+        |  CAST(sum(w.w_e6) AS BIGINT) AS logit_e6,
+        |  CAST(sum(w.w_e6) AS BIGINT) >= 0 AS keep
+        |FROM f JOIN w USING (bucket)
+        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin)),
+
     // incremental exact dedup: a re-ingested batch (every 10th doc,
     // shifted ids) probed against the corpus digest index through the
     // Bloom-prefiltered scan; the prefilter cannot change the answer
