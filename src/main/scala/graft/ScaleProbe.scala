@@ -195,6 +195,12 @@ object ScaleProbe {
     time("quality_gate")(llm.TextAnalysis.qualityGate(
       llm.TextAnalysis.withPlantedRepetition(docs, "text", "doc_id"),
       "text", "doc_id"))
+    // model-based quality filter: the (bucket -> weight) model is a
+    // fixed-size broadcast however the corpus grows; the probe measures
+    // the unigram+bigram feature explode + per-doc partial-agg sums
+    time("quality_classifier")(llm.TextAnalysis.classifierScore(docs,
+      "text", "doc_id",
+      llm.TextAnalysis.standInWeights(spark, 262144), 262144))
     // incremental exact dedup: the batch stays ingest-sized (copy 0)
     // while the index replicates with the corpus — the Bloom prefilter
     // is what keeps the growing index scan-local

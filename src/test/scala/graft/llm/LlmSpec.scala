@@ -885,4 +885,35 @@ class LlmSpec extends SparkSpec {
       col("bi_score_e6") > 1000000L).count() == 0)
     assert(out.filter(col("uni_score_e12") <= 0).count() == 0)
   }
+
+  test("classifierScore: exact feature counts, broadcast model, sign flip") {
+    import spark.implicits._
+    val tiny = Seq((1L, "a b c"), (2L, "x"), (3L, "p q r s"))
+      .toDF("doc_id", "text")
+    // uniform weights make the logit a pure feature count: an n-token
+    // doc has n unigrams + (n-1) bigrams = 2n-1 features
+    val plus = spark.range(64).select(col("id").as("bucket"),
+      lit(7L).as("w_e6"))
+    val out = TextAnalysis.classifierScore(tiny, "text", "doc_id", plus, 64)
+      .cache()
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getBoolean(3))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, 5L, 35L, true), (2L, 1L, 7L, true),
+      (3L, 7L, 49L, true)))
+    // the model side must broadcast — the corpus side never shuffles
+    // before the join
+    assert(out.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    // all-negative weights flip every verdict (logit strictly < 0)
+    val minus = spark.range(64).select(col("id").as("bucket"),
+      lit(-1L).as("w_e6"))
+    val neg = TextAnalysis.classifierScore(tiny, "text", "doc_id", minus, 64)
+    assert(neg.filter(col("keep")).count() == 0)
+    // stand-in weights: deterministic across calls, bounded to ±1e6
+    val w1 = TextAnalysis.standInWeights(spark, 1024)
+    val w2 = TextAnalysis.standInWeights(spark, 1024)
+    assert(graft.ops.Ops.frameDiff(w1, w2).isEmpty)
+    assert(w1.filter(col("w_e6") < -1000000L || col("w_e6") > 1000000L)
+      .count() == 0)
+  }
 }
