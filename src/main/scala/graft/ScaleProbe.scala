@@ -201,6 +201,18 @@ object ScaleProbe {
     time("quality_classifier")(llm.TextAnalysis.classifierScore(docs,
       "text", "doc_id",
       llm.TextAnalysis.standInWeights(spark, 262144), 262144))
+    // BPE training: the corpus is scanned once into the word-frequency
+    // table; the 6 rounds then cost vocabulary-sized aggregates (and
+    // the per-copy token suffixing grows the vocabulary 20x here —
+    // the worst case for it)
+    time("bpe_train_6")(llm.Bpe.trainTable(docs, "text", rounds = 6))
+    // BPE encoding with a fixed merge table (trained on copy 0): a
+    // pure per-document projection — the replace chain at scan speed
+    if (only.forall(_.contains("bpe_encode"))) {
+      val bpeMerges = llm.Bpe.train(
+        docs.filter(col("doc_id") < 1000000000L), "text", rounds = 6)
+      time("bpe_encode")(llm.Bpe.encode(docs, "text", "doc_id", bpeMerges))
+    }
     // incremental exact dedup: the batch stays ingest-sized (copy 0)
     // while the index replicates with the corpus — the Bloom prefilter
     // is what keeps the growing index scan-local

@@ -1,0 +1,142 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer: deterministic merge-table training
+  * plus a pure-projection encoder — the tokenization stage between
+  * curation and packing in a training-data pipeline (reference scope:
+  * the pipeline's token counting stops at whitespace/regex tokens;
+  * BPE is the published next step, so both halves are built
+  * oracle-replayable from the start).
+  *
+  * Symbol sequences travel as ONE delimited string per word — each
+  * symbol wrapped in U+0001 cells (`<D>sym<D>`, adjacent cells
+  * abutting) — because the BPE merge step "replace every adjacent
+  * (x, y) occurrence left-to-right" is then EXACTLY the SQL-standard
+  * `replace(s, cell(x)||cell(y), cell(xy))`: matches cannot straddle a
+  * symbol boundary (a match must start and end at a cell delimiter
+  * pair) and both engines scan left-to-right without rescanning
+  * replaced output, which is precisely the greedy BPE merge order —
+  * `[a,a,a] → [aa,a]`, `[a,b,a,b] → [ab,ab]`. That makes training
+  * and encoding bit-reproducible on ANY engine: the
+  * `llm_bpe_train`/`llm_bpe_encode` oracle rows replay all rounds in
+  * DuckDB and match by hash. Every count is an exact integer and the
+  * argmax tie-break (max count, then lexicographically smallest pair)
+  * compares UTF-8 strings bytewise identically in Spark and DuckDB.
+  *
+  * 100 TB story: the corpus is scanned ONCE into a word-frequency
+  * table (vocabulary-bounded, not corpus-bounded — the shuffle
+  * carries distinct words); each training round is a narrow
+  * split/explode over that table plus one keyed aggregate and a
+  * 1-ROW collect (the argmax pair). Encoding is a pure per-document
+  * projection — a `merges`-deep chain of codegen'd `replace` calls at
+  * scan speed, no shuffle at all. Like the IVF trainer
+  * ([[Similarity.trainIvfCentroids]]), fleet runs train on a sample:
+  * the merge table needs the pair distribution, not the corpus. */
+object Bpe {
+
+  /** Cell delimiter. Words containing it are excluded from training
+    * and encoding (it cannot appear in real text; the filter makes the
+    * contract total rather than corrupting the cell encoding). */
+  val D = "\u0001"
+
+  private def cell(sym: String): String = D + sym + D
+
+  /** Whitespace words of `text`, empty and delimiter-carrying words
+    * dropped — the shared tokenization contract of both halves. */
+  private def words(text: Column): Column =
+    filter(split(trim(text), " "), w => w =!= "" && !w.contains(D))
+
+  /** Character-cell encoding of one word: `"abc"` →
+    * `<D>a<D><D>b<D><D>c<D>`. `(?s)` keeps the
+    * encoding total for any character. */
+  private def encodeCells(word: Column): Column =
+    regexp_replace(word, "(?s)(.)", D + "$1" + D)
+
+  /** Cell string back to its symbol array. */
+  private def symbols(cells: Column): Column =
+    split(trim(cells, D), D + D)
+
+  /** Corpus word-frequency table with cell-encoded spellings —
+    * the ONE corpus-sized scan of training. */
+  def wordFreq(df: DataFrame, text: String): DataFrame =
+    graft.ops.Ops.parallelizeInput(df)
+      .select(explode(words(col(text))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("s", encodeCells(col("word")))
+
+  /** One trained merge: `lhs`+`rhs` fused after `merge_round` rounds,
+    * having been the most frequent adjacent pair (`pair_count`
+    * occurrences, weighted by word frequency) at that point. */
+  final case class Merge(round: Int, lhs: String, rhs: String,
+                         count: Long)
+
+  /** Train `rounds` BPE merges. Deterministic end to end: exact
+    * integer pair counts, bytewise lexicographic tie-break, greedy
+    * left-to-right merge application. Stops early if no adjacent pair
+    * remains. Each round costs one keyed aggregate over the vocabulary
+    * and collects exactly one row. */
+  def train(df: DataFrame, text: String, rounds: Int): Seq[Merge] = {
+    var vocab = wordFreq(df, text).localCheckpoint()
+    val out = Seq.newBuilder[Merge]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = vocab
+        .select(col("cnt"), symbols(col("s")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("cnt"),
+          explode(sequence(lit(1), size(col("t")) - 1)).as("i"),
+          col("t"))
+        .select(col("cnt"), element_at(col("t"), col("i")).as("x"),
+          element_at(col("t"), col("i") + 1).as("y"))
+        .groupBy(col("x"), col("y")).agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("x"), col("y"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (x, y, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += Merge(r, x, y, c)
+        // re-checkpoint so round r+1's scan does not replay rounds
+        // 1..r's replace chain over the vocabulary
+        vocab = vocab
+          .withColumn("s",
+            replace(col("s"), lit(cell(x) + cell(y)), lit(cell(x + y))))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  /** The trained merge table as a DataFrame (the `llm_bpe_train`
+    * registry shape): one row per round. */
+  def trainTable(df: DataFrame, text: String, rounds: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    train(df, text, rounds)
+      .map(m => (m.round.toLong, m.lhs, m.rhs, m.count))
+      .toDF("merge_round", "lhs", "rhs", "pair_count")
+  }
+
+  /** Encode: apply the trained merges to every document and count the
+    * resulting tokens. A pure projection (no shuffle): per word, the
+    * cell encoding followed by the `merges`-deep codegen'd `replace`
+    * chain; per document, an `aggregate` over its word array. Rows
+    * with no countable words report zero. */
+  def encode(df: DataFrame, text: String, id: String,
+             merges: Seq[Merge]): DataFrame = {
+    def mergedCells(word: Column): Column =
+      merges.foldLeft(encodeCells(word)) { (s, m) =>
+        replace(s, lit(cell(m.lhs) + cell(m.rhs)), lit(cell(m.lhs + m.rhs)))
+      }
+    graft.ops.Ops.parallelizeInput(df, col(id))
+      .select(col(id), words(col(text)).as("w"))
+      .select(col(id), size(col("w")).cast("long").as("n_words"),
+        aggregate(col("w"), lit(0L),
+          (acc, w) => acc + size(symbols(mergedCells(w))).cast("long"))
+          .as("n_bpe_tokens"))
+  }
+}

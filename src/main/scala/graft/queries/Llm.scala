@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Chunking, Curation, Dedup, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.llm.{Bpe, Chunking, Curation, Dedup, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis}
 
 /** Oracle-checked queries for the LLM-data-pipeline operators
   * (BASELINE.json north star): dedup (exact / MinHash-LSH / SimHash /
@@ -294,6 +294,45 @@ object Llm {
       (SELECT unnest(generate_series(1, $nLists)) AS i) g),
   $iterSql"""
   }
+
+  /** CTE stack replaying `rounds` BPE training rounds (see
+    * [[graft.llm.Bpe]]): `v0..v{rounds}` are vocabulary states with
+    * U+0001-cell-encoded spellings (`chr(1)` builds the cells),
+    * `m1..m{rounds}` the per-round argmax merge pairs. SQL `replace`
+    * IS the greedy left-to-right BPE merge in both engines — matches
+    * cannot straddle a cell boundary, and neither engine rescans
+    * replaced output. */
+  private def bpeTrainCtes(rounds: Int): String = {
+    val rs = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT t[i] AS x, t[i+1] AS y, CAST(sum(cnt) AS BIGINT) AS c
+    FROM (SELECT cnt, t, unnest(generate_series(1, len(t)-1)) AS i
+          FROM (SELECT cnt, string_split(trim(s, chr(1)), chr(1)||chr(1)) AS t
+                FROM v${r - 1}) WHERE len(t) >= 2)
+    GROUP BY x, y),
+  m$r AS (SELECT x, y, c FROM p$r ORDER BY c DESC, x, y LIMIT 1),
+  v$r AS (SELECT word, cnt, replace(s,
+      (SELECT chr(1)||x||chr(1)||chr(1)||y||chr(1) FROM m$r),
+      (SELECT chr(1)||x||y||chr(1) FROM m$r)) AS s FROM v${r - 1})"""
+    }.mkString(",\n  ")
+    s"""dw AS (SELECT w FROM (SELECT unnest(string_split(trim(text), ' ')) AS w
+      FROM documents) WHERE w <> '' AND NOT contains(w, chr(1))),
+  v0 AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt,
+      regexp_replace(w, '(.)', chr(1)||'\\1'||chr(1), 'gs') AS s
+    FROM dw GROUP BY w),
+  $rs"""
+  }
+
+  /** The trained-merge application chain for one cell-encoded word
+    * expression: rounds 1..`rounds` applied in training order, each
+    * merge pair pulled from its `m{r}` CTE by scalar subquery. */
+  private def bpeMergeChainSql(rounds: Int, word: String): String =
+    (1 to rounds).foldLeft(
+      s"regexp_replace($word, '(.)', chr(1)||'\\1'||chr(1), 'gs')") {
+      (acc, r) =>
+        s"""replace($acc,
+      (SELECT chr(1)||x||chr(1)||chr(1)||y||chr(1) FROM m$r),
+      (SELECT chr(1)||x||y||chr(1) FROM m$r))"""
+    }
 
   /** The full batch-curation oracle (plants → clean → gate → exact
     * min-id keeper → deterministic shuffle), shared VERBATIM by
@@ -1700,6 +1739,47 @@ object Llm {
         |  CAST(sum(w.w_e6) AS BIGINT) >= 0 AS keep
         |FROM f JOIN w USING (bucket)
         |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin)),
+
+    // BPE tokenizer training: 6 merge rounds over the word-frequency
+    // table — per round, exact weighted pair counts, argmax with the
+    // (count DESC, pair lexicographic) tie-break, greedy left-to-right
+    // merge. The oracle replays every round and matches the merge
+    // table by hash — the trained artifact itself is graded, like the
+    // IVF trainer row
+    ("llm_bpe_train",
+      ((s: SparkSession, d: String) =>
+        Bpe.trainTable(Tables.documents(s, d), "text", rounds = 6)
+          .orderBy(col("merge_round"))): Q,
+      Some(s"""WITH ${bpeTrainCtes(6)}
+        SELECT * FROM (${(1 to 6).map(r =>
+          s"""SELECT CAST($r AS BIGINT) AS merge_round, x AS lhs,
+            y AS rhs, c AS pair_count FROM m$r""")
+          .mkString("\n          UNION ALL ")})
+        ORDER BY merge_round""")),
+
+    // BPE encoding: the trained 6-merge table applied to every
+    // document as a pure projection (a codegen'd replace chain — no
+    // shuffle); the oracle re-trains AND re-encodes end-to-end. Docs
+    // with no countable words keep a zero row on both sides
+    ("llm_bpe_encode",
+      ((s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        Bpe.encode(docs, "text", "doc_id",
+            Bpe.train(docs, "text", rounds = 6))
+          .orderBy(col("doc_id"))
+      }): Q,
+      Some(s"""WITH ${bpeTrainCtes(6)},
+  enc AS (SELECT doc_id, ${bpeMergeChainSql(6, "w")} AS s
+    FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+          FROM documents) WHERE w <> '' AND NOT contains(w, chr(1))),
+  ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      CAST(sum(len(string_split(trim(s, chr(1)), chr(1)||chr(1))))
+        AS BIGINT) AS n_bpe_tokens
+    FROM enc GROUP BY doc_id)
+  SELECT d.doc_id, CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+    CAST(coalesce(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+  FROM documents d LEFT JOIN ag a USING (doc_id)
+  ORDER BY d.doc_id""")),
 
     // incremental exact dedup: a re-ingested batch (every 10th doc,
     // shifted ids) probed against the corpus digest index through the

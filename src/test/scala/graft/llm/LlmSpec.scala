@@ -916,4 +916,68 @@ class LlmSpec extends SparkSpec {
     assert(w1.filter(col("w_e6") < -1000000L || col("w_e6") > 1000000L)
       .count() == 0)
   }
+
+  /** Independent brute-force BPE (symbol vectors, no cell strings):
+    * the ground truth for [[Bpe.train]]'s string-replace form. */
+  private def refBpeTrain(words: Seq[(String, Long)],
+                          rounds: Int): Seq[(String, String, Long)] = {
+    var vocab = words.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val out = scala.collection.mutable.Buffer[(String, String, Long)]()
+    var done = false
+    for (_ <- 1 to rounds if !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, c) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      if (counts.isEmpty) done = true
+      else {
+        val ((x, y), c) = counts.toSeq
+          .minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((x, y, c))
+        vocab = vocab.map { case (syms, cnt) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == x && syms(i + 1) == y) {
+              b += (x + y); i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          (b.result(), cnt)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("Bpe.train: agrees with a brute-force reference on the corpus") {
+    val words = docs.collect().toSeq
+      .flatMap(_.getAs[String]("text").split(" ", -1))
+      .filter(w => w.nonEmpty && !w.contains('\u0001'))
+      .groupBy(identity).map { case (w, g) => (w, g.size.toLong) }.toSeq
+    val want = refBpeTrain(words, rounds = 8)
+    val got = Bpe.train(docs, "text", rounds = 8)
+      .map(m => (m.lhs, m.rhs, m.count))
+    assert(got == want)
+    assert(got.size == 8 && got.forall(_._3 > 0))
+  }
+
+  test("Bpe: greedy left-to-right merges, early exhaustion, zero rows") {
+    import spark.implicits._
+    // [a,a,a] merging (a,a) -> [aa,a]: greedy, no rescan of output
+    val tri = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val m1 = Bpe.train(tri, "text", rounds = 1)
+    assert(m1 == Seq(Bpe.Merge(1, "a", "a", 2L)))
+    val enc = Bpe.encode(tri, "text", "doc_id", m1).collect()(0)
+    assert((enc.getLong(1), enc.getLong(2)) == ((1L, 2L)))
+    // a fully merged vocabulary stops training early
+    val ab = Seq((1L, "ab")).toDF("doc_id", "text")
+    val ms = Bpe.train(ab, "text", rounds = 5)
+    assert(ms == Seq(Bpe.Merge(1, "a", "b", 1L)))
+    // documents with no countable words report zeros, not a lost row
+    val empty = Seq((1L, "x y"), (2L, "  ")).toDF("doc_id", "text")
+    val z = Bpe.encode(empty, "text", "doc_id", Nil)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(z == Seq((1L, 2L, 2L), (2L, 0L, 0L)))
+  }
 }

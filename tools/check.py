@@ -20,6 +20,11 @@ def main():
         name = os.path.basename(p).replace(".parquet", "")
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    # dev convenience: restrict to a comma-separated name list (matches
+    # Verify's optional third arg, so partial dumps don't spam FAILs)
+    if len(sys.argv) > 3:
+        only = set(sys.argv[3].split(","))
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_ok = n_bad = 0
     for name in sorted(oracle):
         sql = oracle[name]
