@@ -134,6 +134,15 @@ object ScaleProbe {
     time("ivf_topk")(llm.Similarity.ivfTopK(emb,
       emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
       nLists = 8, nProbe = 2))
+    // hard negatives: ivf_topk's shape plus the label/dup predicates —
+    // queries stay fixed (copy-0 ids < 10) while the corpus replicates
+    time("hard_negatives")({
+      val planted = llm.Similarity.withMislabeledDups(emb, "vec_id",
+        "embedding", "label", every = 20)
+      llm.Similarity.hardNegatives(planted,
+        planted.filter(col("vec_id") < 10), "vec_id", "embedding",
+        "label", k = 5, dupThreshold = 0.95)
+    })
     time("quantize_int8")(llm.Similarity.quantizeInt8(emb, "embedding")
       .select(col("vec_id"), col("scale"), col("q")))
     time("quantized_topk")(llm.Similarity.quantizedTopK(emb,

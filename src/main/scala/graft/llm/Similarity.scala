@@ -489,6 +489,76 @@ object Similarity {
       .select(col("q_id"), col(id), col("score"), col("rn"))
   }
 
+  /** Planted MISLABELED near-duplicates: the same jittered copies as
+    * [[withPlantedDups]] but carrying a shifted label — the
+    * adversarial case [[hardNegatives]]'s duplicate guard exists for
+    * (a stray copy of the anchor marked as a different class would
+    * otherwise top the "negatives" list and poison the contrastive
+    * batch). Mirrored verbatim in the `llm_hard_negatives` oracle. */
+  def withMislabeledDups(corpus: DataFrame, id: String, emb: String,
+                         label: String, every: Int = 20,
+                         idOffset: Long = 1000000L,
+                         nLabels: Int = 10): DataFrame = {
+    val base = corpus.select(col(id), col(label),
+      transform(col(emb), x => x.cast("double")).as(emb))
+    val planted = base.filter(pmod(col(id), lit(every)) === 0)
+      .select((col(id) + lit(idOffset)).as(id),
+        pmod(col(label) + 1, lit(nLabels)).as(label),
+        transform(col(emb), (x, i) =>
+          x * (lit(1.0) + lit(0.02) * (pmod(i, lit(5)).cast("double") - lit(2.0))))
+          .as(emb))
+    base.unionByName(planted)
+  }
+
+  /** Hard-negative mining for contrastive training data: per query,
+    * the top-`k` most-similar corpus rows that are (a) not the query,
+    * (b) not same-`label` (the published recipe — similar but wrong
+    * class), and (c) below `dupThreshold` cosine (a near-duplicate of
+    * the anchor is a positive in disguise — often a mislabeled copy —
+    * not a negative). Both exclusions run BEFORE the rank window, so
+    * `rn` ranks the eligible set. Candidates come from the same IVF
+    * probe join as [[ivfTopK]]. Output: (q_id, id, score, rn).
+    *
+    * 100 TB story: identical to ivfTopK — corpus side is one narrow
+    * list-assignment projection, queries broadcast, candidates shrink
+    * ~nProbe/nLists, one rank window keyed by q_id; the extra label /
+    * threshold predicates are pushed into the joined stream and cost
+    * nothing. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, id: String,
+                    emb: String, label: String, k: Int,
+                    dupThreshold: Double, nLists: Int = 8,
+                    nProbe: Int = 2, dim: Int = 64): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val cs = ivfCentroids(nLists, dim)
+    def prep(df: DataFrame, idAs: String, labelAs: String, embAs: String,
+             nrmAs: String) =
+      graft.ops.Ops.parallelizeInput(df, col(id))
+        .select(col(id).as(idAs), col(label).as(labelAs),
+          transform(col(emb), x => x.cast("double")).as(embAs))
+        .withColumn(nrmAs, sqrt(VectorFunctions.dot(col(embAs), col(embAs))))
+    val c = prep(corpus, id, "c_label", "c_emb", "c_nrm")
+      .withColumn("list_id", ivfListId(col("c_emb"), cs))
+    val qScores = array(cs.map(cc =>
+      VectorFunctions.dot(col("q_emb"), typedlit(cc.toSeq))): _*)
+    val q = prep(queries, "q_id", "q_label", "q_emb", "q_nrm")
+      .select(col("q_id"), col("q_label"), col("q_emb"), col("q_nrm"),
+        posexplode(qScores).as(Seq("list_id", "c_score")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("c_score").desc, col("list_id"))))
+      .filter(col("pr") <= nProbe)
+      .select(col("q_id"), col("q_label"), col("q_emb"), col("q_nrm"),
+        col("list_id"))
+    c.join(broadcast(q), Seq("list_id"))
+      .filter(col("q_id") =!= col(id) && col("c_label") =!= col("q_label"))
+      .withColumn("score", pairScore)
+      .filter(col("score") < dupThreshold)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("score").desc, col(id))))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col(id), col("score"), col("rn"))
+  }
+
   /** ANN top-k: candidates = corpus rows in the query's bucket
     * (equi-join on bucket — the scale path), reranked by exact cosine.
     * Recall < 1 by construction; raise `numPlanes` ↓bucket size,

@@ -856,6 +856,56 @@ object Llm {
         |  CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6, rn
         |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)),
 
+    // hard-negative mining: per query, top-5 most-similar candidates
+    // that are neither same-label nor near-duplicates (cosine >= 0.95
+    // — a copy of the anchor is a positive in disguise, not a
+    // negative). The corpus carries planted MISLABELED duplicates
+    // (jittered copy, shifted label) so the dup guard is non-vacuous:
+    // without the threshold filter the copy would top query 0's list.
+    // Candidates via the same IVF probe join as llm_similarity_ivf
+    ("llm_hard_negatives",
+      ((s: SparkSession, d: String) => {
+        val e = Tables.embeddings(s, d)
+        val planted = Similarity.withMislabeledDups(e, "vec_id",
+          "embedding", "label", every = 20)
+        Similarity.hardNegatives(planted,
+            planted.filter(col("vec_id") < 10), "vec_id", "embedding",
+            "label", k = 5, dupThreshold = 0.95, nLists = 8, nProbe = 2)
+          .select(col("q_id"), col("vec_id"),
+            floor(col("score") * 1000000 + 0.5).cast("long").as("score_e6"),
+            col("rn"))
+          .orderBy(col("q_id"), col("rn"))
+      }): Q,
+      Some(s"""WITH cemb AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings
+        |  UNION ALL SELECT vec_id + 1000000, (label + 1) % 10,
+        |    list_transform(embedding, (x, i) -> CAST(x AS DOUBLE)
+        |      * (1.0 + 0.02 * (CAST((i - 1) % 5 AS DOUBLE) - 2.0)))
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |pre AS (SELECT vec_id, label, e,
+        |  sqrt(list_dot_product(e, e)) AS nrm,
+        |  ${ivfScoresSql(nLists = 8, dim = 64)} AS cs FROM cemb),
+        |corp AS (SELECT vec_id, label, e, nrm,
+        |  list_position(cs, list_max(cs)) - 1 AS list_id FROM pre),
+        |qp AS (SELECT vec_id AS q_id, label AS q_label, e AS qe,
+        |  nrm AS qn, i - 1 AS list_id, cs[i] AS c_score
+        |  FROM pre, (SELECT unnest(generate_series(1, 8)) AS i) g
+        |  WHERE vec_id < 10),
+        |qr AS (SELECT *, row_number() OVER
+        |  (PARTITION BY q_id ORDER BY c_score DESC, list_id) AS pr FROM qp),
+        |sc AS (SELECT p.q_id, c.vec_id,
+        |  list_dot_product(p.qe, c.e) / (p.qn * c.nrm) AS score
+        |  FROM (SELECT * FROM qr WHERE pr <= 2) p
+        |  JOIN corp c ON c.list_id = p.list_id AND c.vec_id != p.q_id
+        |    AND c.label != p.q_label),
+        |r AS (SELECT *, row_number() OVER
+        |  (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+        |  FROM sc WHERE score < 0.95)
+        |SELECT q_id, vec_id,
+        |  CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6, rn
+        |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)),
+
     // IVF-flat with TRAINED centroids: the oracle replays all five
     // Lloyd's rounds in SQL (exact quantized-integer recentre sums —
     // see trainedCentroidsSql), then the same probe/rerank as the

@@ -961,6 +961,37 @@ class LlmSpec extends SparkSpec {
     assert(got.size == 8 && got.forall(_._3 > 0))
   }
 
+  test("hardNegatives: dup guard kills the mislabeled copy, labels differ, ranks eligible set") {
+    val planted = Similarity.withMislabeledDups(emb, "vec_id",
+      "embedding", "label", every = 20)
+    val queries = planted.filter(col("vec_id") < 10)
+    val guarded = Similarity.hardNegatives(planted, queries, "vec_id",
+      "embedding", "label", k = 5, dupThreshold = 0.95).cache()
+    val g = guarded.collect()
+    assert(g.length == 50) // 10 queries x full k
+    // query 0's mislabeled jittered copy (id 1000000, label shifted,
+    // cosine ~0.9996) is label-eligible but MUST be excluded by the
+    // duplicate threshold...
+    assert(!g.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1000000L))
+    // ...and without the guard it tops the list — the filter is the
+    // only thing standing between the copy and rank 1
+    val unguarded = Similarity.hardNegatives(planted, queries, "vec_id",
+      "embedding", "label", k = 5, dupThreshold = 1.1).collect()
+    assert(unguarded.exists(r => r.getLong(0) == 0L
+      && r.getLong(1) == 1000000L && r.getInt(3) == 1))
+    // no emitted negative shares its query's label
+    val labels = planted.select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    g.foreach(r => assert(labels(r.getLong(0)) != labels(r.getLong(1)),
+      s"query ${r.getLong(0)} got same-label negative ${r.getLong(1)}"))
+    // scores below the threshold, ranks contiguous per query
+    g.foreach(r => assert(r.getDouble(2) < 0.95))
+    (0L until 10L).foreach { q =>
+      val rns = g.filter(_.getLong(0) == q).map(_.getInt(3)).sorted.toSeq
+      assert(rns == (1 to 5), s"query $q ranks $rns")
+    }
+  }
+
   test("Bpe: greedy left-to-right merges, early exhaustion, zero rows") {
     import spark.implicits._
     // [a,a,a] merging (a,a) -> [aa,a]: greedy, no rescan of output
