@@ -210,6 +210,10 @@ object ScaleProbe {
     time("quality_classifier")(llm.TextAnalysis.classifierScore(docs,
       "text", "doc_id",
       llm.TextAnalysis.standInWeights(spark, 262144), 262144))
+    // vocab coverage: top-V vocabulary via partial TakeOrdered,
+    // broadcast back over the token stream
+    time("vocab_coverage")(llm.TextAnalysis.vocabCoverage(docs,
+      "text", "doc_id", vocabSize = 1000))
     // BPE training: the corpus is scanned once into the word-frequency
     // table; the 6 rounds then cost vocabulary-sized aggregates (and
     // the per-copy token suffixing grows the vocabulary 20x here —

@@ -629,6 +629,43 @@ object TextAnalysis {
       .withColumn("keep", col("logit_e6") >= 0)
   }
 
+  /** Vocabulary coverage / OOV rate: build the top-`vocabSize`
+    * whitespace-word vocabulary (by exact count, ties broken by the
+    * bytewise-smaller word — a total order, so the boundary is
+    * deterministic), then report per document how many tokens fall
+    * outside it. `oov_bp` is exact basis points via integral division
+    * (both engines truncate non-negative operands identically). The
+    * tokenizer-evaluation step between raw word counting and BPE:
+    * fixes vocab size BEFORE training and measures what a V-word
+    * vocabulary abandons.
+    *
+    * 100 TB story: the vocabulary is a per-partition partial top-V
+    * merged on the driver (TakeOrdered — never a global sort) and
+    * returns BROADCAST; the corpus token stream shuffles once for the
+    * word count and once keyed by document for the coverage sums, both
+    * with map-side partial aggregation. Documents with no tokens keep
+    * a zero row. */
+  def vocabCoverage(df: DataFrame, text: String, id: String,
+                    vocabSize: Int): DataFrame = {
+    val base = graft.ops.Ops.parallelizeInput(df, col(id))
+    val toks = base.select(col(id),
+      explode(filter(split(trim(col(text)), " "), w => w =!= "")).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(vocabSize)
+    val per = toks
+      .join(broadcast(vocab.select(col("w"), lit(1).as("in_v"))),
+        Seq("w"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+    base.select(col(id)).join(per, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("oov_bp", when(col("n_tokens") === 0, lit(0L))
+        .otherwise(expr("(n_oov * 10000) DIV n_tokens")))
+  }
+
   /** Deterministic md5-derived stand-in weight table for
     * [[classifierScore]]: bucket b → ±1e6-range integer weight. */
   def standInWeights(spark: org.apache.spark.sql.SparkSession,

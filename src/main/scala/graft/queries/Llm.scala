@@ -1790,6 +1790,32 @@ object Llm {
         |FROM f JOIN w USING (bucket)
         |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin)),
 
+    // vocabulary coverage: top-1000 words by exact count (bytewise
+    // tie-break — a deterministic boundary), per-doc OOV fraction in
+    // exact basis points (integral division). The vocab returns as a
+    // broadcast; zero-token docs keep a zero row
+    ("llm_vocab_coverage",
+      ((s: SparkSession, d: String) =>
+        TextAnalysis.vocabCoverage(Tables.documents(s, d), "text",
+            "doc_id", vocabSize = 1000)
+          .orderBy(col("doc_id"))): Q,
+      Some("""WITH t AS (SELECT doc_id,
+        |    unnest(string_split(trim(text), ' ')) AS w FROM documents),
+        |tok AS (SELECT doc_id, w FROM t WHERE w <> ''),
+        |vc AS (SELECT w FROM tok GROUP BY w
+        |  ORDER BY count(*) DESC, w LIMIT 1000),
+        |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_oov
+        |  FROM tok LEFT JOIN vc v ON tok.w = v.w GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov,
+        |  CAST(CASE WHEN coalesce(p.n_tokens, 0) = 0 THEN 0
+        |    ELSE (p.n_oov * 10000) // p.n_tokens END AS BIGINT) AS oov_bp
+        |FROM documents d LEFT JOIN per p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)),
+
     // BPE tokenizer training: 6 merge rounds over the word-frequency
     // table — per round, exact weighted pair counts, argmax with the
     // (count DESC, pair lexicographic) tie-break, greedy left-to-right

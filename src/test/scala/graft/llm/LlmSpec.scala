@@ -961,6 +961,25 @@ class LlmSpec extends SparkSpec {
     assert(got.size == 8 && got.forall(_._3 > 0))
   }
 
+  test("vocabCoverage: hand-computed OOV rates, deterministic tie-break, zero rows") {
+    import spark.implicits._
+    // counts: a=3, b=c=d=1; top-2 = (a, then bytewise-smallest b)
+    val tiny = Seq((1L, "a a b c"), (2L, "a d"), (3L, " "))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(tiny, "text", "doc_id", 2)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out == Map(
+      1L -> ((4L, 1L, 2500L)),  // c is OOV
+      2L -> ((2L, 1L, 5000L)),  // d is OOV
+      3L -> ((0L, 0L, 0L))))    // no tokens, kept as a zero row
+    // the vocabulary side must broadcast back
+    val plan = TextAnalysis.vocabCoverage(docs, "text", "doc_id", 1000)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("hardNegatives: dup guard kills the mislabeled copy, labels differ, ranks eligible set") {
     val planted = Similarity.withMislabeledDups(emb, "vec_id",
       "embedding", "label", every = 20)
