@@ -125,18 +125,37 @@ object Bpe {
     * resulting tokens. A pure projection (no shuffle): per word, the
     * cell encoding followed by the `merges`-deep codegen'd `replace`
     * chain; per document, an `aggregate` over its word array. Rows
-    * with no countable words report zero. */
+    * with no countable words report zero. `carry` columns pass through
+    * untouched (so groupers like language ride the projection instead
+    * of needing a corpus-sized self-join later). */
   def encode(df: DataFrame, text: String, id: String,
-             merges: Seq[Merge]): DataFrame = {
+             merges: Seq[Merge], carry: Seq[String] = Nil): DataFrame = {
     def mergedCells(word: Column): Column =
       merges.foldLeft(encodeCells(word)) { (s, m) =>
         replace(s, lit(cell(m.lhs) + cell(m.rhs)), lit(cell(m.lhs + m.rhs)))
       }
     graft.ops.Ops.parallelizeInput(df, col(id))
-      .select(col(id), words(col(text)).as("w"))
-      .select(col(id), size(col("w")).cast("long").as("n_words"),
-        aggregate(col("w"), lit(0L),
+      .select(col(id) +: carry.map(col) :+ words(col(text)).as("w"): _*)
+      .select(col(id) +: carry.map(col)
+        :+ size(col("w")).cast("long").as("n_words")
+        :+ aggregate(col("w"), lit(0L),
           (acc, w) => acc + size(symbols(mergedCells(w))).cast("long"))
-          .as("n_bpe_tokens"))
+          .as("n_bpe_tokens"): _*)
   }
+
+  /** Tokenizer fertility (BPE tokens per word, exact basis points) per
+    * `group` — the standard tokenizer-evaluation metric, here by
+    * language: encode with `group` carried through the narrow
+    * projection, then ONE keyed aggregate (integer sums, integral
+    * division — both engines truncate non-negative operands
+    * identically). Groups appear only if they contribute countable
+    * words, so the division is total. */
+  def fertilityByGroup(df: DataFrame, text: String, id: String,
+                       group: String, merges: Seq[Merge]): DataFrame =
+    encode(df, text, id, merges, carry = Seq(group))
+      .groupBy(col(group))
+      .agg(sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+      .filter(col("n_words") > 0)
+      .withColumn("fertility_bp", expr("(n_bpe_tokens * 10000) DIV n_words"))
 }

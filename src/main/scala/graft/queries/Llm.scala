@@ -856,6 +856,29 @@ object Llm {
         |  CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_e6, rn
         |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)),
 
+    // tokenizer fertility by language: the trained 6-merge BPE applied
+    // with lang carried through the narrow projection, one keyed
+    // aggregate, exact integral basis points. The oracle re-trains,
+    // re-encodes and re-aggregates end-to-end
+    ("llm_bpe_fertility",
+      ((s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        Bpe.fertilityByGroup(docs, "text", "doc_id", "lang",
+            Bpe.train(docs, "text", rounds = 6))
+          .orderBy(col("lang"))
+      }): Q,
+      Some(s"""WITH ${bpeTrainCtes(6)},
+  enc AS (SELECT doc_id, ${bpeMergeChainSql(6, "w")} AS s
+    FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+          FROM documents) WHERE w <> '' AND NOT contains(w, chr(1))),
+  fa AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS n_words,
+      CAST(sum(len(string_split(trim(e.s, chr(1)), chr(1)||chr(1))))
+        AS BIGINT) AS n_bpe_tokens
+    FROM enc e JOIN documents d USING (doc_id) GROUP BY d.lang)
+  SELECT lang, n_words, n_bpe_tokens,
+    CAST((n_bpe_tokens * 10000) // n_words AS BIGINT) AS fertility_bp
+  FROM fa WHERE n_words > 0 ORDER BY lang""")),
+
     // hard-negative mining: per query, top-5 most-similar candidates
     // that are neither same-label nor near-duplicates (cosine >= 0.95
     // — a copy of the anchor is a positive in disguise, not a

@@ -1029,5 +1029,14 @@ class LlmSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1).toSeq
     assert(z == Seq((1L, 2L, 2L), (2L, 0L, 0L)))
+    // merge-free fertility is exactly chars-per-word; word-less groups
+    // are dropped, not divided by zero
+    val fert = Seq((1L, "ab cd", "en"), (2L, "xyz", "de"), (3L, " ", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val f = Bpe.fertilityByGroup(fert, "text", "doc_id", "lang", Nil)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(f == Map("en" -> ((2L, 4L, 20000L)), "de" -> ((1L, 3L, 30000L))))
   }
 }
