@@ -266,6 +266,12 @@ object ScaleProbe {
       llm.Curation.withPlantedEverything(docs, "text", "doc_id"),
       "text", "doc_id", shards = 64,
       pairSource = llm.Curation.lshPairSource()))
+    // classifier-gated curation: pipeline + the broadcast-model stage
+    // over the gate survivors
+    time("curation_classified")(llm.Curation.pipelineClassified(
+      llm.Curation.withPlantedEverything(docs, "text", "doc_id"),
+      "text", "doc_id",
+      llm.TextAnalysis.standInWeights(spark, 262144), 262144, shards = 64))
     // fused epoch assembly: survivors → shuffle → pack in one plan
     time("epoch_assembly")(llm.Curation.epochAssembly(
       llm.Curation.withPlantedEverything(docs, "text", "doc_id"),

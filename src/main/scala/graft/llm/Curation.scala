@@ -198,6 +198,39 @@ object Curation {
         col("pos"))
   }
 
+  /** [[pipeline]] with the MODEL-BASED quality filter chained after
+    * the heuristic gate — the published two-stage shape (cheap
+    * heuristics first, the classifier only on their survivors). The
+    * classifier ([[TextAnalysis.classifierScore]]) scores the CLEANED
+    * text of gate-kept documents against the broadcast
+    * (bucket → weight) model; negative-logit docs drop before the
+    * dedup keeper, so copies of a rejected doc never reach the digest
+    * aggregate. Output shape identical to [[pipeline]].
+    *
+    * 100 TB story: unchanged from [[pipeline]] plus the classifier's
+    * narrow feature explode + broadcast model join, run over the
+    * already gate-reduced survivor set — the model is a few MB
+    * however big the corpus, and only (doc, partial-sum) rows cross
+    * its exchange. */
+  def pipelineClassified(df: DataFrame, text: String, id: String,
+                         weights: DataFrame, width: Int,
+                         shards: Int = 8): DataFrame = {
+    val cleaned = cleanedText(df, text, id, LocalCheckpoint)
+    val gate = gateVerdicts(cleaned, text, id, LocalCheckpoint)
+    val gateKept = cleaned
+      .join(gate.filter(col("keep")).select(col(id)), Seq(id))
+    val clfKept = graft.llm.TextAnalysis
+      .classifierScore(gateKept, text, id, weights, width)
+      .filter(col("keep")).select(col(id))
+    val kept = gateKept.join(clfKept, Seq(id))
+      .select(col(id), md5(col(text).cast("binary")).as("clean_md5"))
+    val survivors = keepMinPerDigest(kept, id)
+    Sampling.shuffleOrder(survivors.select(col(id), col("clean_md5")),
+        col(id), shards)
+      .select(col(id), col("clean_md5"), col("order_key"), col("shard"),
+        col("pos"))
+  }
+
   /** Epoch assembly as ONE plan — the last seam of the training-data
     * story fused: survivors (clean → gate → exact min-id keeper) →
     * deterministic shuffle order ([[Sampling.shuffleOrder]]) → greedy

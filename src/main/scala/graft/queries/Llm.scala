@@ -322,6 +322,27 @@ object Llm {
   $rs"""
   }
 
+  /** WITH-fragments for the hashed-feature classifier over relation
+    * `src` (must expose doc_id, text): `w` = the md5-derived stand-in
+    * (bucket → weight) model, `feats` = (doc_id, bucket) hashed
+    * unigram+bigram features. Shared by `llm_quality_classifier` and
+    * the classifier-gated curation row. */
+  private def classifierCtesSql(src: String, width: Int): String =
+    s"""w AS (SELECT b AS bucket,
+    |  ('0x' || substr(md5('w|' || b), 1, 15))::BIGINT % 2000001
+    |    - 1000000 AS w_e6
+    |  FROM (SELECT unnest(generate_series(0, ${width - 1})) AS b)),
+    |ctoks AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+    |  FROM $src),
+    |cuni AS (SELECT doc_id, 'u|' || tok AS feat
+    |  FROM (SELECT doc_id, unnest(t) AS tok FROM ctoks)),
+    |cbi AS (SELECT doc_id, 'b|' || array_to_string(t[i:i+1], ' ') AS feat
+    |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+    |        FROM ctoks WHERE len(t) >= 2)),
+    |feats AS (SELECT doc_id,
+    |  ('0x' || substr(md5(feat), 1, 15))::BIGINT % $width AS bucket
+    |  FROM (SELECT * FROM cuni UNION ALL SELECT * FROM cbi))""".stripMargin
+
   /** The trained-merge application chain for one cell-encoded word
     * expression: rounds 1..`rounds` applied in training order, each
     * merge pair pulled from its `m{r}` CTE by scalar subquery. */
@@ -350,6 +371,49 @@ object Llm {
     |${gateCtesSql},
     |kept AS (SELECT s.doc_id, md5(s.text) AS clean_md5
     |  FROM src s JOIN v USING (doc_id) WHERE v.reasons = 0),
+    |keepers AS (SELECT min(doc_id) AS doc_id FROM kept
+    |  GROUP BY clean_md5),
+    |surv AS (SELECT k.doc_id, k.clean_md5 FROM kept k
+    |  JOIN keepers USING (doc_id)),
+    |h AS (SELECT doc_id, clean_md5,
+    |  (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+    |    * 4294967296 + lo AS order_key
+    |  FROM (SELECT doc_id, clean_md5,
+    |    ('0x' || substr(md5('shuffle|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hi,
+    |    ('0x' || substr(md5('shuffle|' || CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT AS lo
+    |  FROM surv)),
+    |sh AS (SELECT doc_id, clean_md5, order_key,
+    |  ((order_key % 8) + 8) % 8 AS shard FROM h)
+    |SELECT doc_id, clean_md5, order_key, shard,
+    |  row_number() OVER (PARTITION BY shard ORDER BY order_key, doc_id) - 1
+    |    AS pos
+    |FROM sh ORDER BY doc_id""".stripMargin
+      .replace("__PM__", plantMarkupCte("d0"))
+      .replace("__PP__", plantPiiCte("pm"))
+      .replace("__CLEAN__", redactSqlExpr(stripSqlExpr("text")))
+
+  /** The classifier-gated curation oracle: the SAME plants → clean →
+    * gate scaffold as `curationPipelineSql`, with the hashed-feature
+    * classifier (over the gate-kept CLEANED text) inserted before the
+    * exact min-id keeper — the published two-stage filter shape,
+    * replayed end-to-end. */
+  private lazy val curationClassifiedSql: String =
+    s"""WITH d0 AS (SELECT doc_id, text FROM documents
+    |  UNION ALL SELECT doc_id + 924000, text FROM documents
+    |  WHERE doc_id % 10 = 0),
+    |pm AS (__PM__),
+    |pp AS (__PP__),
+    |pr AS (${plantRepetitionCte("pp")}),
+    |src AS (SELECT doc_id, __CLEAN__ AS text FROM pr),
+    |${gateCtesSql},
+    |${classifierCtesSql(
+        "(SELECT s.doc_id, s.text FROM src s JOIN v USING (doc_id) WHERE v.reasons = 0)",
+        262144)},
+    |clfkeep AS (SELECT feats.doc_id FROM feats JOIN w USING (bucket)
+    |  GROUP BY feats.doc_id HAVING CAST(sum(w.w_e6) AS BIGINT) >= 0),
+    |kept AS (SELECT s.doc_id, md5(s.text) AS clean_md5
+    |  FROM src s JOIN v USING (doc_id) JOIN clfkeep USING (doc_id)
+    |  WHERE v.reasons = 0),
     |keepers AS (SELECT min(doc_id) AS doc_id FROM kept
     |  GROUP BY clean_md5),
     |surv AS (SELECT k.doc_id, k.clean_md5 FROM kept k
@@ -1793,25 +1857,12 @@ object Llm {
         TextAnalysis.classifierScore(Tables.documents(s, d), "text",
             "doc_id", TextAnalysis.standInWeights(s, 262144), 262144)
           .orderBy(col("doc_id"))): Q,
-      Some("""WITH w AS (SELECT b AS bucket,
-        |  ('0x' || substr(md5('w|' || b), 1, 15))::BIGINT % 2000001
-        |    - 1000000 AS w_e6
-        |  FROM (SELECT unnest(generate_series(0, 262143)) AS b)),
-        |toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t
-        |  FROM documents),
-        |uni AS (SELECT doc_id, 'u|' || tok AS feat
-        |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
-        |bi AS (SELECT doc_id, 'b|' || array_to_string(t[i:i+1], ' ') AS feat
-        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
-        |        FROM toks WHERE len(t) >= 2)),
-        |f AS (SELECT doc_id,
-        |  ('0x' || substr(md5(feat), 1, 15))::BIGINT % 262144 AS bucket
-        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi))
-        |SELECT f.doc_id, count(*) AS n_feats,
+      Some(s"""WITH ${classifierCtesSql("documents", 262144)}
+        |SELECT feats.doc_id, count(*) AS n_feats,
         |  CAST(sum(w.w_e6) AS BIGINT) AS logit_e6,
         |  CAST(sum(w.w_e6) AS BIGINT) >= 0 AS keep
-        |FROM f JOIN w USING (bucket)
-        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin)),
+        |FROM feats JOIN w USING (bucket)
+        |GROUP BY feats.doc_id ORDER BY feats.doc_id""".stripMargin)),
 
     // vocabulary coverage: top-1000 words by exact count (bytewise
     // tie-break — a deterministic boundary), per-doc OOV fraction in
@@ -2011,6 +2062,22 @@ object Llm {
             "text", "doc_id", shards = 8)
           .orderBy(col("doc_id"))): Q,
       Some(curationPipelineSql)),
+
+    // classifier-gated curation: the published two-stage filter shape
+    // (heuristic gate first, the broadcast-model classifier on its
+    // survivors) as ONE composition — rejected docs and their planted
+    // copies never reach the digest keeper. The oracle replays plants
+    // -> clean -> gate -> feature hashing -> logits -> keeper ->
+    // shuffle end-to-end
+    ("llm_curation_classified",
+      ((s: SparkSession, d: String) =>
+        Curation.pipelineClassified(
+            Curation.withPlantedEverything(Tables.documents(s, d), "text",
+              "doc_id"),
+            "text", "doc_id",
+            TextAnalysis.standInWeights(s, 262144), 262144, shards = 8)
+          .orderBy(col("doc_id"))): Q,
+      Some(curationClassifiedSql)),
 
     // the STREAMED curation path itself under the DuckDB oracle: the
     // query function runs curationStream over three micro-batches in

@@ -426,4 +426,21 @@ class CurationSpec extends SparkSpec {
       .filter(col("mx") =!= col("n") - 1).count()
     assert(badShards == 0L)
   }
+
+  test("pipelineClassified: accept-all model ≡ pipeline, reject-all drops everything") {
+    val planted = Curation.withPlantedEverything(docs, "text", "doc_id")
+    // uniform positive weights keep every doc (logit = n_feats > 0):
+    // the classifier stage must then be invisible — byte-equal output
+    val plus = spark.range(64).select(col("id").as("bucket"),
+      lit(1L).as("w_e6"))
+    val same = Curation.pipelineClassified(planted, "text", "doc_id",
+      plus, 64)
+    val base = Curation.pipeline(planted, "text", "doc_id")
+    assert(graft.ops.Ops.frameDiff(same, base).isEmpty)
+    // uniform negative weights reject every doc
+    val minus = spark.range(64).select(col("id").as("bucket"),
+      lit(-1L).as("w_e6"))
+    assert(Curation.pipelineClassified(planted, "text", "doc_id",
+      minus, 64).count() == 0L)
+  }
 }
