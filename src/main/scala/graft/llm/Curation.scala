@@ -82,16 +82,20 @@ object Curation {
     * [[graft.streaming.Streaming.curationStream]] (one definition, so
     * their equivalence specs are structural, not coincidental):
     * clean → gate → the gate-kept rows' digests. Output:
-    * (id, clean_md5[, h64]), checkpointed — every caller fans it into
-    * multiple consumers (keeper aggregate, bloom build, joins). `h64`
-    * (the Bloom probe key) is computed only when asked for — the batch
-    * paths never use it. */
+    * (id[, text], clean_md5[, h64]), checkpointed — every caller fans
+    * it into multiple consumers (keeper aggregate, bloom build,
+    * joins). `h64` (the Bloom probe key) is computed only when asked
+    * for — the batch paths never use it. `withText` carries the
+    * CLEANED text through (the classifier-gated paths score it; the
+    * plain paths drop it before the checkpoint). */
   private[graft] def cleanGateDigest(df: DataFrame, text: String, id: String,
                                      withH64: Boolean = false,
-                                     mat: Materializer = LocalCheckpoint): DataFrame = {
+                                     mat: Materializer = LocalCheckpoint,
+                                     withText: Boolean = false): DataFrame = {
     val cleaned = cleanedText(df, text, id, mat)
     val gate = gateVerdicts(cleaned, text, id, mat)
-    val digests = Seq(md5(col(text).cast("binary")).as("clean_md5")) ++
+    val digests = (if (withText) Seq(col(text)) else Seq.empty) ++
+      Seq(md5(col(text).cast("binary")).as("clean_md5")) ++
       (if (withH64) { // registered lazily: only the streaming path needs it
         graft.functions.Md5Hash64Expr.register(df.sparkSession)
         Seq(Dedup.md5Hash64(col(text)).as("h64"))
@@ -211,24 +215,39 @@ object Curation {
     * narrow feature explode + broadcast model join, run over the
     * already gate-reduced survivor set — the model is a few MB
     * however big the corpus, and only (doc, partial-sum) rows cross
-    * its exchange. */
+    * its exchange.
+    *
+    * Keeper stability: byte-identical cleaned copies hash to identical
+    * features, hence identical logits — copies always agree with their
+    * base, so the classifier can never strand a digest group by
+    * rejecting its min-id keeper while keeping a copy. That is what
+    * makes the streamed form ([[graft.streaming.Streaming
+    * .curationStream]] with `classifier` set) equal this batch
+    * composition under any arrival order. */
   def pipelineClassified(df: DataFrame, text: String, id: String,
                          weights: DataFrame, width: Int,
                          shards: Int = 8): DataFrame = {
-    val cleaned = cleanedText(df, text, id, LocalCheckpoint)
-    val gate = gateVerdicts(cleaned, text, id, LocalCheckpoint)
-    val gateKept = cleaned
-      .join(gate.filter(col("keep")).select(col(id)), Seq(id))
-    val clfKept = graft.llm.TextAnalysis
-      .classifierScore(gateKept, text, id, weights, width)
-      .filter(col("keep")).select(col(id))
-    val kept = gateKept.join(clfKept, Seq(id))
-      .select(col(id), md5(col(text).cast("binary")).as("clean_md5"))
+    val kept = classifierKept(
+      cleanGateDigest(df, text, id, withText = true), text, id,
+      weights, width)
     val survivors = keepMinPerDigest(kept, id)
     Sampling.shuffleOrder(survivors.select(col(id), col("clean_md5")),
         col(id), shards)
       .select(col(id), col("clean_md5"), col("order_key"), col("shard"),
         col("pos"))
+  }
+
+  /** The classifier stage shared by [[pipelineClassified]] and the
+    * streamed form: score the carried cleaned text, keep non-negative
+    * logits, drop the text column. Input must be a
+    * `cleanGateDigest(withText = true)` frame. */
+  private[graft] def classifierKept(kept0: DataFrame, text: String,
+                                    id: String, weights: DataFrame,
+                                    width: Int): DataFrame = {
+    val clfKept = TextAnalysis.classifierScore(kept0, text, id,
+        weights, width)
+      .filter(col("keep")).select(col(id))
+    kept0.join(clfKept, Seq(id)).drop(text)
   }
 
   /** Epoch assembly as ONE plan — the last seam of the training-data

@@ -527,9 +527,11 @@ object Similarity {
   def hardNegatives(corpus: DataFrame, queries: DataFrame, id: String,
                     emb: String, label: String, k: Int,
                     dupThreshold: Double, nLists: Int = 8,
-                    nProbe: Int = 2, dim: Int = 64): DataFrame = {
+                    nProbe: Int = 2, dim: Int = 64,
+                    centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
-    val cs = ivfCentroids(nLists, dim)
+    val cs = centroids.getOrElse(ivfCentroids(nLists, dim))
+    require(cs.length == nLists, s"expected $nLists centroids, got ${cs.length}")
     def prep(df: DataFrame, idAs: String, labelAs: String, embAs: String,
              nrmAs: String) =
       graft.ops.Ops.parallelizeInput(df, col(id))

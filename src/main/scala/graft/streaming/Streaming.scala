@@ -407,7 +407,9 @@ object Streaming {
   def curationStream(docs: DataFrame, text: String, id: String,
                      survivorsDir: String, indexDir: String,
                      checkpointDir: String,
-                     compactEvery: Int = 0): DataStreamWriter[Row] = {
+                     compactEvery: Int = 0,
+                     classifier: Option[(DataFrame, Int)] = None)
+      : DataStreamWriter[Row] = {
     // once per stream run, on the first micro-batch: a resumed stream
     // over an index dir written by the pre-`id` format must fail loudly
     // HERE, not silently null-out reconcile's min(id) at assembly time
@@ -427,9 +429,19 @@ object Streaming {
         try {
         // the clean → gate → digest stage and the keeper rule are the
         // batch pipeline's own definitions — shared code, so the
-        // streaming/batch equivalence is structural
-        val kept = graft.llm.Curation.cleanGateDigest(batch, text, id,
-          withH64 = true, mat = mat)
+        // streaming/batch equivalence is structural. The optional
+        // classifier stage is per-document and deterministic over the
+        // cleaned text (copies agree with their base — see
+        // pipelineClassified's keeper-stability note), so applying it
+        // per batch BEFORE the within-batch keeper commutes with any
+        // arrival order
+        val kept0 = graft.llm.Curation.cleanGateDigest(batch, text, id,
+          withH64 = true, mat = mat, withText = classifier.isDefined)
+        val kept = classifier match {
+          case Some((w, width)) =>
+            graft.llm.Curation.classifierKept(kept0, text, id, w, width)
+          case None => kept0
+        }
         val withinBatch = graft.llm.Curation.keepMinPerDigest(kept, id)
         // existence-checked, not exception-caught: a blanket
         // AnalysisException catch would also swallow schema drift on a

@@ -405,6 +405,45 @@ class StreamingSpec extends SparkSpec {
       s"expected a sealed generation partition, got $partDirs")
   }
 
+  test("classifier-gated stream + reconcile equals the batch classified pipeline, any order") {
+    val planted = graft.llm.Curation.withPlantedEverything(
+      Tables.documents(spark, dir), "text", "doc_id")
+    val weights = graft.llm.TextAnalysis.standInWeights(spark, 262144)
+    val srcDir = Files.createTempDirectory("clf-stream-src").toString
+    val base = Files.createTempDirectory("clf-stream").toString
+    val (survDir, indexDir, ckDir) = (s"$base/surv", s"$base/index", s"$base/ck")
+
+    def runOnce(): Unit = {
+      val src = Streaming.fileStream(spark, srcDir, planted.schema)
+      val q = Streaming.curationStream(src, "text", "doc_id",
+        survDir, indexDir, ckDir,
+        classifier = Some((weights, 262144))).start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    // worst-case arrival order again: copies before bases
+    planted.filter(col("doc_id") >= 924000L)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+    planted.filter(col("doc_id") < 924000L)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+
+    val batch = graft.llm.Curation.pipelineClassified(planted, "text",
+      "doc_id", weights, 262144)
+    // classifier-rejected docs never reach the streamed index, copies
+    // agree with their bases, so reconcile + assembly lands exactly on
+    // the batch composition
+    val assembled = graft.llm.Sampling.shuffleOrder(
+        graft.llm.Curation.reconcile(spark, survDir, indexDir, "doc_id"),
+        col("doc_id"))
+      .select(col("doc_id"), col("clean_md5"), col("order_key"),
+        col("shard"), col("pos"))
+    assert(graft.ops.Ops.frameDiff(assembled, batch).isEmpty)
+    // non-vacuous: the classifier actually rejected gate survivors
+    assert(batch.count() <
+      graft.llm.Curation.pipeline(planted, "text", "doc_id").count())
+  }
+
   test("old-format index partitions (no id column) fail loudly, not silently") {
     import spark.implicits._
     val base = Files.createTempDirectory("oldfmt").toString
