@@ -106,23 +106,47 @@ object TextAnalysis {
     * broadcast-sized join against the fixed-size sketch (unlike the
     * exact path, whose group-by state is the full vocabulary). */
   def cmsTokenEstimates(df: DataFrame, text: String,
-                        width: Int = 256, k: Int = 25): DataFrame = {
+                        width: Int = 256, k: Int = 25): DataFrame =
+    cmsFromRegisters(cmsRegisters(df, text, width), df, text, width, k)
+
+  /** CMS partial registers (lane, bucket, cnt) for ONE input slice —
+    * exact occurrence counts, so partials merge by SUM: any partition
+    * of the corpus into batches sums to the single-pass registers,
+    * PROVIDED each batch lands exactly once. Unlike the HLL's
+    * idempotent max-merge, a replayed count partial double-counts —
+    * the `batch_id=` dynamic-overwrite sink
+    * ([[graft.streaming.Streaming.cmsStream]]) is load-bearing, not
+    * belt-and-braces (the spec proves a duplicated partial moves the
+    * estimate). */
+  def cmsRegisters(df: DataFrame, text: String,
+                   width: Int = 256): DataFrame = {
     graft.functions.Md5LanesExpr.register(df.sparkSession)
-    def lanesOf(tok: Column): Column =
-      graft.functions.Md5LanesExpr.of(tok.cast("binary"))
-    val toks = graft.ops.Ops.parallelizeInput(df)
+    graft.ops.Ops.parallelizeInput(df)
       .select(explode(split(trim(col(text)), " ")).as("token"))
-    val regs = toks
-      .select(posexplode(lanesOf(col("token"))).as(Seq("lane", "h32")))
+      .select(posexplode(graft.functions.Md5LanesExpr
+        .of(col("token").cast("binary"))).as(Seq("lane", "h32")))
       .select(col("lane"), (col("h32") % width).as("bucket"))
       .groupBy(col("lane"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Assemble graded CMS estimates from (possibly per-batch partial)
+    * registers: SUM-merge per (lane, bucket), then probe the top-`k`
+    * exact tokens of `df` — shared by the batch row and the streamed
+    * sink so the merge-equals-single-pass guarantee is what the
+    * shared oracle SQL proves. */
+  def cmsFromRegisters(regs: DataFrame, df: DataFrame, text: String,
+                       width: Int, k: Int): DataFrame = {
+    graft.functions.Md5LanesExpr.register(df.sparkSession)
+    val merged = regs.groupBy(col("lane"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
     val probes = topTokens(df, text, k)
       .select(col("token"), col("n"),
-        posexplode(lanesOf(col("token"))).as(Seq("lane", "h32")))
+        posexplode(graft.functions.Md5LanesExpr
+          .of(col("token").cast("binary"))).as(Seq("lane", "h32")))
       .select(col("token"), col("n"), col("lane"),
         (col("h32") % width).as("bucket"))
-    probes.join(broadcast(regs), Seq("lane", "bucket"))
+    probes.join(broadcast(merged), Seq("lane", "bucket"))
       .groupBy(col("token"), col("n"))
       .agg(min(col("cnt")).as("cms_est"))
       .orderBy(col("n").desc, col("token"))

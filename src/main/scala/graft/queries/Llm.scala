@@ -562,6 +562,31 @@ object Llm {
     |  3271257763731268608 // s.s_sum AS est
     |FROM regs r JOIN s USING (lang) ORDER BY lang, bucket""".stripMargin
 
+  /** The count-min oracle (registers + probed estimates), shared
+    * VERBATIM by `llm_cms_counts` (single pass) and `llm_cms_streamed`
+    * (per-batch partials sum-merged at assembly) — counts are
+    * additive, so the streamed sink must equal this full recompute
+    * exactly as long as every batch lands exactly once. */
+  private lazy val cmsCountsSql: String =
+    """WITH toks AS (SELECT unnest(string_split(trim(text), ' '))
+    |    AS token FROM documents),
+    |lanes AS (SELECT unnest(generate_series(0, 3)) AS lane),
+    |hits AS (SELECT l.lane,
+    |  ('0x' || substr(md5(t.token), 8 * l.lane + 1, 8))::BIGINT % 256
+    |    AS bucket
+    |  FROM toks t CROSS JOIN lanes l),
+    |regs AS (SELECT lane, bucket, count(*) AS cnt
+    |  FROM hits GROUP BY 1, 2),
+    |exact AS (SELECT token, count(*) AS n FROM toks
+    |  GROUP BY token ORDER BY n DESC, token LIMIT 25),
+    |probes AS (SELECT e.token, e.n, l.lane,
+    |  ('0x' || substr(md5(e.token), 8 * l.lane + 1, 8))::BIGINT % 256
+    |    AS bucket
+    |  FROM exact e CROSS JOIN lanes l)
+    |SELECT p.token, p.n, CAST(min(r.cnt) AS BIGINT) AS cms_est
+    |FROM probes p JOIN regs r USING (lane, bucket)
+    |GROUP BY p.token, p.n ORDER BY p.n DESC, p.token""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     ("llm_dedup_exact",
@@ -1631,24 +1656,34 @@ object Llm {
       ((s: SparkSession, d: String) =>
         TextAnalysis.cmsTokenEstimates(Tables.documents(s, d), "text",
           width = 256, k = 25)): Q,
-      Some("""WITH toks AS (SELECT unnest(string_split(trim(text), ' '))
-        |    AS token FROM documents),
-        |lanes AS (SELECT unnest(generate_series(0, 3)) AS lane),
-        |hits AS (SELECT l.lane,
-        |  ('0x' || substr(md5(t.token), 8 * l.lane + 1, 8))::BIGINT % 256
-        |    AS bucket
-        |  FROM toks t CROSS JOIN lanes l),
-        |regs AS (SELECT lane, bucket, count(*) AS cnt
-        |  FROM hits GROUP BY 1, 2),
-        |exact AS (SELECT token, count(*) AS n FROM toks
-        |  GROUP BY token ORDER BY n DESC, token LIMIT 25),
-        |probes AS (SELECT e.token, e.n, l.lane,
-        |  ('0x' || substr(md5(e.token), 8 * l.lane + 1, 8))::BIGINT % 256
-        |    AS bucket
-        |  FROM exact e CROSS JOIN lanes l)
-        |SELECT p.token, p.n, CAST(min(r.cnt) AS BIGINT) AS cms_est
-        |FROM probes p JOIN regs r USING (lane, bucket)
-        |GROUP BY p.token, p.n ORDER BY p.n DESC, p.token""".stripMargin)),
+      Some(cmsCountsSql)),
+
+    // the STREAMED count-min sketch: three micro-batches each land
+    // their own exact partial registers in a batch_id= partition
+    // (exactly-once is LOAD-BEARING for the SUM-merge, unlike the
+    // HLL's idempotent max); assembly sum-merges the sink and probes —
+    // graded against llm_cms_counts' SQL VERBATIM, the
+    // merge-equals-single-pass guarantee made executable
+    ("llm_cms_streamed",
+      ((s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-cms-stream").toString
+        val srcDir = s"$base/src"
+        streamedTranches(srcDir,
+          Seq(docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+            docs.filter(pmod(col("doc_id"), lit(3)) === 1),
+            docs.filter(pmod(col("doc_id"), lit(3)) === 2)))
+        val src = graft.streaming.Streaming.fileStream(s, srcDir,
+          docs.schema, maxFilesPerTrigger = 1)
+        val q = graft.streaming.Streaming.cmsStream(src, "text",
+          s"$base/regs", s"$base/ck", width = 256).start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+        TextAnalysis.cmsFromRegisters(
+          s.read.parquet(s"$base/regs").drop("batch_id"),
+          docs, "text", width = 256, k = 25)
+      }): Q,
+      Some(cmsCountsSql)),
 
     // within-document repetition signals over word 2-grams: integer
     // counts plus two IEEE-exact basis-point ratios (same cents-trick

@@ -191,6 +191,36 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
 
+  /** Streaming CMS maintenance — the count-min analog of
+    * [[sketchStream]]: each micro-batch aggregates ONLY its own token
+    * occurrences into exact partial registers and lands them in a
+    * `batch_id=` partition with dynamic overwrite. Exactly-once here
+    * is LOAD-BEARING, not belt-and-braces: CMS partials merge by SUM
+    * (counts are additive), so a replayed partial would double-count
+    * where the HLL's max-merge would shrug it off — the overwrite sink
+    * is what makes a retried batch land once. Assembly:
+    * [[graft.llm.TextAnalysis.cmsFromRegisters]] over the sink (drop
+    * `batch_id`), identical to the single-pass batch sketch. */
+  def cmsStream(docs: DataFrame, text: String, sinkDir: String,
+                checkpointDir: String, width: Int = 256,
+                compactEvery: Int = 0): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.llm.TextAnalysis.cmsRegisters(batch, text, width)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(sinkDir)
+        // compaction preserves rows (it only rewrites partitions into
+        // sealed generations), so SUM-merge is unaffected
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          Streaming.compactIndex(batch.sparkSession, sinkDir)
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+
   /** Streaming resample: per-window aggregates with a watermark bound
     * on state (late rows beyond `lateness` are dropped — the streaming
     * answer to the reference's desync guard, state.py:103–106). */

@@ -211,6 +211,50 @@ class StreamingSpec extends SparkSpec {
     assert(got2 == want)
   }
 
+  test("cmsStream: sum-merged partials equal the batch sketch; replay is NOT harmless") {
+    val docs = Tables.documents(spark, dir)
+    val srcDir = Files.createTempDirectory("cms-src").toString
+    val base = Files.createTempDirectory("cms").toString
+
+    def runOnce(): Unit = {
+      val src = Streaming.fileStream(spark, srcDir, docs.schema,
+        maxFilesPerTrigger = 1)
+      // compactEvery = 2 also exercises in-stream register compaction
+      // (row-preserving, so the SUM is unaffected)
+      val q = Streaming.cmsStream(src, "text", s"$base/regs",
+        s"$base/ck", width = 256, compactEvery = 2).start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    // worst-case split: three interleaved tranches, two stream runs
+    docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+    docs.filter(pmod(col("doc_id"), lit(3)) =!= 2)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+
+    val want = graft.llm.TextAnalysis.cmsTokenEstimates(
+      docs, "text", width = 256, k = 25).collect().toSeq
+    val regs = spark.read.parquet(s"$base/regs")
+    val got = graft.llm.TextAnalysis.cmsFromRegisters(
+      regs.drop("batch_id"), docs, "text", width = 256, k = 25)
+      .collect().toSeq
+    assert(got == want && want.nonEmpty)
+    // counts are ADDITIVE: a duplicated partial MUST move the
+    // estimates — exactly-once at the sink is load-bearing for CMS
+    // where the HLL's max-merge would shrug a replay off
+    val replayed = regs.drop("batch_id").union(regs.drop("batch_id"))
+    val got2 = graft.llm.TextAnalysis.cmsFromRegisters(
+      replayed, docs, "text", width = 256, k = 25).collect().toSeq
+    assert(got2 != want, "a doubled partial should double the counts")
+    assert(got2.map(r => (r.getString(0), r.getLong(1))) ==
+      want.map(r => (r.getString(0), r.getLong(1))))
+    got2.zip(want).foreach { case (d, w) =>
+      assert(d.getLong(2) == 2 * w.getLong(2),
+        s"${w.getString(0)}: doubled partial gave ${d.getLong(2)}, want 2x${w.getLong(2)}")
+    }
+  }
+
   test("streaming curation across batches equals the batch pipeline") {
     val planted = graft.llm.Curation.withPlantedEverything(
       Tables.documents(spark, dir), "text", "doc_id")
