@@ -5,28 +5,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Readers for the driver testdata lake (TESTDATA.md): one parquet file
   * per logical table under `sfDir`.
   *
-  * `events.ts` is parquet `TIMESTAMP(NANOS)`, which Spark's parquet
-  * schema converter rejects by default. We flip
-  * `spark.sql.legacy.parquet.nanosAsLong` and keep the column as the
-  * raw nanosecond epoch (LongType): it is an *exact* event-time key
-  * (no us-truncation), cheap to bucket with integer arithmetic, and
-  * matches DuckDB's `epoch_ns(ts)` for the oracle.
+  * `events.ts` has shipped as both parquet `TIMESTAMP(NANOS)` (which
+  * Spark's schema converter rejects unless
+  * `spark.sql.legacy.parquet.nanosAsLong` is set, yielding a raw
+  * ns-epoch LongType) and plain `TIMESTAMP(MICROS)` across driver
+  * testdata generations. Library code never touches `ts` directly:
+  * every consumer uses the derived `ts_us` epoch-microseconds key,
+  * which this reader computes from whichever physical type the file
+  * has — integer `div 1000` for ns-longs, `unix_micros` (session TZ
+  * is pinned UTC, so NTZ wall-clock == instant) for timestamps. DuckDB
+  * reads both encodings as us-precision TIMESTAMP, so the oracle's
+  * `epoch_us(ts)` matches `ts_us` exactly in either generation.
   */
 object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // `ts_us`: epoch-microseconds companion key. DuckDB converts parquet
-    // TIMESTAMP(NANOS) to us-precision TIMESTAMP on read, so oracle
-    // comparisons happen at us precision (`epoch_us(ts)`); the raw ns
-    // column stays available for exact in-library ordering.
-    if (name == "events")
-      df.withColumn("ts_us",
-        org.apache.spark.sql.functions.call_function("div",
-          org.apache.spark.sql.functions.col("ts"),
-          org.apache.spark.sql.functions.lit(1000L)))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.{LongType, TimestampType}
+      val tsUs = df.schema("ts").dataType match {
+        case LongType => call_function("div", col("ts"), lit(1000L))
+        case _        => unix_micros(col("ts").cast(TimestampType))
+      }
+      df.withColumn("ts_us", tsUs)
+    } else df
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
