@@ -24,10 +24,15 @@ object Tables {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") {
       import org.apache.spark.sql.functions._
-      import org.apache.spark.sql.types.{LongType, TimestampType}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      // Explicit on the two known encodings; anything else is schema
+      // drift and must fail loudly, not silently null out ts_us.
       val tsUs = df.schema("ts").dataType match {
         case LongType => call_function("div", col("ts"), lit(1000L))
-        case _        => unix_micros(col("ts").cast(TimestampType))
+        case TimestampType | TimestampNTZType =>
+          unix_micros(col("ts").cast(TimestampType))
+        case other => throw new IllegalStateException(
+          s"events.ts has unsupported type $other; expected ns-epoch LongType or TIMESTAMP[_NTZ]")
       }
       df.withColumn("ts_us", tsUs)
     } else df
@@ -40,7 +45,8 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
-  /** `ts` column is LongType epoch-nanoseconds (see object doc). */
+  /** `ts` is generation-dependent (ns-epoch LongType or TIMESTAMP);
+    * consumers use the derived `ts_us` epoch-microseconds key (object doc). */
   def events(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "events")
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")

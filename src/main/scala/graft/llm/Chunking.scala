@@ -58,4 +58,45 @@ object Chunking {
       .withColumn("bin", call_function("div", start, lit(budget)))
       .withColumn("bin_offset", start % budget)
   }
+
+  /** Concat-and-cut window assembly — the GPT-style pretraining layout
+    * [[packSequences]] only approximates: documents are laid end-to-end
+    * in `order` within each `shard` and the token stream is cut into
+    * fixed `window`-token context windows, so one document can SPAN
+    * windows and one window holds SLICES of several documents. Output
+    * is one row per (document, window) overlap: the shard-local
+    * `win_id`, the document token range [`doc_from`, `doc_to`) that
+    * lands in it, and `win_from` (where in the window the slice
+    * starts) — exactly the index map a loader needs to materialize
+    * window w of shard s. Every quantity is exact integer arithmetic
+    * on the per-shard running sum, so the DuckDB oracle replays the
+    * whole assembly. Zero-token documents contribute no slice and are
+    * excluded (they have no position in the token stream).
+    *
+    * 100 TB story: identical to [[packSequences]] — one running-sum
+    * window per shard (shards keep it partitioned; no global sort)
+    * plus a narrow per-row `sequence` explode whose length is the
+    * document's window span, ⌈n/window⌉+1 at most: output is
+    * Θ(corpus tokens / window + docs) rows, written at scan speed. */
+  def concatChunks(df: DataFrame, tokenCount: Column, window: Long,
+                   order: Seq[Column], shard: Seq[Column] = Seq.empty): DataFrame = {
+    require(window > 0, "window must be positive")
+    val w = (if (shard.isEmpty) Window.orderBy(order: _*)
+             else Window.partitionBy(shard: _*).orderBy(order: _*))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val start = col("cum_tokens") - tokenCount
+    // doc occupies [start, cum) of the shard stream; it overlaps every
+    // window id in [start div W, (cum-1) div W] (cum >= 1 after the
+    // positive-count filter, so both bounds are exact non-negative div)
+    val winStart = col("win_id") * window
+    df.filter(tokenCount > 0)
+      .withColumn("cum_tokens", sum(tokenCount).over(w))
+      .withColumn("win_id", explode(sequence(
+        call_function("div", start, lit(window)),
+        call_function("div", col("cum_tokens") - 1, lit(window)))))
+      .withColumn("doc_from", greatest(winStart, start) - start)
+      .withColumn("doc_to",
+        least(winStart + window, col("cum_tokens")) - start)
+      .withColumn("win_from", greatest(winStart, start) - winStart)
+  }
 }

@@ -226,6 +226,63 @@ object TextAnalysis {
         col("rank").cast("long").as("rank"))
   }
 
+  /** BM25 top-k retrieval — the lexical ranking function behind every
+    * published retrieval/RAG data pipeline, in exact-replayable form.
+    * `queries` is a tiny (query_id, term) set; each query's terms probe
+    * the corpus inverted index (the (id, term, tf) aggregate) and each
+    * matching document scores Σ_t idf(t) · tf-saturation(t, d) with the
+    * standard k1 = 1.2, b = 0.75 Okapi constants.
+    *
+    * Exactness (the tfidf rule, extended): k1 and b are RATIONAL, so
+    * both factors reduce to one IEEE divide of exact integers —
+    * idf = (2N−2df+1)/(2df+1) (Robertson's (N−df+0.5)/(df+0.5)
+    * without the libm-dependent log; monotone-identical ordering) and
+    * tf-part = 22·T·tf / (10·T·tf + 3·T + 9·dl·N) (the Okapi formula
+    * with numerator and denominator cleared by 10·T, T = total corpus
+    * tokens, dl = document length). Each term's score is quantized
+    * ⌊·10⁶+0.5⌋ BEFORE the per-document sum, so the sum is an
+    * order-independent integer — bit-reproducible in the oracle.
+    *
+    * 100 TB story: the query set is broadcast (a query side is human-
+    * sized); the corpus side is the tf aggregate joined once on term —
+    * only rows matching a query term survive the join, so the rank
+    * window sees candidate docs only. The exact integer products
+    * assume corpus token counts < 2⁶²/22 (~2·10¹⁷ tokens — beyond any
+    * real corpus); past that the same plan runs with plain float
+    * scoring, engine-local determinism only.
+    * Output: (query_id, doc id, n_hit_terms, score_e6, rank ≤ k). */
+  def bm25TopK(df0: DataFrame, text: String, id: String,
+               queries: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = df0.count()
+    // tf has three consumers (df, dl, probe join): materialize once
+    val tf = Dedup.tokenize(df0, text, id)
+      .select(col(id), explode(col("toks")).as("term"))
+      .groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy(col(id)).agg(sum(col("tf")).as("dl"))
+    val total = dl.agg(sum(col("dl"))).head.getLong(0)
+    val idf = (lit(2L) * nDocs - lit(2L) * col("df") + 1).cast("double") /
+      (lit(2L) * col("df") + 1)
+    val tfPart = (lit(22L) * total * col("tf")).cast("double") /
+      (lit(10L) * total * col("tf") + lit(3L) * total +
+        lit(9L) * col("dl") * nDocs)
+    val perTerm = tf
+      .join(broadcast(queries.select(col("query_id"), col("term")).distinct()),
+        Seq("term"))
+      .join(dfreq, Seq("term"))
+      .join(dl, Seq(id))
+      .select(col("query_id"), col(id),
+        floor(idf * tfPart * 1000000 + 0.5).cast("long").as("s_e6"))
+    perTerm.groupBy(col("query_id"), col(id))
+      .agg(count(lit(1)).as("n_hit_terms"), sum(col("s_e6")).as("score_e6"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score_e6").desc, col(id))).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Corpus-LM fluency scoring — the CCNet-style quality axis the
     * stats/gate signals don't cover: how PROBABLE a document's text is
     * under a language model trained on the corpus itself. The model is

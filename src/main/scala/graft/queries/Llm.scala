@@ -587,6 +587,42 @@ object Llm {
     |FROM probes p JOIN regs r USING (lane, bucket)
     |GROUP BY p.token, p.n ORDER BY p.n DESC, p.token""".stripMargin
 
+  /** DuckDB SQL recomputing n-gram-Jaccard pairs + RECURSIVE min-label
+    * connected components over `documents` — shared verbatim by
+    * `llm_dedup_clusters` (driver union-find path) and
+    * `llm_dedup_clusters_distributed` (label-propagation path): the
+    * two engine paths must produce the SAME labels, so they grade
+    * against the SAME oracle. */
+  private val clustersCcSql: String =
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 5),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+      |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
+      |        FROM toks)),
+      |dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+      |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      |  FROM sh a JOIN dfreq USING (shingle) JOIN sh b USING (shingle)
+      |  WHERE a.doc_id < b.doc_id AND dfreq.df <= 5),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+      |  FROM sh a JOIN sh b USING (shingle)
+      |  JOIN cand ON cand.a = a.doc_id AND cand.b = b.doc_id
+      |  GROUP BY 1, 2),
+      |jpairs AS (SELECT i.a, i.b FROM inter i
+      |  JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+      |  WHERE 1.0 * i.c / (sa.n + sb.n - i.c) >= 0.5),
+      |nodes AS (SELECT a AS n FROM jpairs UNION SELECT b FROM jpairs),
+      |dedges AS (SELECT a AS lo, b AS hi FROM jpairs
+      |  UNION ALL SELECT b, a FROM jpairs),
+      |cc(n, label) AS (
+      |  SELECT n, n FROM nodes
+      |  UNION
+      |  SELECT e.hi, cc.label FROM cc JOIN dedges e ON cc.n = e.lo
+      |  WHERE cc.label < e.hi)
+      |SELECT n AS doc_id, min(label) AS cluster FROM cc
+      |GROUP BY n ORDER BY doc_id""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     ("llm_dedup_exact",
@@ -716,34 +752,23 @@ object Llm {
               .select(col("a"), col("b")))
           .withColumnRenamed("id", "doc_id")
           .orderBy(col("doc_id"))): Q,
-      Some("""WITH RECURSIVE
-        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 5),
-        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
-        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
-        |        FROM toks)),
-        |dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
-        |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-        |  FROM sh a JOIN dfreq USING (shingle) JOIN sh b USING (shingle)
-        |  WHERE a.doc_id < b.doc_id AND dfreq.df <= 5),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
-        |  FROM sh a JOIN sh b USING (shingle)
-        |  JOIN cand ON cand.a = a.doc_id AND cand.b = b.doc_id
-        |  GROUP BY 1, 2),
-        |jpairs AS (SELECT i.a, i.b FROM inter i
-        |  JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
-        |  WHERE 1.0 * i.c / (sa.n + sb.n - i.c) >= 0.5),
-        |nodes AS (SELECT a AS n FROM jpairs UNION SELECT b FROM jpairs),
-        |dedges AS (SELECT a AS lo, b AS hi FROM jpairs
-        |  UNION ALL SELECT b, a FROM jpairs),
-        |cc(n, label) AS (
-        |  SELECT n, n FROM nodes
-        |  UNION
-        |  SELECT e.hi, cc.label FROM cc JOIN dedges e ON cc.n = e.lo
-        |  WHERE cc.label < e.hi)
-        |SELECT n AS doc_id, min(label) AS cluster FROM cc
-        |GROUP BY n ORDER BY doc_id""".stripMargin)),
+      Some(clustersCcSql)),
+
+    // the SAME clusters through the fleet-scale path: driverThreshold=0
+    // forces the distributed min-label propagation loop (the route a
+    // >1M-edge pair graph takes), graded against the identical
+    // RECURSIVE-CC oracle — proving the two paths agree not just in
+    // LlmSpec's fixture but on the full planted corpus
+    ("llm_dedup_clusters_distributed",
+      ((s: SparkSession, d: String) =>
+        Dedup.duplicateClusters(
+            Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
+              k = 5, maxDf = 5, minJaccard = 0.5)
+              .select(col("a"), col("b")),
+            driverThreshold = 0L)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))): Q,
+      Some(clustersCcSql)),
 
     // fully SQL-checkable: the shingle hash is md5-derived (first 16
     // hex chars as two 32-bit halves), so DuckDB recomputes the entire
@@ -2511,6 +2536,86 @@ object Llm {
         |SELECT a.doc_id, md5(coalesce(c.txt, '')) AS cut_md5,
         |  CAST(len(a.t) - coalesce(c.n_kept, 0) AS BIGINT) AS n_tokens_cut
         |FROM atoks a LEFT JOIN cut c USING (doc_id)
-        |ORDER BY a.doc_id""".stripMargin))
+        |ORDER BY a.doc_id""".stripMargin)),
+
+    // BM25 top-k retrieval: every 100th document's distinct tokens form
+    // a query probing the corpus inverted index. Rational Okapi
+    // constants (k1=6/5, b=3/4) reduce both factors to single IEEE
+    // divides of exact integers, and per-term scores are quantized
+    // BEFORE the per-doc sum, so the oracle replays ranking bit-for-bit
+    // (see TextAnalysis.bm25TopK scaladoc)
+    ("llm_retrieval_bm25",
+      ((s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val qs = Dedup.tokenize(docs.filter(col("doc_id") % 100 === 0),
+            "text", "doc_id")
+          .select(col("doc_id").as("query_id"), explode(col("toks")).as("term"))
+        TextAnalysis.bm25TopK(docs, "text", "doc_id", qs, k = 10)
+          .orderBy(col("query_id"), col("rank"))
+      }): Q,
+      Some("""WITH tf AS (SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |  FROM tf GROUP BY doc_id),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |t AS (SELECT CAST(sum(dl) AS BIGINT) AS t FROM dl),
+        |q AS (SELECT DISTINCT doc_id AS query_id, term
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents WHERE doc_id % 100 = 0)),
+        |sc AS (SELECT q.query_id, tf.doc_id,
+        |  CAST(floor(((2*n.n - 2*dfq.df + 1) / (2*dfq.df + 1))
+        |    * ((22*t.t*tf.tf) / (10*t.t*tf.tf + 3*t.t + 9*dl.dl*n.n))
+        |    * 1000000 + 0.5) AS BIGINT) AS s_e6
+        |  FROM tf JOIN q USING (term) JOIN dfq USING (term)
+        |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN n CROSS JOIN t),
+        |agg AS (SELECT query_id, doc_id, count(*) AS n_hit_terms,
+        |  sum(s_e6) AS score_e6 FROM sc GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |  ORDER BY score_e6 DESC, doc_id) AS rank FROM agg)
+        |SELECT query_id, doc_id, CAST(n_hit_terms AS BIGINT) AS n_hit_terms,
+        |  CAST(score_e6 AS BIGINT) AS score_e6, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // concat-and-cut window assembly: documents laid end-to-end per
+    // shard, the token stream cut into 2048-token context windows, one
+    // row per (document, window) overlap — the index map a training
+    // loader materializes windows from. All exact integer arithmetic
+    // on the per-shard running sum (see Chunking.concatChunks)
+    ("llm_concat_chunk",
+      ((s: SparkSession, d: String) =>
+        Chunking.concatChunks(
+            Tables.documents(s, d).select(col("doc_id"),
+              TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+              pmod(col("doc_id"), lit(8)).as("shard")),
+            tokenCount = col("n_tokens"), window = 2048L,
+            order = Seq(col("doc_id")), shard = Seq(col("shard")))
+          .select(col("doc_id"), col("shard"), col("n_tokens"),
+            col("cum_tokens"), col("win_id"), col("win_from"),
+            col("doc_from"), col("doc_to"))
+          .orderBy(col("doc_id"), col("win_id"))): Q,
+      Some("""WITH n AS (SELECT doc_id, doc_id % 8 AS shard,
+        |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_tokens
+        |  FROM n WHERE n_tokens > 0),
+        |s AS (SELECT *, cum_tokens - n_tokens AS strt FROM c),
+        |w AS (SELECT doc_id, shard, n_tokens, cum_tokens, strt,
+        |  unnest(generate_series(strt // 2048, (cum_tokens - 1) // 2048))
+        |    AS win_id
+        |  FROM s)
+        |SELECT doc_id, shard, n_tokens, cum_tokens,
+        |  CAST(win_id AS BIGINT) AS win_id,
+        |  CAST(greatest(win_id * 2048, strt) - win_id * 2048 AS BIGINT)
+        |    AS win_from,
+        |  CAST(greatest(win_id * 2048, strt) - strt AS BIGINT) AS doc_from,
+        |  CAST(least(win_id * 2048 + 2048, cum_tokens) - strt AS BIGINT)
+        |    AS doc_to
+        |FROM w ORDER BY doc_id, win_id""".stripMargin))
   )
 }

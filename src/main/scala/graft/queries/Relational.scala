@@ -14,8 +14,10 @@ import graft.ops.Ops
   *  - every result has a total ORDER BY on a unique key in both engines;
   *  - double aggregates whose addition order is engine-dependent are
   *    `round`-ed identically on both sides;
-  *  - `events.ts` is epoch-nanoseconds (LongType here, `epoch_us(ts)` in
-  *    DuckDB) — exact integer event-time, never truncated.
+  *  - `events.ts` is generation-dependent (ns-epoch LongType or
+  *    TIMESTAMP — see [[graft.Tables]]); queries use the derived
+  *    `ts_us` epoch-microseconds key (`epoch_us(ts)` in DuckDB) —
+  *    exact integer event-time, never truncated.
   *  - int64-range assumption, every `CAST(sum(…) AS BIGINT)`: DuckDB
   *    sums into HUGEINT and the cast ERRORS LOUDLY past int64, where
   *    Spark's non-ANSI sum would silently wrap — unreachable at any

@@ -54,4 +54,52 @@ class ChunkingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"), plan)
   }
+
+  test("concatChunks: slices tile every window and every document exactly") {
+    val W = 100L
+    val docs = ((1L to 40L).map(i => (i, 10L + (i % 9) * 17L, i % 3)) :+
+      ((41L, 0L, 0L))) // zero-token doc: no slice
+      .toDF("doc_id", "n_tokens", "shard")
+    val rows = Chunking.concatChunks(docs, col("n_tokens"), W,
+        order = Seq(col("doc_id")), shard = Seq(col("shard")))
+      .select("shard", "doc_id", "n_tokens", "cum_tokens", "win_id",
+        "win_from", "doc_from", "doc_to")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(!rows.exists(_._2 == 41L)) // zero-token doc excluded
+    // per document: slices cover [0, n) contiguously, in window order
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      val s = g.sortBy(_._5)
+      assert(s.head._7 == 0L)              // first slice starts at token 0
+      assert(s.last._8 == s.head._3)       // last slice ends at n_tokens
+      s.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._8 == b._7)             // contiguous in the doc
+          assert(b._5 == a._5 + 1)         // consecutive windows
+        case _ =>
+      }
+    }
+    // per (shard, window): slices tile [0, W) exactly — contiguous from
+    // offset 0, full W tokens except possibly the shard's last window
+    rows.groupBy(r => (r._1, r._5)).foreach { case ((sh, win), g) =>
+      val s = g.sortBy(_._6)
+      assert(s.head._6 == 0L, s"window ($sh,$win) starts at ${s.head._6}")
+      s.sliding(2).foreach {
+        case Array(a, b) => assert(a._6 + (a._8 - a._7) == b._6)
+        case _ =>
+      }
+      val filled = s.map(r => r._8 - r._7).sum
+      val lastWin = rows.filter(_._1 == sh).map(_._5).max
+      assert(filled == W || win == lastWin,
+        s"interior window ($sh,$win) holds $filled of $W tokens")
+    }
+    // total slice tokens == total stream tokens
+    assert(rows.map(r => r._8 - r._7).sum ==
+      (1L to 40L).map(i => 10L + (i % 9) * 17L).sum)
+    // sharded plan keeps the running sum partitioned
+    val plan = Chunking.concatChunks(docs, col("n_tokens"), W,
+        order = Seq(col("doc_id")), shard = Seq(col("shard")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
 }

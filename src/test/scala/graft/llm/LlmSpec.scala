@@ -258,6 +258,36 @@ class LlmSpec extends SparkSpec {
     assert(logTop(1L) == "apple" && logTop(3L) == "cherry")
   }
 
+  test("bm25TopK: self-retrieval tops, rare terms outrank common, query side broadcast") {
+    import spark.implicits._
+    // doc 1 is the query; doc 2 shares its RARE term, doc 3 only the
+    // common one, doc 4 shares nothing
+    // term df: zebra 2 (docs 1,2), common 3 (docs 1,3,4) — so for a
+    // single-term hit, zebra's idf (5/5=1.0) beats common's (3/7)
+    val df = Seq(
+      (1L, "zebra common alpha"),
+      (2L, "zebra beta gamma"),
+      (3L, "common common delta epsilon"),
+      (4L, "phi chi psi common")).toDF("doc_id", "text")
+    val qs = Dedup.tokenize(df.filter(col("doc_id") === 1L), "text", "doc_id")
+      .select(col("doc_id").as("query_id"), explode(col("toks")).as("term"))
+    val ranked = TextAnalysis.bm25TopK(df, "text", "doc_id", qs, k = 10)
+    val got = ranked.collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._4)
+    // (doc_id, n_hit_terms, score_e6, rank): the query doc itself wins
+    // (it matches ALL its terms), the rare-term doc beats both
+    // common-term docs, higher tf beats lower tf on the same term
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(got.head._2 == 3L)                  // self hit on all 3 terms
+    assert(got(1)._3 > got(2)._3)              // zebra (rare) > common tf=2
+    assert(got(2)._3 > got(3)._3)              // common tf=2 > common tf=1
+    assert(got.forall(_._3 > 0L))
+    // the query side reaches the inverted index as a broadcast join
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("duplicateClusters: driver union-find and distributed label propagation agree") {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
         k = 5, maxDf = 5, minJaccard = 0.5)
