@@ -472,7 +472,12 @@ object Streaming {
             graft.llm.Curation.classifierKept(kept0, text, id, w, width)
           case None => kept0
         }
-        val withinBatch = graft.llm.Curation.keepMinPerDigest(kept, id)
+        // persisted too: the keeper join (a groupBy + semi-join over
+        // `kept`) has FOUR consumers below — the batch count, the Bloom
+        // build, the cross-batch anti-join and the index write — and
+        // each would re-run its two shuffles per micro-batch otherwise
+        // (measured ~1 s/batch at sf0.1 tranche sizes)
+        val withinBatch = mat(graft.llm.Curation.keepMinPerDigest(kept, id))
         // existence-checked, not exception-caught: a blanket
         // AnalysisException catch would also swallow schema drift on a
         // REAL index (e.g. a missing batch_id column) and silently
