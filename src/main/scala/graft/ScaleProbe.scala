@@ -294,6 +294,25 @@ object ScaleProbe {
       Seq(count(lit(1)).as("n"),
         sum(floor(col("value") * 100 + 0.5).cast("long")).as("v_c"))))
 
+    // BM25: the query side stays fixed (copy-0 docs — query sets don't
+    // grow with the corpus) while the inverted index replicates; the
+    // probe shows the broadcast-probe join tracking corpus size
+    time("bm25_topk")({
+      val qs = llm.Dedup.tokenize(
+          docs.filter(col("doc_id") % 100 === 0 && col("doc_id") < 1000000000L),
+          "text", "doc_id")
+        .select(col("doc_id").as("query_id"), explode(col("toks")).as("term"))
+      llm.TextAnalysis.bm25TopK(docs, "text", "doc_id", qs, k = 10)
+    })
+    // concat-and-cut assembly: one running-sum window per shard + a
+    // narrow explode — should scale like epoch_assembly's window stage
+    time("concat_chunk")(llm.Chunking.concatChunks(
+      docs.select(col("doc_id"),
+        llm.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        pmod(col("doc_id"), lit(64)).as("shard")),
+      tokenCount = col("n_tokens"), window = 2048L,
+      order = Seq(col("doc_id")), shard = Seq(col("shard"))))
+
     // Streaming-index lifecycle: a per-micro-batch sink accumulates one
     // batch_id= partition per batch; this measures the per-batch index
     // READ (listing + scan + the existence probe — what every stream

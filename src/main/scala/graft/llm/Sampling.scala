@@ -228,4 +228,48 @@ object Sampling {
       }
     df.filter(hashBucket(id, salt, buckets) < round(rate * buckets))
   }
+
+  /** UniMax language-balanced budget allocation (the published
+    * alternative to temperature sampling for multilingual mixtures):
+    * distribute a total token `budget` across groups (languages),
+    * visiting groups in ASCENDING size order and giving each
+    * min(epochCap · size, remaining budget ÷ remaining groups) —
+    * small languages are capped at `epochCap` epochs (never oversampled
+    * into repetition) and whatever they cannot absorb flows to the
+    * larger languages' fair shares. The allocation is inherently
+    * sequential in group order, so it runs as a driver loop over the
+    * |groups|-row size aggregate (the mixtureEpochs/IVF-trainer rule:
+    * plans stay distributed, human-sized model state may visit the
+    * driver). All arithmetic is exact integers — fair shares use floor
+    * division, ties in the size order break on the group name — so the
+    * DuckDB oracle replays the loop as a RECURSIVE CTE bit-for-bit.
+    *
+    * Output: one row per group — (group, sz, alloc_tokens,
+    * epochs_e6 = ⌊alloc·10⁶/sz⌋, exact while alloc < 2⁶³/10⁶ ≈ 9·10¹²
+    * tokens per group; past that compute epochs unquantized).
+    * Feed `alloc_tokens` to [[tokenBudgetSample]] (budgets per
+    * stratum) to materialize the sampled corpus. */
+  def unimaxAllocation(df: DataFrame, group: String, size: Column,
+                       budget: Long, epochCap: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    require(epochCap > 0, "epochCap must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sizes = df.groupBy(col(group)).agg(sum(size).cast("long").as("sz"))
+      .as[(String, Long)].collect()
+      .sortBy { case (g, sz) => (sz, g) }
+    var rem = budget
+    val rows = sizes.zipWithIndex.map { case ((g, sz), i) =>
+      require(sz > 0, s"unimaxAllocation: group '$g' has non-positive size")
+      val cap = if (sz > Long.MaxValue / epochCap) Long.MaxValue
+                else sz * epochCap
+      val fair = rem / (sizes.length - i)
+      val alloc = math.min(cap, fair)
+      rem -= alloc
+      (g, sz, alloc)
+    }
+    rows.toSeq.toDF(group, "sz", "alloc_tokens")
+      .withColumn("epochs_e6", call_function("div",
+        col("alloc_tokens") * 1000000L, col("sz")))
+  }
 }

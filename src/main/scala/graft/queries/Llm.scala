@@ -2616,6 +2616,42 @@ object Llm {
         |  CAST(greatest(win_id * 2048, strt) - strt AS BIGINT) AS doc_from,
         |  CAST(least(win_id * 2048 + 2048, cum_tokens) - strt AS BIGINT)
         |    AS doc_to
-        |FROM w ORDER BY doc_id, win_id""".stripMargin))
+        |FROM w ORDER BY doc_id, win_id""".stripMargin)),
+
+    // UniMax language-balanced allocation: half the corpus's tokens
+    // distributed over languages ascending by size, each capped at 2
+    // epochs — the sequential driver loop replayed as a RECURSIVE CTE
+    // stepping the same (fair share = floor(rem / remaining), cap,
+    // subtract) integers in size-then-name order
+    ("llm_mixture_unimax",
+      ((s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val tc = TextAnalysis.tokenCount(col("text")).cast("long")
+        val total = docs.agg(sum(tc).as("t")).head.getLong(0)
+        Sampling.unimaxAllocation(docs, "lang", tc,
+            budget = total / 2, epochCap = 2L)
+          .orderBy(col("lang"))
+      }): Q,
+      Some("""WITH RECURSIVE sizes AS (SELECT lang,
+        |  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS sz
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(sz) // 2 AS BIGINT) AS b FROM sizes),
+        |ord AS (SELECT lang, sz,
+        |  CAST(row_number() OVER (ORDER BY sz, lang) AS BIGINT) AS rn
+        |  FROM sizes),
+        |nl AS (SELECT CAST(count(*) AS BIGINT) AS l FROM ord),
+        |a(rn, lang, sz, alloc, rem) AS (
+        |  SELECT o.rn, o.lang, o.sz,
+        |    least(o.sz * 2, t.b // (nl.l - o.rn + 1)),
+        |    t.b - least(o.sz * 2, t.b // (nl.l - o.rn + 1))
+        |  FROM ord o, tot t, nl WHERE o.rn = 1
+        |  UNION ALL
+        |  SELECT o.rn, o.lang, o.sz,
+        |    least(o.sz * 2, a.rem // (nl.l - o.rn + 1)),
+        |    a.rem - least(o.sz * 2, a.rem // (nl.l - o.rn + 1))
+        |  FROM a JOIN ord o ON o.rn = a.rn + 1 CROSS JOIN nl)
+        |SELECT lang, sz, CAST(alloc AS BIGINT) AS alloc_tokens,
+        |  CAST(alloc * 1000000 // sz AS BIGINT) AS epochs_e6
+        |FROM a ORDER BY lang""".stripMargin))
   )
 }

@@ -164,4 +164,29 @@ class SamplingSpec extends SparkSpec {
       .filter(col("split") =!= col("plain_split")).count()
     assert(singles == 0L)
   }
+
+  test("unimaxAllocation: hand-computed allocations, cap and budget bind correctly") {
+    import spark.implicits._
+    // one row per (lang, n_tokens): sizes A=10, B=100, C=1000
+    val docs = (Seq.fill(1)(("A", 10L)) ++ Seq.fill(2)(("B", 50L)) ++
+      Seq.fill(4)(("C", 250L))).toDF("lang", "n")
+    val got = Sampling.unimaxAllocation(docs, "lang", col("n"),
+        budget = 600L, epochCap = 3L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    // ascending order A(10), B(100), C(1000), rem 600:
+    //  A: fair 600/3=200, cap 30  -> 30, rem 570   (cap-bound)
+    //  B: fair 570/2=285, cap 300 -> 285, rem 285  (budget-bound)
+    //  C: fair 285/1=285, cap 3000 -> 285           (budget-bound)
+    assert(got.toSeq == Seq(
+      ("A", 10L, 30L, 3000000L),
+      ("B", 100L, 285L, 2850000L),
+      ("C", 1000L, 285L, 285000L)), got.toSeq.toString)
+    assert(got.map(_._3).sum <= 600L)
+    // a budget past everyone's cap: every group gets exactly cap*size
+    val capped = Sampling.unimaxAllocation(docs, "lang", col("n"),
+        budget = 100000L, epochCap = 3L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(capped.forall { case (_, sz, a) => a == 3L * sz })
+  }
 }
