@@ -249,6 +249,43 @@ object Sampling {
     * tokens per group; past that compute epochs unquantized).
     * Feed `alloc_tokens` to [[tokenBudgetSample]] (budgets per
     * stratum) to materialize the sampled corpus. */
+  /** Temperature-scaled mixture allocation — the OTHER published
+    * multilingual sampling rule (sampling probability ∝ p^(1/T)):
+    * each group's share of the token `budget` is proportional to
+    * sz^(1/T). Restricted to T = 2^sqrtSteps on purpose: x^(1/2) is
+    * the ONE power IEEE 754 requires correctly rounded (hardware
+    * sqrt — identical in Spark and DuckDB), so sz^(1/T) is
+    * `sqrtSteps` nested sqrts, each deterministic, where a general
+    * pow() would be libm-dependent. The weight is quantized
+    * ⌊sqrt…(sz)·2²⁰+0.5⌋ BEFORE the normalizing sum, making the
+    * allocation a_g = budget·q_g ÷ Σq exact integer arithmetic —
+    * bit-reproducible in the oracle. T = 2 (one sqrt) is the common
+    * published setting; `sqrtSteps = 2` gives T = 4.
+    *
+    * Fully declarative (unlike the inherently sequential
+    * [[unimaxAllocation]]): one size aggregate, one broadcast total,
+    * one projection. Exact while budget·q < 2⁶³ (q ≤ 2²⁰·√sz —
+    * holds to ~8·10⁹ token budgets at million-token groups; past
+    * that, rescale the quantization). Output: (group, sz, q,
+    * alloc_tokens, epochs_e6). */
+  def temperatureAllocation(df: DataFrame, group: String, size: Column,
+                            budget: Long, sqrtSteps: Int = 1): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    require(sqrtSteps >= 1 && sqrtSteps <= 6, "need 1 <= sqrtSteps <= 6")
+    val root = (1 to sqrtSteps).foldLeft(col("sz").cast("double"))(
+      (c, _) => sqrt(c))
+    val q = floor(root * (1L << 20) + 0.5).cast("long")
+    val bySrc = df.groupBy(col(group)).agg(sum(size).cast("long").as("sz"))
+      .withColumn("q", q)
+    val total = bySrc.agg(sum(col("q")).cast("long").as("tq"))
+    bySrc.crossJoin(broadcast(total))
+      .select(col(group), col("sz"), col("q"),
+        call_function("div", col("q") * budget, col("tq"))
+          .as("alloc_tokens"))
+      .withColumn("epochs_e6", call_function("div",
+        col("alloc_tokens") * 1000000L, col("sz")))
+  }
+
   def unimaxAllocation(df: DataFrame, group: String, size: Column,
                        budget: Long, epochCap: Long): DataFrame = {
     require(budget >= 0, "budget must be non-negative")

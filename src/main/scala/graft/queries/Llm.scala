@@ -2652,6 +2652,33 @@ object Llm {
         |  FROM a JOIN ord o ON o.rn = a.rn + 1 CROSS JOIN nl)
         |SELECT lang, sz, CAST(alloc AS BIGINT) AS alloc_tokens,
         |  CAST(alloc * 1000000 // sz AS BIGINT) AS epochs_e6
-        |FROM a ORDER BY lang""".stripMargin))
+        |FROM a ORDER BY lang""".stripMargin)),
+
+    // temperature-scaled mixture (T = 2): shares ∝ √size — sqrt is the
+    // one power IEEE requires correctly rounded (identical hardware op
+    // in both engines), and the weight quantizes to an integer BEFORE
+    // the normalizing sum, so allocation is exact integer arithmetic
+    ("llm_mixture_temperature",
+      ((s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val tc = TextAnalysis.tokenCount(col("text")).cast("long")
+        val total = docs.agg(sum(tc).as("t")).head.getLong(0)
+        Sampling.temperatureAllocation(docs, "lang", tc,
+            budget = total / 2, sqrtSteps = 1)
+          .orderBy(col("lang"))
+      }): Q,
+      Some("""WITH sizes AS (SELECT lang,
+        |  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS sz
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(sz) // 2 AS BIGINT) AS b FROM sizes),
+        |qw AS (SELECT lang, sz,
+        |  CAST(floor(sqrt(CAST(sz AS DOUBLE)) * 1048576 + 0.5) AS BIGINT)
+        |    AS q
+        |  FROM sizes),
+        |tq AS (SELECT CAST(sum(q) AS BIGINT) AS tq FROM qw)
+        |SELECT lang, sz, q,
+        |  CAST(q * tot.b // tq.tq AS BIGINT) AS alloc_tokens,
+        |  CAST((q * tot.b // tq.tq) * 1000000 // sz AS BIGINT) AS epochs_e6
+        |FROM qw CROSS JOIN tot CROSS JOIN tq ORDER BY lang""".stripMargin))
   )
 }

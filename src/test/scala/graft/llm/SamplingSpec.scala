@@ -189,4 +189,25 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(capped.forall { case (_, sz, a) => a == 3L * sz })
   }
+
+  test("temperatureAllocation: sqrt-compressed shares, budget respected, T=4 flatter than T=2") {
+    import spark.implicits._
+    // perfect squares so quantized weights are exact: 100 -> q=10*2^20,
+    // 10000 -> q=100*2^20; alloc ratio 1:10 where proportional is 1:100
+    val docs = Seq(("A", 100L), ("B", 10000L)).toDF("lang", "n")
+    val t2 = Sampling.temperatureAllocation(docs, "lang", col("n"),
+        budget = 1000L, sqrtSteps = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(t2.toSeq == Seq(
+      ("A", 100L, 10L << 20, 90L),     // 1000*10 // 110
+      ("B", 10000L, 100L << 20, 909L)), t2.toSeq.toString)
+    assert(t2.map(_._4).sum <= 1000L)
+    // T=4 (two sqrts): even flatter — small group's share grows
+    val t4 = Sampling.temperatureAllocation(docs, "lang", col("n"),
+        budget = 1000L, sqrtSteps = 2)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(t4("A") > t2.find(_._1 == "A").get._4)
+    assert(t4("A") + t4("B") <= 1000L)
+  }
 }
