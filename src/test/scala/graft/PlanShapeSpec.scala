@@ -25,7 +25,9 @@ class PlanShapeSpec extends SparkSpec {
     "v3_price_series_gas" ->
       "single-pool resampled series; bounded buckets",
     "llm_mixture_upsample" ->
-      "epoch plan: |sources|-row aggregate to a one-row total; corpus side only broadcast-joins the plan")
+      "epoch plan: |sources|-row aggregate to a one-row total; corpus side only broadcast-joins the plan",
+    "llm_mixture_temperature" ->
+      "allocation plan: |languages|-row aggregate to a one-row normalizing total; no corpus side at all")
 
   private val allowedAllPairs = Map(
     "llm_similarity_topk" ->
@@ -34,6 +36,8 @@ class PlanShapeSpec extends SparkSpec {
       "brute-force retrieval over int8 codes: same deliberate baseline shape",
     "llm_mixture_upsample" ->
       "one-row total joined onto the |sources|-row plan (scalar join); corpus side never all-pairs",
+    "llm_mixture_temperature" ->
+      "one-row normalizing total joined onto the |languages|-row plan (scalar join)",
     "v3_liquidity_surface" ->
       "display grid: |frames| x |active ticks| densification (animation frames are driver-small by construction); the event side is keyed aggregation only")
 
