@@ -45,7 +45,11 @@ object Curation {
     private val frames = scala.collection.mutable.Buffer.empty[DataFrame]
     def apply(df: DataFrame): DataFrame = {
       val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      p.count() // eager, like localCheckpoint(eager = true)
+      // LAZY, unlike localCheckpoint: the micro-batch body consumes
+      // each persisted frame sequentially, so the first consumer
+      // materializes the cache and the rest reuse it — an eager
+      // count() here just added one job per persist per batch
+      // (measured ~0.5 s/batch across the four persists at sf0.1)
       frames.synchronized { frames += p }
       p
     }
