@@ -252,14 +252,35 @@ object TextAnalysis {
     * scoring, engine-local determinism only.
     * Output: (query_id, doc id, n_hit_terms, score_e6, rank ≤ k). */
   def bm25TopK(df0: DataFrame, text: String, id: String,
-               queries: DataFrame, k: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val nDocs = df0.count()
+               queries: DataFrame, k: Int = 10): DataFrame =
     // tf has three consumers (df, dl, probe join): materialize once
-    val tf = Dedup.tokenize(df0, text, id)
+    bm25Score(bm25TfIndex(df0, text, id).localCheckpoint(),
+      df0.count(), id, queries, k)
+
+  /** The BM25 inverted index: the (id, term, tf) aggregate [[bm25TopK]]
+    * scores against. Split out so an incremental pipeline can MAINTAIN
+    * it per ingest batch ([[graft.streaming.Streaming.bm25IndexStream]])
+    * — a document's tf rows are self-contained, so the index is
+    * append-only under an append-only corpus, and every corpus-global
+    * statistic (df, dl, N, total) derives from it at scoring time. */
+  def bm25TfIndex(df0: DataFrame, text: String, id: String): DataFrame =
+    Dedup.tokenize(df0, text, id)
       .select(col(id), explode(col("toks")).as("term"))
       .groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+
+  /** Score queries against a PERSISTED tf index (the assembly-time
+    * half of the incremental pipeline). N is the index's distinct
+    * document count — identical to the corpus row count, since
+    * whitespace tokenization yields ≥ 1 term per document. */
+  def bm25FromIndex(tf0: DataFrame, id: String, queries: DataFrame,
+                    k: Int = 10): DataFrame = {
+    val tf = tf0.localCheckpoint()
+    bm25Score(tf, tf.select(col(id)).distinct().count(), id, queries, k)
+  }
+
+  private def bm25Score(tf: DataFrame, nDocs: Long, id: String,
+                        queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val dl = tf.groupBy(col(id)).agg(sum(col("tf")).as("dl"))
     val total = dl.agg(sum(col("dl"))).head.getLong(0)

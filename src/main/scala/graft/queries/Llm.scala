@@ -623,6 +623,39 @@ object Llm {
       |SELECT n AS doc_id, min(label) AS cluster FROM cc
       |GROUP BY n ORDER BY doc_id""".stripMargin
 
+  /** DuckDB SQL recomputing BM25 end-to-end (inverted index, global
+    * statistics, rational-constant scoring, per-query rank) — shared
+    * verbatim by `llm_retrieval_bm25` (single-pass) and
+    * `llm_retrieval_bm25_streamed` (index accumulated per micro-batch,
+    * statistics derived at scoring time): the incremental index must
+    * score EXACTLY like the batch one. */
+  private val bm25Sql: String =
+    """WITH tf AS (SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+      |  FROM tf GROUP BY doc_id),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |t AS (SELECT CAST(sum(dl) AS BIGINT) AS t FROM dl),
+      |q AS (SELECT DISTINCT doc_id AS query_id, term
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM documents WHERE doc_id % 100 = 0)),
+      |sc AS (SELECT q.query_id, tf.doc_id,
+      |  CAST(floor(((2*n.n - 2*dfq.df + 1) / (2*dfq.df + 1))
+      |    * ((22*t.t*tf.tf) / (10*t.t*tf.tf + 3*t.t + 9*dl.dl*n.n))
+      |    * 1000000 + 0.5) AS BIGINT) AS s_e6
+      |  FROM tf JOIN q USING (term) JOIN dfq USING (term)
+      |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN n CROSS JOIN t),
+      |agg AS (SELECT query_id, doc_id, count(*) AS n_hit_terms,
+      |  sum(s_e6) AS score_e6 FROM sc GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |  ORDER BY score_e6 DESC, doc_id) AS rank FROM agg)
+      |SELECT query_id, doc_id, CAST(n_hit_terms AS BIGINT) AS n_hit_terms,
+      |  CAST(score_e6 AS BIGINT) AS score_e6, CAST(rank AS BIGINT) AS rank
+      |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     ("llm_dedup_exact",
@@ -2553,31 +2586,36 @@ object Llm {
         TextAnalysis.bm25TopK(docs, "text", "doc_id", qs, k = 10)
           .orderBy(col("query_id"), col("rank"))
       }): Q,
-      Some("""WITH tf AS (SELECT doc_id, term, count(*) AS tf
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-        |        FROM documents)
-        |  GROUP BY 1, 2),
-        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
-        |  FROM tf GROUP BY doc_id),
-        |n AS (SELECT count(*) AS n FROM documents),
-        |t AS (SELECT CAST(sum(dl) AS BIGINT) AS t FROM dl),
-        |q AS (SELECT DISTINCT doc_id AS query_id, term
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-        |        FROM documents WHERE doc_id % 100 = 0)),
-        |sc AS (SELECT q.query_id, tf.doc_id,
-        |  CAST(floor(((2*n.n - 2*dfq.df + 1) / (2*dfq.df + 1))
-        |    * ((22*t.t*tf.tf) / (10*t.t*tf.tf + 3*t.t + 9*dl.dl*n.n))
-        |    * 1000000 + 0.5) AS BIGINT) AS s_e6
-        |  FROM tf JOIN q USING (term) JOIN dfq USING (term)
-        |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN n CROSS JOIN t),
-        |agg AS (SELECT query_id, doc_id, count(*) AS n_hit_terms,
-        |  sum(s_e6) AS score_e6 FROM sc GROUP BY 1, 2),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-        |  ORDER BY score_e6 DESC, doc_id) AS rank FROM agg)
-        |SELECT query_id, doc_id, CAST(n_hit_terms AS BIGINT) AS n_hit_terms,
-        |  CAST(score_e6 AS BIGINT) AS score_e6, CAST(rank AS BIGINT) AS rank
-        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+      Some(bm25Sql)),
+
+    // the BM25 index maintained INCREMENTALLY: three micro-batches land
+    // their own (doc, term, tf) partitions exactly-once, every global
+    // statistic (df, dl, N, total) derives from the accumulated index
+    // at scoring time — graded against the batch row's SQL VERBATIM
+    ("llm_retrieval_bm25_streamed",
+      ((s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-bm25-stream").toString
+        val srcDir = s"$base/src"
+        streamedTranches(srcDir,
+          Seq(docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+            docs.filter(pmod(col("doc_id"), lit(3)) === 1),
+            docs.filter(pmod(col("doc_id"), lit(3)) === 2)))
+        val src = graft.streaming.Streaming.fileStream(s, srcDir,
+          docs.schema, maxFilesPerTrigger = 1)
+        val q = graft.streaming.Streaming.bm25IndexStream(src, "text",
+          "doc_id", s"$base/index", s"$base/ck").start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+        val qs = Dedup.tokenize(docs.filter(col("doc_id") % 100 === 0),
+            "text", "doc_id")
+          .select(col("doc_id").as("query_id"), explode(col("toks")).as("term"))
+        TextAnalysis.bm25FromIndex(
+            s.read.parquet(s"$base/index").drop("batch_id"),
+            "doc_id", qs, k = 10)
+          .orderBy(col("query_id"), col("rank"))
+      }): Q,
+      Some(bm25Sql)),
 
     // concat-and-cut window assembly: documents laid end-to-end per
     // shard, the token stream cut into 2048-token context windows, one

@@ -255,6 +255,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("bm25IndexStream: accumulated index scores exactly like the batch row; replay is NOT harmless") {
+    val docs = Tables.documents(spark, dir)
+    val srcDir = Files.createTempDirectory("bm25-src").toString
+    val base = Files.createTempDirectory("bm25").toString
+
+    def runOnce(): Unit = {
+      val src = Streaming.fileStream(spark, srcDir, docs.schema,
+        maxFilesPerTrigger = 1)
+      // compactEvery = 2: compaction is row-preserving, so the derived
+      // statistics (df, dl, N, total) are unaffected
+      val q = Streaming.bm25IndexStream(src, "text", "doc_id",
+        s"$base/index", s"$base/ck", compactEvery = 2).start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    // interleaved tranches across two stream runs (resume exercised)
+    docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+    docs.filter(pmod(col("doc_id"), lit(3)) =!= 2)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+
+    val qs = graft.llm.Dedup.tokenize(
+        docs.filter(col("doc_id") % 100 === 0), "text", "doc_id")
+      .select(col("doc_id").as("query_id"), explode(col("toks")).as("term"))
+    val want = graft.llm.TextAnalysis.bm25TopK(docs, "text", "doc_id",
+        qs, k = 10)
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    val tf = spark.read.parquet(s"$base/index")
+    val got = graft.llm.TextAnalysis.bm25FromIndex(tf.drop("batch_id"),
+        "doc_id", qs, k = 10)
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    assert(got == want && want.nonEmpty)
+    // the statistics are ADDITIVE: a duplicated batch partition would
+    // double df/N/total and change every score — exactly-once at the
+    // sink is load-bearing, as for the CMS
+    val doubled = tf.drop("batch_id").union(tf.drop("batch_id"))
+    val got2 = graft.llm.TextAnalysis.bm25FromIndex(doubled, "doc_id",
+        qs, k = 10)
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    assert(got2 != want, "a duplicated partition should change scores")
+  }
+
   test("streaming curation across batches equals the batch pipeline") {
     val planted = graft.llm.Curation.withPlantedEverything(
       Tables.documents(spark, dir), "text", "doc_id")
