@@ -498,6 +498,28 @@ object Llm {
     }
   }
 
+  /** Run a temp-dir-backed streamed query body, snapshot the
+    * (driver-small) result with an eager localCheckpoint, and delete
+    * the whole temp tree: the streamed rows otherwise leave
+    * corpus-sized source/sink/checkpoint dirs in the system temp dir
+    * on EVERY invocation (bench reps included) — unbounded disk growth
+    * across runs on a shared machine. The checkpoint keeps every stage
+    * of the body eager inside the caller's timed region; only the
+    * final result rows outlive the files. Callers apply their total
+    * ORDER BY after the snapshot, so row order never depends on
+    * checkpoint partitioning. */
+  private def streamTempRun(prefix: String)(body: String => DataFrame): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory(prefix)
+    try body(base.toString).localCheckpoint()
+    finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(base)
+      try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   /** The exact unigram+bigram corpus-LM scoring CTEs (produce `us` with
     * (doc_id, n_tok, uni_score_e12) and `bs` with (doc_id,
     * bi_score_e6)), shared by `llm_text_lm_fluency` and
@@ -684,20 +706,20 @@ object Llm {
     ("llm_dedup_stream_pairs",
       ((s: SparkSession, d: String) => {
         val docs = Tables.documents(s, d)
-        val base = java.nio.file.Files
-          .createTempDirectory("graft-dedup-stream").toString
-        val srcDir = s"$base/src"
-        streamedTranches(srcDir,
-          Seq(docs.filter(pmod(col("doc_id"), lit(3)) === 0),
-            docs.filter(pmod(col("doc_id"), lit(3)) === 1),
-            docs.filter(pmod(col("doc_id"), lit(3)) === 2)))
-        val src = graft.streaming.Streaming.fileStream(s, srcDir,
-          docs.schema, maxFilesPerTrigger = 1)
-        val q = graft.streaming.Streaming.dedupIndexStream(src, "text",
-          "doc_id", s"$base/index", s"$base/pairs", s"$base/ck").start()
-        try q.awaitTermination() finally if (q.isActive) q.stop()
-        s.read.parquet(s"$base/pairs").select(col("a"), col("b"))
-          .distinct().orderBy(col("a"), col("b"))
+        streamTempRun("graft-dedup-stream") { base =>
+          val srcDir = s"$base/src"
+          streamedTranches(srcDir,
+            Seq(docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+              docs.filter(pmod(col("doc_id"), lit(3)) === 1),
+              docs.filter(pmod(col("doc_id"), lit(3)) === 2)))
+          val src = graft.streaming.Streaming.fileStream(s, srcDir,
+            docs.schema, maxFilesPerTrigger = 1)
+          val q = graft.streaming.Streaming.dedupIndexStream(src, "text",
+            "doc_id", s"$base/index", s"$base/pairs", s"$base/ck").start()
+          try q.awaitTermination() finally if (q.isActive) q.stop()
+          s.read.parquet(s"$base/pairs").select(col("a"), col("b"))
+            .distinct()
+        }.orderBy(col("a"), col("b"))
       }): Q,
       Some(minhashLshSql)),
 
@@ -1337,21 +1359,20 @@ object Llm {
     ("llm_distinct_sketch_streamed",
       ((s: SparkSession, d: String) => {
         val docs = Tables.documents(s, d)
-        val base = java.nio.file.Files
-          .createTempDirectory("graft-sketch-stream").toString
-        val srcDir = s"$base/src"
-        streamedTranches(srcDir,
-          Seq(docs.filter(pmod(col("doc_id"), lit(3)) === 0),
-            docs.filter(pmod(col("doc_id"), lit(3)) === 1),
-            docs.filter(pmod(col("doc_id"), lit(3)) === 2)))
-        val src = graft.streaming.Streaming.fileStream(s, srcDir,
-          docs.schema, maxFilesPerTrigger = 1)
-        val q = graft.streaming.Streaming.sketchStream(src, "text",
-          "lang", "doc_id", s"$base/regs", s"$base/ck").start()
-        try q.awaitTermination() finally if (q.isActive) q.stop()
-        TextAnalysis.sketchFromRegisters(
+        streamTempRun("graft-sketch-stream") { base =>
+          val srcDir = s"$base/src"
+          streamedTranches(srcDir,
+            Seq(docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+              docs.filter(pmod(col("doc_id"), lit(3)) === 1),
+              docs.filter(pmod(col("doc_id"), lit(3)) === 2)))
+          val src = graft.streaming.Streaming.fileStream(s, srcDir,
+            docs.schema, maxFilesPerTrigger = 1)
+          val q = graft.streaming.Streaming.sketchStream(src, "text",
+            "lang", "doc_id", s"$base/regs", s"$base/ck").start()
+          try q.awaitTermination() finally if (q.isActive) q.stop()
+          TextAnalysis.sketchFromRegisters(
             s.read.parquet(s"$base/regs").drop("batch_id"), "lang")
-          .orderBy(col("lang"), col("bucket"))
+        }.orderBy(col("lang"), col("bucket"))
       }): Q,
       Some(distinctSketchSql)),
 
@@ -1725,21 +1746,21 @@ object Llm {
     ("llm_cms_streamed",
       ((s: SparkSession, d: String) => {
         val docs = Tables.documents(s, d)
-        val base = java.nio.file.Files
-          .createTempDirectory("graft-cms-stream").toString
-        val srcDir = s"$base/src"
-        streamedTranches(srcDir,
-          Seq(docs.filter(pmod(col("doc_id"), lit(3)) === 0),
-            docs.filter(pmod(col("doc_id"), lit(3)) === 1),
-            docs.filter(pmod(col("doc_id"), lit(3)) === 2)))
-        val src = graft.streaming.Streaming.fileStream(s, srcDir,
-          docs.schema, maxFilesPerTrigger = 1)
-        val q = graft.streaming.Streaming.cmsStream(src, "text",
-          s"$base/regs", s"$base/ck", width = 256).start()
-        try q.awaitTermination() finally if (q.isActive) q.stop()
-        TextAnalysis.cmsFromRegisters(
-          s.read.parquet(s"$base/regs").drop("batch_id"),
-          docs, "text", width = 256, k = 25)
+        streamTempRun("graft-cms-stream") { base =>
+          val srcDir = s"$base/src"
+          streamedTranches(srcDir,
+            Seq(docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+              docs.filter(pmod(col("doc_id"), lit(3)) === 1),
+              docs.filter(pmod(col("doc_id"), lit(3)) === 2)))
+          val src = graft.streaming.Streaming.fileStream(s, srcDir,
+            docs.schema, maxFilesPerTrigger = 1)
+          val q = graft.streaming.Streaming.cmsStream(src, "text",
+            s"$base/regs", s"$base/ck", width = 256).start()
+          try q.awaitTermination() finally if (q.isActive) q.stop()
+          TextAnalysis.cmsFromRegisters(
+            s.read.parquet(s"$base/regs").drop("batch_id"),
+            docs, "text", width = 256, k = 25)
+        }.orderBy(col("n").desc, col("token"))
       }): Q,
       Some(cmsCountsSql)),
 
@@ -2184,35 +2205,34 @@ object Llm {
       ((s: SparkSession, d: String) => {
         val planted = Curation.withPlantedEverything(
           Tables.documents(s, d), "text", "doc_id")
-        val base = java.nio.file.Files
-          .createTempDirectory("graft-streamed").toString
-        val srcDir = s"$base/src"
-        // three tranches, copies FIRST = the arrival order that breaks
-        // a first-arrival keeper without reconcile; one AvailableNow
-        // run with maxFilesPerTrigger=1 turns the three drops into
-        // three micro-batches (FileStreamSource orders by mtime, which
-        // streamedTranches pins per file)
-        streamedTranches(srcDir,
-          Seq(planted.filter(col("doc_id") >= 924000L),
-            planted.filter(col("doc_id") < 924000L &&
-              pmod(col("doc_id"), lit(2)) === 0),
-            planted.filter(col("doc_id") < 924000L &&
-              pmod(col("doc_id"), lit(2)) === 1)))
-        val src = graft.streaming.Streaming.fileStream(s, srcDir,
-          planted.schema, maxFilesPerTrigger = 1)
-        val q = graft.streaming.Streaming.curationStream(src, "text",
-          "doc_id", s"$base/surv", s"$base/index", s"$base/ck").start()
-        try q.awaitTermination() finally if (q.isActive) q.stop()
-        // compactSurvivors: the assembly-time sink compaction runs
-        // INSIDE the graded path, so the oracle also proves the
-        // compacted read is byte-equal to the batch pipeline
-        Sampling.shuffleOrder(
-            Curation.reconcile(s, s"$base/surv", s"$base/index", "doc_id",
-              compactSurvivors = true),
-            col("doc_id"), shards = 8)
-          .select(col("doc_id"), col("clean_md5"), col("order_key"),
-            col("shard"), col("pos"))
-          .orderBy(col("doc_id"))
+        streamTempRun("graft-streamed") { base =>
+          val srcDir = s"$base/src"
+          // three tranches, copies FIRST = the arrival order that breaks
+          // a first-arrival keeper without reconcile; one AvailableNow
+          // run with maxFilesPerTrigger=1 turns the three drops into
+          // three micro-batches (FileStreamSource orders by mtime, which
+          // streamedTranches pins per file)
+          streamedTranches(srcDir,
+            Seq(planted.filter(col("doc_id") >= 924000L),
+              planted.filter(col("doc_id") < 924000L &&
+                pmod(col("doc_id"), lit(2)) === 0),
+              planted.filter(col("doc_id") < 924000L &&
+                pmod(col("doc_id"), lit(2)) === 1)))
+          val src = graft.streaming.Streaming.fileStream(s, srcDir,
+            planted.schema, maxFilesPerTrigger = 1)
+          val q = graft.streaming.Streaming.curationStream(src, "text",
+            "doc_id", s"$base/surv", s"$base/index", s"$base/ck").start()
+          try q.awaitTermination() finally if (q.isActive) q.stop()
+          // compactSurvivors: the assembly-time sink compaction runs
+          // INSIDE the graded path, so the oracle also proves the
+          // compacted read is byte-equal to the batch pipeline
+          Sampling.shuffleOrder(
+              Curation.reconcile(s, s"$base/surv", s"$base/index", "doc_id",
+                compactSurvivors = true),
+              col("doc_id"), shards = 8)
+            .select(col("doc_id"), col("clean_md5"), col("order_key"),
+              col("shard"), col("pos"))
+        }.orderBy(col("doc_id"))
       }): Q,
       Some(curationPipelineSql)),
 
@@ -2595,25 +2615,25 @@ object Llm {
     ("llm_retrieval_bm25_streamed",
       ((s: SparkSession, d: String) => {
         val docs = Tables.documents(s, d)
-        val base = java.nio.file.Files
-          .createTempDirectory("graft-bm25-stream").toString
-        val srcDir = s"$base/src"
-        streamedTranches(srcDir,
-          Seq(docs.filter(pmod(col("doc_id"), lit(3)) === 0),
-            docs.filter(pmod(col("doc_id"), lit(3)) === 1),
-            docs.filter(pmod(col("doc_id"), lit(3)) === 2)))
-        val src = graft.streaming.Streaming.fileStream(s, srcDir,
-          docs.schema, maxFilesPerTrigger = 1)
-        val q = graft.streaming.Streaming.bm25IndexStream(src, "text",
-          "doc_id", s"$base/index", s"$base/ck").start()
-        try q.awaitTermination() finally if (q.isActive) q.stop()
-        val qs = Dedup.tokenize(docs.filter(col("doc_id") % 100 === 0),
-            "text", "doc_id")
-          .select(col("doc_id").as("query_id"), explode(col("toks")).as("term"))
-        TextAnalysis.bm25FromIndex(
+        streamTempRun("graft-bm25-stream") { base =>
+          val srcDir = s"$base/src"
+          streamedTranches(srcDir,
+            Seq(docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+              docs.filter(pmod(col("doc_id"), lit(3)) === 1),
+              docs.filter(pmod(col("doc_id"), lit(3)) === 2)))
+          val src = graft.streaming.Streaming.fileStream(s, srcDir,
+            docs.schema, maxFilesPerTrigger = 1)
+          val q = graft.streaming.Streaming.bm25IndexStream(src, "text",
+            "doc_id", s"$base/index", s"$base/ck").start()
+          try q.awaitTermination() finally if (q.isActive) q.stop()
+          val qs = Dedup.tokenize(docs.filter(col("doc_id") % 100 === 0),
+              "text", "doc_id")
+            .select(col("doc_id").as("query_id"),
+              explode(col("toks")).as("term"))
+          TextAnalysis.bm25FromIndex(
             s.read.parquet(s"$base/index").drop("batch_id"),
             "doc_id", qs, k = 10)
-          .orderBy(col("query_id"), col("rank"))
+        }.orderBy(col("query_id"), col("rank"))
       }): Q,
       Some(bm25Sql)),
 
