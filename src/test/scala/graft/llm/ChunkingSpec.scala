@@ -102,4 +102,56 @@ class ChunkingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"), plan)
   }
+
+  test("concatChunks: tiling invariants hold on randomized corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // deterministic Gen sampling (no scalatest-scalacheck bridge in the
+    // offline cache; fixed seed keeps runs reproducible)
+    var seed = Seed(13L)
+    def sample[A](g: Gen[A]): A = {
+      val r = g.apply(Gen.Parameters.default, seed).get
+      seed = seed.next; r
+    }
+    val corpus = Gen.zip(
+      Gen.choose(8L, 96L),                               // window
+      Gen.choose(1, 4),                                  // shards
+      Gen.listOfN(60, Gen.choose(0L, 150L)))             // token counts
+    (1 to 5).foreach { _ =>
+      val (w, nShards, counts) = sample(corpus)
+      val docs = counts.zipWithIndex
+        .map { case (n, i) => (i.toLong, n, (i % nShards).toLong) }
+        .toDF("doc_id", "n_tokens", "shard")
+      val rows = Chunking.concatChunks(docs, col("n_tokens"), w,
+          order = Seq(col("doc_id")), shard = Seq(col("shard")))
+        .select("shard", "doc_id", "n_tokens", "win_id", "win_from",
+          "doc_from", "doc_to")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      // total slice tokens == total stream tokens; no zero-doc rows
+      assert(rows.map(r => r._7 - r._6).sum == counts.sum)
+      assert(rows.forall(_._3 > 0))
+      // every document tiled [0, n) contiguously across consecutive wins
+      rows.groupBy(_._2).foreach { case (_, g) =>
+        val s = g.sortBy(_._4)
+        assert(s.head._6 == 0L && s.last._7 == s.head._3)
+        s.sliding(2).foreach {
+          case Array(a, b) => assert(a._7 == b._6 && b._4 == a._4 + 1)
+          case _ =>
+        }
+      }
+      // every interior (shard, window) holds exactly w tokens from
+      // offset 0 with no gaps
+      rows.groupBy(r => (r._1, r._4)).foreach { case ((sh, win), g) =>
+        val s = g.sortBy(_._5)
+        assert(s.head._5 == 0L)
+        s.sliding(2).foreach {
+          case Array(a, b) => assert(a._5 + (a._7 - a._6) == b._5)
+          case _ =>
+        }
+        val lastWin = rows.filter(_._1 == sh).map(_._4).max
+        assert(s.map(r => r._7 - r._6).sum == w || win == lastWin)
+      }
+    }
+  }
 }
