@@ -304,6 +304,47 @@ object TextAnalysis {
       .filter(col("rank") <= k)
   }
 
+  /** Per-document CROSS-corpus duplication profile — the dedup-audit
+    * signal between [[repetitionSignals]] (within-document repeats)
+    * and the removal operators ([[graft.llm.Dedup.removeBoilerplate]],
+    * line/span dedup): for each document, what share of its word
+    * k-gram occurrences is shared with at least `minDf − 1` OTHER
+    * documents (`dup_bp`, exact basis points), and the widest spread
+    * of any of its grams (`max_gram_df`). The standard pre-dedup
+    * forensic: a high dup_bp flags boilerplate-heavy or near-copied
+    * documents BEFORE committing to a removal pass, and the
+    * distribution over the corpus sizes the dedup problem itself.
+    * Documents with fewer than k tokens produce no row (no k-grams —
+    * same rule as repetitionSignals).
+    *
+    * 100 TB story: [[graft.llm.Dedup.removeBoilerplate]]'s shape —
+    * grams shuffle as 64-bit md5 hashes (16 bytes however long the
+    * gram), stages are (id, h) / (h) keyed aggregates and one
+    * equi-join back; the frequent set is unbounded at fleet scale, so
+    * it returns via the join, never broadcast. The oracle rebuilds the
+    * same h64 in SQL, so hash collisions (if any) merge identically
+    * in both engines. */
+  def crossDocDuplication(df: DataFrame, text: String, id: String,
+                          k: Int = 5, minDf: Int = 2): DataFrame = {
+    require(minDf >= 2, "minDf < 2 would flag every gram as duplicated")
+    graft.functions.Md5Hash64Expr.register(df.sparkSession)
+    val occ = Dedup.shinglesFromToks(Dedup.tokenize(df, text, id), id, k,
+        dedup = false)
+      .select(col(id), Dedup.md5Hash64(col("shingle")).as("h"))
+      .groupBy(col(id), col("h")).agg(count(lit(1)).as("c"))
+    val dfreq = occ.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    occ.join(dfreq, Seq("h"))
+      .groupBy(col(id))
+      .agg(sum(col("c")).as("n_grams"),
+        sum(when(col("df") >= minDf, col("c")).otherwise(lit(0L)))
+          .as("dup_occ"),
+        max(col("df")).as("max_gram_df"))
+      .select(col(id), col("n_grams"),
+        floor(lit(10000.0) * col("dup_occ") / col("n_grams") + 0.5)
+          .cast("long").as("dup_bp"),
+        col("max_gram_df"))
+  }
+
   /** Corpus-LM fluency scoring — the CCNet-style quality axis the
     * stats/gate signals don't cover: how PROBABLE a document's text is
     * under a language model trained on the corpus itself. The model is

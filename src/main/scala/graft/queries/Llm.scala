@@ -2712,6 +2712,35 @@ object Llm {
         |  CAST(alloc * 1000000 // sz AS BIGINT) AS epochs_e6
         |FROM a ORDER BY lang""".stripMargin)),
 
+    // per-document cross-corpus duplication profile: share of gram
+    // occurrences appearing in >= 2 documents + widest gram spread —
+    // the dedup-audit forensic; grams travel as the same 64-bit md5
+    // hashes the span/boilerplate rows use, rebuilt verbatim in SQL
+    ("llm_text_crossdup",
+      ((s: SparkSession, d: String) =>
+        TextAnalysis.crossDocDuplication(Tables.documents(s, d), "text",
+            "doc_id", k = 5, minDf = 2)
+          .orderBy(col("doc_id"))): Q,
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 5),
+        |g AS (SELECT doc_id,
+        |  (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+        |    * 4294967296 + lo AS h
+        |  FROM (SELECT doc_id,
+        |    ('0x' || substr(md5(gram), 1, 8))::BIGINT AS hi,
+        |    ('0x' || substr(md5(gram), 9, 8))::BIGINT AS lo
+        |  FROM (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+        |    FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
+        |          FROM toks)))),
+        |occ AS (SELECT doc_id, h, count(*) AS c FROM g GROUP BY 1, 2),
+        |dfreq AS (SELECT h, count(*) AS df FROM occ GROUP BY h)
+        |SELECT occ.doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |  CAST(floor(10000.0 * sum(CASE WHEN df >= 2 THEN c ELSE 0 END)
+        |    / sum(c) + 0.5) AS BIGINT) AS dup_bp,
+        |  CAST(max(df) AS BIGINT) AS max_gram_df
+        |FROM occ JOIN dfreq USING (h)
+        |GROUP BY occ.doc_id ORDER BY occ.doc_id""".stripMargin)),
+
     // temperature-scaled mixture (T = 2): shares ∝ √size — sqrt is the
     // one power IEEE requires correctly rounded (identical hardware op
     // in both engines), and the weight quantizes to an integer BEFORE

@@ -258,6 +258,22 @@ class LlmSpec extends SparkSpec {
     assert(logTop(1L) == "apple" && logTop(3L) == "cherry")
   }
 
+  test("crossDocDuplication: hand-computed shares, short docs dropped") {
+    import spark.implicits._
+    // A and B share the 5-gram "a b c d e"; C is disjoint; D is too
+    // short for any 5-gram
+    val df = Seq((1L, "a b c d e f"), (2L, "a b c d e x"),
+      (3L, "p q r s t"), (4L, "x y")).toDF("doc_id", "text")
+    val got = TextAnalysis.crossDocDuplication(df, "text", "doc_id",
+        k = 5, minDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 2L, 5000L, 2L),   // 1 of 2 gram occurrences shared
+      (2L, 2L, 5000L, 2L),
+      (3L, 1L, 0L, 1L)), got.toSeq.toString)
+  }
+
   test("bm25TopK: self-retrieval tops, rare terms outrank common, query side broadcast") {
     import spark.implicits._
     // doc 1 is the query; doc 2 shares its RARE term, doc 3 only the
