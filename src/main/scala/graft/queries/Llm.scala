@@ -2203,8 +2203,13 @@ object Llm {
     // pipeline end-to-end under arrival orders the batch never sees
     ("llm_curation_streamed",
       ((s: SparkSession, d: String) => {
+        // persisted across the three tranche writes: the plant chain is
+        // regex-heavy and each coalesce(1) write would re-derive it
+        // from parquet; released as soon as the files are down (the
+        // stream reads the FILES, not this frame)
         val planted = Curation.withPlantedEverything(
-          Tables.documents(s, d), "text", "doc_id")
+            Tables.documents(s, d), "text", "doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         streamTempRun("graft-streamed") { base =>
           val srcDir = s"$base/src"
           // three tranches, copies FIRST = the arrival order that breaks
@@ -2218,6 +2223,7 @@ object Llm {
                 pmod(col("doc_id"), lit(2)) === 0),
               planted.filter(col("doc_id") < 924000L &&
                 pmod(col("doc_id"), lit(2)) === 1)))
+          planted.unpersist(blocking = false)
           val src = graft.streaming.Streaming.fileStream(s, srcDir,
             planted.schema, maxFilesPerTrigger = 1)
           val q = graft.streaming.Streaming.curationStream(src, "text",
