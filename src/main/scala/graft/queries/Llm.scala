@@ -1371,7 +1371,7 @@ object Llm {
             "lang", "doc_id", s"$base/regs", s"$base/ck").start()
           try q.awaitTermination() finally if (q.isActive) q.stop()
           TextAnalysis.sketchFromRegisters(
-            s.read.parquet(s"$base/regs").drop("batch_id"), "lang")
+            s.read.parquet(s"$base/regs").drop("batch_id", "src_batch"), "lang")
         }.orderBy(col("lang"), col("bucket"))
       }): Q,
       Some(distinctSketchSql)),
@@ -1758,7 +1758,7 @@ object Llm {
             s"$base/regs", s"$base/ck", width = 256).start()
           try q.awaitTermination() finally if (q.isActive) q.stop()
           TextAnalysis.cmsFromRegisters(
-            s.read.parquet(s"$base/regs").drop("batch_id"),
+            s.read.parquet(s"$base/regs").drop("batch_id", "src_batch"),
             docs, "text", width = 256, k = 25)
         }.orderBy(col("n").desc, col("token"))
       }): Q,
@@ -2637,7 +2637,7 @@ object Llm {
             .select(col("doc_id").as("query_id"),
               explode(col("toks")).as("term"))
           TextAnalysis.bm25FromIndex(
-            s.read.parquet(s"$base/index").drop("batch_id"),
+            s.read.parquet(s"$base/index").drop("batch_id", "src_batch"),
             "doc_id", qs, k = 10)
         }.orderBy(col("query_id"), col("rank"))
       }): Q,

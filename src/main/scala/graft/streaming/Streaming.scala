@@ -98,7 +98,15 @@ object Streaming {
     * index IS a set (anti-join / equi-join probes are duplicate-
     * insensitive), and re-running compaction collapses the duplicates
     * again via `dropDuplicates` (a no-op on a healthy index, where
-    * every row is unique by construction).
+    * every row is unique by construction — including SUM-merged
+    * register sinks, whose rows are made unique by the `src_batch`
+    * provenance column even when two batches produce byte-identical
+    * partials). One caveat for the SUM-merged sinks ([[cmsStream]],
+    * [[bm25IndexStream]]): a read in the crash window between the
+    * generation write and the original-partition deletes would
+    * double-count the duplicated rows — re-run compaction (which
+    * collapses them, same `src_batch`) before reading after a crash;
+    * the set-semantics sinks are immune.
     *
     * Returns true iff a compaction happened. */
   def compactIndex(spark: SparkSession, dir: String,
@@ -152,6 +160,31 @@ object Streaming {
     true
   }
 
+  /** Point-in-time ("as-of batch N") read of a `batch_id=`-partitioned
+    * sink: the sink's payload rows as they stood after batch
+    * `maxBatch` committed — the reproducibility primitive that lets an
+    * epoch assembly or an index probe be re-run bit-identically
+    * against a corpus that has since received more batches. Correct
+    * ACROSS COMPACTION because every sink row carries its origin batch
+    * in the `src_batch` DATA column (the partition column only says
+    * where the row currently lives): generations fold closed
+    * partitions together, but the row-level provenance survives the
+    * rewrite, so the filter recovers exactly the pre-compaction set.
+    * `src_batch` is also what keeps [[compactIndex]]'s
+    * `dropDuplicates` honest for SUM-merged sinks ([[cmsStream]],
+    * [[bm25IndexStream]]): two batches that produce byte-identical
+    * partial rows (same token histogram in two tranches) must BOTH
+    * count, and they stay distinct rows because their `src_batch`
+    * differs. Fails loudly on a dir written by the pre-`src_batch`
+    * format (no silent empty/partial reads). */
+  def readAsOfBatch(spark: SparkSession, dir: String,
+                    maxBatch: Long): DataFrame = {
+    assertIndexSchema(spark, dir, Seq("src_batch"))
+    spark.read.parquet(dir)
+      .where(col("src_batch") <= maxBatch)
+      .drop("batch_id", "src_batch")
+  }
+
   /** File-source stream over a directory of parquet drops. */
   def fileStream(spark: SparkSession, dir: String, schema: StructType,
                  maxFilesPerTrigger: Int = 16): DataFrame =
@@ -179,6 +212,7 @@ object Streaming {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.llm.TextAnalysis.tokenSketchRegisters(batch, text, group, id)
+          .withColumn("src_batch", lit(batchId))
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
@@ -207,6 +241,7 @@ object Streaming {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.llm.TextAnalysis.cmsRegisters(batch, text, width)
+          .withColumn("src_batch", lit(batchId))
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
@@ -241,6 +276,7 @@ object Streaming {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.llm.TextAnalysis.bm25TfIndex(batch, text, id)
+          .withColumn("src_batch", lit(batchId))
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
@@ -408,17 +444,19 @@ object Streaming {
         // existence-checked, not exception-caught (see curationStream)
         val index =
           if (Streaming.dirHasData(spark, indexDir))
-            spark.read.parquet(indexDir).drop("batch_id")
+            spark.read.parquet(indexDir).drop("batch_id", "src_batch")
           else sigs.limit(0)
         val pairs = graft.llm.Dedup.lshCandidatePairsIncremental(
           sigs, index, id, bands, numPerms / bands)
-        pairs.withColumn("batch_id", lit(batchId))
+        pairs.withColumn("src_batch", lit(batchId))
+          .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(pairsDir)
         // signatures land last: a crash before this point re-runs the
         // batch with the index still excluding it
-        sigs.withColumn("batch_id", lit(batchId))
+        sigs.withColumn("src_batch", lit(batchId))
+          .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(indexDir)
@@ -519,7 +557,7 @@ object Streaming {
         val index =
           if (Streaming.dirHasData(spark, indexDir))
             spark.read.parquet(indexDir)
-              .where(col("batch_id") =!= batchId).drop("batch_id")
+              .where(col("batch_id") =!= batchId).drop("batch_id", "src_batch")
           else kept.select(col(id), col("clean_md5"), col("h64")).limit(0)
         // an EMPTY batch (every doc gate-dropped) must skip the Bloom
         // build: a zero-row stat.bloomFilter yields a filter with no
@@ -536,6 +574,7 @@ object Streaming {
         val survivors = mat(withinBatch
           .join(prunedIndex, Seq("clean_md5"), "left_anti"))
         survivors.select(col(id), col("clean_md5"))
+          .withColumn("src_batch", lit(batchId))
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
@@ -549,6 +588,7 @@ object Streaming {
         // batch-that-saw-it), duplicate digests across batches are
         // harmless to the anti-join
         withinBatch.select(col(id), col("clean_md5"), col("h64"))
+          .withColumn("src_batch", lit(batchId))
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")

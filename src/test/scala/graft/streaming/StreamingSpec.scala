@@ -298,6 +298,69 @@ class StreamingSpec extends SparkSpec {
     assert(got2 != want, "a duplicated partition should change scores")
   }
 
+  test("readAsOfBatch: point-in-time reads survive compaction; identical cross-batch partials both count") {
+    val docs = Tables.documents(spark, dir)
+    // t1 duplicates t0's TEXTS under new ids: their CMS partials are
+    // byte-identical rows — the case compaction's dropDuplicates would
+    // silently halve without the src_batch provenance column
+    val t0 = docs.filter(col("doc_id") < 60)
+    val t1 = t0.select((col("doc_id") + 10000).as("doc_id"), col("text"),
+      col("lang"), col("source"), col("n_chars"))
+    val t2 = docs.filter(col("doc_id") >= 60 && col("doc_id") < 120)
+    val t3 = docs.filter(col("doc_id") >= 120 && col("doc_id") < 180)
+    val srcDir = Files.createTempDirectory("asof-src").toString
+    val base = Files.createTempDirectory("asof").toString
+    val stamped = scala.collection.mutable.Set.empty[String]
+    Seq(t0, t1, t2, t3).zipWithIndex.foreach { case (t, i) =>
+      t.coalesce(1).write.mode("append").parquet(srcDir)
+      new java.io.File(srcDir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".") && !stamped.contains(f.getName))
+        .foreach { f =>
+          f.setLastModified(1600000000000L + i * 60000L)
+          stamped += f.getName
+        }
+    }
+    val src = Streaming.fileStream(spark, srcDir, docs.schema,
+      maxFilesPerTrigger = 1)
+    // compactEvery=2: batch 0's partition folds after batch 1, and the
+    // generation re-folds with batches 1-2 after batch 3 — so the
+    // identical t0/t1 partials end up in ONE generation partition
+    val q = Streaming.cmsStream(src, "text", s"$base/regs", s"$base/ck",
+      width = 256, compactEvery = 2).start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+
+    def merged(regs: org.apache.spark.sql.DataFrame) =
+      regs.groupBy(col("lane").cast("long").as("lane"),
+          col("bucket").cast("long").as("bucket"))
+        .agg(sum(col("cnt")).cast("long").as("cnt"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    def batchRegs(df: org.apache.spark.sql.DataFrame) =
+      merged(graft.llm.TextAnalysis.cmsRegisters(df, "text", width = 256))
+
+    // full as-of == single-pass over everything — in particular the
+    // identical t0 and t1 partials BOTH count through the fold
+    assert(merged(Streaming.readAsOfBatch(spark, s"$base/regs", 3L)) ==
+      batchRegs(t0.unionByName(t1).unionByName(t2).unionByName(t3)))
+    // historical as-of recovers exactly the first k+1 batches' state,
+    // even though those partitions no longer exist as written
+    assert(merged(Streaming.readAsOfBatch(spark, s"$base/regs", 1L)) ==
+      batchRegs(t0.unionByName(t1)))
+    assert(merged(Streaming.readAsOfBatch(spark, s"$base/regs", 2L)) ==
+      batchRegs(t0.unionByName(t1).unionByName(t2)))
+    // a compaction actually happened (some generation partition exists)
+    assert(new java.io.File(s"$base/regs").listFiles()
+      .exists(f => f.getName.startsWith("batch_id=-")))
+    // pre-src_batch dirs fail loudly, never a silent partial read
+    val old = Files.createTempDirectory("asof-old").toString
+    t0.limit(5).select(col("doc_id"), lit(0L).as("batch_id"))
+      .write.partitionBy("batch_id").mode("overwrite").parquet(old)
+    intercept[IllegalArgumentException] {
+      Streaming.readAsOfBatch(spark, old, 0L)
+    }
+  }
+
   test("streaming curation across batches equals the batch pipeline") {
     val planted = graft.llm.Curation.withPlantedEverything(
       Tables.documents(spark, dir), "text", "doc_id")
