@@ -99,4 +99,104 @@ object Chunking {
         least(winStart + window, col("cum_tokens")) - start)
       .withColumn("win_from", greatest(winStart, start) - winStart)
   }
+
+  /** Content-defined chunking (the LBFS/FastCDC family at token
+    * granularity): a chunk boundary falls after token `p` exactly when
+    * the md5-derived 64-bit hash of the `k`-token window ENDING at `p`
+    * is ≡ 0 (mod `modulus`) — so boundaries are decided by local
+    * content alone, and inserting or deleting a prefix moves only the
+    * boundaries inside the edited region while every later chunk
+    * reproduces byte-identically. That shift-tolerance is the whole
+    * point: fixed-offset chunking ([[chunkDocuments]]) loses alignment
+    * after a one-token edit; CDC re-synchronizes at the next boundary.
+    * Expected chunk length ≈ `modulus` tokens; documents shorter than
+    * `k` tokens (no full window) form one chunk. Output: one row per
+    * (id, chunk_id) with `n_chunk_tokens` and `chunk_md5` over the
+    * chunk's tokens rejoined with spaces — md5 is the cross-engine
+    * digest, so the DuckDB oracle replays the chunker bit-for-bit.
+    *
+    * 100 TB story: everything is keyed on the document — the position
+    * explode is Θ(tokens) but gram hashes travel as 8-byte longs, the
+    * boundary vote and chunk assignment are one per-document window,
+    * and chunk text never leaves the per-document aggregation (only
+    * 16-byte digests cross any later shuffle). No global state, no
+    * all-pairs anything. */
+  def contentDefinedChunks(df: DataFrame, text: String, id: String,
+                           k: Int = 4, modulus: Int = 32): DataFrame = {
+    require(k >= 1, "window k must be >= 1")
+    require(modulus >= 2, "modulus must be >= 2")
+    graft.functions.Md5Hash64Expr.register(df.sparkSession)
+    val perTok = Dedup.tokenize(df, text, id)
+      .select(col(id), col("toks"),
+        posexplode(col("toks")).as(Seq("p0", "tok")))
+      .withColumn("p", (col("p0") + 1).cast("long")).drop("p0")
+    // the k-gram ending at p exists for p >= k; its hash decides
+    // whether a cut falls AFTER token p. greatest(…, 1) keeps the
+    // slice start in-range for p < k (isCut discards those rows, but
+    // slice itself rejects start <= 0 unconditionally)
+    val gramEnd = concat_ws(" ",
+      slice(col("toks"),
+        greatest(col("p") - (k - 1), lit(1L)).cast("int"), lit(k)))
+    val isCut = col("p") >= k &&
+      pmod(Dedup.md5Hash64(gramEnd), lit(modulus.toLong)) === 0
+    // chunk of token p = number of cuts strictly before p
+    val w = Window.partitionBy(col(id)).orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perTok
+      .withColumn("cut", when(isCut, 1L).otherwise(0L))
+      .withColumn("chunk_id", coalesce(sum(col("cut")).over(w), lit(0L)))
+      .groupBy(col(id), col("chunk_id"))
+      .agg(count(lit(1)).as("n_chunk_tokens"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+            x => x.getField("tok"))).cast("binary")).as("chunk_md5"))
+  }
+
+  /** Planted shifted copies for CDC non-vacuity: every `every`-th
+    * document reappears at `id + idOffset` with a fixed multi-token
+    * prefix, so any fixed-offset chunker sees zero aligned chunks
+    * while [[contentDefinedChunks]] re-synchronizes after the first
+    * content-defined boundary. Mirrored verbatim in the DuckDB
+    * oracle. */
+  val ShiftPrefix =
+    "planted shift prefix tokens breaking fixed window alignment"
+  def withPlantedShifted(df: DataFrame, text: String, id: String,
+                         every: Int = 9, idOffset: Long = 3000000L): DataFrame =
+    df.unionByName(
+      df.filter(pmod(col(id), lit(every)) === 0)
+        .withColumn(id, col(id) + lit(idOffset))
+        .withColumn(text, concat(lit(ShiftPrefix + " "), col(text))))
+
+  /** Per-document shift-tolerant duplication profile over
+    * [[contentDefinedChunks]]: how much of each document consists of
+    * chunks whose content recurs in OTHER documents — the CDC answer
+    * to "which documents share storage/dedup mass with the corpus",
+    * robust to prefix/suffix edits that defeat whole-document digests.
+    * A chunk counts as duplicated when its digest occurs in ≥ 2
+    * distinct documents (within-document repeats alone don't). Output
+    * per document: `n_tokens`, `n_chunks`, `n_dup_chunks`,
+    * `dup_tokens`, and `dup_bp` = ⌊10⁴·dup/total + ½⌋ basis points.
+    *
+    * Scale shape: the digest df-count is one keyed aggregation over
+    * (id, digest)-distinct rows and returns via an equi-join (the
+    * shared set is unbounded at fleet scale — never broadcast), same
+    * contract as [[Dedup.lineDedup]]'s frequent-line stage. */
+  def cdcDupProfile(df: DataFrame, text: String, id: String,
+                    k: Int = 4, modulus: Int = 32): DataFrame = {
+    val chunks = contentDefinedChunks(df, text, id, k, modulus)
+    val shared = chunks.select(col(id), col("chunk_md5")).distinct()
+      .groupBy(col("chunk_md5")).agg(count(lit(1)).as("chunk_df"))
+      .filter(col("chunk_df") >= 2)
+      .select(col("chunk_md5"), lit(1).as("__dup"))
+    chunks.join(shared, Seq("chunk_md5"), "left")
+      .groupBy(col(id))
+      .agg(sum(col("n_chunk_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__dup") === 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("__dup") === 1, col("n_chunk_tokens")).otherwise(0L))
+          .as("dup_tokens"))
+      .withColumn("dup_bp",
+        floor(lit(10000.0) * col("dup_tokens") / col("n_tokens") + 0.5)
+          .cast("long"))
+  }
 }

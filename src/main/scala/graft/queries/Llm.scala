@@ -2682,6 +2682,66 @@ object Llm {
         |    AS doc_to
         |FROM w ORDER BY doc_id, win_id""".stripMargin)),
 
+    // content-defined chunking (LBFS/FastCDC at token granularity):
+    // boundaries where the md5-64 of the 4-token window ending at p is
+    // = 0 (mod 8), chunks rejoined and digested, then the
+    // shift-tolerant duplication profile — planted prefix-shifted
+    // copies land at dup_bp near 10000 (every chunk after the first
+    // boundary re-synchronizes) where whole-document digests and
+    // fixed-offset chunking both see nothing
+    ("llm_chunk_cdc",
+      ((s: SparkSession, d: String) =>
+        Chunking.cdcDupProfile(
+            Chunking.withPlantedShifted(Tables.documents(s, d),
+              "text", "doc_id"),
+            "text", "doc_id", k = 4, modulus = 8)
+          .orderBy(col("doc_id"))): Q,
+      Some(s"""WITH p0 AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 3000000,
+        |    '${graft.llm.Chunking.ShiftPrefix} ' || text
+        |  FROM documents WHERE doc_id % 9 = 0),
+        |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM p0),
+        |tok AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS p
+        |  FROM tk),
+        |gr AS (SELECT doc_id, p, t[p] AS tok,
+        |  array_to_string(t[greatest(p - 3, 1):p], ' ') AS gram FROM tok),
+        |hs AS (SELECT doc_id, p, tok,
+        |  (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+        |    * 4294967296 + lo AS hv
+        |  FROM (SELECT doc_id, p, tok,
+        |    ('0x' || substr(md5(gram), 1, 8))::BIGINT AS hi,
+        |    ('0x' || substr(md5(gram), 9, 8))::BIGINT AS lo FROM gr)),
+        |cuts AS (SELECT doc_id, p, tok,
+        |  CASE WHEN p >= 4 AND ((hv % 8) + 8) % 8 = 0
+        |    THEN 1 ELSE 0 END AS cut FROM hs),
+        |ch AS (SELECT doc_id, p, tok,
+        |  coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS chunk_id
+        |  FROM cuts),
+        |chunks AS (SELECT doc_id, chunk_id,
+        |  CAST(count(*) AS BIGINT) AS n_chunk_tokens,
+        |  md5(string_agg(tok, ' ' ORDER BY p)) AS chunk_md5
+        |  FROM ch GROUP BY doc_id, chunk_id),
+        |shared AS (SELECT chunk_md5 FROM
+        |  (SELECT DISTINCT doc_id, chunk_md5 FROM chunks)
+        |  GROUP BY chunk_md5 HAVING count(*) >= 2),
+        |fl AS (SELECT c.doc_id, c.n_chunk_tokens,
+        |  s.chunk_md5 IS NOT NULL AS dup
+        |  FROM chunks c LEFT JOIN shared s USING (chunk_md5)),
+        |agg AS (SELECT doc_id,
+        |  CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_chunks,
+        |  CAST(sum(CASE WHEN dup THEN n_chunk_tokens ELSE 0 END) AS BIGINT)
+        |    AS dup_tokens
+        |  FROM fl GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_chunks, n_dup_chunks, dup_tokens,
+        |  CAST(floor(10000.0 * dup_tokens / n_tokens + 0.5) AS BIGINT)
+        |    AS dup_bp
+        |FROM agg ORDER BY doc_id""".stripMargin)),
+
     // UniMax language-balanced allocation: half the corpus's tokens
     // distributed over languages ascending by size, each capped at 2
     // epochs — the sequential driver loop replayed as a RECURSIVE CTE

@@ -103,6 +103,50 @@ class ChunkingSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), plan)
   }
 
+  test("contentDefinedChunks: partition of the stream, shift tolerance, short docs") {
+    val body = (1 to 300).map(i => s"w${i * 7 % 101}x$i").mkString(" ")
+    val df = Seq(
+      (1L, body),
+      (2L, "planted shift prefix " + body), // same body, 3-token shift
+      (3L, "a b c")                         // shorter than k → one chunk
+    ).toDF("doc_id", "text")
+    val chunks = Chunking.contentDefinedChunks(df, "text", "doc_id",
+        k = 4, modulus = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    // chunks partition each document: ids contiguous from 0, token
+    // counts sum to the document's token count
+    Seq(1L -> 300, 2L -> 303, 3L -> 3).foreach { case (id, n) =>
+      val g = chunks.filter(_._1 == id).sortBy(_._2)
+      assert(g.map(_._2).toSeq == g.indices.map(_.toLong))
+      assert(g.map(_._3).sum == n, s"doc $id token sum")
+    }
+    assert(chunks.count(_._1 == 3L) == 1) // sub-k doc: single chunk
+    val d1 = chunks.filter(_._1 == 1L)
+    assert(d1.length > 3, "expected several content-defined boundaries")
+    // shift tolerance: after the first boundary the chunk sequences
+    // re-synchronize — every doc-1 chunk except the first recurs
+    // verbatim (same digest) in the shifted copy
+    val m1 = d1.sortBy(_._2).map(_._4)
+    val m2 = chunks.filter(_._1 == 2L).sortBy(_._2).map(_._4)
+    assert(m1.tail.forall(m2.contains), "shifted copy lost aligned chunks")
+    assert(m1.head != m2.head, "first chunk must absorb the shift")
+    // duplication profile: the pair shares everything but the head
+    // chunk; the singleton shares nothing
+    val prof = Chunking.cdcDupProfile(df, "text", "doc_id", k = 4,
+        modulus = 32)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5))).toMap
+    assert(prof(3L)._4 == 0L)
+    assert(prof(1L)._3 == prof(1L)._2 - 1, "all but the head chunk dup")
+    assert(prof(1L)._4 > 9000L, s"dup_bp ${prof(1L)._4}")
+    // identical duplicate documents: everything duplicated
+    val twins = Seq((10L, body), (11L, body)).toDF("doc_id", "text")
+    val tp = Chunking.cdcDupProfile(twins, "text", "doc_id", 4, 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(tp.values.forall(_ == 10000L))
+  }
+
   test("concatChunks: tiling invariants hold on randomized corpora") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
