@@ -209,6 +209,75 @@ object Similarity {
       .select(col("t").as(id), col("n_eval_hits"), col("max_cos"))
   }
 
+  /** Margin-based bitext mining (the ratio-margin criterion behind the
+    * published LASER/CCMatrix parallel-corpus pipelines): score every
+    * cross-set candidate pair by its cosine RELATIVE to both
+    * endpoints' neighborhoods — margin(x, y) = cos(x, y) / ((mean of
+    * x's k-NN cosines + mean of y's k-NN cosines) / 2) — and keep, per
+    * source vector, its best target at or above `marginThresholdE6`
+    * (1e6 = margin 1.0). The relative score deflates hub vectors that
+    * sit close to everything, which absolute cosine thresholds
+    * mis-mine. Output: (src_id, tgt_id, cos_e6, margin_e6).
+    *
+    * Exactness: each pair cosine quantizes ⌊cos·10⁶+½⌋ BEFORE any
+    * aggregation; neighborhood sums are then exact integers and the
+    * margin is ONE exact integer division
+    * 2·q·n_x·n_y·10⁶ ÷ (Σ_x·n_y + Σ_y·n_x) (mean-of-means over the
+    * actual neighbor counts n ≤ k — at the sparse edge of the
+    * candidate graph a vector can have fewer than k neighbors), so
+    * ranking and thresholding are integer comparisons both engines
+    * replay bit-for-bit. Only q > 0 pairs are scored — a
+    * negative-cosine pair is never bitext, and it keeps every divide
+    * sign-free (Spark `div` truncates toward zero, DuckDB `//` floors;
+    * they agree only on non-negatives).
+    *
+    * Scale shape: candidates come from the cross-set (band, key)
+    * equi-join as in [[semanticDecontaminate]], but with BOTH sides
+    * corpus-sized — neither broadcasts; banding follows the
+    * [[nearDupPairs]] scale model (rowsPerBand ≈ log₂ n). The k-NN
+    * stats are two keyed window ranks over the candidate set
+    * (checkpointed once — three consumers), the margin a three-way
+    * equi-join by endpoint id. Nothing is all-pairs; recall on real
+    * translation pairs (cos ≈ 1) follows the banded survival model. */
+  def marginMining(src: DataFrame, tgt: DataFrame, id: String, emb: String,
+                   k: Int = 4, marginThresholdE6: Long = 1060000L,
+                   bands: Int = 16, rowsPerBand: Int = 8,
+                   dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val ps = planes(bands * rowsPerBand, dim, seed)
+    val bs = bandedKeys(src, id, emb, ps, bands, rowsPerBand)
+      .select(col("__bid").as("s"), col("band"), col("key"))
+    val bt = bandedKeys(tgt, id, emb, ps, bands, rowsPerBand)
+      .select(col("__bid").as("t"), col("band"), col("key"))
+    val cand = bs.join(bt, Seq("band", "key"))
+      .select(col("s"), col("t")).distinct()
+    val pSrc = prepped(src, id, emb, "s", "q_emb", "q_nrm")
+    val pTgt = prepped(tgt, id, emb, "t", "c_emb", "c_nrm")
+    val scored = cand.join(pSrc, Seq("s")).join(pTgt, Seq("t"))
+      .withColumn("q", floor(pairScore * 1000000.0 + 0.5).cast("long"))
+      .filter(col("q") > 0)
+      .select(col("s"), col("t"), col("q"))
+      .localCheckpoint() // fwd rank, bwd rank, margin join all consume it
+    val fwd = scored.withColumn("rn", row_number().over(
+        Window.partitionBy(col("s")).orderBy(col("q").desc, col("t"))))
+      .filter(col("rn") <= k)
+    val statS = fwd.groupBy(col("s"))
+      .agg(count(lit(1)).as("n_s"), sum(col("q")).as("sum_s"))
+    val statT = scored.withColumn("rn", row_number().over(
+        Window.partitionBy(col("t")).orderBy(col("q").desc, col("s"))))
+      .filter(col("rn") <= k).groupBy(col("t"))
+      .agg(count(lit(1)).as("n_t"), sum(col("q")).as("sum_t"))
+    fwd.select(col("s"), col("t"), col("q"))
+      .join(statS, Seq("s")).join(statT, Seq("t"))
+      .withColumn("margin_e6", call_function("div",
+        lit(2L) * col("q") * col("n_s") * col("n_t") * lit(1000000L),
+        col("sum_s") * col("n_t") + col("sum_t") * col("n_s")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("s")).orderBy(col("margin_e6").desc, col("t"))))
+      .filter(col("rk") === 1 && col("margin_e6") >= marginThresholdE6)
+      .select(col("s").as("src_id"), col("t").as("tgt_id"),
+        col("q").as("cos_e6"), col("margin_e6"))
+  }
+
   /** Embedding-space corpus clustering for curation: every vector
     * assigned to its nearest coarse centroid (the same deterministic
     * quantizer the IVF index uses — k-means-trainable via

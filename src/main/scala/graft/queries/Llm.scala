@@ -150,6 +150,61 @@ object Llm {
     |GROUP BY t ORDER BY vec_id""".stripMargin
   }
 
+  /** DuckDB SQL recomputing margin-based bitext mining end-to-end:
+    * source = even vec_ids, target = odd vec_ids plus planted jittered
+    * copies of every `plantedEvery`-th even vector at id+1000001 (odd,
+    * so they land on the target side), shared [[planesCteSql]] planes,
+    * cross-set (band, key) candidates, per-pair quantized cosine, two
+    * k-NN rank windows, and the exact integer mean-of-means margin. */
+  private def marginMiningSql(k: Int, thresholdE6: Long, bands: Int,
+                              rowsPerBand: Int, dim: Int,
+                              seed: Long = 42L,
+                              plantedEvery: Int = 10): String = {
+    def bkSql(src: String) =
+      s"""(SELECT vec_id, p // $rowsPerBand AS band,
+      |  CAST(sum(CASE WHEN list_dot_product(e, pl) > 0
+      |    THEN 1 << (p % $rowsPerBand) ELSE 0 END) AS BIGINT) AS key
+      |  FROM $src, planes GROUP BY vec_id, band)""".stripMargin
+    s"""WITH ${planesCteSql(bands * rowsPerBand, dim, seed)},
+    |se AS MATERIALIZED (SELECT vec_id,
+    |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    |  FROM embeddings WHERE vec_id % 2 = 0),
+    |te AS MATERIALIZED (SELECT vec_id,
+    |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    |  FROM embeddings WHERE vec_id % 2 = 1
+    |  UNION ALL SELECT vec_id + 1000001,
+    |  list_transform(embedding, (x, i) -> CAST(x AS DOUBLE)
+    |    * (1.0 + 0.02 * (CAST((i - 1) % 5 AS DOUBLE) - 2.0)))
+    |  FROM embeddings WHERE vec_id % $plantedEvery = 0),
+    |pss AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM se),
+    |pst AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM te),
+    |bks AS ${bkSql("se")},
+    |bkt AS ${bkSql("te")},
+    |cand AS (SELECT DISTINCT l.vec_id AS s, r.vec_id AS t
+    |  FROM bks l JOIN bkt r ON l.band = r.band AND l.key = r.key),
+    |pos AS (SELECT * FROM (SELECT c.s, c.t,
+    |  CAST(floor(list_dot_product(x.e, y.e) / (x.nrm * y.nrm)
+    |    * 1000000 + 0.5) AS BIGINT) AS q
+    |  FROM cand c JOIN pss x ON x.vec_id = c.s
+    |    JOIN pst y ON y.vec_id = c.t) WHERE q > 0),
+    |fwd AS (SELECT s, t, q FROM (SELECT s, t, q, row_number() OVER
+    |  (PARTITION BY s ORDER BY q DESC, t) AS rn FROM pos) WHERE rn <= $k),
+    |ss AS (SELECT s, CAST(count(*) AS BIGINT) AS n_s,
+    |  CAST(sum(q) AS BIGINT) AS sum_s FROM fwd GROUP BY s),
+    |bwd AS (SELECT s, t, q FROM (SELECT s, t, q, row_number() OVER
+    |  (PARTITION BY t ORDER BY q DESC, s) AS rn FROM pos) WHERE rn <= $k),
+    |st AS (SELECT t, CAST(count(*) AS BIGINT) AS n_t,
+    |  CAST(sum(q) AS BIGINT) AS sum_t FROM bwd GROUP BY t),
+    |mg AS (SELECT f.s, f.t, f.q,
+    |  (2 * f.q * ss.n_s * st.n_t * 1000000)
+    |    // (ss.sum_s * st.n_t + st.sum_t * ss.n_s) AS margin_e6
+    |  FROM fwd f JOIN ss ON ss.s = f.s JOIN st ON st.t = f.t)
+    |SELECT s AS src_id, t AS tgt_id, q AS cos_e6, margin_e6 FROM
+    |  (SELECT *, row_number() OVER (PARTITION BY s
+    |    ORDER BY margin_e6 DESC, t) AS rk FROM mg)
+    |WHERE rk = 1 AND margin_e6 >= $thresholdE6 ORDER BY src_id""".stripMargin
+  }
+
   /** SQL CTE bodies mirroring the planting rules (markup on id mod
     * 3/4/5, PII on id mod 7/5/11, repetition on id mod 6) and SQL
     * expressions mirroring the strip/redact transforms — one source of
@@ -2105,6 +2160,35 @@ object Llm {
       }): Q,
       Some(semanticDecontSql(threshold = 0.8, bands = 32, rowsPerBand = 12,
         dim = 64, plantedEvery = 20))),
+
+    // margin-based bitext mining (ratio margin over cross-set banded
+    // candidates): source = even vec_ids, target = odd vec_ids plus
+    // jittered copies of every 10th even vector planted at id+1000001
+    // — each planted pair must surface as its source's best match at a
+    // margin far above the hub-deflating 1.06 threshold
+    ("llm_bitext_margin",
+      ((s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        val srcSide = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("embedding"))
+        val planted = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+          .select((col("vec_id") + lit(1000001L)).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              x.cast("double") * (lit(1.0) +
+                lit(0.02) * (pmod(i, lit(5)).cast("double") - lit(2.0))))
+              .as("embedding"))
+        val tgtSide = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("embedding"))
+          .unionByName(planted)
+        Similarity.marginMining(srcSide, tgtSide, "vec_id", "embedding",
+            k = 4, marginThresholdE6 = 1060000L,
+            bands = 16, rowsPerBand = 8)
+          .orderBy(col("src_id"))
+      }): Q,
+      Some(marginMiningSql(k = 4, thresholdE6 = 1060000L, bands = 16,
+        rowsPerBand = 8, dim = 64))),
 
     // the curation report card: per-(source, lang) doc/token counts
     // before and after the quality gate — gate verdicts recomputed by
