@@ -313,6 +313,29 @@ object ScaleProbe {
       tokenCount = col("n_tokens"), window = 2048L,
       order = Seq(col("doc_id")), shard = Seq(col("shard"))))
 
+    // content-defined chunking profile: per-doc windows + one keyed
+    // digest df-count — shift plants added AFTER replication (the
+    // prefix is cross-copy, chunk bodies stay copy-local)
+    time("cdc_profile")(llm.Chunking.cdcDupProfile(
+      llm.Chunking.withPlantedShifted(docs, "text", "doc_id"),
+      "text", "doc_id", k = 4, modulus = 8))
+    // margin-based bitext mining: both sides replicate with the corpus
+    // (neither broadcasts); banding per the scale model (16 planes at
+    // n = 100k keeps buckets sparse); plants drawn corpus-wide so the
+    // mined-pair mass tracks corpus size
+    time("bitext_margin")({
+      val srcSide = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val tgtSide = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+        .unionByName(emb.filter(pmod(col("vec_id"), lit(20)) === 0)
+          .select((col("vec_id") + lit(1000001L)).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              x.cast("double") * (lit(1.0) +
+                lit(0.02) * (pmod(i, lit(5)).cast("double") - lit(2.0))))
+              .as("embedding"), col("label")))
+      llm.Similarity.marginMining(srcSide, tgtSide, "vec_id", "embedding",
+        k = 4, marginThresholdE6 = 1060000L, bands = 16, rowsPerBand = 16)
+    })
+
     // Streaming-index lifecycle: a per-micro-batch sink accumulates one
     // batch_id= partition per batch; this measures the per-batch index
     // READ (listing + scan + the existence probe — what every stream

@@ -181,9 +181,60 @@ object Chunking {
     * (id, digest)-distinct rows and returns via an equi-join (the
     * shared set is unbounded at fleet scale — never broadcast), same
     * contract as [[Dedup.lineDedup]]'s frequent-line stage. */
+  /** Incremental shift-tolerant dedup: which documents of a NEW batch
+    * share content chunks with a persisted corpus chunk index (the
+    * [[contentDefinedChunks]] digests, stored in the lake next to the
+    * exact-digest and minhash-signature indexes). Exact whole-document
+    * digests miss a re-crawled page with a new header; the CDC chunks
+    * after the first boundary are byte-identical, so the index probe
+    * still lands. Output, one row per batch document whose best corpus
+    * match reaches `minSharedBp` basis points of shared chunk tokens:
+    * (id, dup_of = the corpus doc sharing the most chunk tokens —
+    * min-id on ties, n_chunks, n_shared_chunks, shared_tokens,
+    * n_tokens, shared_bp).
+    *
+    * Scale shape: the batch is ingest-sized while the index carries
+    * the corpus — the join is a digest equi-join (16-byte keys), the
+    * per-(batch, corpus) rollup and the best-match window are keyed by
+    * batch document. Like [[graft.llm.Dedup.exactIncremental]] the
+    * corpus text is never re-read — only its digests. */
+  def cdcIncremental(batch: DataFrame, chunkIndex: DataFrame, text: String,
+                     id: String, k: Int = 4, modulus: Int = 32,
+                     minSharedBp: Long = 5000L): DataFrame = {
+    val bc = contentDefinedChunks(batch, text, id, k, modulus)
+      .localCheckpoint() // probe join and per-doc totals both consume it
+    val idx = chunkIndex
+      .select(col(id).as("corpus_id"), col("chunk_md5")).distinct()
+    // (id, chunk_id) granularity: a digest recurring WITHIN the batch
+    // doc counts once per occurrence, a corpus-side recurrence once
+    val hits = bc.join(idx, Seq("chunk_md5"))
+      .filter(col("corpus_id") =!= col(id))
+      .select(col(id), col("corpus_id"), col("chunk_id"),
+        col("n_chunk_tokens"))
+      .distinct()
+      .groupBy(col(id), col("corpus_id"))
+      .agg(count(lit(1)).as("n_shared_chunks"),
+        sum(col("n_chunk_tokens")).as("shared_tokens"))
+    val totals = bc.groupBy(col(id))
+      .agg(sum(col("n_chunk_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_chunks"))
+    hits.join(totals, Seq(id))
+      .withColumn("shared_bp",
+        floor(lit(10000.0) * col("shared_tokens") / col("n_tokens") + 0.5)
+          .cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(id))
+          .orderBy(col("shared_tokens").desc, col("corpus_id"))))
+      .filter(col("rn") === 1 && col("shared_bp") >= minSharedBp)
+      .select(col(id), col("corpus_id").as("dup_of"), col("n_chunks"),
+        col("n_shared_chunks"), col("shared_tokens"), col("n_tokens"),
+        col("shared_bp"))
+  }
+
   def cdcDupProfile(df: DataFrame, text: String, id: String,
                     k: Int = 4, modulus: Int = 32): DataFrame = {
     val chunks = contentDefinedChunks(df, text, id, k, modulus)
+      .localCheckpoint() // df-count and the per-doc rollup both consume it
     val shared = chunks.select(col(id), col("chunk_md5")).distinct()
       .groupBy(col("chunk_md5")).agg(count(lit(1)).as("chunk_df"))
       .filter(col("chunk_df") >= 2)

@@ -205,6 +205,37 @@ object Llm {
     |WHERE rk = 1 AND margin_e6 >= $thresholdE6 ORDER BY src_id""".stripMargin
   }
 
+  /** CTE chain replaying [[graft.llm.Chunking.contentDefinedChunks]]
+    * over the rows of CTE `src` (doc_id, text): token positions, the
+    * k-gram md5-64 ending at each position, the mod-`m` cut vote, the
+    * strictly-before running cut count, and the per-chunk ordered
+    * reassembly digest. Emits `<out>` = (doc_id, chunk_id,
+    * n_chunk_tokens, chunk_md5); intermediate CTEs are prefixed
+    * `<out>_`. Shared by the CDC profile and CDC-incremental rows. */
+  private def cdcChunksCte(src: String, out: String, k: Int, m: Int): String =
+    s"""${out}_tok AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS p
+    |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $src)),
+    |${out}_gr AS (SELECT doc_id, p, t[p] AS tok,
+    |  array_to_string(t[greatest(p - ${k - 1}, 1):p], ' ') AS gram
+    |  FROM ${out}_tok),
+    |${out}_hs AS (SELECT doc_id, p, tok,
+    |  (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+    |    * 4294967296 + lo AS hv
+    |  FROM (SELECT doc_id, p, tok,
+    |    ('0x' || substr(md5(gram), 1, 8))::BIGINT AS hi,
+    |    ('0x' || substr(md5(gram), 9, 8))::BIGINT AS lo FROM ${out}_gr)),
+    |${out}_ch AS (SELECT doc_id, p, tok,
+    |  coalesce(sum(CASE WHEN p >= $k AND ((hv % $m) + $m) % $m = 0
+    |      THEN 1 ELSE 0 END)
+    |    OVER (PARTITION BY doc_id ORDER BY p
+    |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+    |    AS chunk_id
+    |  FROM ${out}_hs),
+    |$out AS (SELECT doc_id, chunk_id,
+    |  CAST(count(*) AS BIGINT) AS n_chunk_tokens,
+    |  md5(string_agg(tok, ' ' ORDER BY p)) AS chunk_md5
+    |  FROM ${out}_ch GROUP BY doc_id, chunk_id)""".stripMargin
+
   /** SQL CTE bodies mirroring the planting rules (markup on id mod
     * 3/4/5, PII on id mod 7/5/11, repetition on id mod 6) and SQL
     * expressions mirroring the strip/redact transforms — one source of
@@ -2784,29 +2815,7 @@ object Llm {
         |  UNION ALL SELECT doc_id + 3000000,
         |    '${graft.llm.Chunking.ShiftPrefix} ' || text
         |  FROM documents WHERE doc_id % 9 = 0),
-        |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM p0),
-        |tok AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS p
-        |  FROM tk),
-        |gr AS (SELECT doc_id, p, t[p] AS tok,
-        |  array_to_string(t[greatest(p - 3, 1):p], ' ') AS gram FROM tok),
-        |hs AS (SELECT doc_id, p, tok,
-        |  (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
-        |    * 4294967296 + lo AS hv
-        |  FROM (SELECT doc_id, p, tok,
-        |    ('0x' || substr(md5(gram), 1, 8))::BIGINT AS hi,
-        |    ('0x' || substr(md5(gram), 9, 8))::BIGINT AS lo FROM gr)),
-        |cuts AS (SELECT doc_id, p, tok,
-        |  CASE WHEN p >= 4 AND ((hv % 8) + 8) % 8 = 0
-        |    THEN 1 ELSE 0 END AS cut FROM hs),
-        |ch AS (SELECT doc_id, p, tok,
-        |  coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY p
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |    AS chunk_id
-        |  FROM cuts),
-        |chunks AS (SELECT doc_id, chunk_id,
-        |  CAST(count(*) AS BIGINT) AS n_chunk_tokens,
-        |  md5(string_agg(tok, ' ' ORDER BY p)) AS chunk_md5
-        |  FROM ch GROUP BY doc_id, chunk_id),
+        |${cdcChunksCte("p0", "chunks", k = 4, m = 8)},
         |shared AS (SELECT chunk_md5 FROM
         |  (SELECT DISTINCT doc_id, chunk_md5 FROM chunks)
         |  GROUP BY chunk_md5 HAVING count(*) >= 2),
@@ -2825,6 +2834,56 @@ object Llm {
         |  CAST(floor(10000.0 * dup_tokens / n_tokens + 0.5) AS BIGINT)
         |    AS dup_bp
         |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // incremental shift-tolerant dedup: every 10th document re-arrives
+    // with a new header (the re-crawl shape) at id+4000000 — exact
+    // whole-document digests all miss, the CDC chunk-index probe must
+    // recover dup_of = the original for every batch doc
+    ("llm_chunk_cdc_incremental",
+      ((s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + lit(4000000L)).as("doc_id"),
+            concat(lit(graft.llm.Chunking.ShiftPrefix + " "), col("text"))
+              .as("text"))
+        val index = graft.llm.Chunking.contentDefinedChunks(docs,
+            "text", "doc_id", k = 4, modulus = 8)
+          .select(col("doc_id"), col("chunk_md5"))
+        graft.llm.Chunking.cdcIncremental(batch, index, "text", "doc_id",
+            k = 4, modulus = 8, minSharedBp = 5000L)
+          .orderBy(col("doc_id"))
+      }): Q,
+      Some(s"""WITH corp AS (SELECT doc_id, text FROM documents),
+        |bat AS (SELECT doc_id + 4000000 AS doc_id,
+        |  '${graft.llm.Chunking.ShiftPrefix} ' || text AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |${cdcChunksCte("corp", "cchunks", k = 4, m = 8)},
+        |${cdcChunksCte("bat", "bchunks", k = 4, m = 8)},
+        |idx AS (SELECT DISTINCT doc_id AS corpus_id, chunk_md5
+        |  FROM cchunks),
+        |hits AS (SELECT DISTINCT b.doc_id, i.corpus_id, b.chunk_id,
+        |  b.n_chunk_tokens
+        |  FROM bchunks b JOIN idx i USING (chunk_md5)
+        |  WHERE i.corpus_id != b.doc_id),
+        |pair AS (SELECT doc_id, corpus_id,
+        |  CAST(count(*) AS BIGINT) AS n_shared_chunks,
+        |  CAST(sum(n_chunk_tokens) AS BIGINT) AS shared_tokens
+        |  FROM hits GROUP BY doc_id, corpus_id),
+        |tot AS (SELECT doc_id, CAST(sum(n_chunk_tokens) AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_chunks
+        |  FROM bchunks GROUP BY doc_id),
+        |sc AS (SELECT p.doc_id, p.corpus_id AS dup_of, t.n_chunks,
+        |  p.n_shared_chunks, p.shared_tokens, t.n_tokens,
+        |  CAST(floor(10000.0 * p.shared_tokens / t.n_tokens + 0.5)
+        |    AS BIGINT) AS shared_bp,
+        |  row_number() OVER (PARTITION BY p.doc_id
+        |    ORDER BY p.shared_tokens DESC, p.corpus_id) AS rn
+        |  FROM pair p JOIN tot t USING (doc_id))
+        |SELECT doc_id, dup_of, n_chunks, n_shared_chunks, shared_tokens,
+        |  n_tokens, shared_bp
+        |FROM sc WHERE rn = 1 AND shared_bp >= 5000
+        |ORDER BY doc_id""".stripMargin)),
 
     // UniMax language-balanced allocation: half the corpus's tokens
     // distributed over languages ascending by size, each capped at 2

@@ -459,6 +459,63 @@ class LlmSpec extends SparkSpec {
     assert(rTrained >= 0.5, s"trained recall $rTrained implausibly low")
   }
 
+  test("marginMining: ratio margin picks the true pair where absolute cosine picks the hub") {
+    // Geometry (dim 16): hub = u (all-ones); source i = u + 1.75·v_i,
+    // true target i = u + 8·v_i with v_i = e_2i − e_2i+1 orthogonal to
+    // u and to each other. Then cos(s_i, hub) ≈ 0.85 for EVERY source
+    // (the hub phenomenon) while cos(s_i, t_i) ≈ 0.78 — absolute
+    // cosine ranks the hub first for every source, but the hub's own
+    // k-NN mean (≈ 0.85 to all sources) deflates its margin below the
+    // true pair's (whose target neighborhood is weak, ≈ 0.41).
+    val dim = 16
+    def vec(a: Double, i: Int): Seq[Double] =
+      (0 until dim).map { d =>
+        1.0 + (if (d == 2 * i) a else if (d == 2 * i + 1) -a else 0.0)
+      }
+    val srcRows = (0 until 6).map(i => (i.toLong * 2, vec(1.75, i)))
+    val tgtRows = (0 until 6).map(i => (101L + 2 * i, vec(8.0, i))) :+
+      ((1001L, Seq.fill(dim)(1.0)))
+    import spark.implicits._
+    val srcDf = srcRows.toList.toDF("vec_id", "embedding")
+    val tgtDf = tgtRows.toList.toDF("vec_id", "embedding")
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // sanity on the constructed geometry: hub is the absolute argmax
+    srcRows.foreach { case (sid, sv) =>
+      val best = tgtRows.maxBy(t => cos(sv, t._2))
+      assert(best._1 == 1001L, s"hub not absolute-best for $sid")
+    }
+    val mined = Similarity.marginMining(srcDf, tgtDf, "vec_id", "embedding",
+        k = 4, marginThresholdE6 = 0L, bands = 16, rowsPerBand = 1,
+        dim = dim)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    (0 until 6).foreach { i =>
+      val (tgt, margin) = mined(i.toLong * 2)
+      assert(tgt == 101L + 2 * i,
+        s"source ${i * 2} matched $tgt, expected true pair ${101 + 2 * i}")
+      assert(margin > 1000000L, s"true-pair margin $margin should exceed 1.0")
+    }
+    // the margin is exact integer arithmetic: recompute one pair by hand
+    // q = round(cos * 1e6); neighborhood sums over the k best candidates
+    val qs = for {
+      (sid, sv) <- srcRows
+      (tid, tv) <- tgtRows
+      q = math.floor(cos(sv, tv) * 1e6 + 0.5).toLong
+      if q > 0
+    } yield (sid, tid, q)
+    def topk(xs: Seq[(Long, Long)]): Seq[Long] =
+      xs.sortBy { case (id, q) => (-q, id) }.take(4).map(_._2)
+    val s0 = topk(qs.collect { case (0L, t, q) => (t, q) })
+    val t0 = topk(qs.collect { case (s, 101L, q) => (s, q) })
+    val q0 = qs.collectFirst { case (0L, 101L, q) => q }.get
+    val expected = 2L * q0 * s0.length * t0.length * 1000000L /
+      (s0.sum * t0.length + t0.sum * s0.length)
+    assert(mined(0L)._2 == expected,
+      s"margin ${mined(0L)._2} != hand-computed $expected")
+  }
+
   test("banded nearDupPairs: equi-join plan, full agreement with exact pairs") {
     val banded = Similarity.nearDupPairs(emb, "vec_id", "embedding", threshold = 0.45)
     // the scale contract: candidates come from equi-joins, never a
