@@ -838,4 +838,56 @@ object TextAnalysis {
       .select(col(group), col("bucket"), col("register"),
         col("s_sum"), col("est"))
   }
+
+  /** Corpus-diff keyness: the top-`topK` terms most distinctive of
+    * corpus A vs corpus B and vice versa, ranked by the add-one
+    * smoothed odds ratio (the Monroe et al. "Fightin' Words" log-odds
+    * family without the libm log — monotone in it, so the RANKING is
+    * identical): for a term with counts (a, b) against totals (A, B)
+    * and union vocabulary V, odds_A = (a+1)/(A+V−a−1) and score_A =
+    * odds_A/odds_B; side B scores with the reciprocal. The audit that
+    * answers "what is IN this source that isn't in that one" —
+    * mixture debugging, contamination triage, domain drift. Output:
+    * (side, term, n_a, n_b, score_e6), top-`topK` per side by (score
+    * desc, term).
+    *
+    * Exactness: every factor of the ratio is an exact integer; the
+    * two double multiplies and one divide round identically in both
+    * engines (exact up to 2⁵³ per product — counts beyond 2²⁶ tokens
+    * per side want the sampled form anyway), and ⌊·10⁶+½⌋ lands the
+    * ranking on integer comparisons.
+    *
+    * Scale shape: one token explode → one (term, side)-keyed
+    * aggregate with map-side combine; totals and vocabulary size are
+    * a 1-row aggregate broadcast back; each side's top-k is a
+    * TakeOrdered (per-partition heaps, no global sort). Nothing
+    * driver-side, nothing all-pairs. */
+  def corpusDiff(a: DataFrame, b: DataFrame, text: String, id: String,
+                 topK: Int = 25): DataFrame = {
+    def side(df: DataFrame, s: Int) =
+      graft.ops.Ops.parallelizeInput(df, col(id))
+        .select(explode(filter(split(trim(col(text)), " "), w => w =!= ""))
+          .as("term"), lit(s).as("__s"))
+    val vocab = side(a, 0).unionByName(side(b, 1))
+      .groupBy(col("term"))
+      .agg(sum(when(col("__s") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__s") === 1, 1L).otherwise(0L)).as("n_b"))
+      .localCheckpoint() // totals and both top-k sides consume it
+    val totals = vocab.agg(sum(col("n_a")).as("tot_a"),
+      sum(col("n_b")).as("tot_b"), count(lit(1)).as("v"))
+    val scored = vocab.crossJoin(broadcast(totals))
+    // odds numerators/denominators as exact-integer doubles; the
+    // product order is fixed so both engines round identically
+    val oddsA = (col("n_a") + 1.0) *
+      (col("tot_b") + col("v") - col("n_b") - 1.0)
+    val oddsB = (col("n_b") + 1.0) *
+      (col("tot_a") + col("v") - col("n_a") - 1.0)
+    def pick(s: String, num: Column, den: Column) = scored
+      .withColumn("score_e6",
+        floor(lit(1000000.0) * num / den + 0.5).cast("long"))
+      .orderBy(col("score_e6").desc, col("term")).limit(topK)
+      .select(lit(s).as("side"), col("term"), col("n_a"), col("n_b"),
+        col("score_e6"))
+    pick("a", oddsA, oddsB).unionByName(pick("b", oddsB, oddsA))
+  }
 }

@@ -2835,6 +2835,57 @@ object Llm {
         |    AS dup_bp
         |FROM agg ORDER BY doc_id""".stripMargin)),
 
+    // corpus-diff keyness (the "Fightin' Words" odds-ratio family,
+    // log-free so the ranking is exact): top-25 terms distinctive of
+    // the English vs the German sub-corpus in each direction. The
+    // synthetic corpus draws both langs from one token pool, so the
+    // natural signal is a mild frequency tilt — every 3rd document
+    // additionally gains two side-specific jargon tokens (the
+    // planted-signal protocol), which must dominate the head of each
+    // side's ranking while the tail exercises the smoothing; every
+    // ratio factor is an exact integer
+    ("llm_corpus_diff",
+      ((s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        def planted(lang: String, jargon: String) = docs
+          .filter(col("lang") === lang)
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              concat(col("text"), lit(" " + jargon))).otherwise(col("text")))
+        TextAnalysis.corpusDiff(
+            planted("en", "senate congress"),
+            planted("de", "bundestag kanzler"), "text", "doc_id", topK = 25)
+          .orderBy(col("side"), col("score_e6").desc, col("term"))
+      }): Q,
+      Some("""WITH ta AS (SELECT unnest(string_split(trim(
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' senate congress'
+        |      ELSE text END), ' ')) AS term,
+        |  0 AS s FROM documents WHERE lang = 'en'),
+        |tb AS (SELECT unnest(string_split(trim(
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' bundestag kanzler'
+        |      ELSE text END), ' ')) AS term,
+        |  1 AS s FROM documents WHERE lang = 'de'),
+        |u AS (SELECT * FROM ta UNION ALL SELECT * FROM tb),
+        |vocab AS (SELECT term,
+        |  CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM u WHERE term != '' GROUP BY term),
+        |tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
+        |  CAST(sum(n_b) AS BIGINT) AS tot_b,
+        |  CAST(count(*) AS BIGINT) AS v FROM vocab),
+        |sc AS (SELECT term, n_a, n_b,
+        |  (n_a + 1.0) * (tot_b + v - n_b - 1.0) AS oa,
+        |  (n_b + 1.0) * (tot_a + v - n_a - 1.0) AS ob
+        |  FROM vocab, tot),
+        |pa AS (SELECT 'a' AS side, term, n_a, n_b,
+        |  CAST(floor(1000000.0 * oa / ob + 0.5) AS BIGINT) AS score_e6
+        |  FROM sc ORDER BY score_e6 DESC, term LIMIT 25),
+        |pb AS (SELECT 'b' AS side, term, n_a, n_b,
+        |  CAST(floor(1000000.0 * ob / oa + 0.5) AS BIGINT) AS score_e6
+        |  FROM sc ORDER BY score_e6 DESC, term LIMIT 25)
+        |SELECT * FROM pa UNION ALL SELECT * FROM pb
+        |ORDER BY side, score_e6 DESC, term""".stripMargin)),
+
     // incremental shift-tolerant dedup: every 10th document re-arrives
     // with a new header (the re-crawl shape) at id+4000000 — exact
     // whole-document digests all miss, the CDC chunk-index probe must

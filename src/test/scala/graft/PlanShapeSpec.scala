@@ -27,7 +27,9 @@ class PlanShapeSpec extends SparkSpec {
     "llm_mixture_upsample" ->
       "epoch plan: |sources|-row aggregate to a one-row total; corpus side only broadcast-joins the plan",
     "llm_mixture_temperature" ->
-      "allocation plan: |languages|-row aggregate to a one-row normalizing total; no corpus side at all")
+      "allocation plan: |languages|-row aggregate to a one-row normalizing total; no corpus side at all",
+    "llm_corpus_diff" ->
+      "one-row totals aggregate (parallel vocab-keyed partials) + per-side global top-k")
 
   private val allowedAllPairs = Map(
     "llm_similarity_topk" ->
@@ -39,7 +41,9 @@ class PlanShapeSpec extends SparkSpec {
     "llm_mixture_temperature" ->
       "one-row normalizing total joined onto the |languages|-row plan (scalar join)",
     "v3_liquidity_surface" ->
-      "display grid: |frames| x |active ticks| densification (animation frames are driver-small by construction); the event side is keyed aggregation only")
+      "display grid: |frames| x |active ticks| densification (animation frames are driver-small by construction); the event side is keyed aggregation only",
+    "llm_corpus_diff" ->
+      "one-row totals broadcast-joined onto the vocabulary (scalar join); the token stream is keyed aggregation only")
 
   test("no registry query plans an undocumented single-partition exchange or all-pairs join") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
