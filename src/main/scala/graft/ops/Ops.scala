@@ -359,4 +359,59 @@ object Ops {
     else hit.withColumn("__rn", row_number().over(spec(partition.map(c => c), order)))
       .filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** Mergeable fixed-bin histogram sketch with per-group quantile
+    * estimates — the scale answer to exact `percentile` (A5): an exact
+    * percentile of one group is a sort of that group, but a histogram
+    * is a (group, bin)-keyed COUNT whose partials merge by addition,
+    * so it survives any corpus size, any number of groups, and
+    * incremental maintenance (the same additivity contract as the
+    * CMS). Values arrive integerized (cents — the house rounding
+    * trick); bin = clamp((vc − loC)·nBins ÷ (hiC − loC)), and the
+    * estimate for quantile num/den is the lower bound of the first bin
+    * whose running count reaches ⌈n·num/den⌉ — every step exact
+    * integer arithmetic, so the DuckDB oracle replays sketch AND
+    * estimates bit-for-bit, and the estimate is within one bin width
+    * of the exact percentile by construction (HistogramSpec).
+    *
+    * Output per group: (keys…, n_total, q_<name>_c …). `hiC − loC`
+    * must divide evenly by `nBins` so bin bounds are integers.
+    *
+    * Scale shape: one hash aggregate with map-side combine down to
+    * ≤ nBins rows per group, one keyed window over those nBins rows,
+    * one chained-conditional-min aggregate (the funnel trick) back to
+    * one row per group. No sort of the data, no driver state. */
+  def histogramQuantiles(df: DataFrame, keys: Seq[Column], valueCents: Column,
+                         loC: Long, hiC: Long, nBins: Int,
+                         quantiles: Seq[(String, Long, Long)]): DataFrame = {
+    require(nBins > 0 && hiC > loC, "need nBins > 0 and hiC > loC")
+    require((hiC - loC) % nBins == 0,
+      "hiC - loC must be a multiple of nBins (integer bin bounds)")
+    require(quantiles.nonEmpty &&
+      quantiles.forall { case (_, n, d) => n >= 1 && n <= d },
+      "quantiles must be rationals in (0, 1]")
+    val width = (hiC - loC) / nBins
+    val bin = least(greatest(
+      call_function("div", (valueCents - loC) * nBins, lit(hiC - loC)),
+      lit(0L)), lit(nBins - 1L))
+    val hist = df.groupBy((keys :+ bin.as("bin")): _*)
+      .agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy(keys: _*).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys: _*)
+    val cum = hist
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("total", sum(col("n")).over(wAll))
+    val aggs = max(col("total")).as("n_total") +: quantiles.map {
+      case (name, num, den) =>
+        val target = call_function("div",
+          col("total") * num + (den - 1), lit(den))
+        min(when(col("cum") >= target, col("bin"))).as(s"__bin_$name")
+    }
+    val grouped = cum.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    quantiles.foldLeft(grouped) { case (g, (name, _, _)) =>
+      g.withColumn(s"q_${name}_c", lit(loC) + col(s"__bin_$name") * width)
+        .drop(s"__bin_$name")
+    }
+  }
 }

@@ -412,6 +412,40 @@ object Relational {
 
     // cohort retention: first-activity day buckets × day offsets,
     // exact integer bucketing so both engines agree bit-for-bit
+    // mergeable histogram sketch + quantile estimates (the scale
+    // answer to A5's exact percentile): (group, bin)-keyed counts,
+    // one window over <= nBins rows per group, chained conditional
+    // mins — sketch and estimates replayed exactly
+    ("a13_histogram_quantiles",
+      ((s: SparkSession, d: String) =>
+        Ops.histogramQuantiles(Tables.events(s, d),
+            keys = Seq(col("event_type")),
+            valueCents = floor(col("value") * 100 + 0.5).cast("long"),
+            loC = 0L, hiC = 50000L, nBins = 100,
+            quantiles = Seq(("p50", 1L, 2L), ("p90", 9L, 10L),
+              ("p99", 99L, 100L)))
+          .orderBy(col("event_type"))): Q,
+      Some("""WITH vc AS (SELECT event_type,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+        |b AS (SELECT event_type,
+        |  least(greatest((vc - 0) * 100 // 50000, 0), 99) AS bin FROM vc),
+        |hist AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
+        |  FROM b GROUP BY event_type, bin),
+        |c AS (SELECT event_type, bin, n,
+        |  CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum,
+        |  CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+        |  FROM hist)
+        |SELECT event_type, max(total) AS n_total,
+        |  0 + min(CASE WHEN cum >= (total * 1 + 1) // 2 THEN bin END)
+        |    * 500 AS q_p50_c,
+        |  0 + min(CASE WHEN cum >= (total * 9 + 9) // 10 THEN bin END)
+        |    * 500 AS q_p90_c,
+        |  0 + min(CASE WHEN cum >= (total * 99 + 99) // 100 THEN bin END)
+        |    * 500 AS q_p99_c
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     ("a12_retention_cohorts",
       ((s: SparkSession, d: String) =>
         Ops.retentionCohorts(Tables.events(s, d), "user_id", "ts_us",
