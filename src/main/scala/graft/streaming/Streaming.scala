@@ -291,6 +291,39 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
 
+  /** Incremental CDC chunk-index maintenance: each micro-batch chunks
+    * ONLY its own documents ([[graft.llm.Chunking.contentDefinedChunks]]
+    * — boundaries are decided by local content, so a document's chunk
+    * rows are self-contained) and lands them in a `batch_id=`
+    * partition with dynamic overwrite. Under an append-only corpus the
+    * index is append-only, exactly like [[bm25IndexStream]]'s tf rows.
+    * Unlike the SUM-merged sinks a replayed partition is HARMLESS to
+    * the probe itself ([[graft.llm.Chunking.cdcIncremental]] distincts
+    * the index to (corpus_id, digest) — membership is idempotent, the
+    * HLL side of the dichotomy), but exactly-once still keeps row
+    * counts honest for [[readAsOfBatch]] point-in-time reads. The
+    * per-batch chunking is batch-sized work; the accumulated index is
+    * only ever probed by digest equi-join. */
+  def cdcIndexStream(docs: DataFrame, text: String, id: String,
+                     indexDir: String, checkpointDir: String,
+                     k: Int = 4, modulus: Int = 8,
+                     compactEvery: Int = 0): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.llm.Chunking.contentDefinedChunks(batch, text, id, k, modulus)
+          .withColumn("src_batch", lit(batchId))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(indexDir)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          Streaming.compactIndex(batch.sparkSession, indexDir)
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+
   /** Streaming resample: per-window aggregates with a watermark bound
     * on state (late rows beyond `lateness` are dropped — the streaming
     * answer to the reference's desync guard, state.py:103–106). */

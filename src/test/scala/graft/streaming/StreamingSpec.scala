@@ -298,6 +298,49 @@ class StreamingSpec extends SparkSpec {
     assert(got2 != want, "a duplicated partition should change scores")
   }
 
+  test("cdcIndexStream: streamed chunk index probes exactly like the batch index; replay IS harmless") {
+    val docs = Tables.documents(spark, dir)
+    val srcDir = Files.createTempDirectory("cdc-src").toString
+    val base = Files.createTempDirectory("cdc").toString
+
+    def runOnce(): Unit = {
+      val src = Streaming.fileStream(spark, srcDir, docs.schema,
+        maxFilesPerTrigger = 1)
+      val q = Streaming.cdcIndexStream(src, "text", "doc_id",
+        s"$base/index", s"$base/ck", compactEvery = 2).start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    // interleaved tranches across two stream runs (resume exercised)
+    docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+    docs.filter(pmod(col("doc_id"), lit(3)) =!= 2)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+
+    // the re-crawl batch: shifted copies that only the chunk probe
+    // can attribute to their originals
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + lit(4000000L)).as("doc_id"),
+        concat(lit(graft.llm.Chunking.ShiftPrefix + " "), col("text"))
+          .as("text"))
+    def probe(index: org.apache.spark.sql.DataFrame) =
+      graft.llm.Chunking.cdcIncremental(batch, index, "text", "doc_id",
+          k = 4, modulus = 8, minSharedBp = 5000L)
+        .orderBy(col("doc_id")).collect().toSeq
+    val want = probe(graft.llm.Chunking.contentDefinedChunks(
+      docs, "text", "doc_id", k = 4, modulus = 8))
+    val streamed = spark.read.parquet(s"$base/index")
+    val got = probe(streamed.drop("batch_id", "src_batch"))
+    assert(got == want && want.nonEmpty)
+    // membership is idempotent: a duplicated partition does NOT move
+    // the probe (the index distincts to (corpus_id, digest)) — the
+    // opposite pole from the SUM-merged bm25/CMS sinks
+    val doubled = streamed.drop("batch_id", "src_batch")
+      .union(streamed.drop("batch_id", "src_batch"))
+    assert(probe(doubled) == want, "replayed partition must be harmless")
+  }
+
   test("readAsOfBatch: point-in-time reads survive compaction; identical cross-batch partials both count") {
     val docs = Tables.documents(spark, dir)
     // t1 duplicates t0's TEXTS under new ids: their CMS partials are
