@@ -336,6 +336,34 @@ object ScaleProbe {
         k = 4, marginThresholdE6 = 1060000L, bands = 16, rowsPerBand = 16)
     })
 
+    // incremental CDC probe: the batch stays ingest-sized (copy-0
+    // shifted re-crawls) while the chunk index replicates with the
+    // corpus — the digest equi-join is the only corpus-scale touch
+    time("cdc_incremental")({
+      val batch = docs
+        .filter(col("doc_id") < 1000000000L &&
+          pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + lit(4000000L)).as("doc_id"),
+          concat(lit(llm.Chunking.ShiftPrefix + " "), col("text")).as("text"))
+      llm.Chunking.cdcIncremental(batch,
+        llm.Chunking.contentDefinedChunks(docs, "text", "doc_id",
+          k = 4, modulus = 8).select(col("doc_id"), col("chunk_md5")),
+        "text", "doc_id", k = 4, modulus = 8)
+    })
+    // corpus-diff keyness: one (term, side)-keyed aggregate + 1-row
+    // totals + two TakeOrdered top-k — tfidf's shuffle shape
+    time("corpus_diff")(llm.TextAnalysis.corpusDiff(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+      "text", "doc_id", topK = 25))
+    // histogram quantiles: (group, bin)-keyed counts down to <= nBins
+    // rows per group however the corpus grows
+    time("histogram_quantiles")(ops.Ops.histogramQuantiles(events,
+      Seq(col("event_type")),
+      floor(col("value") * 100 + 0.5).cast("long"),
+      loC = 0L, hiC = 50000L, nBins = 100,
+      quantiles = Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L))))
+
     // Streaming-index lifecycle: a per-micro-batch sink accumulates one
     // batch_id= partition per batch; this measures the per-batch index
     // READ (listing + scan + the existence probe — what every stream
