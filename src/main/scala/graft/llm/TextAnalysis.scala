@@ -839,6 +839,38 @@ object TextAnalysis {
         col("s_sum"), col("est"))
   }
 
+  /** Adaptive per-group quality floor — the published CCNet/Gopher
+    * practice of per-LANGUAGE thresholds: an absolute floor on a
+    * quality signal is language-biased (agglutinative languages run
+    * higher type-token ratios, CJK different punctuation densities),
+    * so each group's floor is set from its OWN distribution. The floor
+    * is the [[graft.ops.Ops.histogramQuantiles]] sketch estimate
+    * (lower bound of the bin holding the `quantile` rank — exact
+    * integer arithmetic, deterministic, within one bin of the exact
+    * percentile), so the gate needs no per-group sort at any corpus
+    * size. Output per document: (id, group, n_tokens, ttr_bp,
+    * floor_c, keep = ttr_bp ≥ floor).
+    *
+    * Scale shape: one narrow signal projection, the (group, bin)
+    * histogram aggregate down to ≤ nBins rows per group, and the
+    * |groups|-row floor table broadcast back onto the corpus. */
+  def adaptiveQualityFloor(df: DataFrame, text: String, id: String,
+                           group: String,
+                           quantile: (String, Long, Long) = ("p25", 1L, 4L),
+                           nBins: Int = 100): DataFrame = {
+    val sig = qualityStats(df, text, id)
+    val withG = df.select(col(id), col(group)).join(sig, Seq(id))
+      .localCheckpoint() // the floor aggregate and the gate both consume it
+    val floors = graft.ops.Ops.histogramQuantiles(withG, Seq(col(group)),
+        col("ttr_bp"), loC = 0L, hiC = 10000L, nBins = nBins,
+        quantiles = Seq(quantile))
+      .select(col(group), col(s"q_${quantile._1}_c").as("floor_c"))
+    withG.join(broadcast(floors), Seq(group))
+      .withColumn("keep", col("ttr_bp") >= col("floor_c"))
+      .select(col(id), col(group), col("n_tokens"), col("ttr_bp"),
+        col("floor_c"), col("keep"))
+  }
+
   /** Corpus-diff keyness: the top-`topK` terms most distinctive of
     * corpus A vs corpus B and vice versa, ranked by the add-one
     * smoothed odds ratio (the Monroe et al. "Fightin' Words" log-odds

@@ -2835,6 +2835,39 @@ object Llm {
         |    AS dup_bp
         |FROM agg ORDER BY doc_id""".stripMargin)),
 
+    // adaptive per-language quality floor: each language's ttr floor
+    // comes from its OWN distribution (the histogram-sketch p25 lower
+    // bound) — the CCNet/Gopher per-language-threshold practice,
+    // replayed sketch-and-gate by the oracle
+    ("llm_quality_floor_adaptive",
+      ((s: SparkSession, d: String) =>
+        TextAnalysis.adaptiveQualityFloor(Tables.documents(s, d),
+            "text", "doc_id", "lang")
+          .orderBy(col("doc_id"))): Q,
+      Some("""WITH q AS (SELECT doc_id, lang,
+        |  len(string_split(trim(text), ' ')) AS n_tokens,
+        |  CAST(floor(10000.0 * len(list_distinct(string_split(trim(text), ' ')))
+        |    / len(string_split(trim(text), ' ')) + 0.5) AS BIGINT) AS ttr_bp
+        |  FROM documents),
+        |b AS (SELECT lang,
+        |  least(greatest((ttr_bp - 0) * 100 // 10000, 0), 99) AS bin
+        |  FROM q),
+        |hist AS (SELECT lang, bin, CAST(count(*) AS BIGINT) AS n
+        |  FROM b GROUP BY lang, bin),
+        |c AS (SELECT lang, bin, n,
+        |  CAST(sum(n) OVER (PARTITION BY lang ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum,
+        |  CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS total
+        |  FROM hist),
+        |fl AS (SELECT lang,
+        |  0 + min(CASE WHEN cum >= (total * 1 + 3) // 4 THEN bin END)
+        |    * 100 AS floor_c
+        |  FROM c GROUP BY lang)
+        |SELECT q.doc_id, q.lang, q.n_tokens, q.ttr_bp, f.floor_c,
+        |  q.ttr_bp >= f.floor_c AS keep
+        |FROM q JOIN fl f USING (lang) ORDER BY q.doc_id""".stripMargin)),
+
     // corpus-diff keyness (the "Fightin' Words" odds-ratio family,
     // log-free so the ranking is exact): top-25 terms distinctive of
     // the English vs the German sub-corpus in each direction. The
