@@ -147,6 +147,44 @@ object Sampling {
         .cast("long") - 1L)
   }
 
+  /** Deterministic curriculum ordering — the published easy-to-hard
+    * (or short-to-long "sequence length warmup") pretraining order,
+    * reproducible: rows rank by `score` ASCENDING within each shard
+    * (pass a negated column for hard-to-easy), the rank maps to one of
+    * `nBuckets` difficulty bands by exact integer arithmetic
+    * (bucket = (rank−1)·nBuckets div shard_n — bands are equal-count,
+    * not equal-width), and each band is internally shuffled by salted
+    * md5 so the curriculum does not correlate with ingest order.
+    * Output: input columns + order_key, shard, bucket, pos (the read
+    * position within the shard; a loader walks shards round-robin and
+    * each sees its bands in sequence).
+    *
+    * Scale shape: [[shuffleOrder]]'s contract — shards are the
+    * parallelism unit, three window functions share ONE per-shard
+    * partitioning (rank, count, position; no global sort ever
+    * materializes), and `id` uniqueness makes every tie-break exact.
+    * The DuckDB oracle replays hash, rank, band and position. */
+  def curriculumOrder(df: DataFrame, id: Column, score: Column,
+                      nBuckets: Int = 4, shards: Int = 8,
+                      salt: String = "curr"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets >= 1 && shards >= 1, "need nBuckets, shards >= 1")
+    graft.functions.Md5Hash64Expr.register(df.sparkSession)
+    val h = Dedup.md5Hash64(concat(lit(salt + "|"), id.cast("string")))
+    val byShard = Window.partitionBy(col("shard"))
+    df.withColumn("order_key", h)
+      .withColumn("shard", pmod(col("order_key"), lit(shards.toLong)))
+      .withColumn("__rk", row_number().over(
+        byShard.orderBy(score, id)).cast("long"))
+      .withColumn("__n", count(lit(1)).over(byShard))
+      .withColumn("bucket", call_function("div",
+        (col("__rk") - 1) * nBuckets, col("__n")))
+      .withColumn("pos", row_number().over(
+        byShard.orderBy(col("bucket"), col("order_key"), id))
+        .cast("long") - 1L)
+      .drop("__rk", "__n")
+  }
+
   /** EXACTLY-k deterministic sample per stratum — fixed-size eval/probe
     * subsets, where [[stratifiedSample]]'s rate form gives only an
     * expected size. Rank rows within each stratum by (salted md5, id) —

@@ -2154,6 +2154,39 @@ object Llm {
     // deterministic training order: salted 64-bit md5 order key,
     // per-shard dense positions — "shuffle" as a reproducible
     // computation; the oracle rebuilds key, shard and rank exactly
+    // deterministic curriculum: short-to-long token-count bands within
+    // each shard (equal-count integer banding), salted-md5 shuffle
+    // inside each band — hash, rank, band and position all replayed
+    ("llm_curriculum_order",
+      ((s: SparkSession, d: String) =>
+        Sampling.curriculumOrder(
+            Tables.documents(s, d).select(col("doc_id"),
+              TextAnalysis.tokenCount(col("text")).cast("long")
+                .as("n_tokens")),
+            col("doc_id"), col("n_tokens"), nBuckets = 4, shards = 8)
+          .orderBy(col("doc_id"))): Q,
+      Some("""WITH h AS (SELECT doc_id,
+        |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+        |  (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+        |    * 4294967296 + lo AS order_key
+        |  FROM (SELECT doc_id, text,
+        |    ('0x' || substr(md5('curr|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hi,
+        |    ('0x' || substr(md5('curr|' || CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT AS lo
+        |  FROM documents)),
+        |s AS (SELECT doc_id, n_tokens, order_key,
+        |  ((order_key % 8) + 8) % 8 AS shard FROM h),
+        |r AS (SELECT doc_id, n_tokens, order_key, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard
+        |    ORDER BY n_tokens, doc_id) AS BIGINT) AS rk,
+        |  CAST(count(*) OVER (PARTITION BY shard) AS BIGINT) AS n
+        |  FROM s),
+        |b AS (SELECT doc_id, n_tokens, order_key, shard,
+        |  (rk - 1) * 4 // n AS bucket FROM r)
+        |SELECT doc_id, n_tokens, order_key, shard, bucket,
+        |  CAST(row_number() OVER (PARTITION BY shard
+        |    ORDER BY bucket, order_key, doc_id) AS BIGINT) - 1 AS pos
+        |FROM b ORDER BY doc_id""".stripMargin)),
+
     ("llm_shuffle_order",
       ((s: SparkSession, d: String) =>
         Sampling.shuffleOrder(Tables.documents(s, d).select(col("doc_id")),

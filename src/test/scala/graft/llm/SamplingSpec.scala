@@ -210,4 +210,36 @@ class SamplingSpec extends SparkSpec {
     assert(t4("A") > t2.find(_._1 == "A").get._4)
     assert(t4("A") + t4("B") <= 1000L)
   }
+
+  test("curriculumOrder: equal-count bands in score order, pos a per-shard permutation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = (1L to 400L).map(i => (i, (i * 37) % 211)).toDF("id", "sc")
+    val r = Sampling.curriculumOrder(docs, col("id"), col("sc"),
+        nBuckets = 4, shards = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(3),
+        x.getLong(4), x.getLong(5))) // id, sc, shard, bucket, pos
+    r.groupBy(_._3).foreach { case (_, g) =>
+      // pos is a contiguous permutation 0..n-1 within the shard
+      assert(g.map(_._5).sorted.toSeq == g.indices.map(_.toLong))
+      // bands are equal-count (within 1) and never interleave in pos
+      val sizes = g.groupBy(_._4).view.mapValues(_.size).toMap
+      assert(sizes.values.max - sizes.values.min <= 1, sizes.toString)
+      val byPos = g.sortBy(_._5).map(_._4)
+      assert(byPos.sameElements(byPos.sorted), "bands interleaved in pos")
+      // every score in band b is <= every score in band b+1
+      val maxPer = g.groupBy(_._4).view.mapValues(_.map(_._2).max).toMap
+      val minPer = g.groupBy(_._4).view.mapValues(_.map(_._2).min).toMap
+      maxPer.keys.toSeq.sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(maxPer(a) <= minPer(b),
+          s"band $a max ${maxPer(a)} > band $b min ${minPer(b)}")
+        case _ =>
+      }
+    }
+    // deterministic: same salt reproduces bit-identically
+    val r2 = Sampling.curriculumOrder(docs, col("id"), col("sc"),
+        nBuckets = 4, shards = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(5))).toMap
+    assert(r.forall { case (id, _, _, _, pos) => r2(id) == pos })
+  }
 }
