@@ -347,4 +347,44 @@ object Sampling {
       .withColumn("epochs_e6", call_function("div",
         col("alloc_tokens") * 1000000L, col("sz")))
   }
+
+  /** Weighted Bernoulli (Poisson/PPS) sampling with EXACT integer
+    * thresholds — probability-proportional-to-size selection, the form
+    * importance-weighted data selection takes at corpus scale (e.g.
+    * sampling by DSIR weights or by token counts): row i is kept with
+    * probability min(1, expectedRows·wᵢ/W), W = Σw, giving an expected
+    * `expectedRows` kept rows with zero coordination — no global sort,
+    * no sequential state, every row decides locally from its salted
+    * md5 hash. The A-ES exponential-keys alternative (rank by
+    * u^(1/w)) needs libm `pow`/`ln`, which differs across engines in
+    * the last ulp; this form needs none: keep iff
+    * h63·W < expectedRows·wᵢ·2⁶³, cross-multiplied in Decimal(38,0) —
+    * exact while h63·W < 10³⁸, i.e. W up to ~10¹⁹ weight units — so
+    * the DuckDB oracle replays the draw bit-for-bit in HUGEINT.
+    * Weight-capped rows (expectedRows·wᵢ ≥ W) satisfy the predicate
+    * for every h63 < 2⁶³, so the single comparison handles the
+    * min(·,1) cap with no branch.
+    *
+    * Scale shape: one scalar aggregate for W broadcast back over the
+    * corpus (the same broadcast-scalar shape as [[mixtureEpochs]]),
+    * then a narrow filter. Changing `salt` redraws independently.
+    * Output: kept rows + `w` (the long-cast weight). */
+  def weightedSample(df: DataFrame, id: Column, weight: Column,
+                     expectedRows: Long,
+                     salt: String = "wsample"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(expectedRows >= 0, "expectedRows must be >= 0")
+    graft.functions.Md5Hash64Expr.register(df.sparkSession)
+    val dec = DecimalType(38, 0)
+    val tot = df.agg(sum(weight.cast("long")).cast(dec).as("__W"))
+    val h63 = Dedup.md5Hash64(concat(lit(salt + "|"), id.cast("string")))
+      .bitwiseAND(Long.MaxValue)
+    df.withColumn("w", weight.cast("long"))
+      .withColumn("__h63", h63)
+      .crossJoin(broadcast(tot))
+      .filter(col("__h63").cast(dec) * col("__W") <
+        lit(expectedRows).cast(dec) * col("w").cast(dec) *
+          lit("9223372036854775808").cast(dec))
+      .drop("__h63", "__W")
+  }
 }

@@ -360,6 +360,44 @@ object Ops {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Interval (range) join by bucketization — the scale answer to
+    * point-in-interval predicates. A naive `p.ts >= i.lo AND p.ts <
+    * i.hi` join has no equality conjunct, so Spark plans a
+    * BroadcastNestedLoopJoin (or a per-`by`-key theta join): O(|P|·|I|)
+    * comparisons, the classic 100 TB killer. Instead each interval is
+    * exploded to the fixed-width buckets it covers and each point to
+    * the single bucket containing it; the join becomes an EQUI-join on
+    * (`by`…, bucket) — one bounded shuffle, hash/sort-merge planned —
+    * refined by the exact half-open predicate `lo <= pt < hi`. A point
+    * lies in exactly one bucket, so no pair is produced twice and no
+    * post-join dedup is needed.
+    *
+    * Cost model: the exploded interval side has Σ⌈len/width⌉ ≈
+    * |I|·(avgLen/width + 1) rows — pick `bucketWidth` near the p95
+    * interval length so the blow-up stays ≈ 2×. Rows meeting in a
+    * bucket are candidates; the refine filter discards the near-misses
+    * at the bucket edges. Skewed buckets (a hot second) salt like any
+    * hot equi-key — AQE skew-join handles it at runtime.
+    *
+    * `pt`, `lo`, `hi` are integer (epoch-microsecond) columns with
+    * `lo <= hi`; zero-length intervals match nothing. Column names of
+    * `points` and `intervals` must be disjoint apart from `by`. */
+  def intervalJoin(points: DataFrame, intervals: DataFrame,
+                   pt: String, lo: String, hi: String,
+                   bucketWidth: Long, by: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val pb = points.withColumn("__b",
+      call_function("div", col(pt), lit(bucketWidth)))
+    val ib = intervals
+      .filter(col(hi) > col(lo))
+      .withColumn("__b", explode(sequence(
+        call_function("div", col(lo), lit(bucketWidth)),
+        call_function("div", col(hi) - 1, lit(bucketWidth)))))
+    pb.join(ib, by :+ "__b")
+      .filter(col(pt) >= col(lo) && col(pt) < col(hi))
+      .drop("__b")
+  }
+
   /** Mergeable fixed-bin histogram sketch with per-group quantile
     * estimates — the scale answer to exact `percentile` (A5): an exact
     * percentile of one group is a sort of that group, but a histogram

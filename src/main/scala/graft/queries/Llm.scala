@@ -1604,6 +1604,29 @@ object Llm {
         |    (PARTITION BY event_type ORDER BY hk, event_id) AS rk FROM h)
         |WHERE rk <= 100 ORDER BY event_id""".stripMargin)),
 
+    // weighted Bernoulli (PPS) sampling by document length: each row
+    // keeps with probability min(1, n·w/W) decided locally from its
+    // salted hash — the draw replayed in HUGEINT cross-multiplication
+    ("llm_sample_weighted",
+      ((s: SparkSession, d: String) =>
+        Sampling.weightedSample(
+            Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+            col("doc_id"), col("n_chars"), expectedRows = 200)
+          .select(col("doc_id"), col("w"))
+          .orderBy(col("doc_id"))): Q,
+      Some("""WITH h AS (SELECT doc_id, n_chars,
+        |  ((CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+        |    * 4294967296 + lo) & 9223372036854775807 AS h63
+        |  FROM (SELECT doc_id, n_chars,
+        |    ('0x' || substr(md5('wsample|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hi,
+        |    ('0x' || substr(md5('wsample|' || CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT AS lo
+        |  FROM documents)),
+        |t AS (SELECT CAST(sum(n_chars) AS HUGEINT) AS w_tot FROM documents)
+        |SELECT doc_id, n_chars AS w FROM h, t
+        |WHERE CAST(h63 AS HUGEINT) * w_tot
+        |  < CAST(200 AS HUGEINT) * n_chars * CAST(9223372036854775808 AS HUGEINT)
+        |ORDER BY doc_id""".stripMargin)),
+
     // corpus-LM fluency (CCNet-style quality axis): exact count-based
     // unigram + bigram-continuation scores; every divide runs on exact
     // integer operands so both engines round identically

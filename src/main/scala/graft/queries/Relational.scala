@@ -321,6 +321,39 @@ object Relational {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
 
+    // interval (range) join by bucketization: error events open 5-min
+    // incident windows; click events land in them via an EQUI-join on
+    // the time bucket + exact refine — no nested-loop, one bounded
+    // shuffle (Ops.intervalJoin; IntervalJoinSpec asserts the plan)
+    ("j6_interval_bucket_join",
+      ((s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+        val intervals = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("incident_id"),
+            col("ts_us").as("lo"),
+            (col("ts_us") + 300000000L).as("hi"))
+        val points = ev.filter(col("event_type") === "click")
+          .select(col("ts_us").as("p_ts"),
+            floor(col("value") * 100 + 0.5).cast("long").as("v_c"))
+        Ops.intervalJoin(points, intervals, "p_ts", "lo", "hi",
+            bucketWidth = 300000000L)
+          .groupBy(col("incident_id"))
+          .agg(count(lit(1)).as("n_clicks"), sum(col("v_c")).as("sum_v_c"),
+            min(col("p_ts")).as("first_click_us"))
+          .orderBy(col("incident_id"))
+      }): Q,
+      Some("""WITH i AS (SELECT event_id AS incident_id, epoch_us(ts) AS lo,
+        |  epoch_us(ts) + 300000000 AS hi FROM events
+        |  WHERE event_type = 'error'),
+        |p AS (SELECT epoch_us(ts) AS p_ts,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c FROM events
+        |  WHERE event_type = 'click')
+        |SELECT incident_id, count(*) AS n_clicks,
+        |  CAST(sum(v_c) AS BIGINT) AS sum_v_c,
+        |  min(p_ts) AS first_click_us
+        |FROM i JOIN p ON p_ts >= lo AND p_ts < hi
+        |GROUP BY incident_id ORDER BY incident_id""".stripMargin)),
+
     ("p10_remap_broadcast",
       ((s: SparkSession, d: String) => {
         val mapping = s.createDataFrame(Seq(

@@ -242,4 +242,37 @@ class SamplingSpec extends SparkSpec {
       .collect().map(x => (x.getLong(0), x.getLong(5))).toMap
     assert(r.forall { case (id, _, _, _, pos) => r2(id) == pos })
   }
+
+  test("weightedSample: expectation, caps, determinism, salt independence") {
+    import spark.implicits._
+    val n = 5000
+    // weights 1..5000: W = n(n+1)/2; expected count for target m is
+    // sum over i of min(1, m*w_i/W)
+    val rows = (1L to n.toLong).map(i => (i, i)).toDF("id", "w")
+    val target = 500L
+    val kept = Sampling.weightedSample(rows, col("id"), col("w"), target)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val bigW = n.toLong * (n + 1) / 2
+    val expected = (1L to n.toLong)
+      .map(w => math.min(1.0, target.toDouble * w / bigW)).sum
+    val sd = math.sqrt(expected) // <= binomial sd upper bound
+    assert(math.abs(kept.size - expected) < 5 * sd,
+      s"got ${kept.size}, expected ~$expected (sd $sd)")
+    // heavier rows keep more often (aggregate monotonicity)
+    val loRate = (1 to n / 2).count(i => kept(i.toLong)).toDouble / (n / 2)
+    val hiRate = (n / 2 + 1 to n).count(i => kept(i.toLong)).toDouble / (n / 2)
+    assert(hiRate > loRate * 1.5, s"hi $hiRate vs lo $loRate")
+    // a weight past the cap (m*w >= W) is ALWAYS kept
+    val capped = Seq((99L, bigW)).toDF("id", "w")
+    assert(Sampling.weightedSample(capped.union(rows), col("id"), col("w"),
+      target).filter(col("id") === 99L).count() === 1L)
+    // deterministic under the same salt, redrawn under another
+    val again = Sampling.weightedSample(rows, col("id"), col("w"), target)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == kept)
+    val other = Sampling.weightedSample(rows, col("id"), col("w"), target,
+        salt = "other")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(other != kept)
+  }
 }
