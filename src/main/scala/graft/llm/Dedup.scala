@@ -547,6 +547,77 @@ object Dedup {
     snap
   }
 
+  /** Planted CONTAINED documents for containment-dedup non-vacuity:
+    * every `every`-th document gains an EXTENDED copy (id + `offset`)
+    * — the original text followed by a deterministic pad section one
+    * token longer than the original — so the original's shingle set is
+    * a strict subset of the copy's while the pair's Jaccard sits near
+    * ⅓ (below any resemblance gate). The quote-inclusion /
+    * article-plus-boilerplate shape symmetric dedup misses by
+    * construction. Mirrored verbatim in the DuckDB oracle. */
+  def withPlantedExtensions(df: DataFrame, text: String, id: String,
+                            every: Int = 20,
+                            offset: Long = 3000000L): DataFrame = {
+    val ext = df.filter(pmod(col(id), lit(every)) === 0)
+      .withColumn(id, col(id) + offset)
+      .withColumn(text, concat(col(text), lit(" "),
+        concat_ws(" ", transform(
+          sequence(lit(1), size(split(col(text), " ")) + lit(5)),
+          i => concat(lit("pad"), col(id).cast("string"), lit("_"),
+            i.cast("string"))))))
+    df.unionByName(ext)
+  }
+
+  /** CONTAINMENT near-dup pairs — the asymmetric complement of
+    * [[ngramJaccardPairs]]: C(a→b) = |Sₐ ∩ S_b| / |Sₐ| scores how much
+    * of document a lives inside b, catching full-quote inclusion,
+    * article+boilerplate wrappers, and chunk-of-a-larger-doc repeats
+    * whose RESEMBLANCE (Jaccard ≈ |Sₐ|/|S_b|) stays under any
+    * symmetric threshold when the containing side is much larger.
+    * Candidate generation and plan shape are exactly
+    * [[ngramJaccardPairs]]'s (maxDf-bounded posting lists, row-local
+    * pair expansion, candidate-restricted intersection counts — no
+    * self-join, no all-pairs stage); only the rerank formula differs:
+    * keep (a, b) iff max(c/nₐ, c/n_b) ≥ `minContainment`, both
+    * directions reported in exact basis points (single IEEE divide of
+    * exact integers — cross-engine identical, oracle-replayed).
+    * Downstream keeps the larger side (the container). */
+  def containmentPairs(df: DataFrame, text: String, id: String,
+                       k: Int = 5, maxDf: Int = 5,
+                       minContainment: Double = 0.9): DataFrame = {
+    val shD = shinglesFromToks(tokenize(df, text, id), id, k, dedup = false)
+      .repartition(col("shingle")).dropDuplicates("shingle", id)
+      .localCheckpoint()
+    val sizes = shD.groupBy(col(id)).agg(count(lit(1)).as("n"))
+    val dfreq = shD.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val rare = dfreq.filter(col("df").between(2, maxDf)).select("shingle")
+    val postings = shD.join(rare.hint("shuffle_hash"), Seq("shingle"))
+      .groupBy(col("shingle")).agg(sort_array(collect_set(col(id))).as("ids"))
+    val cand = listPairs(postings).distinct().cache()
+    val candDocs = cand.select(col("a").as(id))
+      .union(cand.select(col("b").as(id))).distinct()
+    val shC = shD.join(broadcast(candDocs), Seq(id), "left_semi")
+    val interPost = shC.groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col(id))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val inter = listPairs(interPost)
+      .join(cand, Seq("a", "b"), "left_semi")
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    val out = inter
+      .join(sizes.select(col(id).as("a"), col("n").as("na")), Seq("a"))
+      .join(sizes.select(col(id).as("b"), col("n").as("nb")), Seq("b"))
+      .filter(greatest(lit(1.0) * col("c") / col("na"),
+        lit(1.0) * col("c") / col("nb")) >= minContainment)
+      .select(col("a"), col("b"),
+        floor(lit(1.0) * col("c") / col("na") * 10000 + 0.5)
+          .cast("long").as("cont_a_bp"),
+        floor(lit(1.0) * col("c") / col("nb") * 10000 + 0.5)
+          .cast("long").as("cont_b_bp"))
+    val snap = out.localCheckpoint()
+    cand.unpersist(false)
+    snap
+  }
+
   /** EXACT SUBSTRING dedup spans — the "repeated ≥ L-token sequence"
     * pass of published pipeline recipes (suffix-array substring dedup:
     * any sequence appearing more than once in the corpus keeps ONE

@@ -885,6 +885,50 @@ object Llm {
         |WHERE 1.0 * i.c / (sa.n + sb.n - i.c) >= 0.5
         |ORDER BY a, b""".stripMargin)),
 
+    // asymmetric CONTAINMENT dedup over planted extended copies: every
+    // 20th doc gains a doubled-length container whose Jaccard sits
+    // near 1/3 (invisible to the 0.5 resemblance gate) while
+    // containment(orig -> container) is exactly 1.0
+    ("llm_dedup_containment",
+      ((s: SparkSession, d: String) =>
+        Dedup.containmentPairs(
+            Dedup.withPlantedExtensions(
+              Tables.documents(s, d).select(col("doc_id"), col("text")),
+              "text", "doc_id", every = 20),
+            "text", "doc_id", k = 5, maxDf = 5, minContainment = 0.9)
+          .orderBy(col("a"), col("b"))): Q,
+      Some("""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id,
+        |    text || ' ' || array_to_string(
+        |      list_transform(
+        |        generate_series(1, len(string_split(text, ' ')) + 5),
+        |        i -> 'pad' || CAST(doc_id + 3000000 AS VARCHAR) || '_'
+        |          || CAST(i AS VARCHAR)), ' ') AS text
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
+        |        FROM toks)),
+        |dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+        |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN dfreq USING (shingle) JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id AND dfreq.df <= 5),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  JOIN cand ON cand.a = a.doc_id AND cand.b = b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i.a, i.b,
+        |  CAST(floor(1.0 * i.c / sa.n * 10000 + 0.5) AS BIGINT) AS cont_a_bp,
+        |  CAST(floor(1.0 * i.c / sb.n * 10000 + 0.5) AS BIGINT) AS cont_b_bp
+        |FROM inter i JOIN sizes sa ON sa.doc_id = i.a
+        |  JOIN sizes sb ON sb.doc_id = i.b
+        |WHERE greatest(1.0 * i.c / sa.n, 1.0 * i.c / sb.n) >= 0.9
+        |ORDER BY a, b""".stripMargin)),
+
     ("llm_dedup_clusters",
       ((s: SparkSession, d: String) =>
         Dedup.duplicateClusters(

@@ -36,6 +36,30 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.9, s"lsh recall $recall")
   }
 
+  test("containmentPairs: planted containers found at containment 1.0, invisible to Jaccard") {
+    val planted = Dedup.withPlantedExtensions(
+      docs.select(col("doc_id"), col("text")), "text", "doc_id", every = 20)
+    val expected = docs.select("doc_id").collect().map(_.getLong(0))
+      .filter(_ % 20 == 0).map(i => (i, i + 3000000L)).toSet
+    assert(expected.size >= 20)
+    val cont = Dedup.containmentPairs(planted, "text", "doc_id",
+        k = 5, maxDf = 5, minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // every planted (orig, container) pair surfaces, orig fully contained
+    expected.foreach { p =>
+      assert(cont.contains(p), s"missed planted pair $p")
+      assert(cont(p)._1 == 10000L, s"$p: cont_a ${cont(p)._1} bp != 10000")
+      assert(cont(p)._2 < 9000L, s"$p: container side should be partial")
+    }
+    // the symmetric gate misses them: pair Jaccard ~ 1/3 < 0.5
+    val jacc = Dedup.ngramJaccardPairs(planted, "text", "doc_id",
+        k = 5, maxDf = 5, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.forall(!jacc.contains(_)),
+      "planted containment pairs must sit below the resemblance gate")
+  }
+
   test("minhashLshReranked: sketch candidates carry exact Jaccard scores") {
     val reranked = Dedup.minhashLshReranked(docs, "text", "doc_id",
         shingleK = 5, numPerms = 8, bands = 4, minJaccard = 0.9)
