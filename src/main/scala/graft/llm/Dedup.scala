@@ -568,6 +568,23 @@ object Dedup {
     df.unionByName(ext)
   }
 
+  /** Candidate near-dup pairs alone — the maxDf-bounded posting-list
+    * stage of [[ngramJaccardPairs]] without the rerank: unordered
+    * (a, b) document pairs sharing at least one rare shingle. This IS
+    * the duplication-candidate graph ([[graft.ops.Graph.pageRank]]
+    * ranks its hubs); pair generation is row-local from sorted posting
+    * lists, so no self-join and state bounded by maxDf. */
+  def candidatePairs(df: DataFrame, text: String, id: String,
+                     k: Int = 5, maxDf: Int = 5): DataFrame = {
+    val shD = shinglesFromToks(tokenize(df, text, id), id, k, dedup = false)
+      .repartition(col("shingle")).dropDuplicates("shingle", id)
+    val dfreq = shD.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val rare = dfreq.filter(col("df").between(2, maxDf)).select("shingle")
+    val postings = shD.join(rare.hint("shuffle_hash"), Seq("shingle"))
+      .groupBy(col("shingle")).agg(sort_array(collect_set(col(id))).as("ids"))
+    listPairs(postings).distinct()
+  }
+
   /** CONTAINMENT near-dup pairs — the asymmetric complement of
     * [[ngramJaccardPairs]]: C(a→b) = |Sₐ ∩ S_b| / |Sₐ| scores how much
     * of document a lives inside b, catching full-quote inclusion,

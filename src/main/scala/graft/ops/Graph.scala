@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge lists — the Pregel-family
+  * workloads (beyond the fixpoint connected components in
+  * [[graft.llm.Dedup.duplicateClusters]]) that corpus curation uses as
+  * quality signals: link-graph centrality ranks hosts/documents the way
+  * published web-corpus pipelines rank crawl hosts before filtering.
+  */
+object Graph {
+
+  /** Symmetrize an unordered pair list (a, b) into a directed edge
+    * list with both orientations — the undirected-graph input form for
+    * [[pageRank]]. */
+  def symmetrize(pairs: DataFrame, a: String = "a", b: String = "b"): DataFrame =
+    pairs.select(col(a).as("src"), col(b).as("dst"))
+      .unionByName(pairs.select(col(b).as("src"), col(a).as("dst")))
+
+  /** Damped PageRank in EXACT fixed-point integer arithmetic — the
+    * web-graph centrality signal crawl-curation pipelines rank hosts
+    * by, and the duplication-hubness signal over a near-dup candidate
+    * graph. Scores carry `scale` total mass as integers; one power
+    * iteration is rᵥ' = ⌊(1−d)·scale/N⌋ + ⌊d·Σ_{u→v}⌊rᵤ/degᵤ⌋⌋ with
+    * d = dampNum/dampDen — every step a floor division of exact
+    * integers, so K iterations replay bit-for-bit in a DuckDB
+    * RECURSIVE CTE (no float accumulation-order dependence at all).
+    * Quantization leaks ≤ deg units of mass per node per iteration —
+    * immaterial at scale = 10¹² — and dangling mass is dropped (the
+    * standard simplification; symmetrized graphs have none).
+    *
+    * Scale shape: the edge list joins the score vector on `src` (both
+    * sides corpus-sized — hash join, no broadcast), contributions
+    * aggregate on `dst` with map-side combine, and each iteration
+    * localCheckpoints so lineage stays K-free. N (one scalar) visits
+    * the driver — the unimax/IVF-trainer rule: plans stay distributed,
+    * human-sized state may not. K is fixed and small (power iteration
+    * converges geometrically at rate d).
+    *
+    * Input: directed (src, dst) long edge list, multi-edges counted.
+    * Output: (node, deg, r) for every node with ≥ 1 out-edge. */
+  def pageRank(edges0: DataFrame, iters: Int = 5,
+               scale: Long = 1000000000000L,
+               dampNum: Long = 17L, dampDen: Long = 20L): DataFrame = {
+    require(iters >= 1 && dampDen > dampNum && dampNum > 0,
+      "need iters >= 1 and 0 < dampNum < dampDen")
+    val edges = edges0.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edgesD = edges.join(deg, Seq("src")).localCheckpoint()
+    val base = (scale * (dampDen - dampNum)) / (dampDen * n)
+    var r = nodes.withColumn("r", lit(scale / n))
+    for (_ <- 1 to iters) {
+      val contribs = edgesD
+        .join(r.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          call_function("div", col("r"), col("deg")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("in_c"))
+      r = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"), (lit(base) + call_function("div",
+          lit(dampNum) * coalesce(col("in_c"), lit(0L)),
+          lit(dampDen))).as("r"))
+        .localCheckpoint()
+    }
+    r.join(deg.withColumnRenamed("src", "node"), Seq("node"))
+      .select(col("node"), col("deg"), col("r"))
+  }
+}

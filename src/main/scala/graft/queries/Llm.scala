@@ -885,6 +885,49 @@ object Llm {
         |WHERE 1.0 * i.c / (sa.n + sb.n - i.c) >= 0.5
         |ORDER BY a, b""".stripMargin)),
 
+    // link-graph centrality over the duplication-candidate graph:
+    // damped PageRank in exact fixed-point integers (floor divisions
+    // only), 5 power iterations replayed by a RECURSIVE CTE — the
+    // crawl-curation "rank hosts before filtering" signal, here
+    // ranking duplication hubs
+    ("llm_graph_centrality",
+      ((s: SparkSession, d: String) =>
+        graft.ops.Graph.pageRank(
+            graft.ops.Graph.symmetrize(
+              Dedup.candidatePairs(Tables.documents(s, d), "text", "doc_id",
+                k = 5, maxDf = 5)),
+            iters = 5)
+          .withColumnRenamed("node", "doc_id")
+          .orderBy(col("doc_id"))): Q,
+      Some("""WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
+        |        FROM toks)),
+        |dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+        |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN dfreq USING (shingle) JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id AND dfreq.df <= 5),
+        |dedges AS (SELECT a AS src, b AS dst FROM cand
+        |  UNION ALL SELECT b, a FROM cand),
+        |nodes AS (SELECT DISTINCT src AS node FROM dedges),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |deg AS (SELECT src, count(*) AS deg FROM dedges GROUP BY src),
+        |pr(iter, node, r) AS (
+        |  SELECT 0, node, 1000000000000 // (SELECT n FROM nn) FROM nodes
+        |  UNION ALL
+        |  SELECT x.iter + 1, x.dst,
+        |    (3000000000000 // (20 * (SELECT n FROM nn))) + (17 * x.s) // 20
+        |  FROM (SELECT p.iter AS iter, e.dst AS dst,
+        |          SUM(p.r // d.deg) AS s
+        |        FROM pr p JOIN deg d ON d.src = p.node
+        |          JOIN dedges e ON e.src = p.node
+        |        WHERE p.iter < 5 GROUP BY p.iter, e.dst) x)
+        |SELECT p.node AS doc_id, d.deg AS deg, p.r AS r
+        |FROM pr p JOIN deg d ON d.src = p.node
+        |WHERE p.iter = 5 ORDER BY doc_id""".stripMargin)),
+
     // asymmetric CONTAINMENT dedup over planted extended copies: every
     // 20th doc gains a doubled-length container whose Jaccard sits
     // near 1/3 (invisible to the 0.5 resemblance gate) while
