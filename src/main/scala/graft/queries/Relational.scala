@@ -410,6 +410,28 @@ object Relational {
         |  row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders)
         |WHERE rn BETWEEN 101 AND 110 ORDER BY rn""".stripMargin)),
 
+    // Z-order (Morton) layout assignment: quantize (l_partkey,
+    // l_suppkey) to 16-bit ranks against exact data bounds, interleave
+    // bits, bin by the top-6-bit z-prefix — per-"file" min/max ranges
+    // are the parquet footer stats a 2-D-filtering scan prunes against
+    // (Ops are all integer shifts/divs; LayoutSpec measures skipping)
+    ("o6_zorder_layout",
+      ((s: SparkSession, d: String) =>
+        graft.ops.Layout.zOrderStats(Tables.lineitem(s, d),
+            col("l_partkey"), col("l_suppkey"), bits = 16, fileBits = 6)
+          .orderBy(col("file_id"))): Q,
+      Some(s"""WITH b AS (SELECT min(l_partkey) AS xmin, max(l_partkey) AS xmax,
+        |  min(l_suppkey) AS ymin, max(l_suppkey) AS ymax FROM lineitem),
+        |q AS (SELECT l_partkey AS x, l_suppkey AS y,
+        |  (l_partkey - xmin) * 65536 // (xmax - xmin + 1) AS xq,
+        |  (l_suppkey - ymin) * 65536 // (ymax - ymin + 1) AS yq
+        |  FROM lineitem, b),
+        |z AS (SELECT x, y, ${graft.ops.Layout.zValueSql(16)} AS z FROM q)
+        |SELECT z >> 26 AS file_id, count(*) AS n_rows,
+        |  min(x) AS min_x, max(x) AS max_x,
+        |  min(y) AS min_y, max(y) AS max_y
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     ("f1_f3_scalar_math",
       ((s: SparkSession, d: String) =>
         Tables.lineitem(s, d)
