@@ -364,6 +364,44 @@ object ScaleProbe {
       loC = 0L, hiC = 50000L, nBins = 100,
       quantiles = Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L))))
 
+    // containment pairs: same posting-list shapes as jaccard_pairs
+    // plus the planted containers (docs/20 extra doubled-length rows)
+    time("containment_pairs")(llm.Dedup.containmentPairs(
+      llm.Dedup.withPlantedExtensions(docs, "text", "doc_id"),
+      "text", "doc_id"))
+    // PageRank over the duplication-candidate graph: nodes/edges grow
+    // linearly with the corpus (copies share no shingles), 5 keyed
+    // join+agg iterations
+    time("graph_pagerank")(ops.Graph.pageRank(
+      ops.Graph.symmetrize(llm.Dedup.candidatePairs(docs, "text", "doc_id")),
+      iters = 5))
+    // interval join: each copy's events shift to a disjoint time range
+    // (corpus growth = longer history, keeping window density fixed —
+    // same-window replication would grow the TRUE pair count ~K²,
+    // a data artifact, not an operator cliff)
+    time("interval_join")({
+      val shifted = events.withColumn("ts_us", col("ts_us") +
+        call_function("div", col("event_id"), lit(1000000000L))
+          * 20000000000000L)
+      val intervals = shifted.filter(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"), col("ts_us").as("lo"),
+          (col("ts_us") + 300000000L).as("hi"))
+      val points = shifted.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts_us").as("p_ts"))
+      ops.Ops.intervalJoin(points, intervals, "p_ts", "lo", "hi",
+          bucketWidth = 300000000L)
+        .groupBy(col("incident_id")).agg(count(lit(1)).as("n"))
+    })
+    // z-order layout: one scalar agg + narrow integer projection + the
+    // file-stats aggregate — should track the scan cost
+    time("zorder_layout")(ops.Layout.zOrderStats(events,
+      col("user_id"), floor(col("value") * 100 + 0.5).cast("long"),
+      bits = 16, fileBits = 6))
+    // weighted PPS sample: scalar total + narrow filter
+    time("weighted_sample")(llm.Sampling.weightedSample(
+      docs.select(col("doc_id"), length(col("text")).as("w")),
+      col("doc_id"), col("w"), expectedRows = 10000L))
+
     // Streaming-index lifecycle: a per-micro-batch sink accumulates one
     // batch_id= partition per batch; this measures the per-batch index
     // READ (listing + scan + the existence probe — what every stream

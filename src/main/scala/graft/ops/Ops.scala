@@ -326,6 +326,29 @@ object Ops {
       .groupBy(keys: _*)
       .agg(finalAggs.head, finalAggs.tail: _*)
 
+  /** Salted equi-join for skewed keys — the join-side sibling of
+    * [[saltedAgg]]: when a handful of hot keys dominate `left`, a
+    * plain shuffle join lands every hot-key row in one task (AQE's
+    * skew split helps the SORT side but cannot split a hash
+    * aggregation bucket, and is runtime-dependent — this form is
+    * deterministic in the plan). Each left row gets a salt in
+    * [0, salts) hashed from `saltBy` (any high-cardinality column);
+    * the RIGHT side replicates `salts`× via a literal-range explode;
+    * the join key becomes (key…, salt) — hot keys spread over `salts`
+    * tasks, total shuffle volume grows only by the replicated right
+    * side (use for small-but-not-broadcastable or moderately-sized
+    * right sides; the replication factor is the knob). Result is
+    * row-identical to the plain join (SkewJoinSpec proves bag
+    * equality and the spread). */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 saltBy: Column, salts: Int): DataFrame = {
+    require(salts >= 1, "salts must be >= 1")
+    val l = left.withColumn("__salt", pmod(xxhash64(saltBy), lit(salts)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    l.join(r, keys :+ "__salt").drop("__salt")
+  }
+
   /** Frame comparator (§2.8) — the engine-side equivalent of the
     * reference's golden `assert_frame_equal` (test_helpers.py:63):
     * schema equality plus an empty symmetric difference under bag

@@ -354,6 +354,35 @@ object Relational {
         |FROM i JOIN p ON p_ts >= lo AND p_ts < hi
         |GROUP BY incident_id ORDER BY incident_id""".stripMargin)),
 
+    // salted skew join: event_type has 5 values over the whole corpus
+    // (the canonical hot-key shape) — each left row salts into 8 lanes
+    // and the 5-row dim replicates 8x, spreading every hot key over 8
+    // tasks; result is row-identical to the plain join (the oracle IS
+    // the plain join)
+    ("j7_salted_skew_join",
+      ((s: SparkSession, d: String) => {
+        import s.implicits._
+        val dim = Seq(("click", 5L), ("view", 1L), ("purchase", 20L),
+          ("signup", 10L), ("error", 0L)).toDF("event_type", "weight_c")
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), col("event_id"),
+            floor(col("value") * 100 + 0.5).cast("long").as("v_c"))
+        Ops.saltedJoin(ev, dim, Seq("event_type"),
+            saltBy = col("event_id"), salts = 8)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("v_c") * col("weight_c")).as("wsum_c"))
+          .orderBy(col("event_type"))
+      }): Q,
+      Some("""WITH dim(event_type, weight_c) AS (VALUES
+        |  ('click', 5), ('view', 1), ('purchase', 20),
+        |  ('signup', 10), ('error', 0))
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)
+        |    * d.weight_c) AS BIGINT) AS wsum_c
+        |FROM events e JOIN dim d USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     ("p10_remap_broadcast",
       ((s: SparkSession, d: String) => {
         val mapping = s.createDataFrame(Seq(
