@@ -68,6 +68,39 @@ object Layout {
       .withColumn("file_id", shiftright(col("z"), 2 * bits - fileBits))
   }
 
+  /** Equi-depth range-shard assignment WITHOUT a global sort or
+    * sampling — the deterministic replacement for
+    * `repartitionByRange`, whose reservoir-sampled boundaries change
+    * run to run (useless for an oracle-graded layout or reproducible
+    * shard manifests). Boundaries come from the mergeable histogram
+    * sketch ([[Ops.histogramQuantiles]]): one (bin)-keyed count with
+    * map-side combine, quantiles at k/shards for k = 1..shards−1,
+    * every step exact integer arithmetic. The shards−1 bounds (one
+    * human-sized row) visit the driver and come back as a literal
+    * array probed by the codegen'd upper-bound binary search
+    * ([[graft.functions.SearchSortedExpr]]): shard = #bounds ≤ v.
+    * Shard populations are equal up to one histogram bin's population
+    * per boundary (the sketch's contract); a fleet write is
+    * partitionBy(shard) + local sort = a globally range-ordered table
+    * with ONE hash exchange. Skewed values repeat bounds and leave
+    * shards empty rather than failing. Output: input + `shard`
+    * (0-based int). `valueCents` must be integer cents in
+    * [loC, hiC); (hiC − loC) must divide evenly by nBins. */
+  def rangeShards(df: DataFrame, valueCents: Column, loC: Long, hiC: Long,
+                  nBins: Int, shards: Int, out: String = "shard"): DataFrame = {
+    require(shards >= 2, "need shards >= 2")
+    val qs = (1 until shards).map(i => (s"b$i", i.toLong, shards.toLong))
+    val hist = Ops.histogramQuantiles(
+      df.select(valueCents.as("__vc"), lit(0).as("__g")),
+      Seq(col("__g")), col("__vc"), loC, hiC, nBins, qs)
+    val row = hist.collect().head
+    val bounds = (1 until shards)
+      .map(i => row.getAs[Long](s"q_b${i}_c").toDouble).toArray
+    graft.functions.SearchSortedExpr.register(df.sparkSession)
+    df.withColumn(out, call_function(graft.functions.SearchSortedExpr.Name,
+      lit(bounds), valueCents.cast("double")))
+  }
+
   /** Per-file skipping stats of a [[zOrderLayout]] assignment — the
     * min/max footer ranges a parquet scan would prune against. */
   def zOrderStats(df: DataFrame, x: Column, y: Column,

@@ -461,6 +461,41 @@ object Relational {
         |  min(y) AS min_y, max(y) AS max_y
         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // equi-depth range-shard assignment from the histogram sketch: the
+    // deterministic repartitionByRange (sampled boundaries change run
+    // to run; sketch bounds are exact integers) — shard = #bounds <= v
+    // via the codegen'd binary search, populations equal up to one bin
+    ("o7_range_shards",
+      ((s: SparkSession, d: String) =>
+        graft.ops.Layout.rangeShards(
+            Tables.events(s, d)
+              .select(floor(col("value") * 100 + 0.5).cast("long").as("vc")),
+            col("vc"), loC = 0L, hiC = 50000L, nBins = 100, shards = 8)
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("vc")).as("min_vc"), max(col("vc")).as("max_vc"))
+          .orderBy(col("shard"))): Q,
+      Some("""WITH v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+        |  FROM events),
+        |hist AS (SELECT least(greatest((vc - 0) * 100 // 50000, 0), 99) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+        |c AS (SELECT bin, n,
+        |  CAST(sum(n) OVER (ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum,
+        |  CAST(sum(n) OVER () AS BIGINT) AS total FROM hist),
+        |ks AS (SELECT unnest(generate_series(1, 7)) AS k),
+        |bounds AS (SELECT k,
+        |  0 + min(CASE WHEN cum >= (total * k + 7) // 8 THEN bin END) * 500
+        |    AS bound
+        |  FROM c CROSS JOIN ks GROUP BY k),
+        |s AS (SELECT vc,
+        |  (SELECT CAST(count(*) AS INT) FROM bounds WHERE bound <= vc)
+        |    AS shard FROM v)
+        |SELECT shard, count(*) AS n_rows, min(vc) AS min_vc,
+        |  max(vc) AS max_vc
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin)),
+
     ("f1_f3_scalar_math",
       ((s: SparkSession, d: String) =>
         Tables.lineitem(s, d)

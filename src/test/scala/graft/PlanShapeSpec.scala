@@ -29,7 +29,11 @@ class PlanShapeSpec extends SparkSpec {
     "llm_mixture_temperature" ->
       "allocation plan: |languages|-row aggregate to a one-row normalizing total; no corpus side at all",
     "llm_corpus_diff" ->
-      "one-row totals aggregate (parallel vocab-keyed partials) + per-side global top-k")
+      "one-row totals aggregate (parallel vocab-keyed partials) + per-side global top-k",
+    "llm_sample_weighted" ->
+      "one-row total-weight aggregate (parallel partials); corpus side stays a narrow filter",
+    "o6_zorder_layout" ->
+      "one-row min/max bounds aggregate (parallel partials); corpus side stays a narrow integer projection")
 
   private val allowedAllPairs = Map(
     "llm_similarity_topk" ->
@@ -43,7 +47,11 @@ class PlanShapeSpec extends SparkSpec {
     "v3_liquidity_surface" ->
       "display grid: |frames| x |active ticks| densification (animation frames are driver-small by construction); the event side is keyed aggregation only",
     "llm_corpus_diff" ->
-      "one-row totals broadcast-joined onto the vocabulary (scalar join); the token stream is keyed aggregation only")
+      "one-row totals broadcast-joined onto the vocabulary (scalar join); the token stream is keyed aggregation only",
+    "llm_sample_weighted" ->
+      "one-row total broadcast-joined onto the corpus (scalar join); the draw itself is a narrow filter",
+    "o6_zorder_layout" ->
+      "one-row bounds broadcast-joined onto the corpus (scalar join); tiles aggregate keyed on file_id")
 
   test("no registry query plans an undocumented single-partition exchange or all-pairs join") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -60,6 +60,34 @@ class LayoutSpec extends SparkSpec {
     assert(zX < yX / 2, s"z-order x pruning ($zX) must beat y-sort ($yX)")
   }
 
+  test("rangeShards: equi-depth up to one bin, disjoint ordered ranges, skew-safe") {
+    val vc = Tables.events(spark, "/root/testdata/sf0.01")
+      .select(floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+    val stats = Layout.rangeShards(vc, col("vc"), 0L, 50000L, 100, 8)
+      .groupBy("shard").agg(count(lit(1)).as("n"),
+        min("vc").as("lo"), max("vc").as("hi"))
+      .orderBy("shard")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(stats.map(_._1).toSeq == (0 until 8))
+    // disjoint, ordered value ranges
+    stats.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 < b._3, s"shards overlap: $a vs $b")
+    }
+    // equal depth up to one histogram bin's population per boundary
+    val total = stats.map(_._2).sum
+    val maxBin = vc.groupBy(call_function("div", col("vc") * 100, lit(50000L)))
+      .count().agg(max("count")).collect().head.getLong(0)
+    stats.foreach { case (s, n, _, _) =>
+      assert(math.abs(n - total / 8) <= maxBin + 1,
+        s"shard $s depth $n vs ${total / 8} (bin cap $maxBin)")
+    }
+    // all-equal values land in one shard without failing
+    val const = spark.range(1000).select(lit(42L).as("vc"))
+    val one = Layout.rangeShards(const, col("vc"), 0L, 1000L, 100, 4)
+      .select("shard").distinct().collect().map(_.getInt(0))
+    assert(one.length == 1)
+  }
+
   test("assignment is deterministic and partitioning-invariant") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
     // (l_orderkey, l_linenumber) is not unique in the synthetic data,
