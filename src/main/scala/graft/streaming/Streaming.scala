@@ -438,6 +438,46 @@ object Streaming {
     events.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** STREAM-STREAM interval join — the continuous form of
+    * [[graft.ops.Ops.intervalJoin]]: points pair with intervals that
+    * opened within `lengthUs` before them, as both sides arrive. The
+    * SAME bucketization as the batch form, for a different reason:
+    * batch buckets to avoid a nested-loop plan; Spark's stream-stream
+    * join REQUIRES an equality predicate to shard its symmetric join
+    * state, and the time bucket is that equality — points carry their
+    * single `lengthUs`-wide bucket, intervals explode to the ≤ 2
+    * buckets they overlap, and the exact half-open range condition on
+    * the two event-time columns both refines the match and gives the
+    * state-cleanup analysis its horizon (each side is buffered only
+    * while the other's watermark still admits a match; an unbounded
+    * condition would grow state forever). Both inputs need event-time
+    * TIMESTAMP columns; `lateness` bounds disorder on both sides.
+    * Inner join: rows later than the watermark silently drop (the
+    * watermark contract). Optional `by` keys extend the shard key.
+    *
+    * Scale shape: one stateful symmetric hash join whose state is
+    * O(rows within watermark + lengthUs horizon) per side — fixed for
+    * a fixed horizon at any stream length, the property per-batch
+    * re-bucketing cannot give a continuous pipeline. */
+  def intervalJoinStream(points: DataFrame, intervals: DataFrame,
+                         pTs: String, iTs: String, lengthUs: Long,
+                         lateness: String, by: Seq[String] = Nil): DataFrame = {
+    require(lengthUs > 0, "lengthUs must be positive")
+    val p = points.withWatermark(pTs, lateness)
+      .withColumn("__pb",
+        call_function("div", unix_micros(col(pTs)), lit(lengthUs)))
+    val i = intervals.withWatermark(iTs, lateness)
+      .withColumn("__ib", explode(sequence(
+        call_function("div", unix_micros(col(iTs)), lit(lengthUs)),
+        call_function("div", unix_micros(col(iTs)) + (lengthUs - 1),
+          lit(lengthUs)))))
+    val range = p("__pb") === i("__ib") &&
+      col(pTs) >= col(iTs) &&
+      col(pTs) < col(iTs) + expr(s"INTERVAL $lengthUs MICROSECOND")
+    val cond = by.map(k => p(k) === i(k)).foldLeft(range)(_ && _)
+    p.join(i, cond).drop("__pb", "__ib")
+  }
+
   /** Streaming near-dup index maintenance — the streaming form of
     * [[graft.llm.Dedup.minhashLshIncremental]] for a continuously
     * growing corpus. Each micro-batch of new documents: (a) computes

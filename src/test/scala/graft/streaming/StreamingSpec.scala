@@ -34,6 +34,54 @@ class StreamingSpec extends SparkSpec {
     assert(got.length == want.length && got.sameElements(want))
   }
 
+  test("stream-stream interval join matches the batch bucketized join, out-of-order batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val base = 1600000000000000L
+    val win = 300000000L // 5 min
+    // intervals at 0, 10, 47 min; points scattered inside and outside
+    val ivs = Seq((100L, base), (101L, base + 600000000L),
+      (102L, base + 2820000000L))
+    val pts = Seq((1L, base + 1L), (2L, base + 299999999L),
+      (3L, base + 300000000L),            // boundary: excluded
+      (4L, base + 700000000L), (5L, base + 2820000000L),
+      (6L, base + 5000000000L))           // matches nothing
+
+    val pMem = MemoryStream[(Long, Long)]
+    val iMem = MemoryStream[(Long, Long)]
+    val pS = pMem.toDF().toDF("click_id", "p_us")
+      .withColumn("p_ts", timestamp_micros(col("p_us")))
+    val iS = iMem.toDF().toDF("incident_id", "i_us")
+      .withColumn("i_ts", timestamp_micros(col("i_us")))
+    val joined = Streaming.intervalJoinStream(pS, iS, "p_ts", "i_ts",
+      lengthUs = win, lateness = "2 hours")
+    val q = joined.select("incident_id", "click_id").writeStream
+      .outputMode("append").format("memory").queryName("stream_ij").start()
+    try {
+      // worst-case order: late interval arrives after its points
+      pMem.addData(pts.take(4): _*)
+      q.processAllAvailable()
+      iMem.addData(ivs(1), ivs(2))
+      q.processAllAvailable()
+      pMem.addData(pts.drop(4): _*)
+      iMem.addData(ivs(0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("stream_ij")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.ops.Ops.intervalJoin(
+        pts.toDF("click_id", "p_us"),
+        ivs.toDF("incident_id", "lo")
+          .withColumn("hi", col("lo") + win),
+        "p_us", "lo", "hi", bucketWidth = win)
+      .collect().map(r => (r.getAs[Long]("incident_id"),
+        r.getAs[Long]("click_id"))).toSet
+    assert(want.nonEmpty && got == want, s"got $got want $want")
+  }
+
   test("streaming sessionize matches the batch rollup once watermark closes sessions") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
