@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BandKeysExpr, BloomMightContainExpr, DotProduct, HllAgg, Md5Hash64Expr, Md5LanesExpr, SearchSortedExpr, SimhashAgg}
+import graft.functions.{BandKeysExpr, BloomMightContainExpr, DotProduct, HllAgg, Md5Hash64Expr, Md5LanesExpr, NfcNormalizeExpr, SearchSortedExpr, SimhashAgg}
 
 /** Cluster-wide deployment surface for the graft custom expressions.
   *
@@ -42,5 +42,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => BloomMightContainExpr(exprs(0), exprs(1))))
     ext.injectFunction(fn(HllAgg.Name,
       exprs => HllAgg(exprs.head).toAggregateExpression()))
+    ext.injectFunction(fn(NfcNormalizeExpr.Name,
+      exprs => NfcNormalizeExpr(exprs.head)))
   }
 }

@@ -461,6 +461,31 @@ object Relational {
         |  min(y) AS min_y, max(y) AS max_y
         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // hopping (sliding) window aggregate: Spark's native window(ts,
+    // 10min, 5min) — each event lands in length/hop windows via an
+    // internal explode + ONE hash aggregate (no self-join); the oracle
+    // replays the 2-window expansion explicitly
+    ("a14_sliding_window",
+      ((s: SparkSession, d: String) =>
+        Tables.events(s, d)
+          .groupBy(window(timestamp_micros(col("ts_us")),
+            "10 minutes", "5 minutes").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_c"))
+          .select(unix_micros(col("w.start")).as("w_start_us"),
+            col("event_type"), col("n"), col("sum_c"))
+          .orderBy(col("w_start_us"), col("event_type"))): Q,
+      Some("""WITH e AS (SELECT epoch_us(ts) AS ts_us, event_type,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+        |x AS (SELECT ts_us, event_type, vc,
+        |  (ts_us // 300000000 - k) * 300000000 AS w_start_us
+        |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k)
+        |  WHERE ts_us >= (ts_us // 300000000 - k) * 300000000
+        |    AND ts_us < (ts_us // 300000000 - k) * 300000000 + 600000000)
+        |SELECT w_start_us, event_type, count(*) AS n,
+        |  CAST(sum(vc) AS BIGINT) AS sum_c
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // equi-depth range-shard assignment from the histogram sketch: the
     // deterministic repartitionByRange (sampled boundaries change run
     // to run; sketch bounds are exact integers) — shard = #bounds <= v
@@ -605,6 +630,35 @@ object Relational {
         |    AS stages_reached
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin)),
+
+    // Unicode NFC normalization (native codegen'd expression wrapping
+    // java.text.Normalizer; DuckDB nfc_normalize implements the same
+    // TR15 canonical composition): decomposed sequences planted on
+    // every 7th doc compose to fewer codepoints and a different md5 —
+    // the pre-hash normalization every dedup pipeline needs
+    ("f13_nfc_normalize",
+      ((s: SparkSession, d: String) => {
+        graft.functions.NfcNormalizeExpr.register(s)
+        Tables.documents(s, d)
+          .withColumn("raw", when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" cafe\u0301 u\u0308ber")))
+            .otherwise(col("text")))
+          .select(col("doc_id"),
+            length(col("raw")).cast("long").as("len_raw"),
+            length(graft.functions.NfcNormalizeExpr.of(col("raw")))
+              .cast("long").as("len_nfc"),
+            md5(graft.functions.NfcNormalizeExpr.of(col("raw"))
+              .cast("binary")).as("nfc_md5"))
+          .orderBy(col("doc_id"))
+      }): Q,
+      Some("""WITH r AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0
+        |    THEN text || ' cafe' || chr(769) || ' u' || chr(776) || 'ber'
+        |    ELSE text END AS raw FROM documents)
+        |SELECT doc_id, length(raw) AS len_raw,
+        |  length(nfc_normalize(raw)) AS len_nfc,
+        |  md5(nfc_normalize(raw)) AS nfc_md5
+        |FROM r ORDER BY doc_id""".stripMargin)),
 
     // semi-structured extraction: JSON path into a string column (the
     // universal event-payload shape), then a keyed aggregate over the

@@ -80,6 +80,12 @@ class ExtensionsSpec extends SparkSpec {
         "SELECT graft_hll_agg(h) AS r FROM VALUES (64L), (128L) AS t(h)")
         .head().getSeq[Int](0)
       assert(hll.head == 2 && hll.tail.forall(_ == 0) && hll.size == 64)
+      // decomposed e + U+0301 combining acute (Spark SQL `char` wraps
+      // mod 256, so embed the codepoint via the Scala escape)
+      val nfc = s2.sql(
+        "SELECT graft_nfc_normalize('cafe\u0301') AS s")
+        .head().getString(0)
+      assert(nfc == "caf\u00e9" && nfc.length == 4)
     } finally {
       prevActive.foreach(SparkSession.setActiveSession)
       prevDefault.foreach(SparkSession.setDefaultSession)

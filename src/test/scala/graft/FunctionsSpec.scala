@@ -5,7 +5,7 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{BandKeysExpr, Md5Hash64Expr, SearchSortedExpr}
+import graft.functions.{BandKeysExpr, Md5Hash64Expr, NfcNormalizeExpr, SearchSortedExpr}
 
 /** Property tests for the native expressions' scalar kernels against
   * independent straight-line references — no Spark session needed
@@ -91,6 +91,23 @@ class FunctionsSpec extends AnyFunSuite {
       val digest = java.security.MessageDigest.getInstance("MD5").digest(bytes)
       val want = java.nio.ByteBuffer.wrap(digest).getLong
       assert(Md5Hash64Expr.hash(bytes) == want)
+    }
+  }
+
+  test("NfcNormalizeExpr.normalize: composes, idempotent, identity on NFC input") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def nfc(s: String): String =
+      NfcNormalizeExpr.normalize(UTF8String.fromString(s)).toString
+    assert(nfc("cafe\u0301") == "caf\u00e9")
+    assert(nfc("u\u0308ber") == "\u00fcber")
+    // idempotent; agrees with java.text.Normalizer on every case
+    val cases = Seq("", "plain ascii", "caf\u00e9", "cafe\u0301",
+      "a\u0325\u0301 stacked marks", "\u1e69")
+    cases.foreach { s =>
+      val once = nfc(s)
+      assert(nfc(once) == once, s"not idempotent on $s")
+      assert(once == java.text.Normalizer.normalize(s,
+        java.text.Normalizer.Form.NFC))
     }
   }
 
