@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Bpe, Chunking, Curation, Dedup, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.llm.{Bpe, Chunking, Curation, Dedup, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis, Unigram}
 
 /** Oracle-checked queries for the LLM-data-pipeline operators
   * (BASELINE.json north star): dedup (exact / MinHash-LSH / SimHash /
@@ -737,6 +737,42 @@ object Llm {
     * `llm_retrieval_bm25_streamed` (index accumulated per micro-batch,
     * statistics derived at scoring time): the incremental index must
     * score EXACTLY like the batch one. */
+  /** Shared CTE prefix of the unigram-LM rows (`WITH RECURSIVE` added
+    * by the caller): word frequencies → seed substring pieces (chars
+    * always kept) → integer surprisal costs (object doc of
+    * [[graft.llm.Unigram]]) → per-word DAG edges → Bellman-Ford
+    * relaxation of the Viterbi DP → jitter-unique argmin per word. */
+  private val unigramCtes: String =
+    """wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE length(word) >= 1 GROUP BY word),
+      |pos AS (SELECT word, i, l, substr(word, i, l) AS piece
+      |  FROM wf
+      |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+      |  CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS l)
+      |  WHERE i + l - 1 <= length(word)),
+      |pc AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+      |  FROM (SELECT p.piece, w.freq FROM pos p JOIN wf w USING (word))
+      |  GROUP BY piece
+      |  HAVING CAST(sum(freq) AS BIGINT) >= 100 OR length(piece) = 1),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM pc),
+      |cost AS (SELECT piece, cnt,
+      |  CAST(length(bin(t)) - length(bin(cnt)) AS BIGINT) * 1048576
+      |    + (('0x' || substr(md5(piece), 9, 8))::BIGINT & 1048575) AS c
+      |  FROM pc, tot),
+      |edges AS (SELECT p.word, p.i - 1 AS src, p.i + p.l - 1 AS dst,
+      |    p.piece, c.c
+      |  FROM pos p JOIN cost c USING (piece)),
+      |dp(word, pos, cost, path) AS (
+      |  SELECT word, 0, CAST(0 AS BIGINT), '' FROM wf
+      |  UNION
+      |  SELECT e.word, e.dst, d.cost + e.c, d.path || ';' || e.piece
+      |  FROM dp d JOIN edges e ON e.word = d.word AND e.src = d.pos),
+      |best AS (SELECT d.word, min(d.cost) AS cost,
+      |    arg_min(d.path, d.cost) AS path
+      |  FROM dp d JOIN wf w ON w.word = d.word AND d.pos = length(w.word)
+      |  GROUP BY d.word)""".stripMargin
+
   private val bm25Sql: String =
     """WITH tf AS (SELECT doc_id, term, count(*) AS tf
       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
@@ -2240,6 +2276,42 @@ object Llm {
     CAST(coalesce(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
   FROM documents d LEFT JOIN ag a USING (doc_id)
   ORDER BY d.doc_id""")),
+
+    // unigram-LM (SentencePiece-family) tokenizer: Viterbi-segment
+    // every distinct word under coarse integer surprisal costs
+    // (bitlen-based floor-log2 + 20-bit md5 jitter — no libm), the
+    // oracle replaying the DP as Bellman-Ford relaxation in a
+    // RECURSIVE CTE and the argmin via arg_min over the jitter-unique
+    // costs. Grades the segmentation itself
+    ("llm_unigram_segment",
+      ((s: SparkSession, d: String) => {
+        val words = Unigram.wordCounts(Tables.documents(s, d),
+          "text", "doc_id")
+        Unigram.viterbiSegment(words,
+            Unigram.pieceCosts(Unigram.seedPieces(words, 4, 100L)), 4)
+          .orderBy(col("word"))
+      }): Q,
+      Some(s"""WITH RECURSIVE $unigramCtes
+        |SELECT b.word, w.freq, b.cost,
+        |  CAST(len(string_split(ltrim(b.path, ';'), ';')) AS BIGINT)
+        |    AS n_pieces,
+        |  ltrim(b.path, ';') AS seg
+        |FROM best b JOIN wf w USING (word) ORDER BY word""".stripMargin)),
+
+    // ...and the one-round hard-EM re-fit: piece counts over the best
+    // segmentations (frequency-weighted), unused seed pieces pruned —
+    // the trained artifact graded end-to-end like the BPE/IVF trainers
+    ("llm_unigram_train",
+      ((s: SparkSession, d: String) =>
+        Unigram.train(Tables.documents(s, d), "text", "doc_id",
+            maxPieceLen = 4, minCount = 100L, iters = 1)
+          .orderBy(col("piece"))): Q,
+      Some(s"""WITH RECURSIVE $unigramCtes
+        |SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |  SELECT unnest(string_split(ltrim(b.path, ';'), ';')) AS piece,
+        |    w.freq
+        |  FROM best b JOIN wf w USING (word))
+        |GROUP BY piece ORDER BY piece""".stripMargin)),
 
     // incremental exact dedup: a re-ingested batch (every 10th doc,
     // shifted ids) probed against the corpus digest index through the
