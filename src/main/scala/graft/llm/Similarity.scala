@@ -694,4 +694,105 @@ object Similarity {
       .withColumn("ok",
         !col("has_nan") && !col("has_inf") && !col("all_zero") &&
           col("n_dims") === expectedDim)
+
+  /** Johnson–Lindenstrauss random projection — dimensionality
+    * reduction to `outDim` via the same seeded splitmix64 hyperplanes
+    * the ANN/banding stack uses (so the DuckDB oracle rebuilds them
+    * from integer literals and replays every coordinate). Coordinate
+    * j = v·plane_j / √outDim — one codegen'd dot per output
+    * dimension, a pure narrow projection (no shuffle, scan speed).
+    * Plane entries are uniform on [−1, 1] (variance ⅓), so the
+    * unbiasing scale is √(outDim/3): squared distances are preserved
+    * in expectation within the standard JL (1±ε) bound at
+    * outDim = O(log n / ε²) — EmbeddingSpec measures the distortion
+    * on real pairs. Output: (id, p, coord_e6) exploded one row per
+    * output dimension, coordinate quantized ⌊·10⁶+½⌋ AFTER the
+    * single deterministic dot (the house float rule). */
+  def jlProject(df: DataFrame, id: String, emb: String,
+                outDim: Int, dim: Int, seed: Long = 42L): DataFrame = {
+    VectorFunctions.register(df.sparkSession)
+    val ps = planes(outDim, dim, seed)
+    val scale = math.sqrt(outDim / 3.0)
+    val dots = ps.toSeq.map(p =>
+      VectorFunctions.dot(transform(col(emb), x => x.cast("double")),
+        typedlit(p.toSeq)) / scale)
+    graft.ops.Ops.parallelizeInput(df, col(id))
+      .select(col(id), posexplode(array(dots: _*)).as(Seq("p", "c")))
+      .select(col(id), col("p"),
+        floor(col("c") * 1000000 + 0.5).cast("long").as("coord_e6"))
+  }
+
+  /** Exact integer Gram matrix of an embedding column — the Σ vᵢvⱼ
+    * accumulation PCA / whitening / OPQ rotation training starts
+    * from, as a corpus-scale aggregate. Per-row products quantize
+    * ⌊vᵢ·vⱼ·2²⁰+½⌋ BEFORE the sum, so the accumulation is an integer
+    * sum — exact under any partial order, replayed verbatim by the
+    * oracle (a float Gram would differ in the last ulps per
+    * partitioning). Shape: two sequence-explodes (upper triangle,
+    * dim(dim+1)/2 rows per vector) + one (i, j)-keyed sum with
+    * map-side combine — no driver state, no dim² aggregate columns.
+    * Output: (i, j, g_q) for i ≤ j, g_q in 2⁻²⁰ units. Feed the
+    * collected matrix (dim² scalars — model state, the IVF rule) to
+    * [[pcaWhiten]]. */
+  def gramMatrix(df: DataFrame, emb: String, dim: Int): DataFrame =
+    graft.ops.Ops.parallelizeInput(df, monotonically_increasing_id())
+      .select(transform(col(emb), x => x.cast("double")).as("e"))
+      .select(col("e"), explode(sequence(lit(0), lit(dim - 1))).as("i"))
+      .select(col("e"), col("i"),
+        explode(sequence(col("i"), lit(dim - 1))).as("j"))
+      .select(col("i"), col("j"),
+        floor(element_at(col("e"), col("i") + 1) *
+          element_at(col("e"), col("j") + 1) * 1048576 + 0.5)
+          .cast("long").as("p_q"))
+      .groupBy(col("i"), col("j")).agg(sum(col("p_q")).as("g_q"))
+
+  /** PCA whitening from a collected Gram matrix: eigendecompose by
+    * cyclic Jacobi rotations (deterministic driver-side float math on
+    * the EXACT integer Gram input — dim² scalars, the model-state
+    * rule), return the top-k (eigenvalue, eigenvector) pairs sorted
+    * by eigenvalue descending with a deterministic sign convention
+    * (first nonzero component positive). The whitening transform is
+    * W = Λ^(−½)·Uᵀ; EmbeddingSpec checks orthonormality,
+    * reconstruction, and agreement of U·Λ·Uᵀ with the input. */
+  def pcaWhiten(gram: Array[Array[Double]], k: Int,
+                sweeps: Int = 20): Seq[(Double, Array[Double])] = {
+    val n = gram.length
+    val a = gram.map(_.clone())
+    val v = Array.tabulate(n, n)((r, c) => if (r == c) 1.0 else 0.0)
+    for (_ <- 1 to sweeps; p <- 0 until n - 1; q <- p + 1 until n) {
+      if (math.abs(a(p)(q)) > 1e-13) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val t = math.signum(theta) /
+          (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+            case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+            case x => x
+          }
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        for (i <- 0 until n) {
+          val aip = a(i)(p); val aiq = a(i)(q)
+          a(i)(p) = c * aip - s * aiq
+          a(i)(q) = s * aip + c * aiq
+        }
+        for (j <- 0 until n) {
+          val apj = a(p)(j); val aqj = a(q)(j)
+          a(p)(j) = c * apj - s * aqj
+          a(q)(j) = s * apj + c * aqj
+        }
+        for (i <- 0 until n) {
+          val vip = v(i)(p); val viq = v(i)(q)
+          v(i)(p) = c * vip - s * viq
+          v(i)(q) = s * vip + c * viq
+        }
+      }
+    }
+    (0 until n).map { d =>
+      val vec = Array.tabulate(n)(i => v(i)(d))
+      val firstNz = vec.indexWhere(x => math.abs(x) > 1e-12)
+      if (firstNz >= 0 && vec(firstNz) < 0) {
+        var i = 0; while (i < n) { vec(i) = -vec(i); i += 1 }
+      }
+      (a(d)(d), vec)
+    }.sortBy(-_._1).take(k)
+  }
 }

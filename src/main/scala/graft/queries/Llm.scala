@@ -1363,6 +1363,46 @@ object Llm {
     // pool to one embedding; the quantized-integer recentre sum (the
     // IVF trainer's rule) makes the mean fold-order independent, so
     // the oracle matches bit-for-bit on the exploded (group, dim) rows
+    // Johnson–Lindenstrauss projection to 8 dims through the shared
+    // splitmix planes (rebuilt in SQL from integer literals); each
+    // coordinate is one deterministic dot / sqrt(outDim), quantized
+    // after the single float chain
+    ("llm_embedding_project",
+      ((s: SparkSession, d: String) =>
+        Similarity.jlProject(Tables.embeddings(s, d), "vec_id",
+            "embedding", outDim = 8, dim = 64)
+          .select(col("vec_id"), col("p").cast("long").as("p"),
+            col("coord_e6"))
+          .orderBy(col("vec_id"), col("p"))): Q,
+      Some(s"""WITH ${planesCteSql(8, 64, 42L)},
+        |v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings)
+        |SELECT vec_id, p,
+        |  CAST(floor(list_dot_product(e, pl) / sqrt(8.0 / 3.0) * 1000000
+        |    + 0.5) AS BIGINT) AS coord_e6
+        |FROM v, planes ORDER BY vec_id, p""".stripMargin)),
+
+    // exact integer Gram matrix (the PCA/whitening/OPQ accumulation):
+    // per-row products quantized to 2^-20 units BEFORE the sum, so
+    // the corpus-wide accumulation is order-free integer addition
+    ("llm_embedding_gram",
+      ((s: SparkSession, d: String) =>
+        Similarity.gramMatrix(Tables.embeddings(s, d), "embedding",
+            dim = 64)
+          .select(col("i").cast("long").as("i"),
+            col("j").cast("long").as("j"), col("g_q"))
+          .orderBy(col("i"), col("j"))): Q,
+      Some("""WITH v AS (SELECT
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |x AS (SELECT e, unnest(generate_series(0, 63)) AS i FROM v),
+        |y AS (SELECT e, i, unnest(generate_series(i, 63)) AS j FROM x)
+        |SELECT i, j,
+        |  CAST(sum(CAST(floor(e[i + 1] * e[j + 1] * 1048576 + 0.5)
+        |    AS BIGINT)) AS BIGINT) AS g_q
+        |FROM y GROUP BY i, j ORDER BY i, j""".stripMargin)),
+
     ("llm_embedding_meanpool",
       ((s: SparkSession, d: String) =>
         Similarity.meanPoolEmbeddings(Tables.embeddings(s, d),
