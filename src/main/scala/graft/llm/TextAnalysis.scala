@@ -749,8 +749,11 @@ object TextAnalysis {
     * before the broadcast join); the per-document sum is a keyed
     * aggregation whose partial combine reduces each map task to one
     * row per document. The model never shuffles. */
-  def classifierScore(df: DataFrame, text: String, id: String,
-                      weights: DataFrame, width: Int): DataFrame = {
+  /** Hashed unigram+bigram feature stream: (id, bucket) one row per
+    * feature occurrence — shared by [[classifierScore]] (scoring) and
+    * [[perceptronTrain]] (training). */
+  private[llm] def hashedFeatures(df: DataFrame, text: String, id: String,
+                                  width: Int): DataFrame = {
     graft.functions.Md5Hash64Expr.register(df.sparkSession)
     val toks = graft.ops.Ops.parallelizeInput(df, col(id))
       .select(col(id), split(trim(col(text)), " ").as("t"))
@@ -762,15 +765,85 @@ object TextAnalysis {
         explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
       .select(col(id), concat(lit("b|"),
         concat_ws(" ", slice(col("t"), col("i"), lit(2)))).as("feat"))
-    val hashed = uni.unionAll(bi).select(col(id),
+    uni.unionAll(bi).select(col(id),
       (shiftrightunsigned(Dedup.md5Hash64(col("feat")), 4) % width)
         .as("bucket"))
-    hashed.join(broadcast(weights), Seq("bucket"))
+  }
+
+  def classifierScore(df: DataFrame, text: String, id: String,
+                      weights: DataFrame, width: Int): DataFrame =
+    hashedFeatures(df, text, id, width)
+      .join(broadcast(weights), Seq("bucket"))
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_feats"),
         sum(col("w_e6")).as("logit_e6"))
       .withColumn("keep", col("logit_e6") >= 0)
+
+  /** Naive Bayes TRAINING over the hashed feature space — supervised
+    * model training as one corpus pass, cross-engine exact: the
+    * sufficient statistics are per-bucket class counts (one keyed
+    * aggregate with map-side combine), and the log-likelihood-ratio
+    * weights come from [[graft.functions.Log2FixedExpr]] — fixed-point
+    * log₂ in pure integer arithmetic, so where a float NB would drift
+    * in the last ulp per libm, this model is bit-identical in Spark
+    * and the DuckDB oracle (which replays the 16 shift-and-square
+    * rounds as a generated CTE chain). Laplace(+1) smoothing over the
+    * `width` buckets; `label` must evaluate to ±1.
+    *
+    * w_q(b) = lq(cnt₊+1) − lq(T₊+width) − lq(cnt₋+1) + lq(T₋+width),
+    * in 2⁻¹⁶-bit units. Output: one row per bucket
+    * (bucket, cnt_pos, cnt_neg, w_q) — dense, so the model is exactly
+    * `width` rows (broadcastable at any corpus size). */
+  def naiveBayesModel(df: DataFrame, text: String, id: String,
+                      label: Column, width: Int): DataFrame = {
+    graft.functions.Log2FixedExpr.register(df.sparkSession)
+    def lq(c: Column): Column = graft.functions.Log2FixedExpr.of(c)
+    val lab = df.select(col(id), label.cast("long").as("y"))
+    val occ = hashedFeatures(df, text, id, width).join(lab, Seq(id))
+    val counts = occ.groupBy(col("bucket"))
+      .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("cnt_pos"),
+        sum(when(col("y") === -1, 1L).otherwise(0L)).as("cnt_neg"))
+    val dense = df.sparkSession.range(width)
+      .select(col("id").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("cnt_pos"), lit(0L)).as("cnt_pos"),
+        coalesce(col("cnt_neg"), lit(0L)).as("cnt_neg"))
+    val tots = dense.agg(sum(col("cnt_pos")).as("__tp"),
+      sum(col("cnt_neg")).as("__tn"))
+    dense.crossJoin(broadcast(tots))
+      .select(col("bucket"), col("cnt_pos"), col("cnt_neg"),
+        (lq(col("cnt_pos") + 1) - lq(col("__tp") + width)
+          - lq(col("cnt_neg") + 1) + lq(col("__tn") + width)).as("w_q"))
   }
+
+  /** Train-and-classify composition: [[naiveBayesModel]] weights
+    * broadcast back over the feature stream, per-document sum plus
+    * the class-prior log ratio, keep = score ≥ 0. Output:
+    * (id, y, score_q, keep). The model join and per-doc aggregate are
+    * [[classifierScore]]'s shape; the prior is a one-row scalar
+    * broadcast. */
+  def naiveBayesClassify(df: DataFrame, text: String, id: String,
+                         label: Column, width: Int): DataFrame = {
+    graft.functions.Log2FixedExpr.register(df.sparkSession)
+    def lq(c: Column): Column = graft.functions.Log2FixedExpr.of(c)
+    val lab = df.select(col(id), label.cast("long").as("y"))
+    val model = naiveBayesModel(df, text, id, label, width)
+    val prior = lab.agg(
+      sum(when(col("y") === 1, 1L).otherwise(0L)).as("__np"),
+      sum(when(col("y") === -1, 1L).otherwise(0L)).as("__nn"))
+      .select((lq(col("__np")) - lq(col("__nn"))).as("__prior_q"))
+    val sums = hashedFeatures(df, text, id, width)
+      .join(broadcast(model.select(col("bucket"), col("w_q"))), Seq("bucket"))
+      .groupBy(col(id)).agg(sum(col("w_q")).as("__sum_w"))
+    lab.join(sums, Seq(id), "left")
+      .crossJoin(broadcast(prior))
+      .select(col(id), col("y"),
+        (col("__prior_q") + coalesce(col("__sum_w"), lit(0L)))
+          .as("score_q"))
+      .withColumn("keep", col("score_q") >= 0)
+  }
+
 
   /** Vocabulary coverage / OOV rate: build the top-`vocabSize`
     * whitespace-word vocabulary (by exact count, ties broken by the

@@ -773,6 +773,76 @@ object Llm {
       |  FROM dp d JOIN wf w ON w.word = d.word AND d.pos = length(w.word)
       |  GROUP BY d.word)""".stripMargin
 
+  /** 16 unrolled shift-and-square rounds of the fixed-point log₂
+    * ([[graft.functions.Log2FixedExpr]]) over a CTE named `vals` with
+    * columns (k, x) — emits g0..g16 and `lg` (k, q). The m² wrap is
+    * HUGEINT here, unsigned-long in the JVM: identical bits. */
+  private def log2ChainSql: String = {
+    val steps = (1 to 16).map { i =>
+      s""",g$i AS (SELECT k, bl,
+      |  CASE WHEN CAST(m AS HUGEINT) * m >= 9223372036854775808
+      |    THEN CAST(CAST(m AS HUGEINT) * m // 4294967296 AS BIGINT)
+      |    ELSE CAST(CAST(m AS HUGEINT) * m // 2147483648 AS BIGINT)
+      |    END AS m,
+      |  fr * 2 + CASE WHEN CAST(m AS HUGEINT) * m
+      |    >= 9223372036854775808 THEN 1 ELSE 0 END AS fr
+      |  FROM g${i - 1})""".stripMargin
+    }.mkString("\n")
+    s"""g0 AS (SELECT k, CAST(length(bin(x)) AS BIGINT) AS bl,
+    |  CASE WHEN length(bin(x)) <= 32
+    |    THEN x * (CAST(1 AS BIGINT) << (32 - length(bin(x))))
+    |    ELSE x >> (length(bin(x)) - 32) END AS m,
+    |  CAST(0 AS BIGINT) AS fr FROM vals)
+    |$steps
+    |,lg AS (SELECT k, (bl - 1) * 65536 + fr AS q FROM g16)""".stripMargin
+  }
+
+  /** Shared CTE prefix of the Naive Bayes rows: planted-boilerplate
+    * labels, hashed uni+bigram occurrences, dense per-bucket class
+    * counts, totals/priors, and the log₂ chain over every value the
+    * model needs. */
+  private def nbCtes(width: Int): String =
+    s"""corpus AS (SELECT doc_id,
+    |  CASE WHEN doc_id % 3 = 0
+    |    THEN '${graft.llm.Dedup.BoilerplateBanner} ' || text
+    |    ELSE text END AS text,
+    |  CASE WHEN doc_id % 3 = 0 THEN CAST(1 AS BIGINT)
+    |    ELSE CAST(-1 AS BIGINT) END AS y
+    |  FROM documents),
+    |ntoks AS (SELECT doc_id, y, string_split(trim(text), ' ') AS t
+    |  FROM corpus),
+    |nuni AS (SELECT doc_id, y, 'u|' || tok AS feat
+    |  FROM (SELECT doc_id, y, unnest(t) AS tok FROM ntoks)),
+    |nbi AS (SELECT doc_id, y, 'b|' || array_to_string(t[i:i+1], ' ') AS feat
+    |  FROM (SELECT doc_id, y, t, unnest(generate_series(1, len(t)-1)) AS i
+    |        FROM ntoks WHERE len(t) >= 2)),
+    |occ AS (SELECT doc_id, y,
+    |  ('0x' || substr(md5(feat), 1, 15))::BIGINT % $width AS bucket
+    |  FROM (SELECT * FROM nuni UNION ALL SELECT * FROM nbi)),
+    |cnts AS (SELECT b.bucket,
+    |  COALESCE(SUM(CASE WHEN o.y = 1 THEN 1 ELSE 0 END), 0) AS cnt_pos,
+    |  COALESCE(SUM(CASE WHEN o.y = -1 THEN 1 ELSE 0 END), 0) AS cnt_neg
+    |  FROM (SELECT unnest(generate_series(0, ${width - 1})) AS bucket) b
+    |  LEFT JOIN occ o USING (bucket) GROUP BY 1),
+    |tots AS (SELECT CAST(sum(cnt_pos) AS BIGINT) AS tp,
+    |  CAST(sum(cnt_neg) AS BIGINT) AS tn FROM cnts),
+    |pri AS (SELECT CAST(count(*) FILTER (y = 1) AS BIGINT) AS np,
+    |  CAST(count(*) FILTER (y = -1) AS BIGINT) AS nn FROM corpus),
+    |vals AS (SELECT 'p|' || bucket AS k, cnt_pos + 1 AS x FROM cnts
+    |  UNION ALL SELECT 'n|' || bucket, cnt_neg + 1 FROM cnts
+    |  UNION ALL SELECT 'tp', tp + $width FROM tots
+    |  UNION ALL SELECT 'tn', tn + $width FROM tots
+    |  UNION ALL SELECT 'np', np FROM pri
+    |  UNION ALL SELECT 'nn', nn FROM pri),
+    |$log2ChainSql,
+    |model AS (SELECT c.bucket, c.cnt_pos, c.cnt_neg,
+    |  lp.q - ltp.q - ln.q + ltn.q AS w_q
+    |  FROM cnts c
+    |  JOIN lg lp ON lp.k = 'p|' || c.bucket
+    |  JOIN lg ln ON ln.k = 'n|' || c.bucket
+    |  CROSS JOIN (SELECT q FROM lg WHERE k = 'tp') ltp
+    |  CROSS JOIN (SELECT q FROM lg WHERE k = 'tn') ltn)""".stripMargin
+
   private val bm25Sql: String =
     """WITH tf AS (SELECT doc_id, term, count(*) AS tf
       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
@@ -2249,6 +2319,50 @@ object Llm {
         |  CAST(sum(w.w_e6) AS BIGINT) >= 0 AS keep
         |FROM feats JOIN w USING (bucket)
         |GROUP BY feats.doc_id ORDER BY feats.doc_id""".stripMargin)),
+
+    // supervised Naive Bayes TRAINING under the oracle: planted
+    // boilerplate labels, hashed uni+bigram class counts, and
+    // log-likelihood-ratio weights from the fixed-point integer log2
+    // (16 shift-and-square rounds, replayed as a generated CTE chain)
+    ("llm_nb_train",
+      ((s: SparkSession, d: String) =>
+        TextAnalysis.naiveBayesModel(
+            Dedup.withPlantedBoilerplate(Tables.documents(s, d),
+              "text", "doc_id"),
+            "text", "doc_id",
+            label = when(pmod(col("doc_id"), lit(3)) === 0, 1L)
+              .otherwise(-1L),
+            width = 1024)
+          .orderBy(col("bucket"))): Q,
+      Some(s"""WITH ${nbCtes(1024)}
+        |SELECT bucket, CAST(cnt_pos AS BIGINT) AS cnt_pos,
+        |  CAST(cnt_neg AS BIGINT) AS cnt_neg, w_q FROM model
+        |ORDER BY bucket""".stripMargin)),
+
+    // ...and the train-and-classify composition: model broadcast back
+    // over the feature stream, per-doc score + class-prior log ratio.
+    // The planted labels are perfectly recovered (spec asserts it)
+    ("llm_nb_classify",
+      ((s: SparkSession, d: String) =>
+        TextAnalysis.naiveBayesClassify(
+            Dedup.withPlantedBoilerplate(Tables.documents(s, d),
+              "text", "doc_id"),
+            "text", "doc_id",
+            label = when(pmod(col("doc_id"), lit(3)) === 0, 1L)
+              .otherwise(-1L),
+            width = 1024)
+          .orderBy(col("doc_id"))): Q,
+      Some(s"""WITH ${nbCtes(1024)},
+        |prior AS (SELECT a.q - b.q AS prior_q
+        |  FROM (SELECT q FROM lg WHERE k = 'np') a,
+        |       (SELECT q FROM lg WHERE k = 'nn') b),
+        |sums AS (SELECT o.doc_id, CAST(SUM(m.w_q) AS BIGINT) AS sw
+        |  FROM occ o JOIN model m USING (bucket) GROUP BY 1)
+        |SELECT c.doc_id, c.y,
+        |  CAST(p.prior_q + COALESCE(s.sw, 0) AS BIGINT) AS score_q,
+        |  p.prior_q + COALESCE(s.sw, 0) >= 0 AS keep
+        |FROM corpus c LEFT JOIN sums s USING (doc_id) CROSS JOIN prior p
+        |ORDER BY doc_id""".stripMargin)),
 
     // vocabulary coverage: top-1000 words by exact count (bytewise
     // tie-break — a deterministic boundary), per-doc OOV fraction in

@@ -86,6 +86,12 @@ class ExtensionsSpec extends SparkSpec {
         "SELECT graft_nfc_normalize('cafe\u0301') AS s")
         .head().getString(0)
       assert(nfc == "caf\u00e9" && nfc.length == 4)
+      // log2_fixed: exact at powers of two, 16 fraction bits otherwise
+      val lg = s2.sql(
+        "SELECT graft_log2_fixed(1024L) AS a, graft_log2_fixed(3L) AS b")
+        .head()
+      assert(lg.getLong(0) == 10L << 16)
+      assert(lg.getLong(1) == graft.functions.Log2FixedExpr.log2q(3L))
     } finally {
       prevActive.foreach(SparkSession.setActiveSession)
       prevDefault.foreach(SparkSession.setDefaultSession)

@@ -111,6 +111,27 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("Log2FixedExpr.log2q: within 2^-16 + mantissa truncation of true log2; monotone") {
+    val cases = samples(Gen.choose(1L, Long.MaxValue), n = 300) ++
+      (1L to 64L) ++ Seq(Long.MaxValue, 1L << 62, (1L << 32) - 1, 1L << 32)
+    cases.foreach { x =>
+      val got = graft.functions.Log2FixedExpr.log2q(x) / 65536.0
+      val want = math.log(x.toDouble) / math.log(2.0)
+      // fraction truncation 2^-16 + 32-bit mantissa truncation ~2^-31
+      assert(got <= want + 1e-9 && want - got < 3e-5,
+        s"x=$x got=$got want=$want")
+    }
+    // exact at powers of two
+    (0 until 63).foreach(e =>
+      assert(graft.functions.Log2FixedExpr.log2q(1L << e) == e.toLong << 16))
+    // monotone non-decreasing on sorted samples
+    val sorted = cases.distinct.sorted
+    sorted.zip(sorted.tail).foreach { case (a, b) =>
+      assert(graft.functions.Log2FixedExpr.log2q(a) <=
+        graft.functions.Log2FixedExpr.log2q(b))
+    }
+  }
+
   private def hash60Of(s: String): Long =
     Md5Hash64Expr.hash(s.getBytes("UTF-8")) >>> 4
 

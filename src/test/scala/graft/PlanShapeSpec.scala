@@ -33,7 +33,11 @@ class PlanShapeSpec extends SparkSpec {
     "llm_sample_weighted" ->
       "one-row total-weight aggregate (parallel partials); corpus side stays a narrow filter",
     "o6_zorder_layout" ->
-      "one-row min/max bounds aggregate (parallel partials); corpus side stays a narrow integer projection")
+      "one-row min/max bounds aggregate (parallel partials); corpus side stays a narrow integer projection",
+    "llm_nb_train" ->
+      "one-row class-totals aggregate over the width-row dense model (parallel partials); corpus side is one keyed count",
+    "llm_nb_classify" ->
+      "one-row totals + one-row prior aggregates; corpus side is the keyed feature count + broadcast-model score join")
 
   private val allowedAllPairs = Map(
     "llm_similarity_topk" ->
@@ -51,7 +55,11 @@ class PlanShapeSpec extends SparkSpec {
     "llm_sample_weighted" ->
       "one-row total broadcast-joined onto the corpus (scalar join); the draw itself is a narrow filter",
     "o6_zorder_layout" ->
-      "one-row bounds broadcast-joined onto the corpus (scalar join); tiles aggregate keyed on file_id")
+      "one-row bounds broadcast-joined onto the corpus (scalar join); tiles aggregate keyed on file_id",
+    "llm_nb_train" ->
+      "one-row totals broadcast-joined onto the width-row model (scalar join)",
+    "llm_nb_classify" ->
+      "one-row totals/prior broadcast-joined onto model and per-doc scores (scalar joins)")
 
   test("no registry query plans an undocumented single-partition exchange or all-pairs join") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -36,6 +36,34 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.9, s"lsh recall $recall")
   }
 
+  test("naiveBayes: recovers the planted labels exactly; model is dense and deterministic") {
+    val planted = Dedup.withPlantedBoilerplate(
+      docs.select(col("doc_id"), col("text")), "text", "doc_id")
+    val label = when(pmod(col("doc_id"), lit(3)) === 0, 1L).otherwise(-1L)
+    val scored = TextAnalysis.naiveBayesClassify(planted, "text", "doc_id",
+        label, width = 1024)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    val acc = scored.count { case (_, y, keep) => keep == (y == 1L) }
+      .toDouble / scored.length
+    assert(acc == 1.0, s"training accuracy $acc")
+    val model = TextAnalysis.naiveBayesModel(planted, "text", "doc_id",
+        label, width = 1024)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(model.length == 1024 && model.map(_._1).distinct.length == 1024)
+    // banner-only buckets carry strongly positive weights
+    val bannerBuckets = model.filter { case (_, (cp, cn, _)) => cp > 50 && cn == 0 }
+    assert(bannerBuckets.nonEmpty)
+    bannerBuckets.foreach { case (b, (_, _, w)) =>
+      assert(w > 65536L, s"bucket $b weight $w")
+    }
+    val again = TextAnalysis.naiveBayesModel(planted, "text", "doc_id",
+      label, width = 1024).collect().map(_.toSeq)
+    assert(model.length == again.length &&
+      TextAnalysis.naiveBayesModel(planted, "text", "doc_id", label, 1024)
+        .exceptAll(TextAnalysis.naiveBayesModel(planted, "text", "doc_id",
+          label, 1024)).isEmpty)
+  }
+
   test("containmentPairs: planted containers found at containment 1.0, invisible to Jaccard") {
     val planted = Dedup.withPlantedExtensions(
       docs.select(col("doc_id"), col("text")), "text", "doc_id", every = 20)
