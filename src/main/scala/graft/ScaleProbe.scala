@@ -402,6 +402,20 @@ object ScaleProbe {
       docs.select(col("doc_id"), length(col("text")).as("w")),
       col("doc_id"), col("w"), expectedRows = 10000L))
 
+    // unigram-LM trainer: keyed aggregates over the DISTINCT-WORD
+    // table (which grows ~K× here via per-copy token suffixes) + the
+    // per-word Viterbi fold — no corpus-sized shuffle beyond word
+    // counting
+    time("unigram_train")(llm.Unigram.train(docs, "text", "doc_id",
+      maxPieceLen = 4, minCount = 100L, iters = 1))
+    // Naive Bayes train+classify: two keyed aggregates over the
+    // hashed-feature stream + broadcast-model scoring
+    time("nb_classify")(llm.TextAnalysis.naiveBayesClassify(
+      llm.Dedup.withPlantedBoilerplate(docs, "text", "doc_id"),
+      "text", "doc_id",
+      label = when(pmod(col("doc_id"), lit(3)) === 0, 1L).otherwise(-1L),
+      width = 1024))
+
     // Streaming-index lifecycle: a per-micro-batch sink accumulates one
     // batch_id= partition per batch; this measures the per-batch index
     // READ (listing + scan + the existence probe — what every stream

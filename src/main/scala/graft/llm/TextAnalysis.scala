@@ -795,17 +795,50 @@ object TextAnalysis {
     * (bucket, cnt_pos, cnt_neg, w_q) — dense, so the model is exactly
     * `width` rows (broadcastable at any corpus size). */
   def naiveBayesModel(df: DataFrame, text: String, id: String,
+                      label: Column, width: Int): DataFrame =
+    nbModelFromCounts(nbPartialCounts(df, text, id, label, width),
+      df.sparkSession, width)
+
+  /** Per-slice NB sufficient statistics: sparse per-bucket class
+    * counts plus one `bucket = −1` row carrying the class DOCUMENT
+    * counts (the prior's statistics). Counts are exact integers, so
+    * partials from any partition of the corpus into batches SUM-merge
+    * to the single-pass statistics — the CMS additivity contract, and
+    * like the CMS a replayed partial double-counts
+    * ([[graft.streaming.Streaming.nbCountStream]]'s exactly-once sink
+    * is load-bearing). */
+  def nbPartialCounts(df: DataFrame, text: String, id: String,
                       label: Column, width: Int): DataFrame = {
-    graft.functions.Log2FixedExpr.register(df.sparkSession)
-    def lq(c: Column): Column = graft.functions.Log2FixedExpr.of(c)
     val lab = df.select(col(id), label.cast("long").as("y"))
     val occ = hashedFeatures(df, text, id, width).join(lab, Seq(id))
-    val counts = occ.groupBy(col("bucket"))
+    val bCounts = occ.groupBy(col("bucket"))
       .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("cnt_pos"),
         sum(when(col("y") === -1, 1L).otherwise(0L)).as("cnt_neg"))
-    val dense = df.sparkSession.range(width)
+    val prior = lab.agg(
+      sum(when(col("y") === 1, 1L).otherwise(0L)).as("cnt_pos"),
+      sum(when(col("y") === -1, 1L).otherwise(0L)).as("cnt_neg"))
+      .select(lit(-1L).as("bucket"), col("cnt_pos"), col("cnt_neg"))
+    bCounts.unionByName(prior)
+  }
+
+  /** Model assembly from (possibly per-batch partial) counts:
+    * SUM-merge per bucket, densify to exactly `width` rows, weights
+    * from the fixed-point log — shared by the batch trainer and the
+    * streamed sink, so streamed ≡ batch is what the shared oracle SQL
+    * proves. The `bucket = −1` prior row is excluded here (it feeds
+    * [[nbPriorFromCounts]]). */
+  def nbModelFromCounts(counts: DataFrame,
+                        spark: org.apache.spark.sql.SparkSession,
+                        width: Int): DataFrame = {
+    graft.functions.Log2FixedExpr.register(spark)
+    def lq(c: Column): Column = graft.functions.Log2FixedExpr.of(c)
+    val merged = counts.filter(col("bucket") >= 0)
+      .groupBy(col("bucket"))
+      .agg(sum(col("cnt_pos")).as("cnt_pos"),
+        sum(col("cnt_neg")).as("cnt_neg"))
+    val dense = spark.range(width)
       .select(col("id").as("bucket"))
-      .join(counts, Seq("bucket"), "left")
+      .join(merged, Seq("bucket"), "left")
       .select(col("bucket"),
         coalesce(col("cnt_pos"), lit(0L)).as("cnt_pos"),
         coalesce(col("cnt_neg"), lit(0L)).as("cnt_neg"))
@@ -817,22 +850,21 @@ object TextAnalysis {
           - lq(col("cnt_neg") + 1) + lq(col("__tn") + width)).as("w_q"))
   }
 
-  /** Train-and-classify composition: [[naiveBayesModel]] weights
-    * broadcast back over the feature stream, per-document sum plus
-    * the class-prior log ratio, keep = score ≥ 0. Output:
-    * (id, y, score_q, keep). The model join and per-doc aggregate are
-    * [[classifierScore]]'s shape; the prior is a one-row scalar
-    * broadcast. */
-  def naiveBayesClassify(df: DataFrame, text: String, id: String,
-                         label: Column, width: Int): DataFrame = {
-    graft.functions.Log2FixedExpr.register(df.sparkSession)
+  /** One-row class-prior log ratio from the `bucket = −1` count rows. */
+  def nbPriorFromCounts(counts: DataFrame): DataFrame = {
+    graft.functions.Log2FixedExpr.register(counts.sparkSession)
     def lq(c: Column): Column = graft.functions.Log2FixedExpr.of(c)
-    val lab = df.select(col(id), label.cast("long").as("y"))
-    val model = naiveBayesModel(df, text, id, label, width)
-    val prior = lab.agg(
-      sum(when(col("y") === 1, 1L).otherwise(0L)).as("__np"),
-      sum(when(col("y") === -1, 1L).otherwise(0L)).as("__nn"))
+    counts.filter(col("bucket") === -1L)
+      .agg(sum(col("cnt_pos")).as("__np"), sum(col("cnt_neg")).as("__nn"))
       .select((lq(col("__np")) - lq(col("__nn"))).as("__prior_q"))
+  }
+
+  /** Score a corpus under an assembled model + prior: model weights
+    * broadcast over the feature stream, per-document sum, keep =
+    * score ≥ 0. Output: (id, y, score_q, keep). */
+  def nbScore(df: DataFrame, text: String, id: String, label: Column,
+              model: DataFrame, prior: DataFrame, width: Int): DataFrame = {
+    val lab = df.select(col(id), label.cast("long").as("y"))
     val sums = hashedFeatures(df, text, id, width)
       .join(broadcast(model.select(col("bucket"), col("w_q"))), Seq("bucket"))
       .groupBy(col(id)).agg(sum(col("w_q")).as("__sum_w"))
@@ -842,6 +874,20 @@ object TextAnalysis {
         (col("__prior_q") + coalesce(col("__sum_w"), lit(0L)))
           .as("score_q"))
       .withColumn("keep", col("score_q") >= 0)
+  }
+
+  /** Train-and-classify composition: [[naiveBayesModel]] weights
+    * broadcast back over the feature stream, per-document sum plus
+    * the class-prior log ratio, keep = score ≥ 0. Output:
+    * (id, y, score_q, keep). The model join and per-doc aggregate are
+    * [[classifierScore]]'s shape; the prior is a one-row scalar
+    * broadcast. */
+  def naiveBayesClassify(df: DataFrame, text: String, id: String,
+                         label: Column, width: Int): DataFrame = {
+    val counts = nbPartialCounts(df, text, id, label, width)
+    nbScore(df, text, id, label,
+      nbModelFromCounts(counts, df.sparkSession, width),
+      nbPriorFromCounts(counts), width)
   }
 
 

@@ -2364,6 +2364,46 @@ object Llm {
         |FROM corpus c LEFT JOIN sums s USING (doc_id) CROSS JOIN prior p
         |ORDER BY doc_id""".stripMargin)),
 
+    // ...and the INCREMENTAL form: per-batch count partials
+    // SUM-merged from an exactly-once sink, model assembled at
+    // scoring time — graded against llm_nb_classify's SQL VERBATIM
+    ("llm_nb_classify_streamed",
+      ((s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val planted = Dedup.withPlantedBoilerplate(docs, "text", "doc_id")
+        val label = when(pmod(col("doc_id"), lit(3)) === 0, 1L)
+          .otherwise(-1L)
+        streamTempRun("graft-nb-stream") { base =>
+          val srcDir = s"$base/src"
+          streamedTranches(srcDir,
+            Seq(planted.filter(pmod(col("doc_id"), lit(3)) === 2),
+              planted.filter(pmod(col("doc_id"), lit(3)) === 0),
+              planted.filter(pmod(col("doc_id"), lit(3)) === 1)))
+          val src = graft.streaming.Streaming.fileStream(s, srcDir,
+            planted.schema, maxFilesPerTrigger = 1)
+          val q = graft.streaming.Streaming.nbCountStream(src, "text",
+            "doc_id", label, width = 1024,
+            s"$base/counts", s"$base/ck").start()
+          try q.awaitTermination() finally if (q.isActive) q.stop()
+          val counts = s.read.parquet(s"$base/counts")
+            .drop("batch_id", "src_batch")
+          TextAnalysis.nbScore(planted, "text", "doc_id", label,
+            TextAnalysis.nbModelFromCounts(counts, s, 1024),
+            TextAnalysis.nbPriorFromCounts(counts), 1024)
+        }.orderBy(col("doc_id"))
+      }): Q,
+      Some(s"""WITH ${nbCtes(1024)},
+        |prior AS (SELECT a.q - b.q AS prior_q
+        |  FROM (SELECT q FROM lg WHERE k = 'np') a,
+        |       (SELECT q FROM lg WHERE k = 'nn') b),
+        |sums AS (SELECT o.doc_id, CAST(SUM(m.w_q) AS BIGINT) AS sw
+        |  FROM occ o JOIN model m USING (bucket) GROUP BY 1)
+        |SELECT c.doc_id, c.y,
+        |  CAST(p.prior_q + COALESCE(s.sw, 0) AS BIGINT) AS score_q,
+        |  p.prior_q + COALESCE(s.sw, 0) >= 0 AS keep
+        |FROM corpus c LEFT JOIN sums s USING (doc_id) CROSS JOIN prior p
+        |ORDER BY doc_id""".stripMargin)),
+
     // vocabulary coverage: top-1000 words by exact count (bytewise
     // tie-break — a deterministic boundary), per-doc OOV fraction in
     // exact basis points (integral division). The vocab returns as a

@@ -256,6 +256,34 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
 
+  /** Incremental Naive Bayes sufficient statistics: each micro-batch
+    * lands ITS OWN per-bucket class counts (plus the `bucket = −1`
+    * prior row) in a `batch_id=` partition with dynamic overwrite.
+    * Counts SUM-merge, so this is the CMS side of the replay
+    * dichotomy — exactly-once is load-bearing, a retried batch must
+    * land once — and model assembly
+    * ([[graft.llm.TextAnalysis.nbModelFromCounts]]) derives weights
+    * from the accumulated counts at scoring time, so the streamed
+    * model is bit-identical to the batch trainer's by construction.
+    * Per-batch work is batch-sized; the sink holds ≤ width+1 rows per
+    * batch regardless of corpus size. */
+  def nbCountStream(docs: DataFrame, text: String, id: String,
+                    label: org.apache.spark.sql.Column, width: Int,
+                    sinkDir: String,
+                    checkpointDir: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.llm.TextAnalysis
+          .nbPartialCounts(batch, text, id, label, width)
+          .withColumn("src_batch", lit(batchId))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(sinkDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+
   /** Incremental BM25 inverted-index maintenance: each micro-batch
     * aggregates ONLY its own documents' (id, term, tf) rows and lands
     * them in a `batch_id=` partition with dynamic overwrite. Under an

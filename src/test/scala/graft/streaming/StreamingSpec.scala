@@ -34,6 +34,32 @@ class StreamingSpec extends SparkSpec {
     assert(got.length == want.length && got.sameElements(want))
   }
 
+  test("nb count partials: tranche sums equal single-pass; a replayed partial corrupts") {
+    import graft.llm.{Dedup, TextAnalysis}
+    val docs = Dedup.withPlantedBoilerplate(
+      Tables.documents(spark, dir), "text", "doc_id")
+    val label = when(pmod(col("doc_id"), lit(3)) === 0, 1L).otherwise(-1L)
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.nbPartialCounts(df, "text", "doc_id", label, 128)
+    val whole = counts(docs)
+    val tranches = (0 to 2).map(i =>
+      counts(docs.filter(pmod(col("doc_id"), lit(3)) === i)))
+    val merged = tranches.reduce(_ unionByName _)
+      .groupBy("bucket")
+      .agg(sum("cnt_pos").as("cnt_pos"), sum("cnt_neg").as("cnt_neg"))
+    assert(graft.ops.Ops.frameDiff(
+      whole.select("bucket", "cnt_pos", "cnt_neg"), merged).isEmpty)
+    // replaying one tranche double-counts: the merged model must move
+    val dup = (tranches :+ tranches.head).reduce(_ unionByName _)
+    val cleanModel = TextAnalysis.nbModelFromCounts(
+      tranches.reduce(_ unionByName _), spark, 128)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val dupModel = TextAnalysis.nbModelFromCounts(dup, spark, 128)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(cleanModel != dupModel,
+      "a replayed partial must change the model (sum-merge dichotomy)")
+  }
+
   test("stream-stream interval join matches the batch bucketized join, out-of-order batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
