@@ -41,8 +41,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // File-reading oracles (s8_jsonl_source) scope their fixture path
+    // by scale factor so a bench run at another SF cannot clobber the
+    // fixture between this dump and the driver's DuckDB pass; the
+    // placeholder resolves to THIS run's SF here, where sfDir is known.
+    val sfBase = new java.io.File(sfDir).getName
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("__GRAFT_SF__", sfBase))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -631,6 +631,50 @@ object Relational {
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin)),
 
+    // JSONL source (S-family): documents round-trip through sharded
+    // JSON-lines plus a planted corrupt shard; the audited PERMISSIVE
+    // read surfaces each bad line as a counted all-null row — DuckDB's
+    // read_json(ignore_errors) yields the identical null row, so the
+    // whole source (parse, corruption accounting, aggregates) is
+    // oracle-graded
+    ("s8_jsonl_source",
+      ((s: SparkSession, d: String) => {
+        // path scoped by SF: a concurrent bench at another SF writes
+        // its own subtree (Verify resolves __GRAFT_SF__ identically)
+        val base = s"/tmp/graft-jsonl-src/${new java.io.File(d).getName}"
+        val docs = Tables.documents(s, d)
+        graft.sources.Jsonl.write(docs, base, shards = 4)
+        // a shard with two malformed lines and one valid object
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration)
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(s"$base/part-corrupt.json"), true)
+        out.write(("{ broken line\n" +
+          "also not json at all\n" +
+          """{"doc_id": 999999, "text": "tail doc", "lang": "en",""" +
+          """ "source": "srcX", "n_chars": 8}""" + "\n").getBytes("UTF-8"))
+        out.close()
+        graft.sources.Jsonl.readAudited(s, base, docs.schema, "doc_id")
+          .groupBy(when(col("__corrupt"), lit("__corrupt"))
+            .otherwise(col("source")).as("src"))
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"),
+            coalesce(min(col("doc_id")), lit(-1L)).as("min_id"),
+            coalesce(max(col("doc_id")), lit(-1L)).as("max_id"))
+          .orderBy(col("src"))
+      }): Q,
+      Some("""SELECT CASE WHEN doc_id IS NULL THEN '__corrupt'
+        |    ELSE source END AS src,
+        |  count(*) AS n,
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS sum_chars,
+        |  coalesce(min(doc_id), -1) AS min_id,
+        |  coalesce(max(doc_id), -1) AS max_id
+        |FROM read_json('/tmp/graft-jsonl-src/__GRAFT_SF__/*.json',
+        |  format='newline_delimited', ignore_errors=true,
+        |  columns={'doc_id': 'BIGINT', 'text': 'VARCHAR',
+        |    'lang': 'VARCHAR', 'source': 'VARCHAR', 'n_chars': 'BIGINT'})
+        |GROUP BY 1 ORDER BY src""".stripMargin)),
+
     // Unicode NFC normalization (native codegen'd expression wrapping
     // java.text.Normalizer; DuckDB nfc_normalize implements the same
     // TR15 canonical composition): decomposed sequences planted on
