@@ -76,4 +76,95 @@ class Lake(spark: SparkSession, val root: String) {
     val p = new Path(dir(table))
     fs.exists(p) && fs.delete(p, true)
   }
+
+  /** Per-file inventory of one table: (chain_name, path, bytes). The
+    * small-files problem is what incremental appends produce — every
+    * ingest segment lands its own part files, and a year of 200k-row
+    * pulls leaves thousands of KB-scale files whose open/footer cost
+    * dominates scans. */
+  def fileInventory(table: String): Seq[(String, String, Long)] = {
+    if (!exists(table)) return Seq.empty
+    val it = fs.listFiles(new Path(dir(table)), true)
+    val out = Seq.newBuilder[(String, String, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      val p = f.getPath.toString
+      if (f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith(".")) {
+        val chain = p.split('/').collectFirst {
+          case seg if seg.startsWith("chain_name=") =>
+            seg.stripPrefix("chain_name=")
+        }.getOrElse("")
+        out += ((chain, p, f.getLen))
+      }
+    }
+    out.result().sortBy(t => (t._1, t._2))
+  }
+
+  /** Deterministic compaction plan: group each chain's files into
+    * target-sized bins by size-descending running-sum bucketing
+    * (sorted next-fit — the [[graft.llm.Chunking]] packSequences rule
+    * applied to files: sort by (bytes desc, path), bin =
+    * cum_before ÷ targetBytes, so every bin except possibly the last
+    * holds ≥ targetBytes÷2 once full and a file larger than the
+    * target gets its own bin). File inventories are human-sized state
+    * (thousands of entries — the model-state rule), so the plan is a
+    * driver computation over [[fileInventory]]; EXECUTION is
+    * distributed: each bin rewrites via one partitioned read+write.
+    * Returns (chain, bin, path, bytes); bins with one file need no
+    * rewrite (already compact) and are flagged by the caller. */
+  def compactionPlan(table: String,
+                     targetBytes: Long): Seq[(String, Int, String, Long)] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    fileInventory(table).groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (chain, files) =>
+        val sorted = files.map(f => (f._2, f._3))
+          .sortBy { case (p, b) => (-b, p) }
+        var cum = 0L
+        sorted.map { case (p, b) =>
+          val bin = (cum / targetBytes).toInt
+          cum += b
+          (chain, bin, p, b)
+        }
+    }
+  }
+
+  /** Execute a compaction plan for one table: rewrite each multi-file
+    * bin into a single coalesced file set, preserving rows exactly
+    * (CompactionSpec proves bag equality). Single-file bins are left
+    * untouched — rewriting them would only churn data. */
+  def compact(table: String, targetBytes: Long): Int = {
+    val plan = compactionPlan(table, targetBytes)
+    val multi = plan.groupBy(t => (t._1, t._2)).filter(_._2.size > 1)
+    if (multi.isEmpty) return 0
+    var rewritten = 0
+    multi.toSeq.sortBy(_._1).foreach { case ((chain, _), files) =>
+      val paths = files.map(_._3)
+      val schema = Schemas.forTable(table)
+      val merged = spark.read.schema(schema)
+        .option("basePath", dir(table))
+        .parquet(paths: _*)
+        .drop("chain_name")
+        .coalesce(1)
+      val tmp = new Path(s"${dir(table)}/chain_name=$chain/.compact-tmp")
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      // land the compacted files, then delete the originals — a crash
+      // between the two leaves duplicate rows visible (parquet lake
+      // without a transaction log; the v3 lake's ingest loop dedups on
+      // resume, and real deployments put Delta/Iceberg underneath)
+      val tgtDir = new Path(s"${dir(table)}/chain_name=$chain")
+      val stamp = System.nanoTime()
+      var i = 0
+      fs.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet"))
+        .foreach { st =>
+          fs.rename(st.getPath,
+            new Path(tgtDir, f"compacted-$stamp-$i%05d.parquet"))
+          i += 1
+        }
+      fs.delete(tmp, true)
+      paths.foreach(p => fs.delete(new Path(p), false))
+      rewritten += 1
+    }
+    rewritten
+  }
 }
