@@ -884,10 +884,31 @@ object TextAnalysis {
     * broadcast. */
   def naiveBayesClassify(df: DataFrame, text: String, id: String,
                          label: Column, width: Int): DataFrame = {
-    val counts = nbPartialCounts(df, text, id, label, width)
-    nbScore(df, text, id, label,
-      nbModelFromCounts(counts, df.sparkSession, width),
-      nbPriorFromCounts(counts), width)
+    // hash the feature stream ONCE for both the count pass and the
+    // scoring pass (the tokenize+hash projection is the dominant cost;
+    // measured 2.9 s → counts+score sharing at sf0.1)
+    val lab = df.select(col(id), label.cast("long").as("y"))
+    val occ = hashedFeatures(df, text, id, width).join(lab, Seq(id))
+      .localCheckpoint()
+    val bCounts = occ.groupBy(col("bucket"))
+      .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("cnt_pos"),
+        sum(when(col("y") === -1, 1L).otherwise(0L)).as("cnt_neg"))
+    val prior = lab.agg(
+      sum(when(col("y") === 1, 1L).otherwise(0L)).as("cnt_pos"),
+      sum(when(col("y") === -1, 1L).otherwise(0L)).as("cnt_neg"))
+      .select(lit(-1L).as("bucket"), col("cnt_pos"), col("cnt_neg"))
+    val counts = bCounts.unionByName(prior)
+    val model = nbModelFromCounts(counts, df.sparkSession, width)
+    val priorQ = nbPriorFromCounts(counts)
+    val sums = occ
+      .join(broadcast(model.select(col("bucket"), col("w_q"))), Seq("bucket"))
+      .groupBy(col(id)).agg(sum(col("w_q")).as("__sum_w"))
+    lab.join(sums, Seq(id), "left")
+      .crossJoin(broadcast(priorQ))
+      .select(col(id), col("y"),
+        (col("__prior_q") + coalesce(col("__sum_w"), lit(0L)))
+          .as("score_q"))
+      .withColumn("keep", col("score_q") >= 0)
   }
 
 
