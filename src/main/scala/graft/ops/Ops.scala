@@ -383,6 +383,40 @@ object Ops {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** CMS join-size estimation — the count-min inner-product bound a
+    * planner consults BEFORE running an equi-join it suspects is
+    * quadratic (hot-key self-joins chief among them): per lane d,
+    * Σ_b cntA[d,b]·cntB[d,b] ≥ true |A ⋈ B| with equality iff no
+    * collisions; the estimate is the MIN over the four lanes. Both
+    * sides' registers are d×width rows regardless of input size (one
+    * keyed aggregate each with map-side combine — the
+    * [[graft.llm.TextAnalysis.cmsRegisters]] additivity story for
+    * arbitrary join keys), the product join touches 4·width rows, and
+    * every step is exact integer arithmetic the oracle replays — so
+    * the overestimate guarantee is graded, not asserted. Output: one
+    * row (est, n_a, n_b) with est = minimum lane inner product. */
+  def joinSizeSketch(a: DataFrame, keyA: Column, b: DataFrame,
+                     keyB: Column, width: Int = 256): DataFrame = {
+    def regs(df: DataFrame, key: Column) = {
+      graft.functions.Md5LanesExpr.register(df.sparkSession)
+      df.select(posexplode(graft.functions.Md5LanesExpr
+        .of(key.cast("string").cast("binary"))).as(Seq("lane", "h32")))
+        .select(col("lane"), pmod(col("h32"), lit(width)).as("bucket"))
+        .groupBy(col("lane"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+    }
+    val ra = regs(a, keyA).localCheckpoint()
+    val rb = regs(b, keyB).localCheckpoint()
+    val est = ra
+      .join(rb.withColumnRenamed("cnt", "cnt_b"), Seq("lane", "bucket"))
+      .groupBy(col("lane")).agg(sum(col("cnt") * col("cnt_b")).as("ip"))
+      .agg(min(col("ip")).as("est"))
+    // each row lands once per lane, so Σcnt = 4·|side| exactly
+    val na = ra.agg(call_function("div", sum(col("cnt")), lit(4L)).as("n_a"))
+    val nb = rb.agg(call_function("div", sum(col("cnt")), lit(4L)).as("n_b"))
+    est.crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+  }
+
   /** Interval (range) join by bucketization — the scale answer to
     * point-in-interval predicates. A naive `p.ts >= i.lo AND p.ts <
     * i.hi` join has no equality conjunct, so Spark plans a

@@ -631,6 +631,38 @@ object Relational {
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin)),
 
+    // CMS inner-product join-size estimation: the planner bound for a
+    // suspected-quadratic equi-join (here the l_partkey self-join),
+    // graded WITH the exact size so the overestimate guarantee
+    // (est >= exact, equality iff collision-free) is oracle-checked
+    ("a15_join_size_sketch",
+      ((s: SparkSession, d: String) => {
+        val li = Tables.lineitem(s, d)
+        val exact = li.groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") * col("c")).as("exact"))
+        Ops.joinSizeSketch(li, col("l_partkey"), li, col("l_partkey"),
+            width = 256)
+          .crossJoin(broadcast(exact))
+      }): Q,
+      Some("""WITH lanes AS (SELECT unnest(generate_series(0, 3)) AS lane),
+        |ka AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+        |ha AS (SELECT l.lane,
+        |  ('0x' || substr(md5(k), 8 * l.lane + 1, 8))::BIGINT % 256
+        |    AS bucket
+        |  FROM ka CROSS JOIN lanes l),
+        |ra AS (SELECT lane, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM ha GROUP BY 1, 2),
+        |ip AS (SELECT a.lane, CAST(SUM(a.cnt * b2.cnt) AS BIGINT) AS ip
+        |  FROM ra a JOIN ra b2 USING (lane, bucket) GROUP BY 1),
+        |ex AS (SELECT CAST(SUM(c * c) AS BIGINT) AS exact
+        |  FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_partkey))
+        |SELECT (SELECT min(ip) FROM ip) AS est,
+        |  (SELECT CAST(sum(cnt) // 4 AS BIGINT) FROM ra) AS n_a,
+        |  (SELECT CAST(sum(cnt) // 4 AS BIGINT) FROM ra) AS n_b,
+        |  ex.exact AS exact
+        |FROM ex""".stripMargin)),
+
     // JSONL source (S-family): documents round-trip through sharded
     // JSON-lines plus a planted corrupt shard; the audited PERMISSIVE
     // read surfaces each bad line as a counted all-null row — DuckDB's

@@ -37,7 +37,9 @@ class PlanShapeSpec extends SparkSpec {
     "llm_nb_train" ->
       "one-row class-totals aggregate over the width-row dense model (parallel partials); corpus side is one keyed count",
     "llm_nb_classify" ->
-      "one-row totals + one-row prior aggregates; corpus side is the keyed feature count + broadcast-model score join")
+      "one-row totals + one-row prior aggregates; corpus side is the keyed feature count + broadcast-model score join",
+    "a15_join_size_sketch" ->
+      "one-row estimator outputs (lane-min, side counts, exact check) over 4xwidth-row registers; corpus side is two keyed register aggregates")
 
   private val allowedAllPairs = Map(
     "llm_similarity_topk" ->
@@ -59,7 +61,9 @@ class PlanShapeSpec extends SparkSpec {
     "llm_nb_train" ->
       "one-row totals broadcast-joined onto the width-row model (scalar join)",
     "llm_nb_classify" ->
-      "one-row totals/prior broadcast-joined onto model and per-doc scores (scalar joins)")
+      "one-row totals/prior broadcast-joined onto model and per-doc scores (scalar joins)",
+    "a15_join_size_sketch" ->
+      "three one-row frames cross-joined into the single output row (scalar joins); registers never all-pairs")
 
   test("no registry query plans an undocumented single-partition exchange or all-pairs join") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
