@@ -383,6 +383,31 @@ object Ops {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Fuzzy record linkage (entity resolution) — the BLOCKED
+    * edit-distance self-join: records pair only within their blocking
+    * key (the record-linkage analog of an LSH band — a deterministic
+    * cheap key both copies of a dirty entity agree on, e.g. a name
+    * substring avoiding the noisy tail, a phone suffix, a zip), then
+    * candidates score by `levenshtein` — classic DP, exact integers,
+    * codegen'd in Spark and identical in DuckDB, so the whole fuzzy
+    * join is oracle-gradable. Without blocking this is the O(n²)
+    * cross join every ER paper warns about; with it, cost is
+    * Σ_block |block|² — the caller's key choice bounds the fan-out
+    * exactly like [[intervalJoin]]'s bucket width. Hot blocks are hot
+    * equi-keys: salt or AQE-skew-split like any other. Output:
+    * (a, b, lev) with a < b and lev ≤ maxEdit; join attributes back
+    * on the ids for agreement scoring, and feed the matched pairs to
+    * `Dedup.duplicateClusters` for canonical entity ids. */
+  def fuzzyLinkPairs(df: DataFrame, id: String, block: Column,
+                     name: Column, maxEdit: Int): DataFrame = {
+    val l = df.select(col(id).as("a"), block.as("__blk"), name.as("__na"))
+    val r = df.select(col(id).as("b"), block.as("__blk"), name.as("__nb"))
+    l.join(r, Seq("__blk")).filter(col("a") < col("b"))
+      .withColumn("lev", levenshtein(col("__na"), col("__nb")).cast("long"))
+      .filter(col("lev") <= maxEdit)
+      .select(col("a"), col("b"), col("lev"))
+  }
+
   /** CMS join-size estimation — the count-min inner-product bound a
     * planner consults BEFORE running an equi-join it suspects is
     * quadratic (hot-key self-joins chief among them): per lane d,

@@ -631,6 +631,53 @@ object Relational {
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin)),
 
+    // fuzzy record linkage (entity resolution): every 10th customer
+    // gains a dirty copy (last name char corrupted); blocking on the
+    // 8-digit name core bounds candidates like an LSH band, and
+    // levenshtein (exact DP integers in both engines) + field
+    // agreement recovers the planted duplicates — a fully
+    // oracle-graded fuzzy join
+    ("j8_record_linkage",
+      ((s: SparkSession, d: String) => {
+        val cust = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            col("c_mktsegment"))
+        val dirty = cust.unionByName(
+          cust.filter(pmod(col("c_custkey"), lit(10)) === 0)
+            .select((col("c_custkey") + 100000L).as("c_custkey"),
+              concat(substring(col("c_name"), 1,
+                17), lit("X")).as("c_name"),
+              col("c_nationkey"), col("c_mktsegment")))
+        val pairs = Ops.fuzzyLinkPairs(dirty, "c_custkey",
+          block = substring(col("c_name"), 10, 8),
+          name = col("c_name"), maxEdit = 1)
+        val attrs = dirty.select(col("c_custkey"), col("c_nationkey"),
+          col("c_mktsegment"))
+        pairs
+          .join(attrs.toDF("a", "na_nation", "na_seg"), Seq("a"))
+          .join(attrs.toDF("b", "nb_nation", "nb_seg"), Seq("b"))
+          .filter(col("na_nation") === col("nb_nation") &&
+            col("na_seg") === col("nb_seg"))
+          .select(col("a"), col("b"), col("lev"))
+          .orderBy(col("a"), col("b"))
+      }): Q,
+      Some("""WITH dirty AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 100000, substr(c_name, 1, 17) || 'X',
+        |    c_nationkey, c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 0)
+        |SELECT a.c_custkey AS a, b.c_custkey AS b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev
+        |FROM dirty a JOIN dirty b
+        |  ON substr(a.c_name, 10, 8) = substr(b.c_name, 10, 8)
+        |  AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |  AND a.c_nationkey = b.c_nationkey
+        |  AND a.c_mktsegment = b.c_mktsegment
+        |ORDER BY a, b""".stripMargin)),
+
     // CMS inner-product join-size estimation: the planner bound for a
     // suspected-quadratic equi-join (here the l_partkey self-join),
     // graded WITH the exact size so the overestimate guarantee
