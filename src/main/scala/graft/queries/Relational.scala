@@ -631,6 +631,58 @@ object Relational {
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin)),
 
+    // rolling-frame window (W5): trailing 5-row sum/mean per user in
+    // event-time order — the rowsBetween frame family the resample/
+    // cumsum rows don't exercise; mean derived from the two exact
+    // integer sums (single deterministic divide)
+    ("w5_rolling_frame",
+      ((s: SparkSession, d: String) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(-4, org.apache.spark.sql.expressions.Window.currentRow)
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+            floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+          .withColumn("roll_n", count(lit(1)).over(w))
+          .withColumn("roll_sum_c", sum(col("vc")).over(w))
+          .withColumn("roll_mean_c", call_function("div",
+            sum(col("vc")).over(w), count(lit(1)).over(w)))
+          .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+      }): Q,
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events)
+        |SELECT user_id, ts_us, event_id, vc,
+        |  count(*) OVER w AS roll_n,
+        |  CAST(sum(vc) OVER w AS BIGINT) AS roll_sum_c,
+        |  CAST(sum(vc) OVER w // count(*) OVER w AS BIGINT) AS roll_mean_c
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin)),
+
+    // exact group moments (A16): per-group n, Σx, Σx² as integers —
+    // the numerically-stable sufficient statistics mean/variance
+    // derive from, exact under any partial-aggregation order
+    ("a16_group_moments",
+      ((s: SparkSession, d: String) =>
+        Tables.events(s, d)
+          .select(col("event_type"),
+            floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("vc")).as("sum_c"),
+            sum(col("vc") * col("vc")).as("sum_sq_c"),
+            call_function("div", sum(col("vc")), count(lit(1)))
+              .as("mean_c"))
+          .orderBy(col("event_type"))): Q,
+      Some("""SELECT event_type, count(*) AS n,
+        |  CAST(sum(vc) AS BIGINT) AS sum_c,
+        |  CAST(sum(vc * vc) AS BIGINT) AS sum_sq_c,
+        |  CAST(sum(vc) // count(*) AS BIGINT) AS mean_c
+        |FROM (SELECT event_type,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // fuzzy record linkage (entity resolution): every 10th customer
     // gains a dirty copy (last name char corrupted); blocking on the
     // 8-digit name core bounds candidates like an LSH band, and
