@@ -383,6 +383,30 @@ object Ops {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Row-level snapshot diff — the reconciliation operator between
+    * two versions of a keyed table (yesterday's corpus vs today's, a
+    * migrated copy vs its source): one full-outer join on the key
+    * classifies every row as added / removed / changed / unchanged,
+    * with "changed" decided by md5 over the normalized value columns
+    * (16-byte compare however wide the row — the lineDedup digest
+    * rule). One shuffle on the key; at fleet scale both sides bucket
+    * on the key and the join goes exchange-free ([[Bucketing]]).
+    * Output: (key…, status) one row per key present in either side. */
+  def snapshotDiff(a: DataFrame, b: DataFrame, keys: Seq[String],
+                   valueCols: Seq[String]): DataFrame = {
+    def digest(df: DataFrame) = df.select(
+      keys.map(col) :+ md5(concat_ws("",
+        valueCols.map(c => coalesce(col(c).cast("string"), lit(" "))): _*)
+      ).as("__h"): _*)
+    digest(a).withColumnRenamed("__h", "__ha")
+      .join(digest(b).withColumnRenamed("__h", "__hb"), keys, "full_outer")
+      .select(keys.map(col) :+
+        when(col("__ha").isNull, lit("added"))
+          .when(col("__hb").isNull, lit("removed"))
+          .when(col("__ha") =!= col("__hb"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"): _*)
+  }
+
   /** Fuzzy record linkage (entity resolution) — the BLOCKED
     * edit-distance self-join: records pair only within their blocking
     * key (the record-linkage analog of an LSH band — a deterministic

@@ -631,6 +631,100 @@ object Relational {
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin)),
 
+    // row-level snapshot diff (§2.8 at table scale): snapshot B bumps
+    // every 100th order's price, drops every 97th row, adds shifted
+    // copies of every 90th — one full-outer key join classifying every
+    // row, "changed" decided on 16-byte digests
+    ("p13_snapshot_diff",
+      ((s: SparkSession, d: String) => {
+        // price integerized to cents BEFORE the digest: double→string
+        // rendering is shortest-roundtrip in both engines today, but
+        // integer keys remove the formatting coupling outright
+        val a = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("long").as("price_c"))
+        val b = a.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            when(pmod(col("o_orderkey"), lit(100)) === 0,
+              col("price_c") + 100L).otherwise(col("price_c"))
+              .as("price_c"))
+          .unionByName(a.filter(pmod(col("o_orderkey"), lit(90)) === 0)
+            .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+              col("o_custkey"), col("price_c")))
+        Ops.snapshotDiff(a, b, Seq("o_orderkey"),
+            Seq("o_custkey", "price_c"))
+          .groupBy(col("status")).agg(count(lit(1)).as("n"))
+          .orderBy(col("status"))
+      }): Q,
+      Some("""WITH a0 AS (SELECT o_orderkey, o_custkey,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+        |  FROM orders),
+        |a AS (SELECT o_orderkey, md5(CAST(o_custkey AS VARCHAR)
+        |  || CAST(price_c AS VARCHAR)) AS h FROM a0),
+        |b0 AS (SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 100 = 0 THEN price_c + 100
+        |    ELSE price_c END AS price_c
+        |  FROM a0 WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, price_c
+        |  FROM a0 WHERE o_orderkey % 90 = 0),
+        |b AS (SELECT o_orderkey, md5(CAST(o_custkey AS VARCHAR)
+        |  || CAST(price_c AS VARCHAR)) AS h FROM b0),
+        |s AS (SELECT CASE WHEN a.h IS NULL THEN 'added'
+        |    WHEN b.h IS NULL THEN 'removed'
+        |    WHEN a.h <> b.h THEN 'changed'
+        |    ELSE 'unchanged' END AS status
+        |  FROM a FULL OUTER JOIN b USING (o_orderkey))
+        |SELECT status, count(*) AS n FROM s
+        |GROUP BY status ORDER BY status""".stripMargin)),
+
+    // referential-integrity / data-quality audit (the dbt-style table
+    // contract): orphan facts, duplicate natural keys, null rates —
+    // one aggregate per check over planted defects (shifted orphan
+    // copies; the synthetic lineitem's real duplicate keys)
+    ("s9_integrity_audit",
+      ((s: SparkSession, d: String) => {
+        val li = Tables.lineitem(s, d)
+        val orders = Tables.orders(s, d)
+        val dirty = li.select(col("l_orderkey"), col("l_linenumber"))
+          .unionByName(
+            li.filter(pmod(col("l_orderkey"), lit(500)) === 0)
+              .select((col("l_orderkey") + 50000000L).as("l_orderkey"),
+                col("l_linenumber")))
+        val orphans = dirty.join(
+          orders.select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n")).select(lit("orphan_lines").as("check"),
+            col("n"))
+        val dupKeys = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+          .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+          .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n"))
+          .select(lit("dup_line_keys").as("check"), col("n"))
+        val nulls = li.agg(
+          sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("n"))
+          .select(lit("null_shipdates").as("check"), col("n"))
+        orphans.unionByName(dupKeys).unionByName(nulls)
+          .orderBy(col("check"))
+      }): Q,
+      Some("""WITH dirty AS (SELECT l_orderkey, l_linenumber FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey + 50000000, l_linenumber FROM lineitem
+        |  WHERE l_orderkey % 500 = 0),
+        |orphans AS (SELECT 'orphan_lines' AS chk, count(*) AS n
+        |  FROM dirty d LEFT JOIN orders o ON d.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderkey IS NULL),
+        |dup AS (SELECT 'dup_line_keys' AS chk,
+        |  CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS n
+        |  FROM (SELECT count(*) AS c FROM lineitem
+        |        GROUP BY l_orderkey, l_linenumber) WHERE c > 1),
+        |nl AS (SELECT 'null_shipdates' AS chk,
+        |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n FROM lineitem)
+        |SELECT chk AS "check", n FROM
+        |  (SELECT * FROM orphans UNION ALL SELECT * FROM dup
+        |   UNION ALL SELECT * FROM nl)
+        |ORDER BY "check"""".stripMargin)),
+
     // rolling-frame window (W5): trailing 5-row sum/mean per user in
     // event-time order — the rowsBetween frame family the resample/
     // cumsum rows don't exercise; mean derived from the two exact
