@@ -39,7 +39,9 @@ class PlanShapeSpec extends SparkSpec {
     "llm_nb_classify" ->
       "one-row totals + one-row prior aggregates; corpus side is the keyed feature count + broadcast-model score join",
     "a15_join_size_sketch" ->
-      "one-row estimator outputs (lane-min, side counts, exact check) over 4xwidth-row registers; corpus side is two keyed register aggregates")
+      "one-row estimator outputs (lane-min, side counts, exact check) over 4xwidth-row registers; corpus side is two keyed register aggregates",
+    "s9_integrity_audit" ->
+      "three one-row check aggregates (parallel partials) unioned into the 3-row report; corpus side is anti-join + keyed counts")
 
   private val allowedAllPairs = Map(
     "llm_similarity_topk" ->
