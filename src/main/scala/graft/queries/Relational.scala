@@ -631,6 +631,68 @@ object Relational {
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin)),
 
+    // NATIVE session-window aggregation: Spark's session_window(ts,
+    // gap) — the built-in merging-interval aggregate, graded against
+    // the same lag/cumsum SQL that grades the custom sessionizers
+    // (native merge semantics: a gap >= 30min starts a new session)
+    ("a17_session_window_native",
+      ((s: SparkSession, d: String) =>
+        Tables.events(s, d)
+          .groupBy(session_window(timestamp_micros(col("ts_us")),
+            "30 minutes").as("w"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(floor(col("value") * 100 + 0.5).cast("long"))
+              .as("sum_value_c"))
+          .select(col("user_id"),
+            unix_micros(col("w.start")).as("session_start_us"),
+            col("n_events"), col("sum_value_c"))
+          .orderBy(col("user_id"), col("session_start_us"))): Q,
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value
+        |  FROM events),
+        |l AS (SELECT *, lag(ts_us) OVER
+        |  (PARTITION BY user_id ORDER BY ts_us) AS prev FROM e),
+        |s AS (SELECT *, CAST(sum(CASE WHEN prev IS NULL
+        |    OR ts_us - prev >= 1800000000 THEN 1 ELSE 0 END) OVER
+        |  (PARTITION BY user_id ORDER BY ts_us
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS sid FROM l)
+        |SELECT user_id, min(ts_us) AS session_start_us,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_value_c
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin)),
+
+    // pivot (reshape family): per-user event-type counts as columns —
+    // Spark's pivot with an EXPLICIT value list (no discovery pass);
+    // the oracle is plain conditional aggregation
+    ("a18_pivot_event_types",
+      ((s: SparkSession, d: String) =>
+        Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .pivot("event_type",
+            Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .select(col("user_id"),
+            coalesce(col("click"), lit(0L)).as("n_click"),
+            coalesce(col("error"), lit(0L)).as("n_error"),
+            coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+            coalesce(col("signup"), lit(0L)).as("n_signup"),
+            coalesce(col("view"), lit(0L)).as("n_view"))
+          .orderBy(col("user_id"))): Q,
+      Some("""SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // row-level snapshot diff (§2.8 at table scale): snapshot B bumps
     // every 100th order's price, drops every 97th row, adds shifted
     // copies of every 90th — one full-outer key join classifying every
