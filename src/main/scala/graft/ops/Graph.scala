@@ -70,4 +70,57 @@ object Graph {
     r.join(deg.withColumnRenamed("src", "node"), Seq("node"))
       .select(col("node"), col("deg"), col("r"))
   }
+
+  /** Seeded (personalized) PageRank — TrustRank: the restart mass
+    * lands ONLY on a trusted seed set instead of uniformly, so scores
+    * measure proximity to the seeds (the published "propagate trust
+    * from vetted hosts before filtering the crawl" recipe; equally
+    * the dup-graph question "how close is this doc to a known-bad
+    * cluster"). Same exact fixed-point recurrence as [[pageRank]] —
+    * r'ᵥ = [v ∈ seeds]·⌊(1−d)·S/|seeds|⌋ + ⌊d·Σ⌊rᵤ/degᵤ⌋⌋, floor
+    * divisions only, bit-replayable — same per-iteration shapes, one
+    * extra broadcast semi-join marking the seeds. Non-seed nodes
+    * unreachable from a seed decay to 0: the isolation signal itself.
+    * `seeds` must be non-empty and a subset of the graph's nodes for
+    * the mass accounting to mean anything (callers filter first). */
+  def trustRank(edges0: DataFrame, seeds: DataFrame, iters: Int = 5,
+                scale: Long = 1000000000000L,
+                dampNum: Long = 17L, dampDen: Long = 20L): DataFrame = {
+    require(iters >= 1 && dampDen > dampNum && dampNum > 0,
+      "need iters >= 1 and 0 < dampNum < dampDen")
+    val edges = edges0.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val seedSet = nodes.join(
+      seeds.select(col("node").cast("long").as("node")), Seq("node"),
+      "left_semi").localCheckpoint()
+    val nSeeds = seedSet.count()
+    require(nSeeds > 0, "trustRank needs at least one in-graph seed")
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edgesD = edges.join(deg, Seq("src")).localCheckpoint()
+    val base = (scale * (dampDen - dampNum)) / (dampDen * nSeeds)
+    val isSeed = seedSet.withColumn("__seed", lit(true))
+    var r = nodes.join(broadcast(isSeed), Seq("node"), "left")
+      .select(col("node"), when(col("__seed"), lit(scale / nSeeds))
+        .otherwise(lit(0L)).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contribs = edgesD
+        .join(r.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          call_function("div", col("r"), col("deg")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("in_c"))
+      r = nodes.join(broadcast(isSeed), Seq("node"), "left")
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (when(col("__seed"), lit(base)).otherwise(lit(0L)) +
+            call_function("div", lit(dampNum) * coalesce(col("in_c"),
+              lit(0L)), lit(dampDen))).as("r"))
+        .localCheckpoint()
+    }
+    r.join(deg.withColumnRenamed("src", "node"), Seq("node"))
+      .select(col("node"), col("deg"), col("r"))
+  }
 }

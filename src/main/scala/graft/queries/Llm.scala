@@ -1034,6 +1034,61 @@ object Llm {
         |FROM pr p JOIN deg d ON d.src = p.node
         |WHERE p.iter = 5 ORDER BY doc_id""".stripMargin)),
 
+    // seeded (personalized) PageRank over the same candidate graph:
+    // restart mass lands only on the even-id "trusted" nodes, scores
+    // measure seed proximity (TrustRank); the oracle replays the
+    // seeded recurrence in the same RECURSIVE CTE family
+    ("llm_graph_trustrank",
+      ((s: SparkSession, d: String) => {
+        import s.implicits._
+        val edges = graft.ops.Graph.symmetrize(
+          Dedup.candidatePairs(Tables.documents(s, d), "text", "doc_id",
+            k = 5, maxDf = 5))
+        val seeds = edges.select(col("src").as("node"))
+          .union(edges.select(col("dst").as("node"))).distinct()
+          .filter(pmod(col("node"), lit(2)) === 0)
+        graft.ops.Graph.trustRank(edges, seeds, iters = 5)
+          .withColumnRenamed("node", "doc_id")
+          .orderBy(col("doc_id"))
+      }): Q,
+      Some("""WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
+        |        FROM toks)),
+        |dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+        |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN dfreq USING (shingle) JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id AND dfreq.df <= 5),
+        |dedges AS (SELECT a AS src, b AS dst FROM cand
+        |  UNION ALL SELECT b, a FROM cand),
+        |nodes AS (SELECT DISTINCT src AS node FROM dedges),
+        |seeds AS (SELECT node FROM nodes WHERE node % 2 = 0),
+        |ns AS (SELECT count(*) AS n FROM seeds),
+        |deg AS (SELECT src, count(*) AS deg FROM dedges GROUP BY src),
+        |pr(iter, node, r) AS (
+        |  SELECT 0, n.node,
+        |    CASE WHEN s.node IS NOT NULL
+        |      THEN 1000000000000 // (SELECT n FROM ns) ELSE 0 END
+        |  FROM nodes n LEFT JOIN seeds s USING (node)
+        |  UNION ALL
+        |  SELECT x.iter + 1, x.node,
+        |    CASE WHEN x.is_seed
+        |      THEN 3000000000000 // (20 * (SELECT n FROM ns)) ELSE 0 END
+        |    + (17 * x.s) // 20
+        |  FROM (SELECT p.iter AS iter, e.dst AS node,
+        |          max(CASE WHEN s2.node IS NOT NULL THEN 1 ELSE 0 END) = 1
+        |            AS is_seed,
+        |          SUM(p.r // d.deg) AS s
+        |        FROM pr p JOIN deg d ON d.src = p.node
+        |          JOIN dedges e ON e.src = p.node
+        |          LEFT JOIN seeds s2 ON s2.node = e.dst
+        |        WHERE p.iter < 5 GROUP BY p.iter, e.dst) x)
+        |SELECT p.node AS doc_id, d.deg AS deg, p.r AS r
+        |FROM pr p JOIN deg d ON d.src = p.node
+        |WHERE p.iter = 5 ORDER BY doc_id""".stripMargin)),
+
     // asymmetric CONTAINMENT dedup over planted extended copies: every
     // 20th doc gains a doubled-length container whose Jaccard sits
     // near 1/3 (invisible to the 0.5 resemblance gate) while

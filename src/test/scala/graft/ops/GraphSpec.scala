@@ -57,6 +57,34 @@ class GraphSpec extends SparkSpec {
       s"mass $total vs $scale")
   }
 
+  test("trustRank: seed-proximity ordering, brute-force agreement, isolation decays to 0") {
+    // two components: a seeded triangle and an unseeded pair
+    val pairs = Seq((2L, 4L), (4L, 5L), (2L, 5L), (7L, 9L))
+    val sym = pairs ++ pairs.map(_.swap)
+    val seeds = Seq(2L, 4L)
+    val got = Graph.trustRank(sym.toDF("src", "dst"),
+        seeds.toDF("node"), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // brute-force replay of the seeded integer recurrence
+    val scale = 1000000000000L
+    val nodes = sym.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = (scale * 3) / (20 * seeds.size)
+    var r = nodes.map(v =>
+      v -> (if (seeds.contains(v)) scale / seeds.size else 0L)).toMap
+    for (_ <- 1 to 5) {
+      val in = sym.groupBy(_._2).view
+        .mapValues(_.map { case (u, _) => r(u) / deg(u) }.sum).toMap
+      r = nodes.map(v => v -> ((if (seeds.contains(v)) base else 0L) +
+        17L * in.getOrElse(v, 0L) / 20L)).toMap
+    }
+    nodes.foreach(v => assert(got(v) == r(v), s"node $v"))
+    // the unseeded component holds zero trust; seeds outrank the
+    // non-seed member of their component
+    assert(got(7L) == 0L && got(9L) == 0L)
+    assert(got(2L) > got(5L) && got(4L) > got(5L) && got(5L) > 0L)
+  }
+
   test("deterministic across runs and partitionings") {
     val pairs = (1L to 200L).map(i => (i, i * 7 % 201 + 1))
     val sym = pairs ++ pairs.map(_.swap)
