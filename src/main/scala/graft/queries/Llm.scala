@@ -1034,6 +1034,60 @@ object Llm {
         |FROM pr p JOIN deg d ON d.src = p.node
         |WHERE p.iter = 5 ORDER BY doc_id""".stripMargin)),
 
+    // STREAM-STREAM interval join graded end-to-end: error-window and
+    // click streams arrive as 3 worst-case-order tranches EACH, join
+    // continuously via Streaming.intervalJoinStream (bucket-equality
+    // state sharding + watermarked range), and the accumulated sink
+    // grades against j6_interval_bucket_join's batch SQL VERBATIM
+    // (lives here for the streamTempRun/streamedTranches helpers)
+    ("j6_interval_join_streamed",
+      ((s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+        streamTempRun("graft-ij-stream") { base =>
+          val intervals = ev.filter(col("event_type") === "error")
+            .select(col("event_id").as("incident_id"),
+              col("ts_us").as("i_us"))
+          val points = ev.filter(col("event_type") === "click")
+            .select(col("ts_us").as("p_us"),
+              floor(col("value") * 100 + 0.5).cast("long").as("v_c"))
+          streamedTranches(s"$base/i", (0 to 2).map(i =>
+            intervals.filter(pmod(col("incident_id"), lit(3)) === (2 - i))))
+          streamedTranches(s"$base/p", (0 to 2).map(i =>
+            points.filter(pmod(col("p_us"), lit(3)) === i)))
+          val iS = graft.streaming.Streaming.fileStream(s, s"$base/i",
+              intervals.schema, maxFilesPerTrigger = 1)
+            .withColumn("i_ts", timestamp_micros(col("i_us")))
+          val pS = graft.streaming.Streaming.fileStream(s, s"$base/p",
+              points.schema, maxFilesPerTrigger = 1)
+            .withColumn("p_ts", timestamp_micros(col("p_us")))
+          val joined = graft.streaming.Streaming.intervalJoinStream(
+            pS, iS, "p_ts", "i_ts", lengthUs = 300000000L,
+            lateness = "90 days")
+          val q = joined.select(col("incident_id"), col("p_us"), col("v_c"))
+            .writeStream.format("parquet")
+            .option("path", s"$base/out")
+            .option("checkpointLocation", s"$base/ck")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          try q.awaitTermination() finally if (q.isActive) q.stop()
+          s.read.parquet(s"$base/out")
+            .groupBy(col("incident_id"))
+            .agg(count(lit(1)).as("n_clicks"), sum(col("v_c")).as("sum_v_c"),
+              min(col("p_us")).as("first_click_us"))
+        }.orderBy(col("incident_id"))
+      }): Q,
+      Some("""WITH i AS (SELECT event_id AS incident_id, epoch_us(ts) AS lo,
+        |  epoch_us(ts) + 300000000 AS hi FROM events
+        |  WHERE event_type = 'error'),
+        |p AS (SELECT epoch_us(ts) AS p_ts,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c FROM events
+        |  WHERE event_type = 'click')
+        |SELECT incident_id, count(*) AS n_clicks,
+        |  CAST(sum(v_c) AS BIGINT) AS sum_v_c,
+        |  min(p_ts) AS first_click_us
+        |FROM i JOIN p ON p_ts >= lo AND p_ts < hi
+        |GROUP BY incident_id ORDER BY incident_id""".stripMargin)),
+
     // seeded (personalized) PageRank over the same candidate graph:
     // restart mass lands only on the even-id "trusted" nodes, scores
     // measure seed proximity (TrustRank); the oracle replays the
