@@ -416,6 +416,43 @@ object ScaleProbe {
       label = when(pmod(col("doc_id"), lit(3)) === 0, 1L).otherwise(-1L),
       width = 1024))
 
+    // seeded TrustRank: pageRank's shapes + one broadcast seed
+    // semi-join per iteration
+    time("graph_trustrank")({
+      val edges = ops.Graph.symmetrize(
+        llm.Dedup.candidatePairs(docs, "text", "doc_id"))
+      val seeds = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+        .filter(pmod(col("node"), lit(2)) === 0)
+      ops.Graph.trustRank(edges, seeds, iters = 5)
+    })
+    // fuzzy record linkage: blocked levenshtein self-join over the
+    // replicated events "names". The block key is the whole scale
+    // story: an 11-of-12-digit key caps blocks at ~10 records
+    // (cost Σ|block|² stays linear-ish); a first probe with a
+    // 9-digit key made 1000-record blocks and ~2·10⁹ candidate
+    // pairs — 244 s of honest quadratic work, kept here as the
+    // cautionary note the operator's scaladoc points at
+    time("record_linkage")({
+      val recs = events.select(col("event_id"),
+        concat(lit("rec#"), lpad(col("event_id").cast("string"), 12, "0"))
+          .as("nm"))
+      ops.Ops.fuzzyLinkPairs(recs, "event_id",
+        block = substring(col("nm"), 5, 11),
+        name = col("nm"), maxEdit = 1)
+    })
+    // snapshot diff: one full-outer key join over 2M-row versions
+    time("snapshot_diff")({
+      val a = events.select(col("event_id"), col("user_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+      val b = a.filter(pmod(col("event_id"), lit(97)) =!= 0)
+        .select(col("event_id"), col("user_id"),
+          when(pmod(col("event_id"), lit(100)) === 0, col("vc") + 1L)
+            .otherwise(col("vc")).as("vc"))
+      ops.Ops.snapshotDiff(a, b, Seq("event_id"), Seq("user_id", "vc"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+    })
+
     // Streaming-index lifecycle: a per-micro-batch sink accumulates one
     // batch_id= partition per batch; this measures the per-batch index
     // READ (listing + scan + the existence probe — what every stream
