@@ -127,6 +127,25 @@ object Relational {
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
         .stripMargin)),
 
+    // CUBE (the rollup's sibling): all 2^k grouping sets in one
+    // partial-aggregated pass, gid disambiguating the null-as-total
+    // levels exactly as in a10
+    ("a19_cube",
+      ((s: SparkSession, d: String) =>
+        Tables.lineitem(s, d)
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n_rows"),
+            grouping_id(col("l_returnflag"), col("l_linestatus")).as("gid"))
+          .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first)): Q,
+      Some("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |count(*) AS n_rows,
+        |GROUPING(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+        .stripMargin)),
+
     ("a2_last_per_key",
       ((s: SparkSession, d: String) =>
         Ops.lastPerKey(Tables.events(s, d),
