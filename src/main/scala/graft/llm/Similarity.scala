@@ -558,6 +558,129 @@ object Similarity {
       .select(col("q_id"), col(id), col("score"), col("rn"))
   }
 
+  /** L2-normalize an embedding column (double-cast first): PQ trains,
+    * encodes and queries on the UNIT SPHERE so the ADC dot-product
+    * scores rank like the cosine the rest of the engine uses — the
+    * standard normalize-before-PQ rule. One deterministic chain
+    * (sqrt of the index-ordered self-dot, one divide per coordinate),
+    * replayed verbatim in SQL. Zero vectors stay zero (0/1 guard
+    * rather than 0/0 NaN poisoning every code). */
+  private def pqNormalize(emb: Column): Column = {
+    val e = transform(emb, x => x.cast("double"))
+    val nrm = sqrt(VectorFunctions.dot(e, e))
+    transform(e, x => x / when(nrm === 0.0, 1.0).otherwise(nrm))
+  }
+
+  /** Product-quantization codes for one vector — array of `m` sub-
+    * space centroid ids (0-based). Assignment is L2-nearest via the
+    * monotone surrogate 2·x·c − |c|² (argMAX — avoids computing |x|²,
+    * which is constant per subvector), ties → lowest code, all folds
+    * index-ordered so the DuckDB replay is bit-identical. A pure
+    * projection: encoding costs no shuffle. */
+  def pqCodes(e: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val m = codebooks.length
+    val subDim = codebooks(0)(0).length
+    array((0 until m).map { s =>
+      val sub = slice(e, s * subDim + 1, subDim)
+      val scores = array(codebooks(s).map { c =>
+        VectorFunctions.dot(sub, typedlit(c.toSeq)) * 2.0 -
+          lit(c.map(x => x * x).sum)
+      }: _*)
+      (array_position(scores, array_max(scores)) - 1).cast("int")
+    }: _*)
+  }
+
+  /** Fixed-iteration PQ codebook trainer — `m` INDEPENDENT Lloyd's
+    * runs over the subspaces, all folded into ONE corpus pass per
+    * iteration (assign all m codes in a single projection, explode to
+    * (subspace, code, coordinate), one keyed aggregate): the same
+    * exact-integer recentring contract as [[trainIvfCentroids]]
+    * ([[TrainQuant]]-quantized sums, one rounded IEEE divide), same
+    * deterministic splitmix init (per-subspace seed offset), same
+    * empty-cell rule (keep the previous centroid) — so the
+    * `llm_similarity_pq_train` oracle replays every round. The model
+    * is m·k·(dim/m) scalars (driver, the model-state rule); train on
+    * a sample at fleet scale. */
+  def trainPqCodebooks(corpus: DataFrame, emb: String, m: Int = 8,
+                       k: Int = 16, iters: Int = 3, dim: Int = 64,
+                       seed: Long = IvfSeed): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, "dim must divide evenly into m subspaces")
+    VectorFunctions.register(corpus.sparkSession)
+    val subDim = dim / m
+    val asDouble = graft.ops.Ops.parallelizeInput(corpus)
+      .select(pqNormalize(col(emb)).as("e"))
+      .localCheckpoint()
+    // init centroids scaled to the data shell: unit vectors' subspace
+    // norms are ~1/sqrt(m), while raw splitmix planes sit at
+    // ~sqrt(subDim/3) — unscaled, the -|c|^2 term dominates the L2
+    // surrogate and every point collapses onto the smallest-norm
+    // centroid (measured recall 0.08). sqrt(3/dim) lands init norms
+    // at ~1/sqrt(m); 3.0/dim is exactly representable (dim a power of
+    // two) so the SQL replay multiplies by the identical double.
+    val initScale = math.sqrt(3.0 / dim)
+    var cbs = Array.tabulate(m)(s =>
+      planes(k, subDim, seed + 1000L * s).map(_.map(_ * initScale)))
+    for (_ <- 0 until iters) {
+      val next = Array.tabulate(m, k, subDim)((s, c, i) => cbs(s)(c)(i))
+      asDouble
+        .select(col("e"), posexplode(pqCodes(col("e"), cbs))
+          .as(Seq("s", "code")))
+        .select(col("s"), col("code"),
+          posexplode(slice(col("e"), col("s") * subDim + 1, lit(subDim)))
+            .as(Seq("i", "x")))
+        .groupBy(col("s"), col("code"), col("i"))
+        .agg(sum(floor(col("x") * TrainQuant + 0.5).cast("long")).as("sm"),
+          count(lit(1)).as("n"))
+        .collect()
+        .foreach { r =>
+          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+            r.getLong(3).toDouble / (r.getLong(4) * TrainQuant)
+        }
+      cbs = next
+    }
+    cbs
+  }
+
+  /** PQ/ADC top-k retrieval — the FAISS-family memory-scale path next
+    * to [[ivfTopK]]'s pruning: the corpus is stored as m small-int
+    * codes per vector (m bytes at k ≤ 256 — a 32× compression of a
+    * 64-float embedding), queries stay exact, and scoring is
+    * asymmetric-distance: per query, a LUT of ⌊q_sub·centroid·2²⁰+½⌋
+    * per (subspace, code) — m·k integers, broadcast with the query —
+    * and each candidate's score is the SUM of m table lookups (exact
+    * integer addition, oracle-replayed). Approximation error is the
+    * quantizer's, measured against brute force in LlmSpec. Output:
+    * (q_id, id, score_q, rn). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, id: String,
+             emb: String, k: Int,
+             codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val m = codebooks.length
+    val subDim = codebooks(0)(0).length
+    val c = graft.ops.Ops.parallelizeInput(corpus, col(id))
+      .select(col(id), pqCodes(pqNormalize(col(emb)), codebooks)
+        .as("codes"))
+    val luts = array((0 until m).map { s =>
+      val qsub = slice(col("q_e"), s * subDim + 1, subDim)
+      array(codebooks(s).map(cen =>
+        floor(VectorFunctions.dot(qsub, typedlit(cen.toSeq)) * TrainQuant
+          + 0.5).cast("long")): _*)
+    }: _*)
+    val q = queries.select(col(id).as("q_id"),
+        pqNormalize(col(emb)).as("q_e"))
+      .select(col("q_id"), luts.as("luts"))
+    c.join(broadcast(q), col("q_id") =!= col(id))
+      .withColumn("score_q", aggregate(sequence(lit(0), lit(m - 1)),
+        lit(0L), (acc, s) => acc +
+          element_at(element_at(col("luts"), s + 1),
+            element_at(col("codes"), s + 1) + 1)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("score_q").desc, col(id))))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col(id), col("score_q"), col("rn"))
+  }
+
   /** Planted MISLABELED near-duplicates: the same jittered copies as
     * [[withPlantedDups]] but carrying a shifted label — the
     * adversarial case [[hardNegatives]]'s duplicate guard exists for

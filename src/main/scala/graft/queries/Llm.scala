@@ -381,6 +381,53 @@ object Llm {
   $iterSql"""
   }
 
+  /** CTE stack replaying the PQ codebook trainer
+    * ([[graft.llm.Similarity.trainPqCodebooks]]): pc0..pc{iters} are
+    * per-round codebook states as (s, code, cen-list) rows — the
+    * trainedCentroidsSql pattern with a subspace axis. Assignment
+    * uses the L2 surrogate 2·x·c − |c|² with (DESC, code) tie-break;
+    * recentring is the exact 2⁻²⁰-quantized integer-sum rule. */
+  private def pqTrainSql(m: Int, k: Int, subDim: Int, iters: Int,
+                         src: String): String = {
+    val dim = m * subDim
+    val lits = (0 until m).map { s =>
+      graft.llm.Similarity.planeHashes(k, subDim,
+        graft.llm.Similarity.IvfSeed + 1000L * s)
+        .map(_.map(h => s"CAST($h AS DOUBLE)/9223372036854775807.0" +
+          s" * sqrt(3.0/$dim.0)")
+          .mkString("[", ", ", "]"))
+        .mkString("[", ",\n      ", "]")
+    }.mkString("[", ",\n    ", "]")
+    val iterSql = (1 to iters).map { t =>
+      s"""qa$t AS (SELECT vec_id, s, code FROM (
+    SELECT e.vec_id, c.s, c.code, row_number() OVER (
+      PARTITION BY e.vec_id, c.s
+      ORDER BY 2 * list_dot_product(
+          e.e[c.s * $subDim + 1 : c.s * $subDim + $subDim], c.cen)
+        - list_dot_product(c.cen, c.cen) DESC, c.code) AS rn
+    FROM $src e CROSS JOIN pc${t - 1} c) WHERE rn = 1),
+  qm$t AS (SELECT a.s, a.code, g.i AS i,
+      CAST(sum(CAST(floor(e.e[a.s * $subDim + g.i] * 1048576.0 + 0.5)
+        AS BIGINT)) AS DOUBLE) / (count(*) * 1048576.0) AS mval
+    FROM qa$t a JOIN $src e USING (vec_id),
+         (SELECT unnest(generate_series(1, $subDim)) AS i) g
+    GROUP BY a.s, a.code, g.i),
+  pc$t AS (SELECT p.s, p.code,
+      list(CASE WHEN m.mval IS NULL THEN p.cen[g.i] ELSE m.mval END
+        ORDER BY g.i) AS cen
+    FROM pc${t - 1} p
+    CROSS JOIN (SELECT unnest(generate_series(1, $subDim)) AS i) g
+    LEFT JOIN qm$t m ON m.s = p.s AND m.code = p.code AND m.i = g.i
+    GROUP BY p.s, p.code)"""
+    }.mkString(",\n  ")
+    s"""pcen0 AS (SELECT $lits AS a),
+  pc0 AS (SELECT si.i - 1 AS s, ci.i - 1 AS code, p.a[si.i][ci.i] AS cen
+    FROM pcen0 p,
+      (SELECT unnest(generate_series(1, $m)) AS i) si,
+      (SELECT unnest(generate_series(1, $k)) AS i) ci),
+  $iterSql"""
+  }
+
   /** CTE stack replaying `rounds` BPE training rounds (see
     * [[graft.llm.Bpe]]): `v0..v{rounds}` are vocabulary states with
     * U+0001-cell-encoded spellings (`chr(1)` builds the cells),
@@ -1495,6 +1542,84 @@ object Llm {
     // sample (vec_id % 2 = 0) — the documented fleet practice (the
     // quantizer needs the distribution, not the corpus), mirrored
     // exactly in the oracle's training CTE
+    // product-quantization codebook TRAINING: m=8 independent Lloyd's
+    // runs over the subspaces (trained on the even half), every round
+    // replayed in SQL with the exact-integer recentring — the trained
+    // artifact graded like the IVF/BPE/unigram/NB trainers
+    ("llm_similarity_pq_train",
+      ((s: SparkSession, d: String) => {
+        import s.implicits._
+        val cbs = Similarity.trainPqCodebooks(
+          Tables.embeddings(s, d)
+            .filter(pmod(col("vec_id"), lit(2)) === 0),
+          "embedding", m = 16, k = 16, iters = 3)
+        cbs.zipWithIndex.flatMap { case (cb, sIdx) =>
+          cb.zipWithIndex.flatMap { case (cen, code) =>
+            cen.zipWithIndex.map { case (v, i) =>
+              (sIdx.toLong, code.toLong, i.toLong,
+                math.floor(v * 1048576.0 + 0.5).toLong)
+            }
+          }
+        }.toSeq.toDF("s", "code", "i", "cen_q")
+          .orderBy(col("s"), col("code"), col("i"))
+      }): Q,
+      Some(s"""WITH emb AS (SELECT vec_id,
+        |  list_transform(e0, x -> x / (CASE WHEN n = 0 THEN 1.0 ELSE n END))
+        |    AS e
+        |  FROM (SELECT vec_id, e0, sqrt(list_dot_product(e0, e0)) AS n
+        |    FROM (SELECT vec_id,
+        |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e0
+        |      FROM embeddings))),
+        |embt AS (SELECT * FROM emb WHERE vec_id % 2 = 0),
+        |  ${pqTrainSql(m = 16, k = 16, subDim = 4, iters = 3, src = "embt")}
+        |SELECT p.s, p.code, CAST(g.i - 1 AS BIGINT) AS i,
+        |  CAST(floor(p.cen[g.i] * 1048576.0 + 0.5) AS BIGINT) AS cen_q
+        |FROM pc3 p,
+        |  (SELECT unnest(generate_series(1, 4)) AS i) g
+        |ORDER BY s, code, i""".stripMargin)),
+
+    // ...and PQ/ADC retrieval: the corpus stored as 8 codes per
+    // vector (32x compression), queries exact, scores = sums of
+    // quantized LUT lookups — exact integer ranking, oracle-replayed
+    // end-to-end (training included)
+    ("llm_similarity_pq_topk",
+      ((s: SparkSession, d: String) => {
+        val e = Tables.embeddings(s, d)
+        val cbs = Similarity.trainPqCodebooks(
+          e.filter(pmod(col("vec_id"), lit(2)) === 0),
+          "embedding", m = 16, k = 16, iters = 3)
+        Similarity.pqTopK(e, e.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 5, cbs)
+          .orderBy(col("q_id"), col("rn"))
+      }): Q,
+      Some(s"""WITH emb AS (SELECT vec_id,
+        |  list_transform(e0, x -> x / (CASE WHEN n = 0 THEN 1.0 ELSE n END))
+        |    AS e
+        |  FROM (SELECT vec_id, e0, sqrt(list_dot_product(e0, e0)) AS n
+        |    FROM (SELECT vec_id,
+        |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e0
+        |      FROM embeddings))),
+        |embt AS (SELECT * FROM emb WHERE vec_id % 2 = 0),
+        |  ${pqTrainSql(m = 16, k = 16, subDim = 4, iters = 3, src = "embt")},
+        |codes AS (SELECT vec_id, s, code FROM (
+        |  SELECT e.vec_id, c.s, c.code, row_number() OVER (
+        |    PARTITION BY e.vec_id, c.s
+        |    ORDER BY 2 * list_dot_product(e.e[c.s * 4 + 1 : c.s * 4 + 4],
+        |        c.cen) - list_dot_product(c.cen, c.cen) DESC, c.code) AS rn
+        |  FROM emb e CROSS JOIN pc3 c) WHERE rn = 1),
+        |qlut AS (SELECT q.vec_id AS q_id, c.s, c.code,
+        |  CAST(floor(list_dot_product(q.e[c.s * 4 + 1 : c.s * 4 + 4],
+        |    c.cen) * 1048576.0 + 0.5) AS BIGINT) AS w
+        |  FROM emb q CROSS JOIN pc3 c WHERE q.vec_id < 10),
+        |sc AS (SELECT l.q_id, cd.vec_id, CAST(SUM(l.w) AS BIGINT)
+        |    AS score_q
+        |  FROM codes cd JOIN qlut l ON l.s = cd.s AND l.code = cd.code
+        |  WHERE cd.vec_id <> l.q_id GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY score_q DESC, vec_id) AS rn FROM sc)
+        |SELECT q_id, vec_id, score_q, rn FROM r WHERE rn <= 5
+        |ORDER BY q_id, rn""".stripMargin)),
+
     ("llm_similarity_ivf_trained",
       ((s: SparkSession, d: String) => {
         val e = Tables.embeddings(s, d)

@@ -468,6 +468,50 @@ class LlmSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("pq codes + ADC retrieval: planted dups recovered, natural recall honest, deterministic") {
+    val cbs = Similarity.trainPqCodebooks(
+      emb.filter(pmod(col("vec_id"), lit(2)) === 0), "embedding",
+      m = 16, k = 16, iters = 3)
+    assert(cbs.length == 16 && cbs.forall(_.length == 16) &&
+      cbs.forall(_.forall(_.length == 4)))
+    // planted protocol: cosine-0.999 copies quantize to near-identical
+    // codes, so ADC must surface the copy as its base's top hit
+    val planted = Similarity.withPlantedDups(emb, "vec_id", "embedding",
+      every = 20)
+    val bases = emb.select("vec_id").collect().map(_.getLong(0))
+      .filter(_ % 20 == 0)
+    val queries = planted.filter(col("vec_id") >= 1000000L)
+    val top1 = Similarity.pqTopK(planted, queries, "vec_id", "embedding",
+        k = 1, cbs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hit = bases.count(b => top1.get(b + 1000000L).contains(b))
+    assert(hit.toDouble / bases.length >= 0.9,
+      s"planted top-1 recall ${hit.toDouble / bases.length}")
+    // natural top-10 recall vs brute force: the corpus's neighbors sit
+    // at cosine ~0.3, barely above the bulk, so 16x16 PQ (16 nibbles
+    // per vector) keeps only part of the ranking - the honest tradeoff
+    // this operator prices (0.375 measured; widen k/m for more)
+    val q20 = emb.filter(col("vec_id") < 20)
+    val pq = Similarity.pqTopK(emb, q20, "vec_id", "embedding", k = 10, cbs)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val exact = Similarity.bruteForceTopK(emb, q20, "vec_id", "embedding",
+        k = 10)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    // (.keys is a Set — mapping it directly would collapse duplicate
+    // per-query recall values before the mean)
+    val recall = exact.keys.toSeq.map(q =>
+      (pq(q) intersect exact(q)).size.toDouble / exact(q).size)
+      .sum / exact.size
+    assert(recall >= 0.25, s"PQ natural recall@10 $recall")
+    // deterministic end to end
+    val again = Similarity.trainPqCodebooks(
+      emb.filter(pmod(col("vec_id"), lit(2)) === 0), "embedding",
+      m = 16, k = 16, iters = 3)
+    assert(cbs.flatten.flatten.toSeq == again.flatten.flatten.toSeq)
+  }
+
   test("ivf top-k: deterministic, never beats brute force, prunes candidates") {
     val queries = emb.filter(col("vec_id") < 10)
     def run() = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
