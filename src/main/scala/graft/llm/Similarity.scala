@@ -681,6 +681,58 @@ object Similarity {
       .select(col("q_id"), col(id), col("score_q"), col("rn"))
   }
 
+  /** IVFADC — the composition FAISS ships as its billion-scale
+    * default: the IVF coarse quantizer prunes candidates to the
+    * query's `nProbe` nearest lists, and PQ/ADC scores ONLY those
+    * candidates from their nibble codes. The corpus never stores raw
+    * vectors in the index: (id, list_id, codes) is the whole
+    * per-vector footprint. Cost: |corpus|·nProbe/nLists ADC lookups
+    * per query instead of all |corpus| ([[pqTopK]]) or exact dots
+    * over the probed lists ([[ivfTopK]]). Both models train with the
+    * exact-integer rules, so the entire index — coarse assignment,
+    * codes, probes, LUT ranking — replays in the oracle. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, id: String,
+                emb: String, k: Int, nLists: Int, nProbe: Int,
+                coarse: Array[Array[Double]],
+                codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val m = codebooks.length
+    val subDim = codebooks(0)(0).length
+    val c = graft.ops.Ops.parallelizeInput(corpus, col(id))
+      .select(col(id),
+        ivfListId(transform(col(emb), x => x.cast("double")), coarse)
+          .as("list_id"),
+        pqCodes(pqNormalize(col(emb)), codebooks).as("codes"))
+    val qScores = array(coarse.map(cc =>
+      VectorFunctions.dot(transform(col(emb), x => x.cast("double")),
+        typedlit(cc.toSeq))): _*)
+    val luts = array((0 until m).map { s =>
+      val qsub = slice(col("q_e"), s * subDim + 1, subDim)
+      array(codebooks(s).map(cen =>
+        floor(VectorFunctions.dot(qsub, typedlit(cen.toSeq)) * TrainQuant
+          + 0.5).cast("long")): _*)
+    }: _*)
+    val q = queries
+      .select(col(id).as("q_id"), pqNormalize(col(emb)).as("q_e"),
+        posexplode(qScores).as(Seq("list_id", "c_score")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("c_score").desc, col("list_id"))))
+      .filter(col("pr") <= nProbe)
+      .select(col("q_id"), luts.as("luts"), col("list_id"))
+    c.join(broadcast(q), Seq("list_id"))
+      .filter(col("q_id") =!= col(id))
+      .withColumn("score_q", aggregate(sequence(lit(0), lit(m - 1)),
+        lit(0L), (acc, s) => acc +
+          element_at(element_at(col("luts"), s + 1),
+            element_at(col("codes"), s + 1) + 1)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("score_q").desc, col(id))))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col(id), col("score_q"), col("rn"))
+  }
+
   /** Planted MISLABELED near-duplicates: the same jittered copies as
     * [[withPlantedDups]] but carrying a shifted label — the
     * adversarial case [[hardNegatives]]'s duplicate guard exists for

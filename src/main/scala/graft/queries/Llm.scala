@@ -1620,6 +1620,71 @@ object Llm {
         |SELECT q_id, vec_id, score_q, rn FROM r WHERE rn <= 5
         |ORDER BY q_id, rn""".stripMargin)),
 
+    // IVFADC — the FAISS billion-scale default composed from the two
+    // trained models: coarse IVF pruning to nProbe lists, then
+    // PQ/ADC nibble-code scoring of only those candidates; BOTH
+    // training replays plus assignment, probes and LUT ranking run in
+    // one oracle query
+    ("llm_similarity_ivfpq",
+      ((s: SparkSession, d: String) => {
+        val e = Tables.embeddings(s, d)
+        val evens = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+        val coarse = Similarity.trainIvfCentroids(evens, "embedding",
+          nLists = 8, iters = 5)
+        val cbs = Similarity.trainPqCodebooks(evens, "embedding",
+          m = 16, k = 16, iters = 3)
+        Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 5, nLists = 8, nProbe = 2,
+            coarse, cbs)
+          .orderBy(col("q_id"), col("rn"))
+      }): Q,
+      Some(s"""WITH emb AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |embn AS (SELECT vec_id,
+        |  list_transform(e, x -> x / (CASE WHEN n = 0 THEN 1.0 ELSE n END))
+        |    AS en
+        |  FROM (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS n
+        |        FROM emb)),
+        |embt AS (SELECT * FROM emb WHERE vec_id % 2 = 0),
+        |embtn AS (SELECT vec_id, en AS e FROM embn WHERE vec_id % 2 = 0),
+        |  ${trainedCentroidsSql(nLists = 8, dim = 64, iters = 5,
+              src = "embt")},
+        |  ${pqTrainSql(m = 16, k = 16, subDim = 4, iters = 3,
+              src = "embtn")},
+        |lists AS (SELECT emb.vec_id,
+        |    list_position(cs, list_max(cs)) - 1 AS list_id
+        |  FROM (SELECT emb.vec_id,
+        |      list(list_dot_product(emb.e, c.cen) ORDER BY c.list_id) AS cs
+        |    FROM emb CROSS JOIN c5 c GROUP BY emb.vec_id) emb),
+        |codes AS (SELECT vec_id, s, code FROM (
+        |  SELECT n.vec_id, c.s, c.code, row_number() OVER (
+        |    PARTITION BY n.vec_id, c.s
+        |    ORDER BY 2 * list_dot_product(n.en[c.s * 4 + 1 : c.s * 4 + 4],
+        |        c.cen) - list_dot_product(c.cen, c.cen) DESC, c.code) AS rn
+        |  FROM embn n CROSS JOIN pc3 c) WHERE rn = 1),
+        |qp AS (SELECT e.vec_id AS q_id, c.list_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_dot_product(e.e, c.cen) DESC, c.list_id) AS pr
+        |  FROM emb e CROSS JOIN c5 c WHERE e.vec_id < 10),
+        |qlut AS (SELECT n.vec_id AS q_id, c.s, c.code,
+        |  CAST(floor(list_dot_product(n.en[c.s * 4 + 1 : c.s * 4 + 4],
+        |    c.cen) * 1048576.0 + 0.5) AS BIGINT) AS w
+        |  FROM embn n CROSS JOIN pc3 c WHERE n.vec_id < 10),
+        |cand AS (SELECT p.q_id, l.vec_id
+        |  FROM (SELECT * FROM qp WHERE pr <= 2) p
+        |  JOIN lists l ON l.list_id = p.list_id AND l.vec_id <> p.q_id),
+        |sc AS (SELECT ca.q_id, ca.vec_id,
+        |    CAST(SUM(ql.w) AS BIGINT) AS score_q
+        |  FROM cand ca JOIN codes cd ON cd.vec_id = ca.vec_id
+        |  JOIN qlut ql ON ql.q_id = ca.q_id AND ql.s = cd.s
+        |    AND ql.code = cd.code
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY score_q DESC, vec_id) AS rn FROM sc)
+        |SELECT q_id, vec_id, score_q, rn FROM r WHERE rn <= 5
+        |ORDER BY q_id, rn""".stripMargin)),
+
     ("llm_similarity_ivf_trained",
       ((s: SparkSession, d: String) => {
         val e = Tables.embeddings(s, d)

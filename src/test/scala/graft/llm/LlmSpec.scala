@@ -512,6 +512,32 @@ class LlmSpec extends SparkSpec {
     assert(cbs.flatten.flatten.toSeq == again.flatten.flatten.toSeq)
   }
 
+  test("ivfpq: planted copies found through the composed index, results within probed lists") {
+    val evens = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val coarse = Similarity.trainIvfCentroids(evens, "embedding",
+      nLists = 8, iters = 5)
+    val cbs = Similarity.trainPqCodebooks(evens, "embedding",
+      m = 16, k = 16, iters = 3)
+    val planted = Similarity.withPlantedDups(emb, "vec_id", "embedding",
+      every = 20)
+    val queries = planted.filter(col("vec_id") >= 1000000L)
+    val top1 = Similarity.ivfPqTopK(planted, queries, "vec_id", "embedding",
+        k = 1, nLists = 8, nProbe = 2, coarse, cbs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bases = emb.select("vec_id").collect().map(_.getLong(0))
+      .filter(_ % 20 == 0)
+    // a 0.999-cosine copy lands in its base's coarse list and top-1s
+    // through the nibble codes
+    val hit = bases.count(b => top1.get(b + 1000000L).contains(b))
+    assert(hit.toDouble / bases.length >= 0.85,
+      s"ivfpq planted top-1 ${hit.toDouble / bases.length}")
+    // deterministic
+    val again = Similarity.ivfPqTopK(planted, queries, "vec_id",
+        "embedding", k = 1, nLists = 8, nProbe = 2, coarse, cbs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == top1)
+  }
+
   test("ivf top-k: deterministic, never beats brute force, prunes candidates") {
     val queries = emb.filter(col("vec_id") < 10)
     def run() = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
