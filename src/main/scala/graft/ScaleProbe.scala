@@ -453,6 +453,26 @@ object ScaleProbe {
         .groupBy(col("status")).agg(count(lit(1)).as("n"))
     })
 
+    // PQ training + ADC retrieval, and the IVFADC composition: the
+    // trainers are fixed-iteration keyed aggregates; retrieval cost is
+    // |corpus| (pq) or |corpus|·nProbe/nLists (ivfpq) LUT sums
+    time("pq_train_topk")({
+      val evens = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val cbs = llm.Similarity.trainPqCodebooks(evens, "embedding",
+        m = 16, k = 16, iters = 3)
+      llm.Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, cbs)
+    })
+    time("ivfpq_topk")({
+      val evens = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val coarse = llm.Similarity.trainIvfCentroids(evens, "embedding",
+        nLists = 8, iters = 5)
+      val cbs = llm.Similarity.trainPqCodebooks(evens, "embedding",
+        m = 16, k = 16, iters = 3)
+      llm.Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nLists = 8, nProbe = 2, coarse, cbs)
+    })
+
     // Streaming-index lifecycle: a per-micro-batch sink accumulates one
     // batch_id= partition per batch; this measures the per-batch index
     // READ (listing + scan + the existence probe — what every stream
