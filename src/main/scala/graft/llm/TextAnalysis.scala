@@ -749,6 +749,49 @@ object TextAnalysis {
     * before the broadcast join); the per-document sum is a keyed
     * aggregation whose partial combine reduces each map task to one
     * row per document. The model never shuffles. */
+  /** Character-trigram posting index: (trigram, id) DISTINCT rows —
+    * the Google-Code-Search primitive for index-accelerated substring
+    * search over a corpus a full scan can't afford. Trigrams travel
+    * as text (3 chars ≤ the md5 digest they'd otherwise become). */
+  def trigramIndex(df: DataFrame, text: String, id: String): DataFrame =
+    graft.ops.Ops.parallelizeInput(df, col(id))
+      .select(col(id), col(text),
+        explode(sequence(lit(1), length(col(text)) - 2)).as("i"))
+      .select(col(id), expr(s"substring($text, i, 3)").as("tri"))
+      .distinct()
+
+  /** Index-accelerated substring search: a query string's own
+    * trigrams AND-intersect over the posting index — a document can
+    * contain the query only if it contains EVERY query trigram — and
+    * only the surviving candidates pay the exact `contains`
+    * verification against the text. The scan-vs-index contract: the
+    * result is IDENTICAL to the full-scan LIKE (the oracle IS the
+    * full scan), but the text is touched only for candidates, which
+    * the rarest query trigram bounds. Queries shorter than 3 chars
+    * fall back to the scan (no trigram to prune with) — returned
+    * verified, never silently. Scale shape: the candidate step is one
+    * semi-join-shaped aggregate on the index (count of matched
+    * trigrams per doc = #query trigrams), the verify step a keyed
+    * join touching candidates only. */
+  def trigramSearch(df: DataFrame, text: String, id: String,
+                    index: DataFrame, query: String): DataFrame = {
+    require(query.nonEmpty, "empty query")
+    val qTris = query.sliding(3).filter(_.length == 3).toSeq.distinct
+    val base = df.select(col(id), col(text))
+    if (qTris.isEmpty)
+      base.filter(col(text).contains(query)).select(col(id))
+    else {
+      val cand = index
+        .filter(col("tri").isInCollection(qTris))
+        .groupBy(col(id)).agg(count(lit(1)).as("__m"))
+        .filter(col("__m") === qTris.length)
+        .select(col(id))
+      base.join(cand, Seq(id), "left_semi")
+        .filter(col(text).contains(query))
+        .select(col(id))
+    }
+  }
+
   /** Hashed unigram+bigram feature stream: (id, bucket) one row per
     * feature occurrence — shared by [[classifierScore]] (scoring) and
     * [[perceptronTrain]] (training). */

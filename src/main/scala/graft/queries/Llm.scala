@@ -2770,6 +2770,22 @@ object Llm {
   FROM documents d LEFT JOIN ag a USING (doc_id)
   ORDER BY d.doc_id""")),
 
+    // index-accelerated substring search: the query's trigrams
+    // AND-intersect over the posting index, only survivors pay the
+    // exact contains() verification — and the ORACLE IS THE FULL
+    // SCAN, so index+verify ≡ scan is the graded contract
+    ("llm_trigram_search",
+      ((s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val idx = TextAnalysis.trigramIndex(docs, "text", "doc_id")
+        TextAnalysis.trigramSearch(docs, "text", "doc_id", idx,
+            "hash join")
+          .orderBy(col("doc_id"))
+      }): Q,
+      Some("""SELECT doc_id FROM documents
+        |WHERE contains(text, 'hash join')
+        |ORDER BY doc_id""".stripMargin)),
+
     // unigram-LM (SentencePiece-family) tokenizer: Viterbi-segment
     // every distinct word under coarse integer surprisal costs
     // (bitlen-based floor-log2 + 20-bit md5 jitter — no libm), the

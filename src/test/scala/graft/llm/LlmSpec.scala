@@ -512,6 +512,26 @@ class LlmSpec extends SparkSpec {
     assert(cbs.flatten.flatten.toSeq == again.flatten.flatten.toSeq)
   }
 
+  test("trigramSearch: index+verify equals the full scan; pruning actually prunes") {
+    val idx = TextAnalysis.trigramIndex(docs, "text", "doc_id")
+      .localCheckpoint()
+    def scan(q: String) = docs.filter(col("text").contains(q))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def viaIndex(q: String) = TextAnalysis
+      .trigramSearch(docs, "text", "doc_id", idx, q)
+      .collect().map(_.getLong(0)).toSet
+    // hit-rich, rare, absent, and short-fallback queries
+    for (q <- Seq("hash join", "customer", "zz-not-present-zz", "ha"))
+      assert(viaIndex(q) == scan(q), s"query '$q' diverged from the scan")
+    // pruning: candidates for a present phrase are far below the corpus
+    val qTris = "hash join".sliding(3).toSeq.distinct
+    val nCand = idx.filter(col("tri").isInCollection(qTris))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("m"))
+      .filter(col("m") === qTris.length).count()
+    val n = docs.count()
+    assert(nCand < n / 2, s"candidates $nCand of $n — index not pruning")
+  }
+
   test("ivfpq: planted copies found through the composed index, results within probed lists") {
     val evens = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
     val coarse = Similarity.trainIvfCentroids(evens, "embedding",
