@@ -749,6 +749,51 @@ object TextAnalysis {
     * before the broadcast join); the per-document sum is a keyed
     * aggregation whose partial combine reduces each map task to one
     * row per document. The model never shuffles. */
+  /** Modified n-gram precision — the clipped-count core of BLEU/ROUGE
+    * run as a corpus-scale eval metric over (candidate, reference)
+    * text pairs: per pair, Σ_g min(cnt_cand(g), cnt_ref(g)) ÷
+    * Σ_g cnt_cand(g), for n = 1..maxN. Everything is exact integer
+    * counting (explode grams, per-pair keyed counts, one clip-join,
+    * one aggregate) with the single divide quantized to basis points
+    * — no brevity penalty (its exp() is libm; report both lengths and
+    * let the caller apply the penalty in their float world). Output
+    * per pair: (id, n, cand_grams, clipped, p_bp, len_cand, len_ref).
+    * Scale: grams travel per (id, n) — keyed joins only, candidates
+    * and references never cross pairs. */
+  def ngramPrecision(pairs: DataFrame, id: String, cand: String,
+                     ref: String, maxN: Int = 2): DataFrame = {
+    val spark = pairs.sparkSession
+    import org.apache.spark.sql.DataFrame
+    def grams(textCol: String, side: String): DataFrame =
+      graft.ops.Ops.parallelizeInput(pairs, col(id))
+        .select(col(id), split(trim(col(textCol)), " ").as("t"))
+        .select(col(id), col("t"),
+          explode(sequence(lit(1), lit(maxN))).as("n"))
+        .filter(size(col("t")) >= col("n"))
+        .select(col(id), col("n"), col("t"),
+          explode(sequence(lit(1), size(col("t")) - col("n") + 1)).as("i"))
+        .select(col(id), col("n"),
+          concat_ws(" ", slice(col("t"), col("i"), col("n"))).as("g"))
+        .groupBy(col(id), col("n"), col("g"))
+        .agg(count(lit(1)).as(s"c_$side"))
+    val cg = grams(cand, "cand")
+    val rg = grams(ref, "ref")
+    val clipped = cg.join(rg, Seq(id, "n", "g"), "left")
+      .groupBy(col(id), col("n"))
+      .agg(sum(col("c_cand")).as("cand_grams"),
+        sum(least(col("c_cand"), coalesce(col("c_ref"), lit(0L))))
+          .as("clipped"))
+    val lens = pairs.select(col(id),
+      size(split(trim(col(cand)), " ")).cast("long").as("len_cand"),
+      size(split(trim(col(ref)), " ")).cast("long").as("len_ref"))
+    clipped
+      .withColumn("p_bp", floor(lit(10000.0) * col("clipped")
+        / col("cand_grams") + 0.5).cast("long"))
+      .join(lens, Seq(id))
+      .select(col(id), col("n"), col("cand_grams"), col("clipped"),
+        col("p_bp"), col("len_cand"), col("len_ref"))
+  }
+
   /** Character-trigram posting index: (trigram, id) DISTINCT rows —
     * the Google-Code-Search primitive for index-accelerated substring
     * search over a corpus a full scan can't afford. Trigrams travel

@@ -2770,6 +2770,59 @@ object Llm {
   FROM documents d LEFT JOIN ag a USING (doc_id)
   ORDER BY d.doc_id""")),
 
+    // modified n-gram precision (the clipped-count BLEU/ROUGE core)
+    // over (candidate, reference) pairs: boilerplate-injected
+    // candidates score < 10000 bp, clean ones exactly 10000 — exact
+    // integer clipping, no libm brevity penalty (lengths reported)
+    ("llm_eval_ngram_precision",
+      ((s: SparkSession, d: String) =>
+        TextAnalysis.ngramPrecision(
+            Tables.documents(s, d).select(col("doc_id"),
+              when(pmod(col("doc_id"), lit(3)) === 0,
+                concat(lit(Dedup.BoilerplateBanner + " "), col("text")))
+                .otherwise(col("text")).as("cand"),
+              col("text").as("ref")),
+            "doc_id", "cand", "ref", maxN = 2)
+          .orderBy(col("doc_id"), col("n"))): Q,
+      Some(s"""WITH pr AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN '${Dedup.BoilerplateBanner} ' || text ELSE text END AS cand,
+        |  text AS ref FROM documents),
+        |cgr AS (SELECT doc_id, n, array_to_string(t[i:i+n-1], ' ') AS g
+        |  FROM (SELECT doc_id, t, n,
+        |      unnest(generate_series(1, len(t) - n + 1)) AS i
+        |    FROM (SELECT doc_id, t, unnest(generate_series(1, 2)) AS n
+        |      FROM (SELECT doc_id, string_split(trim(cand), ' ') AS t
+        |            FROM pr))
+        |    WHERE len(t) >= n)),
+        |cg AS (SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS c_cand
+        |  FROM cgr GROUP BY 1, 2, 3),
+        |rgr AS (SELECT doc_id, n, array_to_string(t[i:i+n-1], ' ') AS g
+        |  FROM (SELECT doc_id, t, n,
+        |      unnest(generate_series(1, len(t) - n + 1)) AS i
+        |    FROM (SELECT doc_id, t, unnest(generate_series(1, 2)) AS n
+        |      FROM (SELECT doc_id, string_split(trim(ref), ' ') AS t
+        |            FROM pr))
+        |    WHERE len(t) >= n)),
+        |rg AS (SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS c_ref
+        |  FROM rgr GROUP BY 1, 2, 3),
+        |cl AS (SELECT cg.doc_id, cg.n,
+        |    CAST(sum(cg.c_cand) AS BIGINT) AS cand_grams,
+        |    CAST(sum(least(cg.c_cand, coalesce(rg.c_ref, 0))) AS BIGINT)
+        |      AS clipped
+        |  FROM cg LEFT JOIN rg USING (doc_id, n, g)
+        |  GROUP BY 1, 2),
+        |lens AS (SELECT doc_id,
+        |  CAST(len(string_split(trim(cand), ' ')) AS BIGINT) AS len_cand,
+        |  CAST(len(string_split(trim(ref), ' ')) AS BIGINT) AS len_ref
+        |  FROM pr)
+        |SELECT c.doc_id, c.n, c.cand_grams, c.clipped,
+        |  CAST(floor(10000.0 * c.clipped / c.cand_grams + 0.5) AS BIGINT)
+        |    AS p_bp,
+        |  l.len_cand, l.len_ref
+        |FROM cl c JOIN lens l USING (doc_id)
+        |ORDER BY doc_id, n""".stripMargin)),
+
     // index-accelerated substring search: the query's trigrams
     // AND-intersect over the posting index, only survivors pay the
     // exact contains() verification — and the ORACLE IS THE FULL

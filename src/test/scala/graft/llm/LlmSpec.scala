@@ -512,6 +512,34 @@ class LlmSpec extends SparkSpec {
     assert(cbs.flatten.flatten.toSeq == again.flatten.flatten.toSeq)
   }
 
+  test("ngramPrecision: identity pairs score 10000 bp; injected boilerplate scores lower") {
+    val pairs = docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit(Dedup.BoilerplateBanner + " "), col("text")))
+        .otherwise(col("text")).as("cand"),
+      col("text").as("ref"))
+    val r = TextAnalysis.ngramPrecision(pairs, "doc_id", "cand", "ref",
+        maxN = 2)
+      .collect().map(x => (x.getLong(0), x.getInt(1)) ->
+        (x.getLong(4), x.getLong(5), x.getLong(6))).toMap
+    r.foreach { case ((id, n), (pbp, lc, lr)) =>
+      if (id % 3 != 0) {
+        assert(pbp == 10000L, s"identity pair ($id, n=$n) scored $pbp")
+        assert(lc == lr)
+      } else {
+        assert(pbp < 10000L, s"injected pair ($id, n=$n) scored $pbp")
+        assert(lc > lr)
+      }
+    }
+    // bigram precision penalizes the injection at least as hard as
+    // unigram (the banner's interior bigrams may exist, its seams
+    // don't)
+    val injected = r.keys.filter(_._1 % 3 == 0).map(_._1).toSeq.distinct
+    injected.foreach { id =>
+      assert(r((id, 2))._1 <= r((id, 1))._1 + 100, s"doc $id")
+    }
+  }
+
   test("trigramSearch: index+verify equals the full scan; pruning actually prunes") {
     val idx = TextAnalysis.trigramIndex(docs, "text", "doc_id")
       .localCheckpoint()
