@@ -749,6 +749,49 @@ object TextAnalysis {
     * before the broadcast join); the per-document sum is a keyed
     * aggregation whose partial combine reduces each map task to one
     * row per document. The model never shuffles. */
+  /** Top token co-occurrence pairs by PMI — association mining over
+    * documents: for tokens a < b co-occurring (distinct per doc) in
+    * ≥ `minDf` documents, PMI ≈ log₂(N·df_ab / (df_a·df_b)), computed
+    * in [[graft.functions.Log2FixedExpr]]'s exact fixed-point units:
+    * pmi_q = lq(N·df_ab) − lq(df_a·df_b) — integer subtraction of two
+    * quantized logs, bit-identical in the oracle, ranking ties broken
+    * on the pair. Scale: per-doc DISTINCT tokens explode to in-doc
+    * pairs ROW-LOCALLY from the sorted token list (the posting-list
+    * pair trick — no self-join), pair counts aggregate keyed with
+    * map-side combine, and `maxTokensPerDoc` caps the quadratic
+    * per-doc pair fan-out (docs are truncated to their first distinct
+    * tokens — the documented bound, not a silent one). */
+  def cooccurrencePmi(df: DataFrame, text: String, id: String,
+                      minDf: Long = 20L, topK: Int = 50,
+                      maxTokensPerDoc: Int = 64): DataFrame = {
+    graft.functions.Log2FixedExpr.register(df.sparkSession)
+    def lq(c: Column) = graft.functions.Log2FixedExpr.of(c)
+    val toks = graft.ops.Ops.parallelizeInput(df, col(id))
+      .select(col(id), slice(array_sort(array_distinct(
+        split(trim(col(text)), " "))), 1, maxTokensPerDoc).as("t"))
+      .localCheckpoint()
+    val n = toks.count()
+    val dfTok = toks.select(col(id), explode(col("t")).as("a"))
+      .groupBy(col("a")).agg(count(lit(1)).as("df_a"))
+    val pairIdx = flatten(transform(
+      sequence(lit(0), size(col("t")) - 2),
+      i => transform(sequence(i + 1, size(col("t")) - 1),
+        j => struct(element_at(col("t"), i + 1).as("a"),
+          element_at(col("t"), j + 1).as("b")))))
+    val pairs = toks.select(explode(pairIdx).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("df_ab"))
+      .filter(col("df_ab") >= minDf)
+    pairs
+      .join(dfTok, Seq("a"))
+      .join(dfTok.toDF("b", "df_b"), Seq("b"))
+      .select(col("a"), col("b"), col("df_ab"), col("df_a"), col("df_b"),
+        (lq(lit(n) * col("df_ab")) - lq(col("df_a") * col("df_b")))
+          .as("pmi_q"))
+      .orderBy(col("pmi_q").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
   /** Modified n-gram precision — the clipped-count core of BLEU/ROUGE
     * run as a corpus-scale eval metric over (candidate, reference)
     * text pairs: per pair, Σ_g min(cnt_cand(g), cnt_ref(g)) ÷

@@ -848,14 +848,19 @@ object Llm {
     * labels, hashed uni+bigram occurrences, dense per-bucket class
     * counts, totals/priors, and the log₂ chain over every value the
     * model needs. */
-  private def nbCtes(width: Int): String =
-    s"""corpus AS (SELECT doc_id,
+  /** corpus CTE body for [[nbCtes]]: must yield (doc_id, text, y). */
+  private val nbPlantedCorpusSql: String =
+    s"""SELECT doc_id,
     |  CASE WHEN doc_id % 3 = 0
     |    THEN '${graft.llm.Dedup.BoilerplateBanner} ' || text
     |    ELSE text END AS text,
     |  CASE WHEN doc_id % 3 = 0 THEN CAST(1 AS BIGINT)
     |    ELSE CAST(-1 AS BIGINT) END AS y
-    |  FROM documents),
+    |  FROM documents""".stripMargin
+
+  private def nbCtes(width: Int,
+                     corpusSql: String = nbPlantedCorpusSql): String =
+    s"""corpus AS ($corpusSql),
     |ntoks AS (SELECT doc_id, y, string_split(trim(text), ' ') AS t
     |  FROM corpus),
     |nuni AS (SELECT doc_id, y, 'u|' || tok AS feat
@@ -2769,6 +2774,41 @@ object Llm {
     CAST(coalesce(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
   FROM documents d LEFT JOIN ag a USING (doc_id)
   ORDER BY d.doc_id""")),
+
+    // token co-occurrence mining by PMI: in-doc distinct-token pairs
+    // generated row-locally (posting-list trick), pmi_q as the exact
+    // difference of two fixed-point logs — top-50 association pairs
+    ("llm_cooccurrence_pmi",
+      ((s: SparkSession, d: String) =>
+        TextAnalysis.cooccurrencePmi(Tables.documents(s, d), "text",
+          "doc_id", minDf = 20L, topK = 50)): Q,
+      Some(s"""WITH toks AS (SELECT doc_id,
+        |  list_sort(list_distinct(string_split(trim(text), ' ')))[1:64]
+        |    AS t FROM documents),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+        |dfa AS (SELECT a, CAST(count(*) AS BIGINT) AS df_a
+        |  FROM (SELECT doc_id, unnest(t) AS a FROM toks) GROUP BY a),
+        |prs AS (SELECT t[i] AS a, t[j] AS b,
+        |    CAST(count(*) AS BIGINT) AS df_ab
+        |  FROM (SELECT t, i, unnest(generate_series(i + 1, len(t))) AS j
+        |    FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        |          FROM toks))
+        |  GROUP BY 1, 2 HAVING count(*) >= 20),
+        |vals AS (SELECT 'n|' || prs.a || '|' || prs.b AS k,
+        |    nn.n * prs.df_ab AS x
+        |    FROM prs, nn
+        |  UNION ALL
+        |  SELECT 'd|' || prs.a || '|' || prs.b, fa.df_a * fb.df_a
+        |    FROM prs JOIN dfa fa ON fa.a = prs.a
+        |    JOIN dfa fb ON fb.a = prs.b),
+        |$log2ChainSql
+        |SELECT p.a, p.b, p.df_ab, fa.df_a, fb.df_a AS df_b,
+        |  ln.q - ld.q AS pmi_q
+        |FROM prs p JOIN dfa fa ON fa.a = p.a
+        |  JOIN dfa fb ON fb.a = p.b
+        |  JOIN lg ln ON ln.k = 'n|' || p.a || '|' || p.b
+        |  JOIN lg ld ON ld.k = 'd|' || p.a || '|' || p.b
+        |ORDER BY pmi_q DESC, p.a, p.b LIMIT 50""".stripMargin)),
 
     // modified n-gram precision (the clipped-count BLEU/ROUGE core)
     // over (candidate, reference) pairs: boilerplate-injected
