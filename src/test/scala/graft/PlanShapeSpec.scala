@@ -48,6 +48,8 @@ class PlanShapeSpec extends SparkSpec {
       "brute-force cosine baseline: exhaustive by definition, queries broadcast",
     "llm_similarity_quantized_topk" ->
       "brute-force retrieval over int8 codes: same deliberate baseline shape",
+    "llm_similarity_pq_topk" ->
+      "full-corpus ADC scoring (PQ without coarse pruning — FAISS's flat-PQ mode); the pruned path is llm_similarity_ivfpq's list equi-join",
     "llm_mixture_upsample" ->
       "one-row total joined onto the |sources|-row plan (scalar join); corpus side never all-pairs",
     "llm_mixture_temperature" ->
