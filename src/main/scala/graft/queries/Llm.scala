@@ -2879,6 +2879,34 @@ object Llm {
         |WHERE contains(text, 'hash join')
         |ORDER BY doc_id""".stripMargin)),
 
+    // ...and the INCREMENTAL index: per-batch postings accumulate in
+    // an exactly-once sink (replay harmless — postings distinct), the
+    // accumulated index answers the same search, graded against the
+    // full-scan SQL verbatim
+    ("llm_trigram_search_streamed",
+      ((s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        streamTempRun("graft-trigram-stream") { base =>
+          val srcDir = s"$base/src"
+          streamedTranches(srcDir,
+            Seq(docs.filter(pmod(col("doc_id"), lit(3)) === 2),
+              docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+              docs.filter(pmod(col("doc_id"), lit(3)) === 1)))
+          val src = graft.streaming.Streaming.fileStream(s, srcDir,
+            docs.schema, maxFilesPerTrigger = 1)
+          val q = graft.streaming.Streaming.trigramIndexStream(src,
+            "text", "doc_id", s"$base/idx", s"$base/ck").start()
+          try q.awaitTermination() finally if (q.isActive) q.stop()
+          val idx = s.read.parquet(s"$base/idx")
+            .drop("batch_id", "src_batch")
+          TextAnalysis.trigramSearch(docs, "text", "doc_id", idx,
+            "hash join")
+        }.orderBy(col("doc_id"))
+      }): Q,
+      Some("""SELECT doc_id FROM documents
+        |WHERE contains(text, 'hash join')
+        |ORDER BY doc_id""".stripMargin)),
+
     // unigram-LM (SentencePiece-family) tokenizer: Viterbi-segment
     // every distinct word under coarse integer surprisal costs
     // (bitlen-based floor-log2 + 20-bit md5 jitter — no libm), the

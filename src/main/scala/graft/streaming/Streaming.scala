@@ -284,6 +284,31 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
 
+  /** Incremental trigram posting-index maintenance: each micro-batch
+    * lands ITS OWN documents' (trigram, id) distinct rows in a
+    * `batch_id=` partition with dynamic overwrite. A document's
+    * postings are self-contained, so under an append-only corpus the
+    * index is append-only (the BM25-index argument), and because the
+    * search probe distincts per (tri, id) a replayed partition is
+    * HARMLESS (the HLL side of the replay dichotomy) — exactly-once
+    * still keeps row counts honest for point-in-time reads. Search
+    * over the accumulated index goes through the same
+    * [[graft.llm.TextAnalysis.trigramSearch]] AND-intersection. */
+  def trigramIndexStream(docs: DataFrame, text: String, id: String,
+                         indexDir: String,
+                         checkpointDir: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.llm.TextAnalysis.trigramIndex(batch, text, id)
+          .withColumn("src_batch", lit(batchId))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(indexDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+
   /** Incremental BM25 inverted-index maintenance: each micro-batch
     * aggregates ONLY its own documents' (id, term, tf) rows and lands
     * them in a `batch_id=` partition with dynamic overwrite. Under an
