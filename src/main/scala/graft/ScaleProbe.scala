@@ -473,6 +473,24 @@ object ScaleProbe {
         "vec_id", "embedding", k = 5, nLists = 8, nProbe = 2, coarse, cbs)
     })
 
+    // trigram search: index build (explode+distinct) + AND-probe —
+    // the probe touches candidates only
+    time("trigram_search")({
+      val idx = llm.TextAnalysis.trigramIndex(docs, "text", "doc_id")
+        .localCheckpoint()
+      llm.TextAnalysis.trigramSearch(docs, "text", "doc_id", idx,
+        "hash_0 join_0")
+    })
+    // PMI co-occurrence: row-local pair expansion + keyed counts +
+    // the fixed-point log chain over surviving pairs
+    time("cooccurrence_pmi")(llm.TextAnalysis.cooccurrencePmi(
+      docs, "text", "doc_id", minDf = 200L, topK = 50))
+    // n-gram precision over 100k (cand, ref) pairs
+    time("ngram_precision")(llm.TextAnalysis.ngramPrecision(
+      docs.select(col("doc_id"), col("text").as("cand"),
+        col("text").as("ref")),
+      "doc_id", "cand", "ref", maxN = 2))
+
     // Streaming-index lifecycle: a per-micro-batch sink accumulates one
     // batch_id= partition per batch; this measures the per-batch index
     // READ (listing + scan + the existence probe — what every stream
