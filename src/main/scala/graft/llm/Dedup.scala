@@ -568,6 +568,47 @@ object Dedup {
     df.unionByName(ext)
   }
 
+  /** GLOBAL suffix ranks by prefix doubling — the suffix-array
+    * construction behind published exact-substring dedup, as `rounds`
+    * distributed sort-rank passes instead of a single-machine sort:
+    * r₀ ranks each token against the sorted vocabulary; round k ranks
+    * the pair (r_k(pos), r_k(pos+2^k)) — missing halves coalesce to 0
+    * so shorter suffixes sort first — via the boundary-independent
+    * [[graft.ops.Ops.denseRank]] (the terasort shape: range-sorted
+    * distinct keys, keyed per-partition row_number, driver prefix
+    * offsets; never a one-task global window). After `rounds` passes
+    * two suffixes share a rank iff their first 2^rounds tokens are
+    * identical, and rank order IS lexicographic suffix order
+    * truncated there (SuffixSpec brute-forces both properties) —
+    * giving any-length repeated-substring detection the k-gram
+    * [[repeatedSpans]] pass approximates. Per round: one keyed
+    * self-join on (id, pos + 2^k) + one denseRank — all shapes
+    * corpus-partitionable; rank ids are longs, no combined-integer
+    * overflow at any corpus size (the pair ranks stay as two
+    * columns). Output: (id, pos, rank), pos 0-based. */
+  def suffixRanks(df: DataFrame, text: String, id: String,
+                  rounds: Int = 7): DataFrame = {
+    val toks = tokenize(df, text, id)
+      .select(col(id), posexplode(col("toks")).as(Seq("pos", "tok")))
+    val r0 = toks.join(
+      graft.ops.Ops.denseRank(toks.select(col("tok")), Seq("tok")),
+      Seq("tok"))
+      .select(col(id), col("pos"), col("rank").as("r"))
+    (0 until rounds).foldLeft(r0) { (r, k) =>
+      val step = 1 << k
+      val shifted = r.select(col(id),
+        (col("pos") - step).as("pos"), col("r").as("r2"))
+      val paired = r.join(shifted, Seq(id, "pos"), "left")
+        .select(col(id), col("pos"), col("r").as("r1"),
+          coalesce(col("r2"), lit(0L)).as("r2"))
+      paired.join(
+        graft.ops.Ops.denseRank(paired.select(col("r1"), col("r2")),
+          Seq("r1", "r2")),
+        Seq("r1", "r2"))
+        .select(col(id), col("pos"), col("rank").as("r"))
+    }.select(col(id), col("pos"), col("r").as("rank"))
+  }
+
   /** Candidate near-dup pairs alone — the maxDf-bounded posting-list
     * stage of [[ngramJaccardPairs]] without the rerank: unordered
     * (a, b) document pairs sharing at least one rare shingle. This IS

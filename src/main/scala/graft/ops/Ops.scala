@@ -407,6 +407,40 @@ object Ops {
           .otherwise(lit("unchanged")).as("status"): _*)
   }
 
+  /** Scalable deterministic DENSE RANK over arbitrary key columns —
+    * the global-ordering primitive a naive `dense_rank() OVER (ORDER
+    * BY …)` funnels through one task: distinct keys range-partition
+    * (sampled boundaries, but the OUTPUT is boundary-independent —
+    * ranks depend only on the total key order), sort locally, take a
+    * per-partition row_number (a KEYED window on the partition id),
+    * and add driver-collected partition-count prefix offsets (one
+    * scalar per partition — model-sized). Returns (keys…, rank) with
+    * rank dense and 1-based. The terasort shape, packaged. */
+  def denseRank(df: DataFrame, keys: Seq[String], out: String = "rank",
+                numParts: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val n = if (numParts > 0) numParts
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val distinct = df.select(keys.map(col): _*).distinct()
+    val parts = distinct
+      .repartitionByRange(n, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = parts.groupBy(col("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until n).scanLeft(0L)((acc, p) =>
+      acc + counts.getOrElse(p, 0L)).dropRight(1)
+    val offCol = typedlit(offsets)
+    parts
+      .withColumn(out,
+        element_at(offCol, col("__pid") + 1) +
+          row_number().over(Window.partitionBy(col("__pid"))
+            .orderBy(keys.map(col): _*)))
+      .drop("__pid")
+  }
+
   /** Fuzzy record linkage (entity resolution) — the BLOCKED
     * edit-distance self-join: records pair only within their blocking
     * key (the record-linkage analog of an LSH band — a deterministic

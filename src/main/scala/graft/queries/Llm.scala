@@ -784,6 +784,27 @@ object Llm {
     * `llm_retrieval_bm25_streamed` (index accumulated per micro-batch,
     * statistics derived at scoring time): the incremental index must
     * score EXACTLY like the batch one. */
+  /** CTE chain replaying `rounds` prefix-doubling passes of
+    * [[graft.llm.Dedup.suffixRanks]]: sr0 = vocabulary dense rank,
+    * sr{k+1} = dense rank of (r(pos), coalesce(r(pos + 2^k), 0)). */
+  private def suffixRanksSql(rounds: Int): String = {
+    val steps = (0 until rounds).map { k =>
+      val step = 1 << k
+      s""",sr${k + 1} AS (SELECT a.doc_id, a.pos,
+      |  CAST(dense_rank() OVER (ORDER BY a.r, coalesce(b.r, 0))
+      |    AS BIGINT) AS r
+      |  FROM sr$k a LEFT JOIN sr$k b
+      |    ON b.doc_id = a.doc_id AND b.pos = a.pos + $step)""".stripMargin
+    }.mkString("\n")
+    s"""stoks AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok
+    |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+    |    FROM (SELECT doc_id, string_split(text, ' ') AS t
+    |          FROM documents))),
+    |sr0 AS (SELECT doc_id, pos,
+    |  CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS r FROM stoks)
+    |$steps""".stripMargin
+  }
+
   /** Shared CTE prefix of the unigram-LM rows (`WITH RECURSIVE` added
     * by the caller): word frequencies → seed substring pieces (chars
     * always kept) → integer surprisal costs (object doc of
@@ -2878,6 +2899,20 @@ object Llm {
       Some("""SELECT doc_id FROM documents
         |WHERE contains(text, 'hash join')
         |ORDER BY doc_id""".stripMargin)),
+
+    // suffix-array construction by prefix doubling: 7 distributed
+    // sort-rank passes give every (doc, pos) its global rank in
+    // lexicographic suffix order (truncated at 128 tokens) — the
+    // exact-substring-dedup primitive, every pass replayed by a
+    // dense_rank CTE
+    ("llm_suffix_ranks",
+      ((s: SparkSession, d: String) =>
+        Dedup.suffixRanks(Tables.documents(s, d), "text", "doc_id",
+            rounds = 7)
+          .orderBy(col("doc_id"), col("pos"))): Q,
+      Some(s"""WITH ${suffixRanksSql(7)}
+        |SELECT doc_id, pos, r AS rank FROM sr7
+        |ORDER BY doc_id, pos""".stripMargin)),
 
     // ...and the INCREMENTAL index: per-batch postings accumulate in
     // an exactly-once sink (replay harmless — postings distinct), the
