@@ -490,7 +490,14 @@ object Similarity {
     * ~10⁹ sampled rows × unit-scale coordinates). */
   def trainIvfCentroids(corpus: DataFrame, emb: String, nLists: Int,
                         iters: Int = 5, dim: Int = 64,
-                        seed: Long = IvfSeed): Array[Array[Double]] = {
+                        seed: Long = IvfSeed): Array[Array[Double]] =
+    memoized(corpus, s"ivf|$emb|$nLists|$iters|$dim|$seed") {
+      trainIvfCentroidsUncached(corpus, emb, nLists, iters, dim, seed)
+    }
+
+  private def trainIvfCentroidsUncached(corpus: DataFrame, emb: String,
+      nLists: Int, iters: Int, dim: Int,
+      seed: Long): Array[Array[Double]] = {
     VectorFunctions.register(corpus.sparkSession)
     val asDouble = graft.ops.Ops.parallelizeInput(corpus)
       .select(transform(col(emb), x => x.cast("double")).as("e"))
@@ -590,6 +597,31 @@ object Similarity {
     }: _*)
   }
 
+  /** Trained-model memo (the pairsMemo contract from Dedup): keyed by
+    * session + params, guarded by PLAN EQUALITY on the canonicalized
+    * corpus plan — a hash collision must never serve another corpus's
+    * model. Registry rows train the same model behind several
+    * retrieval rows (flat-PQ, IVFADC); without the memo each row
+    * repays the full training (~10 s of the sf0.1 bench was repeated
+    * identical training). Bounded to the 4 most recent plans per key. */
+  private val trainMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String),
+      List[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, AnyRef)]]
+
+  private def memoized[A <: AnyRef](df: DataFrame, tag: String)
+                                   (train: => A): A = {
+    val plan = df.queryExecution.logical.canonicalized
+    val key = (System.identityHashCode(df.sparkSession), tag, "")
+    trainMemo.getOrElse(key, Nil)
+      .collectFirst { case (p, m) if p.sameResult(plan) => m.asInstanceOf[A] }
+      .getOrElse {
+        val m = train
+        trainMemo.updateWith(key)(old =>
+          Some(((plan, m: AnyRef) :: old.getOrElse(Nil)).take(4)))
+        m
+      }
+  }
+
   /** Fixed-iteration PQ codebook trainer — `m` INDEPENDENT Lloyd's
     * runs over the subspaces, all folded into ONE corpus pass per
     * iteration (assign all m codes in a single projection, explode to
@@ -603,7 +635,14 @@ object Similarity {
     * a sample at fleet scale. */
   def trainPqCodebooks(corpus: DataFrame, emb: String, m: Int = 8,
                        k: Int = 16, iters: Int = 3, dim: Int = 64,
-                       seed: Long = IvfSeed): Array[Array[Array[Double]]] = {
+                       seed: Long = IvfSeed): Array[Array[Array[Double]]] =
+    memoized(corpus, s"pq|$emb|$m|$k|$iters|$dim|$seed") {
+      trainPqCodebooksUncached(corpus, emb, m, k, iters, dim, seed)
+    }
+
+  private def trainPqCodebooksUncached(corpus: DataFrame, emb: String,
+      m: Int, k: Int, iters: Int, dim: Int,
+      seed: Long): Array[Array[Array[Double]]] = {
     require(dim % m == 0, "dim must divide evenly into m subspaces")
     VectorFunctions.register(corpus.sparkSession)
     val subDim = dim / m
