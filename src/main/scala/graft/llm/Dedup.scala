@@ -625,6 +625,103 @@ object Dedup {
     cur.select(col(id), col("pos"), col("r").as("rank"))
   }
 
+  /** All rank tables of the prefix doubling, checkpointed:
+    * (ranks_0 … ranks_K) with ranks_k discriminating the first 2^k
+    * tokens — the sparse table the LCP computation walks. Unlike
+    * [[suffixRanks]] no early exit: the LCP walk needs every level. */
+  private def suffixRankTables(df: DataFrame, text: String, id: String,
+                               rounds: Int): Seq[DataFrame] = {
+    val toks = tokenize(df, text, id)
+      .select(col(id), posexplode(col("toks")).as(Seq("pos", "tok")))
+    val r0 = toks.join(
+      graft.ops.Ops.denseRank(toks.select(col("tok")), Seq("tok")),
+      Seq("tok"))
+      .select(col(id), col("pos"), col("rank").as("r"))
+      .localCheckpoint()
+    (0 until rounds).scanLeft(r0) { (r, k) =>
+      val step = 1 << k
+      val shifted = r.select(col(id),
+        (col("pos") - step).as("pos"), col("r").as("r2"))
+      val paired = r.join(shifted, Seq(id, "pos"), "left")
+        .select(col(id), col("pos"), col("r").as("r1"),
+          coalesce(col("r2"), lit(0L)).as("r2"))
+      paired.join(
+        graft.ops.Ops.denseRank(paired.select(col("r1"), col("r2")),
+          Seq("r1", "r2")),
+        Seq("r1", "r2"))
+        .select(col(id), col("pos"), col("rank").as("r"))
+        .localCheckpoint()
+    }
+  }
+
+  /** Longest repeated token-substrings across the corpus — the
+    * suffix-array payoff [[suffixRanks]]' ranks alone don't give: pair
+    * every suffix with its successor in global rank order (dense ranks
+    * make that a keyed self-join on rank + 1 — adjacent suffixes
+    * bound the LCP of ALL suffix pairs, the suffix-array invariant),
+    * then compute each pair's longest common prefix by walking the
+    * doubling tables high-to-low: if ranks_k agree at the pair's
+    * current offsets, the suffixes share 2^k more tokens — h += 2^k
+    * and advance; `rounds` keyed join-rounds total, no per-token
+    * comparison anywhere. Output: (a_id, a_pos, b_id, b_pos, lcp)
+    * for the `topK` longest repeats with lcp ≥ minLcp, ties broken on
+    * ids/positions. The any-length exact-repeat detector —
+    * [[repeatedSpans]]' fixed-gram pass generalized. */
+  def longestRepeats(df: DataFrame, text: String, id: String,
+                     rounds: Int = 7, minLcp: Long = 2L,
+                     topK: Int = 20): DataFrame = {
+    val tables = suffixRankTables(df, text, id, rounds)
+    val fin = tables.last
+    // the suffix-ARRAY order: final rank, ties (equal truncated
+    // suffixes) broken by (id, pos) — a total order, indexed by the
+    // scalable dense rank; adjacent entries bound the LCP of all
+    // pairs, and equal-rank runs (the exact repeats that matter most)
+    // pair consecutively instead of being skipped
+    val ordered = graft.ops.Ops.denseRank(fin, Seq("r", id, "pos"),
+      out = "sidx")
+    val succ = ordered.select((col("sidx") - 1).as("sidx"),
+      col(id).as("b_id"), col("pos").as("b_pos"))
+    var pairs = ordered
+      .select(col("sidx"), col(id).as("a_id"), col("pos").as("a_pos"))
+      .join(succ, Seq("sidx"))
+      .select(col("a_id"), col("a_pos"), col("b_id"), col("b_pos"),
+        lit(0L).as("h"))
+    for (k <- (rounds - 1) to 0 by -1) {
+      val t = tables(k)
+      val ra = t.select(col(id).as("a_id"), col("pos").as("__ap"),
+        col("r").as("__ra"))
+      val rb = t.select(col(id).as("b_id"), col("pos").as("__bp"),
+        col("r").as("__rb"))
+      pairs = pairs
+        .withColumn("__ap", (col("a_pos") + col("h")).cast("int"))
+        .withColumn("__bp", (col("b_pos") + col("h")).cast("int"))
+        .join(ra, Seq("a_id", "__ap"), "left")
+        .join(rb, Seq("b_id", "__bp"), "left")
+        .withColumn("h", when(col("__ra").isNotNull &&
+          col("__ra") === col("__rb"), col("h") + (1L << k))
+          .otherwise(col("h")))
+        .drop("__ap", "__bp", "__ra", "__rb")
+    }
+    // clamp by remaining suffix lengths: level-k agreement on two
+    // suffixes that BOTH end inside the window includes the padding,
+    // so the walked h can exceed the real token overlap by up to the
+    // pad — the true LCP never exceeds either remaining length
+    val lens = tokenize(df, text, id)
+      .select(col(id), size(col("toks")).cast("long").as("len"))
+    pairs
+      .join(lens.select(col(id).as("a_id"), col("len").as("__la")),
+        Seq("a_id"))
+      .join(lens.select(col(id).as("b_id"), col("len").as("__lb")),
+        Seq("b_id"))
+      .select(col("a_id"), col("a_pos"), col("b_id"), col("b_pos"),
+        least(col("h"), col("__la") - col("a_pos"),
+          col("__lb") - col("b_pos")).as("lcp"))
+      .filter(col("lcp") >= minLcp)
+      .orderBy(col("lcp").desc, col("a_id"), col("a_pos"), col("b_id"),
+        col("b_pos"))
+      .limit(topK)
+  }
+
   /** Candidate near-dup pairs alone — the maxDf-bounded posting-list
     * stage of [[ngramJaccardPairs]] without the rerank: unordered
     * (a, b) document pairs sharing at least one rare shingle. This IS

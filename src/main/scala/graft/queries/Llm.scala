@@ -2914,6 +2914,45 @@ object Llm {
         |SELECT doc_id, pos, r AS rank FROM sr7
         |ORDER BY doc_id, pos""".stripMargin)),
 
+    // ...and its payoff: longest repeated token-substrings — adjacent
+    // suffixes in suffix-array order, LCP walked down the doubling
+    // tables (7 keyed join-levels, no per-token comparison), clamped
+    // by remaining lengths; the oracle replays ranks, ordering, walk
+    // and clamp end-to-end
+    ("llm_longest_repeats",
+      ((s: SparkSession, d: String) =>
+        Dedup.longestRepeats(Tables.documents(s, d), "text", "doc_id",
+            rounds = 7, minLcp = 2L, topK = 20)
+          .orderBy(col("lcp").desc, col("a_id"), col("a_pos"),
+            col("b_id"), col("b_pos"))): Q,
+      Some(s"""WITH ${suffixRanksSql(7)},
+        |sx AS (SELECT doc_id, pos, r,
+        |  CAST(dense_rank() OVER (ORDER BY r, doc_id, pos) AS BIGINT)
+        |    AS sidx FROM sr7),
+        |w7 AS (SELECT a.doc_id AS a_id, a.pos AS a_pos,
+        |    b.doc_id AS b_id, b.pos AS b_pos, CAST(0 AS BIGINT) AS h
+        |  FROM sx a JOIN sx b ON b.sidx = a.sidx + 1)
+        |${(6 to 0 by -1).map { k =>
+            s""",w$k AS (SELECT w.a_id, w.a_pos, w.b_id, w.b_pos,
+            |  w.h + CASE WHEN ra.r IS NOT NULL AND ra.r = rb.r
+            |    THEN ${1 << k} ELSE 0 END AS h
+            |  FROM w${k + 1} w
+            |  LEFT JOIN sr$k ra ON ra.doc_id = w.a_id
+            |    AND ra.pos = w.a_pos + w.h
+            |  LEFT JOIN sr$k rb ON rb.doc_id = w.b_id
+            |    AND rb.pos = w.b_pos + w.h)""".stripMargin
+          }.mkString("\n")},
+        |lens AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+        |  FROM documents)
+        |SELECT w.a_id, w.a_pos, w.b_id, w.b_pos,
+        |  least(w.h, la.len - w.a_pos, lb.len - w.b_pos) AS lcp
+        |FROM w0 w JOIN lens la ON la.doc_id = w.a_id
+        |  JOIN lens lb ON lb.doc_id = w.b_id
+        |WHERE least(w.h, la.len - w.a_pos, lb.len - w.b_pos) >= 2
+        |ORDER BY lcp DESC, w.a_id, w.a_pos, w.b_id, w.b_pos
+        |LIMIT 20""".stripMargin)),
+
     // ...and the INCREMENTAL index: per-batch postings accumulate in
     // an exactly-once sink (replay harmless — postings distinct), the
     // accumulated index answers the same search, graded against the

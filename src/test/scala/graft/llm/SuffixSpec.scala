@@ -45,6 +45,31 @@ class SuffixSpec extends SparkSpec {
     assert(got.values.toSet == (1L to distinctSuffixes).toSet)
   }
 
+  test("longestRepeats: matches brute-force adjacent-suffix LCPs, clamped at ends") {
+    val rounds = 3
+    val got = Dedup.longestRepeats(corpus, "text", "doc_id",
+        rounds, minLcp = 1L, topK = 1000)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3)) -> r.getLong(4)).toMap
+    // brute force: all suffixes in (truncated-suffix, id, pos) order,
+    // LCP of each adjacent pair, capped at the truncation window
+    val suff = corpus.collect().flatMap { r =>
+      val toks = r.getString(1).split(" ")
+      toks.indices.map(p =>
+        (toks.drop(p).take(1 << rounds).toSeq, r.getLong(0), p))
+    }.sortBy(s => (s._1.mkString(""), s._2, s._3))
+    val want = suff.zip(suff.tail).map { case ((sa, ia, pa), (sb, ib, pb)) =>
+      val lcp = sa.zip(sb).takeWhile { case (x, y) => x == y }.size.toLong
+      (ia, pa, ib, pb) -> lcp
+    }.filter(_._2 >= 1L).toMap
+    assert(got == want, {
+      val dg = (got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)
+      s"diff: ${dg.take(5)}"
+    })
+    // the full-duplicate docs produce the maximal repeat
+    assert(got.values.max == 5L)
+  }
+
   test("denseRank: dense, ordered, partitioning-invariant") {
     val df = (1L to 1000L).map(i => (i * 7919 % 311, i * 13 % 17))
       .toDF("a", "b")
