@@ -495,6 +495,9 @@ object ScaleProbe {
     // self-join + one distributed dense rank (terasort shape)
     time("suffix_ranks")(llm.Dedup.suffixRanks(docs, "text", "doc_id",
       rounds = 7))
+    // full suffix array + LCP walk (all 7 levels, no early exit)
+    time("longest_repeats")(llm.Dedup.longestRepeats(docs, "text",
+      "doc_id", rounds = 7, minLcp = 2L, topK = 20))
 
     // Streaming-index lifecycle: a per-micro-batch sink accumulates one
     // batch_id= partition per batch; this measures the per-batch index
