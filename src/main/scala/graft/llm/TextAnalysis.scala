@@ -778,7 +778,11 @@ object TextAnalysis {
       i => transform(sequence(i + 1, size(col("t")) - 1),
         j => struct(element_at(col("t"), i + 1).as("a"),
           element_at(col("t"), j + 1).as("b")))))
-    val pairs = toks.select(explode(pairIdx).as("p"))
+    // Docs with <2 distinct tokens have no pairs; without this guard
+    // sequence(0, size-2) = sequence(0, -1) generates DESCENDING and
+    // the i = -1 iteration hits element_at(t, 0), which throws.
+    val pairs = toks.filter(size(col("t")) >= 2)
+      .select(explode(pairIdx).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("df_ab"))
       .filter(col("df_ab") >= minDf)
@@ -869,9 +873,12 @@ object TextAnalysis {
     if (qTris.isEmpty)
       base.filter(col(text).contains(query)).select(col(id))
     else {
+      // countDistinct, not count: a replayed/duplicated index batch
+      // (re-appended batch_id partition) would otherwise inflate the
+      // per-doc row count past qTris.length and drop true matches.
       val cand = index
         .filter(col("tri").isInCollection(qTris))
-        .groupBy(col(id)).agg(count(lit(1)).as("__m"))
+        .groupBy(col(id)).agg(countDistinct(col("tri")).as("__m"))
         .filter(col("__m") === qTris.length)
         .select(col(id))
       base.join(cand, Seq(id), "left_semi")

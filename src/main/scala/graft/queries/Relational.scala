@@ -741,7 +741,7 @@ object Relational {
         |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
         |  FROM orders),
         |a AS (SELECT o_orderkey, md5(CAST(o_custkey AS VARCHAR)
-        |  || CAST(price_c AS VARCHAR)) AS h FROM a0),
+        |  || chr(1) || CAST(price_c AS VARCHAR)) AS h FROM a0),
         |b0 AS (SELECT o_orderkey, o_custkey,
         |  CASE WHEN o_orderkey % 100 = 0 THEN price_c + 100
         |    ELSE price_c END AS price_c
@@ -750,7 +750,7 @@ object Relational {
         |  SELECT o_orderkey + 10000000, o_custkey, price_c
         |  FROM a0 WHERE o_orderkey % 90 = 0),
         |b AS (SELECT o_orderkey, md5(CAST(o_custkey AS VARCHAR)
-        |  || CAST(price_c AS VARCHAR)) AS h FROM b0),
+        |  || chr(1) || CAST(price_c AS VARCHAR)) AS h FROM b0),
         |s AS (SELECT CASE WHEN a.h IS NULL THEN 'added'
         |    WHEN b.h IS NULL THEN 'removed'
         |    WHEN a.h <> b.h THEN 'changed'

@@ -289,8 +289,8 @@ object Streaming {
     * `batch_id=` partition with dynamic overwrite. A document's
     * postings are self-contained, so under an append-only corpus the
     * index is append-only (the BM25-index argument), and because the
-    * search probe distincts per (tri, id) a replayed partition is
-    * HARMLESS (the HLL side of the replay dichotomy) — exactly-once
+    * search probe counts DISTINCT trigrams per doc a replayed
+    * partition is HARMLESS (the HLL side of the replay dichotomy) — exactly-once
     * still keeps row counts honest for point-in-time reads. Search
     * over the accumulated index goes through the same
     * [[graft.llm.TextAnalysis.trigramSearch]] AND-intersection. */

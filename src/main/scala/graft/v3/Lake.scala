@@ -155,15 +155,31 @@ class Lake(spark: SparkSession, val root: String) {
       val tgtDir = new Path(s"${dir(table)}/chain_name=$chain")
       val stamp = System.nanoTime()
       var i = 0
-      fs.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet"))
-        .foreach { st =>
-          fs.rename(st.getPath,
-            new Path(tgtDir, f"compacted-$stamp-$i%05d.parquet"))
+      // fs.rename signals failure by RETURNING false on HDFS (cross-fs
+      // moves, permissions) rather than throwing; landing must be
+      // all-or-nothing BEFORE the originals are deleted, else a failed
+      // rename would silently lose the bin's rows. On any failure the
+      // landed part-files are rolled back and the bin is skipped —
+      // worst case is the documented duplicate-rows crash window,
+      // never data loss.
+      val landed = scala.collection.mutable.ArrayBuffer.empty[Path]
+      val allRenamed = fs.listStatus(tmp)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .forall { st =>
+          val dst = new Path(tgtDir, f"compacted-$stamp-$i%05d.parquet")
           i += 1
+          val ok = fs.rename(st.getPath, dst)
+          if (ok) landed += dst
+          ok
         }
-      fs.delete(tmp, true)
-      paths.foreach(p => fs.delete(new Path(p), false))
-      rewritten += 1
+      if (!allRenamed) {
+        landed.foreach(p => fs.delete(p, false))
+        fs.delete(tmp, true)
+      } else {
+        fs.delete(tmp, true)
+        paths.foreach(p => fs.delete(new Path(p), false))
+        rewritten += 1
+      }
     }
     rewritten
   }

@@ -560,6 +560,38 @@ class LlmSpec extends SparkSpec {
     assert(nCand < n / 2, s"candidates $nCand of $n — index not pruning")
   }
 
+  test("trigramSearch: replayed (duplicated) index partition loses no matches") {
+    val idx = TextAnalysis.trigramIndex(docs, "text", "doc_id")
+      .localCheckpoint()
+    // simulate a replayed micro-batch: every index row appears twice
+    val replayed = idx.unionAll(idx).localCheckpoint()
+    def scan(q: String) = docs.filter(col("text").contains(q))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    for (q <- Seq("hash join", "customer")) {
+      val got = TextAnalysis
+        .trigramSearch(docs, "text", "doc_id", replayed, q)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == scan(q), s"query '$q' diverged on the replayed index")
+    }
+  }
+
+  test("cooccurrencePmi: one-token and empty docs don't crash and add no pairs") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "solo"), (4L, ""), (5L, "   "), (6L, "beta alpha"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.cooccurrencePmi(tiny, "text", "doc_id",
+      minDf = 2L, topK = 10)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2))
+      .toMap
+    // pairs only from multi-token docs; df_ab counts are exact
+    assert(r(("alpha", "beta")) == 3L)
+    assert(r(("alpha", "gamma")) == 2L)
+    assert(!r.keySet.exists(p => p._1 == "solo" || p._2 == "solo"))
+    assert(!r.keySet.exists(p => p._1 == p._2), "self-pairs leaked")
+  }
+
   test("ivfpq: planted copies found through the composed index, results within probed lists") {
     val evens = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
     val coarse = Similarity.trainIvfCentroids(evens, "embedding",

@@ -85,6 +85,13 @@ class GraphSpec extends SparkSpec {
     assert(got(2L) > got(5L) && got(4L) > got(5L) && got(5L) > 0L)
   }
 
+  test("empty edge list fails fast with a clear message, not /0 mid-plan") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val e = intercept[IllegalArgumentException](Graph.pageRank(empty))
+    assert(e.getMessage.contains("non-empty"))
+  }
+
   test("deterministic across runs and partitionings") {
     val pairs = (1L to 200L).map(i => (i, i * 7 % 201 + 1))
     val sym = pairs ++ pairs.map(_.swap)
