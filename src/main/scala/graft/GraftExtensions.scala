@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BandKeysExpr, BloomMightContainExpr, DotProduct, HllAgg, Log2FixedExpr, Md5Hash64Expr, Md5LanesExpr, NfcNormalizeExpr, SearchSortedExpr, SimhashAgg}
+import graft.functions.{AdcScore, BandKeysExpr, BloomMightContainExpr, DotProduct, HllAgg, Log2FixedExpr, Md5Hash64Expr, Md5LanesExpr, NfcNormalizeExpr, SearchSortedExpr, SimhashAgg}
 
 /** Cluster-wide deployment surface for the graft custom expressions.
   *
@@ -46,5 +46,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => NfcNormalizeExpr(exprs.head)))
     ext.injectFunction(fn(Log2FixedExpr.Name,
       exprs => Log2FixedExpr(exprs.head)))
+    ext.injectFunction(fn(AdcScore.Name,
+      exprs => AdcScore(exprs(0), exprs(1))))
   }
 }

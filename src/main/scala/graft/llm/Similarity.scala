@@ -585,17 +585,17 @@ object Similarity {
     * index-ordered so the DuckDB replay is bit-identical. A pure
     * projection: encoding costs no shuffle. */
   def pqCodes(e: Column, codebooks: Array[Array[Array[Double]]]): Column = {
-    val m = codebooks.length
-    val subDim = codebooks(0)(0).length
-    array((0 until m).map { s =>
-      val sub = slice(e, s * subDim + 1, subDim)
-      val scores = array(codebooks(s).map { c =>
-        VectorFunctions.dot(sub, typedlit(c.toSeq)) * 2.0 -
-          lit(c.map(x => x * x).sum)
-      }: _*)
-      (array_position(scores, array_max(scores)) - 1).cast("int")
-    }: _*)
+    graft.functions.PqFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    graft.functions.PqFunctions.codes(e, cbsLit(codebooks))
   }
+
+  /** The trained model as one nested-array literal — the constant-
+    * size-plan contract: m·k·subDim doubles in a single Catalyst leaf
+    * instead of m·k inlined sub-expressions ([[graft.functions
+    * .PqFunctions]] has the plan-overhead numbers). */
+  private def cbsLit(codebooks: Array[Array[Array[Double]]]): Column =
+    typedlit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
 
   /** Trained-model memo (the pairsMemo contract from Dedup): keyed by
     * session + params, guarded by PLAN EQUALITY on the canonicalized
@@ -699,20 +699,15 @@ object Similarity {
     val c = graft.ops.Ops.parallelizeInput(corpus, col(id))
       .select(col(id), pqCodes(pqNormalize(col(emb)), codebooks)
         .as("codes"))
-    val luts = array((0 until m).map { s =>
-      val qsub = slice(col("q_e"), s * subDim + 1, subDim)
-      array(codebooks(s).map(cen =>
-        floor(VectorFunctions.dot(qsub, typedlit(cen.toSeq)) * TrainQuant
-          + 0.5).cast("long")): _*)
-    }: _*)
+    val luts = graft.functions.PqFunctions.luts(col("q_e"),
+      cbsLit(codebooks), lit(TrainQuant))
     val q = queries.select(col(id).as("q_id"),
         pqNormalize(col(emb)).as("q_e"))
       .select(col("q_id"), luts.as("luts"))
+    graft.functions.AdcScore.register(corpus.sparkSession)
     c.join(broadcast(q), col("q_id") =!= col(id))
-      .withColumn("score_q", aggregate(sequence(lit(0), lit(m - 1)),
-        lit(0L), (acc, s) => acc +
-          element_at(element_at(col("luts"), s + 1),
-            element_at(col("codes"), s + 1) + 1)))
+      .withColumn("score_q",
+        graft.functions.AdcScore.of(col("codes"), col("luts")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("q_id"))
           .orderBy(col("score_q").desc, col(id))))
@@ -745,12 +740,8 @@ object Similarity {
     val qScores = array(coarse.map(cc =>
       VectorFunctions.dot(transform(col(emb), x => x.cast("double")),
         typedlit(cc.toSeq))): _*)
-    val luts = array((0 until m).map { s =>
-      val qsub = slice(col("q_e"), s * subDim + 1, subDim)
-      array(codebooks(s).map(cen =>
-        floor(VectorFunctions.dot(qsub, typedlit(cen.toSeq)) * TrainQuant
-          + 0.5).cast("long")): _*)
-    }: _*)
+    val luts = graft.functions.PqFunctions.luts(col("q_e"),
+      cbsLit(codebooks), lit(TrainQuant))
     val q = queries
       .select(col(id).as("q_id"), pqNormalize(col(emb)).as("q_e"),
         posexplode(qScores).as(Seq("list_id", "c_score")))
@@ -759,12 +750,11 @@ object Similarity {
           .orderBy(col("c_score").desc, col("list_id"))))
       .filter(col("pr") <= nProbe)
       .select(col("q_id"), luts.as("luts"), col("list_id"))
+    graft.functions.AdcScore.register(corpus.sparkSession)
     c.join(broadcast(q), Seq("list_id"))
       .filter(col("q_id") =!= col(id))
-      .withColumn("score_q", aggregate(sequence(lit(0), lit(m - 1)),
-        lit(0L), (acc, s) => acc +
-          element_at(element_at(col("luts"), s + 1),
-            element_at(col("codes"), s + 1) + 1)))
+      .withColumn("score_q",
+        graft.functions.AdcScore.of(col("codes"), col("luts")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("q_id"))
           .orderBy(col("score_q").desc, col(id))))

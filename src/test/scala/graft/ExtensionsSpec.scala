@@ -92,6 +92,12 @@ class ExtensionsSpec extends SparkSpec {
         .head()
       assert(lg.getLong(0) == 10L << 16)
       assert(lg.getLong(1) == graft.functions.Log2FixedExpr.log2q(3L))
+      // adc score: luts[0][code0] + luts[1][code1] = 20 + 300
+      val adc = s2.sql(
+        """SELECT graft_adc(array(1, 2),
+          |  array(array(10L, 20L, 30L), array(100L, 200L, 300L))) AS s
+          |""".stripMargin).head().getLong(0)
+      assert(adc == 320L)
     } finally {
       prevActive.foreach(SparkSession.setActiveSession)
       prevDefault.foreach(SparkSession.setDefaultSession)
