@@ -488,6 +488,19 @@ object Similarity {
     * scale, train on a sample: the quantizer needs the distribution,
     * not the corpus (the exact integer sum stays inside 2⁵³ up to
     * ~10⁹ sampled rows × unit-scale coordinates). */
+  /** Deterministic BOUNDED training sample — the fleet rule the
+    * trainers document ("train on a sample: the quantizer needs the
+    * distribution, not the corpus") made explicit: the `n` rows with
+    * the smallest md5(id) — a size-capped, order-free, engine-
+    * independent choice. A constant-fraction filter (`id % 2 = 0`)
+    * still grows with the corpus; this caps the training set at `n`
+    * however large the scan. Physical shape is TakeOrderedAndProject —
+    * a per-partition top-n heap merged on the driver, NO global sort —
+    * and the identical ORDER BY md5 LIMIT n replays in the oracle, so
+    * trained-model rows stay hash-graded end-to-end. */
+  def trainSample(df: DataFrame, id: String, n: Int): DataFrame =
+    df.orderBy(md5(col(id).cast("string")), col(id)).limit(n)
+
   def trainIvfCentroids(corpus: DataFrame, emb: String, nLists: Int,
                         iters: Int = 5, dim: Int = 64,
                         seed: Long = IvfSeed): Array[Array[Double]] =

@@ -1564,20 +1564,20 @@ object Llm {
     // see trainedCentroidsSql), then the same probe/rerank as the
     // fixed-centroid row. The strongest form of the check: DuckDB
     // re-derives the trained index itself rather than trusting the
-    // engine's training output. Training runs on a deterministic HALF
-    // sample (vec_id % 2 = 0) — the documented fleet practice (the
-    // quantizer needs the distribution, not the corpus), mirrored
+    // engine's training output. Training runs on a deterministic
+    // BOUNDED sample (Similarity.trainSample: the 256 smallest-md5
+    // ids — size-capped however large the corpus, a per-partition
+    // top-n heap rather than a constant-fraction filter), mirrored
     // exactly in the oracle's training CTE
     // product-quantization codebook TRAINING: m=8 independent Lloyd's
-    // runs over the subspaces (trained on the even half), every round
+    // runs over the subspaces (trained on the same sample), every round
     // replayed in SQL with the exact-integer recentring — the trained
     // artifact graded like the IVF/BPE/unigram/NB trainers
     ("llm_similarity_pq_train",
       ((s: SparkSession, d: String) => {
         import s.implicits._
         val cbs = Similarity.trainPqCodebooks(
-          Tables.embeddings(s, d)
-            .filter(pmod(col("vec_id"), lit(2)) === 0),
+          Similarity.trainSample(Tables.embeddings(s, d), "vec_id", 256),
           "embedding", m = 16, k = 16, iters = 3)
         cbs.zipWithIndex.flatMap { case (cb, sIdx) =>
           cb.zipWithIndex.flatMap { case (cen, code) =>
@@ -1596,7 +1596,8 @@ object Llm {
         |    FROM (SELECT vec_id,
         |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e0
         |      FROM embeddings))),
-        |embt AS (SELECT * FROM emb WHERE vec_id % 2 = 0),
+        |embt AS (SELECT * FROM emb
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 256),
         |  ${pqTrainSql(m = 16, k = 16, subDim = 4, iters = 3, src = "embt")}
         |SELECT p.s, p.code, CAST(g.i - 1 AS BIGINT) AS i,
         |  CAST(floor(p.cen[g.i] * 1048576.0 + 0.5) AS BIGINT) AS cen_q
@@ -1612,7 +1613,7 @@ object Llm {
       ((s: SparkSession, d: String) => {
         val e = Tables.embeddings(s, d)
         val cbs = Similarity.trainPqCodebooks(
-          e.filter(pmod(col("vec_id"), lit(2)) === 0),
+          Similarity.trainSample(e, "vec_id", 256),
           "embedding", m = 16, k = 16, iters = 3)
         Similarity.pqTopK(e, e.filter(col("vec_id") < 10),
             "vec_id", "embedding", k = 5, cbs)
@@ -1625,7 +1626,8 @@ object Llm {
         |    FROM (SELECT vec_id,
         |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e0
         |      FROM embeddings))),
-        |embt AS (SELECT * FROM emb WHERE vec_id % 2 = 0),
+        |embt AS (SELECT * FROM emb
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 256),
         |  ${pqTrainSql(m = 16, k = 16, subDim = 4, iters = 3, src = "embt")},
         |codes AS (SELECT vec_id, s, code FROM (
         |  SELECT e.vec_id, c.s, c.code, row_number() OVER (
@@ -1654,10 +1656,10 @@ object Llm {
     ("llm_similarity_ivfpq",
       ((s: SparkSession, d: String) => {
         val e = Tables.embeddings(s, d)
-        val evens = e.filter(pmod(col("vec_id"), lit(2)) === 0)
-        val coarse = Similarity.trainIvfCentroids(evens, "embedding",
+        val samp = Similarity.trainSample(e, "vec_id", 256)
+        val coarse = Similarity.trainIvfCentroids(samp, "embedding",
           nLists = 8, iters = 5)
-        val cbs = Similarity.trainPqCodebooks(evens, "embedding",
+        val cbs = Similarity.trainPqCodebooks(samp, "embedding",
           m = 16, k = 16, iters = 3)
         Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10),
             "vec_id", "embedding", k = 5, nLists = 8, nProbe = 2,
@@ -1672,8 +1674,10 @@ object Llm {
         |    AS en
         |  FROM (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS n
         |        FROM emb)),
-        |embt AS (SELECT * FROM emb WHERE vec_id % 2 = 0),
-        |embtn AS (SELECT vec_id, en AS e FROM embn WHERE vec_id % 2 = 0),
+        |embt AS (SELECT * FROM emb
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 256),
+        |embtn AS (SELECT vec_id, en AS e FROM embn
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 256),
         |  ${trainedCentroidsSql(nLists = 8, dim = 64, iters = 5,
               src = "embt")},
         |  ${pqTrainSql(m = 16, k = 16, subDim = 4, iters = 3,
@@ -1715,7 +1719,7 @@ object Llm {
       ((s: SparkSession, d: String) => {
         val e = Tables.embeddings(s, d)
         val cs = Similarity.trainIvfCentroids(
-          e.filter(pmod(col("vec_id"), lit(2)) === 0), "embedding",
+          Similarity.trainSample(e, "vec_id", 256), "embedding",
           nLists = 8, iters = 5)
         Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
             "vec_id", "embedding", k = 5, nLists = 8, nProbe = 2,
@@ -1728,7 +1732,8 @@ object Llm {
       Some(s"""WITH emb AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         |  FROM embeddings),
-        |embt AS (SELECT * FROM emb WHERE vec_id % 2 = 0),
+        |embt AS (SELECT * FROM emb
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 256),
         |  ${trainedCentroidsSql(nLists = 8, dim = 64, iters = 5, src = "embt")},
         |pre0 AS (SELECT emb.vec_id,
         |    list(list_dot_product(emb.e, c.cen) ORDER BY c.list_id) AS cs
