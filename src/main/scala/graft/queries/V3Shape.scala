@@ -173,6 +173,113 @@ object V3Shape {
         |SELECT frame_id, tick,
         |  sum(net_at_frame) OVER (PARTITION BY frame_id ORDER BY tick
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS liquidity
-        |FROM g1 ORDER BY frame_id, tick""".stripMargin))
+        |FROM g1 ORDER BY frame_id, tick""".stripMargin)),
+
+    // the reference's LAST data-flow family (allium.py:161–211): raw
+    // NFT-position-manager logs land in the lake through the REAL
+    // ingest loop (fixture connector → segment-capped pulls →
+    // partitioned appends), then Nfp.attributePositions runs the
+    // reference's warehouse-side join distributed: equi on
+    // (tx, amount, amount0, amount1) + the strict log-index theta.
+    // Planted defects: every 3rd core event has no manager log
+    // (direct pool interaction), every 11th manager log echoes a
+    // different amount1 (equi drop), every 13th shares the core's
+    // log_index (theta drop). The oracle re-derives both sides from
+    // orders and replays the join — the ingest path must be lossless
+    // for the row to hash-match
+    ("s10_nfp_ingest",
+      ((s: SparkSession, d: String) => {
+        import graft.v3.{Lake, Nfp, Schemas}
+        import graft.v3.ingest.{Ingest, ParquetFixtureConnector}
+        val orders = Tables.orders(s, d)
+        val txHash = concat(lit("0xtx"), col("o_orderkey").cast("string"))
+        val amount = col("o_custkey").cast("string")
+        val amount0 = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+          .cast("string")
+        val mb = orders.select(
+          lit("ethereum").as("chain_name"),
+          concat(lit("0xpool"), pmod(col("o_orderkey"), lit(5))
+            .cast("string")).as("address"),
+          txHash.as("transaction_hash"),
+          (lit(1000L) + pmod(col("o_orderkey"), lit(97))).as("block_number"),
+          pmod(col("o_orderkey"), lit(7)).as("log_index"),
+          amount.as("amount"), amount0.as("amount0"),
+          pmod(col("o_orderkey"), lit(1000)).cast("string").as("amount1"),
+          (-pmod(col("o_orderkey"), lit(100))).cast("string").as("tick_lower"),
+          (pmod(col("o_orderkey"), lit(100)) + 60).cast("string")
+            .as("tick_upper"))
+        val nfpFix = orders
+          .filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+          .select(
+            lit("ethereum").as("chain_name"),
+            when(pmod(col("o_orderkey"), lit(2)) === 0,
+              lit("IncreaseLiquidity")).otherwise(lit("DecreaseLiquidity"))
+              .as("name"),
+            txHash.as("transaction_hash"),
+            (lit(1000L) + pmod(col("o_orderkey"), lit(97))).as("block_number"),
+            pmod(col("o_orderkey"), lit(13)).as("tx_index"),
+            concat(lit("0xu"), col("o_custkey").cast("string"))
+              .as("from_address"),
+            amount.as("amount"), amount0.as("amount0"),
+            (pmod(col("o_orderkey"), lit(1000)) +
+              when(pmod(col("o_orderkey"), lit(11)) === 0, 1L).otherwise(0L))
+              .cast("string").as("amount1"),
+            pmod(col("o_orderkey"), lit(997)).cast("string").as("tokenId"),
+            (pmod(col("o_orderkey"), lit(7)) +
+              when(pmod(col("o_orderkey"), lit(13)) === 0, 0L).otherwise(1L))
+              .as("log_index"))
+        // land the fixture as the "remote warehouse", then ingest it
+        // through the real segment-capped loop into a fresh lake
+        val sfName = new java.io.File(d).getName
+        val fixRoot = s"/tmp/graft-nfp-src/$sfName"
+        nfpFix.write.mode("overwrite")
+          .parquet(s"$fixRoot/${Schemas.Nfp}/example.parquet")
+        val lake = new Lake(s, s"/tmp/graft-nfp-lake/$sfName")
+        lake.dropTable(Schemas.Nfp)
+        val connector = new ParquetFixtureConnector(s, fixRoot)
+        val tgt = math.max(nfpFix.count() / 3, 1L)
+        Ingest.updateTable(lake, connector, pool = "0xpool0",
+          chain = "ethereum", table = Schemas.Nfp, tgtMaxRows = tgt,
+          capBlock = None, ovmMapping = None)
+        Nfp.attributePositions(
+            lake.read(Schemas.Nfp).filter(col("chain_name") === "ethereum"),
+            mb)
+          .orderBy(col("transaction_hash"))
+      }): Q,
+      Some("""WITH mb AS (SELECT
+        |    '0xtx' || CAST(o_orderkey AS VARCHAR) AS transaction_hash,
+        |    '0xpool' || CAST(o_orderkey % 5 AS VARCHAR) AS address,
+        |    CAST(o_custkey AS VARCHAR) AS amount,
+        |    CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
+        |      AS amount0,
+        |    CAST(o_orderkey % 1000 AS VARCHAR) AS amount1,
+        |    CAST(-(o_orderkey % 100) AS VARCHAR) AS tick_lower,
+        |    CAST(o_orderkey % 100 + 60 AS VARCHAR) AS tick_upper,
+        |    o_orderkey % 7 AS core_log_index
+        |  FROM orders),
+        |nfp AS (SELECT
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 'IncreaseLiquidity'
+        |         ELSE 'DecreaseLiquidity' END AS name,
+        |    'ethereum' AS chain_name,
+        |    '0xtx' || CAST(o_orderkey AS VARCHAR) AS transaction_hash,
+        |    1000 + (o_orderkey % 97) AS block_number,
+        |    o_orderkey % 13 AS tx_index,
+        |    '0xu' || CAST(o_custkey AS VARCHAR) AS from_address,
+        |    CAST(o_custkey AS VARCHAR) AS amount,
+        |    CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
+        |      AS amount0,
+        |    CAST(o_orderkey % 1000 + CASE WHEN o_orderkey % 11 = 0
+        |      THEN 1 ELSE 0 END AS VARCHAR) AS amount1,
+        |    CAST(o_orderkey % 997 AS VARCHAR) AS "tokenId",
+        |    (o_orderkey % 7) + CASE WHEN o_orderkey % 13 = 0
+        |      THEN 0 ELSE 1 END AS log_index
+        |  FROM orders WHERE o_orderkey % 3 <> 0)
+        |SELECT n.name, n.chain_name, n.transaction_hash, n.block_number,
+        |  n.tx_index, n.from_address, n.amount, n.amount0, n.amount1,
+        |  n."tokenId", m.address, m.tick_lower, m.tick_upper
+        |FROM nfp n JOIN mb m ON n.transaction_hash = m.transaction_hash
+        |  AND n.amount = m.amount AND n.amount0 = m.amount0
+        |  AND n.amount1 = m.amount1 AND n.log_index > m.core_log_index
+        |ORDER BY n.transaction_hash""".stripMargin))
   )
 }

@@ -19,7 +19,11 @@ object Schemas {
   val PoolInitializeEvents = "pool_initialize_events"
   val PoolSwapEvents = "pool_swap_events"
   val PoolMintBurnEvents = "pool_mint_burn_events"
+  val Nfp = "nfp"
 
+  /** The per-pool update set. [[Nfp]] is an opt-in family like the
+    * reference's (only the allium connector ships it, allium.py:10–25,
+    * 161–211) — pass it explicitly to the ingest loop. */
   val allTables: Seq[String] =
     Seq(FactoryPoolCreated, PoolInitializeEvents, PoolSwapEvents, PoolMintBurnEvents)
 
@@ -57,11 +61,24 @@ object Schemas {
     l("type_of_event"), s("to_address"), s("from_address"),
     l("transaction_index"), s("gas_price"), s("gas_used"), s("l1_fee")))
 
+  /** RAW NFT-position-manager decoded-log rows (the inner `nfp`
+    * subselect of the reference's nfp query, allium.py:176–190):
+    * chain-scoped manager events with their exact big-int params as
+    * strings. The reference joins these to core mint/burns INSIDE the
+    * warehouse query (allium.py:193–210); Spark-first, the raw rows
+    * land in the lake and [[Nfp.attributePositions]] runs the same
+    * join distributed — the warehouse stays a dumb scan surface. */
+  val nfp: StructType = StructType(Seq(
+    s("chain_name"), s("name"), s("transaction_hash"), l("block_number"),
+    l("tx_index"), s("from_address"), s("amount"), s("amount0"),
+    s("amount1"), s("tokenId"), l("log_index")))
+
   def forTable(table: String): StructType = table match {
     case FactoryPoolCreated  => factory
     case PoolInitializeEvents => initialize
     case PoolSwapEvents      => swaps
     case PoolMintBurnEvents  => mintBurn
+    case Nfp                 => nfp
     case other => throw new IllegalArgumentException(s"unknown table $other")
   }
 }
