@@ -625,20 +625,32 @@ object Dedup {
     cur.select(col(id), col("pos"), col("r").as("rank"))
   }
 
+  /** Rank-table memo (the pairsMemo contract): several SA consumers
+    * ([[longestRepeats]] at 7 rounds, [[cutLongRepeats]] at
+    * ⌊log₂ L⌋) walk the same doubling tables over the same corpus —
+    * without the memo each registry row repays every denseRank round
+    * (~2 s/round at sf0.1). Keyed by session + columns, guarded by
+    * PLAN EQUALITY on the canonicalized input; a shorter request is
+    * served as a prefix of a longer cached run, a longer one EXTENDS
+    * the cached tables (doubling only ever needs the previous level). */
+  private val rankMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String),
+      List[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        List[DataFrame])]]
+
   /** All rank tables of the prefix doubling, checkpointed:
     * (ranks_0 … ranks_K) with ranks_k discriminating the first 2^k
     * tokens — the sparse table the LCP computation walks. Unlike
     * [[suffixRanks]] no early exit: the LCP walk needs every level. */
   private def suffixRankTables(df: DataFrame, text: String, id: String,
                                rounds: Int): Seq[DataFrame] = {
-    val toks = tokenize(df, text, id)
-      .select(col(id), posexplode(col("toks")).as(Seq("pos", "tok")))
-    val r0 = toks.join(
-      graft.ops.Ops.denseRank(toks.select(col("tok")), Seq("tok")),
-      Seq("tok"))
-      .select(col(id), col("pos"), col("rank").as("r"))
-      .localCheckpoint()
-    (0 until rounds).scanLeft(r0) { (r, k) =>
+    val plan = df.queryExecution.logical.canonicalized
+    val key = (System.identityHashCode(df.sparkSession), text, id)
+    val cached = rankMemo.getOrElse(key, Nil)
+      .collectFirst { case (p, t) if p.sameResult(plan) => t }
+      .getOrElse(Nil)
+    if (cached.length > rounds) return cached.take(rounds + 1)
+    def stepUp(r: DataFrame, k: Int): DataFrame = {
       val step = 1 << k
       val shifted = r.select(col(id),
         (col("pos") - step).as("pos"), col("r").as("r2"))
@@ -652,6 +664,19 @@ object Dedup {
         .select(col(id), col("pos"), col("rank").as("r"))
         .localCheckpoint()
     }
+    var tabs = if (cached.nonEmpty) cached else {
+      val toks = tokenize(df, text, id)
+        .select(col(id), posexplode(col("toks")).as(Seq("pos", "tok")))
+      List(toks.join(
+          graft.ops.Ops.denseRank(toks.select(col("tok")), Seq("tok")),
+          Seq("tok"))
+        .select(col(id), col("pos"), col("rank").as("r"))
+        .localCheckpoint())
+    }
+    for (k <- tabs.length - 1 until rounds) tabs = tabs :+ stepUp(tabs(k), k)
+    rankMemo.updateWith(key)(old => Some((plan, tabs) ::
+      old.getOrElse(Nil).filterNot(_._1.sameResult(plan)).take(3)))
+    tabs
   }
 
   /** Longest repeated token-substrings across the corpus — the
@@ -831,9 +856,20 @@ object Dedup {
     val marked = grams.join(dup.select(col("h"), col("keep")), Seq("h"))
       .filter(packed =!= col("keep"))
       .select(col(id), col("pos"))
+    mergeSpans(marked, id, gramLen)
+  }
+
+  /** Merge marked window starts (1-based `pos`, windows of `spanLen`
+    * tokens) into maximal disjoint spans per document — the keyed
+    * interval-union window shared by [[repeatedSpans]] and
+    * [[cutLongRepeats]]. Output: (id, span_id, span_start, span_end),
+    * end exclusive. */
+  private def mergeSpans(marked: DataFrame, id: String,
+                         spanLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(id)).orderBy(col("pos"))
     marked
-      .withColumn("__pme", max(col("pos") + gramLen)
+      .withColumn("__pme", max(col("pos") + spanLen)
         .over(w.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("__ns",
         when(col("__pme").isNull || col("pos") > col("__pme"), 1L)
@@ -842,7 +878,7 @@ object Dedup {
         .over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col(id), col("span_id"))
       .agg(min(col("pos")).cast("long").as("span_start"),
-        (max(col("pos")) + gramLen).cast("long").as("span_end"))
+        (max(col("pos")) + spanLen).cast("long").as("span_end"))
   }
 
   /** Apply [[repeatedSpans]]: rebuild each document's token stream with
@@ -861,8 +897,17 @@ object Dedup {
     * measures this projection as a bottleneck would move the cut into
     * `mapPartitions`; the semantics here are the contract. */
   def cutRepeatedSpans(df: DataFrame, text: String, id: String,
-                       gramLen: Int = 50): DataFrame = {
-    val spans = repeatedSpans(df, text, id, gramLen)
+                       gramLen: Int = 50): DataFrame =
+    applySpanCut(df, text, id, repeatedSpans(df, text, id, gramLen))
+
+  /** Apply a span table: rebuild each document's token stream with
+    * every [span_start, span_end) removed and digest the survivors —
+    * the shared tail of [[cutRepeatedSpans]] and [[cutLongRepeats]]
+    * (see the former's scaladoc for the digest convention and the
+    * interpreted-lambda note). */
+  private def applySpanCut(df: DataFrame, text: String, id: String,
+                           spanTable: DataFrame): DataFrame = {
+    val spans = spanTable
       .groupBy(col(id))
       .agg(collect_list(struct(col("span_start"), col("span_end")))
         .as("__spans"))
@@ -876,6 +921,57 @@ object Dedup {
       .select(col(id),
         md5(concat_ws(" ", kept).cast("binary")).as("cut_md5"),
         (size(toks) - size(kept)).cast("long").as("n_tokens_cut"))
+  }
+
+  /** The suffix-array CUT pass — exact-substring dedup's apply step at
+    * ANY window length, closing the loop the SA exists for (the
+    * published remove-all-but-one-occurrence recipe): every position
+    * whose `minLen`-token window occurs elsewhere in the corpus is
+    * marked unless it is the window's canonical (minimum (id, pos))
+    * occurrence, marks merge to maximal spans, spans are cut and the
+    * survivors digested — [[cutRepeatedSpans]] generalized from its
+    * fixed-gram hash to the SA's rank tables.
+    *
+    * Window equality comes from the sparse-table trick: with
+    * k = ⌊log₂ minLen⌋, two L-token windows are identical iff their
+    * level-k ranks agree at BOTH pos and pos + L − 2ᵏ (the two
+    * 2ᵏ-windows cover [pos, pos+L)); both probe positions keep ≥ 2ᵏ
+    * remaining tokens whenever pos + L ≤ len, so truncation padding
+    * never reaches the key. The mark stage is therefore provably
+    * identical to [[repeatedSpans]] at gramLen = minLen (LlmSpec
+    * asserts the equivalence) — but each position pays TWO rank
+    * lookups however long the window, instead of hashing minLen
+    * tokens: the ranks price L out of the per-position work and are
+    * shared with every other SA consumer ([[suffixRanks]],
+    * [[longestRepeats]]). Scale shape: k denseRank rounds (terasort —
+    * never a global window), one keyed group per window key, the
+    * span merge keyed per document. */
+  def cutLongRepeats(df: DataFrame, text: String, id: String,
+                     minLen: Int = 20): DataFrame = {
+    require(minLen >= 2, "minLen must be >= 2")
+    val k = 63 - java.lang.Long.numberOfLeadingZeros(minLen.toLong)
+    val t = suffixRankTables(df, text, id, rounds = k.toInt).last
+    val off = minLen - (1 << k)
+    val lens = tokenize(df, text, id)
+      .select(col(id), size(col("toks")).cast("long").as("__len"))
+    val a = t.select(col(id), col("pos"), col("r").as("__ra"))
+    val keyed0 =
+      if (off == 0) a.withColumn("__rb", col("__ra"))
+      else a.join(t.select(col(id), (col("pos") - off).as("pos"),
+        col("r").as("__rb")), Seq(id, "pos"))
+    val keyed = keyed0.join(lens, Seq(id))
+      .filter(col("pos") + minLen <= col("__len"))
+      .select(col(id), (col("pos") + 1).as("pos"), col("__ra"), col("__rb"))
+    val packed = col(id) * lit(1048576L) + col("pos")
+    val dup = keyed.groupBy(col("__ra"), col("__rb"))
+      .agg(count(lit(1)).as("df"), min(packed).as("keep"))
+      .filter(col("df") >= 2)
+    val marked = keyed
+      .join(dup.select(col("__ra"), col("__rb"), col("keep")),
+        Seq("__ra", "__rb"))
+      .filter(packed =!= col("keep"))
+      .select(col(id), col("pos"))
+    applySpanCut(df, text, id, mergeSpans(marked, id, minLen))
   }
 
   /** Connected components over near-dup pairs → duplicate clusters:

@@ -3584,6 +3584,58 @@ object Llm {
         |FROM sp GROUP BY doc_id, span_id
         |ORDER BY doc_id, span_start""".stripMargin)),
 
+    // the SUFFIX-ARRAY cut pass — exact-substring dedup's apply step
+    // at any window length (the endgame the SA exists for): window
+    // identity via the sparse-table rank-pair trick (level-4 ranks at
+    // pos and pos+8 decide 24-token windows), canonical-occurrence
+    // keep rule, span merge and cut as in the gram pass; the oracle
+    // replays the 4 doubling rounds, the rank-pair keying, and the
+    // reassembly end-to-end
+    ("llm_sa_repeats_cut",
+      ((s: SparkSession, d: String) =>
+        Dedup.cutLongRepeats(Tables.documents(s, d), "text", "doc_id",
+            minLen = 24)
+          .orderBy(col("doc_id"))): Q,
+      Some(s"""WITH ${suffixRanksSql(4)},
+        |atoks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS len FROM atoks),
+        |ky AS (SELECT a.doc_id, a.pos + 1 AS pos, a.r AS ra, b.r AS rb
+        |  FROM sr4 a JOIN sr4 b
+        |    ON b.doc_id = a.doc_id AND b.pos = a.pos + 8
+        |  JOIN lens l ON l.doc_id = a.doc_id
+        |  WHERE a.pos + 24 <= l.len),
+        |d AS (SELECT ra, rb, count(*) AS df,
+        |    min(doc_id * 1048576 + pos) AS keep
+        |  FROM ky GROUP BY ra, rb),
+        |m AS (SELECT ky.doc_id, ky.pos FROM ky JOIN d USING (ra, rb)
+        |  WHERE d.df >= 2 AND ky.doc_id * 1048576 + ky.pos != d.keep),
+        |x AS (SELECT doc_id, pos, max(pos + 24) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS pme FROM m),
+        |f AS (SELECT doc_id, pos,
+        |  CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END AS ns FROM x),
+        |sp AS (SELECT doc_id, pos, CAST(sum(ns) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS span_id FROM f),
+        |spans AS (SELECT doc_id, min(pos) AS span_start,
+        |  max(pos) + 24 AS span_end
+        |  FROM sp GROUP BY doc_id, span_id),
+        |tpos AS (SELECT doc_id, t[p] AS tok, p
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS p
+        |        FROM atoks)),
+        |cut AS (SELECT p.doc_id,
+        |  string_agg(p.tok, ' ' ORDER BY p.p) AS txt,
+        |  count(*) AS n_kept
+        |  FROM tpos p
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans s WHERE s.doc_id = p.doc_id
+        |    AND p.p >= s.span_start AND p.p < s.span_end)
+        |  GROUP BY p.doc_id)
+        |SELECT a.doc_id, md5(coalesce(c.txt, '')) AS cut_md5,
+        |  CAST(len(a.t) - coalesce(c.n_kept, 0) AS BIGINT) AS n_tokens_cut
+        |FROM atoks a LEFT JOIN cut c USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin)),
+
     // the apply step of exact-substring dedup: every cut span removed,
     // surviving tokens rejoined and digested — one row per input doc
     // (uniform digest convention for untouched docs). The oracle

@@ -146,6 +146,33 @@ class LlmSpec extends SparkSpec {
     assert(cut(3L)._1 == tailMd5)
   }
 
+  test("cutLongRepeats: SA rank-pair cut equals the gram-hash cut at the same length") {
+    import spark.implicits._
+    val common = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (1L, common),
+      (2L, common),
+      (3L, s"$common extra unique tail tokens here"),
+      (4L, (100 to 140).map(i => s"only$i").mkString(" ")),
+      (5L, s"front matter differs ${(5 to 29).map(i => s"tok$i").mkString(" ")}"))
+      .toDF("doc_id", "text")
+    // non-power-of-two length exercises the off != 0 rank-pair key;
+    // power-of-two exercises the single-rank fast path
+    for (len <- Seq(20, 16)) {
+      val sa = Dedup.cutLongRepeats(df, "text", "doc_id", minLen = len)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+        .toMap
+      val gram = Dedup.cutRepeatedSpans(df, "text", "doc_id", gramLen = len)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+        .toMap
+      assert(sa == gram, s"len=$len: SA cut diverged from gram cut")
+    }
+    // and the cut is real: the exact copy vanishes, the keeper survives
+    val sa20 = Dedup.cutLongRepeats(df, "text", "doc_id", minLen = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sa20(1L) == 0L && sa20(2L) == 30L && sa20(4L) == 0L)
+  }
+
   test("lineDedup: drops exactly the >= minDf lines, reassembles in position order") {
     import spark.implicits._
     def md5hex(s: String): String =
