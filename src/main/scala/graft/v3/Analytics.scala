@@ -50,9 +50,20 @@ object Analytics {
     // intermediate plus a per-row-id shuffle to undo it. suffixMinId
     // makes the "min frame_id" exact even for non-monotone frame ids.
     graft.functions.SearchSortedExpr.register(mb.sparkSession)
+    val MaxFrames = 100000
     val fr = frames.select(col("frame_id").cast("long"), col("as_of").cast("double"))
+      .limit(MaxFrames + 1)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._2)
     require(fr.nonEmpty, "liquiditySurface needs at least one frame")
+    // the driver-small contract, enforced loudly: frames are animation/
+    // report observation points, collected once and embedded in the
+    // binary-search literal. A frames-as-data misuse (millions of rows)
+    // must fail fast here, not OOM the driver or blow the plan up —
+    // limit()+count check keeps even the probe itself bounded.
+    require(fr.length <= MaxFrames,
+      s"liquiditySurface: frame grid exceeds $MaxFrames observation " +
+        "points - frames are driver-small by contract (animation/report " +
+        "bounds); bucket or sample the observation axis instead")
     val boundsArr = fr.map(_._2).toSeq
     val suffixMinId = fr.map(_._1).scanRight(Long.MaxValue)(math.min).init.toSeq
     val idx = graft.functions.SearchSortedExpr.of(
