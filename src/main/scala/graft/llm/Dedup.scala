@@ -588,6 +588,18 @@ object Dedup {
     * columns). Output: (id, pos, rank), pos 0-based. */
   def suffixRanks(df: DataFrame, text: String, id: String,
                   rounds: Int = 7): DataFrame = {
+    // serve from the rank-table memo when another SA consumer
+    // ([[longestRepeats]], [[cutLongRepeats]]) already built at least
+    // `rounds` levels over the same plan: tables(rounds) IS the
+    // all-rounds result, and the early-exit path below is documented
+    // result-identical to it — so the memo hit returns the exact same
+    // frame for free instead of re-running 3–4 denseRank rounds.
+    val plan = df.queryExecution.logical.canonicalized
+    val memoKey = (System.identityHashCode(df.sparkSession), text, id)
+    rankMemo.getOrElse(memoKey, Nil)
+      .collectFirst { case (p, t) if p.sameResult(plan) && t.length > rounds =>
+        t(rounds) }
+      .foreach(t => return t.select(col(id), col("pos"), col("r").as("rank")))
     val toks = tokenize(df, text, id)
       .select(col(id), posexplode(col("toks")).as(Seq("pos", "tok")))
     val r0 = toks.join(

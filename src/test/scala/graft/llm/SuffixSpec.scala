@@ -85,4 +85,16 @@ class SuffixSpec extends SparkSpec {
       assert(r4(k) == i + 1L, s"$k -> ${r4(k)} want ${i + 1}")
     }
   }
+
+  test("suffixRanks served from the rank-table memo equals the early-exit path") {
+    def collectRanks() =
+      Dedup.suffixRanks(corpus, "text", "doc_id", rounds = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val cold = collectRanks() // early-exit path (memo not yet filled)
+    // fills the rank-table memo for this (plan, text, id) at >= 4 levels
+    Dedup.longestRepeats(corpus, "text", "doc_id", rounds = 4,
+      minLcp = 1L, topK = 5).collect()
+    val viaMemo = collectRanks() // now served as tables(3)
+    assert(viaMemo == cold, "memo-served ranks diverged from early-exit ranks")
+  }
 }
