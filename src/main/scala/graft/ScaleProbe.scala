@@ -498,6 +498,12 @@ object ScaleProbe {
     // full suffix array + LCP walk (all 7 levels, no early exit)
     time("longest_repeats")(llm.Dedup.longestRepeats(docs, "text",
       "doc_id", rounds = 7, minLcp = 2L, topK = 20))
+    // the SA cut pass: rank-pair keying + span merge + cut apply; with
+    // the rank-table memo warm from longest_repeats this prices the
+    // cut stages alone (the intended fleet shape: one SA, many
+    // consumers)
+    time("sa_repeats_cut")(llm.Dedup.cutLongRepeats(docs, "text",
+      "doc_id", minLen = 24))
 
     // Streaming-index lifecycle: a per-micro-batch sink accumulates one
     // batch_id= partition per batch; this measures the per-batch index
