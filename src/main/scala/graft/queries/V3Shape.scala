@@ -280,6 +280,135 @@ object V3Shape {
         |FROM nfp n JOIN mb m ON n.transaction_hash = m.transaction_hash
         |  AND n.amount = m.amount AND n.amount0 = m.amount0
         |  AND n.amount1 = m.amount1 AND n.log_index > m.core_log_index
-        |ORDER BY n.transaction_hash""".stripMargin))
+        |ORDER BY n.transaction_hash""".stripMargin)),
+
+    // manifest-based TIME TRAVEL (the exact-reproducibility need every
+    // training-data lake hits): two ingest waves each commit a
+    // snapshot; each pinned read must reproduce the table EXACTLY as
+    // of its commit — wave 1's aggregate unchanged by wave 2's
+    // appends. The oracle re-derives both waves from orders and
+    // aggregates each prefix; the manifest machinery must name
+    // precisely the committed files for the hashes to match
+    ("s11_time_travel",
+      ((s: SparkSession, d: String) => {
+        import graft.v3.{Lake, Schemas}
+        val orders = Tables.orders(s, d)
+        def wave(pred: org.apache.spark.sql.Column) =
+          orders.filter(pred).select(
+          lit("ethereum").as("chain_name"),
+          lit("IncreaseLiquidity").as("name"),
+          concat(lit("0xtx"), col("o_orderkey").cast("string"))
+            .as("transaction_hash"),
+          (lit(1000L) + pmod(col("o_orderkey"), lit(97))).as("block_number"),
+          pmod(col("o_orderkey"), lit(13)).as("tx_index"),
+          concat(lit("0xu"), col("o_custkey").cast("string"))
+            .as("from_address"),
+          col("o_custkey").cast("string").as("amount"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").cast("string")
+            .as("amount0"),
+          pmod(col("o_orderkey"), lit(1000)).cast("string").as("amount1"),
+          pmod(col("o_orderkey"), lit(997)).cast("string").as("tokenId"),
+          pmod(col("o_orderkey"), lit(7)).as("log_index"))
+        val sfName = new java.io.File(d).getName
+        val lake = new Lake(s, s"/tmp/graft-tt-lake/$sfName")
+        lake.dropTable(Schemas.Nfp)
+        lake.append(wave(pmod(col("o_orderkey"), lit(2)) === 0), Schemas.Nfp)
+        val v1 = lake.snapshot(Schemas.Nfp)
+        lake.append(wave(pmod(col("o_orderkey"), lit(2)) === 1), Schemas.Nfp)
+        val v2 = lake.snapshot(Schemas.Nfp)
+        def agg(v: Long) = lake.readAt(Schemas.Nfp, v)
+          .agg(count(lit(1)).as("n"),
+            sum(col("amount0").cast("long")).as("sum_price_c"),
+            min(col("transaction_hash")).as("min_tx"),
+            max(col("transaction_hash")).as("max_tx"))
+          .withColumn("version", lit(v))
+        agg(v1).unionByName(agg(v2))
+          .select(col("version"), col("n"), col("sum_price_c"),
+            col("min_tx"), col("max_tx"))
+          .orderBy(col("version"))
+      }): Q,
+      Some("""WITH w AS (SELECT o_orderkey,
+        |    '0xtx' || CAST(o_orderkey AS VARCHAR) AS transaction_hash,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+        |  FROM orders),
+        |a AS (SELECT 1 AS version, count(*) AS n,
+        |    sum(price_c) AS sum_price_c,
+        |    min(transaction_hash) AS min_tx, max(transaction_hash) AS max_tx
+        |  FROM w WHERE o_orderkey % 2 = 0),
+        |b AS (SELECT 2 AS version, count(*) AS n,
+        |    sum(price_c) AS sum_price_c,
+        |    min(transaction_hash) AS min_tx, max(transaction_hash) AS max_tx
+        |  FROM w)
+        |SELECT CAST(version AS BIGINT) AS version, n,
+        |  CAST(sum_price_c AS BIGINT) AS sum_price_c, min_tx, max_tx
+        |FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |ORDER BY version""".stripMargin)),
+
+    // keyed UPSERT — the CDC-apply operator (MERGE INTO semantics):
+    // one batch updates every 10th key, inserts shifted copies of
+    // every 90th, deletes every 97th; the lake rewrite is one
+    // anti-join + dynamic overwrite of only the touched chain
+    // partition. The oracle derives the post-merge state directly
+    // from orders — replace/insert/delete must all have landed
+    // exactly for the grouped digest to hash-match
+    ("s12_upsert_cdc",
+      ((s: SparkSession, d: String) => {
+        import graft.v3.{Lake, Schemas}
+        val orders = Tables.orders(s, d)
+        def derive(df: org.apache.spark.sql.DataFrame,
+                   key: org.apache.spark.sql.Column,
+                   bump: Long) = df.select(
+          lit("ethereum").as("chain_name"),
+          lit("IncreaseLiquidity").as("name"),
+          concat(lit("0xtx"), key.cast("string")).as("transaction_hash"),
+          (lit(1000L) + pmod(key, lit(97))).as("block_number"),
+          pmod(key, lit(13)).as("tx_index"),
+          concat(lit("0xu"), col("o_custkey").cast("string"))
+            .as("from_address"),
+          col("o_custkey").cast("string").as("amount"),
+          (floor(col("o_totalprice") * 100 + 0.5).cast("long") + bump)
+            .cast("string").as("amount0"),
+          pmod(key, lit(1000)).cast("string").as("amount1"),
+          pmod(key, lit(997)).cast("string").as("tokenId"),
+          pmod(key, lit(7)).as("log_index"))
+        val k = col("o_orderkey")
+        val sfName = new java.io.File(d).getName
+        val lake = new Lake(s, s"/tmp/graft-up-lake/$sfName")
+        lake.dropTable(Schemas.Nfp)
+        lake.append(derive(orders, k, 0L), Schemas.Nfp)
+        val batch = derive(orders.filter(pmod(k, lit(10)) === 0 &&
+              pmod(k, lit(97)) =!= 0), k, 100L)
+            .withColumn("__del", lit(false))
+          .unionByName(derive(orders.filter(pmod(k, lit(97)) === 0), k, 0L)
+            .withColumn("__del", lit(true)))
+          .unionByName(derive(orders.filter(pmod(k, lit(90)) === 0),
+              k + 10000000L, 0L)
+            .withColumn("__del", lit(false)))
+        lake.upsert(batch, Schemas.Nfp,
+          Seq("chain_name", "transaction_hash"), deleteCol = Some("__del"))
+        lake.read(Schemas.Nfp)
+          .groupBy(col("log_index"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("amount0").cast("long")).as("sum_a0"),
+            sum(when(length(col("transaction_hash")) >= 12, 1L)
+              .otherwise(0L)).as("n_inserted"))
+          .orderBy(col("log_index"))
+      }): Q,
+      Some("""WITH base AS (SELECT o_orderkey AS k, o_custkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |survivors AS (SELECT k, cents + CASE WHEN k % 10 = 0
+        |    AND k % 97 <> 0 THEN 100 ELSE 0 END AS a0
+        |  FROM base WHERE k % 97 <> 0),
+        |ins AS (SELECT k + 10000000 AS k, cents AS a0
+        |  FROM base WHERE k % 90 = 0),
+        |fin AS (SELECT k, a0, '0xtx' || CAST(k AS VARCHAR) AS tx
+        |  FROM survivors
+        |  UNION ALL SELECT k, a0, '0xtx' || CAST(k AS VARCHAR) FROM ins)
+        |SELECT CAST(k % 7 AS BIGINT) AS log_index,
+        |  count(*) AS n, CAST(sum(a0) AS BIGINT) AS sum_a0,
+        |  CAST(sum(CASE WHEN length(tx) >= 12 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_inserted
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -71,9 +71,12 @@ class Lake(spark: SparkSession, val root: String) {
     fs.exists(p) && fs.delete(p, true)
   }
 
-  /** Drop a whole table. */
+  /** Drop a whole table (its snapshot manifests go with it — a pinned
+    * read of a dropped table has nothing true left to say). */
   def dropTable(table: String): Boolean = {
     val p = new Path(dir(table))
+    val s = snapDir(table)
+    if (fs.exists(s)) fs.delete(s, true)
     fs.exists(p) && fs.delete(p, true)
   }
 
@@ -182,5 +185,141 @@ class Lake(spark: SparkSession, val root: String) {
       }
     }
     rewritten
+  }
+
+  /** Keyed UPSERT — the CDC-apply operator (MERGE INTO's
+    * insert/update/delete semantics) for the parquet lake: incoming
+    * rows replace existing rows with the same key, new keys insert,
+    * and rows whose `deleteCol` is true remove their key. The batch
+    * must be unique per key (compact a raw change stream with
+    * [[graft.ops.Ops.lastPerKey]] first — the require below fails fast
+    * otherwise, because silently letting two versions of a key race
+    * the union is the classic CDC corruption).
+    *
+    * Scale shape: ONE anti-join of the current table against the
+    * batch's keys (shuffle on the key) plus the batch itself, and the
+    * rewrite touches ONLY the chain partitions the batch names —
+    * dynamic partition overwrite, the other partitions' files are
+    * never opened. A chain whose every row is deleted gets its
+    * partition directory dropped explicitly (dynamic overwrite only
+    * rewrites partitions present in the output). Crash window: the
+    * partition overwrite is not atomic on a bare parquet lake — same
+    * documented window as [[compact]]; real deployments put an ACID
+    * table format underneath. */
+  def upsert(updates: DataFrame, table: String, keys: Seq[String],
+             deleteCol: Option[String] = None): Unit = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    val schema = Schemas.forTable(table)
+    val dups = updates.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+    require(dups == 0L,
+      s"upsert batch has multiple rows per key ${keys.mkString(",")} - " +
+        "compact the change stream to latest-per-key first (Ops.lastPerKey)")
+    val chains = updates.select(col("chain_name")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (chains.isEmpty) return
+    val curTouched = read(table)
+      .filter(col("chain_name").isInCollection(chains))
+    val survivors = curTouched.join(
+      updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    val inserts = deleteCol.fold(updates)(c =>
+      updates.filter(!col(c)).drop(c))
+    val cols = schema.fieldNames.toSeq.map(col)
+    val merged = survivors.select(cols: _*)
+      .unionByName(inserts.select(cols: _*))
+      .localCheckpoint() // cut lineage: the write overwrites its input
+    val remaining = merged.select(col("chain_name")).distinct()
+      .collect().map(_.getString(0)).toSet
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("chain_name").parquet(dir(table))
+    chains.filterNot(remaining).foreach(dropChain(table, _))
+  }
+
+  // ── Snapshots: manifest-based time travel ──────────────────────────
+  //
+  // The exact-reproducibility need every training-data lake hits:
+  // "read the corpus EXACTLY as it was when run X trained", while
+  // appends keep landing. A snapshot is one manifest file listing the
+  // table's data files at commit time (paths relative to the table
+  // dir, so the lake can move) — the Iceberg/Delta idea at its
+  // smallest: metadata names files, readers plan from metadata, and a
+  // version is immutable because parquet files are append-only.
+  // Manifests are driver-small (file lists, thousands of entries — the
+  // model-state rule); the READ is a normal distributed parquet scan
+  // over exactly the named files, partition values still parsed from
+  // the paths. COMPACTION rewrites files, so it invalidates snapshots
+  // taken before it; [[readAt]] detects missing files and fails loudly
+  // with the invalidating paths instead of silently returning a
+  // partial corpus — retention policy (keep pre-compaction files until
+  // snapshots expire) is a deployment concern layered above, exactly
+  // as in the published table formats.
+
+  // manifests live OUTSIDE the table directory: anything under it —
+  // even underscore-prefixed — can trip partition discovery on the
+  // live read's recursive listing
+  private def snapDir(table: String) = new Path(s"$root/_snapshots/$table")
+
+  /** Commit the table's current file set as the next snapshot version.
+    * Returns the new version number (1-based). Concurrency: the
+    * version file is created with create-exclusive semantics; on a
+    * collision (two writers snapshotting at once) the later writer
+    * retries with the next number. */
+  def snapshot(table: String): Long = {
+    val base = fs.makeQualified(new Path(dir(table))).toString
+    val files = fileInventory(table).map(_._2)
+      .map(_.stripPrefix(base).stripPrefix("/"))
+      .sorted
+    fs.mkdirs(snapDir(table))
+    var v = snapshotVersions(table).lastOption.getOrElse(0L) + 1
+    var done = false
+    while (!done) {
+      val p = new Path(snapDir(table), f"v$v%09d.txt")
+      try {
+        val out = fs.create(p, false) // create-exclusive: no overwrite
+        out.write(files.mkString("\n").getBytes("UTF-8"))
+        out.close()
+        done = true
+      } catch {
+        case _: java.io.IOException if fs.exists(p) => v += 1 // raced
+      }
+    }
+    v
+  }
+
+  /** All committed snapshot versions, ascending. */
+  def snapshotVersions(table: String): Seq[Long] = {
+    if (!fs.exists(snapDir(table))) return Seq.empty
+    fs.listStatus(snapDir(table)).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".txt"))
+      .map(n => n.stripPrefix("v").stripSuffix(".txt").toLong)
+      .sorted
+  }
+
+  /** Read the table EXACTLY as of snapshot `version`. Fails loudly if
+    * any manifest file is gone (compacted/expired) — a partial corpus
+    * silently standing in for a pinned one is the failure mode this
+    * API exists to prevent. */
+  def readAt(table: String, version: Long): DataFrame = {
+    val p = new Path(snapDir(table), f"v$version%09d.txt")
+    require(fs.exists(p), s"no snapshot v$version for table $table")
+    val in = fs.open(p)
+    val body = new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    in.close()
+    val rel = body.split("\n").toSeq.filter(_.nonEmpty)
+    if (rel.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        Schemas.forTable(table))
+    val abs = rel.map(r => s"${dir(table)}/$r")
+    val missing = abs.filterNot(a => fs.exists(new Path(a)))
+    require(missing.isEmpty,
+      s"snapshot v$version of $table invalidated - missing files " +
+        s"(compacted or expired): ${missing.take(5).mkString(", ")}" +
+        (if (missing.size > 5) s" (+${missing.size - 5} more)" else ""))
+    spark.read.schema(Schemas.forTable(table))
+      .option("basePath", dir(table))
+      .parquet(abs: _*)
   }
 }

@@ -1,0 +1,76 @@
+package graft.v3
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Manifest-based time travel: a snapshot pins the exact file set, a
+  * pinned read reproduces it bit-for-bit while appends keep landing,
+  * and an invalidated snapshot (compaction rewrote its files) fails
+  * loudly instead of returning a partial corpus. */
+class LakeSnapshotSpec extends SparkSpec {
+
+  private def rows(from: Int, until: Int) = {
+    import spark.implicits._
+    (from until until).map { i =>
+      ("ethereum", "IncreaseLiquidity", s"0xtx$i", 1000L + i, 0L,
+        "0xu1", s"$i", s"${i * 10}", s"${i * 100}", s"$i", 7L)
+    }.toDF("chain_name", "name", "transaction_hash", "block_number",
+      "tx_index", "from_address", "amount", "amount0", "amount1",
+      "tokenId", "log_index")
+  }
+
+  test("snapshots pin exact file sets; pinned reads survive later appends") {
+    val lake = new Lake(spark,
+      Files.createTempDirectory("lake-snap").toString)
+    lake.append(rows(0, 40), Schemas.Nfp)
+    val v1 = lake.snapshot(Schemas.Nfp)
+    lake.append(rows(40, 100), Schemas.Nfp)
+    val v2 = lake.snapshot(Schemas.Nfp)
+    assert(lake.snapshotVersions(Schemas.Nfp) == Seq(v1, v2))
+    assert(v1 == 1L && v2 == 2L)
+    // v1 sees only the first append, however much landed after it
+    assert(lake.readAt(Schemas.Nfp, v1).count() == 40L)
+    assert(lake.readAt(Schemas.Nfp, v2).count() == 100L)
+    assert(lake.read(Schemas.Nfp).count() == 100L)
+    // the pinned read is exact, not just a count: same rows as the
+    // live table was at commit time
+    val v1Keys = lake.readAt(Schemas.Nfp, v1)
+      .select("transaction_hash").collect().map(_.getString(0)).toSet
+    assert(v1Keys == (0 until 40).map(i => s"0xtx$i").toSet)
+    // partition pruning still applies through the pinned scan
+    assert(lake.readAt(Schemas.Nfp, v1)
+      .filter(col("chain_name") === "nochain").count() == 0L)
+  }
+
+  test("compaction invalidates older snapshots loudly, never partially") {
+    val lake = new Lake(spark,
+      Files.createTempDirectory("lake-snap2").toString)
+    // many small appends -> many small files worth compacting
+    (0 until 6).foreach(i => lake.append(rows(i * 10, i * 10 + 10),
+      Schemas.Nfp))
+    val v1 = lake.snapshot(Schemas.Nfp)
+    assert(lake.compact(Schemas.Nfp, targetBytes = 1L << 30) >= 1)
+    // the live read still sees every row
+    assert(lake.read(Schemas.Nfp).count() == 60L)
+    // the pinned read names its missing files instead of under-reading
+    val e = intercept[IllegalArgumentException](
+      lake.readAt(Schemas.Nfp, v1).count())
+    assert(e.getMessage.contains("invalidated"))
+    // a fresh snapshot over the compacted files works
+    val v2 = lake.snapshot(Schemas.Nfp)
+    assert(lake.readAt(Schemas.Nfp, v2).count() == 60L)
+  }
+
+  test("empty-table snapshot reads back as a typed empty frame") {
+    val lake = new Lake(spark,
+      Files.createTempDirectory("lake-snap3").toString)
+    lake.append(rows(0, 1), Schemas.Nfp)
+    // drop the chain then snapshot: inventory is empty
+    lake.dropChain(Schemas.Nfp, "ethereum")
+    val v = lake.snapshot(Schemas.Nfp)
+    val df = lake.readAt(Schemas.Nfp, v)
+    assert(df.count() == 0L)
+    assert(df.schema.fieldNames.toSet == Schemas.nfp.fieldNames.toSet)
+  }
+}
