@@ -41,7 +41,9 @@ class PlanShapeSpec extends SparkSpec {
     "a15_join_size_sketch" ->
       "one-row estimator outputs (lane-min, side counts, exact check) over 4xwidth-row registers; corpus side is two keyed register aggregates",
     "s9_integrity_audit" ->
-      "three one-row check aggregates (parallel partials) unioned into the 3-row report; corpus side is anti-join + keyed counts")
+      "three one-row check aggregates (parallel partials) unioned into the 3-row report; corpus side is anti-join + keyed counts",
+    "s11_time_travel" ->
+      "two one-row snapshot digests (count/sum/min/max global aggregates, map-side partials) unioned into the 2-row report; the pinned scans themselves stay partitioned")
 
   private val allowedAllPairs = Map(
     "llm_similarity_topk" ->
