@@ -631,6 +631,15 @@ object Llm {
     }
   }
 
+  /** Package-visible bridges so other registry files (V3Shape's
+    * streamed CDC row) reuse the tranche cache + mtime stamping. */
+  private[queries] def sharedTranchesFor(sfDir: String, key: String)
+                                        (build: String => Unit): String =
+    sharedTranches(sfDir, key)(build)
+  private[queries] def writeTranches(srcDir: String,
+                                     tranches: Seq[DataFrame]): Unit =
+    streamedTranches(srcDir, tranches)
+
   /** Scope a narrow shuffle width around a streamed-row body: micro-
     * batches are admission-bounded small (maxFilesPerTrigger = 1 over
     * tranche files), so the session's corpus-sized

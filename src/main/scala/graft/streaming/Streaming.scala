@@ -309,6 +309,33 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
 
+  /** Streaming CDC apply — the standard streaming-lake workload: each
+    * micro-batch of change rows compacts to latest-per-key (a raw
+    * change stream can carry several versions of one key in a batch;
+    * `orderCols` breaks the tie — typically (block_number, log_index))
+    * and MERGEs into the lake table via [[graft.v3.Lake.upsert]]:
+    * replace / insert / delete by key, rewriting only the touched
+    * chain partitions. Replay safety comes from IDEMPOTENCY rather
+    * than an exactly-once sink: re-applying an identical change batch
+    * reproduces the identical table state (upsert is a deterministic
+    * function of (table state, batch) and applying the same batch
+    * twice is a fixpoint — spec-asserted), so a crash-retried batch is
+    * harmless. The `deleteCol` column marks tombstones. 100 TB story:
+    * per batch one latest-per-key aggregate (batch-sized) + upsert's
+    * single keyed anti-join + partition-bounded rewrite. */
+  def upsertStream(changes: DataFrame, lake: graft.v3.Lake, table: String,
+                   keys: Seq[String], orderCols: Seq[String],
+                   deleteCol: String,
+                   checkpointDir: String): DataStreamWriter[Row] =
+    changes.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val latest = graft.ops.Ops.lastPerKey(batch,
+          keys = keys.map(col), order = orderCols.map(col))
+        lake.upsert(latest, table, keys, deleteCol = Some(deleteCol))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+
   /** Incremental BM25 inverted-index maintenance: each micro-batch
     * aggregates ONLY its own documents' (id, term, tf) rows and lands
     * them in a `batch_id=` partition with dynamic overwrite. Under an

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.v3.{Lake, Schemas}
+
+/** Streaming CDC apply: batch ordering, tombstones, intra-batch
+  * latest-per-key compaction, and the replay-safety property the
+  * scaladoc claims — re-applying an identical change batch is a
+  * fixpoint (idempotency substitutes for an exactly-once sink). */
+class UpsertStreamSpec extends SparkSpec {
+
+  private def change(i: Int, amt: String, del: Boolean, bn: Long = 0L,
+                     li: Long = 7L) =
+    ("ethereum", "IncreaseLiquidity", s"0xtx$i", 1000L + i + bn, 0L,
+      "0xu1", amt, s"${i * 10}", s"${i * 100}", s"$i", li, del)
+
+  private def df(rows: Seq[(String, String, String, Long, Long, String,
+      String, String, String, String, Long, Boolean)]) = {
+    import spark.implicits._
+    rows.toDF("chain_name", "name", "transaction_hash", "block_number",
+      "tx_index", "from_address", "amount", "amount0", "amount1",
+      "tokenId", "log_index", "__del")
+  }
+
+  test("an upsert batch is a fixpoint: applying it twice equals applying it once") {
+    val lake = new Lake(spark, Files.createTempDirectory("up-fix").toString)
+    lake.append(df((0 until 10).map(i => change(i, s"$i", del = false)))
+      .drop("__del"), Schemas.Nfp)
+    val batch = df(Seq(change(1, "updated1", del = false),
+      change(2, "x", del = true),
+      change(50, "new50", del = false)))
+    def state() = lake.read(Schemas.Nfp)
+      .select("transaction_hash", "amount")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSortedMap
+    lake.upsert(batch, Schemas.Nfp, Seq("chain_name", "transaction_hash"),
+      deleteCol = Some("__del"))
+    val once = state()
+    lake.upsert(batch, Schemas.Nfp, Seq("chain_name", "transaction_hash"),
+      deleteCol = Some("__del"))
+    assert(state() == once, "replayed batch changed the table state")
+    assert(once("0xtx1") == "updated1" && once("0xtx50") == "new50"
+      && !once.contains("0xtx2"))
+  }
+
+  test("upsertStream applies batches in order with intra-batch compaction") {
+    val lake = new Lake(spark, Files.createTempDirectory("up-str").toString)
+    val srcDir = Files.createTempDirectory("up-src").toString
+    // batch 1: base keys 0..4; batch 2: two versions of key 1 in ONE
+    // batch (block_number breaks the tie -> v2 wins) + tombstone of 3
+    val t1 = df((0 until 5).map(i => change(i, s"base$i", del = false)))
+    val t2 = df(Seq(
+      change(1, "v1", del = false, bn = 100L, li = 1L),
+      change(1, "v2", del = false, bn = 200L, li = 2L),
+      change(3, "x", del = true)))
+    Seq(t1, t2).zipWithIndex.foreach { case (t, i) =>
+      t.coalesce(1).write.mode("append").parquet(srcDir)
+      new java.io.File(srcDir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+        .sortBy(_.lastModified()).zipWithIndex
+        .foreach { case (f, j) => f.setLastModified(1600000000000L + j * 60000L) }
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      Schemas.nfp.fields :+ org.apache.spark.sql.types.StructField(
+        "__del", org.apache.spark.sql.types.BooleanType, nullable = true))
+    val src = Streaming.fileStream(spark, srcDir, schema,
+      maxFilesPerTrigger = 1)
+    val q = Streaming.upsertStream(src, lake, Schemas.Nfp,
+      keys = Seq("chain_name", "transaction_hash"),
+      orderCols = Seq("block_number", "log_index"),
+      deleteCol = "__del",
+      checkpointDir = Files.createTempDirectory("up-ck").toString).start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    val state = lake.read(Schemas.Nfp)
+      .select("transaction_hash", "amount")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state.size == 4)
+    assert(state("0xtx1") == "v2", "latest-per-key must pick the later version")
+    assert(!state.contains("0xtx3"))
+    assert(state("0xtx0") == "base0" && state("0xtx4") == "base4")
+  }
+
+  implicit class ToSortedMap(pairs: Array[(String, String)]) {
+    def toSortedMap: scala.collection.immutable.SortedMap[String, String] =
+      scala.collection.immutable.SortedMap(pairs: _*)
+  }
+}
