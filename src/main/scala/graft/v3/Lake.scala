@@ -296,18 +296,59 @@ class Lake(spark: SparkSession, val root: String) {
       .sorted
   }
 
-  /** Read the table EXACTLY as of snapshot `version`. Fails loudly if
-    * any manifest file is gone (compacted/expired) — a partial corpus
-    * silently standing in for a pinned one is the failure mode this
-    * API exists to prevent. */
-  def readAt(table: String, version: Long): DataFrame = {
+  /** Incremental read: ONLY the rows appended after snapshot
+    * `sinceVersion` — the incremental-ETL primitive (downstream
+    * pipelines process what's new, no streaming infrastructure
+    * needed). Implemented as a manifest set-difference: files in the
+    * target snapshot (or the live inventory when `upTo` is None) that
+    * the base manifest doesn't name. Parquet files are append-only, so
+    * file-level difference IS row-level difference — as long as no
+    * compaction ran in between; a compacted file would appear "new"
+    * while carrying old rows, so this fails loudly if any base-
+    * manifest file has vanished (same invalidation contract as
+    * [[readAt]]). */
+  def readSince(table: String, sinceVersion: Long,
+                upTo: Option[Long] = None): DataFrame = {
+    val baseFiles = manifestFiles(table, sinceVersion).toSet
+    val gone = baseFiles.filterNot(r =>
+      fs.exists(new Path(s"${dir(table)}/$r")))
+    require(gone.isEmpty,
+      s"snapshot v$sinceVersion of $table invalidated (compaction ran " +
+        s"since) - incremental read would mistake rewritten files for " +
+        s"new rows: ${gone.take(5).mkString(", ")}")
+    val target = upTo match {
+      case Some(v) => manifestFiles(table, v)
+      case None =>
+        val base = fs.makeQualified(new Path(dir(table))).toString
+        fileInventory(table).map(_._2)
+          .map(_.stripPrefix(base).stripPrefix("/"))
+    }
+    val fresh = target.filterNot(baseFiles)
+    if (fresh.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        Schemas.forTable(table))
+    spark.read.schema(Schemas.forTable(table))
+      .option("basePath", dir(table))
+      .parquet(fresh.map(r => s"${dir(table)}/$r"): _*)
+  }
+
+  private def manifestFiles(table: String, version: Long): Seq[String] = {
     val p = new Path(snapDir(table), f"v$version%09d.txt")
     require(fs.exists(p), s"no snapshot v$version for table $table")
     val in = fs.open(p)
     val body = new String(
       org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
     in.close()
-    val rel = body.split("\n").toSeq.filter(_.nonEmpty)
+    body.split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  /** Read the table EXACTLY as of snapshot `version`. Fails loudly if
+    * any manifest file is gone (compacted/expired) — a partial corpus
+    * silently standing in for a pinned one is the failure mode this
+    * API exists to prevent. */
+  def readAt(table: String, version: Long): DataFrame = {
+    val rel = manifestFiles(table, version)
     if (rel.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

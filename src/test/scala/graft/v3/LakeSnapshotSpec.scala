@@ -43,6 +43,31 @@ class LakeSnapshotSpec extends SparkSpec {
       .filter(col("chain_name") === "nochain").count() == 0L)
   }
 
+  test("readSince returns exactly the rows appended after a snapshot") {
+    val lake = new Lake(spark,
+      Files.createTempDirectory("lake-since").toString)
+    lake.append(rows(0, 30), Schemas.Nfp)
+    val v1 = lake.snapshot(Schemas.Nfp)
+    lake.append(rows(30, 45), Schemas.Nfp)
+    val v2 = lake.snapshot(Schemas.Nfp)
+    lake.append(rows(45, 50), Schemas.Nfp)
+    // since v1, up to v2: the middle wave only
+    val mid = lake.readSince(Schemas.Nfp, v1, upTo = Some(v2))
+      .select("transaction_hash").collect().map(_.getString(0)).toSet
+    assert(mid == (30 until 45).map(i => s"0xtx$i").toSet)
+    // since v2, open-ended: everything after the last snapshot
+    val tail = lake.readSince(Schemas.Nfp, v2)
+      .select("transaction_hash").collect().map(_.getString(0)).toSet
+    assert(tail == (45 until 50).map(i => s"0xtx$i").toSet)
+    // nothing new -> typed empty frame
+    assert(lake.readSince(Schemas.Nfp, v2, upTo = Some(v2)).count() == 0L)
+    // compaction between base and now -> loud failure, not stale rows
+    assert(lake.compact(Schemas.Nfp, targetBytes = 1L << 30) >= 1)
+    val e = intercept[IllegalArgumentException](
+      lake.readSince(Schemas.Nfp, v1))
+    assert(e.getMessage.contains("compaction"))
+  }
+
   test("compaction invalidates older snapshots loudly, never partially") {
     val lake = new Lake(spark,
       Files.createTempDirectory("lake-snap2").toString)
