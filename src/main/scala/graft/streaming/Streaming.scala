@@ -331,7 +331,8 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val latest = graft.ops.Ops.lastPerKey(batch,
           keys = keys.map(col), order = orderCols.map(col))
-        lake.upsert(latest, table, keys, deleteCol = Some(deleteCol))
+        lake.upsert(latest, table, keys, deleteCol = Some(deleteCol),
+          checkUnique = false) // lastPerKey just guaranteed it
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -206,15 +206,23 @@ class Lake(spark: SparkSession, val root: String) {
     * partition overwrite is not atomic on a bare parquet lake — same
     * documented window as [[compact]]; real deployments put an ACID
     * table format underneath. */
+  /** `checkUnique = false` skips the per-batch uniqueness aggregate —
+    * ONLY for callers that just established it structurally (e.g.
+    * [[graft.streaming.Streaming.upsertStream]] compacts with
+    * lastPerKey immediately before; re-checking would re-shuffle the
+    * batch to prove a property its own plan guarantees). */
   def upsert(updates: DataFrame, table: String, keys: Seq[String],
-             deleteCol: Option[String] = None): Unit = {
+             deleteCol: Option[String] = None,
+             checkUnique: Boolean = true): Unit = {
     require(keys.nonEmpty, "upsert needs at least one key column")
     val schema = Schemas.forTable(table)
-    val dups = updates.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
-    require(dups == 0L,
-      s"upsert batch has multiple rows per key ${keys.mkString(",")} - " +
-        "compact the change stream to latest-per-key first (Ops.lastPerKey)")
+    if (checkUnique) {
+      val dups = updates.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+      require(dups == 0L,
+        s"upsert batch has multiple rows per key ${keys.mkString(",")} - " +
+          "compact the change stream to latest-per-key first (Ops.lastPerKey)")
+    }
     val chains = updates.select(col("chain_name")).distinct()
       .collect().map(_.getString(0)).toSeq
     if (chains.isEmpty) return
