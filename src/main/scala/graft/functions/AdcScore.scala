@@ -48,13 +48,27 @@ case class AdcScore(codes: Expression, luts: Expression)
         s"(${codes.dataType}, ${luts.dataType})")
   }
 
+  override def nullable: Boolean = true
+
+  // a codes/luts arity mismatch or an out-of-range code means the
+  // candidate was encoded under a DIFFERENT model than the query's
+  // LUTs — the composed element_at fold returned NULL there, and a
+  // silent partial sum would rank candidates on garbage; keep the
+  // NULL contract.
   override protected def nullSafeEval(c: Any, l: Any): Any = {
     val cs = c.asInstanceOf[ArrayData]
     val ls = l.asInstanceOf[ArrayData]
-    val m = math.min(cs.numElements(), ls.numElements())
+    val m = cs.numElements()
+    if (m != ls.numElements()) return null
     var s = 0L
     var i = 0
-    while (i < m) { s += ls.getArray(i).getLong(cs.getInt(i)); i += 1 }
+    while (i < m) {
+      val lut = ls.getArray(i)
+      val code = cs.getInt(i)
+      if (code < 0 || code >= lut.numElements()) return null
+      s += lut.getLong(code)
+      i += 1
+    }
     s
   }
 
@@ -63,13 +77,25 @@ case class AdcScore(codes: Expression, luts: Expression)
       val i = ctx.freshName("i")
       val m = ctx.freshName("m")
       val acc = ctx.freshName("acc")
+      val lut = ctx.freshName("lut")
+      val code = ctx.freshName("code")
       s"""
-         |int $m = java.lang.Math.min($c.numElements(), $l.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $m; $i++) {
-         |  $acc += $l.getArray($i).getLong($c.getInt($i));
+         |int $m = $c.numElements();
+         |if ($m != $l.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $m && !${ev.isNull}; $i++) {
+         |    org.apache.spark.sql.catalyst.util.ArrayData $lut = $l.getArray($i);
+         |    int $code = $c.getInt($i);
+         |    if ($code < 0 || $code >= $lut.numElements()) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      $acc += $lut.getLong($code);
+         |    }
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

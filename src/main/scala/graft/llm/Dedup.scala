@@ -964,8 +964,10 @@ object Dedup {
     val k = 63 - java.lang.Long.numberOfLeadingZeros(minLen.toLong)
     val t = suffixRankTables(df, text, id, rounds = k.toInt).last
     val off = minLen - (1 << k)
-    val lens = tokenize(df, text, id)
-      .select(col(id), size(col("toks")).cast("long").as("__len"))
+    // doc lengths from the checkpointed rank table (pos is 0-based and
+    // dense per doc) — no second full-text tokenize on warm memo hits
+    val lens = t.groupBy(col(id))
+      .agg((max(col("pos")) + 1).cast("long").as("__len"))
     val a = t.select(col(id), col("pos"), col("r").as("__ra"))
     val keyed0 =
       if (off == 0) a.withColumn("__rb", col("__ra"))

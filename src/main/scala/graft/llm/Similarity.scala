@@ -707,8 +707,7 @@ object Similarity {
              emb: String, k: Int,
              codebooks: Array[Array[Array[Double]]]): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
-    val m = codebooks.length
-    val subDim = codebooks(0)(0).length
+    graft.functions.PqFunctions.register(corpus.sparkSession)
     val c = graft.ops.Ops.parallelizeInput(corpus, col(id))
       .select(col(id), pqCodes(pqNormalize(col(emb)), codebooks)
         .as("codes"))
@@ -743,8 +742,7 @@ object Similarity {
                 coarse: Array[Array[Double]],
                 codebooks: Array[Array[Array[Double]]]): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
-    val m = codebooks.length
-    val subDim = codebooks(0)(0).length
+    graft.functions.PqFunctions.register(corpus.sparkSession)
     val c = graft.ops.Ops.parallelizeInput(corpus, col(id))
       .select(col(id),
         ivfListId(transform(col(emb), x => x.cast("double")), coarse)

@@ -631,6 +631,18 @@ object Llm {
     }
   }
 
+  /** Cache key for a scale-factor directory: basename PLUS a short
+    * digest of the canonical absolute path, so two corpora that share
+    * a directory name (e.g. sf0.1 under different roots) can never
+    * serve each other's cached tranches or lakes. */
+  private[queries] def sfCacheKey(sfDir: String): String = {
+    val f = new java.io.File(sfDir).getCanonicalFile
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(f.getPath.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    s"${f.getName}-$h"
+  }
+
   /** Package-visible bridges so other registry files (V3Shape's
     * streamed CDC row) reuse the tranche cache + mtime stamping. */
   private[queries] def sharedTranchesFor(sfDir: String, key: String)
@@ -639,6 +651,9 @@ object Llm {
   private[queries] def writeTranches(srcDir: String,
                                      tranches: Seq[DataFrame]): Unit =
     streamedTranches(srcDir, tranches)
+  private[queries] def streamTempRunFor(prefix: String)
+                                       (body: String => DataFrame): DataFrame =
+    streamTempRun(prefix)(body)
 
   /** Scope a narrow shuffle width around a streamed-row body: micro-
     * batches are admission-bounded small (maxFilesPerTrigger = 1 over
@@ -678,7 +693,7 @@ object Llm {
       f.delete()
     }
     val root = new java.io.File(
-      s"/tmp/graft-tranches/${new java.io.File(sfDir).getName}")
+      s"/tmp/graft-tranches/${sfCacheKey(sfDir)}")
     val dir = new java.io.File(root, key)
     if (new java.io.File(dir, "_graft_done").exists()) return dir.toString
     root.mkdirs()
@@ -3338,9 +3353,10 @@ object Llm {
                   pmod(col("doc_id"), lit(2)) === 1)))
             planted.unpersist(blocking = false)
           }
-          // schema resolution only — no execution behind .schema
-          val srcSchema = Curation.withPlantedEverything(
-            Tables.documents(s, d), "text", "doc_id").schema
+          // schema from the cached tranche footers — a plant-chain
+          // .schema probe would eagerly run its min/max id scan on
+          // every invocation, clawing back the cache-hit saving
+          val srcSchema = s.read.parquet(srcDir).schema
           val src = graft.streaming.Streaming.fileStream(s, srcDir,
             srcSchema, maxFilesPerTrigger = 1)
           val q = graft.streaming.Streaming.curationStream(src, "text",

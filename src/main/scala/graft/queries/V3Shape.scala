@@ -230,7 +230,7 @@ object V3Shape {
               .as("log_index"))
         // land the fixture as the "remote warehouse", then ingest it
         // through the real segment-capped loop into a fresh lake
-        val sfName = new java.io.File(d).getName
+        val sfName = Llm.sfCacheKey(d)
         val fixRoot = s"/tmp/graft-nfp-src/$sfName"
         nfpFix.write.mode("overwrite")
           .parquet(s"$fixRoot/${Schemas.Nfp}/example.parquet")
@@ -309,7 +309,7 @@ object V3Shape {
           pmod(col("o_orderkey"), lit(1000)).cast("string").as("amount1"),
           pmod(col("o_orderkey"), lit(997)).cast("string").as("tokenId"),
           pmod(col("o_orderkey"), lit(7)).as("log_index"))
-        val sfName = new java.io.File(d).getName
+        val sfName = Llm.sfCacheKey(d)
         val lake = new Lake(s, s"/tmp/graft-tt-lake/$sfName")
         lake.dropTable(Schemas.Nfp)
         lake.append(wave(pmod(col("o_orderkey"), lit(2)) === 0), Schemas.Nfp)
@@ -372,7 +372,7 @@ object V3Shape {
           pmod(key, lit(997)).cast("string").as("tokenId"),
           pmod(key, lit(7)).as("log_index"))
         val k = col("o_orderkey")
-        val sfName = new java.io.File(d).getName
+        val sfName = Llm.sfCacheKey(d)
         val lake = new Lake(s, s"/tmp/graft-up-lake/$sfName")
         lake.dropTable(Schemas.Nfp)
         lake.append(derive(orders, k, 0L), Schemas.Nfp)
@@ -442,7 +442,7 @@ object V3Shape {
           pmod(key, lit(7)).as("log_index"),
           lit(del).as("__del"))
         val k = col("o_orderkey")
-        val sfName = new java.io.File(d).getName
+        val sfName = Llm.sfCacheKey(d)
         val lake = new Lake(s, s"/tmp/graft-upstream-lake/$sfName")
         lake.dropTable(Schemas.Nfp)
         val srcDir = Llm.sharedTranchesFor(d, "cdc-changes-v1") { sd =>
@@ -460,22 +460,23 @@ object V3Shape {
         val schema = org.apache.spark.sql.types.StructType(
           Schemas.nfp.fields :+ org.apache.spark.sql.types.StructField(
             "__del", org.apache.spark.sql.types.BooleanType, nullable = true))
-        val ck = java.nio.file.Files
-          .createTempDirectory("graft-cdc-ck").toString
-        val src = graft.streaming.Streaming.fileStream(s, srcDir, schema,
-          maxFilesPerTrigger = 1)
-        val q = graft.streaming.Streaming.upsertStream(src, lake,
-          Schemas.Nfp, keys = Seq("chain_name", "transaction_hash"),
-          orderCols = Seq("block_number", "log_index"),
-          deleteCol = "__del", checkpointDir = ck).start()
-        try q.awaitTermination() finally if (q.isActive) q.stop()
-        lake.read(Schemas.Nfp)
-          .groupBy(col("log_index"))
-          .agg(count(lit(1)).as("n"),
-            sum(col("amount0").cast("long")).as("sum_a0"),
-            sum(when(length(col("transaction_hash")) >= 12, 1L)
-              .otherwise(0L)).as("n_inserted"))
-          .orderBy(col("log_index"))
+        // checkpoint scoped to the run's temp tree (deleted on exit,
+        // like every other streamed row); the lake dir persists per sf
+        Llm.streamTempRunFor("graft-cdc-ck") { base =>
+          val src = graft.streaming.Streaming.fileStream(s, srcDir, schema,
+            maxFilesPerTrigger = 1)
+          val q = graft.streaming.Streaming.upsertStream(src, lake,
+            Schemas.Nfp, keys = Seq("chain_name", "transaction_hash"),
+            orderCols = Seq("block_number", "log_index"),
+            deleteCol = "__del", checkpointDir = s"$base/ck").start()
+          try q.awaitTermination() finally if (q.isActive) q.stop()
+          lake.read(Schemas.Nfp)
+            .groupBy(col("log_index"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("amount0").cast("long")).as("sum_a0"),
+              sum(when(length(col("transaction_hash")) >= 12, 1L)
+                .otherwise(0L)).as("n_inserted"))
+        }.orderBy(col("log_index"))
       }): Q,
       Some("""WITH base AS (SELECT o_orderkey AS kk, o_custkey,
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents

@@ -230,8 +230,12 @@ class Lake(spark: SparkSession, val root: String) {
       .filter(col("chain_name").isInCollection(chains))
     val survivors = curTouched.join(
       updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    // NULL deleteCol (e.g. a change file written before the column
+    // existed, read back as typed nulls) means "not a tombstone" —
+    // without the coalesce such rows would be anti-joined out of
+    // survivors AND dropped from inserts: a silent delete
     val inserts = deleteCol.fold(updates)(c =>
-      updates.filter(!col(c)).drop(c))
+      updates.filter(!coalesce(col(c), lit(false))).drop(c))
     val cols = schema.fieldNames.toSeq.map(col)
     val merged = survivors.select(cols: _*)
       .unionByName(inserts.select(cols: _*))
@@ -336,6 +340,15 @@ class Lake(spark: SparkSession, val root: String) {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         Schemas.forTable(table))
+    // the TARGET's files must exist too: a compaction after the target
+    // snapshot would otherwise surface as a raw path-not-found (or a
+    // silent partial read under ignoreMissingFiles) instead of this
+    // API's loud-invalidation contract
+    val freshGone = fresh.filterNot(r =>
+      fs.exists(new Path(s"${dir(table)}/$r")))
+    require(freshGone.isEmpty,
+      s"incremental read of $table invalidated - target files missing " +
+        s"(compacted or expired): ${freshGone.take(5).mkString(", ")}")
     spark.read.schema(Schemas.forTable(table))
       .option("basePath", dir(table))
       .parquet(fresh.map(r => s"${dir(table)}/$r"): _*)

@@ -61,6 +61,23 @@ class LakeUpsertSpec extends SparkSpec {
     assert(!lake.fileInventory(Schemas.Nfp).exists(_._1 == "base"))
   }
 
+  test("NULL deleteCol means not-a-tombstone, never a silent delete") {
+    import spark.implicits._
+    val lake = new Lake(spark, Files.createTempDirectory("lake-up4").toString)
+    lake.append(rows(0 until 3), Schemas.Nfp)
+    // a change file written before __del existed: the column reads back
+    // as typed nulls (the SchemaEvolutionSpec case)
+    val batch = rows(Seq(1), amt = _ => "updated1")
+      .withColumn("__del", lit(null).cast("boolean"))
+    lake.upsert(batch, Schemas.Nfp, Seq("chain_name", "transaction_hash"),
+      deleteCol = Some("__del"))
+    val state = lake.read(Schemas.Nfp)
+      .select("transaction_hash", "amount")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state.size == 3, "NULL __del row vanished - silent delete")
+    assert(state("0xtx1") == "updated1")
+  }
+
   test("a batch with two versions of one key fails fast") {
     val lake = new Lake(spark, Files.createTempDirectory("lake-up3").toString)
     lake.append(rows(0 until 2), Schemas.Nfp)
