@@ -178,4 +178,100 @@ class FunctionsSpec extends AnyFunSuite {
     val e12 = est(12)
     assert(math.abs(e12 - n) / n < 0.065, s"p=12 estimate $e12 off by >6.5%")
   }
+
+  // ── PQ kernel expressions (interpreted eval on literal children) ──
+
+  private def litArr(a: Array[Double]) =
+    org.apache.spark.sql.catalyst.expressions.Literal.create(
+      new GenericArrayData(a),
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, containsNull = false))
+
+  private def litCbs(cbs: Array[Array[Array[Double]]]) =
+    org.apache.spark.sql.catalyst.expressions.Literal.create(
+      new GenericArrayData(cbs.map(book => new GenericArrayData(
+        book.map(cen => new GenericArrayData(cen): Any)): Any)),
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, false), false), false))
+
+  private val pqGen = for {
+    m <- Gen.choose(1, 4)
+    subDim <- Gen.choose(1, 4)
+    k <- Gen.choose(1, 5)
+    emb <- Gen.listOfN(m * subDim, Gen.choose(-2.0, 2.0))
+    cbs <- Gen.listOfN(m, Gen.listOfN(k, Gen.listOfN(subDim,
+      Gen.choose(-2.0, 2.0))))
+  } yield (m, subDim, k, emb.toArray,
+    cbs.map(_.map(_.toArray).toArray).toArray)
+
+  test("PqCodesExpr matches the argmax-of-2xc-minus-normsq reference; ties to lowest code") {
+    val row = org.apache.spark.sql.catalyst.InternalRow.empty
+    samples(pqGen, 200).foreach { case (m, subDim, k, emb, cbs) =>
+      val got = graft.functions.PqCodesExpr(litArr(emb), litCbs(cbs))
+        .eval(row).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toIntArray().toSeq
+      val want = (0 until m).map { s =>
+        val scores = cbs(s).map { cen =>
+          val dot = (0 until subDim)
+            .map(i => emb(s * subDim + i) * cen(i)).sum
+          dot * 2.0 - cen.map(x => x * x).sum
+        }
+        scores.indexOf(scores.max) // first max = lowest code on ties
+      }
+      assert(got == want, s"m=$m subDim=$subDim k=$k")
+    }
+    // exact tie: identical centroids -> code 0 wins
+    val tied = Array(Array(Array(1.0, 0.0), Array(1.0, 0.0)))
+    val t = graft.functions.PqCodesExpr(litArr(Array(0.5, 0.5)), litCbs(tied))
+      .eval(row).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(t.toIntArray().toSeq == Seq(0))
+  }
+
+  test("PqLutsExpr matches floor(dot*q + 0.5) per (subspace, code)") {
+    val row = org.apache.spark.sql.catalyst.InternalRow.empty
+    val q = 1048576.0
+    samples(pqGen, 200).foreach { case (m, subDim, _, emb, cbs) =>
+      val got = graft.functions.PqLutsExpr(litArr(emb), litCbs(cbs),
+          org.apache.spark.sql.catalyst.expressions.Literal(q))
+        .eval(row).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      (0 until m).foreach { s =>
+        val lut = got.getArray(s)
+        cbs(s).zipWithIndex.foreach { case (cen, c) =>
+          val dot = (0 until subDim)
+            .map(i => emb(s * subDim + i) * cen(i)).sum
+          assert(lut.getLong(c) == math.floor(dot * q + 0.5).toLong,
+            s"m=$m s=$s c=$c")
+        }
+      }
+    }
+  }
+
+  test("AdcScore sums luts[s][codes[s]]; arity mismatch and bad codes are NULL") {
+    val row = org.apache.spark.sql.catalyst.InternalRow.empty
+    def codesLit(cs: Array[Int]) =
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        new GenericArrayData(cs),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType, false))
+    def lutsLit(ls: Array[Array[Long]]) =
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        new GenericArrayData(ls.map(l => new GenericArrayData(l): Any)),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, false), false))
+    val luts = Array(Array(10L, 20L, 30L), Array(100L, 200L, 300L))
+    def adc(cs: Array[Int], ls: Array[Array[Long]]) =
+      graft.functions.AdcScore(codesLit(cs), lutsLit(ls)).eval(row)
+    assert(adc(Array(1, 2), luts) == 320L)
+    assert(adc(Array(0, 0), luts) == 110L)
+    // m mismatch: encoded under a different model -> NULL, not a
+    // partial sum
+    assert(adc(Array(1), luts) == null)
+    assert(adc(Array(1, 2, 0), luts) == null)
+    // out-of-range code -> NULL
+    assert(adc(Array(1, 3), luts) == null)
+    assert(adc(Array(-1, 0), luts) == null)
+  }
 }
