@@ -578,6 +578,28 @@ object Similarity {
       .select(col("q_id"), col(id), col("score"), col("rn"))
   }
 
+  /** Recall@k — the eval harness every ANN index needs as a first-
+    * class query, not a notebook afterthought: per query, the
+    * fraction of the EXACT top-k the approximate index recovered, in
+    * exact integer basis points (n_hit·10⁴ ÷ n_exact, integer
+    * division — engine-identical). Input: two (qCol, idCol) result
+    * sets (any of [[bruteForceTopK]] / [[ivfTopK]] / [[pqTopK]] /
+    * [[ivfPqTopK]] shapes). Scale: one keyed left join on
+    * (query, candidate) + one keyed aggregate — result is
+    * |queries| rows, never corpus-scale. */
+  def recallAtK(approx: DataFrame, exact: DataFrame,
+                qCol: String, idCol: String): DataFrame =
+    exact.select(col(qCol), col(idCol))
+      .join(approx.select(col(qCol), col(idCol))
+        .withColumn("__hit", lit(1L)), Seq(qCol, idCol), "left")
+      .groupBy(col(qCol))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_bp", call_function("div",
+        col("n_hit") * 10000L, col("n_exact")))
+      .select(col(qCol), col("n_exact"), col("n_hit"),
+        col("recall_bp"))
+
   /** L2-normalize an embedding column (double-cast first): PQ trains,
     * encodes and queries on the UNIT SPHERE so the ADC dot-product
     * scores rank like the cosine the rest of the engine uses — the

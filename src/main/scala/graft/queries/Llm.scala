@@ -1800,6 +1800,70 @@ object Llm {
         |SELECT q_id, vec_id, score_q, rn FROM r WHERE rn <= 5
         |ORDER BY q_id, rn""".stripMargin)),
 
+    // recall@k eval harness as a first-class query: the trained-IVF
+    // index's per-query recall against the exact brute-force top-k,
+    // in exact integer basis points — BOTH retrieval paths replay in
+    // the oracle (training rounds included) and the recall join runs
+    // on the two result sets, so the eval itself is graded, not just
+    // the index
+    ("llm_similarity_recall_eval",
+      ((s: SparkSession, d: String) => {
+        val e = Tables.embeddings(s, d)
+        val qs = e.filter(col("vec_id") < 10)
+        val exact = Similarity.bruteForceTopK(e, qs, "vec_id",
+          "embedding", k = 5)
+        val cs = Similarity.trainIvfCentroids(
+          Similarity.trainSample(e, "vec_id", 256), "embedding",
+          nLists = 8, iters = 5)
+        val approx = Similarity.ivfTopK(e, qs, "vec_id", "embedding",
+          k = 5, nLists = 8, nProbe = 2, centroids = Some(cs))
+        Similarity.recallAtK(approx, exact, "q_id", "vec_id")
+          .orderBy(col("q_id"))
+      }): Q,
+      Some(s"""WITH emb AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |embt AS (SELECT * FROM emb
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 256),
+        |  ${trainedCentroidsSql(nLists = 8, dim = 64, iters = 5,
+            src = "embt")},
+        |pre0 AS (SELECT emb.vec_id,
+        |    list(list_dot_product(emb.e, c.cen) ORDER BY c.list_id) AS cs
+        |  FROM emb CROSS JOIN c5 c GROUP BY emb.vec_id),
+        |pre AS (SELECT emb.vec_id, emb.e,
+        |    sqrt(list_dot_product(emb.e, emb.e)) AS nrm, p.cs
+        |  FROM emb JOIN pre0 p USING (vec_id)),
+        |corp AS (SELECT vec_id, e, nrm,
+        |  list_position(cs, list_max(cs)) - 1 AS list_id FROM pre),
+        |qp AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn,
+        |  i - 1 AS list_id, cs[i] AS c_score
+        |  FROM pre, (SELECT unnest(generate_series(1, 8)) AS i) g
+        |  WHERE vec_id < 10),
+        |qr AS (SELECT *, row_number() OVER
+        |  (PARTITION BY q_id ORDER BY c_score DESC, list_id) AS pr FROM qp),
+        |asc0 AS (SELECT p.q_id, c.vec_id,
+        |  list_dot_product(p.qe, c.e) / (p.qn * c.nrm) AS score
+        |  FROM (SELECT * FROM qr WHERE pr <= 2) p
+        |  JOIN corp c ON c.list_id = p.list_id AND c.vec_id != p.q_id),
+        |approx AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER
+        |  (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+        |  FROM asc0) WHERE rn <= 5),
+        |bsc AS (SELECT q.vec_id AS q_id, c.vec_id,
+        |    list_cosine_similarity(q.e, c.e) AS score
+        |  FROM (SELECT * FROM emb WHERE vec_id < 10) q, emb c
+        |  WHERE c.vec_id != q.vec_id),
+        |exact AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER
+        |  (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+        |  FROM bsc) WHERE rn <= 5)
+        |SELECT e.q_id, count(*) AS n_exact,
+        |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    * 10000 // count(*) AS BIGINT) AS recall_bp
+        |FROM exact e LEFT JOIN approx a
+        |  ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin)),
+
     ("llm_similarity_ivf_trained",
       ((s: SparkSession, d: String) => {
         val e = Tables.embeddings(s, d)
