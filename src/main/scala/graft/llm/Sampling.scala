@@ -147,6 +147,28 @@ object Sampling {
         .cast("long") - 1L)
   }
 
+  /** Shard export manifest — the loader-side integrity artifact: one
+    * row per shard with its row count, position bounds, and an
+    * order-sensitive digest (md5 over the comma-joined ids in read
+    * order), so a training loader can verify each shard file it
+    * reads is complete, correctly ordered, and untampered — the
+    * ready-for-training handoff every corpus export needs next to
+    * [[shuffleOrder]]'s assignment. The in-shard id list is
+    * assembled per shard key (collect + sort by pos row-locally —
+    * shards are the parallelism unit and each holds n/shards rows by
+    * the salted-hash balance, the documented [[shuffleOrder]]
+    * contract); the digest is exact and engine-identical. Output:
+    * (shard, n, min_pos, max_pos, ids_md5). */
+  def shardManifest(ordered: DataFrame, id: Column): DataFrame =
+    ordered.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"),
+        min(col("pos")).as("min_pos"),
+        max(col("pos")).as("max_pos"),
+        md5(concat_ws(",",
+          transform(array_sort(collect_list(struct(col("pos"),
+            id.cast("string").as("__id")))),
+            s => s.getField("__id"))).cast("binary")).as("ids_md5"))
+
   /** Deterministic curriculum ordering — the published easy-to-hard
     * (or short-to-long "sequence length warmup") pretraining order,
     * reproducible: rows rank by `score` ASCENDING within each shard

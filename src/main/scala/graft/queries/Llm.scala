@@ -3250,6 +3250,36 @@ object Llm {
         |    AS pos
         |FROM s ORDER BY doc_id""".stripMargin)),
 
+    // shard export manifest — the loader-side integrity artifact: per
+    // shard, count + position bounds + an ORDER-SENSITIVE digest of
+    // the comma-joined ids in read order, so a loader verifies each
+    // shard file is complete, ordered, untampered; the oracle
+    // re-derives the shuffle and digests the same id strings
+    ("llm_shard_manifest",
+      ((s: SparkSession, d: String) =>
+        Sampling.shardManifest(
+            Sampling.shuffleOrder(Tables.documents(s, d)
+              .select(col("doc_id")), col("doc_id"), shards = 8),
+            col("doc_id"))
+          .orderBy(col("shard"))): Q,
+      Some("""WITH h AS (SELECT doc_id,
+        |  (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+        |    * 4294967296 + lo AS order_key
+        |  FROM (SELECT doc_id,
+        |    ('0x' || substr(md5('shuffle|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hi,
+        |    ('0x' || substr(md5('shuffle|' || CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT AS lo
+        |  FROM documents)),
+        |s AS (SELECT doc_id, order_key,
+        |  ((order_key % 8) + 8) % 8 AS shard FROM h),
+        |p AS (SELECT doc_id, shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY order_key, doc_id) - 1
+        |    AS pos FROM s)
+        |SELECT shard, count(*) AS n,
+        |  min(pos) AS min_pos, max(pos) AS max_pos,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos))
+        |    AS ids_md5
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin)),
+
     // cross-set semantic decontamination at the gate banding (32×12):
     // the eval set is the planted jittered copies, so every 20th train
     // vector is contaminated by construction; band keys, candidates
