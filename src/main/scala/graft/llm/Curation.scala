@@ -371,9 +371,35 @@ object Curation {
     * redaction (the id-derived PII differs, but redaction collapses
     * it); 924000 = lcm(3,4,5,6,7,11)·200 does, and keeps copy ids
     * disjoint from base ids at any test SF. */
+  /** Planted-corpus memo (the pairsMemo contract): seven registry rows
+    * build the SAME planted corpus from the same input — without the
+    * memo each pays the min/max alias-guard job plus a re-execution of
+    * the regex-heavy plant chain inside its own pipeline. Keyed by
+    * session + params, guarded by plan equality, served as an eager
+    * localCheckpoint so downstream pipelines read materialized rows. */
+  private val plantMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String, Int, Long),
+      List[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]]
+
   def withPlantedEverything(df: DataFrame, text: String, id: String,
                             copyEvery: Int = 10,
                             copyOffset: Long = 924000L): DataFrame = {
+    val plan = df.queryExecution.logical.canonicalized
+    val memoKey = (System.identityHashCode(df.sparkSession), text, id,
+      copyEvery, copyOffset)
+    plantMemo.getOrElse(memoKey, Nil)
+      .collectFirst { case (p, cached) if p.sameResult(plan) => cached }
+      .foreach(cached => return cached)
+    val out = plantedEverythingUncached(df, text, id, copyEvery, copyOffset)
+      .localCheckpoint()
+    plantMemo.updateWith(memoKey)(old =>
+      Some(((plan, out) :: old.getOrElse(Nil)).take(4)))
+    out
+  }
+
+  private def plantedEverythingUncached(df: DataFrame, text: String,
+                                        id: String, copyEvery: Int,
+                                        copyOffset: Long): DataFrame = {
     // guard the protocol's one unstated assumption: no planted copy id
     // (id + copyOffset) may alias a REAL document id, or the plant
     // corrupts silently. Two-tier, both bounded driver pulls: if the id
