@@ -50,6 +50,8 @@ class PlanShapeSpec extends SparkSpec {
       "brute-force cosine baseline: exhaustive by definition, queries broadcast",
     "llm_similarity_quantized_topk" ->
       "brute-force retrieval over int8 codes: same deliberate baseline shape",
+    "llm_similarity_recall_eval" ->
+      "contains the exact brute-force baseline BY DESIGN (recall is measured against it); the approximate side is the IVF list equi-join",
     "llm_similarity_pq_topk" ->
       "full-corpus ADC scoring (PQ without coarse pruning — FAISS's flat-PQ mode); the pruned path is llm_similarity_ivfpq's list equi-join",
     "llm_mixture_upsample" ->
