@@ -378,28 +378,24 @@ object Curation {
     * session + params, guarded by plan equality, served as an eager
     * localCheckpoint so downstream pipelines read materialized rows. */
   private val plantMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String, Int, Long),
-      List[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]]
+    new graft.ops.PlanMemo[(Int, String, String, Int, Long), DataFrame]()
 
   def withPlantedEverything(df: DataFrame, text: String, id: String,
                             copyEvery: Int = 10,
-                            copyOffset: Long = 924000L): DataFrame = {
-    val plan = df.queryExecution.logical.canonicalized
-    val memoKey = (System.identityHashCode(df.sparkSession), text, id,
-      copyEvery, copyOffset)
-    plantMemo.getOrElse(memoKey, Nil)
-      .collectFirst { case (p, cached) if p.sameResult(plan) => cached }
-      .foreach(cached => return cached)
-    val out = plantedEverythingUncached(df, text, id, copyEvery, copyOffset)
-      .localCheckpoint()
-    plantMemo.updateWith(memoKey)(old =>
-      Some(((plan, out) :: old.getOrElse(Nil)).take(4)))
-    out
-  }
+                            copyOffset: Long = 924000L): DataFrame =
+    plantMemo.getOrCompute(
+      (System.identityHashCode(df.sparkSession), text, id,
+        copyEvery, copyOffset), df) {
+      plantedEverythingUncached(df, text, id, copyEvery, copyOffset)
+        .localCheckpoint()
+    }
 
-  private def plantedEverythingUncached(df: DataFrame, text: String,
-                                        id: String, copyEvery: Int,
-                                        copyOffset: Long): DataFrame = {
+  /** Visible to PlanShapeSpec: the memo's checkpoint hides the plant
+    * chain's plan from the registry sweep, so the sweep inspects the
+    * UNCACHED form directly. */
+  private[graft] def plantedEverythingUncached(df: DataFrame, text: String,
+                                               id: String, copyEvery: Int,
+                                               copyOffset: Long): DataFrame = {
     // guard the protocol's one unstated assumption: no planted copy id
     // (id + copyOffset) may alias a REAL document id, or the plant
     // corrupts silently. Two-tier, both bounded driver pulls: if the id

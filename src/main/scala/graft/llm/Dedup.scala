@@ -443,8 +443,7 @@ object Dedup {
     * the wrong cached pair set — low-probability silent data
     * corruption, the worst failure mode an engine can have. */
   private val pairsMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String, Int, Int, Long),
-      List[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]]
+    new graft.ops.PlanMemo[(Int, String, String, Int, Int, Long), DataFrame]()
 
   /** Unordered (a, b) pairs generated row-locally from a sorted
     * posting list (a < b because the list is sorted). The lambda is
@@ -495,12 +494,9 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, text: String, id: String,
                         k: Int = 5, maxDf: Int = 5,
                         minJaccard: Double = 0.5): DataFrame = {
-    val plan = df.queryExecution.logical.canonicalized
     val memoKey = (System.identityHashCode(df.sparkSession), text, id, k, maxDf,
       java.lang.Double.doubleToLongBits(minJaccard))
-    pairsMemo.getOrElse(memoKey, Nil)
-      .collectFirst { case (p, cached) if p.sameResult(plan) => cached }
-      .foreach(cached => return cached)
+    pairsMemo.getOrCompute(memoKey, df) {
     // ONE shuffle of the raw exploded shingles, dedup to per-document
     // DISTINCT shingles (set semantics — an exchange-free hash
     // aggregate once partitioned on shingle, so it runs in the same
@@ -538,13 +534,8 @@ object Dedup {
     // the frame goes out of scope; only the cand cache needs explicit
     // release
     cand.unpersist(false)
-    // bounded memo: keep the most recent few plans per parameter key —
-    // a long-lived session cycling through many inputs must not pin an
-    // unbounded set of checkpointed pair frames (evicted entries are
-    // freed by the ContextCleaner once unreferenced)
-    pairsMemo.updateWith(memoKey)(old =>
-      Some(((plan, snap) :: old.getOrElse(Nil)).take(4)))
     snap
+    }
   }
 
   /** Planted CONTAINED documents for containment-dedup non-vacuity:

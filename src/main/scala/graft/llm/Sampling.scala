@@ -159,15 +159,23 @@ object Sampling {
     * the salted-hash balance, the documented [[shuffleOrder]]
     * contract); the digest is exact and engine-identical. Output:
     * (shard, n, min_pos, max_pos, ids_md5). */
-  def shardManifest(ordered: DataFrame, id: Column): DataFrame =
+  def shardManifest(ordered: DataFrame, id: Column): DataFrame = {
+    // netstring framing makes the digest injective however the ids
+    // look: "len:id" per element ("n" for NULL — concat_ws would
+    // silently SKIP a null, leaving n and the digest inconsistent),
+    // so comma-bearing or empty ids cannot collide frames
+    val idStr = id.cast("string")
+    val enc = when(idStr.isNull, lit("n"))
+      .otherwise(concat(length(idStr).cast("string"), lit(":"), idStr))
     ordered.groupBy(col("shard"))
       .agg(count(lit(1)).as("n"),
         min(col("pos")).as("min_pos"),
         max(col("pos")).as("max_pos"),
         md5(concat_ws(",",
           transform(array_sort(collect_list(struct(col("pos"),
-            id.cast("string").as("__id")))),
+            enc.as("__id")))),
             s => s.getField("__id"))).cast("binary")).as("ids_md5"))
+  }
 
   /** Deterministic curriculum ordering — the published easy-to-hard
     * (or short-to-long "sequence length warmup") pretraining order,

@@ -590,7 +590,11 @@ object Similarity {
   def recallAtK(approx: DataFrame, exact: DataFrame,
                 qCol: String, idCol: String): DataFrame =
     exact.select(col(qCol), col(idCol))
+      // defensive distinct: a multi-probe union or raw candidate set
+      // with duplicate (q, id) rows would otherwise fan out the left
+      // join and silently inflate both n_exact and n_hit
       .join(approx.select(col(qCol), col(idCol))
+        .dropDuplicates(qCol, idCol)
         .withColumn("__hit", lit(1L)), Seq(qCol, idCol), "left")
       .groupBy(col(qCol))
       .agg(count(lit(1)).as("n_exact"),
@@ -640,22 +644,13 @@ object Similarity {
     * repays the full training (~10 s of the sf0.1 bench was repeated
     * identical training). Bounded to the 4 most recent plans per key. */
   private val trainMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String),
-      List[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, AnyRef)]]
+    new graft.ops.PlanMemo[(Int, String), AnyRef]()
 
   private def memoized[A <: AnyRef](df: DataFrame, tag: String)
-                                   (train: => A): A = {
-    val plan = df.queryExecution.logical.canonicalized
-    val key = (System.identityHashCode(df.sparkSession), tag, "")
-    trainMemo.getOrElse(key, Nil)
-      .collectFirst { case (p, m) if p.sameResult(plan) => m.asInstanceOf[A] }
-      .getOrElse {
-        val m = train
-        trainMemo.updateWith(key)(old =>
-          Some(((plan, m: AnyRef) :: old.getOrElse(Nil)).take(4)))
-        m
-      }
-  }
+                                   (train: => A): A =
+    trainMemo.getOrCompute(
+      (System.identityHashCode(df.sparkSession), tag), df)(train)
+      .asInstanceOf[A]
 
   /** Fixed-iteration PQ codebook trainer — `m` INDEPENDENT Lloyd's
     * runs over the subspaces, all folded into ONE corpus pass per

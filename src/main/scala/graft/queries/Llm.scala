@@ -3276,7 +3276,9 @@ object Llm {
         |    AS pos FROM s)
         |SELECT shard, count(*) AS n,
         |  min(pos) AS min_pos, max(pos) AS max_pos,
-        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos))
+        |  md5(string_agg(
+        |    CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':'
+        |      || CAST(doc_id AS VARCHAR), ',' ORDER BY pos))
         |    AS ids_md5
         |FROM p GROUP BY shard ORDER BY shard""".stripMargin)),
 

@@ -248,6 +248,48 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ kernels: short embeddings truncate the dot, keep the full |c|^2") {
+    val row = org.apache.spark.sql.catalyst.InternalRow.empty
+    val cases = samples(for {
+      m <- Gen.choose(1, 3)
+      subDim <- Gen.choose(2, 4)
+      k <- Gen.choose(1, 4)
+      cut <- Gen.choose(0, m * subDim - 1) // emb strictly shorter
+      emb <- Gen.listOfN(cut, Gen.choose(-2.0, 2.0))
+      cbs <- Gen.listOfN(m, Gen.listOfN(k, Gen.listOfN(subDim,
+        Gen.choose(-2.0, 2.0))))
+    } yield (m, subDim, emb.toArray,
+      cbs.map(_.map(_.toArray).toArray).toArray), 150)
+    cases.foreach { case (m, subDim, emb, cbs) =>
+      val codes = graft.functions.PqCodesExpr(litArr(emb), litCbs(cbs))
+        .eval(row).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toIntArray().toSeq
+      val wantCodes = (0 until m).map { s =>
+        val scores = cbs(s).map { cen =>
+          val lim = math.min(subDim, math.max(0, emb.length - s * subDim))
+          val dot = (0 until lim)
+            .map(i => emb(s * subDim + i) * cen(i)).sum
+          dot * 2.0 - cen.map(x => x * x).sum
+        }
+        scores.indexOf(scores.max)
+      }
+      assert(codes == wantCodes, s"codes m=$m subDim=$subDim len=${emb.length}")
+      val luts = graft.functions.PqLutsExpr(litArr(emb), litCbs(cbs),
+          org.apache.spark.sql.catalyst.expressions.Literal(1048576.0))
+        .eval(row).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      (0 until m).foreach { s =>
+        cbs(s).zipWithIndex.foreach { case (cen, c) =>
+          val lim = math.min(subDim, math.max(0, emb.length - s * subDim))
+          val dot = (0 until lim)
+            .map(i => emb(s * subDim + i) * cen(i)).sum
+          assert(luts.getArray(s).getLong(c) ==
+            math.floor(dot * 1048576.0 + 0.5).toLong,
+            s"lut m=$m s=$s c=$c len=${emb.length}")
+        }
+      }
+    }
+  }
+
   test("AdcScore sums luts[s][codes[s]]; arity mismatch and bad codes are NULL") {
     val row = org.apache.spark.sql.catalyst.InternalRow.empty
     def codesLit(cs: Array[Int]) =

@@ -90,4 +90,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(violations.isEmpty,
       s"undocumented plan shapes:\n${violations.mkString("\n")}")
   }
+
+  test("the memoized plant chain's UNCACHED plan stays clean (checkpoint hides it from the sweep above)") {
+    // withPlantedEverything serves an eager localCheckpoint, so the
+    // registry rows' plans start at Scan ExistingRDD and a regression
+    // inside the plant chain (an unkeyed window, an all-pairs join)
+    // would execute invisibly; sweep the uncached builder directly
+    val plan = graft.llm.Curation.plantedEverythingUncached(
+        graft.Tables.documents(spark, "/root/testdata/sf0.001"),
+        "text", "doc_id", 10, 924000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      "plant chain funnels through a single partition")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "plant chain plans an all-pairs join")
+  }
 }
