@@ -316,13 +316,19 @@ object V3Shape {
         val v1 = lake.snapshot(Schemas.Nfp)
         lake.append(wave(pmod(col("o_orderkey"), lit(2)) === 1), Schemas.Nfp)
         val v2 = lake.snapshot(Schemas.Nfp)
-        def agg(v: Long) = lake.readAt(Schemas.Nfp, v)
+        def digest(df: org.apache.spark.sql.DataFrame, tag: Long) = df
           .agg(count(lit(1)).as("n"),
             sum(col("amount0").cast("long")).as("sum_price_c"),
             min(col("transaction_hash")).as("min_tx"),
             max(col("transaction_hash")).as("max_tx"))
-          .withColumn("version", lit(v))
-        agg(v1).unionByName(agg(v2))
+          .withColumn("version", lit(tag))
+        digest(lake.readAt(Schemas.Nfp, v1), v1)
+          .unionByName(digest(lake.readAt(Schemas.Nfp, v2), v2))
+          // the INCREMENTAL leg (tagged 3): rows appended between the
+          // two snapshots via manifest set-difference — must equal
+          // wave 2 exactly for the oracle to hash-match
+          .unionByName(digest(
+            lake.readSince(Schemas.Nfp, v1, upTo = Some(v2)), 3L))
           .select(col("version"), col("n"), col("sum_price_c"),
             col("min_tx"), col("max_tx"))
           .orderBy(col("version"))
@@ -338,10 +344,15 @@ object V3Shape {
         |b AS (SELECT 2 AS version, count(*) AS n,
         |    sum(price_c) AS sum_price_c,
         |    min(transaction_hash) AS min_tx, max(transaction_hash) AS max_tx
-        |  FROM w)
+        |  FROM w),
+        |inc AS (SELECT 3 AS version, count(*) AS n,
+        |    sum(price_c) AS sum_price_c,
+        |    min(transaction_hash) AS min_tx, max(transaction_hash) AS max_tx
+        |  FROM w WHERE o_orderkey % 2 = 1)
         |SELECT CAST(version AS BIGINT) AS version, n,
         |  CAST(sum_price_c AS BIGINT) AS sum_price_c, min_tx, max_tx
-        |FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |FROM (SELECT * FROM a UNION ALL SELECT * FROM b
+        |  UNION ALL SELECT * FROM inc)
         |ORDER BY version""".stripMargin)),
 
     // keyed UPSERT — the CDC-apply operator (MERGE INTO semantics):
