@@ -81,6 +81,60 @@ class UpsertStreamSpec extends SparkSpec {
     assert(state("0xtx0") == "base0" && state("0xtx4") == "base4")
   }
 
+  test("a stream killed mid-run resumes from its checkpoint to the same final state") {
+    val lakeA = new Lake(spark, Files.createTempDirectory("up-recA").toString)
+    val lakeB = new Lake(spark, Files.createTempDirectory("up-recB").toString)
+    val srcDir = Files.createTempDirectory("up-rec-src").toString
+    val ck = Files.createTempDirectory("up-rec-ck").toString
+    val tranches = Seq(
+      df((0 until 20).map(i => change(i, s"base$i", del = false))),
+      df((0 until 10).map(i => change(i, s"v2_$i", del = false))),
+      df((15 until 20).map(i => change(i, "x", del = true))))
+    tranches.zipWithIndex.foreach { case (t, i) =>
+      t.coalesce(1).write.mode("append").parquet(srcDir)
+      new java.io.File(srcDir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.lastModified()).zipWithIndex
+        .foreach { case (f, j) =>
+          f.setLastModified(1600000000000L + j * 60000L)
+        }
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      Schemas.nfp.fields :+ org.apache.spark.sql.types.StructField(
+        "__del", org.apache.spark.sql.types.BooleanType, nullable = true))
+    def run(lake: Lake, ckDir: String, stopAfterFirstBatch: Boolean): Unit = {
+      val src = Streaming.fileStream(spark, srcDir, schema,
+        maxFilesPerTrigger = 1)
+      val q = Streaming.upsertStream(src, lake, Schemas.Nfp,
+        keys = Seq("chain_name", "transaction_hash"),
+        orderCols = Seq("block_number", "log_index"),
+        deleteCol = "__del", checkpointDir = ckDir).start()
+      try {
+        if (stopAfterFirstBatch) {
+          // "crash": stop as soon as at least one batch committed,
+          // well before the backlog drains
+          val t0 = System.nanoTime()
+          while (q.recentProgress.length < 1 &&
+                 (System.nanoTime() - t0) < 60e9) Thread.sleep(50)
+          q.stop()
+        } else q.awaitTermination()
+      } finally if (q.isActive) q.stop()
+    }
+    // reference: one uninterrupted run into lakeB
+    run(lakeB, Files.createTempDirectory("up-rec-ck2").toString,
+      stopAfterFirstBatch = false)
+    // interrupted run + resume from the SAME checkpoint into lakeA
+    run(lakeA, ck, stopAfterFirstBatch = true)
+    run(lakeA, ck, stopAfterFirstBatch = false)
+    def state(l: Lake) = l.read(Schemas.Nfp)
+      .select("transaction_hash", "amount")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSortedMap
+    assert(state(lakeA) == state(lakeB),
+      "recovered stream diverged from the uninterrupted run")
+    assert(state(lakeB).size == 15) // 20 base - 5 tombstoned
+    assert(state(lakeB)("0xtx3") == "v2_3")
+  }
+
   implicit class ToSortedMap(pairs: Array[(String, String)]) {
     def toSortedMap: scala.collection.immutable.SortedMap[String, String] =
       scala.collection.immutable.SortedMap(pairs: _*)
