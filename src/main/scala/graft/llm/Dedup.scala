@@ -304,6 +304,49 @@ object Dedup {
     withLanes.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** MinHash-LSH parameter PLANNER — the "rowsPerBand is a function of
+    * corpus size, not a tuning constant" rule made executable. For a
+    * corpus of `n` documents, a dedup threshold `t` (pairs at Jaccard
+    * ≥ t must be found) and a recall target, pick (bands, rowsPerBand)
+    * from the S-curve: a pair at similarity s collides in one band
+    * with probability s^r and survives b bands with 1 − (1 − s^r)^b.
+    * For each r, b is the smallest count reaching `targetRecall` at t;
+    * among candidates within the `maxHashes` signature budget, choose
+    * the one minimizing expected random-pair candidate work
+    * n²/2 · b · bg^r (bg = background similarity of non-dup pairs —
+    * the S-curve's false-positive mass), tie-broken toward fewer
+    * hashes. Pure driver-side scalar math (the planner runs before any
+    * job); DedupPlanSpec pins the formulas and the monotonicity the
+    * scaladocs promise. Returns (bands, rowsPerBand, recallAtT,
+    * expectedRandomCandidates). */
+  def planMinhashBands(n: Long, threshold: Double,
+                       targetRecall: Double = 0.95,
+                       maxHashes: Int = 256,
+                       backgroundSim: Double = 0.05
+                      ): (Int, Int, Double, Double) = {
+    require(n > 0 && threshold > 0 && threshold < 1 &&
+      targetRecall > 0 && targetRecall < 1 && maxHashes >= 2 &&
+      backgroundSim > 0 && backgroundSim < threshold,
+      "need n>0, 0<bg<t<1, 0<recall<1, maxHashes>=2")
+    def recall(b: Int, r: Int, s: Double) =
+      1.0 - math.pow(1.0 - math.pow(s, r), b)
+    val candidates = for {
+      r <- 1 to maxHashes
+      // smallest b reaching the recall target at t for this r
+      bNeeded = math.ceil(math.log1p(-targetRecall) /
+        math.log1p(-math.pow(threshold, r))).toInt.max(1)
+      if bNeeded.toLong * r <= maxHashes
+    } yield {
+      val work = 0.5 * n.toDouble * n.toDouble * bNeeded *
+        math.pow(backgroundSim, r)
+      (bNeeded, r, recall(bNeeded, r, threshold), work)
+    }
+    require(candidates.nonEmpty,
+      s"no (bands, rows) within $maxHashes hashes reaches recall " +
+        s"$targetRecall at threshold $threshold - raise maxHashes")
+    candidates.minBy { case (b, r, _, work) => (work, b * r) }
+  }
+
   /** Per-document (band, sig) LSH keys: the signature split into
     * `bands` bands of `rowsPerBand` hashes, each band fingerprinted.
     * posexplode of per-band signatures, not a bands-way union: one
