@@ -466,6 +466,26 @@ object Dedup {
     snap
   }
 
+  /** [[minhashLshReranked]] with (bands, rowsPerBand) chosen by the
+    * [[planMinhashBands]] S-curve solver from the corpus's OWN size —
+    * the planner made load-bearing: callers state the dedup threshold
+    * and recall target, the banding follows the corpus (one count job
+    * up front — driver-scalar, the trainer rule). Exact precision is
+    * unchanged (the rerank filters on true Jaccard); only recall
+    * follows the planned S-curve. */
+  def minhashLshAuto(df: DataFrame, text: String, id: String,
+                     shingleK: Int = 5, minJaccard: Double = 0.5,
+                     targetRecall: Double = 0.95,
+                     maxHashes: Int = 64): DataFrame = {
+    val n = df.count()
+    require(n > 0, "minhashLshAuto needs a non-empty corpus")
+    val (bands, rowsPerBand, _, _) =
+      planMinhashBands(n, minJaccard, targetRecall, maxHashes)
+    minhashLshReranked(df, text, id, shingleK,
+      numPerms = bands * rowsPerBand, bands = bands,
+      minJaccard = minJaccard)
+  }
+
   /** Exact Jaccard near-dup pairs with a rare-shingle candidate filter:
     * only document pairs sharing a shingle whose document frequency is
     * ≤ `maxDf` are compared (common shingles would otherwise explode

@@ -46,6 +46,30 @@ class DedupPlanSpec extends AnyFunSuite {
     assert(b2 * r2 >= b1 * r1, "stricter recall cannot cost fewer hashes")
   }
 
+  test("minhashLshAuto finds planted near-identical pairs with self-planned banding") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    // 60 distinct docs + near-identical copies of every 5th (one token
+    // of ~40 changed -> shingle Jaccard well above 0.5)
+    val base = (0L until 60L).map { i =>
+      i -> (0 until 40).map(w => s"w${i}_$w").mkString(" ")
+    }
+    val copies = base.filter(_._1 % 5 == 0).map { case (i, t) =>
+      (i + 1000L) -> t.replace(s"w${i}_7", "CHANGED")
+    }
+    val df = (base ++ copies).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshAuto(df, "text", "doc_id",
+        minJaccard = 0.5, targetRecall = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = base.map(_._1).filter(_ % 5 == 0)
+      .map(i => (i, i + 1000L)).toSet
+    // planned banding at recall 0.99: every planted pair found, and
+    // the exact rerank admits no cross-document false positives
+    assert(pairs == expected, s"got $pairs want $expected")
+  }
+
   test("infeasible budgets fail loudly") {
     val e = intercept[IllegalArgumentException](
       Dedup.planMinhashBands(1000L, 0.9, targetRecall = 0.999999,
