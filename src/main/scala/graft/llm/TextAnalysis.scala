@@ -368,6 +368,59 @@ object TextAnalysis {
     * two equi-joins on the token/bigram key, one per-document
     * aggregate — tfidf's exact shuffle shape, no driver data path but
     * the one total-count scalar. */
+  /** Interpolated Kneser–Ney bigram log-probability — the smoothing
+    * family the published LM-filter pipelines actually run (CCNet's
+    * KenLM is a KN model), as exact integer arithmetic: with discount
+    * d = 3/4,
+    *
+    *   P(w₂|w₁) = max(c₁₂−d, 0)/c₁ + (d/c₁)·N₁₊(w₁,·)·P_cont(w₂),
+    *   P_cont(w₂) = N₁₊(·,w₂)/N₁₊(··)
+    *
+    * which over a common denominator is the exact rational
+    *   [(4·c₁₂−3)·N₁₊(··) + 3·N₁₊(w₁,·)·N₁₊(·,w₂)] / (4·c₁·N₁₊(··)),
+    * so each bigram TYPE's log-probability is lq(num) − lq(den) in
+    * [[graft.functions.Log2FixedExpr]]'s fixed-point units — integer
+    * subtraction of quantized logs, bit-identical in the oracle's
+    * 16-round log₂ chain — and a document's score is the integer sum
+    * over its bigram occurrences. Scoring the corpus under its own
+    * model means every bigram is observed (c₁₂ ≥ 1): no unseen-event
+    * branch. Numerators stay inside 2⁶³ up to ~10⁹ bigram types ×
+    * ~10⁹ max count — the IVF trainer's documented fleet bound.
+    *
+    * Scale shape: per-TYPE weights (keyed aggregates over the bigram
+    * vocabulary — sublinear in the corpus, map-side combined; the one
+    * driver scalar is the distinct-bigram count), then occurrences
+    * join their type weight on (w₁, w₂) and sum per document. Output:
+    * (id, n_bigrams, kn_q); documents under 2 tokens get no row. */
+  def knBigramScore(df: DataFrame, text: String, id: String): DataFrame = {
+    graft.functions.Log2FixedExpr.register(df.sparkSession)
+    def lq(c: Column) = graft.functions.Log2FixedExpr.of(c)
+    val toks = graft.ops.Ops.parallelizeInput(df, col(id))
+      .select(col(id), split(trim(col(text)), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+    val bg = toks
+      .select(col(id), col("t"),
+        explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+      .select(col(id), element_at(col("t"), col("i")).as("w1"),
+        element_at(col("t"), col("i") + 1).as("w2"))
+    // the bigram-type table feeds four aggregates and the weight join:
+    // checkpoint once (the ngramJaccardPairs materialization rule)
+    val c12 = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12")).localCheckpoint()
+    val c1 = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p"))
+    val n1c = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1c"))
+    val n1pp = c12.count() // one scalar — the model-state rule
+    val w = c12.join(c1, Seq("w1")).join(n1c, Seq("w2"))
+      .select(col("w1"), col("w2"),
+        (lq((lit(4L) * col("c12") - 3L) * n1pp +
+            lit(3L) * col("n1p") * col("n1c")) -
+          lq(lit(4L) * col("c1") * n1pp)).as("wq"))
+    bg.join(w, Seq("w1", "w2"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("wq")).as("kn_q"))
+  }
+
   def lmFluency(df0: DataFrame, text: String, id: String): DataFrame = {
     val toks = Dedup.tokenize(df0, text, id)
     val uni = toks.select(col(id), explode(col("toks")).as("term"))

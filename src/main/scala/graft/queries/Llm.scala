@@ -2351,6 +2351,48 @@ object Llm {
         |SELECT us.doc_id, us.n_tok, us.uni_score_e12, bs.bi_score_e6
         |FROM us JOIN bs USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // interpolated Kneser-Ney bigram scoring — the smoothing family
+    // the published LM filters actually run (CCNet's KenLM is KN),
+    // d = 3/4 as an exact rational over a common denominator, each
+    // bigram TYPE's log-prob = lq(num) - lq(den) in fixed-point
+    // units; the oracle rebuilds the count tables and replays the
+    // full 16-round log2 chain over num and den
+    ("llm_text_kn_score",
+      ((s: SparkSession, d: String) =>
+        TextAnalysis.knBigramScore(Tables.documents(s, d), "text",
+            "doc_id")
+          .orderBy(col("doc_id"))): Q,
+      Some(s"""WITH kt AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+        |  FROM documents WHERE len(string_split(trim(text), ' ')) >= 2),
+        |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT doc_id, t,
+        |    unnest(generate_series(1, len(t) - 1)) AS i FROM kt)),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM bg GROUP BY 1, 2),
+        |kc1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+        |    CAST(count(*) AS BIGINT) AS n1p
+        |  FROM c12 GROUP BY 1),
+        |n1c AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1c
+        |  FROM c12 GROUP BY 1),
+        |n1pp AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c12),
+        |vals AS (
+        |  SELECT 'n|' || c12.w1 || '|' || c12.w2 AS k,
+        |    (4 * c12.c12 - 3) * n1pp.v + 3 * kc1.n1p * n1c.n1c AS x
+        |  FROM c12 JOIN kc1 USING (w1) JOIN n1c USING (w2)
+        |  CROSS JOIN n1pp
+        |  UNION ALL
+        |  SELECT 'd|' || w1, 4 * kc1.c1 * n1pp.v
+        |  FROM kc1 CROSS JOIN n1pp),
+        |$log2ChainSql,
+        |wt AS (SELECT c12.w1, c12.w2, ln.q - ld.q AS wq
+        |  FROM c12
+        |  JOIN lg ln ON ln.k = 'n|' || c12.w1 || '|' || c12.w2
+        |  JOIN lg ld ON ld.k = 'd|' || c12.w1)
+        |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(wt.wq) AS BIGINT) AS kn_q
+        |FROM bg JOIN wt ON wt.w1 = bg.w1 AND wt.w2 = bg.w2
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // CCNet-style perplexity buckets: per-LANGUAGE rank by the exact
     // bigram fluency score, cut into head/middle/tail thirds (the
     // recipe trains on head+middle). Integer boundary comparisons

@@ -602,6 +602,43 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("knBigramScore matches a brute-force KN reference in quantized-log units") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"),
+      (3L, "a cat and a dog"),
+      (4L, "solo"), // < 2 tokens -> no row
+      (5L, "the cat sat"))
+    val got = TextAnalysis.knBigramScore(corpus.toDF("doc_id", "text"),
+        "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // brute force: exact integer counts + the same common-denominator
+    // rational + the same fixed-point log2
+    val bigrams = corpus.flatMap { case (i, t) =>
+      val w = t.split(" "); if (w.length < 2) Nil
+      else w.sliding(2).map(p => (i, p(0), p(1))).toSeq
+    }
+    val c12 = bigrams.groupBy(b => (b._2, b._3)).view.mapValues(_.size.toLong).toMap
+    val c1 = c12.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1p = c12.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val n1c = c12.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val n1pp = c12.size.toLong
+    def lq(x: Long) = graft.functions.Log2FixedExpr.log2q(x)
+    val want = bigrams.groupBy(_._1).map { case (i, bs) =>
+      i -> (bs.size.toLong, bs.map { case (_, w1, w2) =>
+        val num = (4L * c12((w1, w2)) - 3L) * n1pp + 3L * n1p(w1) * n1c(w2)
+        val den = 4L * c1(w1) * n1pp
+        lq(num) - lq(den)
+      }.sum)
+    }
+    assert(got == want)
+    assert(!got.contains(4L))
+    // every score is a negative log-prob sum (probabilities < 1)
+    got.values.foreach { case (_, q) => assert(q < 0L) }
+  }
+
   test("cooccurrencePmi: one-token and empty docs don't crash and add no pairs") {
     import spark.implicits._
     val tiny = Seq(
