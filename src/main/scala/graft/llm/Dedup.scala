@@ -312,22 +312,35 @@ object Dedup {
     * with probability s^r and survives b bands with 1 − (1 − s^r)^b.
     * For each r, b is the smallest count reaching `targetRecall` at t;
     * among candidates within the `maxHashes` signature budget, choose
-    * the one minimizing expected random-pair candidate work
-    * n²/2 · b · bg^r (bg = background similarity of non-dup pairs —
-    * the S-curve's false-positive mass), tie-broken toward fewer
-    * hashes. Pure driver-side scalar math (the planner runs before any
-    * job); DedupPlanSpec pins the formulas and the monotonicity the
-    * scaladocs promise. Returns (bands, rowsPerBand, recallAtT,
-    * expectedRandomCandidates). */
+    * the one minimizing the TOTAL expected cost
+    *
+    *   n · b · r            (computing/storing the signatures)
+    * + verifyCost · n²/2 · b · bg^r   (reranking random collisions;
+    *                                   bg = background similarity of
+    *                                   non-dup pairs)
+    *
+    * — BOTH terms, because the candidate term alone is minimized by
+    * the largest r regardless of n (the n² factor scales every r
+    * identically and cancels in the argmin): it is the RATIO of the
+    * linear hashing cost to the quadratic collision cost that makes
+    * corpus size move the optimum. Small corpora sit at few hashes
+    * (collisions are cheap to rerank); large corpora are pushed to
+    * harder pruning until bucket collisions are priced out. Pure
+    * driver-side scalar math (the planner runs before any job);
+    * DedupPlanSpec pins the formulas and the monotonicities. Returns
+    * (bands, rowsPerBand, recallAtT, expectedTotalCost). */
   def planMinhashBands(n: Long, threshold: Double,
                        targetRecall: Double = 0.95,
                        maxHashes: Int = 256,
-                       backgroundSim: Double = 0.05
+                       backgroundSim: Double = 0.05,
+                       verifyCost: Double = 10.0
                       ): (Int, Int, Double, Double) = {
     require(n > 0 && threshold > 0 && threshold < 1 &&
       targetRecall > 0 && targetRecall < 1 && maxHashes >= 2 &&
-      backgroundSim > 0 && backgroundSim < threshold,
-      "need n>0, 0<bg<t<1, 0<recall<1, maxHashes>=2")
+      backgroundSim > 0 && backgroundSim < threshold && verifyCost > 0,
+      s"need n>0, 0<backgroundSim<threshold<1 (got backgroundSim=" +
+        s"$backgroundSim, threshold=$threshold), 0<recall<1, " +
+        "maxHashes>=2, verifyCost>0")
     def recall(b: Int, r: Int, s: Double) =
       1.0 - math.pow(1.0 - math.pow(s, r), b)
     val candidates = for {
@@ -337,14 +350,15 @@ object Dedup {
         math.log1p(-math.pow(threshold, r))).toInt.max(1)
       if bNeeded.toLong * r <= maxHashes
     } yield {
-      val work = 0.5 * n.toDouble * n.toDouble * bNeeded *
-        math.pow(backgroundSim, r)
-      (bNeeded, r, recall(bNeeded, r, threshold), work)
+      val hashing = n.toDouble * bNeeded * r
+      val rerank = verifyCost * 0.5 * n.toDouble * n.toDouble *
+        bNeeded * math.pow(backgroundSim, r)
+      (bNeeded, r, recall(bNeeded, r, threshold), hashing + rerank)
     }
     require(candidates.nonEmpty,
       s"no (bands, rows) within $maxHashes hashes reaches recall " +
         s"$targetRecall at threshold $threshold - raise maxHashes")
-    candidates.minBy { case (b, r, _, work) => (work, b * r) }
+    candidates.minBy { case (b, r, _, cost) => (cost, b * r) }
   }
 
   /** Per-document (band, sig) LSH keys: the signature split into
@@ -476,11 +490,12 @@ object Dedup {
   def minhashLshAuto(df: DataFrame, text: String, id: String,
                      shingleK: Int = 5, minJaccard: Double = 0.5,
                      targetRecall: Double = 0.95,
-                     maxHashes: Int = 64): DataFrame = {
+                     maxHashes: Int = 64,
+                     backgroundSim: Double = 0.05): DataFrame = {
     val n = df.count()
     require(n > 0, "minhashLshAuto needs a non-empty corpus")
-    val (bands, rowsPerBand, _, _) =
-      planMinhashBands(n, minJaccard, targetRecall, maxHashes)
+    val (bands, rowsPerBand, _, _) = planMinhashBands(n, minJaccard,
+      targetRecall, maxHashes, backgroundSim = backgroundSim)
     minhashLshReranked(df, text, id, shingleK,
       numPerms = bands * rowsPerBand, bands = bands,
       minJaccard = minJaccard)

