@@ -675,6 +675,42 @@ object TextAnalysis {
       .withColumn("keep", col("reasons") === 0L)
   }
 
+  /** Truncation-loss report — the context-length sizing table: for
+    * each candidate window `lengths(i)`, how many documents exceed it
+    * and how many tokens a hard truncation at that length would drop
+    * (the standard question before fixing max_seq_len: chunking keeps
+    * the tail, truncation loses it — this prices the difference).
+    * Exact integers: per doc, lost(L) = max(n_tok − L, 0); the report
+    * is Σ over the corpus per L plus the basis-point fraction. One
+    * narrow projection + |lengths| conditional sums folded into ONE
+    * keyed-free aggregate (map-side combined) — dashboard-sized output
+    * at any corpus scale. Output: (ctx_len, n_docs_over, tokens_lost,
+    * tokens_total, lost_bp) one row per candidate length. */
+  def truncationReport(df: DataFrame, text: String, id: String,
+                       lengths: Seq[Int] = Seq(512, 2048, 8192)
+                      ): DataFrame = {
+    require(lengths.nonEmpty, "need at least one candidate length")
+    val n = size(split(trim(col(text)), " ")).cast("long")
+    val base = graft.ops.Ops.parallelizeInput(df, col(id))
+      .select(n.as("n_tok"))
+    val aggs = lengths.flatMap { l =>
+      Seq(sum(when(col("n_tok") > l, 1L).otherwise(0L)).as(s"__over_$l"),
+        sum(when(col("n_tok") > l, col("n_tok") - l).otherwise(0L))
+          .as(s"__lost_$l"))
+    } :+ sum(col("n_tok")).as("__total")
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    val rows = lengths.map { l =>
+      struct(lit(l.toLong).as("ctx_len"),
+        col(s"__over_$l").as("n_docs_over"),
+        col(s"__lost_$l").as("tokens_lost"))
+    }
+    one.select(explode(array(rows: _*)).as("r"), col("__total"))
+      .select(col("r.ctx_len"), col("r.n_docs_over"),
+        col("r.tokens_lost"), col("__total").as("tokens_total"),
+        floor(lit(10000.0) * col("r.tokens_lost") / col("__total") + 0.5)
+          .cast("long").as("lost_bp"))
+  }
+
   /** Per-slice curation report — the audit table every filtering run
     * produces: for each value of `dims` (source, language, shard, …),
     * document and token counts before and after the [[qualityGate]],

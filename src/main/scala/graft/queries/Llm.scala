@@ -3396,6 +3396,31 @@ object Llm {
         |FROM v JOIN documents d USING (doc_id)
         |GROUP BY d.source, d.lang ORDER BY d.source, d.lang""".stripMargin)),
 
+    // truncation-loss report — the context-length sizing table: per
+    // candidate window, docs over it and the tokens a hard truncation
+    // would drop, exact integers; prices max_seq_len choices before
+    // committing a training run
+    ("llm_truncation_report",
+      ((s: SparkSession, d: String) =>
+        TextAnalysis.truncationReport(Tables.documents(s, d), "text",
+            "doc_id", lengths = Seq(16, 64, 256))
+          .orderBy(col("ctx_len"))): Q,
+      Some("""WITH n AS (SELECT CAST(len(string_split(trim(text), ' '))
+        |    AS BIGINT) AS n_tok FROM documents),
+        |t AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total FROM n),
+        |l AS (SELECT CAST(unnest([16, 64, 256]) AS BIGINT) AS ctx_len)
+        |SELECT l.ctx_len,
+        |  CAST(sum(CASE WHEN n.n_tok > l.ctx_len THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_docs_over,
+        |  CAST(sum(CASE WHEN n.n_tok > l.ctx_len
+        |    THEN n.n_tok - l.ctx_len ELSE 0 END) AS BIGINT) AS tokens_lost,
+        |  t.total AS tokens_total,
+        |  CAST(floor(10000.0 * sum(CASE WHEN n.n_tok > l.ctx_len
+        |    THEN n.n_tok - l.ctx_len ELSE 0 END) / t.total + 0.5)
+        |    AS BIGINT) AS lost_bp
+        |FROM l CROSS JOIN n CROSS JOIN t
+        |GROUP BY l.ctx_len, t.total ORDER BY l.ctx_len""".stripMargin)),
+
     // the pipeline's drop-forensics companion: one row per INPUT doc
     // with the gate reason bitmask, the keeper it duplicated, and the
     // final verdict — every removal attributable. Same shared SQL

@@ -43,7 +43,9 @@ class PlanShapeSpec extends SparkSpec {
     "s9_integrity_audit" ->
       "three one-row check aggregates (parallel partials) unioned into the 3-row report; corpus side is anti-join + keyed counts",
     "s11_time_travel" ->
-      "two one-row snapshot digests (count/sum/min/max global aggregates, map-side partials) unioned into the 2-row report; the pinned scans themselves stay partitioned")
+      "two one-row snapshot digests (count/sum/min/max global aggregates, map-side partials) unioned into the 2-row report; the pinned scans themselves stay partitioned",
+    "llm_truncation_report" ->
+      "one-row corpus digest (|lengths| conditional sums in ONE global aggregate, map-side partials) exploded into the |lengths|-row report")
 
   private val allowedAllPairs = Map(
     "llm_similarity_topk" ->
