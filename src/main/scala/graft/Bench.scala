@@ -63,6 +63,37 @@ object Bench {
       java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"bench_last.json write failed: $e") }
+    // full per-row artifact as a COMMITTED file (r9 verdict #6): the
+    // BENCH_r*.json stdout tail loses the head rows, so cross-round
+    // per-row comparison needs the complete name→seconds map on disk.
+    // SPARK_GRAFT_BENCH_ROUND names the round; unset → inferred as
+    // 1 + the highest committed BENCH_r{N}.json in the cwd (the round
+    // in flight), falling back to "dev" outside the repo root.
+    try {
+      val round = sys.env.get("SPARK_GRAFT_BENCH_ROUND").getOrElse {
+        val pat = "BENCH_r(\\d+)\\.json".r
+        Option(new java.io.File(".").listFiles()).toSeq.flatten
+          .map(_.getName).collect { case pat(n) => n.toInt }
+          .maxOption.map(n => f"${n + 1}%02d").getOrElse("dev")
+      }
+      val rows = results.map { case (k, v, e) =>
+        s"""    "$k": {"sec": $v${e.fold("")(x => s""", "err": "$x"""")}}"""
+      }.mkString("{\n", ",\n", "\n  }")
+      val body =
+        s"""{
+           |  "round": "$round",
+           |  "sf": "$sfDir",
+           |  "reps": $reps,
+           |  "total_sec": $total,
+           |  "n_queries": ${results.size},
+           |  "rows": $rows
+           |}
+           |""".stripMargin
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"bench_rows_r$round.json"),
+        body.getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"bench_rows write failed: $e") }
     spark.stop()
   }
 }

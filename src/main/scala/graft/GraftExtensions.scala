@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AdcScore, BandKeysExpr, BloomMightContainExpr, DotProduct, HllAgg, Log2FixedExpr, Md5Hash64Expr, Md5LanesExpr, NfcNormalizeExpr, SearchSortedExpr, SimhashAgg}
+import graft.functions.{AdcScore, BandKeysExpr, BloomMightContainExpr, DotProduct, HllAgg, Log2FixedExpr, Md5Hash64Expr, Md5LanesExpr, NfcNormalizeExpr, PqCodesExpr, PqFunctions, PqLutsExpr, SearchSortedExpr, SimhashAgg}
 
 /** Cluster-wide deployment surface for the graft custom expressions.
   *
@@ -48,5 +48,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => Log2FixedExpr(exprs.head)))
     ext.injectFunction(fn(AdcScore.Name,
       exprs => AdcScore(exprs(0), exprs(1))))
+    ext.injectFunction(fn(PqFunctions.CodesName,
+      exprs => PqCodesExpr(exprs(0), exprs(1))))
+    ext.injectFunction(fn(PqFunctions.LutsName,
+      exprs => PqLutsExpr(exprs(0), exprs(1), exprs(2))))
   }
 }

@@ -538,6 +538,146 @@ object ScaleProbe {
       println(f"""{"probe":"index_read_compacted","k":$k,"sec":${readCost(big)}%.2f}""")
     }
 
+    // ── CDC upsert at scale: file-grain copy-on-write ────────────────
+    // Build a lake of k one-file segments (disjoint zero-padded key
+    // ranges — lexicographic order = numeric order), then apply
+    // batches of different key spreads. The claim under test: rewrite
+    // I/O tracks TOUCHED FILES (batch key spread), not chain size —
+    // the r9 verdict's named scale-killer, now file-scoped.
+    def nfpSeg(c: Int, src: DataFrame): DataFrame = src.select(
+      lit("ethereum").as("chain_name"),
+      lit("IncreaseLiquidity").as("name"),
+      concat(lit("0xtx"), lpad((col("o_orderkey") +
+        lit(c.toLong * 1000000000L)).cast("string"), 13, "0"))
+        .as("transaction_hash"),
+      (lit(1000L) + pmod(col("o_orderkey"), lit(97))).as("block_number"),
+      pmod(col("o_orderkey"), lit(13)).as("tx_index"),
+      concat(lit("0xu"), col("o_custkey").cast("string")).as("from_address"),
+      col("o_custkey").cast("string").as("amount"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").cast("string")
+        .as("amount0"),
+      pmod(col("o_orderkey"), lit(1000)).cast("string").as("amount1"),
+      pmod(col("o_orderkey"), lit(997)).cast("string").as("tokenId"),
+      pmod(col("o_orderkey"), lit(7)).as("log_index"))
+    if (only.forall(s => s.contains("upsert_cow"))) {
+      import graft.v3.{Lake, Schemas}
+      val orders0 = Tables.orders(spark, sfDir)
+      val lake = new Lake(spark,
+        java.nio.file.Files.createTempDirectory("probe-uplake").toString)
+      (0 until k).foreach(c =>
+        lake.append(nfpSeg(c, orders0).coalesce(1), Schemas.Nfp))
+      val totalBytes = lake.fileInventory(Schemas.Nfp).map(_._3).sum
+      def upProbe(name: String, batch: DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val st = lake.upsert(batch, Schemas.Nfp,
+          Seq("chain_name", "transaction_hash"))
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"$name","k":$k,"sec":$sec%.2f,""" +
+          f""""chain_files":${st.chainFiles},"touched_files":${st.touchedFiles},""" +
+          f""""rewritten_mb":${st.rewrittenBytes / 1e6}%.1f,"table_mb":${totalBytes / 1e6}%.1f}""")
+      }
+      // narrow batch: keys from ONE copy's range — must touch ~1 file
+      upProbe("upsert_cow_narrow",
+        nfpSeg(0, orders0.filter(pmod(col("o_orderkey"), lit(10)) === 0)))
+      // spread batch: a slice of keys from EVERY copy — touches ~k
+      // files; cost should scale with touched bytes, not table size
+      val spreadSrc = orders0.filter(pmod(col("o_orderkey"), lit(1000)) === 0)
+      upProbe("upsert_cow_spread",
+        (0 until k).map(c => nfpSeg(c, spreadSrc)).reduce(_.unionByName(_)))
+      // the streamed shape: 3 sequential per-batch merges (exactly what
+      // Streaming.upsertStream's foreachBatch executes per micro-batch:
+      // lastPerKey compaction + upsert)
+      val t0 = System.nanoTime()
+      (1 to 3).foreach { i =>
+        val b = graft.ops.Ops.lastPerKey(
+          nfpSeg(0, orders0.filter(pmod(col("o_orderkey"), lit(10)) === i)),
+          keys = Seq(col("chain_name"), col("transaction_hash")),
+          order = Seq(col("block_number"), col("log_index")))
+        lake.upsert(b, Schemas.Nfp, Seq("chain_name", "transaction_hash"),
+          checkUnique = false)
+      }
+      println(f"""{"probe":"upsert_cow_seq3","k":$k,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+    }
+
+    // ── NFP attribution join + segment-capped ingest at 20× ──────────
+    val ordersK = rep(Tables.orders(spark, sfDir), Seq("o_orderkey"))
+      .localCheckpoint()
+    time("nfp_attribution")({
+      val mb = ordersK.select(
+        lit("ethereum").as("chain_name"),
+        concat(lit("0xpool"), pmod(col("o_orderkey"), lit(5))
+          .cast("string")).as("address"),
+        concat(lit("0xtx"), col("o_orderkey").cast("string"))
+          .as("transaction_hash"),
+        (lit(1000L) + pmod(col("o_orderkey"), lit(97))).as("block_number"),
+        pmod(col("o_orderkey"), lit(7)).as("log_index"),
+        col("o_custkey").cast("string").as("amount"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").cast("string")
+          .as("amount0"),
+        pmod(col("o_orderkey"), lit(1000)).cast("string").as("amount1"),
+        (-pmod(col("o_orderkey"), lit(100))).cast("string").as("tick_lower"),
+        (pmod(col("o_orderkey"), lit(100)) + 60).cast("string")
+          .as("tick_upper"))
+      val nfpSide = ordersK.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+        .select(
+          lit("ethereum").as("chain_name"),
+          lit("IncreaseLiquidity").as("name"),
+          concat(lit("0xtx"), col("o_orderkey").cast("string"))
+            .as("transaction_hash"),
+          (lit(1000L) + pmod(col("o_orderkey"), lit(97))).as("block_number"),
+          pmod(col("o_orderkey"), lit(13)).as("tx_index"),
+          concat(lit("0xu"), col("o_custkey").cast("string"))
+            .as("from_address"),
+          col("o_custkey").cast("string").as("amount"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").cast("string")
+            .as("amount0"),
+          pmod(col("o_orderkey"), lit(1000)).cast("string").as("amount1"),
+          pmod(col("o_orderkey"), lit(997)).cast("string").as("tokenId"),
+          (pmod(col("o_orderkey"), lit(7)) + 1L).as("log_index"))
+      v3.Nfp.attributePositions(nfpSide, mb)
+    })
+    // the real segment-capped resume loop at 20× volume (same relative
+    // segment cap as the graded s10 row → same segment count; linear
+    // in data by construction, this verifies the constant)
+    if (only.forall(s => s.contains("nfp_ingest"))) {
+      import graft.v3.{Lake, Schemas}
+      import graft.v3.ingest.{Ingest, ParquetFixtureConnector}
+      val fixRoot = java.nio.file.Files
+        .createTempDirectory("probe-nfp-src").toString
+      val fixture = nfpSeg(0, ordersK)
+      fixture.write.mode("overwrite")
+        .parquet(s"$fixRoot/${Schemas.Nfp}/example.parquet")
+      val lake = new Lake(spark,
+        java.nio.file.Files.createTempDirectory("probe-nfp-lake").toString)
+      val tgt = math.max(fixture.count() / 3, 1L)
+      val t0 = System.nanoTime()
+      Ingest.updateTable(lake, new ParquetFixtureConnector(spark, fixRoot),
+        pool = "0xpool0", chain = "ethereum", table = Schemas.Nfp,
+        tgtMaxRows = tgt, capBlock = None, ovmMapping = None)
+      val n = lake.read(Schemas.Nfp).count()
+      println(f"""{"probe":"nfp_ingest","k":$k,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$n}""")
+    }
+
+    // ── tokenizers at non-toy scale (opt-in: heavy, minutes) ─────────
+    // ≥1k-merge BPE on the base corpus: verifies the per-round cost is
+    // a vocabulary-sized aggregate that stays FLAT across 1000 rounds
+    // (the one-scan-then-vocab-rounds claim, measured where it matters)
+    if (only.exists(_.contains("bpe_train_1k"))) {
+      val base = Tables.documents(spark, sfDir)
+      val t0 = System.nanoTime()
+      val merges = llm.Bpe.train(base, "text", rounds = 1000)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"bpe_train_1k","k":$k,"sec":$sec%.2f,""" +
+        f""""rounds_done":${merges.size},"sec_per_round":${sec / math.max(merges.size, 1)}%.3f}""")
+    }
+    // full unigram-LM hard-EM fit (8 iterations) over the replicated
+    // corpus: each iteration re-runs the Viterbi fold + vocab-keyed
+    // aggregate — verifies iteration cost stays flat (no state growth)
+    if (only.exists(_.contains("unigram_full"))) {
+      time("unigram_full_8it")(llm.Unigram.train(docs, "text", "doc_id",
+        maxPieceLen = 4, minCount = 100L, iters = 8))
+    }
+
     spark.stop()
   }
 }

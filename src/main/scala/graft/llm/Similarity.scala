@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
@@ -622,10 +622,16 @@ object Similarity {
     * monotone surrogate 2·x·c − |c|² (argMAX — avoids computing |x|²,
     * which is constant per subvector), ties → lowest code, all folds
     * index-ordered so the DuckDB replay is bit-identical. A pure
-    * projection: encoding costs no shuffle. */
-  def pqCodes(e: Column, codebooks: Array[Array[Array[Double]]]): Column = {
-    graft.functions.PqFunctions.register(
-      org.apache.spark.sql.SparkSession.active)
+    * projection: encoding costs no shuffle.
+    *
+    * `spark` is the session whose temp-function registry resolves the
+    * encode expression — pass the session of the DataFrame this Column
+    * will run in (SparkSession.active is wrong in multi-session apps).
+    * Cluster deployments that inject [[graft.GraftExtensions]] resolve
+    * `graft_pq_codes`/`graft_pq_luts` without any registration call. */
+  def pqCodes(spark: SparkSession, e: Column,
+              codebooks: Array[Array[Array[Double]]]): Column = {
+    graft.functions.PqFunctions.register(spark)
     graft.functions.PqFunctions.codes(e, cbsLit(codebooks))
   }
 
@@ -692,7 +698,7 @@ object Similarity {
     for (_ <- 0 until iters) {
       val next = Array.tabulate(m, k, subDim)((s, c, i) => cbs(s)(c)(i))
       asDouble
-        .select(col("e"), posexplode(pqCodes(col("e"), cbs))
+        .select(col("e"), posexplode(pqCodes(asDouble.sparkSession, col("e"), cbs))
           .as(Seq("s", "code")))
         .select(col("s"), col("code"),
           posexplode(slice(col("e"), col("s") * subDim + 1, lit(subDim)))
@@ -726,7 +732,7 @@ object Similarity {
     VectorFunctions.register(corpus.sparkSession)
     graft.functions.PqFunctions.register(corpus.sparkSession)
     val c = graft.ops.Ops.parallelizeInput(corpus, col(id))
-      .select(col(id), pqCodes(pqNormalize(col(emb)), codebooks)
+      .select(col(id), pqCodes(corpus.sparkSession, pqNormalize(col(emb)), codebooks)
         .as("codes"))
     val luts = graft.functions.PqFunctions.luts(col("q_e"),
       cbsLit(codebooks), lit(TrainQuant))
@@ -764,7 +770,8 @@ object Similarity {
       .select(col(id),
         ivfListId(transform(col(emb), x => x.cast("double")), coarse)
           .as("list_id"),
-        pqCodes(pqNormalize(col(emb)), codebooks).as("codes"))
+        pqCodes(corpus.sparkSession, pqNormalize(col(emb)), codebooks)
+          .as("codes"))
     val qScores = array(coarse.map(cc =>
       VectorFunctions.dot(transform(col(emb), x => x.cast("double")),
         typedlit(cc.toSeq))): _*)

@@ -699,16 +699,22 @@ object TextAnalysis {
           .as(s"__lost_$l"))
     } :+ sum(col("n_tok")).as("__total")
     val one = base.agg(aggs.head, aggs.tail: _*)
+    // empty corpus (or all-empty texts): the conditional sums come
+    // back null and the ratio would be null/NaN — coalesce to 0 and
+    // guard the division so every candidate length still reports a
+    // well-typed zero row
     val rows = lengths.map { l =>
       struct(lit(l.toLong).as("ctx_len"),
-        col(s"__over_$l").as("n_docs_over"),
-        col(s"__lost_$l").as("tokens_lost"))
+        coalesce(col(s"__over_$l"), lit(0L)).as("n_docs_over"),
+        coalesce(col(s"__lost_$l"), lit(0L)).as("tokens_lost"))
     }
-    one.select(explode(array(rows: _*)).as("r"), col("__total"))
+    one.select(explode(array(rows: _*)).as("r"),
+        coalesce(col("__total"), lit(0L)).as("__total"))
       .select(col("r.ctx_len"), col("r.n_docs_over"),
         col("r.tokens_lost"), col("__total").as("tokens_total"),
-        floor(lit(10000.0) * col("r.tokens_lost") / col("__total") + 0.5)
-          .cast("long").as("lost_bp"))
+        when(col("__total") > 0,
+          floor(lit(10000.0) * col("r.tokens_lost") / col("__total") + 0.5)
+            .cast("long")).otherwise(0L).as("lost_bp"))
   }
 
   /** Per-slice curation report — the audit table every filtering run

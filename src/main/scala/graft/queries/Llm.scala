@@ -632,14 +632,26 @@ object Llm {
   }
 
   /** Cache key for a scale-factor directory: basename PLUS a short
-    * digest of the canonical absolute path, so two corpora that share
-    * a directory name (e.g. sf0.1 under different roots) can never
-    * serve each other's cached tranches or lakes. */
+    * digest of the canonical absolute path AND of the directory's
+    * content fingerprint (each file's relative path, size, mtime).
+    * Two corpora sharing a directory name (sf0.1 under different
+    * roots) can never serve each other's cached tranches or lakes,
+    * and a REGENERATED corpus at the same path (new data, same name)
+    * keys to a fresh cache instead of warm caches serving stale
+    * tranches while the oracle reads the new bytes. */
   private[queries] def sfCacheKey(sfDir: String): String = {
     val f = new java.io.File(sfDir).getCanonicalFile
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(f.getPath.getBytes("UTF-8"))
-      .take(4).map("%02x".format(_)).mkString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(f.getPath.getBytes("UTF-8"))
+    def walk(d: java.io.File): Unit =
+      Option(d.listFiles()).toSeq.flatten.sortBy(_.getName).foreach { c =>
+        if (c.isDirectory) walk(c)
+        else md.update(
+          s"${c.getPath.stripPrefix(f.getPath)}:${c.length}:${c.lastModified}"
+            .getBytes("UTF-8"))
+      }
+    walk(f)
+    val h = md.digest().take(6).map("%02x".format(_)).mkString
     s"${f.getName}-$h"
   }
 
@@ -1855,6 +1867,153 @@ object Llm {
         |exact AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER
         |  (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
         |  FROM bsc) WHERE rn <= 5)
+        |SELECT e.q_id, count(*) AS n_exact,
+        |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    * 10000 // count(*) AS BIGINT) AS recall_bp
+        |FROM exact e LEFT JOIN approx a
+        |  ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin)),
+
+    // recall@10 for flat PQ — the compression/recall tradeoff as a
+    // GRADED row, not a spec comment: 32× code compression buys
+    // imperfect ranking, and the honest number (measured ~0.375 at
+    // sf0.01) sits under the oracle exactly like trained-IVF's does.
+    // Same harness (recallAtK), approximate side = PQ/ADC retrieval,
+    // exact side = brute force, both replayed end-to-end in SQL
+    ("llm_similarity_recall_pq",
+      ((s: SparkSession, d: String) => {
+        val e = Tables.embeddings(s, d)
+        val qs = e.filter(col("vec_id") < 10)
+        val exact = Similarity.bruteForceTopK(e, qs, "vec_id",
+          "embedding", k = 10)
+        val cbs = Similarity.trainPqCodebooks(
+          Similarity.trainSample(e, "vec_id", 256),
+          "embedding", m = 16, k = 16, iters = 3)
+        val approx = Similarity.pqTopK(e, qs, "vec_id", "embedding",
+          k = 10, cbs)
+        Similarity.recallAtK(approx, exact, "q_id", "vec_id")
+          .orderBy(col("q_id"))
+      }): Q,
+      Some(s"""WITH embr AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |emb AS (SELECT vec_id,
+        |  list_transform(e, x -> x / (CASE WHEN n = 0 THEN 1.0 ELSE n END))
+        |    AS e
+        |  FROM (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS n
+        |    FROM embr)),
+        |embt AS (SELECT * FROM emb
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 256),
+        |  ${pqTrainSql(m = 16, k = 16, subDim = 4, iters = 3, src = "embt")},
+        |codes AS (SELECT vec_id, s, code FROM (
+        |  SELECT e.vec_id, c.s, c.code, row_number() OVER (
+        |    PARTITION BY e.vec_id, c.s
+        |    ORDER BY 2 * list_dot_product(e.e[c.s * 4 + 1 : c.s * 4 + 4],
+        |        c.cen) - list_dot_product(c.cen, c.cen) DESC, c.code) AS rn
+        |  FROM emb e CROSS JOIN pc3 c) WHERE rn = 1),
+        |qlut AS (SELECT q.vec_id AS q_id, c.s, c.code,
+        |  CAST(floor(list_dot_product(q.e[c.s * 4 + 1 : c.s * 4 + 4],
+        |    c.cen) * 1048576.0 + 0.5) AS BIGINT) AS w
+        |  FROM emb q CROSS JOIN pc3 c WHERE q.vec_id < 10),
+        |sc AS (SELECT l.q_id, cd.vec_id, CAST(SUM(l.w) AS BIGINT)
+        |    AS score_q
+        |  FROM codes cd JOIN qlut l ON l.s = cd.s AND l.code = cd.code
+        |  WHERE cd.vec_id <> l.q_id GROUP BY 1, 2),
+        |approx AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER
+        |  (PARTITION BY q_id ORDER BY score_q DESC, vec_id) AS rn
+        |  FROM sc) WHERE rn <= 10),
+        |bsc AS (SELECT q.vec_id AS q_id, c.vec_id,
+        |    list_cosine_similarity(q.e, c.e) AS score
+        |  FROM (SELECT * FROM embr WHERE vec_id < 10) q, embr c
+        |  WHERE c.vec_id != q.vec_id),
+        |exact AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER
+        |  (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+        |  FROM bsc) WHERE rn <= 10)
+        |SELECT e.q_id, count(*) AS n_exact,
+        |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    * 10000 // count(*) AS BIGINT) AS recall_bp
+        |FROM exact e LEFT JOIN approx a
+        |  ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin)),
+
+    // recall@10 for IVFADC — the composed coarse-prune + PQ-rank
+    // index graded against the same exact baseline: recall now folds
+    // BOTH loss sources (lists the probe missed, codes ranked wrong),
+    // the number the nProbe/compression budget actually buys
+    ("llm_similarity_recall_ivfpq",
+      ((s: SparkSession, d: String) => {
+        val e = Tables.embeddings(s, d)
+        val qs = e.filter(col("vec_id") < 10)
+        val exact = Similarity.bruteForceTopK(e, qs, "vec_id",
+          "embedding", k = 10)
+        val samp = Similarity.trainSample(e, "vec_id", 256)
+        val coarse = Similarity.trainIvfCentroids(samp, "embedding",
+          nLists = 8, iters = 5)
+        val cbs = Similarity.trainPqCodebooks(samp, "embedding",
+          m = 16, k = 16, iters = 3)
+        val approx = Similarity.ivfPqTopK(e, qs, "vec_id", "embedding",
+          k = 10, nLists = 8, nProbe = 2, coarse, cbs)
+        Similarity.recallAtK(approx, exact, "q_id", "vec_id")
+          .orderBy(col("q_id"))
+      }): Q,
+      Some(s"""WITH emb AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |embn AS (SELECT vec_id,
+        |  list_transform(e, x -> x / (CASE WHEN n = 0 THEN 1.0 ELSE n END))
+        |    AS en
+        |  FROM (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS n
+        |        FROM emb)),
+        |embt AS (SELECT * FROM emb
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 256),
+        |embtn AS (SELECT vec_id, en AS e FROM embn
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 256),
+        |  ${trainedCentroidsSql(nLists = 8, dim = 64, iters = 5,
+              src = "embt")},
+        |  ${pqTrainSql(m = 16, k = 16, subDim = 4, iters = 3,
+              src = "embtn")},
+        |lists AS (SELECT emb.vec_id,
+        |    list_position(cs, list_max(cs)) - 1 AS list_id
+        |  FROM (SELECT emb.vec_id,
+        |      list(list_dot_product(emb.e, c.cen) ORDER BY c.list_id) AS cs
+        |    FROM emb CROSS JOIN c5 c GROUP BY emb.vec_id) emb),
+        |codes AS (SELECT vec_id, s, code FROM (
+        |  SELECT n.vec_id, c.s, c.code, row_number() OVER (
+        |    PARTITION BY n.vec_id, c.s
+        |    ORDER BY 2 * list_dot_product(n.en[c.s * 4 + 1 : c.s * 4 + 4],
+        |        c.cen) - list_dot_product(c.cen, c.cen) DESC, c.code) AS rn
+        |  FROM embn n CROSS JOIN pc3 c) WHERE rn = 1),
+        |qp AS (SELECT e.vec_id AS q_id, c.list_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_dot_product(e.e, c.cen) DESC, c.list_id) AS pr
+        |  FROM emb e CROSS JOIN c5 c WHERE e.vec_id < 10),
+        |qlut AS (SELECT n.vec_id AS q_id, c.s, c.code,
+        |  CAST(floor(list_dot_product(n.en[c.s * 4 + 1 : c.s * 4 + 4],
+        |    c.cen) * 1048576.0 + 0.5) AS BIGINT) AS w
+        |  FROM embn n CROSS JOIN pc3 c WHERE n.vec_id < 10),
+        |cand AS (SELECT p.q_id, l.vec_id
+        |  FROM (SELECT * FROM qp WHERE pr <= 2) p
+        |  JOIN lists l ON l.list_id = p.list_id AND l.vec_id <> p.q_id),
+        |sc AS (SELECT ca.q_id, ca.vec_id,
+        |    CAST(SUM(ql.w) AS BIGINT) AS score_q
+        |  FROM cand ca JOIN codes cd ON cd.vec_id = ca.vec_id
+        |  JOIN qlut ql ON ql.q_id = ca.q_id AND ql.s = cd.s
+        |    AND ql.code = cd.code
+        |  GROUP BY 1, 2),
+        |approx AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER
+        |  (PARTITION BY q_id ORDER BY score_q DESC, vec_id) AS rn
+        |  FROM sc) WHERE rn <= 10),
+        |bsc AS (SELECT q.vec_id AS q_id, c.vec_id,
+        |    list_cosine_similarity(q.e, c.e) AS score
+        |  FROM (SELECT * FROM emb WHERE vec_id < 10) q, emb c
+        |  WHERE c.vec_id != q.vec_id),
+        |exact AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER
+        |  (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+        |  FROM bsc) WHERE rn <= 10)
         |SELECT e.q_id, count(*) AS n_exact,
         |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_hit,

@@ -358,8 +358,8 @@ object V3Shape {
     // keyed UPSERT — the CDC-apply operator (MERGE INTO semantics):
     // one batch updates every 10th key, inserts shifted copies of
     // every 90th, deletes every 97th; the lake rewrite is one
-    // anti-join + dynamic overwrite of only the touched chain
-    // partition. The oracle derives the post-merge state directly
+    // anti-join over only the footer-range-touched files (file-grain
+    // copy-on-write). The oracle derives the post-merge state directly
     // from orders — replace/insert/delete must all have landed
     // exactly for the grouped digest to hash-match
     ("s12_upsert_cdc",

@@ -314,15 +314,17 @@ object Streaming {
     * change stream can carry several versions of one key in a batch;
     * `orderCols` breaks the tie — typically (block_number, log_index))
     * and MERGEs into the lake table via [[graft.v3.Lake.upsert]]:
-    * replace / insert / delete by key, rewriting only the touched
-    * chain partitions. Replay safety comes from IDEMPOTENCY rather
+    * replace / insert / delete by key, rewriting only the FILES whose
+    * footer key range the batch touches (file-grain copy-on-write).
+    * Replay safety comes from IDEMPOTENCY rather
     * than an exactly-once sink: re-applying an identical change batch
     * reproduces the identical table state (upsert is a deterministic
     * function of (table state, batch) and applying the same batch
     * twice is a fixpoint — spec-asserted), so a crash-retried batch is
     * harmless. The `deleteCol` column marks tombstones. 100 TB story:
     * per batch one latest-per-key aggregate (batch-sized) + upsert's
-    * single keyed anti-join + partition-bounded rewrite. */
+    * single keyed anti-join over only the key-range-touched files —
+    * rewrite I/O tracks batch key spread, not partition size. */
   def upsertStream(changes: DataFrame, lake: graft.v3.Lake, table: String,
                    keys: Seq[String], orderCols: Seq[String],
                    deleteCol: String,
@@ -333,6 +335,7 @@ object Streaming {
           keys = keys.map(col), order = orderCols.map(col))
         lake.upsert(latest, table, keys, deleteCol = Some(deleteCol),
           checkUnique = false) // lastPerKey just guaranteed it
+        () // foreachBatch wants Unit, upsert returns its stats
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -187,6 +187,90 @@ class Lake(spark: SparkSession, val root: String) {
     rewritten
   }
 
+  // ── File-grain key-range pruning for upsert ────────────────────────
+
+  /** Per-file [min, max] of `column` from the parquet FOOTER stats —
+    * pure metadata, no data pages read. Returns None when any row
+    * group lacks usable stats for the column (the caller must then
+    * treat the file as touched — conservative, never wrong). String
+    * stats compare with parquet's unsigned-lexicographic byte order
+    * (what Spark-written UTF8 min/max are ordered by); integral stats
+    * as longs. Driver-side reads over a thread pool: the file list is
+    * manifest-sized (model-state rule), and at fleet scale this table
+    * lives IN the snapshot manifest — the published formats persist
+    * exactly these ranges so planning never re-opens footers. */
+  private[v3] def footerRange(path: String, column: String)
+      : Option[(Any, Any)] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val in = HadoopInputFile.fromPath(new Path(path),
+      spark.sparkContext.hadoopConfiguration)
+    val reader = ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      if (blocks.isEmpty) return None
+      var mn: Any = null
+      var mx: Any = null
+      for (b <- blocks) {
+        val cc = b.getColumns.asScala
+          .find(_.getPath.toDotString == column).orNull
+        if (cc == null) return None
+        val st = cc.getStatistics
+        if (st == null || st.isEmpty || !st.hasNonNullValue) return None
+        val (lo, hi) = (st.genericGetMin, st.genericGetMax) match {
+          case (a: org.apache.parquet.io.api.Binary,
+                b2: org.apache.parquet.io.api.Binary) =>
+            (a.getBytes, b2.getBytes)
+          case (a: java.lang.Long, b2: java.lang.Long) =>
+            (a.longValue(), b2.longValue())
+          case (a: java.lang.Integer, b2: java.lang.Integer) =>
+            (a.longValue(), b2.longValue())
+          case _ => return None // float/boolean stats: not a key type
+        }
+        mn = if (mn == null || keyCmp(lo, mn) < 0) lo else mn
+        mx = if (mx == null || keyCmp(hi, mx) > 0) hi else mx
+      }
+      Some((mn, mx))
+    } finally reader.close()
+  }
+
+  /** Unsigned-lexicographic bytes / numeric long comparison — the
+    * order parquet footer stats are written in for UTF8 / integral
+    * columns. */
+  private def keyCmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: Array[Byte], y: Array[Byte]) =>
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      x.length - y.length
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case _ => throw new IllegalStateException(
+      s"incomparable key stats: ${a.getClass} vs ${b.getClass}")
+  }
+
+  /** Does the sorted batch-key array contain a value inside
+    * [min, max]? Binary search for the first value ≥ min. */
+  private def anyKeyInRange(sorted: Array[Any], mn: Any, mx: Any): Boolean = {
+    var lo = 0
+    var hi = sorted.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (keyCmp(sorted(mid), mn) < 0) lo = mid + 1 else hi = mid
+    }
+    lo < sorted.length && keyCmp(sorted(lo), mx) <= 0
+  }
+
+  /** Result accounting for one [[upsert]]: how much of the table the
+    * merge actually rewrote — the ScaleProbe contract is that
+    * `rewrittenBytes` tracks TOUCHED files, not touched chains. */
+  case class UpsertStats(chainFiles: Int, touchedFiles: Int,
+                         rewrittenBytes: Long, landedFiles: Int)
+
   /** Keyed UPSERT — the CDC-apply operator (MERGE INTO's
     * insert/update/delete semantics) for the parquet lake: incoming
     * rows replace existing rows with the same key, new keys insert,
@@ -194,27 +278,49 @@ class Lake(spark: SparkSession, val root: String) {
     * must be unique per key (compact a raw change stream with
     * [[graft.ops.Ops.lastPerKey]] first — the require below fails fast
     * otherwise, because silently letting two versions of a key race
-    * the union is the classic CDC corruption).
+    * the union is the classic CDC corruption). `keys` MUST include the
+    * partition column `chain_name` — without it a key whose existing
+    * row lives in a chain the batch doesn't name would silently
+    * survive alongside the inserted row (duplicate key).
     *
-    * Scale shape: ONE anti-join of the current table against the
-    * batch's keys (shuffle on the key) plus the batch itself, and the
-    * rewrite touches ONLY the chain partitions the batch names —
-    * dynamic partition overwrite, the other partitions' files are
-    * never opened. A chain whose every row is deleted gets its
-    * partition directory dropped explicitly (dynamic overwrite only
-    * rewrites partitions present in the output). Crash window: the
-    * partition overwrite is not atomic on a bare parquet lake — same
-    * documented window as [[compact]]; real deployments put an ACID
-    * table format underneath. */
-  /** `checkUnique = false` skips the per-batch uniqueness aggregate —
+    * Scale shape — file-grain copy-on-write: within the chains the
+    * batch names, only the files whose parquet footer key range
+    * ([min, max] of the first non-partition key column) intersects
+    * the batch's key set are read, anti-joined, and rewritten; every
+    * other file — including files in a TOUCHED chain — is never
+    * opened and remains byte-identical. Rewrite I/O therefore tracks
+    * the number of touched files (≈ batch key spread), not table or
+    * partition size. The merged output stages into a temp dir and
+    * lands via the [[compact]] rename protocol (no dynamic partition
+    * overwrite, no extra localCheckpoint materialization); the
+    * original touched files are deleted only after ALL staged files
+    * land. Crash window: land-then-delete is not atomic on a bare
+    * parquet lake — between the two an identical-key duplicate is
+    * visible, the same documented window as [[compact]]; real
+    * deployments put an ACID table format underneath. NOTE: like
+    * compaction, an upsert rewrites files that earlier snapshot
+    * manifests name — [[readAt]]/[[readSince]] over older versions
+    * fail loudly afterwards (see the snapshot invalidation contract).
+    *
+    * `checkUnique = false` skips the per-batch uniqueness aggregate —
     * ONLY for callers that just established it structurally (e.g.
     * [[graft.streaming.Streaming.upsertStream]] compacts with
     * lastPerKey immediately before; re-checking would re-shuffle the
-    * batch to prove a property its own plan guarantees). */
+    * batch to prove a property its own plan guarantees).
+    *
+    * `maxKeyCollect` bounds the driver-side distinct-key collection
+    * used for exact file pruning; a batch with more distinct keys
+    * falls back to per-chain [min, max] envelope pruning (still
+    * correct, possibly more files touched). */
   def upsert(updates: DataFrame, table: String, keys: Seq[String],
              deleteCol: Option[String] = None,
-             checkUnique: Boolean = true): Unit = {
+             checkUnique: Boolean = true,
+             maxKeyCollect: Int = 1 << 20): UpsertStats = {
     require(keys.nonEmpty, "upsert needs at least one key column")
+    require(keys.contains("chain_name"),
+      "upsert keys must include the partition column chain_name - " +
+        "without it an existing row in an unnamed chain silently " +
+        "survives next to its replacement (duplicate key)")
     val schema = Schemas.forTable(table)
     if (checkUnique) {
       val dups = updates.groupBy(keys.map(col): _*)
@@ -225,11 +331,95 @@ class Lake(spark: SparkSession, val root: String) {
     }
     val chains = updates.select(col("chain_name")).distinct()
       .collect().map(_.getString(0)).toSeq
-    if (chains.isEmpty) return
-    val curTouched = read(table)
-      .filter(col("chain_name").isInCollection(chains))
-    val survivors = curTouched.join(
-      updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    if (chains.isEmpty) return UpsertStats(0, 0, 0L, 0)
+
+    // ── plan: which files can hold a batch key? ──
+    val chainFiles = fileInventory(table).filter(f => chains.contains(f._1))
+    val dataKeys = keys.filterNot(_ == "chain_name")
+    val touched: Seq[(String, String, Long)] = if (dataKeys.isEmpty) {
+      chainFiles // key IS the partition: whole named chains are touched
+    } else {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+      val k1 = dataKeys.head // pruning on one key col is conservative
+      val k1IsString = schema(k1).dataType == StringType
+      // pruning only trusts string / integral footer orders; any other
+      // key type keeps every chain file touched (correct, un-pruned)
+      val prunable = schema(k1).dataType match {
+        case StringType | LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+      def asCmp(v: Any): Any = v match {
+        case s: String => s.getBytes("UTF-8")
+        case n: java.lang.Number => n.longValue()
+        case other => other
+      }
+      // one aggregate decides exact-keys vs envelope pruning per chain
+      val prof = updates.groupBy(col("chain_name"))
+        .agg(approx_count_distinct(col(k1)).as("__n"),
+          min(col(k1)).as("__mn"), max(col(k1)).as("__mx"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), asCmp(r.get(2)),
+          asCmp(r.get(3))))).toMap
+      val totalKeys = prof.values.map(_._1).sum
+      // null key values never equi-join (no existing row is replaced
+      // by them), so they can't make a file touched — drop from the
+      // pruning set; the rows themselves still flow through inserts
+      val exactKeys: Map[String, Array[Any]] =
+        if (totalKeys <= maxKeyCollect.toLong)
+          updates.select(col("chain_name"), col(k1)).distinct().collect()
+            .filter(!_.isNullAt(1))
+            .groupBy(_.getString(0))
+            .map { case (c, rows) =>
+              c -> rows.map(r => asCmp(r.get(1))).sortWith(keyCmp(_, _) < 0)
+            }
+        else Map.empty
+      if (!prunable) chainFiles
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, math.max(1, chainFiles.size)))
+        try {
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutor(pool)
+          val futs = chainFiles.map { case f @ (chain, path, _) =>
+            scala.concurrent.Future {
+              val hit = prof.get(chain) match {
+                case None => false // chain named but batch has no rows
+                case Some((_, bMn, bMx)) if bMn == null || bMx == null =>
+                  false // all batch keys null in this chain: no match
+                case Some((_, bMn, bMx)) =>
+                  footerRange(path, k1) match {
+                    case None => true // no usable stats: conservative
+                    case Some((fMn, fMx)) =>
+                      // stats type must line up with the batch values
+                      // (bytes vs bytes, long vs long) — else keep safe
+                      if (k1IsString != fMn.isInstanceOf[Array[Byte]]) true
+                      else exactKeys.get(chain) match {
+                        case Some(ks) => anyKeyInRange(ks, fMn, fMx)
+                        case None =>
+                          keyCmp(fMn, bMx) <= 0 && keyCmp(bMn, fMx) <= 0
+                      }
+                  }
+              }
+              (f, hit)
+            }
+          }
+          scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(futs),
+            scala.concurrent.duration.Duration.Inf)
+            .collect { case (f, true) => f }
+        } finally pool.shutdown()
+      }
+    }
+
+    // ── merge: anti-join ONLY the touched files ──
+    val touchedPaths = touched.map(_._2)
+    val survivors =
+      if (touchedPaths.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).option("basePath", dir(table))
+        .parquet(touchedPaths: _*)
+        .join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
     // NULL deleteCol (e.g. a change file written before the column
     // existed, read back as typed nulls) means "not a tombstone" —
     // without the coalesce such rows would be anti-joined out of
@@ -239,13 +429,51 @@ class Lake(spark: SparkSession, val root: String) {
     val cols = schema.fieldNames.toSeq.map(col)
     val merged = survivors.select(cols: _*)
       .unionByName(inserts.select(cols: _*))
-      .localCheckpoint() // cut lineage: the write overwrites its input
-    val remaining = merged.select(col("chain_name")).distinct()
-      .collect().map(_.getString(0)).toSet
-    merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("chain_name").parquet(dir(table))
-    chains.filterNot(remaining).foreach(dropChain(table, _))
+
+    // ── land: stage to a temp dir, rename in, then drop originals ──
+    val tmp = new Path(s"$root/_tmp/upsert-$table-${System.nanoTime()}")
+    merged.write.mode("overwrite").partitionBy("chain_name")
+      .parquet(tmp.toString)
+    val stamp = System.nanoTime()
+    var i = 0
+    val landed = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val stagedParts =
+      if (!fs.exists(tmp)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(tmp).filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith("chain_name="))
+    val allRenamed = stagedParts.forall { part =>
+      val chain = part.getPath.getName.stripPrefix("chain_name=")
+      val tgtDir = new Path(s"${dir(table)}/chain_name=$chain")
+      fs.mkdirs(tgtDir)
+      fs.listStatus(part.getPath)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .forall { st =>
+          val dst = new Path(tgtDir, f"upsert-$stamp-$i%05d.parquet")
+          i += 1
+          val ok = fs.rename(st.getPath, dst)
+          if (ok) landed += dst
+          ok
+        }
+    }
+    if (!allRenamed) { // roll back, leave the table untouched
+      landed.foreach(p => fs.delete(p, false))
+      fs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"upsert of $table failed to land staged files - rolled back")
+    }
+    fs.delete(tmp, true)
+    touched.foreach { case (_, p, _) => fs.delete(new Path(p), false) }
+    // a chain whose files were all touched and produced no output is
+    // now an empty directory — drop it so partition discovery stays
+    // clean
+    chains.foreach { c =>
+      val p = new Path(s"${dir(table)}/chain_name=$c")
+      if (fs.exists(p) && !fs.listStatus(p).exists(s0 =>
+          s0.getPath.getName.endsWith(".parquet")))
+        fs.delete(p, true)
+    }
+    UpsertStats(chainFiles.size, touched.size,
+      touched.map(_._3).sum, landed.size)
   }
 
   // ── Snapshots: manifest-based time travel ──────────────────────────
@@ -260,8 +488,10 @@ class Lake(spark: SparkSession, val root: String) {
   // Manifests are driver-small (file lists, thousands of entries — the
   // model-state rule); the READ is a normal distributed parquet scan
   // over exactly the named files, partition values still parsed from
-  // the paths. COMPACTION rewrites files, so it invalidates snapshots
-  // taken before it; [[readAt]] detects missing files and fails loudly
+  // the paths. COMPACTION and UPSERT rewrite files, so each
+  // invalidates snapshots taken before it (an upsert between a
+  // readSince base and target is exactly the "rewritten files look
+  // new" hazard); [[readAt]] detects missing files and fails loudly
   // with the invalidating paths instead of silently returning a
   // partial corpus — retention policy (keep pre-compaction files until
   // snapshots expire) is a deployment concern layered above, exactly
@@ -273,30 +503,76 @@ class Lake(spark: SparkSession, val root: String) {
   private def snapDir(table: String) = new Path(s"$root/_snapshots/$table")
 
   /** Commit the table's current file set as the next snapshot version.
-    * Returns the new version number (1-based). Concurrency: the
-    * version file is created with create-exclusive semantics; on a
-    * collision (two writers snapshotting at once) the later writer
-    * retries with the next number. */
+    * Returns the new version number (1-based).
+    *
+    * COMMIT PROTOCOL (two-phase, torn-read-free): (1) atomically claim
+    * the version with a create-exclusive `.lock` file — losers bump to
+    * the next number; (2) write the manifest BODY to a hidden temp
+    * file, then rename it onto the final `.txt` name. Readers resolve
+    * only `.txt` files, and the rename is atomic, so a reader can
+    * never observe a half-written manifest (the create-exclusive-only
+    * protocol exposed the final path while bytes were still
+    * streaming). A writer that crashes mid-commit leaves a stale
+    * `.lock`; later writers skip that version number — a gap in the
+    * version sequence, never a corrupt snapshot.
+    *
+    * STORE CONTRACT: requires atomic create-exclusive (`O_EXCL`) and
+    * atomic same-directory rename — true on HDFS and POSIX local
+    * filesystems. Raw object stores without conditional puts provide
+    * NEITHER; deploy there with a coordination layer (conditional-put
+    * manifests or an external lock service), exactly as the published
+    * table formats do for their commit step.
+    *
+    * IN-FLIGHT APPENDS: the file listing is STABILIZED — re-listed
+    * until two consecutive passes agree — so a snapshot taken while a
+    * foreign writer's job commit is renaming part files into place
+    * cannot pin half a segment. Appends in this engine are
+    * driver-sequential, so the first pass is normally already stable;
+    * if the table keeps changing across 8 passes the snapshot fails
+    * loudly rather than committing an arbitrary cut. */
   def snapshot(table: String): Long = {
     val base = fs.makeQualified(new Path(dir(table))).toString
-    val files = fileInventory(table).map(_._2)
+    def listing(): Seq[String] = fileInventory(table).map(_._2)
       .map(_.stripPrefix(base).stripPrefix("/"))
       .sorted
+    var files = listing()
+    var again = listing()
+    var tries = 0
+    while (files != again && tries < 8) {
+      files = again; again = listing(); tries += 1
+    }
+    require(files == again,
+      s"table $table is changing beneath snapshot (append in flight) - " +
+        "retry when writes quiesce")
     fs.mkdirs(snapDir(table))
     var v = snapshotVersions(table).lastOption.getOrElse(0L) + 1
-    var done = false
-    while (!done) {
-      val p = new Path(snapDir(table), f"v$v%09d.txt")
-      try {
-        val out = fs.create(p, false) // create-exclusive: no overwrite
-        out.write(files.mkString("\n").getBytes("UTF-8"))
-        out.close()
-        done = true
-      } catch {
-        case _: java.io.IOException if fs.exists(p) => v += 1 // raced
+    while (true) {
+      val lock = new Path(snapDir(table), f"v$v%09d.lock")
+      val txt = new Path(snapDir(table), f"v$v%09d.txt")
+      if (fs.exists(txt)) v += 1 // committed winner: next number
+      else {
+        val claimed =
+          try { fs.create(lock, false).close(); true }
+          catch { case _: java.io.IOException => false }
+        if (!claimed) v += 1 // held (or crashed) claim: skip the number
+        else {
+          val tmp = new Path(snapDir(table),
+            f".v$v%09d-tmp-${System.nanoTime()}")
+          val out = fs.create(tmp, true)
+          out.write(files.mkString("\n").getBytes("UTF-8"))
+          out.close()
+          if (!fs.rename(tmp, txt)) { // store fault: claim is ours, so
+            fs.delete(tmp, false)     // no contender renamed first
+            fs.delete(lock, false)
+            throw new java.io.IOException(
+              s"snapshot commit failed renaming $tmp -> $txt")
+          }
+          fs.delete(lock, false)
+          return v
+        }
       }
     }
-    v
+    v // unreachable
   }
 
   /** All committed snapshot versions, ascending. */
@@ -325,9 +601,9 @@ class Lake(spark: SparkSession, val root: String) {
     val gone = baseFiles.filterNot(r =>
       fs.exists(new Path(s"${dir(table)}/$r")))
     require(gone.isEmpty,
-      s"snapshot v$sinceVersion of $table invalidated (compaction ran " +
-        s"since) - incremental read would mistake rewritten files for " +
-        s"new rows: ${gone.take(5).mkString(", ")}")
+      s"snapshot v$sinceVersion of $table invalidated (compaction or " +
+        s"upsert rewrote files since) - incremental read would mistake " +
+        s"rewritten files for new rows: ${gone.take(5).mkString(", ")}")
     val target = upTo match {
       case Some(v) => manifestFiles(table, v)
       case None =>
@@ -348,7 +624,8 @@ class Lake(spark: SparkSession, val root: String) {
       fs.exists(new Path(s"${dir(table)}/$r")))
     require(freshGone.isEmpty,
       s"incremental read of $table invalidated - target files missing " +
-        s"(compacted or expired): ${freshGone.take(5).mkString(", ")}")
+        s"(rewritten by compaction or upsert, or expired): " +
+        s"${freshGone.take(5).mkString(", ")}")
     spark.read.schema(Schemas.forTable(table))
       .option("basePath", dir(table))
       .parquet(fresh.map(r => s"${dir(table)}/$r"): _*)
@@ -378,7 +655,8 @@ class Lake(spark: SparkSession, val root: String) {
     val missing = abs.filterNot(a => fs.exists(new Path(a)))
     require(missing.isEmpty,
       s"snapshot v$version of $table invalidated - missing files " +
-        s"(compacted or expired): ${missing.take(5).mkString(", ")}" +
+        s"(rewritten by compaction or upsert, or expired): " +
+        s"${missing.take(5).mkString(", ")}" +
         (if (missing.size > 5) s" (+${missing.size - 5} more)" else ""))
     spark.read.schema(Schemas.forTable(table))
       .option("basePath", dir(table))

@@ -54,6 +54,10 @@ class PlanShapeSpec extends SparkSpec {
       "brute-force retrieval over int8 codes: same deliberate baseline shape",
     "llm_similarity_recall_eval" ->
       "contains the exact brute-force baseline BY DESIGN (recall is measured against it); the approximate side is the IVF list equi-join",
+    "llm_similarity_recall_pq" ->
+      "contains the exact brute-force baseline BY DESIGN (recall is measured against it); the approximate side is full-corpus ADC scoring (flat-PQ, see llm_similarity_pq_topk)",
+    "llm_similarity_recall_ivfpq" ->
+      "contains the exact brute-force baseline BY DESIGN (recall is measured against it); the approximate side is the IVF list equi-join + ADC scoring",
     "llm_similarity_pq_topk" ->
       "full-corpus ADC scoring (PQ without coarse pruning — FAISS's flat-PQ mode); the pruned path is llm_similarity_ivfpq's list equi-join",
     "llm_mixture_upsample" ->

@@ -87,6 +87,42 @@ class LakeSnapshotSpec extends SparkSpec {
     assert(lake.readAt(Schemas.Nfp, v2).count() == 60L)
   }
 
+  test("commit race: claimed and committed versions are skipped, " +
+      "a half-committed version is never readable") {
+    val lake = new Lake(spark,
+      Files.createTempDirectory("lake-snap4").toString)
+    lake.append(rows(0, 10), Schemas.Nfp)
+    val v1 = lake.snapshot(Schemas.Nfp)
+    assert(v1 == 1L)
+    // simulate a concurrent writer that claimed v2 and crashed before
+    // landing its manifest (stale .lock, body still in a .tmp file):
+    // the next snapshot must SKIP v2, and v2 must never read back as
+    // a (possibly torn) snapshot
+    val snapDir = new java.io.File(
+      lake.root, s"_snapshots/${Schemas.Nfp}")
+    assert(new java.io.File(snapDir, f"v${2L}%09d.lock").createNewFile())
+    java.nio.file.Files.write(
+      new java.io.File(snapDir, f".v${2L}%09d-tmp-123").toPath,
+      "partial/garbage".getBytes("UTF-8"))
+    val v3 = lake.snapshot(Schemas.Nfp)
+    assert(v3 == 3L, s"expected the crashed claim's number skipped, got $v3")
+    assert(lake.snapshotVersions(Schemas.Nfp) == Seq(1L, 3L))
+    val e = intercept[IllegalArgumentException](
+      lake.readAt(Schemas.Nfp, 2L))
+    assert(e.getMessage.contains("no snapshot"))
+    // both survivors read clean
+    assert(lake.readAt(Schemas.Nfp, v1).count() == 10L)
+    assert(lake.readAt(Schemas.Nfp, v3).count() == 10L)
+    // a fully COMMITTED version by another writer is also skipped,
+    // never overwritten: plant v4 with known content, snapshot -> v5
+    val vf = new java.io.File(snapDir, f"v${4L}%09d.txt")
+    java.nio.file.Files.write(vf.toPath, Array.empty[Byte])
+    val v5 = lake.snapshot(Schemas.Nfp)
+    assert(v5 == 5L)
+    assert(lake.readAt(Schemas.Nfp, 4L).count() == 0L,
+      "foreign committed manifest was not preserved verbatim")
+  }
+
   test("empty-table snapshot reads back as a typed empty frame") {
     val lake = new Lake(spark,
       Files.createTempDirectory("lake-snap3").toString)

@@ -86,4 +86,112 @@ class LakeUpsertSpec extends SparkSpec {
       lake.upsert(dup, Schemas.Nfp, Seq("chain_name", "transaction_hash")))
     assert(e.getMessage.contains("lastPerKey"))
   }
+
+  test("keys without the partition column fail fast") {
+    val lake = new Lake(spark, Files.createTempDirectory("lake-up5").toString)
+    lake.append(rows(0 until 2), Schemas.Nfp)
+    val e = intercept[IllegalArgumentException](
+      lake.upsert(rows(Seq(1)), Schemas.Nfp, Seq("transaction_hash")))
+    assert(e.getMessage.contains("chain_name"))
+  }
+
+  private def pref(ids: Seq[Int], prefix: String,
+                   amt: Int => String = i => s"$i") = {
+    import spark.implicits._
+    ids.map { i =>
+      ("ethereum", "IncreaseLiquidity", s"$prefix$i", 1000L + i, 0L,
+        "0xu1", amt(i), s"${i * 10}", s"${i * 100}", s"$i", 7L)
+    }.toDF("chain_name", "name", "transaction_hash", "block_number",
+      "tx_index", "from_address", "amount", "amount0", "amount1",
+      "tokenId", "log_index")
+  }
+
+  private def md5s(lake: Lake): Map[String, String] =
+    lake.fileInventory(Schemas.Nfp).map { case (_, p, _) =>
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(new java.net.URI(
+          if (p.startsWith("file:")) p else s"file://$p")))
+      p -> java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map("%02x".format(_)).mkString
+    }.toMap
+
+  test("file-grain COW: untouched files in a TOUCHED chain stay byte-identical") {
+    val lake = new Lake(spark, Files.createTempDirectory("lake-up6").toString)
+    // three one-file segments with disjoint footer key ranges
+    lake.append(pref(0 until 10, "0xaa").coalesce(1), Schemas.Nfp)
+    lake.append(pref(0 until 10, "0xbb").coalesce(1), Schemas.Nfp)
+    lake.append(pref(0 until 10, "0xcc").coalesce(1), Schemas.Nfp)
+    val before = md5s(lake)
+    assert(before.size == 3, s"expected 3 files, got ${before.size}")
+    // batch hits only the 0xbb segment's range
+    val batch = pref(Seq(3, 7), "0xbb", amt = i => s"updated$i")
+    val stats = lake.upsert(batch, Schemas.Nfp,
+      Seq("chain_name", "transaction_hash"))
+    assert(stats.chainFiles == 3 && stats.touchedFiles == 1,
+      s"expected 1 of 3 files touched, got $stats")
+    val after = md5s(lake)
+    // the two untouched segments: same paths, same bytes
+    val keptBefore = before.filter { case (p, _) => after.contains(p) }
+    assert(keptBefore.size == 2,
+      s"expected exactly 2 surviving original files, got ${keptBefore.size}")
+    keptBefore.foreach { case (p, h) =>
+      assert(after(p) == h, s"untouched file rewritten: $p") }
+    // semantics intact
+    val state = lake.read(Schemas.Nfp)
+      .select("transaction_hash", "amount")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state.size == 30)
+    assert(state("0xbb3") == "updated3" && state("0xbb7") == "updated7")
+    assert(state("0xbb4") == "4" && state("0xaa3") == "3" &&
+      state("0xcc7") == "7")
+  }
+
+  test("insert-only batch outside every file's key range touches zero files") {
+    val lake = new Lake(spark, Files.createTempDirectory("lake-up7").toString)
+    lake.append(pref(0 until 10, "0xaa").coalesce(1), Schemas.Nfp)
+    lake.append(pref(0 until 10, "0xbb").coalesce(1), Schemas.Nfp)
+    val before = md5s(lake)
+    val stats = lake.upsert(pref(0 until 5, "0xzz"), Schemas.Nfp,
+      Seq("chain_name", "transaction_hash"))
+    assert(stats.touchedFiles == 0,
+      s"pure insert should touch no files, got $stats")
+    val after = md5s(lake)
+    before.foreach { case (p, h) =>
+      assert(after.get(p).contains(h), s"original file changed: $p") }
+    assert(lake.read(Schemas.Nfp).count() == 25L)
+  }
+
+  test("upsert invalidates older snapshots loudly, naming upsert") {
+    val lake = new Lake(spark, Files.createTempDirectory("lake-up8").toString)
+    lake.append(pref(0 until 10, "0xaa").coalesce(1), Schemas.Nfp)
+    val v1 = lake.snapshot(Schemas.Nfp)
+    lake.append(pref(0 until 10, "0xbb").coalesce(1), Schemas.Nfp)
+    val v2 = lake.snapshot(Schemas.Nfp)
+    // upsert rewrites the 0xaa file that BOTH manifests name — the
+    // "rewritten files look new" hazard for readSince(v1 → v2)
+    lake.upsert(pref(Seq(3), "0xaa", amt = _ => "upd"), Schemas.Nfp,
+      Seq("chain_name", "transaction_hash"))
+    val e1 = intercept[IllegalArgumentException](
+      lake.readAt(Schemas.Nfp, v1))
+    assert(e1.getMessage.contains("upsert"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      lake.readSince(Schemas.Nfp, v1, Some(v2)))
+    assert(e2.getMessage.contains("upsert"), e2.getMessage)
+    // a snapshot taken AFTER the upsert is a clean base again
+    val v3 = lake.snapshot(Schemas.Nfp)
+    lake.append(pref(0 until 3, "0xdd").coalesce(1), Schemas.Nfp)
+    assert(lake.readSince(Schemas.Nfp, v3).count() == 3L)
+  }
+
+  test("an upsert that touches no existing file leaves old snapshots valid") {
+    val lake = new Lake(spark, Files.createTempDirectory("lake-up9").toString)
+    lake.append(pref(0 until 10, "0xaa").coalesce(1), Schemas.Nfp)
+    val v1 = lake.snapshot(Schemas.Nfp)
+    lake.upsert(pref(0 until 5, "0xzz"), Schemas.Nfp,
+      Seq("chain_name", "transaction_hash"))
+    // pure insert: v1's files all still exist; the pinned read and the
+    // incremental read both still work, and readSince sees the inserts
+    assert(lake.readAt(Schemas.Nfp, v1).count() == 10L)
+    assert(lake.readSince(Schemas.Nfp, v1).count() == 5L)
+  }
 }
