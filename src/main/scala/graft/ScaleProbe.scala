@@ -663,9 +663,12 @@ object ScaleProbe {
     // a vocabulary-sized aggregate that stays FLAT across 1000 rounds
     // (the one-scan-then-vocab-rounds claim, measured where it matters)
     if (only.exists(_.contains("bpe_train_1k"))) {
-      val base = Tables.documents(spark, sfDir)
+      // the REPLICATED corpus (per-copy token suffixes → ~k× the
+      // vocabulary): the base corpus's word vocabulary exhausts all
+      // adjacent pairs after ~90 merges, too few to probe the
+      // 1k-merge claim
       val t0 = System.nanoTime()
-      val merges = llm.Bpe.train(base, "text", rounds = 1000)
+      val merges = llm.Bpe.train(docs, "text", rounds = 1000)
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"probe":"bpe_train_1k","k":$k,"sec":$sec%.2f,""" +
         f""""rounds_done":${merges.size},"sec_per_round":${sec / math.max(merges.size, 1)}%.3f}""")
@@ -674,7 +677,7 @@ object ScaleProbe {
     // corpus: each iteration re-runs the Viterbi fold + vocab-keyed
     // aggregate — verifies iteration cost stays flat (no state growth)
     if (only.exists(_.contains("unigram_full"))) {
-      time("unigram_full_8it")(llm.Unigram.train(docs, "text", "doc_id",
+      time("unigram_full")(llm.Unigram.train(docs, "text", "doc_id",
         maxPieceLen = 4, minCount = 100L, iters = 8))
     }
 

@@ -235,6 +235,24 @@ class Lake(spark: SparkSession, val root: String) {
     } finally reader.close()
   }
 
+  /** Driver-side footer-range cache keyed by (path, length, mtime,
+    * column): repeated CDC batches against the same table re-plan
+    * without re-opening unchanged files' footers — the in-process
+    * stand-in for the key-range column a persistent manifest carries
+    * at fleet scale (what the published formats do). A rewritten file
+    * changes its (len, mtime) key, so stale ranges can never prune.
+    * Bounded by the model-state rule (cleared past 100k entries). */
+  private val rangeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Option[(Any, Any)]]()
+
+  private def footerRangeCached(path: String, column: String)
+      : Option[(Any, Any)] = {
+    val st = fs.getFileStatus(new Path(path))
+    val key = s"$path:${st.getLen}:${st.getModificationTime}:$column"
+    if (rangeCache.size > 100000) rangeCache.clear()
+    rangeCache.computeIfAbsent(key, _ => footerRange(path, column))
+  }
+
   /** Unsigned-lexicographic bytes / numeric long comparison — the
     * order parquet footer stats are written in for UTF8 / integral
     * columns. */
@@ -329,43 +347,59 @@ class Lake(spark: SparkSession, val root: String) {
         s"upsert batch has multiple rows per key ${keys.mkString(",")} - " +
           "compact the change stream to latest-per-key first (Ops.lastPerKey)")
     }
-    val chains = updates.select(col("chain_name")).distinct()
-      .collect().map(_.getString(0)).toSeq
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    val dataKeys = keys.filterNot(_ == "chain_name")
+    val k1Type = dataKeys.headOption.map(schema(_).dataType)
+    // pruning only trusts string / integral footer orders; any other
+    // key type keeps every chain file touched (correct, un-pruned)
+    val prunable = k1Type.exists {
+      case StringType | LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    def asCmp(v: Any): Any = v match {
+      case s: String => s.getBytes("UTF-8")
+      case n: java.lang.Number => n.longValue()
+      case other => other
+    }
+    // ONE profiling aggregate yields the named chains AND the per-chain
+    // key envelope (a per-batch Spark job: streamed CDC pays it every
+    // micro-batch, so chains + stats must not be two jobs)
+    val prof: Map[String, (Long, Any, Any)] =
+      if (prunable)
+        updates.groupBy(col("chain_name"))
+          .agg(approx_count_distinct(col(dataKeys.head)).as("__n"),
+            min(col(dataKeys.head)).as("__mn"),
+            max(col(dataKeys.head)).as("__mx"))
+          .collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), asCmp(r.get(2)),
+            asCmp(r.get(3))))).toMap
+      else updates.select(col("chain_name")).distinct().collect()
+        .map(_.getString(0) -> ((0L, null: Any, null: Any))).toMap
+    val chains = prof.keys.toSeq.sorted
     if (chains.isEmpty) return UpsertStats(0, 0, 0L, 0)
 
     // ── plan: which files can hold a batch key? ──
     val chainFiles = fileInventory(table).filter(f => chains.contains(f._1))
-    val dataKeys = keys.filterNot(_ == "chain_name")
-    val touched: Seq[(String, String, Long)] = if (dataKeys.isEmpty) {
+    val touched: Seq[(String, String, Long)] = if (chainFiles.isEmpty) {
+      chainFiles // empty table (first load): nothing to prune or merge
+    } else if (dataKeys.isEmpty) {
       chainFiles // key IS the partition: whole named chains are touched
     } else {
-      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
       val k1 = dataKeys.head // pruning on one key col is conservative
-      val k1IsString = schema(k1).dataType == StringType
-      // pruning only trusts string / integral footer orders; any other
-      // key type keeps every chain file touched (correct, un-pruned)
-      val prunable = schema(k1).dataType match {
-        case StringType | LongType | IntegerType | ShortType | ByteType => true
-        case _ => false
-      }
-      def asCmp(v: Any): Any = v match {
-        case s: String => s.getBytes("UTF-8")
-        case n: java.lang.Number => n.longValue()
-        case other => other
-      }
-      // one aggregate decides exact-keys vs envelope pruning per chain
-      val prof = updates.groupBy(col("chain_name"))
-        .agg(approx_count_distinct(col(k1)).as("__n"),
-          min(col(k1)).as("__mn"), max(col(k1)).as("__mx"))
-        .collect()
-        .map(r => r.getString(0) -> ((r.getLong(1), asCmp(r.get(2)),
-          asCmp(r.get(3))))).toMap
+      val k1IsString = k1Type.contains(StringType)
       val totalKeys = prof.values.map(_._1).sum
+      // exact-key pruning pays a driver collect of the batch's distinct
+      // keys; it only beats the free [min,max] envelope when the batch's
+      // keys cluster in gaps BETWEEN many file ranges — with a handful
+      // of files per chain the envelope is just as sharp, so skip the
+      // collect below the file-count threshold (a per-batch cost that
+      // mattered: streamed CDC pays this on every micro-batch).
       // null key values never equi-join (no existing row is replaced
       // by them), so they can't make a file touched — drop from the
       // pruning set; the rows themselves still flow through inserts
       val exactKeys: Map[String, Array[Any]] =
-        if (totalKeys <= maxKeyCollect.toLong)
+        if (prunable && chainFiles.size >= 8 &&
+            totalKeys <= maxKeyCollect.toLong)
           updates.select(col("chain_name"), col(k1)).distinct().collect()
             .filter(!_.isNullAt(1))
             .groupBy(_.getString(0))
@@ -387,7 +421,7 @@ class Lake(spark: SparkSession, val root: String) {
                 case Some((_, bMn, bMx)) if bMn == null || bMx == null =>
                   false // all batch keys null in this chain: no match
                 case Some((_, bMn, bMx)) =>
-                  footerRange(path, k1) match {
+                  footerRangeCached(path, k1) match {
                     case None => true // no usable stats: conservative
                     case Some((fMn, fMx)) =>
                       // stats type must line up with the batch values

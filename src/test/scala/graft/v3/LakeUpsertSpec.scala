@@ -161,6 +161,43 @@ class LakeUpsertSpec extends SparkSpec {
     assert(lake.read(Schemas.Nfp).count() == 25L)
   }
 
+  test("file-grain COW prunes on INTEGRAL key ranges too (long footer stats)") {
+    val lake = new Lake(spark, Files.createTempDirectory("lake-upl").toString)
+    // three one-file segments with disjoint block_number ranges; the
+    // key is (chain_name, block_number) — exercises the Long-stats
+    // branch of the footer pruning (the string branch is covered above)
+    def blockSeg(lo: Int, hi: Int) = {
+      import spark.implicits._
+      (lo until hi).map { i =>
+        ("ethereum", "IncreaseLiquidity", s"0xtx$i", i.toLong, 0L,
+          "0xu1", s"$i", s"${i * 10}", s"${i * 100}", s"$i", 7L)
+      }.toDF("chain_name", "name", "transaction_hash", "block_number",
+        "tx_index", "from_address", "amount", "amount0", "amount1",
+        "tokenId", "log_index")
+    }
+    lake.append(blockSeg(0, 100).coalesce(1), Schemas.Nfp)
+    lake.append(blockSeg(1000, 1100).coalesce(1), Schemas.Nfp)
+    lake.append(blockSeg(2000, 2100).coalesce(1), Schemas.Nfp)
+    // batch keys sit inside the middle segment's range, INCLUDING the
+    // exact range boundaries (min=1000, max=1099 must count as inside)
+    val batch = blockSeg(1000, 1001)
+      .unionByName(blockSeg(1050, 1051))
+      .unionByName(blockSeg(1099, 1100))
+      .withColumn("amount", lit("updated"))
+    val stats = lake.upsert(batch, Schemas.Nfp,
+      Seq("chain_name", "block_number"))
+    assert(stats.chainFiles == 3 && stats.touchedFiles == 1,
+      s"expected 1 of 3 files touched via long stats, got $stats")
+    val state = lake.read(Schemas.Nfp)
+      .select("block_number", "amount")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state.size == 300)
+    assert(state(1000L) == "updated" && state(1050L) == "updated" &&
+      state(1099L) == "updated")
+    assert(state(1001L) == "1001" && state(0L) == "0" &&
+      state(2099L) == "2099")
+  }
+
   test("upsert invalidates older snapshots loudly, naming upsert") {
     val lake = new Lake(spark, Files.createTempDirectory("lake-up8").toString)
     lake.append(pref(0 until 10, "0xaa").coalesce(1), Schemas.Nfp)
