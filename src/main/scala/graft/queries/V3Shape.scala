@@ -506,6 +506,90 @@ object V3Shape {
         |  count(*) AS n, CAST(sum(a0) AS BIGINT) AS sum_a0,
         |  CAST(sum(CASE WHEN length(tx) >= 12 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_inserted
-        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin))
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // RETENTION + VACUUM — time travel that SURVIVES rewrites: load,
+    // snapshot v1, retain-mode upsert (replace/insert/delete), snapshot
+    // v2, then read v1 back — its aggregate must equal the ORIGINAL
+    // load even though the upsert rewrote the files (readAt resolves
+    // the retired originals); v2 must equal the merged state. The row
+    // then vacuums v1 away (manifest + its retired file — require'd
+    // inside the row, so a misbehaving vacuum fails the gate) after
+    // eagerly pinning the v1 aggregate. The oracle derives both
+    // states straight from orders.
+    ("s14_retention_vacuum",
+      ((s: SparkSession, d: String) => {
+        import graft.v3.{Lake, Schemas}
+        val orders = Tables.orders(s, d)
+        def derive(df: org.apache.spark.sql.DataFrame,
+                   key: org.apache.spark.sql.Column,
+                   bump: Long) = df.select(
+          lit("ethereum").as("chain_name"),
+          lit("IncreaseLiquidity").as("name"),
+          concat(lit("0xtx"), key.cast("string")).as("transaction_hash"),
+          (lit(1000L) + pmod(key, lit(97))).as("block_number"),
+          pmod(key, lit(13)).as("tx_index"),
+          concat(lit("0xu"), col("o_custkey").cast("string"))
+            .as("from_address"),
+          col("o_custkey").cast("string").as("amount"),
+          (floor(col("o_totalprice") * 100 + 0.5).cast("long") + bump)
+            .cast("string").as("amount0"),
+          pmod(key, lit(1000)).cast("string").as("amount1"),
+          pmod(key, lit(997)).cast("string").as("tokenId"),
+          pmod(key, lit(7)).as("log_index"))
+        val k = col("o_orderkey")
+        val lake = new Lake(s, s"/tmp/graft-ret-lake/${Llm.sfCacheKey(d)}")
+        lake.dropTable(Schemas.Nfp)
+        lake.append(derive(orders, k, 0L), Schemas.Nfp)
+        val v1 = lake.snapshot(Schemas.Nfp)
+        val batch = derive(orders.filter(pmod(k, lit(10)) === 0 &&
+              pmod(k, lit(97)) =!= 0), k, 100L)
+            .withColumn("__del", lit(false))
+          .unionByName(derive(orders.filter(pmod(k, lit(97)) === 0), k, 0L)
+            .withColumn("__del", lit(true)))
+          .unionByName(derive(orders.filter(pmod(k, lit(90)) === 0),
+              k + 10000000L, 0L)
+            .withColumn("__del", lit(false)))
+        lake.upsert(batch, Schemas.Nfp,
+          Seq("chain_name", "transaction_hash"),
+          deleteCol = Some("__del"), retain = true)
+        val v2 = lake.snapshot(Schemas.Nfp)
+        def digest(df: org.apache.spark.sql.DataFrame, tag: String) =
+          df.groupBy(col("log_index"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("amount0").cast("long")).as("sum_a0"))
+            .withColumn("version", lit(tag))
+        // pin the v1 aggregate EAGERLY (localCheckpoint executes it)
+        // before vacuum expires the version it reads from
+        val pre = digest(lake.readAt(Schemas.Nfp, v1), "v1_pre")
+          .localCheckpoint()
+        val vs = lake.vacuum(Schemas.Nfp, keepLast = 1)
+        require(vs.manifestsDeleted == 1 && vs.filesDeleted >= 1,
+          s"vacuum should expire v1 and free its retired file(s): $vs")
+        pre.unionByName(digest(lake.readAt(Schemas.Nfp, v2), "v2_post"))
+          .select(col("version"), col("log_index"), col("n"), col("sum_a0"))
+          .orderBy(col("version"), col("log_index"))
+      }): Q,
+      Some("""WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |pre AS (SELECT 'v1_pre' AS version, CAST(k % 7 AS BIGINT)
+        |    AS log_index, count(*) AS n, CAST(sum(cents) AS BIGINT)
+        |    AS sum_a0
+        |  FROM base GROUP BY 2),
+        |survivors AS (SELECT k, cents + CASE WHEN k % 10 = 0
+        |    AND k % 97 <> 0 THEN 100 ELSE 0 END AS a0
+        |  FROM base WHERE k % 97 <> 0),
+        |ins AS (SELECT k + 10000000 AS k, cents AS a0
+        |  FROM base WHERE k % 90 = 0),
+        |fin AS (SELECT k, a0 FROM survivors
+        |  UNION ALL SELECT k, a0 FROM ins),
+        |post AS (SELECT 'v2_post' AS version, CAST(k % 7 AS BIGINT)
+        |    AS log_index, count(*) AS n, CAST(sum(a0) AS BIGINT)
+        |    AS sum_a0
+        |  FROM fin GROUP BY 2)
+        |SELECT version, log_index, n, sum_a0 FROM pre
+        |UNION ALL SELECT version, log_index, n, sum_a0 FROM post
+        |ORDER BY version, log_index""".stripMargin))
   )
 }

@@ -71,12 +71,15 @@ class Lake(spark: SparkSession, val root: String) {
     fs.exists(p) && fs.delete(p, true)
   }
 
-  /** Drop a whole table (its snapshot manifests go with it — a pinned
-    * read of a dropped table has nothing true left to say). */
+  /** Drop a whole table (its snapshot manifests and retired files go
+    * with it — a pinned read of a dropped table has nothing true left
+    * to say). */
   def dropTable(table: String): Boolean = {
     val p = new Path(dir(table))
     val s = snapDir(table)
+    val r = retiredDir(table)
     if (fs.exists(s)) fs.delete(s, true)
+    if (fs.exists(r)) fs.delete(r, true)
     fs.exists(p) && fs.delete(p, true)
   }
 
@@ -136,7 +139,10 @@ class Lake(spark: SparkSession, val root: String) {
     * bin into a single coalesced file set, preserving rows exactly
     * (CompactionSpec proves bag equality). Single-file bins are left
     * untouched — rewriting them would only churn data. */
-  def compact(table: String, targetBytes: Long): Int = {
+  /** `retain = true` moves the replaced originals into the retention
+    * area instead of deleting them (see [[upsert]]'s retain). */
+  def compact(table: String, targetBytes: Long,
+              retain: Boolean = false): Int = {
     val plan = compactionPlan(table, targetBytes)
     val multi = plan.groupBy(t => (t._1, t._2)).filter(_._2.size > 1)
     if (multi.isEmpty) return 0
@@ -180,7 +186,8 @@ class Lake(spark: SparkSession, val root: String) {
         fs.delete(tmp, true)
       } else {
         fs.delete(tmp, true)
-        paths.foreach(p => fs.delete(new Path(p), false))
+        if (retain) retire(table, paths)
+        else paths.foreach(p => fs.delete(new Path(p), false))
         rewritten += 1
       }
     }
@@ -330,10 +337,14 @@ class Lake(spark: SparkSession, val root: String) {
     * used for exact file pruning; a batch with more distinct keys
     * falls back to per-chain [min, max] envelope pruning (still
     * correct, possibly more files touched). */
+  /** `retain = true` moves the rewritten-away files into the retention
+    * area instead of deleting them, keeping pre-upsert snapshots
+    * READABLE ([[readAt]]) until [[vacuum]] expires them. */
   def upsert(updates: DataFrame, table: String, keys: Seq[String],
              deleteCol: Option[String] = None,
              checkUnique: Boolean = true,
-             maxKeyCollect: Int = 1 << 20): UpsertStats = {
+             maxKeyCollect: Int = 1 << 20,
+             retain: Boolean = false): UpsertStats = {
     require(keys.nonEmpty, "upsert needs at least one key column")
     require(keys.contains("chain_name"),
       "upsert keys must include the partition column chain_name - " +
@@ -496,7 +507,8 @@ class Lake(spark: SparkSession, val root: String) {
         s"upsert of $table failed to land staged files - rolled back")
     }
     fs.delete(tmp, true)
-    touched.foreach { case (_, p, _) => fs.delete(new Path(p), false) }
+    if (retain) retire(table, touched.map(_._2))
+    else touched.foreach { case (_, p, _) => fs.delete(new Path(p), false) }
     // a chain whose files were all touched and produced no output is
     // now an empty directory — drop it so partition discovery stays
     // clean
@@ -535,6 +547,33 @@ class Lake(spark: SparkSession, val root: String) {
   // even underscore-prefixed — can trip partition discovery on the
   // live read's recursive listing
   private def snapDir(table: String) = new Path(s"$root/_snapshots/$table")
+
+  // the retention area: rewritten-away data files move here (same-fs
+  // rename, table-relative paths preserved) so snapshots taken before
+  // the rewrite stay READABLE instead of failing — the published
+  // formats' keep-until-expiry policy, implemented. Outside the table
+  // dir for the same partition-discovery reason as the manifests.
+  private def retiredDir(table: String) = new Path(s"$root/_retired/$table")
+
+  /** Move replaced data files into the retention area. Same-filesystem
+    * rename — no bytes copied. Fails loudly if any rename fails: at
+    * that point the rewrite has already landed (the table is correct),
+    * only the retention guarantee is incomplete — the caller retries. */
+  private def retire(table: String, paths: Seq[String]): Unit = {
+    if (paths.isEmpty) return
+    val base = fs.makeQualified(new Path(dir(table))).toString
+    val failed = paths.filterNot { p =>
+      val rel = fs.makeQualified(new Path(p)).toString
+        .stripPrefix(base).stripPrefix("/")
+      val dst = new Path(retiredDir(table), rel)
+      fs.mkdirs(dst.getParent)
+      !fs.exists(dst) && fs.rename(new Path(p), dst)
+    }
+    if (failed.nonEmpty) throw new java.io.IOException(
+      s"retention retire failed for ${failed.size} file(s) of $table " +
+        s"(the rewrite already landed - retry): " +
+        failed.take(3).mkString(", "))
+  }
 
   /** Commit the table's current file set as the next snapshot version.
     * Returns the new version number (1-based).
@@ -634,10 +673,16 @@ class Lake(spark: SparkSession, val root: String) {
     val baseFiles = manifestFiles(table, sinceVersion).toSet
     val gone = baseFiles.filterNot(r =>
       fs.exists(new Path(s"${dir(table)}/$r")))
+    // NOTE: retention does NOT rescue incremental reads — a retained
+    // base file proves the snapshot is still READABLE (readAt), but
+    // the live table is no longer a superset of it, so "files newer
+    // than the base" stops meaning "rows appended since": the rewrite
+    // output would surface as new rows. Fail either way.
     require(gone.isEmpty,
       s"snapshot v$sinceVersion of $table invalidated (compaction or " +
         s"upsert rewrote files since) - incremental read would mistake " +
-        s"rewritten files for new rows: ${gone.take(5).mkString(", ")}")
+        s"rewritten files for new rows (retention cannot restore " +
+        s"append-only semantics): ${gone.take(5).mkString(", ")}")
     val target = upTo match {
       case Some(v) => manifestFiles(table, v)
       case None =>
@@ -675,25 +720,88 @@ class Lake(spark: SparkSession, val root: String) {
     body.split("\n").toSeq.filter(_.nonEmpty)
   }
 
-  /** Read the table EXACTLY as of snapshot `version`. Fails loudly if
-    * any manifest file is gone (compacted/expired) — a partial corpus
-    * silently standing in for a pinned one is the failure mode this
-    * API exists to prevent. */
+  /** Read the table EXACTLY as of snapshot `version`. A manifest file
+    * no longer live is resolved against the RETENTION area (files a
+    * retain-mode [[upsert]]/[[compact]] moved aside) — partition
+    * values parse identically there because retirement preserves the
+    * table-relative path. Fails loudly if any file is in neither
+    * place (rewritten without retention, or [[vacuum]]-expired) — a
+    * partial corpus silently standing in for a pinned one is the
+    * failure mode this API exists to prevent. */
   def readAt(table: String, version: Long): DataFrame = {
     val rel = manifestFiles(table, version)
     if (rel.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         Schemas.forTable(table))
-    val abs = rel.map(r => s"${dir(table)}/$r")
-    val missing = abs.filterNot(a => fs.exists(new Path(a)))
+    val live = rel.filter(r => fs.exists(new Path(s"${dir(table)}/$r")))
+    val liveSet = live.toSet
+    val retired = rel.filterNot(liveSet)
+      .filter(r => fs.exists(new Path(retiredDir(table), r)))
+    val missing = rel.filterNot(liveSet).filterNot(retired.toSet)
     require(missing.isEmpty,
       s"snapshot v$version of $table invalidated - missing files " +
-        s"(rewritten by compaction or upsert, or expired): " +
-        s"${missing.take(5).mkString(", ")}" +
+        s"(rewritten by compaction or upsert without retention, or " +
+        s"vacuum-expired): ${missing.take(5).mkString(", ")}" +
         (if (missing.size > 5) s" (+${missing.size - 5} more)" else ""))
-    spark.read.schema(Schemas.forTable(table))
-      .option("basePath", dir(table))
-      .parquet(abs: _*)
+    def rd(basePath: String, rels: Seq[String]) =
+      spark.read.schema(Schemas.forTable(table))
+        .option("basePath", basePath)
+        .parquet(rels.map(r => s"$basePath/$r"): _*)
+    val parts =
+      (if (live.nonEmpty) Seq(rd(dir(table), live)) else Seq.empty) ++
+      (if (retired.nonEmpty)
+        Seq(rd(retiredDir(table).toString, retired)) else Seq.empty)
+    parts.reduce(_.unionByName(_))
+  }
+
+  /** Accounting for one [[vacuum]] run. */
+  case class VacuumStats(manifestsDeleted: Int, filesDeleted: Int,
+                         bytesFreed: Long)
+
+  /** Retention GC: keep the newest `keepLast` snapshot manifests,
+    * delete the older ones, then delete every RETIRED file that no
+    * kept manifest references. Live table files are never touched —
+    * vacuum only ever shrinks history, not the table. After a vacuum,
+    * [[readAt]] on an expired version fails with "no snapshot"; on a
+    * kept version it still reproduces the corpus bit-for-bit. The
+    * walk is driver-side over the retention listing (manifest-sized —
+    * the model-state rule), exactly how the published formats' expire
+    * + remove-orphans maintenance runs. */
+  def vacuum(table: String, keepLast: Int): VacuumStats = {
+    require(keepLast >= 0, "keepLast must be >= 0")
+    val versions = snapshotVersions(table)
+    val (expired, kept) =
+      versions.splitAt(math.max(0, versions.size - keepLast))
+    val keptRefs: Set[String] =
+      kept.flatMap(v => manifestFiles(table, v)).toSet
+    expired.foreach(v =>
+      fs.delete(new Path(snapDir(table), f"v$v%09d.txt"), false))
+    var files = 0
+    var bytes = 0L
+    val rdir = retiredDir(table)
+    if (fs.exists(rdir)) {
+      val base = fs.makeQualified(rdir).toString
+      val it = fs.listFiles(rdir, true)
+      val doomed = Seq.newBuilder[Path]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile) {
+          val rel = f.getPath.toString.stripPrefix(base).stripPrefix("/")
+          if (!keptRefs.contains(rel)) {
+            bytes += f.getLen
+            files += 1
+            doomed += f.getPath
+          }
+        }
+      }
+      doomed.result().foreach(p => fs.delete(p, false))
+      // drop now-empty partition dirs in the retention area
+      Option(fs.listStatus(rdir)).toSeq.flatten.filter(_.isDirectory)
+        .foreach { d =>
+          if (fs.listStatus(d.getPath).isEmpty) fs.delete(d.getPath, true)
+        }
+    }
+    VacuumStats(expired.size, files, bytes)
   }
 }

@@ -220,6 +220,74 @@ class LakeUpsertSpec extends SparkSpec {
     assert(lake.readSince(Schemas.Nfp, v3).count() == 3L)
   }
 
+  test("retain-mode upsert keeps pre-rewrite snapshots readable; vacuum expires them") {
+    val lake = new Lake(spark, Files.createTempDirectory("lake-ret").toString)
+    lake.append(pref(0 until 10, "0xaa").coalesce(1), Schemas.Nfp)
+    lake.append(pref(0 until 10, "0xbb").coalesce(1), Schemas.Nfp)
+    val v1 = lake.snapshot(Schemas.Nfp)
+    // rewrite the 0xaa file with retention: update 2 keys, delete 1
+    val batch = pref(Seq(3, 7), "0xaa", amt = i => s"upd$i")
+      .withColumn("__del", lit(false))
+      .unionByName(pref(Seq(5), "0xaa").withColumn("__del", lit(true)))
+    val st = lake.upsert(batch, Schemas.Nfp,
+      Seq("chain_name", "transaction_hash"), deleteCol = Some("__del"),
+      retain = true)
+    assert(st.touchedFiles == 1)
+    // the pinned read still reproduces the PRE-upsert corpus exactly
+    val atV1 = lake.readAt(Schemas.Nfp, v1)
+      .select("transaction_hash", "amount")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(atV1.size == 20)
+    assert(atV1("0xaa3") == "3" && atV1("0xaa5") == "5" &&
+      atV1("0xaa7") == "7")
+    // the live read carries the merge
+    val live = lake.read(Schemas.Nfp)
+      .select("transaction_hash", "amount")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(live.size == 19)
+    assert(live("0xaa3") == "upd3" && !live.contains("0xaa5"))
+    // incremental reads stay invalid after a rewrite even with
+    // retention (the live table is no longer a superset of the base)
+    val e = intercept[IllegalArgumentException](
+      lake.readSince(Schemas.Nfp, v1))
+    assert(e.getMessage.contains("retention cannot restore"))
+    // a later snapshot + vacuum keeping only it: v1 expires, its
+    // retired file is freed, and the kept version still reads clean
+    val v2 = lake.snapshot(Schemas.Nfp)
+    val vs = lake.vacuum(Schemas.Nfp, keepLast = 1)
+    assert(vs.manifestsDeleted == 1 && vs.filesDeleted == 1 &&
+      vs.bytesFreed > 0L, s"unexpected vacuum stats: $vs")
+    val e2 = intercept[IllegalArgumentException](
+      lake.readAt(Schemas.Nfp, v1))
+    assert(e2.getMessage.contains("no snapshot"))
+    assert(lake.readAt(Schemas.Nfp, v2).count() == 19L)
+    assert(lake.snapshotVersions(Schemas.Nfp) == Seq(v2))
+  }
+
+  test("retain-mode compact keeps pinned reads working through the rewrite") {
+    val lake = new Lake(spark, Files.createTempDirectory("lake-ret2").toString)
+    (0 until 4).foreach(i =>
+      lake.append(pref(i * 10 until i * 10 + 10, "0xaa").coalesce(1),
+        Schemas.Nfp))
+    val v1 = lake.snapshot(Schemas.Nfp)
+    assert(lake.compact(Schemas.Nfp, targetBytes = 1L << 30,
+      retain = true) >= 1)
+    // live read sees the compacted files; the pinned read resolves the
+    // originals from the retention area — identical rows either way
+    assert(lake.read(Schemas.Nfp).count() == 40L)
+    val atV1 = lake.readAt(Schemas.Nfp, v1)
+    assert(atV1.count() == 40L)
+    assert(atV1.select("transaction_hash").distinct().count() == 40L)
+    // vacuum keeping v1 frees nothing (every retired file is pinned)
+    val vs = lake.vacuum(Schemas.Nfp, keepLast = 1)
+    assert(vs.filesDeleted == 0 && vs.manifestsDeleted == 0)
+    assert(lake.readAt(Schemas.Nfp, v1).count() == 40L)
+    // dropping retention: vacuum to zero kept versions frees all four
+    val vs2 = lake.vacuum(Schemas.Nfp, keepLast = 0)
+    assert(vs2.manifestsDeleted == 1 && vs2.filesDeleted == 4,
+      s"unexpected vacuum stats: $vs2")
+  }
+
   test("an upsert that touches no existing file leaves old snapshots valid") {
     val lake = new Lake(spark, Files.createTempDirectory("lake-up9").toString)
     lake.append(pref(0 until 10, "0xaa").coalesce(1), Schemas.Nfp)
