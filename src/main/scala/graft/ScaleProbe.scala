@@ -559,7 +559,7 @@ object ScaleProbe {
       pmod(col("o_orderkey"), lit(1000)).cast("string").as("amount1"),
       pmod(col("o_orderkey"), lit(997)).cast("string").as("tokenId"),
       pmod(col("o_orderkey"), lit(7)).as("log_index"))
-    if (only.forall(s => s.contains("upsert_cow"))) {
+    if (only.forall(s => s.exists(_.startsWith("upsert_cow")))) {
       import graft.v3.{Lake, Schemas}
       val orders0 = Tables.orders(spark, sfDir)
       val lake = new Lake(spark,
@@ -600,7 +600,8 @@ object ScaleProbe {
     }
 
     // ── NFP attribution join + segment-capped ingest at 20× ──────────
-    val ordersK = rep(Tables.orders(spark, sfDir), Seq("o_orderkey"))
+    // lazy: only the two nfp probes pay the k× orders replication
+    lazy val ordersK = rep(Tables.orders(spark, sfDir), Seq("o_orderkey"))
       .localCheckpoint()
     time("nfp_attribution")({
       val mb = ordersK.select(

@@ -639,7 +639,18 @@ object Llm {
     * and a REGENERATED corpus at the same path (new data, same name)
     * keys to a fresh cache instead of warm caches serving stale
     * tranches while the oracle reads the new bytes. */
-  private[queries] def sfCacheKey(sfDir: String): String = {
+  private val sfKeyMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[queries] def sfCacheKey(sfDir: String): String =
+    sfKeyMemo.computeIfAbsent(sfDir, sfCacheKeyUncached)
+
+  // NOTE: the fingerprint is mtime-sensitive by design (the advisor's
+  // stale-tranche hazard outweighs rebuild cost); orphaned key dirs
+  // under /tmp accumulate until the OS tmp cleaner or a manual
+  // rm -rf /tmp/graft-tranches reclaims them. The walk itself is
+  // memoized per driver (corpus dirs are immutable within a run).
+  private def sfCacheKeyUncached(sfDir: String): String = {
     val f = new java.io.File(sfDir).getCanonicalFile
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(f.getPath.getBytes("UTF-8"))

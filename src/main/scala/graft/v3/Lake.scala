@@ -187,7 +187,15 @@ class Lake(spark: SparkSession, val root: String) {
       } else {
         fs.delete(tmp, true)
         if (retain) retire(table, paths)
-        else paths.foreach(p => fs.delete(new Path(p), false))
+        else {
+          val undeleted = paths.filterNot(p =>
+            fs.delete(new Path(p), false))
+          if (undeleted.nonEmpty) throw new java.io.IOException(
+            s"compaction of $table landed a bin but ${undeleted.size} " +
+              s"original file(s) could not be deleted - duplicate rows " +
+              s"are visible until they are removed: " +
+              undeleted.take(3).mkString(", "))
+        }
         rewritten += 1
       }
     }
@@ -386,8 +394,12 @@ class Lake(spark: SparkSession, val root: String) {
             asCmp(r.get(3))))).toMap
       else updates.select(col("chain_name")).distinct().collect()
         .map(_.getString(0) -> ((0L, null: Any, null: Any))).toMap
-    val chains = prof.keys.toSeq.sorted
-    if (chains.isEmpty) return UpsertStats(0, 0, 0L, 0)
+    if (prof.isEmpty) return UpsertStats(0, 0, 0L, 0)
+    // a NULL chain_name can't name a partition directory: such rows
+    // never replace an existing row (the equi-join skips null keys)
+    // but still flow through inserts into the default partition —
+    // match the pre-file-grain behavior instead of NPE-ing on sort
+    val chains = prof.keys.filter(_ != null).toSeq.sorted
 
     // ── plan: which files can hold a batch key? ──
     val chainFiles = fileInventory(table).filter(f => chains.contains(f._1))
@@ -508,7 +520,19 @@ class Lake(spark: SparkSession, val root: String) {
     }
     fs.delete(tmp, true)
     if (retain) retire(table, touched.map(_._2))
-    else touched.foreach { case (_, p, _) => fs.delete(new Path(p), false) }
+    else {
+      // fs.delete signals failure by RETURNING false (the compact
+      // landing lesson): an undeleted original would leave old and
+      // new versions of its keys BOTH live — silent duplicates on
+      // every future read. Fail loudly so the operator removes the
+      // leftovers (the documented crash-window state) instead.
+      val undeleted = touched.map(_._2)
+        .filterNot(p => fs.delete(new Path(p), false))
+      if (undeleted.nonEmpty) throw new java.io.IOException(
+        s"upsert of $table landed but ${undeleted.size} replaced " +
+          s"file(s) could not be deleted - duplicate rows are visible " +
+          s"until they are removed: ${undeleted.take(3).mkString(", ")}")
+    }
     // a chain whose files were all touched and produced no output is
     // now an empty directory — drop it so partition discovery stays
     // clean
@@ -557,8 +581,10 @@ class Lake(spark: SparkSession, val root: String) {
 
   /** Move replaced data files into the retention area. Same-filesystem
     * rename — no bytes copied. Fails loudly if any rename fails: at
-    * that point the rewrite has already landed (the table is correct),
-    * only the retention guarantee is incomplete — the caller retries. */
+    * that point the rewrite has already landed but the unmoved
+    * originals are still live, so the table shows BOTH versions of
+    * their keys (the documented crash-window state) until the caller
+    * retries the retire or removes the leftovers. */
   private def retire(table: String, paths: Seq[String]): Unit = {
     if (paths.isEmpty) return
     val base = fs.makeQualified(new Path(dir(table))).toString
@@ -626,7 +652,14 @@ class Lake(spark: SparkSession, val root: String) {
       else {
         val claimed =
           try { fs.create(lock, false).close(); true }
-          catch { case _: java.io.IOException => false }
+          catch {
+            // a create failure is only a lost RACE if someone's claim
+            // or manifest actually exists; otherwise the store itself
+            // is broken (unwritable dir, disk full) and retrying with
+            // higher numbers would spin forever — fail loudly
+            case e: java.io.IOException =>
+              if (fs.exists(lock) || fs.exists(txt)) false else throw e
+          }
         if (!claimed) v += 1 // held (or crashed) claim: skip the number
         else {
           val tmp = new Path(snapDir(table),
@@ -768,7 +801,13 @@ class Lake(spark: SparkSession, val root: String) {
     * walk is driver-side over the retention listing (manifest-sized —
     * the model-state rule), exactly how the published formats' expire
     * + remove-orphans maintenance runs. */
-  def vacuum(table: String, keepLast: Int): VacuumStats = {
+  /** `staleCommitMs`: snapshot-commit leftovers (`.lock` claims and
+    * manifest temp files from crashed writers) older than this are
+    * also swept — age-based because a FRESH lock may belong to an
+    * in-flight commit. Crashed claims otherwise burn their version
+    * number forever and accumulate junk in the snapshot dir. */
+  def vacuum(table: String, keepLast: Int,
+             staleCommitMs: Long = 3600000L): VacuumStats = {
     require(keepLast >= 0, "keepLast must be >= 0")
     val versions = snapshotVersions(table)
     val (expired, kept) =
@@ -777,6 +816,25 @@ class Lake(spark: SparkSession, val root: String) {
       kept.flatMap(v => manifestFiles(table, v)).toSet
     expired.foreach(v =>
       fs.delete(new Path(snapDir(table), f"v$v%09d.txt"), false))
+    // sweep crashed-commit leftovers: a lock whose version already
+    // committed is unambiguously stale; any other lock/tmp is stale
+    // once older than the in-flight window
+    if (fs.exists(snapDir(table))) {
+      val now = System.currentTimeMillis()
+      val committed = snapshotVersions(table).toSet
+      fs.listStatus(snapDir(table)).foreach { st =>
+        val n = st.getPath.getName
+        val isLock = n.startsWith("v") && n.endsWith(".lock")
+        val isTmp = n.startsWith(".v") && n.contains("-tmp-")
+        val lockVer =
+          if (isLock) n.stripPrefix("v").stripSuffix(".lock").toLongOption
+          else None
+        val committedLock = lockVer.exists(committed)
+        if ((isLock || isTmp) &&
+            (committedLock || now - st.getModificationTime > staleCommitMs))
+          fs.delete(st.getPath, false)
+      }
+    }
     var files = 0
     var bytes = 0L
     val rdir = retiredDir(table)

@@ -121,6 +121,13 @@ class LakeSnapshotSpec extends SparkSpec {
     assert(v5 == 5L)
     assert(lake.readAt(Schemas.Nfp, 4L).count() == 0L,
       "foreign committed manifest was not preserved verbatim")
+    // vacuum sweeps the crashed writer's leftovers (age-based: 0 ms
+    // marks everything stale) without touching committed manifests
+    lake.vacuum(Schemas.Nfp, keepLast = 10, staleCommitMs = 0L)
+    val left = Option(snapDir.listFiles()).toSeq.flatten.map(_.getName)
+    assert(!left.exists(n => n.endsWith(".lock") || n.contains("-tmp-")),
+      s"stale commit leftovers survived vacuum: $left")
+    assert(lake.snapshotVersions(Schemas.Nfp) == Seq(1L, 3L, 4L, 5L))
   }
 
   test("empty-table snapshot reads back as a typed empty frame") {
