@@ -597,6 +597,20 @@ object ScaleProbe {
           checkUnique = false)
       }
       println(f"""{"probe":"upsert_cow_seq3","k":$k,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      // retention: a retain-mode rewrite must cost the same as the
+      // delete-mode one (retire = same-fs renames, no bytes copied),
+      // and vacuum's sweep is metadata-only over the retained listing
+      lake.snapshot(Schemas.Nfp)
+      val t1 = System.nanoTime()
+      val rst = lake.upsert(
+        nfpSeg(0, orders0.filter(pmod(col("o_orderkey"), lit(10)) === 4)),
+        Schemas.Nfp, Seq("chain_name", "transaction_hash"), retain = true)
+      println(f"""{"probe":"upsert_cow_retain","k":$k,"sec":${(System.nanoTime() - t1) / 1e9}%.2f,""" +
+        f""""touched_files":${rst.touchedFiles}}""")
+      val t2 = System.nanoTime()
+      val vst = lake.vacuum(Schemas.Nfp, keepLast = 0)
+      println(f"""{"probe":"vacuum","k":$k,"sec":${(System.nanoTime() - t2) / 1e9}%.2f,""" +
+        f""""files_freed":${vst.filesDeleted},"mb_freed":${vst.bytesFreed / 1e6}%.1f}""")
     }
 
     // ── NFP attribution join + segment-capped ingest at 20× ──────────

@@ -344,7 +344,14 @@ class Lake(spark: SparkSession, val root: String) {
     * `maxKeyCollect` bounds the driver-side distinct-key collection
     * used for exact file pruning; a batch with more distinct keys
     * falls back to per-chain [min, max] envelope pruning (still
-    * correct, possibly more files touched). */
+    * correct, possibly more files touched).
+    *
+    * CONCURRENCY: single writer per table assumed — a bare parquet
+    * lake has no commit log to arbitrate two upserts racing the same
+    * files (both would rewrite, last delete wins, one merge lost).
+    * Writes in this engine are driver-sequential; multi-writer
+    * deployments need the ACID formats' optimistic commit protocol
+    * layered on, exactly as [[snapshot]]'s store contract notes. */
   /** `retain = true` moves the rewritten-away files into the retention
     * area instead of deleting them, keeping pre-upsert snapshots
     * READABLE ([[readAt]]) until [[vacuum]] expires them. */

@@ -98,6 +98,20 @@ class ExtensionsSpec extends SparkSpec {
           |  array(array(10L, 20L, 30L), array(100L, 200L, 300L))) AS s
           |""".stripMargin).head().getLong(0)
       assert(adc == 320L)
+      // pq codes: one subspace, centroids (1,0) vs (0,1) — the vector
+      // (2,0) is nearest the first centroid (code 0)
+      val pqc = s2.sql(
+        """SELECT graft_pq_codes(array(2.0D, 0.0D),
+          |  array(array(array(1.0D, 0.0D), array(0.0D, 1.0D)))) AS c
+          |""".stripMargin).head().getSeq[Int](0)
+      assert(pqc == Seq(0))
+      // pq luts: dot((2,0),(1,0))*10 = 20, dot((2,0),(0,1))*10 = 0
+      val pql = s2.sql(
+        """SELECT graft_pq_luts(array(2.0D, 0.0D),
+          |  array(array(array(1.0D, 0.0D), array(0.0D, 1.0D))),
+          |  10.0D) AS l
+          |""".stripMargin).head().getSeq[Seq[Long]](0)
+      assert(pql == Seq(Seq(20L, 0L)))
     } finally {
       prevActive.foreach(SparkSession.setActiveSession)
       prevDefault.foreach(SparkSession.setDefaultSession)
