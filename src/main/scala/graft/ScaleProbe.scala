@@ -611,6 +611,22 @@ object ScaleProbe {
       val vst = lake.vacuum(Schemas.Nfp, keepLast = 0)
       println(f"""{"probe":"vacuum","k":$k,"sec":${(System.nanoTime() - t2) / 1e9}%.2f,""" +
         f""""files_freed":${vst.filesDeleted},"mb_freed":${vst.bytesFreed / 1e6}%.1f}""")
+      // key-clustered rewrite: after the upserts above the chain's
+      // files carry MIXED key ranges (the random-hash reality where
+      // footer pruning can't prune); clusterCompact restores tight
+      // disjoint ranges — one range shuffle + sorted write — and the
+      // follow-up narrow batch must prune again
+      val t3 = System.nanoTime()
+      val nCl = lake.clusterCompact(Schemas.Nfp,
+        targetBytes = math.max(1L, totalBytes / k),
+        clusterBy = Seq("transaction_hash"))
+      println(f"""{"probe":"cluster_compact","k":$k,"sec":${(System.nanoTime() - t3) / 1e9}%.2f,""" +
+        f""""chains_rewritten":$nCl}""")
+      val stc = lake.upsert(
+        nfpSeg(0, orders0.filter(pmod(col("o_orderkey"), lit(10)) === 6)),
+        Schemas.Nfp, Seq("chain_name", "transaction_hash"))
+      println(f"""{"probe":"upsert_after_cluster","k":$k,"sec":0.0,""" +
+        f""""chain_files":${stc.chainFiles},"touched_files":${stc.touchedFiles}}""")
     }
 
     // ── NFP attribution join + segment-capped ingest at 20× ──────────

@@ -590,6 +590,72 @@ object V3Shape {
         |  FROM fin GROUP BY 2)
         |SELECT version, log_index, n, sum_a0 FROM pre
         |UNION ALL SELECT version, log_index, n, sum_a0 FROM post
-        |ORDER BY version, log_index""".stripMargin))
+        |ORDER BY version, log_index""".stripMargin)),
+
+    // KEY-CLUSTERED COMPACTION + pruned CDC — the composition that
+    // makes file-grain upserts prune on real tables: four interleaved
+    // appends give every file a full-width key range (random-hash
+    // reality), clusterCompact rewrites the chain into tight disjoint
+    // ranges, and the narrow update batch then touches a strict
+    // subset of the files (require'd in-row — a non-pruning rewrite
+    // fails the gate). The oracle derives the final merged state
+    // straight from orders; the row hash-matches only if the
+    // cluster rewrite preserved every row AND the pruned merge
+    // applied exactly.
+    ("s15_cluster_compact",
+      ((s: SparkSession, d: String) => {
+        import graft.v3.{Lake, Schemas}
+        val orders = Tables.orders(s, d)
+        def derive(df: org.apache.spark.sql.DataFrame, bump: Long) =
+          df.select(
+            lit("ethereum").as("chain_name"),
+            lit("IncreaseLiquidity").as("name"),
+            concat(lit("0xtx"), lpad(col("o_orderkey").cast("string"),
+              12, "0")).as("transaction_hash"),
+            (lit(1000L) + pmod(col("o_orderkey"), lit(97)))
+              .as("block_number"),
+            pmod(col("o_orderkey"), lit(13)).as("tx_index"),
+            concat(lit("0xu"), col("o_custkey").cast("string"))
+              .as("from_address"),
+            col("o_custkey").cast("string").as("amount"),
+            (floor(col("o_totalprice") * 100 + 0.5).cast("long") + bump)
+              .cast("string").as("amount0"),
+            pmod(col("o_orderkey"), lit(1000)).cast("string").as("amount1"),
+            pmod(col("o_orderkey"), lit(997)).cast("string").as("tokenId"),
+            pmod(col("o_orderkey"), lit(7)).as("log_index"))
+        val k = col("o_orderkey")
+        val lake = new Lake(s, s"/tmp/graft-cluster-lake/${Llm.sfCacheKey(d)}")
+        lake.dropTable(Schemas.Nfp)
+        // interleaved appends: every file spans the whole key range
+        (0 until 4).foreach(j =>
+          lake.append(derive(orders.filter(pmod(k, lit(4)) === j), 0L)
+            .coalesce(1), Schemas.Nfp))
+        val bytes = lake.fileInventory(Schemas.Nfp).map(_._3).sum
+        require(lake.clusterCompact(Schemas.Nfp,
+          targetBytes = math.max(1L, bytes / 6),
+          clusterBy = Seq("transaction_hash")) == 1,
+          "cluster rewrite did not run")
+        // narrow contiguous-key batch: must touch a strict file subset
+        val batch = derive(orders.filter(k < 500 && pmod(k, lit(10)) === 0),
+          100L)
+        val st = lake.upsert(batch, Schemas.Nfp,
+          Seq("chain_name", "transaction_hash"))
+        require(st.chainFiles >= 4 && st.touchedFiles < st.chainFiles,
+          s"clustered pruning failed - narrow batch touched $st")
+        lake.read(Schemas.Nfp)
+          .groupBy(col("log_index"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("amount0").cast("long")).as("sum_a0"))
+          .orderBy(col("log_index"))
+      }): Q,
+      Some("""WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |fin AS (SELECT k, cents + CASE WHEN k < 500 AND k % 10 = 0
+        |    THEN 100 ELSE 0 END AS a0
+        |  FROM base)
+        |SELECT CAST(k % 7 AS BIGINT) AS log_index, count(*) AS n,
+        |  CAST(sum(a0) AS BIGINT) AS sum_a0
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -202,6 +202,76 @@ class Lake(spark: SparkSession, val root: String) {
     rewritten
   }
 
+  /** KEY-CLUSTERED compaction — what makes the file-grain [[upsert]]
+    * actually prune on real tables. Appends arrive time-ordered while
+    * keys (tx hashes) are uniform-random, so EVERY appended file's
+    * footer key range spans essentially the whole keyspace and range
+    * pruning degenerates to touch-everything. This rewrite
+    * range-partitions each chain on `clusterBy` and sorts within
+    * partitions, so each output file holds one tight, disjoint key
+    * range — after it, a CDC batch over k keys touches O(k) files
+    * instead of all of them (ClusterCompactSpec proves the before /
+    * after pruning difference; rows are preserved exactly). The
+    * single-dimension form of the published formats' OPTIMIZE
+    * ZORDER / sort-based clustering. Output file count per chain =
+    * ⌈chain bytes ÷ targetBytes⌉; rewrite is one distributed
+    * range-shuffle + sorted write per chain, landing via the same
+    * rename protocol as [[compact]]. `retain` as in [[upsert]].
+    * Returns the number of chains rewritten. */
+  def clusterCompact(table: String, targetBytes: Long,
+                     clusterBy: Seq[String],
+                     retain: Boolean = false): Int = {
+    require(clusterBy.nonEmpty, "clusterCompact needs cluster columns")
+    require(targetBytes > 0, "targetBytes must be positive")
+    val schema = Schemas.forTable(table)
+    val byChain = fileInventory(table).groupBy(_._1).toSeq.sortBy(_._1)
+    var rewritten = 0
+    byChain.foreach { case (chain, files) =>
+      val paths = files.map(_._2)
+      val bytes = files.map(_._3).sum
+      val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      val clustered = spark.read.schema(schema)
+        .option("basePath", dir(table))
+        .parquet(paths: _*)
+        .drop("chain_name")
+        .repartitionByRange(nOut, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
+      val tmp = new Path(s"${dir(table)}/chain_name=$chain/.cluster-tmp")
+      clustered.write.mode("overwrite").parquet(tmp.toString)
+      val tgtDir = new Path(s"${dir(table)}/chain_name=$chain")
+      val stamp = System.nanoTime()
+      var i = 0
+      val landed = scala.collection.mutable.ArrayBuffer.empty[Path]
+      val allRenamed = fs.listStatus(tmp)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .forall { st =>
+          val dst = new Path(tgtDir, f"clustered-$stamp-$i%05d.parquet")
+          i += 1
+          val ok = fs.rename(st.getPath, dst)
+          if (ok) landed += dst
+          ok
+        }
+      if (!allRenamed) { // roll back this chain, leave it unclustered
+        landed.foreach(p => fs.delete(p, false))
+        fs.delete(tmp, true)
+      } else {
+        fs.delete(tmp, true)
+        if (retain) retire(table, paths)
+        else {
+          val undeleted = paths.filterNot(p =>
+            fs.delete(new Path(p), false))
+          if (undeleted.nonEmpty) throw new java.io.IOException(
+            s"clustering of $table landed chain $chain but " +
+              s"${undeleted.size} original file(s) could not be deleted " +
+              s"- duplicate rows are visible until they are removed: " +
+              undeleted.take(3).mkString(", "))
+        }
+        rewritten += 1
+      }
+    }
+    rewritten
+  }
+
   // ── File-grain key-range pruning for upsert ────────────────────────
 
   /** Per-file [min, max] of `column` from the parquet FOOTER stats —
