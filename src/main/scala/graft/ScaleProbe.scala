@@ -559,7 +559,13 @@ object ScaleProbe {
       pmod(col("o_orderkey"), lit(1000)).cast("string").as("amount1"),
       pmod(col("o_orderkey"), lit(997)).cast("string").as("tokenId"),
       pmod(col("o_orderkey"), lit(7)).as("log_index"))
-    if (only.forall(s => s.exists(_.startsWith("upsert_cow")))) {
+    // STATEFUL section: the probes below share one evolving lake and
+    // run as a unit — selecting ANY of their names runs the whole
+    // section (isolating one stage would change what it measures)
+    val cowSection = Set("upsert_cow", "upsert_cow_narrow",
+      "upsert_cow_spread", "upsert_cow_seq3", "upsert_cow_retain",
+      "vacuum", "cluster_compact", "upsert_after_cluster")
+    if (only.forall(s => s.exists(cowSection))) {
       import graft.v3.{Lake, Schemas}
       val orders0 = Tables.orders(spark, sfDir)
       val lake = new Lake(spark,

@@ -642,14 +642,25 @@ object Llm {
   private val sfKeyMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private[queries] def sfCacheKey(sfDir: String): String =
-    sfKeyMemo.computeIfAbsent(sfDir, sfCacheKeyUncached)
+  // the memo is keyed on a CHEAP freshness probe (the directory's own
+  // mtime + entry count) so a long-lived driver notices an in-place
+  // corpus regeneration (files added/replaced bump the dir mtime or
+  // count) without paying the full-tree walk per call; an exotic
+  // regeneration that rewrites file CONTENTS in place with identical
+  // names, counts and a preserved dir mtime would still serve the old
+  // key within one driver - restart the driver (or clear the memo) in
+  // that case. Across driver processes the full fingerprint always
+  // decides.
+  private[queries] def sfCacheKey(sfDir: String): String = {
+    val d = new java.io.File(sfDir)
+    val probe = s"$sfDir@${d.lastModified}:${Option(d.list()).fold(0)(_.length)}"
+    sfKeyMemo.computeIfAbsent(probe, _ => sfCacheKeyUncached(sfDir))
+  }
 
   // NOTE: the fingerprint is mtime-sensitive by design (the advisor's
   // stale-tranche hazard outweighs rebuild cost); orphaned key dirs
   // under /tmp accumulate until the OS tmp cleaner or a manual
-  // rm -rf /tmp/graft-tranches reclaims them. The walk itself is
-  // memoized per driver (corpus dirs are immutable within a run).
+  // rm -rf /tmp/graft-tranches reclaims them.
   private def sfCacheKeyUncached(sfDir: String): String = {
     val f = new java.io.File(sfDir).getCanonicalFile
     val md = java.security.MessageDigest.getInstance("MD5")

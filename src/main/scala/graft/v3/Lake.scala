@@ -135,11 +135,73 @@ class Lake(spark: SparkSession, val root: String) {
     }
   }
 
+  // ── Shared landing protocol for every rewrite ──────────────────────
+  //
+  // Staging lives under $root/_tmp, NEVER inside the table directory:
+  // a crash mid-write must not leave staged part files where
+  // fileInventory / snapshot / the upsert planner would count them as
+  // live rows (read() ignores dot-dirs, but the planning paths walk
+  // the listing — a staged duplicate would silently double a chain on
+  // the next rewrite). fs.rename signals failure by RETURNING false
+  // on HDFS (cross-fs moves, permissions) rather than throwing;
+  // landing is all-or-nothing BEFORE any original is deleted, else a
+  // failed rename would silently lose rows. Crash window between land
+  // and delete: duplicate rows visible — the documented bare-parquet
+  // window; real deployments put an ACID format underneath.
+
+  /** Fresh staging dir outside the table directory. */
+  private def stagingDir(tag: String): Path =
+    new Path(s"$root/_tmp/$tag-${System.nanoTime()}")
+
+  /** Rename every staged `.parquet` under `tmp` into `tgtDir` with
+    * stamped `prefix` names. All-or-nothing: on any rename failure the
+    * files landed so far are rolled back and None is returned (the
+    * staging dir is deleted either way). */
+  private def landStaged(tmp: Path, tgtDir: Path,
+                         prefix: String): Option[Seq[Path]] = {
+    fs.mkdirs(tgtDir)
+    val stamp = System.nanoTime()
+    var i = 0
+    val landed = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val allRenamed = fs.listStatus(tmp)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .forall { st =>
+        val dst = new Path(tgtDir, f"$prefix-$stamp-$i%05d.parquet")
+        i += 1
+        val ok = fs.rename(st.getPath, dst)
+        if (ok) landed += dst
+        ok
+      }
+    if (!allRenamed) {
+      landed.foreach(p => fs.delete(p, false))
+      fs.delete(tmp, true)
+      None
+    } else {
+      fs.delete(tmp, true)
+      Some(landed.toSeq)
+    }
+  }
+
+  /** Remove replaced originals after a successful landing, either by
+    * retention ([[retire]]) or by CHECKED delete — an undeleted
+    * original leaves both versions of its rows live (silent
+    * duplicates), so failures throw naming the leftovers. */
+  private def removeReplaced(table: String, what: String,
+                             paths: Seq[String], retain: Boolean): Unit =
+    if (retain) retire(table, paths)
+    else {
+      val undeleted = paths.filterNot(p => fs.delete(new Path(p), false))
+      if (undeleted.nonEmpty) throw new java.io.IOException(
+        s"$what of $table landed but ${undeleted.size} replaced " +
+          s"file(s) could not be deleted - duplicate rows are visible " +
+          s"until they are removed: ${undeleted.take(3).mkString(", ")}")
+    }
+
   /** Execute a compaction plan for one table: rewrite each multi-file
     * bin into a single coalesced file set, preserving rows exactly
     * (CompactionSpec proves bag equality). Single-file bins are left
-    * untouched — rewriting them would only churn data. */
-  /** `retain = true` moves the replaced originals into the retention
+    * untouched — rewriting them would only churn data.
+    * `retain = true` moves the replaced originals into the retention
     * area instead of deleting them (see [[upsert]]'s retain). */
   def compact(table: String, targetBytes: Long,
               retain: Boolean = false): Int = {
@@ -155,48 +217,14 @@ class Lake(spark: SparkSession, val root: String) {
         .parquet(paths: _*)
         .drop("chain_name")
         .coalesce(1)
-      val tmp = new Path(s"${dir(table)}/chain_name=$chain/.compact-tmp")
+      val tmp = stagingDir(s"compact-$table")
       merged.write.mode("overwrite").parquet(tmp.toString)
-      // land the compacted files, then delete the originals — a crash
-      // between the two leaves duplicate rows visible (parquet lake
-      // without a transaction log; the v3 lake's ingest loop dedups on
-      // resume, and real deployments put Delta/Iceberg underneath)
       val tgtDir = new Path(s"${dir(table)}/chain_name=$chain")
-      val stamp = System.nanoTime()
-      var i = 0
-      // fs.rename signals failure by RETURNING false on HDFS (cross-fs
-      // moves, permissions) rather than throwing; landing must be
-      // all-or-nothing BEFORE the originals are deleted, else a failed
-      // rename would silently lose the bin's rows. On any failure the
-      // landed part-files are rolled back and the bin is skipped —
-      // worst case is the documented duplicate-rows crash window,
-      // never data loss.
-      val landed = scala.collection.mutable.ArrayBuffer.empty[Path]
-      val allRenamed = fs.listStatus(tmp)
-        .filter(_.getPath.getName.endsWith(".parquet"))
-        .forall { st =>
-          val dst = new Path(tgtDir, f"compacted-$stamp-$i%05d.parquet")
-          i += 1
-          val ok = fs.rename(st.getPath, dst)
-          if (ok) landed += dst
-          ok
-        }
-      if (!allRenamed) {
-        landed.foreach(p => fs.delete(p, false))
-        fs.delete(tmp, true)
-      } else {
-        fs.delete(tmp, true)
-        if (retain) retire(table, paths)
-        else {
-          val undeleted = paths.filterNot(p =>
-            fs.delete(new Path(p), false))
-          if (undeleted.nonEmpty) throw new java.io.IOException(
-            s"compaction of $table landed a bin but ${undeleted.size} " +
-              s"original file(s) could not be deleted - duplicate rows " +
-              s"are visible until they are removed: " +
-              undeleted.take(3).mkString(", "))
-        }
-        rewritten += 1
+      landStaged(tmp, tgtDir, "compacted") match {
+        case None => // bin skipped, originals intact — never data loss
+        case Some(_) =>
+          removeReplaced(table, "compaction", paths, retain)
+          rewritten += 1
       }
     }
     rewritten
@@ -214,10 +242,10 @@ class Lake(spark: SparkSession, val root: String) {
     * after pruning difference; rows are preserved exactly). The
     * single-dimension form of the published formats' OPTIMIZE
     * ZORDER / sort-based clustering. Output file count per chain =
-    * ⌈chain bytes ÷ targetBytes⌉; rewrite is one distributed
-    * range-shuffle + sorted write per chain, landing via the same
-    * rename protocol as [[compact]]. `retain` as in [[upsert]].
-    * Returns the number of chains rewritten. */
+    * ⌈chain bytes ÷ targetBytes⌉ (clamped to 2²⁰ partitions); rewrite
+    * is one distributed range-shuffle + sorted write per chain,
+    * landing via the same rename protocol as [[compact]]. `retain` as
+    * in [[upsert]]. Returns the number of chains rewritten. */
   def clusterCompact(table: String, targetBytes: Long,
                      clusterBy: Seq[String],
                      retain: Boolean = false): Int = {
@@ -229,44 +257,22 @@ class Lake(spark: SparkSession, val root: String) {
     byChain.foreach { case (chain, files) =>
       val paths = files.map(_._2)
       val bytes = files.map(_._3).sum
-      val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      val nOut = math.min(1L << 20,
+        math.max(1L, (bytes + targetBytes - 1) / targetBytes)).toInt
       val clustered = spark.read.schema(schema)
         .option("basePath", dir(table))
         .parquet(paths: _*)
         .drop("chain_name")
         .repartitionByRange(nOut, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
-      val tmp = new Path(s"${dir(table)}/chain_name=$chain/.cluster-tmp")
+      val tmp = stagingDir(s"cluster-$table")
       clustered.write.mode("overwrite").parquet(tmp.toString)
       val tgtDir = new Path(s"${dir(table)}/chain_name=$chain")
-      val stamp = System.nanoTime()
-      var i = 0
-      val landed = scala.collection.mutable.ArrayBuffer.empty[Path]
-      val allRenamed = fs.listStatus(tmp)
-        .filter(_.getPath.getName.endsWith(".parquet"))
-        .forall { st =>
-          val dst = new Path(tgtDir, f"clustered-$stamp-$i%05d.parquet")
-          i += 1
-          val ok = fs.rename(st.getPath, dst)
-          if (ok) landed += dst
-          ok
-        }
-      if (!allRenamed) { // roll back this chain, leave it unclustered
-        landed.foreach(p => fs.delete(p, false))
-        fs.delete(tmp, true)
-      } else {
-        fs.delete(tmp, true)
-        if (retain) retire(table, paths)
-        else {
-          val undeleted = paths.filterNot(p =>
-            fs.delete(new Path(p), false))
-          if (undeleted.nonEmpty) throw new java.io.IOException(
-            s"clustering of $table landed chain $chain but " +
-              s"${undeleted.size} original file(s) could not be deleted " +
-              s"- duplicate rows are visible until they are removed: " +
-              undeleted.take(3).mkString(", "))
-        }
-        rewritten += 1
+      landStaged(tmp, tgtDir, "clustered") match {
+        case None => // chain left unclustered, originals intact
+        case Some(_) =>
+          removeReplaced(table, "clustering", paths, retain)
+          rewritten += 1
       }
     }
     rewritten
@@ -472,11 +478,15 @@ class Lake(spark: SparkSession, val root: String) {
       else updates.select(col("chain_name")).distinct().collect()
         .map(_.getString(0) -> ((0L, null: Any, null: Any))).toMap
     if (prof.isEmpty) return UpsertStats(0, 0, 0L, 0)
-    // a NULL chain_name can't name a partition directory: such rows
-    // never replace an existing row (the equi-join skips null keys)
-    // but still flow through inserts into the default partition —
-    // match the pre-file-grain behavior instead of NPE-ing on sort
-    val chains = prof.keys.filter(_ != null).toSeq.sorted
+    // a NULL chain_name key can never be REPLACED (the equi-join
+    // skips null keys), so each batch carrying it would insert yet
+    // another copy — the silent cross-batch duplicate-key corruption
+    // the per-batch uniqueness guard exists to prevent. Reject loudly.
+    require(!prof.contains(null),
+      "upsert batch has rows with null chain_name - a null partition " +
+        "key can never match an existing row, so every batch would " +
+        "insert another copy (duplicate keys); fill or drop them first")
+    val chains = prof.keys.toSeq.sorted
 
     // ── plan: which files can hold a batch key? ──
     val chainFiles = fileInventory(table).filter(f => chains.contains(f._1))
@@ -565,51 +575,33 @@ class Lake(spark: SparkSession, val root: String) {
       .unionByName(inserts.select(cols: _*))
 
     // ── land: stage to a temp dir, rename in, then drop originals ──
-    val tmp = new Path(s"$root/_tmp/upsert-$table-${System.nanoTime()}")
+    val tmp = stagingDir(s"upsert-$table")
     merged.write.mode("overwrite").partitionBy("chain_name")
       .parquet(tmp.toString)
-    val stamp = System.nanoTime()
-    var i = 0
-    val landed = scala.collection.mutable.ArrayBuffer.empty[Path]
     val stagedParts =
       if (!fs.exists(tmp)) Array.empty[org.apache.hadoop.fs.FileStatus]
       else fs.listStatus(tmp).filter(_.isDirectory)
         .filter(_.getPath.getName.startsWith("chain_name="))
-    val allRenamed = stagedParts.forall { part =>
+    // multi-partition landing: each staged chain dir lands via the
+    // shared protocol; a failure rolls back EVERY chain landed so far
+    // so the table is left untouched
+    val landed = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val allLanded = stagedParts.forall { part =>
       val chain = part.getPath.getName.stripPrefix("chain_name=")
-      val tgtDir = new Path(s"${dir(table)}/chain_name=$chain")
-      fs.mkdirs(tgtDir)
-      fs.listStatus(part.getPath)
-        .filter(_.getPath.getName.endsWith(".parquet"))
-        .forall { st =>
-          val dst = new Path(tgtDir, f"upsert-$stamp-$i%05d.parquet")
-          i += 1
-          val ok = fs.rename(st.getPath, dst)
-          if (ok) landed += dst
-          ok
-        }
+      landStaged(part.getPath,
+          new Path(s"${dir(table)}/chain_name=$chain"), "upsert") match {
+        case Some(ps) => landed ++= ps; true
+        case None => false
+      }
     }
-    if (!allRenamed) { // roll back, leave the table untouched
+    if (!allLanded) { // roll back, leave the table untouched
       landed.foreach(p => fs.delete(p, false))
       fs.delete(tmp, true)
       throw new java.io.IOException(
         s"upsert of $table failed to land staged files - rolled back")
     }
     fs.delete(tmp, true)
-    if (retain) retire(table, touched.map(_._2))
-    else {
-      // fs.delete signals failure by RETURNING false (the compact
-      // landing lesson): an undeleted original would leave old and
-      // new versions of its keys BOTH live — silent duplicates on
-      // every future read. Fail loudly so the operator removes the
-      // leftovers (the documented crash-window state) instead.
-      val undeleted = touched.map(_._2)
-        .filterNot(p => fs.delete(new Path(p), false))
-      if (undeleted.nonEmpty) throw new java.io.IOException(
-        s"upsert of $table landed but ${undeleted.size} replaced " +
-          s"file(s) could not be deleted - duplicate rows are visible " +
-          s"until they are removed: ${undeleted.take(3).mkString(", ")}")
-    }
+    removeReplaced(table, "upsert", touched.map(_._2), retain)
     // a chain whose files were all touched and produced no output is
     // now an empty directory — drop it so partition discovery stays
     // clean
@@ -889,16 +881,20 @@ class Lake(spark: SparkSession, val root: String) {
     val versions = snapshotVersions(table)
     val (expired, kept) =
       versions.splitAt(math.max(0, versions.size - keepLast))
-    val keptRefs: Set[String] =
-      kept.flatMap(v => manifestFiles(table, v)).toSet
-    expired.foreach(v =>
+    // CHECKED expiry: a manifest whose delete failed is still on disk
+    // and still readable, so it must keep pinning its retired files —
+    // counting it deleted would GC files a live-looking snapshot names
+    val reallyExpired = expired.filter(v =>
       fs.delete(new Path(snapDir(table), f"v$v%09d.txt"), false))
+    val remaining = versions.filterNot(reallyExpired.toSet)
+    val keptRefs: Set[String] =
+      remaining.flatMap(v => manifestFiles(table, v)).toSet
     // sweep crashed-commit leftovers: a lock whose version already
     // committed is unambiguously stale; any other lock/tmp is stale
     // once older than the in-flight window
     if (fs.exists(snapDir(table))) {
       val now = System.currentTimeMillis()
-      val committed = snapshotVersions(table).toSet
+      val committed = remaining.toSet
       fs.listStatus(snapDir(table)).foreach { st =>
         val n = st.getPath.getName
         val isLock = n.startsWith("v") && n.endsWith(".lock")
@@ -937,6 +933,6 @@ class Lake(spark: SparkSession, val root: String) {
           if (fs.listStatus(d.getPath).isEmpty) fs.delete(d.getPath, true)
         }
     }
-    VacuumStats(expired.size, files, bytes)
+    VacuumStats(reallyExpired.size, files, bytes)
   }
 }
