@@ -128,20 +128,53 @@ object Bpe {
     * with no countable words report zero. `carry` columns pass through
     * untouched (so groupers like language ride the projection instead
     * of needing a corpus-sized self-join later). */
+  private def mergedCells(word: Column, merges: Seq[Merge]): Column =
+    merges.foldLeft(encodeCells(word)) { (s, m) =>
+      replace(s, lit(cell(m.lhs) + cell(m.rhs)), lit(cell(m.lhs + m.rhs)))
+    }
+
   def encode(df: DataFrame, text: String, id: String,
-             merges: Seq[Merge], carry: Seq[String] = Nil): DataFrame = {
-    def mergedCells(word: Column): Column =
-      merges.foldLeft(encodeCells(word)) { (s, m) =>
-        replace(s, lit(cell(m.lhs) + cell(m.rhs)), lit(cell(m.lhs + m.rhs)))
-      }
+             merges: Seq[Merge], carry: Seq[String] = Nil): DataFrame =
     graft.ops.Ops.parallelizeInput(df, col(id))
       .select(col(id) +: carry.map(col) :+ words(col(text)).as("w"): _*)
       .select(col(id) +: carry.map(col)
         :+ size(col("w")).cast("long").as("n_words")
         :+ aggregate(col("w"), lit(0L),
-          (acc, w) => acc + size(symbols(mergedCells(w))).cast("long"))
+          (acc, w) => acc + size(symbols(mergedCells(w, merges))).cast("long"))
           .as("n_bpe_tokens"): _*)
-  }
+
+  /** SentencePiece-style word-initial marker: makes the flat token
+    * sequence losslessly invertible ([[decode]]). */
+  val Marker = "▁"
+
+  /** Per-document token SEQUENCE — the actual subword strings in
+    * document order, each word's first token prefixed with [[Marker]]
+    * so word boundaries survive flattening (the published
+    * SentencePiece convention). This is the form the packing /
+    * assembly stages consume; [[encode]] is the count projection for
+    * eval metrics. A pure projection — no shuffle. Output:
+    * (id, toks array<string>). Invertibility assumes input words
+    * don't contain the marker character itself (U+2581, a block
+    * glyph absent from natural text; marker-carrying words would
+    * decode with an extra space). */
+  def encodeTokens(df: DataFrame, text: String, id: String,
+                   merges: Seq[Merge]): DataFrame =
+    graft.ops.Ops.parallelizeInput(df, col(id))
+      .select(col(id), words(col(text)).as("w"))
+      .select(col(id), flatten(transform(col("w"), w => {
+        val syms = symbols(mergedCells(w, merges))
+        transform(syms, (s, i) =>
+          when(i === 0, concat(lit(Marker), s)).otherwise(s))
+      })).as("toks"))
+
+  /** Invert [[encodeTokens]]: concatenate the tokens, turn each
+    * word-initial marker back into a space, trim the leading one.
+    * decode ∘ encodeTokens = the single-space word normalization of
+    * the input text (exact: BPE merges never cross word boundaries,
+    * and a word's symbols concatenate back to the word) — graded
+    * end-to-end by `llm_bpe_roundtrip`. */
+  def decode(toks: Column): Column =
+    trim(replace(array_join(toks, ""), lit(Marker), lit(" ")))
 
   /** Tokenizer fertility (BPE tokens per word, exact basis points) per
     * `group` — the standard tokenizer-evaluation metric, here by

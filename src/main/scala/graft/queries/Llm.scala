@@ -3178,6 +3178,36 @@ object Llm {
   FROM documents d LEFT JOIN ag a USING (doc_id)
   ORDER BY d.doc_id""")),
 
+    // BPE round trip: encodeTokens emits the actual subword SEQUENCE
+    // (word-initial ▁ marker, the SentencePiece convention) and
+    // decode inverts it — per doc the token count must match the
+    // SQL-replayed merge chain AND the decoded text must hash-equal
+    // the single-space word normalization of the original: the
+    // tokenizer's losslessness is itself under the gate
+    ("llm_bpe_roundtrip",
+      ((s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val enc = Bpe.encodeTokens(docs, "text", "doc_id",
+          Bpe.train(docs, "text", rounds = 6))
+        enc.select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_toks"),
+            md5(Bpe.decode(col("toks")).cast("binary")).as("decoded_md5"))
+          .orderBy(col("doc_id"))
+      }): Q,
+      Some(s"""WITH ${bpeTrainCtes(6)},
+  enc AS (SELECT doc_id, ${bpeMergeChainSql(6, "w")} AS s
+    FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+          FROM documents) WHERE w <> '' AND NOT contains(w, chr(1))),
+  ag AS (SELECT doc_id,
+      CAST(sum(len(string_split(trim(s, chr(1)), chr(1)||chr(1))))
+        AS BIGINT) AS n_toks
+    FROM enc GROUP BY doc_id)
+  SELECT d.doc_id, CAST(coalesce(a.n_toks, 0) AS BIGINT) AS n_toks,
+    md5(array_to_string(list_filter(string_split(trim(d.text), ' '),
+      w -> w <> '' AND NOT contains(w, chr(1))), ' ')) AS decoded_md5
+  FROM documents d LEFT JOIN ag a USING (doc_id)
+  ORDER BY d.doc_id""")),
+
     // token co-occurrence mining by PMI: in-doc distinct-token pairs
     // generated row-locally (posting-list trick), pmi_q as the exact
     // difference of two fixed-point logs — top-50 association pairs

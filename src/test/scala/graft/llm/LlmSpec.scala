@@ -1398,6 +1398,35 @@ class LlmSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1).toSeq
     assert(z == Seq((1L, 2L, 2L), (2L, 0L, 0L)))
+  }
+
+  test("Bpe.encodeTokens/decode: lossless round trip, marker boundaries") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello world"),
+      (2L, "aaa ab aaa"),
+      (3L, "  spaced   out  "), // multi-space: normalizes to single
+      (4L, "   ")               // no countable words: empty sequence
+    ).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", rounds = 4)
+    val enc = Bpe.encodeTokens(docs, "text", "doc_id", merges)
+    // decode inverts exactly to the single-space word normalization
+    val rt = enc.select(col("doc_id"), Bpe.decode(col("toks")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rt(1L) == "hello world")
+    assert(rt(2L) == "aaa ab aaa")
+    assert(rt(3L) == "spaced out")
+    assert(rt(4L) == "")
+    // token counts agree with encode's count projection
+    val counts = Bpe.encode(docs, "text", "doc_id", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val nt = enc.select(col("doc_id"), size(col("toks")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nt == counts)
+    // every word's FIRST token (and only it) carries the marker
+    val toks2 = enc.filter(col("doc_id") === 2L)
+      .select(col("toks")).head().getSeq[String](0)
+    assert(toks2.count(_.startsWith(Bpe.Marker)) == 3)
     // merge-free fertility is exactly chars-per-word; word-less groups
     // are dropped, not divided by zero
     val fert = Seq((1L, "ab cd", "en"), (2L, "xyz", "de"), (3L, " ", "fr"))
