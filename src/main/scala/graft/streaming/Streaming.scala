@@ -331,8 +331,13 @@ object Streaming {
                    checkpointDir: String): DataStreamWriter[Row] =
     changes.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // materialize the compacted batch ONCE: upsert runs several
+        // jobs over it (profiling aggregate, key collect, merge
+        // write) and would otherwise re-execute lastPerKey's shuffle
+        // for each — batches are micro-batch-small by admission
         val latest = graft.ops.Ops.lastPerKey(batch,
           keys = keys.map(col), order = orderCols.map(col))
+          .localCheckpoint()
         lake.upsert(latest, table, keys, deleteCol = Some(deleteCol),
           checkUnique = false) // lastPerKey just guaranteed it
         () // foreachBatch wants Unit, upsert returns its stats

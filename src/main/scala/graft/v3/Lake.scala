@@ -32,6 +32,19 @@ class Lake(spark: SparkSession, val root: String) {
 
   def exists(table: String): Boolean = fs.exists(new Path(dir(table)))
 
+  // Hive partition-path escaping: Spark writes chain_name=eip155%3A1
+  // for the value "eip155:1". EVERY comparison between a chain VALUE
+  // and a directory name must cross this boundary explicitly, or a
+  // value with any escapable character silently matches nothing (the
+  // upsert planner would then see zero existing files and land the
+  // batch as pure inserts - duplicate keys).
+  private def escapeChain(chain: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(chain)
+  private def unescapeChain(seg: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(seg)
+
   /** Schema-enforced read; empty (correctly-typed) frame if the table
     * has no data yet. Filters pushed by callers reach the parquet scan
     * (predicate pushdown + partition pruning). */
@@ -45,8 +58,11 @@ class Lake(spark: SparkSession, val root: String) {
         .parquet(dir(table))
   }
 
-  /** Append one ingested segment. Data is repartitioned by chain before
-    * the partitioned write so each chain gets coherent files. */
+  /** Append one ingested segment: the caller's partitioning lands as
+    * part files under each chain directory (the segment-capped ingest
+    * loop writes one bounded, single-chain segment at a time, so file
+    * counts stay proportional to segments); the accumulated
+    * small-files cost is [[compact]]'s job, not the write path's. */
   def append(df: DataFrame, table: String): Unit =
     df.write.mode("append")
       .partitionBy("chain_name")
@@ -67,7 +83,7 @@ class Lake(spark: SparkSession, val root: String) {
     * fixing the reference's whole-file deletion that could take other
     * chains' rows with it (SURVEY.md §7.4 bug list). */
   def dropChain(table: String, chain: String): Boolean = {
-    val p = new Path(s"${dir(table)}/chain_name=$chain")
+    val p = new Path(s"${dir(table)}/chain_name=${escapeChain(chain)}")
     fs.exists(p) && fs.delete(p, true)
   }
 
@@ -99,7 +115,7 @@ class Lake(spark: SparkSession, val root: String) {
           !f.getPath.getName.startsWith(".")) {
         val chain = p.split('/').collectFirst {
           case seg if seg.startsWith("chain_name=") =>
-            seg.stripPrefix("chain_name=")
+            unescapeChain(seg.stripPrefix("chain_name="))
         }.getOrElse("")
         out += ((chain, p, f.getLen))
       }
@@ -219,7 +235,8 @@ class Lake(spark: SparkSession, val root: String) {
         .coalesce(1)
       val tmp = stagingDir(s"compact-$table")
       merged.write.mode("overwrite").parquet(tmp.toString)
-      val tgtDir = new Path(s"${dir(table)}/chain_name=$chain")
+      val tgtDir =
+        new Path(s"${dir(table)}/chain_name=${escapeChain(chain)}")
       landStaged(tmp, tgtDir, "compacted") match {
         case None => // bin skipped, originals intact — never data loss
         case Some(_) =>
@@ -259,6 +276,12 @@ class Lake(spark: SparkSession, val root: String) {
       val bytes = files.map(_._3).sum
       val nOut = math.min(1L << 20,
         math.max(1L, (bytes + targetBytes - 1) / targetBytes)).toInt
+      // churn guard (compact's single-file-bin rule): a single-file
+      // chain that would rewrite into a single file again gains no
+      // pruning granularity — rewriting it only burns I/O and
+      // invalidates snapshots
+      if (files.size == 1 && nOut == 1) ()
+      else {
       val clustered = spark.read.schema(schema)
         .option("basePath", dir(table))
         .parquet(paths: _*)
@@ -267,12 +290,14 @@ class Lake(spark: SparkSession, val root: String) {
         .sortWithinPartitions(clusterBy.map(col): _*)
       val tmp = stagingDir(s"cluster-$table")
       clustered.write.mode("overwrite").parquet(tmp.toString)
-      val tgtDir = new Path(s"${dir(table)}/chain_name=$chain")
+      val tgtDir =
+        new Path(s"${dir(table)}/chain_name=${escapeChain(chain)}")
       landStaged(tmp, tgtDir, "clustered") match {
         case None => // chain left unclustered, originals intact
         case Some(_) =>
           removeReplaced(table, "clustering", paths, retain)
           rewritten += 1
+      }
       }
     }
     rewritten
@@ -326,20 +351,23 @@ class Lake(spark: SparkSession, val root: String) {
     } finally reader.close()
   }
 
-  /** Driver-side footer-range cache keyed by (path, length, mtime,
-    * column): repeated CDC batches against the same table re-plan
-    * without re-opening unchanged files' footers — the in-process
-    * stand-in for the key-range column a persistent manifest carries
-    * at fleet scale (what the published formats do). A rewritten file
-    * changes its (len, mtime) key, so stale ranges can never prune.
-    * Bounded by the model-state rule (cleared past 100k entries). */
+  /** Driver-side footer-range cache keyed by (path, length, column):
+    * repeated CDC batches against the same table re-plan without
+    * re-opening unchanged files' footers — the in-process stand-in
+    * for the key-range column a persistent manifest carries at fleet
+    * scale (what the published formats do). Rewrites always mint new
+    * file names here, so a stale range can never serve a changed
+    * file. Bounded by the model-state rule (cleared past 100k). */
   private val rangeCache = new java.util.concurrent.ConcurrentHashMap[
     String, Option[(Any, Any)]]()
 
-  private def footerRangeCached(path: String, column: String)
-      : Option[(Any, Any)] = {
-    val st = fs.getFileStatus(new Path(path))
-    val key = s"$path:${st.getLen}:${st.getModificationTime}:$column"
+  private def footerRangeCached(path: String, bytes: Long,
+                                column: String): Option[(Any, Any)] = {
+    // path + size from the already-held inventory listing — NO extra
+    // getFileStatus round-trip per file per batch. Safe because this
+    // lake never rewrites a file in place: every landing mints a
+    // stamped or UUID name, so a path never carries different bytes.
+    val key = s"$path:$bytes:$column"
     if (rangeCache.size > 100000) rangeCache.clear()
     rangeCache.computeIfAbsent(key, _ => footerRange(path, column))
   }
@@ -422,6 +450,12 @@ class Lake(spark: SparkSession, val root: String) {
     * falls back to per-chain [min, max] envelope pruning (still
     * correct, possibly more files touched).
     *
+    * PLANNING COST: the batch's lineage executes once per planning
+    * job (uniqueness check, profiling aggregate, optional key
+    * collect) plus the merge write — callers whose `updates` carry an
+    * expensive lineage should localCheckpoint it first
+    * ([[graft.streaming.Streaming.upsertStream]] does).
+    *
     * CONCURRENCY: single writer per table assumed — a bare parquet
     * lake has no commit log to arbitrate two upserts racing the same
     * files (both would rewrite, last delete wins, one merge lost).
@@ -466,17 +500,31 @@ class Lake(spark: SparkSession, val root: String) {
     // ONE profiling aggregate yields the named chains AND the per-chain
     // key envelope (a per-batch Spark job: streamed CDC pays it every
     // micro-batch, so chains + stats must not be two jobs)
+    var nullDataKeys = 0L
     val prof: Map[String, (Long, Any, Any)] =
       if (prunable)
         updates.groupBy(col("chain_name"))
           .agg(approx_count_distinct(col(dataKeys.head)).as("__n"),
             min(col(dataKeys.head)).as("__mn"),
-            max(col(dataKeys.head)).as("__mx"))
+            max(col(dataKeys.head)).as("__mx"),
+            sum(when(col(dataKeys.head).isNull, 1L).otherwise(0L))
+              .as("__nulls"))
           .collect()
-          .map(r => r.getString(0) -> ((r.getLong(1), asCmp(r.get(2)),
-            asCmp(r.get(3))))).toMap
+          .map { r =>
+            nullDataKeys += r.getLong(4)
+            r.getString(0) -> ((r.getLong(1), asCmp(r.get(2)),
+              asCmp(r.get(3))))
+          }.toMap
       else updates.select(col("chain_name")).distinct().collect()
         .map(_.getString(0) -> ((0L, null: Any, null: Any))).toMap
+    // same cross-batch corruption as a null chain_name: a null data
+    // key never equi-joins, so every batch would insert another copy
+    // of it and a null-keyed tombstone could never delete anything
+    require(nullDataKeys == 0L,
+      s"upsert batch has $nullDataKeys row(s) with a null " +
+        s"${dataKeys.headOption.getOrElse("")} key - a null key can " +
+        "never be replaced or deleted, only duplicated; fill or drop " +
+        "them first")
     if (prof.isEmpty) return UpsertStats(0, 0, 0L, 0)
     // a NULL chain_name key can never be REPLACED (the equi-join
     // skips null keys), so each batch carrying it would insert yet
@@ -524,14 +572,14 @@ class Lake(spark: SparkSession, val root: String) {
         try {
           implicit val ec: scala.concurrent.ExecutionContext =
             scala.concurrent.ExecutionContext.fromExecutor(pool)
-          val futs = chainFiles.map { case f @ (chain, path, _) =>
+          val futs = chainFiles.map { case f @ (chain, path, fBytes) =>
             scala.concurrent.Future {
               val hit = prof.get(chain) match {
                 case None => false // chain named but batch has no rows
                 case Some((_, bMn, bMx)) if bMn == null || bMx == null =>
                   false // all batch keys null in this chain: no match
                 case Some((_, bMn, bMx)) =>
-                  footerRangeCached(path, k1) match {
+                  footerRangeCached(path, fBytes, k1) match {
                     case None => true // no usable stats: conservative
                     case Some((fMn, fMx)) =>
                       // stats type must line up with the batch values
@@ -587,9 +635,11 @@ class Lake(spark: SparkSession, val root: String) {
     // so the table is left untouched
     val landed = scala.collection.mutable.ArrayBuffer.empty[Path]
     val allLanded = stagedParts.forall { part =>
-      val chain = part.getPath.getName.stripPrefix("chain_name=")
+      // the staged dir name is already Hive-escaped by Spark's write -
+      // reuse it verbatim as the target dir name
+      val chainDir = part.getPath.getName
       landStaged(part.getPath,
-          new Path(s"${dir(table)}/chain_name=$chain"), "upsert") match {
+          new Path(s"${dir(table)}/$chainDir"), "upsert") match {
         case Some(ps) => landed ++= ps; true
         case None => false
       }
@@ -606,7 +656,7 @@ class Lake(spark: SparkSession, val root: String) {
     // now an empty directory — drop it so partition discovery stays
     // clean
     chains.foreach { c =>
-      val p = new Path(s"${dir(table)}/chain_name=$c")
+      val p = new Path(s"${dir(table)}/chain_name=${escapeChain(c)}")
       if (fs.exists(p) && !fs.listStatus(p).exists(s0 =>
           s0.getPath.getName.endsWith(".parquet")))
         fs.delete(p, true)
@@ -713,7 +763,8 @@ class Lake(spark: SparkSession, val root: String) {
       s"table $table is changing beneath snapshot (append in flight) - " +
         "retry when writes quiesce")
     fs.mkdirs(snapDir(table))
-    var v = snapshotVersions(table).lastOption.getOrElse(0L) + 1
+    var v = math.max(snapshotVersions(table).lastOption.getOrElse(0L),
+      expiredHighWater(table)) + 1
     while (true) {
       val lock = new Path(snapDir(table), f"v$v%09d.lock")
       val txt = new Path(snapDir(table), f"v$v%09d.txt")
@@ -731,16 +782,23 @@ class Lake(spark: SparkSession, val root: String) {
           }
         if (!claimed) v += 1 // held (or crashed) claim: skip the number
         else {
+          // from here the claim is OURS: clean it (and the temp) up on
+          // ANY failure, else each transient write error would burn a
+          // version number and litter the dir until the vacuum sweep
           val tmp = new Path(snapDir(table),
             f".v$v%09d-tmp-${System.nanoTime()}")
-          val out = fs.create(tmp, true)
-          out.write(files.mkString("\n").getBytes("UTF-8"))
-          out.close()
-          if (!fs.rename(tmp, txt)) { // store fault: claim is ours, so
-            fs.delete(tmp, false)     // no contender renamed first
-            fs.delete(lock, false)
-            throw new java.io.IOException(
-              s"snapshot commit failed renaming $tmp -> $txt")
+          try {
+            val out = fs.create(tmp, true)
+            out.write(files.mkString("\n").getBytes("UTF-8"))
+            out.close()
+            if (!fs.rename(tmp, txt))
+              throw new java.io.IOException(
+                s"snapshot commit failed renaming $tmp -> $txt")
+          } catch {
+            case e: Throwable =>
+              fs.delete(tmp, false)
+              fs.delete(lock, false)
+              throw e
           }
           fs.delete(lock, false)
           return v
@@ -748,6 +806,20 @@ class Lake(spark: SparkSession, val root: String) {
       }
     }
     v // unreachable
+  }
+
+  /** Highest version number ever EXPIRED by [[vacuum]] — a zero-byte
+    * `vNNN.expired` marker whose name carries the value, so version
+    * numbers are never reused after a full vacuum: a consumer's stored
+    * version handle must fail loudly ("no snapshot"), never silently
+    * resolve to a NEW, unrelated snapshot committed under a recycled
+    * number. */
+  private def expiredHighWater(table: String): Long = {
+    if (!fs.exists(snapDir(table))) return 0L
+    fs.listStatus(snapDir(table)).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".expired"))
+      .flatMap(n => n.stripPrefix("v").stripSuffix(".expired").toLongOption)
+      .maxOption.getOrElse(0L)
   }
 
   /** All committed snapshot versions, ascending. */
@@ -879,14 +951,28 @@ class Lake(spark: SparkSession, val root: String) {
              staleCommitMs: Long = 3600000L): VacuumStats = {
     require(keepLast >= 0, "keepLast must be >= 0")
     val versions = snapshotVersions(table)
-    val (expired, kept) =
-      versions.splitAt(math.max(0, versions.size - keepLast))
+    val expired = versions.dropRight(keepLast)
     // CHECKED expiry: a manifest whose delete failed is still on disk
     // and still readable, so it must keep pinning its retired files —
     // counting it deleted would GC files a live-looking snapshot names
     val reallyExpired = expired.filter(v =>
       fs.delete(new Path(snapDir(table), f"v$v%09d.txt"), false))
     val remaining = versions.filterNot(reallyExpired.toSet)
+    // bump the never-reuse high-water mark (name carries the value —
+    // no torn-read risk) and drop superseded markers
+    reallyExpired.maxOption.foreach { hi =>
+      if (hi > expiredHighWater(table)) {
+        fs.create(new Path(snapDir(table), f"v$hi%09d.expired"), true)
+          .close()
+        fs.listStatus(snapDir(table)).map(_.getPath).foreach { q =>
+          val n = q.getName
+          if (n.startsWith("v") && n.endsWith(".expired") &&
+              n.stripPrefix("v").stripSuffix(".expired")
+                .toLongOption.exists(_ < hi))
+            fs.delete(q, false)
+        }
+      }
+    }
     val keptRefs: Set[String] =
       remaining.flatMap(v => manifestFiles(table, v)).toSet
     // sweep crashed-commit leftovers: a lock whose version already

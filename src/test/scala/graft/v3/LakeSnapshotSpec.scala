@@ -130,6 +130,27 @@ class LakeSnapshotSpec extends SparkSpec {
     assert(lake.snapshotVersions(Schemas.Nfp) == Seq(1L, 3L, 4L, 5L))
   }
 
+  test("version numbers are never reused after vacuum - stale handles fail loudly") {
+    val lake = new Lake(spark,
+      Files.createTempDirectory("lake-snap5").toString)
+    lake.append(rows(0, 10), Schemas.Nfp)
+    val v1 = lake.snapshot(Schemas.Nfp)
+    lake.append(rows(10, 20), Schemas.Nfp)
+    val v2 = lake.snapshot(Schemas.Nfp)
+    assert((v1, v2) == ((1L, 2L)))
+    // a consumer stores v2, then ALL manifests are vacuumed away
+    val vs = lake.vacuum(Schemas.Nfp, keepLast = 0)
+    assert(vs.manifestsDeleted == 2)
+    // new snapshots must NOT recycle the numbers: the stored handle
+    // has to fail loudly, never silently resolve to a new snapshot
+    val v3 = lake.snapshot(Schemas.Nfp)
+    assert(v3 == 3L, s"vacuumed version numbers were recycled: got $v3")
+    val e = intercept[IllegalArgumentException](
+      lake.readAt(Schemas.Nfp, v2))
+    assert(e.getMessage.contains("no snapshot"))
+    assert(lake.readAt(Schemas.Nfp, v3).count() == 20L)
+  }
+
   test("empty-table snapshot reads back as a typed empty frame") {
     val lake = new Lake(spark,
       Files.createTempDirectory("lake-snap3").toString)

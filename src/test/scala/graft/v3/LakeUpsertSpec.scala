@@ -220,6 +220,48 @@ class LakeUpsertSpec extends SparkSpec {
     assert(lake.readSince(Schemas.Nfp, v3).count() == 3L)
   }
 
+  test("chain values with Hive-escaped characters upsert correctly end to end") {
+    val lake = new Lake(spark, Files.createTempDirectory("lake-esc").toString)
+    // "eip155:1" writes as the partition dir chain_name=eip155%3A1 —
+    // every value↔directory comparison must cross the escaping
+    val esc = rows(0 until 10, chain = "eip155:1")
+    lake.append(esc.coalesce(1), Schemas.Nfp)
+    lake.append(rows(0 until 5).coalesce(1), Schemas.Nfp)
+    val batch = rows(Seq(3), chain = "eip155:1", amt = _ => "upd")
+      .withColumn("__del", lit(false))
+      .unionByName(rows(Seq(7), chain = "eip155:1")
+        .withColumn("__del", lit(true)))
+    val st = lake.upsert(batch, Schemas.Nfp,
+      Seq("chain_name", "transaction_hash"), deleteCol = Some("__del"))
+    assert(st.chainFiles == 1 && st.touchedFiles == 1,
+      s"escaped chain's file was not planned: $st")
+    val state = lake.read(Schemas.Nfp)
+      .filter(col("chain_name") === "eip155:1")
+      .select("transaction_hash", "amount")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(state.size == 9, s"escaped-chain merge landed wrong: $state")
+    assert(state("0xtx3") == "upd" && !state.contains("0xtx7"))
+    assert(lake.read(Schemas.Nfp).count() == 14L)
+    // deleting every row of the escaped chain drops its directory
+    val wipe = rows((0 until 10).filterNot(_ == 7), chain = "eip155:1",
+      amt = _ => "x").withColumn("__del", lit(true))
+    lake.upsert(wipe, Schemas.Nfp, Seq("chain_name", "transaction_hash"),
+      deleteCol = Some("__del"))
+    assert(!lake.fileInventory(Schemas.Nfp).exists(_._1 == "eip155:1"))
+    assert(lake.dropChain(Schemas.Nfp, "eip155:1") == false)
+  }
+
+  test("a batch row with a null data key fails fast") {
+    val lake = new Lake(spark, Files.createTempDirectory("lake-nk").toString)
+    lake.append(rows(0 until 3), Schemas.Nfp)
+    val batch = rows(Seq(1))
+      .withColumn("transaction_hash", lit(null).cast("string"))
+    val e = intercept[IllegalArgumentException](
+      lake.upsert(batch, Schemas.Nfp,
+        Seq("chain_name", "transaction_hash")))
+    assert(e.getMessage.contains("null"), e.getMessage)
+  }
+
   test("retain-mode upsert keeps pre-rewrite snapshots readable; vacuum expires them") {
     val lake = new Lake(spark, Files.createTempDirectory("lake-ret").toString)
     lake.append(pref(0 until 10, "0xaa").coalesce(1), Schemas.Nfp)
