@@ -656,6 +656,147 @@ object V3Shape {
         |  FROM base)
         |SELECT CAST(k % 7 AS BIGINT) AS log_index, count(*) AS n,
         |  CAST(sum(a0) AS BIGINT) AS sum_a0
-        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin))
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // QUERY-SIDE FILE SKIPPING — the data-skipping scan: four
+    // key-disjoint waves give each file a tight footer range, then a
+    // key-range read must SCHEDULE only the overlapping files
+    // (require'd in-row — a non-pruning plan fails the gate) while
+    // returning exactly read+filter. The oracle recomputes the range
+    // aggregate straight from orders; zero-padded tx hashes make
+    // string range = numeric range.
+    ("s16_read_pruned",
+      ((s: SparkSession, d: String) => {
+        import graft.v3.{Lake, Schemas}
+        val orders = Tables.orders(s, d)
+        def derive(df: org.apache.spark.sql.DataFrame) =
+          df.select(
+            lit("ethereum").as("chain_name"),
+            lit("IncreaseLiquidity").as("name"),
+            concat(lit("0xtx"), lpad(col("o_orderkey").cast("string"),
+              12, "0")).as("transaction_hash"),
+            (lit(1000L) + pmod(col("o_orderkey"), lit(97)))
+              .as("block_number"),
+            pmod(col("o_orderkey"), lit(13)).as("tx_index"),
+            concat(lit("0xu"), col("o_custkey").cast("string"))
+              .as("from_address"),
+            col("o_custkey").cast("string").as("amount"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("long")
+              .cast("string").as("amount0"),
+            pmod(col("o_orderkey"), lit(1000)).cast("string").as("amount1"),
+            pmod(col("o_orderkey"), lit(997)).cast("string").as("tokenId"),
+            pmod(col("o_orderkey"), lit(7)).as("log_index"))
+        val k = col("o_orderkey")
+        val mx = orders.agg(max(k)).first().getLong(0)
+        val q = mx / 4 + 1
+        val lake = new Lake(s, s"/tmp/graft-prune-lake/${Llm.sfCacheKey(d)}")
+        lake.dropTable(Schemas.Nfp)
+        // key-disjoint waves: each file carries a tight disjoint range
+        (0 until 4).foreach(j =>
+          lake.append(derive(orders.filter(k >= j * q && k < (j + 1) * q))
+            .coalesce(1), Schemas.Nfp))
+        def pad(v: Long) = f"0xtx$v%012d"
+        // range inside wave 1: the planner must skip the other files
+        val (df, st) = lake.readRange(Schemas.Nfp, "transaction_hash",
+          pad(q), pad(2 * q - 1))
+        require(st.files >= 4 && st.scanned < st.files,
+          s"range read did not prune - $st")
+        // point lookups: a live key schedules its file; a key beyond
+        // every range schedules nothing
+        val (_, stHit) = lake.readKeys(Schemas.Nfp, "transaction_hash",
+          Seq(pad(1)))
+        require(stHit.scanned <= 1, s"point hit over-scanned - $stHit")
+        val (_, stGap) = lake.readKeys(Schemas.Nfp, "transaction_hash",
+          Seq("0xtz" + "9" * 12))
+        require(stGap.scanned == 0, s"out-of-range key scanned - $stGap")
+        df.groupBy(col("log_index"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("amount0").cast("long")).as("sum_a0"))
+          .orderBy(col("log_index"))
+      }): Q,
+      Some("""WITH mxq AS (SELECT max(o_orderkey) // 4 + 1 AS q FROM orders)
+        |SELECT CAST(o_orderkey % 7 AS BIGINT) AS log_index,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_a0
+        |FROM orders, mxq
+        |WHERE o_orderkey >= q AND o_orderkey < 2 * q
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // SCHEMA EVOLUTION — create → write narrow (int32/float files) →
+    // widen + add a column → write wide → upsert from an OLD producer
+    // (no lang column) that updates v1 rows and inserts v3 rows. The
+    // final aggregate only matches if v1 files read back WIDENED and
+    // NULL-FILLED, the evolved schema governs every generation in one
+    // scan, and the cross-generation merge applied exactly.
+    ("s17_schema_evolution",
+      ((s: SparkSession, d: String) => {
+        import graft.v3.Lake
+        import org.apache.spark.sql.types._
+        val orders = Tables.orders(s, d)
+        val k = col("o_orderkey")
+        val sf = StructField(_: String, StringType, nullable = true)
+        val v1 = StructType(Seq(sf("chain_name"), sf("doc_id"),
+          StructField("n_tokens", IntegerType, nullable = true),
+          StructField("score", FloatType, nullable = true)))
+        val v2 = StructType(Seq(sf("chain_name"), sf("doc_id"),
+          StructField("n_tokens", LongType, nullable = true),
+          StructField("score", DoubleType, nullable = true), sf("lang")))
+        val lake = new Lake(s, s"/tmp/graft-evo-lake/${Llm.sfCacheKey(d)}")
+        val t = "docs_evo"
+        lake.dropTable(t)
+        require(lake.createTable(t, v1) == 1L, "createTable must commit v1")
+        def base(df: org.apache.spark.sql.DataFrame) = df.select(
+          lit("ethereum").as("chain_name"),
+          concat(lit("0xd"), lpad(k.cast("string"), 12, "0")).as("doc_id"),
+          pmod(k, lit(1000)).as("nt"),
+          pmod(col("o_custkey"), lit(7)).as("sc"),
+          pmod(col("o_custkey"), lit(2)).as("cs2"),
+          pmod(k, lit(3)).as("m3"))
+        // wave 1 under v1: physical int32 / float parquet
+        lake.append(base(orders.filter(pmod(k, lit(3)) === 0))
+          .select(col("chain_name"), col("doc_id"),
+            col("nt").cast("int").as("n_tokens"),
+            col("sc").cast("float").as("score")), t)
+        require(lake.evolveSchema(t, v2) == 2L, "evolution must commit v2")
+        require(lake.effectiveSchema(t)("n_tokens").dataType == LongType,
+          "effective schema must carry the widened type")
+        // wave 2 under v2: long / double / lang
+        lake.append(base(orders.filter(pmod(k, lit(3)) === 1))
+          .select(col("chain_name"), col("doc_id"),
+            col("nt").cast("long").as("n_tokens"),
+            col("sc").cast("double").as("score"),
+            when(col("cs2") === 0, "en")
+              .otherwise("de").as("lang")), t)
+        // old-producer CDC batch (NO lang column): update the v1 rows
+        // divisible by 5, insert the k%3==2 world
+        val batch = base(orders.filter(
+            (pmod(k, lit(3)) === 0 && pmod(k, lit(5)) === 0) ||
+              pmod(k, lit(3)) === 2))
+          .select(col("chain_name"), col("doc_id"),
+            (col("nt") + when(col("m3") === 0, 1000000L)
+              .otherwise(2000000L)).as("n_tokens"),
+            col("sc").cast("double").as("score"))
+        lake.upsert(batch, t, Seq("chain_name", "doc_id"))
+        lake.read(t)
+          .groupBy(coalesce(col("lang"), lit("??")).as("lang"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_tokens")).as("sum_tokens"),
+            sum(col("score").cast("long")).as("sum_score"))
+          .orderBy(col("lang"))
+      }): Q,
+      Some("""WITH docs AS (SELECT o_orderkey AS k,
+        |    CASE WHEN k % 3 = 0 AND k % 5 = 0 THEN k % 1000 + 1000000
+        |         WHEN k % 3 = 2 THEN k % 1000 + 2000000
+        |         ELSE k % 1000 END AS n_tokens,
+        |    o_custkey % 7 AS score,
+        |    CASE WHEN k % 3 = 1 THEN
+        |      (CASE WHEN o_custkey % 2 = 0 THEN 'en' ELSE 'de' END)
+        |    END AS lang
+        |  FROM orders)
+        |SELECT coalesce(lang, '??') AS lang, count(*) AS n,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(score) AS BIGINT) AS sum_score
+        |FROM docs GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -1,8 +1,9 @@
 package graft.v3
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** The event lake: one directory per table, parquet inside, partitioned
   * by `chain_name`.
@@ -23,7 +24,25 @@ import org.apache.spark.sql.functions._
   *  - appends are `mode("append")` atomic-enough part files; segment
   *    bookkeeping lives in the ingest loop, not in filenames.
   */
+object Lake {
+  /** Result accounting for one [[Lake.upsert]]: how much of the table
+    * the merge actually rewrote — the ScaleProbe contract is that
+    * `rewrittenBytes` tracks TOUCHED files, not touched chains. */
+  case class UpsertStats(chainFiles: Int, touchedFiles: Int,
+                         rewrittenBytes: Long, landedFiles: Int)
+
+  /** Accounting for one pruned read: how much of the table the plan
+    * actually scheduled. */
+  case class ScanStats(files: Int, scanned: Int, scannedBytes: Long,
+                       totalBytes: Long)
+
+  /** Accounting for one [[Lake.vacuum]] run. */
+  case class VacuumStats(manifestsDeleted: Int, filesDeleted: Int,
+                         bytesFreed: Long)
+}
+
 class Lake(spark: SparkSession, val root: String) {
+  import Lake.{ScanStats, UpsertStats, VacuumStats}
 
   private def dir(table: String) = s"$root/$table"
 
@@ -45,17 +64,23 @@ class Lake(spark: SparkSession, val root: String) {
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
       .unescapePathName(seg)
 
+  /** Restore declared column order: Spark's partitioned reads move
+    * `chain_name` to the end; the lake's contract is schema order.
+    * A bare projection — free under column pruning. */
+  private def inSchemaOrder(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.fieldNames.toSeq.map(col): _*)
+
   /** Schema-enforced read; empty (correctly-typed) frame if the table
     * has no data yet. Filters pushed by callers reach the parquet scan
     * (predicate pushdown + partition pruning). */
   def read(table: String): DataFrame = {
-    val schema = Schemas.forTable(table)
+    val schema = effectiveSchema(table)
     if (!exists(table))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
-      spark.read.schema(schema)
+      inSchemaOrder(spark.read.schema(schema)
         .option("basePath", dir(table))
-        .parquet(dir(table))
+        .parquet(dir(table)), schema)
   }
 
   /** Append one ingested segment: the caller's partitioning lands as
@@ -67,6 +92,143 @@ class Lake(spark: SparkSession, val root: String) {
     df.write.mode("append")
       .partitionBy("chain_name")
       .parquet(dir(table))
+
+  // ── Schema evolution ───────────────────────────────────────────────
+  //
+  // Upstream connectors grow columns (the reference's own NFP family
+  // appeared mid-life, allium.py:10–25) and counters outgrow int32 —
+  // the lake must absorb both WITHOUT rewriting history. The published
+  // formats version the table schema in metadata and resolve each data
+  // file against the current schema at read time; this is that, at its
+  // smallest: versioned schema JSON under $root/_schema/$table, and
+  // every read plans with the EFFECTIVE schema — Spark's parquet
+  // reader null-fills columns a file predates and widens narrower
+  // physical types (int32→int64, float→double) against an explicit
+  // read schema, so v1 files stay byte-identical forever. Only
+  // additive/widening changes are legal: drops, renames and narrowing
+  // would make old files unreadable or silently lossy, so they fail
+  // loudly. Time travel pins DATA, not schema: [[readAt]] replays a
+  // pinned file set under the current schema (old snapshots stay
+  // readable precisely because evolution is backward-compatible).
+  // Visibility: the effective schema is resolved per call (one
+  // metadata listing); evolution is a table COMMIT under the same
+  // single-writer assumption as every other write here.
+
+  private def schemaDir(table: String) = new Path(s"$root/_schema/$table")
+
+  private def schemaVersions(table: String): Seq[(Long, Path)] = {
+    val d = schemaDir(table)
+    if (!fs.exists(d)) return Seq.empty
+    fs.listStatus(d).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("v") && p.getName.endsWith(".json"))
+      .map(p => (p.getName.stripPrefix("v").stripSuffix(".json").toLong, p))
+      .sortBy(_._1)
+  }
+
+  /** The table's current schema: the latest committed evolution if one
+    * exists, else the static registry schema ([[Schemas.forTable]]).
+    * Tables created via [[createTable]] live entirely in `_schema`. */
+  def effectiveSchema(table: String): StructType =
+    schemaVersions(table).lastOption match {
+      case Some((_, p)) =>
+        val in = fs.open(p)
+        val body = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+        org.apache.spark.sql.types.DataType.fromJson(body)
+          .asInstanceOf[StructType]
+      case None => Schemas.forTable(table)
+    }
+
+  /** Integral / float widenings the parquet reader performs losslessly
+    * against an explicit read schema. */
+  private def widens(from: org.apache.spark.sql.types.DataType,
+                     to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    val intRank = Map[DataType, Int](ByteType -> 1, ShortType -> 2,
+      IntegerType -> 3, LongType -> 4)
+    (intRank.contains(from) && intRank.contains(to) &&
+      intRank(from) < intRank(to)) ||
+      (from == FloatType && to == DoubleType)
+  }
+
+  /** Commit `next` as the table's new schema version. Legal changes:
+    * add a nullable column, widen an integral column (byte→…→long) or
+    * float→double. Everything else — dropping, renaming, narrowing,
+    * retyping, touching `chain_name`, non-nullable fields — fails
+    * loudly BEFORE anything is written. Returns the committed version
+    * (1-based). Commit is atomic publish-by-rename; a lost race to the
+    * same version number retries against the then-current state. */
+  def evolveSchema(table: String, next: StructType): Long = {
+    val current = effectiveSchema(table)
+    validateEvolution(table, Some(current), next)
+    require(next != current,
+      s"schema evolution of $table is a no-op - nothing to commit")
+    commitSchema(table, next)
+  }
+
+  /** Create a table that has no registry schema: commits `next` as
+    * schema v1, after which [[read]]/[[append]]/[[upsert]] and the
+    * pruned reads all work on it. Fails if the table already has data
+    * or a schema (use [[evolveSchema]] to change one). */
+  def createTable(table: String, next: StructType): Long = {
+    require(schemaVersions(table).isEmpty,
+      s"table $table already has a committed schema - use evolveSchema")
+    require(!exists(table),
+      s"table $table already has data files - cannot re-create it")
+    validateEvolution(table, None, next)
+    commitSchema(table, next)
+  }
+
+  private def validateEvolution(table: String, current: Option[StructType],
+                                next: StructType): Unit = {
+    require(next.fieldNames.contains("chain_name") &&
+        next("chain_name").dataType ==
+          org.apache.spark.sql.types.StringType,
+      s"schema of $table must keep the string partition column chain_name")
+    val dup = next.fieldNames.groupBy(identity).collect {
+      case (n, hits) if hits.length > 1 => n
+    }
+    require(dup.isEmpty, s"duplicate column(s) in schema: ${dup.mkString(", ")}")
+    next.fields.foreach(f => require(f.nullable,
+      s"column ${f.name} must be nullable - files written before an " +
+        "evolution read back as null for columns they predate"))
+    current.foreach { cur =>
+      cur.fields.foreach { f =>
+        val n = next.fieldNames.find(_ == f.name).map(next(_))
+        require(n.isDefined,
+          s"schema evolution of $table drops column ${f.name} - old " +
+            "files would become unreadable; dropping is not supported")
+        require(n.get.dataType == f.dataType ||
+            widens(f.dataType, n.get.dataType),
+          s"schema evolution of $table changes ${f.name} from " +
+            s"${f.dataType.simpleString} to " +
+            s"${n.get.dataType.simpleString} - only widening " +
+            "(byte→short→int→long, float→double) is lossless for " +
+            "already-written files")
+      }
+    }
+  }
+
+  private def commitSchema(table: String, next: StructType): Long = {
+    val d = schemaDir(table)
+    fs.mkdirs(d)
+    var tries = 0
+    while (tries < 8) {
+      val v = schemaVersions(table).lastOption.map(_._1).getOrElse(0L) + 1
+      val tmp = new Path(d, s".tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, false)
+      try out.write(next.json.getBytes("UTF-8")) finally out.close()
+      // rename is the atomic claim AND publish: it fails if the
+      // destination exists (a racing writer won that version)
+      if (fs.rename(tmp, new Path(d, f"v$v%09d.json"))) return v
+      fs.delete(tmp, false)
+      tries += 1
+    }
+    throw new java.io.IOException(
+      s"schema commit of $table lost 8 version races - a runaway " +
+        "writer is evolving this table concurrently")
+  }
 
   /** Local resume point: max block currently in the lake for this
     * chain (optionally one pool) — reference data_update.py:163–189. */
@@ -92,10 +254,10 @@ class Lake(spark: SparkSession, val root: String) {
     * to say). */
   def dropTable(table: String): Boolean = {
     val p = new Path(dir(table))
-    val s = snapDir(table)
-    val r = retiredDir(table)
-    if (fs.exists(s)) fs.delete(s, true)
-    if (fs.exists(r)) fs.delete(r, true)
+    Seq(snapDir(table), retiredDir(table), statsDir(table),
+        schemaDir(table))
+      .foreach(d => if (fs.exists(d)) fs.delete(d, true))
+    statsLoaded.remove(table)
     fs.exists(p) && fs.delete(p, true)
   }
 
@@ -227,7 +389,7 @@ class Lake(spark: SparkSession, val root: String) {
     var rewritten = 0
     multi.toSeq.sortBy(_._1).foreach { case ((chain, _), files) =>
       val paths = files.map(_._3)
-      val schema = Schemas.forTable(table)
+      val schema = effectiveSchema(table)
       val merged = spark.read.schema(schema)
         .option("basePath", dir(table))
         .parquet(paths: _*)
@@ -268,7 +430,7 @@ class Lake(spark: SparkSession, val root: String) {
                      retain: Boolean = false): Int = {
     require(clusterBy.nonEmpty, "clusterCompact needs cluster columns")
     require(targetBytes > 0, "targetBytes must be positive")
-    val schema = Schemas.forTable(table)
+    val schema = effectiveSchema(table)
     val byChain = fileInventory(table).groupBy(_._1).toSeq.sortBy(_._1)
     var rewritten = 0
     byChain.foreach { case (chain, files) =>
@@ -315,11 +477,16 @@ class Lake(spark: SparkSession, val root: String) {
     * manifest-sized (model-state rule), and at fleet scale this table
     * lives IN the snapshot manifest — the published formats persist
     * exactly these ranges so planning never re-opens footers. */
+  /** Footer opens performed by this Lake instance — the sidecar specs
+    * assert a warm plan costs ZERO of these. */
+  private[v3] val footerReads = new java.util.concurrent.atomic.AtomicLong
+
   private[v3] def footerRange(path: String, column: String)
       : Option[(Any, Any)] = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
+    footerReads.incrementAndGet()
     val in = HadoopInputFile.fromPath(new Path(path),
       spark.sparkContext.hadoopConfiguration)
     val reader = ParquetFileReader.open(in)
@@ -361,15 +528,177 @@ class Lake(spark: SparkSession, val root: String) {
   private val rangeCache = new java.util.concurrent.ConcurrentHashMap[
     String, Option[(Any, Any)]]()
 
+  /** Scheme-insensitive cache key: inventory paths are fully qualified
+    * (`file:/…`) while table-relative reconstruction uses the raw root,
+    * so both must hash to the same entry. */
+  private def rangeKey(path: String, bytes: Long, column: String): String =
+    s"${new Path(path).toUri.getPath}:$bytes:$column"
+
   private def footerRangeCached(path: String, bytes: Long,
                                 column: String): Option[(Any, Any)] = {
     // path + size from the already-held inventory listing — NO extra
     // getFileStatus round-trip per file per batch. Safe because this
     // lake never rewrites a file in place: every landing mints a
     // stamped or UUID name, so a path never carries different bytes.
-    val key = s"$path:$bytes:$column"
     if (rangeCache.size > 100000) rangeCache.clear()
-    rangeCache.computeIfAbsent(key, _ => footerRange(path, column))
+    rangeCache.computeIfAbsent(rangeKey(path, bytes, column),
+      _ => footerRange(path, column))
+  }
+
+  // ── Persisted file-stats sidecar ───────────────────────────────────
+  //
+  // The in-process rangeCache dies with the driver; a fleet restarting
+  // a CDC stream would re-open every footer on its first batch. The
+  // sidecar persists each computed (file, key column) → [min, max]
+  // under $root/_filestats/$table as append-only shards — the
+  // key-range column a real manifest carries, at its smallest. Entries
+  // are keyed by (relative path, byte length): rewrites mint new file
+  // names, so a stale entry can never describe live bytes — it just
+  // stops matching and is dropped at the next shard compaction. Shards
+  // are written by the single writer the lake already assumes; loading
+  // tolerates duplicate entries because two entries for the same
+  // (path, bytes, column) are the same immutable fact.
+
+  private def statsDir(table: String) = new Path(s"$root/_filestats/$table")
+
+  /** Tables whose sidecar this instance has already folded into the
+    * rangeCache (per key column). */
+  private val statsLoaded =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def b64(s: Array[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(s)
+  private def unb64(s: String): Array[Byte] =
+    java.util.Base64.getDecoder.decode(s)
+
+  /** One sidecar line: relB64 TAB bytes TAB colB64 TAB kind TAB mn TAB mx
+    * — kind S = UTF8 byte-order stats (base64), L = integral (decimal),
+    * N = footer had no usable stats (persisted too: "unknown" is also
+    * worth not re-reading). */
+  private def statsLine(rel: String, bytes: Long, column: String,
+                        r: Option[(Any, Any)]): String = {
+    val (kind, mn, mx) = r match {
+      case Some((a: Array[Byte], b: Array[Byte])) => ("S", b64(a), b64(b))
+      case Some((a: Long, b: Long)) => ("L", a.toString, b.toString)
+      case Some(other) => throw new IllegalStateException(
+        s"unpersistable footer stats $other")
+      case None => ("N", "", "")
+    }
+    s"${b64(rel.getBytes("UTF-8"))}\t$bytes\t" +
+      s"${b64(column.getBytes("UTF-8"))}\t$kind\t$mn\t$mx"
+  }
+
+  private def parseStatsLine(line: String)
+      : Option[(String, Long, String, Option[(Any, Any)])] = {
+    val f = line.split('\t')
+    if (f.length < 4) return None
+    val rel = new String(unb64(f(0)), "UTF-8")
+    val col = new String(unb64(f(2)), "UTF-8")
+    val r = f(3) match {
+      case "S" => Some((unb64(f(4)): Any, unb64(f(5)): Any))
+      case "L" => Some((f(4).toLong: Any, f(5).toLong: Any))
+      case _ => None
+    }
+    Some((rel, f(1).toLong, col, r))
+  }
+
+  private def relOf(table: String, path: String): String = {
+    val base = fs.makeQualified(new Path(dir(table))).toString
+    fs.makeQualified(new Path(path)).toString
+      .stripPrefix(base).stripPrefix("/")
+  }
+
+  /** Fold the table's persisted stats shards into the rangeCache
+    * (once per Lake instance; a fresh instance pays one listing + one
+    * sequential read of manifest-sized shard files instead of a footer
+    * open per data file). Compacts the shard set when it fragments,
+    * dropping entries for files no longer in the live inventory. */
+  private def loadStats(table: String): Unit = {
+    if (!statsLoaded.add(table)) return
+    val d = statsDir(table)
+    if (!fs.exists(d)) return
+    val shards = fs.listStatus(d)
+      .filter(_.getPath.getName.startsWith("stats-")).map(_.getPath)
+    val entries = shards.flatMap { p =>
+      val in = fs.open(p)
+      val body = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+      body.split("\n").filter(_.nonEmpty).flatMap(parseStatsLine)
+    }
+    entries.foreach { case (rel, bytes, column, r) =>
+      rangeCache.putIfAbsent(
+        rangeKey(s"${dir(table)}/$rel", bytes, column), r)
+    }
+    if (shards.length > 32) { // merge + prune dead entries
+      val live = fileInventory(table)
+        .map(f => (relOf(table, f._2), f._3)).toSet
+      val kept = entries.filter(e => live((e._1, e._2)))
+        .distinctBy(e => (e._1, e._2, e._3))
+      writeStatsShard(table,
+        kept.map(e => statsLine(e._1, e._2, e._3, e._4)).toSeq)
+      val undeleted = shards.filterNot(p => fs.delete(p, false))
+      if (undeleted.nonEmpty) throw new java.io.IOException(
+        s"stats shard compaction of $table left ${undeleted.size} " +
+          s"stale shard(s): ${undeleted.take(3).mkString(", ")}")
+    }
+  }
+
+  private def writeStatsShard(table: String, lines: Seq[String]): Unit = {
+    if (lines.isEmpty) return
+    val d = statsDir(table)
+    fs.mkdirs(d)
+    val p = new Path(d, s"stats-${java.util.UUID.randomUUID()}.txt")
+    val out = fs.create(p, false)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Key ranges for a set of inventory files, sidecar-backed: serves
+    * from the loaded sidecar/cache, footer-reads only the files it has
+    * never seen (thread-pooled), and persists what it computed as a
+    * new shard. This is THE planning primitive — [[upsert]] and the
+    * pruned reads both go through it, so any of them warms the others
+    * across driver restarts. */
+  private[v3] def fileRanges(table: String,
+                             files: Seq[(String, String, Long)],
+                             column: String)
+      : Map[String, Option[(Any, Any)]] = {
+    loadStats(table)
+    val (hit, miss) = files.partition(f =>
+      rangeCache.containsKey(rangeKey(f._2, f._3, column)))
+    val fresh: Seq[(String, String, Long, Option[(Any, Any)])] =
+      if (miss.isEmpty) Seq.empty
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, miss.size))
+        try {
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutor(pool)
+          scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(miss.map {
+              case (chain, path, bytes) => scala.concurrent.Future {
+                (chain, path, bytes, footerRangeCached(path, bytes, column))
+              }
+            }),
+            scala.concurrent.duration.Duration.Inf)
+        } finally pool.shutdown()
+      }
+    if (fresh.nonEmpty)
+      writeStatsShard(table, fresh.map(f =>
+        statsLine(relOf(table, f._2), f._3, column, f._4)))
+    (hit.map(f => f._2 ->
+        rangeCache.get(rangeKey(f._2, f._3, column))) ++
+      fresh.map(f => f._2 -> f._4)).toMap
+  }
+
+  /** Normalize a driver-side key value into the domain [[keyCmp]]
+    * compares (UTF-8 bytes for strings, widened long for integrals) —
+    * the same domain [[footerRange]] returns stats in. */
+  private def asCmp(v: Any): Any = v match {
+    case s: String => s.getBytes("UTF-8")
+    case n: java.lang.Number => n.longValue()
+    case other => other
   }
 
   /** Unsigned-lexicographic bytes / numeric long comparison — the
@@ -401,12 +730,6 @@ class Lake(spark: SparkSession, val root: String) {
     }
     lo < sorted.length && keyCmp(sorted(lo), mx) <= 0
   }
-
-  /** Result accounting for one [[upsert]]: how much of the table the
-    * merge actually rewrote — the ScaleProbe contract is that
-    * `rewrittenBytes` tracks TOUCHED files, not touched chains. */
-  case class UpsertStats(chainFiles: Int, touchedFiles: Int,
-                         rewrittenBytes: Long, landedFiles: Int)
 
   /** Keyed UPSERT — the CDC-apply operator (MERGE INTO's
     * insert/update/delete semantics) for the parquet lake: incoming
@@ -475,7 +798,7 @@ class Lake(spark: SparkSession, val root: String) {
       "upsert keys must include the partition column chain_name - " +
         "without it an existing row in an unnamed chain silently " +
         "survives next to its replacement (duplicate key)")
-    val schema = Schemas.forTable(table)
+    val schema = effectiveSchema(table)
     if (checkUnique) {
       val dups = updates.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
@@ -491,11 +814,6 @@ class Lake(spark: SparkSession, val root: String) {
     val prunable = k1Type.exists {
       case StringType | LongType | IntegerType | ShortType | ByteType => true
       case _ => false
-    }
-    def asCmp(v: Any): Any = v match {
-      case s: String => s.getBytes("UTF-8")
-      case n: java.lang.Number => n.longValue()
-      case other => other
     }
     // ONE profiling aggregate yields the named chains AND the per-chain
     // key envelope (a per-batch Spark job: streamed CDC pays it every
@@ -567,39 +885,30 @@ class Lake(spark: SparkSession, val root: String) {
         else Map.empty
       if (!prunable) chainFiles
       else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(16, math.max(1, chainFiles.size)))
-        try {
-          implicit val ec: scala.concurrent.ExecutionContext =
-            scala.concurrent.ExecutionContext.fromExecutor(pool)
-          val futs = chainFiles.map { case f @ (chain, path, fBytes) =>
-            scala.concurrent.Future {
-              val hit = prof.get(chain) match {
-                case None => false // chain named but batch has no rows
-                case Some((_, bMn, bMx)) if bMn == null || bMx == null =>
-                  false // all batch keys null in this chain: no match
-                case Some((_, bMn, bMx)) =>
-                  footerRangeCached(path, fBytes, k1) match {
-                    case None => true // no usable stats: conservative
-                    case Some((fMn, fMx)) =>
-                      // stats type must line up with the batch values
-                      // (bytes vs bytes, long vs long) — else keep safe
-                      if (k1IsString != fMn.isInstanceOf[Array[Byte]]) true
-                      else exactKeys.get(chain) match {
-                        case Some(ks) => anyKeyInRange(ks, fMn, fMx)
-                        case None =>
-                          keyCmp(fMn, bMx) <= 0 && keyCmp(bMn, fMx) <= 0
-                      }
+        // one sidecar-backed range lookup for the whole plan: cache
+        // hits are free, misses are thread-pooled footer reads that
+        // land in the persisted sidecar for the NEXT driver
+        val ranges = fileRanges(table, chainFiles, k1)
+        chainFiles.filter { case (chain, path, _) =>
+          prof.get(chain) match {
+            case None => false // chain named but batch has no rows
+            case Some((_, bMn, bMx)) if bMn == null || bMx == null =>
+              false // all batch keys null in this chain: no match
+            case Some((_, bMn, bMx)) =>
+              ranges(path) match {
+                case None => true // no usable stats: conservative
+                case Some((fMn, fMx)) =>
+                  // stats type must line up with the batch values
+                  // (bytes vs bytes, long vs long) — else keep safe
+                  if (k1IsString != fMn.isInstanceOf[Array[Byte]]) true
+                  else exactKeys.get(chain) match {
+                    case Some(ks) => anyKeyInRange(ks, fMn, fMx)
+                    case None =>
+                      keyCmp(fMn, bMx) <= 0 && keyCmp(bMn, fMx) <= 0
                   }
               }
-              (f, hit)
-            }
           }
-          scala.concurrent.Await.result(
-            scala.concurrent.Future.sequence(futs),
-            scala.concurrent.duration.Duration.Inf)
-            .collect { case (f, true) => f }
-        } finally pool.shutdown()
+        }
       }
     }
 
@@ -619,8 +928,16 @@ class Lake(spark: SparkSession, val root: String) {
     val inserts = deleteCol.fold(updates)(c =>
       updates.filter(!coalesce(col(c), lit(false))).drop(c))
     val cols = schema.fieldNames.toSeq.map(col)
+    // align the batch to the effective schema: a producer built before
+    // a schema evolution ships batches without the new columns — they
+    // land as typed nulls, exactly as its files would read back
+    val insertCols = schema.fields.toSeq.map { f =>
+      if (inserts.columns.contains(f.name))
+        col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
     val merged = survivors.select(cols: _*)
-      .unionByName(inserts.select(cols: _*))
+      .unionByName(inserts.select(insertCols: _*))
 
     // ── land: stage to a temp dir, rename in, then drop originals ──
     val tmp = stagingDir(s"upsert-$table")
@@ -663,6 +980,93 @@ class Lake(spark: SparkSession, val root: String) {
     }
     UpsertStats(chainFiles.size, touched.size,
       touched.map(_._3).sum, landed.size)
+  }
+
+  // ── Pruned reads: query-side file skipping ─────────────────────────
+  //
+  // The footer-range planner above exists for CDC merges, but the same
+  // stats answer the interactive question "which files can hold key k
+  // at all?" — the data-skipping scan every lakehouse pairs with its
+  // manifest stats. Parquet row-group skipping via pushed filters
+  // still opens every file's footer ON THE EXECUTORS at scan time;
+  // this prunes at PLAN time from the (sidecar-persisted) driver
+  // stats, so a point lookup against a [[clusterCompact]]ed 100 TB
+  // table schedules tasks for a handful of files instead of all of
+  // them. Pruning is conservative — files without usable stats are
+  // scanned — and the residual filter is always applied, so the
+  // result is exactly `read(table).filter(...)`.
+
+  private def prunedRead(table: String, key: String, residual: Column,
+                         keep: Option[(Any, Any)] => Boolean)
+      : (DataFrame, ScanStats) = {
+    val schema = effectiveSchema(table)
+    require(schema.fieldNames.contains(key),
+      s"no column $key in table $table")
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    val keyIsString = schema(key).dataType == StringType
+    schema(key).dataType match {
+      case StringType | LongType | IntegerType | ShortType | ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"pruned reads need a string or integral key column - $key is " +
+          s"$other; use read($table).filter(...) instead")
+    }
+    val files = fileInventory(table)
+    if (files.isEmpty)
+      return (spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .filter(residual), ScanStats(0, 0, 0L, 0L))
+    val ranges = fileRanges(table, files, key)
+    val scanned = files.filter { case (_, path, _) =>
+      ranges(path) match {
+        case None => true // no usable stats: conservative
+        case Some((fMn, _))
+          if keyIsString != fMn.isInstanceOf[Array[Byte]] => true
+        case r => keep(r)
+      }
+    }
+    val df =
+      if (scanned.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else inSchemaOrder(spark.read.schema(schema)
+        .option("basePath", dir(table))
+        .parquet(scanned.map(_._2): _*), schema)
+    (df.filter(residual),
+      ScanStats(files.size, scanned.size, scanned.map(_._3).sum,
+        files.map(_._3).sum))
+  }
+
+  /** Key-range read: rows with `lo <= key <= hi`, scheduling only the
+    * files whose footer range intersects [lo, hi]. */
+  def readRange(table: String, key: String, lo: Any, hi: Any)
+      : (DataFrame, ScanStats) = {
+    require(lo != null && hi != null, "readRange bounds must be non-null")
+    val (bLo, bHi) = (asCmp(lo), asCmp(hi))
+    require(keyCmp(bLo, bHi) <= 0, s"readRange lo > hi: $lo > $hi")
+    val kt = effectiveSchema(table)(key).dataType
+    prunedRead(table, key,
+      col(key) >= lit(lo).cast(kt) && col(key) <= lit(hi).cast(kt),
+      { case Some((fMn, fMx)) =>
+          keyCmp(fMn, bHi) <= 0 && keyCmp(bLo, fMx) <= 0
+        case None => true })
+  }
+
+  /** Point-set read: rows whose `key` is one of `values`, scheduling
+    * only the files whose footer range CONTAINS one of them (exact
+    * binary-search test per file, same as the upsert planner's). */
+  def readKeys(table: String, key: String, values: Seq[Any])
+      : (DataFrame, ScanStats) = {
+    require(values.nonEmpty, "readKeys needs at least one value")
+    require(values.size <= (1 << 16),
+      s"readKeys is the point-lookup path (got ${values.size} keys) - " +
+        "join against read(table) for bulk key sets")
+    require(!values.contains(null), "readKeys values must be non-null")
+    val sorted = values.map(asCmp).toArray.sortWith(keyCmp(_, _) < 0)
+    val kt = effectiveSchema(table)(key).dataType
+    prunedRead(table, key,
+      col(key).isin(values.map(v => lit(v).cast(kt)): _*),
+      { case Some((fMn, fMx)) => anyKeyInRange(sorted, fMn, fMx)
+        case None => true })
   }
 
   // ── Snapshots: manifest-based time travel ──────────────────────────
@@ -868,7 +1272,7 @@ class Lake(spark: SparkSession, val root: String) {
     if (fresh.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        Schemas.forTable(table))
+        effectiveSchema(table))
     // the TARGET's files must exist too: a compaction after the target
     // snapshot would otherwise surface as a raw path-not-found (or a
     // silent partial read under ignoreMissingFiles) instead of this
@@ -879,9 +1283,10 @@ class Lake(spark: SparkSession, val root: String) {
       s"incremental read of $table invalidated - target files missing " +
         s"(rewritten by compaction or upsert, or expired): " +
         s"${freshGone.take(5).mkString(", ")}")
-    spark.read.schema(Schemas.forTable(table))
+    val schema = effectiveSchema(table)
+    inSchemaOrder(spark.read.schema(schema)
       .option("basePath", dir(table))
-      .parquet(fresh.map(r => s"${dir(table)}/$r"): _*)
+      .parquet(fresh.map(r => s"${dir(table)}/$r"): _*), schema)
   }
 
   private def manifestFiles(table: String, version: Long): Seq[String] = {
@@ -907,7 +1312,7 @@ class Lake(spark: SparkSession, val root: String) {
     if (rel.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        Schemas.forTable(table))
+        effectiveSchema(table))
     val live = rel.filter(r => fs.exists(new Path(s"${dir(table)}/$r")))
     val liveSet = live.toSet
     val retired = rel.filterNot(liveSet)
@@ -918,20 +1323,17 @@ class Lake(spark: SparkSession, val root: String) {
         s"(rewritten by compaction or upsert without retention, or " +
         s"vacuum-expired): ${missing.take(5).mkString(", ")}" +
         (if (missing.size > 5) s" (+${missing.size - 5} more)" else ""))
+    val schema = effectiveSchema(table)
     def rd(basePath: String, rels: Seq[String]) =
-      spark.read.schema(Schemas.forTable(table))
+      inSchemaOrder(spark.read.schema(schema)
         .option("basePath", basePath)
-        .parquet(rels.map(r => s"$basePath/$r"): _*)
+        .parquet(rels.map(r => s"$basePath/$r"): _*), schema)
     val parts =
       (if (live.nonEmpty) Seq(rd(dir(table), live)) else Seq.empty) ++
       (if (retired.nonEmpty)
         Seq(rd(retiredDir(table).toString, retired)) else Seq.empty)
     parts.reduce(_.unionByName(_))
   }
-
-  /** Accounting for one [[vacuum]] run. */
-  case class VacuumStats(manifestsDeleted: Int, filesDeleted: Int,
-                         bytesFreed: Long)
 
   /** Retention GC: keep the newest `keepLast` snapshot manifests,
     * delete the older ones, then delete every RETIRED file that no

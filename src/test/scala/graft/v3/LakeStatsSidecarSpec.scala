@@ -1,0 +1,99 @@
+package graft.v3
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Persisted file-stats sidecar: planning state must survive a driver
+  * restart. A fresh Lake instance (fresh in-process cache) planning
+  * the same table must read ZERO parquet footers — the sidecar is the
+  * manifest key-range column, so a restarted CDC stream's first batch
+  * plans from metadata, not from N footer opens over a 100 TB table. */
+class LakeStatsSidecarSpec extends SparkSpec {
+
+  private def rows(ids: Seq[Int]) = {
+    import spark.implicits._
+    ids.map { i =>
+      ("ethereum", "IncreaseLiquidity", f"0xtx$i%06d", 1000L + i, 0L,
+        "0xu1", s"$i", s"${i * 10}", s"${i * 100}", s"$i", 7L)
+    }.toDF("chain_name", "name", "transaction_hash", "block_number",
+      "tx_index", "from_address", "amount", "amount0", "amount1",
+      "tokenId", "log_index")
+  }
+
+  test("a fresh Lake instance plans pruned reads with zero footer opens") {
+    val root = Files.createTempDirectory("lake-sidecar").toString
+    val lake = new Lake(spark, root)
+    (0 until 4).foreach(j =>
+      lake.append(rows(j * 100 until (j + 1) * 100).coalesce(1), Schemas.Nfp))
+    val (df1, st1) = lake.readRange(Schemas.Nfp, "transaction_hash",
+      "0xtx000110", "0xtx000190")
+    assert(lake.footerReads.get() > 0, "cold plan should read footers")
+    assert(st1.scanned < st1.files,
+      s"range read should prune disjoint-range files, got $st1")
+    val got1 = df1.count()
+    assert(got1 == 81L, s"expected 81 rows in range, got $got1")
+
+    // restart: new instance, empty in-process cache, same sidecar
+    val lake2 = new Lake(spark, root)
+    val (df2, st2) = lake2.readRange(Schemas.Nfp, "transaction_hash",
+      "0xtx000110", "0xtx000190")
+    assert(lake2.footerReads.get() == 0,
+      s"warm restart plan read ${lake2.footerReads.get()} footers - " +
+        "the sidecar should have served every range")
+    assert(st2 == st1, s"restart plan diverged: $st1 vs $st2")
+    assert(df2.count() == got1)
+
+    // the upsert planner shares the same sidecar: zero footer opens
+    val batch = rows(Seq(150)).withColumn("amount", lit("bumped"))
+    val ust = lake2.upsert(batch, Schemas.Nfp,
+      Seq("chain_name", "transaction_hash"))
+    assert(lake2.footerReads.get() == 0,
+      "upsert planning after a pruned read should be footer-free")
+    assert(ust.touchedFiles == 1 && ust.chainFiles == 4,
+      s"expected 1-of-4 file touch, got $ust")
+  }
+
+  test("fragmented shards compact on load and drop dead entries") {
+    val root = Files.createTempDirectory("lake-sidecar2").toString
+    val lake = new Lake(spark, root)
+    // 34 append+plan cycles: each plan sees one new file -> one shard
+    (0 until 34).foreach { j =>
+      lake.append(rows(j * 10 until j * 10 + 10).coalesce(1), Schemas.Nfp)
+      lake.readRange(Schemas.Nfp, "transaction_hash",
+        f"0xtx${j * 10}%06d", f"0xtx${j * 10 + 5}%06d")
+    }
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val statsDir = new Path(s"$root/_filestats/${Schemas.Nfp}")
+    val before = fs.listStatus(statsDir)
+      .count(_.getPath.getName.startsWith("stats-"))
+    assert(before > 32, s"expected >32 shards before compaction, got $before")
+    // rewrite the table so the old entries go dead
+    assert(lake.compact(Schemas.Nfp, targetBytes = 1L << 30) > 0)
+    val lake2 = new Lake(spark, root)
+    lake2.readRange(Schemas.Nfp, "transaction_hash",
+      "0xtx000000", "0xtx000005") // triggers loadStats -> compaction
+    val shards = fs.listStatus(statsDir).map(_.getPath)
+      .filter(_.getName.startsWith("stats-"))
+    assert(shards.length <= 2,
+      s"expected compacted shard set, got ${shards.length}")
+    // dead entries (pre-compaction files) are gone: every persisted rel
+    // path must be in the live inventory
+    val live = lake2.fileInventory(Schemas.Nfp)
+      .map(_._2.split(s"/${Schemas.Nfp}/").last).toSet
+    val persisted = shards.flatMap { p =>
+      val in = fs.open(p)
+      val body = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+      body.split("\n").filter(_.nonEmpty).map(l =>
+        new String(java.util.Base64.getDecoder.decode(l.split('\t')(0)),
+          "UTF-8"))
+    }.toSet
+    val dead = persisted.filterNot(live)
+    assert(dead.isEmpty, s"compacted sidecar kept dead entries: " +
+      s"${dead.take(3).mkString(", ")}")
+  }
+}
