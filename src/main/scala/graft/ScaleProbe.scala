@@ -564,7 +564,8 @@ object ScaleProbe {
     // section (isolating one stage would change what it measures)
     val cowSection = Set("upsert_cow", "upsert_cow_narrow",
       "upsert_cow_spread", "upsert_cow_seq3", "upsert_cow_retain",
-      "vacuum", "cluster_compact", "upsert_after_cluster")
+      "vacuum", "cluster_compact", "upsert_after_cluster",
+      "read_pruned_range", "read_pruned_keys")
     if (only.forall(s => s.exists(cowSection))) {
       import graft.v3.{Lake, Schemas}
       val orders0 = Tables.orders(spark, sfDir)
@@ -633,6 +634,26 @@ object ScaleProbe {
         Schemas.Nfp, Seq("chain_name", "transaction_hash"))
       println(f"""{"probe":"upsert_after_cluster","k":$k,"sec":0.0,""" +
         f""""chain_files":${stc.chainFiles},"touched_files":${stc.touchedFiles}}""")
+      // pruned reads over the clustered table, from a FRESH Lake
+      // instance: planning must come from the persisted sidecar (zero
+      // footer opens) and schedule a strict file subset — the
+      // restarted-driver point-lookup path at k× scale
+      val lakeR = new Lake(spark, lake.root)
+      def pad13(v: Long) = f"0xtx$v%013d"
+      val t4 = System.nanoTime()
+      val (rdf, rstat) = lakeR.readRange(Schemas.Nfp, "transaction_hash",
+        pad13(2L * 1000000000L), pad13(2L * 1000000000L + 1000000L))
+      rdf.write.format("noop").mode("overwrite").save()
+      println(f"""{"probe":"read_pruned_range","k":$k,"sec":${(System.nanoTime() - t4) / 1e9}%.2f,""" +
+        f""""files":${rstat.files},"scanned":${rstat.scanned},""" +
+        f""""footer_reads":${lakeR.footerReads.get()}}""")
+      val t5 = System.nanoTime()
+      val (kdf, kstat) = lakeR.readKeys(Schemas.Nfp, "transaction_hash",
+        Seq(pad13(101L), pad13(3L * 1000000000L + 501L)))
+      kdf.write.format("noop").mode("overwrite").save()
+      println(f"""{"probe":"read_pruned_keys","k":$k,"sec":${(System.nanoTime() - t5) / 1e9}%.2f,""" +
+        f""""files":${kstat.files},"scanned":${kstat.scanned},""" +
+        f""""footer_reads":${lakeR.footerReads.get()}}""")
     }
 
     // ── NFP attribution join + segment-capped ingest at 20× ──────────

@@ -478,8 +478,8 @@ class Lake(spark: SparkSession, val root: String) {
     * lives IN the snapshot manifest — the published formats persist
     * exactly these ranges so planning never re-opens footers. */
   /** Footer opens performed by this Lake instance — the sidecar specs
-    * assert a warm plan costs ZERO of these. */
-  private[v3] val footerReads = new java.util.concurrent.atomic.AtomicLong
+    * and scale probes assert a warm plan costs ZERO of these. */
+  val footerReads = new java.util.concurrent.atomic.AtomicLong
 
   private[v3] def footerRange(path: String, column: String)
       : Option[(Any, Any)] = {
