@@ -656,6 +656,42 @@ object ScaleProbe {
         f""""footer_reads":${lakeR.footerReads.get()}}""")
     }
 
+    // ── bloom point lookup at k×: INTERLEAVED (un-prunable) files ────
+    // Every file spans the whole keyspace (keys assigned mod k), so
+    // range stats keep everything; the table's bloom property is the
+    // only skip. The miss must schedule ZERO files; the hit schedules
+    // the one file its key hashes into.
+    val bloomSection = Set("bloom_lookup", "bloom_lookup_build",
+      "bloom_lookup_miss", "bloom_lookup_hit")
+    if (only.forall(s => s.exists(bloomSection))) {
+      import graft.v3.{Lake, Schemas}
+      val lake = new Lake(spark, java.nio.file.Files
+        .createTempDirectory("probe-bloomlake").toString)
+      lake.setTableProperties(Schemas.Nfp, Map(
+        "write.bloom.columns" -> "transaction_hash",
+        "write.bloom.ndv" -> "4000000"))
+      val tb = System.nanoTime()
+      (0 until k).foreach(j => lake.append(
+        nfpSeg(0, ordersK.filter(pmod(col("o_orderkey"), lit(k)) === j))
+          .coalesce(1), Schemas.Nfp))
+      println(f"""{"probe":"bloom_lookup_build","k":$k,"sec":${(System.nanoTime() - tb) / 1e9}%.2f}""")
+      def padB(v: Long) = f"0xtx$v%013d"
+      val mn = Tables.orders(spark, sfDir)
+        .agg(min(col("o_orderkey"))).first().getLong(0)
+      val t0 = System.nanoTime()
+      val (mdf, mst) = lake.readKeys(Schemas.Nfp, "transaction_hash",
+        Seq(padB(500000000L) + "x"))
+      mdf.write.format("noop").mode("overwrite").save()
+      println(f"""{"probe":"bloom_lookup_miss","k":$k,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,""" +
+        f""""files":${mst.files},"scanned":${mst.scanned}}""")
+      val t1 = System.nanoTime()
+      val (hdf, hst) = lake.readKeys(Schemas.Nfp, "transaction_hash",
+        (0 until k).map(c => padB(c.toLong * 1000000000L + mn)))
+      hdf.write.format("noop").mode("overwrite").save()
+      println(f"""{"probe":"bloom_lookup_hit","k":$k,"sec":${(System.nanoTime() - t1) / 1e9}%.2f,""" +
+        f""""files":${hst.files},"scanned":${hst.scanned}}""")
+    }
+
     // ── NFP attribution join + segment-capped ingest at 20× ──────────
     // lazy: only the two nfp probes pay the k× orders replication
     lazy val ordersK = rep(Tables.orders(spark, sfDir), Seq("o_orderkey"))

@@ -797,6 +797,71 @@ object V3Shape {
         |SELECT coalesce(lang, '??') AS lang, count(*) AS n,
         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
         |  CAST(sum(score) AS BIGINT) AS sum_score
-        |FROM docs GROUP BY 1 ORDER BY 1""".stripMargin))
+        |FROM docs GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // BLOOM-FILTER FILE SKIPPING — the point-lookup path where range
+    // pruning is structurally useless: INTERLEAVED appends give every
+    // file a full-width key range (the random-hash reality before any
+    // clustering), and the table's `write.bloom.columns` property puts
+    // parquet bloom filters on the key. An absent-but-in-range key
+    // must schedule ZERO files (require'd — blooms prove absence), and
+    // the graded aggregate runs over a present-key point-set lookup
+    // whose values the oracle re-derives (driver-keyed by definition:
+    // the key list is the lookup's INPUT, bounded by the readKeys cap).
+    ("s18_bloom_skip",
+      ((s: SparkSession, d: String) => {
+        import graft.v3.{Lake, Schemas}
+        val orders = Tables.orders(s, d)
+        val k = col("o_orderkey")
+        def derive(df: org.apache.spark.sql.DataFrame) =
+          df.select(
+            lit("ethereum").as("chain_name"),
+            lit("IncreaseLiquidity").as("name"),
+            concat(lit("0xtx"), lpad(k.cast("string"), 12, "0"))
+              .as("transaction_hash"),
+            (lit(1000L) + pmod(k, lit(97))).as("block_number"),
+            pmod(k, lit(13)).as("tx_index"),
+            concat(lit("0xu"), col("o_custkey").cast("string"))
+              .as("from_address"),
+            col("o_custkey").cast("string").as("amount"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("long")
+              .cast("string").as("amount0"),
+            pmod(k, lit(1000)).cast("string").as("amount1"),
+            pmod(k, lit(997)).cast("string").as("tokenId"),
+            pmod(k, lit(7)).as("log_index"))
+        val lake = new Lake(s, s"/tmp/graft-bloom-lake/${Llm.sfCacheKey(d)}")
+        lake.dropTable(Schemas.Nfp)
+        lake.setTableProperties(Schemas.Nfp,
+          Map("write.bloom.columns" -> "transaction_hash",
+              "write.bloom.ndv" -> "2000000"))
+        // interleaved waves: every file spans the whole keyspace
+        (0 until 4).foreach(j =>
+          lake.append(derive(orders.filter(pmod(k, lit(4)) === j))
+            .coalesce(1), Schemas.Nfp))
+        def pad(v: Long) = f"0xtx$v%012d"
+        val mx = orders.agg(max(k)).first().getLong(0)
+        // absent key inside every file's range: blooms must prove it
+        // absent everywhere — a non-skipping plan fails the gate
+        val (_, stMiss) = lake.readKeys(Schemas.Nfp, "transaction_hash",
+          Seq(pad(mx / 2) + "x"))
+        require(stMiss.files >= 4 && stMiss.scanned == 0,
+          s"bloom skip failed - in-range absent key scanned $stMiss")
+        // present point-set: every 1000th orderkey (driver-keyed input,
+        // bounded far under the readKeys cap)
+        val keys = orders.filter(pmod(k, lit(1000)) === 0)
+          .select(k).collect().map(r => pad(r.getLong(0))).toSeq
+        val (df, _) = lake.readKeys(Schemas.Nfp, "transaction_hash", keys)
+        df.groupBy(col("log_index"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("amount0").cast("long")).as("sum_a0"))
+          .orderBy(col("log_index"))
+      }): Q,
+      Some("""SELECT CAST(o_orderkey % 7 AS BIGINT) AS log_index,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_a0
+        |FROM orders
+        |WHERE o_orderkey % 1000 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

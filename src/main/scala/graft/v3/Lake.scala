@@ -90,6 +90,7 @@ class Lake(spark: SparkSession, val root: String) {
     * small-files cost is [[compact]]'s job, not the write path's. */
   def append(df: DataFrame, table: String): Unit =
     df.write.mode("append")
+      .options(writeOptions(table))
       .partitionBy("chain_name")
       .parquet(dir(table))
 
@@ -230,6 +231,78 @@ class Lake(spark: SparkSession, val root: String) {
         "writer is evolving this table concurrently")
   }
 
+  // ── Table properties ───────────────────────────────────────────────
+  //
+  // Key→value table configuration, versioned under $root/_props/$table
+  // exactly like the schema (latest version wins, atomic
+  // publish-by-rename). The published formats hang write-tuning off
+  // table properties rather than call sites so every writer — ingest
+  // loop, compaction, CDC merge — agrees; `write.bloom.columns` below
+  // is the first consumer.
+
+  private def propsDir(table: String) = new Path(s"$root/_props/$table")
+
+  /** The table's committed properties (empty map if none). */
+  def tableProperties(table: String): Map[String, String] = {
+    val d = propsDir(table)
+    if (!fs.exists(d)) return Map.empty
+    val latest = fs.listStatus(d).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("v") && p.getName.endsWith(".json"))
+      .sortBy(_.getName).lastOption
+    latest.fold(Map.empty[String, String]) { p =>
+      val in = fs.open(p)
+      val body = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+      body.split("\n").filter(_.contains("\t")).map { l =>
+        val i = l.indexOf('\t')
+        new String(unb64(l.substring(0, i)), "UTF-8") ->
+          new String(unb64(l.substring(i + 1)), "UTF-8")
+      }.toMap
+    }
+  }
+
+  /** Commit an updated property map (merge of current + `kv`; a null
+    * value deletes the key). */
+  def setTableProperties(table: String, kv: Map[String, String]): Unit = {
+    val next = (tableProperties(table) ++ kv).filter(_._2 != null)
+    val d = propsDir(table)
+    fs.mkdirs(d)
+    val cur = fs.listStatus(d).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(_.stripPrefix("v").stripSuffix(".json").toLong)
+      .sorted.lastOption.getOrElse(0L)
+    val body = next.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"${b64(k.getBytes("UTF-8"))}\t${b64(v.getBytes("UTF-8"))}"
+    }.mkString("\n")
+    val tmp = new Path(d, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, new Path(d, f"v${cur + 1}%09d.json"))) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"property commit of $table lost its version race")
+    }
+  }
+
+  /** Columns the table wants parquet bloom filters on (property
+    * `write.bloom.columns`, comma-separated). Every lake write path —
+    * [[append]] and the rewrite landings — applies these, so the
+    * filters survive compaction and CDC merges. */
+  private def bloomColumns(table: String): Seq[String] =
+    tableProperties(table).get("write.bloom.columns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+
+  /** Parquet writer options derived from table properties. */
+  private def writeOptions(table: String): Map[String, String] = {
+    val props = tableProperties(table)
+    val ndv = props.getOrElse("write.bloom.ndv", "1000000")
+    bloomColumns(table).flatMap(c => Seq(
+      s"parquet.bloom.filter.enabled#$c" -> "true",
+      s"parquet.bloom.filter.expected.ndv#$c" -> ndv)).toMap
+  }
+
   /** Local resume point: max block currently in the lake for this
     * chain (optionally one pool) — reference data_update.py:163–189. */
   def maxBlock(table: String, chain: String,
@@ -255,7 +328,7 @@ class Lake(spark: SparkSession, val root: String) {
   def dropTable(table: String): Boolean = {
     val p = new Path(dir(table))
     Seq(snapDir(table), retiredDir(table), statsDir(table),
-        schemaDir(table))
+        schemaDir(table), propsDir(table))
       .foreach(d => if (fs.exists(d)) fs.delete(d, true))
     statsLoaded.remove(table)
     fs.exists(p) && fs.delete(p, true)
@@ -396,7 +469,8 @@ class Lake(spark: SparkSession, val root: String) {
         .drop("chain_name")
         .coalesce(1)
       val tmp = stagingDir(s"compact-$table")
-      merged.write.mode("overwrite").parquet(tmp.toString)
+      merged.write.mode("overwrite").options(writeOptions(table))
+        .parquet(tmp.toString)
       val tgtDir =
         new Path(s"${dir(table)}/chain_name=${escapeChain(chain)}")
       landStaged(tmp, tgtDir, "compacted") match {
@@ -451,7 +525,8 @@ class Lake(spark: SparkSession, val root: String) {
         .repartitionByRange(nOut, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
       val tmp = stagingDir(s"cluster-$table")
-      clustered.write.mode("overwrite").parquet(tmp.toString)
+      clustered.write.mode("overwrite").options(writeOptions(table))
+        .parquet(tmp.toString)
       val tgtDir =
         new Path(s"${dir(table)}/chain_name=${escapeChain(chain)}")
       landStaged(tmp, tgtDir, "clustered") match {
@@ -771,7 +846,11 @@ class Lake(spark: SparkSession, val root: String) {
     * `maxKeyCollect` bounds the driver-side distinct-key collection
     * used for exact file pruning; a batch with more distinct keys
     * falls back to per-chain [min, max] envelope pruning (still
-    * correct, possibly more files touched).
+    * correct, possibly more files touched). Tables with bloom
+    * filters on the key (`write.bloom.columns`) additionally
+    * bloom-test range survivors for point-ish batches (≤ 4096 keys)
+    * — the pruning that works BEFORE any clustering rewrite, when
+    * every appended file still spans the whole keyspace.
     *
     * PLANNING COST: the batch's lineage executes once per planning
     * job (uniqueness check, profiling aggregate, optional key
@@ -873,24 +952,38 @@ class Lake(spark: SparkSession, val root: String) {
       // null key values never equi-join (no existing row is replaced
       // by them), so they can't make a file touched — drop from the
       // pruning set; the rows themselves still flow through inserts
-      val exactKeys: Map[String, Array[Any]] =
-        if (prunable && chainFiles.size >= 8 &&
+      // bloom filters extend exact pruning to files range stats can't
+      // exclude (unclustered tables, where every file spans the
+      // keyspace) — worth the key collect even below the file-count
+      // threshold, but only for point-ish batches (hashing a huge key
+      // set against every candidate's blooms would beat the scan cost
+      // it saves)
+      val bloomOn = bloomColumns(table).contains(k1) &&
+        totalKeys <= 4096L
+      val collected: Seq[(String, Any)] =
+        if (prunable && (chainFiles.size >= 8 || bloomOn) &&
             totalKeys <= maxKeyCollect.toLong)
           updates.select(col("chain_name"), col(k1)).distinct().collect()
             .filter(!_.isNullAt(1))
-            .groupBy(_.getString(0))
-            .map { case (c, rows) =>
-              c -> rows.map(r => asCmp(r.get(1))).sortWith(keyCmp(_, _) < 0)
-            }
-        else Map.empty
+            .map(r => (r.getString(0), r.get(1))).toSeq
+        else Seq.empty
+      val exactKeys: Map[String, Array[Any]] =
+        collected.groupBy(_._1).map { case (c, rows) =>
+          c -> rows.map(r => asCmp(r._2)).toArray.sortWith(keyCmp(_, _) < 0)
+        }
+      // original-typed values per chain, for bloom hashing
+      val rawKeys: Map[String, Seq[Any]] =
+        if (bloomOn) collected.groupBy(_._1).map { case (c, rows) =>
+          c -> rows.map(_._2)
+        } else Map.empty
       if (!prunable) chainFiles
       else {
         // one sidecar-backed range lookup for the whole plan: cache
         // hits are free, misses are thread-pooled footer reads that
         // land in the persisted sidecar for the NEXT driver
         val ranges = fileRanges(table, chainFiles, k1)
-        chainFiles.filter { case (chain, path, _) =>
-          prof.get(chain) match {
+        chainFiles.filter { case (chain, path, fBytes) =>
+          val rangeHit = prof.get(chain) match {
             case None => false // chain named but batch has no rows
             case Some((_, bMn, bMx)) if bMn == null || bMx == null =>
               false // all batch keys null in this chain: no match
@@ -908,6 +1001,12 @@ class Lake(spark: SparkSession, val root: String) {
                   }
               }
           }
+          // bloom step: a range survivor is still untouched if every
+          // row group's bloom proves every batch key absent
+          rangeHit && (rawKeys.get(chain) match {
+            case Some(vs) if bloomOn => bloomMayContain(path, fBytes, k1, vs)
+            case _ => true
+          })
         }
       }
     }
@@ -941,7 +1040,8 @@ class Lake(spark: SparkSession, val root: String) {
 
     // ── land: stage to a temp dir, rename in, then drop originals ──
     val tmp = stagingDir(s"upsert-$table")
-    merged.write.mode("overwrite").partitionBy("chain_name")
+    merged.write.mode("overwrite").options(writeOptions(table))
+      .partitionBy("chain_name")
       .parquet(tmp.toString)
     val stagedParts =
       if (!fs.exists(tmp)) Array.empty[org.apache.hadoop.fs.FileStatus]
@@ -996,8 +1096,75 @@ class Lake(spark: SparkSession, val root: String) {
   // scanned — and the residual filter is always applied, so the
   // result is exactly `read(table).filter(...)`.
 
+  /** Bloom-filter opens performed by this Lake instance (separate from
+    * [[footerReads]]: blooms are consulted only for point lookups on
+    * files the range test could not exclude). */
+  val bloomReads = new java.util.concurrent.atomic.AtomicLong
+
+  /** Per-file bloom filters for one column: one (physical type, bloom)
+    * per row group, or None when any group lacks one (absence can then
+    * never be proven). Cached per process — blooms live in the data
+    * files themselves, exactly where the format keeps them; unlike key
+    * ranges they are too large to mirror into the sidecar. */
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Option[Seq[(org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName,
+      org.apache.parquet.column.values.bloomfilter.BloomFilter)]]]()
+
+  private def fileBlooms(path: String, bytes: Long, column: String)
+      : Option[Seq[(org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName,
+        org.apache.parquet.column.values.bloomfilter.BloomFilter)]] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    if (bloomCache.size > 128) bloomCache.clear()
+    bloomCache.computeIfAbsent(rangeKey(path, bytes, column) + "#bloom", _ => {
+      bloomReads.incrementAndGet()
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new Path(path), spark.sparkContext.hadoopConfiguration))
+      try {
+        val per = reader.getFooter.getBlocks.asScala.toSeq.map { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == column) match {
+            case None => null
+            case Some(cc) =>
+              val bf = reader.getBloomFilterDataReader(b).readBloomFilter(cc)
+              if (bf == null) null
+              else (cc.getPrimitiveType.getPrimitiveTypeName, bf)
+          }
+        }
+        if (per.contains(null)) None else Some(per)
+      } finally reader.close()
+    })
+  }
+
+  /** Can `path` possibly contain any of `values` in `column`? False
+    * only when every row group's bloom filter proves every value
+    * absent — the one direction a bloom can prove. */
+  private def bloomMayContain(path: String, bytes: Long, column: String,
+                              values: Seq[Any]): Boolean =
+    fileBlooms(path, bytes, column) match {
+      case None => true // no blooms: cannot prove absence
+      case Some(blocks) =>
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{BINARY, INT32, INT64}
+        import org.apache.parquet.io.api.Binary
+        values.exists(v => blocks.exists { case (t, bf) =>
+          (t, v) match {
+            case (BINARY, s: String) =>
+              bf.findHash(bf.hash(Binary.fromString(s)))
+            case (INT64, n: java.lang.Number) =>
+              bf.findHash(bf.hash(n.longValue()))
+            case (INT32, n: java.lang.Number) =>
+              val l = n.longValue()
+              // outside int32's domain: cannot be in this file at all
+              l >= Int.MinValue && l <= Int.MaxValue &&
+                bf.findHash(bf.hash(l.toInt))
+            case _ => true // unhandled physical type: stay conservative
+          }
+        })
+    }
+
   private def prunedRead(table: String, key: String, residual: Column,
-                         keep: Option[(Any, Any)] => Boolean)
+                         keep: Option[(Any, Any)] => Boolean,
+                         fileKeep: (String, Long) => Boolean = (_, _) => true)
       : (DataFrame, ScanStats) = {
     val schema = effectiveSchema(table)
     require(schema.fieldNames.contains(key),
@@ -1016,13 +1183,13 @@ class Lake(spark: SparkSession, val root: String) {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .filter(residual), ScanStats(0, 0, 0L, 0L))
     val ranges = fileRanges(table, files, key)
-    val scanned = files.filter { case (_, path, _) =>
-      ranges(path) match {
+    val scanned = files.filter { case (_, path, bytes) =>
+      (ranges(path) match {
         case None => true // no usable stats: conservative
         case Some((fMn, _))
           if keyIsString != fMn.isInstanceOf[Array[Byte]] => true
         case r => keep(r)
-      }
+      }) && fileKeep(path, bytes) // bloom test only on range survivors
     }
     val df =
       if (scanned.isEmpty)
@@ -1053,7 +1220,12 @@ class Lake(spark: SparkSession, val root: String) {
 
   /** Point-set read: rows whose `key` is one of `values`, scheduling
     * only the files whose footer range CONTAINS one of them (exact
-    * binary-search test per file, same as the upsert planner's). */
+    * binary-search test per file, same as the upsert planner's). When
+    * the table writes bloom filters on `key` (`write.bloom.columns`),
+    * range survivors are additionally bloom-tested — on an
+    * UNCLUSTERED table, where random-hash keys make every file's
+    * range span the keyspace, the bloom is what turns a point lookup
+    * from scan-everything into open-almost-nothing. */
   def readKeys(table: String, key: String, values: Seq[Any])
       : (DataFrame, ScanStats) = {
     require(values.nonEmpty, "readKeys needs at least one value")
@@ -1063,10 +1235,14 @@ class Lake(spark: SparkSession, val root: String) {
     require(!values.contains(null), "readKeys values must be non-null")
     val sorted = values.map(asCmp).toArray.sortWith(keyCmp(_, _) < 0)
     val kt = effectiveSchema(table)(key).dataType
+    val bloomable = bloomColumns(table).contains(key)
     prunedRead(table, key,
       col(key).isin(values.map(v => lit(v).cast(kt)): _*),
       { case Some((fMn, fMx)) => anyKeyInRange(sorted, fMn, fMx)
-        case None => true })
+        case None => true },
+      fileKeep =
+        if (!bloomable) (_, _) => true
+        else (p, b) => bloomMayContain(p, b, key, values))
   }
 
   // ── Snapshots: manifest-based time travel ──────────────────────────
