@@ -8,6 +8,17 @@ import org.apache.spark.sql.SparkSession
   * the queries, not JVM warmup; queries run in sorted name order for
   * run-to-run comparability. */
 object Bench {
+  /** JSON string escape: an exception message with a quote, backslash
+    * or newline (Spark IO errors carry paths and multi-line causes)
+    * must not render the emitted JSON unparseable — the bench_rows
+    * artifact exists for mechanical cross-round comparison. */
+  private[graft] def jsonStr(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -43,13 +54,13 @@ object Bench {
       }
       (name, runs.map(_._1).min, runs.flatMap(_._2).headOption)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + jsonStr(k) + "\":" + v }
       .mkString("{", ",", "}")
     // failed queries are reported, not silently timed as if they ran
     val errs = results.collect { case (k, _, Some(e)) =>
-      "\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
+      "\"" + jsonStr(k) + "\":\"" + jsonStr(e) + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"sf":"${jsonStr(sfDir)}"}"""
     println(line)
     // tail-proof headline: the driver captures only stdout's tail, and
     // the big line above head-truncates once the per-query map outgrows
@@ -77,12 +88,13 @@ object Bench {
           .maxOption.map(n => f"${n + 1}%02d").getOrElse("dev")
       }
       val rows = results.map { case (k, v, e) =>
-        s"""    "$k": {"sec": $v${e.fold("")(x => s""", "err": "$x"""")}}"""
+        s"""    "${jsonStr(k)}": {"sec": $v${
+          e.fold("")(x => s""", "err": "${jsonStr(x)}"""")}}"""
       }.mkString("{\n", ",\n", "\n  }")
       val body =
         s"""{
-           |  "round": "$round",
-           |  "sf": "$sfDir",
+           |  "round": "${jsonStr(round)}",
+           |  "sf": "${jsonStr(sfDir)}",
            |  "reps": $reps,
            |  "total_sec": $total,
            |  "n_queries": ${results.size},

@@ -629,10 +629,11 @@ object ScaleProbe {
         clusterBy = Seq("transaction_hash"))
       println(f"""{"probe":"cluster_compact","k":$k,"sec":${(System.nanoTime() - t3) / 1e9}%.2f,""" +
         f""""chains_rewritten":$nCl}""")
+      val t3b = System.nanoTime()
       val stc = lake.upsert(
         nfpSeg(0, orders0.filter(pmod(col("o_orderkey"), lit(10)) === 6)),
         Schemas.Nfp, Seq("chain_name", "transaction_hash"))
-      println(f"""{"probe":"upsert_after_cluster","k":$k,"sec":0.0,""" +
+      println(f"""{"probe":"upsert_after_cluster","k":$k,"sec":${(System.nanoTime() - t3b) / 1e9}%.2f,""" +
         f""""chain_files":${stc.chainFiles},"touched_files":${stc.touchedFiles}}""")
       // pruned reads over the clustered table, from a FRESH Lake
       // instance: planning must come from the persisted sidecar (zero

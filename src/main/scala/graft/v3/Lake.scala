@@ -217,6 +217,16 @@ class Lake(spark: SparkSession, val root: String) {
     var tries = 0
     while (tries < 8) {
       val v = schemaVersions(table).lastOption.map(_._1).getOrElse(0L) + 1
+      // a lost race means the schema the caller validated against is no
+      // longer current: re-validate `next` against the racing WINNER's
+      // schema before re-writing, else this commit could silently omit
+      // a column the winner just added (dropping it from the effective
+      // schema). Identical schema = the winner already committed it.
+      if (tries > 0) {
+        val cur = effectiveSchema(table)
+        if (next == cur) return v - 1
+        validateEvolution(table, Some(cur), next)
+      }
       val tmp = new Path(d, s".tmp-${java.util.UUID.randomUUID()}")
       val out = fs.create(tmp, false)
       try out.write(next.json.getBytes("UTF-8")) finally out.close()
@@ -762,8 +772,13 @@ class Lake(spark: SparkSession, val root: String) {
     if (fresh.nonEmpty)
       writeStatsShard(table, fresh.map(f =>
         statsLine(relOf(table, f._2), f._3, column, f._4)))
+    // a hit's value can vanish between the partition above and this
+    // read (footerRangeCached clears the cache past its bound, possibly
+    // on a concurrent planning thread) — re-read the footer on null
+    // instead of surfacing a MatchError to the planner
     (hit.map(f => f._2 ->
-        rangeCache.get(rangeKey(f._2, f._3, column))) ++
+        Option(rangeCache.get(rangeKey(f._2, f._3, column)))
+          .getOrElse(footerRangeCached(f._2, f._3, column))) ++
       fresh.map(f => f._2 -> f._4)).toMap
   }
 
@@ -911,6 +926,19 @@ class Lake(spark: SparkSession, val root: String) {
             nullDataKeys += r.getLong(4)
             r.getString(0) -> ((r.getLong(1), asCmp(r.get(2)),
               asCmp(r.get(3))))
+          }.toMap
+      else if (dataKeys.nonEmpty)
+        // non-prunable key types (decimal, timestamp, binary, …) still
+        // need the null-key guard: without counting nulls HERE the
+        // require below passes vacuously and a null-keyed row silently
+        // duplicates itself every batch (it never equi-joins)
+        updates.groupBy(col("chain_name"))
+          .agg(sum(when(col(dataKeys.head).isNull, 1L).otherwise(0L))
+            .as("__nulls"))
+          .collect()
+          .map { r =>
+            nullDataKeys += r.getLong(1)
+            r.getString(0) -> ((0L, null: Any, null: Any))
           }.toMap
       else updates.select(col("chain_name")).distinct().collect()
         .map(_.getString(0) -> ((0L, null: Any, null: Any))).toMap
