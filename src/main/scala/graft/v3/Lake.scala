@@ -39,6 +39,13 @@ object Lake {
   /** Accounting for one [[Lake.vacuum]] run. */
   case class VacuumStats(manifestsDeleted: Int, filesDeleted: Int,
                          bytesFreed: Long)
+
+  /** A write lost the optimistic-concurrency race: another writer's
+    * commit retired files this write had planned against. The write
+    * changed NOTHING (staged output discarded, no manifest published);
+    * re-plan against the current table state and retry. */
+  class ConcurrentWriteException(msg: String)
+    extends java.io.IOException(msg)
 }
 
 class Lake(spark: SparkSession, val root: String) {
@@ -72,27 +79,95 @@ class Lake(spark: SparkSession, val root: String) {
 
   /** Schema-enforced read; empty (correctly-typed) frame if the table
     * has no data yet. Filters pushed by callers reach the parquet scan
-    * (predicate pushdown + partition pruning). */
+    * (predicate pushdown + partition pruning). Manifest-backed tables
+    * plan through a [[graft.plans.ManifestFileIndex]] — partition
+    * values, paths and sizes come from the manifest, so the driver
+    * performs ZERO filesystem listings or stats to plan the scan;
+    * only the fallback (tables never written through this API) lets
+    * Spark list the directory. */
   def read(table: String): DataFrame = {
     val schema = effectiveSchema(table)
-    if (!exists(table))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
-      inSchemaOrder(spark.read.schema(schema)
-        .option("basePath", dir(table))
-        .parquet(dir(table)), schema)
+    manifestInventory(table) match {
+      case Some(inv) => readEntries(table, inv, schema)
+      case None =>
+        if (!exists(table))
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else
+          inSchemaOrder(spark.read.schema(schema)
+            .option("basePath", dir(table))
+            .parquet(dir(table)), schema)
+    }
   }
+
+  /** Plan a scan over exactly `entries` from manifest metadata (no
+    * driver-side filesystem access). */
+  private def readEntries(table: String,
+                          entries: Seq[(String, String, Long)],
+                          schema: StructType): DataFrame =
+    if (entries.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else inSchemaOrder(graft.plans.ManifestFileIndex.relation(
+      spark, new Path(dir(table)), entries, schema, "chain_name"), schema)
 
   /** Append one ingested segment: the caller's partitioning lands as
     * part files under each chain directory (the segment-capped ingest
     * loop writes one bounded, single-chain segment at a time, so file
     * counts stay proportional to segments); the accumulated
-    * small-files cost is [[compact]]'s job, not the write path's. */
-  def append(df: DataFrame, table: String): Unit =
-    df.write.mode("append")
+    * small-files cost is [[compact]]'s job, not the write path's.
+    *
+    * Writes stage under `_tmp` and land by rename inside a manifest
+    * transaction — the appended files enter the table's manifest in
+    * the same commit that makes them visible, so readers never need a
+    * listing AND a torn append (crash mid-write) is invisible instead
+    * of half-visible. Appends remove nothing, so they can never lose
+    * the optimistic-concurrency race — concurrent appends serialize on
+    * the commit lock and both land. */
+  def append(df: DataFrame, table: String): Unit = {
+    val tmp = stagingDir(s"append-$table")
+    df.write.mode("overwrite")
       .options(writeOptions(table))
       .partitionBy("chain_name")
-      .parquet(dir(table))
+      .parquet(tmp.toString)
+    try landPartitioned(tmp, table, "part", "append", removedAbs = Seq.empty)
+    finally fs.delete(tmp, true)
+    ()
+  }
+
+  /** Land a `partitionBy("chain_name")`-staged directory into the
+    * table inside one manifest transaction: each staged chain dir
+    * renames in via [[landStaged]]; any failure rolls back every chain
+    * landed so far and aborts with nothing published. Shared by
+    * [[append]] and [[upsert]]. */
+  private def landPartitioned(tmp: Path, table: String, prefix: String,
+                              what: String, removedAbs: Seq[String])
+      : Seq[(String, Long)] = {
+    val stagedParts =
+      if (!fs.exists(tmp)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(tmp).filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith("chain_name="))
+    preCommitHook()
+    manifestTxn(table, what, removedAbs) {
+      val landed = scala.collection.mutable.ArrayBuffer.empty[(Path, Long)]
+      val allLanded = stagedParts.forall { part =>
+        // the staged dir name is already Hive-escaped by Spark's write
+        // - reuse it verbatim as the target dir name
+        val chainDir = part.getPath.getName
+        landStaged(part.getPath,
+            new Path(s"${dir(table)}/$chainDir"), prefix) match {
+          case Some(ps) => landed ++= ps; true
+          case None => false
+        }
+      }
+      if (!allLanded) { // roll back, leave the table untouched
+        landed.foreach(p => fs.delete(p._1, false))
+        throw new java.io.IOException(
+          s"write to $table failed to land staged files - rolled back")
+      }
+      landed.toSeq.map { case (p, b) => (relOf(table, p.toString), b) }
+    }
+  }
 
   // ── Schema evolution ───────────────────────────────────────────────
   //
@@ -329,7 +404,14 @@ class Lake(spark: SparkSession, val root: String) {
     * chains' rows with it (SURVEY.md §7.4 bug list). */
   def dropChain(table: String, chain: String): Boolean = {
     val p = new Path(s"${dir(table)}/chain_name=${escapeChain(chain)}")
-    fs.exists(p) && fs.delete(p, true)
+    if (!fs.exists(p)) return false
+    if (hasManifest(table)) {
+      val removed = fileInventory(table).filter(_._1 == chain).map(_._2)
+      manifestTxn(table, "dropChain", removed) {
+        fs.delete(p, true); Seq.empty
+      }
+      true
+    } else fs.delete(p, true)
   }
 
   /** Drop a whole table (its snapshot manifests and retired files go
@@ -338,19 +420,32 @@ class Lake(spark: SparkSession, val root: String) {
   def dropTable(table: String): Boolean = {
     val p = new Path(dir(table))
     Seq(snapDir(table), retiredDir(table), statsDir(table),
-        schemaDir(table), propsDir(table))
+        schemaDir(table), propsDir(table), manifestDir(table))
       .foreach(d => if (fs.exists(d)) fs.delete(d, true))
     statsLoaded.remove(table)
     fs.exists(p) && fs.delete(p, true)
   }
 
-  /** Per-file inventory of one table: (chain_name, path, bytes). The
-    * small-files problem is what incremental appends produce — every
-    * ingest segment lands its own part files, and a year of 200k-row
-    * pulls leaves thousands of KB-scale files whose open/footer cost
-    * dominates scans. */
-  def fileInventory(table: String): Seq[(String, String, Long)] = {
+  /** Per-file inventory of one table: (chain_name, path, bytes) —
+    * served from the latest committed [[latestManifest manifest]] when
+    * one exists (every Lake write commits one), falling back to a
+    * recursive listing ONLY for tables never written through this API.
+    * The small-files problem is what incremental appends produce —
+    * every ingest segment lands its own part files, and a year of
+    * 200k-row pulls leaves thousands of KB-scale files whose
+    * open/footer cost dominates scans; the LISTING of those files is
+    * the other half of that cost at fleet scale, which is why planning
+    * reads the manifest, never the directory. */
+  def fileInventory(table: String): Seq[(String, String, Long)] =
+    manifestInventory(table).getOrElse(listInventory(table))
+
+  /** The recursive-listing fallback — O(files) filesystem metadata
+    * calls, the exact cost the manifest exists to remove. [[listCalls]]
+    * counts invocations so specs and probes can assert a warm,
+    * manifest-backed table plans with ZERO of these. */
+  private[v3] def listInventory(table: String): Seq[(String, String, Long)] = {
     if (!exists(table)) return Seq.empty
+    listCalls.incrementAndGet()
     val it = fs.listFiles(new Path(dir(table)), true)
     val out = Seq.newBuilder[(String, String, Long)]
     while (it.hasNext) {
@@ -358,14 +453,209 @@ class Lake(spark: SparkSession, val root: String) {
       val p = f.getPath.toString
       if (f.isFile && !f.getPath.getName.startsWith("_") &&
           !f.getPath.getName.startsWith(".")) {
-        val chain = p.split('/').collectFirst {
-          case seg if seg.startsWith("chain_name=") =>
-            unescapeChain(seg.stripPrefix("chain_name="))
-        }.getOrElse("")
-        out += ((chain, p, f.getLen))
+        out += ((chainOfRel(p), p, f.getLen))
       }
     }
     out.result().sortBy(t => (t._1, t._2))
+  }
+
+  // ── File manifest: the table's commit log ──────────────────────────
+  //
+  // One versioned file under $root/_manifest/$table listing the
+  // table's live data files (table-relative path + byte length). Every
+  // write path — append, upsert, compact, clusterCompact, dropChain —
+  // publishes the next version under the table's COMMIT LOCK, so the
+  // manifest is the single source of truth for reads and planning:
+  // [[read]] plans through a [[graft.plans.ManifestFileIndex]] (zero
+  // filesystem calls), [[fileInventory]] parses one small file instead
+  // of walking the tree, and per-batch CDC planning never lists. The
+  // recursive listing survives only as the fallback for tables no Lake
+  // write has touched (first write ADOPTS: base inventory = one final
+  // listing, then never again). A table written by a FOREIGN writer
+  // after adoption needs [[refreshManifest]] — the manifest is
+  // authoritative, exactly as in the published table formats.
+  //
+  // CONCURRENCY — optimistic multi-writer: the commit lock serializes
+  // the land+publish step only; planning and staging run unlocked. A
+  // rewrite declares the files it read (`removed`); under the lock it
+  // verifies every one is still in the CURRENT manifest and fails with
+  // [[Lake.ConcurrentWriteException]] if a concurrent commit retired
+  // any (overlapping file sets = a real merge conflict; the loser
+  // re-plans and retries). Disjoint writers commit in either order —
+  // each publishes current-manifest − its-removed + its-added, so the
+  // winner's files survive the loser's publish. This replaces the
+  // former "single writer per table assumed" contract.
+  //
+  // CRASH WINDOWS: a writer that dies after landing but before
+  // publishing leaves its landed files as manifest-ORPHANS — invisible
+  // to every reader (the manifest never named them), swept by
+  // [[vacuum]]'s opt-in orphan sweep. A writer that dies holding the
+  // commit lock leaves a stale lock that the next writer BREAKS after
+  // `staleLockMs`. Both are strictly better than the bare-parquet
+  // window this replaces, where a crash mid-rewrite exposed duplicate
+  // rows to readers.
+
+  /** Recursive-listing fallbacks performed by this Lake instance —
+    * specs assert ZERO on warm manifest-backed tables (the
+    * [[footerReads]] pattern, applied to the metadata path). */
+  val listCalls = new java.util.concurrent.atomic.AtomicLong
+
+  private def manifestDir(table: String) = new Path(s"$root/_manifest/$table")
+
+  /** How long a commit lock may sit before a new writer presumes its
+    * holder crashed and breaks it. */
+  private val staleLockMs = 3600000L
+
+  private def manifestVersions(table: String): Seq[Long] = {
+    val d = manifestDir(table)
+    if (!fs.exists(d)) return Seq.empty
+    fs.listStatus(d).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".txt"))
+      .map(n => n.stripPrefix("v").stripSuffix(".txt").toLong)
+      .sorted
+  }
+
+  def hasManifest(table: String): Boolean = manifestVersions(table).nonEmpty
+
+  /** Latest committed manifest: (version, entries as (relPath, bytes)).
+    * Line format `relB64 TAB bytes` — base64 keeps arbitrary partition
+    * values (already Hive-escaped, but belt and braces) unambiguous. */
+  private[v3] def latestManifest(table: String)
+      : Option[(Long, Seq[(String, Long)])] =
+    manifestVersions(table).lastOption.map { v =>
+      val p = new Path(manifestDir(table), f"v$v%09d.txt")
+      val in = fs.open(p)
+      val body = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+      (v, body.split("\n").toSeq.filter(_.nonEmpty).map { l =>
+        val i = l.indexOf('\t')
+        (new String(unb64(l.substring(0, i)), "UTF-8"),
+          l.substring(i + 1).toLong)
+      })
+    }
+
+  /** Partition value parsed from a path (manifest-relative or
+    * absolute): the `chain_name=` segment, Hive-unescaped. */
+  private def chainOfRel(path: String): String =
+    path.split('/').collectFirst {
+      case seg if seg.startsWith("chain_name=") =>
+        unescapeChain(seg.stripPrefix("chain_name="))
+    }.getOrElse("")
+
+  /** Manifest-served inventory in [[fileInventory]]'s shape (qualified
+    * absolute paths — callers strip against a qualified base). */
+  private[v3] def manifestInventory(table: String)
+      : Option[Seq[(String, String, Long)]] =
+    latestManifest(table).map(_._2.map { case (rel, bytes) =>
+      (chainOfRel(rel),
+        fs.makeQualified(new Path(s"${dir(table)}/$rel")).toString, bytes)
+    }.sortBy(t => (t._1, t._2)))
+
+  /** Acquire the table's commit lock (create-exclusive file). Waits a
+    * bounded time for a live holder; breaks locks older than
+    * [[staleLockMs]] (crashed writer). */
+  private def acquireCommitLock(table: String,
+                                waitMs: Long = 30000L): Path = {
+    val d = manifestDir(table)
+    fs.mkdirs(d)
+    val lock = new Path(d, ".commit.lock")
+    val deadline = System.currentTimeMillis() + waitMs
+    while (true) {
+      val claimed =
+        try { fs.create(lock, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      if (claimed) return lock
+      val holder =
+        try Option(fs.getFileStatus(lock))
+        catch { case _: java.io.FileNotFoundException => None }
+      holder match {
+        case Some(st) if System.currentTimeMillis() - st.getModificationTime >
+            staleLockMs =>
+          fs.delete(lock, false) // crashed writer: break the claim
+        case Some(_) =>
+          if (System.currentTimeMillis() > deadline)
+            throw new Lake.ConcurrentWriteException(
+              s"commit lock of $table held beyond ${waitMs}ms - another " +
+                "writer is mid-commit; retry")
+          Thread.sleep(50)
+        case None => () // released between attempts: retry immediately
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Publish `entries` as the next manifest version (caller holds the
+    * commit lock). Write-temp-then-rename so readers never observe a
+    * torn manifest; old versions beyond a short post-mortem tail are
+    * GC'd — manifests are planning state, TIME TRAVEL is [[snapshot]]'s
+    * job. */
+  private def publishManifest(table: String,
+                              entries: Seq[(String, Long)]): Long = {
+    val d = manifestDir(table)
+    val v = manifestVersions(table).lastOption.getOrElse(0L) + 1
+    val body = entries.sortBy(_._1).map { case (rel, b) =>
+      s"${b64(rel.getBytes("UTF-8"))}\t$b"
+    }.mkString("\n")
+    val tmp = new Path(d, s".m-tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, new Path(d, f"v$v%09d.txt"))) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"manifest publish of $table v$v failed to rename into place")
+    }
+    manifestVersions(table).dropRight(4).foreach(old =>
+      fs.delete(new Path(d, f"v$old%09d.txt"), false))
+    v
+  }
+
+  /** Test/probe seam: runs after a write has staged its output but
+    * before it takes the commit lock — the window a concurrent writer
+    * races in. */
+  private[v3] var preCommitHook: () => Unit = () => ()
+
+  /** One serialized manifest transaction: under the table's commit
+    * lock, (1) re-read the CURRENT manifest (or adopt via one final
+    * listing for a manifest-less table), (2) verify every file this
+    * write read is still live — [[Lake.ConcurrentWriteException]]
+    * otherwise, before anything lands, (3) run `land` (the renames
+    * into the table), (4) publish current − removed + added. Returns
+    * the added entries. `land` throwing aborts the transaction with
+    * nothing published. */
+  private def manifestTxn(table: String, what: String,
+                          removedAbs: Seq[String])
+                         (land: => Seq[(String, Long)])
+      : Seq[(String, Long)] = {
+    val lock = acquireCommitLock(table)
+    try {
+      val base: Seq[(String, Long)] = latestManifest(table).map(_._2)
+        .getOrElse(listInventory(table).map(f => (relOf(table, f._2), f._3)))
+      val removedRel = removedAbs.map(relOf(table, _))
+      val baseSet = base.map(_._1).toSet
+      val gone = removedRel.filterNot(baseSet)
+      if (gone.nonEmpty) throw new Lake.ConcurrentWriteException(
+        s"$what of $table conflicts with a concurrent commit - " +
+          s"${gone.size} file(s) this write planned against were " +
+          s"already retired by another writer (re-plan and retry): " +
+          gone.take(3).mkString(", "))
+      val added = land
+      val removedSet = removedRel.toSet
+      publishManifest(table,
+        base.filterNot(e => removedSet(e._1)) ++ added)
+      added
+    } finally fs.delete(lock, false)
+  }
+
+  /** Re-derive the manifest from a full listing and commit it — the
+    * escape hatch for tables a FOREIGN writer appended to behind the
+    * manifest's back (the manifest is otherwise authoritative: files
+    * it doesn't name are invisible to reads and planning). */
+  def refreshManifest(table: String): Long = {
+    val lock = acquireCommitLock(table)
+    try publishManifest(table,
+      listInventory(table).map(f => (relOf(table, f._2), f._3)))
+    finally fs.delete(lock, false)
   }
 
   /** Deterministic compaction plan: group each chain's files into
@@ -406,9 +696,12 @@ class Lake(spark: SparkSession, val root: String) {
   // the next rewrite). fs.rename signals failure by RETURNING false
   // on HDFS (cross-fs moves, permissions) rather than throwing;
   // landing is all-or-nothing BEFORE any original is deleted, else a
-  // failed rename would silently lose rows. Crash window between land
-  // and delete: duplicate rows visible — the documented bare-parquet
-  // window; real deployments put an ACID format underneath.
+  // failed rename would silently lose rows. Landing runs inside a
+  // manifest transaction: readers see the old file set until the
+  // manifest publishes, the new set after — a crash anywhere between
+  // leaves invisible orphans (vacuum's sweep), never visible
+  // duplicates. Only manifest-LESS foreign tables retain the bare
+  // land-then-delete window.
 
   /** Fresh staging dir outside the table directory. */
   private def stagingDir(tag: String): Path =
@@ -417,24 +710,26 @@ class Lake(spark: SparkSession, val root: String) {
   /** Rename every staged `.parquet` under `tmp` into `tgtDir` with
     * stamped `prefix` names. All-or-nothing: on any rename failure the
     * files landed so far are rolled back and None is returned (the
-    * staging dir is deleted either way). */
+    * staging dir is deleted either way). Returns landed (path, bytes)
+    * — the byte lengths feed the manifest commit, captured from the
+    * staging listing so landing costs no extra stat calls. */
   private def landStaged(tmp: Path, tgtDir: Path,
-                         prefix: String): Option[Seq[Path]] = {
+                         prefix: String): Option[Seq[(Path, Long)]] = {
     fs.mkdirs(tgtDir)
     val stamp = System.nanoTime()
     var i = 0
-    val landed = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val landed = scala.collection.mutable.ArrayBuffer.empty[(Path, Long)]
     val allRenamed = fs.listStatus(tmp)
       .filter(_.getPath.getName.endsWith(".parquet"))
       .forall { st =>
         val dst = new Path(tgtDir, f"$prefix-$stamp-$i%05d.parquet")
         i += 1
         val ok = fs.rename(st.getPath, dst)
-        if (ok) landed += dst
+        if (ok) landed += ((dst, st.getLen))
         ok
       }
     if (!allRenamed) {
-      landed.foreach(p => fs.delete(p, false))
+      landed.foreach(p => fs.delete(p._1, false))
       fs.delete(tmp, true)
       None
     } else {
@@ -443,19 +738,22 @@ class Lake(spark: SparkSession, val root: String) {
     }
   }
 
-  /** Remove replaced originals after a successful landing, either by
-    * retention ([[retire]]) or by CHECKED delete — an undeleted
-    * original leaves both versions of its rows live (silent
-    * duplicates), so failures throw naming the leftovers. */
+  /** Remove replaced originals after the manifest commit, either by
+    * retention ([[retire]]) or by CHECKED delete. Manifest-backed
+    * readers already stopped seeing these files at commit (the new
+    * manifest doesn't name them), so an undeleted leftover is an
+    * invisible ORPHAN, not a visible duplicate — but orphans cost
+    * storage and would resurface through [[refreshManifest]], so
+    * failures still throw naming the leftovers. */
   private def removeReplaced(table: String, what: String,
                              paths: Seq[String], retain: Boolean): Unit =
     if (retain) retire(table, paths)
     else {
       val undeleted = paths.filterNot(p => fs.delete(new Path(p), false))
       if (undeleted.nonEmpty) throw new java.io.IOException(
-        s"$what of $table landed but ${undeleted.size} replaced " +
-          s"file(s) could not be deleted - duplicate rows are visible " +
-          s"until they are removed: ${undeleted.take(3).mkString(", ")}")
+        s"$what of $table committed but ${undeleted.size} replaced " +
+          s"file(s) could not be deleted - invisible to manifest " +
+          s"readers but orphaned on disk: ${undeleted.take(3).mkString(", ")}")
     }
 
   /** Execute a compaction plan for one table: rewrite each multi-file
@@ -483,12 +781,17 @@ class Lake(spark: SparkSession, val root: String) {
         .parquet(tmp.toString)
       val tgtDir =
         new Path(s"${dir(table)}/chain_name=${escapeChain(chain)}")
-      landStaged(tmp, tgtDir, "compacted") match {
-        case None => // bin skipped, originals intact — never data loss
-        case Some(_) =>
-          removeReplaced(table, "compaction", paths, retain)
-          rewritten += 1
+      manifestTxn(table, "compaction", paths) {
+        landStaged(tmp, tgtDir, "compacted") match {
+          case None => throw new java.io.IOException(
+            s"compaction of $table failed to land staged files for " +
+              s"chain $chain - aborted with originals intact")
+          case Some(fl) =>
+            fl.map { case (p, b) => (relOf(table, p.toString), b) }
+        }
       }
+      removeReplaced(table, "compaction", paths, retain)
+      rewritten += 1
     }
     rewritten
   }
@@ -539,12 +842,17 @@ class Lake(spark: SparkSession, val root: String) {
         .parquet(tmp.toString)
       val tgtDir =
         new Path(s"${dir(table)}/chain_name=${escapeChain(chain)}")
-      landStaged(tmp, tgtDir, "clustered") match {
-        case None => // chain left unclustered, originals intact
-        case Some(_) =>
-          removeReplaced(table, "clustering", paths, retain)
-          rewritten += 1
+      manifestTxn(table, "clustering", paths) {
+        landStaged(tmp, tgtDir, "clustered") match {
+          case None => throw new java.io.IOException(
+            s"clustering of $table failed to land staged files for " +
+              s"chain $chain - aborted with originals intact")
+          case Some(fl) =>
+            fl.map { case (p, b) => (relOf(table, p.toString), b) }
+        }
       }
+      removeReplaced(table, "clustering", paths, retain)
+      rewritten += 1
       }
     }
     rewritten
@@ -841,13 +1149,13 @@ class Lake(spark: SparkSession, val root: String) {
     * opened and remains byte-identical. Rewrite I/O therefore tracks
     * the number of touched files (≈ batch key spread), not table or
     * partition size. The merged output stages into a temp dir and
-    * lands via the [[compact]] rename protocol (no dynamic partition
-    * overwrite, no extra localCheckpoint materialization); the
-    * original touched files are deleted only after ALL staged files
-    * land. Crash window: land-then-delete is not atomic on a bare
-    * parquet lake — between the two an identical-key duplicate is
-    * visible, the same documented window as [[compact]]; real
-    * deployments put an ACID table format underneath. NOTE: like
+    * lands inside one MANIFEST TRANSACTION (no dynamic partition
+    * overwrite, no extra localCheckpoint materialization): the commit
+    * that renames the staged files in also publishes the manifest
+    * naming exactly the new file set, so manifest-backed readers
+    * switch atomically — the old land-then-delete duplicate window no
+    * longer exists for them (a crash before publish leaves only
+    * invisible orphans; see [[vacuum]]). NOTE: like
     * compaction, an upsert rewrites files that earlier snapshot
     * manifests name — [[readAt]]/[[readSince]] over older versions
     * fail loudly afterwards (see the snapshot invalidation contract).
@@ -873,12 +1181,15 @@ class Lake(spark: SparkSession, val root: String) {
     * expensive lineage should localCheckpoint it first
     * ([[graft.streaming.Streaming.upsertStream]] does).
     *
-    * CONCURRENCY: single writer per table assumed — a bare parquet
-    * lake has no commit log to arbitrate two upserts racing the same
-    * files (both would rewrite, last delete wins, one merge lost).
-    * Writes in this engine are driver-sequential; multi-writer
-    * deployments need the ACID formats' optimistic commit protocol
-    * layered on, exactly as [[snapshot]]'s store contract notes. */
+    * CONCURRENCY — optimistic multi-writer: the manifest transaction
+    * verifies, under the table's commit lock, that every touched file
+    * is still live; a concurrent commit that retired any of them makes
+    * THIS merge stale, so it aborts with
+    * [[Lake.ConcurrentWriteException]] and nothing landed (re-plan and
+    * retry). Disjoint-file upserts commit in either order. A loser
+    * whose staging scan raced the winner's post-commit delete can also
+    * surface a file-not-found from the scan itself — equally loud,
+    * same remedy. */
   /** `retain = true` moves the rewritten-away files into the retention
     * area instead of deleting them, keeping pre-upsert snapshots
     * READABLE ([[readAt]]) until [[vacuum]] expires them. */
@@ -1066,36 +1377,21 @@ class Lake(spark: SparkSession, val root: String) {
     val merged = survivors.select(cols: _*)
       .unionByName(inserts.select(insertCols: _*))
 
-    // ── land: stage to a temp dir, rename in, then drop originals ──
+    // ── land + commit: one manifest transaction ──
+    // Stage to a temp dir (unlocked — the expensive distributed write
+    // happens outside the commit lock), then under the lock: verify
+    // the touched files are still live (optimistic-concurrency check —
+    // a concurrent upsert that rewrote any of them makes this merge
+    // stale, so it aborts with NOTHING landed), land by rename, and
+    // publish the manifest naming exactly the new file set.
     val tmp = stagingDir(s"upsert-$table")
     merged.write.mode("overwrite").options(writeOptions(table))
       .partitionBy("chain_name")
       .parquet(tmp.toString)
-    val stagedParts =
-      if (!fs.exists(tmp)) Array.empty[org.apache.hadoop.fs.FileStatus]
-      else fs.listStatus(tmp).filter(_.isDirectory)
-        .filter(_.getPath.getName.startsWith("chain_name="))
-    // multi-partition landing: each staged chain dir lands via the
-    // shared protocol; a failure rolls back EVERY chain landed so far
-    // so the table is left untouched
-    val landed = scala.collection.mutable.ArrayBuffer.empty[Path]
-    val allLanded = stagedParts.forall { part =>
-      // the staged dir name is already Hive-escaped by Spark's write -
-      // reuse it verbatim as the target dir name
-      val chainDir = part.getPath.getName
-      landStaged(part.getPath,
-          new Path(s"${dir(table)}/$chainDir"), "upsert") match {
-        case Some(ps) => landed ++= ps; true
-        case None => false
-      }
-    }
-    if (!allLanded) { // roll back, leave the table untouched
-      landed.foreach(p => fs.delete(p, false))
-      fs.delete(tmp, true)
-      throw new java.io.IOException(
-        s"upsert of $table failed to land staged files - rolled back")
-    }
-    fs.delete(tmp, true)
+    val added =
+      try landPartitioned(tmp, table, "upsert", "upsert",
+        removedAbs = touched.map(_._2))
+      finally fs.delete(tmp, true)
     removeReplaced(table, "upsert", touched.map(_._2), retain)
     // a chain whose files were all touched and produced no output is
     // now an empty directory — drop it so partition discovery stays
@@ -1107,7 +1403,7 @@ class Lake(spark: SparkSession, val root: String) {
         fs.delete(p, true)
     }
     UpsertStats(chainFiles.size, touched.size,
-      touched.map(_._3).sum, landed.size)
+      touched.map(_._3).sum, added.size)
   }
 
   // ── Pruned reads: query-side file skipping ─────────────────────────
@@ -1219,13 +1515,10 @@ class Lake(spark: SparkSession, val root: String) {
         case r => keep(r)
       }) && fileKeep(path, bytes) // bloom test only on range survivors
     }
-    val df =
-      if (scanned.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else inSchemaOrder(spark.read.schema(schema)
-        .option("basePath", dir(table))
-        .parquet(scanned.map(_._2): _*), schema)
+    // the scanned subset reads through the manifest index too: the
+    // driver already knows (chain, path, bytes) for every survivor, so
+    // Spark plans the scan without touching the filesystem
+    val df = readEntries(table, scanned, schema)
     (df.filter(residual),
       ScanStats(files.size, scanned.size, scanned.map(_._3).sum,
         files.map(_._3).sum))
@@ -1357,19 +1650,28 @@ class Lake(spark: SparkSession, val root: String) {
     * if the table keeps changing across 8 passes the snapshot fails
     * loudly rather than committing an arbitrary cut. */
   def snapshot(table: String): Long = {
-    val base = fs.makeQualified(new Path(dir(table))).toString
-    def listing(): Seq[String] = fileInventory(table).map(_._2)
-      .map(_.stripPrefix(base).stripPrefix("/"))
-      .sorted
-    var files = listing()
-    var again = listing()
-    var tries = 0
-    while (files != again && tries < 8) {
-      files = again; again = listing(); tries += 1
+    // a manifest IS a stable listing (one atomic file, committed under
+    // the table lock) — pin its file set directly; the re-list-until-
+    // stable loop survives only for manifest-less foreign tables,
+    // where a racing writer's half-renamed job commit is observable
+    val files = latestManifest(table) match {
+      case Some((_, entries)) => entries.map(_._1).sorted
+      case None =>
+        val base = fs.makeQualified(new Path(dir(table))).toString
+        def listing(): Seq[String] = listInventory(table).map(_._2)
+          .map(_.stripPrefix(base).stripPrefix("/"))
+          .sorted
+        var fs0 = listing()
+        var again = listing()
+        var tries = 0
+        while (fs0 != again && tries < 8) {
+          fs0 = again; again = listing(); tries += 1
+        }
+        require(fs0 == again,
+          s"table $table is changing beneath snapshot (append in " +
+            "flight) - retry when writes quiesce")
+        fs0
     }
-    require(files == again,
-      s"table $table is changing beneath snapshot (append in flight) - " +
-        "retry when writes quiesce")
     fs.mkdirs(snapDir(table))
     var v = math.max(snapshotVersions(table).lastOption.getOrElse(0L),
       expiredHighWater(table)) + 1
@@ -1553,8 +1855,17 @@ class Lake(spark: SparkSession, val root: String) {
     * also swept — age-based because a FRESH lock may belong to an
     * in-flight commit. Crashed claims otherwise burn their version
     * number forever and accumulate junk in the snapshot dir. */
+  /** `sweepOrphans = true` additionally deletes LIVE-directory data
+    * files the current manifest does not name and that are older than
+    * `staleCommitMs` — the leftovers of a writer that crashed between
+    * landing and publishing (invisible to every manifest reader, but
+    * they cost storage and would resurface via [[refreshManifest]]).
+    * Opt-in because on a table a FOREIGN writer appends to behind the
+    * manifest's back, this would delete that writer's data — call
+    * [[refreshManifest]] first on such tables. */
   def vacuum(table: String, keepLast: Int,
-             staleCommitMs: Long = 3600000L): VacuumStats = {
+             staleCommitMs: Long = 3600000L,
+             sweepOrphans: Boolean = false): VacuumStats = {
     require(keepLast >= 0, "keepLast must be >= 0")
     val versions = snapshotVersions(table)
     val expired = versions.dropRight(keepLast)
@@ -1600,8 +1911,34 @@ class Lake(spark: SparkSession, val root: String) {
           fs.delete(st.getPath, false)
       }
     }
+    // manifest-commit leftovers: a crashed writer's stale commit lock
+    // (would otherwise stall the next writer until IT breaks the
+    // claim) and torn manifest temps
+    if (fs.exists(manifestDir(table))) {
+      val now = System.currentTimeMillis()
+      fs.listStatus(manifestDir(table)).foreach { st =>
+        val n = st.getPath.getName
+        if ((n == ".commit.lock" || n.startsWith(".m-tmp-")) &&
+            now - st.getModificationTime > staleCommitMs)
+          fs.delete(st.getPath, false)
+      }
+    }
     var files = 0
     var bytes = 0L
+    if (sweepOrphans) latestManifest(table).foreach { case (_, entries) =>
+      val live = entries.map(_._1).toSet
+      val now = System.currentTimeMillis()
+      listInventory(table).foreach { case (_, p, len) =>
+        if (!live(relOf(table, p))) {
+          val st = fs.getFileStatus(new Path(p))
+          if (now - st.getModificationTime > staleCommitMs &&
+              fs.delete(st.getPath, false)) {
+            files += 1
+            bytes += len
+          }
+        }
+      }
+    }
     val rdir = retiredDir(table)
     if (fs.exists(rdir)) {
       val base = fs.makeQualified(rdir).toString

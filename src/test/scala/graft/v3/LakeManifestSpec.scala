@@ -1,0 +1,184 @@
+package graft.v3
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The manifest commit log: zero-listing planning, foreign-table
+  * adoption, and optimistic multi-writer conflict detection — the
+  * metadata layer that replaces O(files) directory walks per
+  * query/batch with one small-file read (what the published table
+  * formats exist to do). */
+class LakeManifestSpec extends SparkSpec {
+
+  private def rows(ids: Seq[Int], chain: String = "ethereum",
+                   amt: Int => String = i => s"$i") = {
+    import spark.implicits._
+    ids.map { i =>
+      (chain, "IncreaseLiquidity", f"0xtx$i%05d", 1000L + i, 0L,
+        "0xu1", amt(i), s"${i * 10}", s"${i * 100}", s"$i", 7L)
+    }.toDF("chain_name", "name", "transaction_hash", "block_number",
+      "tx_index", "from_address", "amount", "amount0", "amount1",
+      "tokenId", "log_index")
+  }
+
+  test("a Lake-managed table's whole lifecycle performs ZERO listings") {
+    val root = Files.createTempDirectory("lake-man").toString
+    val lake = new Lake(spark, root)
+    // writes: appends (two chains), CDC upsert, compaction
+    lake.append(rows(0 until 40), Schemas.Nfp)
+    lake.append(rows(100 until 120, chain = "base"), Schemas.Nfp)
+    lake.upsert(rows(0 until 5, amt = i => s"u$i"), Schemas.Nfp,
+      Seq("chain_name", "transaction_hash"))
+    lake.compact(Schemas.Nfp, targetBytes = 1L << 26)
+    // reads + planning: full scan, pruned range read, snapshot
+    assert(lake.read(Schemas.Nfp).count() == 60L)
+    val (df, st) = lake.readRange(Schemas.Nfp, "transaction_hash",
+      "0xtx00000", "0xtx00004")
+    assert(df.count() == 5L && st.files > 0)
+    lake.snapshot(Schemas.Nfp)
+    assert(lake.listCalls.get() == 0L,
+      s"listing fallback ran ${lake.listCalls.get()} time(s) on a " +
+        "manifest-backed lifecycle")
+
+    // a FRESH instance (driver restart) plans warm from the manifest +
+    // sidecar: still zero listings
+    val lake2 = new Lake(spark, root)
+    assert(lake2.read(Schemas.Nfp).count() == 60L)
+    lake2.upsert(rows(5 until 8, amt = i => s"v$i"), Schemas.Nfp,
+      Seq("chain_name", "transaction_hash"))
+    val (df2, _) = lake2.readKeys(Schemas.Nfp, "transaction_hash",
+      Seq("0xtx00005"))
+    assert(df2.collect().map(_.getAs[String]("amount")).toSeq == Seq("v5"))
+    assert(lake2.listCalls.get() == 0L,
+      s"fresh-instance planning listed ${lake2.listCalls.get()} time(s)")
+  }
+
+  test("manifest read sees exactly the committed state after every write kind") {
+    val lake = new Lake(spark,
+      Files.createTempDirectory("lake-man2").toString)
+    lake.append(rows(0 until 10), Schemas.Nfp)
+    lake.append(rows(10 until 20), Schemas.Nfp)
+    lake.upsert(rows(3 until 6).withColumn("__del", lit(true)),
+      Schemas.Nfp, Seq("chain_name", "transaction_hash"),
+      deleteCol = Some("__del"))
+    lake.clusterCompact(Schemas.Nfp, targetBytes = 1L << 16,
+      clusterBy = Seq("transaction_hash"))
+    val got = lake.read(Schemas.Nfp)
+      .select("transaction_hash").collect().map(_.getString(0)).sorted
+    val want = ((0 until 3) ++ (6 until 20)).map(i => f"0xtx$i%05d")
+    assert(got.toSeq == want, s"rows diverged: ${got.toSeq}")
+    // dropChain commits too: the manifest-backed read reflects it
+    lake.append(rows(50 until 55, chain = "base"), Schemas.Nfp)
+    assert(lake.dropChain(Schemas.Nfp, "base"))
+    assert(lake.read(Schemas.Nfp)
+      .filter(col("chain_name") === "base").count() == 0L)
+    // and the manifest matches what is physically on disk
+    val inv = lake.fileInventory(Schemas.Nfp)
+    val listed = lake.listInventory(Schemas.Nfp)
+    assert(inv == listed,
+      s"manifest diverged from disk:\n  manifest=$inv\n  listed=$listed")
+  }
+
+  test("foreign tables fall back to listing; refreshManifest adopts them") {
+    val root = Files.createTempDirectory("lake-man3").toString
+    val lake = new Lake(spark, root)
+    // a foreign writer (plain Spark) populates the table directory
+    rows(0 until 12).write.partitionBy("chain_name")
+      .parquet(s"$root/${Schemas.Nfp}")
+    assert(!lake.hasManifest(Schemas.Nfp))
+    assert(lake.read(Schemas.Nfp).count() == 12L) // listing fallback
+    val before = lake.listCalls.get()
+    lake.refreshManifest(Schemas.Nfp) // one final listing, then never
+    assert(lake.listCalls.get() == before + 1)
+    assert(lake.hasManifest(Schemas.Nfp))
+    val after = lake.listCalls.get()
+    assert(lake.read(Schemas.Nfp).count() == 12L)
+    lake.snapshot(Schemas.Nfp)
+    assert(lake.listCalls.get() == after, "post-adoption read listed")
+  }
+
+  test("overlapping-file upserts: the loser fails loudly, nothing landed") {
+    val root = Files.createTempDirectory("lake-man4").toString
+    val writerA = new Lake(spark, root)
+    val writerB = new Lake(spark, root)
+    writerA.append(rows(0 until 20).coalesce(1), Schemas.Nfp)
+    // B plans + stages against the current manifest; in its
+    // pre-commit window A's conflicting upsert (same single file)
+    // commits first
+    writerB.preCommitHook = () => {
+      writerA.upsert(rows(0 until 3, amt = i => s"A$i"), Schemas.Nfp,
+        Seq("chain_name", "transaction_hash"))
+      writerB.preCommitHook = () => () // A's own landing must not recurse
+    }
+    val e = intercept[Lake.ConcurrentWriteException] {
+      writerB.upsert(rows(5 until 8, amt = i => s"B$i"), Schemas.Nfp,
+        Seq("chain_name", "transaction_hash"))
+    }
+    assert(e.getMessage.contains("concurrent"), e.getMessage)
+    // table state = A's merge only; B landed nothing
+    val amounts = writerA.read(Schemas.Nfp)
+      .select("transaction_hash", "amount")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(amounts.size == 20)
+    (0 until 3).foreach(i => assert(amounts(f"0xtx$i%05d") == s"A$i"))
+    (5 until 8).foreach(i => assert(amounts(f"0xtx$i%05d") == s"$i",
+      "loser's rows landed despite the conflict"))
+    // manifest still matches disk exactly (B's staging fully cleaned)
+    assert(writerA.fileInventory(Schemas.Nfp) ==
+      writerA.listInventory(Schemas.Nfp))
+  }
+
+  test("disjoint-file upserts racing the same table BOTH commit") {
+    val root = Files.createTempDirectory("lake-man5").toString
+    val writerA = new Lake(spark, root)
+    val writerB = new Lake(spark, root)
+    writerA.append(rows(0 until 10).coalesce(1), Schemas.Nfp)
+    writerA.append(rows(100 until 110, chain = "base").coalesce(1),
+      Schemas.Nfp)
+    // B (ethereum files) races A (base files): disjoint file sets, so
+    // B's commit must survive A's and preserve A's additions
+    writerB.preCommitHook = () => {
+      writerA.upsert(rows(100 until 103, chain = "base",
+        amt = i => s"A$i"), Schemas.Nfp,
+        Seq("chain_name", "transaction_hash"))
+      writerB.preCommitHook = () => ()
+    }
+    writerB.upsert(rows(0 until 3, amt = i => s"B$i"), Schemas.Nfp,
+      Seq("chain_name", "transaction_hash"))
+    val amounts = writerA.read(Schemas.Nfp)
+      .select("transaction_hash", "amount")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(amounts.size == 20)
+    (100 until 103).foreach(i =>
+      assert(amounts(f"0xtx$i%05d") == s"A$i", "winner's merge lost"))
+    (0 until 3).foreach(i =>
+      assert(amounts(f"0xtx$i%05d") == s"B$i", "loser's merge lost"))
+    assert(writerA.fileInventory(Schemas.Nfp) ==
+      writerA.listInventory(Schemas.Nfp))
+  }
+
+  test("orphans from a crashed commit are invisible and vacuum-sweepable") {
+    val root = Files.createTempDirectory("lake-man6").toString
+    val lake = new Lake(spark, root)
+    lake.append(rows(0 until 10), Schemas.Nfp)
+    // simulate a crash between land and publish: a data file on disk
+    // the manifest never named
+    val dir = new java.io.File(
+      s"$root/${Schemas.Nfp}/chain_name=ethereum")
+    val orphan = new java.io.File(dir, "orphan-00000.parquet")
+    rows(900 until 905).drop("chain_name").coalesce(1)
+      .write.parquet(s"$root/_tmp/orphan-src")
+    val part = new java.io.File(s"$root/_tmp/orphan-src").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    assert(part.renameTo(orphan))
+    orphan.setLastModified(System.currentTimeMillis() - 7200000L)
+    // invisible to manifest-backed reads and planning
+    assert(lake.read(Schemas.Nfp).count() == 10L)
+    // swept only on opt-in, age-gated
+    val st = lake.vacuum(Schemas.Nfp, keepLast = 8, sweepOrphans = true)
+    assert(st.filesDeleted == 1, s"expected 1 orphan swept, got $st")
+    assert(!orphan.exists())
+    assert(lake.read(Schemas.Nfp).count() == 10L)
+  }
+}
