@@ -565,7 +565,7 @@ object ScaleProbe {
     val cowSection = Set("upsert_cow", "upsert_cow_narrow",
       "upsert_cow_spread", "upsert_cow_seq3", "upsert_cow_retain",
       "vacuum", "cluster_compact", "upsert_after_cluster",
-      "read_pruned_range", "read_pruned_keys")
+      "read_pruned_range", "read_pruned_keys", "manifest_plan")
     if (only.forall(s => s.exists(cowSection))) {
       import graft.v3.{Lake, Schemas}
       val orders0 = Tables.orders(spark, sfDir)
@@ -655,6 +655,25 @@ object ScaleProbe {
       println(f"""{"probe":"read_pruned_keys","k":$k,"sec":${(System.nanoTime() - t5) / 1e9}%.2f,""" +
         f""""files":${kstat.files},"scanned":${kstat.scanned},""" +
         f""""footer_reads":${lakeR.footerReads.get()}}""")
+      // metadata planning cost on the k-file clustered lake: manifest
+      // (one small-file read) vs recursive listing (O(files) walks).
+      // On LOCAL fs both are sub-ms-per-file — the number that matters
+      // is the SHAPE: manifest cost is flat in file count while the
+      // listing walks every file, which on an object store is a
+      // round-trip each. listings must also report ZERO on the
+      // planning paths above (listCalls).
+      val reps = 50
+      val tm = System.nanoTime()
+      var nInv = 0
+      (1 to reps).foreach(_ =>
+        nInv = lakeR.fileInventory(Schemas.Nfp).size)
+      val manifestSec = (System.nanoTime() - tm) / 1e9
+      val tl = System.nanoTime()
+      (1 to reps).foreach(_ => lakeR.listInventory(Schemas.Nfp))
+      val listSec = (System.nanoTime() - tl) / 1e9
+      println(f"""{"probe":"manifest_plan","k":$k,"files":$nInv,"reps":$reps,""" +
+        f""""manifest_sec":$manifestSec%.3f,"listing_sec":$listSec%.3f,""" +
+        f""""plan_list_calls":${lakeR.listCalls.get() - reps},"sec":$manifestSec%.3f}""")
     }
 
     // ── bloom point lookup at k×: INTERLEAVED (un-prunable) files ────

@@ -443,7 +443,7 @@ class Lake(spark: SparkSession, val root: String) {
     * calls, the exact cost the manifest exists to remove. [[listCalls]]
     * counts invocations so specs and probes can assert a warm,
     * manifest-backed table plans with ZERO of these. */
-  private[v3] def listInventory(table: String): Seq[(String, String, Long)] = {
+  private[graft] def listInventory(table: String): Seq[(String, String, Long)] = {
     if (!exists(table)) return Seq.empty
     listCalls.incrementAndGet()
     val it = fs.listFiles(new Path(dir(table)), true)
