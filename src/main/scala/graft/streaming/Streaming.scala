@@ -324,13 +324,31 @@ object Streaming {
     * harmless. The `deleteCol` column marks tombstones. 100 TB story:
     * per batch one latest-per-key aggregate (batch-sized) + upsert's
     * single keyed anti-join over only the key-range-touched files —
-    * rewrite I/O tracks batch key spread, not partition size. */
+    * rewrite I/O tracks batch key spread, not partition size.
+    *
+    * MAINTENANCE: every upsert can land new insert files, so a
+    * long-running stream fragments its table (and fragmentation also
+    * erodes upsert's own file pruning — appended files carry wide key
+    * ranges). With `maintainEvery > 0`, every that-many batches the
+    * hook polls [[graft.v3.Lake.maintenanceNeeded]] (a manifest read,
+    * not a listing) and, when any chain exceeds `maintainMaxChainFiles`
+    * live files, runs [[graft.v3.Lake.clusterCompact]] on the data-key
+    * columns — restoring both bounded file counts AND tight disjoint
+    * key ranges, which is what keeps the NEXT batches' merges narrow.
+    * `retain = true` makes every rewrite (merges and maintenance)
+    * retire replaced files instead of deleting them, so snapshots
+    * taken at any point stay readable until [[graft.v3.Lake.vacuum]]
+    * expires them — the streaming lake's time-travel contract. */
   def upsertStream(changes: DataFrame, lake: graft.v3.Lake, table: String,
                    keys: Seq[String], orderCols: Seq[String],
                    deleteCol: String,
-                   checkpointDir: String): DataStreamWriter[Row] =
+                   checkpointDir: String,
+                   maintainEvery: Int = 0,
+                   maintainMaxChainFiles: Int = 32,
+                   maintainTargetBytes: Long = 128L << 20,
+                   retain: Boolean = false): DataStreamWriter[Row] =
     changes.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // materialize the compacted batch ONCE: upsert runs several
         // jobs over it (profiling aggregate, key collect, merge
         // write) and would otherwise re-execute lastPerKey's shuffle
@@ -339,7 +357,16 @@ object Streaming {
           keys = keys.map(col), order = orderCols.map(col))
           .localCheckpoint()
         lake.upsert(latest, table, keys, deleteCol = Some(deleteCol),
-          checkUnique = false) // lastPerKey just guaranteed it
+          checkUnique = false, // lastPerKey just guaranteed it
+          retain = retain)
+        if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0 &&
+            lake.maintenanceNeeded(table, maintainMaxChainFiles)) {
+          val dataKeys = keys.filterNot(_ == "chain_name")
+          if (dataKeys.nonEmpty)
+            lake.clusterCompact(table, maintainTargetBytes, dataKeys,
+              retain = retain)
+          else lake.compact(table, maintainTargetBytes, retain = retain)
+        }
         () // foreachBatch wants Unit, upsert returns its stats
       }
       .option("checkpointLocation", checkpointDir)

@@ -658,6 +658,17 @@ class Lake(spark: SparkSession, val root: String) {
     finally fs.delete(lock, false)
   }
 
+  /** Has any chain fragmented past `maxChainFiles` live files? THE
+    * check a maintenance hook polls after each write — manifest-served,
+    * so it costs one small-file read per batch, never a listing. A
+    * long CDC stream otherwise accumulates files until someone
+    * remembers to compact ([[graft.streaming.Streaming.upsertStream]]'s
+    * `maintainEvery` wires this to [[clusterCompact]]). */
+  def maintenanceNeeded(table: String, maxChainFiles: Int): Boolean = {
+    require(maxChainFiles > 0, "maxChainFiles must be positive")
+    fileInventory(table).groupBy(_._1).exists(_._2.size > maxChainFiles)
+  }
+
   /** Deterministic compaction plan: group each chain's files into
     * target-sized bins by size-descending running-sum bucketing
     * (sorted next-fit — the [[graft.llm.Chunking]] packSequences rule

@@ -134,6 +134,70 @@ class UpsertStreamSpec extends SparkSpec {
     assert(state(lakeB)("0xtx3") == "v2_3")
   }
 
+  test("maintenance hook bounds fragmentation over 20 batches; rows exact; snapshots survive") {
+    val root = Files.createTempDirectory("up-mnt").toString
+    val lake = new Lake(spark, root)
+    val srcDir = Files.createTempDirectory("up-mnt-src").toString
+    // seed + snapshot: the pinned pre-stream corpus must stay readable
+    // through 20 batches of rewrites and the maintenance compactions
+    lake.append(df((0 until 5).map(i => change(i, s"seed$i", del = false)))
+      .drop("__del"), Schemas.Nfp)
+    val v0 = lake.snapshot(Schemas.Nfp)
+    // 20 micro-batches: each updates key 0 (touches one file) and
+    // inserts two fresh keys (lands a new file) — the fragmenting
+    // workload a long-running CDC stream produces
+    val tranches = (0 until 20).map { b =>
+      df(Seq(
+        change(0, s"upd$b", del = false, bn = b * 10L),
+        change(100 + b, s"new$b", del = false, bn = b * 10L),
+        change(200 + b, s"n2_$b", del = false, bn = b * 10L)))
+    }
+    writeTranches(srcDir, tranches)
+    val src = Streaming.fileStream(spark, srcDir, changeSchema,
+      maxFilesPerTrigger = 1)
+    val q = Streaming.upsertStream(src, lake, Schemas.Nfp,
+      keys = Seq("chain_name", "transaction_hash"),
+      orderCols = Seq("block_number", "log_index"),
+      deleteCol = "__del",
+      checkpointDir = Files.createTempDirectory("up-mnt-ck").toString,
+      maintainEvery = 5, maintainMaxChainFiles = 6,
+      maintainTargetBytes = 1L << 20, retain = true).start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    // bounded: between hook runs at most maintainEvery batches × ~2
+    // files accumulate on top of the threshold; without the hook this
+    // workload holds 20+ live files
+    val perChain = lake.fileInventory(Schemas.Nfp)
+      .groupBy(_._1).map(_._2.size).max
+    assert(perChain <= 12,
+      s"maintenance did not bound fragmentation: $perChain files")
+    // rows bag-identical to a sequential batch replay
+    val replayLake = new Lake(spark,
+      Files.createTempDirectory("up-mnt-replay").toString)
+    replayLake.append(df((0 until 5).map(i =>
+      change(i, s"seed$i", del = false))).drop("__del"), Schemas.Nfp)
+    tranches.foreach { t =>
+      val latest = graft.ops.Ops.lastPerKey(t,
+        keys = Seq(col("chain_name"), col("transaction_hash")),
+        order = Seq(col("block_number"), col("log_index")))
+      replayLake.upsert(latest, Schemas.Nfp,
+        Seq("chain_name", "transaction_hash"), deleteCol = Some("__del"),
+        checkUnique = false)
+    }
+    def state(l: Lake) = l.read(Schemas.Nfp)
+      .select("transaction_hash", "amount")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSortedMap
+    assert(state(lake) == state(replayLake),
+      "maintained stream diverged from the batch replay")
+    assert(state(lake)("0xtx0") == "upd19")
+    // retain mode honored the pre-stream snapshot through every rewrite
+    val pinned = lake.readAt(Schemas.Nfp, v0)
+      .select("transaction_hash", "amount")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSortedMap
+    assert(pinned == scala.collection.immutable.SortedMap(
+      (0 until 5).map(i => s"0xtx$i" -> s"seed$i"): _*),
+      s"pinned pre-stream snapshot diverged: $pinned")
+  }
+
   implicit class ToSortedMap(pairs: Array[(String, String)]) {
     def toSortedMap: scala.collection.immutable.SortedMap[String, String] =
       scala.collection.immutable.SortedMap(pairs: _*)
