@@ -1153,9 +1153,10 @@ class Lake(spark: SparkSession, val root: String) {
     * survive alongside the inserted row (duplicate key).
     *
     * Scale shape — file-grain copy-on-write: within the chains the
-    * batch names, only the files whose parquet footer key range
-    * ([min, max] of the first non-partition key column) intersects
-    * the batch's key set are read, anti-joined, and rewritten; every
+    * batch names, only the files whose parquet footer key ranges
+    * (per-file [min, max] of the first — and, for composite keys, the
+    * second — non-partition key column) intersect the batch's key
+    * envelope are read, anti-joined, and rewritten; every
     * other file — including files in a TOUCHED chain — is never
     * opened and remains byte-identical. Rewrite I/O therefore tracks
     * the number of touched files (≈ batch key spread), not table or
@@ -1222,54 +1223,76 @@ class Lake(spark: SparkSession, val root: String) {
         s"upsert batch has multiple rows per key ${keys.mkString(",")} - " +
           "compact the change stream to latest-per-key first (Ops.lastPerKey)")
     }
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType}
     val dataKeys = keys.filterNot(_ == "chain_name")
-    val k1Type = dataKeys.headOption.map(schema(_).dataType)
     // pruning only trusts string / integral footer orders; any other
     // key type keeps every chain file touched (correct, un-pruned)
-    val prunable = k1Type.exists {
+    def prunableType(dt: DataType): Boolean = dt match {
       case StringType | LongType | IntegerType | ShortType | ByteType => true
       case _ => false
     }
+    val k1Type = dataKeys.headOption.map(schema(_).dataType)
+    val prunable = k1Type.exists(prunableType)
+    // SECOND data-key envelope: composite-key tables (NFP's tx hash +
+    // amounts) whose first key cannot exclude a file still prune on
+    // the second column's [min, max] — cheap insurance the sidecar
+    // already has room for (it is keyed per column)
+    val k2Opt = dataKeys.drop(1).headOption
+      .filter(k => prunableType(schema(k).dataType))
+    // a null in ANY key column never equi-joins, so the row can never
+    // be replaced or deleted, only duplicated batch after batch — the
+    // guard covers every key, prunable-typed or not
+    val anyNullKey =
+      if (dataKeys.isEmpty) lit(0L)
+      else sum(when(dataKeys.map(col(_).isNull).reduce(_ || _), 1L)
+        .otherwise(0L))
     // ONE profiling aggregate yields the named chains AND the per-chain
-    // key envelope (a per-batch Spark job: streamed CDC pays it every
+    // key envelopes (a per-batch Spark job: streamed CDC pays it every
     // micro-batch, so chains + stats must not be two jobs)
     var nullDataKeys = 0L
-    val prof: Map[String, (Long, Any, Any)] =
-      if (prunable)
+    // per chain: (≈distinct k1, min/max k1, min/max k2) in keyCmp domain
+    val prof: Map[String, (Long, Any, Any, Any, Any)] =
+      if (prunable) {
+        val aggs = Seq(
+          approx_count_distinct(col(dataKeys.head)).as("__n"),
+          min(col(dataKeys.head)).as("__mn"),
+          max(col(dataKeys.head)).as("__mx"),
+          anyNullKey.as("__nulls")) ++
+          k2Opt.toSeq.flatMap(k2 => Seq(
+            min(col(k2)).as("__mn2"), max(col(k2)).as("__mx2")))
         updates.groupBy(col("chain_name"))
-          .agg(approx_count_distinct(col(dataKeys.head)).as("__n"),
-            min(col(dataKeys.head)).as("__mn"),
-            max(col(dataKeys.head)).as("__mx"),
-            sum(when(col(dataKeys.head).isNull, 1L).otherwise(0L))
-              .as("__nulls"))
+          .agg(aggs.head, aggs.tail: _*)
           .collect()
           .map { r =>
             nullDataKeys += r.getLong(4)
+            val (mn2, mx2) =
+              if (k2Opt.isDefined) (asCmp(r.get(5)), asCmp(r.get(6)))
+              else (null: Any, null: Any)
             r.getString(0) -> ((r.getLong(1), asCmp(r.get(2)),
-              asCmp(r.get(3))))
+              asCmp(r.get(3)), mn2, mx2))
           }.toMap
-      else if (dataKeys.nonEmpty)
+      } else if (dataKeys.nonEmpty)
         // non-prunable key types (decimal, timestamp, binary, …) still
         // need the null-key guard: without counting nulls HERE the
         // require below passes vacuously and a null-keyed row silently
         // duplicates itself every batch (it never equi-joins)
         updates.groupBy(col("chain_name"))
-          .agg(sum(when(col(dataKeys.head).isNull, 1L).otherwise(0L))
-            .as("__nulls"))
+          .agg(anyNullKey.as("__nulls"))
           .collect()
           .map { r =>
             nullDataKeys += r.getLong(1)
-            r.getString(0) -> ((0L, null: Any, null: Any))
+            r.getString(0) ->
+              ((0L, null: Any, null: Any, null: Any, null: Any))
           }.toMap
       else updates.select(col("chain_name")).distinct().collect()
-        .map(_.getString(0) -> ((0L, null: Any, null: Any))).toMap
+        .map(_.getString(0) ->
+          ((0L, null: Any, null: Any, null: Any, null: Any))).toMap
     // same cross-batch corruption as a null chain_name: a null data
     // key never equi-joins, so every batch would insert another copy
     // of it and a null-keyed tombstone could never delete anything
     require(nullDataKeys == 0L,
-      s"upsert batch has $nullDataKeys row(s) with a null " +
-        s"${dataKeys.headOption.getOrElse("")} key - a null key can " +
+      s"upsert batch has $nullDataKeys row(s) with a null value in a " +
+        s"key column (${dataKeys.mkString(", ")}) - a null key can " +
         "never be replaced or deleted, only duplicated; fill or drop " +
         "them first")
     if (prof.isEmpty) return UpsertStats(0, 0, 0L, 0)
@@ -1332,12 +1355,12 @@ class Lake(spark: SparkSession, val root: String) {
         // hits are free, misses are thread-pooled footer reads that
         // land in the persisted sidecar for the NEXT driver
         val ranges = fileRanges(table, chainFiles, k1)
-        chainFiles.filter { case (chain, path, fBytes) =>
-          val rangeHit = prof.get(chain) match {
+        val surv1 = chainFiles.filter { case (chain, path, _) =>
+          prof.get(chain) match {
             case None => false // chain named but batch has no rows
-            case Some((_, bMn, bMx)) if bMn == null || bMx == null =>
+            case Some((_, bMn, bMx, _, _)) if bMn == null || bMx == null =>
               false // all batch keys null in this chain: no match
-            case Some((_, bMn, bMx)) =>
+            case Some((_, bMn, bMx, _, _)) =>
               ranges(path) match {
                 case None => true // no usable stats: conservative
                 case Some((fMn, fMx)) =>
@@ -1351,12 +1374,36 @@ class Lake(spark: SparkSession, val root: String) {
                   }
               }
           }
-          // bloom step: a range survivor is still untouched if every
-          // row group's bloom proves every batch key absent
-          rangeHit && (rawKeys.get(chain) match {
+        }
+        // second-key envelope pass, over k1-SURVIVORS only (extra
+        // footer columns are read lazily and only where the first key
+        // failed to exclude; the sidecar persists them per column)
+        val surv2 = k2Opt match {
+          case None => surv1
+          case Some(k2) =>
+            val r2 = fileRanges(table, surv1, k2)
+            val k2IsString = schema(k2).dataType == StringType
+            surv1.filter { case (chain, path, _) =>
+              prof.get(chain) match {
+                case Some((_, _, _, bMn2, bMx2))
+                    if bMn2 != null && bMx2 != null =>
+                  r2(path) match {
+                    case None => true
+                    case Some((fMn, fMx)) =>
+                      if (k2IsString != fMn.isInstanceOf[Array[Byte]]) true
+                      else keyCmp(fMn, bMx2) <= 0 && keyCmp(bMn2, fMx) <= 0
+                  }
+                case _ => true // no k2 envelope: conservative
+              }
+            }
+        }
+        // bloom step: a range survivor is still untouched if every
+        // row group's bloom proves every batch key absent
+        surv2.filter { case (chain, path, fBytes) =>
+          rawKeys.get(chain) match {
             case Some(vs) if bloomOn => bloomMayContain(path, fBytes, k1, vs)
             case _ => true
-          })
+          }
         }
       }
     }
@@ -1538,16 +1585,64 @@ class Lake(spark: SparkSession, val root: String) {
   /** Key-range read: rows with `lo <= key <= hi`, scheduling only the
     * files whose footer range intersects [lo, hi]. */
   def readRange(table: String, key: String, lo: Any, hi: Any)
+      : (DataFrame, ScanStats) =
+    readRanges(table, Seq((key, lo, hi)))
+
+  /** Multi-column range read: rows satisfying EVERY `(col, lo, hi)`
+    * bound, scheduling only the files whose footer stats intersect ALL
+    * of them. Each column prunes over the previous columns' SURVIVORS
+    * (progressively narrower footer/sidecar lookups), every residual
+    * filter is applied, and files without usable stats for a column
+    * pass that column's test conservatively — the result is exactly
+    * `read(table).filter(b1 && b2 && …)`. On a 2-D-clustered layout
+    * (z-order via `write.layout`, [[clusterCompact]]) this is what
+    * makes a bound on EITHER dimension skip most files. */
+  def readRanges(table: String, bounds: Seq[(String, Any, Any)])
       : (DataFrame, ScanStats) = {
-    require(lo != null && hi != null, "readRange bounds must be non-null")
-    val (bLo, bHi) = (asCmp(lo), asCmp(hi))
-    require(keyCmp(bLo, bHi) <= 0, s"readRange lo > hi: $lo > $hi")
-    val kt = effectiveSchema(table)(key).dataType
-    prunedRead(table, key,
-      col(key) >= lit(lo).cast(kt) && col(key) <= lit(hi).cast(kt),
-      { case Some((fMn, fMx)) =>
-          keyCmp(fMn, bHi) <= 0 && keyCmp(bLo, fMx) <= 0
-        case None => true })
+    require(bounds.nonEmpty, "readRanges needs at least one bound")
+    val schema = effectiveSchema(table)
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    bounds.foreach { case (key, lo, hi) =>
+      require(schema.fieldNames.contains(key),
+        s"no column $key in table $table")
+      require(lo != null && hi != null,
+        s"readRanges bounds must be non-null ($key)")
+      require(keyCmp(asCmp(lo), asCmp(hi)) <= 0,
+        s"readRanges lo > hi on $key: $lo > $hi")
+      schema(key).dataType match {
+        case StringType | LongType | IntegerType | ShortType | ByteType => ()
+        case other => throw new IllegalArgumentException(
+          s"pruned reads need a string or integral key column - $key " +
+            s"is $other; use read($table).filter(...) instead")
+      }
+    }
+    val residual = bounds.map { case (key, lo, hi) =>
+      val kt = schema(key).dataType
+      col(key) >= lit(lo).cast(kt) && col(key) <= lit(hi).cast(kt)
+    }.reduce(_ && _)
+    val files = fileInventory(table)
+    if (files.isEmpty)
+      return (spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .filter(residual), ScanStats(0, 0, 0L, 0L))
+    val scanned = bounds.foldLeft(files) {
+      case (survivors, (key, lo, hi)) =>
+        val (bLo, bHi) = (asCmp(lo), asCmp(hi))
+        val keyIsString = schema(key).dataType == StringType
+        val ranges = fileRanges(table, survivors, key)
+        survivors.filter { case (_, path, _) =>
+          ranges(path) match {
+            case None => true // no usable stats: conservative
+            case Some((fMn, _))
+              if keyIsString != fMn.isInstanceOf[Array[Byte]] => true
+            case Some((fMn, fMx)) =>
+              keyCmp(fMn, bHi) <= 0 && keyCmp(bLo, fMx) <= 0
+          }
+        }
+    }
+    (readEntries(table, scanned, schema).filter(residual),
+      ScanStats(files.size, scanned.size, scanned.map(_._3).sum,
+        files.map(_._3).sum))
   }
 
   /** Point-set read: rows whose `key` is one of `values`, scheduling

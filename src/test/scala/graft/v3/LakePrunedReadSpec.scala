@@ -43,6 +43,43 @@ class LakePrunedReadSpec extends SparkSpec {
       s"pruned read diverged from read+filter (${got.length} rows)")
   }
 
+  test("second-column pruning: k1 cannot exclude any file, k2 can") {
+    // every file carries the SAME `name` range (the composite key's
+    // first data column — constant, so its [min,max] never excludes),
+    // while transaction_hash is disjoint per file: only the second
+    // column's stats can narrow the plan
+    val lake = freshLake("lake-pr2")
+
+    // multi-column pruned read: bound on name keeps all 4 files;
+    // adding the tx bound drops to 1 — and rows equal read+filter
+    val (df, st) = lake.readRanges(Schemas.Nfp, Seq(
+      ("name", "IncreaseLiquidity", "IncreaseLiquidity"),
+      ("transaction_hash", "0xtx000110", "0xtx000119")))
+    assert(st.files == 4 && st.scanned == 1,
+      s"second bound should prune to the one holding file: $st")
+    assert(df.count() == 10L)
+    val expect = lake.read(Schemas.Nfp)
+      .filter(col("name") === "IncreaseLiquidity" &&
+        col("transaction_hash").between("0xtx000110", "0xtx000119"))
+      .select("transaction_hash").collect().map(_.getString(0)).sorted
+    assert(df.select("transaction_hash").collect().map(_.getString(0))
+      .sorted.toSeq == expect.toSeq)
+
+    // upsert planner: keys (chain, name, tx) — name's envelope spans
+    // every file, tx's envelope touches exactly one
+    val batch = rows(115 until 118)
+      .withColumn("amount", lit("bumped"))
+    val stats = lake.upsert(batch, Schemas.Nfp,
+      Seq("chain_name", "name", "transaction_hash"))
+    assert(stats.chainFiles == 4 && stats.touchedFiles == 1,
+      s"second-key envelope should prune the merge to 1 file: $stats")
+    val amounts = lake.read(Schemas.Nfp)
+      .filter(col("transaction_hash").between("0xtx000115", "0xtx000117"))
+      .select("amount").collect().map(_.getString(0))
+    assert(amounts.length == 3 && amounts.forall(_ == "bumped"))
+    assert(lake.read(Schemas.Nfp).count() == 400L)
+  }
+
   test("readRange on an integral key prunes and matches") {
     val lake = freshLake("lake-pri")
     val (df, st) = lake.readRange(Schemas.Nfp, "block_number", 1050L, 1149L)
