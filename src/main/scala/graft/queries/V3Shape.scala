@@ -862,6 +862,78 @@ object V3Shape {
         |    AS BIGINT) AS sum_a0
         |FROM orders
         |WHERE o_orderkey % 1000 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // 2-D Z-ORDER LAKE LAYOUT — the declared `write.layout =
+    // zorder(x,y)` table property drives clusterCompact: each output
+    // file becomes a Morton tile whose footer [min,max] is tight on
+    // BOTH dimensions, so a range read on EITHER column schedules a
+    // strict file subset (require'd in-row for x, for y, and for the
+    // 2-D box being at least as sharp as each single dimension — a
+    // layout that privileged one sort column would fail the gate).
+    // The two dimensions come from different source columns
+    // (orderkey-derived block_number, custkey-derived tx_index) so
+    // the data fills the plane rather than a diagonal.
+    ("s19_zorder_lake",
+      ((s: SparkSession, d: String) => {
+        import graft.v3.{Lake, Schemas}
+        val orders = Tables.orders(s, d)
+        val k = col("o_orderkey")
+        def derive(df: org.apache.spark.sql.DataFrame) =
+          df.select(
+            lit("ethereum").as("chain_name"),
+            lit("IncreaseLiquidity").as("name"),
+            concat(lit("0xtx"), lpad(k.cast("string"), 12, "0"))
+              .as("transaction_hash"),
+            (lit(1000L) + pmod(k, lit(1024))).as("block_number"),
+            pmod(col("o_custkey") * 7, lit(1024)).as("tx_index"),
+            concat(lit("0xu"), col("o_custkey").cast("string"))
+              .as("from_address"),
+            col("o_custkey").cast("string").as("amount"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("long")
+              .cast("string").as("amount0"),
+            pmod(k, lit(1000)).cast("string").as("amount1"),
+            pmod(k, lit(997)).cast("string").as("tokenId"),
+            pmod(k, lit(7)).as("log_index"))
+        val lake = new Lake(s, s"/tmp/graft-zorder-lake/${Llm.sfCacheKey(d)}")
+        lake.dropTable(Schemas.Nfp)
+        lake.setTableProperties(Schemas.Nfp,
+          Map("write.layout" -> "zorder(block_number,tx_index)"))
+        // interleaved waves: neither dimension prunes before layout
+        (0 until 4).foreach(j =>
+          lake.append(derive(orders.filter(pmod(k, lit(4)) === j))
+            .coalesce(1), Schemas.Nfp))
+        val bytes = lake.fileInventory(Schemas.Nfp).map(_._3).sum
+        require(lake.clusterCompact(Schemas.Nfp,
+          targetBytes = math.max(1L, bytes / 32)) == 1,
+          "zorder layout rewrite did not run")
+        // x-dimension: a quarter-range bound covers ~1/4 of the tiles
+        // plus z-range boundary straddlers — must skip at least 40%
+        val (_, stx) = lake.readRanges(Schemas.Nfp,
+          Seq(("block_number", 1000L, 1255L)))
+        require(stx.files >= 24 && stx.scanned * 5 <= stx.files * 3,
+          s"x-dim bound did not prune the tiled layout - $stx")
+        // y-dimension: the one a single-column sort would abandon
+        val (_, sty) = lake.readRanges(Schemas.Nfp,
+          Seq(("tx_index", 0L, 255L)))
+        require(sty.scanned * 5 <= sty.files * 3,
+          s"y-dim bound did not prune the tiled layout - $sty")
+        // the 2-D box is at least as sharp as either dimension alone
+        val (dfb, stb) = lake.readRanges(Schemas.Nfp, Seq(
+          ("block_number", 1000L, 1255L), ("tx_index", 0L, 255L)))
+        require(stb.scanned <= stx.scanned && stb.scanned <= sty.scanned,
+          s"2-D box scanned more than a single dimension - $stb vs $stx / $sty")
+        dfb.groupBy(col("log_index"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("amount0").cast("long")).as("sum_a0"))
+          .orderBy(col("log_index"))
+      }): Q,
+      Some("""SELECT CAST(o_orderkey % 7 AS BIGINT) AS log_index,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_a0
+        |FROM orders
+        |WHERE o_orderkey % 1024 <= 255 AND (o_custkey * 7) % 1024 <= 255
         |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -379,6 +379,22 @@ class Lake(spark: SparkSession, val root: String) {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
 
+  /** The table's declared 2-D storage layout (property
+    * `write.layout = zorder(x,y)`): the two columns whose interleaved
+    * bits [[clusterCompact]] clusters on when no explicit clusterBy is
+    * given, so per-file footer stats stay tight on BOTH dimensions and
+    * [[readRanges]] prunes on either. Malformed values fail loudly. */
+  private def layoutProperty(table: String): Option[(String, String)] =
+    tableProperties(table).get("write.layout").map { v =>
+      val Z = """zorder\(\s*([^,\s()]+)\s*,\s*([^)\s]+)\s*\)""".r
+      v.trim match {
+        case Z(x, y) => (x, y)
+        case other => throw new IllegalArgumentException(
+          s"unsupported write.layout '$other' on $table - expected " +
+            "zorder(col1,col2)")
+      }
+    }
+
   /** Parquet writer options derived from table properties. */
   private def writeOptions(table: String): Map[String, String] = {
     val props = tableProperties(table)
@@ -823,10 +839,18 @@ class Lake(spark: SparkSession, val root: String) {
     * is one distributed range-shuffle + sorted write per chain,
     * landing via the same rename protocol as [[compact]]. `retain` as
     * in [[upsert]]. Returns the number of chains rewritten. */
+  /** With `clusterBy` EMPTY the table's `write.layout` property
+    * drives the rewrite instead: `zorder(x,y)` interleaves the two
+    * quantized dimensions ([[graft.ops.Layout.zOrderLayout]]) and
+    * clusters on the Morton value, so each output file is a 2-D tile
+    * — footer [min,max] tight on BOTH x and y, and [[readRanges]]
+    * prunes files for a bound on EITHER. */
   def clusterCompact(table: String, targetBytes: Long,
-                     clusterBy: Seq[String],
+                     clusterBy: Seq[String] = Seq.empty,
                      retain: Boolean = false): Int = {
-    require(clusterBy.nonEmpty, "clusterCompact needs cluster columns")
+    val zorder = if (clusterBy.nonEmpty) None else layoutProperty(table)
+    require(clusterBy.nonEmpty || zorder.isDefined,
+      "clusterCompact needs cluster columns or a write.layout property")
     require(targetBytes > 0, "targetBytes must be positive")
     val schema = effectiveSchema(table)
     val byChain = fileInventory(table).groupBy(_._1).toSeq.sortBy(_._1)
@@ -842,12 +866,21 @@ class Lake(spark: SparkSession, val root: String) {
       // invalidates snapshots
       if (files.size == 1 && nOut == 1) ()
       else {
-      val clustered = spark.read.schema(schema)
+      val base = spark.read.schema(schema)
         .option("basePath", dir(table))
         .parquet(paths: _*)
         .drop("chain_name")
-        .repartitionByRange(nOut, clusterBy.map(col): _*)
-        .sortWithinPartitions(clusterBy.map(col): _*)
+      val clustered = zorder match {
+        case None => base
+          .repartitionByRange(nOut, clusterBy.map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*)
+        case Some((x, y)) => graft.ops.Layout
+          .zOrderLayout(base, col(x), col(y))
+          .drop("xq", "yq", "file_id")
+          .repartitionByRange(nOut, col("z"))
+          .sortWithinPartitions(col("z"))
+          .drop("z")
+      }
       val tmp = stagingDir(s"cluster-$table")
       clustered.write.mode("overwrite").options(writeOptions(table))
         .parquet(tmp.toString)
