@@ -198,6 +198,70 @@ class UpsertStreamSpec extends SparkSpec {
       s"pinned pre-stream snapshot diverged: $pinned")
   }
 
+  test("schema evolution between micro-batches: restarted stream resumes under the new schema") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val T = "docs_evo"
+    val lake = new Lake(spark, Files.createTempDirectory("up-evo").toString)
+    val sf = StructField(_: String, StringType, nullable = true)
+    val v1 = StructType(Seq(sf("chain_name"), sf("doc_id"),
+      StructField("n_tokens", IntegerType, nullable = true),
+      StructField("seq", LongType, nullable = true)))
+    lake.createTable(T, v1)
+    val srcDir = Files.createTempDirectory("up-evo-src").toString
+    val ck = Files.createTempDirectory("up-evo-ck").toString
+    def v1df(rows: Seq[(String, String, Int, Long, Boolean)]) =
+      rows.toDF("chain_name", "doc_id", "n_tokens", "seq", "__del")
+    def v2df(rows: Seq[(String, String, Long, Long, String, Boolean)]) =
+      rows.toDF("chain_name", "doc_id", "n_tokens", "seq", "lang", "__del")
+    val t1 = v1df(Seq(("eth", "d1", 10, 1L, false),
+      ("eth", "d2", 20, 1L, false)))
+    val t2 = v1df(Seq(("eth", "d2", 21, 2L, false),
+      ("eth", "d3", 30, 2L, false)))
+    val t3 = v2df(Seq(("eth", "d1", 5000000000L, 3L, "en", false),
+      ("eth", "d4", 40L, 3L, "de", false)))
+    val t4 = v2df(Seq(("eth", "d3", 0L, 4L, null, true))) // tombstone d3
+    def run(schema: StructType): Unit = {
+      val src = Streaming.fileStream(spark, srcDir,
+        StructType(schema.fields :+ StructField("__del", BooleanType,
+          nullable = true)), maxFilesPerTrigger = 1)
+      val q = Streaming.upsertStream(src, lake, T,
+        keys = Seq("chain_name", "doc_id"), orderCols = Seq("seq"),
+        deleteCol = "__del", checkpointDir = ck).start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    // run 1 drains the v1-generation batches
+    writeTranches(srcDir, Seq(t1, t2))
+    run(v1)
+    // mid-stream evolution: widen n_tokens int→long, add lang; the
+    // restarted stream reads NEW batches under the v2 source schema
+    // from the SAME checkpoint — offset continuation, v1-era table
+    // files read back widened + null-filled
+    val v2 = StructType(Seq(sf("chain_name"), sf("doc_id"),
+      StructField("n_tokens", LongType, nullable = true),
+      StructField("seq", LongType, nullable = true), sf("lang")))
+    lake.evolveSchema(T, v2)
+    writeTranches(srcDir, Seq(t3, t4))
+    run(v2)
+    // batch replay of the same timeline on a fresh lake
+    val replay = new Lake(spark,
+      Files.createTempDirectory("up-evo-rep").toString)
+    replay.createTable(T, v1)
+    Seq(t1, t2).foreach(t => replay.upsert(t, T,
+      Seq("chain_name", "doc_id"), deleteCol = Some("__del")))
+    replay.evolveSchema(T, v2)
+    Seq(t3, t4).foreach(t => replay.upsert(t, T,
+      Seq("chain_name", "doc_id"), deleteCol = Some("__del")))
+    def state(l: Lake) = l.read(T).select("doc_id", "n_tokens", "lang")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.getString(2))))
+      .sortBy(_._1).toSeq
+    assert(state(lake) == state(replay),
+      s"streamed-evolved state diverged from batch replay: ${state(lake)}")
+    assert(state(lake) == Seq(("d1", 5000000000L, Some("en")),
+      ("d2", 21L, None), ("d4", 40L, Some("de"))))
+  }
+
   implicit class ToSortedMap(pairs: Array[(String, String)]) {
     def toSortedMap: scala.collection.immutable.SortedMap[String, String] =
       scala.collection.immutable.SortedMap(pairs: _*)
