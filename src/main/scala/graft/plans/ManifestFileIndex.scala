@@ -44,7 +44,17 @@ class ManifestFileIndex(
     if (partitionSchema.isEmpty)
       Seq((InternalRow.empty, entries.map(mkStatus)))
     else entries.groupBy(_._1).toSeq.sortBy(_._1).map { case (pv, fs) =>
-      (InternalRow(UTF8String.fromString(pv)), fs.map(mkStatus))
+      // Spark stages a null partition value under the Hive sentinel
+      // directory and its own partitioned reader decodes it back to
+      // null — mirror that here, or the same table returns the
+      // literal sentinel string when the manifest serves the scan and
+      // null when the listing fallback does
+      val row =
+        if (pv == org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+          InternalRow(null)
+        else InternalRow(UTF8String.fromString(pv))
+      (row, fs.map(mkStatus))
     }
 
   private def mkStatus(e: (String, String, Long)): FileStatus =

@@ -362,7 +362,13 @@ object Streaming {
         if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0 &&
             lake.maintenanceNeeded(table, maintainMaxChainFiles)) {
           val dataKeys = keys.filterNot(_ == "chain_name")
-          if (dataKeys.nonEmpty)
+          if (lake.hasLayout(table))
+            // a declared write.layout wins over the stream's keys:
+            // explicit clusterBy here would rewrite the table 1-D and
+            // destroy the 2-D tiles the property exists to keep every
+            // writer agreeing on
+            lake.clusterCompact(table, maintainTargetBytes, retain = retain)
+          else if (dataKeys.nonEmpty)
             lake.clusterCompact(table, maintainTargetBytes, dataKeys,
               retain = retain)
           else lake.compact(table, maintainTargetBytes, retain = retain)

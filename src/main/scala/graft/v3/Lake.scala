@@ -141,14 +141,19 @@ class Lake(spark: SparkSession, val root: String) {
     * landed so far and aborts with nothing published. Shared by
     * [[append]] and [[upsert]]. */
   private def landPartitioned(tmp: Path, table: String, prefix: String,
-                              what: String, removedAbs: Seq[String])
+                              what: String, removedAbs: Seq[String],
+                              plannedChains: Set[String] = Set.empty,
+                              plannedRel: Set[String] = Set.empty,
+                              intruderGuard: Seq[(String, String, Long)] => Unit =
+                                _ => ())
       : Seq[(String, Long)] = {
     val stagedParts =
       if (!fs.exists(tmp)) Array.empty[org.apache.hadoop.fs.FileStatus]
       else fs.listStatus(tmp).filter(_.isDirectory)
         .filter(_.getPath.getName.startsWith("chain_name="))
     preCommitHook()
-    manifestTxn(table, what, removedAbs) {
+    manifestTxn(table, what, removedAbs, plannedChains, plannedRel,
+        intruderGuard) {
       val landed = scala.collection.mutable.ArrayBuffer.empty[(Path, Long)]
       val allLanded = stagedParts.forall { part =>
         // the staged dir name is already Hive-escaped by Spark's write
@@ -386,7 +391,9 @@ class Lake(spark: SparkSession, val root: String) {
     * [[readRanges]] prunes on either. Malformed values fail loudly. */
   private def layoutProperty(table: String): Option[(String, String)] =
     tableProperties(table).get("write.layout").map { v =>
-      val Z = """zorder\(\s*([^,\s()]+)\s*,\s*([^)\s]+)\s*\)""".r
+      // both column groups exclude ',': zorder(a,b,c) must fail the
+      // match and hit the loud error below, not bind y = "b,c"
+      val Z = """zorder\(\s*([^,\s()]+)\s*,\s*([^,\s()]+)\s*\)""".r
       v.trim match {
         case Z(x, y) => (x, y)
         case other => throw new IllegalArgumentException(
@@ -394,6 +401,12 @@ class Lake(spark: SparkSession, val root: String) {
             "zorder(col1,col2)")
       }
     }
+
+  /** Does the table declare a `write.layout` storage layout? A
+    * maintenance caller must let the declared layout drive
+    * [[clusterCompact]] (pass no clusterBy) instead of imposing its
+    * own 1-D clustering over the table's 2-D tiles. */
+  def hasLayout(table: String): Boolean = layoutProperty(table).isDefined
 
   /** Parquet writer options derived from table properties. */
   private def writeOptions(table: String): Map[String, String] = {
@@ -423,10 +436,30 @@ class Lake(spark: SparkSession, val root: String) {
     if (!fs.exists(p)) return false
     if (hasManifest(table)) {
       val removed = fileInventory(table).filter(_._1 == chain).map(_._2)
+      var fullyGone = false
       manifestTxn(table, "dropChain", removed) {
-        fs.delete(p, true); Seq.empty
+        // honor the filesystem's verdict: a refused delete (perms,
+        // open handles) may still have removed SOME files, so re-list
+        // what survived and keep the manifest naming exactly the
+        // files still on disk — publishing the removal of files that
+        // remain would resurrect them via refreshManifest, while
+        // naming files that vanished breaks every read
+        fs.delete(p, true)
+        fullyGone = !fs.exists(p)
+        if (fullyGone) Seq.empty
+        else {
+          val it = fs.listFiles(p, true)
+          val survivors = Seq.newBuilder[(String, Long)]
+          while (it.hasNext) {
+            val f = it.next()
+            val n = f.getPath.getName
+            if (f.isFile && !n.startsWith("_") && !n.startsWith("."))
+              survivors += ((relOf(table, f.getPath.toString), f.getLen))
+          }
+          survivors.result()
+        }
       }
-      true
+      fullyGone
     } else fs.delete(p, true)
   }
 
@@ -568,27 +601,43 @@ class Lake(spark: SparkSession, val root: String) {
         fs.makeQualified(new Path(s"${dir(table)}/$rel")).toString, bytes)
     }.sortBy(t => (t._1, t._2)))
 
-  /** Acquire the table's commit lock (create-exclusive file). Waits a
-    * bounded time for a live holder; breaks locks older than
-    * [[staleLockMs]] (crashed writer). */
+  /** Acquire the table's commit lock (create-exclusive file carrying
+    * a per-claim owner token). Waits a bounded time for a live holder;
+    * breaks locks older than [[staleLockMs]] (crashed writer) by
+    * ATOMIC RENAME to a tombstone — of the waiters racing to break a
+    * stale claim exactly one rename succeeds, where delete-then-create
+    * would let a second waiter's queued delete remove the first
+    * waiter's fresh lock and admit two writers. Returns (lock path,
+    * owner token); release ONLY via [[releaseCommitLock]]. */
   private def acquireCommitLock(table: String,
-                                waitMs: Long = 30000L): Path = {
+                                waitMs: Long = 30000L): (Path, String) = {
     val d = manifestDir(table)
     fs.mkdirs(d)
     val lock = new Path(d, ".commit.lock")
+    val token = java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + waitMs
     while (true) {
       val claimed =
-        try { fs.create(lock, false).close(); true }
-        catch { case _: java.io.IOException => false }
-      if (claimed) return lock
+        try {
+          val out = fs.create(lock, false)
+          try out.write(token.getBytes("UTF-8")) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      if (claimed) return (lock, token)
       val holder =
         try Option(fs.getFileStatus(lock))
         catch { case _: java.io.FileNotFoundException => None }
       holder match {
         case Some(st) if System.currentTimeMillis() - st.getModificationTime >
             staleLockMs =>
-          fs.delete(lock, false) // crashed writer: break the claim
+          // crashed writer: break the claim atomically (one winner);
+          // losers loop and find the lock gone or freshly re-claimed.
+          // Tombstones a crashed breaker leaves behind are swept by
+          // [[vacuum]]'s manifest-dir pass.
+          val tomb = new Path(d,
+            s".commit.lock.broken-${java.util.UUID.randomUUID()}")
+          try { if (fs.rename(lock, tomb)) fs.delete(tomb, false) }
+          catch { case _: java.io.IOException => () }
         case Some(_) =>
           if (System.currentTimeMillis() > deadline)
             throw new Lake.ConcurrentWriteException(
@@ -599,6 +648,24 @@ class Lake(spark: SparkSession, val root: String) {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Release a commit lock, deleting it ONLY while it still carries
+    * our token: if a waiter broke our claim as stale (we held it past
+    * [[staleLockMs]]) the file on disk is THEIR claim, and a blind
+    * delete would re-open the mutual-exclusion hole the atomic break
+    * closed. An unreadable or missing lock means there is nothing of
+    * ours left to release. */
+  private def releaseCommitLock(lock: Path, token: String): Unit = {
+    val owned =
+      try {
+        val in = fs.open(lock)
+        val body = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+        body == token
+      } catch { case _: java.io.IOException => false }
+    if (owned) fs.delete(lock, false)
   }
 
   /** Publish `entries` as the next manifest version (caller holds the
@@ -635,15 +702,25 @@ class Lake(spark: SparkSession, val root: String) {
     * lock, (1) re-read the CURRENT manifest (or adopt via one final
     * listing for a manifest-less table), (2) verify every file this
     * write read is still live — [[Lake.ConcurrentWriteException]]
-    * otherwise, before anything lands, (3) run `land` (the renames
-    * into the table), (4) publish current − removed + added. Returns
-    * the added entries. `land` throwing aborts the transaction with
-    * nothing published. */
+    * otherwise, before anything lands — and, for keyed writes, hand
+    * any file a concurrent commit ADDED to the write's chains since
+    * it planned (`plannedChains` minus `plannedRel`) to
+    * `intruderGuard`, which throws if the addition may hold keys this
+    * write also carries (two racing inserts of the same new key touch
+    * no common file, so the removed-files check alone would let both
+    * commit a duplicate), (3) run `land` (the renames into the
+    * table), (4) publish current − removed + added. Returns the added
+    * entries. `land` throwing aborts the transaction with nothing
+    * published. */
   private def manifestTxn(table: String, what: String,
-                          removedAbs: Seq[String])
+                          removedAbs: Seq[String],
+                          plannedChains: Set[String] = Set.empty,
+                          plannedRel: Set[String] = Set.empty,
+                          intruderGuard: Seq[(String, String, Long)] => Unit =
+                            _ => ())
                          (land: => Seq[(String, Long)])
       : Seq[(String, Long)] = {
-    val lock = acquireCommitLock(table)
+    val (lock, token) = acquireCommitLock(table)
     try {
       val base: Seq[(String, Long)] = latestManifest(table).map(_._2)
         .getOrElse(listInventory(table).map(f => (relOf(table, f._2), f._3)))
@@ -655,12 +732,19 @@ class Lake(spark: SparkSession, val root: String) {
           s"${gone.size} file(s) this write planned against were " +
           s"already retired by another writer (re-plan and retry): " +
           gone.take(3).mkString(", "))
+      if (plannedChains.nonEmpty) {
+        val intruders = base.collect {
+          case (rel, b) if plannedChains(chainOfRel(rel)) &&
+              !plannedRel(rel) => (chainOfRel(rel), rel, b)
+        }
+        if (intruders.nonEmpty) intruderGuard(intruders)
+      }
       val added = land
       val removedSet = removedRel.toSet
       publishManifest(table,
         base.filterNot(e => removedSet(e._1)) ++ added)
       added
-    } finally fs.delete(lock, false)
+    } finally releaseCommitLock(lock, token)
   }
 
   /** Re-derive the manifest from a full listing and commit it — the
@@ -668,10 +752,10 @@ class Lake(spark: SparkSession, val root: String) {
     * manifest's back (the manifest is otherwise authoritative: files
     * it doesn't name are invisible to reads and planning). */
   def refreshManifest(table: String): Long = {
-    val lock = acquireCommitLock(table)
+    val (lock, token) = acquireCommitLock(table)
     try publishManifest(table,
       listInventory(table).map(f => (relOf(table, f._2), f._3)))
-    finally fs.delete(lock, false)
+    finally releaseCommitLock(lock, token)
   }
 
   /** Has any chain fragmented past `maxChainFiles` live files? THE
@@ -1475,13 +1559,56 @@ class Lake(spark: SparkSession, val root: String) {
     // a concurrent upsert that rewrote any of them makes this merge
     // stale, so it aborts with NOTHING landed), land by rename, and
     // publish the manifest naming exactly the new file set.
+    // Insert-insert conflict guard: the removed-files check alone
+    // cannot see two racing upserts INSERTING the same new key (both
+    // plans touch no common file). Under the commit lock, any file a
+    // concurrent commit added to this batch's chains since planning
+    // (present in the current manifest, absent from this plan's
+    // inventory snapshot) is checked by first-key footer envelope
+    // against the batch's per-chain envelope — overlap, or no usable
+    // stats, is a loud retryable conflict; a re-plan then merges
+    // against the racer's file. Disjoint-key concurrent batches (the
+    // post-clustering common case) still both commit.
+    val plannedRelSet = chainFiles.map(f => relOf(table, f._2)).toSet
+    val intruderGuard: Seq[(String, String, Long)] => Unit = intr => {
+      val conflicting =
+        if (dataKeys.isEmpty || !prunable) intr // no envelope: conservative
+        else {
+          val k1 = dataKeys.head
+          val k1IsString = k1Type.contains(StringType)
+          val files = intr.map { case (c, rel, b) =>
+            (c, s"${dir(table)}/$rel", b) }
+          val rngs = fileRanges(table, files, k1)
+          files.filter { case (chain, path, _) =>
+            prof.get(chain) match {
+              case Some((_, bMn, bMx, _, _)) if bMn != null && bMx != null =>
+                rngs(path) match {
+                  case Some((fMn, fMx))
+                      if k1IsString == fMn.isInstanceOf[Array[Byte]] =>
+                    keyCmp(fMn, bMx) <= 0 && keyCmp(bMn, fMx) <= 0
+                  case _ => true // no usable stats: conservative conflict
+                }
+              case _ => true
+            }
+          }
+        }
+      if (conflicting.nonEmpty) throw new Lake.ConcurrentWriteException(
+        s"upsert of $table conflicts with a concurrent commit - " +
+          s"${conflicting.size} file(s) were added to this batch's " +
+          "chain(s) after this merge planned, with key ranges the batch " +
+          "may also carry (re-plan and retry): " +
+          conflicting.take(3).map(_._2).mkString(", "))
+    }
     val tmp = stagingDir(s"upsert-$table")
     merged.write.mode("overwrite").options(writeOptions(table))
       .partitionBy("chain_name")
       .parquet(tmp.toString)
     val added =
       try landPartitioned(tmp, table, "upsert", "upsert",
-        removedAbs = touched.map(_._2))
+        removedAbs = touched.map(_._2),
+        plannedChains = chains.toSet,
+        plannedRel = plannedRelSet,
+        intruderGuard = intruderGuard)
       finally fs.delete(tmp, true)
     removeReplaced(table, "upsert", touched.map(_._2), retain)
     // a chain whose files were all touched and produced no output is
@@ -2057,26 +2184,45 @@ class Lake(spark: SparkSession, val root: String) {
       val now = System.currentTimeMillis()
       fs.listStatus(manifestDir(table)).foreach { st =>
         val n = st.getPath.getName
-        if ((n == ".commit.lock" || n.startsWith(".m-tmp-")) &&
+        // ".commit.lock" prefix also catches ".commit.lock.broken-*"
+        // tombstones a crashed lock-breaker left behind
+        if ((n.startsWith(".commit.lock") || n.startsWith(".m-tmp-")) &&
             now - st.getModificationTime > staleCommitMs)
           fs.delete(st.getPath, false)
       }
     }
     var files = 0
     var bytes = 0L
-    if (sweepOrphans) latestManifest(table).foreach { case (_, entries) =>
-      val live = entries.map(_._1).toSet
-      val now = System.currentTimeMillis()
-      listInventory(table).foreach { case (_, p, len) =>
-        if (!live(relOf(table, p))) {
-          val st = fs.getFileStatus(new Path(p))
-          if (now - st.getModificationTime > staleCommitMs &&
-              fs.delete(st.getPath, false)) {
+    // The orphan sweep runs UNDER the commit lock: a manifest
+    // transaction lands files (rename keeps the staging-write mtime,
+    // so a slow distributed write's output can look hours old the
+    // moment it lands) BEFORE publishing the manifest that names them
+    // — sweeping inside that window would delete just-committed data
+    // the published manifest then names. With the lock held no
+    // transaction is in flight, so an unmanifested live-dir file is a
+    // crashed writer's leftover; the age gate remains as the
+    // documented guard for FOREIGN writers appending behind the
+    // manifest's back. One recursive listing supplies each file's
+    // mtime and length (no per-file re-stat, which costs a round-trip
+    // and throws if a racer already removed the file).
+    if (sweepOrphans && hasManifest(table)) {
+      val (lock, token) = acquireCommitLock(table)
+      try latestManifest(table).foreach { case (_, entries) =>
+        val live = entries.map(_._1).toSet
+        val now = System.currentTimeMillis()
+        val it = fs.listFiles(new Path(dir(table)), true)
+        while (it.hasNext) {
+          val f = it.next()
+          val name = f.getPath.getName
+          if (f.isFile && !name.startsWith("_") && !name.startsWith(".") &&
+              !live(relOf(table, f.getPath.toString)) &&
+              now - f.getModificationTime > staleCommitMs &&
+              fs.delete(f.getPath, false)) {
             files += 1
-            bytes += len
+            bytes += f.getLen
           }
         }
-      }
+      } finally releaseCommitLock(lock, token)
     }
     val rdir = retiredDir(table)
     if (fs.exists(rdir)) {

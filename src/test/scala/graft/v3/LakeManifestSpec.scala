@@ -181,4 +181,97 @@ class LakeManifestSpec extends SparkSpec {
     assert(!orphan.exists())
     assert(lake.read(Schemas.Nfp).count() == 10L)
   }
+
+  test("racing upserts INSERTING the same new key: the loser fails loudly") {
+    // neither plan touches a common file (the key exists nowhere), so
+    // the removed-files check alone would let both land a duplicate —
+    // the intruder envelope guard is what catches this
+    val root = Files.createTempDirectory("lake-man7").toString
+    val writerA = new Lake(spark, root)
+    val writerB = new Lake(spark, root)
+    writerA.append(rows(0 until 20).coalesce(1), Schemas.Nfp)
+    writerB.preCommitHook = () => {
+      writerA.upsert(rows(Seq(90001), amt = _ => "A"), Schemas.Nfp,
+        Seq("chain_name", "transaction_hash"))
+      writerB.preCommitHook = () => ()
+    }
+    val e = intercept[Lake.ConcurrentWriteException] {
+      writerB.upsert(rows(Seq(90001), amt = _ => "B"), Schemas.Nfp,
+        Seq("chain_name", "transaction_hash"))
+    }
+    assert(e.getMessage.contains("added to this batch's chain"),
+      e.getMessage)
+    val hits = writerA.read(Schemas.Nfp)
+      .filter(col("transaction_hash") === "0xtx90001")
+      .select("amount").collect().map(_.getString(0)).toSeq
+    assert(hits == Seq("A"),
+      s"expected exactly the winner's row, got $hits")
+    assert(writerA.fileInventory(Schemas.Nfp) ==
+      writerA.listInventory(Schemas.Nfp))
+  }
+
+  test("racing upserts inserting DISJOINT new keys both commit") {
+    val root = Files.createTempDirectory("lake-man8").toString
+    val writerA = new Lake(spark, root)
+    val writerB = new Lake(spark, root)
+    writerA.append(rows(0 until 20).coalesce(1), Schemas.Nfp)
+    writerB.preCommitHook = () => {
+      writerA.upsert(rows(Seq(80001), amt = _ => "A"), Schemas.Nfp,
+        Seq("chain_name", "transaction_hash"))
+      writerB.preCommitHook = () => ()
+    }
+    writerB.upsert(rows(Seq(90001), amt = _ => "B"), Schemas.Nfp,
+      Seq("chain_name", "transaction_hash"))
+    val amounts = writerA.read(Schemas.Nfp)
+      .filter(col("transaction_hash").isin("0xtx80001", "0xtx90001"))
+      .select("transaction_hash", "amount")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(amounts == Map("0xtx80001" -> "A", "0xtx90001" -> "B"))
+    assert(writerA.read(Schemas.Nfp).count() == 22L)
+  }
+
+  test("a crashed writer's stale commit lock is broken, a fresh one is honored") {
+    val root = Files.createTempDirectory("lake-man9").toString
+    val lake = new Lake(spark, root)
+    lake.append(rows(0 until 5), Schemas.Nfp)
+    val lockFile = new java.io.File(
+      s"$root/_manifest/${Schemas.Nfp}/.commit.lock")
+    // stale claim (crashed writer): broken atomically, commit proceeds,
+    // and the release must not delete anything but our own claim
+    assert(lockFile.createNewFile())
+    assert(lockFile.setLastModified(
+      System.currentTimeMillis() - 7200000L))
+    lake.upsert(rows(Seq(7), amt = _ => "y"), Schemas.Nfp,
+      Seq("chain_name", "transaction_hash"))
+    assert(!lockFile.exists(), "commit left a lock behind")
+    assert(lake.read(Schemas.Nfp).count() == 6L)
+  }
+
+  test("a malformed write.layout fails at validation, not inside the rewrite") {
+    val root = Files.createTempDirectory("lake-man11").toString
+    val lake = new Lake(spark, root)
+    lake.append(rows(0 until 5), Schemas.Nfp)
+    lake.setTableProperties(Schemas.Nfp,
+      Map("write.layout" -> "zorder(a,b,c)"))
+    val e = intercept[IllegalArgumentException](lake.hasLayout(Schemas.Nfp))
+    assert(e.getMessage.contains("unsupported write.layout"), e.getMessage)
+  }
+
+  test("manifest-served reads decode the null-partition sentinel like Spark does") {
+    val root = Files.createTempDirectory("lake-man10").toString
+    val lake = new Lake(spark, root)
+    val withNull = rows(0 until 6).withColumn("chain_name",
+      when(col("transaction_hash") === "0xtx00000", lit(null))
+        .otherwise(col("chain_name")))
+    lake.append(withNull, Schemas.Nfp)
+    val viaManifest = lake.read(Schemas.Nfp)
+    assert(viaManifest.filter(col("chain_name").isNull).count() == 1L,
+      "manifest read surfaced the sentinel instead of null")
+    // parity with Spark's own partitioned reader over the same files
+    val viaSpark = spark.read
+      .parquet(s"$root/${Schemas.Nfp}")
+    assert(viaSpark.filter(col("chain_name").isNull).count() == 1L)
+    assert(viaManifest.filter(col("chain_name") === "ethereum").count() ==
+      viaSpark.filter(col("chain_name") === "ethereum").count())
+  }
 }
