@@ -359,19 +359,25 @@ object Streaming {
         lake.upsert(latest, table, keys, deleteCol = Some(deleteCol),
           checkUnique = false, // lastPerKey just guaranteed it
           retain = retain)
-        if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0 &&
-            lake.maintenanceNeeded(table, maintainMaxChainFiles)) {
-          val dataKeys = keys.filterNot(_ == "chain_name")
-          if (lake.hasLayout(table))
-            // a declared write.layout wins over the stream's keys:
-            // explicit clusterBy here would rewrite the table 1-D and
-            // destroy the 2-D tiles the property exists to keep every
-            // writer agreeing on
-            lake.clusterCompact(table, maintainTargetBytes, retain = retain)
-          else if (dataKeys.nonEmpty)
-            lake.clusterCompact(table, maintainTargetBytes, dataKeys,
-              retain = retain)
-          else lake.compact(table, maintainTargetBytes, retain = retain)
+        if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0) {
+          // rewrite ONLY the fragmented chains: maintenance cost must
+          // track the fragmentation that triggered it, not table size
+          val frag = lake.fragmentedChains(table, maintainMaxChainFiles)
+          if (frag.nonEmpty) {
+            val dataKeys = keys.filterNot(_ == "chain_name")
+            if (lake.hasLayout(table))
+              // a declared write.layout wins over the stream's keys:
+              // explicit clusterBy here would rewrite the table 1-D and
+              // destroy the 2-D tiles the property exists to keep every
+              // writer agreeing on
+              lake.clusterCompact(table, maintainTargetBytes,
+                retain = retain, onlyChains = frag)
+            else if (dataKeys.nonEmpty)
+              lake.clusterCompact(table, maintainTargetBytes, dataKeys,
+                retain = retain, onlyChains = frag)
+            else lake.compact(table, maintainTargetBytes, retain = retain,
+              onlyChains = frag)
+          }
         }
         () // foreachBatch wants Unit, upsert returns its stats
       }

@@ -145,7 +145,8 @@ class Lake(spark: SparkSession, val root: String) {
                               plannedChains: Set[String] = Set.empty,
                               plannedRel: Set[String] = Set.empty,
                               intruderGuard: Seq[(String, String, Long)] => Unit =
-                                _ => ())
+                                _ => (),
+                              afterPublish: () => Unit = () => ())
       : Seq[(String, Long)] = {
     val stagedParts =
       if (!fs.exists(tmp)) Array.empty[org.apache.hadoop.fs.FileStatus]
@@ -153,7 +154,7 @@ class Lake(spark: SparkSession, val root: String) {
         .filter(_.getPath.getName.startsWith("chain_name="))
     preCommitHook()
     manifestTxn(table, what, removedAbs, plannedChains, plannedRel,
-        intruderGuard) {
+        intruderGuard, afterPublish) {
       val landed = scala.collection.mutable.ArrayBuffer.empty[(Path, Long)]
       val allLanded = stagedParts.forall { part =>
         // the staged dir name is already Hive-escaped by Spark's write
@@ -472,6 +473,7 @@ class Lake(spark: SparkSession, val root: String) {
         schemaDir(table), propsDir(table), manifestDir(table))
       .foreach(d => if (fs.exists(d)) fs.delete(d, true))
     statsLoaded.remove(table)
+    manifestCache.keySet.removeIf(_._1 == table)
     fs.exists(p) && fs.delete(p, true)
   }
 
@@ -572,17 +574,32 @@ class Lake(spark: SparkSession, val root: String) {
   private[v3] def latestManifest(table: String)
       : Option[(Long, Seq[(String, Long)])] =
     manifestVersions(table).lastOption.map { v =>
-      val p = new Path(manifestDir(table), f"v$v%09d.txt")
-      val in = fs.open(p)
-      val body = try new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-      finally in.close()
-      (v, body.split("\n").toSeq.filter(_.nonEmpty).map { l =>
-        val i = l.indexOf('\t')
-        (new String(unb64(l.substring(0, i)), "UTF-8"),
-          l.substring(i + 1).toLong)
+      // a manifest version is immutable, so the parse is cached by
+      // (table, version): one logical operation otherwise re-opens
+      // and re-decodes the same file several times (planning, the
+      // txn's base read, a maintenance poll), and on the object
+      // stores this layer targets each open is a network round-trip
+      (v, Option(manifestCache.get((table, v))).getOrElse {
+        val p = new Path(manifestDir(table), f"v$v%09d.txt")
+        val in = fs.open(p)
+        val body = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+        val parsed = body.split("\n").toSeq.filter(_.nonEmpty).map { l =>
+          val i = l.indexOf('\t')
+          (new String(unb64(l.substring(0, i)), "UTF-8"),
+            l.substring(i + 1).toLong)
+        }
+        manifestCache.put((table, v), parsed)
+        parsed
       })
     }
+
+  /** Parsed manifest bodies keyed by (table, version) — immutable
+    * once published; superseded versions are purged on publish. */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long),
+      Seq[(String, Long)]]()
 
   /** Partition value parsed from a path (manifest-relative or
     * absolute): the `chain_name=` segment, Hive-unescaped. */
@@ -630,14 +647,7 @@ class Lake(spark: SparkSession, val root: String) {
       holder match {
         case Some(st) if System.currentTimeMillis() - st.getModificationTime >
             staleLockMs =>
-          // crashed writer: break the claim atomically (one winner);
-          // losers loop and find the lock gone or freshly re-claimed.
-          // Tombstones a crashed breaker leaves behind are swept by
-          // [[vacuum]]'s manifest-dir pass.
-          val tomb = new Path(d,
-            s".commit.lock.broken-${java.util.UUID.randomUUID()}")
-          try { if (fs.rename(lock, tomb)) fs.delete(tomb, false) }
-          catch { case _: java.io.IOException => () }
+          breakStaleLock(d, staleLockMs) // crashed writer
         case Some(_) =>
           if (System.currentTimeMillis() > deadline)
             throw new Lake.ConcurrentWriteException(
@@ -650,23 +660,49 @@ class Lake(spark: SparkSession, val root: String) {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Break a dir's `.commit.lock` if STALE, atomically: rename to a
+    * tombstone (one winner among racing breakers), then RE-VERIFY the
+    * captured claim's age and restore it if the caller's
+    * stat-then-rename window captured a fresh re-claim instead of the
+    * crashed one. A plain age-gated delete (what [[vacuum]] used to
+    * do) re-opens the two-writers hole the rename protocol closes. If
+    * the restore itself loses a race (a third writer already
+    * re-claimed), the displaced writer's publish fence in
+    * [[manifestTxn]] aborts its commit rather than racing the new
+    * claimant. Tombstones a crashed breaker leaves behind are swept
+    * by [[vacuum]]'s manifest-dir pass. */
+  private def breakStaleLock(d: Path, staleMs: Long): Unit = {
+    val lock = new Path(d, ".commit.lock")
+    val tomb = new Path(d,
+      s".commit.lock.broken-${java.util.UUID.randomUUID()}")
+    try {
+      if (fs.rename(lock, tomb)) {
+        val got = fs.getFileStatus(tomb)
+        if (System.currentTimeMillis() - got.getModificationTime > staleMs)
+          fs.delete(tomb, false)
+        else if (!fs.rename(tomb, lock)) fs.delete(tomb, false)
+      }
+    } catch { case _: java.io.IOException => () }
+  }
+
+  /** Is the claim at `lock` still OURS (content == our token)? */
+  private def ownsLock(lock: Path, token: String): Boolean =
+    try {
+      val in = fs.open(lock)
+      val body = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+      body == token
+    } catch { case _: java.io.IOException => false }
+
   /** Release a commit lock, deleting it ONLY while it still carries
     * our token: if a waiter broke our claim as stale (we held it past
     * [[staleLockMs]]) the file on disk is THEIR claim, and a blind
     * delete would re-open the mutual-exclusion hole the atomic break
     * closed. An unreadable or missing lock means there is nothing of
     * ours left to release. */
-  private def releaseCommitLock(lock: Path, token: String): Unit = {
-    val owned =
-      try {
-        val in = fs.open(lock)
-        val body = try new String(
-          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-        finally in.close()
-        body == token
-      } catch { case _: java.io.IOException => false }
-    if (owned) fs.delete(lock, false)
-  }
+  private def releaseCommitLock(lock: Path, token: String): Unit =
+    if (ownsLock(lock, token)) fs.delete(lock, false)
 
   /** Publish `entries` as the next manifest version (caller holds the
     * commit lock). Write-temp-then-rename so readers never observe a
@@ -688,6 +724,8 @@ class Lake(spark: SparkSession, val root: String) {
       throw new java.io.IOException(
         s"manifest publish of $table v$v failed to rename into place")
     }
+    manifestCache.put((table, v), entries.sortBy(_._1))
+    manifestCache.keySet.removeIf(k => k._1 == table && k._2 <= v - 8)
     manifestVersions(table).dropRight(4).foreach(old =>
       fs.delete(new Path(d, f"v$old%09d.txt"), false))
     v
@@ -712,18 +750,30 @@ class Lake(spark: SparkSession, val root: String) {
     * table), (4) publish current − removed + added. Returns the added
     * entries. `land` throwing aborts the transaction with nothing
     * published. */
+  /** `afterPublish` runs UNDER the commit lock after the manifest is
+    * published — the slot for replaced-file retirement and directory
+    * cleanup, which must not race [[vacuum]]'s lock-held orphan sweep
+    * (replaced originals sit unmanifested with OLD mtimes between
+    * publish and retire; unlocked, a concurrent sweep would destroy
+    * snapshot-pinned history mid-handoff). */
   private def manifestTxn(table: String, what: String,
                           removedAbs: Seq[String],
                           plannedChains: Set[String] = Set.empty,
                           plannedRel: Set[String] = Set.empty,
                           intruderGuard: Seq[(String, String, Long)] => Unit =
-                            _ => ())
+                            _ => (),
+                          afterPublish: () => Unit = () => ())
                          (land: => Seq[(String, Long)])
       : Seq[(String, Long)] = {
     val (lock, token) = acquireCommitLock(table)
     try {
       val base: Seq[(String, Long)] = latestManifest(table).map(_._2)
-        .getOrElse(listInventory(table).map(f => (relOf(table, f._2), f._3)))
+        .getOrElse {
+          val adopted =
+            listInventory(table).map(f => (relOf(table, f._2), f._3))
+          requireLakeLayout(table, adopted)
+          adopted
+        }
       val removedRel = removedAbs.map(relOf(table, _))
       val baseSet = base.map(_._1).toSet
       val gone = removedRel.filterNot(baseSet)
@@ -740,11 +790,38 @@ class Lake(spark: SparkSession, val root: String) {
         if (intruders.nonEmpty) intruderGuard(intruders)
       }
       val added = land
+      // publish fence: if our claim was broken as stale mid-commit
+      // (we held it past staleLockMs, or a foreign sweep removed it),
+      // another writer may already be inside its own transaction —
+      // publishing now would race its manifest read. Abort instead:
+      // the landed files stay unmanifested orphans (invisible;
+      // vacuum-sweepable) and the caller retries.
+      if (!ownsLock(lock, token)) throw new Lake.ConcurrentWriteException(
+        s"$what of $table lost its commit claim mid-transaction " +
+          "(broken as stale) - nothing published; retry")
       val removedSet = removedRel.toSet
       publishManifest(table,
         base.filterNot(e => removedSet(e._1)) ++ added)
+      afterPublish()
       added
     } finally releaseCommitLock(lock, token)
+  }
+
+  /** The lake's physical contract: every data file lives under a
+    * `chain_name=` partition directory. Adopting a foreign layout
+    * that breaks it would make every manifest-served read rewrite
+    * chain_name to "" (the partition value comes from the path, and
+    * the manifest relation excludes the data column) — refuse loudly
+    * and leave such tables on the listing read path, which surfaces
+    * the file's real chain_name column. */
+  private def requireLakeLayout(table: String,
+                                entries: Seq[(String, Long)]): Unit = {
+    val bad = entries.filterNot(_._1.startsWith("chain_name="))
+    if (bad.nonEmpty) throw new IllegalStateException(
+      s"cannot adopt $table into the manifest: ${bad.size} data " +
+        "file(s) are not under a chain_name= partition directory " +
+        "(foreign non-partitioned layout) - restructure or re-ingest " +
+        "before adopting: " + bad.take(3).map(_._1).mkString(", "))
   }
 
   /** Re-derive the manifest from a full listing and commit it — the
@@ -753,9 +830,11 @@ class Lake(spark: SparkSession, val root: String) {
     * it doesn't name are invisible to reads and planning). */
   def refreshManifest(table: String): Long = {
     val (lock, token) = acquireCommitLock(table)
-    try publishManifest(table,
-      listInventory(table).map(f => (relOf(table, f._2), f._3)))
-    finally releaseCommitLock(lock, token)
+    try {
+      val entries = listInventory(table).map(f => (relOf(table, f._2), f._3))
+      requireLakeLayout(table, entries)
+      publishManifest(table, entries)
+    } finally releaseCommitLock(lock, token)
   }
 
   /** Has any chain fragmented past `maxChainFiles` live files? THE
@@ -764,9 +843,20 @@ class Lake(spark: SparkSession, val root: String) {
     * long CDC stream otherwise accumulates files until someone
     * remembers to compact ([[graft.streaming.Streaming.upsertStream]]'s
     * `maintainEvery` wires this to [[clusterCompact]]). */
-  def maintenanceNeeded(table: String, maxChainFiles: Int): Boolean = {
+  def maintenanceNeeded(table: String, maxChainFiles: Int): Boolean =
+    fragmentedChains(table, maxChainFiles).nonEmpty
+
+  /** The chains fragmented past `maxChainFiles` live files — what a
+    * maintenance hook passes to [[clusterCompact]]/[[compact]] as
+    * `onlyChains`, so the rewrite touches the fragmented chains and
+    * nothing else (rewriting EVERY chain would make per-batch
+    * maintenance cost proportional to total table bytes, not to the
+    * fragmentation that triggered it). */
+  def fragmentedChains(table: String, maxChainFiles: Int): Seq[String] = {
     require(maxChainFiles > 0, "maxChainFiles must be positive")
-    fileInventory(table).groupBy(_._1).exists(_._2.size > maxChainFiles)
+    fileInventory(table).groupBy(_._1).collect {
+      case (chain, fl) if fl.size > maxChainFiles => chain
+    }.toSeq.sorted
   }
 
   /** Deterministic compaction plan: group each chain's files into
@@ -873,10 +963,16 @@ class Lake(spark: SparkSession, val root: String) {
     * untouched — rewriting them would only churn data.
     * `retain = true` moves the replaced originals into the retention
     * area instead of deleting them (see [[upsert]]'s retain). */
+  /** `onlyChains` non-empty bounds the rewrite to the named chains —
+    * what a maintenance hook passes so rewrite I/O tracks
+    * FRAGMENTATION ([[fragmentedChains]]) instead of table size. */
   def compact(table: String, targetBytes: Long,
-              retain: Boolean = false): Int = {
+              retain: Boolean = false,
+              onlyChains: Seq[String] = Seq.empty): Int = {
     val plan = compactionPlan(table, targetBytes)
     val multi = plan.groupBy(t => (t._1, t._2)).filter(_._2.size > 1)
+      .filter { case ((chain, _), _) =>
+        onlyChains.isEmpty || onlyChains.contains(chain) }
     if (multi.isEmpty) return 0
     var rewritten = 0
     multi.toSeq.sortBy(_._1).foreach { case ((chain, _), files) =>
@@ -892,7 +988,8 @@ class Lake(spark: SparkSession, val root: String) {
         .parquet(tmp.toString)
       val tgtDir =
         new Path(s"${dir(table)}/chain_name=${escapeChain(chain)}")
-      manifestTxn(table, "compaction", paths) {
+      manifestTxn(table, "compaction", paths, afterPublish =
+          () => removeReplaced(table, "compaction", paths, retain)) {
         landStaged(tmp, tgtDir, "compacted") match {
           case None => throw new java.io.IOException(
             s"compaction of $table failed to land staged files for " +
@@ -901,7 +998,6 @@ class Lake(spark: SparkSession, val root: String) {
             fl.map { case (p, b) => (relOf(table, p.toString), b) }
         }
       }
-      removeReplaced(table, "compaction", paths, retain)
       rewritten += 1
     }
     rewritten
@@ -929,15 +1025,33 @@ class Lake(spark: SparkSession, val root: String) {
     * clusters on the Morton value, so each output file is a 2-D tile
     * — footer [min,max] tight on BOTH x and y, and [[readRanges]]
     * prunes files for a bound on EITHER. */
+  /** `onlyChains` as in [[compact]]: non-empty bounds the rewrite to
+    * the named chains so maintenance I/O tracks fragmentation. */
   def clusterCompact(table: String, targetBytes: Long,
                      clusterBy: Seq[String] = Seq.empty,
-                     retain: Boolean = false): Int = {
+                     retain: Boolean = false,
+                     onlyChains: Seq[String] = Seq.empty): Int = {
     val zorder = if (clusterBy.nonEmpty) None else layoutProperty(table)
     require(clusterBy.nonEmpty || zorder.isDefined,
       "clusterCompact needs cluster columns or a write.layout property")
     require(targetBytes > 0, "targetBytes must be positive")
     val schema = effectiveSchema(table)
-    val byChain = fileInventory(table).groupBy(_._1).toSeq.sortBy(_._1)
+    // the z-order pipeline materializes working columns by these
+    // names; a data column sharing one would be overwritten and then
+    // dropped from the rewrite — an entire column silently erased by
+    // a maintenance pass. Refuse before touching anything.
+    zorder.foreach { _ =>
+      val clash = schema.fieldNames.filter(
+        Set("z", "xq", "yq", "file_id"))
+      require(clash.isEmpty,
+        s"zorder rewrite of $table would overwrite data column(s) " +
+          s"${clash.mkString(", ")} - these names are reserved by the " +
+          "layout pipeline; rename them or drop the write.layout property")
+    }
+    val byChain = fileInventory(table).groupBy(_._1)
+      .filter { case (chain, _) =>
+        onlyChains.isEmpty || onlyChains.contains(chain) }
+      .toSeq.sortBy(_._1)
     var rewritten = 0
     byChain.foreach { case (chain, files) =>
       val paths = files.map(_._2)
@@ -970,7 +1084,8 @@ class Lake(spark: SparkSession, val root: String) {
         .parquet(tmp.toString)
       val tgtDir =
         new Path(s"${dir(table)}/chain_name=${escapeChain(chain)}")
-      manifestTxn(table, "clustering", paths) {
+      manifestTxn(table, "clustering", paths, afterPublish =
+          () => removeReplaced(table, "clustering", paths, retain)) {
         landStaged(tmp, tgtDir, "clustered") match {
           case None => throw new java.io.IOException(
             s"clustering of $table failed to land staged files for " +
@@ -979,7 +1094,6 @@ class Lake(spark: SparkSession, val root: String) {
             fl.map { case (p, b) => (relOf(table, p.toString), b) }
         }
       }
-      removeReplaced(table, "clustering", paths, retain)
       rewritten += 1
       }
     }
@@ -1608,18 +1722,24 @@ class Lake(spark: SparkSession, val root: String) {
         removedAbs = touched.map(_._2),
         plannedChains = chains.toSet,
         plannedRel = plannedRelSet,
-        intruderGuard = intruderGuard)
+        intruderGuard = intruderGuard,
+        // under the commit lock (see manifestTxn's afterPublish):
+        // retire/delete the replaced originals, then drop any chain
+        // directory the merge emptied. Both are lock-order-sensitive:
+        // unlocked, the retire races vacuum's orphan sweep (replaced
+        // files carry OLD mtimes) and the empty-dir check races a
+        // concurrent writer landing a fresh file into the "empty"
+        // chain between our listStatus and the recursive delete.
+        afterPublish = () => {
+          removeReplaced(table, "upsert", touched.map(_._2), retain)
+          chains.foreach { c =>
+            val p = new Path(s"${dir(table)}/chain_name=${escapeChain(c)}")
+            if (fs.exists(p) && !fs.listStatus(p).exists(s0 =>
+                s0.getPath.getName.endsWith(".parquet")))
+              fs.delete(p, true)
+          }
+        })
       finally fs.delete(tmp, true)
-    removeReplaced(table, "upsert", touched.map(_._2), retain)
-    // a chain whose files were all touched and produced no output is
-    // now an empty directory — drop it so partition discovery stays
-    // clean
-    chains.foreach { c =>
-      val p = new Path(s"${dir(table)}/chain_name=${escapeChain(c)}")
-      if (fs.exists(p) && !fs.listStatus(p).exists(s0 =>
-          s0.getPath.getName.endsWith(".parquet")))
-        fs.delete(p, true)
-    }
     UpsertStats(chainFiles.size, touched.size,
       touched.map(_._3).sum, added.size)
   }
@@ -2184,9 +2304,15 @@ class Lake(spark: SparkSession, val root: String) {
       val now = System.currentTimeMillis()
       fs.listStatus(manifestDir(table)).foreach { st =>
         val n = st.getPath.getName
-        // ".commit.lock" prefix also catches ".commit.lock.broken-*"
-        // tombstones a crashed lock-breaker left behind
-        if ((n.startsWith(".commit.lock") || n.startsWith(".m-tmp-")) &&
+        if (n == ".commit.lock" &&
+            now - st.getModificationTime > staleCommitMs)
+          // NOT a plain delete: between our stat and the delete a
+          // waiter may have broken this stale claim and re-claimed
+          // fresh — the atomic-break protocol re-verifies before
+          // discarding, a blind delete would remove the fresh claim
+          breakStaleLock(manifestDir(table), staleCommitMs)
+        else if ((n.startsWith(".commit.lock.broken-") ||
+            n.startsWith(".m-tmp-")) &&
             now - st.getModificationTime > staleCommitMs)
           fs.delete(st.getPath, false)
       }

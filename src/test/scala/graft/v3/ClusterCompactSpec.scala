@@ -82,4 +82,42 @@ class ClusterCompactSpec extends SparkSpec {
     val vs = lake.vacuum(Schemas.Nfp, keepLast = 0)
     assert(vs.filesDeleted == 4, s"expected 4 retired files freed: $vs")
   }
+
+  test("onlyChains bounds the rewrite: cold chains' files stay byte-identical") {
+    import spark.implicits._
+    val lake = new Lake(spark, Files.createTempDirectory("cl-oc").toString)
+    buildInterleaved(lake) // ethereum: 4 fragmented files
+    // a cold, already-compact chain that maintenance must NOT touch
+    lake.append(rows(0 until 50)
+      .withColumn("chain_name", lit("base")).coalesce(1), Schemas.Nfp)
+    val coldBefore = lake.fileInventory(Schemas.Nfp)
+      .filter(_._1 == "base")
+    assert(lake.fragmentedChains(Schemas.Nfp, maxChainFiles = 2) ==
+      Seq("ethereum"))
+    val n = lake.clusterCompact(Schemas.Nfp, targetBytes = 1L << 14,
+      clusterBy = Seq("transaction_hash"),
+      onlyChains = Seq("ethereum"))
+    assert(n == 1, s"expected exactly the fragmented chain rewritten: $n")
+    val coldAfter = lake.fileInventory(Schemas.Nfp).filter(_._1 == "base")
+    assert(coldAfter == coldBefore,
+      s"cold chain was rewritten:\n  before=$coldBefore\n  after=$coldAfter")
+    assert(lake.read(Schemas.Nfp).count() == 450L)
+  }
+
+  test("a zorder rewrite refuses tables whose schema uses the layout's working columns") {
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val lake = new Lake(spark, Files.createTempDirectory("cl-zc").toString)
+    lake.append(rows(0 until 20), Schemas.Nfp)
+    lake.evolveSchema(Schemas.Nfp, org.apache.spark.sql.types.StructType(
+      Schemas.forTable(Schemas.Nfp).fields :+
+        StructField("z", StringType, nullable = true)))
+    lake.setTableProperties(Schemas.Nfp,
+      Map("write.layout" -> "zorder(block_number,tx_index)"))
+    val e = intercept[IllegalArgumentException] {
+      lake.clusterCompact(Schemas.Nfp, targetBytes = 1L << 14)
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+    // rows untouched by the refused rewrite
+    assert(lake.read(Schemas.Nfp).count() == 20L)
+  }
 }

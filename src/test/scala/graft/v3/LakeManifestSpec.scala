@@ -257,6 +257,23 @@ class LakeManifestSpec extends SparkSpec {
     assert(e.getMessage.contains("unsupported write.layout"), e.getMessage)
   }
 
+  test("adopting a non-partitioned foreign layout is refused loudly") {
+    // a manifest over files outside chain_name= dirs would serve
+    // chain_name = "" for every row (the partition value comes from
+    // the path) — adoption must refuse; the listing fallback keeps
+    // reading the file's real chain_name column
+    val root = Files.createTempDirectory("lake-man12").toString
+    val lake = new Lake(spark, root)
+    rows(0 until 8).write.parquet(s"$root/${Schemas.Nfp}") // no partitionBy
+    assert(lake.read(Schemas.Nfp) // listing fallback: real column values
+      .filter(col("chain_name") === "ethereum").count() == 8L)
+    val e = intercept[IllegalStateException] {
+      lake.refreshManifest(Schemas.Nfp)
+    }
+    assert(e.getMessage.contains("chain_name= partition"), e.getMessage)
+    assert(!lake.hasManifest(Schemas.Nfp))
+  }
+
   test("manifest-served reads decode the null-partition sentinel like Spark does") {
     val root = Files.createTempDirectory("lake-man10").toString
     val lake = new Lake(spark, root)
