@@ -565,7 +565,8 @@ object ScaleProbe {
     val cowSection = Set("upsert_cow", "upsert_cow_narrow",
       "upsert_cow_spread", "upsert_cow_seq3", "upsert_cow_retain",
       "vacuum", "cluster_compact", "upsert_after_cluster",
-      "read_pruned_range", "read_pruned_keys", "manifest_plan")
+      "read_pruned_range", "read_pruned_keys", "manifest_plan",
+      "maintain_bounded")
     if (only.forall(s => s.exists(cowSection))) {
       import graft.v3.{Lake, Schemas}
       val orders0 = Tables.orders(spark, sfDir)
@@ -674,6 +675,30 @@ object ScaleProbe {
       println(f"""{"probe":"manifest_plan","k":$k,"files":$nInv,"reps":$reps,""" +
         f""""manifest_sec":$manifestSec%.3f,"listing_sec":$listSec%.3f,""" +
         f""""plan_list_calls":${lakeR.listCalls.get() - reps},"sec":$manifestSec%.3f}""")
+      // maintenance bounded to fragmentation: add a COLD second chain,
+      // fragment only ethereum with small appends, then run the
+      // hook-path rewrite with onlyChains = fragmentedChains. Cost
+      // must track the fragmented chain's bytes; the cold chain's
+      // files stay byte-identical (maintenance I/O ∝ fragmentation,
+      // not table size — the 100 TB multi-chain CDC requirement).
+      lake.append(nfpSeg(0, spreadSrc)
+        .withColumn("chain_name", lit("base")).coalesce(1), Schemas.Nfp)
+      (1 to 6).foreach(i => lake.append(
+        nfpSeg(0, orders0.filter(pmod(col("o_orderkey"), lit(200)) === i))
+          .coalesce(1), Schemas.Nfp))
+      val frag = lake.fragmentedChains(Schemas.Nfp, maxChainFiles = 4)
+      val coldBefore =
+        lake.fileInventory(Schemas.Nfp).filter(_._1 == "base")
+      val t6 = System.nanoTime()
+      val nMf = lake.clusterCompact(Schemas.Nfp,
+        targetBytes = math.max(1L, totalBytes / k),
+        clusterBy = Seq("transaction_hash"), onlyChains = frag)
+      val mfSec = (System.nanoTime() - t6) / 1e9
+      val coldUntouched =
+        lake.fileInventory(Schemas.Nfp).filter(_._1 == "base") == coldBefore
+      println(f"""{"probe":"maintain_bounded","k":$k,"sec":$mfSec%.2f,""" +
+        f""""fragmented":${frag.size},"chains_rewritten":$nMf,""" +
+        f""""cold_untouched":$coldUntouched}""")
     }
 
     // ── bloom point lookup at k×: INTERLEAVED (un-prunable) files ────
