@@ -934,6 +934,100 @@ object V3Shape {
         |    AS BIGINT) AS sum_a0
         |FROM orders
         |WHERE o_orderkey % 1024 <= 255 AND (o_custkey * 7) % 1024 <= 255
-        |GROUP BY 1 ORDER BY 1""".stripMargin))
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // MANIFEST-BACKED METADATA LIFECYCLE — the round-11 commit log
+    // under the oracle: three appends + a cross-file upsert (updates +
+    // inserts) all land as manifest commits; a crashed commit is
+    // simulated by a POISON data file placed in the live chain dir
+    // that no manifest names (log_index 999 — if any reader lists the
+    // directory instead of serving the manifest, the extra group
+    // breaks the oracle hash); reads and planning are require'd to
+    // perform ZERO recursive-listing fallbacks; vacuum's opt-in
+    // orphan sweep must delete exactly the poison file, and the
+    // graded aggregate is computed from a fresh read AFTER vacuum, so
+    // manifest expiry keeping the live version readable is graded too.
+    ("s20_manifest_lifecycle",
+      ((s: SparkSession, d: String) => {
+        import graft.v3.{Lake, Schemas}
+        val orders = Tables.orders(s, d)
+        val k = col("o_orderkey")
+        def derive(df: org.apache.spark.sql.DataFrame) =
+          df.select(
+            lit("ethereum").as("chain_name"),
+            lit("IncreaseLiquidity").as("name"),
+            concat(lit("0xtx"), lpad(k.cast("string"), 12, "0"))
+              .as("transaction_hash"),
+            (lit(1000L) + pmod(k, lit(97))).as("block_number"),
+            pmod(k, lit(13)).as("tx_index"),
+            concat(lit("0xu"), col("o_custkey").cast("string"))
+              .as("from_address"),
+            col("o_custkey").cast("string").as("amount"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("long")
+              .cast("string").as("amount0"),
+            pmod(k, lit(1000)).cast("string").as("amount1"),
+            pmod(k, lit(997)).cast("string").as("tokenId"),
+            pmod(k, lit(7)).as("log_index"))
+        val root = s"/tmp/graft-manifest-lake/${Llm.sfCacheKey(d)}"
+        val lake = new Lake(s, root)
+        lake.dropTable(Schemas.Nfp)
+        val mx = orders.agg(max(k)).first().getLong(0)
+        val q = mx / 3 + 1
+        val baseline = lake.listCalls.get()
+        // three manifest-committed appends (key-range waves)
+        (0 until 3).foreach(j =>
+          lake.append(derive(orders.filter(k >= j * q && k < (j + 1) * q))
+            .coalesce(1), Schemas.Nfp))
+        // one upsert batch: +100-cent updates on existing keys plus
+        // brand-new keys shifted past the table's max
+        val upd = derive(orders.filter(k < 500 && pmod(k, lit(10)) === 0))
+          .withColumn("amount0",
+            (col("amount0").cast("long") + 100).cast("string"))
+        val ins = derive(orders.filter(k <= 37)
+          .withColumn("o_orderkey", k + mx + 1))
+        lake.upsert(upd.unionAll(ins), Schemas.Nfp,
+          Seq("chain_name", "transaction_hash"))
+        // crashed commit: a landed-but-never-published poison file in
+        // the live chain dir (rows the oracle does NOT contain)
+        val poison = derive(orders.limit(50))
+          .withColumn("log_index", lit(999L)).drop("chain_name")
+        poison.coalesce(1).write.mode("overwrite")
+          .parquet(s"$root/_tmp/s20-orphan-src")
+        val part = new java.io.File(s"$root/_tmp/s20-orphan-src")
+          .listFiles().find(_.getName.endsWith(".parquet")).get
+        val orphan = new java.io.File(
+          s"$root/${Schemas.Nfp}/chain_name=ethereum/orphan-s20.parquet")
+        require(part.renameTo(orphan), "fixture orphan landing failed")
+        // manifest-served read: the poison rows must be invisible
+        require(lake.read(Schemas.Nfp)
+          .filter(col("log_index") === 999L).limit(1).count() == 0L,
+          "a reader saw a file the manifest never named")
+        // sweep the orphan (age gate disarmed: nothing is in flight)
+        val vs = lake.vacuum(Schemas.Nfp, keepLast = 1,
+          staleCommitMs = 0L, sweepOrphans = true)
+        require(!orphan.exists(), s"orphan survived the sweep - $vs")
+        require(lake.listCalls.get() == baseline,
+          s"metadata planning fell back to ${lake.listCalls.get() - baseline} " +
+            "recursive listing(s) on a manifest-backed lifecycle")
+        lake.read(Schemas.Nfp)
+          .groupBy(col("log_index"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("amount0").cast("long")).as("sum_a0"))
+          .orderBy(col("log_index"))
+      }): Q,
+      Some("""WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+        |base AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |fin AS (
+        |  SELECT k, cents + CASE WHEN k < 500 AND k % 10 = 0
+        |      THEN 100 ELSE 0 END AS a0
+        |    FROM base
+        |  UNION ALL
+        |  SELECT b.k + mx.m + 1 AS k, b.cents AS a0
+        |    FROM base b, mx WHERE b.k <= 37)
+        |SELECT CAST(k % 7 AS BIGINT) AS log_index, count(*) AS n,
+        |  CAST(sum(a0) AS BIGINT) AS sum_a0
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
