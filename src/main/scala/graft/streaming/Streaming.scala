@@ -356,7 +356,11 @@ object Streaming {
         val latest = graft.ops.Ops.lastPerKey(batch,
           keys = keys.map(col), order = orderCols.map(col))
           .localCheckpoint()
-        lake.upsert(latest, table, keys, deleteCol = Some(deleteCol),
+        // retrying: a foreign ad-hoc writer racing one micro-batch
+        // must cost a re-plan, not kill the whole stream (the batch is
+        // checkpointed above, so re-evaluation per attempt is stable)
+        lake.upsertRetrying(latest, table, keys,
+          deleteCol = Some(deleteCol),
           checkUnique = false, // lastPerKey just guaranteed it
           retain = retain)
         if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0) {

@@ -1744,6 +1744,46 @@ class Lake(spark: SparkSession, val root: String) {
       touched.map(_._3).sum, added.size)
   }
 
+  /** [[upsert]] with bounded optimistic-concurrency retries: a
+    * [[Lake.ConcurrentWriteException]] means another writer's commit
+    * retired files this merge planned against — every [[upsert]] call
+    * plans from a fresh manifest inventory, so simply calling it again
+    * IS the re-plan the exception asks for. Attempts are spaced by
+    * jittered linear backoff (`backoffMs * attempt + U[0, backoffMs]`)
+    * so two writers that collided once decorrelate instead of
+    * colliding on every retry. The batch DataFrame is re-evaluated per
+    * attempt — pass a deterministic (or checkpointed) batch, the same
+    * contract the streaming sinks already require. Exhausting
+    * `maxAttempts` rethrows the last conflict: persistent contention
+    * on the same files is a topology problem (split the key space or
+    * serialize those writers), not one more retry away. */
+  def upsertRetrying(updates: DataFrame, table: String, keys: Seq[String],
+                     deleteCol: Option[String] = None,
+                     checkUnique: Boolean = true,
+                     maxKeyCollect: Int = 1 << 20,
+                     retain: Boolean = false,
+                     maxAttempts: Int = 5,
+                     backoffMs: Long = 50L): UpsertStats = {
+    require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    require(backoffMs >= 0L, "backoffMs must be >= 0")
+    var attempt = 1
+    while (true) {
+      try return upsert(updates, table, keys, deleteCol, checkUnique,
+        maxKeyCollect, retain)
+      catch {
+        case e: Lake.ConcurrentWriteException =>
+          if (attempt >= maxAttempts) throw e
+          Thread.sleep(backoffMs * attempt +
+            (if (backoffMs > 0)
+              java.util.concurrent.ThreadLocalRandom.current()
+                .nextLong(backoffMs + 1)
+            else 0L))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   // ── Pruned reads: query-side file skipping ─────────────────────────
   //
   // The footer-range planner above exists for CDC merges, but the same

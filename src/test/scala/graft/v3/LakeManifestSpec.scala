@@ -129,6 +129,70 @@ class LakeManifestSpec extends SparkSpec {
       writerA.listInventory(Schemas.Nfp))
   }
 
+  test("upsertRetrying re-plans after losing a race and lands BOTH merges") {
+    val root = Files.createTempDirectory("lake-man4r").toString
+    val writerA = new Lake(spark, root)
+    val writerB = new Lake(spark, root)
+    writerA.append(rows(0 until 20).coalesce(1), Schemas.Nfp)
+    // attempt 1: A's conflicting commit (same single file) lands in
+    // B's pre-commit window, so B loses; the hook then disarms and
+    // B's retry re-plans against A's manifest and must succeed
+    writerB.preCommitHook = () => {
+      writerA.upsert(rows(0 until 3, amt = i => s"A$i"), Schemas.Nfp,
+        Seq("chain_name", "transaction_hash"))
+      writerB.preCommitHook = () => ()
+    }
+    val st = writerB.upsertRetrying(
+      rows(5 until 8, amt = i => s"B$i").localCheckpoint(), Schemas.Nfp,
+      Seq("chain_name", "transaction_hash"), backoffMs = 1L)
+    assert(st.touchedFiles >= 1)
+    // both writers' merges applied: A's on 0-2, B's on 5-7
+    val amounts = writerA.read(Schemas.Nfp)
+      .select("transaction_hash", "amount")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(amounts.size == 20)
+    (0 until 3).foreach(i =>
+      assert(amounts(f"0xtx$i%05d") == s"A$i", "winner's merge lost"))
+    (5 until 8).foreach(i =>
+      assert(amounts(f"0xtx$i%05d") == s"B$i", "retried merge lost"))
+    assert(writerA.fileInventory(Schemas.Nfp) ==
+      writerA.listInventory(Schemas.Nfp))
+  }
+
+  test("upsertRetrying exhausts maxAttempts under persistent contention") {
+    val root = Files.createTempDirectory("lake-man4x").toString
+    val writerA = new Lake(spark, root)
+    val writerB = new Lake(spark, root)
+    writerA.append(rows(0 until 20).coalesce(1), Schemas.Nfp)
+    // the hook never disarms, and A upserts the SAME keys B targets:
+    // whatever files B's re-plan reads for keys 5-7, A's next merge
+    // retires exactly those, so the contention is persistent by
+    // construction (a disjoint-key rival would stop conflicting once
+    // the first merge splinters the table — and correctly commit)
+    var aTurn = 0
+    writerB.preCommitHook = () => {
+      aTurn += 1
+      val t = aTurn
+      writerA.upsert(rows(5 until 8, amt = i => s"A$t-$i"), Schemas.Nfp,
+        Seq("chain_name", "transaction_hash"))
+    }
+    val e = intercept[Lake.ConcurrentWriteException] {
+      writerB.upsertRetrying(
+        rows(5 until 8, amt = i => s"B$i").localCheckpoint(), Schemas.Nfp,
+        Seq("chain_name", "transaction_hash"),
+        maxAttempts = 2, backoffMs = 0L)
+    }
+    assert(e.getMessage.contains("concurrent"), e.getMessage)
+    assert(aTurn == 2, s"expected exactly 2 attempts, saw $aTurn")
+    // B landed nothing; A's last merge governs keys 5-7
+    val amounts = writerA.read(Schemas.Nfp)
+      .select("transaction_hash", "amount")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(amounts.size == 20)
+    (5 until 8).foreach(i => assert(amounts(f"0xtx$i%05d") == s"A2-$i",
+      "exhausted retrier's rows landed anyway"))
+  }
+
   test("disjoint-file upserts racing the same table BOTH commit") {
     val root = Files.createTempDirectory("lake-man5").toString
     val writerA = new Lake(spark, root)
