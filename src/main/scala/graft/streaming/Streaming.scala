@@ -369,18 +369,26 @@ object Streaming {
           val frag = lake.fragmentedChains(table, maintainMaxChainFiles)
           if (frag.nonEmpty) {
             val dataKeys = keys.filterNot(_ == "chain_name")
-            if (lake.hasLayout(table))
-              // a declared write.layout wins over the stream's keys:
-              // explicit clusterBy here would rewrite the table 1-D and
-              // destroy the 2-D tiles the property exists to keep every
-              // writer agreeing on
-              lake.clusterCompact(table, maintainTargetBytes,
-                retain = retain, onlyChains = frag)
-            else if (dataKeys.nonEmpty)
-              lake.clusterCompact(table, maintainTargetBytes, dataKeys,
-                retain = retain, onlyChains = frag)
-            else lake.compact(table, maintainTargetBytes, retain = retain,
-              onlyChains = frag)
+            // maintenance is advisory: losing an optimistic-concurrency
+            // race to a foreign writer (either manifestation) must not
+            // kill the stream — skip the cycle; the next trigger
+            // re-checks fragmentation and rewrites whatever remains
+            try {
+              if (lake.hasLayout(table))
+                // a declared write.layout wins over the stream's keys:
+                // explicit clusterBy here would rewrite the table 1-D
+                // and destroy the 2-D tiles the property exists to keep
+                // every writer agreeing on
+                lake.clusterCompact(table, maintainTargetBytes,
+                  retain = retain, onlyChains = frag)
+              else if (dataKeys.nonEmpty)
+                lake.clusterCompact(table, maintainTargetBytes, dataKeys,
+                  retain = retain, onlyChains = frag)
+              else lake.compact(table, maintainTargetBytes, retain = retain,
+                onlyChains = frag)
+            } catch {
+              case e: Throwable if graft.v3.Lake.isRetryableRace(e) => ()
+            }
           }
         }
         () // foreachBatch wants Unit, upsert returns its stats

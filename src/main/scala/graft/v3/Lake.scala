@@ -46,6 +46,35 @@ object Lake {
     * re-plan against the current table state and retry. */
   class ConcurrentWriteException(msg: String)
     extends java.io.IOException(msg)
+
+  /** Is `t` a lost optimistic-concurrency race in either of its two
+    * manifestations — the commit-time [[ConcurrentWriteException]],
+    * or a file-not-found surfaced from the loser's unlocked staging
+    * scan racing the winner's post-publish delete (Spark wraps the
+    * task failure, so the cause chain is walked, bounded against
+    * cycles)? Retrying a GENUINELY missing file is safe: the re-plan
+    * reads a fresh manifest inventory, so a table whose files are
+    * really gone fails every attempt identically and exhausts. */
+  def isRetryableRace(t: Throwable): Boolean = {
+    var cur = t
+    var depth = 0
+    while (cur != null && depth < 20) {
+      cur match {
+        case _: ConcurrentWriteException => return true
+        case _: java.io.FileNotFoundException => return true
+        // a Spark job failure whose winning task reported the scan's
+        // missing file by error class; the FNF cause itself can be
+        // absent when a KILLED sibling's failure is what propagated
+        case e if e.getMessage != null &&
+          e.getMessage.contains("FAILED_READ_FILE.FILE_NOT_EXIST") =>
+          return true
+        case _ => ()
+      }
+      cur = if (cur.getCause eq cur) null else cur.getCause
+      depth += 1
+    }
+    false
+  }
 }
 
 class Lake(spark: SparkSession, val root: String) {
@@ -735,6 +764,13 @@ class Lake(spark: SparkSession, val root: String) {
     * before it takes the commit lock — the window a concurrent writer
     * races in. */
   private[v3] var preCommitHook: () => Unit = () => ()
+
+  /** Test seam firing after an upsert PLANS (touched set fixed) but
+    * before its staging scan runs — the unlocked window where a
+    * concurrent winner's post-publish delete turns the loser's scan
+    * into a task-level file-not-found (the second manifestation of
+    * the lost race; see [[Lake.isRetryableRace]]). */
+  private[v3] var preStageHook: () => Unit = () => ()
 
   /** One serialized manifest transaction: under the table's commit
     * lock, (1) re-read the CURRENT manifest (or adopt via one final
@@ -1714,6 +1750,7 @@ class Lake(spark: SparkSession, val root: String) {
           conflicting.take(3).map(_._2).mkString(", "))
     }
     val tmp = stagingDir(s"upsert-$table")
+    preStageHook() // test seam: the unlocked staging-scan race window
     merged.write.mode("overwrite").options(writeOptions(table))
       .partitionBy("chain_name")
       .parquet(tmp.toString)
@@ -1748,7 +1785,13 @@ class Lake(spark: SparkSession, val root: String) {
     * [[Lake.ConcurrentWriteException]] means another writer's commit
     * retired files this merge planned against — every [[upsert]] call
     * plans from a fresh manifest inventory, so simply calling it again
-    * IS the re-plan the exception asks for. Attempts are spaced by
+    * IS the re-plan the exception asks for. The SAME lost race has a
+    * second manifestation ([[upsert]]'s concurrency note): the loser's
+    * unlocked staging scan can hit the winner's post-publish delete
+    * and surface a file-not-found from inside the Spark job — that is
+    * retried too ([[Lake.isRetryableRace]] walks the cause chain; a
+    * table whose files are GENUINELY gone fails every re-plan the
+    * same way and still exhausts loudly). Attempts are spaced by
     * jittered linear backoff (`backoffMs * attempt + U[0, backoffMs]`)
     * so two writers that collided once decorrelate instead of
     * colliding on every retry. The batch DataFrame is re-evaluated per
@@ -1771,7 +1814,7 @@ class Lake(spark: SparkSession, val root: String) {
       try return upsert(updates, table, keys, deleteCol, checkUnique,
         maxKeyCollect, retain)
       catch {
-        case e: Lake.ConcurrentWriteException =>
+        case e: Throwable if Lake.isRetryableRace(e) =>
           if (attempt >= maxAttempts) throw e
           Thread.sleep(backoffMs * attempt +
             (if (backoffMs > 0)

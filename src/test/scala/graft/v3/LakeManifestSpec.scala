@@ -159,6 +159,37 @@ class LakeManifestSpec extends SparkSpec {
       writerA.listInventory(Schemas.Nfp))
   }
 
+  test("upsertRetrying survives the staging-scan race (file-not-found form)") {
+    val root = Files.createTempDirectory("lake-man4f").toString
+    val writerA = new Lake(spark, root)
+    val writerB = new Lake(spark, root)
+    writerA.append(rows(0 until 20).coalesce(1), Schemas.Nfp)
+    // B's touched set is fixed at planning; in the unlocked staging
+    // window A's merge commits AND deletes the replaced original
+    // (retain = false), so B's scan hits a task-level file-not-found
+    // — the lost race's SECOND manifestation, which never reaches the
+    // commit-time conflict check
+    writerB.preStageHook = () => {
+      writerA.upsert(rows(0 until 3, amt = i => s"A$i"), Schemas.Nfp,
+        Seq("chain_name", "transaction_hash"))
+      writerB.preStageHook = () => ()
+    }
+    val st = writerB.upsertRetrying(
+      rows(5 until 8, amt = i => s"B$i").localCheckpoint(), Schemas.Nfp,
+      Seq("chain_name", "transaction_hash"), backoffMs = 1L)
+    assert(st.touchedFiles >= 1)
+    val amounts = writerA.read(Schemas.Nfp)
+      .select("transaction_hash", "amount")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(amounts.size == 20)
+    (0 until 3).foreach(i =>
+      assert(amounts(f"0xtx$i%05d") == s"A$i", "winner's merge lost"))
+    (5 until 8).foreach(i =>
+      assert(amounts(f"0xtx$i%05d") == s"B$i", "retried merge lost"))
+    assert(writerA.fileInventory(Schemas.Nfp) ==
+      writerA.listInventory(Schemas.Nfp))
+  }
+
   test("upsertRetrying exhausts maxAttempts under persistent contention") {
     val root = Files.createTempDirectory("lake-man4x").toString
     val writerA = new Lake(spark, root)
