@@ -566,7 +566,7 @@ object ScaleProbe {
       "upsert_cow_spread", "upsert_cow_seq3", "upsert_cow_retain",
       "vacuum", "cluster_compact", "upsert_after_cluster",
       "read_pruned_range", "read_pruned_keys", "manifest_plan",
-      "maintain_bounded")
+      "manifest_log", "maintain_bounded")
     if (only.forall(s => s.exists(cowSection))) {
       import graft.v3.{Lake, Schemas}
       val orders0 = Tables.orders(spark, sfDir)
@@ -675,6 +675,22 @@ object ScaleProbe {
       println(f"""{"probe":"manifest_plan","k":$k,"files":$nInv,"reps":$reps,""" +
         f""""manifest_sec":$manifestSec%.3f,"listing_sec":$listSec%.3f,""" +
         f""""plan_list_calls":${lakeR.listCalls.get() - reps},"sec":$manifestSec%.3f}""")
+      // commit-log write cost: a small commit against the k-file table
+      // must publish O(batch) manifest bytes (a delta file), not
+      // O(files) (a checkpoint) — the write-side twin of the planning
+      // probe above. Sizes read straight from the log directory.
+      val mdir = new java.io.File(
+        s"${lakeR.root}/_manifest/${Schemas.Nfp}")
+      val logF = mdir.listFiles().filter(_.getName.startsWith("v"))
+        .sortBy(_.getName)
+      val lastCp = logF.filterNot(_.getName.endsWith(".d.txt"))
+        .lastOption.map(_.length()).getOrElse(0L)
+      val lastDl = logF.filter(_.getName.endsWith(".d.txt"))
+        .lastOption.map(_.length()).getOrElse(0L)
+      // size accounting, not a timing — no sec field by design
+      println(f"""{"probe":"manifest_log","k":$k,"files":$nInv,""" +
+        f""""versions":${logF.length},"delta_bytes":$lastDl,""" +
+        f""""checkpoint_bytes":$lastCp}""")
       // maintenance bounded to fragmentation: add a COLD second chain,
       // fragment only ethereum with small appends, then run the
       // hook-path rewrite with onlyChains = fragmentedChains. Cost

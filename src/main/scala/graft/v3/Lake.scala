@@ -586,43 +586,91 @@ class Lake(spark: SparkSession, val root: String) {
     * holder crashed and breaks it. */
   private val staleLockMs = 3600000L
 
-  private def manifestVersions(table: String): Seq[Long] = {
+  /** The commit log's on-disk versions: (version, isDelta), sorted.
+    * `vNNN.txt` is a CHECKPOINT (the complete file set — also the
+    * only kind written before round 11, so old tables read back
+    * unchanged); `vNNN.d.txt` is a DELTA carrying only the commit's
+    * own adds/removes, so a steady stream of small commits against a
+    * huge table writes O(batch) manifest bytes, not O(table files) —
+    * the same reason the published formats log deltas and checkpoint
+    * periodically. */
+  private def manifestKinds(table: String): Seq[(Long, Boolean)] = {
     val d = manifestDir(table)
     if (!fs.exists(d)) return Seq.empty
-    fs.listStatus(d).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.endsWith(".txt"))
-      .map(n => n.stripPrefix("v").stripSuffix(".txt").toLong)
-      .sorted
+    fs.listStatus(d).toSeq.map(_.getPath.getName).collect {
+      case n if n.startsWith("v") && n.endsWith(".d.txt") =>
+        (n.stripPrefix("v").stripSuffix(".d.txt").toLong, true)
+      case n if n.startsWith("v") && n.endsWith(".txt") &&
+          !n.endsWith(".d.txt") =>
+        (n.stripPrefix("v").stripSuffix(".txt").toLong, false)
+    }.sortBy(_._1)
   }
+
+  private def manifestVersions(table: String): Seq[Long] =
+    manifestKinds(table).map(_._1)
 
   def hasManifest(table: String): Boolean = manifestVersions(table).nonEmpty
 
-  /** Latest committed manifest: (version, entries as (relPath, bytes)).
-    * Line format `relB64 TAB bytes` — base64 keeps arbitrary partition
-    * values (already Hive-escaped, but belt and braces) unambiguous. */
-  private[v3] def latestManifest(table: String)
-      : Option[(Long, Seq[(String, Long)])] =
-    manifestVersions(table).lastOption.map { v =>
-      // a manifest version is immutable, so the parse is cached by
-      // (table, version): one logical operation otherwise re-opens
-      // and re-decodes the same file several times (planning, the
-      // txn's base read, a maintenance poll), and on the object
-      // stores this layer targets each open is a network round-trip
-      (v, Option(manifestCache.get((table, v))).getOrElse {
-        val p = new Path(manifestDir(table), f"v$v%09d.txt")
-        val in = fs.open(p)
-        val body = try new String(
-          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-        finally in.close()
-        val parsed = body.split("\n").toSeq.filter(_.nonEmpty).map { l =>
-          val i = l.indexOf('\t')
-          (new String(unb64(l.substring(0, i)), "UTF-8"),
-            l.substring(i + 1).toLong)
+  private def readManifestBody(table: String, v: Long,
+                               isDelta: Boolean): String = {
+    val name = if (isDelta) f"v$v%09d.d.txt" else f"v$v%09d.txt"
+    val in = fs.open(new Path(manifestDir(table), name))
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    finally in.close()
+  }
+
+  /** Fold the commit log up to version `v`: parse the governing
+    * checkpoint, then apply each delta in version order. Results are
+    * cached per (table, version) — a delta commit's fold costs ONE
+    * small read on a warm driver (the v−1 state is cached), and a
+    * fresh driver pays the checkpoint plus at most `checkpointEvery`
+    * delta reads, once. Delta line format: `+relB64 TAB bytes` (add)
+    * / `-relB64` (remove); checkpoint lines are `relB64 TAB bytes`. */
+  private def resolveManifest(table: String, kinds: Seq[(Long, Boolean)],
+                              v: Long): Seq[(String, Long)] =
+    Option(manifestCache.get((table, v))).getOrElse {
+      val isDelta = kinds.find(_._1 == v).exists(_._2)
+      val body = readManifestBody(table, v, isDelta)
+      def entryOf(l: String): (String, Long) = {
+        val i = l.indexOf('\t')
+        (new String(unb64(l.substring(0, i)), "UTF-8"),
+          l.substring(i + 1).toLong)
+      }
+      val parsed: Seq[(String, Long)] =
+        if (!isDelta)
+          body.split("\n").toSeq.filter(_.nonEmpty).map(entryOf)
+        else {
+          // a delta applies to EXACTLY the preceding version — a gap
+          // means retention or a foreign actor broke the chain; fold
+          // loudly rather than skip a commit
+          require(kinds.exists(_._1 == v - 1),
+            s"manifest delta v$v of $table has no base v${v - 1} - " +
+              "commit-log chain broken; refreshManifest to recover")
+          val base = resolveManifest(table, kinds, v - 1).toBuffer
+          val removed = scala.collection.mutable.Set[String]()
+          val added = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+          body.split("\n").filter(_.nonEmpty).foreach { l =>
+            if (l.startsWith("-"))
+              removed += new String(unb64(l.substring(1)), "UTF-8")
+            else added += entryOf(l.substring(1))
+          }
+          (base.filterNot(e => removed(e._1)) ++ added)
+            .sortBy(_._1).toSeq
         }
-        manifestCache.put((table, v), parsed)
-        parsed
-      })
+      manifestCache.put((table, v), parsed)
+      parsed
     }
+
+  /** Latest committed manifest: (version, entries as (relPath, bytes)).
+    * base64 keeps arbitrary partition values (already Hive-escaped,
+    * but belt and braces) unambiguous. */
+  private[v3] def latestManifest(table: String)
+      : Option[(Long, Seq[(String, Long)])] = {
+    val kinds = manifestKinds(table)
+    kinds.lastOption.map { case (v, _) =>
+      (v, resolveManifest(table, kinds, v))
+    }
+  }
 
   /** Parsed manifest bodies keyed by (table, version) — immutable
     * once published; superseded versions are purged on publish. */
@@ -738,25 +786,65 @@ class Lake(spark: SparkSession, val root: String) {
     * torn manifest; old versions beyond a short post-mortem tail are
     * GC'd — manifests are planning state, TIME TRAVEL is [[snapshot]]'s
     * job. */
+  /** How many delta commits may stack on a checkpoint before the next
+    * commit writes a fresh checkpoint. Bounds a cold driver's fold to
+    * one O(files) checkpoint read + 16 O(batch) delta reads, and disk
+    * to roughly two checkpoint generations of small files. */
+  private val checkpointEvery = 16
+
+  /** Publish version `next = last + 1` of the commit log. `entries`
+    * is the COMPLETE folded file set (always known to callers — they
+    * just computed it); `delta = Some((added, removedRel))` lets the
+    * commit land as an O(batch)-byte delta file. A checkpoint (full
+    * set) is written instead when the caller has no delta
+    * (adoption/refresh), the log is empty, or `checkpointEvery` deltas
+    * have stacked since the last checkpoint — at which point every
+    * version older than the PREVIOUS checkpoint is deleted (two
+    * checkpoint generations stay readable, so a reader that listed
+    * versions just before this publish still folds its chain). */
   private def publishManifest(table: String,
-                              entries: Seq[(String, Long)]): Long = {
+                              entries: Seq[(String, Long)],
+                              delta: Option[(Seq[(String, Long)],
+                                Set[String])] = None): Long = {
     val d = manifestDir(table)
-    val v = manifestVersions(table).lastOption.getOrElse(0L) + 1
-    val body = entries.sortBy(_._1).map { case (rel, b) =>
-      s"${b64(rel.getBytes("UTF-8"))}\t$b"
-    }.mkString("\n")
+    val kinds = manifestKinds(table)
+    val v = kinds.lastOption.map(_._1).getOrElse(0L) + 1
+    val deltasSinceCheckpoint =
+      kinds.reverse.takeWhile(_._2).size
+    val asDelta = delta.isDefined && kinds.nonEmpty &&
+      deltasSinceCheckpoint < checkpointEvery
+    val body =
+      if (asDelta) {
+        val (added, removedRel) = delta.get
+        (removedRel.toSeq.sorted.map(r => s"-${b64(r.getBytes("UTF-8"))}") ++
+          added.sortBy(_._1).map { case (rel, b) =>
+            s"+${b64(rel.getBytes("UTF-8"))}\t$b" }).mkString("\n")
+      } else entries.sortBy(_._1).map { case (rel, b) =>
+        s"${b64(rel.getBytes("UTF-8"))}\t$b"
+      }.mkString("\n")
+    val name = if (asDelta) f"v$v%09d.d.txt" else f"v$v%09d.txt"
     val tmp = new Path(d, s".m-tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    if (!fs.rename(tmp, new Path(d, f"v$v%09d.txt"))) {
+    if (!fs.rename(tmp, new Path(d, name))) {
       fs.delete(tmp, false)
       throw new java.io.IOException(
         s"manifest publish of $table v$v failed to rename into place")
     }
     manifestCache.put((table, v), entries.sortBy(_._1))
     manifestCache.keySet.removeIf(k => k._1 == table && k._2 <= v - 8)
-    manifestVersions(table).dropRight(4).foreach(old =>
-      fs.delete(new Path(d, f"v$old%09d.txt"), false))
+    if (!asDelta) {
+      // retention anchored to checkpoints, never mid-chain: delete
+      // versions older than the previous checkpoint (this one just
+      // became the latest)
+      val prevCheckpoint = kinds.filter(!_._2).map(_._1).lastOption
+      prevCheckpoint.foreach { p =>
+        kinds.filter(_._1 < p).foreach { case (old, wasDelta) =>
+          fs.delete(new Path(d,
+            if (wasDelta) f"v$old%09d.d.txt" else f"v$old%09d.txt"), false)
+        }
+      }
+    }
     v
   }
 
@@ -837,7 +925,8 @@ class Lake(spark: SparkSession, val root: String) {
           "(broken as stale) - nothing published; retry")
       val removedSet = removedRel.toSet
       publishManifest(table,
-        base.filterNot(e => removedSet(e._1)) ++ added)
+        base.filterNot(e => removedSet(e._1)) ++ added,
+        delta = Some((added, removedSet)))
       afterPublish()
       added
     } finally releaseCommitLock(lock, token)

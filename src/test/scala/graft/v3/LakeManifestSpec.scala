@@ -253,6 +253,51 @@ class LakeManifestSpec extends SparkSpec {
       writerA.listInventory(Schemas.Nfp))
   }
 
+  test("commit log: small commits write delta bytes, checkpoints bound the chain") {
+    val root = Files.createTempDirectory("lake-man-log").toString
+    val lake = new Lake(spark, root)
+    // a wide table: 40 single-file appends = 40 commits (three
+    // checkpoint generations: v1, v18, v35 at checkpointEvery = 16)
+    (0 until 40).foreach(j =>
+      lake.append(rows(j * 10 until j * 10 + 10).coalesce(1), Schemas.Nfp))
+    val mdir = new java.io.File(s"$root/_manifest/${Schemas.Nfp}")
+    def logFiles = mdir.listFiles().filter(_.getName.startsWith("v"))
+      .sortBy(_.getName).toSeq
+    // deltas dominate; checkpoints appear every checkpointEvery=16
+    val checkpoints = logFiles.filterNot(_.getName.endsWith(".d.txt"))
+    val deltas = logFiles.filter(_.getName.endsWith(".d.txt"))
+    assert(checkpoints.nonEmpty && deltas.nonEmpty,
+      s"expected mixed log, got ${logFiles.map(_.getName)}")
+    // an O(batch) commit against the 40-file table: the delta file
+    // names ONE file change, the checkpoint names the whole table
+    val lastCheckpoint = checkpoints.last
+    val lastDelta = deltas.last
+    assert(lastDelta.length() * 4 < lastCheckpoint.length(),
+      s"delta ${lastDelta.length()}B not O(batch) vs checkpoint " +
+        s"${lastCheckpoint.length()}B")
+    // retention: nothing older than the previous checkpoint survives,
+    // and the kept chain has no gaps (every delta's base is present)
+    val vs = logFiles.map(f => f.getName.stripPrefix("v")
+      .stripSuffix(".d.txt").stripSuffix(".txt").toLong)
+    assert(vs == (vs.min to vs.max),
+      s"commit-log chain has gaps: $vs")
+    assert(vs.min > 1, "retention never deleted pre-checkpoint versions")
+    // a COLD driver folds checkpoint + deltas to the same 400 rows
+    val cold = new Lake(spark, root)
+    assert(cold.read(Schemas.Nfp).count() == 400L)
+    assert(cold.listCalls.get() == 0L, "cold fold fell back to listing")
+    // and an upsert folded through the delta chain replaces in place
+    cold.upsert(rows(5 until 8, amt = i => s"u$i"), Schemas.Nfp,
+      Seq("chain_name", "transaction_hash"))
+    val amounts = cold.read(Schemas.Nfp).select("transaction_hash", "amount")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(amounts.size == 400)
+    (5 until 8).foreach(i => assert(amounts(f"0xtx$i%05d") == s"u$i"))
+    // inventory equals a raw listing at every point (manifest truth)
+    assert(cold.fileInventory(Schemas.Nfp).sortBy(_._2) ==
+      cold.listInventory(Schemas.Nfp).sortBy(_._2))
+  }
+
   test("orphans from a crashed commit are invisible and vacuum-sweepable") {
     val root = Files.createTempDirectory("lake-man6").toString
     val lake = new Lake(spark, root)
