@@ -619,45 +619,64 @@ class Lake(spark: SparkSession, val root: String) {
     finally in.close()
   }
 
-  /** Fold the commit log up to version `v`: parse the governing
-    * checkpoint, then apply each delta in version order. Results are
-    * cached per (table, version) — a delta commit's fold costs ONE
-    * small read on a warm driver (the v−1 state is cached), and a
-    * fresh driver pays the checkpoint plus at most `checkpointEvery`
-    * delta reads, once. Delta line format: `+relB64 TAB bytes` (add)
-    * / `-relB64` (remove); checkpoint lines are `relB64 TAB bytes`. */
+  /** Fold the commit log up to version `v`: walk BACK from `v` to the
+    * nearest reusable base (a cached fold or a checkpoint), then apply
+    * the deltas FORWARD through one mutable map — one pass, one sort,
+    * and only the requested version is cached (intermediate folds are
+    * never materialized as full file sets, and older cache entries for
+    * the table are dropped, so a long-lived read-only driver holds ONE
+    * folded set per table, not one per version it ever polled). A
+    * delta commit's fold costs one small read on a warm driver (the
+    * v−1 state is cached); a fresh driver pays the checkpoint plus at
+    * most `checkpointEvery` delta reads, once. A mid-chain gap (a
+    * delta whose v−1 is missing) fails loudly rather than folding from
+    * the wrong base. Delta line format: `+relB64 TAB bytes` (add) /
+    * `-relB64` (remove); checkpoint lines are `relB64 TAB bytes`. */
   private def resolveManifest(table: String, kinds: Seq[(Long, Boolean)],
                               v: Long): Seq[(String, Long)] =
     Option(manifestCache.get((table, v))).getOrElse {
-      val isDelta = kinds.find(_._1 == v).exists(_._2)
-      val body = readManifestBody(table, v, isDelta)
+      def isDelta(w: Long): Boolean = kinds.find(_._1 == w).exists(_._2)
       def entryOf(l: String): (String, Long) = {
         val i = l.indexOf('\t')
         (new String(unb64(l.substring(0, i)), "UTF-8"),
           l.substring(i + 1).toLong)
       }
-      val parsed: Seq[(String, Long)] =
-        if (!isDelta)
-          body.split("\n").toSeq.filter(_.nonEmpty).map(entryOf)
-        else {
-          // a delta applies to EXACTLY the preceding version — a gap
-          // means retention or a foreign actor broke the chain; fold
-          // loudly rather than skip a commit
-          require(kinds.exists(_._1 == v - 1),
-            s"manifest delta v$v of $table has no base v${v - 1} - " +
-              "commit-log chain broken; refreshManifest to recover")
-          val base = resolveManifest(table, kinds, v - 1).toBuffer
-          val removed = scala.collection.mutable.Set[String]()
-          val added = scala.collection.mutable.ArrayBuffer[(String, Long)]()
-          body.split("\n").filter(_.nonEmpty).foreach { l =>
+      // back to the nearest cached fold or checkpoint
+      var base = v
+      var cached: Seq[(String, Long)] = null
+      while (isDelta(base) && {
+        cached = manifestCache.get((table, base)); cached == null
+      }) {
+        // a delta applies to EXACTLY the preceding version — a gap
+        // means retention or a foreign actor broke the chain; fold
+        // loudly rather than skip a commit
+        require(kinds.exists(_._1 == base - 1),
+          s"manifest delta v$base of $table has no base v${base - 1} " +
+            "- commit-log chain broken; refreshManifest to recover")
+        base -= 1
+      }
+      val state = new java.util.LinkedHashMap[String, Long]()
+      (if (cached != null) cached
+      else readManifestBody(table, base, isDelta = false)
+        .split("\n").toSeq.filter(_.nonEmpty).map(entryOf))
+        .foreach { case (rel, b) => state.put(rel, b) }
+      // forward through the deltas in one pass
+      ((base + 1) to v).foreach { w =>
+        readManifestBody(table, w, isDelta = true)
+          .split("\n").filter(_.nonEmpty).foreach { l =>
             if (l.startsWith("-"))
-              removed += new String(unb64(l.substring(1)), "UTF-8")
-            else added += entryOf(l.substring(1))
+              state.remove(new String(unb64(l.substring(1)), "UTF-8"))
+            else {
+              val (rel, b) = entryOf(l.substring(1))
+              state.put(rel, b)
+            }
           }
-          (base.filterNot(e => removed(e._1)) ++ added)
-            .sortBy(_._1).toSeq
-        }
+      }
+      import scala.jdk.CollectionConverters._
+      val parsed = state.entrySet().asScala
+        .map(e => (e.getKey, e.getValue.longValue())).toSeq.sortBy(_._1)
       manifestCache.put((table, v), parsed)
+      manifestCache.keySet.removeIf(k => k._1 == table && k._2 < v)
       parsed
     }
 
@@ -781,11 +800,10 @@ class Lake(spark: SparkSession, val root: String) {
   private def releaseCommitLock(lock: Path, token: String): Unit =
     if (ownsLock(lock, token)) fs.delete(lock, false)
 
-  /** Publish `entries` as the next manifest version (caller holds the
-    * commit lock). Write-temp-then-rename so readers never observe a
-    * torn manifest; old versions beyond a short post-mortem tail are
-    * GC'd — manifests are planning state, TIME TRAVEL is [[snapshot]]'s
-    * job. */
+  // Manifests are PLANNING state — time travel is [[snapshot]]'s job;
+  // version files write-temp-then-rename so readers never observe a
+  // torn manifest, and retention is checkpoint-anchored (below).
+
   /** How many delta commits may stack on a checkpoint before the next
     * commit writes a fresh checkpoint. Bounds a cold driver's fold to
     * one O(files) checkpoint read + 16 O(batch) delta reads, and disk
@@ -811,8 +829,13 @@ class Lake(spark: SparkSession, val root: String) {
     val v = kinds.lastOption.map(_._1).getOrElse(0L) + 1
     val deltasSinceCheckpoint =
       kinds.reverse.takeWhile(_._2).size
+    // a full-table rewrite's "delta" (compact/clusterCompact/dropChain
+    // remove and re-add everything) would be LARGER than the
+    // checkpoint representing the same state — write the checkpoint
+    val deltaSmaller = delta.exists { case (added, removed) =>
+      added.size + removed.size < entries.size }
     val asDelta = delta.isDefined && kinds.nonEmpty &&
-      deltasSinceCheckpoint < checkpointEvery
+      deltasSinceCheckpoint < checkpointEvery && deltaSmaller
     val body =
       if (asDelta) {
         val (added, removedRel) = delta.get

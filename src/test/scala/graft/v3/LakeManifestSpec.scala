@@ -298,6 +298,60 @@ class LakeManifestSpec extends SparkSpec {
       cold.listInventory(Schemas.Nfp).sortBy(_._2))
   }
 
+  test("commit log: a mid-chain gap fails loudly; refreshManifest recovers") {
+    val root = Files.createTempDirectory("lake-man-gap").toString
+    val lake = new Lake(spark, root)
+    (0 until 6).foreach(j =>
+      lake.append(rows(j * 10 until j * 10 + 10).coalesce(1), Schemas.Nfp))
+    val mdir = new java.io.File(s"$root/_manifest/${Schemas.Nfp}")
+    // break the chain: delete a mid-chain DELTA (not the head, not
+    // the checkpoint), then fold cold — must fail, never skip
+    val deltas = mdir.listFiles().filter(_.getName.endsWith(".d.txt"))
+      .sortBy(_.getName)
+    assert(deltas.length >= 3, s"fixture needs >= 3 deltas")
+    assert(deltas(1).delete())
+    val cold = new Lake(spark, root)
+    val e = intercept[IllegalArgumentException] {
+      cold.read(Schemas.Nfp).count()
+    }
+    assert(e.getMessage.contains("chain broken"), e.getMessage)
+    // the advertised recovery: one listing re-derives a checkpoint
+    cold.refreshManifest(Schemas.Nfp)
+    assert(cold.read(Schemas.Nfp).count() == 60L)
+  }
+
+  test("commit log: legacy checkpoint-only logs read back and extend") {
+    val root = Files.createTempDirectory("lake-man-legacy").toString
+    val lake = new Lake(spark, root)
+    // refreshManifest always writes a FULL manifest — several of them
+    // reproduce a pre-delta-log table (every version a checkpoint);
+    // three data files so the upsert below is a genuinely SMALL delta
+    // (a 1-file table's upsert is a full rewrite and correctly
+    // checkpoints instead)
+    (0 until 3).foreach(j =>
+      lake.append(rows(j * 10 until j * 10 + 10).coalesce(1), Schemas.Nfp))
+    lake.refreshManifest(Schemas.Nfp)
+    lake.refreshManifest(Schemas.Nfp)
+    // wipe the append-era deltas so ONLY full manifests remain
+    val mdir = new java.io.File(s"$root/_manifest/${Schemas.Nfp}")
+    mdir.listFiles().filter(_.getName.endsWith(".d.txt"))
+      .foreach(f => assert(f.delete()))
+    assert(mdir.listFiles().filter(_.getName.startsWith("v"))
+      .forall(!_.getName.endsWith(".d.txt")), "fixture must be all-full")
+    // a cold instance folds the legacy log and a new write lands a
+    // delta ON TOP of a legacy checkpoint
+    val cold = new Lake(spark, root)
+    assert(cold.read(Schemas.Nfp).count() == 30L)
+    cold.upsert(rows(0 until 2, amt = i => s"u$i"), Schemas.Nfp,
+      Seq("chain_name", "transaction_hash"))
+    assert(mdir.listFiles().exists(_.getName.endsWith(".d.txt")),
+      "post-legacy upsert should commit as a delta")
+    val amounts = cold.read(Schemas.Nfp).select("transaction_hash", "amount")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(amounts.size == 30)
+    (0 until 2).foreach(i => assert(amounts(f"0xtx$i%05d") == s"u$i"))
+  }
+
   test("orphans from a crashed commit are invisible and vacuum-sweepable") {
     val root = Files.createTempDirectory("lake-man6").toString
     val lake = new Lake(spark, root)
