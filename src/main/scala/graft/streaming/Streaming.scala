@@ -15,6 +15,20 @@ import org.apache.spark.sql.Row
   */
 object Streaming {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Sink for maintenance cycles skipped after a lost optimistic race
+    * — (table, consecutive skips so far, the swallowed cause).
+    * Defaults to a WARN log line; a persistently failing compaction
+    * must leave a signal while fragmentation grows, not report a
+    * healthy stream. Test seam: specs override to assert the skip is
+    * surfaced. */
+  private[graft] var onMaintenanceSkip: (String, Long, Throwable) => Unit =
+    (table, skips, e) => log.warn(
+      s"lake maintenance for '$table' skipped after a lost " +
+        s"optimistic-concurrency race ($skips consecutive skip(s)); " +
+        s"fragmentation persists until a cycle wins: ${e.getMessage}")
+
   /** True iff `dir` exists and contains at least one VISIBLE data file
     * (recursively; `_`/`.`-prefixed markers and staging artifacts like
     * `_SUCCESS` or `.spark-staging` don't count — an all-dropped first
@@ -346,7 +360,8 @@ object Streaming {
                    maintainEvery: Int = 0,
                    maintainMaxChainFiles: Int = 32,
                    maintainTargetBytes: Long = 128L << 20,
-                   retain: Boolean = false): DataStreamWriter[Row] =
+                   retain: Boolean = false): DataStreamWriter[Row] = {
+    val maintenanceSkips = new java.util.concurrent.atomic.AtomicLong
     changes.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // materialize the compacted batch ONCE: upsert runs several
@@ -386,8 +401,14 @@ object Streaming {
                   retain = retain, onlyChains = frag)
               else lake.compact(table, maintainTargetBytes, retain = retain,
                 onlyChains = frag)
+              maintenanceSkips.set(0L)
             } catch {
-              case e: Throwable if graft.v3.Lake.isRetryableRace(e) => ()
+              case e: Throwable if graft.v3.Lake.isRetryableRace(e, lake.root) =>
+                // skipping is correct (the next trigger re-checks), but
+                // never silent: a compaction that loses EVERY cycle
+                // would otherwise let fragmentation grow unbounded
+                // while the stream reports healthy
+                onMaintenanceSkip(table, maintenanceSkips.incrementAndGet(), e)
             }
           }
         }
@@ -395,6 +416,7 @@ object Streaming {
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
+  }
 
   /** Incremental BM25 inverted-index maintenance: each micro-batch
     * aggregates ONLY its own documents' (id, term, tf) rows and lands

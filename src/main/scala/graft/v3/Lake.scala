@@ -52,21 +52,41 @@ object Lake {
     * or a file-not-found surfaced from the loser's unlocked staging
     * scan racing the winner's post-publish delete (Spark wraps the
     * task failure, so the cause chain is walked, bounded against
-    * cycles)? Retrying a GENUINELY missing file is safe: the re-plan
-    * reads a fresh manifest inventory, so a table whose files are
-    * really gone fails every attempt identically and exhausts. */
-  def isRetryableRace(t: Throwable): Boolean = {
+    * cycles)?
+    *
+    * A file-not-found counts ONLY when the missing path is under
+    * `lakeRoot` — only lake-managed files can vanish to a racing
+    * writer's post-publish delete. A FNF naming a foreign path
+    * (a bad source path, an externally deleted input the batch
+    * DataFrame reads) is genuinely missing data: retrying it would
+    * burn every attempt with backoff sleeps re-planning against the
+    * same absent file before surfacing the real error. */
+  def isRetryableRace(t: Throwable, lakeRoot: String): Boolean = {
+    // the lake root appears in task-failure messages either raw
+    // ("/tmp/x/lake/...") or scheme-qualified ("file:/tmp/x/lake/...")
+    val deScheme = lakeRoot.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:(//)?", "")
+    def underRoot(msg: String): Boolean =
+      msg != null && (msg.contains(lakeRoot) ||
+        (deScheme.nonEmpty && msg.contains(deScheme)))
     var cur = t
     var depth = 0
     while (cur != null && depth < 20) {
       cur match {
         case _: ConcurrentWriteException => return true
-        case _: java.io.FileNotFoundException => return true
+        case e: java.io.FileNotFoundException if underRoot(e.getMessage) =>
+          return true
         // a Spark job failure whose winning task reported the scan's
         // missing file by error class; the FNF cause itself can be
-        // absent when a KILLED sibling's failure is what propagated
+        // absent when a KILLED sibling's failure is what propagated.
+        // PATH_NOT_EXIST is the same race one step earlier: the loser
+        // PLANS a read over files the winner's post-publish delete
+        // already removed, so the analyzer (not a task) reports the
+        // missing lake path — compact/clusterCompact's per-bin
+        // spark.read over planned paths surfaces exactly this shape
         case e if e.getMessage != null &&
-          e.getMessage.contains("FAILED_READ_FILE.FILE_NOT_EXIST") =>
+          (e.getMessage.contains("FAILED_READ_FILE.FILE_NOT_EXIST") ||
+            e.getMessage.contains("PATH_NOT_FOUND")) &&
+          underRoot(e.getMessage) =>
           return true
         case _ => ()
       }
@@ -460,14 +480,26 @@ class Lake(spark: SparkSession, val root: String) {
 
   /** Drop one chain's rows from a table — a partition-directory delete,
     * fixing the reference's whole-file deletion that could take other
-    * chains' rows with it (SURVEY.md §7.4 bug list). */
+    * chains' rows with it (SURVEY.md §7.4 bug list).
+    *
+    * CONCURRENCY: the removed set is computed INSIDE the manifest
+    * transaction from the fresh base manifest (`removedFromBase`),
+    * never from a pre-lock inventory read — an append to the same
+    * chain that commits between planning and the lock is therefore
+    * either fully dropped with the chain (it's in the fresh base) or
+    * serializes after the drop and re-creates the chain; a stale
+    * removed set would delete the racer's file from disk while its
+    * manifest entry survived the publish, breaking every read. */
   def dropChain(table: String, chain: String): Boolean = {
     val p = new Path(s"${dir(table)}/chain_name=${escapeChain(chain)}")
     if (!fs.exists(p)) return false
     if (hasManifest(table)) {
-      val removed = fileInventory(table).filter(_._1 == chain).map(_._2)
       var fullyGone = false
-      manifestTxn(table, "dropChain", removed) {
+      preCommitHook()
+      manifestTxn(table, "dropChain", Seq.empty,
+          removedFromBase = Some(_.collect {
+            case (rel, _) if chainOfRel(rel) == chain => rel
+          })) {
         // honor the filesystem's verdict: a refused delete (perms,
         // open handles) may still have removed SOME files, so re-list
         // what survived and keep the manifest naming exactly the
@@ -871,6 +903,20 @@ class Lake(spark: SparkSession, val root: String) {
     v
   }
 
+  /** Probe seam: publish a synthetic manifest version under the commit
+    * lock — the exact lock-held serialize+write every real commit pays
+    * — without materializing data files. [[publishManifest]] and
+    * [[resolveManifest]] operate on entry LISTS, so the million-file
+    * probe ([[graft.ManifestProbe]]) sizes the metadata layer without
+    * synthesizing a million parquet files. */
+  private[graft] def publishSynthetic(table: String,
+      entries: Seq[(String, Long)],
+      delta: Option[(Seq[(String, Long)], Set[String])] = None): Long = {
+    val (lock, token) = acquireCommitLock(table)
+    try publishManifest(table, entries, delta)
+    finally releaseCommitLock(lock, token)
+  }
+
   /** Test/probe seam: runs after a write has staged its output but
     * before it takes the commit lock — the window a concurrent writer
     * races in. */
@@ -882,6 +928,13 @@ class Lake(spark: SparkSession, val root: String) {
     * into a task-level file-not-found (the second manifestation of
     * the lost race; see [[Lake.isRetryableRace]]). */
   private[v3] var preStageHook: () => Unit = () => ()
+
+  /** Test seam firing after a compaction/clustering rewrite PLANS its
+    * file set but before it stages — the unlocked window where a
+    * rival commit retires the planned files and the rewrite must lose
+    * the optimistic race ([[Lake.ConcurrentWriteException]]); what a
+    * maintenance-skip spec arms to make the loss deterministic. */
+  private[graft] var preRewriteHook: () => Unit = () => ()
 
   /** One serialized manifest transaction: under the table's commit
     * lock, (1) re-read the CURRENT manifest (or adopt via one final
@@ -909,7 +962,15 @@ class Lake(spark: SparkSession, val root: String) {
                           plannedRel: Set[String] = Set.empty,
                           intruderGuard: Seq[(String, String, Long)] => Unit =
                             _ => (),
-                          afterPublish: () => Unit = () => ())
+                          afterPublish: () => Unit = () => (),
+                          // removed set computed from the FRESH base
+                          // manifest under the lock (rel paths) — the
+                          // variant for writes whose removal target is
+                          // a predicate over current state (dropChain),
+                          // not a pre-planned file list; such writes
+                          // can never lose the optimistic race
+                          removedFromBase:
+                            Option[Seq[(String, Long)] => Seq[String]] = None)
                          (land: => Seq[(String, Long)])
       : Seq[(String, Long)] = {
     val (lock, token) = acquireCommitLock(table)
@@ -921,7 +982,10 @@ class Lake(spark: SparkSession, val root: String) {
           requireLakeLayout(table, adopted)
           adopted
         }
-      val removedRel = removedAbs.map(relOf(table, _))
+      val removedRel = removedFromBase match {
+        case Some(f) => f(base)
+        case None => removedAbs.map(relOf(table, _))
+      }
       val baseSet = base.map(_._1).toSet
       val gone = removedRel.filterNot(baseSet)
       if (gone.nonEmpty) throw new Lake.ConcurrentWriteException(
@@ -1122,6 +1186,7 @@ class Lake(spark: SparkSession, val root: String) {
       .filter { case ((chain, _), _) =>
         onlyChains.isEmpty || onlyChains.contains(chain) }
     if (multi.isEmpty) return 0
+    preRewriteHook()
     var rewritten = 0
     multi.toSeq.sortBy(_._1).foreach { case ((chain, _), files) =>
       val paths = files.map(_._3)
@@ -1200,6 +1265,7 @@ class Lake(spark: SparkSession, val root: String) {
       .filter { case (chain, _) =>
         onlyChains.isEmpty || onlyChains.contains(chain) }
       .toSeq.sortBy(_._1)
+    if (byChain.nonEmpty) preRewriteHook()
     var rewritten = 0
     byChain.foreach { case (chain, files) =>
       val paths = files.map(_._2)
@@ -1926,7 +1992,7 @@ class Lake(spark: SparkSession, val root: String) {
       try return upsert(updates, table, keys, deleteCol, checkUnique,
         maxKeyCollect, retain)
       catch {
-        case e: Throwable if Lake.isRetryableRace(e) =>
+        case e: Throwable if Lake.isRetryableRace(e, root) =>
           if (attempt >= maxAttempts) throw e
           Thread.sleep(backoffMs * attempt +
             (if (backoffMs > 0)

@@ -198,6 +198,70 @@ class UpsertStreamSpec extends SparkSpec {
       s"pinned pre-stream snapshot diverged: $pinned")
   }
 
+  test("a maintenance cycle that loses the race skips LOUDLY; the stream stays correct") {
+    // the skip itself is correct (the next trigger re-checks
+    // fragmentation) but must never be silent: a compaction that
+    // loses EVERY cycle would let fragmentation grow unbounded while
+    // the stream reports healthy. onMaintenanceSkip is the signal.
+    val root = Files.createTempDirectory("up-skip").toString
+    val lake = new Lake(spark, root)
+    val rival = new Lake(spark, root)
+    // seed two files so the very first maintenance check trips
+    lake.append(df((0 until 3).map(i =>
+      change(i, s"seed$i", del = false))).drop("__del").coalesce(1),
+      Schemas.Nfp)
+    lake.append(df((3 until 6).map(i =>
+      change(i, s"seed$i", del = false))).drop("__del").coalesce(1),
+      Schemas.Nfp)
+    // arm: in the FIRST maintenance rewrite's unlocked plan-to-stage
+    // window, a rival commit retires a planned file — the rewrite
+    // must lose the optimistic race and the cycle must skip loudly
+    lake.preRewriteHook = () => {
+      rival.upsert(df(Seq(change(0, "rival", del = false, bn = 1L)))
+        .localCheckpoint(), Schemas.Nfp,
+        Seq("chain_name", "transaction_hash"), deleteCol = Some("__del"))
+      lake.preRewriteHook = () => ()
+    }
+    val recorded =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Long, Throwable)]
+    val saved = Streaming.onMaintenanceSkip
+    Streaming.onMaintenanceSkip =
+      (t, n, e) => recorded.synchronized { recorded += ((t, n, e)) }
+    try {
+      val srcDir = Files.createTempDirectory("up-skip-src").toString
+      writeTranches(srcDir, Seq(
+        df(Seq(change(100, "b0", del = false))),
+        df(Seq(change(101, "b1", del = false)))))
+      val src = Streaming.fileStream(spark, srcDir, changeSchema,
+        maxFilesPerTrigger = 1)
+      val q = Streaming.upsertStream(src, lake, Schemas.Nfp,
+        keys = Seq("chain_name", "transaction_hash"),
+        orderCols = Seq("block_number", "log_index"),
+        deleteCol = "__del",
+        checkpointDir = Files.createTempDirectory("up-skip-ck").toString,
+        maintainEvery = 1, maintainMaxChainFiles = 1).start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    } finally Streaming.onMaintenanceSkip = saved
+    // exactly the armed cycle skipped, surfaced with table + cause
+    assert(recorded.nonEmpty, "lost maintenance cycle skipped SILENTLY")
+    val (table, skips, cause) = recorded.head
+    assert(table == Schemas.Nfp && skips == 1L)
+    assert(Lake.isRetryableRace(cause, lake.root),
+      s"surfaced cause is not the lost race: $cause")
+    // batch 2's maintenance (hook disarmed) succeeded and reset the
+    // consecutive-skip counter: no second skip recorded
+    assert(recorded.size == 1, s"unexpected extra skips: $recorded")
+    // the stream itself survived: all rows present, rival's merge kept
+    val amounts = lake.read(Schemas.Nfp)
+      .select("transaction_hash", "amount")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(amounts("0xtx0") == "rival")
+    assert(amounts("0xtx100") == "b0" && amounts("0xtx101") == "b1")
+    assert(amounts.size == 8)
+    assert(lake.fileInventory(Schemas.Nfp) ==
+      lake.listInventory(Schemas.Nfp))
+  }
+
   test("schema evolution between micro-batches: restarted stream resumes under the new schema") {
     import org.apache.spark.sql.types._
     import spark.implicits._

@@ -468,6 +468,137 @@ class LakeManifestSpec extends SparkSpec {
     assert(!lake.hasManifest(Schemas.Nfp))
   }
 
+  test("dropChain racing a concurrent append never publishes an entry for a deleted file") {
+    // the pre-fix failure mode: a removed set computed BEFORE the lock
+    // misses an append that commits in the pre-commit window, so the
+    // chain-dir delete destroys the racer's file while its manifest
+    // entry survives the publish — every subsequent read throws.
+    // Post-fix the removed set comes from the FRESH base under the
+    // lock, so the racer's file is dropped WITH the chain.
+    val root = Files.createTempDirectory("lake-drop1").toString
+    val dropper = new Lake(spark, root)
+    val appender = new Lake(spark, root)
+    dropper.append(rows(0 until 10), Schemas.Nfp)
+    dropper.preCommitHook = () => {
+      appender.append(rows(100 until 105).coalesce(1), Schemas.Nfp)
+      dropper.preCommitHook = () => ()
+    }
+    assert(dropper.dropChain(Schemas.Nfp, "ethereum"))
+    // every surviving manifest entry names a file that exists on disk
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    dropper.fileInventory(Schemas.Nfp).foreach { case (_, p, _) =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(p)),
+        s"manifest names a deleted file: $p")
+    }
+    // the racer's append was to the dropped chain: gone with it, and
+    // the table reads cleanly (no FileNotFoundException)
+    assert(dropper.read(Schemas.Nfp).count() == 0L)
+    assert(dropper.fileInventory(Schemas.Nfp) ==
+      dropper.listInventory(Schemas.Nfp))
+  }
+
+  test("dropChain racing a concurrent append to ANOTHER chain drops only its own") {
+    val root = Files.createTempDirectory("lake-drop2").toString
+    val dropper = new Lake(spark, root)
+    val appender = new Lake(spark, root)
+    dropper.append(rows(0 until 10), Schemas.Nfp)
+    dropper.append(rows(50 until 55, chain = "base"), Schemas.Nfp)
+    dropper.preCommitHook = () => {
+      appender.append(rows(100 until 103, chain = "base").coalesce(1),
+        Schemas.Nfp)
+      dropper.preCommitHook = () => ()
+    }
+    assert(dropper.dropChain(Schemas.Nfp, "ethereum"))
+    // the racing append to "base" survives intact, ethereum is gone
+    val left = dropper.read(Schemas.Nfp)
+    assert(left.filter(col("chain_name") === "ethereum").count() == 0L)
+    assert(left.filter(col("chain_name") === "base").count() == 8L)
+    assert(dropper.fileInventory(Schemas.Nfp) ==
+      dropper.listInventory(Schemas.Nfp))
+  }
+
+  test("dropChain cannot lose the optimistic race: a concurrent compaction is absorbed") {
+    // a rival compaction retires the files a stale pre-lock plan would
+    // have named — a predicate removal computed from the fresh base
+    // conflicts with nothing and still drops the whole chain
+    val root = Files.createTempDirectory("lake-drop3").toString
+    val dropper = new Lake(spark, root)
+    val rival = new Lake(spark, root)
+    dropper.append(rows(0 until 10), Schemas.Nfp)
+    dropper.append(rows(10 until 20), Schemas.Nfp)
+    dropper.preCommitHook = () => {
+      assert(rival.compact(Schemas.Nfp, targetBytes = 1L << 26) >= 1)
+      dropper.preCommitHook = () => ()
+    }
+    assert(dropper.dropChain(Schemas.Nfp, "ethereum"))
+    assert(dropper.read(Schemas.Nfp).count() == 0L)
+    assert(dropper.fileInventory(Schemas.Nfp) ==
+      dropper.listInventory(Schemas.Nfp))
+  }
+
+  test("isRetryableRace: a file-not-found counts ONLY under the lake root") {
+    val root = "/tmp/graft-test-lake-root"
+    // commit-time manifestation: always retryable
+    assert(Lake.isRetryableRace(new Lake.ConcurrentWriteException("c"), root))
+    // staging-scan manifestation: FNF naming a lake-managed path,
+    // raw or scheme-qualified, directly or through a cause chain
+    assert(Lake.isRetryableRace(new java.io.FileNotFoundException(
+      s"File file:$root/nfp/chain_name=e/part-0.parquet does not exist"),
+      root))
+    assert(Lake.isRetryableRace(new RuntimeException("job aborted",
+      new java.io.FileNotFoundException(s"$root/nfp/part-1.parquet")), root))
+    assert(Lake.isRetryableRace(new RuntimeException(
+      s"[FAILED_READ_FILE.FILE_NOT_EXIST] reading file:$root/t/p.parquet"),
+      root))
+    // the plan-time manifestation: the loser plans a read over files
+    // the winner already deleted, so the ANALYZER reports the miss
+    assert(Lake.isRetryableRace(new RuntimeException(
+      s"[PATH_NOT_FOUND] Path does not exist: file:$root/t/p.parquet"),
+      root))
+    assert(!Lake.isRetryableRace(new RuntimeException(
+      "[PATH_NOT_FOUND] Path does not exist: file:/elsewhere/p.parquet"),
+      root))
+    // genuinely missing data outside the lake: NOT a race — retrying
+    // would burn every attempt with backoff sleeps first
+    assert(!Lake.isRetryableRace(new java.io.FileNotFoundException(
+      "/data/foreign/input.parquet (No such file or directory)"), root))
+    assert(!Lake.isRetryableRace(new RuntimeException(
+      "[FAILED_READ_FILE.FILE_NOT_EXIST] reading file:/elsewhere/p.parquet"),
+      root))
+    assert(!Lake.isRetryableRace(new RuntimeException("unrelated"), root))
+  }
+
+  test("upsertRetrying fails FAST on a foreign-path FNF: no backoff sleeps burned") {
+    val root = Files.createTempDirectory("lake-ffast").toString
+    val lake = new Lake(spark, root)
+    lake.append(rows(0 until 5), Schemas.Nfp)
+    // a batch whose INPUT vanishes after planning — missing data, not
+    // a lost commit race: the planned file index still names the files
+    val foreignDir = Files.createTempDirectory("lake-ffast-src").toString
+    rows(0 until 3, amt = i => s"f$i").coalesce(1)
+      .write.mode("overwrite").parquet(foreignDir)
+    val batch = spark.read.schema(rows(0 until 1).schema)
+      .parquet(foreignDir)
+    batch.count() // pin the file index before the files vanish
+    new java.io.File(foreignDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).foreach(_.delete())
+    val t0 = System.nanoTime()
+    val e = intercept[Throwable] {
+      lake.upsertRetrying(batch, Schemas.Nfp,
+        Seq("chain_name", "transaction_hash"),
+        maxAttempts = 5, backoffMs = 30000L)
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(!Lake.isRetryableRace(e, root),
+      s"foreign FNF classified as a race: $e")
+    assert(secs < 20.0,
+      f"foreign-path FNF burned retries/backoff ($secs%.1f s) instead " +
+        "of failing fast")
+    // the table is untouched
+    assert(lake.read(Schemas.Nfp).count() == 5L)
+  }
+
   test("manifest-served reads decode the null-partition sentinel like Spark does") {
     val root = Files.createTempDirectory("lake-man10").toString
     val lake = new Lake(spark, root)
