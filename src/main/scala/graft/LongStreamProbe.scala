@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Long-stream manifest probe (r12 verdict task 6): drive 100+
+  * micro-batches through [[graft.streaming.Streaming.upsertStream]]
+  * with the maintenance hook on a z-ordered table, and report — per
+  * decade of batches — the invariants a long-lived CDC stream needs:
+  *
+  *  - manifest commit-log file COUNT and BYTES stay bounded by
+  *    checkpointEvery + retention (the log must not grow with stream
+  *    age);
+  *  - live data-file count per chain stays bounded by the maintenance
+  *    hook (fragmentation must not grow with stream age);
+  *  - cold read-plan latency stays flat (a fresh Lake folding the
+  *    manifest must not slow down as versions accumulate);
+  *  - `listCalls` == 0 throughout (planning never falls back to
+  *    directory listings).
+  *
+  * Usage: runMain graft.LongStreamProbe [nBatches] (default 100).
+  * Emits one JSON line per decade + a final summary line.
+  */
+object LongStreamProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(100)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val root = java.nio.file.Files
+      .createTempDirectory("long-stream-lake").toString
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("long-stream-src").toString
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("long-stream-ck").toString
+    val lake = new graft.v3.Lake(spark, root)
+    val table = graft.v3.Schemas.Nfp
+    lake.setTableProperties(table,
+      Map("write.layout" -> "zorder(block_number,tx_index)"))
+
+    def change(i: Int, b: Int) =
+      ("ethereum", "IncreaseLiquidity", f"0xtx${i % 500}%05d",
+        1000L + b * 10L + i, 0L, "0xu1", s"b$b-$i", s"${i * 10}",
+        s"${i * 100}", s"$i", 7L, false)
+    def tranche(b: Int) =
+      (0 until 20).map(i => change(b * 3 + i, b))
+        .toDF("chain_name", "name", "transaction_hash", "block_number",
+          "tx_index", "from_address", "amount", "amount0", "amount1",
+          "tokenId", "log_index", "__del")
+
+    // one parquet file per micro-batch, mtime-ordered
+    val dir = new java.io.File(srcDir)
+    def stampNew(before: Set[String], seq: Int): Unit =
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".parquet") && !before(f.getName))
+        .foreach(_.setLastModified(1600000000000L + seq * 60000L))
+
+    val changeSchema = org.apache.spark.sql.types.StructType(
+      graft.v3.Schemas.nfp.fields :+ org.apache.spark.sql.types
+        .StructField("__del", org.apache.spark.sql.types.BooleanType,
+          nullable = true))
+
+    def manifestFootprint(): (Int, Long) = {
+      val d = new java.io.File(s"$root/_manifest/$table")
+      val fs = Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("v") && f.getName.endsWith(".txt"))
+      (fs.length, fs.map(_.length()).sum)
+    }
+    def liveFiles(): Int = lake.fileInventory(table).size
+    def coldPlanSec(): Double = {
+      val fresh = new graft.v3.Lake(spark, root)
+      val t0 = System.nanoTime()
+      fresh.read(table).rdd.getNumPartitions
+      require(fresh.listCalls.get() == 0L, "cold plan LISTED")
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    var batch = 0
+    (1 to n).foreach { b =>
+      val before = Option(dir.listFiles()).getOrElse(Array.empty)
+        .map(_.getName).toSet
+      tranche(b).coalesce(1).write.mode("append").parquet(srcDir)
+      stampNew(before, b)
+      batch += 1
+      if (b % 10 == 0 || b == n) {
+        // drain everything staged since the last drain through the
+        // SAME checkpoint — offset continuation, exactly a long-lived
+        // stream's life split across trigger firings
+        val src = graft.streaming.Streaming.fileStream(spark, srcDir,
+          changeSchema, maxFilesPerTrigger = 1)
+        val q = graft.streaming.Streaming.upsertStream(src, lake, table,
+          keys = Seq("chain_name", "transaction_hash"),
+          orderCols = Seq("block_number", "log_index"),
+          deleteCol = "__del", checkpointDir = ckDir,
+          maintainEvery = 4, maintainMaxChainFiles = 8).start()
+        q.awaitTermination()
+        val (mc, mb) = manifestFootprint()
+        println(f"""{"probe":"long_stream","batches":$b,""" +
+          f""""manifest_files":$mc,"manifest_bytes":$mb,""" +
+          f""""live_files":${liveFiles()},""" +
+          f""""cold_plan_sec":${coldPlanSec()}%.3f,""" +
+          f""""list_calls":${lake.listCalls.get()}}""")
+      }
+    }
+    val rows = lake.read(table).count()
+    println(f"""{"probe":"long_stream_final","batches":$n,""" +
+      f""""rows":$rows,"list_calls":${lake.listCalls.get()}}""")
+    spark.stop()
+  }
+}

@@ -93,18 +93,21 @@ object ManifestProbe {
         .filter(col("chain_name") === "c3").rdd.getNumPartitions)
       emit("manifest_plan_pruned", n, planPruned)
 
-      // 6. approximate heap held by the folded state (entry list +
-      // cache): GC fences around a fresh fold
+      // 6. retained heap of the folded per-table state: measure used
+      // memory with a fresh fold HELD, then again after dropping the
+      // reference — the difference is what one warm table costs a
+      // long-lived driver
       val rt = Runtime.getRuntime
-      System.gc(); Thread.sleep(200L)
-      val before = rt.totalMemory() - rt.freeMemory()
-      val heldLake = new graft.v3.Lake(spark, root)
-      val held = heldLake.fileInventory(table)
-      System.gc(); Thread.sleep(200L)
-      val after = rt.totalMemory() - rt.freeMemory()
+      var heldLake = new graft.v3.Lake(spark, root)
+      var held = heldLake.fileInventory(table)
+      require(held.size == n + 15)
+      System.gc(); Thread.sleep(300L)
+      val withHeld = rt.totalMemory() - rt.freeMemory()
+      held = null; heldLake = null
+      System.gc(); Thread.sleep(300L)
+      val without = rt.totalMemory() - rt.freeMemory()
       emit("manifest_heap_mb", n,
-        math.max(0L, after - before) / 1e6)
-      require(held.size == n + 15) // keep `held` live past the gc
+        math.max(0L, withHeld - without) / 1e6)
       org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(root))
     }

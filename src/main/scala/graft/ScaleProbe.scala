@@ -498,6 +498,14 @@ object ScaleProbe {
     // full suffix array + LCP walk (all 7 levels, no early exit)
     time("longest_repeats")(llm.Dedup.longestRepeats(docs, "text",
       "doc_id", rounds = 7, minLcp = 2L, topK = 20))
+    // phase split of longest_repeats (r12 verdict task): the full
+    // 7-round rank-TABLE build alone, then the LCP WALK alone (memo
+    // hot from the previous probe, so this prices the SA-order
+    // denseRank + 7 walk joins + clamp + top-k and nothing else)
+    time("longest_repeats_tables")(llm.Dedup.suffixRankTables(docs,
+      "text", "doc_id", rounds = 7).last)
+    time("longest_repeats_walk")(llm.Dedup.longestRepeats(docs, "text",
+      "doc_id", rounds = 7, minLcp = 2L, topK = 20))
     // the SA cut pass: rank-pair keying + span merge + cut apply; with
     // the rank-table memo warm from longest_repeats this prices the
     // cut stages alone (the intended fleet shape: one SA, many

@@ -723,7 +723,7 @@ object Dedup {
     * (ranks_0 … ranks_K) with ranks_k discriminating the first 2^k
     * tokens — the sparse table the LCP computation walks. Unlike
     * [[suffixRanks]] no early exit: the LCP walk needs every level. */
-  private def suffixRankTables(df: DataFrame, text: String, id: String,
+  private[graft] def suffixRankTables(df: DataFrame, text: String, id: String,
                                rounds: Int): Seq[DataFrame] = {
     val plan = df.queryExecution.logical.canonicalized
     val key = (System.identityHashCode(df.sparkSession), text, id)

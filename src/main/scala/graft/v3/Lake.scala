@@ -158,7 +158,8 @@ class Lake(spark: SparkSession, val root: String) {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else inSchemaOrder(graft.plans.ManifestFileIndex.relation(
-      spark, new Path(dir(table)), entries, schema, "chain_name"), schema)
+      spark, new Path(dir(table)), entries.map(e => (e._2, e._3)),
+      schema, Seq("chain_name")), schema)
 
   /** Append one ingested segment: the caller's partitioning lands as
     * part files under each chain directory (the segment-capped ingest
@@ -535,6 +536,7 @@ class Lake(spark: SparkSession, val root: String) {
       .foreach(d => if (fs.exists(d)) fs.delete(d, true))
     statsLoaded.remove(table)
     manifestCache.keySet.removeIf(_._1 == table)
+    inventoryCache.keySet.removeIf(_._1 == table)
     fs.exists(p) && fs.delete(p, true)
   }
 
@@ -606,6 +608,27 @@ class Lake(spark: SparkSession, val root: String) {
   // `staleLockMs`. Both are strictly better than the bare-parquet
   // window this replaces, where a crash mid-rewrite exposed duplicate
   // rows to readers.
+  //
+  // STORE CONTRACT — what the protocol requires of the filesystem:
+  //  (1) atomic create-no-overwrite for the lock claim (POSIX
+  //      O_EXCL / HDFS create / S3 conditional PUT If-None-Match) —
+  //      mutual exclusion's one mandatory primitive;
+  //  (2) atomic single-winner rename, used ONLY to break a stale
+  //      claim and to publish a manifest version. On stores where
+  //      rename is copy+delete (legacy S3 semantics), (2) degrades:
+  //      a breaker's rename can displace a FRESH claim instead of
+  //      the crashed one. The protocol stays safe-but-louder: every
+  //      commit re-reads the lock's owner token AFTER landing (the
+  //      publish fence in [[manifestTxn]]) and ABORTS if the claim
+  //      changed hands, so a displaced writer publishes nothing and
+  //      surfaces [[Lake.ConcurrentWriteException]] — one winner,
+  //      never a silent lost update (LakeStoreContractSpec proves
+  //      this over a deliberately non-atomic rename). Object-store
+  //      manifest publishes are additionally safe because each
+  //      version is written to a UNIQUE name (vN under the lock) via
+  //      an atomic single-object PUT. Without (1) there is no
+  //      mutual exclusion to degrade — front the lake with a locking
+  //      service or a conditional-put-capable store.
 
   /** Recursive-listing fallbacks performed by this Lake instance —
     * specs assert ZERO on warm manifest-backed tables (the
@@ -737,14 +760,73 @@ class Lake(spark: SparkSession, val root: String) {
         unescapeChain(seg.stripPrefix("chain_name="))
     }.getOrElse("")
 
+  /** Tables with a committed manifest — the SQL catalog's SHOW TABLES
+    * source (one metadata listing of `_manifest/`, never data dirs). */
+  private[graft] def manifestTables: Seq[String] = {
+    val d = new Path(s"$root/_manifest")
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).sorted
+  }
+
+  /** (absolute path, bytes) for the CURRENT table state — what the
+    * SQL catalog surface ([[graft.sources.LakeCatalog]]) plans from.
+    * Manifest-served (zero listings) when a manifest exists; the
+    * listing fallback covers foreign tables, same as [[read]]. */
+  private[graft] def currentEntries(table: String): Seq[(String, Long)] =
+    fileInventory(table).map(e => (e._2, e._3))
+
+  /** [[readAt]]'s live/retired file resolution returning (absolute
+    * path, bytes) — the `VERSION AS OF` source for the SQL catalog.
+    * O(files) driver stat calls, paid by PINNED reads only (the
+    * snapshot manifest stores paths, not sizes; exactly the files
+    * [[readAt]] would open). Fails loudly on an invalidated snapshot,
+    * same contract as [[readAt]]. */
+  private[graft] def snapshotEntries(table: String,
+                                     version: Long): Seq[(String, Long)] =
+    manifestFiles(table, version).map { r =>
+      val live = new Path(s"${dir(table)}/$r")
+      val retired = new Path(retiredDir(table), r)
+      val st =
+        if (fs.exists(live)) fs.getFileStatus(live)
+        else if (fs.exists(retired)) fs.getFileStatus(retired)
+        else throw new IllegalArgumentException(
+          s"snapshot v$version of $table invalidated - missing file " +
+            s"(rewritten by compaction or upsert without retention, " +
+            s"or vacuum-expired): $r")
+      (st.getPath.toString, st.getLen)
+    }
+
+  /** Mapped-inventory cache keyed by (table, version) — the
+    * chain-parse + path-qualify + sort over ALL entries is O(n log n)
+    * PER CALL otherwise, and at 10⁶ files that is ~10 s on every
+    * read/plan (ManifestProbe measured it; the fold itself is cached,
+    * this was the uncached half). A manifest version IS a fixed file
+    * set, so the mapped view is immutable too. */
+  private val inventoryCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), Seq[(String, String, Long)]]()
+
   /** Manifest-served inventory in [[fileInventory]]'s shape (qualified
-    * absolute paths — callers strip against a qualified base). */
+    * absolute paths — callers strip against a qualified base). The
+    * table dir is qualified ONCE and rel paths appended as strings —
+    * per-entry `fs.makeQualified` costs a Path object per file per
+    * call. */
   private[v3] def manifestInventory(table: String)
-      : Option[Seq[(String, String, Long)]] =
-    latestManifest(table).map(_._2.map { case (rel, bytes) =>
-      (chainOfRel(rel),
-        fs.makeQualified(new Path(s"${dir(table)}/$rel")).toString, bytes)
-    }.sortBy(t => (t._1, t._2)))
+      : Option[Seq[(String, String, Long)]] = {
+    val kinds = manifestKinds(table)
+    kinds.lastOption.map { case (v, _) =>
+      Option(inventoryCache.get((table, v))).getOrElse {
+        val base = fs.makeQualified(new Path(dir(table))).toString
+        val mapped = resolveManifest(table, kinds, v)
+          .map { case (rel, bytes) =>
+            (chainOfRel(rel), s"$base/$rel", bytes)
+          }.sortBy(t => (t._1, t._2))
+        inventoryCache.put((table, v), mapped)
+        inventoryCache.keySet.removeIf(k => k._1 == table && k._2 < v)
+        mapped
+      }
+    }
+  }
 
   /** Acquire the table's commit lock (create-exclusive file carrying
     * a per-claim owner token). Waits a bounded time for a live holder;
@@ -936,6 +1018,13 @@ class Lake(spark: SparkSession, val root: String) {
     * maintenance-skip spec arms to make the loss deterministic. */
   private[graft] var preRewriteHook: () => Unit = () => ()
 
+  /** Test seam firing INSIDE [[manifestTxn]], after `land` and before
+    * the publish fence — the window where a store whose rename is not
+    * atomic can let a rival displace this writer's commit claim. The
+    * store-contract spec arms it to prove the fence still yields one
+    * winner (the displaced writer aborts loudly, publishing nothing). */
+  private[graft] var preFenceHook: () => Unit = () => ()
+
   /** One serialized manifest transaction: under the table's commit
     * lock, (1) re-read the CURRENT manifest (or adopt via one final
     * listing for a manifest-less table), (2) verify every file this
@@ -1001,6 +1090,7 @@ class Lake(spark: SparkSession, val root: String) {
         if (intruders.nonEmpty) intruderGuard(intruders)
       }
       val added = land
+      preFenceHook()
       // publish fence: if our claim was broken as stale mid-commit
       // (we held it past staleLockMs, or a foreign sweep removed it),
       // another writer may already be inside its own transaction —
@@ -1403,7 +1493,16 @@ class Lake(spark: SparkSession, val root: String) {
   // key-range column a real manifest carries, at its smallest. Entries
   // are keyed by (relative path, byte length): rewrites mint new file
   // names, so a stale entry can never describe live bytes — it just
-  // stops matching and is dropped at the next shard compaction. Shards
+  // stops matching and is dropped at the next shard compaction.
+  //
+  // DERIVED-CACHE CONTRACT: the sidecar is never truth about table
+  // MEMBERSHIP — the manifest is. Planning intersects sidecar entries
+  // with the live inventory, so a crash window leaving an entry whose
+  // file was never committed is INERT (never consulted), and a
+  // committed file whose entry was never written costs exactly one
+  // footer re-read on the next plan (then re-persists) — correctness
+  // is unconditional, the sidecar only moves footer I/O
+  // (LakeStatsSidecarSpec's crash-window cases). Shards
   // are written by the single writer the lake already assumes; loading
   // tolerates duplicate entries because two entries for the same
   // (path, bytes, column) are the same immutable fact.

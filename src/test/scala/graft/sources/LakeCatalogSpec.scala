@@ -1,0 +1,91 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.v3.Schemas
+
+/** The SQL catalog surface: `SELECT … FROM <catalog>.<table>` plans
+  * through the manifest (zero driver listings), `VERSION AS OF`
+  * replays a pinned snapshot, SHOW TABLES serves from `_manifest/`,
+  * and DDL that would bypass the lake's transactional writes refuses
+  * loudly. */
+class LakeCatalogSpec extends SparkSpec {
+
+  private def rows(ids: Seq[Int], chain: String = "ethereum",
+                   amt: Int => String = i => s"$i") = {
+    import spark.implicits._
+    ids.map { i =>
+      (chain, "IncreaseLiquidity", f"0xtx$i%05d", 1000L + i, 0L,
+        "0xu1", amt(i), s"${i * 10}", s"${i * 100}", s"$i", 7L)
+    }.toDF("chain_name", "name", "transaction_hash", "block_number",
+      "tx_index", "from_address", "amount", "amount0", "amount1",
+      "tokenId", "log_index")
+  }
+
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("lake-cat").toString
+    spark.conf.set("spark.sql.catalog.graft_lake",
+      classOf[LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_lake.root", r)
+    r
+  }
+  private lazy val lake = LakeCatalog.lakeFor(spark, root)
+
+  private def seed(): Long = {
+    if (!lake.hasManifest(Schemas.Nfp)) {
+      lake.append(rows(0 until 20), Schemas.Nfp)
+      lake.append(rows(100 until 110, chain = "base"), Schemas.Nfp)
+      val v0 = lake.snapshot(Schemas.Nfp)
+      lake.upsert(rows(0 until 3, amt = i => s"u$i"), Schemas.Nfp,
+        Seq("chain_name", "transaction_hash"), retain = true)
+      v0
+    } else lake.snapshotVersions(Schemas.Nfp).head
+  }
+
+  test("SELECT over a lake table is manifest-served: ZERO listings, filters work") {
+    seed()
+    val before = lake.listCalls.get()
+    assert(spark.sql("SELECT count(*) AS c FROM graft_lake.nfp")
+      .collect()(0).getLong(0) == 30L)
+    val got = spark.sql(
+      """SELECT amount FROM graft_lake.nfp
+        | WHERE chain_name = 'ethereum' AND transaction_hash = '0xtx00001'
+        |""".stripMargin).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("u1"), s"merged row diverged: $got")
+    // partition + data filters planned and executed with no listings
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM graft_lake.nfp WHERE chain_name = 'base'")
+      .collect()(0).getLong(0) == 10L)
+    assert(lake.listCalls.get() == before,
+      s"SQL read listed ${lake.listCalls.get() - before} time(s)")
+  }
+
+  test("VERSION AS OF replays the pinned snapshot") {
+    val v0 = seed()
+    val old = spark.sql(
+      s"""SELECT amount FROM graft_lake.nfp VERSION AS OF $v0
+         | WHERE transaction_hash = '0xtx00001'""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(old == Seq("1"), s"pinned read diverged: $old")
+    // current state still shows the merge
+    assert(spark.sql(
+      """SELECT amount FROM graft_lake.nfp
+        | WHERE transaction_hash = '0xtx00001'""".stripMargin)
+      .collect().map(_.getString(0)).toSeq == Seq("u1"))
+  }
+
+  test("SHOW TABLES serves from the manifest dir; DDL writes refuse loudly") {
+    seed()
+    val tables = spark.sql("SHOW TABLES IN graft_lake")
+      .collect().map(_.getString(1)).toSet
+    assert(tables.contains(Schemas.Nfp), tables.toString)
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graft_lake.brand_new (x INT) USING parquet")
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("Lake API")), chain(e).mkString("; "))
+  }
+}

@@ -57,6 +57,47 @@ class LakeEvolveSpec extends SparkSpec {
     assert(hit.count() == 1L && st.scanned <= st.files)
   }
 
+  test("an evolution landing MID-upsert: both commit, no row lost, new column null-fills") {
+    // the race the additive-only rule exists to make safe: an upsert
+    // PLANS and STAGES under schema v1; before it takes the commit
+    // lock, an evolution commits v2 (add a column). Pinned semantics:
+    // BOTH win — the upsert's v1-shaped files are forever legal under
+    // v2 (readers null-fill), so the merge publishes unchanged and
+    // every row reads back under the evolved schema
+    import spark.implicits._
+    val lake = new Lake(spark,
+      Files.createTempDirectory("lake-ev-race").toString)
+    lake.createTable("docs", docsV1)
+    lake.append(Seq(("ethereum", "d1", 10, 0.5f), ("ethereum", "d2", 20, 1.5f))
+      .toDF("chain_name", "doc_id", "n_tokens", "score"), "docs")
+    val docsV2 = StructType(docsV1.fields :+ s("lang"))
+    lake.preCommitHook = () => {
+      lake.preCommitHook = () => ()
+      assert(lake.evolveSchema("docs", docsV2) == 2L)
+    }
+    // v1-shaped batch: updates d2, inserts d3 — staged before the
+    // evolution, published after it
+    lake.upsert(Seq(("ethereum", "d2", 99, 9.9f), ("ethereum", "d3", 30, 3.0f))
+      .toDF("chain_name", "doc_id", "n_tokens", "score"), "docs",
+      Seq("chain_name", "doc_id"))
+    // the evolution won AND the upsert won
+    assert(lake.effectiveSchema("docs") == docsV2)
+    val after = lake.read("docs").orderBy("doc_id").collect()
+    assert(after.length == 3, s"row lost in the race: ${after.toSeq}")
+    assert(after.map(_.getString(1)).toSeq == Seq("d1", "d2", "d3"))
+    assert(after(1).getInt(2) == 99, s"merge lost: ${after(1)}")
+    assert(after.forall(_.isNullAt(4)),
+      "v1-era rows must null-fill the raced-in column")
+    assert(lake.read("docs").schema == docsV2)
+    // the next producer writes v2-shaped rows into the same table
+    lake.upsert(Seq(("ethereum", "d4", 40, 4.0f, "en"))
+      .toDF("chain_name", "doc_id", "n_tokens", "score", "lang"), "docs",
+      Seq("chain_name", "doc_id"))
+    val d4 = lake.read("docs").filter(col("doc_id") === "d4").collect()(0)
+    assert(d4.getString(4) == "en")
+    assert(lake.fileInventory("docs") == lake.listInventory("docs"))
+  }
+
   test("illegal evolutions fail loudly before committing anything") {
     val lake = new Lake(spark, Files.createTempDirectory("lake-ev2").toString)
     lake.createTable("docs", docsV1)

@@ -96,4 +96,67 @@ class LakeStatsSidecarSpec extends SparkSpec {
     assert(dead.isEmpty, s"compacted sidecar kept dead entries: " +
       s"${dead.take(3).mkString(", ")}")
   }
+
+  test("crash window A: a sidecar entry for a file the manifest never committed is inert") {
+    // a writer that died between its shard write and its manifest
+    // publish leaves a stats entry for a phantom file — the sidecar is
+    // a DERIVED CACHE, never membership truth, so planning must ignore
+    // it (never schedule the missing file) and stay exact
+    val root = Files.createTempDirectory("lake-sidecar3").toString
+    val lake = new Lake(spark, root)
+    (0 until 3).foreach(j =>
+      lake.append(rows(j * 100 until (j + 1) * 100).coalesce(1), Schemas.Nfp))
+    lake.readRange(Schemas.Nfp, "transaction_hash",
+      "0xtx000000", "0xtx000299") // persist real stats
+    def b64(s: String) =
+      java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+    // phantom entry whose range MATCHES the probe below — if the
+    // sidecar were consulted as membership, the plan would schedule a
+    // nonexistent file and every read would throw
+    val phantom = "chain_name=ethereum/part-phantom-00000.parquet"
+    val line = s"${b64(phantom)}\t12345\t${b64("transaction_hash")}\tS\t" +
+      s"${b64("0xtx000000")}\t${b64("0xtx000299")}\n"
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(
+      s"$root/_filestats/${Schemas.Nfp}/stats-phantom.txt"), false)
+    try out.write(line.getBytes("UTF-8")) finally out.close()
+    // a fresh driver folds the poisoned sidecar and still plans exactly
+    val lake2 = new Lake(spark, root)
+    val (df, st) = lake2.readRange(Schemas.Nfp, "transaction_hash",
+      "0xtx000110", "0xtx000190")
+    assert(df.count() == 81L)
+    assert(st.scanned < st.files, s"pruning lost: $st")
+    assert(lake2.read(Schemas.Nfp).count() == 300L)
+    assert(lake2.footerReads.get() == 0,
+      "phantom entry should not disturb the warm plan")
+  }
+
+  test("crash window B: a committed file with NO sidecar entry costs one footer re-read, stays exact") {
+    val root = Files.createTempDirectory("lake-sidecar4").toString
+    val lake = new Lake(spark, root)
+    (0 until 3).foreach(j =>
+      lake.append(rows(j * 100 until (j + 1) * 100).coalesce(1), Schemas.Nfp))
+    val (df0, st0) = lake.readRange(Schemas.Nfp, "transaction_hash",
+      "0xtx000110", "0xtx000190")
+    val want = df0.count()
+    // the converse crash: the commit landed but the shard write never
+    // happened — simulate by dropping the WHOLE sidecar
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$root/_filestats/${Schemas.Nfp}"), true)
+    val lake2 = new Lake(spark, root)
+    val (df2, st2) = lake2.readRange(Schemas.Nfp, "transaction_hash",
+      "0xtx000110", "0xtx000190")
+    assert(df2.count() == want)
+    assert(st2 == st0, s"plan diverged without the sidecar: $st0 vs $st2")
+    assert(lake2.footerReads.get() > 0,
+      "the missing entries' files must be footer re-read")
+    // and the re-read re-persisted: a THIRD driver is footer-free again
+    val lake3 = new Lake(spark, root)
+    lake3.readRange(Schemas.Nfp, "transaction_hash",
+      "0xtx000110", "0xtx000190")
+    assert(lake3.footerReads.get() == 0,
+      "re-derived stats were not re-persisted")
+  }
 }
