@@ -82,13 +82,11 @@ object LongStreamProbe {
       (System.nanoTime() - t0) / 1e9
     }
 
-    var batch = 0
     (1 to n).foreach { b =>
       val before = Option(dir.listFiles()).getOrElse(Array.empty)
         .map(_.getName).toSet
       tranche(b).coalesce(1).write.mode("append").parquet(srcDir)
       stampNew(before, b)
-      batch += 1
       if (b % 10 == 0 || b == n) {
         // drain everything staged since the last drain through the
         // SAME checkpoint — offset continuation, exactly a long-lived

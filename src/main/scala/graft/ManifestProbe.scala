@@ -106,8 +106,8 @@ object ManifestProbe {
       held = null; heldLake = null
       System.gc(); Thread.sleep(300L)
       val without = rt.totalMemory() - rt.freeMemory()
-      emit("manifest_heap_mb", n,
-        math.max(0L, withHeld - without) / 1e6)
+      println(f"""{"probe":"manifest_heap_mb","n":$n,""" +
+        f""""mb":${math.max(0L, withHeld - without) / 1e6}%.1f}""")
       org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(root))
     }

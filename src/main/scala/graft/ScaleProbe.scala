@@ -498,10 +498,14 @@ object ScaleProbe {
     // full suffix array + LCP walk (all 7 levels, no early exit)
     time("longest_repeats")(llm.Dedup.longestRepeats(docs, "text",
       "doc_id", rounds = 7, minLcp = 2L, topK = 20))
-    // phase split of longest_repeats (r12 verdict task): the full
-    // 7-round rank-TABLE build alone, then the LCP WALK alone (memo
-    // hot from the previous probe, so this prices the SA-order
-    // denseRank + 7 walk joins + clamp + top-k and nothing else)
+    // phase split of longest_repeats (r12 verdict task): the memo is
+    // CLEARED first (longest_repeats above just warmed it — timing a
+    // memo hit would record a near-zero "build"), then the COLD
+    // 7-round rank-TABLE build alone, then the LCP WALK alone against
+    // the now-hot memo (SA-order denseRank + 7 walk joins + clamp +
+    // top-k and nothing else); sa_repeats_cut below stays memo-warm
+    if (only.forall(_.contains("longest_repeats_tables")))
+      llm.Dedup.clearRankMemo()
     time("longest_repeats_tables")(llm.Dedup.suffixRankTables(docs,
       "text", "doc_id", rounds = 7).last)
     time("longest_repeats_walk")(llm.Dedup.longestRepeats(docs, "text",

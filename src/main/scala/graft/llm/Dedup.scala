@@ -719,6 +719,11 @@ object Dedup {
       List[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
         List[DataFrame])]]
 
+  /** Probe seam: drop every memoized rank table, so a phase-split
+    * probe can time a COLD build after a sibling probe warmed the
+    * memo ([[graft.ScaleProbe]]'s longest_repeats split). */
+  private[graft] def clearRankMemo(): Unit = rankMemo.clear()
+
   /** All rank tables of the prefix doubling, checkpointed:
     * (ranks_0 … ranks_K) with ranks_k discriminating the first 2^k
     * tokens — the sparse table the LCP computation walks. Unlike

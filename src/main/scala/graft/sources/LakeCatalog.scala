@@ -5,10 +5,12 @@ import java.util
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -46,11 +48,26 @@ class LakeCatalog extends TableCatalog {
     root = Option(options.get("root")).getOrElse(
       throw new IllegalArgumentException(
         s"catalog '$name' needs spark.sql.catalog.$name.root"))
+    LakeCatalog.lastInstance.set(this)
   }
 
   override def name(): String = catalogName
 
-  private def lake: Lake = LakeCatalog.lakeFor(SparkSession.active, root)
+  /** One Lake per catalog instance (Spark builds one catalog instance
+    * per session): keeps the manifest fold cache warm across queries
+    * without a static session-keyed map that would pin every session
+    * and its folded caches forever. */
+  @volatile private var cached: (SparkSession, Lake) = _
+  private def lake: Lake = {
+    val s = SparkSession.active
+    val c = cached
+    if (c != null && (c._1 eq s)) c._2
+    else { val l = new Lake(s, root); cached = (s, l); l }
+  }
+
+  /** Test seam: the Lake this catalog is currently serving from. */
+  private[graft] def currentLake: Option[Lake] =
+    Option(cached).map(_._2)
 
   /** The lake is flat (one directory per table): accept the empty
     * namespace and a cosmetic `default`. */
@@ -70,7 +87,11 @@ class LakeCatalog extends TableCatalog {
 
   /** `VERSION AS OF v`: Spark routes the literal here. */
   override def loadTable(ident: Identifier, version: String): Table =
-    load(ident, Some(version.toLong))
+    load(ident, Some(try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"VERSION AS OF '$version' on ${ident.name()}: lake versions " +
+          "are the numeric snapshot ids Lake.snapshot returns")
+    }))
 
   private def load(ident: Identifier, version: Option[Long]): Table = {
     val t = tableOf(ident)
@@ -80,7 +101,7 @@ class LakeCatalog extends TableCatalog {
       case None => lake.currentEntries(t)
       case Some(v) => lake.snapshotEntries(t, v)
     }
-    new LakeTable(s"$catalogName.$t", SparkSession.active,
+    new LakeTable(s"$catalogName.$t", SparkSession.active, lake, t,
       new Path(s"$root/$t"), entries, lake.effectiveSchema(t),
       Seq("chain_name"))
   }
@@ -113,27 +134,34 @@ class LakeCatalog extends TableCatalog {
 }
 
 object LakeCatalog {
-  /** One [[Lake]] per (session, root): keeps the manifest fold cache
-    * warm across queries — a per-query instance would re-fold the
-    * commit log every SELECT. Also the test seam for asserting
-    * zero-listing SQL plans (`lakeFor(spark, root).listCalls`). */
-  private val lakes = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), Lake]()
-  private[graft] def lakeFor(spark: SparkSession, root: String): Lake =
-    lakes.computeIfAbsent((spark, root), k => new Lake(k._1, k._2))
+  /** Test seam: the most recently initialized catalog instance, so
+    * specs can assert zero-listing SQL plans on the exact Lake the
+    * catalog serves from (`lastInstance.get.currentLake`). */
+  private[graft] val lastInstance =
+    new java.util.concurrent.atomic.AtomicReference[LakeCatalog]()
 }
 
 /** One lake table bound to a fixed manifest version: schema from the
   * lake's schema registry, scan built by Spark's own DSv2 parquet
   * machinery over the manifest-served index (predicate pushdown,
-  * column pruning, partition pruning — all from metadata). */
+  * column pruning, partition pruning — all from metadata).
+  *
+  * `INSERT INTO` is supported and routes through
+  * [[graft.v3.Lake.append]] — a full manifest TRANSACTION (staged
+  * write, commit lock, versioned publish), so a SQL append is as
+  * atomic and as invisible-on-crash as the Scala API's. `INSERT
+  * OVERWRITE` refuses: overwrite is a retention decision the lake
+  * expresses through upsert/compact/retention, not a sink mode. */
 private[graft] class LakeTable(
     tableName: String,
     spark: SparkSession,
+    lake: Lake,
+    lakeTable: String,
     tableDir: Path,
     entries: Seq[(String, Long)],
     tableSchema: StructType,
-    partCols: Seq[String]) extends Table with SupportsRead {
+    partCols: Seq[String]) extends Table
+    with SupportsRead with SupportsWrite {
 
   override def name(): String = tableName
 
@@ -142,8 +170,12 @@ private[graft] class LakeTable(
   override def partitioning(): Array[Transform] =
     partCols.map(Expressions.identity).toArray
 
-  override def capabilities(): util.Set[TableCapability] =
-    util.Collections.singleton(TableCapability.BATCH_READ)
+  override def capabilities(): util.Set[TableCapability] = {
+    val s = new util.HashSet[TableCapability]()
+    s.add(TableCapability.BATCH_READ)
+    s.add(TableCapability.V1_BATCH_WRITE)
+    s
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
@@ -153,4 +185,23 @@ private[graft] class LakeTable(
       StructType(tableSchema.fields.filterNot(f => partCols.contains(f.name)))
     ParquetScanBuilder(spark, index, tableSchema, dataSchema, options)
   }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        v1Write
+    }
+
+  private def v1Write: V1Write = new V1Write {
+      override def toInsertableRelation: InsertableRelation =
+        (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+          if (overwrite) throw new UnsupportedOperationException(
+            s"INSERT OVERWRITE on lake table $tableName is not " +
+              "supported - rewrites are lake transactions " +
+              "(upsert/compact/retention), not a sink mode")
+          lake.append(data.select(
+            tableSchema.fieldNames.toSeq.map(org.apache.spark.sql
+              .functions.col): _*), lakeTable)
+        }
+    }
 }

@@ -761,12 +761,15 @@ class Lake(spark: SparkSession, val root: String) {
     }.getOrElse("")
 
   /** Tables with a committed manifest — the SQL catalog's SHOW TABLES
-    * source (one metadata listing of `_manifest/`, never data dirs). */
+    * source (one metadata listing of `_manifest/`, never data dirs).
+    * A dir holding only a crashed first-writer's lock (mkdirs happens
+    * at lock acquisition, before anything commits) is NOT a table —
+    * listing it would show a name SELECT then refuses to load. */
   private[graft] def manifestTables: Seq[String] = {
     val d = new Path(s"$root/_manifest")
     if (!fs.exists(d)) Seq.empty
     else fs.listStatus(d).toSeq.filter(_.isDirectory)
-      .map(_.getPath.getName).sorted
+      .map(_.getPath.getName).filter(hasManifest).sorted
   }
 
   /** (absolute path, bytes) for the CURRENT table state — what the

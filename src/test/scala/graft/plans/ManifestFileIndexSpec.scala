@@ -92,6 +92,31 @@ class ManifestFileIndexSpec extends SparkSpec {
       .select("v").as[Long].collect().toSeq == Seq(3L))
   }
 
+  test("timestamp partition values decode in the SESSION timezone, matching Spark's reader") {
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val dir = Files.createTempDirectory("mfi-tz").toString
+      Seq(("2024-03-01 10:30:00", 1L), ("2024-03-02 22:15:00", 2L))
+        .toDF("ts", "v")
+        .withColumn("ts", col("ts").cast(TimestampType))
+        .write.mode("overwrite").partitionBy("ts").parquet(dir)
+      val schema = StructType(Seq(StructField("ts", TimestampType),
+        StructField("v", LongType)))
+      val viaManifest = ManifestFileIndex.relation(spark, new Path(dir),
+        listEntries(dir), schema, Seq("ts"))
+        .select("ts", "v").collect().map(r => (r.getTimestamp(0), r.getLong(1)))
+        .sortBy(_._2).toSeq
+      val viaSpark = spark.read.schema(schema).parquet(dir)
+        .select("ts", "v").collect().map(r => (r.getTimestamp(0), r.getLong(1)))
+        .sortBy(_._2).toSeq
+      assert(viaManifest == viaSpark,
+        s"manifest-served timestamps diverged from Spark's reader under " +
+          s"a non-UTC session zone:\n  manifest=$viaManifest\n  " +
+          s"spark=$viaSpark")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("a layout missing a declared partition column is refused loudly") {
     // files live under chain_name= only, but the caller declares
     // (chain_name, day) — planning would otherwise serve wrong values

@@ -30,7 +30,12 @@ class LakeCatalogSpec extends SparkSpec {
     spark.conf.set("spark.sql.catalog.graft_lake.root", r)
     r
   }
-  private lazy val lake = LakeCatalog.lakeFor(spark, root)
+  // the spec's WRITER instance; the catalog serves from its own
+  // (asserted zero-listing via the lastInstance seam below)
+  private lazy val lake = new graft.v3.Lake(spark, root)
+
+  private def catalogLake = LakeCatalog.lastInstance.get()
+    .currentLake.getOrElse(fail("catalog has not served a query yet"))
 
   private def seed(): Long = {
     if (!lake.hasManifest(Schemas.Nfp)) {
@@ -45,7 +50,6 @@ class LakeCatalogSpec extends SparkSpec {
 
   test("SELECT over a lake table is manifest-served: ZERO listings, filters work") {
     seed()
-    val before = lake.listCalls.get()
     assert(spark.sql("SELECT count(*) AS c FROM graft_lake.nfp")
       .collect()(0).getLong(0) == 30L)
     val got = spark.sql(
@@ -57,8 +61,8 @@ class LakeCatalogSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT count(*) AS c FROM graft_lake.nfp WHERE chain_name = 'base'")
       .collect()(0).getLong(0) == 10L)
-    assert(lake.listCalls.get() == before,
-      s"SQL read listed ${lake.listCalls.get() - before} time(s)")
+    assert(catalogLake.listCalls.get() == 0L,
+      s"SQL reads listed ${catalogLake.listCalls.get()} time(s)")
   }
 
   test("VERSION AS OF replays the pinned snapshot") {
@@ -73,6 +77,36 @@ class LakeCatalogSpec extends SparkSpec {
       """SELECT amount FROM graft_lake.nfp
         | WHERE transaction_hash = '0xtx00001'""".stripMargin)
       .collect().map(_.getString(0)).toSeq == Seq("u1"))
+  }
+
+  test("INSERT INTO routes through the lake's manifest transaction; OVERWRITE refuses") {
+    seed()
+    spark.sql(
+      """INSERT INTO graft_lake.nfp VALUES
+        | ('base', 'IncreaseLiquidity', '0xsql1', 9000, 0,
+        |  '0xu9', 'sqlv', '1', '2', '3', 7)""".stripMargin)
+    val got = spark.sql(
+      "SELECT amount FROM graft_lake.nfp WHERE transaction_hash = '0xsql1'")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("sqlv"), s"SQL append lost: $got")
+    // the append COMMITTED a manifest version: writer-side reads see it
+    // and manifest matches disk exactly
+    assert(lake.read(graft.v3.Schemas.Nfp)
+      .filter(col("transaction_hash") === "0xsql1").count() == 1L)
+    assert(lake.fileInventory(graft.v3.Schemas.Nfp) ==
+      lake.listInventory(graft.v3.Schemas.Nfp))
+    // refusal may come from Spark's capability check (no
+    // truncate/overwrite capability declared) or from the sink — both
+    // are loud, and nothing may land either way
+    intercept[Exception] {
+      spark.sql(
+        """INSERT OVERWRITE graft_lake.nfp VALUES
+          | ('base', 'x', '0xsql2', 9001, 0, '0xu9', 'v', '1', '2', '3', 7)
+          |""".stripMargin)
+    }
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM graft_lake.nfp WHERE transaction_hash = '0xsql2'")
+      .collect()(0).getLong(0) == 0L, "refused OVERWRITE landed rows")
   }
 
   test("SHOW TABLES serves from the manifest dir; DDL writes refuse loudly") {
