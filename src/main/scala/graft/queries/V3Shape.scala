@@ -1028,6 +1028,105 @@ object V3Shape {
         |    FROM base b, mx WHERE b.k <= 37)
         |SELECT CAST(k % 7 AS BIGINT) AS log_index, count(*) AS n,
         |  CAST(sum(a0) AS BIGINT) AS sum_a0
-        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin))
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // SQL CATALOG SURFACE — the round-13 DataSourceV2 TableCatalog
+    // under the oracle: the SAME lake state is read twice through
+    // pure SQL — current (`SELECT … FROM graft_sql.nfp`, after a
+    // retained upsert and a SQL `INSERT INTO` that routes through the
+    // manifest transaction) and pinned (`VERSION AS OF` the
+    // pre-upsert snapshot) — and the catalog's own Lake instance is
+    // require'd to perform ZERO recursive listings: every SQL plan is
+    // manifest-served (the DSv2 ManifestPartitioningIndex). The
+    // graded frame unions both states, so time travel correctness,
+    // the SQL write path, and current-state reads all hash against
+    // DuckDB.
+    ("s21_sql_catalog",
+      ((s: SparkSession, d: String) => {
+        import graft.v3.{Lake, Schemas}
+        val orders = Tables.orders(s, d)
+        val k = col("o_orderkey")
+        def derive(df: org.apache.spark.sql.DataFrame) =
+          df.select(
+            lit("ethereum").as("chain_name"),
+            lit("IncreaseLiquidity").as("name"),
+            concat(lit("0xtx"), lpad(k.cast("string"), 12, "0"))
+              .as("transaction_hash"),
+            (lit(1000L) + pmod(k, lit(97))).as("block_number"),
+            pmod(k, lit(13)).as("tx_index"),
+            concat(lit("0xu"), col("o_custkey").cast("string"))
+              .as("from_address"),
+            col("o_custkey").cast("string").as("amount"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("long")
+              .cast("string").as("amount0"),
+            pmod(k, lit(1000)).cast("string").as("amount1"),
+            pmod(k, lit(997)).cast("string").as("tokenId"),
+            pmod(k, lit(7)).as("log_index"))
+        val root = s"/tmp/graft-sqlcat-lake/${Llm.sfCacheKey(d)}"
+        val lake = new Lake(s, root)
+        lake.dropTable(Schemas.Nfp)
+        val mx = orders.agg(max(k)).first().getLong(0)
+        val h = mx / 2 + 1
+        (0 until 2).foreach(j =>
+          lake.append(derive(orders.filter(k >= j * h && k < (j + 1) * h))
+            .coalesce(1), Schemas.Nfp))
+        val v0 = lake.snapshot(Schemas.Nfp)
+        // retained upsert: +100 cents on a key slice; the pinned
+        // snapshot must keep reading the PRE-upsert values
+        val upd = derive(orders.filter(k < 500 && pmod(k, lit(10)) === 0))
+          .withColumn("amount0",
+            (col("amount0").cast("long") + 100).cast("string"))
+        lake.upsert(upd, Schemas.Nfp,
+          Seq("chain_name", "transaction_hash"), retain = true)
+        // catalog name unique per RUN: the session's CatalogManager
+        // caches instances by NAME for the session's life, so a reused
+        // name would pin the first run's root AND its Lake instance's
+        // version-keyed caches across this row's dropTable+rebuild
+        // (bench reps run the row twice per JVM)
+        val cat = "graft_sql_" +
+          Llm.sfCacheKey(d).replaceAll("[^A-Za-z0-9]", "_") +
+          s"_${System.nanoTime()}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        // the SQL write path: one row through the manifest transaction
+        s.sql(s"""INSERT INTO $cat.nfp VALUES
+          | ('ethereum', 'IncreaseLiquidity', '0xsql000000000001', 2000,
+          |  0, '0xsql', '1', '424242', '0', '0', 3)""".stripMargin)
+        def agg(from: String) = s.sql(
+          s"""SELECT log_index, count(*) AS n,
+             |  CAST(sum(CAST(amount0 AS BIGINT)) AS BIGINT) AS sum_a0
+             |FROM $from GROUP BY log_index""".stripMargin)
+        val out = agg(s"$cat.nfp").withColumn("src", lit("cur"))
+          .unionAll(agg(s"$cat.nfp VERSION AS OF $v0")
+            .withColumn("src", lit("pin")))
+          .select(col("src"), col("log_index"), col("n"), col("sum_a0"))
+          .orderBy(col("src"), col("log_index"))
+          .localCheckpoint() // materialize before the listing gate
+        val catLake = graft.sources.LakeCatalog.lastInstance.get()
+          .currentLake.getOrElse(
+            throw new IllegalStateException("catalog served no query"))
+        require(catLake.listCalls.get() == 0L,
+          s"the SQL catalog fell back to ${catLake.listCalls.get()} " +
+            "recursive listing(s) - plans must be manifest-served")
+        out
+      }): Q,
+      Some("""WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |cur AS (
+        |  SELECT k % 7 AS log_index,
+        |      cents + CASE WHEN k < 500 AND k % 10 = 0
+        |        THEN 100 ELSE 0 END AS a0
+        |    FROM base
+        |  UNION ALL SELECT 3, 424242),
+        |pin AS (SELECT k % 7 AS log_index, cents AS a0 FROM base)
+        |SELECT 'cur' AS src, CAST(log_index AS BIGINT) AS log_index,
+        |    count(*) AS n, CAST(sum(a0) AS BIGINT) AS sum_a0
+        |  FROM cur GROUP BY 2
+        |UNION ALL
+        |SELECT 'pin' AS src, CAST(log_index AS BIGINT) AS log_index,
+        |    count(*) AS n, CAST(sum(a0) AS BIGINT) AS sum_a0
+        |  FROM pin GROUP BY 2
+        |ORDER BY 1, 2""".stripMargin))
   )
 }
