@@ -20,6 +20,31 @@ import graft.ops.Ops
   * doubles keep the *operators* under the correctness gate.
   */
 object V3Shape {
+
+  /** The orders→Nfp derivation shared by the lake-lifecycle rows s20
+    * and s21 (one source of truth: both rows' DuckDB oracles encode
+    * the same cents/modulo formulas — two copies would silently
+    * desynchronize). s19 uses a deliberately different 1024-modulo
+    * variant to fill the z-order plane. */
+  private def nfpFromOrders(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val k = col("o_orderkey")
+    df.select(
+      lit("ethereum").as("chain_name"),
+      lit("IncreaseLiquidity").as("name"),
+      concat(lit("0xtx"), lpad(k.cast("string"), 12, "0"))
+        .as("transaction_hash"),
+      (lit(1000L) + pmod(k, lit(97))).as("block_number"),
+      pmod(k, lit(13)).as("tx_index"),
+      concat(lit("0xu"), col("o_custkey").cast("string"))
+        .as("from_address"),
+      col("o_custkey").cast("string").as("amount"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long")
+        .cast("string").as("amount0"),
+      pmod(k, lit(1000)).cast("string").as("amount1"),
+      pmod(k, lit(997)).cast("string").as("tokenId"),
+      pmod(k, lit(7)).as("log_index"))
+  }
   import Relational.Q
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -952,22 +977,7 @@ object V3Shape {
         import graft.v3.{Lake, Schemas}
         val orders = Tables.orders(s, d)
         val k = col("o_orderkey")
-        def derive(df: org.apache.spark.sql.DataFrame) =
-          df.select(
-            lit("ethereum").as("chain_name"),
-            lit("IncreaseLiquidity").as("name"),
-            concat(lit("0xtx"), lpad(k.cast("string"), 12, "0"))
-              .as("transaction_hash"),
-            (lit(1000L) + pmod(k, lit(97))).as("block_number"),
-            pmod(k, lit(13)).as("tx_index"),
-            concat(lit("0xu"), col("o_custkey").cast("string"))
-              .as("from_address"),
-            col("o_custkey").cast("string").as("amount"),
-            floor(col("o_totalprice") * 100 + 0.5).cast("long")
-              .cast("string").as("amount0"),
-            pmod(k, lit(1000)).cast("string").as("amount1"),
-            pmod(k, lit(997)).cast("string").as("tokenId"),
-            pmod(k, lit(7)).as("log_index"))
+        def derive(df: org.apache.spark.sql.DataFrame) = nfpFromOrders(df)
         val root = s"/tmp/graft-manifest-lake/${Llm.sfCacheKey(d)}"
         val lake = new Lake(s, root)
         lake.dropTable(Schemas.Nfp)
@@ -1046,22 +1056,7 @@ object V3Shape {
         import graft.v3.{Lake, Schemas}
         val orders = Tables.orders(s, d)
         val k = col("o_orderkey")
-        def derive(df: org.apache.spark.sql.DataFrame) =
-          df.select(
-            lit("ethereum").as("chain_name"),
-            lit("IncreaseLiquidity").as("name"),
-            concat(lit("0xtx"), lpad(k.cast("string"), 12, "0"))
-              .as("transaction_hash"),
-            (lit(1000L) + pmod(k, lit(97))).as("block_number"),
-            pmod(k, lit(13)).as("tx_index"),
-            concat(lit("0xu"), col("o_custkey").cast("string"))
-              .as("from_address"),
-            col("o_custkey").cast("string").as("amount"),
-            floor(col("o_totalprice") * 100 + 0.5).cast("long")
-              .cast("string").as("amount0"),
-            pmod(k, lit(1000)).cast("string").as("amount1"),
-            pmod(k, lit(997)).cast("string").as("tokenId"),
-            pmod(k, lit(7)).as("log_index"))
+        def derive(df: org.apache.spark.sql.DataFrame) = nfpFromOrders(df)
         val root = s"/tmp/graft-sqlcat-lake/${Llm.sfCacheKey(d)}"
         val lake = new Lake(s, root)
         lake.dropTable(Schemas.Nfp)
@@ -1102,8 +1097,8 @@ object V3Shape {
           .select(col("src"), col("log_index"), col("n"), col("sum_a0"))
           .orderBy(col("src"), col("log_index"))
           .localCheckpoint() // materialize before the listing gate
-        val catLake = graft.sources.LakeCatalog.lastInstance.get()
-          .currentLake.getOrElse(
+        val catLake = graft.sources.LakeCatalog.instance(cat)
+          .flatMap(_.currentLake).getOrElse(
             throw new IllegalStateException("catalog served no query"))
         require(catLake.listCalls.get() == 0L,
           s"the SQL catalog fell back to ${catLake.listCalls.get()} " +

@@ -29,12 +29,14 @@ import graft.v3.Lake
   *   spark.sql.catalog.lake.root = /path/to/lake
   * }}}
   *
-  * Reads only: the lake's writes are manifest TRANSACTIONS
-  * (optimistic concurrency, commit lock, retention) that plain
-  * `INSERT INTO` cannot express, so `createTable`/`alterTable`/
-  * `renameTable` refuse loudly and point at the Lake API. `DROP
-  * TABLE` maps to [[graft.v3.Lake.dropTable]] — it IS a lake
-  * transaction. Each `loadTable` binds the THEN-current manifest
+  * Reads plus the two writes that ARE lake transactions: `INSERT
+  * INTO` routes through [[graft.v3.Lake.append]] (staged write,
+  * commit lock, versioned manifest publish — see [[LakeTable]]) and
+  * `DROP TABLE` through [[graft.v3.Lake.dropTable]]. Everything the
+  * lake's transactional model has no SQL shape for —
+  * `createTable`/`alterTable`/`renameTable`/`INSERT OVERWRITE` —
+  * refuses loudly and points at the Lake API.
+  * Each `loadTable` binds the THEN-current manifest
   * version: a SQL query is a consistent snapshot read, exactly like
   * the Scala `lake.read`. */
 class LakeCatalog extends TableCatalog {
@@ -48,7 +50,8 @@ class LakeCatalog extends TableCatalog {
     root = Option(options.get("root")).getOrElse(
       throw new IllegalArgumentException(
         s"catalog '$name' needs spark.sql.catalog.$name.root"))
-    LakeCatalog.lastInstance.set(this)
+    if (LakeCatalog.byName.size > 64) LakeCatalog.byName.clear()
+    LakeCatalog.byName.put(name, this)
   }
 
   override def name(): String = catalogName
@@ -134,11 +137,15 @@ class LakeCatalog extends TableCatalog {
 }
 
 object LakeCatalog {
-  /** Test seam: the most recently initialized catalog instance, so
-    * specs can assert zero-listing SQL plans on the exact Lake the
-    * catalog serves from (`lastInstance.get.currentLake`). */
-  private[graft] val lastInstance =
-    new java.util.concurrent.atomic.AtomicReference[LakeCatalog]()
+  /** Test seam: initialized catalog instances by NAME, so specs and
+    * graded rows assert zero-listing plans on exactly the Lake THEIR
+    * catalog serves from — a single last-instance handle would race
+    * any other catalog initialization in the JVM. Bounded (graded
+    * rows mint one uniquely-named catalog per run). */
+  private val byName =
+    new java.util.concurrent.ConcurrentHashMap[String, LakeCatalog]()
+  private[graft] def instance(name: String): Option[LakeCatalog] =
+    Option(byName.get(name))
 }
 
 /** One lake table bound to a fixed manifest version: schema from the

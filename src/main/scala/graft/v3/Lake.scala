@@ -761,15 +761,25 @@ class Lake(spark: SparkSession, val root: String) {
     }.getOrElse("")
 
   /** Tables with a committed manifest — the SQL catalog's SHOW TABLES
-    * source (one metadata listing of `_manifest/`, never data dirs).
-    * A dir holding only a crashed first-writer's lock (mkdirs happens
-    * at lock acquisition, before anything commits) is NOT a table —
-    * listing it would show a name SELECT then refuses to load. */
+    * source (ONE recursive metadata listing of `_manifest/`, never
+    * data dirs and never one listing per table: object stores answer
+    * a recursive list with one batched LIST, where per-table
+    * listStatus would cost N round-trips). A dir holding only a
+    * crashed first-writer's lock (mkdirs happens at lock acquisition,
+    * before anything commits) is NOT a table — only a committed
+    * `v*.txt` makes the name loadable. */
   private[graft] def manifestTables: Seq[String] = {
     val d = new Path(s"$root/_manifest")
-    if (!fs.exists(d)) Seq.empty
-    else fs.listStatus(d).toSeq.filter(_.isDirectory)
-      .map(_.getPath.getName).filter(hasManifest).sorted
+    if (!fs.exists(d)) return Seq.empty
+    val it = fs.listFiles(d, true)
+    val out = scala.collection.mutable.SortedSet.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (n.startsWith("v") && n.endsWith(".txt"))
+        out += f.getPath.getParent.getName
+    }
+    out.toSeq
   }
 
   /** (absolute path, bytes) for the CURRENT table state — what the

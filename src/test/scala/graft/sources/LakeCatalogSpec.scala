@@ -34,8 +34,9 @@ class LakeCatalogSpec extends SparkSpec {
   // (asserted zero-listing via the lastInstance seam below)
   private lazy val lake = new graft.v3.Lake(spark, root)
 
-  private def catalogLake = LakeCatalog.lastInstance.get()
-    .currentLake.getOrElse(fail("catalog has not served a query yet"))
+  private def catalogLake = LakeCatalog.instance("graft_lake")
+    .flatMap(_.currentLake)
+    .getOrElse(fail("catalog has not served a query yet"))
 
   private def seed(): Long = {
     if (!lake.hasManifest(Schemas.Nfp)) {
