@@ -125,10 +125,38 @@ class LakeCatalog extends TableCatalog {
         "(append/upsert/createTable) - its writes are manifest " +
         "transactions that SQL DDL cannot express")
 
+  /** `ALTER TABLE … ADD COLUMN` / type-widening `ALTER COLUMN … TYPE`
+    * map onto [[graft.v3.Lake.evolveSchema]] — they ARE the lake's
+    * additive-only evolution model, and evolveSchema enforces it
+    * (drops, renames and narrowing fail loudly there, with the
+    * model's reasoning). Anything else has no lake shape → refuse. */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "alter lake tables through Lake.evolveSchema / setTableProperties")
+                          changes: TableChange*): Table = {
+    val t = tableOf(ident)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val next = changes.foldLeft(lake.effectiveSchema(t)) { (schema, ch) =>
+      ch match {
+        case add: TableChange.AddColumn =>
+          require(add.fieldNames.length == 1,
+            "lake tables have no nested columns to add into")
+          StructType(schema.fields :+ org.apache.spark.sql.types
+            .StructField(add.fieldNames.head, add.dataType,
+              nullable = true))
+        case up: TableChange.UpdateColumnType =>
+          require(up.fieldNames.length == 1,
+            "lake tables have no nested columns to retype")
+          StructType(schema.fields.map(f =>
+            if (f.name == up.fieldNames.head)
+              f.copy(dataType = up.newDataType) else f))
+        case other => throw new UnsupportedOperationException(
+          s"ALTER ${other.getClass.getSimpleName} has no lake shape - " +
+            "only additive ADD COLUMN and widening ALTER COLUMN TYPE " +
+            "map onto the lake's schema evolution")
+      }
+    }
+    lake.evolveSchema(t, next)
+    loadTable(ident)
+  }
 
   override def renameTable(oldIdent: Identifier,
                            newIdent: Identifier): Unit =

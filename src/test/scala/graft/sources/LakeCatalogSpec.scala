@@ -110,6 +110,30 @@ class LakeCatalogSpec extends SparkSpec {
       .collect()(0).getLong(0) == 0L, "refused OVERWRITE landed rows")
   }
 
+  test("ALTER TABLE ADD COLUMN maps onto additive schema evolution; drops refuse") {
+    seed()
+    spark.sql("ALTER TABLE graft_lake.nfp ADD COLUMNS (lang STRING)")
+    // evolution committed: the SQL read plans under the new schema,
+    // old files null-fill
+    val rows = spark.sql(
+      """SELECT lang FROM graft_lake.nfp
+        | WHERE transaction_hash = '0xtx00002'""".stripMargin).collect()
+    assert(rows.length == 1 && rows(0).isNullAt(0))
+    assert(lake.effectiveSchema(graft.v3.Schemas.Nfp)
+      .fieldNames.contains("lang"))
+    // a drop has no lake shape (old files would become unreadable)
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_lake.nfp DROP COLUMN amount1")
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(m => m.contains("no lake shape") ||
+      m.contains("DROP COLUMN")), chain(e).mkString("; "))
+    assert(!lake.effectiveSchema(graft.v3.Schemas.Nfp)
+      .fieldNames.contains("amount1_dropped"))
+  }
+
   test("SHOW TABLES serves from the manifest dir; DDL writes refuse loudly") {
     seed()
     val tables = spark.sql("SHOW TABLES IN graft_lake")
