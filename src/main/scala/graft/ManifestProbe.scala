@@ -89,6 +89,12 @@ object ManifestProbe {
       val (_, planFull) =
         timed(coldLake.read(table).rdd.getNumPartitions)
       emit("manifest_plan_full", n, planFull)
+      // warm: the relation cache serves the SAME immutable plan —
+      // a repeated read pays Spark's split planning, not index
+      // reconstruction
+      val (_, planWarm) =
+        timed(coldLake.read(table).rdd.getNumPartitions)
+      emit("manifest_plan_warm", n, planWarm)
       val (_, planPruned) = timed(coldLake.read(table)
         .filter(col("chain_name") === "c3").rdd.getNumPartitions)
       emit("manifest_plan_pruned", n, planPruned)

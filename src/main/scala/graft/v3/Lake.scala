@@ -136,8 +136,21 @@ class Lake(spark: SparkSession, val root: String) {
     * Spark list the directory. */
   def read(table: String): DataFrame = {
     val schema = effectiveSchema(table)
-    manifestInventory(table) match {
-      case Some(inv) => readEntries(table, inv, schema)
+    manifestVersion(table) match {
+      case Some(v) =>
+        // relation cached per (table, manifest version, schema): a
+        // manifest version IS a fixed file set and the plan is
+        // immutable, so a warm driver's repeated reads skip the
+        // O(files) index reconstruction (group + sort + FileStatus
+        // per entry — ManifestProbe measured it at seconds per read
+        // on a 10⁶-file table); schema is part of the key because
+        // evolution changes the read plan without a manifest commit
+        Option(relationCache.get((table, v, schema))).getOrElse {
+          val df = readEntries(table, manifestInventory(table).get, schema)
+          relationCache.put((table, v, schema), df)
+          relationCache.keySet.removeIf(k => k._1 == table && k._2 < v)
+          df
+        }
       case None =>
         if (!exists(table))
           spark.createDataFrame(
@@ -148,6 +161,14 @@ class Lake(spark: SparkSession, val root: String) {
             .parquet(dir(table)), schema)
     }
   }
+
+  /** Latest committed manifest version, if any. */
+  private def manifestVersion(table: String): Option[Long] =
+    manifestKinds(table).lastOption.map(_._1)
+
+  /** Cached manifest-served relations (see [[read]]). */
+  private val relationCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, StructType), DataFrame]()
 
   /** Plan a scan over exactly `entries` from manifest metadata (no
     * driver-side filesystem access). */
@@ -537,6 +558,7 @@ class Lake(spark: SparkSession, val root: String) {
     statsLoaded.remove(table)
     manifestCache.keySet.removeIf(_._1 == table)
     inventoryCache.keySet.removeIf(_._1 == table)
+    relationCache.keySet.removeIf(_._1 == table)
     fs.exists(p) && fs.delete(p, true)
   }
 
