@@ -32,10 +32,12 @@ import graft.v3.Lake
   * Reads plus the two writes that ARE lake transactions: `INSERT
   * INTO` routes through [[graft.v3.Lake.append]] (staged write,
   * commit lock, versioned manifest publish — see [[LakeTable]]) and
-  * `DROP TABLE` through [[graft.v3.Lake.dropTable]]. Everything the
-  * lake's transactional model has no SQL shape for —
-  * `createTable`/`alterTable`/`renameTable`/`INSERT OVERWRITE` —
-  * refuses loudly and points at the Lake API.
+  * `DROP TABLE` through [[graft.v3.Lake.dropTable]]; additive
+  * `ALTER TABLE ADD COLUMN` / widening `ALTER COLUMN TYPE` through
+  * [[graft.v3.Lake.evolveSchema]]. Everything the lake's
+  * transactional model has no SQL shape for — `createTable`,
+  * `renameTable`, column drops/renames/narrowing, `INSERT
+  * OVERWRITE` — refuses loudly and points at the Lake API.
   * Each `loadTable` binds the THEN-current manifest
   * version: a SQL query is a consistent snapshot read, exactly like
   * the Scala `lake.read`. */
@@ -139,12 +141,28 @@ class LakeCatalog extends TableCatalog {
         case add: TableChange.AddColumn =>
           require(add.fieldNames.length == 1,
             "lake tables have no nested columns to add into")
+          // refuse what evolution can't honor rather than silently
+          // rewriting the DDL: every pre-evolution file reads the new
+          // column as null, so NOT NULL is a lie the first SELECT
+          // would expose; position is cosmetic but a silent reorder
+          // still isn't what the user wrote
+          if (!add.isNullable) throw new UnsupportedOperationException(
+            s"ADD COLUMN ${add.fieldNames.head} NOT NULL has no lake " +
+              "shape - pre-evolution files read the column as null, " +
+              "so added columns are nullable by construction")
+          if (add.position != null) throw new UnsupportedOperationException(
+            s"ADD COLUMN ${add.fieldNames.head} with a position has " +
+              "no lake shape - evolution appends columns")
           StructType(schema.fields :+ org.apache.spark.sql.types
             .StructField(add.fieldNames.head, add.dataType,
               nullable = true))
         case up: TableChange.UpdateColumnType =>
           require(up.fieldNames.length == 1,
             "lake tables have no nested columns to retype")
+          if (!schema.fieldNames.contains(up.fieldNames.head))
+            throw new IllegalArgumentException(
+              s"ALTER COLUMN ${up.fieldNames.head}: no such column on " +
+                s"$t (have: ${schema.fieldNames.mkString(", ")})")
           StructType(schema.fields.map(f =>
             if (f.name == up.fieldNames.head)
               f.copy(dataType = up.newDataType) else f))

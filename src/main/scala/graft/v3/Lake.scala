@@ -136,8 +136,13 @@ class Lake(spark: SparkSession, val root: String) {
     * Spark list the directory. */
   def read(table: String): DataFrame = {
     val schema = effectiveSchema(table)
-    manifestVersion(table) match {
-      case Some(v) =>
+    // ONE metadata read decides both the version and the file set: a
+    // second listing here could observe a racing commit's NEWER state
+    // and cache it under the older key (served forever to v-keyed
+    // readers), or a racing dropTable's absence (NoSuchElement)
+    val kinds = manifestKinds(table)
+    kinds.lastOption match {
+      case Some((v, _)) =>
         // relation cached per (table, manifest version, schema): a
         // manifest version IS a fixed file set and the plan is
         // immutable, so a warm driver's repeated reads skip the
@@ -146,9 +151,13 @@ class Lake(spark: SparkSession, val root: String) {
         // on a 10⁶-file table); schema is part of the key because
         // evolution changes the read plan without a manifest commit
         Option(relationCache.get((table, v, schema))).getOrElse {
-          val df = readEntries(table, manifestInventory(table).get, schema)
+          val df = readEntries(table, inventoryAt(table, kinds, v), schema)
           relationCache.put((table, v, schema), df)
-          relationCache.keySet.removeIf(k => k._1 == table && k._2 < v)
+          // purge superseded versions AND same-version entries under
+          // an evolved-away schema (evolution bumps no manifest
+          // version; keeping both doubles the per-table driver heap)
+          relationCache.keySet.removeIf(k => k._1 == table &&
+            (k._2 < v || (k._2 == v && k._3 != schema)))
           df
         }
       case None =>
@@ -161,10 +170,6 @@ class Lake(spark: SparkSession, val root: String) {
             .parquet(dir(table)), schema)
     }
   }
-
-  /** Latest committed manifest version, if any. */
-  private def manifestVersion(table: String): Option[Long] =
-    manifestKinds(table).lastOption.map(_._1)
 
   /** Cached manifest-served relations (see [[read]]). */
   private val relationCache = new java.util.concurrent.ConcurrentHashMap[
@@ -849,19 +854,26 @@ class Lake(spark: SparkSession, val root: String) {
   private[v3] def manifestInventory(table: String)
       : Option[Seq[(String, String, Long)]] = {
     val kinds = manifestKinds(table)
-    kinds.lastOption.map { case (v, _) =>
-      Option(inventoryCache.get((table, v))).getOrElse {
-        val base = fs.makeQualified(new Path(dir(table))).toString
-        val mapped = resolveManifest(table, kinds, v)
-          .map { case (rel, bytes) =>
-            (chainOfRel(rel), s"$base/$rel", bytes)
-          }.sortBy(t => (t._1, t._2))
-        inventoryCache.put((table, v), mapped)
-        inventoryCache.keySet.removeIf(k => k._1 == table && k._2 < v)
-        mapped
-      }
-    }
+    kinds.lastOption.map { case (v, _) => inventoryAt(table, kinds, v) }
   }
+
+  /** The mapped inventory at a SPECIFIC version from already-listed
+    * `kinds` — the version-pinned half of [[manifestInventory]], so
+    * callers that must pair a version with its exact file set
+    * ([[read]]'s relation cache) never perform a second listing that
+    * could observe a racing commit's newer state. */
+  private def inventoryAt(table: String, kinds: Seq[(Long, Boolean)],
+                          v: Long): Seq[(String, String, Long)] =
+    Option(inventoryCache.get((table, v))).getOrElse {
+      val base = fs.makeQualified(new Path(dir(table))).toString
+      val mapped = resolveManifest(table, kinds, v)
+        .map { case (rel, bytes) =>
+          (chainOfRel(rel), s"$base/$rel", bytes)
+        }.sortBy(t => (t._1, t._2))
+      inventoryCache.put((table, v), mapped)
+      inventoryCache.keySet.removeIf(k => k._1 == table && k._2 < v)
+      mapped
+    }
 
   /** Acquire the table's commit lock (create-exclusive file carrying
     * a per-claim owner token). Waits a bounded time for a live holder;
