@@ -106,9 +106,17 @@ class LakeCatalog extends TableCatalog {
       case None => lake.currentEntries(t)
       case Some(v) => lake.snapshotEntries(t, v)
     }
+    // manifest-backed tables are chain_name-laid-out by the adoption
+    // contract (requireLakeLayout); a manifest-LESS foreign table may
+    // not be — serve it UNPARTITIONED (chain_name read from the file
+    // data, the same semantics lake.read's listing fallback has)
+    // instead of failing at plan time with a partition-parse error
+    val partCols =
+      if (entries.forall(_._1.contains("/chain_name="))) Seq("chain_name")
+      else Seq.empty[String]
     new LakeTable(s"$catalogName.$t", SparkSession.active, lake, t,
       new Path(s"$root/$t"), entries, lake.effectiveSchema(t),
-      Seq("chain_name"))
+      partCols)
   }
 
   override def tableExists(ident: Identifier): Boolean =

@@ -60,7 +60,15 @@ object Lake {
     * (a bad source path, an externally deleted input the batch
     * DataFrame reads) is genuinely missing data: retrying it would
     * burn every attempt with backoff sleeps re-planning against the
-    * same absent file before surfacing the real error. */
+    * same absent file before surfacing the real error. A FNF carrying
+    * NO message at all (some streams throw the bare constructor) is
+    * classified retryable: this predicate only ever runs on a failure
+    * surfaced from a lake operation, and misclassifying a real race
+    * as permanent kills a stream, while the converse merely burns the
+    * bounded retries before surfacing the genuine error. CAVEAT: the
+    * containment test is a message-substring match, so a pathologically
+    * short root ("/", "/tmp") over-matches foreign paths — deploy lakes
+    * under a dedicated directory, as every probe and spec here does. */
   def isRetryableRace(t: Throwable, lakeRoot: String): Boolean = {
     // the lake root appears in task-failure messages either raw
     // ("/tmp/x/lake/...") or scheme-qualified ("file:/tmp/x/lake/...")
@@ -73,7 +81,8 @@ object Lake {
     while (cur != null && depth < 20) {
       cur match {
         case _: ConcurrentWriteException => return true
-        case e: java.io.FileNotFoundException if underRoot(e.getMessage) =>
+        case e: java.io.FileNotFoundException
+            if e.getMessage == null || underRoot(e.getMessage) =>
           return true
         // a Spark job failure whose winning task reported the scan's
         // missing file by error class; the FNF cause itself can be
@@ -140,24 +149,31 @@ class Lake(spark: SparkSession, val root: String) {
     // second listing here could observe a racing commit's NEWER state
     // and cache it under the older key (served forever to v-keyed
     // readers), or a racing dropTable's absence (NoSuchElement)
-    val kinds = manifestKinds(table)
+    val (kinds, inc) = manifestState(table)
     kinds.lastOption match {
       case Some((v, _)) =>
-        // relation cached per (table, manifest version, schema): a
-        // manifest version IS a fixed file set and the plan is
-        // immutable, so a warm driver's repeated reads skip the
+        // relation cached per (table, INCARNATION, manifest version,
+        // schema): a manifest version IS a fixed file set and the plan
+        // is immutable, so a warm driver's repeated reads skip the
         // O(files) index reconstruction (group + sort + FileStatus
         // per entry — ManifestProbe measured it at seconds per read
         // on a 10⁶-file table); schema is part of the key because
-        // evolution changes the read plan without a manifest commit
-        Option(relationCache.get((table, v, schema))).getOrElse {
-          val df = readEntries(table, inventoryAt(table, kinds, v), schema)
-          relationCache.put((table, v, schema), df)
-          // purge superseded versions AND same-version entries under
-          // an evolved-away schema (evolution bumps no manifest
-          // version; keeping both doubles the per-table driver heap)
+        // evolution changes the read plan without a manifest commit;
+        // the incarnation id salts the key because version numbers
+        // RESTART at 1 after dropTable — without it a second
+        // long-lived Lake instance on the same root would serve a
+        // pre-drop cached relation naming deleted files the moment
+        // the new incarnation reaches a previously-cached version
+        Option(relationCache.get((table, inc, v, schema))).getOrElse {
+          val df = readEntries(table, inventoryAt(table, inc, kinds, v),
+            schema)
+          relationCache.put((table, inc, v, schema), df)
+          // purge superseded versions, dead incarnations, AND
+          // same-version entries under an evolved-away schema
+          // (evolution bumps no manifest version; keeping both
+          // doubles the per-table driver heap)
           relationCache.keySet.removeIf(k => k._1 == table &&
-            (k._2 < v || (k._2 == v && k._3 != schema)))
+            (k._2 != inc || k._3 < v || (k._3 == v && k._4 != schema)))
           df
         }
       case None =>
@@ -171,9 +187,10 @@ class Lake(spark: SparkSession, val root: String) {
     }
   }
 
-  /** Cached manifest-served relations (see [[read]]). */
+  /** Cached manifest-served relations (see [[read]]), keyed by
+    * (table, incarnation, version, schema). */
   private val relationCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, StructType), DataFrame]()
+    (String, String, Long, StructType), DataFrame]()
 
   /** Plan a scan over exactly `entries` from manifest metadata (no
     * driver-side filesystem access). */
@@ -676,16 +693,35 @@ class Lake(spark: SparkSession, val root: String) {
     * huge table writes O(batch) manifest bytes, not O(table files) —
     * the same reason the published formats log deltas and checkpoint
     * periodically. */
-  private def manifestKinds(table: String): Seq[(Long, Boolean)] = {
+  private def manifestKinds(table: String): Seq[(Long, Boolean)] =
+    manifestState(table)._1
+
+  /** ONE listing of the commit-log dir: the on-disk versions plus the
+    * table's INCARNATION id — a `.id-<uuid>` marker minted at the
+    * incarnation's first manifest publish. dropTable deletes the
+    * marker with the dir, so a re-created table carries a NEW id even
+    * though its version numbers restart at 1; every version-keyed
+    * cache ([[manifestCache]]/[[inventoryCache]]/[[relationCache]])
+    * salts its key with it, which is what lets a SECOND long-lived
+    * Lake instance on the same root survive another instance's
+    * dropTable+recreate without per-instance invalidation. Tables
+    * committed before the marker existed read back as incarnation ""
+    * until their next publish mints one (the "" keys are purged as a
+    * dead incarnation then). */
+  private def manifestState(table: String): (Seq[(Long, Boolean)], String) = {
     val d = manifestDir(table)
-    if (!fs.exists(d)) return Seq.empty
-    fs.listStatus(d).toSeq.map(_.getPath.getName).collect {
+    if (!fs.exists(d)) return (Seq.empty, "")
+    val names = fs.listStatus(d).toSeq.map(_.getPath.getName)
+    val kinds = names.collect {
       case n if n.startsWith("v") && n.endsWith(".d.txt") =>
         (n.stripPrefix("v").stripSuffix(".d.txt").toLong, true)
       case n if n.startsWith("v") && n.endsWith(".txt") &&
           !n.endsWith(".d.txt") =>
         (n.stripPrefix("v").stripSuffix(".txt").toLong, false)
     }.sortBy(_._1)
+    // min-sorted for determinism if a foreign copy ever duplicates it
+    (kinds, names.filter(_.startsWith(".id-")).sorted.headOption
+      .map(_.stripPrefix(".id-")).getOrElse(""))
   }
 
   private def manifestVersions(table: String): Seq[Long] =
@@ -714,9 +750,10 @@ class Lake(spark: SparkSession, val root: String) {
     * delta whose v−1 is missing) fails loudly rather than folding from
     * the wrong base. Delta line format: `+relB64 TAB bytes` (add) /
     * `-relB64` (remove); checkpoint lines are `relB64 TAB bytes`. */
-  private def resolveManifest(table: String, kinds: Seq[(Long, Boolean)],
+  private def resolveManifest(table: String, inc: String,
+                              kinds: Seq[(Long, Boolean)],
                               v: Long): Seq[(String, Long)] =
-    Option(manifestCache.get((table, v))).getOrElse {
+    Option(manifestCache.get((table, inc, v))).getOrElse {
       def isDelta(w: Long): Boolean = kinds.find(_._1 == w).exists(_._2)
       def entryOf(l: String): (String, Long) = {
         val i = l.indexOf('\t')
@@ -727,7 +764,7 @@ class Lake(spark: SparkSession, val root: String) {
       var base = v
       var cached: Seq[(String, Long)] = null
       while (isDelta(base) && {
-        cached = manifestCache.get((table, base)); cached == null
+        cached = manifestCache.get((table, inc, base)); cached == null
       }) {
         // a delta applies to EXACTLY the preceding version — a gap
         // means retention or a foreign actor broke the chain; fold
@@ -757,8 +794,9 @@ class Lake(spark: SparkSession, val root: String) {
       import scala.jdk.CollectionConverters._
       val parsed = state.entrySet().asScala
         .map(e => (e.getKey, e.getValue.longValue())).toSeq.sortBy(_._1)
-      manifestCache.put((table, v), parsed)
-      manifestCache.keySet.removeIf(k => k._1 == table && k._2 < v)
+      manifestCache.put((table, inc, v), parsed)
+      manifestCache.keySet.removeIf(k => k._1 == table &&
+        (k._2 != inc || k._3 < v))
       parsed
     }
 
@@ -767,16 +805,17 @@ class Lake(spark: SparkSession, val root: String) {
     * but belt and braces) unambiguous. */
   private[v3] def latestManifest(table: String)
       : Option[(Long, Seq[(String, Long)])] = {
-    val kinds = manifestKinds(table)
+    val (kinds, inc) = manifestState(table)
     kinds.lastOption.map { case (v, _) =>
-      (v, resolveManifest(table, kinds, v))
+      (v, resolveManifest(table, inc, kinds, v))
     }
   }
 
-  /** Parsed manifest bodies keyed by (table, version) — immutable
-    * once published; superseded versions are purged on publish. */
+  /** Parsed manifest bodies keyed by (table, incarnation, version) —
+    * immutable once published; superseded versions are purged on
+    * publish. */
   private val manifestCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long),
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Long),
       Seq[(String, Long)]]()
 
   /** Partition value parsed from a path (manifest-relative or
@@ -825,15 +864,18 @@ class Lake(spark: SparkSession, val root: String) {
   private[graft] def snapshotEntries(table: String,
                                      version: Long): Seq[(String, Long)] =
     manifestFiles(table, version).map { r =>
-      val live = new Path(s"${dir(table)}/$r")
-      val retired = new Path(retiredDir(table), r)
-      val st =
-        if (fs.exists(live)) fs.getFileStatus(live)
-        else if (fs.exists(retired)) fs.getFileStatus(retired)
-        else throw new IllegalArgumentException(
+      // one getFileStatus per location (not exists-then-stat, which is
+      // two metadata RPCs and a window where a racing vacuum between
+      // them surfaces a raw FNF instead of the invalidation error)
+      def statOf(p: Path): Option[org.apache.hadoop.fs.FileStatus] =
+        try Some(fs.getFileStatus(p))
+        catch { case _: java.io.FileNotFoundException => None }
+      val st = statOf(new Path(s"${dir(table)}/$r"))
+        .orElse(statOf(new Path(retiredDir(table), r)))
+        .getOrElse(throw new IllegalArgumentException(
           s"snapshot v$version of $table invalidated - missing file " +
             s"(rewritten by compaction or upsert without retention, " +
-            s"or vacuum-expired): $r")
+            s"or vacuum-expired): $r"))
       (st.getPath.toString, st.getLen)
     }
 
@@ -844,7 +886,7 @@ class Lake(spark: SparkSession, val root: String) {
     * this was the uncached half). A manifest version IS a fixed file
     * set, so the mapped view is immutable too. */
   private val inventoryCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long), Seq[(String, String, Long)]]()
+    (String, String, Long), Seq[(String, String, Long)]]()
 
   /** Manifest-served inventory in [[fileInventory]]'s shape (qualified
     * absolute paths — callers strip against a qualified base). The
@@ -853,8 +895,8 @@ class Lake(spark: SparkSession, val root: String) {
     * call. */
   private[v3] def manifestInventory(table: String)
       : Option[Seq[(String, String, Long)]] = {
-    val kinds = manifestKinds(table)
-    kinds.lastOption.map { case (v, _) => inventoryAt(table, kinds, v) }
+    val (kinds, inc) = manifestState(table)
+    kinds.lastOption.map { case (v, _) => inventoryAt(table, inc, kinds, v) }
   }
 
   /** The mapped inventory at a SPECIFIC version from already-listed
@@ -862,16 +904,18 @@ class Lake(spark: SparkSession, val root: String) {
     * callers that must pair a version with its exact file set
     * ([[read]]'s relation cache) never perform a second listing that
     * could observe a racing commit's newer state. */
-  private def inventoryAt(table: String, kinds: Seq[(Long, Boolean)],
+  private def inventoryAt(table: String, inc: String,
+                          kinds: Seq[(Long, Boolean)],
                           v: Long): Seq[(String, String, Long)] =
-    Option(inventoryCache.get((table, v))).getOrElse {
+    Option(inventoryCache.get((table, inc, v))).getOrElse {
       val base = fs.makeQualified(new Path(dir(table))).toString
-      val mapped = resolveManifest(table, kinds, v)
+      val mapped = resolveManifest(table, inc, kinds, v)
         .map { case (rel, bytes) =>
           (chainOfRel(rel), s"$base/$rel", bytes)
         }.sortBy(t => (t._1, t._2))
-      inventoryCache.put((table, v), mapped)
-      inventoryCache.keySet.removeIf(k => k._1 == table && k._2 < v)
+      inventoryCache.put((table, inc, v), mapped)
+      inventoryCache.keySet.removeIf(k => k._1 == table &&
+        (k._2 != inc || k._3 < v))
       mapped
     }
 
@@ -986,7 +1030,15 @@ class Lake(spark: SparkSession, val root: String) {
                               delta: Option[(Seq[(String, Long)],
                                 Set[String])] = None): Long = {
     val d = manifestDir(table)
-    val kinds = manifestKinds(table)
+    val (kinds, inc0) = manifestState(table)
+    // first publish of this incarnation: mint the `.id-` marker the
+    // version-keyed caches salt their keys with (runs under the commit
+    // lock, so exactly one writer mints it)
+    val inc = if (inc0.nonEmpty) inc0 else {
+      val u = java.util.UUID.randomUUID().toString
+      fs.create(new Path(d, s".id-$u"), false).close()
+      u
+    }
     val v = kinds.lastOption.map(_._1).getOrElse(0L) + 1
     val deltasSinceCheckpoint =
       kinds.reverse.takeWhile(_._2).size
@@ -1015,8 +1067,9 @@ class Lake(spark: SparkSession, val root: String) {
       throw new java.io.IOException(
         s"manifest publish of $table v$v failed to rename into place")
     }
-    manifestCache.put((table, v), entries.sortBy(_._1))
-    manifestCache.keySet.removeIf(k => k._1 == table && k._2 <= v - 8)
+    manifestCache.put((table, inc, v), entries.sortBy(_._1))
+    manifestCache.keySet.removeIf(k => k._1 == table &&
+      (k._2 != inc || k._3 <= v - 8))
     if (!asDelta) {
       // retention anchored to checkpoints, never mid-chain: delete
       // versions older than the previous checkpoint (this one just

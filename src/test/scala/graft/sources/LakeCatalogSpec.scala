@@ -148,4 +148,27 @@ class LakeCatalogSpec extends SparkSpec {
       else Option(t.getMessage).toSeq ++ chain(t.getCause)
     assert(chain(e).exists(_.contains("Lake API")), chain(e).mkString("; "))
   }
+
+  test("a manifest-less foreign table without chain_name= dirs serves unpartitioned") {
+    seed()
+    import spark.implicits._
+    // a foreign writer dropped plain parquet (chain_name as a DATA
+    // column, no hive layout) into the lake root: the listing-fallback
+    // read must serve it through SQL like lake.read does from Scala,
+    // not die in the partition parser
+    Seq(
+      ("ethereum", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        100L, "0xf1", 1L, "0xa", "0xb", "500", "10", "0xpool1"),
+      ("base", java.sql.Timestamp.valueOf("2024-01-02 00:00:00"),
+        200L, "0xf2", 2L, "0xc", "0xd", "3000", "60", "0xpool2"))
+      .toDF("chain_name", "block_timestamp", "block_number",
+        "transaction_hash", "log_index", "token0", "token1", "fee",
+        "tickSpacing", "pool")
+      .write.mode("overwrite").parquet(s"$root/${Schemas.FactoryPoolCreated}")
+    val got = spark.sql(
+      s"""SELECT chain_name, pool FROM graft_lake.${Schemas.FactoryPoolCreated}
+         | ORDER BY chain_name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("base", "0xpool2"), ("ethereum", "0xpool1")), got)
+  }
 }

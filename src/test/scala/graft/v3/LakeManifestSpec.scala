@@ -616,4 +616,41 @@ class LakeManifestSpec extends SparkSpec {
     assert(viaManifest.filter(col("chain_name") === "ethereum").count() ==
       viaSpark.filter(col("chain_name") === "ethereum").count())
   }
+
+  test("isRetryableRace: a message-less FNF under a lake operation is retryable") {
+    val root = "/tmp/graft-test-lake-root"
+    // some streams throw the bare constructor (null message): under a
+    // lake operation that ambiguity must burn bounded retries, not
+    // permanently kill a stream's maintenance cycle
+    assert(Lake.isRetryableRace(new java.io.FileNotFoundException(), root))
+    assert(Lake.isRetryableRace(new RuntimeException("job aborted",
+      new java.io.FileNotFoundException()), root))
+  }
+
+  test("version-keyed caches survive a FOREIGN instance's dropTable+recreate") {
+    val root = Files.createTempDirectory("lake-man-incar").toString
+    val writer = new Lake(spark, root)
+    val reader = new Lake(spark, root)
+    (0 until 2).foreach(j =>
+      writer.append(rows(j * 10 until j * 10 + 10).coalesce(1), Schemas.Nfp))
+    // warm the reader's version-keyed caches at v2 of incarnation 1
+    assert(reader.read(Schemas.Nfp).count() == 20L)
+    assert(reader.fileInventory(Schemas.Nfp).size == 2)
+    // the writer drops and re-creates: version numbering restarts at 1
+    // and reaches the same v2 the reader cached — without the
+    // incarnation salt the reader would serve a cached relation naming
+    // the DELETED incarnation's files
+    assert(writer.dropTable(Schemas.Nfp))
+    (0 until 2).foreach(j =>
+      writer.append(rows(100 + j * 5 until 105 + j * 5,
+        amt = i => s"n$i").coalesce(1), Schemas.Nfp))
+    val got = reader.read(Schemas.Nfp)
+    assert(got.count() == 10L,
+      "reader served a stale pre-drop cached relation")
+    assert(got.select("amount").collect()
+      .forall(_.getString(0).startsWith("n")))
+    // the inventory cache re-keyed too (manifest remains truth)
+    assert(reader.fileInventory(Schemas.Nfp).sortBy(_._2) ==
+      reader.listInventory(Schemas.Nfp).sortBy(_._2))
+  }
 }
