@@ -99,6 +99,26 @@ object ManifestProbe {
         .filter(col("chain_name") === "c3").rdd.getNumPartitions)
       emit("manifest_plan_pruned", n, planPruned)
 
+      // 5b. the DSv2 catalog path at the same sizes: a pure-SQL pruned
+      // plan pays loadTable (manifest-served currentEntries) + the
+      // ManifestPartitioningIndex build (synthetic FileStatus map,
+      // group-by-parent, PartitionSpec over the leaf dirs) + Spark's
+      // own DSv2 pushdown/split planning. Cold = first SQL plan on a
+      // fresh catalog; warm = the repeat (inventory caches hot; the
+      // index itself is rebuilt per loadTable — the number that says
+      // whether THAT needs a cache too)
+      val cat = s"mprobe_${n}_${System.nanoTime()}"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.LakeCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      def dsv2Pruned(): Int = spark.sql(
+        s"SELECT * FROM $cat.$table WHERE chain_name = 'c3'")
+        .rdd.getNumPartitions
+      val (_, dsv2Cold) = timed(dsv2Pruned())
+      emit("dsv2_plan_pruned_cold", n, dsv2Cold)
+      val (_, dsv2Warm) = timed(dsv2Pruned())
+      emit("dsv2_plan_pruned_warm", n, dsv2Warm)
+
       // 6. retained heap of the folded per-table state: measure used
       // memory with a fresh fold HELD, then again after dropping the
       // reference — the difference is what one warm table costs a

@@ -765,6 +765,142 @@ object ScaleProbe {
         f""""files":${hst.files},"scanned":${hst.scanned}}""")
     }
 
+    // ── Multi-writer stress: liveness under REAL contention ──────────
+    // The race specs are deterministic (hook-seamed single collisions);
+    // this probe runs 8 GENUINELY concurrent writers — each its own
+    // Lake instance on the shared root, as 8 separate drivers would
+    // be — pushing ~100 optimistic commits into ONE chain of one
+    // table while a maintenance thread compacts whenever the chain
+    // fragments (the Streaming hook's shape, including skip-on-race).
+    // Writers use disjoint key slices, so the exact final state is
+    // computable: every batch inserts a fresh slice and UPDATES the
+    // writer's previous slice — a lost update (the one thing the
+    // publish fence + removed-files check must prevent) would leave a
+    // stale value behind. Asserted exactly; the emitted line carries
+    // the conflict/retry distribution — the liveness evidence specs
+    // can't produce.
+    if (only.forall(_.contains("multi_writer_stress"))) {
+      import graft.v3.{Lake, Schemas}
+      val root = java.nio.file.Files
+        .createTempDirectory("probe-mwlake").toString
+      val writers = 8
+      val batches = 12
+      val sliceRows = 200
+      def pad(v: Long) = f"0xtx$v%013d"
+      def slice(s0: SparkSession, w: Int, b: Int,
+                value: String): DataFrame = {
+        val base = w.toLong * 1000000000L + b.toLong * 10000L
+        s0.range(sliceRows).select(
+          lit("ethereum").as("chain_name"),
+          lit("IncreaseLiquidity").as("name"),
+          concat(lit("0xtx"),
+            lpad((col("id") + base).cast("string"), 13, "0"))
+            .as("transaction_hash"),
+          (lit(1000L) + col("id")).as("block_number"),
+          lit(w.toLong).as("tx_index"),
+          lit(s"0xw$w").as("from_address"),
+          lit(s"$w").as("amount"),
+          lit(value).as("amount0"),
+          lit("0").as("amount1"),
+          lit("0").as("tokenId"),
+          lit(b.toLong).as("log_index"))
+      }
+      val conflictsPerBatch =
+        new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+      val maintRuns = new java.util.concurrent.atomic.AtomicInteger
+      val maintSkips = new java.util.concurrent.atomic.AtomicInteger
+      val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val t0 = System.nanoTime()
+      val writerThreads = (0 until writers).map { w =>
+        new Thread(() => {
+          try {
+            val myLake = new Lake(spark, root)
+            (0 until batches).foreach { b =>
+              // insert slice b, update slice b-1 — one batch, one commit
+              val ins = slice(spark, w, b, value = s"${b + 1}")
+              val batch = if (b == 0) ins
+                else ins.unionAll(slice(spark, w, b - 1, value = s"${b}u"))
+              var myConflicts = 0
+              myLake.upsertRetrying(batch, Schemas.Nfp,
+                Seq("chain_name", "transaction_hash"),
+                maxAttempts = 32, backoffMs = 25L,
+                onConflict = (_, _) => myConflicts += 1)
+              conflictsPerBatch.add(myConflicts)
+            }
+          } catch { case e: Throwable => failed.compareAndSet(null, e) }
+        }, s"mw-writer-$w")
+      }
+      val maintThread = new Thread(() => {
+        val mLake = new Lake(spark, root)
+        while (!stop.get()) {
+          try {
+            val frag = mLake.fragmentedChains(Schemas.Nfp,
+              maxChainFiles = 24)
+            if (frag.nonEmpty) {
+              mLake.compact(Schemas.Nfp, targetBytes = 512L << 20,
+                onlyChains = frag)
+              maintRuns.incrementAndGet()
+            }
+          } catch {
+            // a lost maintenance race is a SKIP (Streaming's
+            // onMaintenanceSkip contract), never a failure
+            case e: Throwable if Lake.isRetryableRace(e, root) =>
+              maintSkips.incrementAndGet()
+            case e: Throwable => failed.compareAndSet(null, e)
+          }
+          Thread.sleep(200L)
+        }
+      }, "mw-maintenance")
+      writerThreads.foreach(_.start())
+      maintThread.start()
+      writerThreads.foreach(_.join())
+      stop.set(true)
+      maintThread.join()
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (failed.get() != null) throw failed.get()
+      // exact final state: slice b of writer w reads "<b+1>u"... no -
+      // value "<b+1>" if never updated (the last slice), "<b>u" form
+      // when updated by batch b+1: expected value per (w, b) is
+      // s"${b+1}u" for b < batches-1, s"$batches" for the last
+      val fin = new Lake(spark, root)
+      val got = fin.read(Schemas.Nfp)
+        .groupBy(col("tx_index"), col("log_index"), col("amount0"))
+        .agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), (r.getString(2),
+          r.getLong(3)))).toMap
+      // slice b was updated by batch b+1 (value "<b+1>u") except the
+      // last slice, which keeps its insert value "<batches>"
+      val expected = (for { w <- 0 until writers; b <- 0 until batches }
+        yield ((w.toLong, b.toLong),
+          (if (b < batches - 1) s"${b + 1}u" else s"$batches",
+            sliceRows.toLong))).toMap
+      val diverged = (got.keySet ++ expected.keySet).filter(k0 =>
+        got.get(k0) != expected.get(k0))
+      require(diverged.isEmpty,
+        s"multi-writer stress LOST UPDATES at ${diverged.size} " +
+          s"slice(s): ${diverged.take(5).map(k0 =>
+            s"$k0 got=${got.get(k0)} want=${expected.get(k0)}")
+            .mkString("; ")}")
+      // manifest must match disk exactly after the storm
+      require(fin.fileInventory(Schemas.Nfp).map(f => (f._1, f._2)) ==
+        fin.listInventory(Schemas.Nfp).map(f => (f._1, f._2)),
+        "manifest diverged from disk after concurrent storm")
+      import scala.jdk.CollectionConverters._
+      val dist = conflictsPerBatch.asScala.map(_.intValue).toSeq
+      val hist = dist.groupBy(identity).toSeq.sortBy(_._1)
+        .map { case (c, xs) => s""""$c":${xs.size}""" }
+        .mkString("{", ",", "}")
+      println(f"""{"probe":"multi_writer_stress","k":$k,"sec":$sec%.2f,""" +
+        f""""writers":$writers,"commits":${writers * batches},""" +
+        f""""conflicts":${dist.sum},"retry_hist":$hist,""" +
+        f""""maint_runs":${maintRuns.get()},"maint_skips":${maintSkips.get()},""" +
+        f""""max_retries_one_batch":${if (dist.isEmpty) 0 else dist.max}}""")
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(root))
+    }
+
     // ── NFP attribution join + segment-capped ingest at 20× ──────────
     // lazy: only the two nfp probes pay the k× orders replication
     lazy val ordersK = rep(Tables.orders(spark, sfDir), Seq("o_orderkey"))

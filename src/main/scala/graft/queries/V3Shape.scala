@@ -26,11 +26,14 @@ object V3Shape {
     * the same cents/modulo formulas — two copies would silently
     * desynchronize). s19 uses a deliberately different 1024-modulo
     * variant to fill the z-order plane. */
-  private def nfpFromOrders(df: org.apache.spark.sql.DataFrame)
+  private def nfpFromOrders(df: org.apache.spark.sql.DataFrame,
+                            twoChains: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
     val k = col("o_orderkey")
     df.select(
-      lit("ethereum").as("chain_name"),
+      (if (twoChains)
+        when(pmod(k, lit(2)) === 0, lit("ethereum")).otherwise(lit("base"))
+      else lit("ethereum")).as("chain_name"),
       lit("IncreaseLiquidity").as("name"),
       concat(lit("0xtx"), lpad(k.cast("string"), 12, "0"))
         .as("transaction_hash"),
@@ -1122,6 +1125,256 @@ object V3Shape {
         |SELECT 'pin' AS src, CAST(log_index AS BIGINT) AS log_index,
         |    count(*) AS n, CAST(sum(a0) AS BIGINT) AS sum_a0
         |  FROM pin GROUP BY 2
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // SQL DDL SURFACE — round-14's CREATE TABLE / CTAS through the
+    // DSv2 catalog ([[graft.sources.LakeCatalog.createTable]] →
+    // Lake.createTable: registry schema + EMPTY manifest v1): a table
+    // is created by DDL, loaded by `INSERT INTO … SELECT` (the
+    // manifest transaction), a second table is created by CTAS over
+    // the first, and the graded frame reads the CTAS result — all
+    // with ZERO recursive listings (created tables are manifest-served
+    // from birth).
+    ("s22_sql_ddl",
+      ((s: SparkSession, d: String) => {
+        import graft.v3.Lake
+        val orders = Tables.orders(s, d)
+        val k = col("o_orderkey")
+        val root = s"/tmp/graft-sqlddl-lake/${Llm.sfCacheKey(d)}"
+        val lake = new Lake(s, root)
+        lake.dropTable("ddl_orders")
+        lake.dropTable("ddl_agg")
+        val cat = "graft_ddl_" +
+          Llm.sfCacheKey(d).replaceAll("[^A-Za-z0-9]", "_") +
+          s"_${System.nanoTime()}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"""CREATE TABLE $cat.ddl_orders (
+          | chain_name STRING, k BIGINT, cents BIGINT, bucket BIGINT
+          |) USING parquet PARTITIONED BY (chain_name)""".stripMargin)
+        orders.select(
+            when(pmod(k, lit(3)) === 0, lit("ethereum"))
+              .when(pmod(k, lit(3)) === 1, lit("base"))
+              .otherwise(lit("arbitrum")).as("chain_name"),
+            k.as("k"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+            pmod(k, lit(7)).as("bucket"))
+          .createOrReplaceTempView("s22_src")
+        s.sql(s"""INSERT INTO $cat.ddl_orders
+          | SELECT chain_name, k, cents, bucket FROM s22_src""".stripMargin)
+        s.sql(s"""CREATE TABLE $cat.ddl_agg AS
+          | SELECT chain_name, bucket, count(*) AS n,
+          |   CAST(sum(cents) AS BIGINT) AS sum_c
+          | FROM $cat.ddl_orders WHERE bucket <> 3
+          | GROUP BY chain_name, bucket""".stripMargin)
+        val out = s.sql(
+          s"""SELECT chain_name, bucket, n, sum_c FROM $cat.ddl_agg
+             | ORDER BY chain_name, bucket""".stripMargin)
+          .localCheckpoint()
+        val catLake = graft.sources.LakeCatalog.instance(cat)
+          .flatMap(_.currentLake).getOrElse(
+            throw new IllegalStateException("catalog served no query"))
+        require(catLake.listCalls.get() == 0L,
+          s"the DDL lifecycle fell back to ${catLake.listCalls.get()} " +
+            "recursive listing(s) - created tables must be manifest-served")
+        out
+      }): Q,
+      Some("""WITH src AS (SELECT
+        |    CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN 'ethereum'
+        |      WHEN 1 THEN 'base' ELSE 'arbitrum' END AS chain_name,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    CAST(o_orderkey % 7 AS BIGINT) AS bucket
+        |  FROM orders)
+        |SELECT chain_name, bucket, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_c
+        |FROM src WHERE bucket <> 3
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // SQL DELETE SURFACE — round-14's `DELETE FROM` through the DSv2
+    // catalog: a predicate delete (copy-on-write rewrite of exactly
+    // the touched files) and a whole-chain delete (downgraded to the
+    // metadata-only dropChain), both RETAINED so the pre-delete
+    // pinned snapshot (`VERSION AS OF`) still replays bit-for-bit.
+    // The graded frame unions current and pinned state; the catalog's
+    // Lake is require'd to plan with zero listings throughout.
+    ("s23_sql_delete",
+      ((s: SparkSession, d: String) => {
+        import graft.v3.{Lake, Schemas}
+        val orders = Tables.orders(s, d)
+        val k = col("o_orderkey")
+        val root = s"/tmp/graft-sqldel-lake/${Llm.sfCacheKey(d)}"
+        val lake = new Lake(s, root)
+        lake.dropTable(Schemas.Nfp)
+        val mx = orders.agg(max(k)).first().getLong(0)
+        val h = mx / 2 + 1
+        (0 until 2).foreach(j =>
+          lake.append(nfpFromOrders(
+            orders.filter(k >= j * h && k < (j + 1) * h), twoChains = true)
+            .coalesce(1), Schemas.Nfp))
+        val v0 = lake.snapshot(Schemas.Nfp)
+        val cat = "graft_del_" +
+          Llm.sfCacheKey(d).replaceAll("[^A-Za-z0-9]", "_") +
+          s"_${System.nanoTime()}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        // predicate delete: the general copy-on-write path
+        s.sql(s"""DELETE FROM $cat.nfp
+          | WHERE log_index = 2 AND chain_name = 'ethereum'""".stripMargin)
+        // whole-chain delete: the metadata-only dropChain downgrade
+        s.sql(s"DELETE FROM $cat.nfp WHERE chain_name = 'base'")
+        def agg(from: String) = s.sql(
+          s"""SELECT log_index, count(*) AS n,
+             |  CAST(sum(CAST(amount0 AS BIGINT)) AS BIGINT) AS sum_a0
+             |FROM $from GROUP BY log_index""".stripMargin)
+        val out = agg(s"$cat.nfp").withColumn("src", lit("cur"))
+          .unionAll(agg(s"$cat.nfp VERSION AS OF $v0")
+            .withColumn("src", lit("pin")))
+          .select(col("src"), col("log_index"), col("n"), col("sum_a0"))
+          .orderBy(col("src"), col("log_index"))
+          .localCheckpoint()
+        val catLake = graft.sources.LakeCatalog.instance(cat)
+          .flatMap(_.currentLake).getOrElse(
+            throw new IllegalStateException("catalog served no query"))
+        require(catLake.listCalls.get() == 0L,
+          s"the DELETE lifecycle fell back to ${catLake.listCalls.get()} " +
+            "recursive listing(s) - plans must be manifest-served")
+        out
+      }): Q,
+      Some("""WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |cur AS (SELECT k % 7 AS log_index, cents AS a0 FROM base
+        |  WHERE k % 2 = 0 AND k % 7 <> 2),
+        |pin AS (SELECT k % 7 AS log_index, cents AS a0 FROM base)
+        |SELECT 'cur' AS src, CAST(log_index AS BIGINT) AS log_index,
+        |    count(*) AS n, CAST(sum(a0) AS BIGINT) AS sum_a0
+        |  FROM cur GROUP BY 2
+        |UNION ALL
+        |SELECT 'pin' AS src, CAST(log_index AS BIGINT) AS log_index,
+        |    count(*) AS n, CAST(sum(a0) AS BIGINT) AS sum_a0
+        |  FROM pin GROUP BY 2
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // TIMESTAMP TIME TRAVEL — round-14's `TIMESTAMP AS OF` through
+    // the commit log's `#ts` headers: two appends with a strictly
+    // separated wall-clock between them; the pinned read resolves to
+    // the FIRST commit (latest version ≤ t1) and the current read
+    // sees both. The in-row clock guard (busy-wait past t1 before the
+    // second append) makes the resolution deterministic at any SF.
+    ("s24_sql_timestamp",
+      ((s: SparkSession, d: String) => {
+        import graft.v3.{Lake, Schemas}
+        val orders = Tables.orders(s, d)
+        val k = col("o_orderkey")
+        val root = s"/tmp/graft-sqlts-lake/${Llm.sfCacheKey(d)}"
+        val lake = new Lake(s, root)
+        lake.dropTable(Schemas.Nfp)
+        val mx = orders.agg(max(k)).first().getLong(0)
+        val h = mx / 2 + 1
+        lake.append(nfpFromOrders(orders.filter(k < h)).coalesce(1),
+          Schemas.Nfp)
+        val t1 = System.currentTimeMillis()
+        while (System.currentTimeMillis() <= t1) Thread.sleep(1)
+        lake.append(nfpFromOrders(orders.filter(k >= h)).coalesce(1),
+          Schemas.Nfp)
+        val cat = "graft_ts_" +
+          Llm.sfCacheKey(d).replaceAll("[^A-Za-z0-9]", "_") +
+          s"_${System.nanoTime()}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        def agg(from: String) = s.sql(
+          s"""SELECT log_index, count(*) AS n,
+             |  CAST(sum(CAST(amount0 AS BIGINT)) AS BIGINT) AS sum_a0
+             |FROM $from GROUP BY log_index""".stripMargin)
+        val pinned = s"$cat.nfp TIMESTAMP AS OF " +
+          s"'${java.time.Instant.ofEpochMilli(t1)}'"
+        val out = agg(s"$cat.nfp").withColumn("src", lit("cur"))
+          .unionAll(agg(pinned).withColumn("src", lit("pin")))
+          .select(col("src"), col("log_index"), col("n"), col("sum_a0"))
+          .orderBy(col("src"), col("log_index"))
+          .localCheckpoint()
+        val catLake = graft.sources.LakeCatalog.instance(cat)
+          .flatMap(_.currentLake).getOrElse(
+            throw new IllegalStateException("catalog served no query"))
+        require(catLake.listCalls.get() == 0L,
+          s"time travel fell back to ${catLake.listCalls.get()} " +
+            "recursive listing(s)")
+        out
+      }): Q,
+      Some("""WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+        |base AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |cur AS (SELECT k % 7 AS log_index, cents AS a0 FROM base),
+        |pin AS (SELECT b.k % 7 AS log_index, b.cents AS a0
+        |  FROM base b, mx WHERE 2 * b.k <= mx.m)
+        |SELECT 'cur' AS src, CAST(log_index AS BIGINT) AS log_index,
+        |    count(*) AS n, CAST(sum(a0) AS BIGINT) AS sum_a0
+        |  FROM cur GROUP BY 2
+        |UNION ALL
+        |SELECT 'pin' AS src, CAST(log_index AS BIGINT) AS log_index,
+        |    count(*) AS n, CAST(sum(a0) AS BIGINT) AS sum_a0
+        |  FROM pin GROUP BY 2
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // CDC READ SURFACE — round-14's `table_changes(v1, v2)`: three
+    // appends pin snapshot v1; a retained upsert (updates + inserts)
+    // rewrites every file (the batch's key envelope spans all three
+    // waves, so the file-grain planner deterministically touches all
+    // of them); snapshot v2 pins the result. The diff surfaces every
+    // pre-upsert row as a delete and every post-upsert row as an
+    // insert (file-granularity CDC — an update is its delete+insert
+    // pair, exactly how the published formats reconstruct changes
+    // without a per-row change log), graded against the DuckDB
+    // recomputation of both sides.
+    ("s25_table_changes",
+      ((s: SparkSession, d: String) => {
+        import graft.v3.{Lake, Schemas}
+        val orders = Tables.orders(s, d)
+        val k = col("o_orderkey")
+        def derive(df: org.apache.spark.sql.DataFrame) = nfpFromOrders(df)
+        val root = s"/tmp/graft-cdc-lake/${Llm.sfCacheKey(d)}"
+        val lake = new Lake(s, root)
+        lake.dropTable(Schemas.Nfp)
+        val mx = orders.agg(max(k)).first().getLong(0)
+        val q = mx / 3 + 1
+        (0 until 3).foreach(j =>
+          lake.append(derive(orders.filter(k >= j * q && k < (j + 1) * q))
+            .coalesce(1), Schemas.Nfp))
+        val v1 = lake.snapshot(Schemas.Nfp)
+        val upd = derive(orders.filter(k < 500 && pmod(k, lit(10)) === 0))
+          .withColumn("amount0",
+            (col("amount0").cast("long") + 100).cast("string"))
+        val ins = derive(orders.filter(k <= 37)
+          .withColumn("o_orderkey", k + mx + 1))
+        lake.upsert(upd.unionAll(ins), Schemas.Nfp,
+          Seq("chain_name", "transaction_hash"), retain = true)
+        val v2 = lake.snapshot(Schemas.Nfp)
+        lake.tableChanges(Schemas.Nfp, v1, v2)
+          .groupBy(col("_change_type"), col("log_index"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("amount0").cast("long")).as("sum_a0"))
+          .orderBy(col("_change_type"), col("log_index"))
+      }): Q,
+      Some("""WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+        |base AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |pre AS (SELECT k, cents AS a0 FROM base),
+        |post AS (
+        |  SELECT k, cents + CASE WHEN k < 500 AND k % 10 = 0
+        |      THEN 100 ELSE 0 END AS a0
+        |    FROM base
+        |  UNION ALL
+        |  SELECT b.k + mx.m + 1 AS k, b.cents AS a0
+        |    FROM base b, mx WHERE b.k <= 37)
+        |SELECT 'delete' AS _change_type, CAST(k % 7 AS BIGINT) AS log_index,
+        |    count(*) AS n, CAST(sum(a0) AS BIGINT) AS sum_a0
+        |  FROM pre GROUP BY 2
+        |UNION ALL
+        |SELECT 'insert' AS _change_type, CAST(k % 7 AS BIGINT) AS log_index,
+        |    count(*) AS n, CAST(sum(a0) AS BIGINT) AS sum_a0
+        |  FROM post GROUP BY 2
         |ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -29,16 +29,23 @@ import graft.v3.Lake
   *   spark.sql.catalog.lake.root = /path/to/lake
   * }}}
   *
-  * Reads plus the two writes that ARE lake transactions: `INSERT
-  * INTO` routes through [[graft.v3.Lake.append]] (staged write,
-  * commit lock, versioned manifest publish — see [[LakeTable]]) and
-  * `DROP TABLE` through [[graft.v3.Lake.dropTable]]; additive
-  * `ALTER TABLE ADD COLUMN` / widening `ALTER COLUMN TYPE` through
-  * [[graft.v3.Lake.evolveSchema]]. Everything the lake's
-  * transactional model has no SQL shape for — `createTable`,
-  * `renameTable`, column drops/renames/narrowing, `INSERT
-  * OVERWRITE` — refuses loudly and points at the Lake API.
-  * Each `loadTable` binds the THEN-current manifest
+  * Reads plus the writes that ARE lake transactions: `INSERT INTO`
+  * routes through [[graft.v3.Lake.append]] (staged write, commit
+  * lock, versioned manifest publish — see [[LakeTable]]); `CREATE
+  * TABLE` / CTAS through [[graft.v3.Lake.createTable]] (schema
+  * registry + empty manifest v1); `DELETE FROM` through
+  * [[graft.v3.Lake.deleteWhere]] (copy-on-write file rewrite, with
+  * `chain_name`-equality predicates downgraded to the metadata-only
+  * [[graft.v3.Lake.dropChain]]); `DROP TABLE` through
+  * [[graft.v3.Lake.dropTable]]; additive `ALTER TABLE ADD COLUMN` /
+  * widening `ALTER COLUMN TYPE` through
+  * [[graft.v3.Lake.evolveSchema]]. Time travel: `VERSION AS OF`
+  * replays a pinned snapshot id; `TIMESTAMP AS OF` resolves the
+  * commit log's `#ts` headers to the version current at that
+  * wall-clock. Everything the lake's transactional model has no SQL
+  * shape for — `renameTable`, column drops/renames/narrowing,
+  * `INSERT OVERWRITE`, `UPDATE`/`MERGE` — refuses loudly and points
+  * at the Lake API. Each `loadTable` binds the THEN-current manifest
   * version: a SQL query is a consistent snapshot read, exactly like
   * the Scala `lake.read`. */
 class LakeCatalog extends TableCatalog {
@@ -54,6 +61,7 @@ class LakeCatalog extends TableCatalog {
         s"catalog '$name' needs spark.sql.catalog.$name.root"))
     if (LakeCatalog.byName.size > 64) LakeCatalog.byName.clear()
     LakeCatalog.byName.put(name, this)
+    LakeCatalog.ensureDeleteStrategy()
   }
 
   override def name(): String = catalogName
@@ -98,9 +106,25 @@ class LakeCatalog extends TableCatalog {
           "are the numeric snapshot ids Lake.snapshot returns")
     }))
 
+  /** `TIMESTAMP AS OF ts`: Spark hands the instant as MICROseconds
+    * since epoch; it resolves against the commit log's `#ts` headers
+    * to the manifest version current at that wall-clock
+    * ([[graft.v3.Lake.versionAtTimestamp]] — latest commit ≤ ts,
+    * loud refusal for pre-history instants), and the pinned file set
+    * resolves live-or-retired exactly like `VERSION AS OF`. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val t = tableOf(ident)
+    if (!lake.exists(t) && !lake.hasManifest(t) && !lake.hasSchema(t))
+      throw new NoSuchTableException(ident)
+    val tsMillis = Math.floorDiv(timestamp, 1000000L) * 1000L +
+      Math.floorDiv(Math.floorMod(timestamp, 1000000L), 1000L)
+    val v = lake.versionAtTimestamp(t, tsMillis)
+    table(t, lake.entriesAtCommit(t, v))
+  }
+
   private def load(ident: Identifier, version: Option[Long]): Table = {
     val t = tableOf(ident)
-    if (!lake.exists(t) && !lake.hasManifest(t))
+    if (!lake.exists(t) && !lake.hasManifest(t) && !lake.hasSchema(t))
       throw new NoSuchTableException(ident)
     val entries = version match {
       case None => lake.currentEntries(t)
@@ -119,21 +143,79 @@ class LakeCatalog extends TableCatalog {
       partCols)
   }
 
+  /** A [[LakeTable]] over an explicit pinned entry set (time travel). */
+  private def table(t: String, entries: Seq[(String, Long)]): Table = {
+    val partCols =
+      if (entries.forall(_._1.contains("/chain_name="))) Seq("chain_name")
+      else Seq.empty[String]
+    new LakeTable(s"$catalogName.$t", SparkSession.active, lake, t,
+      new Path(s"$root/$t"), entries, lake.effectiveSchema(t),
+      partCols)
+  }
+
   override def tableExists(ident: Identifier): Boolean =
-    try { val t = tableOf(ident); lake.exists(t) || lake.hasManifest(t) }
-    catch { case _: NoSuchTableException => false }
+    try {
+      val t = tableOf(ident)
+      lake.exists(t) || lake.hasManifest(t) || lake.hasSchema(t)
+    } catch { case _: NoSuchTableException => false }
 
   override def dropTable(ident: Identifier): Boolean =
     try lake.dropTable(tableOf(ident))
     catch { case _: NoSuchTableException => false }
 
+  /** `CREATE TABLE` (and CTAS — Spark calls this then appends through
+    * [[LakeTable]]'s write path) maps onto [[graft.v3.Lake.createTable]]:
+    * schema committed to the registry, an EMPTY manifest v1 published,
+    * so the new table is immediately manifest-served. Constraints that
+    * have no lake shape refuse loudly: partitioning other than the
+    * contract's `PARTITIONED BY (chain_name)` (or none — implied), a
+    * custom LOCATION (tables live under the lake root), a non-parquet
+    * provider. Column nullability is coerced to nullable — the lake's
+    * columns are nullable by construction (schema evolution reads
+    * pre-evolution files as null), and CTAS infers non-null from
+    * literals, so refusing would reject most CTAS queries for a
+    * constraint the lake never enforces. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "lake tables are created by writing through the Lake API " +
-        "(append/upsert/createTable) - its writes are manifest " +
-        "transactions that SQL DDL cannot express")
+                           properties: util.Map[String, String]): Table = {
+    val t = tableOf(ident)
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    partitions.foreach { tr =>
+      val ok = tr.name == "identity" && tr.references.length == 1 &&
+        tr.references.head.fieldNames.sameElements(Array("chain_name"))
+      if (!ok) throw new UnsupportedOperationException(
+        s"PARTITIONED BY ${tr.describe} has no lake shape - lake " +
+          "tables are hive-partitioned by chain_name (declare " +
+          "PARTITIONED BY (chain_name) or nothing; it is implied)")
+    }
+    val provider = Option(properties.get(TableCatalog.PROP_PROVIDER))
+    if (!provider.forall(p => p.equalsIgnoreCase("parquet") ||
+        p.equalsIgnoreCase("lake")))
+      throw new UnsupportedOperationException(
+        s"USING ${provider.get} has no lake shape - lake tables are " +
+          "parquet (declare USING parquet or nothing)")
+    if (properties.containsKey(TableCatalog.PROP_LOCATION) &&
+        !properties.containsKey(TableCatalog.PROP_IS_MANAGED_LOCATION))
+      throw new UnsupportedOperationException(
+        s"LOCATION has no lake shape - table $t lives under the " +
+          s"lake root ($root/$t)")
+    val lakeSchema = StructType(schema.fields.map(_.copy(nullable = true)))
+    lake.createTable(t, lakeSchema)
+    // user table properties ride the lake's versioned property
+    // registry (write.bloom.columns etc. take effect on first write);
+    // Spark's reserved/bookkeeping keys are not table state
+    import scala.jdk.CollectionConverters._
+    val reserved = Set(TableCatalog.PROP_PROVIDER,
+      TableCatalog.PROP_LOCATION, TableCatalog.PROP_IS_MANAGED_LOCATION,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL, "transient_lastDdlTime")
+    val user = properties.asScala.filterNot { case (k, _) =>
+      reserved.contains(k) || k.startsWith("option.")
+    }.toMap
+    if (user.nonEmpty) lake.setTableProperties(t, user)
+    loadTable(ident)
+  }
 
   /** `ALTER TABLE … ADD COLUMN` / type-widening `ALTER COLUMN … TYPE`
     * map onto [[graft.v3.Lake.evolveSchema]] — they ARE the lake's
@@ -200,6 +282,79 @@ object LakeCatalog {
     new java.util.concurrent.ConcurrentHashMap[String, LakeCatalog]()
   private[graft] def instance(name: String): Option[LakeCatalog] =
     Option(byName.get(name))
+
+  /** Register [[LakeDeleteStrategy]] with the active session, once.
+    * Planning `DELETE FROM` needs a session strategy because Spark's
+    * own DSv2 delete path (`DataSourceV2Strategy`) requires the scan
+    * relation as the command's DIRECT child — but every file-based
+    * DSv2 scan emits partition columns LAST, so on a table whose
+    * declared schema leads with `chain_name` the optimizer inserts a
+    * reordering Project above the scan and built-in planning dies
+    * with an internal error (JDBC-style connectors dodge this only
+    * because their scans preserve column order). The strategy is
+    * registered through `spark.experimental.extraStrategies` — the
+    * sanctioned runtime extension point — by catalog initialization,
+    * so pure-conf catalog users (`spark.sql.catalog.x = …`) get
+    * working SQL deletes without installing session extensions. */
+  private[sources] def ensureDeleteStrategy(): Unit =
+    try {
+      val s = SparkSession.active
+      if (!s.experimental.extraStrategies.contains(LakeDeleteStrategy))
+        s.experimental.extraStrategies =
+          s.experimental.extraStrategies :+ LakeDeleteStrategy
+    } catch { case _: IllegalStateException => () /* no active session */ }
+}
+
+/** Plans `DELETE FROM <lake table>`: finds the [[LakeTable]] at the
+  * command's leaf (through whatever Project/alias the optimizer
+  * wrapped the scan in) and executes the delete through the lake's
+  * transactional shapes ([[LakeTable.deleteByExpression]]). Non-lake
+  * tables fall through to Spark's own planning untouched. */
+object LakeDeleteStrategy
+  extends org.apache.spark.sql.execution.SparkStrategy {
+  import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan}
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case DeleteFromTable(child, cond) =>
+      child.collectLeaves().collectFirst {
+        case r: DataSourceV2ScanRelation
+            if r.relation.table.isInstanceOf[LakeTable] =>
+          r.relation.table.asInstanceOf[LakeTable]
+        case r: DataSourceV2Relation if r.table.isInstanceOf[LakeTable] =>
+          r.table.asInstanceOf[LakeTable]
+      } match {
+        case Some(t) => LakeDeleteExec(t, cond) :: Nil
+        case None => Nil
+      }
+    case _ => Nil
+  }
+}
+
+/** One-shot physical node for a lake delete: the command runs once
+  * (driver-side lake transaction; the rewrite inside is its own
+  * distributed job) and returns no rows. */
+private[graft] case class LakeDeleteExec(
+    table: LakeTable,
+    cond: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.execution.SparkPlan
+  with org.apache.spark.sql.execution.LeafExecNode {
+
+  private lazy val done: Unit = table.deleteByExpression(cond)
+
+  override def output
+      : Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+
+  override def executeCollect()
+      : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    done; Array.empty
+  }
+
+  override protected def doExecute()
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = {
+    done; sparkContext.emptyRDD
+  }
 }
 
 /** One lake table bound to a fixed manifest version: schema from the
@@ -222,9 +377,94 @@ private[graft] class LakeTable(
     entries: Seq[(String, Long)],
     tableSchema: StructType,
     partCols: Seq[String]) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = tableName
+
+  /** SQL `DELETE FROM` — three lake shapes, cheapest first:
+    *  - no filters (Spark's TRUNCATE default routes here too) →
+    *    [[graft.v3.Lake.truncateTable]], one metadata-only manifest
+    *    transaction;
+    *  - a single `chain_name = v` / `chain_name IN (…)` →
+    *    [[graft.v3.Lake.dropChain]], a metadata-only partition drop;
+    *  - anything else → [[graft.v3.Lake.deleteWhereRetrying]], the
+    *    copy-on-write rewrite of exactly the files holding matches.
+    * All three RETAIN the removed files (retention area), so pinned
+    * `VERSION AS OF` / `TIMESTAMP AS OF` reads taken before the
+    * delete stay readable until vacuum — the published formats'
+    * delete-then-VACUUM lifecycle, which is the right default for a
+    * SQL surface that has no `retain` parameter to pass. */
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Unit = {
+    import org.apache.spark.sql.sources.{AlwaysTrue, EqualTo, In}
+    filters match {
+      // no WHERE clause arrives as AlwaysTrue (or an empty array from
+      // Spark's TRUNCATE default) - both are the metadata-only truncate
+      case fs1 if fs1.forall(_.isInstanceOf[AlwaysTrue]) =>
+        lake.truncateTable(lakeTable, retain = true); ()
+      case Array(EqualTo("chain_name", v: String)) =>
+        lake.dropChain(lakeTable, v, retain = true); ()
+      case Array(In("chain_name", vs)) if vs.forall(_.isInstanceOf[String]) =>
+        vs.foreach(v =>
+          lake.dropChain(lakeTable, v.asInstanceOf[String], retain = true))
+      case fs0 =>
+        val cond = fs0.map(f => LakeTable.filterColumn(f).getOrElse(
+          throw new UnsupportedOperationException(
+            s"DELETE predicate $f has no lake delete shape")))
+          .reduce(_ && _)
+        lake.deleteWhereRetrying(lakeTable, cond, retain = true); ()
+    }
+  }
+
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => LakeTable.filterColumn(f).isDefined)
+
+  /** [[LakeDeleteStrategy]]'s entry: the same three lake shapes as
+    * [[deleteWhere]], detected on the resolved Catalyst condition.
+    * The general predicate re-resolves against a fresh lake read via
+    * its SQL form (`Expression.sql` — exprIds dropped, names
+    * re-resolved by [[graft.v3.Lake.deleteWhere]]'s own scan). */
+  private[sources] def deleteByExpression(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression): Unit = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Expression, In, Literal, SubqueryExpression}
+    import org.apache.spark.sql.types.{BooleanType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    if (SubqueryExpression.hasSubquery(cond))
+      throw new UnsupportedOperationException(
+        "DELETE with a subquery has no lake shape - materialize the " +
+          "keys and delete through Lake.upsert tombstones instead")
+    def chainLit(e: Expression): Option[String] = e match {
+      case Literal(s: UTF8String, StringType) => Some(s.toString)
+      case _ => None
+    }
+    def isChainAttr(e: Expression): Boolean = e match {
+      case a: Attribute => a.name.equalsIgnoreCase("chain_name")
+      case _ => false
+    }
+    cond match {
+      case Literal(true, BooleanType) =>
+        lake.truncateTable(lakeTable, retain = true); ()
+      case EqualTo(a, v) if isChainAttr(a) && chainLit(v).isDefined =>
+        lake.dropChain(lakeTable, chainLit(v).get, retain = true); ()
+      case EqualTo(v, a) if isChainAttr(a) && chainLit(v).isDefined =>
+        lake.dropChain(lakeTable, chainLit(v).get, retain = true); ()
+      case In(a, vs) if isChainAttr(a) && vs.nonEmpty &&
+          vs.forall(chainLit(_).isDefined) =>
+        vs.flatMap(chainLit).foreach(c =>
+          lake.dropChain(lakeTable, c, retain = true))
+      case other =>
+        val unresolved = other.transform {
+          case a: Attribute => UnresolvedAttribute.quoted(a.name)
+        }
+        lake.deleteWhereRetrying(lakeTable,
+          org.apache.spark.sql.functions.expr(unresolved.sql),
+          retain = true)
+        ()
+    }
+  }
 
   override def schema(): StructType = tableSchema
 
@@ -265,4 +505,38 @@ private[graft] class LakeTable(
               .functions.col): _*), lakeTable)
         }
     }
+}
+
+private[graft] object LakeTable {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit, not}
+  import org.apache.spark.sql.sources._
+
+  /** The V1 filter algebra Spark hands `SupportsDelete`, translated
+    * back to a Catalyst predicate for [[graft.v3.Lake.deleteWhere]]'s
+    * copy-on-write scan. None = untranslatable (`canDeleteWhere`
+    * refuses, and Spark surfaces its standard error instead of a
+    * half-applied delete). */
+  private[sources] def filterColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case And(l, r) =>
+      for { lc <- filterColumn(l); rc <- filterColumn(r) } yield lc && rc
+    case Or(l, r) =>
+      for { lc <- filterColumn(l); rc <- filterColumn(r) } yield lc || rc
+    case Not(c) => filterColumn(c).map(not)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case _: AlwaysTrue => Some(lit(true))
+    case _: AlwaysFalse => Some(lit(false))
+    case _ => None
+  }
 }

@@ -345,15 +345,30 @@ class Lake(spark: SparkSession, val root: String) {
   /** Create a table that has no registry schema: commits `next` as
     * schema v1, after which [[read]]/[[append]]/[[upsert]] and the
     * pruned reads all work on it. Fails if the table already has data
-    * or a schema (use [[evolveSchema]] to change one). */
+    * or a schema (use [[evolveSchema]] to change one).
+    *
+    * Also publishes an EMPTY manifest v1 (under the commit lock), so a
+    * freshly created table is immediately manifest-served: it appears
+    * in [[manifestTables]] (SHOW TABLES through the SQL catalog), its
+    * reads plan with zero listings, and the first append lands as an
+    * ordinary delta commit instead of an adoption listing. */
   def createTable(table: String, next: StructType): Long = {
     require(schemaVersions(table).isEmpty,
       s"table $table already has a committed schema - use evolveSchema")
     require(!exists(table),
       s"table $table already has data files - cannot re-create it")
+    require(!hasManifest(table),
+      s"table $table already has a committed manifest - cannot re-create it")
     validateEvolution(table, None, next)
-    commitSchema(table, next)
+    val v = commitSchema(table, next)
+    publishSynthetic(table, Seq.empty)
+    v
   }
+
+  /** Does the table have a committed registry schema? (True for
+    * schema-only tables created by [[createTable]] before any data
+    * lands — the SQL catalog must treat those as existing.) */
+  def hasSchema(table: String): Boolean = schemaVersions(table).nonEmpty
 
   private def validateEvolution(table: String, current: Option[StructType],
                                 next: StructType): Unit = {
@@ -534,16 +549,34 @@ class Lake(spark: SparkSession, val root: String) {
     * serializes after the drop and re-creates the chain; a stale
     * removed set would delete the racer's file from disk while its
     * manifest entry survived the publish, breaking every read. */
-  def dropChain(table: String, chain: String): Boolean = {
+  /** `retain = true` (manifest-backed tables only) moves the chain's
+    * files into the retention area instead of deleting them — still
+    * metadata-only (same-filesystem renames), and pinned snapshots /
+    * `TIMESTAMP AS OF` reads taken before the drop stay readable
+    * until [[vacuum]] expires them; the SQL `DELETE FROM … WHERE
+    * chain_name = 'x'` downgrade uses this form. */
+  def dropChain(table: String, chain: String,
+                retain: Boolean = false): Boolean = {
     val p = new Path(s"${dir(table)}/chain_name=${escapeChain(chain)}")
     if (!fs.exists(p)) return false
     if (hasManifest(table)) {
       var fullyGone = false
+      var removedAbs: Seq[String] = Seq.empty
       preCommitHook()
       manifestTxn(table, "dropChain", Seq.empty,
-          removedFromBase = Some(_.collect {
-            case (rel, _) if chainOfRel(rel) == chain => rel
-          })) {
+          removedFromBase = Some { base =>
+            val rels = base.collect {
+              case (rel, _) if chainOfRel(rel) == chain => rel
+            }
+            removedAbs = rels.map(r => s"${dir(table)}/$r")
+            rels
+          }) {
+        // retention first: the manifest-named files rename into the
+        // retired area (a failed rename aborts the txn with nothing
+        // published); the recursive delete then clears the shell dir
+        // plus any unmanifested stragglers
+        if (retain) retire(table, removedAbs.filter(a =>
+          fs.exists(new Path(a))))
         // honor the filesystem's verdict: a refused delete (perms,
         // open handles) may still have removed SOME files, so re-list
         // what survived and keep the manifest naming exactly the
@@ -581,6 +614,7 @@ class Lake(spark: SparkSession, val root: String) {
     manifestCache.keySet.removeIf(_._1 == table)
     inventoryCache.keySet.removeIf(_._1 == table)
     relationCache.keySet.removeIf(_._1 == table)
+    commitTimeCache.keySet.removeIf(_._1 == table)
     fs.exists(p) && fs.delete(p, true)
   }
 
@@ -777,12 +811,14 @@ class Lake(spark: SparkSession, val root: String) {
       val state = new java.util.LinkedHashMap[String, Long]()
       (if (cached != null) cached
       else readManifestBody(table, base, isDelta = false)
-        .split("\n").toSeq.filter(_.nonEmpty).map(entryOf))
+        .split("\n").toSeq.filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map(entryOf))
         .foreach { case (rel, b) => state.put(rel, b) }
       // forward through the deltas in one pass
       ((base + 1) to v).foreach { w =>
         readManifestBody(table, w, isDelta = true)
-          .split("\n").filter(_.nonEmpty).foreach { l =>
+          .split("\n").filter(l => l.nonEmpty && !l.startsWith("#"))
+          .foreach { l =>
             if (l.startsWith("-"))
               state.remove(new String(unb64(l.substring(1)), "UTF-8"))
             else {
@@ -817,6 +853,120 @@ class Lake(spark: SparkSession, val root: String) {
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Long),
       Seq[(String, Long)]]()
+
+  // ── Commit-time travel: TIMESTAMP AS OF over the commit log ────────
+
+  /** Commit wall-clock of one manifest version (the `#ts=` header its
+    * publish wrote), or None for versions committed before the header
+    * existed. One bounded read of the FIRST line only — a checkpoint
+    * body at 10⁶ files is megabytes, the header is its first 32 bytes.
+    * Cached per (table, incarnation, version): immutable once
+    * published. -1 encodes "no header" in the cache. */
+  private val commitTimeCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Long), Long]()
+
+  private def commitTimeOf(table: String, inc: String, v: Long,
+                           isDelta: Boolean): Option[Long] = {
+    val cached = commitTimeCache.get((table, inc, v))
+    if (cached != 0L) return if (cached < 0L) None else Some(cached)
+    val name = if (isDelta) f"v$v%09d.d.txt" else f"v$v%09d.txt"
+    val in = fs.open(new Path(manifestDir(table), name))
+    val first = try {
+      val rd = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, "UTF-8"), 256)
+      Option(rd.readLine()).getOrElse("")
+    } finally in.close()
+    val ts = if (first.startsWith("#ts="))
+      first.stripPrefix("#ts=").toLongOption else None
+    commitTimeCache.put((table, inc, v), ts.getOrElse(-1L))
+    if (commitTimeCache.size > 4096)
+      commitTimeCache.keySet.removeIf(_._1 == table)
+    ts
+  }
+
+  /** The retained commit log with wall-clocks: (version, commit epoch
+    * millis; None = committed before timestamps existed), ascending.
+    * Bounded by manifest retention (~two checkpoint generations). */
+  def commitVersions(table: String): Seq[(Long, Option[Long])] = {
+    val (kinds, inc) = manifestState(table)
+    kinds.map { case (v, d) => (v, commitTimeOf(table, inc, v, d)) }
+  }
+
+  /** Resolve a wall-clock to the manifest version current AT that
+    * instant: the latest commit whose `#ts` ≤ `tsMillis`. Commit
+    * times are folded monotone (max-so-far) so an NTP step between
+    * two commits cannot make resolution non-monotonic. Refuses
+    * loudly when `tsMillis` predates the earliest RETAINED commit —
+    * manifest retention expires old versions, exactly like the
+    * published formats' timestamp travel after log cleanup. */
+  def versionAtTimestamp(table: String, tsMillis: Long): Long = {
+    val vs = commitVersions(table)
+    require(vs.nonEmpty, s"table $table has no committed manifest - " +
+      "nothing to time-travel to")
+    var best = -1L
+    var runningTs = Long.MinValue
+    vs.foreach { case (v, tsOpt) =>
+      tsOpt.foreach(t => runningTs = math.max(runningTs, t))
+      if (runningTs != Long.MinValue && runningTs <= tsMillis) best = v
+    }
+    require(best >= 0L, {
+      val earliest = vs.collectFirst { case (v, Some(t)) => (v, t) }
+      earliest match {
+        case Some((v, t)) =>
+          s"TIMESTAMP AS OF ${tsMillis} predates the earliest retained " +
+            s"commit of $table (v$v at $t) - earlier history has been " +
+            "expired by manifest retention"
+        case None =>
+          s"table $table has no commit timestamps - every retained " +
+            "version was committed before timestamps existed; the next " +
+            "write (or refreshManifest) stamps one"
+      }
+    })
+    best
+  }
+
+  /** (absolute path, bytes) of the file set AT a retained commit-log
+    * version — the `TIMESTAMP AS OF` read source. The CURRENT version
+    * serves straight from the manifest (zero filesystem calls); an
+    * OLDER version resolves each file live-or-retired with one
+    * getFileStatus per location (pinned reads only), failing loudly
+    * when a file was rewritten without retention or vacuum-expired —
+    * the same invalidation contract as [[readAt]]. */
+  private[graft] def entriesAtCommit(table: String,
+                                     version: Long): Seq[(String, Long)] = {
+    val (kinds, inc) = manifestState(table)
+    require(kinds.exists(_._1 == version),
+      s"commit v$version of $table is not retained (expired by " +
+        s"manifest retention; retained: ${kinds.map(_._1).mkString(",")})")
+    val rels = resolveManifest(table, inc, kinds, version)
+    val base = fs.makeQualified(new Path(dir(table))).toString
+    if (kinds.last._1 == version)
+      rels.map { case (rel, b) => (s"$base/$rel", b) }
+    else rels.map { case (rel, b) =>
+      def statOf(p: Path): Option[org.apache.hadoop.fs.FileStatus] =
+        try Some(fs.getFileStatus(p))
+        catch { case _: java.io.FileNotFoundException => None }
+      statOf(new Path(s"${dir(table)}/$rel"))
+        .orElse(statOf(new Path(retiredDir(table), rel)))
+        .map(st => (st.getPath.toString, st.getLen))
+        .getOrElse(throw new IllegalArgumentException(
+          s"commit v$version of $table invalidated - missing file " +
+            s"(rewritten by compaction or upsert without retention, or " +
+            s"vacuum-expired): $rel"))
+    }
+  }
+
+  /** Read the table exactly as of wall-clock `tsMillis` — the Scala
+    * twin of SQL `TIMESTAMP AS OF` ([[graft.sources.LakeCatalog]]).
+    * Rewritten-away files resolve against the retention area; missing
+    * history fails loudly ([[entriesAtCommit]]). */
+  def readAtTimestamp(table: String, tsMillis: Long): DataFrame = {
+    val v = versionAtTimestamp(table, tsMillis)
+    val schema = effectiveSchema(table)
+    readEntries(table,
+      entriesAtCommit(table, v).map { case (p, b) => (chainOfRel(p), p, b) },
+      schema)
+  }
 
   /** Partition value parsed from a path (manifest-relative or
     * absolute): the `chain_name=` segment, Hive-unescaped. */
@@ -863,21 +1013,61 @@ class Lake(spark: SparkSession, val root: String) {
     * same contract as [[readAt]]. */
   private[graft] def snapshotEntries(table: String,
                                      version: Long): Seq[(String, Long)] =
-    manifestFiles(table, version).map { r =>
-      // one getFileStatus per location (not exists-then-stat, which is
-      // two metadata RPCs and a window where a racing vacuum between
-      // them surfaces a raw FNF instead of the invalidation error)
+    resolveLiveOrRetired(table, manifestFiles(table, version),
+      s"snapshot v$version")
+
+  /** Resolve table-relative paths to (absolute path, bytes), each
+    * checked live-then-retired with ONE getFileStatus per location
+    * (not exists-then-stat, which is two metadata RPCs and a window
+    * where a racing vacuum between them surfaces a raw FNF instead of
+    * the invalidation error). Loud failure when a file is in neither
+    * place — the shared invalidation contract of every pinned read. */
+  private def resolveLiveOrRetired(table: String, rels: Seq[String],
+                                   what: String): Seq[(String, Long)] =
+    rels.map { r =>
       def statOf(p: Path): Option[org.apache.hadoop.fs.FileStatus] =
         try Some(fs.getFileStatus(p))
         catch { case _: java.io.FileNotFoundException => None }
       val st = statOf(new Path(s"${dir(table)}/$r"))
         .orElse(statOf(new Path(retiredDir(table), r)))
         .getOrElse(throw new IllegalArgumentException(
-          s"snapshot v$version of $table invalidated - missing file " +
+          s"$what of $table invalidated - missing file " +
             s"(rewritten by compaction or upsert without retention, " +
             s"or vacuum-expired): $r"))
       (st.getPath.toString, st.getLen)
     }
+
+  /** File-granularity CDC between two pinned snapshots — the
+    * `table_changes(from, to)` read: every row of a file the `to`
+    * snapshot dropped surfaces as `_change_type = 'delete'`, every
+    * row of a file it added as `'insert'` (an update is its
+    * delete+insert pair, exactly how the published formats
+    * reconstruct changes when no per-row change log was written).
+    * Both sides resolve live-or-retired, so a retain-mode
+    * upsert/compact keeps the delta replayable until [[vacuum]];
+    * missing files fail loudly ([[resolveLiveOrRetired]]). The diff
+    * itself is a manifest set-difference — zero listings, O(files)
+    * driver work only for the CHANGED files. Downstream incremental
+    * consumers join deletes against their state by key; pure-append
+    * history yields inserts only ([[readSince]] is the cheaper
+    * special case). */
+  def tableChanges(table: String, fromVersion: Long,
+                   toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"tableChanges of $table needs fromVersion <= toVersion " +
+        s"(got $fromVersion > $toVersion)")
+    val from = manifestFiles(table, fromVersion).toSet
+    val to = manifestFiles(table, toVersion).toSet
+    val schema = effectiveSchema(table)
+    def side(rels: Seq[String], kind: String): DataFrame =
+      readEntries(table,
+        resolveLiveOrRetired(table, rels.sorted,
+          s"table_changes($fromVersion, $toVersion)")
+          .map { case (p, b) => (chainOfRel(p), p, b) }, schema)
+        .withColumn("_change_type", lit(kind))
+    side((from -- to).toSeq, "delete")
+      .unionByName(side((to -- from).toSeq, "insert"))
+  }
 
   /** Mapped-inventory cache keyed by (table, version) — the
     * chain-parse + path-qualify + sort over ALL entries is O(n log n)
@@ -1049,15 +1239,21 @@ class Lake(spark: SparkSession, val root: String) {
       added.size + removed.size < entries.size }
     val asDelta = delta.isDefined && kinds.nonEmpty &&
       deltasSinceCheckpoint < checkpointEvery && deltaSmaller
+    // every commit's first line is a `#ts=<epoch-millis>` header — the
+    // wall-clock `TIMESTAMP AS OF` resolves against ([[versionAtTimestamp]]).
+    // Parsers skip '#' lines, so pre-header manifests read back
+    // unchanged (their versions simply have no known commit time).
+    val ts = s"#ts=${System.currentTimeMillis()}"
     val body =
       if (asDelta) {
         val (added, removedRel) = delta.get
-        (removedRel.toSeq.sorted.map(r => s"-${b64(r.getBytes("UTF-8"))}") ++
+        (ts +:
+          (removedRel.toSeq.sorted.map(r => s"-${b64(r.getBytes("UTF-8"))}") ++
           added.sortBy(_._1).map { case (rel, b) =>
-            s"+${b64(rel.getBytes("UTF-8"))}\t$b" }).mkString("\n")
-      } else entries.sortBy(_._1).map { case (rel, b) =>
+            s"+${b64(rel.getBytes("UTF-8"))}\t$b" })).mkString("\n")
+      } else (ts +: entries.sortBy(_._1).map { case (rel, b) =>
         s"${b64(rel.getBytes("UTF-8"))}\t$b"
-      }.mkString("\n")
+      }).mkString("\n")
     val name = if (asDelta) f"v$v%09d.d.txt" else f"v$v%09d.txt"
     val tmp = new Path(d, s".m-tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
@@ -2177,19 +2373,113 @@ class Lake(spark: SparkSession, val root: String) {
     * `maxAttempts` rethrows the last conflict: persistent contention
     * on the same files is a topology problem (split the key space or
     * serialize those writers), not one more retry away. */
+  /** `onConflict` observes each lost race before its backoff sleep —
+    * contention telemetry for probes and operators (attempt number
+    * that failed, the conflict). Defaults to a no-op. */
   def upsertRetrying(updates: DataFrame, table: String, keys: Seq[String],
                      deleteCol: Option[String] = None,
                      checkUnique: Boolean = true,
                      maxKeyCollect: Int = 1 << 20,
                      retain: Boolean = false,
                      maxAttempts: Int = 5,
-                     backoffMs: Long = 50L): UpsertStats = {
+                     backoffMs: Long = 50L,
+                     onConflict: (Int, Throwable) => Unit = (_, _) => ())
+      : UpsertStats = {
     require(maxAttempts >= 1, "maxAttempts must be >= 1")
     require(backoffMs >= 0L, "backoffMs must be >= 0")
     var attempt = 1
     while (true) {
       try return upsert(updates, table, keys, deleteCol, checkUnique,
         maxKeyCollect, retain)
+      catch {
+        case e: Throwable if Lake.isRetryableRace(e, root) =>
+          onConflict(attempt, e)
+          if (attempt >= maxAttempts) throw e
+          Thread.sleep(backoffMs * attempt +
+            (if (backoffMs > 0)
+              java.util.concurrent.ThreadLocalRandom.current()
+                .nextLong(backoffMs + 1)
+            else 0L))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Delete every row matching `predicate` — SQL `DELETE FROM`'s lake
+    * shape (wired through [[graft.sources.LakeCatalog]]'s DSv2
+    * `SupportsDelete`): a COPY-ON-WRITE rewrite of exactly the files
+    * that hold matching rows, in one manifest transaction.
+    *
+    * Plan: one Spark job over the manifest-served relation finds the
+    * touched files (`input_file_name()` under the pushed predicate —
+    * partition pruning and footer stats skip most files before a row
+    * is read; the collect is file-path-sized, the model-state rule).
+    * Rewrite: ONLY those files re-write without their matching rows
+    * (a row whose predicate evaluates null is KEPT — SQL DELETE
+    * semantics); a file whose every row matches simply lands nothing.
+    * Commit: the staged survivors land under the commit lock with the
+    * optimistic-concurrency check every rewrite pays — a concurrent
+    * commit that retired a planned file aborts this delete with
+    * nothing published ([[Lake.ConcurrentWriteException]]; use
+    * [[deleteWhereRetrying]] under contention). `retain = true` moves
+    * the replaced originals to the retention area so pinned snapshots
+    * stay readable.
+    *
+    * Whole-chain deletes (`chain_name = 'x'` and nothing else) should
+    * route to [[dropChain]] instead — a metadata-only partition drop;
+    * the SQL surface does this downgrade automatically. */
+  def deleteWhere(table: String, predicate: Column,
+                  retain: Boolean = false): UpsertStats = {
+    val schema = effectiveSchema(table)
+    val inv = fileInventory(table)
+    if (inv.isEmpty) return UpsertStats(0, 0, 0L, 0)
+    def pathKey(p: String): String = new Path(p).toUri.getPath
+    val touchedKeys = read(table).filter(predicate)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(r => pathKey(r.getString(0))).toSet
+    val touched = inv.filter(e => touchedKeys.contains(pathKey(e._2)))
+    if (touched.isEmpty) return UpsertStats(inv.size, 0, 0L, 0)
+    val touchedPaths = touched.map(_._2)
+    val chains = touched.map(_._1).distinct.sorted
+    val survivors = spark.read.schema(schema)
+      .option("basePath", dir(table))
+      .parquet(touchedPaths: _*)
+      .filter(!coalesce(predicate, lit(false)))
+      .select(schema.fieldNames.toSeq.map(col): _*)
+    val tmp = stagingDir(s"delete-$table")
+    preStageHook() // same unlocked staging-scan race window as upsert
+    survivors.write.mode("overwrite").options(writeOptions(table))
+      .partitionBy("chain_name")
+      .parquet(tmp.toString)
+    val added =
+      try landPartitioned(tmp, table, "delete", "deleteWhere",
+        removedAbs = touchedPaths,
+        afterPublish = () => {
+          removeReplaced(table, "deleteWhere", touchedPaths, retain)
+          chains.foreach { c =>
+            val p = new Path(s"${dir(table)}/chain_name=${escapeChain(c)}")
+            if (fs.exists(p) && !fs.listStatus(p).exists(s0 =>
+                s0.getPath.getName.endsWith(".parquet")))
+              fs.delete(p, true)
+          }
+        })
+      finally fs.delete(tmp, true)
+    UpsertStats(inv.size, touched.size, touched.map(_._3).sum, added.size)
+  }
+
+  /** [[deleteWhere]] with the same bounded optimistic-concurrency
+    * retry loop as [[upsertRetrying]] — a lost race re-plans from the
+    * fresh manifest and tries again with jittered linear backoff. */
+  def deleteWhereRetrying(table: String, predicate: Column,
+                          retain: Boolean = false,
+                          maxAttempts: Int = 5,
+                          backoffMs: Long = 50L): UpsertStats = {
+    require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    require(backoffMs >= 0L, "backoffMs must be >= 0")
+    var attempt = 1
+    while (true) {
+      try return deleteWhere(table, predicate, retain)
       catch {
         case e: Throwable if Lake.isRetryableRace(e, root) =>
           if (attempt >= maxAttempts) throw e
@@ -2202,6 +2492,39 @@ class Lake(spark: SparkSession, val root: String) {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Remove every row — SQL `TRUNCATE`'s lake shape: one metadata-only
+    * manifest transaction removing the complete file set (no scan, no
+    * rewrite), then retire-or-delete the files under the lock. The
+    * removed set is computed from the FRESH base manifest inside the
+    * transaction ([[dropChain]]'s pattern), so a racing append either
+    * lands before the truncate (and is truncated with the rest) or
+    * serializes after it (and survives). */
+  def truncateTable(table: String, retain: Boolean = false): Boolean = {
+    if (fileInventory(table).isEmpty) return false
+    var removedAbs: Seq[String] = Seq.empty
+    preCommitHook()
+    manifestTxn(table, "truncate", Seq.empty,
+        afterPublish = () => {
+          removeReplaced(table, "truncate", removedAbs, retain)
+          // chain dirs are now empty shells - drop them (checked:
+          // a racing writer's fresh landing aborts the recursive
+          // delete at the fs layer, and the dir simply survives)
+          removedAbs.map(p => new Path(p).getParent).distinct
+            .foreach { d =>
+              if (fs.exists(d) && !fs.listStatus(d).exists(s0 =>
+                  s0.getPath.getName.endsWith(".parquet")))
+                fs.delete(d, true)
+            }
+        },
+        removedFromBase = Some { base =>
+          removedAbs = base.map { case (rel, _) => s"${dir(table)}/$rel" }
+          base.map(_._1)
+        }) {
+      Seq.empty
+    }
+    removedAbs.nonEmpty
   }
 
   // ── Pruned reads: query-side file skipping ─────────────────────────

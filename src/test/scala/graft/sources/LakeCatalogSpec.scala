@@ -135,18 +135,165 @@ class LakeCatalogSpec extends SparkSpec {
       .fieldNames.contains("amount1"))
   }
 
-  test("SHOW TABLES serves from the manifest dir; DDL writes refuse loudly") {
+  test("SHOW TABLES serves from the manifest dir; DDL without a lake shape refuses loudly") {
     seed()
     val tables = spark.sql("SHOW TABLES IN graft_lake")
       .collect().map(_.getString(1)).toSet
     assert(tables.contains(Schemas.Nfp), tables.toString)
-    val e = intercept[Exception] {
-      spark.sql("CREATE TABLE graft_lake.brand_new (x INT) USING parquet")
-    }
     def chain(t: Throwable): Seq[String] =
       if (t == null) Seq.empty
       else Option(t.getMessage).toSeq ++ chain(t.getCause)
-    assert(chain(e).exists(_.contains("Lake API")), chain(e).mkString("; "))
+    // rename has no lake shape
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft_lake.${Schemas.Nfp} RENAME TO nfp2")
+    }
+    assert(chain(e).exists(_.contains("renamed")), chain(e).mkString("; "))
+  }
+
+  test("CREATE TABLE maps onto Lake.createTable: round-trip, manifest-served, refusals") {
+    seed()
+    spark.sql(
+      """CREATE TABLE graft_lake.ddl_t1 (
+        | chain_name STRING, k BIGINT, v STRING
+        |) USING parquet PARTITIONED BY (chain_name)""".stripMargin)
+    // created: schema committed + EMPTY manifest v1 published — the
+    // table lists, reads empty, all manifest-served
+    assert(lake.hasManifest("ddl_t1"), "create published no manifest")
+    assert(spark.sql("SHOW TABLES IN graft_lake").collect()
+      .map(_.getString(1)).contains("ddl_t1"))
+    assert(spark.sql("SELECT * FROM graft_lake.ddl_t1").count() == 0L)
+    spark.sql(
+      """INSERT INTO graft_lake.ddl_t1 VALUES
+        | ('ethereum', 1, 'a'), ('base', 2, 'b')""".stripMargin)
+    val got = spark.sql(
+      "SELECT k, v FROM graft_lake.ddl_t1 WHERE chain_name = 'ethereum'")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a")), got.toString)
+    assert(catalogLake.listCalls.get() == 0L,
+      s"DDL lifecycle listed ${catalogLake.listCalls.get()} time(s)")
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    // re-create refuses with Spark's standard already-exists error
+    val dup = intercept[Exception] {
+      spark.sql("CREATE TABLE graft_lake.ddl_t1 (chain_name STRING, x INT)")
+    }
+    assert(chain(dup).exists(_.toLowerCase.contains("already exists")),
+      chain(dup).mkString("; "))
+    // no chain_name column → the lake's contract refusal
+    val noChain = intercept[Exception] {
+      spark.sql("CREATE TABLE graft_lake.ddl_bad1 (x INT, y STRING)")
+    }
+    assert(chain(noChain).exists(_.contains("chain_name")),
+      chain(noChain).mkString("; "))
+    // foreign partitioning has no lake shape
+    val badPart = intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE graft_lake.ddl_bad2 (chain_name STRING, d STRING)
+          | PARTITIONED BY (d)""".stripMargin)
+    }
+    assert(chain(badPart).exists(_.contains("no lake shape")),
+      chain(badPart).mkString("; "))
+    // non-parquet provider has no lake shape
+    val badFmt = intercept[Exception] {
+      spark.sql(
+        "CREATE TABLE graft_lake.ddl_bad3 (chain_name STRING) USING csv")
+    }
+    assert(chain(badFmt).exists(_.contains("no lake shape")),
+      chain(badFmt).mkString("; "))
+    // refusals left nothing behind
+    Seq("ddl_bad1", "ddl_bad2", "ddl_bad3").foreach { t =>
+      assert(!lake.hasSchema(t) && !lake.hasManifest(t), s"$t leaked state")
+    }
+  }
+
+  test("CTAS creates then appends through the manifest transaction") {
+    seed()
+    spark.sql(
+      s"""CREATE TABLE graft_lake.ctas_t AS
+         | SELECT chain_name, transaction_hash, amount
+         | FROM graft_lake.${Schemas.Nfp} WHERE chain_name = 'base'
+         |""".stripMargin)
+    // non-null-inferred literals/columns were coerced nullable; data
+    // landed partitioned and manifest-committed
+    assert(lake.hasManifest("ctas_t"))
+    assert(lake.effectiveSchema("ctas_t").fields.forall(_.nullable))
+    val n = spark.sql("SELECT count(*) FROM graft_lake.ctas_t")
+      .collect()(0).getLong(0)
+    assert(n >= 10L, s"CTAS landed $n rows")
+    assert(lake.fileInventory("ctas_t") == lake.listInventory("ctas_t"),
+      "CTAS manifest does not match disk")
+  }
+
+  test("TIMESTAMP AS OF resolves the commit log's #ts headers; pre-history refuses") {
+    seed()
+    spark.sql(
+      """CREATE TABLE graft_lake.tt_t (chain_name STRING, k BIGINT)
+        |""".stripMargin)
+    val preHistory = System.currentTimeMillis() - 3600000L
+    spark.sql("INSERT INTO graft_lake.tt_t VALUES ('ethereum', 1)")
+    // strictly separate the two commits' wall-clocks around t1
+    val t1 = System.currentTimeMillis()
+    while (System.currentTimeMillis() <= t1) Thread.sleep(1)
+    spark.sql("INSERT INTO graft_lake.tt_t VALUES ('ethereum', 2)")
+    def at(ms: Long) = spark.sql(
+      s"""SELECT k FROM graft_lake.tt_t
+         | TIMESTAMP AS OF '${java.time.Instant.ofEpochMilli(ms)}'
+         | ORDER BY k""".stripMargin).collect().map(_.getLong(0)).toSeq
+    assert(at(t1) == Seq(1L), s"t1 state diverged: ${at(t1)}")
+    assert(at(System.currentTimeMillis()) == Seq(1L, 2L))
+    // the Scala twin resolves identically
+    assert(lake.readAtTimestamp("tt_t", t1).count() == 1L)
+    // an instant before the first commit refuses loudly
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    val e = intercept[Exception] { at(preHistory) }
+    assert(chain(e).exists(_.contains("predates")), chain(e).mkString("; "))
+  }
+
+  test("DELETE FROM: CoW predicate delete, metadata-only chain delete, truncate - all retained") {
+    seed()
+    spark.sql(
+      """CREATE TABLE graft_lake.del_t (chain_name STRING, k BIGINT, v STRING)
+        |""".stripMargin)
+    import spark.implicits._
+    (0L until 40L).map(i =>
+        (if (i % 2 == 0) "ethereum" else "base", i, s"v$i"))
+      .toDF("chain_name", "k", "v")
+      .createOrReplaceTempView("del_src")
+    spark.sql("INSERT INTO graft_lake.del_t SELECT * FROM del_src")
+    val v0 = lake.snapshot("del_t")
+    // predicate delete: copy-on-write rewrite of the touched files
+    spark.sql("DELETE FROM graft_lake.del_t WHERE k >= 30 AND v != 'v31'")
+    val after = spark.sql("SELECT k FROM graft_lake.del_t ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(after == (0L until 30L) :+ 31L, s"CoW delete diverged: $after")
+    // retained: the pinned pre-delete snapshot still reads complete
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_lake.del_t VERSION AS OF $v0")
+      .collect()(0).getLong(0) == 40L)
+    // chain_name equality downgrades to the metadata-only dropChain
+    // (zero Spark jobs: no staging scan ran - listCalls still zero
+    // and the retired area now holds the chain's files)
+    spark.sql("DELETE FROM graft_lake.del_t WHERE chain_name = 'base'")
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_lake.del_t WHERE chain_name = 'base'")
+      .collect()(0).getLong(0) == 0L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_lake.del_t VERSION AS OF $v0")
+      .collect()(0).getLong(0) == 40L,
+      "chain delete broke the pinned snapshot (not retained)")
+    // delete-all = metadata-only truncate
+    spark.sql("DELETE FROM graft_lake.del_t")
+    assert(spark.sql("SELECT count(*) FROM graft_lake.del_t")
+      .collect()(0).getLong(0) == 0L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_lake.del_t VERSION AS OF $v0")
+      .collect()(0).getLong(0) == 40L,
+      "truncate broke the pinned snapshot (not retained)")
+    assert(catalogLake.listCalls.get() == 0L,
+      s"DELETE lifecycle listed ${catalogLake.listCalls.get()} time(s)")
   }
 
   test("a manifest-less foreign table without chain_name= dirs serves unpartitioned") {

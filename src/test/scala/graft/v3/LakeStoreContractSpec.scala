@@ -105,4 +105,62 @@ class LakeStoreContractSpec extends SparkSpec {
     assert(amounts(f"0xtx${3}%05d") == "A3" && amounts(f"0xtx${4}%05d") == "A4",
       s"displaced writer's retry lost: $amounts")
   }
+
+  test("last-writer-wins create (no conditional put): one winner + LOUD abort, never a silent lost update") {
+    // the store contract's MANDATORY primitive removed: create(…,
+    // overwrite = false) silently clobbers, so two writers can both
+    // believe they hold the commit lock. Pinned here: the token-checked
+    // publish fence detects the displaced claim — the intruder commits,
+    // the displaced writer ABORTS with nothing published, and the
+    // manifest never names a missing file. (If the displaced writer
+    // instead reached its publish first, the intruder's version rename
+    // hits an existing destination and fails loudly — either
+    // interleaving is one winner + a loud error, which is exactly what
+    // the contract note promises and no more: deploy real lakes on
+    // stores WITH conditional puts.)
+    spark.sparkContext.hadoopConfiguration.set("fs.lwwcreate.impl",
+      classOf[LwwCreateTestFs].getName)
+    val root =
+      s"lwwcreate:${Files.createTempDirectory("lake-lww").toString}"
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // the degradation premise: exclusive create does NOT exclude
+    val probe = new Path(s"$root/.lww-probe")
+    fs.create(probe, false).close()
+    fs.create(probe, false).close() // a compliant store throws here
+    val a = new Lake(spark, root)
+    val b = new Lake(spark, root)
+    a.append(rows(0 until 5), Schemas.Nfp)
+    assert(a.read(Schemas.Nfp).count() == 5L)
+
+    // A lands its second append and holds what it believes is the
+    // lock; the rival B acquires the SAME lock (its create clobbers
+    // A's token — no IOException on this store) and runs a complete
+    // commit. A's fence must then find B's token (or nothing) and
+    // abort.
+    a.preFenceHook = () => {
+      a.preFenceHook = () => ()
+      b.append(rows(100 until 104).coalesce(1), Schemas.Nfp)
+    }
+    val e = intercept[Lake.ConcurrentWriteException] {
+      a.append(rows(50 until 55), Schemas.Nfp)
+    }
+    assert(e.getMessage.contains("lost its commit claim"), e.getMessage)
+
+    // one winner: seed + B; A published nothing and its landed files
+    // are invisible orphans
+    val txs = a.read(Schemas.Nfp)
+      .select("transaction_hash").collect().map(_.getString(0)).toSet
+    val want = ((0 until 5) ++ (100 until 104)).map(i => f"0xtx$i%05d").toSet
+    assert(txs == want, s"diverged: $txs")
+    a.fileInventory(Schemas.Nfp).foreach { case (_, p, _) =>
+      assert(fs.exists(new Path(p)), s"manifest names a missing file: $p")
+    }
+    Thread.sleep(100)
+    val st = a.vacuum(Schemas.Nfp, keepLast = 8, staleCommitMs = 50L,
+      sweepOrphans = true)
+    assert(st.filesDeleted >= 1, s"A's landed files were not orphans: $st")
+    assert(a.fileInventory(Schemas.Nfp) == a.listInventory(Schemas.Nfp))
+    assert(a.read(Schemas.Nfp).count() == 9L)
+  }
 }

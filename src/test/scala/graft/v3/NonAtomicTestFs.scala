@@ -44,3 +44,56 @@ class NonAtomicTestFs extends RawLocalFileSystem {
     true
   }
 }
+
+/** The NEGATIVE twin of [[NonAtomicTestFs]]: here it is
+  * CREATE-NO-OVERWRITE that degrades — `create(…, overwrite = false)`
+  * silently clobbers an existing file, last-writer-wins (a raw object
+  * store without conditional PUTs). The store contract documents this
+  * primitive as MANDATORY for mutual exclusion; the spec pins what
+  * the protocol still guarantees without it: commits may interleave,
+  * but the token-checked publish fence plus unique-name version
+  * publishes mean the outcome is one winner + a LOUD abort, never a
+  * silently lost update. Rename stays atomic (the opposite corner
+  * from NonAtomicTestFs). Registered under `lwwcreate:` via
+  * `fs.lwwcreate.impl`. */
+class LwwCreateTestFs extends RawLocalFileSystem {
+  override def getScheme: String = "lwwcreate"
+  override def getUri: URI = URI.create("lwwcreate:///")
+
+  private def plain(st: org.apache.hadoop.fs.FileStatus) =
+    new org.apache.hadoop.fs.FileStatus(st.getLen, st.isDirectory,
+      st.getReplication, st.getBlockSize, st.getModificationTime,
+      st.getPath)
+  override def getFileStatus(p: Path): org.apache.hadoop.fs.FileStatus =
+    plain(super.getFileStatus(p))
+  override def listStatus(p: Path): Array[org.apache.hadoop.fs.FileStatus] =
+    super.listStatus(p).map(plain)
+
+  // RawLocalFileSystem exposes THREE public create entry points (the
+  // bare-boolean one FileSystem.create(Path, boolean) routes to, the
+  // permission-carrying one, and createNonRecursive) — drop the
+  // exclusivity the caller asked for in all of them
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+      replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    super.create(f, true, bufferSize, replication, blockSize, progress)
+
+  override def create(f: Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    super.create(f, permission, true, bufferSize, replication,
+      blockSize, progress)
+
+  override def createNonRecursive(f: Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    super.createNonRecursive(f, permission, true, bufferSize,
+      replication, blockSize, progress)
+}
