@@ -29,6 +29,13 @@ object ManifestProbe {
     val ns = args.headOption
       .map(_.split(",").map(_.trim.toInt).toSeq)
       .getOrElse(Seq(10000, 100000, 1000000))
+    // v1 | dsv2 | all: at 10⁶ entries each section holds multi-GB
+    // folded state — running both in one JVM makes the later section
+    // measure the earlier one's GC pressure, not the code under probe.
+    // Attribution runs use one mode per process.
+    val mode = args.lift(1).getOrElse("all")
+    val runV1 = mode == "all" || mode == "v1"
+    val runDsv2 = mode == "all" || mode == "dsv2"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -59,7 +66,7 @@ object ManifestProbe {
 
       // 1. lock-held checkpoint write (the every-16th-commit cost)
       val (_, ckptSec) = timed(lake.publishSynthetic(table, current))
-      emit("manifest_ckpt_write", n, ckptSec)
+      if (runV1) emit("manifest_ckpt_write", n, ckptSec)
 
       // 2. 15 delta commits (+2 files, −1): the steady-state cost
       var deltaTotal = 0.0
@@ -72,8 +79,10 @@ object ManifestProbe {
         deltaTotal += s
         current = next
       }
-      emit("manifest_delta_write", n, deltaTotal / 15.0)
+      if (runV1) emit("manifest_delta_write", n, deltaTotal / 15.0)
+      current = null // the fixture is on disk now; don't skew GC below
 
+      if (runV1) {
       // 3. cold fold: a fresh driver pays checkpoint + 15 deltas once
       val coldLake = new graft.v3.Lake(spark, root)
       val (inv, coldSec) = timed(coldLake.fileInventory(table))
@@ -98,7 +107,9 @@ object ManifestProbe {
       val (_, planPruned) = timed(coldLake.read(table)
         .filter(col("chain_name") === "c3").rdd.getNumPartitions)
       emit("manifest_plan_pruned", n, planPruned)
+      }
 
+      if (runDsv2) {
       // 5b. the DSv2 catalog path at the same sizes: a pure-SQL pruned
       // plan pays loadTable (manifest-served currentEntries) + the
       // ManifestPartitioningIndex build (synthetic FileStatus map,
@@ -111,14 +122,48 @@ object ManifestProbe {
       spark.conf.set(s"spark.sql.catalog.$cat",
         "graft.sources.LakeCatalog")
       spark.conf.set(s"spark.sql.catalog.$cat.root", root)
-      def dsv2Pruned(): Int = spark.sql(
+      // sub-stage attribution: index construction alone, then the
+      // analyzed+optimized plan, then physical planning (.rdd) —
+      // cold (first query on a fresh catalog) and warm (cached index)
+      val (keyed, keyedSec) = timed(
+        new graft.v3.Lake(spark, root).currentEntriesKeyed(table).get)
+      emit("dsv2_entries_keyed", n, keyedSec)
+      val partSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("chain_name",
+          org.apache.spark.sql.types.StringType)))
+      val (_, idxSec) = timed(new graft.plans.ManifestPartitioningIndex(
+        spark, new org.apache.hadoop.fs.Path(s"$root/$table"),
+        keyed._3, partSchema))
+      emit("dsv2_index_build", n, idxSec)
+      def dsv2Phases(tag: String): Unit = {
+        val (df, aSec) = timed(spark.sql(
+          s"SELECT * FROM $cat.$table WHERE chain_name = 'c3'"))
+        emit(s"dsv2_${tag}_analyze", n, aSec)
+        val (_, pSec) = timed(df.queryExecution.executedPlan)
+        emit(s"dsv2_${tag}_physical", n, pSec)
+        val (_, rSec) = timed(df.rdd.getNumPartitions)
+        emit(s"dsv2_${tag}_rdd", n, rSec)
+      }
+      dsv2Phases("cold")
+      dsv2Phases("warm")
+      // 5c. steady-state CDC shape: one delta commit bumps the
+      // version, evicting the cached index — the next SQL plan pays
+      // incremental fold (cheap) + index rebuild for the new version.
+      // This is the per-commit re-plan cost a streaming consumer sees.
+      val catLake = graft.sources.LakeCatalog.instance(cat)
+        .flatMap(_.currentLake).getOrElse(lake)
+      val add = Seq(entry(n + 100))
+      catLake.publishSynthetic(table,
+        catLake.fileInventory(table).map(e =>
+          (e._2.substring(e._2.indexOf("chain_name=")), e._3)) ++ add,
+        Some((add, Set.empty[String])))
+      val (_, dsv2After) = timed(spark.sql(
         s"SELECT * FROM $cat.$table WHERE chain_name = 'c3'")
-        .rdd.getNumPartitions
-      val (_, dsv2Cold) = timed(dsv2Pruned())
-      emit("dsv2_plan_pruned_cold", n, dsv2Cold)
-      val (_, dsv2Warm) = timed(dsv2Pruned())
-      emit("dsv2_plan_pruned_warm", n, dsv2Warm)
+        .rdd.getNumPartitions)
+      emit("dsv2_plan_after_commit", n, dsv2After)
+      }
 
+      if (runV1) {
       // 6. retained heap of the folded per-table state: measure used
       // memory with a fresh fold HELD, then again after dropping the
       // reference — the difference is what one warm table costs a
@@ -134,6 +179,7 @@ object ManifestProbe {
       val without = rt.totalMemory() - rt.freeMemory()
       println(f"""{"probe":"manifest_heap_mb","n":$n,""" +
         f""""mb":${math.max(0L, withHeld - without) / 1e6}%.1f}""")
+      }
       org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(root))
     }

@@ -824,7 +824,7 @@ object ScaleProbe {
               var myConflicts = 0
               myLake.upsertRetrying(batch, Schemas.Nfp,
                 Seq("chain_name", "transaction_hash"),
-                maxAttempts = 32, backoffMs = 25L,
+                maxAttempts = 64, backoffMs = 25L,
                 onConflict = (_, _) => myConflicts += 1)
               conflictsPerBatch.add(myConflicts)
             }
@@ -849,7 +849,7 @@ object ScaleProbe {
               maintSkips.incrementAndGet()
             case e: Throwable => failed.compareAndSet(null, e)
           }
-          Thread.sleep(200L)
+          Thread.sleep(500L)
         }
       }, "mw-maintenance")
       writerThreads.foreach(_.start())

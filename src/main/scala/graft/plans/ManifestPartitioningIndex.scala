@@ -19,9 +19,19 @@ import org.apache.spark.sql.types.StructType
   * [[ManifestFileIndex.partitionRow]] (n-column layouts included,
   * loud refusal when a path can't serve the declared columns).
   *
+  * Construction is sized for million-file tables (ManifestProbe's
+  * dsv2_index_build): files group into leaf dirs by STRING prefix —
+  * one `Path` per file for the status plus one per distinct dir,
+  * never a second per-file `Path.getParent` (each of which allocates
+  * and normalizes a URI) — and [[leafFiles]] is lazy because the
+  * partitioned scan path (`listFiles` → partition pruning →
+  * [[leafDirToChildrenFiles]]) never consults it; it materializes
+  * only if some caller walks the flat file map.
+  *
   * The index is immutable — a manifest version IS a fixed file set;
-  * [[refresh]] is a no-op and each catalog `loadTable` builds a fresh
-  * one against the then-current (or `VERSION AS OF`-pinned) manifest.
+  * [[refresh]] is a no-op and each catalog `loadTable` builds (or
+  * serves from the per-version cache) one against the then-current
+  * (or `VERSION AS OF`-pinned) manifest.
   */
 class ManifestPartitioningIndex(
     spark: SparkSession,
@@ -30,19 +40,22 @@ class ManifestPartitioningIndex(
     partSchema: StructType)
   extends PartitioningAwareFileIndex(spark, Map.empty, None) {
 
-  private val statuses: Seq[FileStatus] = files.map { case (p, b) =>
+  private def mkStatus(p: String, b: Long): FileStatus =
     new FileStatus(b, false, 1, 134217728L, 0L, new Path(p))
-  }
-
-  override val leafFiles: mutable.LinkedHashMap[Path, FileStatus] = {
-    val m = new mutable.LinkedHashMap[Path, FileStatus]()
-    statuses.foreach(s => m.put(s.getPath, s))
-    m
-  }
 
   override val leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
-    statuses.groupBy(_.getPath.getParent)
-      .map { case (d, fs) => d -> fs.toArray }
+    files.groupBy { case (p, _) =>
+      val cut = p.lastIndexOf('/')
+      if (cut <= 0) p else p.substring(0, cut)
+    }.map { case (dir, fs) =>
+      new Path(dir) -> fs.map { case (p, b) => mkStatus(p, b) }.toArray
+    }
+
+  override lazy val leafFiles: mutable.LinkedHashMap[Path, FileStatus] = {
+    val m = new mutable.LinkedHashMap[Path, FileStatus]()
+    leafDirToChildrenFiles.values.foreach(_.foreach(s => m.put(s.getPath, s)))
+    m
+  }
 
   private val spec: PartitionSpec =
     if (partSchema.isEmpty) PartitionSpec.emptySpec

@@ -126,10 +126,24 @@ class LakeCatalog extends TableCatalog {
     val t = tableOf(ident)
     if (!lake.exists(t) && !lake.hasManifest(t) && !lake.hasSchema(t))
       throw new NoSuchTableException(ident)
-    val entries = version match {
-      case None => lake.currentEntries(t)
-      case Some(v) => lake.snapshotEntries(t, v)
+    version match {
+      case Some(v) => table(t, lake.snapshotEntries(t, v))
+      case None => lake.currentEntriesKeyed(t) match {
+        // manifest-backed: the (incarnation, version) identity rides
+        // along so LakeTable can serve its scan index from the
+        // per-version cache instead of rebuilding it per query
+        case Some((inc, v, entries)) =>
+          table(t, entries, cacheKey = Some((inc, v)))
+        case None => table(t, lake.currentEntries(t))
+      }
     }
+  }
+
+  /** A [[LakeTable]] over an explicit entry set; `cacheKey` carries
+    * the manifest (incarnation, version) identity when the entries
+    * came from the CURRENT manifest (index cacheable). */
+  private def table(t: String, entries: Seq[(String, Long)],
+                    cacheKey: Option[(String, Long)] = None): Table = {
     // manifest-backed tables are chain_name-laid-out by the adoption
     // contract (requireLakeLayout); a manifest-LESS foreign table may
     // not be — serve it UNPARTITIONED (chain_name read from the file
@@ -140,17 +154,7 @@ class LakeCatalog extends TableCatalog {
       else Seq.empty[String]
     new LakeTable(s"$catalogName.$t", SparkSession.active, lake, t,
       new Path(s"$root/$t"), entries, lake.effectiveSchema(t),
-      partCols)
-  }
-
-  /** A [[LakeTable]] over an explicit pinned entry set (time travel). */
-  private def table(t: String, entries: Seq[(String, Long)]): Table = {
-    val partCols =
-      if (entries.forall(_._1.contains("/chain_name="))) Seq("chain_name")
-      else Seq.empty[String]
-    new LakeTable(s"$catalogName.$t", SparkSession.active, lake, t,
-      new Path(s"$root/$t"), entries, lake.effectiveSchema(t),
-      partCols)
+      partCols, cacheKey)
   }
 
   override def tableExists(ident: Identifier): Boolean =
@@ -376,7 +380,8 @@ private[graft] class LakeTable(
     tableDir: Path,
     entries: Seq[(String, Long)],
     tableSchema: StructType,
-    partCols: Seq[String]) extends Table
+    partCols: Seq[String],
+    cacheKey: Option[(String, Long)] = None) extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
@@ -480,8 +485,25 @@ private[graft] class LakeTable(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
-    val index = new ManifestPartitioningIndex(spark, tableDir, entries,
-      StructType(tableSchema.fields.filter(f => partCols.contains(f.name))))
+    val partSchema =
+      StructType(tableSchema.fields.filter(f => partCols.contains(f.name)))
+    // the index is immutable per manifest version (a version IS a
+    // fixed file set), but Spark calls newScanBuilder per QUERY —
+    // rebuilding 10⁶ synthetic FileStatus + the partition spec each
+    // time cost 7 s/query at a million files (ManifestProbe
+    // dsv2_plan_pruned_warm), so current-manifest loads serve it from
+    // the per-(root, table, incarnation, version, schema) cache.
+    // Pinned loads (VERSION/TIMESTAMP AS OF) build fresh: their
+    // entries mix live and retired locations that retirement can
+    // still move under a cached index.
+    val index = cacheKey match {
+      case Some((inc, v)) =>
+        LakeTable.cachedIndex(lake.root, lakeTable, inc, v, tableSchema,
+          () => new ManifestPartitioningIndex(spark, tableDir, entries,
+            partSchema))
+      case None =>
+        new ManifestPartitioningIndex(spark, tableDir, entries, partSchema)
+    }
     val dataSchema =
       StructType(tableSchema.fields.filterNot(f => partCols.contains(f.name)))
     ParquetScanBuilder(spark, index, tableSchema, dataSchema, options)
@@ -511,6 +533,28 @@ private[graft] object LakeTable {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{col, lit, not}
   import org.apache.spark.sql.sources._
+
+  /** Scan indexes for CURRENT manifest versions, keyed by (lake root,
+    * table, incarnation, version, schema) — the DSv2 twin of
+    * [[graft.v3.Lake]]'s relation cache, with the same purge rule:
+    * inserting a version evicts the table's other versions, dead
+    * incarnations and evolved-away schemas, so a long-lived session
+    * holds ONE index per table. */
+  private val indexCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String, Long, StructType), ManifestPartitioningIndex]()
+
+  private[sources] def cachedIndex(root: String, table: String,
+      inc: String, v: Long, schema: StructType,
+      build: () => ManifestPartitioningIndex): ManifestPartitioningIndex = {
+    val key = (root, table, inc, v, schema)
+    Option(indexCache.get(key)).getOrElse {
+      val idx = build()
+      indexCache.put(key, idx)
+      indexCache.keySet.removeIf(k => k._1 == root && k._2 == table &&
+        (k._3 != inc || k._4 < v || (k._4 == v && k._5 != schema)))
+      idx
+    }
+  }
 
   /** The V1 filter algebra Spark hands `SupportsDelete`, translated
     * back to a Catalyst predicate for [[graft.v3.Lake.deleteWhere]]'s

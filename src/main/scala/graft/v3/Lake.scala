@@ -1005,6 +1005,21 @@ class Lake(spark: SparkSession, val root: String) {
   private[graft] def currentEntries(table: String): Seq[(String, Long)] =
     fileInventory(table).map(e => (e._2, e._3))
 
+  /** [[currentEntries]] plus the (incarnation, version) identity of
+    * the manifest that served them — ONE metadata read decides both,
+    * so the pair can never straddle a racing commit. None for
+    * manifest-less foreign tables. The identity is what lets the SQL
+    * catalog cache its scan INDEX per manifest version (a version IS
+    * a fixed file set; rebuilding the index per query cost 7 s/query
+    * at 10⁶ files — ManifestProbe's dsv2_plan_pruned_warm). */
+  private[graft] def currentEntriesKeyed(table: String)
+      : Option[(String, Long, Seq[(String, Long)])] = {
+    val (kinds, inc) = manifestState(table)
+    kinds.lastOption.map { case (v, _) =>
+      (inc, v, inventoryAt(table, inc, kinds, v).map(e => (e._2, e._3)))
+    }
+  }
+
   /** [[readAt]]'s live/retired file resolution returning (absolute
     * path, bytes) — the `VERSION AS OF` source for the SQL catalog.
     * O(files) driver stat calls, paid by PINNED reads only (the
