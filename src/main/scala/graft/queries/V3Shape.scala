@@ -1317,6 +1317,92 @@ object V3Shape {
         |  FROM pin GROUP BY 2
         |ORDER BY 1, 2""".stripMargin)),
 
+    // SQL ROW-LEVEL WRITES — round-14's `UPDATE` and `MERGE INTO`
+    // through the DSv2 SupportsRowLevelOperations surface
+    // (group-based copy-on-write: Spark rewrites the command into a
+    // ReplaceData plan over the operation's shared manifest-served
+    // scan; runtime group filtering confines the rewrite to matched
+    // partitions; the commit is one retained manifest transaction).
+    // An UPDATE mutates a key slice, then a MERGE applies matched
+    // updates AND not-matched inserts in one statement; the graded
+    // frame unions the final state with the pre-write pinned
+    // snapshot, zero listings require'd throughout.
+    ("s26_sql_update_merge",
+      ((s: SparkSession, d: String) => {
+        import graft.v3.{Lake, Schemas}
+        val orders = Tables.orders(s, d)
+        val k = col("o_orderkey")
+        val root = s"/tmp/graft-sqlupd-lake/${Llm.sfCacheKey(d)}"
+        val lake = new Lake(s, root)
+        lake.dropTable(Schemas.Nfp)
+        val mx = orders.agg(max(k)).first().getLong(0)
+        val h = mx / 2 + 1
+        (0 until 2).foreach(j =>
+          lake.append(nfpFromOrders(
+            orders.filter(k >= j * h && k < (j + 1) * h), twoChains = true)
+            .coalesce(1), Schemas.Nfp))
+        val v0 = lake.snapshot(Schemas.Nfp)
+        val cat = "graft_upd_" +
+          Llm.sfCacheKey(d).replaceAll("[^A-Za-z0-9]", "_") +
+          s"_${System.nanoTime()}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"""UPDATE $cat.nfp
+          | SET amount0 = CAST(CAST(amount0 AS BIGINT) + 100 AS STRING)
+          | WHERE log_index = 2 AND chain_name = 'ethereum'""".stripMargin)
+        // merge source: matched updates (existing keys re-priced) +
+        // not-matched inserts (keys shifted past the table max)
+        nfpFromOrders(orders.filter(k < 100 && pmod(k, lit(10)) === 0),
+            twoChains = true)
+          .withColumn("amount0", lit("999999"))
+          .unionAll(nfpFromOrders(orders.filter(k <= 37)
+            .withColumn("o_orderkey", k + mx + 1), twoChains = true))
+          .createOrReplaceTempView("s26_src")
+        s.sql(s"""MERGE INTO $cat.nfp t USING s26_src s
+          | ON t.chain_name = s.chain_name
+          |   AND t.transaction_hash = s.transaction_hash
+          | WHEN MATCHED THEN UPDATE SET amount0 = s.amount0
+          | WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        def agg(from: String) = s.sql(
+          s"""SELECT log_index, count(*) AS n,
+             |  CAST(sum(CAST(amount0 AS BIGINT)) AS BIGINT) AS sum_a0
+             |FROM $from GROUP BY log_index""".stripMargin)
+        val out = agg(s"$cat.nfp").withColumn("src", lit("cur"))
+          .unionAll(agg(s"$cat.nfp VERSION AS OF $v0")
+            .withColumn("src", lit("pin")))
+          .select(col("src"), col("log_index"), col("n"), col("sum_a0"))
+          .orderBy(col("src"), col("log_index"))
+          .localCheckpoint()
+        val catLake = graft.sources.LakeCatalog.instance(cat)
+          .flatMap(_.currentLake).getOrElse(
+            throw new IllegalStateException("catalog served no query"))
+        require(catLake.listCalls.get() == 0L,
+          s"row-level SQL fell back to ${catLake.listCalls.get()} " +
+            "recursive listing(s) - plans must be manifest-served")
+        out
+      }): Q,
+      Some("""WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+        |base AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |upd AS (SELECT k, CASE WHEN k % 7 = 2 AND k % 2 = 0
+        |    THEN cents + 100 ELSE cents END AS a0 FROM base),
+        |mrg AS (SELECT k, CASE WHEN k < 100 AND k % 10 = 0
+        |    THEN 999999 ELSE a0 END AS a0 FROM upd),
+        |fin AS (SELECT k, a0 FROM mrg
+        |  UNION ALL
+        |  SELECT b.k + mx.m + 1 AS k, b.cents AS a0
+        |    FROM base b, mx WHERE b.k <= 37),
+        |pin AS (SELECT k, cents AS a0 FROM base)
+        |SELECT 'cur' AS src, CAST(k % 7 AS BIGINT) AS log_index,
+        |    count(*) AS n, CAST(sum(a0) AS BIGINT) AS sum_a0
+        |  FROM fin GROUP BY 2
+        |UNION ALL
+        |SELECT 'pin' AS src, CAST(k % 7 AS BIGINT) AS log_index,
+        |    count(*) AS n, CAST(sum(a0) AS BIGINT) AS sum_a0
+        |  FROM pin GROUP BY 2
+        |ORDER BY 1, 2""".stripMargin)),
+
     // CDC READ SURFACE — round-14's `table_changes(v1, v2)`: three
     // appends pin snapshot v1; a retained upsert (updates + inserts)
     // rewrites every file (the batch's key envelope spans all three

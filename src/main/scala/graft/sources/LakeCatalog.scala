@@ -42,12 +42,15 @@ import graft.v3.Lake
   * [[graft.v3.Lake.evolveSchema]]. Time travel: `VERSION AS OF`
   * replays a pinned snapshot id; `TIMESTAMP AS OF` resolves the
   * commit log's `#ts` headers to the version current at that
-  * wall-clock. Everything the lake's transactional model has no SQL
-  * shape for — `renameTable`, column drops/renames/narrowing,
-  * `INSERT OVERWRITE`, `UPDATE`/`MERGE` — refuses loudly and points
-  * at the Lake API. Each `loadTable` binds the THEN-current manifest
-  * version: a SQL query is a consistent snapshot read, exactly like
-  * the Scala `lake.read`. */
+  * wall-clock. `UPDATE` / `MERGE INTO` run as group-based
+  * copy-on-write rewrites through [[LakeRowLevelOperation]] (runtime
+  * group filtering narrows them to the matched partitions; the
+  * commit is one retained manifest transaction). Everything the
+  * lake's transactional model has no SQL shape for — `renameTable`,
+  * column drops/renames/narrowing, `INSERT OVERWRITE` — refuses
+  * loudly and points at the Lake API. Each `loadTable` binds the
+  * THEN-current manifest version: a SQL query is a consistent
+  * snapshot read, exactly like the Scala `lake.read`. */
 class LakeCatalog extends TableCatalog {
 
   private var catalogName: String = _
@@ -61,7 +64,7 @@ class LakeCatalog extends TableCatalog {
         s"catalog '$name' needs spark.sql.catalog.$name.root"))
     if (LakeCatalog.byName.size > 64) LakeCatalog.byName.clear()
     LakeCatalog.byName.put(name, this)
-    LakeCatalog.ensureDeleteStrategy()
+    LakeCatalog.ensureTruncateStrategy()
   }
 
   override def name(): String = catalogName
@@ -287,41 +290,44 @@ object LakeCatalog {
   private[graft] def instance(name: String): Option[LakeCatalog] =
     Option(byName.get(name))
 
-  /** Register [[LakeDeleteStrategy]] with the active session, once.
-    * Planning `DELETE FROM` needs a session strategy because Spark's
-    * own DSv2 delete path (`DataSourceV2Strategy`) requires the scan
-    * relation as the command's DIRECT child — but every file-based
-    * DSv2 scan emits partition columns LAST, so on a table whose
-    * declared schema leads with `chain_name` the optimizer inserts a
-    * reordering Project above the scan and built-in planning dies
-    * with an internal error (JDBC-style connectors dodge this only
-    * because their scans preserve column order). The strategy is
-    * registered through `spark.experimental.extraStrategies` — the
-    * sanctioned runtime extension point — by catalog initialization,
-    * so pure-conf catalog users (`spark.sql.catalog.x = …`) get
-    * working SQL deletes without installing session extensions. */
-  private[sources] def ensureDeleteStrategy(): Unit =
+  /** Register [[LakeTruncateStrategy]] with the active session, once
+    * (via `spark.experimental.extraStrategies`, the sanctioned runtime
+    * extension point, so pure-conf catalog users need no session
+    * extensions). Every SQL row-level command plans through standard
+    * machinery EXCEPT the bare `DELETE FROM t` (no WHERE): the
+    * analyzer deliberately keeps it as `DeleteFromTable(rel, true)`
+    * for `TruncatableTable`s, and Spark's built-in planning for that
+    * node requires the scan as the command's DIRECT child — but every
+    * file-based DSv2 scan emits partition columns last, so on a
+    * chain_name-first schema the optimizer's reordering Project makes
+    * built-in planning die with an internal error. One shape, one
+    * 20-line shim. */
+  private[sources] def ensureTruncateStrategy(): Unit =
     try {
       val s = SparkSession.active
-      if (!s.experimental.extraStrategies.contains(LakeDeleteStrategy))
+      if (!s.experimental.extraStrategies.contains(LakeTruncateStrategy))
         s.experimental.extraStrategies =
-          s.experimental.extraStrategies :+ LakeDeleteStrategy
+          s.experimental.extraStrategies :+ LakeTruncateStrategy
     } catch { case _: IllegalStateException => () /* no active session */ }
 }
 
-/** Plans `DELETE FROM <lake table>`: finds the [[LakeTable]] at the
-  * command's leaf (through whatever Project/alias the optimizer
-  * wrapped the scan in) and executes the delete through the lake's
-  * transactional shapes ([[LakeTable.deleteByExpression]]). Non-lake
-  * tables fall through to Spark's own planning untouched. */
-object LakeDeleteStrategy
+/** Plans the bare `DELETE FROM <lake table>` (no WHERE — SQL
+  * truncate): finds the [[LakeTable]] at the command's leaf (through
+  * whatever Project/alias the optimizer wrapped the scan in) and runs
+  * the metadata-only retained truncate. Conditional deletes never
+  * reach this strategy (the analyzer rewrites them row-level or the
+  * optimizer downgrades them to delete-with-filters); non-lake tables
+  * fall through untouched. */
+object LakeTruncateStrategy
   extends org.apache.spark.sql.execution.SparkStrategy {
+  import org.apache.spark.sql.catalyst.expressions.Literal
   import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan}
   import org.apache.spark.sql.execution.SparkPlan
   import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+  import org.apache.spark.sql.types.BooleanType
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case DeleteFromTable(child, cond) =>
+    case DeleteFromTable(child, Literal(true, BooleanType)) =>
       child.collectLeaves().collectFirst {
         case r: DataSourceV2ScanRelation
             if r.relation.table.isInstanceOf[LakeTable] =>
@@ -329,23 +335,23 @@ object LakeDeleteStrategy
         case r: DataSourceV2Relation if r.table.isInstanceOf[LakeTable] =>
           r.table.asInstanceOf[LakeTable]
       } match {
-        case Some(t) => LakeDeleteExec(t, cond) :: Nil
+        case Some(t) => LakeTruncateExec(t) :: Nil
         case None => Nil
       }
     case _ => Nil
   }
 }
 
-/** One-shot physical node for a lake delete: the command runs once
-  * (driver-side lake transaction; the rewrite inside is its own
-  * distributed job) and returns no rows. */
-private[graft] case class LakeDeleteExec(
-    table: LakeTable,
-    cond: org.apache.spark.sql.catalyst.expressions.Expression)
+/** One-shot physical node for the SQL truncate: runs the
+  * metadata-only manifest transaction once, returns no rows. */
+private[graft] case class LakeTruncateExec(table: LakeTable)
   extends org.apache.spark.sql.execution.SparkPlan
   with org.apache.spark.sql.execution.LeafExecNode {
 
-  private lazy val done: Unit = table.deleteByExpression(cond)
+  private lazy val done: Unit = {
+    table.deleteWhere(
+      Array.empty[org.apache.spark.sql.sources.Filter])
+  }
 
   override def output
       : Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
@@ -383,9 +389,27 @@ private[graft] class LakeTable(
     partCols: Seq[String],
     cacheKey: Option[(String, Long)] = None) extends Table
     with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   override def name(): String = tableName
+
+  /** SQL `UPDATE` / `MERGE INTO` (and the untranslatable-`DELETE`
+    * fallback): group-based copy-on-write through
+    * [[LakeRowLevelOperation]] — Spark rewrites the command into a
+    * ReplaceData plan over this operation's scan/write pair; runtime
+    * group filtering narrows the rewrite to the partitions holding
+    * matched rows, and the commit is one manifest transaction
+    * (retained, optimistic-concurrency protected). Translatable
+    * DELETEs never reach this path — Spark's metadata-only rule
+    * downgrades them to [[deleteWhere]] first. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    val op = new LakeRowLevelOperation(spark, lake, lakeTable, tableDir,
+      entries, tableSchema, partCols, info.command)
+    () => op
+  }
 
   /** SQL `DELETE FROM` — three lake shapes, cheapest first:
     *  - no filters (Spark's TRUNCATE default routes here too) →
@@ -425,51 +449,6 @@ private[graft] class LakeTable(
   override def canDeleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     filters.forall(f => LakeTable.filterColumn(f).isDefined)
-
-  /** [[LakeDeleteStrategy]]'s entry: the same three lake shapes as
-    * [[deleteWhere]], detected on the resolved Catalyst condition.
-    * The general predicate re-resolves against a fresh lake read via
-    * its SQL form (`Expression.sql` — exprIds dropped, names
-    * re-resolved by [[graft.v3.Lake.deleteWhere]]'s own scan). */
-  private[sources] def deleteByExpression(
-      cond: org.apache.spark.sql.catalyst.expressions.Expression): Unit = {
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Expression, In, Literal, SubqueryExpression}
-    import org.apache.spark.sql.types.{BooleanType, StringType}
-    import org.apache.spark.unsafe.types.UTF8String
-    if (SubqueryExpression.hasSubquery(cond))
-      throw new UnsupportedOperationException(
-        "DELETE with a subquery has no lake shape - materialize the " +
-          "keys and delete through Lake.upsert tombstones instead")
-    def chainLit(e: Expression): Option[String] = e match {
-      case Literal(s: UTF8String, StringType) => Some(s.toString)
-      case _ => None
-    }
-    def isChainAttr(e: Expression): Boolean = e match {
-      case a: Attribute => a.name.equalsIgnoreCase("chain_name")
-      case _ => false
-    }
-    cond match {
-      case Literal(true, BooleanType) =>
-        lake.truncateTable(lakeTable, retain = true); ()
-      case EqualTo(a, v) if isChainAttr(a) && chainLit(v).isDefined =>
-        lake.dropChain(lakeTable, chainLit(v).get, retain = true); ()
-      case EqualTo(v, a) if isChainAttr(a) && chainLit(v).isDefined =>
-        lake.dropChain(lakeTable, chainLit(v).get, retain = true); ()
-      case In(a, vs) if isChainAttr(a) && vs.nonEmpty &&
-          vs.forall(chainLit(_).isDefined) =>
-        vs.flatMap(chainLit).foreach(c =>
-          lake.dropChain(lakeTable, c, retain = true))
-      case other =>
-        val unresolved = other.transform {
-          case a: Attribute => UnresolvedAttribute.quoted(a.name)
-        }
-        lake.deleteWhereRetrying(lakeTable,
-          org.apache.spark.sql.functions.expr(unresolved.sql),
-          retain = true)
-        ()
-    }
-  }
 
   override def schema(): StructType = tableSchema
 

@@ -1313,7 +1313,7 @@ class Lake(spark: SparkSession, val root: String) {
   /** Test/probe seam: runs after a write has staged its output but
     * before it takes the commit lock — the window a concurrent writer
     * races in. */
-  private[v3] var preCommitHook: () => Unit = () => ()
+  private[graft] var preCommitHook: () => Unit = () => ()
 
   /** Test seam firing after an upsert PLANS (touched set fixed) but
     * before its staging scan runs — the unlocked window where a
@@ -1520,6 +1520,43 @@ class Lake(spark: SparkSession, val root: String) {
   /** Fresh staging dir outside the table directory. */
   private def stagingDir(tag: String): Path =
     new Path(s"$root/_tmp/$tag-${System.nanoTime()}")
+
+  /** A fresh staging location under the lake's `_tmp` for an external
+    * writer (the DSv2 row-level write stages Spark's own parquet
+    * output here before [[replaceStaged]] lands it). */
+  private[graft] def stagingPath(tag: String): Path = stagingDir(tag)
+
+  /** Discard a staging dir (abort path of an external staged write). */
+  private[graft] def dropStaging(tmp: Path): Unit = { fs.delete(tmp, true); () }
+
+  /** Land an externally staged `chain_name=`-partitioned directory as
+    * a REPLACE: one manifest transaction that removes `removedAbs`
+    * (the files the paired row-level scan planned; a concurrent
+    * commit that retired any of them aborts this one with nothing
+    * published — [[Lake.ConcurrentWriteException]]) and adds the
+    * staged files. `retain = true` moves the replaced originals into
+    * the retention area, keeping pinned snapshots readable. The SQL
+    * `UPDATE`/`MERGE INTO` commit step
+    * ([[graft.sources.LakeRowLevelOperation]]). */
+  private[graft] def replaceStaged(table: String, tmp: Path,
+                                   removedAbs: Seq[String],
+                                   retain: Boolean): Unit = {
+    val chains = removedAbs.map(chainOfRel).distinct.sorted
+    try {
+      landPartitioned(tmp, table, "replace", "rowLevelReplace",
+        removedAbs = removedAbs,
+        afterPublish = () => {
+          removeReplaced(table, "rowLevelReplace", removedAbs, retain)
+          chains.foreach { c =>
+            val p = new Path(s"${dir(table)}/chain_name=${escapeChain(c)}")
+            if (fs.exists(p) && !fs.listStatus(p).exists(s0 =>
+                s0.getPath.getName.endsWith(".parquet")))
+              fs.delete(p, true)
+          }
+        })
+      ()
+    } finally fs.delete(tmp, true)
+  }
 
   /** Rename every staged `.parquet` under `tmp` into `tgtDir` with
     * stamped `prefix` names. All-or-nothing: on any rename failure the

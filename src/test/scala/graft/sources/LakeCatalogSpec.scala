@@ -296,6 +296,104 @@ class LakeCatalogSpec extends SparkSpec {
       s"DELETE lifecycle listed ${catalogLake.listCalls.get()} time(s)")
   }
 
+  test("UPDATE: group-based CoW rewrite, pruned to matched partitions, retained") {
+    seed()
+    spark.sql(
+      """CREATE TABLE graft_lake.upd_t (chain_name STRING, k BIGINT, v STRING)
+        |""".stripMargin)
+    import spark.implicits._
+    (0L until 40L).map(i =>
+        (if (i % 2 == 0) "ethereum" else "base", i, s"v$i"))
+      .toDF("chain_name", "k", "v").createOrReplaceTempView("upd_src")
+    spark.sql("INSERT INTO graft_lake.upd_t SELECT * FROM upd_src")
+    val updLake = new graft.v3.Lake(spark, root)
+    val v0 = updLake.snapshot("upd_t")
+    val baseBefore = updLake.fileInventory("upd_t").filter(_._1 == "base")
+    // matched rows live only in 'ethereum' (k even): runtime group
+    // filtering must confine the rewrite to that partition
+    spark.sql("UPDATE graft_lake.upd_t SET v = concat(v, '!') WHERE k % 4 = 0")
+    val got = spark.sql(
+      "SELECT k, v FROM graft_lake.upd_t WHERE k < 6 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((0L, "v0!"), (1L, "v1"), (2L, "v2"),
+      (3L, "v3"), (4L, "v4!"), (5L, "v5")), got.toString)
+    // the unmatched partition's files are byte-identical (not rewritten)
+    assert(updLake.fileInventory("upd_t").filter(_._1 == "base")
+      == baseBefore, "UPDATE rewrote a partition with no matched rows")
+    // retained: the pinned pre-update snapshot still reads the old values
+    assert(spark.sql(
+      s"""SELECT v FROM graft_lake.upd_t VERSION AS OF $v0
+         | WHERE k = 0""".stripMargin).collect()(0).getString(0) == "v0")
+    // manifest matches disk exactly after the rewrite
+    assert(updLake.fileInventory("upd_t") == updLake.listInventory("upd_t"))
+    assert(catalogLake.listCalls.get() == 0L,
+      s"UPDATE planned with ${catalogLake.listCalls.get()} listing(s)")
+  }
+
+  test("MERGE INTO: matched update + not-matched insert (new partition) + matched delete") {
+    seed()
+    spark.sql(
+      """CREATE TABLE graft_lake.mrg_t (chain_name STRING, k BIGINT, v STRING)
+        |""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_lake.mrg_t VALUES
+        | ('ethereum', 1, 'a'), ('ethereum', 2, 'b'), ('base', 3, 'c')
+        |""".stripMargin)
+    spark.sql(
+      """MERGE INTO graft_lake.mrg_t t USING (
+        |  SELECT 'ethereum' AS chain_name, 1L AS k, 'merged' AS v
+        |  UNION ALL SELECT 'arbitrum', 9L, 'new'
+        |  UNION ALL SELECT 'ethereum', 2L, 'dropme'
+        |) s ON t.k = s.k
+        |WHEN MATCHED AND s.v = 'dropme' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql(
+      "SELECT chain_name, k, v FROM graft_lake.mrg_t ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSeq
+    assert(got == Seq(("ethereum", 1L, "merged"), ("base", 3L, "c"),
+      ("arbitrum", 9L, "new")), got.toString)
+    val mrgLake = new graft.v3.Lake(spark, root)
+    assert(mrgLake.fileInventory("mrg_t") == mrgLake.listInventory("mrg_t"))
+    assert(catalogLake.listCalls.get() == 0L,
+      s"MERGE planned with ${catalogLake.listCalls.get()} listing(s)")
+  }
+
+  test("a row-level rewrite losing the optimistic race aborts loudly with nothing published") {
+    seed()
+    spark.sql(
+      """CREATE TABLE graft_lake.race_t (chain_name STRING, k BIGINT, v STRING)
+        |""".stripMargin)
+    spark.sql(
+      "INSERT INTO graft_lake.race_t VALUES ('ethereum', 1, 'a'), ('ethereum', 2, 'b')")
+    // rival commit fires in the window between the UPDATE's staged
+    // write and its manifest transaction: it rewrites the very files
+    // the UPDATE planned against, so the UPDATE must lose the
+    // optimistic race and publish nothing
+    val cat = catalogLake
+    cat.preCommitHook = () => {
+      cat.preCommitHook = () => ()
+      val rival = new graft.v3.Lake(spark, root)
+      import spark.implicits._
+      rival.upsert(Seq(("ethereum", 2L, "rival")).toDF("chain_name", "k", "v"),
+        "race_t", Seq("chain_name", "k"))
+    }
+    val e = intercept[Exception] {
+      spark.sql("UPDATE graft_lake.race_t SET v = 'upd' WHERE k = 2")
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("concurrent")), chain(e).mkString("; "))
+    // the rival's commit is the table state; the UPDATE landed nothing
+    val got = spark.sql("SELECT v FROM graft_lake.race_t WHERE k = 2")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("rival"), got.toString)
+    val rLake = new graft.v3.Lake(spark, root)
+    assert(rLake.fileInventory("race_t") == rLake.listInventory("race_t"))
+  }
+
   test("a manifest-less foreign table without chain_name= dirs serves unpartitioned") {
     seed()
     import spark.implicits._
