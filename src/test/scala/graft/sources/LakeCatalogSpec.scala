@@ -288,6 +288,11 @@ class LakeCatalogSpec extends SparkSpec {
     spark.sql("DELETE FROM graft_lake.del_t")
     assert(spark.sql("SELECT count(*) FROM graft_lake.del_t")
       .collect()(0).getLong(0) == 0L)
+    // TRUNCATE TABLE routes through the same TruncatableTable surface
+    spark.sql("INSERT INTO graft_lake.del_t VALUES ('ethereum', 99, 'z')")
+    spark.sql("TRUNCATE TABLE graft_lake.del_t")
+    assert(spark.sql("SELECT count(*) FROM graft_lake.del_t")
+      .collect()(0).getLong(0) == 0L, "TRUNCATE TABLE left rows")
     assert(spark.sql(
       s"SELECT count(*) FROM graft_lake.del_t VERSION AS OF $v0")
       .collect()(0).getLong(0) == 40L,
