@@ -1108,20 +1108,104 @@ class Lake(spark: SparkSession, val root: String) {
     * `kinds` — the version-pinned half of [[manifestInventory]], so
     * callers that must pair a version with its exact file set
     * ([[read]]'s relation cache) never perform a second listing that
-    * could observe a racing commit's newer state. */
+    * could observe a racing commit's newer state.
+    *
+    * INCREMENTAL: when an earlier version's mapped inventory is still
+    * cached and every version between it and `v` is a DELTA, the new
+    * inventory is the cached one patched with the deltas (drop
+    * removed, merge sorted additions) — O(table + batch log batch)
+    * with NO per-entry re-parse and NO full re-sort. The steady-state
+    * CDC consumer therefore pays O(batch)-ish per commit instead of
+    * the full map+sort (~5 s per commit at 10⁶ files — ManifestProbe
+    * r14); a cold driver (nothing cached) or a checkpoint boundary
+    * falls back to the full rebuild. */
   private def inventoryAt(table: String, inc: String,
                           kinds: Seq[(Long, Boolean)],
                           v: Long): Seq[(String, String, Long)] =
     Option(inventoryCache.get((table, inc, v))).getOrElse {
       val base = fs.makeQualified(new Path(dir(table))).toString
-      val mapped = resolveManifest(table, inc, kinds, v)
-        .map { case (rel, bytes) =>
-          (chainOfRel(rel), s"$base/$rel", bytes)
-        }.sortBy(t => (t._1, t._2))
+      def mapOne(rel: String, bytes: Long): (String, String, Long) =
+        (chainOfRel(rel), s"$base/$rel", bytes)
+      def isDelta(w: Long): Boolean = kinds.find(_._1 == w).exists(_._2)
+      // walk back through consecutive deltas to the nearest cached
+      // inventory (a checkpoint or a missing version stops the walk)
+      var w = v - 1
+      var prevInv: Seq[(String, String, Long)] = null
+      var walking = isDelta(v)
+      while (walking && prevInv == null && kinds.exists(_._1 == w)) {
+        prevInv = inventoryCache.get((table, inc, w))
+        if (prevInv == null) { walking = isDelta(w); w -= 1 }
+      }
+      val mapped =
+        if (prevInv != null) {
+          var cur = prevInv
+          ((w + 1) to v).foreach { d =>
+            val (added, removedRel) = readDelta(table, d)
+            val removedAbs = removedRel.map(r => s"$base/$r")
+            val add = added.map { case (rel, b) => mapOne(rel, b) }
+              .sortBy(t => (t._1, t._2))
+            val kept =
+              if (removedAbs.isEmpty) cur
+              else cur.filterNot(e => removedAbs.contains(e._2))
+            cur = mergeByChainPath(kept, add)
+          }
+          cur
+        } else resolveManifest(table, inc, kinds, v)
+          .map { case (rel, bytes) => mapOne(rel, bytes) }
+          .sortBy(t => (t._1, t._2))
       inventoryCache.put((table, inc, v), mapped)
       inventoryCache.keySet.removeIf(k => k._1 == table &&
         (k._2 != inc || k._3 < v))
       mapped
+    }
+
+  /** One delta commit's body: (added (rel, bytes), removed rels). */
+  private def readDelta(table: String,
+                        v: Long): (Seq[(String, Long)], Set[String]) = {
+    val added = Seq.newBuilder[(String, Long)]
+    val removed = Set.newBuilder[String]
+    readManifestBody(table, v, isDelta = true).split("\n").foreach { l =>
+      if (l.nonEmpty && !l.startsWith("#")) {
+        if (l.startsWith("-"))
+          removed += new String(unb64(l.substring(1)), "UTF-8")
+        else {
+          val t = l.substring(1)
+          val i = t.indexOf('\t')
+          added += ((new String(unb64(t.substring(0, i)), "UTF-8"),
+            t.substring(i + 1).toLong))
+        }
+      }
+    }
+    (added.result(), removed.result())
+  }
+
+  /** Merge two (chain, path, bytes) seqs each sorted by (chain, path)
+    * into one sorted seq — the patch step of the incremental
+    * inventory. Iterator-based on purpose: indexed access on a Seq
+    * that happens to be a List is O(i) per element and turns this
+    * merge quadratic at 10⁶ entries (found by ManifestProbe, which
+    * spun for 40+ minutes inside List.drop before the fix). */
+  private def mergeByChainPath(a: Seq[(String, String, Long)],
+                               b: Seq[(String, String, Long)])
+      : Seq[(String, String, Long)] =
+    if (b.isEmpty) a
+    else if (a.isEmpty) b
+    else {
+      val out =
+        new scala.collection.mutable.ArrayBuffer[(String, String, Long)](
+          a.length + b.length)
+      val ia = a.iterator.buffered
+      val ib = b.iterator.buffered
+      while (ia.hasNext && ib.hasNext) {
+        val x = ia.head
+        val y = ib.head
+        val c = x._1.compareTo(y._1)
+        if (c < 0 || (c == 0 && x._2.compareTo(y._2) <= 0)) out += ia.next()
+        else out += ib.next()
+      }
+      ia.foreach(out += _)
+      ib.foreach(out += _)
+      out.toSeq
     }
 
   /** Acquire the table's commit lock (create-exclusive file carrying

@@ -22,6 +22,33 @@ class LakeManifestSpec extends SparkSpec {
       "tokenId", "log_index")
   }
 
+  test("incremental inventory patching equals the cold full rebuild, commit by commit") {
+    val root = Files.createTempDirectory("lake-inc").toString
+    val lake = new Lake(spark, root)
+    // interleave commit kinds so the warm instance's inventory is
+    // patched through delta chains (appends, a cross-file upsert, a
+    // chain drop) and falls back over checkpoint boundaries
+    // (dropChain's full rewrite) — after EVERY commit the warm
+    // (patched) inventory must equal a fresh instance's full
+    // fold+map+sort bit-for-bit
+    def check(tag: String): Unit = {
+      val warm = lake.fileInventory(Schemas.Nfp)
+      val cold = new Lake(spark, root).fileInventory(Schemas.Nfp)
+      assert(warm == cold, s"$tag: patched inventory diverged from " +
+        s"the full rebuild (${warm.size} vs ${cold.size} entries)")
+    }
+    lake.append(rows(0 until 20), Schemas.Nfp); check("append-1")
+    lake.append(rows(100 until 110, chain = "base"), Schemas.Nfp)
+    check("append-2")
+    lake.upsert(rows(0 until 5, amt = i => s"u$i"), Schemas.Nfp,
+      Seq("chain_name", "transaction_hash")); check("upsert")
+    lake.append(rows(20 until 25), Schemas.Nfp); check("append-3")
+    lake.dropChain(Schemas.Nfp, "base"); check("dropChain")
+    lake.append(rows(200 until 205, chain = "base"), Schemas.Nfp)
+    check("append-4")
+    assert(lake.read(Schemas.Nfp).count() == 30L)
+  }
+
   test("a Lake-managed table's whole lifecycle performs ZERO listings") {
     val root = Files.createTempDirectory("lake-man").toString
     val lake = new Lake(spark, root)
