@@ -435,8 +435,11 @@ private[graft] class LakeTable(
       case Array(EqualTo("chain_name", v: String)) =>
         lake.dropChain(lakeTable, v, retain = true); ()
       case Array(In("chain_name", vs)) if vs.forall(_.isInstanceOf[String]) =>
-        vs.foreach(v =>
-          lake.dropChain(lakeTable, v.asInstanceOf[String], retain = true))
+        // ONE manifest transaction for the whole IN list: per-value
+        // commits would expose partially-deleted state to concurrent
+        // readers and leave a failed statement half-applied
+        lake.dropChains(lakeTable,
+          vs.map(_.asInstanceOf[String]).toSeq, retain = true); ()
       case fs0 =>
         val cond = fs0.map(f => LakeTable.filterColumn(f).getOrElse(
           throw new UnsupportedOperationException(

@@ -353,16 +353,31 @@ class Lake(spark: SparkSession, val root: String) {
     * reads plan with zero listings, and the first append lands as an
     * ordinary delta commit instead of an adoption listing. */
   def createTable(table: String, next: StructType): Long = {
-    require(schemaVersions(table).isEmpty,
-      s"table $table already has a committed schema - use evolveSchema")
-    require(!exists(table),
-      s"table $table already has data files - cannot re-create it")
-    require(!hasManifest(table),
-      s"table $table already has a committed manifest - cannot re-create it")
     validateEvolution(table, None, next)
-    val v = commitSchema(table, next)
-    publishSynthetic(table, Seq.empty)
-    v
+    // the existence guards, the schema commit and the empty-manifest
+    // publish run as ONE unit under the table's commit lock: unlocked,
+    // two concurrent CREATEs of the same name could both pass the
+    // guards and commit schema v1 and v2 with different column sets
+    val (lock, token) = acquireCommitLock(table)
+    try {
+      require(schemaVersions(table).isEmpty,
+        s"table $table already has a committed schema - use evolveSchema")
+      require(!exists(table),
+        s"table $table already has data files - cannot re-create it")
+      require(!hasManifest(table),
+        s"table $table already has a committed manifest - cannot re-create it")
+      val v = commitSchema(table, next)
+      try publishManifest(table, Seq.empty, what = "create")
+      catch { case e: Throwable =>
+        // all-or-nothing: a schema committed without its manifest would
+        // strand a table that can never be re-created (the guard above
+        // would refuse forever) — roll back exactly the version this
+        // create wrote
+        fs.delete(new Path(schemaDir(table), f"v$v%09d.json"), false)
+        throw e
+      }
+      v
+    } finally releaseCommitLock(lock, token)
   }
 
   /** Does the table have a committed registry schema? (True for
@@ -556,50 +571,65 @@ class Lake(spark: SparkSession, val root: String) {
     * until [[vacuum]] expires them; the SQL `DELETE FROM … WHERE
     * chain_name = 'x'` downgrade uses this form. */
   def dropChain(table: String, chain: String,
-                retain: Boolean = false): Boolean = {
-    val p = new Path(s"${dir(table)}/chain_name=${escapeChain(chain)}")
-    if (!fs.exists(p)) return false
+                retain: Boolean = false): Boolean =
+    dropChains(table, Seq(chain), retain)
+
+  /** [[dropChain]] for SEVERAL chains in ONE manifest transaction —
+    * what SQL `DELETE FROM t WHERE chain_name IN (a, b, …)` routes
+    * through. One-commit atomicity is the point: one transaction per
+    * value would let concurrent readers observe partially-deleted
+    * state between commits, and a failure mid-loop would leave the
+    * statement half-applied.
+    *
+    * Physical removal (retire-or-delete plus the shell-dir cleanup)
+    * runs in `afterPublish`, AFTER the manifest commits — the
+    * [[removeReplaced]] ordering every other rewrite uses. Before the
+    * publish nothing has moved, so an aborted transaction (lost
+    * publish fence, racing commit) truly changes nothing; after it the
+    * files are invisible to every manifest reader, so a partial
+    * retire/delete leaves loud ORPHANS (retry-able, vacuum-sweepable),
+    * never a half-readable table. Retained files resolve from EITHER
+    * location ([[resolveLiveOrRetired]] checks live first), so pinned
+    * snapshots stay readable even mid-retirement. */
+  def dropChains(table: String, chains: Seq[String],
+                 retain: Boolean = false): Boolean = {
+    val wanted = chains.distinct
+    val dirs = wanted.map(c =>
+      new Path(s"${dir(table)}/chain_name=${escapeChain(c)}"))
+    if (dirs.forall(p => !fs.exists(p))) return false
     if (hasManifest(table)) {
-      var fullyGone = false
+      val chainSet = wanted.toSet
       var removedAbs: Seq[String] = Seq.empty
       preCommitHook()
       manifestTxn(table, "dropChain", Seq.empty,
           removedFromBase = Some { base =>
             val rels = base.collect {
-              case (rel, _) if chainOfRel(rel) == chain => rel
+              case (rel, _) if chainSet(chainOfRel(rel)) => rel
             }
             removedAbs = rels.map(r => s"${dir(table)}/$r")
             rels
+          },
+          afterPublish = () => {
+            if (retain) retire(table, removedAbs.filter(a =>
+              fs.exists(new Path(a))))
+            // the recursive delete clears what remains: the shell
+            // dirs, unmanifested stragglers, and (retain = false) the
+            // dropped data files themselves. Checked: a refused
+            // delete leaves orphans the manifest no longer names —
+            // invisible to readers, but they cost storage and would
+            // resurface via refreshManifest, so fail loudly
+            val leftover = dirs.filter { p =>
+              fs.delete(p, true); fs.exists(p)
+            }
+            if (leftover.nonEmpty) throw new java.io.IOException(
+              s"dropChain of $table committed but ${leftover.size} " +
+                s"chain dir(s) could not be fully removed - leftover " +
+                s"files are orphans: ${leftover.take(3).mkString(", ")}")
           }) {
-        // retention first: the manifest-named files rename into the
-        // retired area (a failed rename aborts the txn with nothing
-        // published); the recursive delete then clears the shell dir
-        // plus any unmanifested stragglers
-        if (retain) retire(table, removedAbs.filter(a =>
-          fs.exists(new Path(a))))
-        // honor the filesystem's verdict: a refused delete (perms,
-        // open handles) may still have removed SOME files, so re-list
-        // what survived and keep the manifest naming exactly the
-        // files still on disk — publishing the removal of files that
-        // remain would resurrect them via refreshManifest, while
-        // naming files that vanished breaks every read
-        fs.delete(p, true)
-        fullyGone = !fs.exists(p)
-        if (fullyGone) Seq.empty
-        else {
-          val it = fs.listFiles(p, true)
-          val survivors = Seq.newBuilder[(String, Long)]
-          while (it.hasNext) {
-            val f = it.next()
-            val n = f.getPath.getName
-            if (f.isFile && !n.startsWith("_") && !n.startsWith("."))
-              survivors += ((relOf(table, f.getPath.toString), f.getLen))
-          }
-          survivors.result()
-        }
+        Seq.empty
       }
-      fullyGone
-    } else fs.delete(p, true)
+      removedAbs.nonEmpty
+    } else dirs.map(p => fs.delete(p, true)).exists(identity)
   }
 
   /** Drop a whole table (its snapshot manifests and retired files go
@@ -614,7 +644,7 @@ class Lake(spark: SparkSession, val root: String) {
     manifestCache.keySet.removeIf(_._1 == table)
     inventoryCache.keySet.removeIf(_._1 == table)
     relationCache.keySet.removeIf(_._1 == table)
-    commitTimeCache.keySet.removeIf(_._1 == table)
+    commitHeaderCache.keySet.removeIf(_._1 == table)
     fs.exists(p) && fs.delete(p, true)
   }
 
@@ -856,37 +886,81 @@ class Lake(spark: SparkSession, val root: String) {
 
   // ── Commit-time travel: TIMESTAMP AS OF over the commit log ────────
 
-  /** Commit wall-clock of one manifest version (the `#ts=` header its
-    * publish wrote), or None for versions committed before the header
-    * existed. One bounded read of the FIRST line only — a checkpoint
-    * body at 10⁶ files is megabytes, the header is its first 32 bytes.
-    * Cached per (table, incarnation, version): immutable once
-    * published. -1 encodes "no header" in the cache. */
-  private val commitTimeCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, Long), Long]()
+  /** Commit headers of one manifest version — the `#ts=` wall-clock
+    * and the `#op=` operation kind its publish wrote; None/"" for
+    * versions committed before the headers existed. One bounded read
+    * of the LEADING header lines only — a checkpoint body at 10⁶
+    * files is megabytes, the headers are its first ~48 bytes. Cached
+    * per (table, incarnation, version): immutable once published.
+    * ts = -1 encodes "no ts header"; op = "" encodes "no op header". */
+  private val commitHeaderCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Long), (Long, String)]()
 
-  private def commitTimeOf(table: String, inc: String, v: Long,
-                           isDelta: Boolean): Option[Long] = {
-    val cached = commitTimeCache.get((table, inc, v))
-    if (cached != 0L) return if (cached < 0L) None else Some(cached)
+  private def commitHeaderOf(table: String, inc: String, v: Long,
+                             isDelta: Boolean): (Option[Long], String) = {
+    val cached = commitHeaderCache.get((table, inc, v))
+    if (cached != null)
+      return (if (cached._1 < 0L) None else Some(cached._1), cached._2)
     val name = if (isDelta) f"v$v%09d.d.txt" else f"v$v%09d.txt"
     val in = fs.open(new Path(manifestDir(table), name))
-    val first = try {
+    val heads = try {
       val rd = new java.io.BufferedReader(
-        new java.io.InputStreamReader(in, "UTF-8"), 256)
-      Option(rd.readLine()).getOrElse("")
+        new java.io.InputStreamReader(in, "UTF-8"), 512)
+      Iterator.continually(Option(rd.readLine()).getOrElse(""))
+        .takeWhile(_.startsWith("#")).take(4).toSeq
     } finally in.close()
-    val ts = if (first.startsWith("#ts="))
-      first.stripPrefix("#ts=").toLongOption else None
-    commitTimeCache.put((table, inc, v), ts.getOrElse(-1L))
-    if (commitTimeCache.size > 4096)
-      commitTimeCache.keySet.removeIf(_._1 == table)
-    ts
+    val ts = heads.find(_.startsWith("#ts="))
+      .flatMap(_.stripPrefix("#ts=").toLongOption)
+    val op = heads.find(_.startsWith("#op="))
+      .map(_.stripPrefix("#op=")).getOrElse("")
+    commitHeaderCache.put((table, inc, v), (ts.getOrElse(-1L), op))
+    if (commitHeaderCache.size > 4096) {
+      // evict this table's pre-retention versions first (excluding the
+      // key just inserted — the former evict-all-of-this-table rule
+      // deleted it too, making every later lookup of a hot table a
+      // manifest-file open forever); if foreign tables are what filled
+      // the cache, shed them instead
+      commitHeaderCache.keySet.removeIf(k =>
+        k._1 == table && (k._2 != inc || k._3 < v - 64))
+      if (commitHeaderCache.size > 4096)
+        commitHeaderCache.keySet.removeIf(_._1 != table)
+    }
+    (ts, op)
+  }
+
+  private def commitTimeOf(table: String, inc: String, v: Long,
+                           isDelta: Boolean): Option[Long] =
+    commitHeaderOf(table, inc, v, isDelta)._1
+
+  /** The operations whose commits swap files WITHOUT changing row
+    * content (`dataChange = false` in the published formats' terms):
+    * change feeds must exclude their file swaps, or every compaction
+    * would surface the whole rewritten table as delete+insert pairs. */
+  private[v3] val rewriteOps = Set("compaction", "clustering")
+
+  /** The retained commit log as an operator-facing history: (version,
+    * commit wall-clock, operation kind, isDelta), ascending — what a
+    * `table_history('cat.tbl')` query lists when deciding what to pin
+    * or vacuum. ts is None and op "" for commits written before the
+    * headers existed. Bounded by manifest retention (~two checkpoint
+    * generations), like every commit-log read. */
+  def commitHistory(table: String): Seq[(Long, Option[Long], String, Boolean)] = {
+    val (kinds, inc) = manifestState(table)
+    kinds.map { case (v, d) =>
+      val (ts, op) = commitHeaderOf(table, inc, v, d)
+      (v, ts, op, d)
+    }
   }
 
   /** The retained commit log with wall-clocks: (version, commit epoch
     * millis; None = committed before timestamps existed), ascending.
     * Bounded by manifest retention (~two checkpoint generations). */
+  /** Latest committed manifest version (None = no manifest) — the
+    * streaming CDC source's latest-offset probe; ONE commit-log
+    * listing, no header reads. */
+  def latestCommitVersion(table: String): Option[Long] =
+    manifestState(table)._1.lastOption.map(_._1)
+
   def commitVersions(table: String): Seq[(Long, Option[Long])] = {
     val (kinds, inc) = manifestState(table)
     kinds.map { case (v, d) => (v, commitTimeOf(table, inc, v, d)) }
@@ -1073,6 +1147,25 @@ class Lake(spark: SparkSession, val root: String) {
         s"(got $fromVersion > $toVersion)")
     val from = manifestFiles(table, fromVersion).toSet
     val to = manifestFiles(table, toVersion).toSet
+    // dataChange = false guard: a compaction/clustering between the two
+    // snapshots swaps files WITHOUT changing rows — diffing through it
+    // would surface every row of the rewritten files as delete+insert
+    // pairs, churning (or corrupting) downstream state keyed on those
+    // rows. The published formats exclude such rewrites from their
+    // change feeds; a file-set diff cannot, so it refuses loudly and
+    // points at the commit-grain feed, which can. Detection covers the
+    // RETAINED commit log (the `#op=` headers) — a rewrite older than
+    // manifest retention is invisible, but so is every snapshot that
+    // could straddle it without also tripping the missing-file check.
+    val churned = ((from -- to) ++ (to -- from)).filter(rewriteSwappedRels(table))
+    require(churned.isEmpty,
+      s"table_changes($fromVersion, $toVersion) of $table spans a " +
+        s"compaction/clustering rewrite - ${churned.size} file(s) in the " +
+        "diff were swapped by a dataChange=false maintenance rewrite, so " +
+        "the file-set diff would surface logically unchanged rows as " +
+        "delete+insert pairs; read changes with changesBetweenCommits " +
+        "(the commit-grain feed excludes rewrites), or snapshot on " +
+        "either side of maintenance: " + churned.take(3).mkString(", "))
     val schema = effectiveSchema(table)
     def side(rels: Seq[String], kind: String): DataFrame =
       readEntries(table,
@@ -1082,6 +1175,100 @@ class Lake(spark: SparkSession, val root: String) {
         .withColumn("_change_type", lit(kind))
     side((from -- to).toSeq, "delete")
       .unionByName(side((to -- from).toSeq, "insert"))
+  }
+
+  /** Table-relative paths swapped (removed or added) by RETAINED
+    * rewrite-only commits — [[tableChanges]]' churn guard and the set
+    * [[changesBetweenCommits]] excludes. O(retained commits) cached
+    * header reads; delta bodies are read only for rewrite commits. */
+  private def rewriteSwappedRels(table: String): Set[String] = {
+    val (kinds, inc) = manifestState(table)
+    kinds.flatMap { case (v, isDelta) =>
+      if (!rewriteOps(commitHeaderOf(table, inc, v, isDelta)._2)) Seq.empty
+      else if (isDelta) {
+        val (added, removed) = readDelta(table, v)
+        added.map(_._1) ++ removed
+      } else if (kinds.exists(_._1 == v - 1)) {
+        val prev = resolveManifest(table, inc, kinds, v - 1).map(_._1).toSet
+        val cur = resolveManifest(table, inc, kinds, v).map(_._1).toSet
+        ((prev -- cur) ++ (cur -- prev)).toSeq
+      } else Seq.empty // base expired: nothing diffable survives either
+    }.toSet
+  }
+
+  /** Row-granularity CDC over the COMMIT LOG: every change committed
+    * by manifest versions in `(fromVersion, toVersion]`, each commit's
+    * removed files surfacing as `_change_type = 'delete'` rows and its
+    * added files as `'insert'` rows, tagged with the committing
+    * `_commit_version` — the change feed a downstream incremental
+    * consumer (and the streaming CDC source,
+    * [[graft.streaming.LakeChangeSource]]) replays in order.
+    *
+    * Unlike the snapshot diff ([[tableChanges]]) this feed is
+    * rewrite-aware: commits whose `#op=` header marks a
+    * compaction/clustering ([[rewriteOps]] — `dataChange = false` in
+    * the published formats' terms) contribute NOTHING, because their
+    * file swaps carry no row changes. Files resolve live-or-retired,
+    * so retain-mode rewrites keep history replayable until [[vacuum]];
+    * a commit version expired by manifest retention, or a file
+    * rewritten without retention, refuses loudly — a change feed that
+    * silently skips history corrupts every consumer joining deletes by
+    * key. Cost: O(commits in range) small manifest reads to plan
+    * (checkpoint commits diff two cached folds), one distributed scan
+    * over exactly the changed files to execute. */
+  def changesBetweenCommits(table: String, fromVersion: Long,
+                            toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"changesBetweenCommits of $table needs fromVersion <= toVersion " +
+        s"(got $fromVersion > $toVersion)")
+    val (kinds, inc) = manifestState(table)
+    val schema = effectiveSchema(table)
+    def emptyOut: DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      schema.add("_change_type", org.apache.spark.sql.types.StringType)
+        .add("_commit_version", org.apache.spark.sql.types.LongType))
+    if (fromVersion == toVersion) return emptyOut
+    val retained = kinds.map(_._1).toSet
+    val wanted = (fromVersion + 1) to toVersion
+    val missing = wanted.filterNot(retained)
+    require(missing.isEmpty,
+      s"changesBetweenCommits($fromVersion, $toVersion) of $table: " +
+        s"commit version(s) ${missing.take(5).mkString(", ")} expired by " +
+        "manifest retention - that history is gone; restart the change " +
+        "feed from a current snapshot of the table")
+    val parts = wanted.flatMap { v =>
+      val isDelta = kinds.find(_._1 == v).exists(_._2)
+      if (rewriteOps(commitHeaderOf(table, inc, v, isDelta)._2)) Seq.empty
+      else {
+        val (added, removed): (Seq[String], Seq[String]) =
+          if (isDelta) {
+            val (a, r) = readDelta(table, v)
+            (a.map(_._1), r.toSeq)
+          } else {
+            // a checkpoint commit carries the FULL set; its change is
+            // the diff against the previous version's fold
+            require(v == 1 || kinds.exists(_._1 == v - 1),
+              s"changesBetweenCommits($fromVersion, $toVersion) of " +
+                s"$table: v${v - 1} (the base of checkpoint v$v) expired " +
+                "by manifest retention - restart the change feed from a " +
+                "current snapshot")
+            val prev = if (v == 1) Set.empty[String]
+              else resolveManifest(table, inc, kinds, v - 1).map(_._1).toSet
+            val cur = resolveManifest(table, inc, kinds, v).map(_._1).toSet
+            ((cur -- prev).toSeq, (prev -- cur).toSeq)
+          }
+        def side(rels: Seq[String], kind: String): Option[DataFrame] =
+          if (rels.isEmpty) None
+          else Some(readEntries(table,
+            resolveLiveOrRetired(table, rels.sorted,
+              s"changesBetweenCommits($fromVersion, $toVersion)")
+              .map { case (p, b) => (chainOfRel(p), p, b) }, schema)
+            .withColumn("_change_type", lit(kind))
+            .withColumn("_commit_version", lit(v)))
+        side(removed, "delete").toSeq ++ side(added, "insert")
+      }
+    }
+    if (parts.isEmpty) emptyOut else parts.reduce(_.unionByName(_))
   }
 
   /** Mapped-inventory cache keyed by (table, version) — the
@@ -1317,7 +1504,8 @@ class Lake(spark: SparkSession, val root: String) {
   private def publishManifest(table: String,
                               entries: Seq[(String, Long)],
                               delta: Option[(Seq[(String, Long)],
-                                Set[String])] = None): Long = {
+                                Set[String])] = None,
+                              what: String = ""): Long = {
     val d = manifestDir(table)
     val (kinds, inc0) = manifestState(table)
     // first publish of this incarnation: mint the `.id-` marker the
@@ -1338,19 +1526,22 @@ class Lake(spark: SparkSession, val root: String) {
       added.size + removed.size < entries.size }
     val asDelta = delta.isDefined && kinds.nonEmpty &&
       deltasSinceCheckpoint < checkpointEvery && deltaSmaller
-    // every commit's first line is a `#ts=<epoch-millis>` header — the
-    // wall-clock `TIMESTAMP AS OF` resolves against ([[versionAtTimestamp]]).
-    // Parsers skip '#' lines, so pre-header manifests read back
-    // unchanged (their versions simply have no known commit time).
-    val ts = s"#ts=${System.currentTimeMillis()}"
+    // every commit leads with `#ts=<epoch-millis>` (the wall-clock
+    // `TIMESTAMP AS OF` resolves against — [[versionAtTimestamp]]) and
+    // `#op=<operation>` (what committed this version — compaction and
+    // clustering are `dataChange = false` rewrites the change feeds
+    // exclude, and [[commitHistory]] lists every kind). Parsers skip
+    // '#' lines, so pre-header manifests read back unchanged.
+    val heads = Seq(s"#ts=${System.currentTimeMillis()}") ++
+      (if (what.nonEmpty) Seq(s"#op=$what") else Seq.empty)
     val body =
       if (asDelta) {
         val (added, removedRel) = delta.get
-        (ts +:
+        (heads ++
           (removedRel.toSeq.sorted.map(r => s"-${b64(r.getBytes("UTF-8"))}") ++
           added.sortBy(_._1).map { case (rel, b) =>
             s"+${b64(rel.getBytes("UTF-8"))}\t$b" })).mkString("\n")
-      } else (ts +: entries.sortBy(_._1).map { case (rel, b) =>
+      } else (heads ++ entries.sortBy(_._1).map { case (rel, b) =>
         s"${b64(rel.getBytes("UTF-8"))}\t$b"
       }).mkString("\n")
     val name = if (asDelta) f"v$v%09d.d.txt" else f"v$v%09d.txt"
@@ -1388,9 +1579,10 @@ class Lake(spark: SparkSession, val root: String) {
     * synthesizing a million parquet files. */
   private[graft] def publishSynthetic(table: String,
       entries: Seq[(String, Long)],
-      delta: Option[(Seq[(String, Long)], Set[String])] = None): Long = {
+      delta: Option[(Seq[(String, Long)], Set[String])] = None,
+      what: String = "synthetic"): Long = {
     val (lock, token) = acquireCommitLock(table)
-    try publishManifest(table, entries, delta)
+    try publishManifest(table, entries, delta, what)
     finally releaseCommitLock(lock, token)
   }
 
@@ -1498,7 +1690,7 @@ class Lake(spark: SparkSession, val root: String) {
       val removedSet = removedRel.toSet
       publishManifest(table,
         base.filterNot(e => removedSet(e._1)) ++ added,
-        delta = Some((added, removedSet)))
+        delta = Some((added, removedSet)), what = what)
       afterPublish()
       added
     } finally releaseCommitLock(lock, token)
@@ -1530,7 +1722,7 @@ class Lake(spark: SparkSession, val root: String) {
     try {
       val entries = listInventory(table).map(f => (relOf(table, f._2), f._3))
       requireLakeLayout(table, entries)
-      publishManifest(table, entries)
+      publishManifest(table, entries, what = "refresh")
     } finally releaseCommitLock(lock, token)
   }
 

@@ -1,0 +1,159 @@
+package graft.v3
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The change-feed surfaces: commit-grain CDC (`changesBetweenCommits`
+  * — rewrite-aware, ordered, version-tagged), the snapshot diff's
+  * dataChange=false churn guard, single-commit multi-chain drops, and
+  * the operator-facing commit history. */
+class LakeChangesSpec extends SparkSpec {
+
+  private def rows(ids: Seq[Int], chain: String = "ethereum",
+                   amt: Int => String = i => s"$i") = {
+    import spark.implicits._
+    ids.map { i =>
+      (chain, "IncreaseLiquidity", f"0xtx$i%05d", 1000L + i, 0L,
+        "0xu1", amt(i), s"${i * 10}", s"${i * 100}", s"$i", i % 7L)
+    }.toDF("chain_name", "name", "transaction_hash", "block_number",
+      "tx_index", "from_address", "amount", "amount0", "amount1",
+      "tokenId", "log_index")
+  }
+
+  private def key(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.select(col("_change_type"), col("transaction_hash"), col("amount"))
+      .collect().map(r => s"${r.getString(0)}|${r.getString(1)}|${r.getString(2)}")
+      .toSeq.sorted
+
+  test("commit-grain feed replays appends and upserts in order and equals the snapshot diff") {
+    val root = Files.createTempDirectory("lake-cdc").toString
+    val lake = new Lake(spark, root)
+    (0 until 3).foreach(j =>
+      lake.append(rows(j * 10 until (j + 1) * 10).coalesce(1), Schemas.Nfp))
+    val c1 = lake.latestCommitVersion(Schemas.Nfp).get
+    val v1 = lake.snapshot(Schemas.Nfp)
+    // the whole history from commit 0: three insert waves, tagged with
+    // their committing versions in order
+    val full = lake.changesBetweenCommits(Schemas.Nfp, 0L, c1)
+    assert(full.filter(col("_change_type") === "insert").count() == 30L)
+    assert(full.filter(col("_change_type") === "delete").count() == 0L)
+    val versions = full.select(col("_commit_version")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(versions.length == 3 && versions.last == c1,
+      s"expected three distinct committing versions, got ${versions.toSeq}")
+    // a retained upsert (updates + inserts): its commit surfaces the
+    // touched files' pre-rows as deletes and post-rows as inserts —
+    // exactly the snapshot diff over the same boundary
+    lake.upsert(rows(0 until 30, amt = i => s"u$i").coalesce(1),
+      Schemas.Nfp, Seq("chain_name", "transaction_hash"), retain = true)
+    val c2 = lake.latestCommitVersion(Schemas.Nfp).get
+    val v2 = lake.snapshot(Schemas.Nfp)
+    val feed = lake.changesBetweenCommits(Schemas.Nfp, c1, c2)
+    val diff = lake.tableChanges(Schemas.Nfp, v1, v2)
+    assert(key(feed) == key(diff),
+      "commit-grain feed diverged from the snapshot diff over the same boundary")
+  }
+
+  test("rewrite-only commits contribute nothing; the snapshot diff refuses across them") {
+    val root = Files.createTempDirectory("lake-cdc2").toString
+    val lake = new Lake(spark, root)
+    (0 until 3).foreach(j =>
+      lake.append(rows(j * 10 until (j + 1) * 10).coalesce(1), Schemas.Nfp))
+    val c1 = lake.latestCommitVersion(Schemas.Nfp).get
+    val v1 = lake.snapshot(Schemas.Nfp)
+    // compaction: swaps every file, changes no row (dataChange=false)
+    assert(lake.compact(Schemas.Nfp, targetBytes = 1L << 26,
+      retain = true) > 0)
+    val c2 = lake.latestCommitVersion(Schemas.Nfp).get
+    val v2 = lake.snapshot(Schemas.Nfp)
+    assert(c2 > c1)
+    // the commit-grain feed excludes the swap entirely
+    assert(lake.changesBetweenCommits(Schemas.Nfp, c1, c2).count() == 0L,
+      "a compaction's file swap leaked into the change feed")
+    // the file-set snapshot diff CANNOT exclude it - it must refuse
+    // loudly instead of surfacing 30 unchanged rows as delete+insert
+    val e = intercept[IllegalArgumentException] {
+      lake.tableChanges(Schemas.Nfp, v1, v2).count()
+    }
+    assert(e.getMessage.contains("compaction/clustering"),
+      s"wrong refusal: ${e.getMessage}")
+    // a data change AFTER the rewrite still flows through the feed
+    lake.append(rows(100 until 105).coalesce(1), Schemas.Nfp)
+    val c3 = lake.latestCommitVersion(Schemas.Nfp).get
+    val after = lake.changesBetweenCommits(Schemas.Nfp, c1, c3)
+    assert(after.filter(col("_change_type") === "insert").count() == 5L &&
+      after.filter(col("_change_type") === "delete").count() == 0L)
+  }
+
+  test("expired commit history refuses loudly instead of silently skipping") {
+    val root = Files.createTempDirectory("lake-cdc3").toString
+    val lake = new Lake(spark, root)
+    lake.append(rows(0 until 10).coalesce(1), Schemas.Nfp)
+    val c1 = lake.latestCommitVersion(Schemas.Nfp).get
+    // roll the commit log past two checkpoint generations so version
+    // c1's successors expire (synthetic no-op commits: the manifest
+    // machinery is what's under test, not the data path)
+    val entries = Seq.empty[(String, Long)]
+    val cur = new Lake(spark, root)
+    (0 until 40).foreach { _ =>
+      val inv = cur.fileInventory(Schemas.Nfp)
+        .map(e => (e._2.substring(e._2.indexOf("chain_name=")), e._3))
+      cur.publishSynthetic(Schemas.Nfp, inv,
+        delta = Some((entries, Set.empty[String])))
+    }
+    val cN = cur.latestCommitVersion(Schemas.Nfp).get
+    val e = intercept[IllegalArgumentException] {
+      cur.changesBetweenCommits(Schemas.Nfp, c1, cN).count()
+    }
+    assert(e.getMessage.contains("expired by") ||
+      e.getMessage.contains("retention"), s"wrong refusal: ${e.getMessage}")
+  }
+
+  test("dropChains removes several chains in ONE commit; retained files keep pins readable") {
+    val root = Files.createTempDirectory("lake-cdc4").toString
+    val lake = new Lake(spark, root)
+    lake.append(rows(0 until 10).coalesce(1), Schemas.Nfp)
+    lake.append(rows(10 until 20, chain = "base").coalesce(1), Schemas.Nfp)
+    lake.append(rows(20 until 30, chain = "arbitrum").coalesce(1),
+      Schemas.Nfp)
+    val v1 = lake.snapshot(Schemas.Nfp)
+    val c0 = lake.latestCommitVersion(Schemas.Nfp).get
+    assert(lake.dropChains(Schemas.Nfp, Seq("base", "arbitrum"),
+      retain = true))
+    // atomicity: exactly ONE manifest commit for the whole statement
+    assert(lake.latestCommitVersion(Schemas.Nfp).get == c0 + 1,
+      "a multi-chain drop committed more than once")
+    assert(lake.read(Schemas.Nfp).select("chain_name").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("ethereum"))
+    // retention ran after publish (removeReplaced ordering): the
+    // pre-drop pinned snapshot still replays all three chains
+    assert(lake.readAt(Schemas.Nfp, v1).count() == 30L)
+    // the feed surfaces the drop as deletes of the two chains' rows
+    val feed = lake.changesBetweenCommits(Schemas.Nfp, c0, c0 + 1)
+    assert(feed.filter(col("_change_type") === "delete").count() == 20L &&
+      feed.filter(col("_change_type") === "insert").count() == 0L)
+    // dropping chains that don't exist is a no-op, not a commit
+    assert(!lake.dropChains(Schemas.Nfp, Seq("nope", "nada")))
+    assert(lake.latestCommitVersion(Schemas.Nfp).get == c0 + 1)
+  }
+
+  test("commitHistory lists (version, wall-clock, operation) for the retained log") {
+    val root = Files.createTempDirectory("lake-cdc5").toString
+    val lake = new Lake(spark, root)
+    lake.append(rows(0 until 10).coalesce(1), Schemas.Nfp)
+    lake.append(rows(10 until 20, chain = "base").coalesce(1), Schemas.Nfp)
+    lake.append(rows(20 until 30, chain = "arbitrum").coalesce(1),
+      Schemas.Nfp)
+    lake.upsert(rows(0 until 3, amt = i => s"u$i").coalesce(1),
+      Schemas.Nfp, Seq("chain_name", "transaction_hash"))
+    lake.dropChain(Schemas.Nfp, "base")
+    val hist = lake.commitHistory(Schemas.Nfp)
+    assert(hist.map(_._3) ==
+      Seq("append", "append", "append", "upsert", "dropChain"),
+      s"operation sequence diverged: ${hist.map(_._3)}")
+    assert(hist.map(_._1) == hist.map(_._1).sorted &&
+      hist.forall(_._2.exists(_ > 0L)),
+      "versions must ascend and every commit must carry a wall-clock")
+  }
+}
