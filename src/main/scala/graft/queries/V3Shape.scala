@@ -1461,6 +1461,95 @@ object V3Shape {
         |SELECT 'insert' AS _change_type, CAST(k % 7 AS BIGINT) AS log_index,
         |    count(*) AS n, CAST(sum(a0) AS BIGINT) AS sum_a0
         |  FROM post GROUP BY 2
-        |ORDER BY 1, 2""".stripMargin))
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // STREAMING CDC READ — round-15's `lake-changes` source: the
+    // commit log itself streamed as micro-batches (offsets ARE
+    // manifest commit versions; `maxVersionsPerBatch = 1` forces one
+    // commit per batch, so the AvailableNow drain replays SIX commits
+    // — three ethereum waves, two never-touched base pads, one
+    // retained upsert whose key envelope spans every ethereum file —
+    // as six ordered batches). The accumulated sink must equal the
+    // batch change feed: inserts = every appended row plus every
+    // post-upsert row of the touched files, deletes = the touched
+    // files' pre-upsert rows, and the untouched base chain surfaces
+    // ONLY its append inserts. All planning is manifest-served (zero
+    // listings require'd on the row's lake).
+    ("s27_cdc_streamed",
+      ((s: SparkSession, d: String) => {
+        import graft.v3.{Lake, Schemas}
+        val orders = Tables.orders(s, d)
+        val k = col("o_orderkey")
+        def derive(df: org.apache.spark.sql.DataFrame) = nfpFromOrders(df)
+        val root = s"/tmp/graft-cdcstream-lake/${Llm.sfCacheKey(d)}"
+        val lake = new Lake(s, root)
+        lake.dropTable(Schemas.Nfp)
+        val mx = orders.agg(max(k)).first().getLong(0)
+        val q3 = mx / 3 + 1
+        (0 until 3).foreach(j =>
+          lake.append(derive(orders.filter(k >= j * q3 && k < (j + 1) * q3))
+            .coalesce(1), Schemas.Nfp))
+        // a second, never-updated chain: the feed must carry its
+        // append inserts and nothing else
+        (0 until 2).foreach(j =>
+          lake.append(derive(orders.filter(pmod(k, lit(22)) === j * 11))
+            .withColumn("chain_name", lit("base")).coalesce(1),
+            Schemas.Nfp))
+        val upd = derive(orders.filter(k < 500 && pmod(k, lit(10)) === 0))
+          .withColumn("amount0",
+            (col("amount0").cast("long") + 100).cast("string"))
+        val ins = derive(orders.filter(k <= 37)
+          .withColumn("o_orderkey", k + mx + 1))
+        lake.upsert(upd.unionAll(ins), Schemas.Nfp,
+          Seq("chain_name", "transaction_hash"), retain = true)
+        val out = Llm.streamTempRunFor("graft-cdcstream") { base =>
+          val sink = s"$base/accum"
+          val q = graft.streaming.Streaming.changeStream(s, root,
+              Schemas.Nfp, startingVersion = Some(0L),
+              maxVersionsPerBatch = Some(1L))
+            .writeStream
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              b.write.mode("append").parquet(sink); ()
+            }
+            .option("checkpointLocation", s"$base/ck")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          try q.awaitTermination() finally if (q.isActive) q.stop()
+          s.read.parquet(sink)
+            .groupBy(col("_change_type"), col("chain_name"),
+              col("log_index"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("amount0").cast("long")).as("sum_a0"))
+            .orderBy(col("_change_type"), col("chain_name"),
+              col("log_index"))
+        }
+        require(lake.listCalls.get() == 0L,
+          s"the CDC-stream lifecycle fell back to ${lake.listCalls.get()} " +
+            "recursive listing(s) - stream planning must be manifest-served")
+        out
+      }): Q,
+      Some("""WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+        |base AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |pre AS (SELECT k % 7 AS li, cents AS a0 FROM base),
+        |post AS (
+        |  SELECT k % 7 AS li,
+        |      cents + CASE WHEN k < 500 AND k % 10 = 0
+        |        THEN 100 ELSE 0 END AS a0
+        |    FROM base
+        |  UNION ALL
+        |  SELECT (b.k + mx.m + 1) % 7 AS li, b.cents AS a0
+        |    FROM base b, mx WHERE b.k <= 37),
+        |pads AS (SELECT k % 7 AS li, cents AS a0 FROM base WHERE k % 11 = 0),
+        |evts AS (
+        |  SELECT 'insert' AS ct, 'ethereum' AS ch, li, a0 FROM pre
+        |  UNION ALL SELECT 'insert', 'ethereum', li, a0 FROM post
+        |  UNION ALL SELECT 'delete', 'ethereum', li, a0 FROM pre
+        |  UNION ALL SELECT 'insert', 'base', li, a0 FROM pads)
+        |SELECT ct AS _change_type, ch AS chain_name,
+        |  CAST(li AS BIGINT) AS log_index,
+        |  count(*) AS n, CAST(sum(a0) AS BIGINT) AS sum_a0
+        |FROM evts GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
   )
 }

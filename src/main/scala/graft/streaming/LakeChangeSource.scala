@@ -1,0 +1,252 @@
+package graft.streaming
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.plans.ManifestPartitioningIndex
+import graft.v3.Lake
+
+/** The lake's STREAMING change feed — `readStream.format("lake-changes")`
+  * over a lake table's commit log: one micro-batch per manifest
+  * commit range, each row a change the committing version made
+  * (`_change_type` = 'insert'/'delete', `_commit_version` = the
+  * commit), the Delta-style CDF stream that lets a downstream
+  * incremental consumer chain onto a lake table instead of
+  * batch-polling [[graft.v3.Lake.tableChanges]].
+  *
+  * Offsets ARE manifest commit versions — the commit log already
+  * totally orders the table's history, so the stream needs no side
+  * state: `latestOffset` is one commit-log listing, and a micro-batch
+  * `(start, end]` plans from [[graft.v3.Lake.changePlanBetween]] (the
+  * commit-grain feed: rewrite-only compaction/clustering commits
+  * contribute nothing, retained files resolve from the retention
+  * area). Planning is manifest-served — zero directory listings —
+  * and each batch scans exactly the changed files through Spark's own
+  * DSv2 parquet machinery over a [[ManifestPartitioningIndex]].
+  *
+  * INVALIDATION IS LOUD: a checkpoint resumed after manifest
+  * retention expired its next commit, or after [[graft.v3.Lake.vacuum]]
+  * deleted a retired file the feed still needs, fails the stream with
+  * the reason — a change feed that silently skips history corrupts
+  * every consumer joining deletes by key (LakeChangeStreamSpec pins
+  * both refusals).
+  *
+  * Options: `root` + `table` (required), `startingVersion` (first
+  * batch starts AFTER this commit; default = the latest version at
+  * stream start, i.e. only new changes — pass 0 to replay the whole
+  * retained history), `maxVersionsPerBatch` (admission control: at
+  * most this many commits per micro-batch; default unbounded).
+  * `Trigger.AvailableNow` is supported natively (the stream pins the
+  * target version at start and drains up to it, honoring
+  * `maxVersionsPerBatch` per batch). */
+class LakeChangesProvider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "lake-changes"
+
+  private def lakeOf(options: CaseInsensitiveStringMap): (String, String) = {
+    val root = Option(options.get("root")).getOrElse(throw
+      new IllegalArgumentException("lake-changes needs option 'root'"))
+    val table = Option(options.get("table")).getOrElse(throw
+      new IllegalArgumentException("lake-changes needs option 'table'"))
+    (root, table)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (root, table) = lakeOf(options)
+    LakeChangesProvider.changeSchema(
+      new Lake(SparkSession.active, root).effectiveSchema(table))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val (root, table) = lakeOf(opts)
+    new LakeChangesTable(root, table, schema)
+  }
+}
+
+object LakeChangesProvider {
+  /** The feed's schema: the table's columns (declared order) plus the
+    * two change-metadata columns. */
+  def changeSchema(tableSchema: StructType): StructType =
+    tableSchema.add("_change_type", StringType)
+      .add("_commit_version", LongType)
+}
+
+private[graft] class LakeChangesTable(root: String, lakeTable: String,
+    schema0: StructType) extends Table with SupportsRead {
+
+  override def name(): String = s"lake-changes($root/$lakeTable)"
+
+  override def schema(): StructType = schema0
+
+  override def capabilities(): util.Set[TableCapability] = {
+    val s = new util.HashSet[TableCapability]()
+    s.add(TableCapability.MICRO_BATCH_READ)
+    s
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ScanBuilder {
+    override def build(): Scan = new Scan {
+      override def readSchema(): StructType = schema0
+      override def toMicroBatchStream(checkpointLocation: String)
+          : MicroBatchStream =
+        new LakeChangeStream(SparkSession.active, root, lakeTable,
+          schema0,
+          Option(options.get("startingVersion")).map(_.toLong),
+          Option(options.get("maxVersionsPerBatch")).map(_.toLong))
+      override def description(): String =
+        s"LakeChangesScan($lakeTable)"
+    }
+  }
+}
+
+/** One committed-version offset in the table's commit log. */
+private[graft] case class LakeCommitOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+private[graft] class LakeChangeStream(
+    spark: SparkSession,
+    root: String,
+    lakeTable: String,
+    outSchema: StructType,
+    startingVersion: Option[Long],
+    maxVersionsPerBatch: Option[Long])
+  extends MicroBatchStream with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow {
+
+  maxVersionsPerBatch.foreach(m => require(m > 0,
+    s"maxVersionsPerBatch must be positive (got $m)"))
+
+  private val lake = new Lake(spark, root)
+  private val tableDir = new Path(s"$root/$lakeTable")
+  private val tableSchema = StructType(outSchema.fields.dropRight(2))
+  private val partCols =
+    Seq("chain_name").filter(tableSchema.fieldNames.contains)
+  private val partSchema =
+    StructType(tableSchema.fields.filter(f => partCols.contains(f.name)))
+  private val dataSchema =
+    StructType(tableSchema.fields.filterNot(f => partCols.contains(f.name)))
+
+  private def latestVersion: Long =
+    lake.latestCommitVersion(lakeTable).getOrElse(0L)
+
+  /** AvailableNow pins its drain target when the query starts. */
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(latestVersion)
+
+  override def initialOffset(): Offset =
+    LakeCommitOffset(startingVersion.getOrElse(latestVersion))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-control form")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[LakeCommitOffset].version
+    val upper = availableNowTarget.fold(latestVersion)(
+      t => math.min(t, latestVersion))
+    val capped = maxVersionsPerBatch.fold(upper)(
+      m => math.min(upper, from + m))
+    LakeCommitOffset(math.max(from, capped))
+  }
+
+  override def reportLatestOffset(): Offset =
+    LakeCommitOffset(latestVersion)
+
+  override def deserializeOffset(json: String): Offset =
+    LakeCommitOffset(json.toLong)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[LakeCommitOffset].version
+    val to = end.asInstanceOf[LakeCommitOffset].version
+    lake.changePlanBetween(lakeTable, from, to).flatMap {
+      case (v, kind, entries) =>
+        val index = new ManifestPartitioningIndex(spark, tableDir,
+          entries.map(e => (e._2, e._3)), partSchema)
+        ParquetScanBuilder(spark, index, tableSchema, dataSchema,
+            CaseInsensitiveStringMap.empty()).build().toBatch
+          .planInputPartitions()
+          .map(p => TaggedChangePartition(p, kind, v))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // the parquet reader factory is file-list-independent (files ride
+    // in each InputPartition) - build it once over an empty index
+    val empty = new ManifestPartitioningIndex(spark, tableDir,
+      Seq.empty, partSchema)
+    val delegate = ParquetScanBuilder(spark, empty, tableSchema,
+        dataSchema, CaseInsensitiveStringMap.empty()).build().toBatch
+      .createReaderFactory()
+    // delegate rows flow data-then-partition; map them (plus the two
+    // tag fields) back into the declared schema order
+    val joined = StructType(dataSchema.fields ++ partSchema.fields)
+      .add("_change_type", StringType).add("_commit_version", LongType)
+    val ordinals = outSchema.fields.map(f => joined.fieldIndex(f.name))
+    TaggedChangeReaderFactory(delegate,
+      ordinals, joined.fields.map(_.dataType))
+  }
+
+  override def toString: String =
+    s"LakeChangeStream($lakeTable, starting=$startingVersion)"
+}
+
+/** A delegate parquet partition tagged with the change it carries. */
+private[graft] case class TaggedChangePartition(
+    delegate: InputPartition, changeType: String, commitVersion: Long)
+  extends InputPartition
+
+/** Wraps the parquet readers: every delegate row is appended the
+  * partition's (changeType, commitVersion) tag and projected into the
+  * declared column order as one unsafe row. */
+private[graft] case class TaggedChangeReaderFactory(
+    delegate: PartitionReaderFactory,
+    ordinals: Array[Int],
+    joinedTypes: Array[org.apache.spark.sql.types.DataType])
+  extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    false
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[TaggedChangePartition]
+    val inner = delegate.createReader(p.delegate)
+    val tag = new GenericInternalRow(Array[Any](
+      UTF8String.fromString(p.changeType), p.commitVersion))
+    val project = UnsafeProjection.create(
+      ordinals.map(i => BoundReference(i, joinedTypes(i),
+        nullable = true): org.apache.spark.sql.catalyst.expressions.Expression))
+    val join = new JoinedRow()
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = inner.next()
+      override def get(): InternalRow = project(join(inner.get(), tag))
+      override def close(): Unit = inner.close()
+    }
+  }
+}

@@ -206,6 +206,27 @@ object Streaming {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
 
+  /** STREAM a lake table's change feed — one micro-batch per commit
+    * range of the table's manifest log, rows tagged `_change_type` /
+    * `_commit_version` ([[LakeChangesProvider]]): the readStream leg
+    * of the lake's incremental story (streams already write INTO the
+    * lake via [[upsertStream]]; this is how a downstream consumer
+    * chains OFF one). `startingVersion`: replay begins after this
+    * commit (0 = the whole retained history; default = only commits
+    * after stream start). `maxVersionsPerBatch` bounds a micro-batch's
+    * commit count. Expired history / vacuumed files fail the stream
+    * loudly — see the provider doc. */
+  def changeStream(spark: SparkSession, root: String, table: String,
+                   startingVersion: Option[Long] = None,
+                   maxVersionsPerBatch: Option[Long] = None): DataFrame = {
+    val r = spark.readStream.format("lake-changes")
+      .option("root", root).option("table", table)
+    val r1 = startingVersion.fold(r)(v =>
+      r.option("startingVersion", v.toString))
+    maxVersionsPerBatch.fold(r1)(m =>
+      r1.option("maxVersionsPerBatch", m.toString)).load()
+  }
+
   /** Incremental HLL sketch maintenance — the mergeable-sketch story
     * ([[graft.functions.HllAgg]]) made executable: each micro-batch
     * aggregates ONLY ITS OWN rows into per-group partial registers

@@ -1218,16 +1218,35 @@ class Lake(spark: SparkSession, val root: String) {
     * over exactly the changed files to execute. */
   def changesBetweenCommits(table: String, fromVersion: Long,
                             toVersion: Long): DataFrame = {
-    require(fromVersion <= toVersion,
-      s"changesBetweenCommits of $table needs fromVersion <= toVersion " +
-        s"(got $fromVersion > $toVersion)")
-    val (kinds, inc) = manifestState(table)
     val schema = effectiveSchema(table)
     def emptyOut: DataFrame = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       schema.add("_change_type", org.apache.spark.sql.types.StringType)
         .add("_commit_version", org.apache.spark.sql.types.LongType))
-    if (fromVersion == toVersion) return emptyOut
+    val parts = changePlanBetween(table, fromVersion, toVersion)
+      .map { case (v, kind, entries) =>
+        readEntries(table, entries, schema)
+          .withColumn("_change_type", lit(kind))
+          .withColumn("_commit_version", lit(v))
+      }
+    if (parts.isEmpty) emptyOut else parts.reduce(_.unionByName(_))
+  }
+
+  /** The driver-side plan behind [[changesBetweenCommits]] and the
+    * streaming CDC source ([[graft.streaming]]'s lake-changes format):
+    * for each data-changing commit in `(fromVersion, toVersion]`, in
+    * order, the resolved file entries of each side —
+    * (commitVersion, "delete"|"insert", entries(chain, absPath,
+    * bytes)). Rewrite-only commits contribute nothing; expired
+    * history and vacuumed files refuse loudly (doc on
+    * [[changesBetweenCommits]]). */
+  private[graft] def changePlanBetween(table: String, fromVersion: Long,
+      toVersion: Long): Seq[(Long, String, Seq[(String, String, Long)])] = {
+    require(fromVersion <= toVersion,
+      s"changesBetweenCommits of $table needs fromVersion <= toVersion " +
+        s"(got $fromVersion > $toVersion)")
+    if (fromVersion == toVersion) return Seq.empty
+    val (kinds, inc) = manifestState(table)
     val retained = kinds.map(_._1).toSet
     val wanted = (fromVersion + 1) to toVersion
     val missing = wanted.filterNot(retained)
@@ -1236,7 +1255,7 @@ class Lake(spark: SparkSession, val root: String) {
         s"commit version(s) ${missing.take(5).mkString(", ")} expired by " +
         "manifest retention - that history is gone; restart the change " +
         "feed from a current snapshot of the table")
-    val parts = wanted.flatMap { v =>
+    wanted.flatMap { v =>
       val isDelta = kinds.find(_._1 == v).exists(_._2)
       if (rewriteOps(commitHeaderOf(table, inc, v, isDelta)._2)) Seq.empty
       else {
@@ -1257,18 +1276,16 @@ class Lake(spark: SparkSession, val root: String) {
             val cur = resolveManifest(table, inc, kinds, v).map(_._1).toSet
             ((cur -- prev).toSeq, (prev -- cur).toSeq)
           }
-        def side(rels: Seq[String], kind: String): Option[DataFrame] =
+        def side(rels: Seq[String], kind: String)
+            : Option[(Long, String, Seq[(String, String, Long)])] =
           if (rels.isEmpty) None
-          else Some(readEntries(table,
+          else Some((v, kind,
             resolveLiveOrRetired(table, rels.sorted,
               s"changesBetweenCommits($fromVersion, $toVersion)")
-              .map { case (p, b) => (chainOfRel(p), p, b) }, schema)
-            .withColumn("_change_type", lit(kind))
-            .withColumn("_commit_version", lit(v)))
+              .map { case (p, b) => (chainOfRel(p), p, b) }))
         side(removed, "delete").toSeq ++ side(added, "insert")
       }
     }
-    if (parts.isEmpty) emptyOut else parts.reduce(_.unionByName(_))
   }
 
   /** Mapped-inventory cache keyed by (table, version) — the
