@@ -1076,14 +1076,17 @@ object V3Shape {
             (col("amount0").cast("long") + 100).cast("string"))
         lake.upsert(upd, Schemas.Nfp,
           Seq("chain_name", "transaction_hash"), retain = true)
-        // catalog name unique per RUN: the session's CatalogManager
-        // caches instances by NAME for the session's life, so a reused
-        // name would pin the first run's root AND its Lake instance's
-        // version-keyed caches across this row's dropTable+rebuild
-        // (bench reps run the row twice per JVM)
+        // ONE stable catalog name per (row, sf): the session's
+        // CatalogManager caches the instance for the session's life,
+        // and that is now SAFE across this row's dropTable+rebuild —
+        // every lake cache (relations, inventories, scan indexes,
+        // commit headers) is salted by the manifest INCARNATION id, so
+        // a recreate serves fresh state through the same instance
+        // (LakeCatalogSpec "dropTable+recreate through ONE catalog").
+        // The r13 nanoTime-suffixed workaround accumulated session
+        // conf across bench reps; retired round 15.
         val cat = "graft_sql_" +
-          Llm.sfCacheKey(d).replaceAll("[^A-Za-z0-9]", "_") +
-          s"_${System.nanoTime()}"
+          Llm.sfCacheKey(d).replaceAll("[^A-Za-z0-9]", "_")
         s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
         s.conf.set(s"spark.sql.catalog.$cat.root", root)
         // the SQL write path: one row through the manifest transaction
@@ -1145,8 +1148,7 @@ object V3Shape {
         lake.dropTable("ddl_orders")
         lake.dropTable("ddl_agg")
         val cat = "graft_ddl_" +
-          Llm.sfCacheKey(d).replaceAll("[^A-Za-z0-9]", "_") +
-          s"_${System.nanoTime()}"
+          Llm.sfCacheKey(d).replaceAll("[^A-Za-z0-9]", "_")
         s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
         s.conf.set(s"spark.sql.catalog.$cat.root", root)
         s.sql(s"""CREATE TABLE $cat.ddl_orders (
@@ -1213,8 +1215,7 @@ object V3Shape {
             .coalesce(1), Schemas.Nfp))
         val v0 = lake.snapshot(Schemas.Nfp)
         val cat = "graft_del_" +
-          Llm.sfCacheKey(d).replaceAll("[^A-Za-z0-9]", "_") +
-          s"_${System.nanoTime()}"
+          Llm.sfCacheKey(d).replaceAll("[^A-Za-z0-9]", "_")
         s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
         s.conf.set(s"spark.sql.catalog.$cat.root", root)
         // predicate delete: the general copy-on-write path
@@ -1278,8 +1279,7 @@ object V3Shape {
         lake.append(nfpFromOrders(orders.filter(k >= h)).coalesce(1),
           Schemas.Nfp)
         val cat = "graft_ts_" +
-          Llm.sfCacheKey(d).replaceAll("[^A-Za-z0-9]", "_") +
-          s"_${System.nanoTime()}"
+          Llm.sfCacheKey(d).replaceAll("[^A-Za-z0-9]", "_")
         s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
         s.conf.set(s"spark.sql.catalog.$cat.root", root)
         def agg(from: String) = s.sql(
@@ -1343,8 +1343,7 @@ object V3Shape {
             .coalesce(1), Schemas.Nfp))
         val v0 = lake.snapshot(Schemas.Nfp)
         val cat = "graft_upd_" +
-          Llm.sfCacheKey(d).replaceAll("[^A-Za-z0-9]", "_") +
-          s"_${System.nanoTime()}"
+          Llm.sfCacheKey(d).replaceAll("[^A-Za-z0-9]", "_")
         s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
         s.conf.set(s"spark.sql.catalog.$cat.root", root)
         s.sql(s"""UPDATE $cat.nfp

@@ -62,8 +62,7 @@ class LakeCatalog extends TableCatalog {
     root = Option(options.get("root")).getOrElse(
       throw new IllegalArgumentException(
         s"catalog '$name' needs spark.sql.catalog.$name.root"))
-    if (LakeCatalog.byName.size > 64) LakeCatalog.byName.clear()
-    LakeCatalog.byName.put(name, this)
+    LakeCatalog.register(name, this)
     LakeCatalog.ensureTruncateStrategy()
   }
 
@@ -283,10 +282,22 @@ object LakeCatalog {
   /** Test seam: initialized catalog instances by NAME, so specs and
     * graded rows assert zero-listing plans on exactly the Lake THEIR
     * catalog serves from — a single last-instance handle would race
-    * any other catalog initialization in the JVM. Bounded (graded
-    * rows mint one uniquely-named catalog per run). */
+    * any other catalog initialization in the JVM. Bounded by
+    * OLDEST-entry eviction past 64 names (insertion-ordered; a
+    * clear-all here once dropped every live seam whenever the 65th
+    * catalog of a JVM initialized). */
   private val byName =
     new java.util.concurrent.ConcurrentHashMap[String, LakeCatalog]()
+  private val byNameOrder =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private def register(name: String, cat: LakeCatalog): Unit = {
+    if (byName.put(name, cat) == null) byNameOrder.add(name)
+    while (byName.size > 64) {
+      val oldest = byNameOrder.poll()
+      if (oldest == null) return
+      byName.remove(oldest)
+    }
+  }
   private[graft] def instance(name: String): Option[LakeCatalog] =
     Option(byName.get(name))
 
@@ -407,7 +418,7 @@ private[graft] class LakeTable(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     val op = new LakeRowLevelOperation(spark, lake, lakeTable, tableDir,
-      entries, tableSchema, partCols, info.command)
+      entries, tableSchema, partCols, info.command, cacheKey)
     () => op
   }
 
@@ -474,15 +485,31 @@ private[graft] class LakeTable(
     // rebuilding 10⁶ synthetic FileStatus + the partition spec each
     // time cost 7 s/query at a million files (ManifestProbe
     // dsv2_plan_pruned_warm), so current-manifest loads serve it from
-    // the per-(root, table, incarnation, version, schema) cache.
-    // Pinned loads (VERSION/TIMESTAMP AS OF) build fresh: their
-    // entries mix live and retired locations that retirement can
-    // still move under a cached index.
+    // the per-(root, table, incarnation, version, schema) cache. A
+    // cache miss one-or-a-few DELTA commits past a cached version
+    // PATCHES the cached index forward (O(batch), shared FileStatus
+    // arrays for untouched dirs) instead of rebuilding O(files) —
+    // ~3 s per commit at 10⁶ entries otherwise (ManifestProbe
+    // dsv2_plan_after_commit); the patched result is trusted only if
+    // its (count, bytes) fingerprint matches the manifest's own entry
+    // set, else full rebuild. Pinned loads (VERSION/TIMESTAMP AS OF)
+    // build fresh: their entries mix live and retired locations that
+    // retirement can still move under a cached index.
     val index = cacheKey match {
       case Some((inc, v)) =>
         LakeTable.cachedIndex(lake.root, lakeTable, inc, v, tableSchema,
-          () => new ManifestPartitioningIndex(spark, tableDir, entries,
-            partSchema))
+          () => {
+            val patched = LakeTable
+              .earlierIndex(lake.root, lakeTable, inc, v, tableSchema)
+              .flatMap { case (w, prev) =>
+                lake.commitDeltasAbs(lakeTable, inc, w, v).map(_.foldLeft(
+                  prev) { case (idx, (adds, rms)) => idx.patched(adds, rms) })
+              }
+              .filter(_.fingerprint ==
+                ((entries.size.toLong, entries.map(_._2).sum)))
+            patched.getOrElse(new ManifestPartitioningIndex(spark,
+              tableDir, entries, partSchema))
+          })
       case None =>
         new ManifestPartitioningIndex(spark, tableDir, entries, partSchema)
     }
@@ -536,6 +563,21 @@ private[graft] object LakeTable {
         (k._3 != inc || k._4 < v || (k._4 == v && k._5 != schema)))
       idx
     }
+  }
+
+  /** The newest cached index of this table OLDER than `v` (same
+    * incarnation + schema) — the patch base for the incremental
+    * per-commit index update. Eviction keeps at most one version per
+    * table, so this is a bounded scan of a small map. */
+  private[sources] def earlierIndex(root: String, table: String,
+      inc: String, v: Long, schema: StructType)
+      : Option[(Long, ManifestPartitioningIndex)] = {
+    import scala.jdk.CollectionConverters._
+    indexCache.entrySet().asScala
+      .filter(e => e.getKey._1 == root && e.getKey._2 == table &&
+        e.getKey._3 == inc && e.getKey._4 < v && e.getKey._5 == schema)
+      .maxByOption(_.getKey._4)
+      .map(e => (e.getKey._4, e.getValue))
   }
 
   /** The V1 filter algebra Spark hands `SupportsDelete`, translated

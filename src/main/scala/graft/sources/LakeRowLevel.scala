@@ -59,7 +59,26 @@ private[graft] class LakeRowLevelOperation(
     entries: Seq[(String, Long)],
     tableSchema: StructType,
     partCols: Seq[String],
-    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+    cmd: RowLevelOperation.Command,
+    cacheKey: Option[(String, Long)] = None) extends RowLevelOperation {
+
+  /** The FULL-table index for this operation's scan: served from the
+    * same per-(root, table, incarnation, version, schema) cache the
+    * SELECT path uses when the entries came from the current manifest
+    * (`cacheKey`), so a full-table UPDATE/MERGE — or one whose group
+    * filter didn't parse — doesn't pay the O(files) rebuild the probe
+    * measured at ~3 s per 10⁶ entries. Runtime-NARROWED sets stay
+    * fresh-built (they're statement-specific subsets, O(matched
+    * partitions) anyway). */
+  private[sources] def fullIndex(partSchema: StructType)
+      : ManifestPartitioningIndex = cacheKey match {
+    case Some((inc, v)) =>
+      LakeTable.cachedIndex(lake.root, lakeTable, inc, v, tableSchema,
+        () => new ManifestPartitioningIndex(spark, tableDir, entries,
+          partSchema))
+    case None =>
+      new ManifestPartitioningIndex(spark, tableDir, entries, partSchema)
+  }
 
   /** What the write replaces: the file set the shared scan ULTIMATELY
     * planned. Starts as the full table; runtime group filtering and
@@ -120,7 +139,8 @@ private[graft] class LakeRowLevelScan(
     tableSchema: StructType,
     partCols: Seq[String],
     op: LakeRowLevelOperation) extends Scan with Batch
-    with SupportsRuntimeV2Filtering {
+    with SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   @volatile private var current: Seq[(String, Long)] = allEntries
 
@@ -187,14 +207,36 @@ private[graft] class LakeRowLevelScan(
     }
   }
 
+  /** Manifest-summed statistics for the rewrite's source-vs-target
+    * join sizing: without them the `MERGE` target scan defaults to
+    * `spark.sql.defaultSizeInBytes` and a tiny lake target merged
+    * against a large source misses its broadcast. Same compression
+    * factor Spark's own `FileScan.estimateStatistics` applies. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val bytes = (current.map(_._2).sum *
+      spark.sessionState.conf.fileCompressionFactor).toLong
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
+
   // the delegate is rebuilt if the entry set narrowed between calls
-  // (planInputPartitions and createReaderFactory must agree)
+  // (planInputPartitions and createReaderFactory must agree); the
+  // UNFILTERED set serves its index from the catalog's per-version
+  // cache through the operation (full-table statements skip the
+  // O(files) rebuild)
   @volatile private var built: (Seq[(String, Long)], Batch) = _
   private def delegate: Batch = synchronized {
     val snap = current
     if (built == null || (built._1 ne snap)) {
       val index =
-        new ManifestPartitioningIndex(spark, tableDir, snap, partSchema)
+        if (snap eq allEntries) op.fullIndex(partSchema)
+        else new ManifestPartitioningIndex(spark, tableDir, snap,
+          partSchema)
       built = (snap, ParquetScanBuilder(spark, index, tableSchema,
         dataSchema, CaseInsensitiveStringMap.empty()).build().toBatch)
     }

@@ -1030,6 +1030,38 @@ class Lake(spark: SparkSession, val root: String) {
     }
   }
 
+  /** The (adds, removes) of each DELTA commit in `(fromExclusive,
+    * toInclusive]`, as (absolute path, bytes) / absolute-path sets —
+    * what the SQL catalog's index cache replays to PATCH a cached
+    * [[graft.plans.ManifestPartitioningIndex]] forward per commit
+    * (O(batch)) instead of rebuilding it O(files) (~3 s at 10⁶
+    * entries, ManifestProbe `dsv2_plan_after_commit`). None whenever a
+    * replay would be wrong or not worth it: any version in the range
+    * is a CHECKPOINT (full manifest — its body is the state, not a
+    * diff), the range is no longer retained, the manifest incarnation
+    * changed (drop/recreate), or the gap exceeds 64 commits (a full
+    * rebuild is cheaper than a long replay). Callers fall back to the
+    * full build — the patch is a fast path, never load-bearing for
+    * correctness (the cache also fingerprint-checks the result). */
+  private[graft] def commitDeltasAbs(table: String, inc: String,
+      fromExclusive: Long, toInclusive: Long)
+      : Option[Seq[(Seq[(String, Long)], Set[String])]] = {
+    if (toInclusive <= fromExclusive ||
+        toInclusive - fromExclusive > 64) return None
+    val (kinds, curInc) = manifestState(table)
+    if (curInc != inc) return None
+    val range = (fromExclusive + 1) to toInclusive
+    if (!range.forall(w => kinds.exists(k => k._1 == w && k._2)))
+      return None
+    val base = fs.makeQualified(new Path(dir(table))).toString
+    try Some(range.map { w =>
+      val (added, removedRel) = readDelta(table, w)
+      (added.map { case (rel, b) => (s"$base/$rel", b) },
+        removedRel.map(r => s"$base/$r"))
+    })
+    catch { case _: java.io.IOException => None }
+  }
+
   /** Read the table exactly as of wall-clock `tsMillis` — the Scala
     * twin of SQL `TIMESTAMP AS OF` ([[graft.sources.LakeCatalog]]).
     * Rewritten-away files resolve against the retention area; missing

@@ -399,6 +399,180 @@ class LakeCatalogSpec extends SparkSpec {
     assert(rLake.fileInventory("race_t") == rLake.listInventory("race_t"))
   }
 
+  test("full-table UPDATE serves its scan index from the SELECT path's cache (zero rebuilds)") {
+    seed()
+    spark.sql(
+      """CREATE TABLE graft_lake.fullupd_t (chain_name STRING, k BIGINT, v STRING)
+        |""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_lake.fullupd_t VALUES
+        | ('ethereum', 1, 'a'), ('base', 2, 'b')""".stripMargin)
+    // warm: this SELECT builds (or reuses) the current version's index
+    assert(spark.sql("SELECT count(*) FROM graft_lake.fullupd_t")
+      .collect()(0).getLong(0) == 2L)
+    val builds0 = graft.plans.ManifestPartitioningIndex.builds.get()
+    // no WHERE -> no runtime group filter -> the rewrite scan plans the
+    // FULL entry set, which must come from the per-version cache, not
+    // a fresh O(files) construction per statement
+    spark.sql("UPDATE graft_lake.fullupd_t SET v = upper(v)")
+    assert(graft.plans.ManifestPartitioningIndex.builds.get() == builds0,
+      s"full-table UPDATE rebuilt the scan index " +
+        s"(${graft.plans.ManifestPartitioningIndex.builds.get() - builds0} " +
+        "full build(s); expected cache reuse)")
+    val got = spark.sql(
+      "SELECT v FROM graft_lake.fullupd_t ORDER BY k")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("A", "B"), got.toString)
+  }
+
+  test("a query one delta commit past the cached index PATCHES it forward; patched == rebuilt") {
+    seed()
+    spark.sql(
+      """CREATE TABLE graft_lake.patch_t (chain_name STRING, k BIGINT, v STRING)
+        |""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_lake.patch_t VALUES
+        | ('ethereum', 1, 'a'), ('ethereum', 2, 'b'), ('base', 3, 'c')
+        |""".stripMargin)
+    // warm the index cache at the current version
+    assert(spark.sql("SELECT count(*) FROM graft_lake.patch_t")
+      .collect()(0).getLong(0) == 3L)
+    val patchLake = new graft.v3.Lake(spark, root)
+    import spark.implicits._
+    // a delta with ADDS + REMOVES (upsert) plus a brand-new partition
+    // (dir birth) - the two patch shapes beyond a plain append
+    patchLake.upsert(Seq(("ethereum", 2L, "u"), ("arbitrum", 9L, "n"))
+      .toDF("chain_name", "k", "v"), "patch_t", Seq("chain_name", "k"),
+      retain = true)
+    val builds0 = graft.plans.ManifestPartitioningIndex.builds.get()
+    val got = spark.sql(
+      "SELECT chain_name, k, v FROM graft_lake.patch_t ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSeq
+    assert(got == Seq(("ethereum", 1L, "a"), ("ethereum", 2L, "u"),
+      ("base", 3L, "c"), ("arbitrum", 9L, "n")), got.toString)
+    assert(graft.plans.ManifestPartitioningIndex.builds.get() == builds0,
+      "the post-commit query fully rebuilt the index instead of " +
+        "patching the cached one forward")
+    // structural pin: the PATCHED index the cache now holds is
+    // file-for-file identical to a from-scratch build of the same
+    // version (dirs, paths, sizes, partition values)
+    val (inc, v, entries) = patchLake.currentEntriesKeyed("patch_t").get
+    val schema = patchLake.effectiveSchema("patch_t")
+    val cached = LakeTable.cachedIndex(patchLake.root, "patch_t", inc, v,
+      schema, () => fail("index not cached after the query"))
+    val fresh = new graft.plans.ManifestPartitioningIndex(spark,
+      new org.apache.hadoop.fs.Path(s"$root/patch_t"), entries,
+      org.apache.spark.sql.types.StructType(
+        schema.fields.filter(_.name == "chain_name")))
+    def shape(i: graft.plans.ManifestPartitioningIndex) =
+      i.leafDirToChildrenFiles.map { case (d, arr) =>
+        d.toString -> arr.map(s => (s.getPath.toString, s.getLen))
+          .sortBy(_._1).toSeq
+      }
+    assert(shape(cached) == shape(fresh), "patched index diverged from rebuild")
+    assert(cached.partitionSpec().partitions.map(p =>
+        (p.path.toString, p.values.toSeq(Seq(org.apache.spark.sql.types
+          .StringType)))).toSet ==
+      fresh.partitionSpec().partitions.map(p =>
+        (p.path.toString, p.values.toSeq(Seq(org.apache.spark.sql.types
+          .StringType)))).toSet,
+      "patched partition spec diverged from rebuild")
+  }
+
+  test("row-level scan reports manifest-summed statistics; small-source MERGE broadcasts") {
+    seed()
+    spark.sql(
+      """CREATE TABLE graft_lake.stat_t (chain_name STRING, k BIGINT, v STRING)
+        |""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_lake.stat_t VALUES
+        | ('ethereum', 1, 'a'), ('ethereum', 2, 'b'), ('base', 3, 'c')
+        |""".stripMargin)
+    val statLake = new graft.v3.Lake(spark, root)
+    val (inc, v, entries) = statLake.currentEntriesKeyed("stat_t").get
+    val schema = statLake.effectiveSchema("stat_t")
+    val op = new LakeRowLevelOperation(spark, statLake, "stat_t",
+      new org.apache.hadoop.fs.Path(s"$root/stat_t"), entries, schema,
+      Seq("chain_name"),
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.UPDATE,
+      Some((inc, v)))
+    val scan = op.newScanBuilder(
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()).build()
+    val stats = scan
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    val expect = (entries.map(_._2).sum *
+      spark.sessionState.conf.fileCompressionFactor).toLong
+    assert(stats.sizeInBytes.isPresent &&
+      stats.sizeInBytes.getAsLong == expect,
+      s"row-level scan stats ${stats.sizeInBytes} != manifest sum $expect")
+    // e2e: the rewrite's source-vs-target join must broadcast the
+    // small side instead of shuffling the lake table
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // range() keeps the source non-foldable, so the equi-join keys
+      // survive to planning and the broadcast shows as a HASH join
+      // (a literal one-row source folds into the condition -> BNLJ)
+      spark.sql(
+        """MERGE INTO graft_lake.stat_t t
+          | USING (SELECT 'ethereum' AS chain_name, id + 1 AS k,
+          |               concat('m', id) AS v FROM range(2)) s
+          | ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+      val deadline = System.currentTimeMillis() + 20000
+      var seen = false
+      while (!seen && System.currentTimeMillis() < deadline) {
+        import scala.jdk.CollectionConverters._
+        seen = plans.asScala.exists(_.contains("BroadcastHashJoin"))
+        if (!seen) Thread.sleep(100)
+      }
+      assert(seen, "small-source MERGE did not plan a broadcast join: " +
+        plans.toArray.mkString("\n---\n").take(4000))
+    } finally spark.listenerManager.unregister(listener)
+    val got = spark.sql(
+      "SELECT v FROM graft_lake.stat_t WHERE k <= 2 ORDER BY k")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("m0", "m1"), got.toString)
+  }
+
+  test("dropTable + recreate through ONE stable catalog serves fresh data (no stale caches)") {
+    seed()
+    import spark.implicits._
+    val cycLake = new graft.v3.Lake(spark, root)
+    // two full lifecycles through the SAME catalog name - exactly what
+    // a graded bench row does twice per JVM now that the
+    // nanoTime-suffixed catalog names are retired: every lake cache
+    // (relation, inventory, scan index, commit headers) must re-key on
+    // the new manifest INCARNATION, not serve the dropped table's state
+    (1 to 2).foreach { cycle =>
+      cycLake.dropTable("cyc_t")
+      spark.sql(
+        "CREATE TABLE graft_lake.cyc_t (chain_name STRING, k BIGINT, v STRING)")
+      spark.sql(
+        s"INSERT INTO graft_lake.cyc_t VALUES ('ethereum', $cycle, 'c$cycle')")
+      val got = spark.sql("SELECT k, v FROM graft_lake.cyc_t")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == Seq((cycle.toLong, s"c$cycle")),
+        s"cycle $cycle read stale data through the reused catalog: $got")
+      // the row-level path re-keys too
+      spark.sql(s"UPDATE graft_lake.cyc_t SET v = 'u$cycle' WHERE k = $cycle")
+      val upd = spark.sql("SELECT v FROM graft_lake.cyc_t")
+        .collect().map(_.getString(0)).toSeq
+      assert(upd == Seq(s"u$cycle"), s"cycle $cycle UPDATE diverged: $upd")
+    }
+    cycLake.dropTable("cyc_t")
+  }
+
   test("a manifest-less foreign table without chain_name= dirs serves unpartitioned") {
     seed()
     import spark.implicits._
