@@ -52,5 +52,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => PqCodesExpr(exprs(0), exprs(1))))
     ext.injectFunction(fn(PqFunctions.LutsName,
       exprs => PqLutsExpr(exprs(0), exprs(1), exprs(2))))
+    // the lake's SQL maintenance + history TVFs (table_history,
+    // graft_snapshot, graft_compact, graft_vacuum) and the strategy
+    // that defers their side effects to execution
+    graft.sources.LakeMaintenance.descriptions
+      .foreach(ext.injectTableFunction)
+    ext.injectPlannerStrategy(_ =>
+      graft.sources.LakeMaintenanceStrategy)
   }
 }

@@ -1,0 +1,189 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, ExpressionInfo, GenericInternalRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan, Statistics}
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, TimestampType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.v3.Lake
+
+/** The lake's SQL maintenance + history surface: table-valued
+  * functions a PURE-SQL operator (spark-sql, Thrift server, notebook)
+  * calls to run the table lifecycle the catalog otherwise only
+  * exposes through the Scala API — the published formats ship these
+  * as `VACUUM` / `OPTIMIZE` statements or procedure calls; this Spark
+  * version has no ProcedureCatalog, so they're TVFs, the standard
+  * extension point that needs no parser changes:
+  *
+  *  - `table_history('cat.tbl')` → (version, commit_ts, operation,
+  *    is_delta) from the RETAINED commit log ([[Lake.commitHistory]];
+  *    the `#ts`/`#op` headers) — what an operator reads before
+  *    deciding what to pin or vacuum;
+  *  - `graft_snapshot('cat.tbl')` → (version) — pin the current file
+  *    set ([[Lake.snapshot]]) for later `VERSION AS OF` reads;
+  *  - `graft_compact('cat.tbl', targetBytes)` → (chains_rewritten) —
+  *    bin-pack small files ([[Lake.compact]], retained);
+  *  - `graft_vacuum('cat.tbl', keepLast)` → (manifests_deleted,
+  *    files_deleted, bytes_freed) — expire old snapshots and GC their
+  *    unreferenced retained files ([[Lake.vacuum]]).
+  *
+  * Execution timing matters: the side effect runs at EXECUTION, not
+  * analysis — the TVF builder only constructs a logical leaf, and
+  * [[LakeMaintenanceStrategy]] plans it into a one-shot exec node, so
+  * `EXPLAIN SELECT * FROM graft_vacuum(…)` vacuums nothing.
+  *
+  * Deployment: `spark.sql.extensions=graft.GraftExtensions` (cluster
+  * conf) or [[LakeMaintenance.register]] (programmatic sessions) —
+  * same builders, one source of truth. The target lake resolves from
+  * the session conf the catalog itself uses
+  * (`spark.sql.catalog.<cat>.root`), reusing the initialized
+  * catalog's warm Lake when one exists. */
+object LakeMaintenance {
+
+  /** (name, arg signature hint, output schema, runner). */
+  private[sources] case class Fn(
+      name: String,
+      usage: String,
+      output: Seq[(String, org.apache.spark.sql.types.DataType)],
+      run: (Lake, String, Seq[Long]) => Seq[Seq[Any]],
+      numericArgs: Int)
+
+  private val fns: Seq[Fn] = Seq(
+    Fn("table_history", "table_history('catalog.table')",
+      Seq("version" -> LongType, "commit_ts" -> TimestampType,
+        "operation" -> StringType, "is_delta" -> BooleanType),
+      (lake, t, _) => lake.commitHistory(t).map { case (v, ts, op, d) =>
+        Seq(v, ts.map(_ * 1000L).orNull,
+          UTF8String.fromString(op), d)
+      }, numericArgs = 0),
+    Fn("graft_snapshot", "graft_snapshot('catalog.table')",
+      Seq("version" -> LongType),
+      (lake, t, _) => Seq(Seq(lake.snapshot(t))), numericArgs = 0),
+    Fn("graft_compact", "graft_compact('catalog.table', targetBytes)",
+      Seq("chains_rewritten" -> LongType),
+      (lake, t, args) =>
+        Seq(Seq(lake.compact(t, args.head, retain = true).toLong)),
+      numericArgs = 1),
+    Fn("graft_vacuum", "graft_vacuum('catalog.table', keepLast)",
+      Seq("manifests_deleted" -> LongType,
+        "files_deleted" -> LongType, "bytes_freed" -> LongType),
+      (lake, t, args) => {
+        val st = lake.vacuum(t, args.head.toInt)
+        Seq(Seq(st.manifestsDeleted.toLong, st.filesDeleted.toLong,
+          st.bytesFreed))
+      }, numericArgs = 1))
+
+  private[sources] def runFn(name: String, lake: Lake, table: String,
+                             args: Seq[Long]): Seq[Seq[Any]] =
+    fns.find(_.name == name).getOrElse(throw new IllegalStateException(
+      s"unknown maintenance function $name")).run(lake, table, args)
+
+  private def buildNode(fn: Fn, exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1 + fn.numericArgs,
+      s"${fn.name} takes ${1 + fn.numericArgs} argument(s): ${fn.usage}")
+    def evalConst(e: Expression, what: String): Any = {
+      require(e.foldable, s"${fn.name}: $what must be a literal " +
+        s"(${fn.usage}); got ${e.sql}")
+      e.eval(InternalRow.empty)
+    }
+    val ref = Option(evalConst(exprs.head, "the table name")).map(_.toString)
+      .getOrElse(throw new IllegalArgumentException(
+        s"${fn.name}: the table name is null (${fn.usage})"))
+    val parts = ref.split('.')
+    require(parts.length == 2 && parts.forall(_.nonEmpty),
+      s"${fn.name}: '$ref' is not a 'catalog.table' reference " +
+        s"(${fn.usage})")
+    val nums = exprs.tail.zipWithIndex.map { case (e, i) =>
+      evalConst(e, s"argument ${i + 2}") match {
+        case n: Number => n.longValue()
+        case other => throw new IllegalArgumentException(
+          s"${fn.name}: argument ${i + 2} must be numeric (${fn.usage}); " +
+            s"got $other")
+      }
+    }
+    LakeMaintenanceNode(fn.name, parts(0), parts(1), nums,
+      fn.output.map { case (n, t) => AttributeReference(n, t)() })
+  }
+
+  private[graft] def descriptions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan)] =
+    fns.map { fn =>
+      (FunctionIdentifier(fn.name),
+        new ExpressionInfo(LakeMaintenance.getClass.getName, fn.name),
+        (exprs: Seq[Expression]) => buildNode(fn, exprs))
+    }
+
+  /** Programmatic twin of the `spark.sql.extensions` path: attach the
+    * TVFs + their planning strategy to an EXISTING session. */
+  def register(spark: SparkSession): Unit = {
+    descriptions.foreach { case (id, info, builder) =>
+      spark.sessionState.tableFunctionRegistry
+        .registerFunction(id, info, builder)
+    }
+    ensureStrategy(spark)
+  }
+
+  private[graft] def ensureStrategy(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies
+        .contains(LakeMaintenanceStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ LakeMaintenanceStrategy
+
+  /** The Lake serving `catalog` in this session: the initialized
+    * catalog instance's warm Lake when the catalog has served a query,
+    * else a fresh one over the conf'd root — loud when the catalog
+    * isn't configured at all. */
+  private[sources] def lakeFor(spark: SparkSession,
+                               catalog: String): Lake =
+    LakeCatalog.instance(catalog).flatMap(_.currentLake).getOrElse {
+      val key = s"spark.sql.catalog.$catalog.root"
+      val root = spark.conf.getOption(key).getOrElse(
+        throw new IllegalArgumentException(
+          s"'$catalog' is not a configured lake catalog (no $key)"))
+      new Lake(spark, root)
+    }
+}
+
+/** Logical leaf for one maintenance call — carries everything needed
+  * to run at execution. Stats are nominal: the output is a handful of
+  * driver-computed rows. */
+private[graft] case class LakeMaintenanceNode(
+    fn: String, catalog: String, table: String, args: Seq[Long],
+    output: Seq[Attribute]) extends LeafNode {
+  override def computeStats(): Statistics = Statistics(sizeInBytes = 64)
+}
+
+private[graft] object LakeMaintenanceStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case n: LakeMaintenanceNode => LakeMaintenanceExec(n) :: Nil
+    case _ => Nil
+  }
+}
+
+/** One-shot physical node: runs the maintenance call once on the
+  * driver (all four are manifest transactions / commit-log reads —
+  * driver-side by nature) and returns its summary rows. */
+private[graft] case class LakeMaintenanceExec(node: LakeMaintenanceNode)
+  extends SparkPlan with LeafExecNode {
+
+  override def output: Seq[Attribute] = node.output
+
+  // lazy: whichever of executeCollect/doExecute runs first performs
+  // the side effect exactly once
+  private lazy val result: Array[InternalRow] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val lake = LakeMaintenance.lakeFor(spark, node.catalog)
+    LakeMaintenance.runFn(node.fn, lake, node.table, node.args)
+      .map(vals => new GenericInternalRow(vals.toArray): InternalRow)
+      .toArray
+  }
+
+  override def executeCollect(): Array[InternalRow] = result
+
+  override protected def doExecute()
+      : org.apache.spark.rdd.RDD[InternalRow] =
+    sparkContext.parallelize(result.toIndexedSeq, 1)
+}

@@ -1,0 +1,102 @@
+package graft.sources
+
+import java.nio.file.Files
+import graft.SparkSpec
+
+/** The SQL maintenance + history TVF surface: a pure-SQL operator can
+  * list the commit history, pin a snapshot, compact and vacuum a lake
+  * table — with side effects at EXECUTION time only (EXPLAIN is
+  * free). */
+class LakeMaintenanceSpec extends SparkSpec {
+
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("lake-maint").toString
+    spark.conf.set("spark.sql.catalog.graft_maint",
+      classOf[LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_maint.root", r)
+    LakeMaintenance.register(spark)
+    r
+  }
+  private lazy val lake = new graft.v3.Lake(spark, root)
+
+  private def seed(): Unit = {
+    if (!lake.hasManifest("mt")) {
+      spark.sql(
+        "CREATE TABLE graft_maint.mt (chain_name STRING, k BIGINT, v STRING)")
+      (1 to 3).foreach(i => spark.sql(
+        s"INSERT INTO graft_maint.mt VALUES ('ethereum', $i, 'v$i')"))
+    }
+  }
+
+  test("table_history lists (version, commit_ts, operation, is_delta) for the retained log") {
+    seed()
+    val hist = spark.sql("SELECT * FROM table_history('graft_maint.mt')")
+      .collect().map(r => (r.getLong(0), r.get(1), r.getString(2),
+        r.getBoolean(3))).toSeq
+    assert(hist.size >= 4, s"expected create + 3 appends, got $hist")
+    assert(hist.map(_._1) == hist.map(_._1).sorted, "versions not ascending")
+    // every commit this lifecycle wrote carries a wall-clock + op header
+    assert(hist.forall(_._2 != null), s"missing commit_ts in $hist")
+    assert(hist.count(_._3 == "append") >= 3, s"ops diverged: $hist")
+    // matches the Scala API row for row
+    val api = lake.commitHistory("mt")
+    assert(hist.map(h => (h._1, h._3, h._4)) ==
+      api.map(a => (a._1, a._3, a._4)), "TVF diverged from commitHistory")
+  }
+
+  test("graft_snapshot pins a version VERSION AS OF can replay after later writes") {
+    seed()
+    val v = spark.sql("SELECT * FROM graft_snapshot('graft_maint.mt')")
+      .collect()(0).getLong(0)
+    spark.sql("INSERT INTO graft_maint.mt VALUES ('ethereum', 99, 'late')")
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_maint.mt VERSION AS OF $v")
+      .collect()(0).getLong(0) == 3L)
+    assert(spark.sql("SELECT count(*) FROM graft_maint.mt")
+      .collect()(0).getLong(0) == 4L)
+  }
+
+  test("graft_compact bin-packs the small appends; rows preserved; graft_vacuum GCs") {
+    seed()
+    spark.sql("SELECT * FROM graft_snapshot('graft_maint.mt')").collect()
+    val before = lake.fileInventory("mt").size
+    assert(before >= 4, s"expected fragmented table, got $before files")
+    val rewritten = spark.sql(
+      "SELECT * FROM graft_compact('graft_maint.mt', 134217728)")
+      .collect()(0).getLong(0)
+    assert(rewritten >= 1L, "compaction rewrote nothing")
+    assert(lake.fileInventory("mt").size < before, "no files merged")
+    val rows = spark.sql(
+      "SELECT k, v FROM graft_maint.mt ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows.map(_._1).size >= 4 && rows.map(_._1).distinct == rows.map(_._1),
+      s"compaction changed rows: $rows")
+    // EXPLAIN must NOT vacuum (side effects at execution only)
+    val snapsBefore = lake.snapshotVersions("mt").size
+    spark.sql("EXPLAIN SELECT * FROM graft_vacuum('graft_maint.mt', 0)")
+      .collect()
+    assert(lake.snapshotVersions("mt").size == snapsBefore,
+      "EXPLAIN executed the vacuum")
+    val st = spark.sql("SELECT * FROM graft_vacuum('graft_maint.mt', 0)")
+      .collect()(0)
+    assert(st.getLong(0) >= 1L, "vacuum expired no snapshots")
+    assert(st.getLong(1) >= 1L, "vacuum GC'd no retired files")
+    assert(st.getLong(2) > 0L, "vacuum freed no bytes")
+    // the table still reads fine after the GC
+    assert(spark.sql("SELECT count(*) FROM graft_maint.mt")
+      .collect()(0).getLong(0) >= 4L)
+  }
+
+  test("bad references refuse loudly with the usage shape") {
+    seed()
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT * FROM table_history('no_dot_reference')").collect()
+    }
+    assert(e1.getMessage.contains("catalog.table"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_vacuum('nosuch_cat.t', 1)").collect()
+    }
+    assert(e2.getMessage.contains("not a configured lake catalog"),
+      e2.getMessage)
+  }
+}
