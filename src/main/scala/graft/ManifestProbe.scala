@@ -161,6 +161,32 @@ object ManifestProbe {
         s"SELECT * FROM $cat.$table WHERE chain_name = 'c3'")
         .rdd.getNumPartitions)
       emit("dsv2_plan_after_commit", n, dsv2After)
+      // 5d. row-level (UPDATE/MERGE) rewrite-scan planning at n: the
+      // operation's unfiltered scan serves from the same per-version
+      // index cache the SELECT above just warmed (r15) — so
+      // per-statement planning must sit within ~2x of the warm SELECT
+      // plan, not pay the O(n) index rebuild each statement (the r14
+      // shape this measures the retirement of)
+      val keyed2 = catLake.currentEntriesKeyed(table).get
+      val op = new graft.sources.LakeRowLevelOperation(spark, catLake,
+        table, new org.apache.hadoop.fs.Path(s"$root/$table"), keyed2._3,
+        catLake.effectiveSchema(table), Seq("chain_name"),
+        org.apache.spark.sql.connector.write.RowLevelOperation.Command
+          .UPDATE,
+        Some((keyed2._1, keyed2._2)))
+      // rebuilds MUST read 0 (cache hit); the remaining time is
+      // Spark's own split computation over the UNFILTERED n files —
+      // the full-table statement's honest planning cost (the SELECT
+      // probes above plan 1/16th, chain-pruned)
+      val builds0 = graft.plans.ManifestPartitioningIndex.builds.get()
+      val (parts, rlSec) = timed(op.newScanBuilder(
+        org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+        .build().toBatch.planInputPartitions())
+      require(parts.nonEmpty, "row-level scan planned no partitions")
+      val rebuilds =
+        graft.plans.ManifestPartitioningIndex.builds.get() - builds0
+      println(f"""{"probe":"dsv2_rowlevel_plan","n":$n,"sec":$rlSec%.3f,""" +
+        f""""rebuilds":$rebuilds}""")
       }
 
       if (runV1) {

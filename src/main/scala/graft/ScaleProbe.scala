@@ -729,6 +729,49 @@ object ScaleProbe {
         f""""cold_untouched":$coldUntouched}""")
     }
 
+    // ── SQL UPDATE narrowing at k×: runtime group filtering must ────
+    // confine the row-level rewrite's BYTES to the matched partition —
+    // the UPDATE twin of upsert_cow_narrow. k chains of equal size;
+    // the statement's predicate matches keys held by ONE chain only,
+    // so the group-filter subquery narrows the rewrite scan (and the
+    // replace commit) to ~1/k of the table. Also times the statement
+    // end-to-end with a WARM index cache (the steady-state shape).
+    if (only.forall(_.contains("sql_update_narrow"))) {
+      import graft.v3.{Lake, Schemas}
+      val orders0 = Tables.orders(spark, sfDir)
+      val root = java.nio.file.Files
+        .createTempDirectory("probe-sqlupdlake").toString
+      val lake = new Lake(spark, root)
+      (0 until k).foreach(c => lake.append(
+        nfpSeg(c, orders0).withColumn("chain_name", lit(s"c$c"))
+          .coalesce(1), Schemas.Nfp))
+      val before = lake.fileInventory(Schemas.Nfp)
+      val tableBytes = before.map(_._3).sum
+      val cat = "probe_upd_cat"
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      spark.sql(s"SELECT count(*) FROM $cat.${Schemas.Nfp}").collect()
+      // copy c's hashes are offset by c * 10^9, so this bound matches
+      // copy 0 = chain c0 exclusively
+      val t0 = System.nanoTime()
+      spark.sql(s"""UPDATE $cat.${Schemas.Nfp} SET amount1 = '0'
+        | WHERE transaction_hash < '0xtx0001000000000'""".stripMargin)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val afterPaths = lake.fileInventory(Schemas.Nfp)
+        .map(_._2).toSet
+      val rewritten = before.filterNot(e => afterPaths.contains(e._2))
+        .map(_._3).sum
+      require(rewritten > 0, "UPDATE rewrote nothing")
+      require(rewritten <= tableBytes / math.max(2L, k / 2L),
+        f"group filtering failed to narrow: rewrote ${rewritten / 1e6}%.1f" +
+          f" of ${tableBytes / 1e6}%.1f MB across $k chains")
+      println(f"""{"probe":"sql_update_narrow","k":$k,"sec":$sec%.2f,""" +
+        f""""rewritten_mb":${rewritten / 1e6}%.1f,""" +
+        f""""table_mb":${tableBytes / 1e6}%.1f}""")
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(root))
+    }
+
     // ── bloom point lookup at k×: INTERLEAVED (un-prunable) files ────
     // Every file spans the whole keyspace (keys assigned mod k), so
     // range stats keep everything; the table's bloom property is the

@@ -1549,6 +1549,126 @@ object V3Shape {
         |SELECT ct AS _change_type, ch AS chain_name,
         |  CAST(li AS BIGINT) AS log_index,
         |  count(*) AS n, CAST(sum(a0) AS BIGINT) AS sum_a0
-        |FROM evts GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
+        |FROM evts GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // SQL MAINTENANCE + HISTORY SURFACE — round-15's table-valued
+    // functions: a pure-SQL operator runs the full table lifecycle —
+    // CREATE, three INSERTs, `graft_compact` (bin-pack, retained),
+    // `graft_snapshot` (pin), DELETE of one chain (metadata-only,
+    // retained), `graft_vacuum` (GC of the compaction-retired
+    // originals; the kept pin's files survive) — then reads
+    // `table_history` back. The graded frame unions the history's
+    // deterministic (version, operation, is_delta) sequence with the
+    // post-delete current state AND the pinned `VERSION AS OF` read
+    // taken AFTER the vacuum (proving the GC kept exactly what the
+    // pin needs). Commit wall-clocks are require'd monotone non-null;
+    // vacuum counters are require'd (originals GC'd) but not hashed
+    // (file counts depend on write parallelism).
+    ("s28_sql_maintenance",
+      ((s: SparkSession, d: String) => {
+        import graft.v3.Lake
+        val orders = Tables.orders(s, d)
+        val k = col("o_orderkey")
+        val root = s"/tmp/graft-sqlmnt-lake/${Llm.sfCacheKey(d)}"
+        val lake = new Lake(s, root)
+        lake.dropTable("mnt_t")
+        val cat = "graft_mnt_" +
+          Llm.sfCacheKey(d).replaceAll("[^A-Za-z0-9]", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        graft.sources.LakeMaintenance.register(s)
+        s.sql(s"""CREATE TABLE $cat.mnt_t (
+          | chain_name STRING, k BIGINT, bucket BIGINT, cents BIGINT
+          |) PARTITIONED BY (chain_name)""".stripMargin)
+        orders.select(
+            when(pmod(k, lit(2)) === 0, lit("ethereum"))
+              .otherwise(lit("base")).as("chain_name"),
+            k.as("k"), pmod(k, lit(7)).as("bucket"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+          .createOrReplaceTempView("s28_src")
+        (0 until 3).foreach(j => s.sql(
+          s"""INSERT INTO $cat.mnt_t
+             | SELECT * FROM s28_src WHERE k % 3 = $j""".stripMargin))
+        def history(tag: String) = {
+          val h = s.sql(s"SELECT * FROM table_history('$cat.mnt_t')")
+            .collect()
+          require(h.forall(!_.isNullAt(1)) &&
+            h.map(_.getTimestamp(1).getTime).sliding(2)
+              .forall(w => w.length < 2 || w(0) <= w(1)),
+            s"$tag commit wall-clocks missing or non-monotone")
+          h.map(r => (tag, r.getLong(0), r.getString(2) +
+            (if (r.getBoolean(3)) ":d" else ":c")))
+        }
+        // the EARLY log, while everything is retained: create + appends
+        val hist1 = history("hist1")
+        val preFiles = lake.fileInventory("mnt_t").size
+        val rewritten = s.sql(
+          s"SELECT * FROM graft_compact('$cat.mnt_t', ${1L << 30})")
+          .first().getLong(0)
+        require(rewritten == 2L,
+          s"expected both chains bin-packed, got $rewritten")
+        val pin = s.sql(s"SELECT * FROM graft_snapshot('$cat.mnt_t')")
+          .first().getLong(0)
+        s.sql(s"DELETE FROM $cat.mnt_t WHERE chain_name = 'base'")
+        val vac = s.sql(s"SELECT * FROM graft_vacuum('$cat.mnt_t', 1)")
+          .first()
+        require(vac.getLong(1) >= (preFiles - 2).toLong,
+          s"vacuum kept the compaction-retired originals: $vac")
+        // the FINAL log: the compaction/dropChain checkpoints truncate
+        // retention to the last two checkpoint generations — the
+        // documented bound a pure-SQL operator must see honestly
+        val hist2 = history("hist2")
+        def agg(src: String, from: String, where: String) = s.sql(
+          s"""SELECT '$src' AS src, bucket AS ord, chain_name AS tag,
+             |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_c
+             |FROM $from $where GROUP BY bucket, chain_name""".stripMargin)
+        val histDf = s.createDataFrame(
+          java.util.Arrays.asList((hist1 ++ hist2).map(h =>
+            org.apache.spark.sql.Row(h._1, h._2, h._3, 0L, 0L)): _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("src",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("ord",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("tag",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("sum_c",
+              org.apache.spark.sql.types.LongType))))
+        val out = histDf
+          .unionAll(agg("cur", s"$cat.mnt_t", ""))
+          .unionAll(agg("pin", s"$cat.mnt_t VERSION AS OF $pin", ""))
+          .orderBy(col("src"), col("ord"), col("tag"))
+        val catLake = graft.sources.LakeCatalog.instance(cat)
+          .flatMap(_.currentLake).getOrElse(
+            throw new IllegalStateException("catalog served no query"))
+        require(catLake.listCalls.get() == 0L,
+          s"the maintenance lifecycle fell back to " +
+            s"${catLake.listCalls.get()} recursive listing(s)")
+        out
+      }): Q,
+      Some("""WITH src AS (SELECT
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 'ethereum' ELSE 'base'
+        |      END AS chain_name,
+        |    CAST(o_orderkey % 7 AS BIGINT) AS bucket,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |hist(src, ord, tag) AS (VALUES
+        |  ('hist1', 1, 'create:c'), ('hist1', 2, 'append:c'),
+        |  ('hist1', 3, 'append:d'), ('hist1', 4, 'append:d'),
+        |  ('hist2', 6, 'compaction:c'), ('hist2', 7, 'dropChain:c'))
+        |SELECT src, CAST(ord AS BIGINT) AS ord, tag,
+        |    CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS sum_c
+        |  FROM hist
+        |UNION ALL
+        |SELECT 'cur', bucket, chain_name, count(*),
+        |    CAST(sum(cents) AS BIGINT)
+        |  FROM src WHERE chain_name = 'ethereum' GROUP BY 2, 3
+        |UNION ALL
+        |SELECT 'pin', bucket, chain_name, count(*),
+        |    CAST(sum(cents) AS BIGINT)
+        |  FROM src GROUP BY 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin))
   )
 }

@@ -183,7 +183,16 @@ private[graft] case class LakeMaintenanceExec(node: LakeMaintenanceNode)
 
   override def executeCollect(): Array[InternalRow] = result
 
+  // downstream operators (take/limit, codegen) consume UnsafeRow;
+  // project the generic rows before they leave this node
   override protected def doExecute()
-      : org.apache.spark.rdd.RDD[InternalRow] =
+      : org.apache.spark.rdd.RDD[InternalRow] = {
+    val types = output.map(_.dataType)
     sparkContext.parallelize(result.toIndexedSeq, 1)
+      .mapPartitions { it =>
+        val proj = org.apache.spark.sql.catalyst.expressions
+          .UnsafeProjection.create(types.toArray)
+        it.map(r => proj(r).copy())
+      }
+  }
 }
