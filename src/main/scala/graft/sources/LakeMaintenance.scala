@@ -28,7 +28,10 @@ import graft.v3.Lake
   *    bin-pack small files ([[Lake.compact]], retained);
   *  - `graft_vacuum('cat.tbl', keepLast)` → (manifests_deleted,
   *    files_deleted, bytes_freed) — expire old snapshots and GC their
-  *    unreferenced retained files ([[Lake.vacuum]]).
+  *    unreferenced retained files ([[Lake.vacuum]]);
+  *  - `table_changes('cat.tbl', from, to)` → the commit-grain batch
+  *    CDC feed ([[Lake.changesBetweenCommits]]), a pure read returning
+  *    the feed's own distributed plan.
   *
   * Execution timing matters: the side effect runs at EXECUTION, not
   * analysis — the TVF builder only constructs a logical leaf, and
@@ -81,31 +84,53 @@ object LakeMaintenance {
     fns.find(_.name == name).getOrElse(throw new IllegalStateException(
       s"unknown maintenance function $name")).run(lake, table, args)
 
-  private def buildNode(fn: Fn, exprs: Seq[Expression]): LogicalPlan = {
-    require(exprs.length == 1 + fn.numericArgs,
-      s"${fn.name} takes ${1 + fn.numericArgs} argument(s): ${fn.usage}")
-    def evalConst(e: Expression, what: String): Any = {
-      require(e.foldable, s"${fn.name}: $what must be a literal " +
-        s"(${fn.usage}); got ${e.sql}")
-      e.eval(InternalRow.empty)
-    }
-    val ref = Option(evalConst(exprs.head, "the table name")).map(_.toString)
+  private def evalConst(name: String, usage: String, e: Expression,
+                        what: String): Any = {
+    require(e.foldable,
+      s"$name: $what must be a literal ($usage); got ${e.sql}")
+    e.eval(InternalRow.empty)
+  }
+
+  private def parseArgs(name: String, usage: String, numericArgs: Int,
+                        exprs: Seq[Expression]): (String, String, Seq[Long]) = {
+    require(exprs.length == 1 + numericArgs,
+      s"$name takes ${1 + numericArgs} argument(s): $usage")
+    val ref = Option(evalConst(name, usage, exprs.head, "the table name"))
+      .map(_.toString)
       .getOrElse(throw new IllegalArgumentException(
-        s"${fn.name}: the table name is null (${fn.usage})"))
+        s"$name: the table name is null ($usage)"))
     val parts = ref.split('.')
     require(parts.length == 2 && parts.forall(_.nonEmpty),
-      s"${fn.name}: '$ref' is not a 'catalog.table' reference " +
-        s"(${fn.usage})")
+      s"$name: '$ref' is not a 'catalog.table' reference ($usage)")
     val nums = exprs.tail.zipWithIndex.map { case (e, i) =>
-      evalConst(e, s"argument ${i + 2}") match {
+      evalConst(name, usage, e, s"argument ${i + 2}") match {
         case n: Number => n.longValue()
         case other => throw new IllegalArgumentException(
-          s"${fn.name}: argument ${i + 2} must be numeric (${fn.usage}); " +
-            s"got $other")
+          s"$name: argument ${i + 2} must be numeric ($usage); got $other")
       }
     }
-    LakeMaintenanceNode(fn.name, parts(0), parts(1), nums,
+    (parts(0), parts(1), nums)
+  }
+
+  private def buildNode(fn: Fn, exprs: Seq[Expression]): LogicalPlan = {
+    val (cat, tbl, nums) = parseArgs(fn.name, fn.usage, fn.numericArgs, exprs)
+    LakeMaintenanceNode(fn.name, cat, tbl, nums,
       fn.output.map { case (n, t) => AttributeReference(n, t)() })
+  }
+
+  /** `table_changes('cat.tbl', fromVersion, toVersion)` — the batch
+    * CDC feed ([[Lake.changesBetweenCommits]]: commit-grain,
+    * rewrite-aware, rows tagged `_change_type`/`_commit_version`) as
+    * a table function, the published formats' SQL shape. Unlike the
+    * maintenance TVFs this is a pure READ: the builder returns the
+    * feed's resolved plan directly — there is no side effect to defer
+    * to execution. */
+  private def changesBuilder(exprs: Seq[Expression]): LogicalPlan = {
+    val usage = "table_changes('catalog.table', fromVersion, toVersion)"
+    val (cat, tbl, nums) = parseArgs("table_changes", usage, 2, exprs)
+    val spark = SparkSession.active
+    lakeFor(spark, cat).changesBetweenCommits(tbl, nums(0), nums(1))
+      .queryExecution.analyzed
   }
 
   private[graft] def descriptions: Seq[(FunctionIdentifier, ExpressionInfo,
@@ -114,7 +139,9 @@ object LakeMaintenance {
       (FunctionIdentifier(fn.name),
         new ExpressionInfo(LakeMaintenance.getClass.getName, fn.name),
         (exprs: Seq[Expression]) => buildNode(fn, exprs))
-    }
+    } :+ ((FunctionIdentifier("table_changes"),
+      new ExpressionInfo(LakeMaintenance.getClass.getName, "table_changes"),
+      (exprs: Seq[Expression]) => changesBuilder(exprs)))
 
   /** Programmatic twin of the `spark.sql.extensions` path: attach the
     * TVFs + their planning strategy to an EXISTING session. */

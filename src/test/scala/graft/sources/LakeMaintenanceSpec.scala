@@ -87,6 +87,35 @@ class LakeMaintenanceSpec extends SparkSpec {
       .collect()(0).getLong(0) >= 4L)
   }
 
+  test("table_changes TVF equals the Scala commit-grain CDC feed") {
+    seed()
+    import spark.implicits._
+    val cdcLake = new graft.v3.Lake(spark, root)
+    cdcLake.dropTable("cdc_t")
+    spark.sql(
+      "CREATE TABLE graft_maint.cdc_t (chain_name STRING, k BIGINT, v STRING)")
+    spark.sql(
+      "INSERT INTO graft_maint.cdc_t VALUES ('ethereum', 1, 'a'), ('ethereum', 2, 'b')")
+    // feed start: the then-current version, as a real consumer would
+    // pin it (the first append to an empty table is a CHECKPOINT whose
+    // diff base the retention rule may expire)
+    val v0 = cdcLake.latestCommitVersion("cdc_t").get
+    cdcLake.upsert(Seq(("ethereum", 2L, "u")).toDF("chain_name", "k", "v"),
+      "cdc_t", Seq("chain_name", "k"), retain = true)
+    val v2 = cdcLake.latestCommitVersion("cdc_t").get
+    val viaTvf = spark.sql(
+      s"SELECT * FROM table_changes('graft_maint.cdc_t', $v0, $v2)")
+    val viaApi = cdcLake.changesBetweenCommits("cdc_t", v0, v2)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("_change_type", "_commit_version", "chain_name", "k", "v")
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val got = canon(viaTvf)
+    assert(got.nonEmpty && got == canon(viaApi),
+      s"TVF diverged from changesBetweenCommits: $got")
+    // the feed carries the upsert as delete+insert of the touched file
+    assert(got.exists(_.head == "delete") && got.exists(_.head == "insert"))
+  }
+
   test("bad references refuse loudly with the usage shape") {
     seed()
     val e1 = intercept[Exception] {
