@@ -46,13 +46,20 @@ import graft.v3.Lake
   * catalog's warm Lake when one exists. */
 object LakeMaintenance {
 
-  /** (name, arg signature hint, output schema, runner). */
+  /** (name, arg signature hint, output schema, runner, extra-arg
+    * spec: one char per argument after the table ref — 'n' numeric,
+    * 's' string). */
   private[sources] case class Fn(
       name: String,
       usage: String,
       output: Seq[(String, org.apache.spark.sql.types.DataType)],
-      run: (Lake, String, Seq[Long]) => Seq[Seq[Any]],
-      numericArgs: Int)
+      run: (Lake, String, Seq[Any]) => Seq[Seq[Any]],
+      argSpec: String)
+
+  private def num(args: Seq[Any], i: Int): Long =
+    args(i).asInstanceOf[Long]
+  private def str(args: Seq[Any], i: Int): String =
+    args(i).asInstanceOf[String]
 
   private val fns: Seq[Fn] = Seq(
     Fn("table_history", "table_history('catalog.table')",
@@ -61,26 +68,37 @@ object LakeMaintenance {
       (lake, t, _) => lake.commitHistory(t).map { case (v, ts, op, d) =>
         Seq(v, ts.map(_ * 1000L).orNull,
           UTF8String.fromString(op), d)
-      }, numericArgs = 0),
+      }, argSpec = ""),
     Fn("graft_snapshot", "graft_snapshot('catalog.table')",
       Seq("version" -> LongType),
-      (lake, t, _) => Seq(Seq(lake.snapshot(t))), numericArgs = 0),
+      (lake, t, _) => Seq(Seq(lake.snapshot(t))), argSpec = ""),
     Fn("graft_compact", "graft_compact('catalog.table', targetBytes)",
       Seq("chains_rewritten" -> LongType),
       (lake, t, args) =>
-        Seq(Seq(lake.compact(t, args.head, retain = true).toLong)),
-      numericArgs = 1),
+        Seq(Seq(lake.compact(t, num(args, 0), retain = true).toLong)),
+      argSpec = "n"),
+    Fn("graft_cluster_compact",
+      "graft_cluster_compact('catalog.table', targetBytes, 'col1,col2')",
+      Seq("chains_rewritten" -> LongType),
+      (lake, t, args) => {
+        // empty column list -> the table's write.layout property
+        // drives the rewrite (z-order), same as the Scala API
+        val cols = str(args, 1).split(',').map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        Seq(Seq(lake.clusterCompact(t, num(args, 0), clusterBy = cols,
+          retain = true).toLong))
+      }, argSpec = "ns"),
     Fn("graft_vacuum", "graft_vacuum('catalog.table', keepLast)",
       Seq("manifests_deleted" -> LongType,
         "files_deleted" -> LongType, "bytes_freed" -> LongType),
       (lake, t, args) => {
-        val st = lake.vacuum(t, args.head.toInt)
+        val st = lake.vacuum(t, num(args, 0).toInt)
         Seq(Seq(st.manifestsDeleted.toLong, st.filesDeleted.toLong,
           st.bytesFreed))
-      }, numericArgs = 1))
+      }, argSpec = "n"))
 
   private[sources] def runFn(name: String, lake: Lake, table: String,
-                             args: Seq[Long]): Seq[Seq[Any]] =
+                             args: Seq[Any]): Seq[Seq[Any]] =
     fns.find(_.name == name).getOrElse(throw new IllegalStateException(
       s"unknown maintenance function $name")).run(lake, table, args)
 
@@ -91,10 +109,10 @@ object LakeMaintenance {
     e.eval(InternalRow.empty)
   }
 
-  private def parseArgs(name: String, usage: String, numericArgs: Int,
-                        exprs: Seq[Expression]): (String, String, Seq[Long]) = {
-    require(exprs.length == 1 + numericArgs,
-      s"$name takes ${1 + numericArgs} argument(s): $usage")
+  private def parseArgs(name: String, usage: String, argSpec: String,
+                        exprs: Seq[Expression]): (String, String, Seq[Any]) = {
+    require(exprs.length == 1 + argSpec.length,
+      s"$name takes ${1 + argSpec.length} argument(s): $usage")
     val ref = Option(evalConst(name, usage, exprs.head, "the table name"))
       .map(_.toString)
       .getOrElse(throw new IllegalArgumentException(
@@ -102,19 +120,24 @@ object LakeMaintenance {
     val parts = ref.split('.')
     require(parts.length == 2 && parts.forall(_.nonEmpty),
       s"$name: '$ref' is not a 'catalog.table' reference ($usage)")
-    val nums = exprs.tail.zipWithIndex.map { case (e, i) =>
-      evalConst(name, usage, e, s"argument ${i + 2}") match {
-        case n: Number => n.longValue()
-        case other => throw new IllegalArgumentException(
-          s"$name: argument ${i + 2} must be numeric ($usage); got $other")
-      }
+    val args = exprs.tail.zip(argSpec).zipWithIndex.map {
+      case ((e, kind), i) =>
+        val v = evalConst(name, usage, e, s"argument ${i + 2}")
+        (kind, v) match {
+          case ('n', n: Number) => n.longValue(): Any
+          case ('s', x) if x != null => x.toString: Any
+          case _ => throw new IllegalArgumentException(
+            s"$name: argument ${i + 2} must be " +
+              s"${if (kind == 'n') "numeric" else "a string"} ($usage); " +
+              s"got $v")
+        }
     }
-    (parts(0), parts(1), nums)
+    (parts(0), parts(1), args)
   }
 
   private def buildNode(fn: Fn, exprs: Seq[Expression]): LogicalPlan = {
-    val (cat, tbl, nums) = parseArgs(fn.name, fn.usage, fn.numericArgs, exprs)
-    LakeMaintenanceNode(fn.name, cat, tbl, nums,
+    val (cat, tbl, args) = parseArgs(fn.name, fn.usage, fn.argSpec, exprs)
+    LakeMaintenanceNode(fn.name, cat, tbl, args,
       fn.output.map { case (n, t) => AttributeReference(n, t)() })
   }
 
@@ -127,9 +150,10 @@ object LakeMaintenance {
     * to execution. */
   private def changesBuilder(exprs: Seq[Expression]): LogicalPlan = {
     val usage = "table_changes('catalog.table', fromVersion, toVersion)"
-    val (cat, tbl, nums) = parseArgs("table_changes", usage, 2, exprs)
+    val (cat, tbl, nums) = parseArgs("table_changes", usage, "nn", exprs)
     val spark = SparkSession.active
-    lakeFor(spark, cat).changesBetweenCommits(tbl, nums(0), nums(1))
+    lakeFor(spark, cat).changesBetweenCommits(tbl,
+      nums(0).asInstanceOf[Long], nums(1).asInstanceOf[Long])
       .queryExecution.analyzed
   }
 
@@ -178,7 +202,7 @@ object LakeMaintenance {
   * to run at execution. Stats are nominal: the output is a handful of
   * driver-computed rows. */
 private[graft] case class LakeMaintenanceNode(
-    fn: String, catalog: String, table: String, args: Seq[Long],
+    fn: String, catalog: String, table: String, args: Seq[Any],
     output: Seq[Attribute]) extends LeafNode {
   override def computeStats(): Statistics = Statistics(sizeInBytes = 64)
 }

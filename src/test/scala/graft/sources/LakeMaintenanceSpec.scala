@@ -87,6 +87,34 @@ class LakeMaintenanceSpec extends SparkSpec {
       .collect()(0).getLong(0) >= 4L)
   }
 
+  test("graft_cluster_compact key-clusters a chain through SQL; rows preserved") {
+    seed()
+    spark.sql(
+      "CREATE TABLE graft_maint.cl_t (chain_name STRING, k BIGINT, v STRING)")
+    // two appends with INTERLEAVED key ranges: every file spans the
+    // keyspace, the cluster rewrite restores disjoint ranges
+    (0 to 1).foreach(j => spark.sql(
+      s"""INSERT INTO graft_maint.cl_t
+         | SELECT 'ethereum', id * 2 + $j, concat('v', id * 2 + $j)
+         | FROM range(50)""".stripMargin))
+    val before = spark.sql("SELECT k, v FROM graft_maint.cl_t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val rewritten = spark.sql(
+      s"SELECT * FROM graft_cluster_compact('graft_maint.cl_t', ${1L << 30}, 'k')")
+      .collect()(0).getLong(0)
+    assert(rewritten == 1L, s"expected the one chain rewritten, got $rewritten")
+    val after = spark.sql("SELECT k, v FROM graft_maint.cl_t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(after == before, "cluster compaction changed rows")
+    // an empty column list without a write.layout property refuses
+    val e = intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM graft_cluster_compact('graft_maint.cl_t', ${1L << 30}, '')")
+        .collect()
+    }
+    assert(e.getMessage.contains("cluster columns"), e.getMessage)
+  }
+
   test("table_changes TVF equals the Scala commit-grain CDC feed") {
     seed()
     import spark.implicits._
