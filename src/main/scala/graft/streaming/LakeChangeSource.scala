@@ -47,7 +47,10 @@ import graft.v3.Lake
   * Options: `root` + `table` (required), `startingVersion` (first
   * batch starts AFTER this commit; default = the latest version at
   * stream start, i.e. only new changes — pass 0 to replay the whole
-  * retained history), `maxVersionsPerBatch` (admission control: at
+  * retained history), `startingTimestamp` (epoch millis or ISO-8601
+  * instant, resolved to the version current AT that wall-clock via
+  * the commit log's `#ts` headers — mutually exclusive with
+  * `startingVersion`), `maxVersionsPerBatch` (admission control: at
   * most this many commits per micro-batch; default unbounded).
   * `Trigger.AvailableNow` is supported natively (the stream pins the
   * target version at start and drains up to it, honoring
@@ -108,7 +111,8 @@ private[graft] class LakeChangesTable(root: String, lakeTable: String,
         new LakeChangeStream(SparkSession.active, root, lakeTable,
           schema0,
           Option(options.get("startingVersion")).map(_.toLong),
-          Option(options.get("maxVersionsPerBatch")).map(_.toLong))
+          Option(options.get("maxVersionsPerBatch")).map(_.toLong),
+          Option(options.get("startingTimestamp")))
       override def description(): String =
         s"LakeChangesScan($lakeTable)"
     }
@@ -126,14 +130,35 @@ private[graft] class LakeChangeStream(
     lakeTable: String,
     outSchema: StructType,
     startingVersion: Option[Long],
-    maxVersionsPerBatch: Option[Long])
+    maxVersionsPerBatch: Option[Long],
+    startingTimestamp: Option[String] = None)
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
 
   maxVersionsPerBatch.foreach(m => require(m > 0,
     s"maxVersionsPerBatch must be positive (got $m)"))
+  require(startingVersion.isEmpty || startingTimestamp.isEmpty,
+    "lake-changes takes startingVersion OR startingTimestamp, not both")
 
   private val lake = new Lake(spark, root)
+
+  /** `startingTimestamp` resolved against the commit log's `#ts`
+    * headers: the stream carries every change committed strictly
+    * AFTER the instant (the state current AT it is the consumer's
+    * initial snapshot — [[graft.v3.Lake.versionAtTimestamp]], the
+    * same resolution `TIMESTAMP AS OF` uses, loud on expired
+    * pre-history). Accepts epoch millis or an ISO-8601 instant. */
+  private val resolvedStartingVersion: Option[Long] =
+    startingVersion.orElse(startingTimestamp.map { ts =>
+      val millis =
+        if (ts.forall(_.isDigit)) ts.toLong
+        else try java.time.Instant.parse(ts).toEpochMilli
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            java.sql.Timestamp.valueOf(ts).getTime
+        }
+      lake.versionAtTimestamp(lakeTable, millis)
+    })
   private val tableDir = new Path(s"$root/$lakeTable")
   private val tableSchema = StructType(outSchema.fields.dropRight(2))
   private val partCols =
@@ -153,7 +178,7 @@ private[graft] class LakeChangeStream(
     availableNowTarget = Some(latestVersion)
 
   override def initialOffset(): Offset =
-    LakeCommitOffset(startingVersion.getOrElse(latestVersion))
+    LakeCommitOffset(resolvedStartingVersion.getOrElse(latestVersion))
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 

@@ -100,6 +100,35 @@ class LakeChangeStreamSpec extends SparkSpec {
     assert(next.size == 5)
   }
 
+  test("startingTimestamp resolves against the commit log's #ts headers") {
+    val root = Files.createTempDirectory("lake-cs4").toString
+    val tmp = Files.createTempDirectory("lake-cs4-ck").toString
+    val lake = new Lake(spark, root)
+    lake.append(rows(0 until 10).coalesce(1), Schemas.Nfp)
+    // a wall-clock strictly between the two commits
+    Thread.sleep(2L)
+    val tMid = System.currentTimeMillis()
+    Thread.sleep(2L)
+    lake.append(rows(10 until 15).coalesce(1), Schemas.Nfp)
+    val (got, _) = drain(spark.readStream.format("lake-changes")
+      .option("root", root).option("table", Schemas.Nfp)
+      .option("startingTimestamp", tMid.toString).load(), s"$tmp/ck")
+    assert(got.size == 5 && got.forall(r =>
+      r.getAs[String]("transaction_hash") >= "0xtx00010"),
+      s"timestamp start carried the pre-instant state: ${key(got)}")
+    // both start options together refuse loudly
+    val e = intercept[Exception] {
+      drain(spark.readStream.format("lake-changes")
+        .option("root", root).option("table", Schemas.Nfp)
+        .option("startingVersion", "0")
+        .option("startingTimestamp", tMid.toString).load(), s"$tmp/ck2")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(msgs(e).exists(_.contains("not both")), msgs(e).mkString("; "))
+  }
+
   test("a checkpoint resumed across a vacuum of needed history fails LOUDLY") {
     val root = Files.createTempDirectory("lake-cs3").toString
     val tmp = Files.createTempDirectory("lake-cs3-ck").toString
