@@ -227,12 +227,26 @@ class LakeCatalog extends TableCatalog {
     * map onto [[graft.v3.Lake.evolveSchema]] — they ARE the lake's
     * additive-only evolution model, and evolveSchema enforces it
     * (drops, renames and narrowing fail loudly there, with the
-    * model's reasoning). Anything else has no lake shape → refuse. */
+    * model's reasoning). `SET/UNSET TBLPROPERTIES` map onto the lake's
+    * versioned property registry ([[graft.v3.Lake.setTableProperties]]
+    * — `write.bloom.columns`, `write.layout` etc. take effect on the
+    * next write/maintenance pass). Anything else has no lake shape →
+    * refuse. */
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
     val t = tableOf(ident)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    val next = changes.foldLeft(lake.effectiveSchema(t)) { (schema, ch) =>
+    val props = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val schemaChanges = changes.filter {
+      case set: TableChange.SetProperty =>
+        props.put(set.property, set.value); false
+      case rm: TableChange.RemoveProperty =>
+        props.put(rm.property, null); false
+      case _ => true
+    }
+    if (props.nonEmpty) lake.setTableProperties(t, props.toMap)
+    if (schemaChanges.isEmpty) return loadTable(ident)
+    val next = schemaChanges.foldLeft(lake.effectiveSchema(t)) { (schema, ch) =>
       ch match {
         case add: TableChange.AddColumn =>
           require(add.fieldNames.length == 1,
@@ -465,6 +479,15 @@ private[graft] class LakeTable(
     filters.forall(f => LakeTable.filterColumn(f).isDefined)
 
   override def schema(): StructType = tableSchema
+
+  /** The lake's versioned table properties — `SHOW TBLPROPERTIES`
+    * reads these (ONE small registry-file read, no data access). */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    lake.tableProperties(lakeTable).foreach { case (k, v) => m.put(k, v) }
+    m.put(TableCatalog.PROP_PROVIDER, "parquet")
+    m
+  }
 
   override def partitioning(): Array[Transform] =
     partCols.map(Expressions.identity).toArray

@@ -573,6 +573,26 @@ class LakeCatalogSpec extends SparkSpec {
     cycLake.dropTable("cyc_t")
   }
 
+  test("SET/UNSET TBLPROPERTIES map onto the lake's versioned property registry") {
+    seed()
+    spark.sql(
+      "CREATE TABLE graft_lake.prop_t (chain_name STRING, k BIGINT)")
+    spark.sql(
+      """ALTER TABLE graft_lake.prop_t SET TBLPROPERTIES (
+        | 'write.bloom.columns' = 'k', 'write.bloom.ndv' = '100000')""".stripMargin)
+    val propLake = new graft.v3.Lake(spark, root)
+    assert(propLake.tableProperties("prop_t") ==
+      Map("write.bloom.columns" -> "k", "write.bloom.ndv" -> "100000"))
+    // SHOW TBLPROPERTIES reads the registry through Table.properties
+    val shown = spark.sql("SHOW TBLPROPERTIES graft_lake.prop_t")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(shown.get("write.bloom.columns").contains("k"), shown.toString)
+    spark.sql(
+      "ALTER TABLE graft_lake.prop_t UNSET TBLPROPERTIES ('write.bloom.ndv')")
+    assert(propLake.tableProperties("prop_t") ==
+      Map("write.bloom.columns" -> "k"))
+  }
+
   test("a manifest-less foreign table without chain_name= dirs serves unpartitioned") {
     seed()
     import spark.implicits._
