@@ -244,8 +244,14 @@ class LakeCatalog extends TableCatalog {
         props.put(rm.property, null); false
       case _ => true
     }
-    if (props.nonEmpty) lake.setTableProperties(t, props.toMap)
-    if (schemaChanges.isEmpty) return loadTable(ident)
+    // schema changes VALIDATE AND APPLY FIRST (the fold and
+    // evolveSchema hold every refusal), properties after - so a mixed
+    // ALTER that dies on an unsupported schema change has not already
+    // committed a property version the failed statement keeps
+    if (schemaChanges.isEmpty) {
+      if (props.nonEmpty) lake.setTableProperties(t, props.toMap)
+      return loadTable(ident)
+    }
     val next = schemaChanges.foldLeft(lake.effectiveSchema(t)) { (schema, ch) =>
       ch match {
         case add: TableChange.AddColumn =>
@@ -283,6 +289,7 @@ class LakeCatalog extends TableCatalog {
       }
     }
     lake.evolveSchema(t, next)
+    if (props.nonEmpty) lake.setTableProperties(t, props.toMap)
     loadTable(ident)
   }
 
@@ -305,7 +312,12 @@ object LakeCatalog {
   private val byNameOrder =
     new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private def register(name: String, cat: LakeCatalog): Unit = {
-    if (byName.put(name, cat) == null) byNameOrder.add(name)
+    // re-registration refreshes the name's queue position: a name
+    // that keeps its original slot would be evicted as "oldest"
+    // while actively serving (a just-re-initialized catalog losing
+    // its seam to the 65th distinct name)
+    if (byName.put(name, cat) != null) byNameOrder.remove(name)
+    byNameOrder.add(name)
     while (byName.size > 64) {
       val oldest = byNameOrder.poll()
       if (oldest == null) return

@@ -119,9 +119,25 @@ private[graft] class LakeChangesTable(root: String, lakeTable: String,
   }
 }
 
-/** One committed-version offset in the table's commit log. */
-private[graft] case class LakeCommitOffset(version: Long) extends Offset {
-  override def json(): String = version.toString
+/** One committed-version offset in the table's commit log, stamped
+  * with the manifest INCARNATION that minted it: a checkpoint resumed
+  * across dropTable+recreate must refuse loudly (the new incarnation's
+  * commit log restarts at v1 — a bare version would silently stall or
+  * mix two tables' histories). Pre-r15 checkpoints (bare numbers)
+  * deserialize with an empty incarnation and skip the check. */
+private[graft] case class LakeCommitOffset(version: Long,
+                                           inc: String = "") extends Offset {
+  override def json(): String =
+    if (inc.isEmpty) version.toString else s"$inc:$version"
+}
+
+private[graft] object LakeCommitOffset {
+  def parse(json: String): LakeCommitOffset = {
+    val cut = json.lastIndexOf(':')
+    if (cut < 0) LakeCommitOffset(json.toLong)
+    else LakeCommitOffset(json.substring(cut + 1).toLong,
+      json.substring(0, cut))
+  }
 }
 
 private[graft] class LakeChangeStream(
@@ -147,8 +163,13 @@ private[graft] class LakeChangeStream(
     * AFTER the instant (the state current AT it is the consumer's
     * initial snapshot — [[graft.v3.Lake.versionAtTimestamp]], the
     * same resolution `TIMESTAMP AS OF` uses, loud on expired
-    * pre-history). Accepts epoch millis or an ISO-8601 instant. */
-  private val resolvedStartingVersion: Option[Long] =
+    * pre-history). Accepts epoch millis or an ISO-8601 instant.
+    * Resolution is DEFERRED to [[initialOffset]] — Spark calls that
+    * only when no checkpointed offset exists, so a long-running
+    * stream restarted after retention expired the pre-timestamp
+    * history resumes from its checkpoint instead of crashing on a
+    * start instant it no longer needs. */
+  private def resolveStart(): Option[Long] =
     startingVersion.orElse(startingTimestamp.map { ts =>
       val millis =
         if (ts.forall(_.isDigit)) ts.toLong
@@ -168,17 +189,32 @@ private[graft] class LakeChangeStream(
   private val dataSchema =
     StructType(tableSchema.fields.filterNot(f => partCols.contains(f.name)))
 
-  private def latestVersion: Long =
-    lake.latestCommitVersion(lakeTable).getOrElse(0L)
+  private def incAndLatest: (String, Long) =
+    lake.incarnationAndLatest(lakeTable).getOrElse(("", 0L))
+
+  /** Refuse an offset minted by a DIFFERENT manifest incarnation —
+    * the table was dropped and recreated since the checkpoint, and
+    * the new commit log's version numbers have no relation to the
+    * old ones. Pre-incarnation offsets (empty inc) pass. */
+  private def requireSameIncarnation(o: LakeCommitOffset,
+                                     cur: String): Unit =
+    require(o.inc.isEmpty || cur.isEmpty || o.inc == cur,
+      s"lake-changes checkpoint of $lakeTable was written by manifest " +
+        s"incarnation ${o.inc}, but the table has been dropped and " +
+        s"recreated (current incarnation $cur) - the checkpointed " +
+        "version numbers no longer refer to this table's history; " +
+        "restart the stream from a fresh checkpoint")
 
   /** AvailableNow pins its drain target when the query starts. */
   @volatile private var availableNowTarget: Option[Long] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(latestVersion)
+    availableNowTarget = Some(incAndLatest._2)
 
-  override def initialOffset(): Offset =
-    LakeCommitOffset(resolvedStartingVersion.getOrElse(latestVersion))
+  override def initialOffset(): Offset = {
+    val (inc, latest) = incAndLatest
+    LakeCommitOffset(resolveStart().getOrElse(latest), inc)
+  }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
@@ -187,19 +223,22 @@ private[graft] class LakeChangeStream(
       "latestOffset(Offset, ReadLimit) is the admission-control form")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val from = start.asInstanceOf[LakeCommitOffset].version
-    val upper = availableNowTarget.fold(latestVersion)(
-      t => math.min(t, latestVersion))
+    val s = start.asInstanceOf[LakeCommitOffset]
+    val (inc, latest) = incAndLatest
+    requireSameIncarnation(s, inc)
+    val upper = availableNowTarget.fold(latest)(t => math.min(t, latest))
     val capped = maxVersionsPerBatch.fold(upper)(
-      m => math.min(upper, from + m))
-    LakeCommitOffset(math.max(from, capped))
+      m => math.min(upper, s.version + m))
+    LakeCommitOffset(math.max(s.version, capped), inc)
   }
 
-  override def reportLatestOffset(): Offset =
-    LakeCommitOffset(latestVersion)
+  override def reportLatestOffset(): Offset = {
+    val (inc, latest) = incAndLatest
+    LakeCommitOffset(latest, inc)
+  }
 
   override def deserializeOffset(json: String): Offset =
-    LakeCommitOffset(json.toLong)
+    LakeCommitOffset.parse(json)
 
   override def commit(end: Offset): Unit = ()
 
@@ -207,7 +246,9 @@ private[graft] class LakeChangeStream(
 
   override def planInputPartitions(start: Offset,
                                    end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[LakeCommitOffset].version
+    val so = start.asInstanceOf[LakeCommitOffset]
+    requireSameIncarnation(so, incAndLatest._1)
+    val from = so.version
     val to = end.asInstanceOf[LakeCommitOffset].version
     lake.changePlanBetween(lakeTable, from, to).flatMap {
       case (v, kind, entries) =>

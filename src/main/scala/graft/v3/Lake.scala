@@ -918,12 +918,23 @@ class Lake(spark: SparkSession, val root: String) {
       // evict this table's pre-retention versions first (excluding the
       // key just inserted — the former evict-all-of-this-table rule
       // deleted it too, making every later lookup of a hot table a
-      // manifest-file open forever); if foreign tables are what filled
-      // the cache, shed them instead
+      // manifest-file open forever); if the cache is still over cap,
+      // shed just the EXCESS in iteration order — the former
+      // evict-every-foreign-table rule made two tables sharing a hot
+      // multi-table history pass ping-pong each other's entries out,
+      // one manifest-file open per commit forever
       commitHeaderCache.keySet.removeIf(k =>
         k._1 == table && (k._2 != inc || k._3 < v - 64))
-      if (commitHeaderCache.size > 4096)
-        commitHeaderCache.keySet.removeIf(_._1 != table)
+      if (commitHeaderCache.size > 4096) {
+        val it = commitHeaderCache.keySet.iterator
+        var excess = commitHeaderCache.size - 4096
+        while (excess > 0 && it.hasNext) {
+          val k = it.next()
+          if (!(k._1 == table && k._2 == inc && k._3 == v)) {
+            it.remove(); excess -= 1
+          }
+        }
+      }
     }
     (ts, op)
   }
@@ -960,6 +971,17 @@ class Lake(spark: SparkSession, val root: String) {
     * listing, no header reads. */
   def latestCommitVersion(table: String): Option[Long] =
     manifestState(table)._1.lastOption.map(_._1)
+
+  /** (incarnation id, latest commit version) in ONE commit-log
+    * listing — what the streaming CDC source stamps into its offsets
+    * so a checkpoint resumed across dropTable+recreate refuses loudly
+    * instead of silently mixing two tables' histories. None = no
+    * committed manifest. */
+  private[graft] def incarnationAndLatest(table: String)
+      : Option[(String, Long)] = {
+    val (kinds, inc) = manifestState(table)
+    kinds.lastOption.map { case (v, _) => (inc, v) }
+  }
 
   def commitVersions(table: String): Seq[(Long, Option[Long])] = {
     val (kinds, inc) = manifestState(table)
@@ -1189,7 +1211,16 @@ class Lake(spark: SparkSession, val root: String) {
     // RETAINED commit log (the `#op=` headers) — a rewrite older than
     // manifest retention is invisible, but so is every snapshot that
     // could straddle it without also tripping the missing-file check.
-    val churned = ((from -- to) ++ (to -- from)).filter(rewriteSwappedRels(table))
+    // SIDE-AWARE matching: a snapshot diff straddles a rewrite only
+    // when its REMOVED side contains files the rewrite removed, or its
+    // ADDED side files the rewrite added. Matching either side against
+    // the union would falsely refuse legitimate post-rewrite data
+    // changes — e.g. an upsert that rewrites a compacted file: the
+    // compaction's OUTPUT is on the diff's removed side, which is fine
+    // (the upsert removed it, with real row changes), and would hit a
+    // union check forever after one retained compaction.
+    val (rwRemoved, rwAdded) = rewriteSwappedRels(table)
+    val churned = ((from -- to) & rwRemoved) ++ ((to -- from) & rwAdded)
     require(churned.isEmpty,
       s"table_changes($fromVersion, $toVersion) of $table spans a " +
         s"compaction/clustering rewrite - ${churned.size} file(s) in the " +
@@ -1209,23 +1240,30 @@ class Lake(spark: SparkSession, val root: String) {
       .unionByName(side((to -- from).toSeq, "insert"))
   }
 
-  /** Table-relative paths swapped (removed or added) by RETAINED
-    * rewrite-only commits — [[tableChanges]]' churn guard and the set
-    * [[changesBetweenCommits]] excludes. O(retained commits) cached
-    * header reads; delta bodies are read only for rewrite commits. */
-  private def rewriteSwappedRels(table: String): Set[String] = {
+  /** Table-relative paths swapped by RETAINED rewrite-only commits,
+    * split by side: (what rewrites REMOVED, what they ADDED) —
+    * [[tableChanges]]' churn guard matches each diff side against the
+    * corresponding rewrite side, and [[changesBetweenCommits]] skips
+    * the commits wholesale. O(retained commits) cached header reads;
+    * delta bodies are read only for rewrite commits. */
+  private def rewriteSwappedRels(table: String)
+      : (Set[String], Set[String]) = {
     val (kinds, inc) = manifestState(table)
-    kinds.flatMap { case (v, isDelta) =>
-      if (!rewriteOps(commitHeaderOf(table, inc, v, isDelta)._2)) Seq.empty
-      else if (isDelta) {
-        val (added, removed) = readDelta(table, v)
-        added.map(_._1) ++ removed
-      } else if (kinds.exists(_._1 == v - 1)) {
-        val prev = resolveManifest(table, inc, kinds, v - 1).map(_._1).toSet
-        val cur = resolveManifest(table, inc, kinds, v).map(_._1).toSet
-        ((prev -- cur) ++ (cur -- prev)).toSeq
-      } else Seq.empty // base expired: nothing diffable survives either
-    }.toSet
+    val rm = Set.newBuilder[String]
+    val ad = Set.newBuilder[String]
+    kinds.foreach { case (v, isDelta) =>
+      if (rewriteOps(commitHeaderOf(table, inc, v, isDelta)._2)) {
+        if (isDelta) {
+          val (added, removed) = readDelta(table, v)
+          ad ++= added.map(_._1); rm ++= removed
+        } else if (kinds.exists(_._1 == v - 1)) {
+          val prev = resolveManifest(table, inc, kinds, v - 1).map(_._1).toSet
+          val cur = resolveManifest(table, inc, kinds, v).map(_._1).toSet
+          rm ++= (prev -- cur); ad ++= (cur -- prev)
+        } // else: base expired - nothing diffable survives either
+      }
+    }
+    (rm.result(), ad.result())
   }
 
   /** Row-granularity CDC over the COMMIT LOG: every change committed

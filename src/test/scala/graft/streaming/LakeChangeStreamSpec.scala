@@ -129,6 +129,31 @@ class LakeChangeStreamSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("not both")), msgs(e).mkString("; "))
   }
 
+  test("a checkpoint resumed across dropTable+recreate fails LOUDLY (incarnation mismatch)") {
+    val root = Files.createTempDirectory("lake-cs5").toString
+    val tmp = Files.createTempDirectory("lake-cs5-ck").toString
+    val lake = new Lake(spark, root)
+    lake.append(rows(0 until 10).coalesce(1), Schemas.Nfp)
+    val (first, _) = drain(Streaming.changeStream(spark, root, Schemas.Nfp,
+      startingVersion = Some(0L)), s"$tmp/ck")
+    assert(first.size == 10)
+    // drop + recreate: the new incarnation's commit log restarts at
+    // v1 - the checkpointed version numbers mean nothing here, and a
+    // bare-version offset would stall or silently mix histories
+    lake.dropTable(Schemas.Nfp)
+    lake.append(rows(100 until 120).coalesce(1), Schemas.Nfp)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(Streaming.changeStream(spark, root, Schemas.Nfp,
+        startingVersion = Some(0L)), s"$tmp/ck")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(msgs(e).exists(m => m.contains("incarnation") &&
+      m.contains("dropped and recreated")),
+      s"resume across recreate failed for the wrong reason: ${msgs(e)}")
+  }
+
   test("a checkpoint resumed across a vacuum of needed history fails LOUDLY") {
     val root = Files.createTempDirectory("lake-cs3").toString
     val tmp = Files.createTempDirectory("lake-cs3-ck").toString

@@ -86,6 +86,35 @@ class LakeChangesSpec extends SparkSpec {
       after.filter(col("_change_type") === "delete").count() == 0L)
   }
 
+  test("the churn guard is side-aware: a post-compaction data change diffs fine") {
+    val root = Files.createTempDirectory("lake-cdc2b").toString
+    val lake = new Lake(spark, root)
+    (0 until 3).foreach(j =>
+      lake.append(rows(j * 10 until (j + 1) * 10).coalesce(1), Schemas.Nfp))
+    assert(lake.compact(Schemas.Nfp, targetBytes = 1L << 26,
+      retain = true) > 0)
+    // BOTH snapshots taken AFTER the compaction: the rewrite's output
+    // file sits on this diff's REMOVED side (the upsert replaced it,
+    // with real row changes) - a side-blind guard matching the union
+    // of everything any retained rewrite touched refused this forever
+    val v1 = lake.snapshot(Schemas.Nfp)
+    lake.upsert(rows(0 until 5, amt = i => s"u$i").coalesce(1),
+      Schemas.Nfp, Seq("chain_name", "transaction_hash"), retain = true)
+    val v2 = lake.snapshot(Schemas.Nfp)
+    val diff = lake.tableChanges(Schemas.Nfp, v1, v2)
+    assert(diff.filter(col("_change_type") === "insert")
+      .filter(col("amount").startsWith("u")).count() == 5L,
+      "the post-compaction upsert's changes are missing from the diff")
+    // and a diff genuinely straddling the NEXT rewrite still refuses
+    assert(lake.compact(Schemas.Nfp, targetBytes = 1L << 26,
+      retain = true) > 0)
+    val v3 = lake.snapshot(Schemas.Nfp)
+    val e = intercept[IllegalArgumentException] {
+      lake.tableChanges(Schemas.Nfp, v2, v3).count()
+    }
+    assert(e.getMessage.contains("compaction/clustering"), e.getMessage)
+  }
+
   test("expired commit history refuses loudly instead of silently skipping") {
     val root = Files.createTempDirectory("lake-cdc3").toString
     val lake = new Lake(spark, root)
