@@ -18,12 +18,23 @@ import org.apache.spark.sql.functions._
   *  - `listCalls` == 0 throughout (planning never falls back to
   *    directory listings).
   *
-  * Usage: runMain graft.LongStreamProbe [nBatches] (default 100).
-  * Emits one JSON line per decade + a final summary line.
+  * Usage: runMain graft.LongStreamProbe [nBatches] [upsert|cdc]
+  * (default 100 upsert). Emits one JSON line per decade + a final
+  * summary line.
+  *
+  * `cdc` mode (r15): the CONSUMER-side twin — a `lake-changes`
+  * stream following a commit log that grows to nBatches commits
+  * (appends + retained upserts + interleaved compactions), drained
+  * decade-by-decade through ONE checkpoint. Invariants: every decade's
+  * drained rows EQUAL the batch feed over the same commit range
+  * (exactness under offset continuation), rewrite-only commits
+  * contribute nothing, drain latency stays flat as the log ages, and
+  * consumer planning performs zero directory listings.
   */
 object LongStreamProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(100)
+    val mode = args.lift(1).getOrElse("upsert")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,6 +44,71 @@ object LongStreamProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+
+    if (mode == "cdc") {
+      val root = java.nio.file.Files
+        .createTempDirectory("cdc-stream-lake").toString
+      val ckDir = java.nio.file.Files
+        .createTempDirectory("cdc-stream-ck").toString
+      val lake = new graft.v3.Lake(spark, root)
+      val table = graft.v3.Schemas.Nfp
+      def rows(ids: Range, amt: Int => String) = ids.map { i =>
+        ("ethereum", "IncreaseLiquidity", f"0xtx$i%06d", 1000L + i, 0L,
+          "0xu1", amt(i), s"${i * 10}", s"${i * 100}", s"$i", i % 7L)
+      }.toDF("chain_name", "name", "transaction_hash", "block_number",
+        "tx_index", "from_address", "amount", "amount0", "amount1",
+        "tokenId", "log_index")
+      var lastDrained = lake.latestCommitVersion(table).getOrElse(0L)
+      (1 to n).foreach { b =>
+        if (b % 10 == 7)
+          // retained upsert: delete+insert pairs in the feed
+          lake.upsert(rows(b * 20 - 40 until b * 20 - 35, i => s"u$b-$i")
+            .coalesce(1), table, Seq("chain_name", "transaction_hash"),
+            retain = true)
+        else lake.append(
+          rows(b * 20 until (b + 1) * 20, i => s"$i").coalesce(1), table)
+        if (b % 20 == 10)
+          // rewrite-only commit: must be INVISIBLE to the feed
+          lake.compact(table, targetBytes = 1L << 26, retain = true)
+        // drain every 5 commits: manifest retention keeps ~two
+        // checkpoint generations (a checkpoint every 16 deltas, plus
+        // one per compaction), so a consumer lagging further loses
+        // history and the stream refuses LOUDLY (spec-pinned; this
+        // probe measures the healthy cadence, not the refusal)
+        if (b % 5 == 0 || b == n) {
+          val latest = lake.latestCommitVersion(table).get
+          val sink = new java.util.concurrent.atomic.AtomicLong(0L)
+          val consumer = new graft.v3.Lake(spark, root)
+          val t0 = System.nanoTime()
+          val q = graft.streaming.Streaming.changeStream(spark, root,
+              table, startingVersion = Some(0L))
+            .writeStream
+            .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+              sink.addAndGet(df.count()); ()
+            }
+            .option("checkpointLocation", ckDir)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val drainSec = (System.nanoTime() - t0) / 1e9
+          val want = lake.changesBetweenCommits(table, lastDrained, latest)
+            .count()
+          require(sink.get() == want,
+            s"decade drain diverged from the batch feed: streamed " +
+              s"${sink.get()}, batch $want over ($lastDrained, $latest]")
+          println(f"""{"probe":"cdc_stream","batches":$b,""" +
+            f""""commits_drained":${latest - lastDrained},""" +
+            f""""rows":${sink.get()},"drain_sec":$drainSec%.2f,""" +
+            f""""list_calls":${consumer.listCalls.get()}}""")
+          lastDrained = latest
+        }
+      }
+      println(f"""{"probe":"cdc_stream_final","batches":$n,""" +
+        f""""commits":${lake.latestCommitVersion(table).get},""" +
+        f""""list_calls":${lake.listCalls.get()}}""")
+      spark.stop()
+      return
+    }
 
     val root = java.nio.file.Files
       .createTempDirectory("long-stream-lake").toString

@@ -1614,9 +1614,12 @@ object V3Shape {
           .first()
         require(vac.getLong(1) >= (preFiles - 2).toLong,
           s"vacuum kept the compaction-retired originals: $vac")
-        // the FINAL log: the compaction/dropChain checkpoints truncate
-        // retention to the last two checkpoint generations — the
-        // documented bound a pure-SQL operator must see honestly
+        // the FINAL log: every commit is still retained — the
+        // compaction/dropChain checkpoints would have truncated the
+        // log to a handful of commits before r15's
+        // manifest.minRetainedCommits floor (default 48), which
+        // guarantees CDC consumers and history readers a bounded
+        // minimum window regardless of checkpoint placement
         val hist2 = history("hist2")
         def agg(src: String, from: String, where: String) = s.sql(
           s"""SELECT '$src' AS src, bucket AS ord, chain_name AS tag,
@@ -1657,7 +1660,10 @@ object V3Shape {
         |hist(src, ord, tag) AS (VALUES
         |  ('hist1', 1, 'create:c'), ('hist1', 2, 'append:c'),
         |  ('hist1', 3, 'append:d'), ('hist1', 4, 'append:d'),
-        |  ('hist2', 6, 'compaction:c'), ('hist2', 7, 'dropChain:c'))
+        |  ('hist2', 1, 'create:c'), ('hist2', 2, 'append:c'),
+        |  ('hist2', 3, 'append:d'), ('hist2', 4, 'append:d'),
+        |  ('hist2', 5, 'compaction:c'), ('hist2', 6, 'compaction:c'),
+        |  ('hist2', 7, 'dropChain:c'))
         |SELECT src, CAST(ord AS BIGINT) AS ord, tag,
         |    CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS sum_c
         |  FROM hist

@@ -1644,11 +1644,23 @@ class Lake(spark: SparkSession, val root: String) {
     manifestCache.keySet.removeIf(k => k._1 == table &&
       (k._2 != inc || k._3 <= v - 8))
     if (!asDelta) {
-      // retention anchored to checkpoints, never mid-chain: delete
-      // versions older than the previous checkpoint (this one just
-      // became the latest)
-      val prevCheckpoint = kinds.filter(!_._2).map(_._1).lastOption
-      prevCheckpoint.foreach { p =>
+      // retention anchored to checkpoints, never mid-chain, with a
+      // MINIMUM trailing window: the cut is the newest checkpoint
+      // that still leaves >= manifest.minRetainedCommits of history
+      // (default 48; per-table property). Cutting at the previous
+      // checkpoint alone let a compaction checkpoint landing a few
+      // commits after a rule checkpoint shrink the retained window to
+      // a handful of commits — any CDC consumer lagging slightly lost
+      // history (LongStreamProbe cdc mode caught the refusal at
+      // commit 27 of 100). The floor's cost is a few tiny delta files
+      // kept longer; folds are unaffected (they start at the LATEST
+      // checkpoint).
+      val minRetain = tableProperties(table)
+        .get("manifest.minRetainedCommits").flatMap(_.toLongOption)
+        .getOrElse(48L)
+      val cut = kinds.filter(!_._2).map(_._1)
+        .filter(_ <= v - minRetain).lastOption
+      cut.foreach { p =>
         kinds.filter(_._1 < p).foreach { case (old, wasDelta) =>
           fs.delete(new Path(d,
             if (wasDelta) f"v$old%09d.d.txt" else f"v$old%09d.txt"), false)

@@ -118,10 +118,15 @@ class LakeChangesSpec extends SparkSpec {
   test("expired commit history refuses loudly instead of silently skipping") {
     val root = Files.createTempDirectory("lake-cdc3").toString
     val lake = new Lake(spark, root)
+    // a tight retention floor so 40 synthetic commits actually expire
+    // history (the default 48-commit floor exists precisely so
+    // consumers don't lose history this fast)
+    lake.setTableProperties(Schemas.Nfp,
+      Map("manifest.minRetainedCommits" -> "8"))
     lake.append(rows(0 until 10).coalesce(1), Schemas.Nfp)
     val c1 = lake.latestCommitVersion(Schemas.Nfp).get
-    // roll the commit log past two checkpoint generations so version
-    // c1's successors expire (synthetic no-op commits: the manifest
+    // roll the commit log past the retention cut so version c1's
+    // successors expire (synthetic no-op commits: the manifest
     // machinery is what's under test, not the data path)
     val entries = Seq.empty[(String, Long)]
     val cur = new Lake(spark, root)

@@ -283,6 +283,10 @@ class LakeManifestSpec extends SparkSpec {
   test("commit log: small commits write delta bytes, checkpoints bound the chain") {
     val root = Files.createTempDirectory("lake-man-log").toString
     val lake = new Lake(spark, root)
+    // a tight retention floor so the 40-commit log exercises the cut
+    // (the default 48-commit floor would keep everything here)
+    lake.setTableProperties(Schemas.Nfp,
+      Map("manifest.minRetainedCommits" -> "16"))
     // a wide table: 40 single-file appends = 40 commits (three
     // checkpoint generations: v1, v18, v35 at checkpointEvery = 16)
     (0 until 40).foreach(j =>
