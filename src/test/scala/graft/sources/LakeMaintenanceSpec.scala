@@ -115,6 +115,29 @@ class LakeMaintenanceSpec extends SparkSpec {
     assert(e.getMessage.contains("cluster columns"), e.getMessage)
   }
 
+  test("the full z-order flow runs in pure SQL: SET TBLPROPERTIES + cluster compact") {
+    seed()
+    spark.sql(
+      """CREATE TABLE graft_maint.zq_t (
+        | chain_name STRING, x BIGINT, y BIGINT, v STRING)""".stripMargin)
+    (0 to 1).foreach(j => spark.sql(
+      s"""INSERT INTO graft_maint.zq_t
+         | SELECT 'ethereum', id % 50, (id * 7) % 50, concat('v', id + $j * 1000)
+         | FROM range(${j * 100}, ${j * 100 + 100})""".stripMargin))
+    val total = spark.sql("SELECT count(*) FROM graft_maint.zq_t")
+      .collect()(0).getLong(0)
+    spark.sql(
+      """ALTER TABLE graft_maint.zq_t
+        | SET TBLPROPERTIES ('write.layout' = 'zorder(x,y)')""".stripMargin)
+    // empty column list -> the property just set drives the rewrite
+    val rewritten = spark.sql(
+      s"SELECT * FROM graft_cluster_compact('graft_maint.zq_t', ${1L << 30}, '')")
+      .collect()(0).getLong(0)
+    assert(rewritten == 1L, s"z-order rewrite rewrote $rewritten chains")
+    assert(spark.sql("SELECT count(*) FROM graft_maint.zq_t")
+      .collect()(0).getLong(0) == total, "z-order rewrite changed rows")
+  }
+
   test("table_changes TVF equals the Scala commit-grain CDC feed") {
     seed()
     import spark.implicits._
