@@ -218,13 +218,16 @@ object Streaming {
     * loudly — see the provider doc. */
   def changeStream(spark: SparkSession, root: String, table: String,
                    startingVersion: Option[Long] = None,
-                   maxVersionsPerBatch: Option[Long] = None): DataFrame = {
+                   maxVersionsPerBatch: Option[Long] = None,
+                   startingTimestamp: Option[String] = None): DataFrame = {
     val r = spark.readStream.format("lake-changes")
       .option("root", root).option("table", table)
     val r1 = startingVersion.fold(r)(v =>
       r.option("startingVersion", v.toString))
-    maxVersionsPerBatch.fold(r1)(m =>
-      r1.option("maxVersionsPerBatch", m.toString)).load()
+    val r2 = startingTimestamp.fold(r1)(ts =>
+      r1.option("startingTimestamp", ts))
+    maxVersionsPerBatch.fold(r2)(m =>
+      r2.option("maxVersionsPerBatch", m.toString)).load()
   }
 
   /** Incremental HLL sketch maintenance — the mergeable-sketch story
