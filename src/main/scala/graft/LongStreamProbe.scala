@@ -78,7 +78,6 @@ object LongStreamProbe {
         if (b % 5 == 0 || b == n) {
           val latest = lake.latestCommitVersion(table).get
           val sink = new java.util.concurrent.atomic.AtomicLong(0L)
-          val consumer = new graft.v3.Lake(spark, root)
           val t0 = System.nanoTime()
           val q = graft.streaming.Streaming.changeStream(spark, root,
               table, startingVersion = Some(0L))
@@ -96,10 +95,16 @@ object LongStreamProbe {
           require(sink.get() == want,
             s"decade drain diverged from the batch feed: streamed " +
               s"${sink.get()}, batch $want over ($lastDrained, $latest]")
+          // the CONSUMER's own planning instance (per-Lake counter) -
+          // reading any other Lake over the same root is vacuous
+          val consumerLists = graft.streaming.LakeChangeStream.lastLake
+            .map(_.listCalls.get()).getOrElse(-1L)
+          require(consumerLists == 0L,
+            s"consumer stream planning performed $consumerLists listing(s)")
           println(f"""{"probe":"cdc_stream","batches":$b,""" +
             f""""commits_drained":${latest - lastDrained},""" +
             f""""rows":${sink.get()},"drain_sec":$drainSec%.2f,""" +
-            f""""list_calls":${consumer.listCalls.get()}}""")
+            f""""list_calls":$consumerLists}""")
           lastDrained = latest
         }
       }

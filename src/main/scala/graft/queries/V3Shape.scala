@@ -1524,7 +1524,12 @@ object V3Shape {
         }
         require(lake.listCalls.get() == 0L,
           s"the CDC-stream lifecycle fell back to ${lake.listCalls.get()} " +
-            "recursive listing(s) - stream planning must be manifest-served")
+            "recursive listing(s) - the producer path must be manifest-served")
+        // the CONSUMER's own planning instance (listCalls is per-Lake;
+        // checking the producer's alone would be vacuous for the stream)
+        graft.streaming.LakeChangeStream.lastLake.foreach(l =>
+          require(l.listCalls.get() == 0L,
+            s"stream planning performed ${l.listCalls.get()} listing(s)"))
         out
       }): Q,
       Some("""WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),

@@ -213,11 +213,8 @@ class LakeCatalog extends TableCatalog {
     // registry (write.bloom.columns etc. take effect on first write);
     // Spark's reserved/bookkeeping keys are not table state
     import scala.jdk.CollectionConverters._
-    val reserved = Set(TableCatalog.PROP_PROVIDER,
-      TableCatalog.PROP_LOCATION, TableCatalog.PROP_IS_MANAGED_LOCATION,
-      TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL, "transient_lastDdlTime")
     val user = properties.asScala.filterNot { case (k, _) =>
-      reserved.contains(k) || k.startsWith("option.")
+      LakeCatalog.reservedProps.contains(k) || k.startsWith("option.")
     }.toMap
     if (user.nonEmpty) lake.setTableProperties(t, user)
     loadTable(ident)
@@ -239,9 +236,17 @@ class LakeCatalog extends TableCatalog {
     val props = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val schemaChanges = changes.filter {
       case set: TableChange.SetProperty =>
-        props.put(set.property, set.value); false
+        // reserved/engine-bookkeeping keys are not table state - same
+        // filter createTable applies to the identical property stream
+        if (!LakeCatalog.reservedProps.contains(set.property) &&
+            !set.property.startsWith("option."))
+          props.put(set.property, set.value)
+        false
       case rm: TableChange.RemoveProperty =>
-        props.put(rm.property, null); false
+        if (!LakeCatalog.reservedProps.contains(rm.property) &&
+            !rm.property.startsWith("option."))
+          props.put(rm.property, null)
+        false
       case _ => true
     }
     // schema changes VALIDATE AND APPLY FIRST (the fold and
@@ -300,6 +305,16 @@ class LakeCatalog extends TableCatalog {
 }
 
 object LakeCatalog {
+  /** Spark's reserved / engine-bookkeeping property keys — not table
+    * state; filtered from the lake's versioned property registry by
+    * BOTH createTable and alterTable. */
+  private[sources] val reservedProps: Set[String] = {
+    import org.apache.spark.sql.connector.catalog.TableCatalog
+    Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_IS_MANAGED_LOCATION, TableCatalog.PROP_OWNER,
+      TableCatalog.PROP_EXTERNAL, "transient_lastDdlTime")
+  }
+
   /** Test seam: initialized catalog instances by NAME, so specs and
     * graded rows assert zero-listing plans on exactly the Lake THEIR
     * catalog serves from — a single last-instance handle would race
@@ -311,19 +326,24 @@ object LakeCatalog {
     new java.util.concurrent.ConcurrentHashMap[String, LakeCatalog]()
   private val byNameOrder =
     new java.util.concurrent.ConcurrentLinkedQueue[String]()
-  private def register(name: String, cat: LakeCatalog): Unit = {
-    // re-registration refreshes the name's queue position: a name
-    // that keeps its original slot would be evicted as "oldest"
-    // while actively serving (a just-re-initialized catalog losing
-    // its seam to the 65th distinct name)
-    if (byName.put(name, cat) != null) byNameOrder.remove(name)
-    byNameOrder.add(name)
-    while (byName.size > 64) {
-      val oldest = byNameOrder.poll()
-      if (oldest == null) return
-      byName.remove(oldest)
+  private def register(name: String, cat: LakeCatalog): Unit =
+    // synchronized: the map put and the queue reposition must be one
+    // unit, or two threads re-registering a name race into duplicate
+    // queue entries and the eviction can drop a live catalog's seam.
+    // Catalog initialization is rare driver-side work; contention nil.
+    byNameOrder.synchronized {
+      // re-registration refreshes the name's queue position: a name
+      // that keeps its original slot would be evicted as "oldest"
+      // while actively serving (a just-re-initialized catalog losing
+      // its seam to the 65th distinct name)
+      if (byName.put(name, cat) != null) byNameOrder.remove(name)
+      byNameOrder.add(name)
+      while (byName.size > 64) {
+        val oldest = byNameOrder.poll()
+        if (oldest == null) return
+        byName.remove(oldest)
+      }
     }
-  }
   private[graft] def instance(name: String): Option[LakeCatalog] =
     Option(byName.get(name))
 
@@ -493,13 +513,18 @@ private[graft] class LakeTable(
   override def schema(): StructType = tableSchema
 
   /** The lake's versioned table properties — `SHOW TBLPROPERTIES`
-    * reads these (ONE small registry-file read, no data access). */
-  override def properties(): util.Map[String, String] = {
+    * reads these. Cached for the table instance's life (Spark calls
+    * `properties()` repeatedly during analysis; one registry read is
+    * enough — instances are minted per loadTable, so staleness is
+    * unchanged). */
+  private lazy val cachedProperties: util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
     lake.tableProperties(lakeTable).foreach { case (k, v) => m.put(k, v) }
     m.put(TableCatalog.PROP_PROVIDER, "parquet")
-    m
+    java.util.Collections.unmodifiableMap(m)
   }
+
+  override def properties(): util.Map[String, String] = cachedProperties
 
   override def partitioning(): Array[Transform] =
     partCols.map(Expressions.identity).toArray

@@ -125,7 +125,8 @@ object LakeMaintenance {
         val v = evalConst(name, usage, e, s"argument ${i + 2}")
         (kind, v) match {
           case ('n', n: Number) => n.longValue(): Any
-          case ('s', x) if x != null => x.toString: Any
+          case ('s', s: UTF8String) => s.toString: Any
+          case ('s', s: String) => s: Any
           case _ => throw new IllegalArgumentException(
             s"$name: argument ${i + 2} must be " +
               s"${if (kind == 'n') "numeric" else "a string"} ($usage); " +

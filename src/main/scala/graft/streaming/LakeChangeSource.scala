@@ -157,6 +157,7 @@ private[graft] class LakeChangeStream(
     "lake-changes takes startingVersion OR startingTimestamp, not both")
 
   private val lake = new Lake(spark, root)
+  LakeChangeStream.lastLake = Some(lake)
 
   /** `startingTimestamp` resolved against the commit log's `#ts`
     * headers: the stream carries every change committed strictly
@@ -171,13 +172,19 @@ private[graft] class LakeChangeStream(
     * start instant it no longer needs. */
   private def resolveStart(): Option[Long] =
     startingVersion.orElse(startingTimestamp.map { ts =>
+      def digits = ts.nonEmpty && ts.forall(_.isDigit)
       val millis =
-        if (ts.forall(_.isDigit)) ts.toLong
-        else try java.time.Instant.parse(ts).toEpochMilli
-        catch {
-          case _: java.time.format.DateTimeParseException =>
-            java.sql.Timestamp.valueOf(ts).getTime
-        }
+        (try { if (digits) Some(ts.toLong) else None }
+          catch { case _: NumberFormatException => None })
+        .orElse(
+          try Some(java.time.Instant.parse(ts).toEpochMilli)
+          catch { case _: java.time.format.DateTimeParseException => None })
+        .orElse(
+          try Some(java.sql.Timestamp.valueOf(ts).getTime)
+          catch { case _: IllegalArgumentException => None })
+        .getOrElse(throw new IllegalArgumentException(
+          s"startingTimestamp '$ts' is not epoch millis, an ISO-8601 " +
+            "instant, or 'yyyy-mm-dd hh:mm:ss'"))
       lake.versionAtTimestamp(lakeTable, millis)
     })
   private val tableDir = new Path(s"$root/$lakeTable")
@@ -226,10 +233,15 @@ private[graft] class LakeChangeStream(
     val s = start.asInstanceOf[LakeCommitOffset]
     val (inc, latest) = incAndLatest
     requireSameIncarnation(s, inc)
+    // while the table is DROPPED (no manifest -> empty current inc)
+    // the start offset's incarnation must survive the trigger: a
+    // re-stamp with "" would launder the guard out of the checkpoint,
+    // and a later recreate would silently continue the old history
+    val outInc = if (inc.nonEmpty) inc else s.inc
     val upper = availableNowTarget.fold(latest)(t => math.min(t, latest))
     val capped = maxVersionsPerBatch.fold(upper)(
       m => math.min(upper, s.version + m))
-    LakeCommitOffset(math.max(s.version, capped), inc)
+    LakeCommitOffset(math.max(s.version, capped), outInc)
   }
 
   override def reportLatestOffset(): Offset = {
@@ -280,6 +292,14 @@ private[graft] class LakeChangeStream(
 
   override def toString: String =
     s"LakeChangeStream($lakeTable, starting=$startingVersion)"
+}
+
+private[graft] object LakeChangeStream {
+  /** Test/probe seam: the most recently constructed stream's Lake —
+    * zero-listing assertions must observe the CONSUMER's own planning
+    * instance (listCalls is per-Lake), not an unrelated Lake over the
+    * same root, which would make the check vacuous. */
+  @volatile private[graft] var lastLake: Option[graft.v3.Lake] = None
 }
 
 /** A delegate parquet partition tagged with the change it carries. */

@@ -915,16 +915,18 @@ class Lake(spark: SparkSession, val root: String) {
       .map(_.stripPrefix("#op=")).getOrElse("")
     commitHeaderCache.put((table, inc, v), (ts.getOrElse(-1L), op))
     if (commitHeaderCache.size > 4096) {
-      // evict this table's pre-retention versions first (excluding the
-      // key just inserted — the former evict-all-of-this-table rule
-      // deleted it too, making every later lookup of a hot table a
-      // manifest-file open forever); if the cache is still over cap,
-      // shed just the EXCESS in iteration order — the former
+      // evict this table's dead-incarnation entries first (the key
+      // just inserted survives — the former evict-all-of-this-table
+      // rule deleted it too, making every later lookup of a hot table
+      // a manifest-file open forever; and a version horizon hardcoded
+      // here would thrash any table whose manifest.minRetainedCommits
+      // floor exceeds it); if the cache is still over cap, shed just
+      // the EXCESS in iteration order — the former
       // evict-every-foreign-table rule made two tables sharing a hot
       // multi-table history pass ping-pong each other's entries out,
       // one manifest-file open per commit forever
       commitHeaderCache.keySet.removeIf(k =>
-        k._1 == table && (k._2 != inc || k._3 < v - 64))
+        k._1 == table && k._2 != inc)
       if (commitHeaderCache.size > 4096) {
         val it = commitHeaderCache.keySet.iterator
         var excess = commitHeaderCache.size - 4096

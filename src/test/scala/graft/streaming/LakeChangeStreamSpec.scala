@@ -141,6 +141,13 @@ class LakeChangeStreamSpec extends SparkSpec {
     // v1 - the checkpointed version numbers mean nothing here, and a
     // bare-version offset would stall or silently mix histories
     lake.dropTable(Schemas.Nfp)
+    // a trigger firing INSIDE the drop gap must neither crash nor
+    // launder the incarnation out of the checkpoint (re-stamping the
+    // offset with the empty current incarnation would let the
+    // recreate below pass the guard and silently mix histories)
+    val (gap, _) = drain(Streaming.changeStream(spark, root, Schemas.Nfp,
+      startingVersion = Some(0L)), s"$tmp/ck")
+    assert(gap.isEmpty, "the drop-gap trigger produced rows")
     lake.append(rows(100 until 120).coalesce(1), Schemas.Nfp)
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       drain(Streaming.changeStream(spark, root, Schemas.Nfp,
