@@ -31,7 +31,11 @@ import graft.v3.Lake
   *    unreferenced retained files ([[Lake.vacuum]]);
   *  - `table_changes('cat.tbl', from, to)` → the commit-grain batch
   *    CDC feed ([[Lake.changesBetweenCommits]]), a pure read returning
-  *    the feed's own distributed plan.
+  *    the feed's own distributed plan;
+  *  - `graft_detail('cat.tbl')` → (version, num_files, size_bytes,
+  *    num_partitions, num_snapshots) from one manifest fold — the
+  *    `DESCRIBE DETAIL` shape an operator reads before sizing
+  *    maintenance.
   *
   * Execution timing matters: the side effect runs at EXECUTION, not
   * analysis — the TVF builder only constructs a logical leaf, and
@@ -95,7 +99,21 @@ object LakeMaintenance {
         val st = lake.vacuum(t, num(args, 0).toInt)
         Seq(Seq(st.manifestsDeleted.toLong, st.filesDeleted.toLong,
           st.bytesFreed))
-      }, argSpec = "n"))
+      }, argSpec = "n"),
+    Fn("graft_detail", "graft_detail('catalog.table')",
+      Seq("version" -> LongType, "num_files" -> LongType,
+        "size_bytes" -> LongType, "num_partitions" -> LongType,
+        "num_snapshots" -> LongType),
+      (lake, t, _) => {
+        // one manifest fold, zero data access - DESCRIBE DETAIL's lake
+        // shape: what an operator reads before sizing a compaction or
+        // deciding what to vacuum
+        val inv = lake.fileInventory(t)
+        val v = lake.latestCommitVersion(t).getOrElse(0L)
+        Seq(Seq(v, inv.size.toLong, inv.map(_._3).sum,
+          inv.map(_._1).distinct.size.toLong,
+          lake.snapshotVersions(t).size.toLong))
+      }, argSpec = ""))
 
   private[sources] def runFn(name: String, lake: Lake, table: String,
                              args: Seq[Any]): Seq[Seq[Any]] =

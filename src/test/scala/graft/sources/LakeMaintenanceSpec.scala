@@ -167,6 +167,25 @@ class LakeMaintenanceSpec extends SparkSpec {
     assert(got.exists(_.head == "delete") && got.exists(_.head == "insert"))
   }
 
+  test("graft_detail reports (version, files, bytes, partitions, snapshots) from the manifest") {
+    seed()
+    spark.sql(
+      "CREATE TABLE graft_maint.dt_t (chain_name STRING, k BIGINT)")
+    spark.sql(
+      """INSERT INTO graft_maint.dt_t VALUES
+        | ('ethereum', 1), ('base', 2)""".stripMargin)
+    spark.sql("SELECT * FROM graft_snapshot('graft_maint.dt_t')").collect()
+    val dtLake = new graft.v3.Lake(spark, root)
+    val d = spark.sql("SELECT * FROM graft_detail('graft_maint.dt_t')")
+      .collect()(0)
+    val inv = dtLake.fileInventory("dt_t")
+    assert(d.getLong(0) == dtLake.latestCommitVersion("dt_t").get)
+    assert(d.getLong(1) == inv.size.toLong, "num_files diverged")
+    assert(d.getLong(2) == inv.map(_._3).sum, "size_bytes diverged")
+    assert(d.getLong(3) == 2L, s"expected 2 partitions, got ${d.getLong(3)}")
+    assert(d.getLong(4) == 1L, s"expected 1 snapshot, got ${d.getLong(4)}")
+  }
+
   test("bad references refuse loudly with the usage shape") {
     seed()
     val e1 = intercept[Exception] {
