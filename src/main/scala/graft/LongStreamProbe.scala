@@ -97,8 +97,10 @@ object LongStreamProbe {
               s"${sink.get()}, batch $want over ($lastDrained, $latest]")
           // the CONSUMER's own planning instance (per-Lake counter) -
           // reading any other Lake over the same root is vacuous
-          val consumerLists = graft.streaming.LakeChangeStream.lastLake
-            .map(_.listCalls.get()).getOrElse(-1L)
+          val consumerLists = graft.streaming.LakeChangeStream
+            .listCallsOf(root, table)
+            .getOrElse(throw new IllegalStateException(
+              "no lake-changes stream was constructed for this probe"))
           require(consumerLists == 0L,
             s"consumer stream planning performed $consumerLists listing(s)")
           println(f"""{"probe":"cdc_stream","batches":$b,""" +

@@ -1527,9 +1527,12 @@ object V3Shape {
             "recursive listing(s) - the producer path must be manifest-served")
         // the CONSUMER's own planning instance (listCalls is per-Lake;
         // checking the producer's alone would be vacuous for the stream)
-        graft.streaming.LakeChangeStream.lastLake.foreach(l =>
-          require(l.listCalls.get() == 0L,
-            s"stream planning performed ${l.listCalls.get()} listing(s)"))
+        val consumerLists = graft.streaming.LakeChangeStream
+          .listCallsOf(root, Schemas.Nfp)
+          .getOrElse(throw new IllegalStateException(
+            "no lake-changes stream was constructed for this row's lake"))
+        require(consumerLists == 0L,
+          s"stream planning performed $consumerLists listing(s)")
         out
       }): Q,
       Some("""WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),

@@ -234,19 +234,25 @@ class LakeCatalog extends TableCatalog {
     val t = tableOf(ident)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val props = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // reserved keys REFUSE here (SET LOCATION / SET OWNER / provider
+    // arrive as SetProperty in this Spark version): silently dropping
+    // them would report success for a no-op DDL, breaking the
+    // catalog's everything-without-a-lake-shape-refuses-loudly
+    // contract. createTable FILTERS the same keys instead because its
+    // property map carries engine bookkeeping alongside user intent.
+    def guardKey(k: String): String = {
+      if (LakeCatalog.reservedProps.contains(k) || k.startsWith("option."))
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE ... ('$k') has no lake shape - lake tables " +
+            "live under the lake root as parquet with lake-managed " +
+            "bookkeeping; only user table properties are settable")
+      k
+    }
     val schemaChanges = changes.filter {
       case set: TableChange.SetProperty =>
-        // reserved/engine-bookkeeping keys are not table state - same
-        // filter createTable applies to the identical property stream
-        if (!LakeCatalog.reservedProps.contains(set.property) &&
-            !set.property.startsWith("option."))
-          props.put(set.property, set.value)
-        false
+        props.put(guardKey(set.property), set.value); false
       case rm: TableChange.RemoveProperty =>
-        if (!LakeCatalog.reservedProps.contains(rm.property) &&
-            !rm.property.startsWith("option."))
-          props.put(rm.property, null)
-        false
+        props.put(guardKey(rm.property), null); false
       case _ => true
     }
     // schema changes VALIDATE AND APPLY FIRST (the fold and

@@ -116,9 +116,17 @@ object LakeMaintenance {
       }, argSpec = ""))
 
   private[sources] def runFn(name: String, lake: Lake, table: String,
-                             args: Seq[Any]): Seq[Seq[Any]] =
+                             args: Seq[Any]): Seq[Seq[Any]] = {
+    // loud on a missing table for EVERY maintenance/history function:
+    // a fabricated all-zeros detail row (or empty history) for a typo
+    // is indistinguishable from a real empty table
+    if (!lake.exists(table) && !lake.hasManifest(table) &&
+        !lake.hasSchema(table))
+      throw new IllegalArgumentException(
+        s"$name: no such lake table '$table' under ${lake.root}")
     fns.find(_.name == name).getOrElse(throw new IllegalStateException(
       s"unknown maintenance function $name")).run(lake, table, args)
+  }
 
   private def evalConst(name: String, usage: String, e: Expression,
                         what: String): Any = {

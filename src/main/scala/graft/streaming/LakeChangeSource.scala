@@ -157,7 +157,7 @@ private[graft] class LakeChangeStream(
     "lake-changes takes startingVersion OR startingTimestamp, not both")
 
   private val lake = new Lake(spark, root)
-  LakeChangeStream.lastLake = Some(lake)
+  LakeChangeStream.registerSeam(root, lakeTable, lake.listCalls)
 
   /** `startingTimestamp` resolved against the commit log's `#ts`
     * headers: the stream carries every change committed strictly
@@ -172,10 +172,9 @@ private[graft] class LakeChangeStream(
     * start instant it no longer needs. */
   private def resolveStart(): Option[Long] =
     startingVersion.orElse(startingTimestamp.map { ts =>
-      def digits = ts.nonEmpty && ts.forall(_.isDigit)
       val millis =
-        (try { if (digits) Some(ts.toLong) else None }
-          catch { case _: NumberFormatException => None })
+        (if (ts.nonEmpty && ts.forall(_.isDigit)) ts.toLongOption
+          else None)
         .orElse(
           try Some(java.time.Instant.parse(ts).toEpochMilli)
           catch { case _: java.time.format.DateTimeParseException => None })
@@ -295,11 +294,37 @@ private[graft] class LakeChangeStream(
 }
 
 private[graft] object LakeChangeStream {
-  /** Test/probe seam: the most recently constructed stream's Lake —
-    * zero-listing assertions must observe the CONSUMER's own planning
-    * instance (listCalls is per-Lake), not an unrelated Lake over the
-    * same root, which would make the check vacuous. */
-  @volatile private[graft] var lastLake: Option[graft.v3.Lake] = None
+  /** Test/probe seam: each stream's listing COUNTER, keyed by
+    * (root, table) — zero-listing assertions must observe the
+    * CONSUMER's own planning instance (listCalls is per-Lake), not an
+    * unrelated Lake over the same root, which would make the check
+    * vacuous. Keyed (a last-instance handle races any concurrent
+    * stream construction) and holding only the AtomicLong, never the
+    * Lake (a pinned Lake retains its manifest caches and SparkSession
+    * for the JVM's life). Bounded by oldest-first eviction. */
+  private val listSeams = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), java.util.concurrent.atomic.AtomicLong]()
+  private val seamOrder =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+
+  private[streaming] def registerSeam(root: String, table: String,
+      counter: java.util.concurrent.atomic.AtomicLong): Unit =
+    seamOrder.synchronized {
+      if (listSeams.put((root, table), counter) != null)
+        seamOrder.remove((root, table))
+      seamOrder.add((root, table))
+      while (listSeams.size > 64) {
+        val oldest = seamOrder.poll()
+        if (oldest == null) return
+        listSeams.remove(oldest)
+      }
+    }
+
+  /** The listing count of the stream consuming (root, table); None =
+    * no such stream was constructed in this JVM. */
+  private[graft] def listCallsOf(root: String, table: String)
+      : Option[Long] =
+    Option(listSeams.get((root, table))).map(_.get())
 }
 
 /** A delegate parquet partition tagged with the change it carries. */

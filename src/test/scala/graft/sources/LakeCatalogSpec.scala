@@ -591,6 +591,30 @@ class LakeCatalogSpec extends SparkSpec {
       "ALTER TABLE graft_lake.prop_t UNSET TBLPROPERTIES ('write.bloom.ndv')")
     assert(propLake.tableProperties("prop_t") ==
       Map("write.bloom.columns" -> "k"))
+    // reserved keys REFUSE rather than silently no-op: a SET LOCATION
+    // that "succeeds" while the table keeps reading from the lake
+    // root would be a lie
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_lake.prop_t SET LOCATION '/elsewhere'")
+    }
+    assert(e1.getMessage.contains("no lake shape"), e1.getMessage)
+    // 'provider' dies in Spark's own analyzer; 'owner' reaches the
+    // catalog and must hit the guard - loud either way
+    val e2 = intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE graft_lake.prop_t SET TBLPROPERTIES ('provider'='orc')")
+    }
+    assert(e2.getMessage.contains("reserved table property") ||
+      e2.getMessage.contains("no lake shape"), e2.getMessage)
+    val e2b = intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE graft_lake.prop_t SET TBLPROPERTIES ('option.x'='1')")
+    }
+    assert(e2b.getMessage.contains("no lake shape") ||
+      e2b.getMessage.contains("reserved"), e2b.getMessage)
+    // and the registry is untouched by the refused statements
+    assert(propLake.tableProperties("prop_t") ==
+      Map("write.bloom.columns" -> "k"))
   }
 
   test("a manifest-less foreign table without chain_name= dirs serves unpartitioned") {

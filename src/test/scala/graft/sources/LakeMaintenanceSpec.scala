@@ -197,5 +197,12 @@ class LakeMaintenanceSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("not a configured lake catalog"),
       e2.getMessage)
+    // a MISSING table refuses loudly - a fabricated all-zeros detail
+    // row for a typo is indistinguishable from a real empty table
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_detail('graft_maint.no_such_t')")
+        .collect()
+    }
+    assert(e3.getMessage.contains("no such lake table"), e3.getMessage)
   }
 }
