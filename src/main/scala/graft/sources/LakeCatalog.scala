@@ -84,6 +84,12 @@ class LakeCatalog extends TableCatalog {
   private[graft] def currentLake: Option[Lake] =
     Option(cached).map(_._2)
 
+  /** The cached Lake only if it was built FOR `s` — a maintenance TVF
+    * running on a different session must not reuse a Lake whose reads
+    * are bound to another (possibly stopped) session. */
+  private[graft] def lakeForSession(s: SparkSession): Option[Lake] =
+    Option(cached).filter(_._1 eq s).map(_._2)
+
   /** The lake is flat (one directory per table): accept the empty
     * namespace and a cosmetic `default`. */
   private def tableOf(ident: Identifier): String = {

@@ -216,7 +216,8 @@ object LakeMaintenance {
     * isn't configured at all. */
   private[sources] def lakeFor(spark: SparkSession,
                                catalog: String): Lake =
-    LakeCatalog.instance(catalog).flatMap(_.currentLake).getOrElse {
+    LakeCatalog.instance(catalog).flatMap(_.lakeForSession(spark))
+      .getOrElse {
       val key = s"spark.sql.catalog.$catalog.root"
       val root = spark.conf.getOption(key).getOrElse(
         throw new IllegalArgumentException(
