@@ -112,6 +112,30 @@ class ExtensionsSpec extends SparkSpec {
           |  10.0D) AS l
           |""".stripMargin).head().getSeq[Seq[Long]](0)
       assert(pql == Seq(Seq(20L, 0L)))
+      // the lake maintenance/history TVFs ride the same injection
+      // (injectTableFunction): a conf-deployed session resolves them
+      // without any programmatic register call
+      import org.apache.spark.sql.catalyst.FunctionIdentifier
+      Seq("table_history", "table_changes", "graft_snapshot",
+        "graft_compact", "graft_cluster_compact", "graft_vacuum",
+        "graft_detail").foreach { fn =>
+        assert(s2.sessionState.tableFunctionRegistry
+          .functionExists(FunctionIdentifier(fn)),
+          s"TVF $fn not injected by GraftExtensions")
+      }
+      // and end-to-end through the injected path: a catalog +
+      // lifecycle on s2, read back via the TVF with no register call
+      val tvRoot = java.nio.file.Files
+        .createTempDirectory("ext-tvf").toString
+      s2.conf.set("spark.sql.catalog.ext_lake",
+        classOf[graft.sources.LakeCatalog].getName)
+      s2.conf.set("spark.sql.catalog.ext_lake.root", tvRoot)
+      s2.sql("CREATE TABLE ext_lake.t (chain_name STRING, k BIGINT)")
+      s2.sql("INSERT INTO ext_lake.t VALUES ('ethereum', 1)")
+      val hist = s2.sql("SELECT * FROM table_history('ext_lake.t')")
+        .collect()
+      assert(hist.length == 2 && hist.map(_.getString(2)).toSeq ==
+        Seq("create", "append"), hist.mkString(", "))
     } finally {
       prevActive.foreach(SparkSession.setActiveSession)
       prevDefault.foreach(SparkSession.setDefaultSession)
