@@ -350,8 +350,12 @@ object V3Shape {
             min(col("transaction_hash")).as("min_tx"),
             max(col("transaction_hash")).as("max_tx"))
           .withColumn("version", lit(tag))
-        digest(lake.readAt(Schemas.Nfp, v1), v1)
-          .unionByName(digest(lake.readAt(Schemas.Nfp, v2), v2))
+        // tags are ORDINALS, not the snapshot ids: snapshot numbering
+        // is monotone across dropTable+recreate (the never-reuse
+        // high-water survives the drop), so absolute ids grow with
+        // every rerun against this persistent /tmp lake
+        digest(lake.readAt(Schemas.Nfp, v1), 1L)
+          .unionByName(digest(lake.readAt(Schemas.Nfp, v2), 2L))
           // the INCREMENTAL leg (tagged 3): rows appended between the
           // two snapshots via manifest set-difference — must equal
           // wave 2 exactly for the oracle to hash-match

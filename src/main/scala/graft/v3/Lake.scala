@@ -634,12 +634,25 @@ class Lake(spark: SparkSession, val root: String) {
 
   /** Drop a whole table (its snapshot manifests and retired files go
     * with it — a pinned read of a dropped table has nothing true left
-    * to say). */
+    * to say). The snapshot HIGH-WATER mark survives the drop: a
+    * recreate must not reuse the dropped table's snapshot numbers, or
+    * a consumer's stored `VERSION AS OF` handle would silently resolve
+    * to the NEW table's unrelated snapshot instead of failing loudly
+    * (the manifest side gets the same protection from its `.id-`
+    * incarnation markers). */
   def dropTable(table: String): Boolean = {
     val p = new Path(dir(table))
+    val snapHi = math.max(
+      snapshotVersions(table).lastOption.getOrElse(0L),
+      expiredHighWater(table))
     Seq(snapDir(table), retiredDir(table), statsDir(table),
         schemaDir(table), propsDir(table), manifestDir(table))
       .foreach(d => if (fs.exists(d)) fs.delete(d, true))
+    if (snapHi > 0L) {
+      fs.mkdirs(snapDir(table))
+      fs.create(new Path(snapDir(table), f"v$snapHi%09d.expired"), true)
+        .close()
+    }
     statsLoaded.remove(table)
     manifestCache.keySet.removeIf(_._1 == table)
     inventoryCache.keySet.removeIf(_._1 == table)
@@ -902,7 +915,17 @@ class Lake(spark: SparkSession, val root: String) {
     if (cached != null)
       return (if (cached._1 < 0L) None else Some(cached._1), cached._2)
     val name = if (isDelta) f"v$v%09d.d.txt" else f"v$v%09d.txt"
-    val in = fs.open(new Path(manifestDir(table), name))
+    // a concurrent checkpoint publish's retention cut can delete the
+    // oldest listed version between our (unlocked) listing and this
+    // open — treat it as committed-before-headers rather than crashing
+    // a pure read with a raw FNF (callers reading full histories —
+    // versionAtTimestamp, commitHistory, the churn guard — all handle
+    // the header-less shape; version-RANGE reads that must not skip
+    // history do their own retained-set validation first)
+    val in = try fs.open(new Path(manifestDir(table), name))
+    catch {
+      case _: java.io.FileNotFoundException => return (None, "")
+    }
     val heads = try {
       val rd = new java.io.BufferedReader(
         new java.io.InputStreamReader(in, "UTF-8"), 512)
@@ -985,6 +1008,17 @@ class Lake(spark: SparkSession, val root: String) {
     kinds.lastOption.map { case (v, _) => (inc, v) }
   }
 
+  /** The manifest incarnation id currently serving `table` (None = no
+    * committed manifest). Commit VERSION numbers are per-incarnation:
+    * a dropTable+recreate restarts them at v1, so a batch CDC consumer
+    * that stores versions across runs should store this id alongside
+    * and pass it to [[changesBetweenCommits]]'s `expectedIncarnation`
+    * — otherwise a recreate in between silently replays the NEW
+    * table's commits as a continuation of the old history. (The
+    * STREAMING source stamps its offsets with it automatically.) */
+  def currentIncarnation(table: String): Option[String] =
+    incarnationAndLatest(table).map(_._1)
+
   def commitVersions(table: String): Seq[(Long, Option[Long])] = {
     val (kinds, inc) = manifestState(table)
     kinds.map { case (v, d) => (v, commitTimeOf(table, inc, v, d)) }
@@ -1040,18 +1074,11 @@ class Lake(spark: SparkSession, val root: String) {
     val base = fs.makeQualified(new Path(dir(table))).toString
     if (kinds.last._1 == version)
       rels.map { case (rel, b) => (s"$base/$rel", b) }
-    else rels.map { case (rel, b) =>
-      def statOf(p: Path): Option[org.apache.hadoop.fs.FileStatus] =
-        try Some(fs.getFileStatus(p))
-        catch { case _: java.io.FileNotFoundException => None }
-      statOf(new Path(s"${dir(table)}/$rel"))
-        .orElse(statOf(new Path(retiredDir(table), rel)))
-        .map(st => (st.getPath.toString, st.getLen))
-        .getOrElse(throw new IllegalArgumentException(
-          s"commit v$version of $table invalidated - missing file " +
-            s"(rewritten by compaction or upsert without retention, or " +
-            s"vacuum-expired): $rel"))
-    }
+    else
+      // the shared pinned-read resolution (one getFileStatus per
+      // location, loud invalidation) — was an inline copy that could
+      // drift from the contract
+      resolveLiveOrRetired(table, rels.map(_._1), s"commit v$version")
   }
 
   /** The (adds, removes) of each DELTA commit in `(fromExclusive,
@@ -1213,6 +1240,38 @@ class Lake(spark: SparkSession, val root: String) {
     // RETAINED commit log (the `#op=` headers) — a rewrite older than
     // manifest retention is invisible, but so is every snapshot that
     // could straddle it without also tripping the missing-file check.
+    // COMPLETENESS: the side-aware check below only sees rewrites the
+    // RETAINED commit log still describes. Anchored snapshots (the
+    // `#inc=`/`#commit=` headers pinned with the file set) make the
+    // check provably complete: every commit between the anchors must
+    // still be retained under the same incarnation — otherwise a
+    // maintenance rewrite could hide in the expired gap while
+    // retain-mode keeps BOTH snapshot sides resolvable from the
+    // retention area, and its churn would flow through silently.
+    // Refuse loudly instead. Pre-anchor snapshots keep the legacy
+    // retained-rewrites-only check.
+    (snapshotAnchor(table, fromVersion),
+      snapshotAnchor(table, toVersion)) match {
+      case (Some((incF, cFrom)), Some((incT, cTo))) =>
+        val (kinds, inc) = manifestState(table)
+        require(incF == inc && incT == inc,
+          s"table_changes($fromVersion, $toVersion) of $table: the " +
+            "snapshots were pinned under a different manifest " +
+            "incarnation (the table has been dropped and recreated) - " +
+            "their commit anchors have no relation to the current " +
+            "history")
+        val missing =
+          (cFrom to cTo).filterNot(w => kinds.exists(_._1 == w))
+        require(missing.isEmpty,
+          s"table_changes($fromVersion, $toVersion) of $table: " +
+            s"commit(s) ${missing.take(5).mkString(", ")} between the " +
+            s"snapshots' anchors [v$cFrom, v$cTo] have been expired " +
+            "by manifest retention - a maintenance rewrite there " +
+            "would be invisible to the churn guard and its churn " +
+            "would replay silently; diff a fresher range or raise " +
+            "manifest.minRetainedCommits")
+      case _ => ()
+    }
     // SIDE-AWARE matching: a snapshot diff straddles a rewrite only
     // when its REMOVED side contains files the rewrite removed, or its
     // ADDED side files the rewrite added. Matching either side against
@@ -1255,14 +1314,19 @@ class Lake(spark: SparkSession, val root: String) {
     val ad = Set.newBuilder[String]
     kinds.foreach { case (v, isDelta) =>
       if (rewriteOps(commitHeaderOf(table, inc, v, isDelta)._2)) {
-        if (isDelta) {
-          val (added, removed) = readDelta(table, v)
-          ad ++= added.map(_._1); rm ++= removed
-        } else if (kinds.exists(_._1 == v - 1)) {
-          val prev = resolveManifest(table, inc, kinds, v - 1).map(_._1).toSet
-          val cur = resolveManifest(table, inc, kinds, v).map(_._1).toSet
-          rm ++= (prev -- cur); ad ++= (cur -- prev)
-        } // else: base expired - nothing diffable survives either
+        // a concurrent retention cut can delete a listed version
+        // mid-read: skip it (the version is now expired — anchored
+        // diffs validate their range's retained-ness separately)
+        try {
+          if (isDelta) {
+            val (added, removed) = readDelta(table, v)
+            ad ++= added.map(_._1); rm ++= removed
+          } else if (kinds.exists(_._1 == v - 1)) {
+            val prev = resolveManifest(table, inc, kinds, v - 1).map(_._1).toSet
+            val cur = resolveManifest(table, inc, kinds, v).map(_._1).toSet
+            rm ++= (prev -- cur); ad ++= (cur -- prev)
+          } // else: base expired - nothing diffable survives either
+        } catch { case _: java.io.FileNotFoundException => () }
       }
     }
     (rm.result(), ad.result())
@@ -1285,11 +1349,28 @@ class Lake(spark: SparkSession, val root: String) {
     * a commit version expired by manifest retention, or a file
     * rewritten without retention, refuses loudly — a change feed that
     * silently skips history corrupts every consumer joining deletes by
-    * key. Cost: O(commits in range) small manifest reads to plan
+    * key. Version numbers are PER-INCARNATION: a consumer storing
+    * versions across runs should also store [[currentIncarnation]]
+    * and pass it as `expectedIncarnation` — a dropTable+recreate in
+    * between otherwise replays the new table's commits as a
+    * continuation of the old history (the streaming source's offsets
+    * carry the incarnation automatically).
+    * Cost: O(commits in range) small manifest reads to plan
     * (checkpoint commits diff two cached folds), one distributed scan
     * over exactly the changed files to execute. */
   def changesBetweenCommits(table: String, fromVersion: Long,
-                            toVersion: Long): DataFrame = {
+                            toVersion: Long,
+                            expectedIncarnation: Option[String] = None)
+      : DataFrame = {
+    expectedIncarnation.foreach { want =>
+      val cur = currentIncarnation(table).getOrElse("")
+      require(cur == want,
+        s"changesBetweenCommits($fromVersion, $toVersion) of $table: " +
+          s"the stored versions belong to manifest incarnation $want, " +
+          s"but the table has been dropped and recreated (current: " +
+          s"$cur) - the version numbers have no relation to this " +
+          "table's history; restart the feed from a current snapshot")
+    }
     val schema = effectiveSchema(table)
     def emptyOut: DataFrame = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -3252,24 +3333,39 @@ class Lake(spark: SparkSession, val root: String) {
     // the table lock) — pin its file set directly; the re-list-until-
     // stable loop survives only for manifest-less foreign tables,
     // where a racing writer's half-renamed job commit is observable
-    val files = latestManifest(table) match {
-      case Some((_, entries)) => entries.map(_._1).sorted
-      case None =>
-        val base = fs.makeQualified(new Path(dir(table))).toString
-        def listing(): Seq[String] = listInventory(table).map(_._2)
-          .map(_.stripPrefix(base).stripPrefix("/"))
-          .sorted
-        var fs0 = listing()
-        var again = listing()
-        var tries = 0
-        while (fs0 != again && tries < 8) {
-          fs0 = again; again = listing(); tries += 1
-        }
-        require(fs0 == again,
-          s"table $table is changing beneath snapshot (append in " +
-            "flight) - retry when writes quiesce")
-        fs0
+    // anchor the pin to the manifest commit it was taken at (one
+    // manifestState read decides both, so the pair cannot straddle a
+    // racing commit): the `#inc=`/`#commit=` headers let tableChanges
+    // prove whether any maintenance rewrite could hide in the
+    // (fromCommit, toCommit] range after retention expires it —
+    // without the anchor that check is impossible and an expired
+    // rewrite's churn would flow through silently (parsers skip `#`
+    // lines, so pre-anchor snapshots read back unchanged)
+    val (files, anchor) = {
+      val (kinds, inc) = manifestState(table)
+      kinds.lastOption match {
+        case Some((mv, _)) =>
+          (resolveManifest(table, inc, kinds, mv).map(_._1).sorted,
+            Some((inc, mv)))
+        case None =>
+          val base = fs.makeQualified(new Path(dir(table))).toString
+          def listing(): Seq[String] = listInventory(table).map(_._2)
+            .map(_.stripPrefix(base).stripPrefix("/"))
+            .sorted
+          var fs0 = listing()
+          var again = listing()
+          var tries = 0
+          while (fs0 != again && tries < 8) {
+            fs0 = again; again = listing(); tries += 1
+          }
+          require(fs0 == again,
+            s"table $table is changing beneath snapshot (append in " +
+              "flight) - retry when writes quiesce")
+          (fs0, None)
+      }
     }
+    val body = anchor.toSeq.flatMap { case (inc, mv) =>
+      Seq(s"#inc=$inc", s"#commit=$mv") } ++ files
     fs.mkdirs(snapDir(table))
     var v = math.max(snapshotVersions(table).lastOption.getOrElse(0L),
       expiredHighWater(table)) + 1
@@ -3297,7 +3393,7 @@ class Lake(spark: SparkSession, val root: String) {
             f".v$v%09d-tmp-${System.nanoTime()}")
           try {
             val out = fs.create(tmp, true)
-            out.write(files.mkString("\n").getBytes("UTF-8"))
+            out.write(body.mkString("\n").getBytes("UTF-8"))
             out.close()
             if (!fs.rename(tmp, txt))
               throw new java.io.IOException(
@@ -3393,7 +3489,24 @@ class Lake(spark: SparkSession, val root: String) {
       .parquet(fresh.map(r => s"${dir(table)}/$r"): _*), schema)
   }
 
-  private def manifestFiles(table: String, version: Long): Seq[String] = {
+  private def manifestFiles(table: String, version: Long): Seq[String] =
+    snapshotBody(table, version).filterNot(_.startsWith("#"))
+
+  /** The (incarnation, manifest commit) a snapshot was anchored to at
+    * pin time — None for pre-anchor snapshots and manifest-less
+    * foreign tables. */
+  private def snapshotAnchor(table: String,
+                             version: Long): Option[(String, Long)] = {
+    val heads = snapshotBody(table, version).takeWhile(_.startsWith("#"))
+    for {
+      inc <- heads.find(_.startsWith("#inc="))
+        .map(_.stripPrefix("#inc="))
+      mv <- heads.find(_.startsWith("#commit="))
+        .flatMap(_.stripPrefix("#commit=").toLongOption)
+    } yield (inc, mv)
+  }
+
+  private def snapshotBody(table: String, version: Long): Seq[String] = {
     val p = new Path(snapDir(table), f"v$version%09d.txt")
     require(fs.exists(p), s"no snapshot v$version for table $table")
     val in = fs.open(p)
@@ -3467,15 +3580,14 @@ class Lake(spark: SparkSession, val root: String) {
     require(keepLast >= 0, "keepLast must be >= 0")
     val versions = snapshotVersions(table)
     val expired = versions.dropRight(keepLast)
-    // CHECKED expiry: a manifest whose delete failed is still on disk
-    // and still readable, so it must keep pinning its retired files —
-    // counting it deleted would GC files a live-looking snapshot names
-    val reallyExpired = expired.filter(v =>
-      fs.delete(new Path(snapDir(table), f"v$v%09d.txt"), false))
-    val remaining = versions.filterNot(reallyExpired.toSet)
-    // bump the never-reuse high-water mark (name carries the value —
-    // no torn-read risk) and drop superseded markers
-    reallyExpired.maxOption.foreach { hi =>
+    // bump the never-reuse high-water mark BEFORE deleting (name
+    // carries the value — no torn-read risk): a crash between delete
+    // and a marker written after would reopen version recycling, the
+    // silent-wrong-corpus the marker exists to prevent. Marking an
+    // INTENDED expiry whose delete then fails merely burns a number
+    // (the marker gates new numbering, never reads); drop superseded
+    // markers after.
+    expired.maxOption.foreach { hi =>
       if (hi > expiredHighWater(table)) {
         fs.create(new Path(snapDir(table), f"v$hi%09d.expired"), true)
           .close()
@@ -3488,6 +3600,12 @@ class Lake(spark: SparkSession, val root: String) {
         }
       }
     }
+    // CHECKED expiry: a manifest whose delete failed is still on disk
+    // and still readable, so it must keep pinning its retired files —
+    // counting it deleted would GC files a live-looking snapshot names
+    val reallyExpired = expired.filter(v =>
+      fs.delete(new Path(snapDir(table), f"v$v%09d.txt"), false))
+    val remaining = versions.filterNot(reallyExpired.toSet)
     val keptRefs: Set[String] =
       remaining.flatMap(v => manifestFiles(table, v)).toSet
     // sweep crashed-commit leftovers: a lock whose version already

@@ -144,6 +144,61 @@ class LakeChangesSpec extends SparkSpec {
       e.getMessage.contains("retention"), s"wrong refusal: ${e.getMessage}")
   }
 
+  test("anchored snapshots refuse a diff whose commit range retention expired (hidden rewrite)") {
+    val root = Files.createTempDirectory("lake-cdc5").toString
+    val lake = new Lake(spark, root)
+    // tight floor so the rewrite commit actually expires
+    lake.setTableProperties(Schemas.Nfp,
+      Map("manifest.minRetainedCommits" -> "8"))
+    (0 until 3).foreach(j =>
+      lake.append(rows(j * 10 until (j + 1) * 10).coalesce(1), Schemas.Nfp))
+    val v1 = lake.snapshot(Schemas.Nfp)
+    // a RETAINED compaction: both snapshot sides stay resolvable from
+    // the retention area even after the commit log forgets the rewrite
+    assert(lake.compact(Schemas.Nfp, targetBytes = 1L << 26,
+      retain = true) > 0)
+    // roll the log until the compaction commit expires
+    val cur = new Lake(spark, root)
+    (0 until 40).foreach { _ =>
+      val inv = cur.fileInventory(Schemas.Nfp)
+        .map(e => (e._2.substring(e._2.indexOf("chain_name=")), e._3))
+      cur.publishSynthetic(Schemas.Nfp, inv,
+        delta = Some((Seq.empty, Set.empty[String])))
+    }
+    val v2 = cur.snapshot(Schemas.Nfp)
+    // without the anchors this diff SILENTLY emitted all 30 unchanged
+    // rows as delete+insert pairs (the retained-log churn guard could
+    // not see the expired rewrite); anchored snapshots prove the gap
+    // and refuse
+    val e = intercept[IllegalArgumentException] {
+      cur.tableChanges(Schemas.Nfp, v1, v2).count()
+    }
+    assert(e.getMessage.contains("expired by manifest retention"),
+      e.getMessage)
+  }
+
+  test("changesBetweenCommits with expectedIncarnation refuses after dropTable+recreate") {
+    val root = Files.createTempDirectory("lake-cdc6").toString
+    val lake = new Lake(spark, root)
+    lake.append(rows(0 until 10).coalesce(1), Schemas.Nfp)
+    val inc0 = lake.currentIncarnation(Schemas.Nfp).get
+    val c0 = lake.latestCommitVersion(Schemas.Nfp).get
+    lake.dropTable(Schemas.Nfp)
+    lake.append(rows(100 until 120).coalesce(1), Schemas.Nfp)
+    lake.append(rows(120 until 130).coalesce(1), Schemas.Nfp)
+    val cN = lake.latestCommitVersion(Schemas.Nfp).get
+    // version math alone cannot catch this (the new log reached cN >
+    // c0); the stored incarnation does
+    val e = intercept[IllegalArgumentException] {
+      lake.changesBetweenCommits(Schemas.Nfp, c0, cN, Some(inc0)).count()
+    }
+    assert(e.getMessage.contains("dropped and recreated"), e.getMessage)
+    // matching incarnation passes
+    val incNew = lake.currentIncarnation(Schemas.Nfp).get
+    assert(lake.changesBetweenCommits(Schemas.Nfp, c0, cN, Some(incNew))
+      .count() > 0L)
+  }
+
   test("dropChains removes several chains in ONE commit; retained files keep pins readable") {
     val root = Files.createTempDirectory("lake-cdc4").toString
     val lake = new Lake(spark, root)

@@ -151,6 +151,28 @@ class LakeSnapshotSpec extends SparkSpec {
     assert(lake.readAt(Schemas.Nfp, v3).count() == 20L)
   }
 
+  test("snapshot numbers survive dropTable+recreate - stale handles fail loudly") {
+    val lake = new Lake(spark,
+      Files.createTempDirectory("lake-snap-drop").toString)
+    lake.append(rows(0, 10), Schemas.Nfp)
+    val v1 = lake.snapshot(Schemas.Nfp)
+    lake.append(rows(10, 20), Schemas.Nfp)
+    val v2 = lake.snapshot(Schemas.Nfp)
+    assert(Seq(v1, v2) == Seq(1L, 2L))
+    // drop + recreate: the OLD handles must never silently resolve to
+    // the new table's snapshots under recycled numbers - the
+    // high-water mark survives the drop
+    lake.dropTable(Schemas.Nfp)
+    lake.append(rows(100, 120), Schemas.Nfp)
+    val v3 = lake.snapshot(Schemas.Nfp)
+    assert(v3 == 3L, s"recreate recycled snapshot numbering (got v$v3)")
+    val e = intercept[IllegalArgumentException] {
+      lake.readAt(Schemas.Nfp, v2).count()
+    }
+    assert(e.getMessage.contains("no snapshot"), e.getMessage)
+    assert(lake.readAt(Schemas.Nfp, v3).count() == 20L)
+  }
+
   test("empty-table snapshot reads back as a typed empty frame") {
     val lake = new Lake(spark,
       Files.createTempDirectory("lake-snap3").toString)
