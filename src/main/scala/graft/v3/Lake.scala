@@ -642,17 +642,26 @@ class Lake(spark: SparkSession, val root: String) {
     * incarnation markers). */
   def dropTable(table: String): Boolean = {
     val p = new Path(dir(table))
+    // mark BEFORE destroying (same ordering rule as vacuum's marker):
+    // a crash between a wholesale snapDir delete and a marker written
+    // after would reopen version recycling. The marker lands alongside
+    // the still-live snapshots (harmless — numbering takes the max),
+    // then everything EXCEPT markers is swept.
     val snapHi = math.max(
       snapshotVersions(table).lastOption.getOrElse(0L),
       expiredHighWater(table))
-    Seq(snapDir(table), retiredDir(table), statsDir(table),
-        schemaDir(table), propsDir(table), manifestDir(table))
-      .foreach(d => if (fs.exists(d)) fs.delete(d, true))
     if (snapHi > 0L) {
       fs.mkdirs(snapDir(table))
       fs.create(new Path(snapDir(table), f"v$snapHi%09d.expired"), true)
         .close()
-    }
+      fs.listStatus(snapDir(table)).map(_.getPath).foreach { q =>
+        if (q.getName != f"v$snapHi%09d.expired") fs.delete(q, false)
+      }
+    } else if (fs.exists(snapDir(table)))
+      fs.delete(snapDir(table), true)
+    Seq(retiredDir(table), statsDir(table),
+        schemaDir(table), propsDir(table), manifestDir(table))
+      .foreach(d => if (fs.exists(d)) fs.delete(d, true))
     statsLoaded.remove(table)
     manifestCache.keySet.removeIf(_._1 == table)
     inventoryCache.keySet.removeIf(_._1 == table)
@@ -910,21 +919,24 @@ class Lake(spark: SparkSession, val root: String) {
     (String, String, Long), (Long, String)]()
 
   private def commitHeaderOf(table: String, inc: String, v: Long,
-                             isDelta: Boolean): (Option[Long], String) = {
+                             isDelta: Boolean,
+                             strict: Boolean = false)
+      : (Option[Long], String) = {
     val cached = commitHeaderCache.get((table, inc, v))
     if (cached != null)
       return (if (cached._1 < 0L) None else Some(cached._1), cached._2)
     val name = if (isDelta) f"v$v%09d.d.txt" else f"v$v%09d.txt"
     // a concurrent checkpoint publish's retention cut can delete the
-    // oldest listed version between our (unlocked) listing and this
-    // open — treat it as committed-before-headers rather than crashing
-    // a pure read with a raw FNF (callers reading full histories —
-    // versionAtTimestamp, commitHistory, the churn guard — all handle
-    // the header-less shape; version-RANGE reads that must not skip
-    // history do their own retained-set validation first)
+    // oldest listed version between the caller's (unlocked) listing
+    // and this open. Informational readers (versionAtTimestamp,
+    // commitHistory) treat it as committed-before-headers rather than
+    // crashing a pure read with a raw FNF; STRICT callers — the churn
+    // guard's rewrite detection, where a header silently read as ""
+    // would hide a rewrite — get the FNF to refuse on. */
     val in = try fs.open(new Path(manifestDir(table), name))
     catch {
-      case _: java.io.FileNotFoundException => return (None, "")
+      case e: java.io.FileNotFoundException =>
+        if (strict) throw e else return (None, "")
     }
     val heads = try {
       val rd = new java.io.BufferedReader(
@@ -1228,18 +1240,24 @@ class Lake(spark: SparkSession, val root: String) {
     require(fromVersion <= toVersion,
       s"tableChanges of $table needs fromVersion <= toVersion " +
         s"(got $fromVersion > $toVersion)")
-    val from = manifestFiles(table, fromVersion).toSet
-    val to = manifestFiles(table, toVersion).toSet
+    // each snapshot body is read ONCE (file set + anchor headers)
+    val fromBody = snapshotBody(table, fromVersion)
+    val toBody = snapshotBody(table, toVersion)
+    def filesOf(b: Seq[String]) = b.filterNot(_.startsWith("#")).toSet
+    val from = filesOf(fromBody)
+    val to = filesOf(toBody)
+    // ONE commit-log listing decides the completeness guard AND feeds
+    // the rewrite-set walk below: separate listings would let a
+    // retention cut between them expire a rewrite the guard had
+    // validated as retained, and its churn would flow silently
+    val (kinds, inc) = manifestState(table)
     // dataChange = false guard: a compaction/clustering between the two
     // snapshots swaps files WITHOUT changing rows — diffing through it
     // would surface every row of the rewritten files as delete+insert
     // pairs, churning (or corrupting) downstream state keyed on those
     // rows. The published formats exclude such rewrites from their
     // change feeds; a file-set diff cannot, so it refuses loudly and
-    // points at the commit-grain feed, which can. Detection covers the
-    // RETAINED commit log (the `#op=` headers) — a rewrite older than
-    // manifest retention is invisible, but so is every snapshot that
-    // could straddle it without also tripping the missing-file check.
+    // points at the commit-grain feed, which can.
     // COMPLETENESS: the side-aware check below only sees rewrites the
     // RETAINED commit log still describes. Anchored snapshots (the
     // `#inc=`/`#commit=` headers pinned with the file set) make the
@@ -1250,18 +1268,16 @@ class Lake(spark: SparkSession, val root: String) {
     // retention area, and its churn would flow through silently.
     // Refuse loudly instead. Pre-anchor snapshots keep the legacy
     // retained-rewrites-only check.
-    (snapshotAnchor(table, fromVersion),
-      snapshotAnchor(table, toVersion)) match {
+    (parseSnapshotAnchor(fromBody), parseSnapshotAnchor(toBody)) match {
       case (Some((incF, cFrom)), Some((incT, cTo))) =>
-        val (kinds, inc) = manifestState(table)
         require(incF == inc && incT == inc,
           s"table_changes($fromVersion, $toVersion) of $table: the " +
             "snapshots were pinned under a different manifest " +
             "incarnation (the table has been dropped and recreated) - " +
             "their commit anchors have no relation to the current " +
             "history")
-        val missing =
-          (cFrom to cTo).filterNot(w => kinds.exists(_._1 == w))
+        val retained = kinds.map(_._1).toSet
+        val missing = (cFrom to cTo).filterNot(retained)
         require(missing.isEmpty,
           s"table_changes($fromVersion, $toVersion) of $table: " +
             s"commit(s) ${missing.take(5).mkString(", ")} between the " +
@@ -1280,7 +1296,8 @@ class Lake(spark: SparkSession, val root: String) {
     // compaction's OUTPUT is on the diff's removed side, which is fine
     // (the upsert removed it, with real row changes), and would hit a
     // union check forever after one retained compaction.
-    val (rwRemoved, rwAdded) = rewriteSwappedRels(table)
+    val (rwRemoved, rwAdded) = rewriteSwappedRels(table, kinds, inc,
+      what = s"table_changes($fromVersion, $toVersion)")
     val churned = ((from -- to) & rwRemoved) ++ ((to -- from) & rwAdded)
     require(churned.isEmpty,
       s"table_changes($fromVersion, $toVersion) of $table spans a " +
@@ -1305,19 +1322,23 @@ class Lake(spark: SparkSession, val root: String) {
     * split by side: (what rewrites REMOVED, what they ADDED) —
     * [[tableChanges]]' churn guard matches each diff side against the
     * corresponding rewrite side, and [[changesBetweenCommits]] skips
-    * the commits wholesale. O(retained commits) cached header reads;
-    * delta bodies are read only for rewrite commits. */
-  private def rewriteSwappedRels(table: String)
+    * the commits wholesale. Walks the CALLER's `kinds` listing (the
+    * guard validated its range against the same one — a second
+    * listing here would race a retention cut into a silent gap).
+    * O(retained commits) cached header reads; delta bodies are read
+    * only for rewrite commits. A version deleted by a concurrent
+    * retention cut MID-WALK refuses loudly — skipping it would hide
+    * a rewrite from the churn guard, and treating it as header-less
+    * would do the same silently. */
+  private def rewriteSwappedRels(table: String,
+      kinds: Seq[(Long, Boolean)], inc: String, what: String)
       : (Set[String], Set[String]) = {
-    val (kinds, inc) = manifestState(table)
     val rm = Set.newBuilder[String]
     val ad = Set.newBuilder[String]
     kinds.foreach { case (v, isDelta) =>
-      if (rewriteOps(commitHeaderOf(table, inc, v, isDelta)._2)) {
-        // a concurrent retention cut can delete a listed version
-        // mid-read: skip it (the version is now expired — anchored
-        // diffs validate their range's retained-ness separately)
-        try {
+      try {
+        if (rewriteOps(
+            commitHeaderOf(table, inc, v, isDelta, strict = true)._2)) {
           if (isDelta) {
             val (added, removed) = readDelta(table, v)
             ad ++= added.map(_._1); rm ++= removed
@@ -1326,7 +1347,12 @@ class Lake(spark: SparkSession, val root: String) {
             val cur = resolveManifest(table, inc, kinds, v).map(_._1).toSet
             rm ++= (prev -- cur); ad ++= (cur -- prev)
           } // else: base expired - nothing diffable survives either
-        } catch { case _: java.io.FileNotFoundException => () }
+        }
+      } catch {
+        case _: java.io.FileNotFoundException =>
+          throw new IllegalArgumentException(
+            s"$what of $table: commit v$v was expired by a concurrent " +
+              "retention cut mid-read - retry against fresh snapshots")
       }
     }
     (rm.result(), ad.result())
@@ -1362,21 +1388,13 @@ class Lake(spark: SparkSession, val root: String) {
                             toVersion: Long,
                             expectedIncarnation: Option[String] = None)
       : DataFrame = {
-    expectedIncarnation.foreach { want =>
-      val cur = currentIncarnation(table).getOrElse("")
-      require(cur == want,
-        s"changesBetweenCommits($fromVersion, $toVersion) of $table: " +
-          s"the stored versions belong to manifest incarnation $want, " +
-          s"but the table has been dropped and recreated (current: " +
-          s"$cur) - the version numbers have no relation to this " +
-          "table's history; restart the feed from a current snapshot")
-    }
     val schema = effectiveSchema(table)
     def emptyOut: DataFrame = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       schema.add("_change_type", org.apache.spark.sql.types.StringType)
         .add("_commit_version", org.apache.spark.sql.types.LongType))
-    val parts = changePlanBetween(table, fromVersion, toVersion)
+    val parts =
+      changePlanBetween(table, fromVersion, toVersion, expectedIncarnation)
       .map { case (v, kind, entries) =>
         readEntries(table, entries, schema)
           .withColumn("_change_type", lit(kind))
@@ -1394,12 +1412,25 @@ class Lake(spark: SparkSession, val root: String) {
     * history and vacuumed files refuse loudly (doc on
     * [[changesBetweenCommits]]). */
   private[graft] def changePlanBetween(table: String, fromVersion: Long,
-      toVersion: Long): Seq[(Long, String, Seq[(String, String, Long)])] = {
+      toVersion: Long, expectedIncarnation: Option[String] = None)
+      : Seq[(Long, String, Seq[(String, String, Long)])] = {
     require(fromVersion <= toVersion,
       s"changesBetweenCommits of $table needs fromVersion <= toVersion " +
         s"(got $fromVersion > $toVersion)")
-    if (fromVersion == toVersion) return Seq.empty
     val (kinds, inc) = manifestState(table)
+    // the incarnation check runs against the SAME listing the plan
+    // reads from — a separate pre-check would leave a window where a
+    // dropTable+recreate lands in between and the plan silently reads
+    // the NEW table's commits under the old feed's version numbers
+    expectedIncarnation.foreach { want =>
+      require(inc == want,
+        s"changesBetweenCommits($fromVersion, $toVersion) of $table: " +
+          s"the stored versions belong to manifest incarnation $want, " +
+          s"but the table has been dropped and recreated (current: " +
+          s"$inc) - the version numbers have no relation to this " +
+          "table's history; restart the feed from a current snapshot")
+    }
+    if (fromVersion == toVersion) return Seq.empty
     val retained = kinds.map(_._1).toSet
     val wanted = (fromVersion + 1) to toVersion
     val missing = wanted.filterNot(retained)
@@ -3493,11 +3524,11 @@ class Lake(spark: SparkSession, val root: String) {
     snapshotBody(table, version).filterNot(_.startsWith("#"))
 
   /** The (incarnation, manifest commit) a snapshot was anchored to at
-    * pin time — None for pre-anchor snapshots and manifest-less
-    * foreign tables. */
-  private def snapshotAnchor(table: String,
-                             version: Long): Option[(String, Long)] = {
-    val heads = snapshotBody(table, version).takeWhile(_.startsWith("#"))
+    * pin time, parsed from its already-read body — None for pre-anchor
+    * snapshots and manifest-less foreign tables. */
+  private def parseSnapshotAnchor(body: Seq[String])
+      : Option[(String, Long)] = {
+    val heads = body.takeWhile(_.startsWith("#"))
     for {
       inc <- heads.find(_.startsWith("#inc="))
         .map(_.stripPrefix("#inc="))
