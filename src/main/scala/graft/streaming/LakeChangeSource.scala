@@ -261,7 +261,13 @@ private[graft] class LakeChangeStream(
     requireSameIncarnation(so, incAndLatest._1)
     val from = so.version
     val to = end.asInstanceOf[LakeCommitOffset].version
-    lake.changePlanBetween(lakeTable, from, to).flatMap {
+    // the offset's incarnation rides INTO the plan (checked against
+    // the same listing the plan reads from): the pre-check above races
+    // a dropTable+recreate landing between it and the plan's listing,
+    // which would silently emit the NEW table's commits as a
+    // continuation of the old feed
+    lake.changePlanBetween(lakeTable, from, to,
+      Option(so.inc).filter(_.nonEmpty)).flatMap {
       case (v, kind, entries) =>
         val index = new ManifestPartitioningIndex(spark, tableDir,
           entries.map(e => (e._2, e._3)), partSchema)

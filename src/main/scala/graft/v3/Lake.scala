@@ -932,7 +932,7 @@ class Lake(spark: SparkSession, val root: String) {
     // commitHistory) treat it as committed-before-headers rather than
     // crashing a pure read with a raw FNF; STRICT callers — the churn
     // guard's rewrite detection, where a header silently read as ""
-    // would hide a rewrite — get the FNF to refuse on. */
+    // would hide a rewrite — get the FNF to refuse on.
     val in = try fs.open(new Path(manifestDir(table), name))
     catch {
       case e: java.io.FileNotFoundException =>
@@ -1441,7 +1441,20 @@ class Lake(spark: SparkSession, val root: String) {
         "feed from a current snapshot of the table")
     wanted.flatMap { v =>
       val isDelta = kinds.find(_._1 == v).exists(_._2)
-      if (rewriteOps(commitHeaderOf(table, inc, v, isDelta)._2)) Seq.empty
+      // STRICT header read: a version expired by a concurrent
+      // retention cut mid-plan must refuse loudly — read as
+      // header-less it would be misclassified as data-changing, and a
+      // cached fold could then emit the rewrite's file swap as
+      // delete+insert churn
+      val op = try commitHeaderOf(table, inc, v, isDelta, strict = true)._2
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new IllegalArgumentException(
+            s"changesBetweenCommits($fromVersion, $toVersion) of " +
+              s"$table: commit v$v was expired by a concurrent " +
+              "retention cut mid-read - retry from a current snapshot")
+      }
+      if (rewriteOps(op)) Seq.empty
       else {
         val (added, removed): (Seq[String], Seq[String]) =
           if (isDelta) {
