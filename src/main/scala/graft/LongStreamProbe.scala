@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   *  - `listCalls` == 0 throughout (planning never falls back to
   *    directory listings).
   *
-  * Usage: runMain graft.LongStreamProbe [nBatches] [upsert|cdc]
+  * Usage: runMain graft.LongStreamProbe [nBatches] [upsert|cdc|cdcvacuum]
   * (default 100 upsert). Emits one JSON line per decade + a final
   * summary line.
   *
@@ -30,6 +30,16 @@ import org.apache.spark.sql.functions._
   * (exactness under offset continuation), rewrite-only commits
   * contribute nothing, drain latency stays flat as the log ages, and
   * consumer planning performs zero directory listings.
+  *
+  * `cdcvacuum` mode (r16): `cdc` under FIRE — a concurrent thread
+  * runs the most aggressive GC schedule (keepLast = 0, every
+  * ~100 ms) for the probe's whole life, and the
+  * table's retention floor is shrunk to 8 commits. Invariants: the
+  * decade-draining consumer (lag <= 5 < floor) NEVER fails — retired
+  * files it still needs are pinned by the retained commit log, not
+  * by luck — and a from-0 consumer started at the end (lag >>
+  * floor) refuses LOUDLY at the version-range boundary with the
+  * documented retention message, never a raw missing-file error.
   */
 object LongStreamProbe {
   def main(args: Array[String]): Unit = {
@@ -45,13 +55,48 @@ object LongStreamProbe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    if (mode == "cdc") {
+    if (mode == "cdc" || mode == "cdcvacuum") {
       val root = java.nio.file.Files
         .createTempDirectory("cdc-stream-lake").toString
       val ckDir = java.nio.file.Files
         .createTempDirectory("cdc-stream-ck").toString
       val lake = new graft.v3.Lake(spark, root)
       val table = graft.v3.Schemas.Nfp
+      val vacuumCount = new java.util.concurrent.atomic.AtomicLong
+      val vacuumRaces = new java.util.concurrent.atomic.AtomicLong
+      @volatile var vacuumStop = false
+      val vacuumThread: Option[Thread] =
+        if (mode != "cdcvacuum") None
+        else {
+          // shrink the replayable window to 8 commits (the drains lag
+          // at most 5) and hammer the GC from a second thread - the
+          // liveness claim is only worth probing under the most
+          // aggressive schedule an operator could configure
+          lake.setTableProperties(table,
+            Map("manifest.minRetainedCommits" -> "8"))
+          val vlake = new graft.v3.Lake(spark, root)
+          val t = new Thread(() => {
+            while (!vacuumStop) {
+              try {
+                // keepLast = 0: expire every snapshot, GC everything
+                // unpinned. staleCommitMs stays at its default - a
+                // zero stale-age would BREAK the live writer's commit
+                // lock (that knob sweeps crashed-writer leftovers,
+                // not files; the probe hammers the GC, not the lock)
+                vlake.vacuum(table, keepLast = 0)
+                vacuumCount.incrementAndGet()
+              } catch {
+                // a vacuum racing an in-flight commit's retire can
+                // surface transient FNFs; count, never crash the probe
+                case _: Throwable => vacuumRaces.incrementAndGet()
+              }
+              Thread.sleep(100L)
+            }
+          }, "probe-vacuum")
+          t.setDaemon(true)
+          t.start()
+          Some(t)
+        }
       def rows(ids: Range, amt: Int => String) = ids.map { i =>
         ("ethereum", "IncreaseLiquidity", f"0xtx$i%06d", 1000L + i, 0L,
           "0xu1", amt(i), s"${i * 10}", s"${i * 100}", s"$i", i % 7L)
@@ -109,6 +154,45 @@ object LongStreamProbe {
             f""""list_calls":$consumerLists}""")
           lastDrained = latest
         }
+      }
+      vacuumStop = true
+      vacuumThread.foreach(_.join(2000L))
+      if (mode == "cdcvacuum") {
+        // the BEYOND-window consumer: a fresh checkpoint from commit 0
+        // must refuse at the version-range boundary with the
+        // documented retention message - never a raw missing-file
+        // error from a vacuumed path
+        val lateCk = java.nio.file.Files
+          .createTempDirectory("cdc-late-ck").toString
+        val refused =
+          try {
+            val q = graft.streaming.Streaming
+              .changeStream(spark, root, table, startingVersion = Some(0L))
+              .writeStream
+              .foreachBatch { (df: org.apache.spark.sql.DataFrame,
+                               _: Long) => df.count(); () }
+              .option("checkpointLocation", lateCk)
+              .trigger(org.apache.spark.sql.streaming
+                .Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            "NOT-REFUSED"
+          } catch {
+            case e: Throwable =>
+              val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+                .takeWhile(_ != null).take(10)
+                .map(x => Option(x.getMessage).getOrElse("")).toSeq
+              if (msgs.exists(_.contains("expired by manifest retention")))
+                "retention-boundary"
+              else s"WRONG-REASON: ${msgs.mkString(" | ")}"
+          }
+        require(refused == "retention-boundary",
+          s"beyond-window consumer outcome: $refused")
+        println(f"""{"probe":"cdc_vacuum_final","batches":$n,""" +
+          f""""commits":${lake.latestCommitVersion(table).get},""" +
+          f""""vacuums":${vacuumCount.get()},""" +
+          f""""vacuum_races":${vacuumRaces.get()},""" +
+          f""""late_consumer":"$refused"}""")
       }
       println(f"""{"probe":"cdc_stream_final","batches":$n,""" +
         f""""commits":${lake.latestCommitVersion(table).get},""" +

@@ -36,6 +36,12 @@ object ManifestProbe {
     val mode = args.lift(1).getOrElse("all")
     val runV1 = mode == "all" || mode == "v1"
     val runDsv2 = mode == "all" || mode == "dsv2"
+    // stats: the round-16 data-skipping layer — commit-time warm-up
+    // cost (must be O(commit files), never O(table)) and the
+    // plan-time skipped scan at n files (sidecar fold + per-file
+    // walk, zero footer opens). Its own mode: at 10⁶ the sections
+    // cross-contaminate GC like v1/dsv2 do.
+    val runStats = mode == "stats"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -187,6 +193,109 @@ object ManifestProbe {
         graft.plans.ManifestPartitioningIndex.builds.get() - builds0
       println(f"""{"probe":"dsv2_rowlevel_plan","n":$n,"sec":$rlSec%.3f,""" +
         f""""rebuilds":$rebuilds}""")
+      }
+
+      if (runStats) {
+      // 7a. commit-time stats warm-up is O(commit), not O(table):
+      // two real 4-file appends against the n-entry manifest — stats
+      // collection ON vs OFF — and the footer-read counter pins the
+      // warm-up to exactly the commit's own files. The delta between
+      // the two timings is the warm-up cost; it must not grow with n.
+      val statsLake = new graft.v3.Lake(spark, root)
+      def realRows(lo: Int, parts: Int) = {
+        val k = col("id")
+        spark.range(lo, lo + 4000L).repartition(parts).select(
+          lit("zreal").as("chain_name"),
+          lit("IncreaseLiquidity").as("name"),
+          concat(lit("0xtx"), lpad(k.cast("string"), 12, "0"))
+            .as("transaction_hash"),
+          (lit(1000L) + k).as("block_number"),
+          pmod(k, lit(13)).as("tx_index"),
+          lit("0xu1").as("from_address"),
+          k.cast("string").as("amount"),
+          (k * 7).cast("string").as("amount0"),
+          pmod(k, lit(1000)).cast("string").as("amount1"),
+          pmod(k, lit(997)).cast("string").as("tokenId"),
+          pmod(k, lit(7)).as("log_index"))
+      }
+      // untimed warm-up append: the FIRST write on a fresh lake pays
+      // one-time costs (manifest fold, parquet writer init, JIT) that
+      // would otherwise be misattributed to the stats step
+      statsLake.append(realRows(20000, 4), table)
+      statsLake.setTableProperties(table, Map("stats.collect" -> "false"))
+      val (_, commitOff) = timed(
+        statsLake.append(realRows(10000, 4), table))
+      statsLake.setTableProperties(table, Map("stats.collect" -> "true"))
+      val reads0 = statsLake.footerReads.get()
+      val (_, commitOn) = timed(
+        statsLake.append(realRows(0, 4), table))
+      val warmupReads = statsLake.footerReads.get() - reads0
+      println(f"""{"probe":"stats_commit_warmup","n":$n,""" +
+        f""""sec_with":$commitOn%.3f,"sec_without":$commitOff%.3f,""" +
+        f""""footer_reads":$warmupReads}""")
+      require(warmupReads <= 4L,
+        s"commit warm-up read $warmupReads footers for a 4-file " +
+          "commit - collection must touch ONLY the commit's files")
+
+      // 7b. plan-time data skipping at n files: synthesize the
+      // sidecar (block_number range [100i, 100i+99] per file) and
+      // plan a 1%-selectivity range query through the SQL catalog —
+      // cold (sidecar fold + walk) and warm (walk alone), kept count
+      // require'd, zero footer opens by construction.
+      val inv = statsLake.fileInventory(table)
+      def b64s(s: String) = java.util.Base64.getEncoder
+        .encodeToString(s.getBytes("UTF-8"))
+      val (shardBody, synthSec) = timed {
+        val sb = new java.lang.StringBuilder(inv.size * 64)
+        inv.zipWithIndex.foreach { case ((_, abs, bytes), i) =>
+          val rel = abs.substring(abs.indexOf("chain_name="))
+          if (!abs.contains("/chain_name=zreal/")) {
+            sb.append(b64s(rel)).append('\t').append(bytes).append('\t')
+              .append(b64s("block_number")).append("\tL\t")
+              .append(i.toLong * 100L).append('\t')
+              .append(i.toLong * 100L + 99L).append('\n')
+          }
+        }
+        sb.toString
+      }
+      val statsDirP = new org.apache.hadoop.fs.Path(
+        s"$root/_filestats/$table")
+      val hfs = statsDirP.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      hfs.mkdirs(statsDirP)
+      val shardOut = hfs.create(new org.apache.hadoop.fs.Path(
+        statsDirP, "stats-probe-synth.txt"), true)
+      try shardOut.write(shardBody.getBytes("UTF-8"))
+      finally shardOut.close()
+      emit("stats_sidecar_synth", n, synthSec)
+      val cat = s"sprobe_${n}_${System.nanoTime()}"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.LakeCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val lo = (n / 2).toLong * 100L
+      val hi = lo + 100L * math.max(1L, n / 100L) - 1L
+      val seam0 = graft.plans.DataSkipping
+        .skipStats(s"$root/$table").getOrElse((0L, 0L))
+      val (_, skipCold) = timed(spark.sql(
+        s"SELECT * FROM $cat.$table WHERE block_number " +
+          s"BETWEEN $lo AND $hi").rdd.getNumPartitions)
+      emit("dsv2_plan_skipped_cold", n, skipCold)
+      val (_, skipWarm) = timed(spark.sql(
+        s"SELECT * FROM $cat.$table WHERE block_number " +
+          s"BETWEEN $lo AND $hi").rdd.getNumPartitions)
+      emit("dsv2_plan_skipped_warm", n, skipWarm)
+      val seam1 = graft.plans.DataSkipping
+        .skipStats(s"$root/$table").getOrElse((0L, 0L))
+      val (cand, kept) = (seam1._1 - seam0._1, seam1._2 - seam0._2)
+      val catLake = graft.sources.LakeCatalog.instance(cat)
+        .flatMap(_.currentLake).getOrElse(statsLake)
+      println(f"""{"probe":"stats_skip_ratio","n":$n,""" +
+        f""""candidates":$cand,"kept":$kept,""" +
+        f""""footer_reads":${catLake.footerReads.get()}}""")
+      require(cand > 0 && kept.toDouble / cand <= 0.03,
+        s"skipped plan kept $kept of $cand files - expected ~1%")
+      require(catLake.footerReads.get() == 0L,
+        "plan-time skipping opened footers at probe scale")
       }
 
       if (runV1) {

@@ -42,7 +42,8 @@ import org.apache.spark.unsafe.types.UTF8String
 class ManifestFileIndex(
     tableDir: Path,
     files: Seq[(String, Long)], // (absPath, bytes)
-    override val partitionSchema: StructType) extends FileIndex {
+    override val partitionSchema: StructType,
+    stats: Option[DataSkipping.FileStatsProvider] = None) extends FileIndex {
 
   private def rowOf(path: String): Seq[Any] =
     ManifestFileIndex.partitionRow(path, partitionSchema)
@@ -83,7 +84,33 @@ class ManifestFileIndex(
         pred.initialize(0)
         dirs.filter { case (row, _) => pred.eval(row) }
       }
-    kept.map { case (row, sts) => PartitionDirectory(row, sts.toArray) }
+    // data skipping over the partition-pruned survivors — same
+    // compile-once / cache-only-lookup contract as the DSv2 twin
+    // ([[ManifestPartitioningIndex.listFiles]]); no provider or no
+    // usable conjunct = the historical no-overhead path
+    val compiled =
+      if (stats.isEmpty || dataFilters.isEmpty) None
+      else DataSkipping.compile(dataFilters)
+    compiled match {
+      case Some(test) =>
+        val p = stats.get
+        var candidates = 0L
+        var kd = 0L
+        val out = kept.flatMap { case (row, sts) =>
+          val fs = sts.filter { s =>
+            candidates += 1
+            val keep = test.mayMatch(
+              c => p.range(s.getPath, s.getLen, c))
+            if (keep) kd += 1
+            keep
+          }
+          if (fs.isEmpty) None else Some(PartitionDirectory(row, fs.toArray))
+        }
+        DataSkipping.record(tableDir.toString, candidates, kd)
+        out
+      case None =>
+        kept.map { case (row, sts) => PartitionDirectory(row, sts.toArray) }
+    }
   }
 
   override def inputFiles: Array[String] = files.map(_._1).toArray
@@ -145,7 +172,9 @@ object ManifestFileIndex {
   def relation(spark: SparkSession, tableDir: Path,
                entries: Seq[(String, Long)], schema: StructType,
                partitionCols: Seq[String],
-               options: Map[String, String] = Map.empty): DataFrame = {
+               options: Map[String, String] = Map.empty,
+               stats: Option[DataSkipping.FileStatsProvider] = None)
+      : DataFrame = {
     val missing = partitionCols.filterNot(schema.fieldNames.contains)
     require(missing.isEmpty,
       s"partition column(s) ${missing.mkString(", ")} not in schema")
@@ -153,7 +182,8 @@ object ManifestFileIndex {
       partitionCols.map(c => schema.fields.find(_.name == c).get))
     val dataSchema =
       StructType(schema.fields.filterNot(f => partitionCols.contains(f.name)))
-    val index = new ManifestFileIndex(tableDir, entries, partitionSchema)
+    val index = new ManifestFileIndex(tableDir, entries, partitionSchema,
+      stats)
     val rel = HadoopFsRelation(index, partitionSchema, dataSchema,
       bucketSpec = None, new ParquetFileFormat(), options)(spark)
     spark.baseRelationToDataFrame(rel)

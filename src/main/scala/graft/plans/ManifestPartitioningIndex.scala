@@ -5,6 +5,7 @@ import scala.collection.mutable
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.execution.datasources.{PartitionPath, PartitionSpec, PartitioningAwareFileIndex}
 import org.apache.spark.sql.types.StructType
 
@@ -37,14 +38,72 @@ class ManifestPartitioningIndex private (
     spark: SparkSession,
     tableDir: Path,
     dirMap: Map[Path, Array[FileStatus]],
-    partSchema: StructType)
+    partSchema: StructType,
+    stats: Option[DataSkipping.FileStatsProvider])
   extends PartitioningAwareFileIndex(spark, Map.empty, None) {
 
   def this(spark: SparkSession, tableDir: Path,
            files: Seq[(String, Long)], // (absPath, bytes)
-           partSchema: StructType) =
+           partSchema: StructType,
+           stats: Option[DataSkipping.FileStatsProvider] = None) =
     this(spark, tableDir,
-      ManifestPartitioningIndex.buildDirMap(files), partSchema)
+      ManifestPartitioningIndex.buildDirMap(files), partSchema, stats)
+
+  /** Data-skipping pass over the parent's partition-pruned listing:
+    * pushed data-filter conjuncts compile once per plan
+    * ([[DataSkipping.compile]]) and each surviving file is tested
+    * against its known per-column [min, max] — files that provably
+    * cannot match are never scheduled. Stats come from the provider's
+    * already-loaded cache (the `_filestats` sidecar, warmed at commit
+    * time) — ZERO footer or filesystem I/O here, preserving the
+    * index's zero-I/O planning contract; unknown stats keep the file.
+    * Row-level (UPDATE/MERGE) scans never reach this path: they push
+    * no data filters by design — a group-based rewrite must read
+    * every row of each replaced file. */
+  /** Skip-pruned listings memoized per filter set: Spark walks
+    * listFiles several times while planning ONE query (statistics,
+    * pushdown, partitions), and repeated identical query TEXT walks
+    * again with fresh exprIds — the index is immutable, so the pruned
+    * result is too. Keyed by the expressions' toString with exprIds
+    * (#123) stripped: safe because the index serves one table's scan
+    * output, where attribute names are unambiguous. Bounded. */
+  private val listCache = new java.util.concurrent.ConcurrentHashMap[
+    String,
+    Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory]]()
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression])
+      : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = {
+    val compiled =
+      if (stats.isEmpty || dataFilters.isEmpty) None
+      else DataSkipping.compile(dataFilters)
+    compiled match {
+      case Some(test) =>
+        val key = (partitionFilters.iterator ++ dataFilters.iterator)
+          .map(_.toString.replaceAll("#\\d+", "")).mkString("|")
+        val hit = listCache.get(key)
+        if (hit != null) return hit
+        val base = super.listFiles(partitionFilters, dataFilters)
+        val p = stats.get
+        var candidates = 0L
+        var kept = 0L
+        val out = base.map { pd =>
+          val files = pd.files.filter { f =>
+            candidates += 1
+            val keep = test.mayMatch(
+              c => p.range(f.getPath, f.getLen, c))
+            if (keep) kept += 1
+            keep
+          }
+          if (files.length == pd.files.length) pd else pd.copy(files = files)
+        }.filter(_.files.nonEmpty)
+        DataSkipping.record(tableDir.toString, candidates, kept)
+        if (listCache.size > 32) listCache.clear()
+        listCache.put(key, out)
+        out
+      case None => super.listFiles(partitionFilters, dataFilters)
+    }
+  }
 
   override val leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
     dirMap
@@ -88,7 +147,8 @@ class ManifestPartitioningIndex private (
         .map { case (p, b) => ManifestPartitioningIndex.mkStatus(p, b) }
         .toArray)
     }
-    new ManifestPartitioningIndex(spark, tableDir, next.toMap, partSchema)
+    new ManifestPartitioningIndex(spark, tableDir, next.toMap, partSchema,
+      stats)
   }
 
   /** (file count, total bytes) — the cheap consistency fingerprint the

@@ -596,8 +596,23 @@ object V3Shape {
         val pre = digest(lake.readAt(Schemas.Nfp, v1), "v1_pre")
           .localCheckpoint()
         val vs = lake.vacuum(Schemas.Nfp, keepLast = 1)
-        require(vs.manifestsDeleted == 1 && vs.filesDeleted >= 1,
-          s"vacuum should expire v1 and free its retired file(s): $vs")
+        // r16 lifecycle: the upsert is a DATA-CHANGING commit still
+        // inside the retained CDC window, so its swapped-out files
+        // stay pinned even after the v1 snapshot expires — an
+        // in-window lake-changes consumer must never be starved by a
+        // vacuum (the published formats' CDF-retention coupling)
+        require(vs.manifestsDeleted == 1 && vs.filesDeleted == 0,
+          s"vacuum must expire v1 but keep commit-log-pinned retired " +
+            s"files (CDC replayable window): $vs")
+        // roll the window (tiny metadata-only checkpoint commits under
+        // a shrunk floor) - NOW the files free
+        lake.setTableProperties(Schemas.Nfp,
+          Map("manifest.minRetainedCommits" -> "1"))
+        (0 until 3).foreach(_ => lake.refreshManifest(Schemas.Nfp))
+        val vs2 = lake.vacuum(Schemas.Nfp, keepLast = 1)
+        require(vs2.filesDeleted >= 1,
+          s"retention expired the rewrite commit, vacuum must free " +
+            s"its retired file(s): $vs2")
         pre.unionByName(digest(lake.readAt(Schemas.Nfp, v2), "v2_post"))
           .select(col("version"), col("log_index"), col("n"), col("sum_a0"))
           .orderBy(col("version"), col("log_index"))
@@ -1366,6 +1381,23 @@ object V3Shape {
           |   AND t.transaction_hash = s.transaction_hash
           | WHEN MATCHED THEN UPDATE SET amount0 = s.amount0
           | WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        // round-16 BY SOURCE leg: a second MERGE whose source names
+        // only the repriced keys — target-only rows (EVERY other row,
+        // across all partitions; runtime group filtering must not
+        // wrongly narrow this full-outer rewrite) delete on one
+        // (log_index, tx_index) slice and re-price on another
+        nfpFromOrders(orders.filter(k < 100 && pmod(k, lit(10)) === 0),
+            twoChains = true)
+          .createOrReplaceTempView("s26_src2")
+        s.sql(s"""MERGE INTO $cat.nfp t USING s26_src2 s
+          | ON t.chain_name = s.chain_name
+          |   AND t.transaction_hash = s.transaction_hash
+          | WHEN MATCHED THEN UPDATE SET amount0 = '888888'
+          | WHEN NOT MATCHED BY SOURCE AND t.log_index = 6
+          |   AND t.tx_index = 0 THEN DELETE
+          | WHEN NOT MATCHED BY SOURCE AND t.log_index = 5 THEN UPDATE
+          |   SET amount0 = CAST(CAST(t.amount0 AS BIGINT) + 7 AS STRING)
+          |""".stripMargin)
         def agg(from: String) = s.sql(
           s"""SELECT log_index, count(*) AS n,
              |  CAST(sum(CAST(amount0 AS BIGINT)) AS BIGINT) AS sum_a0
@@ -1396,10 +1428,17 @@ object V3Shape {
         |  UNION ALL
         |  SELECT b.k + mx.m + 1 AS k, b.cents AS a0
         |    FROM base b, mx WHERE b.k <= 37),
+        |fin2 AS (SELECT k,
+        |    CASE WHEN k < 100 AND k % 10 = 0 THEN 888888
+        |         WHEN k % 7 = 5 THEN a0 + 7
+        |         ELSE a0 END AS a0
+        |  FROM fin
+        |  WHERE NOT (NOT (k < 100 AND k % 10 = 0)
+        |    AND k % 7 = 6 AND k % 13 = 0)),
         |pin AS (SELECT k, cents AS a0 FROM base)
         |SELECT 'cur' AS src, CAST(k % 7 AS BIGINT) AS log_index,
         |    count(*) AS n, CAST(sum(a0) AS BIGINT) AS sum_a0
-        |  FROM fin GROUP BY 2
+        |  FROM fin2 GROUP BY 2
         |UNION ALL
         |SELECT 'pin' AS src, CAST(k % 7 AS BIGINT) AS log_index,
         |    count(*) AS n, CAST(sum(a0) AS BIGINT) AS sum_a0
@@ -1624,8 +1663,13 @@ object V3Shape {
         s.sql(s"DELETE FROM $cat.mnt_t WHERE chain_name = 'base'")
         val vac = s.sql(s"SELECT * FROM graft_vacuum('$cat.mnt_t', 1)")
           .first()
-        require(vac.getLong(1) >= (preFiles - 2).toLong,
-          s"vacuum kept the compaction-retired originals: $vac")
+        // r16 lifecycle: every commit is still inside the retained
+        // CDC window, so the compaction-swapped originals (replayed
+        // by a from-0 consumer, to whom the rewrite is invisible) and
+        // the DELETE-retired chain stay pinned - an in-window
+        // consumer must never be starved by a vacuum
+        require(vac.getLong(1) == 0L,
+          s"in-window vacuum must keep commit-log-pinned files: $vac")
         // the FINAL log: every commit is still retained — the
         // compaction/dropChain checkpoints would have truncated the
         // log to a handful of commits before r15's
@@ -1633,6 +1677,18 @@ object V3Shape {
         // guarantees CDC consumers and history readers a bounded
         // minimum window regardless of checkpoint placement
         val hist2 = history("hist2")
+        // roll the CDC window (shrunk floor + metadata-only refresh
+        // checkpoints force a retention cut) - NOW the vacuum frees
+        // the compaction originals; the pinned snapshot keeps exactly
+        // what VERSION AS OF needs
+        s.sql(s"""ALTER TABLE $cat.mnt_t SET TBLPROPERTIES
+          | ('manifest.minRetainedCommits'='1')""".stripMargin)
+        (0 until 3).foreach(_ => lake.refreshManifest("mnt_t"))
+        val vac2 = s.sql(s"SELECT * FROM graft_vacuum('$cat.mnt_t', 1)")
+          .first()
+        require(vac2.getLong(1) >= (preFiles - 2).toLong,
+          s"window rolled: vacuum must free the compaction-retired " +
+            s"originals (had $preFiles files): $vac2")
         def agg(src: String, from: String, where: String) = s.sql(
           s"""SELECT '$src' AS src, bucket AS ord, chain_name AS tag,
              |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_c
@@ -1687,6 +1743,167 @@ object V3Shape {
         |SELECT 'pin', bucket, chain_name, count(*),
         |    CAST(sum(cents) AS BIGINT)
         |  FROM src GROUP BY 2, 3
-        |ORDER BY 1, 2, 3""".stripMargin))
+        |ORDER BY 1, 2, 3""".stripMargin)),
+
+    // PLAN-TIME DATA SKIPPING — round-16's per-file column stats:
+    // every commit persists [min, max] for the prunable data columns
+    // (the `_filestats` sidecar, O(commit) per commit), and an
+    // arbitrary pushed SQL predicate on a NON-KEY column
+    // (`block_number BETWEEN …`) prunes FILES at plan time through
+    // the manifest-served DSv2 index — Delta/Iceberg's data-skipping
+    // feature. Four appends carry disjoint block_number ranges; the
+    // range query must schedule exactly the one overlapping file of
+    // four (require'd via the DataSkipping seam — a non-pruning plan
+    // fails the gate), with zero plan-time footer reads and zero
+    // listings; the oracle recomputes the aggregate straight from
+    // orders.
+    ("s29_data_skipping",
+      ((s: SparkSession, d: String) => {
+        import graft.v3.{Lake, Schemas}
+        val orders = Tables.orders(s, d)
+        val k = col("o_orderkey")
+        // block_number = 1000 + k: monotone in the wave key, so each
+        // single-file wave carries a TIGHT disjoint range on a column
+        // that is NOT an upsert key
+        def derive(df: org.apache.spark.sql.DataFrame) = df.select(
+          lit("ethereum").as("chain_name"),
+          lit("IncreaseLiquidity").as("name"),
+          concat(lit("0xtx"), lpad(k.cast("string"), 12, "0"))
+            .as("transaction_hash"),
+          (lit(1000L) + k).as("block_number"),
+          pmod(k, lit(13)).as("tx_index"),
+          concat(lit("0xu"), col("o_custkey").cast("string"))
+            .as("from_address"),
+          col("o_custkey").cast("string").as("amount"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long")
+            .cast("string").as("amount0"),
+          pmod(k, lit(1000)).cast("string").as("amount1"),
+          pmod(k, lit(997)).cast("string").as("tokenId"),
+          pmod(k, lit(7)).as("log_index"))
+        val mx = orders.agg(max(k)).first().getLong(0)
+        val q = mx / 4 + 1
+        val root = s"/tmp/graft-dskip-lake/${Llm.sfCacheKey(d)}"
+        val lake = new Lake(s, root)
+        lake.dropTable(Schemas.Nfp)
+        (0 until 4).foreach(j =>
+          lake.append(derive(orders.filter(k >= j * q && k < (j + 1) * q))
+            .coalesce(1), Schemas.Nfp))
+        val cat = "graft_dskip_" +
+          Llm.sfCacheKey(d).replaceAll("[^A-Za-z0-9]", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        val dirStr = s"$root/${Schemas.Nfp}"
+        def seam = graft.plans.DataSkipping.skipStats(dirStr)
+          .getOrElse((0L, 0L))
+        val s0 = seam
+        // the range covers wave 1 exactly: [1000+q, 1000+2q-1]
+        val out = s.sql(
+          s"""SELECT log_index, count(*) AS n,
+             |  CAST(sum(CAST(amount0 AS BIGINT)) AS BIGINT) AS sum_a0
+             |FROM $cat.nfp
+             |WHERE block_number BETWEEN ${1000 + q} AND ${1000 + 2 * q - 1}
+             |GROUP BY log_index ORDER BY log_index""".stripMargin)
+          .localCheckpoint()
+        val s1 = seam
+        val (cand, kept) = (s1._1 - s0._1, s1._2 - s0._2)
+        require(cand > 0 && cand % 4 == 0 && kept == cand / 4,
+          s"data skipping did not prune - kept $kept of $cand " +
+            "candidate files (expected exactly the 1 of 4 overlapping)")
+        val catLake = graft.sources.LakeCatalog.instance(cat)
+          .flatMap(_.currentLake).getOrElse(
+            throw new IllegalStateException("catalog served no query"))
+        // the CATALOG's lake planned the query: it must have pruned
+        // from the sidecar fold alone - zero plan-time footer opens,
+        // zero recursive listings
+        require(catLake.footerReads.get() == 0L,
+          "plan-time skipping opened a parquet footer - stats must " +
+            "serve from the commit-time sidecar")
+        require(catLake.listCalls.get() == 0L,
+          s"the SQL catalog fell back to ${catLake.listCalls.get()} " +
+            "recursive listing(s) - plans must be manifest-served")
+        out
+      }): Q,
+      Some("""WITH mxq AS (SELECT max(o_orderkey) // 4 + 1 AS q FROM orders)
+        |SELECT CAST(o_orderkey % 7 AS BIGINT) AS log_index,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_a0
+        |FROM orders, mxq
+        |WHERE o_orderkey >= q AND o_orderkey < 2 * q
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ROW-GRAIN CDC ENRICHMENT — round-16's enriched change feed
+    // (Delta CDF's update_preimage/postimage mode): one upsert commit
+    // rewrites whole files (file grain would churn EVERY row of the
+    // touched files through delete+insert), and the enriched feed —
+    // removed×added joined on the table's keys — must emit exactly
+    // the update pairs, deletes and inserts the batch actually made,
+    // with the unchanged rewritten rows emitting NOTHING. The oracle
+    // recomputes all four change classes straight from orders; any
+    // leaked unchanged row breaks the counts. The SQL shape is the
+    // 4-arg table_changes TVF (keys as the fourth argument).
+    ("s30_cdc_enriched",
+      ((s: SparkSession, d: String) => {
+        import graft.v3.{Lake, Schemas}
+        val orders = Tables.orders(s, d)
+        val k = col("o_orderkey")
+        def derive(df: org.apache.spark.sql.DataFrame) = nfpFromOrders(df)
+        val root = s"/tmp/graft-cdcenr-lake/${Llm.sfCacheKey(d)}"
+        val lake = new Lake(s, root)
+        lake.dropTable(Schemas.Nfp)
+        // two interleaved appends: every file spans the whole key
+        // range, so the upsert rewrite drags unchanged rows through
+        lake.append(derive(orders.filter(pmod(k, lit(2)) === 0))
+          .coalesce(1), Schemas.Nfp)
+        lake.append(derive(orders.filter(pmod(k, lit(2)) === 1))
+          .coalesce(1), Schemas.Nfp)
+        val v0 = lake.latestCommitVersion(Schemas.Nfp).get
+        // ONE upsert commit: +100 cents on k%10==0 below 2000, delete
+        // k%10==5 below 2000, insert fresh 0xnw keys from the k%17==0
+        // world
+        val upd = derive(orders.filter(k < 2000 && pmod(k, lit(10)) === 0))
+          .withColumn("amount0",
+            (col("amount0").cast("long") + 100).cast("string"))
+          .withColumn("_del", lit(false))
+        val del = derive(orders.filter(k < 2000 && pmod(k, lit(10)) === 5))
+          .withColumn("_del", lit(true))
+        val ins = derive(orders.filter(pmod(k, lit(17)) === 0))
+          .withColumn("transaction_hash",
+            regexp_replace(col("transaction_hash"), "^0xtx", "0xnw"))
+          .withColumn("_del", lit(false))
+        lake.upsert(upd.unionByName(del).unionByName(ins), Schemas.Nfp,
+          Seq("chain_name", "transaction_hash"),
+          deleteCol = Some("_del"), retain = true)
+        val v1 = lake.latestCommitVersion(Schemas.Nfp).get
+        val cat = "graft_cdcenr_" +
+          Llm.sfCacheKey(d).replaceAll("[^A-Za-z0-9]", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        graft.sources.LakeMaintenance.register(s)
+        s.sql(
+          s"""SELECT _change_type, log_index,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(amount0 AS BIGINT)) AS BIGINT) AS sum_a0
+             |FROM table_changes('$cat.nfp', $v0, $v1,
+             |  'chain_name,transaction_hash')
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+      }): Q,
+      Some("""WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |ch AS (
+        |  SELECT 'update_preimage' AS ct, k % 7 AS li, cents AS a0
+        |    FROM base WHERE k < 2000 AND k % 10 = 0
+        |  UNION ALL
+        |  SELECT 'update_postimage', k % 7, cents + 100
+        |    FROM base WHERE k < 2000 AND k % 10 = 0
+        |  UNION ALL
+        |  SELECT 'delete', k % 7, cents
+        |    FROM base WHERE k < 2000 AND k % 10 = 5
+        |  UNION ALL
+        |  SELECT 'insert', k % 7, cents FROM base WHERE k % 17 = 0)
+        |SELECT ct AS _change_type, CAST(li AS BIGINT) AS log_index,
+        |  count(*) AS n, CAST(sum(a0) AS BIGINT) AS sum_a0
+        |FROM ch GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -580,10 +580,12 @@ private[graft] class LakeTable(
               .filter(_.fingerprint ==
                 ((entries.size.toLong, entries.map(_._2).sum)))
             patched.getOrElse(new ManifestPartitioningIndex(spark,
-              tableDir, entries, partSchema))
+              tableDir, entries, partSchema,
+              stats = Some(lake.statsProvider(lakeTable))))
           })
       case None =>
-        new ManifestPartitioningIndex(spark, tableDir, entries, partSchema)
+        new ManifestPartitioningIndex(spark, tableDir, entries, partSchema,
+          stats = Some(lake.statsProvider(lakeTable)))
     }
     val dataSchema =
       StructType(tableSchema.fields.filterNot(f => partCols.contains(f.name)))

@@ -96,10 +96,23 @@ object LakeMaintenance {
       Seq("manifests_deleted" -> LongType,
         "files_deleted" -> LongType, "bytes_freed" -> LongType),
       (lake, t, args) => {
-        val st = lake.vacuum(t, num(args, 0).toInt)
+        // clamp before narrowing: num() hands back the SQL literal as
+        // a Long, and a bare .toInt would WRAP a keep-everything value
+        // like 4294967297 to 1 - turning an operator's "keep all"
+        // intent into near-total snapshot expiry plus file GC
+        val keepLast = math.min(num(args, 0), Int.MaxValue.toLong).toInt
+        require(keepLast >= 0,
+          s"graft_vacuum: keepLast must be >= 0 (got ${num(args, 0)})")
+        val st = lake.vacuum(t, keepLast)
         Seq(Seq(st.manifestsDeleted.toLong, st.filesDeleted.toLong,
           st.bytesFreed))
       }, argSpec = "n"),
+    Fn("graft_analyze", "graft_analyze('catalog.table')",
+      Seq("files_analyzed" -> LongType),
+      // backfill per-file data-skipping stats for files committed
+      // before stats existed (adoption/upgrade) or before a
+      // stats.columns change - new commits warm their own stats
+      (lake, t, _) => Seq(Seq(lake.analyzeTable(t))), argSpec = ""),
     Fn("graft_detail", "graft_detail('catalog.table')",
       Seq("version" -> LongType, "num_files" -> LongType,
         "size_bytes" -> LongType, "num_partitions" -> LongType,
@@ -176,12 +189,24 @@ object LakeMaintenance {
     * feed's resolved plan directly — there is no side effect to defer
     * to execution. */
   private def changesBuilder(exprs: Seq[Expression]): LogicalPlan = {
-    val usage = "table_changes('catalog.table', fromVersion, toVersion)"
-    val (cat, tbl, nums) = parseArgs("table_changes", usage, "nn", exprs)
+    val usage = "table_changes('catalog.table', fromVersion, toVersion" +
+      "[, 'key1,key2'])"
+    // optional 4th argument = the table's keys -> ROW-GRAIN enrichment
+    // (update_preimage/postimage pairs instead of whole-file
+    // delete+insert churn; Lake.changesBetweenCommitsEnriched)
+    val spec = if (exprs.length == 4) "nns" else "nn"
+    val (cat, tbl, args) = parseArgs("table_changes", usage, spec, exprs)
     val spark = SparkSession.active
-    lakeFor(spark, cat).changesBetweenCommits(tbl,
-      nums(0).asInstanceOf[Long], nums(1).asInstanceOf[Long])
-      .queryExecution.analyzed
+    val lake = lakeFor(spark, cat)
+    val df =
+      if (exprs.length == 4)
+        lake.changesBetweenCommitsEnriched(tbl,
+          args(0).asInstanceOf[Long], args(1).asInstanceOf[Long],
+          args(2).asInstanceOf[String].split(',')
+            .map(_.trim).filter(_.nonEmpty).toSeq)
+      else lake.changesBetweenCommits(tbl,
+        args(0).asInstanceOf[Long], args(1).asInstanceOf[Long])
+    df.queryExecution.analyzed
   }
 
   private[graft] def descriptions: Seq[(FunctionIdentifier, ExpressionInfo,

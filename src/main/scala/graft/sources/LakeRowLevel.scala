@@ -72,12 +72,17 @@ private[graft] class LakeRowLevelOperation(
     * partitions) anyway). */
   private[sources] def fullIndex(partSchema: StructType)
       : ManifestPartitioningIndex = cacheKey match {
+    // the stats provider rides along because the cached instance also
+    // serves later SELECTs of the same version; THIS operation's scan
+    // never triggers it (row-level scans push no data filters — a
+    // group-based rewrite must read every row of each replaced file)
     case Some((inc, v)) =>
       LakeTable.cachedIndex(lake.root, lakeTable, inc, v, tableSchema,
         () => new ManifestPartitioningIndex(spark, tableDir, entries,
-          partSchema))
+          partSchema, stats = Some(lake.statsProvider(lakeTable))))
     case None =>
-      new ManifestPartitioningIndex(spark, tableDir, entries, partSchema)
+      new ManifestPartitioningIndex(spark, tableDir, entries, partSchema,
+        stats = Some(lake.statsProvider(lakeTable)))
   }
 
   /** What the write replaces: the file set the shared scan ULTIMATELY
@@ -265,7 +270,29 @@ private[graft] class LakeReplaceWrite(
     lakeTable: String,
     writeSchema: StructType,
     partCols: Seq[String],
-    op: LakeRowLevelOperation) extends Write {
+    op: LakeRowLevelOperation) extends Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  /** Rows must arrive SORTED by the partition columns within each
+    * task: the dynamic-partition writer runs in sorted mode (one open
+    * file, rolls on partition change) and a revisited partition would
+    * re-mint the SAME filename — a task-level FileAlreadyExists crash.
+    * Inner/left-semi rewrite joins usually cluster rows by accident;
+    * the full-outer plan a `WHEN NOT MATCHED BY SOURCE` MERGE builds
+    * interleaves partitions and exposed it. Ordering only, NO
+    * distribution requirement: a task-local sort suffices (different
+    * tasks writing one partition mint distinct task-attempt
+    * filenames), and a clustered distribution would add a full
+    * shuffle to every rewrite. */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    partCols.map(c => Expressions.sort(Expressions.column(c),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      .toArray
 
   override def toBatch: BatchWrite = {
     require(partCols.forall(writeSchema.fieldNames.contains),

@@ -50,11 +50,19 @@ import graft.v3.Lake
   * retained history), `startingTimestamp` (epoch millis or ISO-8601
   * instant, resolved to the version current AT that wall-clock via
   * the commit log's `#ts` headers — mutually exclusive with
-  * `startingVersion`), `maxVersionsPerBatch` (admission control: at
-  * most this many commits per micro-batch; default unbounded).
+  * `startingVersion`; an instant predating the table's COMPLETE
+  * retained history replays from the beginning, one predating
+  * EXPIRED history refuses loudly rather than silently skipping the
+  * expired changes), `maxVersionsPerBatch` (admission control: at
+  * most this many commits per micro-batch; default unbounded),
+  * `maxBytesPerBatch` (admission by the commits' ADDED bytes — the
+  * published formats' maxBytesPerTrigger: a consumer resuming after
+  * lag drains in budget-sized micro-batches instead of one giant
+  * catch-up batch; at least one commit always admits, and the
+  * every-16th checkpoint commit ends the batch it starts).
   * `Trigger.AvailableNow` is supported natively (the stream pins the
-  * target version at start and drains up to it, honoring
-  * `maxVersionsPerBatch` per batch). */
+  * target version at start and drains up to it, honoring the
+  * admission caps per batch). */
 class LakeChangesProvider extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "lake-changes"
@@ -112,7 +120,8 @@ private[graft] class LakeChangesTable(root: String, lakeTable: String,
           schema0,
           Option(options.get("startingVersion")).map(_.toLong),
           Option(options.get("maxVersionsPerBatch")).map(_.toLong),
-          Option(options.get("startingTimestamp")))
+          Option(options.get("startingTimestamp")),
+          Option(options.get("maxBytesPerBatch")).map(_.toLong))
       override def description(): String =
         s"LakeChangesScan($lakeTable)"
     }
@@ -147,12 +156,15 @@ private[graft] class LakeChangeStream(
     outSchema: StructType,
     startingVersion: Option[Long],
     maxVersionsPerBatch: Option[Long],
-    startingTimestamp: Option[String] = None)
+    startingTimestamp: Option[String] = None,
+    maxBytesPerBatch: Option[Long] = None)
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
 
   maxVersionsPerBatch.foreach(m => require(m > 0,
     s"maxVersionsPerBatch must be positive (got $m)"))
+  maxBytesPerBatch.foreach(m => require(m > 0,
+    s"maxBytesPerBatch must be positive (got $m)"))
   require(startingVersion.isEmpty || startingTimestamp.isEmpty,
     "lake-changes takes startingVersion OR startingTimestamp, not both")
 
@@ -184,7 +196,21 @@ private[graft] class LakeChangeStream(
         .getOrElse(throw new IllegalArgumentException(
           s"startingTimestamp '$ts' is not epoch millis, an ISO-8601 " +
             "instant, or 'yyyy-mm-dd hh:mm:ss'"))
-      lake.versionAtTimestamp(lakeTable, millis)
+      // an instant that predates the table's whole history means
+      // "everything": when the history is COMPLETE (v1 still
+      // retained, or no commits yet) replay from version 0 - the
+      // at-or-after contract is honored because nothing precedes the
+      // instant. When v1 has been EXPIRED by retention, keep the loud
+      // versionAtTimestamp refusal: starting from the earliest
+      // retained version (what some published sources do) silently
+      // skips the expired changes, which corrupts any consumer
+      // joining deletes by key - an intentional divergence.
+      val vs = lake.commitVersions(lakeTable)
+      val fullHistory = vs.isEmpty || vs.headOption.exists(_._1 == 1L)
+      val predatesAll = vs.collectFirst { case (_, Some(t)) => t }
+        .forall(millis < _)
+      if (fullHistory && predatesAll) 0L
+      else lake.versionAtTimestamp(lakeTable, millis)
     })
   private val tableDir = new Path(s"$root/$lakeTable")
   private val tableSchema = StructType(outSchema.fields.dropRight(2))
@@ -238,8 +264,28 @@ private[graft] class LakeChangeStream(
     // and a later recreate would silently continue the old history
     val outInc = if (inc.nonEmpty) inc else s.inc
     val upper = availableNowTarget.fold(latest)(t => math.min(t, latest))
-    val capped = maxVersionsPerBatch.fold(upper)(
+    val vCapped = maxVersionsPerBatch.fold(upper)(
       m => math.min(upper, s.version + m))
+    // bytes-based admission (the published formats' maxBytesPerTrigger):
+    // advance while the commits' ADDED bytes fit the budget — always at
+    // least one commit so the stream can never stall, and a checkpoint
+    // commit (no cheap byte estimate) ends the batch it starts
+    val capped = maxBytesPerBatch match {
+      case None => vCapped
+      case Some(budget) =>
+        var v = s.version
+        var bytes = 0L
+        var stop = false
+        while (!stop && v < vCapped) {
+          lake.commitAddedBytes(lakeTable, v + 1) match {
+            case Some(b) if v == s.version || bytes + b <= budget =>
+              bytes += b; v += 1
+            case None if v == s.version => v += 1; stop = true
+            case _ => stop = true
+          }
+        }
+        v
+    }
     LakeCommitOffset(math.max(s.version, capped), outInc)
   }
 

@@ -202,7 +202,8 @@ class Lake(spark: SparkSession, val root: String) {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else inSchemaOrder(graft.plans.ManifestFileIndex.relation(
       spark, new Path(dir(table)), entries.map(e => (e._2, e._3)),
-      schema, Seq("chain_name")), schema)
+      schema, Seq("chain_name"),
+      stats = Some(statsProvider(table))), schema)
 
   /** Append one ingested segment: the caller's partitioning lands as
     * part files under each chain directory (the segment-capped ingest
@@ -217,13 +218,23 @@ class Lake(spark: SparkSession, val root: String) {
     * of half-visible. Appends remove nothing, so they can never lose
     * the optimistic-concurrency race — concurrent appends serialize on
     * the commit lock and both land. */
-  def append(df: DataFrame, table: String): Unit = {
+  def append(df: DataFrame, table: String): Unit =
+    append(df, table, None)
+
+  /** [[append]] carrying a streaming-sink idempotence marker: the
+    * commit header records `#txn=appId:batchId` ATOMICALLY with the
+    * manifest publish, so a sink crash between its commit and its
+    * progress marker cannot double-apply the batch on replay
+    * ([[graft.streaming.LakeSink]]; the Delta-style txn action). */
+  private[graft] def append(df: DataFrame, table: String,
+                            txn: Option[(String, Long)]): Unit = {
     val tmp = stagingDir(s"append-$table")
     df.write.mode("overwrite")
       .options(writeOptions(table))
       .partitionBy("chain_name")
       .parquet(tmp.toString)
-    try landPartitioned(tmp, table, "part", "append", removedAbs = Seq.empty)
+    try landPartitioned(tmp, table, "part", "append", removedAbs = Seq.empty,
+      extraHeads = txn.toSeq.map { case (a, b) => s"#txn=$a:$b" })
     finally fs.delete(tmp, true)
     ()
   }
@@ -239,7 +250,8 @@ class Lake(spark: SparkSession, val root: String) {
                               plannedRel: Set[String] = Set.empty,
                               intruderGuard: Seq[(String, String, Long)] => Unit =
                                 _ => (),
-                              afterPublish: () => Unit = () => ())
+                              afterPublish: () => Unit = () => (),
+                              extraHeads: Seq[String] = Seq.empty)
       : Seq[(String, Long)] = {
     val stagedParts =
       if (!fs.exists(tmp)) Array.empty[org.apache.hadoop.fs.FileStatus]
@@ -247,7 +259,7 @@ class Lake(spark: SparkSession, val root: String) {
         .filter(_.getPath.getName.startsWith("chain_name="))
     preCommitHook()
     manifestTxn(table, what, removedAbs, plannedChains, plannedRel,
-        intruderGuard, afterPublish) {
+        intruderGuard, afterPublish, extraHeads = extraHeads) {
       val landed = scala.collection.mutable.ArrayBuffer.empty[(Path, Long)]
       val allLanded = stagedParts.forall { part =>
         // the staged dir name is already Hive-escaped by Spark's write
@@ -659,10 +671,10 @@ class Lake(spark: SparkSession, val root: String) {
       }
     } else if (fs.exists(snapDir(table)))
       fs.delete(snapDir(table), true)
-    Seq(retiredDir(table), statsDir(table),
+    Seq(retiredDir(table), statsDir(table), streamTxnDir(table),
         schemaDir(table), propsDir(table), manifestDir(table))
       .foreach(d => if (fs.exists(d)) fs.delete(d, true))
-    statsLoaded.remove(table)
+    statsFoldedShards.remove(table)
     manifestCache.keySet.removeIf(_._1 == table)
     inventoryCache.keySet.removeIf(_._1 == table)
     relationCache.keySet.removeIf(_._1 == table)
@@ -916,15 +928,26 @@ class Lake(spark: SparkSession, val root: String) {
     * per (table, incarnation, version): immutable once published.
     * ts = -1 encodes "no ts header"; op = "" encodes "no op header". */
   private val commitHeaderCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, Long), (Long, String)]()
+    (String, String, Long), (Long, String, String)]()
 
   private def commitHeaderOf(table: String, inc: String, v: Long,
                              isDelta: Boolean,
                              strict: Boolean = false)
       : (Option[Long], String) = {
+    val t = commitHeaderFull(table, inc, v, isDelta, strict)
+    (t._1, t._2)
+  }
+
+  /** (ts, op, txn) — txn is the `#txn=appId:batchId` idempotence
+    * marker a streaming-sink commit carries ("" = none). */
+  private def commitHeaderFull(table: String, inc: String, v: Long,
+                               isDelta: Boolean,
+                               strict: Boolean = false)
+      : (Option[Long], String, String) = {
     val cached = commitHeaderCache.get((table, inc, v))
     if (cached != null)
-      return (if (cached._1 < 0L) None else Some(cached._1), cached._2)
+      return (if (cached._1 < 0L) None else Some(cached._1), cached._2,
+        cached._3)
     val name = if (isDelta) f"v$v%09d.d.txt" else f"v$v%09d.txt"
     // a concurrent checkpoint publish's retention cut can delete the
     // oldest listed version between the caller's (unlocked) listing
@@ -936,19 +959,21 @@ class Lake(spark: SparkSession, val root: String) {
     val in = try fs.open(new Path(manifestDir(table), name))
     catch {
       case e: java.io.FileNotFoundException =>
-        if (strict) throw e else return (None, "")
+        if (strict) throw e else return (None, "", "")
     }
     val heads = try {
       val rd = new java.io.BufferedReader(
         new java.io.InputStreamReader(in, "UTF-8"), 512)
       Iterator.continually(Option(rd.readLine()).getOrElse(""))
-        .takeWhile(_.startsWith("#")).take(4).toSeq
+        .takeWhile(_.startsWith("#")).take(6).toSeq
     } finally in.close()
     val ts = heads.find(_.startsWith("#ts="))
       .flatMap(_.stripPrefix("#ts=").toLongOption)
     val op = heads.find(_.startsWith("#op="))
       .map(_.stripPrefix("#op=")).getOrElse("")
-    commitHeaderCache.put((table, inc, v), (ts.getOrElse(-1L), op))
+    val txn = heads.find(_.startsWith("#txn="))
+      .map(_.stripPrefix("#txn=")).getOrElse("")
+    commitHeaderCache.put((table, inc, v), (ts.getOrElse(-1L), op, txn))
     if (commitHeaderCache.size > 4096) {
       // evict this table's dead-incarnation entries first (the key
       // just inserted survives — the former evict-all-of-this-table
@@ -963,17 +988,20 @@ class Lake(spark: SparkSession, val root: String) {
       commitHeaderCache.keySet.removeIf(k =>
         k._1 == table && k._2 != inc)
       if (commitHeaderCache.size > 4096) {
-        val it = commitHeaderCache.keySet.iterator
-        var excess = commitHeaderCache.size - 4096
-        while (excess > 0 && it.hasNext) {
-          val k = it.next()
-          if (!(k._1 == table && k._2 == inc && k._3 == v)) {
-            it.remove(); excess -= 1
-          }
-        }
+        // shed the excess OLDEST-COMMITS-FIRST (lowest version numbers
+        // across tables), never in CHM iteration order - hash-arbitrary
+        // shedding could evict the hot table's freshest headers while
+        // retaining cold foreign entries. O(n log n) over ~4k keys,
+        // paid only on the rare over-cap insert.
+        import scala.jdk.CollectionConverters._
+        val excess = commitHeaderCache.size - 4096
+        commitHeaderCache.keySet.asScala.toSeq
+          .filterNot(k => k._1 == table && k._2 == inc && k._3 == v)
+          .sortBy(_._3).take(excess)
+          .foreach(commitHeaderCache.remove)
       }
     }
-    (ts, op)
+    (ts, op, txn)
   }
 
   private def commitTimeOf(table: String, inc: String, v: Long,
@@ -1277,7 +1305,12 @@ class Lake(spark: SparkSession, val root: String) {
             "their commit anchors have no relation to the current " +
             "history")
         val retained = kinds.map(_._1).toSet
-        val missing = (cFrom to cTo).filterNot(retained)
+        // (cFrom, cTo], NOT [cFrom, cTo]: a rewrite at or before cFrom
+        // is already baked into the from-snapshot's pinned file set -
+        // only commits strictly after the from-anchor can hide churn,
+        // so requiring cFrom itself to stay retained made valid diffs
+        // refuse spuriously once the anchor crossed the retention cut
+        val missing = ((cFrom + 1) to cTo).filterNot(retained)
         require(missing.isEmpty,
           s"table_changes($fromVersion, $toVersion) of $table: " +
             s"commit(s) ${missing.take(5).mkString(", ")} between the " +
@@ -1401,6 +1434,132 @@ class Lake(spark: SparkSession, val root: String) {
           .withColumn("_commit_version", lit(v))
       }
     if (parts.isEmpty) emptyOut else parts.reduce(_.unionByName(_))
+  }
+
+  /** Bytes a commit ADDED (the published formats' maxBytesPerTrigger
+    * accounting unit) — the streaming CDC source's admission-control
+    * estimate. Cheap only for DELTA commits (one small body read,
+    * cached); None for checkpoint commits (their change is a full-set
+    * diff — the caller treats None as batch-breaking, which just ends
+    * the micro-batch at the every-16th checkpoint) and for expired
+    * versions. */
+  private val deltaBytesCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Long), java.lang.Long]()
+
+  private[graft] def commitAddedBytes(table: String, v: Long)
+      : Option[Long] = {
+    val (kinds, inc) = manifestState(table)
+    if (!kinds.exists(k => k._1 == v && k._2)) return None
+    val cached = deltaBytesCache.get((table, inc, v))
+    if (cached != null) return Some(cached.longValue)
+    val bytes =
+      try readDelta(table, v)._1.map(_._2).sum
+      catch { case _: java.io.IOException => return None }
+    deltaBytesCache.put((table, inc, v), bytes)
+    if (deltaBytesCache.size > 4096)
+      deltaBytesCache.keySet.removeIf(k => k._3 < v - 1024)
+    Some(bytes)
+  }
+
+  /** Row-grain CDC enrichment — the published formats' "enriched"
+    * change-data-feed mode (Delta CDF's update_preimage/postimage)
+    * reconstructed from the file-grain commit feed: for each
+    * data-changing commit that REWROTE files (removed AND added in
+    * one commit — an upsert, keyed delete, or SQL UPDATE/MERGE), the
+    * removed-side rows full-outer-join the added-side rows on the
+    * table's declared `keys`, and
+    *
+    *  - a key on both sides with DIFFERENT non-key columns emits an
+    *    `update_preimage` + `update_postimage` pair,
+    *  - a key on both sides with identical rows emits NOTHING — the
+    *    rewritten file's untouched rows, the churn a file-grain diff
+    *    cannot hide,
+    *  - a key only on the removed side emits `delete`,
+    *  - a key only on the added side emits `insert`.
+    *
+    * Pure-append commits pass through as plain inserts and pure-drop
+    * commits as plain deletes (no join); rewrite-only maintenance
+    * commits contribute nothing (inherited from
+    * [[changesBetweenCommits]]' plan, as do the loud refusals for
+    * expired history and vacuumed files).
+    *
+    * `keys` must be the table's upsert keys — unique per commit side
+    * by the upsert contract; a row with a NULL key never pairs and
+    * surfaces as its delete+insert halves. Rows compare under the
+    * CURRENT effective schema (evolution is additive, so both sides
+    * read comparably).
+    *
+    * Scale shape: ONE keyed equi-join per rewrite commit, sized by
+    * that commit's churned files — never by table size; an
+    * append-only history costs no join at all. */
+  def changesBetweenCommitsEnriched(table: String, fromVersion: Long,
+      toVersion: Long, keys: Seq[String],
+      expectedIncarnation: Option[String] = None): DataFrame = {
+    val schema = effectiveSchema(table)
+    require(keys.nonEmpty,
+      s"changesBetweenCommitsEnriched of $table needs the table's keys")
+    val missing = keys.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"changesBetweenCommitsEnriched of $table: key column(s) " +
+        s"${missing.mkString(", ")} not in schema " +
+        s"(${schema.fieldNames.mkString(", ")})")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
+    val outSchema = schema
+      .add("_change_type", StringType).add("_commit_version",
+        org.apache.spark.sql.types.LongType)
+    def emptyOut: DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    val cols = schema.fieldNames.toSeq
+    def tagged(df: DataFrame, kind: String, v: Long): DataFrame =
+      df.withColumn("_change_type", lit(kind))
+        .withColumn("_commit_version", lit(v))
+    val plan =
+      changePlanBetween(table, fromVersion, toVersion, expectedIncarnation)
+    val parts = plan.groupBy(_._1).toSeq.sortBy(_._1).map { case (v, sides) =>
+      val del = sides.find(_._2 == "delete").map(_._3)
+      val ins = sides.find(_._2 == "insert").map(_._3)
+      (del, ins) match {
+        case (Some(d), None) =>
+          tagged(readEntries(table, d, schema), "delete", v)
+        case (None, Some(a)) =>
+          tagged(readEntries(table, a, schema), "insert", v)
+        case (Some(d), Some(a)) =>
+          val pre = readEntries(table, d, schema)
+          val post = readEntries(table, a, schema)
+          val payloadType = StructType(schema.fields)
+          val chType = ArrayType(StructType(Seq(
+            StructField("t", StringType),
+            StructField("p", payloadType))))
+          def packed(df: DataFrame, as: String) = df.select(
+            keys.map(col) :+ struct(cols.map(col): _*).as(as): _*)
+          val j = packed(pre, "_pre")
+            .join(packed(post, "_post"), keys, "full_outer")
+          j.select(explode(
+              when(col("_pre").isNull,
+                array(struct(lit("insert").as("t"),
+                  col("_post").as("p"))))
+              .when(col("_post").isNull,
+                array(struct(lit("delete").as("t"),
+                  col("_pre").as("p"))))
+              // struct equality is element-wise and null-field-safe
+              // (ordering-based): identical rewritten rows vanish here
+              .when(col("_pre") === col("_post"),
+                array().cast(chType))
+              .otherwise(array(
+                struct(lit("update_preimage").as("t"),
+                  col("_pre").as("p")),
+                struct(lit("update_postimage").as("t"),
+                  col("_post").as("p"))))).as("ch"))
+            .select(
+              (cols.map(c => col(s"ch.p.$c").as(c)) :+
+                col("ch.t").as("_change_type")) :+
+                lit(v).as("_commit_version"): _*)
+        case (None, None) => emptyOut
+      }
+    }
+    if (parts.isEmpty) emptyOut
+    else parts.reduce(_.unionByName(_))
   }
 
   /** The driver-side plan behind [[changesBetweenCommits]] and the
@@ -1719,7 +1878,8 @@ class Lake(spark: SparkSession, val root: String) {
                               entries: Seq[(String, Long)],
                               delta: Option[(Seq[(String, Long)],
                                 Set[String])] = None,
-                              what: String = ""): Long = {
+                              what: String = "",
+                              extraHeads: Seq[String] = Seq.empty): Long = {
     val d = manifestDir(table)
     val (kinds, inc0) = manifestState(table)
     // first publish of this incarnation: mint the `.id-` marker the
@@ -1747,7 +1907,8 @@ class Lake(spark: SparkSession, val root: String) {
     // exclude, and [[commitHistory]] lists every kind). Parsers skip
     // '#' lines, so pre-header manifests read back unchanged.
     val heads = Seq(s"#ts=${System.currentTimeMillis()}") ++
-      (if (what.nonEmpty) Seq(s"#op=$what") else Seq.empty)
+      (if (what.nonEmpty) Seq(s"#op=$what") else Seq.empty) ++
+      extraHeads
     val body =
       if (asDelta) {
         val (added, removedRel) = delta.get
@@ -1872,11 +2033,12 @@ class Lake(spark: SparkSession, val root: String) {
                           // not a pre-planned file list; such writes
                           // can never lose the optimistic race
                           removedFromBase:
-                            Option[Seq[(String, Long)] => Seq[String]] = None)
+                            Option[Seq[(String, Long)] => Seq[String]] = None,
+                          extraHeads: Seq[String] = Seq.empty)
                          (land: => Seq[(String, Long)])
       : Seq[(String, Long)] = {
     val (lock, token) = acquireCommitLock(table)
-    try {
+    val added = try {
       val base: Seq[(String, Long)] = latestManifest(table).map(_._2)
         .getOrElse {
           val adopted =
@@ -1916,10 +2078,17 @@ class Lake(spark: SparkSession, val root: String) {
       val removedSet = removedRel.toSet
       publishManifest(table,
         base.filterNot(e => removedSet(e._1)) ++ added,
-        delta = Some((added, removedSet)), what = what)
+        delta = Some((added, removedSet)), what = what,
+        extraHeads = extraHeads)
       afterPublish()
       added
     } finally releaseCommitLock(lock, token)
+    // data-skipping stats warm-up for the just-landed files — OUTSIDE
+    // the commit lock (the transaction is durable; footer reads of
+    // our own immutable files must not stretch the critical section
+    // other writers serialize on), O(commit files) per commit
+    collectStatsQuietly(table, added)
+    added
   }
 
   /** The lake's physical contract: every data file lives under a
@@ -2329,7 +2498,17 @@ class Lake(spark: SparkSession, val root: String) {
     // getFileStatus round-trip per file per batch. Safe because this
     // lake never rewrites a file in place: every landing mints a
     // stamped or UUID name, so a path never carries different bytes.
-    if (rangeCache.size > 100000) rangeCache.clear()
+    // Bound sized for the data-skipping era: (files × stats columns)
+    // entries — 4M ≈ a 500k-file table at the 8-column default, or
+    // 10⁶ files with stats.columns pinned to the four that matter
+    // (~1.6 GB worst case, the snapshot-state budget the published
+    // formats' drivers carry at this scale). On overflow the
+    // sidecar-loaded marker resets too, so the next plan re-folds the
+    // persisted stats instead of silently never pruning again.
+    if (rangeCache.size > 4000000) {
+      rangeCache.clear()
+      statsFoldedShards.clear()
+    }
     rangeCache.computeIfAbsent(rangeKey(path, bytes, column),
       _ => footerRange(path, column))
   }
@@ -2359,10 +2538,19 @@ class Lake(spark: SparkSession, val root: String) {
 
   private def statsDir(table: String) = new Path(s"$root/_filestats/$table")
 
-  /** Tables whose sidecar this instance has already folded into the
-    * rangeCache (per key column). */
-  private val statsLoaded =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Per table: the sidecar shard NAMES this instance has already
+    * folded into the rangeCache. The fold is INCREMENTAL and
+    * freshness-checked by shard-set diff (one listStatus per
+    * refresh): shards another driver persisted — or a drop+recreate's
+    * fresh set — fold in at the next refresh point (provider/relation
+    * creation per manifest version, upsert planning, commit-time
+    * collection), costing O(new shards), never a re-read of the whole
+    * sidecar. A once-per-instance fold marker here once made a
+    * catalog's long-lived Lake silently stop pruning files committed
+    * through any OTHER Lake instance (including the same process's
+    * drop+rebuild) — conservative, but a silent cost regression. */
+  private val statsFoldedShards = new java.util.concurrent.ConcurrentHashMap[
+    String, Set[String]]()
 
   private def b64(s: Array[Byte]): String =
     java.util.Base64.getEncoder.encodeToString(s)
@@ -2406,39 +2594,57 @@ class Lake(spark: SparkSession, val root: String) {
       .stripPrefix(base).stripPrefix("/")
   }
 
-  /** Fold the table's persisted stats shards into the rangeCache
-    * (once per Lake instance; a fresh instance pays one listing + one
-    * sequential read of manifest-sized shard files instead of a footer
-    * open per data file). Compacts the shard set when it fragments,
-    * dropping entries for files no longer in the live inventory. */
-  private def loadStats(table: String): Unit = {
-    if (!statsLoaded.add(table)) return
-    val d = statsDir(table)
-    if (!fs.exists(d)) return
-    val shards = fs.listStatus(d)
-      .filter(_.getPath.getName.startsWith("stats-")).map(_.getPath)
-    val entries = shards.flatMap { p =>
+  private def readShardEntries(ps: Seq[Path])
+      : Seq[(String, Long, String, Option[(Any, Any)])] =
+    ps.flatMap { p =>
       val in = fs.open(p)
       val body = try new String(
         org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
       finally in.close()
       body.split("\n").filter(_.nonEmpty).flatMap(parseStatsLine)
     }
-    entries.foreach { case (rel, bytes, column, r) =>
+
+  /** Fold the table's persisted stats shards into the rangeCache,
+    * INCREMENTALLY: one listStatus decides which shards are new since
+    * the last fold, and only those are read — a refresh after one
+    * commit costs O(that commit's shard), never a re-read of the
+    * whole sidecar; a no-change refresh costs the listing alone.
+    * Compacts the shard set when it fragments, dropping entries for
+    * files no longer in the live inventory. Freshness points: each
+    * provider/relation creation (per manifest version), upsert
+    * planning, commit-time collection. */
+  private def loadStats(table: String): Unit = {
+    val d = statsDir(table)
+    val names: Set[String] =
+      if (!fs.exists(d)) Set.empty
+      else fs.listStatus(d).map(_.getPath.getName)
+        .filter(_.startsWith("stats-")).toSet
+    val folded = statsFoldedShards.getOrDefault(table, Set.empty)
+    if (names == folded) return
+    val fresh = (names -- folded).toSeq.sorted.map(new Path(d, _))
+    readShardEntries(fresh).foreach { case (rel, bytes, column, r) =>
       rangeCache.putIfAbsent(
         rangeKey(s"${dir(table)}/$rel", bytes, column), r)
     }
-    if (shards.length > 32) { // merge + prune dead entries
+    statsFoldedShards.put(table, names)
+    if (names.size > 32) { // merge + prune dead entries
+      val shards = names.toSeq.sorted.map(new Path(d, _))
       val live = fileInventory(table)
         .map(f => (relOf(table, f._2), f._3)).toSet
-      val kept = entries.filter(e => live((e._1, e._2)))
+      val kept = readShardEntries(shards).filter(e => live((e._1, e._2)))
         .distinctBy(e => (e._1, e._2, e._3))
       writeStatsShard(table,
-        kept.map(e => statsLine(e._1, e._2, e._3, e._4)).toSeq)
+        kept.map(e => statsLine(e._1, e._2, e._3, e._4)))
       val undeleted = shards.filterNot(p => fs.delete(p, false))
       if (undeleted.nonEmpty) throw new java.io.IOException(
         s"stats shard compaction of $table left ${undeleted.size} " +
           s"stale shard(s): ${undeleted.take(3).mkString(", ")}")
+      // the merged shard folds at the next refresh (all entries are
+      // already cached); record the post-compaction set as folded
+      statsFoldedShards.put(table,
+        if (!fs.exists(d)) Set.empty
+        else fs.listStatus(d).map(_.getPath.getName)
+          .filter(_.startsWith("stats-")).toSet)
     }
   }
 
@@ -2493,6 +2699,316 @@ class Lake(spark: SparkSession, val root: String) {
         Option(rangeCache.get(rangeKey(f._2, f._3, column)))
           .getOrElse(footerRangeCached(f._2, f._3, column))) ++
       fresh.map(f => f._2 -> f._4)).toMap
+  }
+
+  // ── Data-skipping stats: per-file [min, max] for ALL prunable
+  //    data columns ─────────────────────────────────────────────────
+  //
+  // The sidecar above was born carrying KEY-column ranges for upsert
+  // planning; data skipping generalizes it to every prunable data
+  // column so an arbitrary pushed SQL predicate prunes FILES at plan
+  // time (graft.plans.DataSkipping — Delta's stats column / Iceberg's
+  // manifest bounds, at their smallest). Collection is O(commit):
+  // each manifest transaction footer-reads ONLY its own just-landed
+  // files (one open per file, all columns extracted together) and
+  // persists one shard; plan time serves from the folded cache and
+  // NEVER opens a footer. Driver memory envelope: (live files ×
+  // stats columns) cache entries — the default caps columns at 8;
+  // million-file tables should pin `stats.columns` to the few that
+  // queries actually filter on (the published formats make the same
+  // tradeoff with their indexed-columns knobs).
+
+  /** Parquet physical types whose footer stats map losslessly into
+    * the cmp domain: BINARY+UTF8 → bytes under unsigned order,
+    * INT32/INT64 (signed, plain/date/timestamp-micros) → long. INT96
+    * (deprecated, unordered stats), unsigned ints, millis timestamps
+    * (domain mismatch with Spark's micros literals), float/double/
+    * boolean/decimal: skipped — an unprunable column is correct,
+    * a mis-ordered one is not. */
+  private def statsExtractable(
+      pt: org.apache.parquet.schema.PrimitiveType): Boolean = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val ann = pt.getLogicalTypeAnnotation
+    pt.getPrimitiveTypeName match {
+      case BINARY =>
+        ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+      case INT32 | INT64 => ann match {
+        case null => true
+        case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
+        case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => true
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+        case _ => false
+      }
+      case _ => false
+    }
+  }
+
+  /** One footer open, every requested column's [min, max] extracted —
+    * the multi-column twin of [[footerRange]] (identical values for
+    * the overlapping string/integral cases, so both pruning paths
+    * share one cache). Missing columns, guarded-out physical types
+    * and stat-less footers yield None ("known unusable" — persisted
+    * too, so the file is never re-opened for them). */
+  private def footerRangesMulti(path: String, columns: Seq[String])
+      : Map[String, Option[(Any, Any)]] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    footerReads.incrementAndGet()
+    val in = HadoopInputFile.fromPath(new Path(path),
+      spark.sparkContext.hadoopConfiguration)
+    val reader = ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      columns.map { column =>
+        def rangeOf: Option[(Any, Any)] = {
+          if (blocks.isEmpty) return None
+          var mn: Any = null
+          var mx: Any = null
+          for (b <- blocks) {
+            val cc = b.getColumns.asScala
+              .find(_.getPath.toDotString == column).orNull
+            if (cc == null || !statsExtractable(cc.getPrimitiveType))
+              return None
+            val st = cc.getStatistics
+            if (st == null || st.isEmpty || !st.hasNonNullValue) return None
+            val (lo, hi) = (st.genericGetMin, st.genericGetMax) match {
+              case (a: org.apache.parquet.io.api.Binary,
+                    b2: org.apache.parquet.io.api.Binary) =>
+                (a.getBytes, b2.getBytes)
+              case (a: java.lang.Long, b2: java.lang.Long) =>
+                (a.longValue(), b2.longValue())
+              case (a: java.lang.Integer, b2: java.lang.Integer) =>
+                (a.longValue(), b2.longValue())
+              case _ => return None
+            }
+            mn = if (mn == null || keyCmp(lo, mn) < 0) lo else mn
+            mx = if (mx == null || keyCmp(hi, mx) > 0) hi else mx
+          }
+          Some((mn, mx))
+        }
+        column -> rangeOf
+      }.toMap
+    } finally reader.close()
+  }
+
+  private def prunableStatsType(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.StringType |
+         org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.DateType |
+         org.apache.spark.sql.types.TimestampType => true
+    case _ => false
+  }
+
+  /** The columns this table persists data-skipping stats for:
+    * `stats.columns` (explicit comma list — the million-file knob)
+    * when set, else every prunable-type data column in schema order
+    * capped at `stats.maxColumns` (default 8); `stats.collect=false`
+    * disables collection. Unknown explicit columns refuse loudly —
+    * a typo'd list silently collecting nothing would read as
+    * "skipping enabled" while pruning no file, the silent-wrong-cost
+    * twin of a wrong result. */
+  private[v3] def statsColumns(table: String): Seq[String] = {
+    val props = tableProperties(table)
+    if (props.get("stats.collect").contains("false")) return Seq.empty
+    val schema = effectiveSchema(table)
+    props.get("stats.columns") match {
+      case Some(list) =>
+        val cols = list.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val missing = cols.filterNot(schema.fieldNames.contains)
+        require(missing.isEmpty,
+          s"stats.columns of $table names unknown column(s) " +
+            s"${missing.mkString(", ")} (have: " +
+            s"${schema.fieldNames.mkString(", ")})")
+        cols
+      case None =>
+        val max = props.get("stats.maxColumns").flatMap(_.toIntOption)
+          .getOrElse(8)
+        schema.fields.iterator
+          .filter(f => f.name != "chain_name" && prunableStatsType(f.dataType))
+          .map(_.name).take(max).toSeq
+    }
+  }
+
+  /** Test seam: stats-collection failures swallowed post-commit (the
+    * commit is already durable; the sidecar is a derived cache) —
+    * never silent, counted and stderr-logged. */
+  private[graft] val statsCollectFailures =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** Commit-time stats warm-up: footer-read THIS commit's just-landed
+    * files (only columns/files the cache doesn't know), persist one
+    * shard. Runs OUTSIDE the commit lock — the transaction is already
+    * durable; cost is O(commit files), never O(table). */
+  private def collectStatsFor(table: String,
+                              added: Seq[(String, Long)]): Unit = {
+    val cols = statsColumns(table)
+    if (cols.isEmpty || added.isEmpty) return
+    loadStats(table)
+    val work = added.flatMap { case (rel, bytes) =>
+      val abs = s"${dir(table)}/$rel"
+      val missing =
+        cols.filterNot(c => rangeCache.containsKey(rangeKey(abs, bytes, c)))
+      if (missing.isEmpty) None else Some((rel, abs, bytes, missing))
+    }
+    if (work.isEmpty) return
+    val fresh: Seq[(String, Long, String, Option[(Any, Any)])] = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, work.size))
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(work.map {
+            case (rel, abs, bytes, missing) => scala.concurrent.Future {
+              footerRangesMulti(abs, missing).toSeq.map { case (c, r) =>
+                rangeCache.put(rangeKey(abs, bytes, c), r)
+                (rel, bytes, c, r)
+              }
+            }
+          }), scala.concurrent.duration.Duration.Inf).flatten
+      } finally pool.shutdown()
+    }
+    writeStatsShard(table,
+      fresh.map { case (rel, bytes, c, r) => statsLine(rel, bytes, c, r) })
+  }
+
+  /** [[collectStatsFor]] with the derived-cache failure contract:
+    * a commit whose stats warm-up dies must still report success (the
+    * manifest is published; pruning just stays conservative for those
+    * files until [[analyzeTable]]) — but never silently: counted
+    * ([[statsCollectFailures]]) and logged. */
+  private def collectStatsQuietly(table: String,
+                                  added: Seq[(String, Long)]): Unit =
+    try collectStatsFor(table, added)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        statsCollectFailures.incrementAndGet()
+        System.err.println(
+          s"[graft.lake] stats warm-up for $table failed " +
+            s"(${added.size} file(s); pruning stays conservative, " +
+            s"run graft_analyze to retry): $e")
+    }
+
+  /** Backfill data-skipping stats for EVERY live file missing them —
+    * the adoption/upgrade path (files committed before stats existed,
+    * or before a `stats.columns` change) and the graft_analyze TVF's
+    * engine. Returns the number of files footer-read. Explicitly
+    * invoked and O(missing files) — the plan path itself never does
+    * this. */
+  def analyzeTable(table: String): Long = {
+    val cols = statsColumns(table)
+    if (cols.isEmpty) return 0L
+    loadStats(table)
+    val inv = fileInventory(table)
+    val work = inv.flatMap { case (_, abs, bytes) =>
+      if (cols.forall(c => rangeCache.containsKey(rangeKey(abs, bytes, c))))
+        None
+      else Some((relOf(table, abs), bytes))
+    }
+    collectStatsFor(table, work)
+    work.size.toLong
+  }
+
+  // ── Streaming-sink idempotence registry ────────────────────────────
+  //
+  // writeStream.format("lake") needs exactly-once across restarts:
+  // Structured Streaming replays the last un-acknowledged micro-batch
+  // after a crash, and an APPEND re-applied is a duplicate. Two
+  // complementary records close every window (the Delta txn-action
+  // design, at its smallest):
+  //  - the commit HEADER `#txn=appId:batchId` — written atomically
+  //    with the manifest publish, so a crash between the sink's
+  //    commit and anything else still leaves the batch discoverable;
+  //    bounded by manifest retention (covers the engine's
+  //    one-batch replay window with the minRetainedCommits floor);
+  //  - the PROGRESS MARKER under `_streamtxn/` — written after the
+  //    commit, survives retention (covers a sink idle long enough
+  //    for foreign writers to expire its last commit's header).
+
+  private def streamTxnDir(table: String) =
+    new Path(s"$root/_streamtxn/$table")
+
+  private def txnMarkerPath(table: String, appId: String): Path = {
+    // appId is commonly a checkpoint PATH — hash to a flat filename
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(appId.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    new Path(streamTxnDir(table), s"txn-$h.txt")
+  }
+
+  /** Highest batchId this (table, appId) sink durably applied — max
+    * of the progress marker and any retained commit's `#txn` header;
+    * -1 = none. One marker read + O(retained commits) cached header
+    * reads. */
+  def lastSinkBatch(table: String, appId: String): Long = {
+    val marker: Long = {
+      val p = txnMarkerPath(table, appId)
+      try {
+        val in = fs.open(p)
+        val s = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+        finally in.close()
+        s.toLongOption.getOrElse(-1L)
+      } catch { case _: java.io.FileNotFoundException => -1L }
+    }
+    val (kinds, inc) = manifestState(table)
+    val pre = s"$appId:"
+    val fromHeaders = kinds.iterator
+      .map { case (v, d) => commitHeaderFull(table, inc, v, d)._3 }
+      .filter(_.startsWith(pre))
+      .flatMap(_.stripPrefix(pre).toLongOption)
+      .foldLeft(-1L)(math.max)
+    math.max(marker, fromHeaders)
+  }
+
+  /** Advance the sink's progress marker (post-commit; tmp+rename so a
+    * concurrent reader never sees a torn value). */
+  private[graft] def recordSinkBatch(table: String, appId: String,
+                                     batchId: Long): Unit = {
+    val d = streamTxnDir(table)
+    fs.mkdirs(d)
+    val tmp = new Path(d, s".txn-tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    val tgt = txnMarkerPath(table, appId)
+    fs.delete(tgt, false)
+    if (!fs.rename(tmp, tgt)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"sink progress marker for $table/$appId failed to rename in")
+    }
+  }
+
+  /** The plan-time stats lookup [[graft.plans.DataSkipping]] consumes:
+    * pure cache reads over the folded sidecar — NO footer or
+    * filesystem I/O per call (one sidecar fold per table per driver,
+    * amortized), unknown = None = keep the file. Handed to every
+    * manifest-served index ([[read]]'s V1 relation and the SQL
+    * catalog's DSv2 index). */
+  private[graft] def statsProvider(table: String)
+      : graft.plans.DataSkipping.FileStatsProvider = {
+    // freshness at CREATION (once per manifest version — providers
+    // ride version-cached indexes/relations), pure cache reads per
+    // file×column after: range() runs O(files) times per plan and
+    // must never list or open anything
+    loadStats(table)
+    new graft.plans.DataSkipping.FileStatsProvider {
+      override def range(path: org.apache.hadoop.fs.Path, bytes: Long,
+                         column: String): Option[(Any, Any)] = {
+        // Path.toUri returns the ALREADY-PARSED uri — the same
+        // scheme-insensitive key [[rangeKey]] builds, minus the
+        // per-call string re-parse that dominated the walk
+        val r = rangeCache.get(
+          s"${path.toUri.getPath}:$bytes:$column")
+        if (r == null) None else r
+      }
+    }
   }
 
   /** Normalize a driver-side key value into the domain [[keyCmp]]
@@ -3650,8 +4166,61 @@ class Lake(spark: SparkSession, val root: String) {
     val reallyExpired = expired.filter(v =>
       fs.delete(new Path(snapDir(table), f"v$v%09d.txt"), false))
     val remaining = versions.filterNot(reallyExpired.toSet)
-    val keptRefs: Set[String] =
-      remaining.flatMap(v => manifestFiles(table, v)).toSet
+    // Two pin sources protect retired files from the GC below:
+    //  1. surviving SNAPSHOTS (pinned VERSION AS OF reads);
+    //  2. the RETAINED COMMIT LOG — every file a retained commit's
+    //     change can reference (delta sides; checkpoint commits by
+    //     fold diff). A CDC consumer lagging WITHIN the retained
+    //     window (the manifest.minRetainedCommits floor) replays
+    //     those commits through resolveLiveOrRetired, so vacuuming
+    //     them would break a consumer the retention floor promises
+    //     to serve — the published formats guard this with a
+    //     time-based retention heuristic; the commit log lets this
+    //     lake express the replayable window EXACTLY. Files leave
+    //     the pin set the moment retention expires their commits,
+    //     at which point the feed already refuses loudly BEFORE any
+    //     file access (version-range check), so the old
+    //     missing-file manifestation is unreachable for streams.
+    val keptRefs: Set[String] = {
+      val b = Set.newBuilder[String]
+      remaining.foreach(v => b ++= manifestFiles(table, v))
+      val (kinds, inc) = manifestState(table)
+      kinds.foreach { case (v, isDelta) =>
+        // rewrite-only commits (compaction/clustering) are INVISIBLE
+        // to the change feeds — changePlanBetween skips them — so
+        // their swapped-out files need no replay pin; only
+        // DATA-CHANGING commits' sides do. Header-less legacy commits
+        // read op "" and pin conservatively.
+        val op = commitHeaderOf(table, inc, v, isDelta)._2
+        if (!rewriteOps(op)) {
+          if (isDelta) {
+            try {
+              val (a, r) = readDelta(table, v)
+              b ++= a.map(_._1); b ++= r
+            } catch {
+              // a racing retention cut deleted this version mid-walk:
+              // its change is no longer replayable, so not pinning
+              // its files is correct (FNF only — any other IO failure
+              // aborts the vacuum rather than GC a replayable pin)
+              case _: java.io.FileNotFoundException => ()
+            }
+          } else if (v == 1L) {
+            // the table's first publish: its change IS its full set
+            // (changePlanBetween diffs v1 against empty), so a from-0
+            // replay needs every file it named
+            b ++= resolveManifest(table, inc, kinds, 1L).map(_._1)
+          } else if (kinds.exists(_._1 == v - 1)) {
+            val prev = resolveManifest(table, inc, kinds, v - 1)
+              .map(_._1).toSet
+            val cur = resolveManifest(table, inc, kinds, v).map(_._1).toSet
+            b ++= (prev -- cur); b ++= (cur -- prev)
+          }
+          // a checkpoint whose BASE (v-1) has expired is unreplayable
+          // (changePlanBetween refuses the range) - no pin needed
+        }
+      }
+      b.result()
+    }
     // sweep crashed-commit leftovers: a lock whose version already
     // committed is unambiguously stale; any other lock/tmp is stale
     // once older than the in-flight window

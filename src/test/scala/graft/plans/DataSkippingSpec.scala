@@ -1,0 +1,191 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.v3.{Lake, Schemas}
+
+/** Plan-time data skipping from per-file column stats: arbitrary
+  * pushed predicates (non-KEY columns included) prune FILES before a
+  * task is scheduled, results stay exactly read+filter, and every
+  * unprovable shape degrades to keep-everything — never to a wrong
+  * result. */
+class DataSkippingSpec extends SparkSpec {
+
+  private def rows(ids: Seq[Int], chain: String = "ethereum") = {
+    import spark.implicits._
+    ids.map { i =>
+      (chain, "IncreaseLiquidity", f"0xtx$i%05d", 1000L + i, i % 13L,
+        "0xu1", s"$i", s"${i * 10}", s"${i * 100}",
+        if (i % 10 == 0) null else s"$i", i % 7L)
+    }.toDF("chain_name", "name", "transaction_hash", "block_number",
+      "tx_index", "from_address", "amount", "amount0", "amount1",
+      "tokenId", "log_index")
+  }
+
+  private def freshLake(tag: String): (Lake, String) = {
+    val root = Files.createTempDirectory(tag).toString
+    (new Lake(spark, root), root)
+  }
+
+  /** Four single-file appends with DISJOINT block_number ranges:
+    * wave j covers [1000 + 100j, 1000 + 100j + 99]. */
+  private def seed(lake: Lake): Unit =
+    (0 until 4).foreach(j =>
+      lake.append(rows(100 * j until 100 * j + 100).coalesce(1),
+        Schemas.Nfp))
+
+  private def skipDelta(dir: String)(body: => Unit): (Long, Long) = {
+    val before = DataSkipping.skipStats(dir).getOrElse((0L, 0L))
+    body
+    val after = DataSkipping.skipStats(dir).getOrElse((0L, 0L))
+    (after._1 - before._1, after._2 - before._2)
+  }
+
+  test("commit-time stats + V1 read path: a block_number range schedules only the overlapping files") {
+    val (lake, root) = freshLake("dskip-v1")
+    seed(lake)
+    val tableDir = s"$root/${Schemas.Nfp}"
+    val (cand, kept) = skipDelta(tableDir) {
+      val got = lake.read(Schemas.Nfp)
+        .filter(col("block_number").between(1150L, 1249L))
+        .agg(count(lit(1)), sum(col("block_number"))).collect()(0)
+      assert(got.getLong(0) == 100L)
+      assert(got.getLong(1) == (1150L to 1249L).sum)
+    }
+    assert(cand == 4 && kept == 2,
+      s"expected 2 of 4 files kept, got kept=$kept of $cand")
+    assert(lake.statsCollectFailures.get() == 0L)
+  }
+
+  test("every predicate shape agrees with the unskipped read; unprovable shapes keep everything") {
+    val (lake, root) = freshLake("dskip-shapes")
+    seed(lake)
+    val tableDir = s"$root/${Schemas.Nfp}"
+    val full = lake.read(Schemas.Nfp).collect().toSeq
+    def check(cond: org.apache.spark.sql.Column,
+              expectKept: Long): Unit = {
+      val (cand, kept) = skipDelta(tableDir) {
+        val got = lake.read(Schemas.Nfp).filter(cond).collect().toSeq
+        val want = spark.createDataFrame(
+          spark.sparkContext.parallelize(full),
+          lake.read(Schemas.Nfp).schema).filter(cond).collect().toSeq
+        assert(got.map(_.toString).sorted == want.map(_.toString).sorted,
+          s"skipped read diverged for $cond")
+      }
+      if (expectKept < 0)
+        // unprovable: the compiled test collapses to None and the
+        // per-file walk never runs (the no-overhead path)
+        assert((cand, kept) == ((0L, 0L)),
+          s"$cond ran a skip walk: $kept of $cand")
+      else
+        assert((cand, kept) == ((4L, expectKept)),
+          s"$cond kept $kept of $cand, expected $expectKept of 4")
+    }
+    // provable: =, <, >=, IN, LIKE-prefix, AND, OR of provables
+    check(col("block_number") === 1005L, 1)
+    check(col("block_number") < 1100L, 1)
+    check(col("block_number") >= 1300L, 1)
+    check(col("block_number").isin(1001L, 1303L), 2)
+    check(col("transaction_hash").startsWith("0xtx001"), 1)
+    check(col("block_number") > 1050L && col("block_number") <= 1150L, 2)
+    check(col("block_number") < 1050L || col("block_number") > 1350L, 2)
+    // string range on the zero-padded key column
+    check(col("transaction_hash") between("0xtx00210", "0xtx00290"), 1)
+    // unprovable: IsNull (no null counts), !=, OR with an unprovable
+    // side - no skip walk at all, results still exact
+    check(col("tokenId").isNull, -1)
+    check(col("block_number") =!= 1005L, -1)
+    check(col("block_number") === 1005L || col("tokenId").isNull, -1)
+  }
+
+  test("SQL catalog (DSv2) path prunes on a non-key predicate; VERSION pin + patched index keep pruning") {
+    val (lake, root) = freshLake("dskip-sql")
+    val cat = "dskip_cat"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    seed(lake)
+    val tableDir = s"$root/${Schemas.Nfp}"
+    val (cand, kept) = skipDelta(tableDir) {
+      val got = spark.sql(
+        s"""SELECT count(*) AS n, sum(block_number) AS s
+           |FROM $cat.${Schemas.Nfp}
+           |WHERE block_number BETWEEN 1150 AND 1249""".stripMargin)
+        .collect()(0)
+      assert(got.getLong(0) == 100L && got.getLong(1) == (1150L to 1249L).sum)
+    }
+    // DSv2 walks listFiles more than once per query (statistics +
+    // partition planning), so assert the RATIO: every walk kept
+    // exactly the 2 overlapping files of 4
+    assert(cand > 0 && cand % 4 == 0 && kept == cand / 2,
+      s"DSv2 path: expected half kept, got $kept of $cand")
+    // one more commit: the PATCHED index must prune the new file set
+    lake.append(rows(400 until 500).coalesce(1), Schemas.Nfp)
+    val (cand2, kept2) = skipDelta(tableDir) {
+      val n = spark.sql(
+        s"SELECT count(*) FROM $cat.${Schemas.Nfp} WHERE block_number >= 1400")
+        .collect()(0).getLong(0)
+      assert(n == 100L)
+    }
+    assert(cand2 > 0 && cand2 % 5 == 0 && kept2 == cand2 / 5,
+      s"patched index: expected 1 of 5 kept per walk, got $kept2 of $cand2")
+  }
+
+  test("stats survive a driver restart through the sidecar; stats.collect=false disables; analyzeTable backfills") {
+    val (lake, root) = freshLake("dskip-sidecar")
+    seed(lake)
+    val tableDir = s"$root/${Schemas.Nfp}"
+    // a FRESH Lake instance (new driver) must prune from the
+    // persisted sidecar without re-reading any footer
+    val lake2 = new Lake(spark, root)
+    val reads0 = lake2.footerReads.get()
+    val (cand, kept) = skipDelta(tableDir) {
+      assert(lake2.read(Schemas.Nfp)
+        .filter(col("block_number") === 1310L).count() == 1L)
+    }
+    assert(cand == 4 && kept == 1, s"fresh driver kept $kept of $cand")
+    assert(lake2.footerReads.get() == reads0,
+      "plan-time pruning opened a footer")
+
+    // a table opting out collects nothing and never prunes
+    val (lake3, root3) = freshLake("dskip-off")
+    lake3.setTableProperties(Schemas.Nfp, Map("stats.collect" -> "false"))
+    (0 until 2).foreach(j =>
+      lake3.append(rows(100 * j until 100 * j + 100).coalesce(1),
+        Schemas.Nfp))
+    val dir3 = s"$root3/${Schemas.Nfp}"
+    val (c3, k3) = skipDelta(dir3) {
+      assert(lake3.read(Schemas.Nfp)
+        .filter(col("block_number") === 1005L).count() == 1L)
+    }
+    assert(c3 == 2 && k3 == 2, s"opted-out table pruned: $k3 of $c3")
+    // flipping collection ON + analyzeTable backfills the old files
+    lake3.setTableProperties(Schemas.Nfp, Map("stats.collect" -> "true"))
+    assert(lake3.analyzeTable(Schemas.Nfp) == 2L)
+    val (c4, k4) = skipDelta(dir3) {
+      assert(lake3.read(Schemas.Nfp)
+        .filter(col("block_number") === 1005L).count() == 1L)
+    }
+    assert(c4 == 2 && k4 == 1, s"backfilled table kept $k4 of $c4")
+  }
+
+  test("UPDATE/MERGE correctness is untouched by stats (row-level scans push no data filters)") {
+    val (lake, root) = freshLake("dskip-rowlevel")
+    val cat = "dskip_rl_cat"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    seed(lake)
+    // narrow UPDATE: only rows in one file match; every OTHER row of
+    // the table must survive the rewrite byte-for-byte
+    spark.sql(s"UPDATE $cat.${Schemas.Nfp} SET amount = 'upd' " +
+      "WHERE block_number BETWEEN 1150 AND 1159")
+    val after = lake.read(Schemas.Nfp)
+    assert(after.filter(col("amount") === "upd").count() == 10L)
+    assert(after.count() == 400L,
+      "row-level rewrite with stats present lost rows")
+  }
+}

@@ -365,6 +365,51 @@ class LakeCatalogSpec extends SparkSpec {
       s"MERGE planned with ${catalogLake.listCalls.get()} listing(s)")
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE: target-only rows update/delete across ALL partitions (no wrong pruning)") {
+    seed()
+    spark.sql(
+      """CREATE TABLE graft_lake.mrgbs_t
+        | (chain_name STRING, k BIGINT, v STRING)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_lake.mrgbs_t VALUES
+        | ('ethereum', 1, 'a'), ('ethereum', 2, 'b'),
+        | ('base', 3, 'c'), ('arbitrum', 4, 'd')""".stripMargin)
+    // source touches ONLY ethereum — but BY SOURCE clauses act on
+    // target-only rows in EVERY partition, so runtime group filtering
+    // must NOT narrow this statement to the matched partitions: a
+    // wrongly-pruned scan would leave base/arbitrum rows untouched
+    // (no '!' suffix, no delete) because ReplaceData only writes back
+    // what the scan read
+    spark.sql(
+      """MERGE INTO graft_lake.mrgbs_t t USING (
+        |  SELECT 'ethereum' AS chain_name, 1L AS k, 'merged' AS v
+        |  UNION ALL SELECT 'ethereum', 9L, 'new'
+        |) s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE AND t.k = 3 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = concat(t.v, '!')
+        |""".stripMargin)
+    val got = spark.sql(
+      "SELECT chain_name, k, v FROM graft_lake.mrgbs_t ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSeq
+    assert(got == Seq(
+      ("ethereum", 1L, "merged"), // matched update
+      ("ethereum", 2L, "b!"),     // target-only in a MATCHED partition
+      ("arbitrum", 4L, "d!"),     // target-only in an UNMATCHED partition
+      ("ethereum", 9L, "new")),   // not-matched insert
+      s"BY SOURCE merge diverged (wrong group pruning?): $got")
+    // k=3 (base) deleted by the BY SOURCE DELETE
+    assert(spark.sql("SELECT count(*) FROM graft_lake.mrgbs_t WHERE k = 3")
+      .collect()(0).getLong(0) == 0L)
+    val bsLake = new graft.v3.Lake(spark, root)
+    assert(bsLake.fileInventory("mrgbs_t") == bsLake.listInventory("mrgbs_t"))
+    assert(catalogLake.listCalls.get() == 0L,
+      s"BY SOURCE MERGE planned with ${catalogLake.listCalls.get()} " +
+        "listing(s)")
+  }
+
   test("a row-level rewrite losing the optimistic race aborts loudly with nothing published") {
     seed()
     spark.sql(

@@ -80,8 +80,21 @@ class LakeMaintenanceSpec extends SparkSpec {
     val st = spark.sql("SELECT * FROM graft_vacuum('graft_maint.mt', 0)")
       .collect()(0)
     assert(st.getLong(0) >= 1L, "vacuum expired no snapshots")
-    assert(st.getLong(1) >= 1L, "vacuum GC'd no retired files")
-    assert(st.getLong(2) > 0L, "vacuum freed no bytes")
+    // r16 lifecycle: the appends that ADDED the compaction-swapped
+    // originals are still inside the retained CDC window (a from-0
+    // consumer replays them from the retention area), so an
+    // in-window vacuum keeps the retired files
+    assert(st.getLong(1) == 0L,
+      s"in-window vacuum must keep commit-log-pinned files: $st")
+    // roll the window: shrunk floor + metadata-only refresh
+    // checkpoints force a retention cut - NOW the GC frees them
+    lake.setTableProperties("mt",
+      Map("manifest.minRetainedCommits" -> "1"))
+    (0 until 3).foreach(_ => lake.refreshManifest("mt"))
+    val st2 = spark.sql("SELECT * FROM graft_vacuum('graft_maint.mt', 0)")
+      .collect()(0)
+    assert(st2.getLong(1) >= 1L, s"window rolled: vacuum GC'd nothing: $st2")
+    assert(st2.getLong(2) > 0L, "vacuum freed no bytes")
     // the table still reads fine after the GC
     assert(spark.sql("SELECT count(*) FROM graft_maint.mt")
       .collect()(0).getLong(0) >= 4L)
@@ -204,5 +217,25 @@ class LakeMaintenanceSpec extends SparkSpec {
         .collect()
     }
     assert(e3.getMessage.contains("no such lake table"), e3.getMessage)
+  }
+
+  test("graft_vacuum keepLast above Int.MaxValue clamps (keep-everything), never wraps to near-zero") {
+    seed()
+    spark.sql("SELECT * FROM graft_snapshot('graft_maint.mt')").collect()
+    val snapsBefore = lake.snapshotVersions("mt").size
+    assert(snapsBefore >= 1)
+    // 4294967297 = 2^32 + 1 wraps to 1 under a bare .toInt - the
+    // operator's "keep everything" intent must keep every snapshot
+    val st = spark.sql(
+      "SELECT * FROM graft_vacuum('graft_maint.mt', 4294967297)")
+      .collect()(0)
+    assert(lake.snapshotVersions("mt").size == snapsBefore,
+      "oversized keepLast expired snapshots (Int wrap)")
+    assert(st.getLong(0) == 0L, s"manifests_deleted = ${st.getLong(0)}")
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_vacuum('graft_maint.mt', -1)")
+        .collect()
+    }
+    assert(e.getMessage.contains("keepLast"), e.getMessage)
   }
 }

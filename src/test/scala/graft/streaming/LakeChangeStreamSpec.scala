@@ -129,6 +129,54 @@ class LakeChangeStreamSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("not both")), msgs(e).mkString("; "))
   }
 
+  test("maxBytesPerBatch paces a lagging catch-up into budget-sized micro-batches") {
+    val root = Files.createTempDirectory("lake-cs7").toString
+    val tmp = Files.createTempDirectory("lake-cs7-ck").toString
+    val lake = new Lake(spark, root)
+    // four ~equal-size single-file commits
+    (0 until 4).foreach(j =>
+      lake.append(rows(j * 50 until (j + 1) * 50).coalesce(1), Schemas.Nfp))
+    // v1 is the table's first publish — a CHECKPOINT, so it has no
+    // cheap byte estimate and must end the batch it starts; v2–v4 are
+    // deltas with exact added-bytes
+    assert(lake.commitAddedBytes(Schemas.Nfp, 1L).isEmpty)
+    val perCommit = (2L to 4L)
+      .map(v => lake.commitAddedBytes(Schemas.Nfp, v).get)
+    // budget = 2× the largest delta commit: the checkpoint drains
+    // alone, then two near-equal deltas per batch — 3 batches total
+    val budget = perCommit.max * 2
+    val (got, batches) = drain(spark.readStream.format("lake-changes")
+      .option("root", root).option("table", Schemas.Nfp)
+      .option("startingVersion", "0")
+      .option("maxBytesPerBatch", budget.toString).load(), s"$tmp/ck")
+    assert(got.size == 200, s"drained ${got.size} rows")
+    assert(batches == 3, s"expected 3 byte-paced batches " +
+      "(checkpoint alone, two deltas, one delta), got " + batches)
+    // a budget below one commit still advances (one commit per batch)
+    val (got2, batches2) = drain(spark.readStream.format("lake-changes")
+      .option("root", root).option("table", Schemas.Nfp)
+      .option("startingVersion", "0")
+      .option("maxBytesPerBatch", "1").load(), s"$tmp/ck2")
+    assert(got2.size == 200 && batches2 == 4,
+      s"starvation guard failed: $batches2 batches, ${got2.size} rows")
+  }
+
+  test("startingTimestamp predating a COMPLETE history replays from the beginning") {
+    val root = Files.createTempDirectory("lake-cs6").toString
+    val tmp = Files.createTempDirectory("lake-cs6-ck").toString
+    val lake = new Lake(spark, root)
+    lake.append(rows(0 until 8).coalesce(1), Schemas.Nfp)
+    lake.append(rows(8 until 12).coalesce(1), Schemas.Nfp)
+    // an instant from before the table existed: nothing precedes it,
+    // so replaying the whole retained history honors at-or-after
+    val (got, _) = drain(spark.readStream.format("lake-changes")
+      .option("root", root).option("table", Schemas.Nfp)
+      .option("startingTimestamp", "1000").load(), s"$tmp/ck")
+    assert(got.size == 12 &&
+      got.forall(_.getAs[String]("_change_type") == "insert"),
+      s"pre-history instant did not replay the full history: ${got.size}")
+  }
+
   test("a checkpoint resumed across dropTable+recreate fails LOUDLY (incarnation mismatch)") {
     val root = Files.createTempDirectory("lake-cs5").toString
     val tmp = Files.createTempDirectory("lake-cs5-ck").toString
@@ -161,7 +209,7 @@ class LakeChangeStreamSpec extends SparkSpec {
       s"resume across recreate failed for the wrong reason: ${msgs(e)}")
   }
 
-  test("a checkpoint resumed across a vacuum of needed history fails LOUDLY") {
+  test("vacuum cannot starve an IN-WINDOW consumer; lag beyond retention refuses at the boundary") {
     val root = Files.createTempDirectory("lake-cs3").toString
     val tmp = Files.createTempDirectory("lake-cs3-ck").toString
     val lake = new Lake(spark, root)
@@ -170,20 +218,40 @@ class LakeChangeStreamSpec extends SparkSpec {
     val (first, _) = drain(Streaming.changeStream(spark, root, Schemas.Nfp,
       startingVersion = Some(0L)), s"$tmp/ck")
     assert(first.size == 10)
-    // a retained upsert commits delete+insert; then vacuum expires the
-    // retired pre-upsert files BEFORE the stream consumed that commit
+    // a retained upsert commits delete+insert; an AGGRESSIVE vacuum
+    // (no snapshots kept) runs BEFORE the stream consumed that
+    // commit. The retired pre-upsert files are pinned by the RETAINED
+    // COMMIT LOG (the replayable window), so the lagging-but-in-window
+    // consumer must drain the full delete+insert pair — the r15
+    // behavior (vacuum breaking an in-floor consumer) was the gap the
+    // retention floor left open.
     lake.upsert(rows(0 until 10, amt = i => s"u$i").coalesce(1),
       Schemas.Nfp, Seq("chain_name", "transaction_hash"), retain = true)
     lake.vacuum(Schemas.Nfp, keepLast = 0, staleCommitMs = 0L)
+    val (resumed, _) = drain(Streaming.changeStream(spark, root, Schemas.Nfp,
+      startingVersion = Some(0L)), s"$tmp/ck")
+    assert(resumed.size == 20 &&
+      resumed.count(_.getAs[String]("_change_type") == "delete") == 10,
+      s"in-window consumer starved by vacuum: ${resumed.size} rows")
+
+    // beyond the window: shrink the floor, stack enough commits for
+    // TWO retention cuts (the cut keeps two checkpoint generations),
+    // vacuum, and a from-the-beginning consumer must refuse LOUDLY at
+    // the version-range boundary BEFORE touching any file
+    lake.setTableProperties(Schemas.Nfp,
+      Map("manifest.minRetainedCommits" -> "4"))
+    (0 until 40).foreach(j =>
+      lake.append(rows(1000 + j * 5 until 1000 + j * 5 + 5)
+        .coalesce(1), Schemas.Nfp))
+    lake.vacuum(Schemas.Nfp, keepLast = 0, staleCommitMs = 0L)
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       drain(Streaming.changeStream(spark, root, Schemas.Nfp,
-        startingVersion = Some(0L)), s"$tmp/ck")
+        startingVersion = Some(0L)), s"$tmp/ck-late")
     }
     def chain(t: Throwable): Seq[String] =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
         .map(x => Option(x.getMessage).getOrElse("")).toSeq
-    assert(chain(e).exists(m => m.contains("invalidated") ||
-      m.contains("vacuum-expired") || m.contains("missing file")),
-      s"stream failed for the wrong reason: ${chain(e)}")
+    assert(chain(e).exists(_.contains("expired by manifest retention")),
+      s"beyond-window consumer failed for the wrong reason: ${chain(e)}")
   }
 }

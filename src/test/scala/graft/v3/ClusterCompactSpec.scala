@@ -79,8 +79,17 @@ class ClusterCompactSpec extends SparkSpec {
       clusterBy = Seq("transaction_hash"), retain = true) == 1)
     assert(lake.readAt(Schemas.Nfp, v1).count() == 400L)
     assert(lake.read(Schemas.Nfp).count() == 400L)
+    // in-window: the interleaved appends that ADDED the re-clustered
+    // originals are still retained, so a from-0 CDC replay pins them
+    // (r16 lifecycle) — vacuum frees nothing until the window rolls
     val vs = lake.vacuum(Schemas.Nfp, keepLast = 0)
-    assert(vs.filesDeleted == 4, s"expected 4 retired files freed: $vs")
+    assert(vs.filesDeleted == 0,
+      s"in-window vacuum must keep commit-log-pinned files: $vs")
+    lake.setTableProperties(Schemas.Nfp,
+      Map("manifest.minRetainedCommits" -> "1"))
+    (0 until 3).foreach(_ => lake.refreshManifest(Schemas.Nfp))
+    val vs2 = lake.vacuum(Schemas.Nfp, keepLast = 0)
+    assert(vs2.filesDeleted == 4, s"expected 4 retired files freed: $vs2")
   }
 
   test("onlyChains bounds the rewrite: cold chains' files stay byte-identical") {

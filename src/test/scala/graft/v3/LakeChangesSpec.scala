@@ -55,6 +55,53 @@ class LakeChangesSpec extends SparkSpec {
       "commit-grain feed diverged from the snapshot diff over the same boundary")
   }
 
+  test("enriched feed: update pre/postimage pairs, unchanged rewritten rows emit NOTHING, appends/drops pass through") {
+    val root = Files.createTempDirectory("lake-cdc-enr").toString
+    val lake = new Lake(spark, root)
+    val keys = Seq("chain_name", "transaction_hash")
+    lake.append(rows(0 until 20).coalesce(1), Schemas.Nfp)
+    val c0 = lake.latestCommitVersion(Schemas.Nfp).get
+    // one upsert commit: update 3 keys, delete 2, insert 2 new —
+    // the file rewrite drags all 20 rows through delete+insert at
+    // file grain; enriched must shrink that to exactly 3 pairs + 2 +
+    // 2 and drop the 13 unchanged rewritten rows
+    val upd = rows(Seq(1, 5, 9), amt = i => s"u$i")
+      .withColumn("_del", lit(false))
+    val del = rows(Seq(2, 6)).withColumn("_del", lit(true))
+    val ins = rows(Seq(100, 101)).withColumn("_del", lit(false))
+    lake.upsert(upd.unionByName(del).unionByName(ins), Schemas.Nfp,
+      keys, deleteCol = Some("_del"), retain = true)
+    val c1 = lake.latestCommitVersion(Schemas.Nfp).get
+    val enr = lake.changesBetweenCommitsEnriched(Schemas.Nfp, c0, c1, keys)
+    val got = enr.select(col("_change_type"), col("transaction_hash"),
+      col("amount")).collect()
+      .map(r => s"${r.getString(0)}|${r.getString(1)}|${r.getString(2)}")
+      .toSeq.sorted
+    val want = (Seq(1, 5, 9).flatMap(i => Seq(
+      f"update_preimage|0xtx$i%05d|$i", f"update_postimage|0xtx$i%05d|u$i")) ++
+      Seq(2, 6).map(i => f"delete|0xtx$i%05d|$i") ++
+      Seq(100, 101).map(i => f"insert|0xtx$i%05d|$i")).sorted
+    assert(got == want, s"enriched feed diverged:\n$got\nvs\n$want")
+    // the file-grain feed over the same boundary carries the churn
+    // the enrichment removed: 20 pre-rows out + 20 post-rows in
+    // (20 − 2 deleted + 2 inserted) vs the enriched feed's 10
+    assert(lake.changesBetweenCommits(Schemas.Nfp, c0, c1).count() == 40L)
+    // append + chain-drop commits pass through without a join
+    lake.append(rows(200 until 205, chain = "base").coalesce(1), Schemas.Nfp)
+    lake.dropChain(Schemas.Nfp, "base", retain = true)
+    val c3 = lake.latestCommitVersion(Schemas.Nfp).get
+    val tail = lake.changesBetweenCommitsEnriched(Schemas.Nfp, c1, c3, keys)
+    assert(tail.filter(col("_change_type") === "insert").count() == 5L)
+    assert(tail.filter(col("_change_type") === "delete").count() == 5L)
+    assert(tail.filter(col("_change_type").startsWith("update")).count() == 0L)
+    // unknown key columns refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      lake.changesBetweenCommitsEnriched(Schemas.Nfp, c0, c1,
+        Seq("chain_name", "nope"))
+    }
+    assert(e.getMessage.contains("nope"), e.getMessage)
+  }
+
   test("rewrite-only commits contribute nothing; the snapshot diff refuses across them") {
     val root = Files.createTempDirectory("lake-cdc2").toString
     val lake = new Lake(spark, root)

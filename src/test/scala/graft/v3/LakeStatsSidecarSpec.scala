@@ -45,7 +45,12 @@ class LakeStatsSidecarSpec extends SparkSpec {
     assert(st2 == st1, s"restart plan diverged: $st1 vs $st2")
     assert(df2.count() == got1)
 
-    // the upsert planner shares the same sidecar: zero footer opens
+    // the upsert planner shares the same sidecar: zero footer opens.
+    // Data-skipping collection is disabled for this leg so the only
+    // footer traffic left is PLANNING's (commit-time stats warm-up
+    // legitimately opens the upsert's own just-written files —
+    // DataSkippingSpec pins that contract).
+    lake2.setTableProperties(Schemas.Nfp, Map("stats.collect" -> "false"))
     val batch = rows(Seq(150)).withColumn("amount", lit("bumped"))
     val ust = lake2.upsert(batch, Schemas.Nfp,
       Seq("chain_name", "transaction_hash"))
@@ -55,11 +60,13 @@ class LakeStatsSidecarSpec extends SparkSpec {
       s"expected 1-of-4 file touch, got $ust")
   }
 
-  test("fragmented shards compact on load and drop dead entries") {
+  test("the shard set stays BOUNDED (opportunistic compaction) and compaction drops dead entries") {
     val root = Files.createTempDirectory("lake-sidecar2").toString
     val lake = new Lake(spark, root)
-    // 34 append+plan cycles: each plan sees one new file -> one shard
-    (0 until 34).foreach { j =>
+    // 40 append+plan cycles: every commit persists a shard; the
+    // refresh-time compaction (>32 shards) must keep the set bounded
+    // instead of letting it grow one-per-commit forever
+    (0 until 40).foreach { j =>
       lake.append(rows(j * 10 until j * 10 + 10).coalesce(1), Schemas.Nfp)
       lake.readRange(Schemas.Nfp, "transaction_hash",
         f"0xtx${j * 10}%06d", f"0xtx${j * 10 + 5}%06d")
@@ -67,18 +74,25 @@ class LakeStatsSidecarSpec extends SparkSpec {
     val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val statsDir = new Path(s"$root/_filestats/${Schemas.Nfp}")
-    val before = fs.listStatus(statsDir)
+    def shardCount = fs.listStatus(statsDir)
       .count(_.getPath.getName.startsWith("stats-"))
-    assert(before > 32, s"expected >32 shards before compaction, got $before")
-    // rewrite the table so the old entries go dead
+    assert(shardCount <= 33,
+      s"shard set unbounded after 40 commits: $shardCount")
+    // rewrite the table so every pre-compact entry goes dead, then
+    // push the shard count over the threshold again: the compaction
+    // that fires must drop the dead entries
     assert(lake.compact(Schemas.Nfp, targetBytes = 1L << 30) > 0)
+    (0 until 33).foreach { j =>
+      lake.append(rows(1000 + j * 10 until 1000 + j * 10 + 10)
+        .coalesce(1), Schemas.Nfp)
+    }
     val lake2 = new Lake(spark, root)
     lake2.readRange(Schemas.Nfp, "transaction_hash",
-      "0xtx000000", "0xtx000005") // triggers loadStats -> compaction
+      "0xtx000000", "0xtx000005") // one more refresh point
     val shards = fs.listStatus(statsDir).map(_.getPath)
       .filter(_.getName.startsWith("stats-"))
-    assert(shards.length <= 2,
-      s"expected compacted shard set, got ${shards.length}")
+    assert(shards.length <= 33,
+      s"expected bounded shard set, got ${shards.length}")
     // dead entries (pre-compaction files) are gone: every persisted rel
     // path must be in the live inventory
     val live = lake2.fileInventory(Schemas.Nfp)

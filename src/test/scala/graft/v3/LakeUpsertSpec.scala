@@ -293,12 +293,20 @@ class LakeUpsertSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       lake.readSince(Schemas.Nfp, v1))
     assert(e.getMessage.contains("retention cannot restore"))
-    // a later snapshot + vacuum keeping only it: v1 expires, its
-    // retired file is freed, and the kept version still reads clean
+    // a later snapshot + vacuum keeping only it: v1 expires, but the
+    // upsert-retired file stays pinned by the retained COMMIT LOG (an
+    // in-window CDC consumer replays it — r16 lifecycle); rolling the
+    // window frees it
     val v2 = lake.snapshot(Schemas.Nfp)
     val vs = lake.vacuum(Schemas.Nfp, keepLast = 1)
-    assert(vs.manifestsDeleted == 1 && vs.filesDeleted == 1 &&
-      vs.bytesFreed > 0L, s"unexpected vacuum stats: $vs")
+    assert(vs.manifestsDeleted == 1 && vs.filesDeleted == 0,
+      s"in-window vacuum must keep commit-log-pinned files: $vs")
+    lake.setTableProperties(Schemas.Nfp,
+      Map("manifest.minRetainedCommits" -> "1"))
+    (0 until 3).foreach(_ => lake.refreshManifest(Schemas.Nfp))
+    val vsRolled = lake.vacuum(Schemas.Nfp, keepLast = 1)
+    assert(vsRolled.filesDeleted == 1 && vsRolled.bytesFreed > 0L,
+      s"window rolled: unexpected vacuum stats: $vsRolled")
     val e2 = intercept[IllegalArgumentException](
       lake.readAt(Schemas.Nfp, v1))
     assert(e2.getMessage.contains("no snapshot"))
@@ -324,7 +332,12 @@ class LakeUpsertSpec extends SparkSpec {
     val vs = lake.vacuum(Schemas.Nfp, keepLast = 1)
     assert(vs.filesDeleted == 0 && vs.manifestsDeleted == 0)
     assert(lake.readAt(Schemas.Nfp, v1).count() == 40L)
-    // dropping retention: vacuum to zero kept versions frees all four
+    // dropping retention AND rolling the CDC window (the appends that
+    // added the compacted-away originals must expire too — r16
+    // lifecycle): vacuum then frees all four
+    lake.setTableProperties(Schemas.Nfp,
+      Map("manifest.minRetainedCommits" -> "1"))
+    (0 until 3).foreach(_ => lake.refreshManifest(Schemas.Nfp))
     val vs2 = lake.vacuum(Schemas.Nfp, keepLast = 0)
     assert(vs2.manifestsDeleted == 1 && vs2.filesDeleted == 4,
       s"unexpected vacuum stats: $vs2")

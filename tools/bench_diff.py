@@ -11,20 +11,33 @@ Replaces prose archaeology: the judge asked for this table to be
 generated, not reconstructed (VERDICT r10 task 7).
 """
 import json
+import statistics
 import sys
 
 
 def load(path):
     with open(path) as f:
         body = json.load(f)
+    sent = body.get("sentinel") or {}
+    secs = [x for x in sent.get("secs", []) if isinstance(x, (int, float))]
+    # the box-speed proxy: the MEDIAN of the sentinel re-timings (the
+    # same query timed every ~25 rows across the run) - medians shrug
+    # off the one-off GC/contention spikes the mean would absorb
+    sentinel = statistics.median(secs) if secs else None
     return body["round"], {k: v["sec"] for k, v in body["rows"].items()
-                           if "err" not in v}
+                           if "err" not in v}, sentinel
 
 
 def main():
-    ra, rows_a = load(sys.argv[1])
-    rb, rows_b = load(sys.argv[2])
+    ra, rows_a, sent_a = load(sys.argv[1])
+    rb, rows_b, sent_b = load(sys.argv[2])
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+    # box-speed normalization: two driver runs land on differently
+    # loaded VMs; dividing each per-row ratio by the sentinel ratio
+    # separates real plan regressions from box noise, so cross-round
+    # adjudication stops needing a clean-box twin run (VERDICT r15
+    # task 6)
+    box = (sent_b / sent_a) if (sent_a and sent_b) else 1.0
     common = sorted(set(rows_a) & set(rows_b))
     movers = []
     for k in common:
@@ -32,9 +45,10 @@ def main():
         if max(a, b) < 0.3:
             continue
         ratio = b / a if a > 0 else float("inf")
-        if ratio >= thr or ratio <= 1 / thr:
-            movers.append((k, a, b, ratio))
-    movers.sort(key=lambda m: -max(m[3], 1 / m[3]))
+        norm = ratio / box
+        if norm >= thr or norm <= 1 / thr:
+            movers.append((k, a, b, ratio, norm))
+    movers.sort(key=lambda m: -max(m[4], 1 / m[4]))
     top = sorted(rows_b.items(), key=lambda kv: -kv[1])[:10]
 
     print(f"### r{ra} -> r{rb} per-row comparison (mechanical, tools/bench_diff.py)")
@@ -43,6 +57,12 @@ def main():
     print(f"Totals: r{ra} {ta:.1f} s / {len(rows_a)} rows = "
           f"{ta / len(rows_a):.2f} s/row; r{rb} {tb:.1f} s / {len(rows_b)} "
           f"rows = {tb / len(rows_b):.2f} s/row.")
+    if sent_a and sent_b:
+        print(f"Sentinel medians: r{ra} {sent_a:.3f} s, r{rb} "
+              f"{sent_b:.3f} s -> box factor {box:.2f}x "
+              f"(per-row ratios are normalized by this before flagging).")
+    else:
+        print("Sentinel series missing in one round - ratios unnormalized.")
     print()
     print(f"Top rows r{rb}:")
     print()
@@ -53,14 +73,16 @@ def main():
         print(f"| {k} | {prev} | {v:.2f} s |")
     print()
     if movers:
-        print(f">{thr}x movers (either direction, both rounds >= 0.3 s):")
+        print(f">{thr}x NORMALIZED movers (either direction, both rounds "
+              ">= 0.3 s):")
         print()
-        print("| row | r%s | r%s | ratio |" % (ra, rb))
-        print("|---|---|---|---|")
-        for k, a, b, r in movers:
-            print(f"| {k} | {a:.2f} s | {b:.2f} s | {r:.2f}x |")
+        print("| row | r%s | r%s | raw | normalized |" % (ra, rb))
+        print("|---|---|---|---|---|")
+        for k, a, b, r, n in movers:
+            print(f"| {k} | {a:.2f} s | {b:.2f} s | {r:.2f}x | {n:.2f}x |")
     else:
-        print(f"No >{thr}x movers (either direction) among rows >= 0.3 s.")
+        print(f"No >{thr}x normalized movers (either direction) among "
+              "rows >= 0.3 s.")
     added = sorted(set(rows_b) - set(rows_a))
     removed = sorted(set(rows_a) - set(rows_b))
     if added:
