@@ -2574,12 +2574,20 @@ class Lake(spark: SparkSession, val root: String) {
       s"${b64(column.getBytes("UTF-8"))}\t$kind\t$mn\t$mx"
   }
 
+  /** Column-name decode memo: a million-line sidecar carries ~8
+    * distinct column strings, each base64'd per line — decoding once
+    * per distinct value trims the cold fold measurably. Bounded. */
+  private val colB64Memo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def parseStatsLine(line: String)
       : Option[(String, Long, String, Option[(Any, Any)])] = {
     val f = line.split('\t')
     if (f.length < 4) return None
     val rel = new String(unb64(f(0)), "UTF-8")
-    val col = new String(unb64(f(2)), "UTF-8")
+    if (colB64Memo.size > 512) colB64Memo.clear()
+    val col = colB64Memo.computeIfAbsent(f(2),
+      k => new String(unb64(k), "UTF-8"))
     val r = f(3) match {
       case "S" => Some((unb64(f(4)): Any, unb64(f(5)): Any))
       case "L" => Some((f(4).toLong: Any, f(5).toLong: Any))
@@ -2622,9 +2630,46 @@ class Lake(spark: SparkSession, val root: String) {
     val folded = statsFoldedShards.getOrDefault(table, Set.empty)
     if (names == folded) return
     val fresh = (names -- folded).toSeq.sorted.map(new Path(d, _))
-    readShardEntries(fresh).foreach { case (rel, bytes, column, r) =>
-      rangeCache.putIfAbsent(
-        rangeKey(s"${dir(table)}/$rel", bytes, column), r)
+    // parse + fold in PARALLEL chunks: a compacted sidecar is one
+    // multi-million-line shard, and the serial parse (base64 decodes
+    // + CHM inserts) was the dominant cold-plan cost at 10⁶ files
+    // (ManifestProbe stats mode) — concurrent putIfAbsent into the
+    // shared cache is safe, entries are independent facts
+    val tablePrefix = dir(table)
+    fresh.foreach { p =>
+      val in = fs.open(p)
+      val body = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+      val lines = body.split('\n')
+      def foldRange(from: Int, until: Int): Unit = {
+        var i = from
+        while (i < until) {
+          val line = lines(i)
+          if (line.nonEmpty) parseStatsLine(line).foreach {
+            case (rel, bytes, column, r) =>
+              rangeCache.putIfAbsent(
+                rangeKey(s"$tablePrefix/$rel", bytes, column), r)
+          }
+          i += 1
+        }
+      }
+      val threads = math.min(8, Runtime.getRuntime.availableProcessors)
+      if (lines.length < 65536 || threads < 2) foldRange(0, lines.length)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+        try {
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutor(pool)
+          val step = (lines.length + threads - 1) / threads
+          scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence((0 until threads).map { t =>
+              scala.concurrent.Future(foldRange(t * step,
+                math.min(lines.length, (t + 1) * step)))
+            }), scala.concurrent.duration.Duration.Inf)
+          ()
+        } finally pool.shutdown()
+      }
     }
     statsFoldedShards.put(table, names)
     if (names.size > 32) { // merge + prune dead entries

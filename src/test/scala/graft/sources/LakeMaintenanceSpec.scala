@@ -219,6 +219,29 @@ class LakeMaintenanceSpec extends SparkSpec {
     assert(e3.getMessage.contains("no such lake table"), e3.getMessage)
   }
 
+  test("graft_analyze backfills data-skipping stats for pre-feature files") {
+    seed()
+    // wipe the sidecar to simulate a pre-feature table, then the TVF
+    // must footer-read every live file missing stats (and only those)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/_filestats/mt"), true)
+    val live = lake.fileInventory("mt").size
+    // a COLD catalog identity over the same root: the warm catalog's
+    // in-memory cache still covers the files (correctly - analyze
+    // through it finds nothing missing), but a fresh driver must
+    // footer-read every live file and re-persist
+    spark.conf.set("spark.sql.catalog.graft_maint_cold.root", root)
+    val analyzed = spark.sql(
+      "SELECT * FROM graft_analyze('graft_maint_cold.mt')")
+      .collect()(0).getLong(0)
+    assert(analyzed == live.toLong,
+      s"expected $live files analyzed, got $analyzed")
+    // idempotent through the warm path: nothing missing
+    assert(spark.sql("SELECT * FROM graft_analyze('graft_maint.mt')")
+      .collect()(0).getLong(0) == 0L)
+  }
+
   test("graft_vacuum keepLast above Int.MaxValue clamps (keep-everything), never wraps to near-zero") {
     seed()
     spark.sql("SELECT * FROM graft_snapshot('graft_maint.mt')").collect()
