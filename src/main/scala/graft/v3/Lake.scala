@@ -491,6 +491,24 @@ class Lake(spark: SparkSession, val root: String) {
   /** Commit an updated property map (merge of current + `kv`; a null
     * value deletes the key). */
   def setTableProperties(table: String, kv: Map[String, String]): Unit = {
+    // validate stats.columns AT SET TIME: a typo'd list would
+    // otherwise surface only as a swallowed post-commit warning
+    // (collectStatsQuietly) - stats silently stop collecting, the
+    // silent-wrong-cost twin of a wrong result. Only checkable when
+    // the table already has a schema (registry or readable files).
+    kv.get("stats.columns").filter(_ != null).foreach { list =>
+      val schema =
+        try Some(effectiveSchema(table))
+        catch { case scala.util.control.NonFatal(_) => None }
+      schema.foreach { sch =>
+        val cols = list.split(',').map(_.trim).filter(_.nonEmpty)
+        val missing = cols.filterNot(sch.fieldNames.contains)
+        require(missing.isEmpty,
+          s"stats.columns for $table names unknown column(s) " +
+            s"${missing.mkString(", ")} (have: " +
+            s"${sch.fieldNames.mkString(", ")})")
+      }
+    }
     val next = (tableProperties(table) ++ kv).filter(_._2 != null)
     val d = propsDir(table)
     fs.mkdirs(d)
@@ -2605,11 +2623,20 @@ class Lake(spark: SparkSession, val root: String) {
   private def readShardEntries(ps: Seq[Path])
       : Seq[(String, Long, String, Option[(Any, Any)])] =
     ps.flatMap { p =>
-      val in = fs.open(p)
-      val body = try new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-      finally in.close()
-      body.split("\n").filter(_.nonEmpty).flatMap(parseStatsLine)
+      // a rival compactor can delete a listed shard mid-read: its
+      // entries live on in the rival's merged shard (folded at the
+      // next refresh), so skipping is correct - pruning just stays
+      // conservative for the window
+      try {
+        val in = fs.open(p)
+        val body = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+        body.split("\n").filter(_.nonEmpty).flatMap(parseStatsLine)
+      } catch {
+        case _: java.io.FileNotFoundException =>
+          Seq.empty[(String, Long, String, Option[(Any, Any)])]
+      }
     }
 
   /** Fold the table's persisted stats shards into the rangeCache,
@@ -2637,11 +2664,17 @@ class Lake(spark: SparkSession, val root: String) {
     // shared cache is safe, entries are independent facts
     val tablePrefix = dir(table)
     fresh.foreach { p =>
-      val in = fs.open(p)
-      val body = try new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-      finally in.close()
-      val lines = body.split('\n')
+      // FNF = a rival's compaction removed the shard between our
+      // listing and this open; its entries fold from the merged
+      // shard at the next refresh (see readShardEntries)
+      val bodyOpt =
+        try {
+          val in = fs.open(p)
+          try Some(new String(
+            org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
+          finally in.close()
+        } catch { case _: java.io.FileNotFoundException => None }
+      val lines = bodyOpt.map(_.split('\n')).getOrElse(Array.empty[String])
       def foldRange(from: Int, until: Int): Unit = {
         var i = from
         while (i < until) {
@@ -2680,7 +2713,16 @@ class Lake(spark: SparkSession, val root: String) {
         .distinctBy(e => (e._1, e._2, e._3))
       writeStatsShard(table,
         kept.map(e => statsLine(e._1, e._2, e._3, e._4)))
-      val undeleted = shards.filterNot(p => fs.delete(p, false))
+      // CONCURRENT compactions are legal (multi-writer commits all
+      // refresh; two may cross the >32 threshold together): each
+      // writes its own merged shard (duplicate entries are the same
+      // immutable facts — tolerated by the sidecar contract) and
+      // deletes whatever inputs still exist. A shard that is GONE
+      // because the rival already removed it is success, not
+      // staleness; only a shard that survives our delete AND still
+      // exists is a real leak worth failing loudly over.
+      val undeleted = shards.filterNot(p =>
+        fs.delete(p, false) || !fs.exists(p))
       if (undeleted.nonEmpty) throw new java.io.IOException(
         s"stats shard compaction of $table left ${undeleted.size} " +
           s"stale shard(s): ${undeleted.take(3).mkString(", ")}")
@@ -2859,7 +2901,7 @@ class Lake(spark: SparkSession, val root: String) {
     * a typo'd list silently collecting nothing would read as
     * "skipping enabled" while pruning no file, the silent-wrong-cost
     * twin of a wrong result. */
-  private[v3] def statsColumns(table: String): Seq[String] = {
+  private[graft] def statsColumns(table: String): Seq[String] = {
     val props = tableProperties(table)
     if (props.get("stats.collect").contains("false")) return Seq.empty
     val schema = effectiveSchema(table)

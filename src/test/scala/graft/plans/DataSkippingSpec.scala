@@ -172,6 +172,20 @@ class DataSkippingSpec extends SparkSpec {
     assert(c4 == 2 && k4 == 1, s"backfilled table kept $k4 of $c4")
   }
 
+  test("a typo'd stats.columns refuses AT SET TIME, not as a swallowed warning") {
+    val (lake, _) = freshLake("dskip-typo")
+    lake.append(rows(0 until 10).coalesce(1), Schemas.Nfp)
+    val e = intercept[IllegalArgumentException] {
+      lake.setTableProperties(Schemas.Nfp,
+        Map("stats.columns" -> "block_number,blok_number"))
+    }
+    assert(e.getMessage.contains("blok_number"), e.getMessage)
+    // a valid list sets fine and drives collection
+    lake.setTableProperties(Schemas.Nfp,
+      Map("stats.columns" -> "block_number"))
+    assert(lake.statsColumns(Schemas.Nfp) == Seq("block_number"))
+  }
+
   test("UPDATE/MERGE correctness is untouched by stats (row-level scans push no data filters)") {
     val (lake, root) = freshLake("dskip-rowlevel")
     val cat = "dskip_rl_cat"

@@ -138,6 +138,30 @@ class LakeSinkSpec extends SparkSpec {
     assert(got("0xtx00100") == "n100" && got("0xtx00101") == "n101")
   }
 
+  test("upsert orderBy compacts intra-batch duplicates to the latest row per key") {
+    val root = Files.createTempDirectory("lake-sink4").toString
+    val lake = new Lake(spark, root)
+    lake.append(toNfp((0L until 5L).toDF("value")).coalesce(1), Schemas.Nfp)
+    val sink = new LakeSink(spark, root, Schemas.Nfp, "upsert",
+      Seq("chain_name", "transaction_hash"), orderBy = Seq("block_number"),
+      deleteCol = None, retain = false, appId = "app-ord")
+    // two versions of key 1 in ONE batch: block_number orders them,
+    // the later (higher) one must win; without orderBy the upsert's
+    // uniqueness gate would refuse this batch outright
+    val dup = toNfp(Seq(1L, 2L).toDF("value"))
+      .withColumn("amount", lit("old"))
+      .unionByName(toNfp(Seq(1L).toDF("value"))
+        .withColumn("block_number", lit(9999L))
+        .withColumn("amount", lit("new")))
+    sink.addBatch(0L, dup)
+    val got = lake.read(Schemas.Nfp)
+      .select(col("transaction_hash"), col("amount")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got("0xtx00001") == "new" && got("0xtx00002") == "old",
+      got.toString)
+    assert(got.size == 5)
+  }
+
   test("option validation refuses loudly") {
     val provider = new LakeSinkProvider
     def mk(opts: Map[String, String]) =
