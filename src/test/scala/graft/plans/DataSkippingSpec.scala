@@ -172,6 +172,81 @@ class DataSkippingSpec extends SparkSpec {
     assert(c4 == 2 && k4 == 1, s"backfilled table kept $k4 of $c4")
   }
 
+  test("schema evolution x skipping: widened and added columns never prune wrongly") {
+    import org.apache.spark.sql.types._
+    val (lake, root) = freshLake("dskip-evo")
+    val t = "docs_skip_evo"
+    val sf = StructField(_: String, StringType, nullable = true)
+    val v1 = StructType(Seq(sf("chain_name"), sf("doc_id"),
+      StructField("n_tokens", IntegerType, nullable = true)))
+    val v2 = StructType(Seq(sf("chain_name"), sf("doc_id"),
+      StructField("n_tokens", LongType, nullable = true), sf("lang")))
+    lake.createTable(t, v1)
+    def wave(lo: Int, hi: Int, lang: Option[String]) = {
+      import spark.implicits._
+      val base = (lo until hi).map(i =>
+        ("ethereum", f"0xd$i%06d", i)).toDF("chain_name", "doc_id", "nt")
+      lang match {
+        case None => base.select(col("chain_name"), col("doc_id"),
+          col("nt").cast("int").as("n_tokens"))
+        case Some(l) => base.select(col("chain_name"), col("doc_id"),
+          col("nt").cast("long").as("n_tokens"), lit(l).as("lang"))
+      }
+    }
+    // wave 1 under v1: int32 files, stats recorded from INT32 footers
+    lake.append(wave(0, 100, None).coalesce(1), t)
+    lake.evolveSchema(t, v2)
+    // wave 2 under v2: int64 + the new lang column
+    lake.append(wave(1000, 1100, Some("de")).coalesce(1), t)
+    val dirT = s"$root/$t"
+    // widened-column predicate: INT32-era stats (persisted widened to
+    // long) and INT64-era stats prune under ONE long literal domain
+    val (c1, k1) = skipDelta(dirT) {
+      assert(lake.read(t).filter(col("n_tokens") >= 1000L).count() == 100L)
+    }
+    assert(c1 == 2 && k1 == 1, s"widened-column pruning: kept $k1 of $c1")
+    val (c2, k2) = skipDelta(dirT) {
+      assert(lake.read(t).filter(col("n_tokens") < 100L).count() == 100L)
+    }
+    assert(c2 == 2 && k2 == 1, s"widened-column pruning: kept $k2 of $c2")
+    // added-column predicate: pre-evolution files have NO lang entry
+    // (unknown -> kept, and their rows read lang as null - exact);
+    // post-evolution files prune by their real stats
+    val (c3, k3) = skipDelta(dirT) {
+      assert(lake.read(t).filter(col("lang") === "de").count() == 100L)
+      assert(lake.read(t).filter(col("lang") === "zz").count() == 0L)
+    }
+    // both queries keep the stats-less v1 file; the v2 file prunes
+    // for 'zz' (1 + 2 kept across the two walks)
+    assert(c3 == 4 && k3 == 3, s"added-column pruning: kept $k3 of $c3")
+  }
+
+  test("cluster rewrite tightens stats: post-clustering range queries prune the rewritten files") {
+    val (lake, root) = freshLake("dskip-cluster")
+    // interleaved appends: every file spans the whole block range -
+    // nothing prunable on block_number
+    (0 until 4).foreach(j =>
+      lake.append(rows(Seq.range(j, 400, 4)).coalesce(1), Schemas.Nfp))
+    val dirT = s"$root/${Schemas.Nfp}"
+    val (c0, k0) = skipDelta(dirT) {
+      assert(lake.read(Schemas.Nfp)
+        .filter(col("block_number").between(1000L, 1049L)).count() == 50L)
+    }
+    assert(c0 == 4 && k0 == 4, s"pre-clustering should keep all: $k0 of $c0")
+    // cluster by the range column: the rewrite commit collects tight
+    // per-file stats for its own output, and the same query now
+    // schedules a strict subset
+    val bytes = lake.fileInventory(Schemas.Nfp).map(_._3).sum
+    assert(lake.clusterCompact(Schemas.Nfp, targetBytes = bytes / 4,
+      clusterBy = Seq("block_number")) == 1)
+    val (c1, k1) = skipDelta(dirT) {
+      assert(lake.read(Schemas.Nfp)
+        .filter(col("block_number").between(1000L, 1049L)).count() == 50L)
+    }
+    assert(c1 >= 2 && k1 < c1,
+      s"post-clustering range query did not prune: kept $k1 of $c1")
+  }
+
   test("a typo'd stats.columns refuses AT SET TIME, not as a swallowed warning") {
     val (lake, _) = freshLake("dskip-typo")
     lake.append(rows(0 until 10).coalesce(1), Schemas.Nfp)
