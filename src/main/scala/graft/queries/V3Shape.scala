@@ -1904,6 +1904,82 @@ object V3Shape {
         |  SELECT 'insert', k % 7, cents FROM base WHERE k % 17 = 0)
         |SELECT ct AS _change_type, CAST(li AS BIGINT) AS log_index,
         |  count(*) AS n, CAST(sum(a0) AS BIGINT) AS sum_a0
-        |FROM ch GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+        |FROM ch GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // SQL RESTORE — round-16's `graft_restore` TVF (the published
+    // formats' RESTORE TABLE ... VERSION AS OF): pin a snapshot, make
+    // retained CHANGES (upsert re-pricing a slice + a fresh append),
+    // restore to the pin through SQL, and the graded aggregate must
+    // equal the PRE-mutation state recomputed straight from orders —
+    // rewritten-away files moved back from the retention area,
+    // post-restore reads manifest-served with zero listings. The
+    // 'post' leg re-reads the POST-mutation pin AFTER the restore
+    // (its files retired by the restore — retention keeps it exact).
+    ("s31_sql_restore",
+      ((s: SparkSession, d: String) => {
+        import graft.v3.{Lake, Schemas}
+        val orders = Tables.orders(s, d)
+        val k = col("o_orderkey")
+        def derive(df: org.apache.spark.sql.DataFrame) = nfpFromOrders(df)
+        val root = s"/tmp/graft-restore-lake/${Llm.sfCacheKey(d)}"
+        val lake = new Lake(s, root)
+        lake.dropTable(Schemas.Nfp)
+        (0 until 2).foreach(j =>
+          lake.append(derive(orders.filter(pmod(k, lit(2)) === j))
+            .coalesce(1), Schemas.Nfp))
+        val pin = lake.snapshot(Schemas.Nfp)
+        // retained mutations: +100 cents on k%10==0 under 2000, plus
+        // inserted 0xnw keys
+        val upd = derive(orders.filter(k < 2000 && pmod(k, lit(10)) === 0))
+          .withColumn("amount0",
+            (col("amount0").cast("long") + 100).cast("string"))
+          .unionByName(derive(orders.filter(pmod(k, lit(23)) === 0))
+            .withColumn("transaction_hash",
+              regexp_replace(col("transaction_hash"), "^0xtx", "0xnw")))
+        lake.upsert(upd, Schemas.Nfp,
+          Seq("chain_name", "transaction_hash"), retain = true)
+        val pinAfter = lake.snapshot(Schemas.Nfp)
+        val cat = "graft_rst_" +
+          Llm.sfCacheKey(d).replaceAll("[^A-Za-z0-9]", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        graft.sources.LakeMaintenance.register(s)
+        val st = s.sql(s"SELECT * FROM graft_restore('$cat.nfp', $pin)")
+          .first()
+        require(st.getLong(0) >= 1L && st.getLong(1) >= 1L,
+          s"restore moved nothing: +${st.getLong(0)} / -${st.getLong(1)}")
+        def agg(from: String) = s.sql(
+          s"""SELECT log_index, count(*) AS n,
+             |  CAST(sum(CAST(amount0 AS BIGINT)) AS BIGINT) AS sum_a0
+             |FROM $from GROUP BY log_index""".stripMargin)
+        val out = agg(s"$cat.nfp").withColumn("src", lit("cur"))
+          .unionAll(agg(s"$cat.nfp VERSION AS OF $pinAfter")
+            .withColumn("src", lit("post")))
+          .select(col("src"), col("log_index"), col("n"), col("sum_a0"))
+          .orderBy(col("src"), col("log_index"))
+          .localCheckpoint()
+        val catLake = graft.sources.LakeCatalog.instance(cat)
+          .flatMap(_.currentLake).getOrElse(
+            throw new IllegalStateException("catalog served no query"))
+        require(catLake.listCalls.get() == 0L,
+          s"restore lifecycle fell back to ${catLake.listCalls.get()} " +
+            "recursive listing(s)")
+        out
+      }): Q,
+      Some("""WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |post AS (SELECT k, cents + CASE WHEN k < 2000 AND k % 10 = 0
+        |      THEN 100 ELSE 0 END AS a0
+        |    FROM base
+        |  UNION ALL SELECT k, cents FROM base WHERE k % 23 = 0)
+        |SELECT 'cur' AS src, CAST(k % 7 AS BIGINT) AS log_index,
+        |    count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_a0
+        |  FROM base GROUP BY 2
+        |UNION ALL
+        |SELECT 'post' AS src, CAST(k % 7 AS BIGINT) AS log_index,
+        |    count(*) AS n, CAST(sum(a0) AS BIGINT) AS sum_a0
+        |  FROM post GROUP BY 2
+        |ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -107,6 +107,17 @@ object LakeMaintenance {
         Seq(Seq(st.manifestsDeleted.toLong, st.filesDeleted.toLong,
           st.bytesFreed))
       }, argSpec = "n"),
+    Fn("graft_restore", "graft_restore('catalog.table', snapshotVersion)",
+      Seq("files_unretired" -> LongType, "files_retired" -> LongType),
+      // RESTORE TABLE ... VERSION AS OF: one manifest transaction
+      // making the current state exactly the pinned snapshot's -
+      // rewritten-away files move back from the retention area,
+      // current-only files retire (Lake.restoreTable; loud when the
+      // snapshot is missing or vacuum-invalidated)
+      (lake, t, args) => {
+        val (un, ret) = lake.restoreTable(t, num(args, 0))
+        Seq(Seq(un.toLong, ret.toLong))
+      }, argSpec = "n"),
     Fn("graft_analyze", "graft_analyze('catalog.table')",
       Seq("files_analyzed" -> LongType),
       // backfill per-file data-skipping stats for files committed

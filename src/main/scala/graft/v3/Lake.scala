@@ -4221,6 +4221,69 @@ class Lake(spark: SparkSession, val root: String) {
     * Opt-in because on a table a FOREIGN writer appends to behind the
     * manifest's back, this would delete that writer's data — call
     * [[refreshManifest]] first on such tables. */
+  /** RESTORE the CURRENT table state to a pinned snapshot — the
+    * published formats' `RESTORE TABLE … VERSION AS OF`, as one
+    * manifest transaction whose resulting file set IS the snapshot's:
+    *
+    *  - snapshot files that were rewritten away move BACK from the
+    *    retention area into the table dir (paths are never reused, so
+    *    the slot is free; a file still live stays put);
+    *  - current files the snapshot lacks RETIRE (retained — pins
+    *    taken after the restore's base state stay readable until
+    *    vacuum);
+    *  - the commit is DATA-CHANGING (`#op=restore`): CDC consumers
+    *    see exactly the delete+insert diff the restore made (or its
+    *    enriched update pairs), and the retained-commit vacuum pin
+    *    keeps both sides replayable for the window.
+    *
+    * Loud when the snapshot is missing or invalidated (a needed file
+    * vacuum-expired); optimistic-concurrency safe like every other
+    * transaction here (the removal set derives from the FRESH base
+    * under the commit lock, so a racing append simply lands on the
+    * removed side). Returns (files un-retired, files retired).
+    * Reference context: the reference engine re-pulls history to
+    * recover state (v3/helpers/data_update.py:29–59); the snapshot
+    * registry makes recovery a metadata transaction instead. */
+  def restoreTable(table: String, version: Long): (Int, Int) = {
+    val rels = manifestFiles(table, version) // loud when no snapshot
+    val resolved = resolveLiveOrRetired(table, rels,
+      s"restore to snapshot v$version")
+    val byRel = rels.zip(resolved).toMap
+    val targetSet = rels.toSet
+    val retiredBase = fs.makeQualified(retiredDir(table)).toString
+    // stashed by the removal closure (runs first, under the lock) for
+    // the land + afterPublish stages of the SAME transaction
+    @volatile var baseRels: Set[String] = Set.empty
+    @volatile var removedRels: Seq[String] = Seq.empty
+    val added = manifestTxn(table, "restore",
+      removedAbs = Seq.empty,
+      removedFromBase = Some { base =>
+        baseRels = base.map(_._1).toSet
+        removedRels = base.map(_._1).filterNot(targetSet)
+        removedRels
+      },
+      afterPublish = () => retire(table,
+        removedRels.map(r => s"${dir(table)}/$r"))) {
+      val toUnretire = rels.filterNot(baseRels)
+      toUnretire.foreach { rel =>
+        val (abs, _) = byRel(rel)
+        if (abs.startsWith(retiredBase)) {
+          val dst = new Path(s"${dir(table)}/$rel")
+          fs.mkdirs(dst.getParent)
+          if (!fs.rename(new Path(abs), dst))
+            throw new java.io.IOException(
+              s"restore of $table to v$version could not move " +
+                s"$rel back from the retention area - nothing published")
+        } else if (!fs.exists(new Path(s"${dir(table)}/$rel")))
+          throw new java.io.IOException(
+            s"restore of $table to v$version lost $rel mid-flight " +
+              "(concurrent vacuum?) - nothing published")
+      }
+      toUnretire.map(rel => (rel, byRel(rel)._2))
+    }
+    (added.size, removedRels.size)
+  }
+
   def vacuum(table: String, keepLast: Int,
              staleCommitMs: Long = 3600000L,
              sweepOrphans: Boolean = false): VacuumStats = {

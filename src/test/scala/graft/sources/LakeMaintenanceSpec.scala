@@ -219,6 +219,28 @@ class LakeMaintenanceSpec extends SparkSpec {
     assert(e3.getMessage.contains("no such lake table"), e3.getMessage)
   }
 
+  test("graft_restore rolls the table back to a pinned snapshot through SQL") {
+    seed()
+    val pin = spark.sql("SELECT * FROM graft_snapshot('graft_maint.mt')")
+      .collect()(0).getLong(0)
+    val before = spark.sql(
+      "SELECT k, v FROM graft_maint.mt ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    spark.sql("INSERT INTO graft_maint.mt VALUES ('ethereum', 777, 'x')")
+    val st = spark.sql(
+      s"SELECT * FROM graft_restore('graft_maint.mt', $pin)").collect()(0)
+    assert(st.getLong(1) >= 1L, s"restore retired nothing: $st")
+    val after = spark.sql(
+      "SELECT k, v FROM graft_maint.mt ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(after == before, s"SQL restore diverged: $after vs $before")
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_restore('graft_maint.mt', 9999)")
+        .collect()
+    }
+    assert(e.getMessage.contains("no snapshot"), e.getMessage)
+  }
+
   test("graft_analyze backfills data-skipping stats for pre-feature files") {
     seed()
     // wipe the sidecar to simulate a pre-feature table, then the TVF

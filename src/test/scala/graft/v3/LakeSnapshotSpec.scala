@@ -20,6 +20,62 @@ class LakeSnapshotSpec extends SparkSpec {
       "tokenId", "log_index")
   }
 
+  test("restoreTable makes the current state EXACTLY the pinned snapshot; CDC sees the diff; later pins survive") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("lake-restore").toString
+    val lake = new Lake(spark, root)
+    def rows(ids: Seq[Int], amt: Int => String = i => s"$i") = {
+      import spark.implicits._
+      ids.map { i =>
+        ("ethereum", "IncreaseLiquidity", f"0xrr$i%05d", 1000L + i, 0L,
+          "0xu1", amt(i), s"${i * 10}", s"${i * 100}", s"$i", i % 7L)
+      }.toDF("chain_name", "name", "transaction_hash", "block_number",
+        "tx_index", "from_address", "amount", "amount0", "amount1",
+        "tokenId", "log_index")
+    }
+    lake.append(rows(0 until 20).coalesce(1), Schemas.Nfp)
+    val snap = lake.snapshot(Schemas.Nfp)
+    val want = lake.read(Schemas.Nfp)
+      .select("transaction_hash", "amount").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // mutate: retained upsert (updates 3, inserts 2) + a fresh append
+    val batch = rows(Seq(1, 5, 9), amt = i => s"u$i")
+      .unionByName(rows(Seq(100, 101)))
+    lake.upsert(batch, Schemas.Nfp,
+      Seq("chain_name", "transaction_hash"), retain = true)
+    lake.append(rows(200 until 205).coalesce(1), Schemas.Nfp)
+    val snapAfter = lake.snapshot(Schemas.Nfp)
+    val cBefore = lake.latestCommitVersion(Schemas.Nfp).get
+    // RESTORE: state must equal the pin bit-for-bit
+    val (unretired, retired) = lake.restoreTable(Schemas.Nfp, snap)
+    assert(unretired >= 1 && retired >= 2,
+      s"unexpected restore shape: +$unretired / -$retired")
+    val got = lake.read(Schemas.Nfp)
+      .select("transaction_hash", "amount").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == want, "restored state diverged from the pin")
+    // the restore commit is DATA-CHANGING: the feed carries its diff
+    val cAfter = lake.latestCommitVersion(Schemas.Nfp).get
+    val feed = lake.changesBetweenCommits(Schemas.Nfp, cBefore, cAfter)
+    assert(feed.filter(col("_change_type") === "insert").count() > 0)
+    assert(feed.filter(col("_change_type") === "delete").count() > 0)
+    // the POST-mutation pin still reads exactly (its files retired)
+    val after = lake.readAt(Schemas.Nfp, snapAfter)
+      .select("transaction_hash", "amount").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(after.size == 27 && after("0xrr00001") == "u1" &&
+      after.contains("0xrr00200"), s"post-mutation pin lost: ${after.size}")
+    // restore to a MISSING snapshot refuses loudly
+    val e = intercept[IllegalArgumentException](
+      lake.restoreTable(Schemas.Nfp, 999L))
+    assert(e.getMessage.contains("no snapshot"), e.getMessage)
+    // idempotent-ish: restoring to the now-current pin changes nothing
+    val snap2 = lake.snapshot(Schemas.Nfp)
+    val (u2, r2) = lake.restoreTable(Schemas.Nfp, snap2)
+    assert(u2 == 0 && r2 == 0)
+    assert(lake.read(Schemas.Nfp).count() == 20L)
+  }
+
   test("snapshots pin exact file sets; pinned reads survive later appends") {
     val lake = new Lake(spark,
       Files.createTempDirectory("lake-snap").toString)
