@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, ExprId, Expression}
 import org.apache.spark.sql.execution.datasources.{PartitionPath, PartitionSpec, PartitioningAwareFileIndex}
 import org.apache.spark.sql.types.StructType
 
@@ -64,9 +64,14 @@ class ManifestPartitioningIndex private (
     * listFiles several times while planning ONE query (statistics,
     * pushdown, partitions), and repeated identical query TEXT walks
     * again with fresh exprIds — the index is immutable, so the pruned
-    * result is too. Keyed by the expressions' toString with exprIds
-    * (#123) stripped: safe because the index serves one table's scan
-    * output, where attribute names are unambiguous. Bounded. */
+    * result is too. Keyed by the expressions' toString after a
+    * STRUCTURAL exprId normalization (every [[AttributeReference]]
+    * rebuilt with exprId 0) — never a text regex over the rendered
+    * string, which would also mangle string LITERALS that happen to
+    * contain `#<digits>` (e.g. `sku = 'item#1'` vs `'item#2'`) and
+    * collide two different filters onto one cached pruning. Safe
+    * because the index serves one table's scan output, where
+    * attribute names are unambiguous. Bounded. */
   private val listCache = new java.util.concurrent.ConcurrentHashMap[
     String,
     Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory]]()
@@ -80,7 +85,12 @@ class ManifestPartitioningIndex private (
     compiled match {
       case Some(test) =>
         val key = (partitionFilters.iterator ++ dataFilters.iterator)
-          .map(_.toString.replaceAll("#\\d+", "")).mkString("|")
+          .map(_.transform {
+            case a: AttributeReference =>
+              AttributeReference(a.name, a.dataType, a.nullable,
+                a.metadata)(exprId = ExprId(0),
+                qualifier = Seq.empty)
+          }.toString).mkString("|")
         val hit = listCache.get(key)
         if (hit != null) return hit
         val base = super.listFiles(partitionFilters, dataFilters)

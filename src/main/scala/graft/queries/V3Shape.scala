@@ -50,6 +50,85 @@ object V3Shape {
   }
   import Relational.Q
 
+  /** s13/s32 shared streaming fixture: three CDC change tranches over
+    * orders (base load; updates + tombstones; later updates + late
+    * inserts, including the re-insert of a tombstoned key), written
+    * once per sf under the shared tranche cache. Returns the tranche
+    * dir and the read schema (nfp + the `__del` tombstone flag). BOTH
+    * rows drain the same tranche files and grade the same final
+    * merged state against [[cdcMergedOracle]] — s13 through the Scala
+    * `Streaming.upsertStream`, s32 through the pure-SQL
+    * `writeStream.format("lake")` sink. */
+  private def cdcChangeTranches(s: SparkSession, d: String)
+      : (String, org.apache.spark.sql.types.StructType) = {
+    import graft.v3.Schemas
+    val orders = Tables.orders(s, d)
+    def derive(df: org.apache.spark.sql.DataFrame,
+               key: org.apache.spark.sql.Column, bump: Long,
+               del: Boolean) = df.select(
+      lit("ethereum").as("chain_name"),
+      lit("IncreaseLiquidity").as("name"),
+      concat(lit("0xtx"), key.cast("string")).as("transaction_hash"),
+      (lit(1000L) + pmod(key, lit(97))).as("block_number"),
+      pmod(key, lit(13)).as("tx_index"),
+      concat(lit("0xu"), col("o_custkey").cast("string"))
+        .as("from_address"),
+      col("o_custkey").cast("string").as("amount"),
+      (floor(col("o_totalprice") * 100 + 0.5).cast("long") + bump)
+        .cast("string").as("amount0"),
+      pmod(key, lit(1000)).cast("string").as("amount1"),
+      pmod(key, lit(997)).cast("string").as("tokenId"),
+      pmod(key, lit(7)).as("log_index"),
+      lit(del).as("__del"))
+    val k = col("o_orderkey")
+    val srcDir = Llm.sharedTranchesFor(d, "cdc-changes-v1") { sd =>
+      Llm.writeTranches(sd, Seq(
+        derive(orders, k, 0L, del = false),
+        derive(orders.filter(pmod(k, lit(10)) === 0 &&
+            pmod(k, lit(97)) =!= 0), k, 100L, del = false)
+          .unionByName(derive(orders.filter(pmod(k, lit(97)) === 0),
+            k, 0L, del = true)),
+        derive(orders.filter(pmod(k, lit(15)) === 0), k, 7L,
+            del = false)
+          .unionByName(derive(orders.filter(pmod(k, lit(90)) === 0),
+            k + 10000000L, 0L, del = false))))
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      Schemas.nfp.fields :+ org.apache.spark.sql.types.StructField(
+        "__del", org.apache.spark.sql.types.BooleanType, nullable = true))
+    (srcDir, schema)
+  }
+
+  /** The graded aggregate over the CDC-merged lake state — identical
+    * for s13 and s32 so both sit under the SAME oracle recomputation. */
+  private def cdcMergedAggregate(lake: graft.v3.Lake): DataFrame =
+    lake.read(graft.v3.Schemas.Nfp)
+      .groupBy(col("log_index"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("amount0").cast("long")).as("sum_a0"),
+        sum(when(length(col("transaction_hash")) >= 12, 1L)
+          .otherwise(0L)).as("n_inserted"))
+
+  private val cdcMergedOracle: String =
+    """WITH base AS (SELECT o_orderkey AS kk, o_custkey,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders),
+      |fin0 AS (SELECT kk, CASE
+      |    WHEN kk % 15 = 0 THEN cents + 7
+      |    WHEN kk % 10 = 0 AND kk % 97 <> 0 THEN cents + 100
+      |    ELSE cents END AS a0
+      |  FROM base WHERE kk % 97 <> 0 OR kk % 15 = 0),
+      |ins AS (SELECT kk + 10000000 AS kk, cents AS a0
+      |  FROM base WHERE kk % 90 = 0),
+      |fin AS (SELECT kk, a0, '0xtx' || CAST(kk AS VARCHAR) AS tx
+      |  FROM fin0
+      |  UNION ALL SELECT kk, a0, '0xtx' || CAST(kk AS VARCHAR) FROM ins)
+      |SELECT CAST(kk % 7 AS BIGINT) AS log_index,
+      |  count(*) AS n, CAST(sum(a0) AS BIGINT) AS sum_a0,
+      |  CAST(sum(CASE WHEN length(tx) >= 12 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_inserted
+      |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     ("v3_liquidity_distribution",
@@ -466,43 +545,10 @@ object V3Shape {
     ("s13_upsert_streamed",
       ((s: SparkSession, d: String) => {
         import graft.v3.{Lake, Schemas}
-        val orders = Tables.orders(s, d)
-        def derive(df: org.apache.spark.sql.DataFrame,
-                   key: org.apache.spark.sql.Column, bump: Long,
-                   del: Boolean) = df.select(
-          lit("ethereum").as("chain_name"),
-          lit("IncreaseLiquidity").as("name"),
-          concat(lit("0xtx"), key.cast("string")).as("transaction_hash"),
-          (lit(1000L) + pmod(key, lit(97))).as("block_number"),
-          pmod(key, lit(13)).as("tx_index"),
-          concat(lit("0xu"), col("o_custkey").cast("string"))
-            .as("from_address"),
-          col("o_custkey").cast("string").as("amount"),
-          (floor(col("o_totalprice") * 100 + 0.5).cast("long") + bump)
-            .cast("string").as("amount0"),
-          pmod(key, lit(1000)).cast("string").as("amount1"),
-          pmod(key, lit(997)).cast("string").as("tokenId"),
-          pmod(key, lit(7)).as("log_index"),
-          lit(del).as("__del"))
-        val k = col("o_orderkey")
         val sfName = Llm.sfCacheKey(d)
         val lake = new Lake(s, s"/tmp/graft-upstream-lake/$sfName")
         lake.dropTable(Schemas.Nfp)
-        val srcDir = Llm.sharedTranchesFor(d, "cdc-changes-v1") { sd =>
-          Llm.writeTranches(sd, Seq(
-            derive(orders, k, 0L, del = false),
-            derive(orders.filter(pmod(k, lit(10)) === 0 &&
-                pmod(k, lit(97)) =!= 0), k, 100L, del = false)
-              .unionByName(derive(orders.filter(pmod(k, lit(97)) === 0),
-                k, 0L, del = true)),
-            derive(orders.filter(pmod(k, lit(15)) === 0), k, 7L,
-                del = false)
-              .unionByName(derive(orders.filter(pmod(k, lit(90)) === 0),
-                k + 10000000L, 0L, del = false))))
-        }
-        val schema = org.apache.spark.sql.types.StructType(
-          Schemas.nfp.fields :+ org.apache.spark.sql.types.StructField(
-            "__del", org.apache.spark.sql.types.BooleanType, nullable = true))
+        val (srcDir, schema) = cdcChangeTranches(s, d)
         // checkpoint scoped to the run's temp tree (deleted on exit,
         // like every other streamed row); the lake dir persists per sf
         Llm.streamTempRunFor("graft-cdc-ck") { base =>
@@ -513,32 +559,10 @@ object V3Shape {
             orderCols = Seq("block_number", "log_index"),
             deleteCol = "__del", checkpointDir = s"$base/ck").start()
           try q.awaitTermination() finally if (q.isActive) q.stop()
-          lake.read(Schemas.Nfp)
-            .groupBy(col("log_index"))
-            .agg(count(lit(1)).as("n"),
-              sum(col("amount0").cast("long")).as("sum_a0"),
-              sum(when(length(col("transaction_hash")) >= 12, 1L)
-                .otherwise(0L)).as("n_inserted"))
+          cdcMergedAggregate(lake)
         }.orderBy(col("log_index"))
       }): Q,
-      Some("""WITH base AS (SELECT o_orderkey AS kk, o_custkey,
-        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
-        |  FROM orders),
-        |fin0 AS (SELECT kk, CASE
-        |    WHEN kk % 15 = 0 THEN cents + 7
-        |    WHEN kk % 10 = 0 AND kk % 97 <> 0 THEN cents + 100
-        |    ELSE cents END AS a0
-        |  FROM base WHERE kk % 97 <> 0 OR kk % 15 = 0),
-        |ins AS (SELECT kk + 10000000 AS kk, cents AS a0
-        |  FROM base WHERE kk % 90 = 0),
-        |fin AS (SELECT kk, a0, '0xtx' || CAST(kk AS VARCHAR) AS tx
-        |  FROM fin0
-        |  UNION ALL SELECT kk, a0, '0xtx' || CAST(kk AS VARCHAR) FROM ins)
-        |SELECT CAST(kk % 7 AS BIGINT) AS log_index,
-        |  count(*) AS n, CAST(sum(a0) AS BIGINT) AS sum_a0,
-        |  CAST(sum(CASE WHEN length(tx) >= 12 THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_inserted
-        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin)),
+      Some(cdcMergedOracle)),
 
     // RETENTION + VACUUM — time travel that SURVIVES rewrites: load,
     // snapshot v1, retain-mode upsert (replace/insert/delete), snapshot

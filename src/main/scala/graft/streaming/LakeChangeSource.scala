@@ -207,8 +207,15 @@ private[graft] class LakeChangeStream(
       // joining deletes by key - an intentional divergence.
       val vs = lake.commitVersions(lakeTable)
       val fullHistory = vs.isEmpty || vs.headOption.exists(_._1 == 1L)
-      val predatesAll = vs.collectFirst { case (_, Some(t)) => t }
-        .forall(millis < _)
+      // `exists`, NOT `forall`: on a legacy table whose retained
+      // commits carry no #ts header at all, collectFirst is None and
+      // a forall would be vacuously true — silently replaying the
+      // whole history for ANY startingTimestamp (a future one
+      // included). With exists the no-timestamp case falls through
+      // to versionAtTimestamp's loud "no commit timestamps" refusal;
+      // an empty table (no commits yet) still replays from 0.
+      val predatesAll = vs.isEmpty ||
+        vs.collectFirst { case (_, Some(t)) => t }.exists(millis < _)
       if (fullHistory && predatesAll) 0L
       else lake.versionAtTimestamp(lakeTable, millis)
     })

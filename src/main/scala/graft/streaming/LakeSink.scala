@@ -132,10 +132,15 @@ private[graft] class LakeSink(
             graft.ops.Ops.lastPerKey(df, keys.map(col), orderBy.map(col))
               .localCheckpoint()
           else df.localCheckpoint()
+        // #txn header atomic with the merge's manifest publish — same
+        // exactly-once window closure as append mode; without it a
+        // crash between publish and recordSinkBatch replays the batch
+        // as a duplicate data-changing commit in the CDC log
         lake.upsertRetrying(compacted, table, keys,
           deleteCol = deleteCol,
           checkUnique = orderBy.isEmpty, // lastPerKey just guaranteed it
-          retain = retain)
+          retain = retain,
+          txn = Some((appId, batchId)))
         ()
     }
     lake.recordSinkBatch(table, appId, batchId)

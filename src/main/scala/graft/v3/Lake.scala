@@ -1461,8 +1461,9 @@ class Lake(spark: SparkSession, val root: String) {
     * diff — the caller treats None as batch-breaking, which just ends
     * the micro-batch at the every-16th checkpoint) and for expired
     * versions. */
-  private val deltaBytesCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, Long), java.lang.Long]()
+  private[graft] val deltaBytesCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, String, Long), java.lang.Long]()
 
   private[graft] def commitAddedBytes(table: String, v: Long)
       : Option[Long] = {
@@ -1474,10 +1475,24 @@ class Lake(spark: SparkSession, val root: String) {
       try readDelta(table, v)._1.map(_._2).sum
       catch { case _: java.io.IOException => return None }
     deltaBytesCache.put((table, inc, v), bytes)
-    if (deltaBytesCache.size > 4096)
-      deltaBytesCache.keySet.removeIf(k => k._3 < v - 1024)
+    evictDeltaBytes(table, v)
     Some(bytes)
   }
+
+  /** Evict ONLY the inserting table's old versions from
+    * [[deltaBytesCache]]: one table with high commit versions must
+    * not continually purge a low-version table's still-hot entries
+    * (that would force the other table's stream to re-read its delta
+    * bodies on every latestOffset poll). */
+  private[graft] def evictDeltaBytes(table: String, v: Long): Unit =
+    if (deltaBytesCache.size > 4096) {
+      deltaBytesCache.keySet.removeIf(k =>
+        k._1 == table && k._3 < v - 1024)
+      // hard bound regardless of table mix (hundreds of tables each
+      // under their own 1024-version window): entries are cheap
+      // (tuple key + boxed Long), so the stop-loss just resets
+      if (deltaBytesCache.size > 65536) deltaBytesCache.clear()
+    }
 
   /** Row-grain CDC enrichment — the published formats' "enriched"
     * change-data-feed mode (Delta CDF's update_preimage/postimage)
@@ -2504,6 +2519,13 @@ class Lake(spark: SparkSession, val root: String) {
   private val rangeCache = new java.util.concurrent.ConcurrentHashMap[
     String, Option[(Any, Any)]]()
 
+  /** The driver-heap stop-loss on [[rangeCache]], enforced on BOTH
+    * fill paths (per-footer compute AND the sidecar fold — a sidecar
+    * bigger than the bound must not fold past the documented
+    * envelope). Test seam: specs shrink it to drive the overflow
+    * paths without 4M real entries. */
+  private[graft] var rangeCacheBound: Int = 4000000
+
   /** Scheme-insensitive cache key: inventory paths are fully qualified
     * (`file:/…`) while table-relative reconstruction uses the raw root,
     * so both must hash to the same entry. */
@@ -2523,7 +2545,7 @@ class Lake(spark: SparkSession, val root: String) {
     // formats' drivers carry at this scale). On overflow the
     // sidecar-loaded marker resets too, so the next plan re-folds the
     // persisted stats instead of silently never pruning again.
-    if (rangeCache.size > 4000000) {
+    if (rangeCache.size > rangeCacheBound) {
       rangeCache.clear()
       statsFoldedShards.clear()
     }
@@ -2663,7 +2685,25 @@ class Lake(spark: SparkSession, val root: String) {
     // (ManifestProbe stats mode) — concurrent putIfAbsent into the
     // shared cache is safe, entries are independent facts
     val tablePrefix = dir(table)
+    // the 4M driver-heap bound footerRangeCached enforces applies HERE
+    // too: a sidecar bigger than the cap (10⁶ files × the 8-column
+    // default) must not fold unboundedly past the documented envelope.
+    // Folding stops at the cap — shards not folded stay OUT of
+    // statsFoldedShards, so a later fold (after the overflow clear)
+    // can still pick them up; un-folded stats are conservatively
+    // correct (files with unknown stats are never pruned).
+    val foldedNow = scala.collection.mutable.Set.empty[String]
+    var capped = false
     fresh.foreach { p =>
+      if (!capped && rangeCache.size > rangeCacheBound) {
+        capped = true
+        org.slf4j.LoggerFactory.getLogger(classOf[Lake]).warn(
+          s"stats fold for $table stopped at the $rangeCacheBound-entry " +
+            "rangeCache bound - remaining shards fold after the next " +
+            "overflow clear; un-folded files simply skip pruning")
+      }
+      if (!capped) {
+      foldedNow += p.getName
       // FNF = a rival's compaction removed the shard between our
       // listing and this open; its entries fold from the merged
       // shard at the next refresh (see readShardEntries)
@@ -2703,9 +2743,11 @@ class Lake(spark: SparkSession, val root: String) {
           ()
         } finally pool.shutdown()
       }
+      }
     }
-    statsFoldedShards.put(table, names)
-    if (names.size > 32) { // merge + prune dead entries
+    statsFoldedShards.put(table,
+      if (capped) folded ++ foldedNow else names)
+    if (!capped && names.size > 32) { // merge + prune dead entries
       val shards = names.toSeq.sorted.map(new Path(d, _))
       val live = fileInventory(table)
         .map(f => (relOf(table, f._2), f._3)).toSet
@@ -3206,7 +3248,15 @@ class Lake(spark: SparkSession, val root: String) {
              deleteCol: Option[String] = None,
              checkUnique: Boolean = true,
              maxKeyCollect: Int = 1 << 20,
-             retain: Boolean = false): UpsertStats = {
+             retain: Boolean = false,
+             // streaming-sink idempotence: lands `#txn=appId:batchId`
+             // ATOMICALLY with the merge's manifest publish, exactly
+             // as [[append]]'s txn variant does — without it a sink
+             // crash between the upsert's publish and its progress
+             // marker replays the batch as a DUPLICATE data-changing
+             // commit (state-idempotent, but CDC consumers see the
+             // rewrite churn twice)
+             txn: Option[(String, Long)] = None): UpsertStats = {
     require(keys.nonEmpty, "upsert needs at least one key column")
     require(keys.contains("chain_name"),
       "upsert keys must include the partition column chain_name - " +
@@ -3490,6 +3540,7 @@ class Lake(spark: SparkSession, val root: String) {
         plannedChains = chains.toSet,
         plannedRel = plannedRelSet,
         intruderGuard = intruderGuard,
+        extraHeads = txn.toSeq.map { case (a, b) => s"#txn=$a:$b" },
         // under the commit lock (see manifestTxn's afterPublish):
         // retire/delete the replaced originals, then drop any chain
         // directory the merge emptied. Both are lock-order-sensitive:
@@ -3540,14 +3591,15 @@ class Lake(spark: SparkSession, val root: String) {
                      retain: Boolean = false,
                      maxAttempts: Int = 5,
                      backoffMs: Long = 50L,
-                     onConflict: (Int, Throwable) => Unit = (_, _) => ())
+                     onConflict: (Int, Throwable) => Unit = (_, _) => (),
+                     txn: Option[(String, Long)] = None)
       : UpsertStats = {
     require(maxAttempts >= 1, "maxAttempts must be >= 1")
     require(backoffMs >= 0L, "backoffMs must be >= 0")
     var attempt = 1
     while (true) {
       try return upsert(updates, table, keys, deleteCol, checkUnique,
-        maxKeyCollect, retain)
+        maxKeyCollect, retain, txn)
       catch {
         case e: Throwable if Lake.isRetryableRace(e, root) =>
           onConflict(attempt, e)

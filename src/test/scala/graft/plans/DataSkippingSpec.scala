@@ -261,6 +261,42 @@ class DataSkippingSpec extends SparkSpec {
     assert(lake.statsColumns(Schemas.Nfp) == Seq("block_number"))
   }
 
+  test("listFiles memo keys structurally: string literals containing #<digits> never collide") {
+    // regression: the memo key was once the rendered filter text with
+    // `#\d+` regex-stripped (to normalize exprIds) — which ALSO
+    // mangled string literals carrying '#<digits>', so `doc_id =
+    // 'item#1'` and `doc_id = 'item#2'` collided onto one cache key
+    // and the second query silently reused the first's pruned file
+    // list (missing rows). The key is now built from structurally
+    // exprId-normalized expressions, literals untouched.
+    val (lake, root) = freshLake("dskip-hashlit")
+    val cat = "dskip_hashlit_cat"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    import org.apache.spark.sql.types._
+    val t = "docs_hashlit"
+    lake.createTable(t, StructType(Seq(
+      StructField("chain_name", StringType, nullable = true),
+      StructField("doc_id", StringType, nullable = true),
+      StructField("n", LongType, nullable = true))))
+    import spark.implicits._
+    // two single-value files: each literal's stats exclude the other
+    // file, so a collided key returns the WRONG file set (0 rows)
+    lake.append(Seq(("ethereum", "item#1", 1L), ("ethereum", "item#1", 2L))
+      .toDF("chain_name", "doc_id", "n").coalesce(1), t)
+    lake.append(Seq(("ethereum", "item#2", 3L), ("ethereum", "item#2", 4L))
+      .toDF("chain_name", "doc_id", "n").coalesce(1), t)
+    def q(v: String): Long =
+      spark.sql(s"SELECT count(*) AS c, sum(n) AS s FROM $cat.$t " +
+        s"WHERE doc_id = '$v'").collect()(0).getLong(1)
+    // same table version → same cached index → same listFiles memo
+    assert(q("item#1") == 3L, "first literal read wrong rows")
+    assert(q("item#2") == 7L,
+      "second literal reused the first literal's pruned file list")
+    assert(q("item#1") == 3L) // and back (memo hit must be the RIGHT one)
+  }
+
   test("UPDATE/MERGE correctness is untouched by stats (row-level scans push no data filters)") {
     val (lake, root) = freshLake("dskip-rowlevel")
     val cat = "dskip_rl_cat"

@@ -177,6 +177,46 @@ class LakeChangeStreamSpec extends SparkSpec {
       s"pre-history instant did not replay the full history: ${got.size}")
   }
 
+  test("startingTimestamp on a legacy log WITHOUT #ts headers refuses loudly (never a silent full replay)") {
+    val root = Files.createTempDirectory("lake-cs8").toString
+    val tmp = Files.createTempDirectory("lake-cs8-ck").toString
+    val lake = new Lake(spark, root)
+    lake.append(rows(0 until 6).coalesce(1), Schemas.Nfp)
+    lake.append(rows(6 until 9).coalesce(1), Schemas.Nfp)
+    // strip every #ts header: a commit log written before timestamps
+    // existed. Regression: predatesAll once used .forall on the
+    // collectFirst — VACUOUSLY true with no timestamps anywhere, so
+    // ANY startingTimestamp (a future one included) silently replayed
+    // the entire history from version 0.
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val d = new org.apache.hadoop.fs.Path(s"$root/_manifest/${Schemas.Nfp}")
+    fs.listStatus(d).filter(_.isFile).foreach { st =>
+      val in = fs.open(st.getPath)
+      val body = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+      val stripped = body.split('\n')
+        .filterNot(_.startsWith("#ts=")).mkString("\n")
+      if (stripped != body) {
+        val out = fs.create(st.getPath, true)
+        try out.write(stripped.getBytes("UTF-8")) finally out.close()
+      }
+    }
+    val farFuture = System.currentTimeMillis() + 1000L * 86400 * 365
+    val e = intercept[Exception] {
+      drain(spark.readStream.format("lake-changes")
+        .option("root", root).option("table", Schemas.Nfp)
+        .option("startingTimestamp", farFuture.toString).load(),
+        s"$tmp/ck")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(msgs(e).exists(_.contains("no commit timestamps")),
+      msgs(e).mkString("; "))
+  }
+
   test("a checkpoint resumed across dropTable+recreate fails LOUDLY (incarnation mismatch)") {
     val root = Files.createTempDirectory("lake-cs5").toString
     val tmp = Files.createTempDirectory("lake-cs5-ck").toString

@@ -92,6 +92,37 @@ class LakeSinkSpec extends SparkSpec {
     assert(lake.read(Schemas.Nfp).count() == 12L)
   }
 
+  test("upsert mode crash replay: the #txn header lands atomically with the merge and dedupes without the marker") {
+    val root = Files.createTempDirectory("lake-sink5").toString
+    val lake = new Lake(spark, root)
+    lake.append(toNfp((0L until 10L).toDF("value")).coalesce(1),
+      Schemas.Nfp)
+    val sink = new LakeSink(spark, root, Schemas.Nfp, "upsert",
+      Seq("chain_name", "transaction_hash"), Seq.empty, None,
+      retain = false, appId = "app-U")
+    def batch() = toNfp((100L until 104L).toDF("value"))
+    sink.addBatch(0L, batch())
+    assert(lake.read(Schemas.Nfp).count() == 14L)
+    val commits = lake.commitHistory(Schemas.Nfp).size
+    // HARD crash window: the progress marker never landed — the
+    // upsert commit's #txn header (atomic with the manifest publish)
+    // must carry the high-water alone. Before the fix the upsert
+    // path wrote NO header: final state was idempotent but the
+    // replay landed a DUPLICATE data-changing commit whose churn CDC
+    // consumers would see twice.
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$root/_streamtxn/${Schemas.Nfp}"), true)
+    assert(lake.lastSinkBatch(Schemas.Nfp, "app-U") == 0L,
+      "the upsert commit header alone must carry the high-water")
+    sink.addBatch(0L, batch())
+    assert(sink.skips.get() == 1L, "marker-less upsert replay re-applied")
+    assert(lake.commitHistory(Schemas.Nfp).size == commits,
+      "marker-less upsert replay landed a duplicate data-changing commit")
+    assert(lake.read(Schemas.Nfp).count() == 14L)
+  }
+
   test("upsert mode: keyed CDC batches update/insert/delete through the manifest transaction") {
     val root = Files.createTempDirectory("lake-sink3").toString
     val ck = Files.createTempDirectory("lake-sink3-ck").toString

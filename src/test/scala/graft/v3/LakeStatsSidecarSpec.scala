@@ -111,6 +111,48 @@ class LakeStatsSidecarSpec extends SparkSpec {
       s"${dead.take(3).mkString(", ")}")
   }
 
+  test("the rangeCache heap bound applies to the sidecar FOLD too; capped folds stay exact") {
+    // regression: the 4M bound was only checked on the per-footer
+    // compute path — a sidecar LARGER than the bound folded
+    // unboundedly past the documented driver-heap envelope. The fold
+    // now stops at the bound; un-folded files simply skip pruning
+    // (conservatively exact).
+    val root = Files.createTempDirectory("lake-sidecar-cap").toString
+    val seedLake = new Lake(spark, root)
+    (0 until 4).foreach(j =>
+      seedLake.append(rows(j * 100 until (j + 1) * 100).coalesce(1),
+        Schemas.Nfp))
+    // fresh driver whose bound is smaller than the sidecar
+    val lake = new Lake(spark, root)
+    lake.rangeCacheBound = 4
+    val got = lake.read(Schemas.Nfp)
+      .filter(col("block_number").between(1110L, 1190L)).count()
+    assert(got == 81L, s"capped fold changed results: $got")
+    // and repeatedly: the capped state must not wedge later reads
+    assert(lake.read(Schemas.Nfp)
+      .filter(col("block_number") === 1005L).count() == 1L)
+  }
+
+  test("deltaBytesCache eviction is scoped to the inserting table") {
+    // regression: eviction removed EVERY table's versions below
+    // v - 1024, so one high-version table continually purged a
+    // low-version table's still-hot entries (forcing that stream to
+    // re-read its delta bodies on every latestOffset poll)
+    val root = Files.createTempDirectory("lake-dbc").toString
+    val lake = new Lake(spark, root)
+    (1L to 8L).foreach(v =>
+      lake.deltaBytesCache.put(("hot_low_version_table", "i1", v), 1L))
+    (1L to 4200L).foreach(v =>
+      lake.deltaBytesCache.put(("busy_table", "i2", v), 1L))
+    lake.evictDeltaBytes("busy_table", 4200L)
+    assert((1L to 8L).forall(v => lake.deltaBytesCache
+        .containsKey(("hot_low_version_table", "i1", v))),
+      "a foreign table's hot entries were evicted")
+    assert(!lake.deltaBytesCache.containsKey(("busy_table", "i2", 1L)),
+      "the inserting table's stale entries survived")
+    assert(lake.deltaBytesCache.containsKey(("busy_table", "i2", 4200L)))
+  }
+
   test("crash window A: a sidecar entry for a file the manifest never committed is inert") {
     // a writer that died between its shard write and its manifest
     // publish leaves a stats entry for a phantom file — the sidecar is
