@@ -2004,6 +2004,72 @@ object V3Shape {
         |SELECT 'post' AS src, CAST(k % 7 AS BIGINT) AS log_index,
         |    count(*) AS n, CAST(sum(a0) AS BIGINT) AS sum_a0
         |  FROM post GROUP BY 2
-        |ORDER BY 1, 2""".stripMargin))
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // PURE-SQL STREAMING SINK — `writeStream.format("lake")` in upsert
+    // mode drains the SAME three CDC tranches s13 drives through the
+    // Scala upsertStream, so the same oracle recomputation grades the
+    // same final merged state through the SQL surface. The row then
+    // FORCES the hard crash window: the `_streamtxn/` progress marker
+    // is deleted outright and the last batch replayed through a fresh
+    // sink with the same identity — the `#txn=appId:batchId` header
+    // (atomic with each upsert's manifest publish) must carry the
+    // high-water alone, skip the replay wholesale, and leave the
+    // commit log WITHOUT a duplicate data-changing commit. Reads stay
+    // manifest-served (zero recursive listings).
+    ("s32_sql_sink",
+      ((s: SparkSession, d: String) => {
+        import graft.v3.{Lake, Schemas}
+        val root = s"/tmp/graft-sqlsink-lake/${Llm.sfCacheKey(d)}"
+        val lake = new Lake(s, root)
+        lake.dropTable(Schemas.Nfp)
+        val (srcDir, schema) = cdcChangeTranches(s, d)
+        val appId = "s32-sink"
+        Llm.streamTempRunFor("graft-sqlsink-ck") { base =>
+          val src = graft.streaming.Streaming.fileStream(s, srcDir, schema,
+            maxFilesPerTrigger = 1)
+          val q = src.writeStream.format("lake")
+            .option("root", root).option("table", Schemas.Nfp)
+            .option("mode", "upsert")
+            .option("keys", "chain_name,transaction_hash")
+            .option("orderBy", "block_number,log_index")
+            .option("deleteCol", "__del")
+            .option("txnAppId", appId)
+            .option("checkpointLocation", s"$base/ck")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          try q.awaitTermination() finally if (q.isActive) q.stop()
+          // forced MARKER-LESS replay (the LakeSinkSpec crash seam):
+          // with the marker gone, only the commit headers know batch 2
+          // was applied
+          val fsys = new org.apache.hadoop.fs.Path(root).getFileSystem(
+            s.sparkContext.hadoopConfiguration)
+          fsys.delete(new org.apache.hadoop.fs.Path(
+            s"$root/_streamtxn/${Schemas.Nfp}"), true)
+          val hw = lake.lastSinkBatch(Schemas.Nfp, appId)
+          require(hw == 2L,
+            s"upsert commit #txn headers must carry high-water 2, got $hw")
+          val commits = lake.commitHistory(Schemas.Nfp).size
+          val lastTranche = new java.io.File(srcDir).listFiles()
+            .filter(f => f.getName.endsWith(".parquet") &&
+              !f.getName.startsWith("."))
+            .maxBy(_.lastModified).getPath
+          val sink = new graft.streaming.LakeSink(s, root, Schemas.Nfp,
+            "upsert", Seq("chain_name", "transaction_hash"),
+            Seq("block_number", "log_index"), Some("__del"),
+            retain = false, appId = appId)
+          sink.addBatch(2L, s.read.schema(schema).parquet(lastTranche))
+          require(sink.skips.get() == 1L,
+            "marker-less replay of batch 2 was not skipped")
+          require(lake.commitHistory(Schemas.Nfp).size == commits,
+            "marker-less replay landed a duplicate data-changing commit")
+          val out = cdcMergedAggregate(lake).localCheckpoint()
+          require(lake.listCalls.get() == 0L,
+            s"sink lifecycle fell back to ${lake.listCalls.get()} " +
+              "recursive listing(s) - reads must be manifest-served")
+          out
+        }.orderBy(col("log_index"))
+      }): Q,
+      Some(cdcMergedOracle))
   )
 }
