@@ -129,6 +129,65 @@ object V3Shape {
       |    AS BIGINT) AS n_inserted
       |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** s30/s33 shared fixture — a lake whose history forces the
+    * row-grain enrichment to PROVE itself: two interleaved appends
+    * (every file spans the whole key range, so the upsert rewrite
+    * drags unchanged rows through the file-grain feed) followed by ONE
+    * upsert commit updating +100 cents on k%10==0 below 2000, deleting
+    * k%10==5 below 2000 and inserting fresh 0xnw keys from the k%17==0
+    * world. Returns (lake, v0, v1) bracketing the rewrite. Both rows
+    * grade against [[cdcEnrichedOracle]] — s30 through the 4-arg
+    * `table_changes` TVF, s33 through the enriched `lake-changes`
+    * stream. */
+  private def cdcEnrichedFixture(s: SparkSession, d: String, root: String)
+      : (graft.v3.Lake, Long, Long) = {
+    import graft.v3.{Lake, Schemas}
+    val orders = Tables.orders(s, d)
+    val k = col("o_orderkey")
+    def derive(df: org.apache.spark.sql.DataFrame) = nfpFromOrders(df)
+    val lake = new Lake(s, root)
+    lake.dropTable(Schemas.Nfp)
+    lake.append(derive(orders.filter(pmod(k, lit(2)) === 0))
+      .coalesce(1), Schemas.Nfp)
+    lake.append(derive(orders.filter(pmod(k, lit(2)) === 1))
+      .coalesce(1), Schemas.Nfp)
+    val v0 = lake.latestCommitVersion(Schemas.Nfp).get
+    val upd = derive(orders.filter(k < 2000 && pmod(k, lit(10)) === 0))
+      .withColumn("amount0",
+        (col("amount0").cast("long") + 100).cast("string"))
+      .withColumn("_del", lit(false))
+    val del = derive(orders.filter(k < 2000 && pmod(k, lit(10)) === 5))
+      .withColumn("_del", lit(true))
+    val ins = derive(orders.filter(pmod(k, lit(17)) === 0))
+      .withColumn("transaction_hash",
+        regexp_replace(col("transaction_hash"), "^0xtx", "0xnw"))
+      .withColumn("_del", lit(false))
+    lake.upsert(upd.unionByName(del).unionByName(ins), Schemas.Nfp,
+      Seq("chain_name", "transaction_hash"),
+      deleteCol = Some("_del"), retain = true)
+    val v1 = lake.latestCommitVersion(Schemas.Nfp).get
+    (lake, v0, v1)
+  }
+
+  private val cdcEnrichedOracle: String =
+    """WITH base AS (SELECT o_orderkey AS k,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders),
+      |ch AS (
+      |  SELECT 'update_preimage' AS ct, k % 7 AS li, cents AS a0
+      |    FROM base WHERE k < 2000 AND k % 10 = 0
+      |  UNION ALL
+      |  SELECT 'update_postimage', k % 7, cents + 100
+      |    FROM base WHERE k < 2000 AND k % 10 = 0
+      |  UNION ALL
+      |  SELECT 'delete', k % 7, cents
+      |    FROM base WHERE k < 2000 AND k % 10 = 5
+      |  UNION ALL
+      |  SELECT 'insert', k % 7, cents FROM base WHERE k % 17 = 0)
+      |SELECT ct AS _change_type, CAST(li AS BIGINT) AS log_index,
+      |  count(*) AS n, CAST(sum(a0) AS BIGINT) AS sum_a0
+      |FROM ch GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     ("v3_liquidity_distribution",
@@ -1868,37 +1927,8 @@ object V3Shape {
     // 4-arg table_changes TVF (keys as the fourth argument).
     ("s30_cdc_enriched",
       ((s: SparkSession, d: String) => {
-        import graft.v3.{Lake, Schemas}
-        val orders = Tables.orders(s, d)
-        val k = col("o_orderkey")
-        def derive(df: org.apache.spark.sql.DataFrame) = nfpFromOrders(df)
         val root = s"/tmp/graft-cdcenr-lake/${Llm.sfCacheKey(d)}"
-        val lake = new Lake(s, root)
-        lake.dropTable(Schemas.Nfp)
-        // two interleaved appends: every file spans the whole key
-        // range, so the upsert rewrite drags unchanged rows through
-        lake.append(derive(orders.filter(pmod(k, lit(2)) === 0))
-          .coalesce(1), Schemas.Nfp)
-        lake.append(derive(orders.filter(pmod(k, lit(2)) === 1))
-          .coalesce(1), Schemas.Nfp)
-        val v0 = lake.latestCommitVersion(Schemas.Nfp).get
-        // ONE upsert commit: +100 cents on k%10==0 below 2000, delete
-        // k%10==5 below 2000, insert fresh 0xnw keys from the k%17==0
-        // world
-        val upd = derive(orders.filter(k < 2000 && pmod(k, lit(10)) === 0))
-          .withColumn("amount0",
-            (col("amount0").cast("long") + 100).cast("string"))
-          .withColumn("_del", lit(false))
-        val del = derive(orders.filter(k < 2000 && pmod(k, lit(10)) === 5))
-          .withColumn("_del", lit(true))
-        val ins = derive(orders.filter(pmod(k, lit(17)) === 0))
-          .withColumn("transaction_hash",
-            regexp_replace(col("transaction_hash"), "^0xtx", "0xnw"))
-          .withColumn("_del", lit(false))
-        lake.upsert(upd.unionByName(del).unionByName(ins), Schemas.Nfp,
-          Seq("chain_name", "transaction_hash"),
-          deleteCol = Some("_del"), retain = true)
-        val v1 = lake.latestCommitVersion(Schemas.Nfp).get
+        val (_, v0, v1) = cdcEnrichedFixture(s, d, root)
         val cat = "graft_cdcenr_" +
           Llm.sfCacheKey(d).replaceAll("[^A-Za-z0-9]", "_")
         s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
@@ -1912,23 +1942,54 @@ object V3Shape {
              |  'chain_name,transaction_hash')
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
       }): Q,
-      Some("""WITH base AS (SELECT o_orderkey AS k,
-        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
-        |  FROM orders),
-        |ch AS (
-        |  SELECT 'update_preimage' AS ct, k % 7 AS li, cents AS a0
-        |    FROM base WHERE k < 2000 AND k % 10 = 0
-        |  UNION ALL
-        |  SELECT 'update_postimage', k % 7, cents + 100
-        |    FROM base WHERE k < 2000 AND k % 10 = 0
-        |  UNION ALL
-        |  SELECT 'delete', k % 7, cents
-        |    FROM base WHERE k < 2000 AND k % 10 = 5
-        |  UNION ALL
-        |  SELECT 'insert', k % 7, cents FROM base WHERE k % 17 = 0)
-        |SELECT ct AS _change_type, CAST(li AS BIGINT) AS log_index,
-        |  count(*) AS n, CAST(sum(a0) AS BIGINT) AS sum_a0
-        |FROM ch GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+      Some(cdcEnrichedOracle)),
+
+    // STREAMED row-grain CDC — the same enrichment delivered through
+    // `readStream.format("lake-changes")` with the `keys=` option:
+    // the per-rewrite-commit keyed join now runs inside the micro-
+    // batch lifecycle (churn-sized staging under the checkpoint, GC'd
+    // on engine acknowledgment), and the accumulated stream output is
+    // graded against s30's oracle VERBATIM — the established
+    // streamed-vs-batch pattern proving both surfaces compute the one
+    // enrichment. Producer AND consumer planning are require'd
+    // manifest-served (zero recursive listings).
+    ("s33_cdc_enriched_streamed",
+      ((s: SparkSession, d: String) => {
+        import graft.v3.Schemas
+        val root = s"/tmp/graft-cdcenrstream-lake/${Llm.sfCacheKey(d)}"
+        val (lake, v0, _) = cdcEnrichedFixture(s, d, root)
+        val out = Llm.streamTempRunFor("graft-cdcenrstream") { base =>
+          val sink = s"$base/accum"
+          val q = graft.streaming.Streaming.changeStream(s, root,
+              Schemas.Nfp, startingVersion = Some(v0),
+              keys = Some(Seq("chain_name", "transaction_hash")))
+            .writeStream
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              b.write.mode("append").parquet(sink); ()
+            }
+            .option("checkpointLocation", s"$base/ck")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          try q.awaitTermination() finally if (q.isActive) q.stop()
+          s.read.parquet(sink)
+            .groupBy(col("_change_type"), col("log_index"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("amount0").cast("long")).as("sum_a0"))
+            .orderBy(col("_change_type"), col("log_index"))
+            .localCheckpoint()
+        }
+        require(lake.listCalls.get() == 0L,
+          s"the enriched-CDC producer fell back to ${lake.listCalls.get()} " +
+            "recursive listing(s)")
+        val consumerLists = graft.streaming.LakeChangeStream
+          .listCallsOf(root, Schemas.Nfp)
+          .getOrElse(throw new IllegalStateException(
+            "no lake-changes stream was constructed for this row's lake"))
+        require(consumerLists == 0L,
+          s"enriched stream planning performed $consumerLists listing(s)")
+        out
+      }): Q,
+      Some(cdcEnrichedOracle)),
 
     // SQL RESTORE — round-16's `graft_restore` TVF (the published
     // formats' RESTORE TABLE ... VERSION AS OF): pin a snapshot, make

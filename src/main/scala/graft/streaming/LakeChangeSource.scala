@@ -59,7 +59,15 @@ import graft.v3.Lake
   * published formats' maxBytesPerTrigger: a consumer resuming after
   * lag drains in budget-sized micro-batches instead of one giant
   * catch-up batch; at least one commit always admits, and the
-  * every-16th checkpoint commit ends the batch it starts).
+  * every-16th checkpoint commit ends the batch it starts),
+  * `keys` (comma list, the table's upsert keys) — ENRICHED mode:
+  * each micro-batch emits ROW-GRAIN changes (Delta CDF's
+  * `update_preimage`/`update_postimage` for rewritten rows that
+  * actually changed, unchanged rewritten rows emit nothing) via the
+  * same per-rewrite-commit keyed join the 4-arg `table_changes` TVF
+  * serves in batch ([[graft.v3.Lake.changesBetweenCommitsEnriched]]);
+  * the join's churn-sized output stages under the stream's checkpoint
+  * and is GC'd as the engine acknowledges batches.
   * `Trigger.AvailableNow` is supported natively (the stream pins the
   * target version at start and drains up to it, honoring the
   * admission caps per batch). */
@@ -121,7 +129,10 @@ private[graft] class LakeChangesTable(root: String, lakeTable: String,
           Option(options.get("startingVersion")).map(_.toLong),
           Option(options.get("maxVersionsPerBatch")).map(_.toLong),
           Option(options.get("startingTimestamp")),
-          Option(options.get("maxBytesPerBatch")).map(_.toLong))
+          Option(options.get("maxBytesPerBatch")).map(_.toLong),
+          Option(options.get("keys")).map(_.split(',')
+            .map(_.trim).filter(_.nonEmpty).toSeq),
+          checkpointLocation)
       override def description(): String =
         s"LakeChangesScan($lakeTable)"
     }
@@ -157,7 +168,9 @@ private[graft] class LakeChangeStream(
     startingVersion: Option[Long],
     maxVersionsPerBatch: Option[Long],
     startingTimestamp: Option[String] = None,
-    maxBytesPerBatch: Option[Long] = None)
+    maxBytesPerBatch: Option[Long] = None,
+    keysOpt: Option[Seq[String]] = None,
+    checkpointLocation: String = "")
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
 
@@ -167,6 +180,8 @@ private[graft] class LakeChangeStream(
     s"maxBytesPerBatch must be positive (got $m)"))
   require(startingVersion.isEmpty || startingTimestamp.isEmpty,
     "lake-changes takes startingVersion OR startingTimestamp, not both")
+  keysOpt.foreach(ks => require(ks.nonEmpty,
+    "lake-changes option 'keys' must name at least one key column"))
 
   private val lake = new Lake(spark, root)
   LakeChangeStream.registerSeam(root, lakeTable, lake.listCalls)
@@ -304,9 +319,31 @@ private[graft] class LakeChangeStream(
   override def deserializeOffset(json: String): Offset =
     LakeCommitOffset.parse(json)
 
-  override def commit(end: Offset): Unit = ()
+  /** Enriched-mode staging GC: once the engine acknowledges a batch,
+    * every staged range ending at or before it is dead. Ranges parse
+    * from the DIRECTORY NAMES (`b<from>-<to>`), not instance state, so
+    * a restarted stream reaps its predecessor's acknowledged staging
+    * too; deletion is best-effort (an orphan costs disk until the next
+    * commit, never correctness — replay overwrites in place). */
+  override def commit(end: Offset): Unit = {
+    if (keysOpt.isEmpty) return
+    val v = end.asInstanceOf[LakeCommitOffset].version
+    val dir = new Path(s"$checkpointLocation/__enriched")
+    try {
+      if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+        val to = st.getPath.getName.stripPrefix("b").split('-')
+          .lastOption.flatMap(_.toLongOption)
+        if (to.exists(_ <= v))
+          try fs.delete(st.getPath, true)
+          catch { case _: java.io.IOException => () }
+      }
+    } catch { case _: java.io.IOException => () }
+  }
 
   override def stop(): Unit = ()
+
+  private lazy val fs =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   override def planInputPartitions(start: Offset,
                                    end: Offset): Array[InputPartition] = {
@@ -314,39 +351,96 @@ private[graft] class LakeChangeStream(
     requireSameIncarnation(so, incAndLatest._1)
     val from = so.version
     val to = end.asInstanceOf[LakeCommitOffset].version
-    // the offset's incarnation rides INTO the plan (checked against
-    // the same listing the plan reads from): the pre-check above races
-    // a dropTable+recreate landing between it and the plan's listing,
-    // which would silently emit the NEW table's commits as a
-    // continuation of the old feed
-    lake.changePlanBetween(lakeTable, from, to,
-      Option(so.inc).filter(_.nonEmpty)).flatMap {
-      case (v, kind, entries) =>
-        val index = new ManifestPartitioningIndex(spark, tableDir,
-          entries.map(e => (e._2, e._3)), partSchema)
-        ParquetScanBuilder(spark, index, tableSchema, dataSchema,
-            CaseInsensitiveStringMap.empty()).build().toBatch
-          .planInputPartitions()
-          .map(p => TaggedChangePartition(p, kind, v))
-    }.toArray
+    keysOpt match {
+      case Some(keys) => planEnriched(so, from, to, keys)
+      case None =>
+        // the offset's incarnation rides INTO the plan (checked against
+        // the same listing the plan reads from): the pre-check above
+        // races a dropTable+recreate landing between it and the plan's
+        // listing, which would silently emit the NEW table's commits
+        // as a continuation of the old feed
+        lake.changePlanBetween(lakeTable, from, to,
+          Option(so.inc).filter(_.nonEmpty)).flatMap {
+          case (v, kind, entries) =>
+            val index = new ManifestPartitioningIndex(spark, tableDir,
+              entries.map(e => (e._2, e._3)), partSchema)
+            ParquetScanBuilder(spark, index, tableSchema, dataSchema,
+                CaseInsensitiveStringMap.empty()).build().toBatch
+              .planInputPartitions()
+              .map(p => TaggedChangePartition(p, kind, v))
+        }.toArray
+    }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // the parquet reader factory is file-list-independent (files ride
-    // in each InputPartition) - build it once over an empty index
-    val empty = new ManifestPartitioningIndex(spark, tableDir,
-      Seq.empty, partSchema)
-    val delegate = ParquetScanBuilder(spark, empty, tableSchema,
-        dataSchema, CaseInsensitiveStringMap.empty()).build().toBatch
-      .createReaderFactory()
-    // delegate rows flow data-then-partition; map them (plus the two
-    // tag fields) back into the declared schema order
-    val joined = StructType(dataSchema.fields ++ partSchema.fields)
-      .add("_change_type", StringType).add("_commit_version", LongType)
-    val ordinals = outSchema.fields.map(f => joined.fieldIndex(f.name))
-    TaggedChangeReaderFactory(delegate,
-      ordinals, joined.fields.map(_.dataType))
+  /** ENRICHED micro-batch plan (`keys=` set): the range's row-grain
+    * change feed ([[graft.v3.Lake.changesBetweenCommitsEnriched]] —
+    * one keyed equi-join per REWRITE commit, churn-sized, the same
+    * join the 4-arg `table_changes` TVF serves in batch) materializes
+    * once into a staging dir under the stream's checkpoint, and the
+    * batch scans the staged parquet. Staging is the price of row-grain
+    * enrichment through a DSv2 file scan (a micro-batch plan is a set
+    * of file partitions, not an arbitrary join plan); it is CHURN-
+    * sized — never table-sized — deterministic from the commit log
+    * (crash replay overwrites the same range to the same content),
+    * and GC'd at engine [[commit]]. Delta materializes its CDF under
+    * `_change_data` at WRITE time for the same reason; this does it
+    * lazily at read time, so non-CDC writers pay nothing. */
+  private def planEnriched(so: LakeCommitOffset, from: Long, to: Long,
+                           keys: Seq[String]): Array[InputPartition] = {
+    require(checkpointLocation.nonEmpty,
+      "enriched lake-changes needs the stream's checkpointLocation " +
+        "for its churn staging area")
+    val enriched = lake.changesBetweenCommitsEnriched(lakeTable, from, to,
+      keys, Option(so.inc).filter(_.nonEmpty))
+    val stage = new Path(
+      s"$checkpointLocation/__enriched/b$from-$to")
+    // idempotent staging: Spark may plan the SAME batch more than once
+    // (statistics pass, recovery re-plan) — a blind overwrite would
+    // mint new part-file names under partitions already handed out.
+    // The range's content is deterministic from the commit log, so a
+    // completed stage (_SUCCESS present) is simply reused; only an
+    // absent or torn stage (crash mid-write) is (re)written.
+    if (!fs.exists(new Path(stage, "_SUCCESS")))
+      enriched.write.mode("overwrite").parquet(stage.toString)
+    val files = fs.listStatus(stage)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => (st.getPath.toString, st.getLen)).toSeq
+    if (files.isEmpty) return Array.empty
+    val index = new ManifestPartitioningIndex(spark, stage, files,
+      new StructType())
+    ParquetScanBuilder(spark, index, outSchema, outSchema,
+        CaseInsensitiveStringMap.empty()).build().toBatch
+      .planInputPartitions()
   }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    keysOpt match {
+      case Some(_) =>
+        // enriched batches scan their STAGED parquet: the change-tag
+        // columns are real data columns there — plain passthrough
+        val empty = new ManifestPartitioningIndex(spark,
+          new Path(s"$checkpointLocation/__enriched"), Seq.empty,
+          new StructType())
+        ParquetScanBuilder(spark, empty, outSchema, outSchema,
+            CaseInsensitiveStringMap.empty()).build().toBatch
+          .createReaderFactory()
+      case None =>
+        // the parquet reader factory is file-list-independent (files
+        // ride in each InputPartition) - build it once over an empty
+        // index
+        val empty = new ManifestPartitioningIndex(spark, tableDir,
+          Seq.empty, partSchema)
+        val delegate = ParquetScanBuilder(spark, empty, tableSchema,
+            dataSchema, CaseInsensitiveStringMap.empty()).build().toBatch
+          .createReaderFactory()
+        // delegate rows flow data-then-partition; map them (plus the
+        // two tag fields) back into the declared schema order
+        val joined = StructType(dataSchema.fields ++ partSchema.fields)
+          .add("_change_type", StringType).add("_commit_version", LongType)
+        val ordinals = outSchema.fields.map(f => joined.fieldIndex(f.name))
+        TaggedChangeReaderFactory(delegate,
+          ordinals, joined.fields.map(_.dataType))
+    }
 
   override def toString: String =
     s"LakeChangeStream($lakeTable, starting=$startingVersion)"

@@ -219,15 +219,17 @@ object Streaming {
   def changeStream(spark: SparkSession, root: String, table: String,
                    startingVersion: Option[Long] = None,
                    maxVersionsPerBatch: Option[Long] = None,
-                   startingTimestamp: Option[String] = None): DataFrame = {
+                   startingTimestamp: Option[String] = None,
+                   keys: Option[Seq[String]] = None): DataFrame = {
     val r = spark.readStream.format("lake-changes")
       .option("root", root).option("table", table)
     val r1 = startingVersion.fold(r)(v =>
       r.option("startingVersion", v.toString))
     val r2 = startingTimestamp.fold(r1)(ts =>
       r1.option("startingTimestamp", ts))
-    maxVersionsPerBatch.fold(r2)(m =>
-      r2.option("maxVersionsPerBatch", m.toString)).load()
+    val r3 = keys.fold(r2)(ks => r2.option("keys", ks.mkString(",")))
+    maxVersionsPerBatch.fold(r3)(m =>
+      r3.option("maxVersionsPerBatch", m.toString)).load()
   }
 
   /** Incremental HLL sketch maintenance — the mergeable-sketch story

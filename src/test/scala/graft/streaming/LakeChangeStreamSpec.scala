@@ -177,6 +177,62 @@ class LakeChangeStreamSpec extends SparkSpec {
       s"pre-history instant did not replay the full history: ${got.size}")
   }
 
+  test("keys= ENRICHED stream emits row-grain pre/postimages; checkpoint resume picks up later rewrites exactly") {
+    val root = Files.createTempDirectory("lake-cs9").toString
+    val tmp = Files.createTempDirectory("lake-cs9-ck").toString
+    val lake = new Lake(spark, root)
+    val ks = Seq("chain_name", "transaction_hash")
+    // interleaved appends: both files span the key range, so the
+    // upsert rewrite drags unchanged rows through the file-grain feed
+    lake.append(rows(0 until 20 by 2).coalesce(1), Schemas.Nfp)
+    lake.append(rows(1 until 20 by 2).coalesce(1), Schemas.Nfp)
+    val v0 = lake.latestCommitVersion(Schemas.Nfp).get
+    // rewrite commit: update 2 keys, tombstone 1, insert 1 fresh
+    lake.upsert(
+      rows(Seq(0, 10), amt = i => s"u$i").withColumn("_del", lit(false))
+        .unionByName(rows(Seq(5)).withColumn("_del", lit(true)))
+        .unionByName(rows(Seq(100)).withColumn("_del", lit(false))),
+      Schemas.Nfp, ks, deleteCol = Some("_del"), retain = true)
+    val v1 = lake.latestCommitVersion(Schemas.Nfp).get
+    def stream() = Streaming.changeStream(spark, root, Schemas.Nfp,
+      startingVersion = Some(v0), keys = Some(ks))
+    val (got1, _) = drain(stream(), s"$tmp/ck")
+    val want1 = lake.changesBetweenCommitsEnriched(
+      Schemas.Nfp, v0, v1, ks).collect()
+    assert(key(got1) == key(want1.toSeq),
+      "streamed enriched feed diverged from the batch enrichment")
+    // unchanged rewritten rows emit NOTHING: exactly 2 update pairs +
+    // 1 delete + 1 insert — never the touched files' full churn
+    assert(got1.size == 6, s"expected 6 enriched rows, got ${got1.size}: " +
+      key(got1).mkString(", "))
+    assert(got1.count(_.getAs[String]("_change_type")
+      == "update_preimage") == 2)
+    // SECOND rewrite commit after the checkpointed drain: the resumed
+    // stream must enrich exactly the new commit
+    lake.upsert(
+      rows(Seq(3), amt = _ => "u3b").withColumn("_del", lit(false)),
+      Schemas.Nfp, ks, deleteCol = Some("_del"), retain = true)
+    val v2 = lake.latestCommitVersion(Schemas.Nfp).get
+    val (got2, _) = drain(stream(), s"$tmp/ck")
+    val want2 = lake.changesBetweenCommitsEnriched(
+      Schemas.Nfp, v1, v2, ks).collect()
+    assert(key(got2) == key(want2.toSeq) && got2.size == 2,
+      s"resume mid-history enriched wrong rows: ${key(got2)}")
+    // acknowledged staging is GC'd (commit() reaps by range name)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val stageDir = new org.apache.hadoop.fs.Path(s"$tmp/ck/__enriched")
+    val leftover =
+      if (!fs.exists(stageDir)) Array.empty[String]
+      else fs.listStatus(stageDir).map(_.getPath.getName)
+        .filter { n =>
+          n.stripPrefix("b").split('-').lastOption
+            .flatMap(_.toLongOption).exists(_ < v2)
+        }
+    assert(leftover.isEmpty,
+      s"acknowledged enriched staging not GC'd: ${leftover.mkString(", ")}")
+  }
+
   test("startingTimestamp on a legacy log WITHOUT #ts headers refuses loudly (never a silent full replay)") {
     val root = Files.createTempDirectory("lake-cs8").toString
     val tmp = Files.createTempDirectory("lake-cs8-ck").toString
