@@ -1,7 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, Or, StartsWith}
-import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, TimestampType}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or, StartsWith}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Plan-time FILE skipping from per-file column [min, max] stats —
@@ -23,16 +23,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * intersection with "provably cannot match", never a guess.
   *
   * Trivalent-logic care: footer min/max describe NON-NULL values
-  * only, and no null counts are persisted — so only predicates that
-  * a NULL cannot satisfy (comparisons, IN, prefix) participate;
-  * IsNull / Not(...) / anything unrecognized compiles to KEEP. An
-  * `Or` prunes only when BOTH sides are provably empty; an `And`
+  * only — so of the value predicates only those a NULL cannot
+  * satisfy (comparisons, IN, prefix) participate; Not(...) and
+  * anything unrecognized compile to KEEP. IsNull / IsNotNull prune
+  * from the sidecar's persisted per-file NULL COUNTS (Delta/Iceberg
+  * parity): IsNull skips a file whose column has zero nulls,
+  * IsNotNull one that is all-null (or empty); unknown counts keep.
+  * An `Or` prunes only when BOTH sides are provably empty; an `And`
   * when either side is.
   *
   * Value domain: UTF8 bytes under unsigned-lexicographic order for
-  * strings, widened long for integral/date/timestamp — exactly what
-  * [[graft.v3.Lake]]'s footer extraction persists, so both pruning
-  * paths (key-range upsert planning and this one) share one cache.
+  * strings, widened long for integral/date/timestamp, widened
+  * NaN-guarded double for float/double (NaN-bearing literals compile
+  * to KEEP; NaN-bearing FILES carry no parquet min/max — the writer
+  * omits them — so they surface as unknown and are kept; -0.0
+  * normalizes to 0.0 on both sides, matching IEEE equality) —
+  * exactly what [[graft.v3.Lake]]'s footer extraction persists, so
+  * both pruning paths (key-range upsert planning and this one) share
+  * one cache.
   */
 object DataSkipping {
 
@@ -46,6 +54,11 @@ object DataSkipping {
   trait FileStatsProvider {
     def range(path: org.apache.hadoop.fs.Path, bytes: Long,
               column: String): Option[(Any, Any)]
+    /** Known (null count, row count) of `column` within the file;
+      * None = unknown (keep). Backed by the same sidecar under the
+      * `column + "#nulls"` pseudo-column. */
+    def nulls(path: org.apache.hadoop.fs.Path, bytes: Long,
+              column: String): Option[(Long, Long)] = None
   }
 
   /** Unsigned-lexicographic bytes / numeric long comparison — the
@@ -66,12 +79,19 @@ object DataSkipping {
     case (x: java.lang.Long, y: java.lang.Long) =>
       java.lang.Long.compare(x, y) match {
         case 0 => 0; case d => if (d < 0) -1 else 1 }
+    case (x: java.lang.Double, y: java.lang.Double) =>
+      // IEEE order via Double.compare — NaN never reaches here
+      // (NaN literals compile to KEEP, NaN-bearing files have no
+      // stats) and -0.0 is normalized to 0.0 on both sides
+      java.lang.Double.compare(x, y) match {
+        case 0 => 0; case d => if (d < 0) -1 else 1 }
     case _ => Int.MinValue
   }
 
   private def comparable(a: Any, b: Any): Boolean =
     (a.isInstanceOf[Array[Byte]] && b.isInstanceOf[Array[Byte]]) ||
-      (a.isInstanceOf[java.lang.Long] && b.isInstanceOf[java.lang.Long])
+      (a.isInstanceOf[java.lang.Long] && b.isInstanceOf[java.lang.Long]) ||
+      (a.isInstanceOf[java.lang.Double] && b.isInstanceOf[java.lang.Double])
 
   /** A Catalyst literal's internal value mapped into the cmp domain;
     * None = type not covered by the stats model (float, decimal,
@@ -90,35 +110,67 @@ object DataSkipping {
       // SKIPS INT96/millis files, so the domains line up by
       // construction
       case TimestampType => Some(Long.box(v.asInstanceOf[Long]))
+      // doubles (and floats, widened losslessly): a NaN literal is
+      // unprovable from min/max — Spark orders NaN ABOVE every value,
+      // so no finite range excludes it — and compiles to KEEP; -0.0
+      // normalizes to 0.0 (IEEE-equal, and the extractor normalizes
+      // file stats the same way)
+      case DoubleType =>
+        val d = v.asInstanceOf[Double]
+        if (java.lang.Double.isNaN(d)) None
+        else Some(Double.box(if (d == 0.0d) 0.0d else d))
+      case FloatType =>
+        val f = v.asInstanceOf[Float]
+        if (java.lang.Float.isNaN(f)) None
+        else Some(Double.box(if (f == 0.0f) 0.0d else f.toDouble))
       case _ => None
     }
 
   /** The compiled per-file test: true = the file MAY hold matching
     * rows (keep), false = provably cannot (skip). */
   sealed trait Test {
-    def mayMatch(rangeOf: String => Option[(Any, Any)]): Boolean
+    def mayMatch(rangeOf: String => Option[(Any, Any)],
+                 nullsOf: String => Option[(Long, Long)]): Boolean
   }
 
   /** Nothing provable — keep every file. Compilation collapses a tree
     * whose every leaf is Keep to None so callers skip the walk. */
   private case object Keep extends Test {
-    def mayMatch(rangeOf: String => Option[(Any, Any)]) = true
+    def mayMatch(rangeOf: String => Option[(Any, Any)],
+                 nullsOf: String => Option[(Long, Long)]) = true
   }
 
   private final case class AndT(l: Test, r: Test) extends Test {
-    def mayMatch(rangeOf: String => Option[(Any, Any)]) =
-      l.mayMatch(rangeOf) && r.mayMatch(rangeOf)
+    def mayMatch(rangeOf: String => Option[(Any, Any)],
+                 nullsOf: String => Option[(Long, Long)]) =
+      l.mayMatch(rangeOf, nullsOf) && r.mayMatch(rangeOf, nullsOf)
   }
 
   private final case class OrT(l: Test, r: Test) extends Test {
-    def mayMatch(rangeOf: String => Option[(Any, Any)]) =
-      l.mayMatch(rangeOf) || r.mayMatch(rangeOf)
+    def mayMatch(rangeOf: String => Option[(Any, Any)],
+                 nullsOf: String => Option[(Long, Long)]) =
+      l.mayMatch(rangeOf, nullsOf) || r.mayMatch(rangeOf, nullsOf)
+  }
+
+  /** IsNull / IsNotNull from persisted per-file null counts:
+    * `wantNull` skips a file whose column provably has no nulls;
+    * `!wantNull` skips one whose every row is null (an empty file
+    * skips both ways — it can match nothing). Unknown counts keep. */
+  private final case class NullT(col: String, wantNull: Boolean)
+      extends Test {
+    def mayMatch(rangeOf: String => Option[(Any, Any)],
+                 nullsOf: String => Option[(Long, Long)]) =
+      nullsOf(col) match {
+        case Some((nc, rc)) => if (wantNull) nc > 0 else nc < rc
+        case None => true
+      }
   }
 
   /** op ∈ {=, <, <=, >, >=} against a literal already in cmp domain. */
   private final case class RangeT(col: String, op: Char, v: Any)
       extends Test {
-    def mayMatch(rangeOf: String => Option[(Any, Any)]) =
+    def mayMatch(rangeOf: String => Option[(Any, Any)],
+                 nullsOf: String => Option[(Long, Long)]) =
       rangeOf(col) match {
         case Some((mn, mx)) if comparable(mn, v) && comparable(mx, v) =>
           op match {
@@ -137,7 +189,8 @@ object DataSkipping {
     * key envelope. */
   private final case class InT(col: String, sorted: Array[Any])
       extends Test {
-    def mayMatch(rangeOf: String => Option[(Any, Any)]) =
+    def mayMatch(rangeOf: String => Option[(Any, Any)],
+                 nullsOf: String => Option[(Long, Long)]) =
       rangeOf(col) match {
         case Some((mn, mx)) if sorted.forall(v =>
             comparable(mn, v) && comparable(mx, v)) =>
@@ -159,7 +212,8 @@ object DataSkipping {
   private final case class PrefixT(col: String, prefix: Array[Byte],
                                    succ: Option[Array[Byte]])
       extends Test {
-    def mayMatch(rangeOf: String => Option[(Any, Any)]) =
+    def mayMatch(rangeOf: String => Option[(Any, Any)],
+                 nullsOf: String => Option[(Long, Long)]) =
       rangeOf(col) match {
         case Some((mn: Array[Byte], mx: Array[Byte])) =>
           cmp(mx, prefix) >= 0 && succ.forall(s => cmp(mn, s) < 0)
@@ -233,9 +287,11 @@ object DataSkipping {
         if v != null && a.dataType == StringType =>
       val p = v.asInstanceOf[UTF8String].getBytes
       PrefixT(a.name, p, prefixSuccessor(p))
-    // IsNull/IsNotNull (no null counts persisted), Not (needs
-    // complement reasoning the stats can't support), casts, UDFs,
-    // anything else: unprovable — keep
+    case IsNull(a: AttributeReference) => NullT(a.name, wantNull = true)
+    case IsNotNull(a: AttributeReference) =>
+      NullT(a.name, wantNull = false)
+    // Not (needs complement reasoning the stats can't support),
+    // casts, UDFs, anything else: unprovable — keep
     case _ => Keep
   }
 

@@ -100,7 +100,8 @@ class ManifestFileIndex(
           val fs = sts.filter { s =>
             candidates += 1
             val keep = test.mayMatch(
-              c => p.range(s.getPath, s.getLen, c))
+              c => p.range(s.getPath, s.getLen, c),
+              c => p.nulls(s.getPath, s.getLen, c))
             if (keep) kd += 1
             keep
           }

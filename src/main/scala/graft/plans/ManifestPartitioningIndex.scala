@@ -101,7 +101,8 @@ class ManifestPartitioningIndex private (
           val files = pd.files.filter { f =>
             candidates += 1
             val keep = test.mayMatch(
-              c => p.range(f.getPath, f.getLen, c))
+              c => p.range(f.getPath, f.getLen, c),
+              c => p.nulls(f.getPath, f.getLen, c))
             if (keep) kept += 1
             keep
           }

@@ -1881,11 +1881,11 @@ object V3Shape {
         val s0 = seam
         // the range covers wave 1 exactly: [1000+q, 1000+2q-1]
         val out = s.sql(
-          s"""SELECT log_index, count(*) AS n,
+          s"""SELECT 'bn' AS src, log_index, count(*) AS n,
              |  CAST(sum(CAST(amount0 AS BIGINT)) AS BIGINT) AS sum_a0
              |FROM $cat.nfp
              |WHERE block_number BETWEEN ${1000 + q} AND ${1000 + 2 * q - 1}
-             |GROUP BY log_index ORDER BY log_index""".stripMargin)
+             |GROUP BY log_index""".stripMargin)
           .localCheckpoint()
         val s1 = seam
         val (cand, kept) = (s1._1 - s0._1, s1._2 - s0._2)
@@ -1904,16 +1904,75 @@ object V3Shape {
         require(catLake.listCalls.get() == 0L,
           s"the SQL catalog fell back to ${catLake.listCalls.get()} " +
             "recursive listing(s) - plans must be manifest-served")
-        out
+        // ── DOUBLE-bound + NULL-count legs (r17): px = k + 0.25 as a
+        // double, NULL on k%10==0 in the FIRST wave only. The px
+        // range query must skip 3 of 4 files on the widened-double
+        // stats; the IS NULL query must skip every file but the
+        // null-bearing one via the persisted per-file null counts —
+        // both graded against the oracle's recomputation.
+        val t2 = "nfp_px"
+        lake.dropTable(t2)
+        locally {
+          import org.apache.spark.sql.types._
+          lake.createTable(t2, StructType(Seq(
+            StructField("chain_name", StringType, nullable = true),
+            StructField("k", LongType, nullable = true),
+            StructField("px", DoubleType, nullable = true))))
+        }
+        (0 until 4).foreach { j =>
+          val w = orders.filter(k >= j * q && k < (j + 1) * q)
+          lake.append(w.select(
+            lit("ethereum").as("chain_name"),
+            k.as("k"),
+            when(pmod(k, lit(10)) === 0 && k < q, lit(null))
+              .otherwise(k.cast("double") + 0.25).as("px")).coalesce(1), t2)
+        }
+        val dir2 = s"$root/$t2"
+        def seam2 = graft.plans.DataSkipping.skipStats(dir2)
+          .getOrElse((0L, 0L))
+        val p0 = seam2
+        val pxRange = lake.read(t2)
+          .filter(col("px") >= q + 0.25 && col("px") < 2 * q + 0.25)
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_a0"))
+          .select(lit("px").as("src"), lit(-1L).as("log_index"),
+            col("n"), col("sum_a0").cast("long").as("sum_a0"))
+          .localCheckpoint()
+        val p1 = seam2
+        require(p1._1 - p0._1 == 4 && p1._2 - p0._2 == 1,
+          s"double-bound skipping kept ${p1._2 - p0._2} of " +
+            s"${p1._1 - p0._1} (expected 1 of 4)")
+        val pxNull = lake.read(t2).filter(col("px").isNull)
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_a0"))
+          .select(lit("pxnull").as("src"), lit(-2L).as("log_index"),
+            col("n"), col("sum_a0").cast("long").as("sum_a0"))
+          .localCheckpoint()
+        val p2 = seam2
+        require(p2._1 - p1._1 == 4 && p2._2 - p1._2 == 1,
+          s"null-count skipping kept ${p2._2 - p1._2} of " +
+            s"${p2._1 - p1._1} (expected the 1 null-bearing file of 4)")
+        out.unionByName(pxRange).unionByName(pxNull)
+          .orderBy(col("src"), col("log_index"))
       }): Q,
       Some("""WITH mxq AS (SELECT max(o_orderkey) // 4 + 1 AS q FROM orders)
-        |SELECT CAST(o_orderkey % 7 AS BIGINT) AS log_index,
+        |SELECT 'bn' AS src, CAST(o_orderkey % 7 AS BIGINT) AS log_index,
         |  count(*) AS n,
         |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
         |    AS BIGINT) AS sum_a0
         |FROM orders, mxq
         |WHERE o_orderkey >= q AND o_orderkey < 2 * q
-        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+        |GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'px' AS src, CAST(-1 AS BIGINT) AS log_index,
+        |  count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_a0
+        |FROM orders, mxq
+        |WHERE o_orderkey >= q AND o_orderkey < 2 * q
+        |  AND NOT (o_orderkey % 10 = 0 AND o_orderkey < q)
+        |UNION ALL
+        |SELECT 'pxnull' AS src, CAST(-2 AS BIGINT) AS log_index,
+        |  count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_a0
+        |FROM orders, mxq
+        |WHERE o_orderkey % 10 = 0 AND o_orderkey < q
+        |ORDER BY 1, 2""".stripMargin)),
 
     // ROW-GRAIN CDC ENRICHMENT — round-16's enriched change feed
     // (Delta CDF's update_preimage/postimage mode): one upsert commit

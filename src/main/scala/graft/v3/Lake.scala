@@ -25,6 +25,50 @@ import org.apache.spark.sql.types.StructType
   *    bookkeeping lives in the ingest loop, not in filenames.
   */
 object Lake {
+  /** The highest manifest reader-protocol version this build
+    * understands — the published formats' minReaderVersion gate at
+    * its smallest. Checkpoint manifests record the version the table
+    * REQUIRES as a `#minReader=N[ feature]` header; a build whose
+    * supported version is lower refuses the table loudly
+    * ([[requireReadable]]) instead of silently misreading a
+    * convention it predates. Pinned at 1: every convention added so
+    * far (delta bodies, `#ts`/`#op`/`#txn`/`#inc` heads, retention
+    * floors, stats sidecars) is SKIP-SAFE for older parsers — heads
+    * are ignored, delta bodies are versioned by file NAME, sidecars
+    * are derived caches. Bump only when that stops being true, and
+    * name the feature after the number so the refusal can say WHY. */
+  val SupportedReaderVersion: Long = 1L
+
+  /** The reader-protocol gate: scan a manifest body's LEADING header
+    * lines for `#minReader=N[ feature]` and refuse when N exceeds
+    * [[SupportedReaderVersion]], naming the recorded feature. Bodies
+    * without the header (pre-gate tables, delta commits) pass. */
+  private[v3] def requireReadable(table: String, name: String,
+                                  body: String): Unit = {
+    var i = 0
+    while (i < body.length && body.charAt(i) == '#') {
+      val e = body.indexOf('\n', i)
+      val line = if (e < 0) body.substring(i) else body.substring(i, e)
+      if (line.startsWith("#minReader=")) {
+        val rest = line.stripPrefix("#minReader=")
+        val cut = rest.indexOf(' ')
+        val (numStr, feature) =
+          if (cut < 0) (rest, "") else (rest.substring(0, cut),
+            rest.substring(cut + 1).trim)
+        // an unparsable number is itself a newer convention: refuse
+        val n = numStr.trim.toLongOption.getOrElse(Long.MaxValue)
+        if (n > SupportedReaderVersion) throw new IllegalStateException(
+          s"manifest $name of $table requires reader protocol " +
+            s"version ${numStr.trim}" +
+            (if (feature.nonEmpty) s" (feature: $feature)" else "") +
+            s", but this build supports $SupportedReaderVersion - " +
+            "upgrade before reading this table; refusing rather than " +
+            "misreading a convention this parser predates")
+      }
+      i = if (e < 0) body.length else e + 1
+    }
+  }
+
   /** Result accounting for one [[Lake.upsert]]: how much of the table
     * the merge actually rewrote — the ScaleProbe contract is that
     * `rewrittenBytes` tracks TOUCHED files, not touched chains. */
@@ -849,8 +893,11 @@ class Lake(spark: SparkSession, val root: String) {
                                isDelta: Boolean): String = {
     val name = if (isDelta) f"v$v%09d.d.txt" else f"v$v%09d.txt"
     val in = fs.open(new Path(manifestDir(table), name))
-    try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-    finally in.close()
+    val body =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    Lake.requireReadable(table, name, body)
+    body
   }
 
   /** Fold the commit log up to version `v`: walk BACK from `v` to the
@@ -1939,8 +1986,19 @@ class Lake(spark: SparkSession, val root: String) {
     // clustering are `dataChange = false` rewrites the change feeds
     // exclude, and [[commitHistory]] lists every kind). Parsers skip
     // '#' lines, so pre-header manifests read back unchanged.
+    // checkpoints additionally carry the PROTOCOL GATE
+    // `#minReader=N` (the published formats' minReaderVersion):
+    // bumped only when a table starts depending on a convention an
+    // OLDER parser would misread — today every added convention is
+    // skip-safe (`#` heads are ignored by old parsers, delta bodies
+    // are versioned by file NAME, sidecar/stats are derived caches),
+    // so N is pinned at [[Lake.SupportedReaderVersion]] = 1.
+    // [[readManifestBody]] refuses a higher N loudly, naming the
+    // feature the writer recorded after the number.
     val heads = Seq(s"#ts=${System.currentTimeMillis()}") ++
       (if (what.nonEmpty) Seq(s"#op=$what") else Seq.empty) ++
+      (if (!asDelta) Seq(s"#minReader=${Lake.SupportedReaderVersion}")
+      else Seq.empty) ++
       extraHeads
     val body =
       if (asDelta) {
@@ -2599,13 +2657,16 @@ class Lake(spark: SparkSession, val root: String) {
 
   /** One sidecar line: relB64 TAB bytes TAB colB64 TAB kind TAB mn TAB mx
     * — kind S = UTF8 byte-order stats (base64), L = integral (decimal),
+    * D = widened double (Double.toString, a lossless round-trip),
     * N = footer had no usable stats (persisted too: "unknown" is also
-    * worth not re-reading). */
+    * worth not re-reading). Null counts ride as ordinary L lines
+    * under the `column#nulls` pseudo-column: (nullCount, rowCount). */
   private def statsLine(rel: String, bytes: Long, column: String,
                         r: Option[(Any, Any)]): String = {
     val (kind, mn, mx) = r match {
       case Some((a: Array[Byte], b: Array[Byte])) => ("S", b64(a), b64(b))
       case Some((a: Long, b: Long)) => ("L", a.toString, b.toString)
+      case Some((a: Double, b: Double)) => ("D", a.toString, b.toString)
       case Some(other) => throw new IllegalStateException(
         s"unpersistable footer stats $other")
       case None => ("N", "", "")
@@ -2631,6 +2692,7 @@ class Lake(spark: SparkSession, val root: String) {
     val r = f(3) match {
       case "S" => Some((unb64(f(4)): Any, unb64(f(5)): Any))
       case "L" => Some((f(4).toLong: Any, f(5).toLong: Any))
+      case "D" => Some((f(4).toDouble: Any, f(5).toDouble: Any))
       case _ => None
     }
     Some((rel, f(1).toLong, col, r))
@@ -2849,11 +2911,14 @@ class Lake(spark: SparkSession, val root: String) {
 
   /** Parquet physical types whose footer stats map losslessly into
     * the cmp domain: BINARY+UTF8 → bytes under unsigned order,
-    * INT32/INT64 (signed, plain/date/timestamp-micros) → long. INT96
-    * (deprecated, unordered stats), unsigned ints, millis timestamps
-    * (domain mismatch with Spark's micros literals), float/double/
-    * boolean/decimal: skipped — an unprunable column is correct,
-    * a mis-ordered one is not. */
+    * INT32/INT64 (signed, plain/date/timestamp-micros) → long,
+    * FLOAT/DOUBLE → widened double (with NaN/-0.0 care in the
+    * extractor — a NaN-bearing file carries NO parquet min/max, the
+    * writer omits them, so it reads back unusable and is never
+    * pruned). INT96 (deprecated, unordered stats), unsigned ints,
+    * millis timestamps (domain mismatch with Spark's micros
+    * literals), boolean/decimal: skipped — an unprunable column is
+    * correct, a mis-ordered one is not. */
   private def statsExtractable(
       pt: org.apache.parquet.schema.PrimitiveType): Boolean = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -2870,6 +2935,7 @@ class Lake(spark: SparkSession, val root: String) {
           t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
         case _ => false
       }
+      case FLOAT | DOUBLE => ann == null
       case _ => false
     }
   }
@@ -2891,7 +2957,7 @@ class Lake(spark: SparkSession, val root: String) {
     val reader = ParquetFileReader.open(in)
     try {
       val blocks = reader.getFooter.getBlocks.asScala
-      columns.map { column =>
+      columns.flatMap { column =>
         def rangeOf: Option[(Any, Any)] = {
           if (blocks.isEmpty) return None
           var mn: Any = null
@@ -2911,6 +2977,20 @@ class Lake(spark: SparkSession, val root: String) {
                 (a.longValue(), b2.longValue())
               case (a: java.lang.Integer, b2: java.lang.Integer) =>
                 (a.longValue(), b2.longValue())
+              // float/double → widened double. Guards: a NaN bound is
+              // unusable (legacy writers — modern parquet omits the
+              // stats entirely when NaN is present, PARQUET-1225);
+              // -0.0 normalizes to 0.0, the same normalization
+              // DataSkipping.toCmp applies to literals, so equality
+              // across the zeros can never mis-prune
+              case (a: java.lang.Double, b2: java.lang.Double) =>
+                if (a.isNaN || b2.isNaN) return None
+                (if (a.doubleValue() == 0.0d) 0.0d else a.doubleValue(),
+                  if (b2.doubleValue() == 0.0d) 0.0d else b2.doubleValue())
+              case (a: java.lang.Float, b2: java.lang.Float) =>
+                if (a.isNaN || b2.isNaN) return None
+                (if (a.floatValue() == 0.0f) 0.0d else a.doubleValue(),
+                  if (b2.floatValue() == 0.0f) 0.0d else b2.doubleValue())
               case _ => return None
             }
             mn = if (mn == null || keyCmp(lo, mn) < 0) lo else mn
@@ -2918,7 +2998,27 @@ class Lake(spark: SparkSession, val root: String) {
           }
           Some((mn, mx))
         }
-        column -> rangeOf
+        // per-file NULL COUNT (+ row count), persisted as the
+        // `column#nulls` pseudo-column — two longs, so it rides the
+        // existing sidecar line format and cache untouched. Usable
+        // iff EVERY block reports numNulls for the column (the
+        // physical-type guard doesn't apply: null counts are
+        // order-free facts, valid even where min/max ordering isn't)
+        def nullsOf: Option[(Any, Any)] = {
+          var nulls = 0L
+          var rows = 0L
+          for (b <- blocks) {
+            val cc = b.getColumns.asScala
+              .find(_.getPath.toDotString == column).orNull
+            if (cc == null) return None
+            val st = cc.getStatistics
+            if (st == null || !st.isNumNullsSet) return None
+            nulls += st.getNumNulls
+            rows += b.getRowCount
+          }
+          Some((Long.box(nulls), Long.box(rows)))
+        }
+        Seq(column -> rangeOf, s"$column#nulls" -> nullsOf)
       }.toMap
     } finally reader.close()
   }
@@ -2931,7 +3031,9 @@ class Lake(spark: SparkSession, val root: String) {
          org.apache.spark.sql.types.IntegerType |
          org.apache.spark.sql.types.LongType |
          org.apache.spark.sql.types.DateType |
-         org.apache.spark.sql.types.TimestampType => true
+         org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.DoubleType |
+         org.apache.spark.sql.types.FloatType => true
     case _ => false
   }
 
@@ -3008,13 +3110,49 @@ class Lake(spark: SparkSession, val root: String) {
       fresh.map { case (rel, bytes, c, r) => statsLine(rel, bytes, c, r) })
   }
 
+  /** Tables whose commit-time stats collection is SUSPENDED by an
+    * enclosing [[deferStats]] scope (the segment-ingest recipe). */
+  private val statsDeferred =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Suspend per-commit stats collection for `table` inside `body`,
+    * then backfill ONCE at scope exit ([[analyzeTable]]) — the
+    * commit-loop recipe: a segmented ingest lands tens of commits
+    * back-to-back, and paying the footer pool spin-up + a sidecar
+    * shard write + a shard listing PER COMMIT is pure overhead when
+    * nothing reads the table mid-loop. Deferred, the same footers are
+    * read once at the end into ONE shard. Crash inside `body` leaves
+    * stats merely missing (conservatively correct) until the next
+    * analyze/backfill; the finally still attempts it. Scopes don't
+    * nest per table (a Set, not a counter) — the ingest loop is the
+    * only caller and is not reentrant per table. */
+  def deferStats[A](table: String)(body: => A): A = {
+    statsDeferred.add(table)
+    try body
+    finally {
+      statsDeferred.remove(table)
+      try analyzeTable(table)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          statsCollectFailures.incrementAndGet()
+          System.err.println(
+            s"[graft.lake] deferred stats backfill for $table failed " +
+              s"(pruning stays conservative, run graft_analyze to " +
+              s"retry): $e")
+      }
+      ()
+    }
+  }
+
   /** [[collectStatsFor]] with the derived-cache failure contract:
     * a commit whose stats warm-up dies must still report success (the
     * manifest is published; pruning just stays conservative for those
     * files until [[analyzeTable]]) — but never silently: counted
-    * ([[statsCollectFailures]]) and logged. */
+    * ([[statsCollectFailures]]) and logged. Skipped wholesale inside
+    * a [[deferStats]] scope. */
   private def collectStatsQuietly(table: String,
-                                  added: Seq[(String, Long)]): Unit =
+                                  added: Seq[(String, Long)]): Unit = {
+    if (statsDeferred.contains(table)) return
     try collectStatsFor(table, added)
     catch {
       case scala.util.control.NonFatal(e) =>
@@ -3024,6 +3162,7 @@ class Lake(spark: SparkSession, val root: String) {
             s"(${added.size} file(s); pruning stays conservative, " +
             s"run graft_analyze to retry): $e")
     }
+  }
 
   /** Backfill data-skipping stats for EVERY live file missing them —
     * the adoption/upgrade path (files committed before stats existed,
@@ -3037,7 +3176,11 @@ class Lake(spark: SparkSession, val root: String) {
     loadStats(table)
     val inv = fileInventory(table)
     val work = inv.flatMap { case (_, abs, bytes) =>
-      if (cols.forall(c => rangeCache.containsKey(rangeKey(abs, bytes, c))))
+      // the nulls pseudo-columns count as missing too: tables whose
+      // sidecar predates null-count persistence backfill here
+      if (cols.forall(c =>
+          rangeCache.containsKey(rangeKey(abs, bytes, c)) &&
+          rangeCache.containsKey(rangeKey(abs, bytes, s"$c#nulls"))))
         None
       else Some((relOf(table, abs), bytes))
     }
@@ -3137,6 +3280,13 @@ class Lake(spark: SparkSession, val root: String) {
           s"${path.toUri.getPath}:$bytes:$column")
         if (r == null) None else r
       }
+      override def nulls(path: org.apache.hadoop.fs.Path, bytes: Long,
+                         column: String): Option[(Long, Long)] = {
+        val r = rangeCache.get(
+          s"${path.toUri.getPath}:$bytes:$column#nulls")
+        if (r == null) None
+        else r.collect { case (nc: Long, rc: Long) => (nc, rc) }
+      }
     }
   }
 
@@ -3163,6 +3313,10 @@ class Lake(spark: SparkSession, val root: String) {
       }
       x.length - y.length
     case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    // doubles reach here only from the data-skipping extraction's
+    // block fold (upsert key pruning guards them out via
+    // prunableType); NaN is guarded out before the fold
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
     case _ => throw new IllegalStateException(
       s"incomparable key stats: ${a.getClass} vs ${b.getClass}")
   }

@@ -60,6 +60,12 @@ object Ingest {
         var rows = 0L
         val fromBlock = minSeg
         var continue = remoteMax > minSeg || (segments == 0 && remoteMax >= minSeg)
+        // stats deferral: the loop lands many commits back-to-back
+        // with nothing reading the table mid-loop — collect the
+        // data-skipping stats ONCE at loop end (one footer pass, one
+        // sidecar shard) instead of paying the per-commit warm-up
+        // tax on every segment
+        lake.deferStats(table) {
         while (continue) {
           val maxSeg = math.min(
             connector.findSegment(table, remoteMax, minSeg, pool, chain, tgtMaxRows),
@@ -83,6 +89,7 @@ object Ingest {
             minSeg = maxPulled.getLong(0) + 1L
           }
           continue = remoteMax >= minSeg
+        }
         }
         Report(table, segments, rows, fromBlock, minSeg - 1)
     }

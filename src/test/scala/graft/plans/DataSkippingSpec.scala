@@ -94,11 +94,75 @@ class DataSkippingSpec extends SparkSpec {
     check(col("block_number") < 1050L || col("block_number") > 1350L, 2)
     // string range on the zero-padded key column
     check(col("transaction_hash") between("0xtx00210", "0xtx00290"), 1)
-    // unprovable: IsNull (no null counts), !=, OR with an unprovable
-    // side - no skip walk at all, results still exact
-    check(col("tokenId").isNull, -1)
-    check(col("block_number") =!= 1005L, -1)
-    check(col("block_number") === 1005L || col("tokenId").isNull, -1)
+    // IsNull compiles against persisted null counts now; tokenId is
+    // OUTSIDE the default stats column set (9th data column, cap 8),
+    // so its counts are unknown -> every file kept, results exact.
+    // != still pushes an inferred IsNotNull(block_number) conjunct,
+    // so a walk runs (block_number has no nulls: all kept).
+    check(col("tokenId").isNull, 4)
+    check(col("block_number") =!= 1005L, 4)
+    check(col("block_number") === 1005L || col("tokenId").isNull, 4)
+  }
+
+  test("null-count and double-bound pruning: IsNull/IsNotNull and double ranges skip files; NaN/zero edges stay exact") {
+    import org.apache.spark.sql.types._
+    val (lake, root) = freshLake("dskip-nulldouble")
+    val t = "px_skip"
+    lake.createTable(t, StructType(Seq(
+      StructField("chain_name", StringType, nullable = true),
+      StructField("k", LongType, nullable = true),
+      StructField("px", DoubleType, nullable = true),
+      StructField("tag", StringType, nullable = true))))
+    import spark.implicits._
+    // wave j covers k in [100j, 100j+99], px = k + 0.25 (disjoint
+    // double ranges); wave 0's k=1 row carries NEGATIVE ZERO (the
+    // stats normalization edge). Nulls: px null in wave 0 where
+    // k%10==0; tag null in wave 2 where k%7==0 and ALL null in wave 3.
+    def wave(j: Int) = (100 * j until 100 * j + 100).map { k =>
+      val px: java.lang.Double =
+        if (j == 0 && k % 10 == 0) null
+        else if (j == 0 && k == 1) java.lang.Double.valueOf(-0.0d)
+        else java.lang.Double.valueOf(k + 0.25)
+      val tag: String =
+        if (j == 3 || (j == 2 && k % 7 == 0)) null else s"t$k"
+      ("ethereum", k.toLong, px, tag)
+    }.toDF("chain_name", "k", "px", "tag")
+    (0 until 4).foreach(j => lake.append(wave(j).coalesce(1), t))
+    val dirT = s"$root/$t"
+    val full = lake.read(t).collect().toSeq
+    def check(cond: org.apache.spark.sql.Column, expectKept: Long): Unit = {
+      val s0 = graft.plans.DataSkipping.skipStats(dirT).getOrElse((0L, 0L))
+      val got = lake.read(t).filter(cond).collect().toSeq
+      val want = spark.createDataFrame(
+        spark.sparkContext.parallelize(full),
+        lake.read(t).schema).filter(cond).collect().toSeq
+      assert(got.map(_.toString).sorted == want.map(_.toString).sorted,
+        s"skipped read diverged for $cond")
+      val s1 = graft.plans.DataSkipping.skipStats(dirT).getOrElse((0L, 0L))
+      assert((s1._1 - s0._1, s1._2 - s0._2) == ((4L, expectKept)),
+        s"$cond kept ${s1._2 - s0._2} of ${s1._1 - s0._1}, " +
+          s"expected $expectKept of 4")
+    }
+    // double range/equality pruning
+    check(col("px") === 250.25d, 1)
+    check(col("px") < 100.0d, 1)
+    check(col("px") >= 100.25d && col("px") < 200.0d, 1)
+    // IsNull prunes to exactly the null-bearing files
+    check(col("px").isNull, 1)
+    check(col("tag").isNull, 2)
+    // IsNotNull skips the ALL-null file, keeps partial/none-null ones
+    check(col("tag").isNotNull, 3)
+    check(col("px").isNotNull, 4)
+    // zero edge: wave 0 holds a -0.0 value; parquet writes it as the
+    // min, extraction normalizes it to 0.0, and BOTH literal forms
+    // (IEEE-equal in Spark) must keep exactly that file and find the
+    // row
+    check(col("px") === 0.0d, 1)
+    check(col("px") === -0.0d, 1)
+    // NaN literal: unprovable from min/max (Spark orders NaN above
+    // everything) - the inferred IsNotNull conjunct still walks, px
+    // nulls keep wave 0 only when... px has non-nulls everywhere: 4
+    check(col("px") === Double.NaN, 4)
   }
 
   test("SQL catalog (DSv2) path prunes on a non-key predicate; VERSION pin + patched index keep pruning") {

@@ -684,4 +684,45 @@ class LakeManifestSpec extends SparkSpec {
     assert(reader.fileInventory(Schemas.Nfp).sortBy(_._2) ==
       reader.listInventory(Schemas.Nfp).sortBy(_._2))
   }
+
+  test("reader-protocol gate: a #minReader beyond this build refuses loudly, naming the feature") {
+    val root = Files.createTempDirectory("lake-proto").toString
+    val lake = new Lake(spark, root)
+    lake.append(rows(0 until 10).coalesce(1), Schemas.Nfp)
+    // today's tables carry the pinned N=1 gate on their checkpoints
+    // and read back unchanged
+    assert(lake.read(Schemas.Nfp).count() == 10L)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val d = new org.apache.hadoop.fs.Path(s"$root/_manifest/${Schemas.Nfp}")
+    val ckpt = fs.listStatus(d).map(_.getPath)
+      .filter(p0 => p0.getName.startsWith("v") &&
+        p0.getName.endsWith(".txt") && !p0.getName.endsWith(".d.txt"))
+      .minBy(_.getName)
+    val body = {
+      val in = fs.open(ckpt)
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    }
+    assert(body.contains(s"#minReader=${Lake.SupportedReaderVersion}"),
+      "checkpoint manifests must carry the pinned protocol gate")
+    // simulate a FUTURE writer: the table now depends on a convention
+    // this parser predates
+    val future = body.replace(
+      s"#minReader=${Lake.SupportedReaderVersion}",
+      s"#minReader=${Lake.SupportedReaderVersion + 1} enriched-tombstones")
+    val out = fs.create(ckpt, true)
+    try out.write(future.getBytes("UTF-8")) finally out.close()
+    val e = intercept[IllegalStateException] {
+      new Lake(spark, root).read(Schemas.Nfp).count()
+    }
+    assert(e.getMessage.contains("reader protocol") &&
+      e.getMessage.contains("enriched-tombstones") &&
+      e.getMessage.contains(Lake.SupportedReaderVersion.toString),
+      e.getMessage)
+    // delta bodies and pre-gate manifests (no header) still pass
+    Lake.requireReadable("t", "v000000002.d.txt", "#ts=1\n+abc\t1")
+    Lake.requireReadable("t", "v000000001.txt", "abc\t1")
+  }
 }

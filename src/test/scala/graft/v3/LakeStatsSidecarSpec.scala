@@ -153,6 +153,33 @@ class LakeStatsSidecarSpec extends SparkSpec {
     assert(lake.deltaBytesCache.containsKey(("busy_table", "i2", 4200L)))
   }
 
+  test("deferStats suspends per-commit collection and backfills ONCE at scope exit") {
+    val root = Files.createTempDirectory("lake-defer").toString
+    val lake = new Lake(spark, root)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val sd = new org.apache.hadoop.fs.Path(s"$root/_filestats/${Schemas.Nfp}")
+    def shards: Seq[String] =
+      if (!fs.exists(sd)) Seq.empty
+      else fs.listStatus(sd).map(_.getPath.getName)
+        .filter(_.startsWith("stats-")).toSeq
+    lake.deferStats(Schemas.Nfp) {
+      (0 until 4).foreach(j =>
+        lake.append(rows(j * 100 until (j + 1) * 100).coalesce(1),
+          Schemas.Nfp))
+      assert(shards.isEmpty,
+        s"commits inside deferStats wrote shard(s): $shards")
+    }
+    // exactly one backfill shard at scope exit, stats complete: a
+    // FRESH driver prunes from the sidecar with zero footer opens
+    assert(shards.size == 1, s"expected 1 backfill shard, got $shards")
+    val lake2 = new Lake(spark, root)
+    assert(lake2.read(Schemas.Nfp)
+      .filter(col("block_number") === 1310L).count() == 1L)
+    assert(lake2.footerReads.get() == 0,
+      "deferred backfill left stats incomplete (footer re-read)")
+  }
+
   test("crash window A: a sidecar entry for a file the manifest never committed is inert") {
     // a writer that died between its shard write and its manifest
     // publish leaves a stats entry for a phantom file — the sidecar is
