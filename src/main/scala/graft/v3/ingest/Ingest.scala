@@ -11,6 +11,16 @@ import graft.v3.{Lake, Schemas}
   * formalizes (SURVEY.md §2.9): offset discovery (remote min/max),
   * admission control (findSegment ≈ maxOffsetsPerTrigger), resume from
   * the lake's own max block (checkpoint), idempotent-enough appends.
+  *
+  * STATS RECIPE for ingest-heavy tables: the loop defers commit-time
+  * data-skipping stats to ONE loop-end backfill ([[Lake.deferStats]]
+  * — one footer pass, one sidecar shard, regardless of segment
+  * count). The footer reads themselves are the price of pruning; a
+  * deployment that never range-queries an ingest table should pin
+  * `stats.columns` to the one or two columns its queries actually
+  * prune on (bounds extraction width), or set `stats.collect=false`
+  * and run `graft_analyze('cat.tbl')` once when query patterns
+  * change.
   */
 object Ingest {
 
