@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
   *  - `listCalls` == 0 throughout (planning never falls back to
   *    directory listings).
   *
-  * Usage: runMain graft.LongStreamProbe [nBatches] [upsert|cdc|cdcvacuum]
+  * Usage: runMain graft.LongStreamProbe [nBatches]
+  * [upsert|cdc|cdcvacuum|cdcenriched]
   * (default 100 upsert). Emits one JSON line per decade + a final
   * summary line.
   *
@@ -40,6 +41,16 @@ import org.apache.spark.sql.functions._
   * by luck — and a from-0 consumer started at the end (lag >>
   * floor) refuses LOUDLY at the version-range boundary with the
   * documented retention message, never a raw missing-file error.
+  *
+  * `cdcenriched` mode (r17): `cdc` with the `keys=` ENRICHED feed —
+  * every decade's drained row-grain changes (update pre/postimages
+  * from the retained upserts, plain inserts from the appends) must
+  * EQUAL the batch `changesBetweenCommitsEnriched` over the same
+  * range, consumer planning stays listing-free, and the churn
+  * staging under the checkpoint's `__enriched/` is GC'd as the
+  * engine acknowledges batches — the staging area must stay BOUNDED
+  * (<= 1 un-reaped range) no matter how many commits the stream has
+  * drained, or a long-lived consumer leaks disk.
   */
 object LongStreamProbe {
   def main(args: Array[String]): Unit = {
@@ -55,7 +66,7 @@ object LongStreamProbe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    if (mode == "cdc" || mode == "cdcvacuum") {
+    if (mode == "cdc" || mode == "cdcvacuum" || mode == "cdcenriched") {
       val root = java.nio.file.Files
         .createTempDirectory("cdc-stream-lake").toString
       val ckDir = java.nio.file.Files
@@ -124,8 +135,12 @@ object LongStreamProbe {
           val latest = lake.latestCommitVersion(table).get
           val sink = new java.util.concurrent.atomic.AtomicLong(0L)
           val t0 = System.nanoTime()
+          val keysOpt =
+            if (mode == "cdcenriched")
+              Some(Seq("chain_name", "transaction_hash"))
+            else None
           val q = graft.streaming.Streaming.changeStream(spark, root,
-              table, startingVersion = Some(0L))
+              table, startingVersion = Some(0L), keys = keysOpt)
             .writeStream
             .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
               sink.addAndGet(df.count()); ()
@@ -135,8 +150,12 @@ object LongStreamProbe {
             .start()
           q.awaitTermination()
           val drainSec = (System.nanoTime() - t0) / 1e9
-          val want = lake.changesBetweenCommits(table, lastDrained, latest)
-            .count()
+          val want = keysOpt match {
+            case Some(ks) => lake.changesBetweenCommitsEnriched(
+              table, lastDrained, latest, ks).count()
+            case None =>
+              lake.changesBetweenCommits(table, lastDrained, latest).count()
+          }
           require(sink.get() == want,
             s"decade drain diverged from the batch feed: streamed " +
               s"${sink.get()}, batch $want over ($lastDrained, $latest]")
@@ -148,9 +167,27 @@ object LongStreamProbe {
               "no lake-changes stream was constructed for this probe"))
           require(consumerLists == 0L,
             s"consumer stream planning performed $consumerLists listing(s)")
-          println(f"""{"probe":"cdc_stream","batches":$b,""" +
+          var stagedLeft = -1
+          if (mode == "cdcenriched") {
+            // the staging GC's long-run claim: acknowledged ranges are
+            // reaped, so the checkpoint's __enriched dir stays bounded
+            // however long the stream lives (<= 1 un-reaped range)
+            val hfs = new org.apache.hadoop.fs.Path(ckDir).getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            val enr = new org.apache.hadoop.fs.Path(
+              s"$ckDir/sources/0/__enriched")
+            stagedLeft =
+              if (!hfs.exists(enr)) 0 else hfs.listStatus(enr).length
+            require(stagedLeft <= 1,
+              s"enriched staging leaked: $stagedLeft range dir(s) " +
+                "survive the drain - the commit-time GC is not keeping up")
+          }
+          val probeName =
+            if (mode == "cdcenriched") "cdc_enriched_stream" else "cdc_stream"
+          println(f"""{"probe":"$probeName%s","batches":$b,""" +
             f""""commits_drained":${latest - lastDrained},""" +
             f""""rows":${sink.get()},"drain_sec":$drainSec%.2f,""" +
+            (if (stagedLeft >= 0) f""""staged_left":$stagedLeft,""" else "") +
             f""""list_calls":$consumerLists}""")
           lastDrained = latest
         }
