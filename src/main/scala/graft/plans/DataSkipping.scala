@@ -1,7 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or, StartsWith}
-import org.apache.spark.sql.types.{ByteType, DataType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, TimestampType}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Not, Or, StartsWith}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, Decimal, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Plan-time FILE skipping from per-file column [min, max] stats —
@@ -123,6 +123,16 @@ object DataSkipping {
         val f = v.asInstanceOf[Float]
         if (java.lang.Float.isNaN(f)) None
         else Some(Double.box(if (f == 0.0f) 0.0d else f.toDouble))
+      // decimals backed by INT32/INT64 (precision <= 18 under Spark's
+      // non-legacy writer): footer stats are the UNSCALED integer, and
+      // a pushed comparison's literal always carries the column's
+      // exact decimal type (a scale-differing literal forces a Cast
+      // on the column, which compiles to KEEP above), so unscaled
+      // longs compare soundly. Wider decimals are FIXED_LEN_BYTE_ARRAY
+      // (signed big-endian - NOT the unsigned byte order this domain
+      // uses) and stay unprovable: the extractor never persists them.
+      case dt: DecimalType if dt.precision <= 18 =>
+        Some(Long.box(v.asInstanceOf[Decimal].toUnscaledLong))
       case _ => None
     }
 
@@ -150,6 +160,28 @@ object DataSkipping {
     def mayMatch(rangeOf: String => Option[(Any, Any)],
                  nullsOf: String => Option[(Long, Long)]) =
       l.mayMatch(rangeOf, nullsOf) || r.mayMatch(rangeOf, nullsOf)
+  }
+
+  /** `col != v` (and `NOT col <=> v`): the only file it can prune is
+    * one whose every NON-NULL value IS v (min = max = v). For plain
+    * `!=` that alone suffices — a NULL row never satisfies `!=`
+    * either. For the null-safe form, `NOT (col <=> v)` IS satisfied
+    * by a NULL row, so pruning additionally needs a known zero null
+    * count. */
+  private final case class NeT(col: String, v: Any, nullSafe: Boolean)
+      extends Test {
+    def mayMatch(rangeOf: String => Option[(Any, Any)],
+                 nullsOf: String => Option[(Long, Long)]) =
+      rangeOf(col) match {
+        case Some((mn, mx)) if comparable(mn, v) && comparable(mx, v) &&
+            cmp(mn, v) == 0 && cmp(mx, v) == 0 =>
+          if (!nullSafe) false
+          else nullsOf(col) match {
+            case Some((nc, _)) => nc > 0 // a null satisfies NOT(<=>)
+            case None => true
+          }
+        case _ => true
+      }
   }
 
   /** IsNull / IsNotNull from persisted per-file null counts:
@@ -290,7 +322,23 @@ object DataSkipping {
     case IsNull(a: AttributeReference) => NullT(a.name, wantNull = true)
     case IsNotNull(a: AttributeReference) =>
       NullT(a.name, wantNull = false)
-    // Not (needs complement reasoning the stats can't support),
+    // `col <=> NULL` IS IsNull
+    case EqualNullSafe(a: AttributeReference, Literal(null, _)) =>
+      NullT(a.name, wantNull = true)
+    case EqualNullSafe(Literal(null, _), a: AttributeReference) =>
+      NullT(a.name, wantNull = true)
+    // != / NOT <=> prune exactly the constant-valued files
+    case Not(EqualTo(a: AttributeReference, Literal(v, dt))) =>
+      toCmp(v, dt).map(NeT(a.name, _, nullSafe = false)).getOrElse(Keep)
+    case Not(EqualTo(Literal(v, dt), a: AttributeReference)) =>
+      toCmp(v, dt).map(NeT(a.name, _, nullSafe = false)).getOrElse(Keep)
+    case Not(EqualNullSafe(a: AttributeReference, Literal(v, dt)))
+        if v != null =>
+      toCmp(v, dt).map(NeT(a.name, _, nullSafe = true)).getOrElse(Keep)
+    case Not(EqualNullSafe(Literal(v, dt), a: AttributeReference))
+        if v != null =>
+      toCmp(v, dt).map(NeT(a.name, _, nullSafe = true)).getOrElse(Keep)
+    // general Not (complement reasoning the stats can't support),
     // casts, UDFs, anything else: unprovable — keep
     case _ => Keep
   }

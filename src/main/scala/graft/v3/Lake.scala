@@ -2933,6 +2933,13 @@ class Lake(spark: SparkSession, val root: String) {
         case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => true
         case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
           t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+        // int-backed decimals: stats are the UNSCALED integer; a
+        // pushed literal always carries the column's exact decimal
+        // type (DataSkipping.toCmp), so the unscaled domains line up.
+        // FIXED_LEN_BYTE_ARRAY decimals (precision > 18, or the
+        // legacy writer) stay guarded out: their stats are SIGNED
+        // big-endian binaries, not this domain's unsigned byte order.
+        case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => true
         case _ => false
       }
       case FLOAT | DOUBLE => ann == null
@@ -3034,6 +3041,7 @@ class Lake(spark: SparkSession, val root: String) {
          org.apache.spark.sql.types.TimestampType |
          org.apache.spark.sql.types.DoubleType |
          org.apache.spark.sql.types.FloatType => true
+    case d: org.apache.spark.sql.types.DecimalType => d.precision <= 18
     case _ => false
   }
 

@@ -163,6 +163,71 @@ class DataSkippingSpec extends SparkSpec {
     // everything) - the inferred IsNotNull conjunct still walks, px
     // nulls keep wave 0 only when... px has non-nulls everywhere: 4
     check(col("px") === Double.NaN, 4)
+    // null-safe equality to NULL is IsNull (same pruning)
+    check(col("px") <=> lit(null), 1)
+  }
+
+  test("decimal bounds and != constant-file pruning; scale-mismatch literals degrade to keep") {
+    import org.apache.spark.sql.types._
+    val (lake, root) = freshLake("dskip-decne")
+    val t = "dec_skip"
+    lake.createTable(t, StructType(Seq(
+      StructField("chain_name", StringType, nullable = true),
+      StructField("k", LongType, nullable = true),
+      StructField("price", DecimalType(12, 2), nullable = true),
+      StructField("tag", StringType, nullable = true))))
+    import spark.implicits._
+    // wave j: price = (100j + i) + 0.25 as decimal(12,2), disjoint per
+    // wave; tag CONSTANT 'only' in wave 3, mixed elsewhere, and null
+    // on k%9==0 in wave 1 only
+    def wave(j: Int) = (100 * j until 100 * j + 100).map { k =>
+      val tag: String =
+        if (j == 3) "only"
+        else if (j == 1 && k % 9 == 0) null
+        else s"t$k"
+      ("ethereum", k.toLong, s"$k.25", tag)
+    }.toDF("chain_name", "k", "price_s", "tag")
+      .select(col("chain_name"), col("k"),
+        col("price_s").cast("decimal(12,2)").as("price"), col("tag"))
+    (0 until 4).foreach(j => lake.append(wave(j).coalesce(1), t))
+    val dirT = s"$root/$t"
+    val full = lake.read(t).collect().toSeq
+    def check(cond: org.apache.spark.sql.Column, expectKept: Long): Unit = {
+      val s0 = graft.plans.DataSkipping.skipStats(dirT).getOrElse((0L, 0L))
+      val got = lake.read(t).filter(cond).collect().toSeq
+      val want = spark.createDataFrame(
+        spark.sparkContext.parallelize(full),
+        lake.read(t).schema).filter(cond).collect().toSeq
+      assert(got.map(_.toString).sorted == want.map(_.toString).sorted,
+        s"skipped read diverged for $cond")
+      val s1 = graft.plans.DataSkipping.skipStats(dirT).getOrElse((0L, 0L))
+      if (expectKept < 0)
+        assert((s1._1 - s0._1, s1._2 - s0._2) == ((0L, 0L)),
+          s"$cond ran a walk: ${s1._2 - s0._2} of ${s1._1 - s0._1}")
+      else
+        assert((s1._1 - s0._1, s1._2 - s0._2) == ((4L, expectKept)),
+          s"$cond kept ${s1._2 - s0._2} of ${s1._1 - s0._1}, " +
+            s"expected $expectKept of 4")
+    }
+    // decimal range/equality: literal built at the column's EXACT type
+    // (a mismatched scale would cast the column -> keep, tested below)
+    val p250 = lit(new java.math.BigDecimal("250.25")).cast("decimal(12,2)")
+    check(col("price") === p250, 1)
+    check(col("price") < lit(new java.math.BigDecimal("100.00"))
+      .cast("decimal(12,2)"), 1)
+    // != prunes exactly the constant-valued file (wave 3 all 'only');
+    // the file where tag has nulls (wave 1) is correctly KEPT (its
+    // non-null values differ) and its null rows stay excluded
+    check(col("tag") =!= "only", 3)
+    // NOT <=> would ALSO match nulls: wave 3 has zero tag nulls
+    // (known), so it still prunes
+    check(!(col("tag") <=> "only"), 3)
+    // a scale-differing literal: Catalyst's UnwrapCastInBinaryComparison
+    // rewrites Cast(price) > 250.253 back to a (12,2)-typed comparison
+    // (price > 250.25 boundary-adjusted), so the pushed filter prunes
+    // legitimately - waves 2 and 3 survive, results exact
+    check(col("price") > lit(new java.math.BigDecimal("250.253"))
+      .cast("decimal(13,3)"), 2)
   }
 
   test("SQL catalog (DSv2) path prunes on a non-key predicate; VERSION pin + patched index keep pruning") {
