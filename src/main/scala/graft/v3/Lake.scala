@@ -2596,13 +2596,17 @@ class Lake(spark: SparkSession, val root: String) {
     // getFileStatus round-trip per file per batch. Safe because this
     // lake never rewrites a file in place: every landing mints a
     // stamped or UUID name, so a path never carries different bytes.
-    // Bound sized for the data-skipping era: (files × stats columns)
-    // entries — 4M ≈ a 500k-file table at the 8-column default, or
-    // 10⁶ files with stats.columns pinned to the four that matter
-    // (~1.6 GB worst case, the snapshot-state budget the published
-    // formats' drivers carry at this scale). On overflow the
-    // sidecar-loaded marker resets too, so the next plan re-folds the
-    // persisted stats instead of silently never pruning again.
+    // Bound sized for the data-skipping era: (files × stats columns
+    // × 2) entries — each column carries its [min,max] AND its
+    // `#nulls` pseudo-entry (r17) — so 4M ≈ a 250k-file table at the
+    // 8-column default, or 10⁶ files with stats.columns pinned to
+    // the two that matter (~1.6 GB worst case, the snapshot-state
+    // budget the published formats' drivers carry at this scale; the
+    // pseudo-entries are boxed-long pairs, cheaper than the byte
+    // ranges). On overflow the sidecar-loaded marker resets too, so
+    // the next plan re-folds the persisted stats instead of silently
+    // never pruning again; a fold that would EXCEED the bound stops
+    // at it (un-folded files simply skip pruning).
     if (rangeCache.size > rangeCacheBound) {
       rangeCache.clear()
       statsFoldedShards.clear()
