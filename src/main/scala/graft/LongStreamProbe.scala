@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   *    directory listings).
   *
   * Usage: runMain graft.LongStreamProbe [nBatches]
-  * [upsert|cdc|cdcvacuum|cdcenriched]
+  * [upsert|cdc|cdcvacuum|cdcenriched|cdcenrichedvacuum]
   * (default 100 upsert). Emits one JSON line per decade + a final
   * summary line.
   *
@@ -41,6 +41,13 @@ import org.apache.spark.sql.functions._
   * by luck — and a from-0 consumer started at the end (lag >>
   * floor) refuses LOUDLY at the version-range boundary with the
   * documented retention message, never a raw missing-file error.
+  *
+  * `cdcenrichedvacuum` mode (r17): `cdcenriched` under the
+  * `cdcvacuum` fire — the enriched join reads the REMOVED side of
+  * every rewrite commit from the retention area, so it is the path
+  * most exposed to an aggressive GC; the in-window drain must never
+  * fail and staging must stay bounded while a keepLast=0 vacuum
+  * hammers every ~100 ms.
   *
   * `cdcenriched` mode (r17): `cdc` with the `keys=` ENRICHED feed —
   * every decade's drained row-grain changes (update pre/postimages
@@ -66,7 +73,9 @@ object LongStreamProbe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    if (mode == "cdc" || mode == "cdcvacuum" || mode == "cdcenriched") {
+    val vacuumMode = mode == "cdcvacuum" || mode == "cdcenrichedvacuum"
+    val enrichedMode = mode == "cdcenriched" || mode == "cdcenrichedvacuum"
+    if (mode.startsWith("cdc")) {
       val root = java.nio.file.Files
         .createTempDirectory("cdc-stream-lake").toString
       val ckDir = java.nio.file.Files
@@ -77,7 +86,7 @@ object LongStreamProbe {
       val vacuumRaces = new java.util.concurrent.atomic.AtomicLong
       @volatile var vacuumStop = false
       val vacuumThread: Option[Thread] =
-        if (mode != "cdcvacuum") None
+        if (!vacuumMode) None
         else {
           // shrink the replayable window to 8 commits (the drains lag
           // at most 5) and hammer the GC from a second thread - the
@@ -136,8 +145,7 @@ object LongStreamProbe {
           val sink = new java.util.concurrent.atomic.AtomicLong(0L)
           val t0 = System.nanoTime()
           val keysOpt =
-            if (mode == "cdcenriched")
-              Some(Seq("chain_name", "transaction_hash"))
+            if (enrichedMode) Some(Seq("chain_name", "transaction_hash"))
             else None
           val q = graft.streaming.Streaming.changeStream(spark, root,
               table, startingVersion = Some(0L), keys = keysOpt)
@@ -168,7 +176,7 @@ object LongStreamProbe {
           require(consumerLists == 0L,
             s"consumer stream planning performed $consumerLists listing(s)")
           var stagedLeft = -1
-          if (mode == "cdcenriched") {
+          if (enrichedMode) {
             // the staging GC's long-run claim: acknowledged ranges are
             // reaped, so the checkpoint's __enriched dir stays bounded
             // however long the stream lives (<= 1 un-reaped range)
@@ -183,7 +191,9 @@ object LongStreamProbe {
                 "survive the drain - the commit-time GC is not keeping up")
           }
           val probeName =
-            if (mode == "cdcenriched") "cdc_enriched_stream" else "cdc_stream"
+            if (enrichedMode) s"cdc_enriched_stream${
+              if (vacuumMode) "_vacuum" else ""}"
+            else "cdc_stream"
           println(f"""{"probe":"$probeName%s","batches":$b,""" +
             f""""commits_drained":${latest - lastDrained},""" +
             f""""rows":${sink.get()},"drain_sec":$drainSec%.2f,""" +
@@ -194,7 +204,7 @@ object LongStreamProbe {
       }
       vacuumStop = true
       vacuumThread.foreach(_.join(2000L))
-      if (mode == "cdcvacuum") {
+      if (vacuumMode) {
         // the BEYOND-window consumer: a fresh checkpoint from commit 0
         // must refuse at the version-range boundary with the
         // documented retention message - never a raw missing-file
