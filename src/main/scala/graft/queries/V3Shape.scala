@@ -1917,7 +1917,8 @@ object V3Shape {
           lake.createTable(t2, StructType(Seq(
             StructField("chain_name", StringType, nullable = true),
             StructField("k", LongType, nullable = true),
-            StructField("px", DoubleType, nullable = true))))
+            StructField("px", DoubleType, nullable = true),
+            StructField("pd", DecimalType(18, 2), nullable = true))))
         }
         (0 until 4).foreach { j =>
           val w = orders.filter(k >= j * q && k < (j + 1) * q)
@@ -1925,7 +1926,11 @@ object V3Shape {
             lit("ethereum").as("chain_name"),
             k.as("k"),
             when(pmod(k, lit(10)) === 0 && k < q, lit(null))
-              .otherwise(k.cast("double") + 0.25).as("px")).coalesce(1), t2)
+              .otherwise(k.cast("double") + 0.25).as("px"),
+            // exact decimal from a string literal (never through a
+            // double): k.25 at scale 2, INT64-backed in parquet
+            concat(k.cast("string"), lit(".25"))
+              .cast("decimal(18,2)").as("pd")).coalesce(1), t2)
         }
         val dir2 = s"$root/$t2"
         def seam2 = graft.plans.DataSkipping.skipStats(dir2)
@@ -1950,7 +1955,24 @@ object V3Shape {
         require(p2._1 - p1._1 == 4 && p2._2 - p1._2 == 1,
           s"null-count skipping kept ${p2._2 - p1._2} of " +
             s"${p2._1 - p1._1} (expected the 1 null-bearing file of 4)")
-        out.unionByName(pxRange).unionByName(pxNull)
+        // DECIMAL-bound leg (r17): unscaled-integer stats from the
+        // INT64-backed decimal(18,2) column must prune the same 3 of
+        // 4 files; the literals carry the column's exact type (a
+        // mismatched scale would cast the column and keep everything)
+        val pdRange = lake.read(t2)
+          .filter(col("pd") >= lit(java.math.BigDecimal.valueOf(q))
+              .cast("decimal(18,2)") &&
+            col("pd") < lit(java.math.BigDecimal.valueOf(2 * q))
+              .cast("decimal(18,2)"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_a0"))
+          .select(lit("pd").as("src"), lit(-3L).as("log_index"),
+            col("n"), col("sum_a0").cast("long").as("sum_a0"))
+          .localCheckpoint()
+        val p3 = seam2
+        require(p3._1 - p2._1 == 4 && p3._2 - p2._2 == 1,
+          s"decimal-bound skipping kept ${p3._2 - p2._2} of " +
+            s"${p3._1 - p2._1} (expected 1 of 4)")
+        out.unionByName(pxRange).unionByName(pxNull).unionByName(pdRange)
           .orderBy(col("src"), col("log_index"))
       }): Q,
       Some("""WITH mxq AS (SELECT max(o_orderkey) // 4 + 1 AS q FROM orders)
@@ -1972,6 +1994,11 @@ object V3Shape {
         |  count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_a0
         |FROM orders, mxq
         |WHERE o_orderkey % 10 = 0 AND o_orderkey < q
+        |UNION ALL
+        |SELECT 'pd' AS src, CAST(-3 AS BIGINT) AS log_index,
+        |  count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_a0
+        |FROM orders, mxq
+        |WHERE o_orderkey >= q AND o_orderkey < 2 * q
         |ORDER BY 1, 2""".stripMargin)),
 
     // ROW-GRAIN CDC ENRICHMENT — round-16's enriched change feed
