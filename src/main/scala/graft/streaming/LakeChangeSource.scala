@@ -342,8 +342,13 @@ private[graft] class LakeChangeStream(
 
   override def stop(): Unit = ()
 
+  /** The STAGING filesystem — resolved from the checkpoint location,
+    * NOT the lake root: the two commonly live on different stores
+    * (s3a lake, hdfs/file checkpoints), and a root-resolved handle
+    * would throw Wrong-FS on the first enriched batch. */
   private lazy val fs =
-    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    new Path(if (checkpointLocation.nonEmpty) checkpointLocation else root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   override def planInputPartitions(start: Offset,
                                    end: Offset): Array[InputPartition] = {
@@ -398,10 +403,16 @@ private[graft] class LakeChangeStream(
     // (statistics pass, recovery re-plan) — a blind overwrite would
     // mint new part-file names under partitions already handed out.
     // The range's content is deterministic from the commit log, so a
-    // completed stage (_SUCCESS present) is simply reused; only an
-    // absent or torn stage (crash mid-write) is (re)written.
-    if (!fs.exists(new Path(stage, "_SUCCESS")))
+    // completed stage is simply reused; only an absent or torn stage
+    // (crash mid-write) is (re)written. The completion marker is OUR
+    // OWN sentinel, written after the job — _SUCCESS alone would
+    // vanish under mapreduce.fileoutputcommitter.marksuccessfuljobs=
+    // false (common on object stores) and re-arm the blind overwrite.
+    val staged = new Path(stage, "_graft_staged")
+    if (!fs.exists(staged)) {
       enriched.write.mode("overwrite").parquet(stage.toString)
+      fs.create(staged, true).close()
+    }
     val files = fs.listStatus(stage)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(st => (st.getPath.toString, st.getLen)).toSeq

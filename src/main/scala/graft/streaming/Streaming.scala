@@ -361,7 +361,14 @@ object Streaming {
     * reproduces the identical table state (upsert is a deterministic
     * function of (table state, batch) and applying the same batch
     * twice is a fixpoint — spec-asserted), so a crash-retried batch is
-    * harmless. The `deleteCol` column marks tombstones. 100 TB story:
+    * harmless to STATE — and, since r17, to the COMMIT LOG too: each
+    * batch lands a `#txn=checkpointDir:batchId` header atomically
+    * with its merge's manifest publish and a replayed batchId at or
+    * below the durable high-water ([[graft.v3.Lake.lastSinkBatch]])
+    * is skipped wholesale, so row-grain CDC consumers never see a
+    * replayed rewrite's churn twice (the same closure the `lake`
+    * sink's upsert mode has). The `deleteCol` column marks
+    * tombstones. 100 TB story:
     * per batch one latest-per-key aggregate (batch-sized) + upsert's
     * single keyed anti-join over only the key-range-touched files —
     * rewrite I/O tracks batch key spread, not partition size.
@@ -390,6 +397,13 @@ object Streaming {
     val maintenanceSkips = new java.util.concurrent.atomic.AtomicLong
     changes.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // crash-replay dedupe (state is idempotent; the commit LOG is
+        // not): a batchId at or below the durable high-water was
+        // already applied — skip it wholesale, or the replay lands a
+        // duplicate data-changing commit whose churn enriched CDC
+        // consumers would emit twice
+        if (batchId <= lake.lastSinkBatch(table, checkpointDir)) ()
+        else {
         // materialize the compacted batch ONCE: upsert runs several
         // jobs over it (profiling aggregate, key collect, merge
         // write) and would otherwise re-execute lastPerKey's shuffle
@@ -403,7 +417,10 @@ object Streaming {
         lake.upsertRetrying(latest, table, keys,
           deleteCol = Some(deleteCol),
           checkUnique = false, // lastPerKey just guaranteed it
-          retain = retain)
+          retain = retain,
+          // atomic with the merge's manifest publish
+          txn = Some((checkpointDir, batchId)))
+        lake.recordSinkBatch(table, checkpointDir, batchId)
         if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0) {
           // rewrite ONLY the fragmented chains: maintenance cost must
           // track the fragmentation that triggered it, not table size
@@ -437,6 +454,7 @@ object Streaming {
                 onMaintenanceSkip(table, maintenanceSkips.incrementAndGet(), e)
             }
           }
+        }
         }
         () // foreachBatch wants Unit, upsert returns its stats
       }

@@ -1522,7 +1522,7 @@ class Lake(spark: SparkSession, val root: String) {
       try readDelta(table, v)._1.map(_._2).sum
       catch { case _: java.io.IOException => return None }
     deltaBytesCache.put((table, inc, v), bytes)
-    evictDeltaBytes(table, v)
+    evictDeltaBytes(table, inc, v)
     Some(bytes)
   }
 
@@ -1530,11 +1530,17 @@ class Lake(spark: SparkSession, val root: String) {
     * [[deltaBytesCache]]: one table with high commit versions must
     * not continually purge a low-version table's still-hot entries
     * (that would force the other table's stream to re-read its delta
-    * bodies on every latestOffset poll). */
-  private[graft] def evictDeltaBytes(table: String, v: Long): Unit =
+    * bodies on every latestOffset poll). A FOREIGN incarnation of the
+    * SAME table is dead history (dropTable+recreate restarted the
+    * version numbers) and is evicted regardless of version — without
+    * that, a recreated table's old-incarnation entries never match
+    * `v - 1024` against the new low versions and pin the cache until
+    * the global stop-loss wipes every live table at once. */
+  private[graft] def evictDeltaBytes(table: String, inc: String,
+                                     v: Long): Unit =
     if (deltaBytesCache.size > 4096) {
       deltaBytesCache.keySet.removeIf(k =>
-        k._1 == table && k._3 < v - 1024)
+        k._1 == table && (k._2 != inc || k._3 < v - 1024))
       // hard bound regardless of table mix (hundreds of tables each
       // under their own 1024-version window): entries are cheap
       // (tuple key + boxed Long), so the stop-loss just resets
@@ -2607,7 +2613,15 @@ class Lake(spark: SparkSession, val root: String) {
     // the next plan re-folds the persisted stats instead of silently
     // never pruning again; a fold that would EXCEED the bound stops
     // at it (un-folded files simply skip pruning).
-    if (rangeCache.size > rangeCacheBound) {
+    // SLACK above the fold's stop line: a capped fold leaves the
+    // cache sitting AT the bound, and clearing at the same threshold
+    // would wipe the just-folded entries on the very next per-footer
+    // compute — then refold, cap, clear again: a thrash loop that
+    // destroys every table's stats per upsert. The clear fires only
+    // once per-footer computes have ADDED 64k entries past the
+    // bound, so a capped fold stays useful and clears stay rare
+    // (amortized over 64k footer reads).
+    if (rangeCache.size > rangeCacheBound + 65536) {
       rangeCache.clear()
       statsFoldedShards.clear()
     }
@@ -3096,8 +3110,14 @@ class Lake(spark: SparkSession, val root: String) {
     loadStats(table)
     val work = added.flatMap { case (rel, bytes) =>
       val abs = s"${dir(table)}/$rel"
-      val missing =
-        cols.filterNot(c => rangeCache.containsKey(rangeKey(abs, bytes, c)))
+      // a column is complete only with BOTH its range entry and its
+      // #nulls pseudo-entry: a range warmed by the upsert planner's
+      // range-only shard (or a pre-null-counts build's) must still
+      // collect the null counts here, or IsNull pruning silently
+      // never engages for the file
+      val missing = cols.filterNot(c =>
+        rangeCache.containsKey(rangeKey(abs, bytes, c)) &&
+          rangeCache.containsKey(rangeKey(abs, bytes, s"$c#nulls")))
       if (missing.isEmpty) None else Some((rel, abs, bytes, missing))
     }
     if (work.isEmpty) return

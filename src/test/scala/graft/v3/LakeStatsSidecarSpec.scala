@@ -144,13 +144,20 @@ class LakeStatsSidecarSpec extends SparkSpec {
       lake.deltaBytesCache.put(("hot_low_version_table", "i1", v), 1L))
     (1L to 4200L).foreach(v =>
       lake.deltaBytesCache.put(("busy_table", "i2", v), 1L))
-    lake.evictDeltaBytes("busy_table", 4200L)
+    // plus a DEAD incarnation of the busy table (drop+recreate left
+    // its high-version entries behind)
+    (5000L to 5010L).foreach(v =>
+      lake.deltaBytesCache.put(("busy_table", "i_old", v), 1L))
+    lake.evictDeltaBytes("busy_table", "i2", 4200L)
     assert((1L to 8L).forall(v => lake.deltaBytesCache
         .containsKey(("hot_low_version_table", "i1", v))),
       "a foreign table's hot entries were evicted")
     assert(!lake.deltaBytesCache.containsKey(("busy_table", "i2", 1L)),
       "the inserting table's stale entries survived")
     assert(lake.deltaBytesCache.containsKey(("busy_table", "i2", 4200L)))
+    assert(!(5000L to 5010L).exists(v => lake.deltaBytesCache
+        .containsKey(("busy_table", "i_old", v))),
+      "a dead incarnation's entries survived the table-scoped eviction")
   }
 
   test("deferStats suspends per-commit collection and backfills ONCE at scope exit") {
