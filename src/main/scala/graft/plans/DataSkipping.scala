@@ -85,13 +85,20 @@ object DataSkipping {
       // stats) and -0.0 is normalized to 0.0 on both sides
       java.lang.Double.compare(x, y) match {
         case 0 => 0; case d => if (d < 0) -1 else 1 }
+    // wide decimals (precision > 18): UNSCALED BigInteger — the
+    // signed domain FIXED_LEN_BYTE_ARRAY footer stats decode into
+    // (the unsigned byte order would invert every negative bound)
+    case (x: java.math.BigInteger, y: java.math.BigInteger) =>
+      x.compareTo(y) match { case 0 => 0; case d => if (d < 0) -1 else 1 }
     case _ => Int.MinValue
   }
 
   private def comparable(a: Any, b: Any): Boolean =
     (a.isInstanceOf[Array[Byte]] && b.isInstanceOf[Array[Byte]]) ||
       (a.isInstanceOf[java.lang.Long] && b.isInstanceOf[java.lang.Long]) ||
-      (a.isInstanceOf[java.lang.Double] && b.isInstanceOf[java.lang.Double])
+      (a.isInstanceOf[java.lang.Double] && b.isInstanceOf[java.lang.Double]) ||
+      (a.isInstanceOf[java.math.BigInteger] &&
+        b.isInstanceOf[java.math.BigInteger])
 
   /** A Catalyst literal's internal value mapped into the cmp domain;
     * None = type not covered by the stats model (float, decimal,
@@ -128,11 +135,17 @@ object DataSkipping {
       // a pushed comparison's literal always carries the column's
       // exact decimal type (a scale-differing literal forces a Cast
       // on the column, which compiles to KEEP above), so unscaled
-      // longs compare soundly. Wider decimals are FIXED_LEN_BYTE_ARRAY
-      // (signed big-endian - NOT the unsigned byte order this domain
-      // uses) and stay unprovable: the extractor never persists them.
+      // longs compare soundly — and the extractor additionally
+      // enforces that each FILE's declared scale matches the schema's
+      // (Lake.statsExtractable), closing the foreign-writer hole.
       case dt: DecimalType if dt.precision <= 18 =>
         Some(Long.box(v.asInstanceOf[Decimal].toUnscaledLong))
+      // wider decimals are FIXED_LEN_BYTE_ARRAY: footer stats decode
+      // to the SIGNED unscaled BigInteger (Lake.footerRangesMulti's
+      // "B" arm) — compare the literal's unscaled value in the same
+      // domain. Same scale-match reasoning as above.
+      case _: DecimalType =>
+        Some(v.asInstanceOf[Decimal].toJavaBigDecimal.unscaledValue())
       case _ => None
     }
 

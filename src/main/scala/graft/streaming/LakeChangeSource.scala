@@ -323,10 +323,15 @@ private[graft] class LakeChangeStream(
     * every staged range ending at or before it is dead. Ranges parse
     * from the DIRECTORY NAMES (`b<from>-<to>`), not instance state, so
     * a restarted stream reaps its predecessor's acknowledged staging
-    * too; deletion is best-effort (an orphan costs disk until the next
-    * commit, never correctness — replay overwrites in place). */
+    * too — and the reap runs REGARDLESS of this restart's own mode
+    * (an enriched checkpoint resumed without `keys=` must not leave
+    * its predecessor's ranges unreaped forever; the grain-change
+    * itself refuses loudly in [[planInputPartitions]] via the pinned
+    * keys marker, this just keeps the sweep unconditional); deletion
+    * is best-effort (an orphan costs disk until the next commit,
+    * never correctness — replay overwrites in place). */
   override def commit(end: Offset): Unit = {
-    if (keysOpt.isEmpty) return
+    if (checkpointLocation.isEmpty) return
     val v = end.asInstanceOf[LakeCommitOffset].version
     val dir = new Path(s"$checkpointLocation/__enriched")
     try {
@@ -350,8 +355,45 @@ private[graft] class LakeChangeStream(
     new Path(if (checkpointLocation.nonEmpty) checkpointLocation else root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The feed's GRAIN (file-grain vs `keys=` row-grain enriched, and
+    * WHICH keys) is pinned to the checkpoint: the offsets alone don't
+    * record it, so a stream resumed with a different `keys=` option
+    * would silently change what a batch's rows MEAN mid-stream (a
+    * consumer keyed on update_pre/postimage pairs suddenly fed raw
+    * file-grain delete+insert, or pairs joined on different keys).
+    * First plan writes the marker (`__graft_keys`: the sorted key list,
+    * or "-" for file-grain); every later plan — this run's or a
+    * restart's — refuses loudly on mismatch. Pre-r18 checkpoints have
+    * no marker and adopt this run's mode (documented migration). */
+  private lazy val keysGuard: Unit = {
+    if (checkpointLocation.nonEmpty) {
+      val marker = new Path(s"$checkpointLocation/__graft_keys")
+      val current = keysOpt.map(_.mkString(",")).getOrElse("-")
+      val stored =
+        try {
+          val in = fs.open(marker)
+          try Some(new String(
+            org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+          finally in.close()
+        } catch { case _: java.io.FileNotFoundException => None }
+      stored match {
+        case Some(s) => require(s == current,
+          s"lake-changes checkpoint of $lakeTable was written with " +
+            s"keys='$s' but this restart passed keys='$current' - the " +
+            "feed's grain cannot change mid-stream (downstream state " +
+            "is keyed on it); restart from a fresh checkpoint")
+        case None =>
+          val tmp = new Path(s"$checkpointLocation/.__graft_keys-tmp")
+          val out = fs.create(tmp, true)
+          try out.write(current.getBytes("UTF-8")) finally out.close()
+          if (!fs.rename(tmp, marker)) fs.delete(tmp, false)
+      }
+    }
+  }
+
   override def planInputPartitions(start: Offset,
                                    end: Offset): Array[InputPartition] = {
+    keysGuard
     val so = start.asInstanceOf[LakeCommitOffset]
     requireSameIncarnation(so, incAndLatest._1)
     val from = so.version

@@ -2685,6 +2685,9 @@ class Lake(spark: SparkSession, val root: String) {
       case Some((a: Array[Byte], b: Array[Byte])) => ("S", b64(a), b64(b))
       case Some((a: Long, b: Long)) => ("L", a.toString, b.toString)
       case Some((a: Double, b: Double)) => ("D", a.toString, b.toString)
+      // wide-decimal bounds: signed big-endian two's complement
+      case Some((a: java.math.BigInteger, b: java.math.BigInteger)) =>
+        ("B", b64(a.toByteArray), b64(b.toByteArray))
       case Some(other) => throw new IllegalStateException(
         s"unpersistable footer stats $other")
       case None => ("N", "", "")
@@ -2711,6 +2714,8 @@ class Lake(spark: SparkSession, val root: String) {
       case "S" => Some((unb64(f(4)): Any, unb64(f(5)): Any))
       case "L" => Some((f(4).toLong: Any, f(5).toLong: Any))
       case "D" => Some((f(4).toDouble: Any, f(5).toDouble: Any))
+      case "B" => Some((new java.math.BigInteger(unb64(f(4))): Any,
+        new java.math.BigInteger(unb64(f(5))): Any))
       case _ => None
     }
     Some((rel, f(1).toLong, col, r))
@@ -2935,10 +2940,20 @@ class Lake(spark: SparkSession, val root: String) {
     * writer omits them, so it reads back unusable and is never
     * pruned). INT96 (deprecated, unordered stats), unsigned ints,
     * millis timestamps (domain mismatch with Spark's micros
-    * literals), boolean/decimal: skipped — an unprunable column is
-    * correct, a mis-ordered one is not. */
+    * literals), boolean: skipped — an unprunable column is correct,
+    * a mis-ordered one is not.
+    *
+    * `expected` is the TABLE schema's type for the column: decimal
+    * stats are the UNSCALED integer, so they compare against a pushed
+    * literal's unscaled value only when the file's declared
+    * (scale, precision) actually matches the schema the literal was
+    * typed under — every lake-written file does, but a foreign or
+    * pre-evolution file at a different scale would silently mis-prune;
+    * the check turns that implicit invariant into an enforced one
+    * (mismatch → stats skipped, file never pruned). */
   private def statsExtractable(
-      pt: org.apache.parquet.schema.PrimitiveType): Boolean = {
+      pt: org.apache.parquet.schema.PrimitiveType,
+      expected: Option[org.apache.spark.sql.types.DataType]): Boolean = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val ann = pt.getLogicalTypeAnnotation
@@ -2953,14 +2968,30 @@ class Lake(spark: SparkSession, val root: String) {
           t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
         // int-backed decimals: stats are the UNSCALED integer; a
         // pushed literal always carries the column's exact decimal
-        // type (DataSkipping.toCmp), so the unscaled domains line up.
-        // FIXED_LEN_BYTE_ARRAY decimals (precision > 18, or the
-        // legacy writer) stay guarded out: their stats are SIGNED
-        // big-endian binaries, not this domain's unsigned byte order.
-        case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => true
+        // type (DataSkipping.toCmp), so the unscaled domains line up
+        // ONLY when the file's declared scale equals the schema's
+        // (and its precision fits) — enforced here, not assumed.
+        case dec: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          expected.exists {
+            case d: org.apache.spark.sql.types.DecimalType =>
+              dec.getScale == d.scale && dec.getPrecision <= d.precision
+            case _ => false
+          }
         case _ => false
       }
       case FLOAT | DOUBLE => ann == null
+      // FIXED_LEN_BYTE_ARRAY decimals (precision > 18): stats are
+      // SIGNED big-endian two's-complement binaries — a distinct cmp
+      // domain (BigInteger), same scale/precision gate as above.
+      case FIXED_LEN_BYTE_ARRAY => ann match {
+        case dec: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          expected.exists {
+            case d: org.apache.spark.sql.types.DecimalType =>
+              dec.getScale == d.scale && dec.getPrecision <= d.precision
+            case _ => false
+          }
+        case _ => false
+      }
       case _ => false
     }
   }
@@ -2970,8 +3001,25 @@ class Lake(spark: SparkSession, val root: String) {
     * the overlapping string/integral cases, so both pruning paths
     * share one cache). Missing columns, guarded-out physical types
     * and stat-less footers yield None ("known unusable" — persisted
-    * too, so the file is never re-opened for them). */
-  private def footerRangesMulti(path: String, columns: Seq[String])
+    * too, so the file is never re-opened for them). `expected` is the
+    * table schema's type per column (the decimal scale gate in
+    * [[statsExtractable]]).
+    *
+    * HARD WRITER INVARIANT (float/double): NaN-bearing files must
+    * carry NO usable min/max — true of every file THIS lake writes
+    * (parquet-mr omits/poisons float stats when NaN is present,
+    * PARQUET-1225). A spec-compliant foreign writer that EXCLUDES NaN
+    * from finite min/max bounds would break it: under Spark's
+    * NaN-is-largest ordering, `px > C` over such a file would wrongly
+    * skip the NaN rows. Files only enter a lake table through this
+    * engine's own writes (append/upsert/ingest — there is no
+    * file-adoption path; refreshManifest adopts LOCATIONS, but a
+    * foreign parquet file under a lake table dir is already outside
+    * every documented contract), so the invariant holds by
+    * construction; if an adoption path is ever added, gate
+    * double-column extraction on written-by-this-lake provenance. */
+  private def footerRangesMulti(path: String, columns: Seq[String],
+      expected: String => Option[org.apache.spark.sql.types.DataType])
       : Map[String, Option[(Any, Any)]] = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.hadoop.ParquetFileReader
@@ -2990,11 +3038,26 @@ class Lake(spark: SparkSession, val root: String) {
           for (b <- blocks) {
             val cc = b.getColumns.asScala
               .find(_.getPath.toDotString == column).orNull
-            if (cc == null || !statsExtractable(cc.getPrimitiveType))
+            if (cc == null ||
+                !statsExtractable(cc.getPrimitiveType, expected(column)))
               return None
             val st = cc.getStatistics
             if (st == null || st.isEmpty || !st.hasNonNullValue) return None
+            val isFlba = cc.getPrimitiveType.getPrimitiveTypeName ==
+              org.apache.parquet.schema.PrimitiveType
+                .PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY
             val (lo, hi) = (st.genericGetMin, st.genericGetMax) match {
+              // FLBA decimals: SIGNED big-endian two's complement —
+              // decode to BigInteger (its own cmp domain; the unsigned
+              // byte order would invert every negative bound). Binary
+              // stats for these are only EXPOSED by parquet-mr when the
+              // footer's declared sort order is the correct
+              // logical-type order (PARQUET-686 guard), so a legacy
+              // unsigned-ordered file reads back stat-less here.
+              case (a: org.apache.parquet.io.api.Binary,
+                    b2: org.apache.parquet.io.api.Binary) if isFlba =>
+                (new java.math.BigInteger(a.getBytes),
+                  new java.math.BigInteger(b2.getBytes))
               case (a: org.apache.parquet.io.api.Binary,
                     b2: org.apache.parquet.io.api.Binary) =>
                 (a.getBytes, b2.getBytes)
@@ -3004,7 +3067,8 @@ class Lake(spark: SparkSession, val root: String) {
                 (a.longValue(), b2.longValue())
               // float/double → widened double. Guards: a NaN bound is
               // unusable (legacy writers — modern parquet omits the
-              // stats entirely when NaN is present, PARQUET-1225);
+              // stats entirely when NaN is present, PARQUET-1225; see
+              // the NaN writer invariant in the scaladoc above);
               // -0.0 normalizes to 0.0, the same normalization
               // DataSkipping.toCmp applies to literals, so equality
               // across the zeros can never mis-prune
@@ -3059,7 +3123,10 @@ class Lake(spark: SparkSession, val root: String) {
          org.apache.spark.sql.types.TimestampType |
          org.apache.spark.sql.types.DoubleType |
          org.apache.spark.sql.types.FloatType => true
-    case d: org.apache.spark.sql.types.DecimalType => d.precision <= 18
+    // decimals of EVERY precision: ≤18 ride INT32/INT64 unscaled
+    // longs, >18 ride FIXED_LEN_BYTE_ARRAY signed big-endian →
+    // BigInteger (the r18 cmp-domain arm)
+    case _: org.apache.spark.sql.types.DecimalType => true
     case _ => false
   }
 
@@ -3107,6 +3174,10 @@ class Lake(spark: SparkSession, val root: String) {
                               added: Seq[(String, Long)]): Unit = {
     val cols = statsColumns(table)
     if (cols.isEmpty || added.isEmpty) return
+    // schema types feed the extraction's decimal scale/precision gate
+    // (statsExtractable): resolved once per collection, not per file
+    val schemaTypes = effectiveSchema(table).fields
+      .map(f => f.name -> f.dataType).toMap
     loadStats(table)
     val work = added.flatMap { case (rel, bytes) =>
       val abs = s"${dir(table)}/$rel"
@@ -3130,10 +3201,11 @@ class Lake(spark: SparkSession, val root: String) {
         scala.concurrent.Await.result(
           scala.concurrent.Future.sequence(work.map {
             case (rel, abs, bytes, missing) => scala.concurrent.Future {
-              footerRangesMulti(abs, missing).toSeq.map { case (c, r) =>
-                rangeCache.put(rangeKey(abs, bytes, c), r)
-                (rel, bytes, c, r)
-              }
+              footerRangesMulti(abs, missing, schemaTypes.get)
+                .toSeq.map { case (c, r) =>
+                  rangeCache.put(rangeKey(abs, bytes, c), r)
+                  (rel, bytes, c, r)
+                }
             }
           }), scala.concurrent.duration.Duration.Inf).flatten
       } finally pool.shutdown()
@@ -3156,10 +3228,15 @@ class Lake(spark: SparkSession, val root: String) {
     * read once at the end into ONE shard. Crash inside `body` leaves
     * stats merely missing (conservatively correct) until the next
     * analyze/backfill; the finally still attempts it. Scopes don't
-    * nest per table (a Set, not a counter) — the ingest loop is the
-    * only caller and is not reentrant per table. */
+    * nest per table (a Set, not a counter): a reentrant or concurrent
+    * scope on the same table REFUSES LOUDLY below — silently admitting
+    * it would re-enable per-commit stats (and double-run the backfill)
+    * when the inner scope exits, un-deferring the outer one. */
   def deferStats[A](table: String)(body: => A): A = {
-    statsDeferred.add(table)
+    require(statsDeferred.add(table),
+      s"deferStats($table) is already active in this process - scopes " +
+        "do not nest per table (the inner exit would silently " +
+        "un-defer the outer scope); sequence the loops instead")
     try body
     finally {
       statsDeferred.remove(table)
@@ -3345,10 +3422,12 @@ class Lake(spark: SparkSession, val root: String) {
       }
       x.length - y.length
     case (x: Long, y: Long) => java.lang.Long.compare(x, y)
-    // doubles reach here only from the data-skipping extraction's
-    // block fold (upsert key pruning guards them out via
+    // doubles/BigIntegers reach here only from the data-skipping
+    // extraction's block fold (upsert key pruning guards them out via
     // prunableType); NaN is guarded out before the fold
     case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: java.math.BigInteger, y: java.math.BigInteger) =>
+      x.compareTo(y)
     case _ => throw new IllegalStateException(
       s"incomparable key stats: ${a.getClass} vs ${b.getClass}")
   }

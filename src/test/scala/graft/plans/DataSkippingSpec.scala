@@ -230,6 +230,112 @@ class DataSkippingSpec extends SparkSpec {
       .cast("decimal(13,3)"), 2)
   }
 
+  test("wide-decimal (FLBA) bounds prune under the SIGNED domain: decimal(38,2) ranges incl. negatives skip files") {
+    import org.apache.spark.sql.types._
+    val (lake, root) = freshLake("dskip-flba")
+    val t = "dec38_skip"
+    lake.createTable(t, StructType(Seq(
+      StructField("chain_name", StringType, nullable = true),
+      StructField("k", LongType, nullable = true),
+      StructField("bal", DecimalType(38, 2), nullable = true))))
+    import spark.implicits._
+    // wave j covers bal in [100j - 200, 100j - 101] + .25 cents —
+    // waves 0 and 1 are ENTIRELY negative, wave 2 straddles zero.
+    // Under the broken unsigned byte order every negative bound sorts
+    // ABOVE every positive one, so any mis-domained comparison would
+    // prune wrongly here; the signed BigInteger domain must not.
+    def wave(j: Int) = (0 until 100).map { i =>
+      val v = 100 * j + i - 200
+      ("ethereum", (100 * j + i).toLong, s"$v.25")
+    }.toDF("chain_name", "k", "bal_s")
+      .select(col("chain_name"), col("k"),
+        col("bal_s").cast("decimal(38,2)").as("bal"))
+    (0 until 4).foreach(j => lake.append(wave(j).coalesce(1), t))
+    val dirT = s"$root/$t"
+    val full = lake.read(t).collect().toSeq
+    def check(cond: org.apache.spark.sql.Column, expectKept: Long): Unit = {
+      val s0 = graft.plans.DataSkipping.skipStats(dirT).getOrElse((0L, 0L))
+      val got = lake.read(t).filter(cond).collect().toSeq
+      val want = spark.createDataFrame(
+        spark.sparkContext.parallelize(full),
+        lake.read(t).schema).filter(cond).collect().toSeq
+      assert(got.map(_.toString).sorted == want.map(_.toString).sorted,
+        s"skipped read diverged for $cond")
+      val s1 = graft.plans.DataSkipping.skipStats(dirT).getOrElse((0L, 0L))
+      assert((s1._1 - s0._1, s1._2 - s0._2) == ((4L, expectKept)),
+        s"$cond kept ${s1._2 - s0._2} of ${s1._1 - s0._1}, " +
+          s"expected $expectKept of 4")
+    }
+    def d38(s: String) = lit(new java.math.BigDecimal(s))
+      .cast("decimal(38,2)")
+    // equality inside a fully-negative wave
+    check(col("bal") === d38("-150.75"), 1)
+    // range entirely below zero: waves 0 and 1 only
+    check(col("bal") < d38("-100.00"), 2)
+    // the sign boundary: >= 0 keeps waves 2 and 3 only — the case an
+    // unsigned comparison inverts
+    check(col("bal") >= d38("0.00"), 2)
+    // a straddling range
+    check(col("bal") >= d38("-120.50") && col("bal") <= d38("-20.25"), 2)
+    // IN across two waves
+    check(col("bal").isin(d38("-199.75"), d38("150.25")), 2)
+    // != on a constant-valued file: single-value append prunes
+    lake.append(Seq(("ethereum", 9999L, "42.00")).toDF("chain_name", "k",
+        "bal_s")
+      .select(col("chain_name"), col("k"),
+        col("bal_s").cast("decimal(38,2)").as("bal")).coalesce(1), t)
+    val s0 = graft.plans.DataSkipping.skipStats(dirT).getOrElse((0L, 0L))
+    assert(lake.read(t).filter(col("bal") =!= d38("42.00")).count() == 400L)
+    val s1 = graft.plans.DataSkipping.skipStats(dirT).getOrElse((0L, 0L))
+    assert((s1._1 - s0._1, s1._2 - s0._2) == ((5L, 4L)),
+      s"!= kept ${s1._2 - s0._2} of ${s1._1 - s0._1}, expected 4 of 5")
+  }
+
+  test("a scale-mismatched decimal file (foreign writer) collects NO stats and is never pruned") {
+    import org.apache.spark.sql.types._
+    val (lake, root) = freshLake("dskip-decscale")
+    val t = "dec_scale_gate"
+    lake.createTable(t, StructType(Seq(
+      StructField("chain_name", StringType, nullable = true),
+      StructField("k", LongType, nullable = true),
+      StructField("price", DecimalType(12, 2), nullable = true))))
+    import spark.implicits._
+    lake.append(Seq(("ethereum", 1L, "10.25"), ("ethereum", 2L, "20.25"))
+      .toDF("chain_name", "k", "price_s")
+      .select(col("chain_name"), col("k"),
+        col("price_s").cast("decimal(12,2)").as("price")).coalesce(1), t)
+    // a FOREIGN writer lands a file at scale 4 behind the manifest's
+    // back (the only way such a file can exist) and refreshManifest
+    // adopts it. Its unscaled longs are 100× the schema's domain —
+    // trusting them would prune wrongly for any (12,2) literal.
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val foreignTmp = Files.createTempDirectory("dskip-foreign").toString
+    Seq(("ethereum", 3L, "30.2525"))
+      .toDF("chain_name", "k", "price_s")
+      .select(col("k"), col("price_s").cast("decimal(12,4)").as("price"))
+      .coalesce(1).write.mode("overwrite").parquet(foreignTmp)
+    val src = fs.listStatus(new org.apache.hadoop.fs.Path(foreignTmp))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val dst = new org.apache.hadoop.fs.Path(
+      s"$root/$t/chain_name=ethereum/foreign-scale4.parquet")
+    assert(fs.rename(src, dst))
+    lake.refreshManifest(t)
+    assert(lake.analyzeTable(t) >= 1L)
+    // the mismatched file's price stats must be UNKNOWN (extraction
+    // gate), so every pruning walk keeps it
+    val provider = lake.statsProvider(t)
+    val inv = lake.fileInventory(t)
+    val foreign = inv.find(_._2.contains("foreign-scale4")).get
+    assert(provider.range(new org.apache.hadoop.fs.Path(foreign._2),
+      foreign._3, "price").isEmpty,
+      "scale-mismatched file served decimal stats - would mis-prune")
+    // the lake-written file still prunes normally
+    val native = inv.find(!_._2.contains("foreign-scale4")).get
+    assert(provider.range(new org.apache.hadoop.fs.Path(native._2),
+      native._3, "price").isDefined)
+  }
+
   test("SQL catalog (DSv2) path prunes on a non-key predicate; VERSION pin + patched index keep pruning") {
     val (lake, root) = freshLake("dskip-sql")
     val cat = "dskip_cat"

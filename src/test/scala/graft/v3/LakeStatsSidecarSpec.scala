@@ -187,6 +187,23 @@ class LakeStatsSidecarSpec extends SparkSpec {
       "deferred backfill left stats incomplete (footer re-read)")
   }
 
+  test("deferStats scopes do NOT nest per table: a reentrant scope refuses loudly instead of silently un-deferring the outer one") {
+    val root = Files.createTempDirectory("lake-defer2").toString
+    val lake = new Lake(spark, root)
+    val e = intercept[IllegalArgumentException] {
+      lake.deferStats(Schemas.Nfp) {
+        lake.deferStats(Schemas.Nfp) { () }
+      }
+    }
+    assert(e.getMessage.contains("already active"), e.getMessage)
+    // the outer scope's finally released the mark: a fresh scope works
+    lake.deferStats(Schemas.Nfp) {
+      lake.append(rows(0 until 10).coalesce(1), Schemas.Nfp)
+    }
+    // a DIFFERENT table's scope may run concurrently (per-table marks)
+    lake.deferStats("other_tbl") { () }
+  }
+
   test("crash window A: a sidecar entry for a file the manifest never committed is inert") {
     // a writer that died between its shard write and its manifest
     // publish leaves a stats entry for a phantom file — the sidecar is
