@@ -2217,6 +2217,135 @@ object V3Shape {
           out
         }.orderBy(col("log_index"))
       }): Q,
-      Some(cdcMergedOracle))
+      Some(cdcMergedOracle)),
+
+    // DELETION VECTORS — round-18's merge-on-read row-level deletes
+    // (Delta DVs / Iceberg position deletes): with `dv.maxFraction`
+    // set, a small SQL DELETE writes per-file position sidecars
+    // instead of copy-on-write rewrites — the in-row require pins the
+    // headline contract (the data file set is UNCHANGED across it) —
+    // while a large delete still CoWs, an upsert's small churn
+    // vector-deletes its pre-images in place, compaction MATERIALIZES
+    // one chain's vectors, and a final small delete leaves a live
+    // vector in the graded state. The 'pin' leg re-reads a snapshot
+    // taken mid-history (its PINNED vectors applied, later growth
+    // invisible). Every read is manifest-served (zero listings), and
+    // the whole mixed CoW/vector history must hash-match the oracle's
+    // straight recomputation from orders.
+    ("s34_deletion_vectors",
+      ((s: SparkSession, d: String) => {
+        import graft.v3.{Lake, Schemas}
+        val orders = Tables.orders(s, d)
+        val k = col("o_orderkey")
+        val root = s"/tmp/graft-dv-lake/${Llm.sfCacheKey(d)}"
+        val lake = new Lake(s, root)
+        lake.dropTable(Schemas.Nfp)
+        val mx = orders.agg(max(k)).first().getLong(0)
+        val h = mx / 2 + 1
+        (0 until 2).foreach(j =>
+          lake.append(nfpFromOrders(
+            orders.filter(k >= j * h && k < (j + 1) * h), twoChains = true)
+            .coalesce(1), Schemas.Nfp))
+        lake.setTableProperties(Schemas.Nfp,
+          Map("dv.maxFraction" -> "0.3"))
+        val cat = "graft_dv_" +
+          Llm.sfCacheKey(d).replaceAll("[^A-Za-z0-9]", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        // 1. SMALL SQL DELETE (~1/7 of each ethereum file): must take
+        //    vectors — ZERO data files rewritten
+        val before = lake.fileInventory(Schemas.Nfp).map(_._2).toSet
+        s.sql(s"""DELETE FROM $cat.nfp
+          | WHERE log_index = 3 AND chain_name = 'ethereum'""".stripMargin)
+        require(lake.fileInventory(Schemas.Nfp).map(_._2).toSet == before,
+          "the small DELETE rewrote data files - merge-on-read must " +
+            "write vectors only")
+        require(lake.dvMapOf(Schemas.Nfp).nonEmpty,
+          "the small DELETE left no deletion vectors")
+        // 2. snapshot pin WITH vectors (the 'pin' leg's state)
+        val pin = lake.snapshot(Schemas.Nfp)
+        // 3. LARGE delete (3/7 of the base chain): falls back to CoW
+        val stBig = lake.deleteWhereRetrying(Schemas.Nfp,
+          col("log_index").isin(0L, 1L, 2L) &&
+            col("chain_name") === "base", retain = true)
+        require(stBig.landedFiles >= 1 && stBig.rewrittenBytes > 0L,
+          s"a 43% delete must copy-on-write, got $stBig")
+        // 4. small-churn upsert: updates vector-delete their
+        //    pre-images in place, tombstones vector-delete outright
+        val upd = nfpFromOrders(orders.filter(
+            pmod(k, lit(10)) === 0 && pmod(k, lit(90)) =!= 0),
+            twoChains = true)
+          .withColumn("amount0",
+            (col("amount0").cast("long") + 5).cast("string"))
+          .withColumn("__del", lit(false))
+          .unionByName(nfpFromOrders(orders.filter(pmod(k, lit(90)) === 0),
+            twoChains = true).withColumn("__del", lit(true)))
+        val stUp = lake.upsertRetrying(upd, Schemas.Nfp,
+          Seq("chain_name", "transaction_hash"),
+          deleteCol = Some("__del"), retain = true)
+        require(stUp.rewrittenBytes == 0L,
+          s"the small-churn upsert must be vector-only, got $stUp")
+        // 5. compaction MATERIALIZES the ethereum chain's vectors
+        require(lake.compact(Schemas.Nfp, targetBytes = 1L << 30,
+          retain = true, onlyChains = Seq("ethereum")) >= 1)
+        require(!lake.dvMapOf(Schemas.Nfp).keys
+            .exists(_.contains("chain_name=ethereum")),
+          "compaction must materialize the chain's vectors")
+        // 6. a final small vector delete on base stays LIVE in the
+        //    graded state (base now holds log_index 3..6 - 1/4 fits)
+        val stFin = lake.deleteWhereRetrying(Schemas.Nfp,
+          col("log_index") === 6L && col("chain_name") === "base",
+          retain = true)
+        require(stFin.rewrittenBytes == 0L && stFin.landedFiles == 0,
+          s"the final small delete must be vector-only, got $stFin")
+        require(lake.dvMapOf(Schemas.Nfp).nonEmpty,
+          "the graded state must carry a live vector")
+        def agg(from: String) = s.sql(
+          s"""SELECT chain_name, log_index, count(*) AS n,
+             |  CAST(sum(CAST(amount0 AS BIGINT)) AS BIGINT) AS sum_a0
+             |FROM $from GROUP BY chain_name, log_index""".stripMargin)
+        val out = agg(s"$cat.nfp").withColumn("src", lit("cur"))
+          .unionAll(agg(s"$cat.nfp VERSION AS OF $pin")
+            .withColumn("src", lit("pin")))
+          .select(col("src"), col("chain_name"), col("log_index"),
+            col("n"), col("sum_a0"))
+          .orderBy(col("src"), col("chain_name"), col("log_index"))
+          .localCheckpoint()
+        val catLake = graft.sources.LakeCatalog.instance(cat)
+          .flatMap(_.currentLake).getOrElse(
+            throw new IllegalStateException("catalog served no query"))
+        require(catLake.listCalls.get() == 0L,
+          s"the DV lifecycle fell back to ${catLake.listCalls.get()} " +
+            "recursive listing(s) - plans must be manifest-served")
+        require(lake.listCalls.get() == 0L,
+          s"the Scala-side DV ops performed ${lake.listCalls.get()} " +
+            "recursive listing(s)")
+        out
+      }): Q,
+      Some("""WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (SELECT k, cents,
+        |    CASE WHEN k % 2 = 0 THEN 'ethereum' ELSE 'base' END AS chain,
+        |    k % 7 AS li FROM base),
+        |pin AS (SELECT chain, li, cents AS a0 FROM r
+        |  WHERE NOT (chain = 'ethereum' AND li = 3)),
+        |cur AS (SELECT chain, li,
+        |    CASE WHEN chain = 'ethereum' AND k % 10 = 0 AND k % 90 <> 0
+        |      THEN cents + 5 ELSE cents END AS a0
+        |  FROM r
+        |  WHERE CASE WHEN chain = 'ethereum'
+        |    THEN (li <> 3 OR (k % 10 = 0 AND k % 90 <> 0)) AND k % 90 <> 0
+        |    ELSE li NOT IN (0, 1, 2, 6) END)
+        |SELECT 'cur' AS src, chain AS chain_name,
+        |    CAST(li AS BIGINT) AS log_index, count(*) AS n,
+        |    CAST(sum(a0) AS BIGINT) AS sum_a0
+        |  FROM cur GROUP BY 2, 3
+        |UNION ALL
+        |SELECT 'pin' AS src, chain AS chain_name,
+        |    CAST(li AS BIGINT) AS log_index, count(*) AS n,
+        |    CAST(sum(a0) AS BIGINT) AS sum_a0
+        |  FROM pin GROUP BY 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin))
   )
 }

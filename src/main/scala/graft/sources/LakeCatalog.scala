@@ -127,7 +127,8 @@ class LakeCatalog extends TableCatalog {
     val tsMillis = Math.floorDiv(timestamp, 1000000L) * 1000L +
       Math.floorDiv(Math.floorMod(timestamp, 1000000L), 1000L)
     val v = lake.versionAtTimestamp(t, tsMillis)
-    table(t, lake.entriesAtCommit(t, v))
+    table(t, lake.entriesAtCommit(t, v),
+      dv = lake.dvMapAtCommit(t, v))
   }
 
   private def load(ident: Identifier, version: Option[Long]): Table = {
@@ -135,13 +136,15 @@ class LakeCatalog extends TableCatalog {
     if (!lake.exists(t) && !lake.hasManifest(t) && !lake.hasSchema(t))
       throw new NoSuchTableException(ident)
     version match {
-      case Some(v) => table(t, lake.snapshotEntries(t, v))
+      case Some(v) => table(t, lake.snapshotEntries(t, v),
+        dv = lake.snapshotDvMap(t, v))
       case None => lake.currentEntriesKeyed(t) match {
         // manifest-backed: the (incarnation, version) identity rides
         // along so LakeTable can serve its scan index from the
         // per-version cache instead of rebuilding it per query
         case Some((inc, v, entries)) =>
-          table(t, entries, cacheKey = Some((inc, v)))
+          table(t, entries, cacheKey = Some((inc, v)),
+            dv = lake.dvMapAtCommit(t, v))
         case None => table(t, lake.currentEntries(t))
       }
     }
@@ -149,9 +152,13 @@ class LakeCatalog extends TableCatalog {
 
   /** A [[LakeTable]] over an explicit entry set; `cacheKey` carries
     * the manifest (incarnation, version) identity when the entries
-    * came from the CURRENT manifest (index cacheable). */
+    * came from the CURRENT manifest (index cacheable); `dv` the
+    * deletion vectors current for that entry set (empty = the DSv2
+    * fast path). */
   private def table(t: String, entries: Seq[(String, Long)],
-                    cacheKey: Option[(String, Long)] = None): Table = {
+                    cacheKey: Option[(String, Long)] = None,
+                    dv: Map[String, graft.v3.Dv.Ref] = Map.empty)
+      : Table = {
     // manifest-backed tables are chain_name-laid-out by the adoption
     // contract (requireLakeLayout); a manifest-LESS foreign table may
     // not be — serve it UNPARTITIONED (chain_name read from the file
@@ -162,7 +169,7 @@ class LakeCatalog extends TableCatalog {
       else Seq.empty[String]
     new LakeTable(s"$catalogName.$t", SparkSession.active, lake, t,
       new Path(s"$root/$t"), entries, lake.effectiveSchema(t),
-      partCols, cacheKey)
+      partCols, cacheKey, dv)
   }
 
   override def tableExists(ident: Identifier): Boolean =
@@ -456,7 +463,8 @@ private[graft] class LakeTable(
     entries: Seq[(String, Long)],
     tableSchema: StructType,
     partCols: Seq[String],
-    cacheKey: Option[(String, Long)] = None) extends Table
+    cacheKey: Option[(String, Long)] = None,
+    dv: Map[String, graft.v3.Dv.Ref] = Map.empty) extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -471,12 +479,30 @@ private[graft] class LakeTable(
     * matched rows, and the commit is one manifest transaction
     * (retained, optimistic-concurrency protected). Translatable
     * DELETEs never reach this path — Spark's metadata-only rule
-    * downgrades them to [[deleteWhere]] first. */
+    * downgrades them to [[deleteWhere]] first.
+    *
+    * DELETION-VECTOR tables MATERIALIZE first: the group-based
+    * machinery reads raw files and would resurrect DV'd rows into the
+    * rewritten output. [[graft.v3.Lake.materializeDvs]] is a
+    * rewrite-only commit (row-identical, CDC-invisible), so the
+    * operation then plans over the materialized — logically
+    * identical — state; a vector added between the materialize and
+    * this operation's own commit aborts loudly (replaceStaged's
+    * expects-no-vector check). */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    val (entriesRL, cacheKeyRL) =
+      if (dv.isEmpty) (entries, cacheKey)
+      else {
+        lake.materializeDvs(lakeTable)
+        lake.currentEntriesKeyed(lakeTable) match {
+          case Some((inc, v, es)) => (es, Some((inc, v)))
+          case None => (lake.currentEntries(lakeTable), None)
+        }
+      }
     val op = new LakeRowLevelOperation(spark, lake, lakeTable, tableDir,
-      entries, tableSchema, partCols, info.command, cacheKey)
+      entriesRL, tableSchema, partCols, info.command, cacheKeyRL)
     () => op
   }
 
@@ -550,6 +576,15 @@ private[graft] class LakeTable(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
+    // DELETION-VECTOR tables fall back to a V1Scan over the lake's
+    // own DV-aware plan (the stock DSv2 parquet scan cannot filter
+    // rows by position): pushed filters prune inside it (and Spark
+    // re-applies them above — none are reported handled), required
+    // columns project inside it. DV-free tables — the overwhelming
+    // common case — keep the cached-index DSv2 path byte-identically.
+    if (dv.nonEmpty)
+      return new DvFallbackScanBuilder(spark, tableSchema,
+        () => lake.scanEntriesWithDv(lakeTable, entries, tableSchema, dv))
     val partSchema =
       StructType(tableSchema.fields.filter(f => partCols.contains(f.name)))
     // the index is immutable per manifest version (a version IS a
@@ -609,6 +644,68 @@ private[graft] class LakeTable(
             tableSchema.fieldNames.toSeq.map(org.apache.spark.sql
               .functions.col): _*), lakeTable)
         }
+    }
+}
+
+/** The DV-bearing table's scan: a DSv2 [[ScanBuilder]] wrapping the
+  * lake's own DV-aware DataFrame plan behind Spark's `V1Scan` bridge.
+  * Pushed filters translate back to Columns and prune INSIDE the plan
+  * (partition pruning + data skipping engage there); none are
+  * reported handled, so Spark re-applies them above — idempotent, so
+  * an untranslatable filter costs pruning, never correctness. Column
+  * pruning projects inside. The inner plan is Spark's own parquet
+  * scan plus the codegen'd position filter on exactly the DV'd files
+  * — the V1 bridge relays its InternalRows without conversion. */
+private[graft] class DvFallbackScanBuilder(
+    spark: SparkSession,
+    tableSchema: StructType,
+    buildDf: () => org.apache.spark.sql.DataFrame)
+  extends ScanBuilder
+  with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  private var required: StructType = tableSchema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters
+    filters // all residual: Spark re-applies every one above the scan
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): org.apache.spark.sql.connector.read.Scan =
+    new org.apache.spark.sql.connector.read.V1Scan {
+      override def readSchema(): StructType = required
+      override def toV1TableScan[T <: org.apache.spark.sql.sources
+          .BaseRelation with org.apache.spark.sql.sources.TableScan](
+          context: org.apache.spark.sql.SQLContext): T =
+        new org.apache.spark.sql.sources.BaseRelation
+          with org.apache.spark.sql.sources.TableScan {
+          override def sqlContext: org.apache.spark.sql.SQLContext =
+            context
+          override def schema: StructType = required
+          override def needConversion: Boolean = false
+          override def buildScan()
+              : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+            import org.apache.spark.sql.functions.col
+            val df0 = buildDf()
+            val filtered = pushed.flatMap(LakeTable.filterColumn)
+              .foldLeft(df0)(_.filter(_))
+            filtered.select(required.fieldNames.toSeq.map(col): _*)
+              .queryExecution.toRdd
+              .asInstanceOf[org.apache.spark.rdd
+                .RDD[org.apache.spark.sql.Row]]
+          }
+        }.asInstanceOf[T]
+      override def description(): String = "LakeDvFallbackScan"
     }
 }
 

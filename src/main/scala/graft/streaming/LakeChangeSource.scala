@@ -333,16 +333,18 @@ private[graft] class LakeChangeStream(
   override def commit(end: Offset): Unit = {
     if (checkpointLocation.isEmpty) return
     val v = end.asInstanceOf[LakeCommitOffset].version
-    val dir = new Path(s"$checkpointLocation/__enriched")
-    try {
-      if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
-        val to = st.getPath.getName.stripPrefix("b").split('-')
-          .lastOption.flatMap(_.toLongOption)
-        if (to.exists(_ <= v))
-          try fs.delete(st.getPath, true)
-          catch { case _: java.io.IOException => () }
-      }
-    } catch { case _: java.io.IOException => () }
+    Seq("__enriched", "__changes").foreach { area =>
+      val dir = new Path(s"$checkpointLocation/$area")
+      try {
+        if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+          val to = st.getPath.getName.stripPrefix("b").split('-')
+            .lastOption.flatMap(_.toLongOption)
+          if (to.exists(_ <= v))
+            try fs.delete(st.getPath, true)
+            catch { case _: java.io.IOException => () }
+        }
+      } catch { case _: java.io.IOException => () }
+    }
   }
 
   override def stop(): Unit = ()
@@ -406,17 +408,58 @@ private[graft] class LakeChangeStream(
         // races a dropTable+recreate landing between it and the plan's
         // listing, which would silently emit the NEW table's commits
         // as a continuation of the old feed
-        lake.changePlanBetween(lakeTable, from, to,
-          Option(so.inc).filter(_.nonEmpty)).flatMap {
-          case (v, kind, entries) =>
-            val index = new ManifestPartitioningIndex(spark, tableDir,
-              entries.map(e => (e._2, e._3)), partSchema)
-            ParquetScanBuilder(spark, index, tableSchema, dataSchema,
-                CaseInsensitiveStringMap.empty()).build().toBatch
-              .planInputPartitions()
-              .map(p => TaggedChangePartition(p, kind, v))
-        }.toArray
+        val plan = lake.changePlanBetween(lakeTable, from, to,
+          Option(so.inc).filter(_.nonEmpty))
+        if (plan.forall { case (_, _, fs0) => lake.changeFilesPlain(fs0) })
+          // DV-free range (the overwhelming common case): zero-copy —
+          // each commit side plans straight over its manifest entries
+          plan.flatMap {
+            case (v, kind, entries) =>
+              val index = new ManifestPartitioningIndex(spark, tableDir,
+                entries.map(f => (f.path, f.bytes)), partSchema)
+              ParquetScanBuilder(spark, index, tableSchema, dataSchema,
+                  CaseInsensitiveStringMap.empty()).build().toBatch
+                .planInputPartitions()
+                .map(p => TaggedChangePartition(p, kind, v))
+          }.toArray
+        else
+          // a commit in the range touches deletion vectors (vector'd
+          // removes, dv-grown position diffs): the row set is no
+          // longer a plain union of whole files, so the batch
+          // materializes the DV-aware change feed once under the
+          // checkpoint (same idempotent staging discipline as the
+          // enriched mode; churn-sized, GC'd on engine commit)
+          stagePlan("__changes",
+            lake.changesBetweenCommits(lakeTable, from, to,
+              Option(so.inc).filter(_.nonEmpty)), from, to)
+            .map(p => StagedChangePartition(p): InputPartition)
     }
+  }
+
+  /** Materialize `df` under `<checkpoint>/<area>/b<from>-<to>` (once —
+    * the `_graft_staged` sentinel makes a re-planned batch reuse it)
+    * and plan the staged parquet. Shared by the enriched mode and the
+    * DV-batch fallback. */
+  private def stagePlan(area: String,
+                        df: org.apache.spark.sql.DataFrame,
+                        from: Long, to: Long): Array[InputPartition] = {
+    require(checkpointLocation.nonEmpty,
+      s"lake-changes $area staging needs the stream's checkpointLocation")
+    val stage = new Path(s"$checkpointLocation/$area/b$from-$to")
+    val staged = new Path(stage, "_graft_staged")
+    if (!fs.exists(staged)) {
+      df.write.mode("overwrite").parquet(stage.toString)
+      fs.create(staged, true).close()
+    }
+    val files = fs.listStatus(stage)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => (st.getPath.toString, st.getLen)).toSeq
+    if (files.isEmpty) return Array.empty
+    val index = new ManifestPartitioningIndex(spark, stage, files,
+      new StructType())
+    ParquetScanBuilder(spark, index, outSchema, outSchema,
+        CaseInsensitiveStringMap.empty()).build().toBatch
+      .planInputPartitions()
   }
 
   /** ENRICHED micro-batch plan (`keys=` set): the range's row-grain
@@ -434,36 +477,19 @@ private[graft] class LakeChangeStream(
     * lazily at read time, so non-CDC writers pay nothing. */
   private def planEnriched(so: LakeCommitOffset, from: Long, to: Long,
                            keys: Seq[String]): Array[InputPartition] = {
-    require(checkpointLocation.nonEmpty,
-      "enriched lake-changes needs the stream's checkpointLocation " +
-        "for its churn staging area")
-    val enriched = lake.changesBetweenCommitsEnriched(lakeTable, from, to,
-      keys, Option(so.inc).filter(_.nonEmpty))
-    val stage = new Path(
-      s"$checkpointLocation/__enriched/b$from-$to")
-    // idempotent staging: Spark may plan the SAME batch more than once
-    // (statistics pass, recovery re-plan) — a blind overwrite would
-    // mint new part-file names under partitions already handed out.
-    // The range's content is deterministic from the commit log, so a
-    // completed stage is simply reused; only an absent or torn stage
-    // (crash mid-write) is (re)written. The completion marker is OUR
-    // OWN sentinel, written after the job — _SUCCESS alone would
-    // vanish under mapreduce.fileoutputcommitter.marksuccessfuljobs=
-    // false (common on object stores) and re-arm the blind overwrite.
-    val staged = new Path(stage, "_graft_staged")
-    if (!fs.exists(staged)) {
-      enriched.write.mode("overwrite").parquet(stage.toString)
-      fs.create(staged, true).close()
-    }
-    val files = fs.listStatus(stage)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(st => (st.getPath.toString, st.getLen)).toSeq
-    if (files.isEmpty) return Array.empty
-    val index = new ManifestPartitioningIndex(spark, stage, files,
-      new StructType())
-    ParquetScanBuilder(spark, index, outSchema, outSchema,
-        CaseInsensitiveStringMap.empty()).build().toBatch
-      .planInputPartitions()
+    // idempotent staging (stagePlan): Spark may plan the SAME batch
+    // more than once (statistics pass, recovery re-plan) — a blind
+    // overwrite would mint new part-file names under partitions
+    // already handed out. The range's content is deterministic from
+    // the commit log, so a completed stage is simply reused; only an
+    // absent or torn stage (crash mid-write) is (re)written. The
+    // completion marker is OUR OWN sentinel, written after the job —
+    // _SUCCESS alone would vanish under
+    // mapreduce.fileoutputcommitter.marksuccessfuljobs=false (common
+    // on object stores) and re-arm the blind overwrite.
+    stagePlan("__enriched",
+      lake.changesBetweenCommitsEnriched(lakeTable, from, to,
+        keys, Option(so.inc).filter(_.nonEmpty)), from, to)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -491,8 +517,19 @@ private[graft] class LakeChangeStream(
         val joined = StructType(dataSchema.fields ++ partSchema.fields)
           .add("_change_type", StringType).add("_commit_version", LongType)
         val ordinals = outSchema.fields.map(f => joined.fieldIndex(f.name))
-        TaggedChangeReaderFactory(delegate,
+        val tagged = TaggedChangeReaderFactory(delegate,
           ordinals, joined.fields.map(_.dataType))
+        // DV-batch partitions read their STAGED parquet (tag columns
+        // are real data there): a second passthrough delegate,
+        // dispatched by partition type — batches of both kinds can
+        // interleave across the stream's life
+        val stagedEmpty = new ManifestPartitioningIndex(spark,
+          new Path(s"$checkpointLocation/__changes"), Seq.empty,
+          new StructType())
+        val staged = ParquetScanBuilder(spark, stagedEmpty, outSchema,
+            outSchema, CaseInsensitiveStringMap.empty()).build().toBatch
+          .createReaderFactory()
+        DispatchingChangeReaderFactory(tagged, staged)
     }
 
   override def toString: String =
@@ -537,6 +574,30 @@ private[graft] object LakeChangeStream {
 private[graft] case class TaggedChangePartition(
     delegate: InputPartition, changeType: String, commitVersion: Long)
   extends InputPartition
+
+/** A partition over a batch's STAGED change parquet (the DV-batch
+  * fallback): tag columns are data columns there — plain passthrough. */
+private[graft] case class StagedChangePartition(delegate: InputPartition)
+  extends InputPartition
+
+/** Dispatches per partition kind: tagged manifest-file partitions
+  * through the wrapping factory, staged partitions through the
+  * passthrough one. */
+private[graft] case class DispatchingChangeReaderFactory(
+    tagged: TaggedChangeReaderFactory,
+    staged: PartitionReaderFactory) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    false
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = partition match {
+    case s: StagedChangePartition => staged.createReader(s.delegate)
+    case t: TaggedChangePartition => tagged.createReader(t)
+    case other => throw new IllegalStateException(
+      s"unexpected change partition $other")
+  }
+}
 
 /** Wraps the parquet readers: every delegate row is appended the
   * partition's (changeType, commitVersion) tag and projected into the

@@ -31,13 +31,33 @@ object Lake {
     * REQUIRES as a `#minReader=N[ feature]` header; a build whose
     * supported version is lower refuses the table loudly
     * ([[requireReadable]]) instead of silently misreading a
-    * convention it predates. Pinned at 1: every convention added so
-    * far (delta bodies, `#ts`/`#op`/`#txn`/`#inc` heads, retention
-    * floors, stats sidecars) is SKIP-SAFE for older parsers — heads
-    * are ignored, delta bodies are versioned by file NAME, sidecars
-    * are derived caches. Bump only when that stops being true, and
-    * name the feature after the number so the refusal can say WHY. */
-  val SupportedReaderVersion: Long = 1L
+    * convention it predates.
+    *
+    * Version history: 1 = every pre-r18 convention (delta bodies,
+    * `#ts`/`#op`/`#txn`/`#inc` heads, retention floors, stats
+    * sidecars) — all SKIP-SAFE for older parsers (heads are ignored,
+    * delta bodies are versioned by file NAME, sidecars are derived
+    * caches). 2 = DELETION VECTORS (`#dv` body lines, [[Dv]]): the
+    * first convention that is NOT skip-safe — a v1 parser ignoring
+    * the `#dv` lines would silently RESURRECT deleted rows — so every
+    * commit published while the table's dv map is non-empty stamps
+    * `#minReader=2 deletion-vectors` (deltas included: any fold whose
+    * chain contains dv state reads at least one gated body). Tables
+    * without vectors keep stamping 1, so v1 readers interoperate
+    * until the first merge-on-read delete. */
+  val SupportedReaderVersion: Long = 2L
+
+  /** The writer-protocol twin ([[requireWritable]]): a build whose
+    * supported writer version is below the table's `#minWriter=N`
+    * must not WRITE the table — the failure mode is worse than the
+    * reader's: an old writer's compaction that ignores deletion
+    * vectors rewrites the file WITHOUT the vector's exclusions and
+    * drops the reference, resurrecting deleted rows durably for
+    * every future reader. Version 2 = deletion vectors (the gate is
+    * stamped on every commit while the dv map is non-empty and
+    * checked against the LATEST commit's heads before any write
+    * transaction lands). */
+  val SupportedWriterVersion: Long = 2L
 
   /** The reader-protocol gate: scan a manifest body's LEADING header
     * lines for `#minReader=N[ feature]` and refuse when N exceeds
@@ -83,6 +103,16 @@ object Lake {
   /** Accounting for one [[Lake.vacuum]] run. */
   case class VacuumStats(manifestsDeleted: Int, filesDeleted: Int,
                          bytesFreed: Long)
+
+  /** One file of a change-feed side, with its deletion-vector read
+    * shape: `exclude` = the vector current for the file AT the side's
+    * version (already-deleted rows must not re-emit); `include` =
+    * materialized positions (churn-sized diff — "rows newly deleted
+    * by this commit" / "rows a restore resurrected") — when set, ONLY
+    * those rows read. At most one of the two is set. */
+  private[graft] case class ChangeFile(chain: String, path: String,
+      bytes: Long, exclude: Option[Dv.Ref] = None,
+      include: Option[Array[Long]] = None)
 
   /** A write lost the optimistic-concurrency race: another writer's
     * commit retired files this write had planned against. The write
@@ -151,7 +181,7 @@ object Lake {
 }
 
 class Lake(spark: SparkSession, val root: String) {
-  import Lake.{ScanStats, UpsertStats, VacuumStats}
+  import Lake.{ChangeFile, ScanStats, UpsertStats, VacuumStats}
 
   private def dir(table: String) = s"$root/$table"
 
@@ -210,7 +240,7 @@ class Lake(spark: SparkSession, val root: String) {
         // the new incarnation reaches a previously-cached version
         Option(relationCache.get((table, inc, v, schema))).getOrElse {
           val df = readEntries(table, inventoryAt(table, inc, kinds, v),
-            schema)
+            schema, resolveDvMap(table, inc, kinds, v))
           relationCache.put((table, inc, v, schema), df)
           // purge superseded versions, dead incarnations, AND
           // same-version entries under an evolved-away schema
@@ -237,17 +267,116 @@ class Lake(spark: SparkSession, val root: String) {
     (String, String, Long, StructType), DataFrame]()
 
   /** Plan a scan over exactly `entries` from manifest metadata (no
-    * driver-side filesystem access). */
+    * driver-side filesystem access), filtering each DV-bearing file's
+    * deleted positions out ([[Dv]]). DV-free entry sets (and tables —
+    * `dv` empty is the universal fast path) plan byte-identically to
+    * before; DV'd files split into their own sub-scan whose parquet
+    * metadata columns feed the codegen'd position filter, so only the
+    * DV'd fraction of the table pays the row_index read. */
   private def readEntries(table: String,
                           entries: Seq[(String, String, Long)],
-                          schema: StructType): DataFrame =
+                          schema: StructType,
+                          dv: Map[String, Dv.Ref]): DataFrame = {
+    def plain(es: Seq[(String, String, Long)]): DataFrame =
+      inSchemaOrder(graft.plans.ManifestFileIndex.relation(
+        spark, new Path(dir(table)), es.map(e => (e._2, e._3)),
+        schema, Seq("chain_name"),
+        stats = Some(statsProvider(table))), schema)
     if (entries.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else inSchemaOrder(graft.plans.ManifestFileIndex.relation(
-      spark, new Path(dir(table)), entries.map(e => (e._2, e._3)),
-      schema, Seq("chain_name"),
-      stats = Some(statsProvider(table))), schema)
+    else if (dv.isEmpty) plain(entries)
+    else {
+      val (dvd, clean) =
+        entries.partition(e => dv.contains(relAnywhere(e._2)))
+      if (dvd.isEmpty) plain(entries)
+      else {
+        val filtered = inSchemaOrder(
+          dvExcludeScan(table, dvd.map(e => (e._2, e._3)), schema,
+            p => dv.get(relAnywhere(p)),
+            partitioned = true), schema)
+        if (clean.isEmpty) filtered
+        else plain(clean).unionByName(filtered)
+      }
+    }
+  }
+
+  /** A scan over exactly `files` (absPath, bytes) with each file's
+    * deletion vector applied as a codegen'd metadata-column filter:
+    * the vectors load lazily on the EXECUTORS (the plan carries only
+    * their paths). `partitioned` = files live under `chain_name=`
+    * dirs (the lake layout); false plans them unpartitioned (staged
+    * change files). Column order is the relation's (data-then-
+    * partition) — callers re-select. */
+  private def dvExcludeScan(table: String, files: Seq[(String, Long)],
+                            schema: StructType,
+                            refFor: String => Option[Dv.Ref],
+                            partitioned: Boolean): DataFrame = {
+    val sel: Map[String, graft.functions.DvSel] = files.flatMap {
+      case (p, _) => refFor(p).map(r =>
+        new Path(p).toUri.getPath ->
+          graft.functions.ExcludeDv(dvFilePath(table, r.name)))
+    }.toMap
+    val rel = graft.plans.ManifestFileIndex.relation(
+      spark, new Path(dir(table)), files, schema,
+      if (partitioned) Seq("chain_name") else Seq.empty,
+      stats = Some(statsProvider(table)))
+    rel.filter(dvSelectCol(sel))
+  }
+
+  /** The DV row-selection Column over the parquet metadata columns. */
+  private def dvSelectCol(sel: Map[String, graft.functions.DvSel])
+      : org.apache.spark.sql.Column =
+    graft.functions.DvRowSelect.selectCol(spark,
+      col("_metadata.file_path"), col("_metadata.row_index"), sel,
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+
+  /** [[readEntries]] with the parquet metadata columns surfaced as
+    * `__file` (the raw file-path string) and `__idx` (the row's
+    * physical position in its file) — the DELETE/upsert planners'
+    * position-harvest scan. Deletion vectors applied, so an
+    * already-deleted row can neither count nor match again. */
+  private def scanWithMeta(table: String,
+                           entries: Seq[(String, String, Long)],
+                           schema: StructType,
+                           dv: Map[String, Dv.Ref]): DataFrame = {
+    val metaCols = Seq(col("_metadata.file_path").as("__file"),
+      col("_metadata.row_index").as("__idx"))
+    def project(df: DataFrame): DataFrame =
+      df.select(schema.fieldNames.toSeq.map(col) ++ metaCols: _*)
+    def relate(es: Seq[(String, String, Long)]) =
+      graft.plans.ManifestFileIndex.relation(
+        spark, new Path(dir(table)), es.map(e => (e._2, e._3)),
+        schema, Seq("chain_name"), stats = Some(statsProvider(table)))
+    val (dvd, clean) =
+      if (dv.isEmpty) (Seq.empty[(String, String, Long)], entries)
+      else entries.partition(e => dv.contains(relAnywhere(e._2)))
+    val parts = Seq.newBuilder[DataFrame]
+    if (clean.nonEmpty) parts += project(relate(clean))
+    if (dvd.nonEmpty) {
+      val sel: Map[String, graft.functions.DvSel] = dvd.map(e =>
+        new Path(e._2).toUri.getPath -> (graft.functions.ExcludeDv(
+          dvFilePath(table, dv(relAnywhere(e._2)).name))
+          : graft.functions.DvSel)).toMap
+      parts += project(relate(dvd).filter(dvSelectCol(sel)))
+    }
+    parts.result().reduce(_.unionByName(_))
+  }
+
+  /** The merge-on-read knobs: a touched file takes a deletion vector
+    * instead of a copy-on-write rewrite when its deleted-row fraction
+    * is ≤ `dv.maxFraction` (default 0 = CoW always — vectors are
+    * per-table OPT-IN, the published formats' posture) and the
+    * commit's total harvested positions stay under
+    * `dv.maxPositionsPerCommit` (driver-heap bound; beyond it files
+    * demote to CoW, loudly counted in the stats). */
+  private def dvKnobs(table: String): (Double, Long) = {
+    val props = tableProperties(table)
+    (props.get("dv.maxFraction").flatMap(_.toDoubleOption).getOrElse(0.0),
+      props.get("dv.maxPositionsPerCommit").flatMap(_.toLongOption)
+        .getOrElse(10000000L))
+  }
 
   /** Append one ingested segment: the caller's partitioning lands as
     * part files under each chain directory (the segment-capped ingest
@@ -295,7 +424,10 @@ class Lake(spark: SparkSession, val root: String) {
                               intruderGuard: Seq[(String, String, Long)] => Unit =
                                 _ => (),
                               afterPublish: () => Unit = () => (),
-                              extraHeads: Seq[String] = Seq.empty)
+                              extraHeads: Seq[String] = Seq.empty,
+                              dvChanges: Map[String, Dv.Ref] = Map.empty,
+                              dvExpected: Map[String, Option[Dv.Ref]] =
+                                Map.empty)
       : Seq[(String, Long)] = {
     val stagedParts =
       if (!fs.exists(tmp)) Array.empty[org.apache.hadoop.fs.FileStatus]
@@ -303,7 +435,8 @@ class Lake(spark: SparkSession, val root: String) {
         .filter(_.getPath.getName.startsWith("chain_name="))
     preCommitHook()
     manifestTxn(table, what, removedAbs, plannedChains, plannedRel,
-        intruderGuard, afterPublish, extraHeads = extraHeads) {
+        intruderGuard, afterPublish, extraHeads = extraHeads,
+        dvChanges = dvChanges, dvExpected = dvExpected) {
       val landed = scala.collection.mutable.ArrayBuffer.empty[(Path, Long)]
       val allLanded = stagedParts.forall { part =>
         // the staged dir name is already Hive-escaped by Spark's write
@@ -983,36 +1116,189 @@ class Lake(spark: SparkSession, val root: String) {
     new java.util.concurrent.ConcurrentHashMap[(String, String, Long),
       Seq[(String, Long)]]()
 
+  // ── Deletion vectors: the manifest's `#dv` state ───────────────────
+  //
+  // A data file's current deletion vector ([[Dv]]) is COMMIT STATE —
+  // it decides which rows exist — so it rides the manifest log, never
+  // a side channel: checkpoints carry the full map as
+  // `#dv=relB64 TAB name TAB cardinality` lines, deltas carry
+  // `#dv+=` (set/replace) and `#dv-=` (drop — written exactly for the
+  // files the same commit removes, plus restore's explicit drops).
+  // '#'-prefixed lines are invisible to pre-dv parsers, which is why
+  // dv-bearing commits ALSO stamp `#minReader=2 deletion-vectors`
+  // (ignoring the lines would resurrect deleted rows) and
+  // `#minWriter=2 deletion-vectors` (an old compactor would
+  // materialize-without-vector). Tables without vectors publish
+  // byte-identical manifests to r17 and skip every dv code path via
+  // the `#dvs=` head (zero extra I/O).
+
+  /** Folded dv maps keyed by (table, incarnation, version) — same
+    * immutability and purge rules as [[manifestCache]]. */
+  private val dvMapCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Long),
+      Map[String, Dv.Ref]]()
+
+  private def dvDir(table: String) = new Path(s"$root/_dv/$table")
+
+  /** Absolute path of a table's dv sidecar file. */
+  private[v3] def dvFilePath(table: String, name: String): String =
+    s"$root/_dv/$table/$name"
+
+  /** Write a new deletion-vector sidecar (UUID-named, immutable,
+    * unreferenced until its manifest transaction publishes — a crash
+    * leaves an invisible orphan for [[vacuum]]'s dv sweep). */
+  private[v3] def writeDvFile(table: String,
+                              positions: Array[Long]): Dv.Ref = {
+    val d = dvDir(table)
+    fs.mkdirs(d)
+    val name = s"dv-${java.util.UUID.randomUUID()}.dv"
+    val out = fs.create(new Path(d, name), false)
+    try out.write(Dv.serialize(positions)) finally out.close()
+    Dv.Ref(name, positions.length.toLong)
+  }
+
+  /** Driver-side positions of a vector (cached in [[Dv.positions]]). */
+  private[v3] def dvPositions(table: String, ref: Dv.Ref): Array[Long] =
+    Dv.positions(spark.sparkContext.hadoopConfiguration,
+      dvFilePath(table, ref.name))
+
+  private def parseDvFull(body: String): Map[String, Dv.Ref] =
+    body.split("\n").iterator.filter(_.startsWith("#dv="))
+      .map { l =>
+        val f = l.stripPrefix("#dv=").split('\t')
+        (new String(unb64(f(0)), "UTF-8"), Dv.Ref(f(1), f(2).toLong))
+      }.toMap
+
+  private def parseDvDelta(body: String)
+      : (Map[String, Dv.Ref], Set[String]) = {
+    val adds = Map.newBuilder[String, Dv.Ref]
+    val drops = Set.newBuilder[String]
+    body.split("\n").foreach { l =>
+      if (l.startsWith("#dv+=")) {
+        val f = l.stripPrefix("#dv+=").split('\t')
+        adds += ((new String(unb64(f(0)), "UTF-8"),
+          Dv.Ref(f(1), f(2).toLong)))
+      } else if (l.startsWith("#dv-="))
+        drops += new String(unb64(l.stripPrefix("#dv-=")), "UTF-8")
+    }
+    (adds.result(), drops.result())
+  }
+
+  /** The dv map at commit version `v`: rel path → current vector.
+    * Zero body I/O for dv-less tables/versions (the `#dvs=` head,
+    * one cached bounded read, answers "empty" directly); dv-bearing
+    * versions fold from the nearest checkpoint / cached fold through
+    * only the dv-CHANGING delta bodies (`#dvc=` head). `cache=false`
+    * for historical walks (vacuum's pin pass) that must not thrash
+    * the latest-version cache. */
+  private[v3] def resolveDvMap(table: String, inc: String,
+                               kinds: Seq[(Long, Boolean)], v: Long,
+                               cache: Boolean = true)
+      : Map[String, Dv.Ref] = {
+    val cached = dvMapCache.get((table, inc, v))
+    if (cached != null) return cached
+    def isDelta(w: Long): Boolean = kinds.find(_._1 == w).exists(_._2)
+    def headsOf(w: Long): Heads = commitHeads(table, inc, w, isDelta(w))
+    val result: Map[String, Dv.Ref] =
+      if (headsOf(v).dvs == 0L) Map.empty
+      else {
+        // back to the nearest reusable base: a cached fold, a
+        // checkpoint, or any version whose #dvs head says empty
+        var base = v
+        var cachedBase: Map[String, Dv.Ref] = null
+        while (isDelta(base) && headsOf(base).dvs != 0L && {
+          cachedBase = dvMapCache.get((table, inc, base))
+          cachedBase == null
+        }) {
+          require(kinds.exists(_._1 == base - 1),
+            s"manifest delta v$base of $table has no base v${base - 1} " +
+              "- commit-log chain broken; refreshManifest to recover")
+          base -= 1
+        }
+        var state: Map[String, Dv.Ref] =
+          if (cachedBase != null) cachedBase
+          else if (headsOf(base).dvs == 0L) Map.empty
+          else parseDvFull(readManifestBody(table, base, isDelta = false))
+        ((base + 1) to v).foreach { w =>
+          if (!isDelta(w))
+            state = parseDvFull(readManifestBody(table, w, isDelta = false))
+          else if (headsOf(w).dvc) {
+            val (adds, drops) =
+              parseDvDelta(readManifestBody(table, w, isDelta = true))
+            state = state -- drops ++ adds
+          }
+        }
+        state
+      }
+    if (cache) {
+      dvMapCache.put((table, inc, v), result)
+      dvMapCache.keySet.removeIf(k => k._1 == table &&
+        (k._2 != inc || k._3 < v))
+    }
+    result
+  }
+
+  /** The CURRENT dv map of a table (rel → vector); empty when the
+    * table has no manifest or no vectors. */
+  private[graft] def dvMapOf(table: String): Map[String, Dv.Ref] = {
+    val (kinds, inc) = manifestState(table)
+    kinds.lastOption.map { case (v, _) =>
+      resolveDvMap(table, inc, kinds, v)
+    }.getOrElse(Map.empty)
+  }
+
+  /** The dv map at a RETAINED commit version — `TIMESTAMP AS OF` /
+    * CDC replays resolve historical vectors here. */
+  private[graft] def dvMapAtCommit(table: String,
+                                   version: Long): Map[String, Dv.Ref] = {
+    val (kinds, inc) = manifestState(table)
+    if (!kinds.exists(_._1 == version)) Map.empty
+    else resolveDvMap(table, inc, kinds, version)
+  }
+
+  /** The `chain_name=…/file` table-relative tail of any lake path —
+    * live OR retired (retirement preserves the relative path) — the
+    * key the dv map is stored under. */
+  private def relAnywhere(path: String): String = {
+    val i = path.indexOf("chain_name=")
+    if (i < 0) path else path.substring(i)
+  }
+
   // ── Commit-time travel: TIMESTAMP AS OF over the commit log ────────
+
+  /** Parsed leading headers of one commit: `ts` = -1 encodes "no ts
+    * header", `op`/`txn` "" = none; `minWriter` = -1 none (pre-gate
+    * commit = version 1 by construction); `dvs` = the RESULTING
+    * deletion-vector count the commit left the table with (0 = none —
+    * the flag that lets dv-less tables skip every dv body read);
+    * `dvc` = this DELTA commit carries `#dv+=`/`#dv-=` change lines
+    * (the fold reads only such bodies). */
+  private case class Heads(ts: Long, op: String, txn: String,
+                           minWriter: Long, minWriterFeature: String,
+                           dvs: Long, dvc: Boolean)
 
   /** Commit headers of one manifest version — the `#ts=` wall-clock
     * and the `#op=` operation kind its publish wrote; None/"" for
     * versions committed before the headers existed. One bounded read
     * of the LEADING header lines only — a checkpoint body at 10⁶
-    * files is megabytes, the headers are its first ~48 bytes. Cached
-    * per (table, incarnation, version): immutable once published.
-    * ts = -1 encodes "no ts header"; op = "" encodes "no op header". */
+    * files is megabytes, the headers are its first ~100 bytes. Cached
+    * per (table, incarnation, version): immutable once published. */
   private val commitHeaderCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, Long), (Long, String, String)]()
+    (String, String, Long), Heads]()
 
   private def commitHeaderOf(table: String, inc: String, v: Long,
                              isDelta: Boolean,
                              strict: Boolean = false)
       : (Option[Long], String) = {
-    val t = commitHeaderFull(table, inc, v, isDelta, strict)
-    (t._1, t._2)
+    val h = commitHeads(table, inc, v, isDelta, strict)
+    (if (h.ts < 0L) None else Some(h.ts), h.op)
   }
 
-  /** (ts, op, txn) — txn is the `#txn=appId:batchId` idempotence
-    * marker a streaming-sink commit carries ("" = none). */
-  private def commitHeaderFull(table: String, inc: String, v: Long,
-                               isDelta: Boolean,
-                               strict: Boolean = false)
-      : (Option[Long], String, String) = {
+  private def commitHeads(table: String, inc: String, v: Long,
+                          isDelta: Boolean,
+                          strict: Boolean = false): Heads = {
     val cached = commitHeaderCache.get((table, inc, v))
-    if (cached != null)
-      return (if (cached._1 < 0L) None else Some(cached._1), cached._2,
-        cached._3)
+    if (cached != null) return cached
     val name = if (isDelta) f"v$v%09d.d.txt" else f"v$v%09d.txt"
     // a concurrent checkpoint publish's retention cut can delete the
     // oldest listed version between the caller's (unlocked) listing
@@ -1024,13 +1310,17 @@ class Lake(spark: SparkSession, val root: String) {
     val in = try fs.open(new Path(manifestDir(table), name))
     catch {
       case e: java.io.FileNotFoundException =>
-        if (strict) throw e else return (None, "", "")
+        if (strict) throw e
+        else return Heads(-1L, "", "", -1L, "", 0L, dvc = false)
     }
+    // the HEAD lines come first by the publish contract; `#dv`
+    // body lines are also '#'-prefixed, so cap the scan — 10 lines
+    // cover every head the publisher writes
     val heads = try {
       val rd = new java.io.BufferedReader(
-        new java.io.InputStreamReader(in, "UTF-8"), 512)
+        new java.io.InputStreamReader(in, "UTF-8"), 1024)
       Iterator.continually(Option(rd.readLine()).getOrElse(""))
-        .takeWhile(_.startsWith("#")).take(6).toSeq
+        .takeWhile(_.startsWith("#")).take(10).toSeq
     } finally in.close()
     val ts = heads.find(_.startsWith("#ts="))
       .flatMap(_.stripPrefix("#ts=").toLongOption)
@@ -1038,7 +1328,20 @@ class Lake(spark: SparkSession, val root: String) {
       .map(_.stripPrefix("#op=")).getOrElse("")
     val txn = heads.find(_.startsWith("#txn="))
       .map(_.stripPrefix("#txn=")).getOrElse("")
-    commitHeaderCache.put((table, inc, v), (ts.getOrElse(-1L), op, txn))
+    val (minW, minWFeat) = heads.find(_.startsWith("#minWriter="))
+      .map { l =>
+        val rest = l.stripPrefix("#minWriter=")
+        val cut = rest.indexOf(' ')
+        if (cut < 0) (rest.trim.toLongOption.getOrElse(Long.MaxValue), "")
+        else (rest.substring(0, cut).trim.toLongOption
+          .getOrElse(Long.MaxValue), rest.substring(cut + 1).trim)
+      }.getOrElse((-1L, ""))
+    val dvs = heads.find(_.startsWith("#dvs="))
+      .flatMap(_.stripPrefix("#dvs=").toLongOption).getOrElse(0L)
+    val dvc = heads.exists(_.startsWith("#dvc="))
+    val parsed = Heads(ts.getOrElse(-1L), op, txn, minW, minWFeat,
+      dvs, dvc)
+    commitHeaderCache.put((table, inc, v), parsed)
     if (commitHeaderCache.size > 4096) {
       // evict this table's dead-incarnation entries first (the key
       // just inserted survives — the former evict-all-of-this-table
@@ -1066,18 +1369,43 @@ class Lake(spark: SparkSession, val root: String) {
           .foreach(commitHeaderCache.remove)
       }
     }
-    (ts, op, txn)
+    parsed
   }
 
   private def commitTimeOf(table: String, inc: String, v: Long,
                            isDelta: Boolean): Option[Long] =
     commitHeaderOf(table, inc, v, isDelta)._1
 
+  /** The writer-protocol gate ([[Lake.SupportedWriterVersion]]): the
+    * LATEST commit's `#minWriter=N[ feature]` head — stamped on every
+    * commit while the table carries deletion vectors — must not
+    * exceed this build's supported version, or any write (append,
+    * upsert, delete, compaction, refresh) could corrupt a convention
+    * it predates (a DV-ignorant compactor resurrects deleted rows).
+    * Checked under the commit lock, before anything lands. */
+  private def requireWritable(table: String, kinds: Seq[(Long, Boolean)],
+                              inc: String): Unit =
+    kinds.lastOption.foreach { case (v, d) =>
+      val h = commitHeads(table, inc, v, d)
+      if (h.minWriter > Lake.SupportedWriterVersion)
+        throw new IllegalStateException(
+          s"table $table requires writer protocol version " +
+            s"${h.minWriter}" +
+            (if (h.minWriterFeature.nonEmpty)
+              s" (feature: ${h.minWriterFeature})" else "") +
+            s", but this build supports ${Lake.SupportedWriterVersion} " +
+            "- upgrade before writing this table; refusing rather than " +
+            "corrupting a convention this writer predates")
+    }
+
   /** The operations whose commits swap files WITHOUT changing row
     * content (`dataChange = false` in the published formats' terms):
     * change feeds must exclude their file swaps, or every compaction
-    * would surface the whole rewritten table as delete+insert pairs. */
-  private[v3] val rewriteOps = Set("compaction", "clustering")
+    * would surface the whole rewritten table as delete+insert pairs.
+    * `dv-materialize` rewrites a DV-bearing file through its vector
+    * and drops the reference — byte-different, row-identical. */
+  private[v3] val rewriteOps = Set("compaction", "clustering",
+    "dv-materialize")
 
   /** The retained commit log as an operator-facing history: (version,
     * commit wall-clock, operation kind, isDelta), ascending — what a
@@ -1227,7 +1555,7 @@ class Lake(spark: SparkSession, val root: String) {
     val schema = effectiveSchema(table)
     readEntries(table,
       entriesAtCommit(table, v).map { case (p, b) => (chainOfRel(p), p, b) },
-      schema)
+      schema, dvMapAtCommit(table, v))
   }
 
   /** Partition value parsed from a path (manifest-relative or
@@ -1328,6 +1656,46 @@ class Lake(spark: SparkSession, val root: String) {
     * consumers join deletes against their state by key; pure-append
     * history yields inserts only ([[readSince]] is the cheaper
     * special case). */
+  /** Whether a planned batch needs deletion-vector handling at all —
+    * the streaming source's fast-path test (a DV-free range keeps the
+    * zero-copy per-file partition plan). */
+  private[graft] def changeFilesPlain(fs0: Seq[Lake.ChangeFile]): Boolean =
+    fs0.forall(f => f.exclude.isEmpty && f.include.isEmpty)
+
+  /** Scan a change side: plain files through the manifest relation,
+    * DV'd files through the exclude filter, diff legs through the
+    * include filter — one union, schema order restored. */
+  private[graft] def readChangeFiles(table: String,
+      files: Seq[ChangeFile], schema: StructType): DataFrame = {
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val plain = files.filter(f => f.exclude.isEmpty && f.include.isEmpty)
+    val excl = files.filter(_.exclude.isDefined)
+    val incl = files.filter(_.include.isDefined)
+    def relate(fs0: Seq[ChangeFile]) =
+      graft.plans.ManifestFileIndex.relation(
+        spark, new Path(dir(table)), fs0.map(f => (f.path, f.bytes)),
+        schema, Seq("chain_name"), stats = Some(statsProvider(table)))
+    val parts = Seq.newBuilder[DataFrame]
+    if (plain.nonEmpty) parts += inSchemaOrder(relate(plain), schema)
+    if (excl.nonEmpty) {
+      val byPath = excl.map(f =>
+        relAnywhere(f.path) -> f.exclude.get).toMap
+      parts += inSchemaOrder(dvExcludeScan(table,
+        excl.map(f => (f.path, f.bytes)), schema,
+        p => byPath.get(relAnywhere(p)), partitioned = true), schema)
+    }
+    if (incl.nonEmpty) {
+      val sel: Map[String, graft.functions.DvSel] = incl.map(f =>
+        new Path(f.path).toUri.getPath ->
+          graft.functions.IncludePositions(f.include.get)).toMap
+      parts += inSchemaOrder(
+        relate(incl).filter(dvSelectCol(sel)), schema)
+    }
+    parts.result().reduce(_.unionByName(_))
+  }
+
   def tableChanges(table: String, fromVersion: Long,
                    toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion,
@@ -1406,15 +1774,60 @@ class Lake(spark: SparkSession, val root: String) {
         "(the commit-grain feed excludes rewrites), or snapshot on " +
         "either side of maintenance: " + churned.take(3).mkString(", "))
     val schema = effectiveSchema(table)
-    def side(rels: Seq[String], kind: String): DataFrame =
-      readEntries(table,
-        resolveLiveOrRetired(table, rels.sorted,
-          s"table_changes($fromVersion, $toVersion)")
-          .map { case (p, b) => (chainOfRel(p), p, b) }, schema)
+    // each side reads through ITS snapshot's pinned deletion vectors
+    // (a row already deleted at pin time is not part of the diff),
+    // and files common to both snapshots whose VECTOR changed emit
+    // the position-diff rows — the merge-on-read delete's snapshot
+    // diff, which a bare file-set diff cannot see
+    val dvFrom = parseSnapshotDvMap(fromBody)
+    val dvTo = parseSnapshotDvMap(toBody)
+    def files(rels: Seq[String], dvPin: Map[String, Dv.Ref],
+              include: Map[String, Array[Long]] = Map.empty)
+        : Seq[ChangeFile] =
+      resolveLiveOrRetired(table, rels.sorted,
+        s"table_changes($fromVersion, $toVersion)")
+        .map { case (p, b) =>
+          val rel = relAnywhere(p)
+          include.get(rel) match {
+            case Some(ps) => ChangeFile(chainOfRel(p), p, b,
+              include = Some(ps))
+            case None => ChangeFile(chainOfRel(p), p, b,
+              exclude = dvPin.get(rel))
+          }
+        }
+    def side(fs0: Seq[ChangeFile], kind: String): DataFrame =
+      readChangeFiles(table, fs0, schema)
         .withColumn("_change_type", lit(kind))
-    side((from -- to).toSeq, "delete")
-      .unionByName(side((to -- from).toSeq, "insert"))
+    val common = (from & to).toSeq
+    val grown = common.flatMap { rel =>
+      if (dvFrom.get(rel) == dvTo.get(rel)) None
+      else {
+        val cur = dvTo.get(rel).map(dvPositions(table, _))
+          .getOrElse(Array.empty[Long])
+        val prev = dvFrom.get(rel).map(dvPositions(table, _))
+          .getOrElse(Array.empty[Long])
+        Some((rel, Dv.minus(cur, prev), Dv.minus(prev, cur)))
+      }
+    }
+    val delFiles = files((from -- to).toSeq, dvFrom) ++
+      files(grown.collect { case (r, d, _) if d.nonEmpty => r },
+        dvFrom, grown.collect { case (r, d, _) if d.nonEmpty =>
+          (r, d) }.toMap)
+    val insFiles = files((to -- from).toSeq, dvTo) ++
+      files(grown.collect { case (r, _, u) if u.nonEmpty => r },
+        dvTo, grown.collect { case (r, _, u) if u.nonEmpty =>
+          (r, u) }.toMap)
+    side(delFiles, "delete").unionByName(side(insFiles, "insert"))
   }
+
+  /** The dv map a snapshot body pinned (`#dv=` lines; empty for
+    * pre-dv snapshots). */
+  private def parseSnapshotDvMap(body: Seq[String])
+      : Map[String, Dv.Ref] =
+    body.filter(_.startsWith("#dv=")).map { l =>
+      val f = l.stripPrefix("#dv=").split('\t')
+      (new String(unb64(f(0)), "UTF-8"), Dv.Ref(f(1), f(2).toLong))
+    }.toMap
 
   /** Table-relative paths swapped by RETAINED rewrite-only commits,
     * split by side: (what rewrites REMOVED, what they ADDED) —
@@ -1494,7 +1907,7 @@ class Lake(spark: SparkSession, val root: String) {
     val parts =
       changePlanBetween(table, fromVersion, toVersion, expectedIncarnation)
       .map { case (v, kind, entries) =>
-        readEntries(table, entries, schema)
+        readChangeFiles(table, entries, schema)
           .withColumn("_change_type", lit(kind))
           .withColumn("_commit_version", lit(v))
       }
@@ -1607,12 +2020,12 @@ class Lake(spark: SparkSession, val root: String) {
       val ins = sides.find(_._2 == "insert").map(_._3)
       (del, ins) match {
         case (Some(d), None) =>
-          tagged(readEntries(table, d, schema), "delete", v)
+          tagged(readChangeFiles(table, d, schema), "delete", v)
         case (None, Some(a)) =>
-          tagged(readEntries(table, a, schema), "insert", v)
+          tagged(readChangeFiles(table, a, schema), "insert", v)
         case (Some(d), Some(a)) =>
-          val pre = readEntries(table, d, schema)
-          val post = readEntries(table, a, schema)
+          val pre = readChangeFiles(table, d, schema)
+          val post = readChangeFiles(table, a, schema)
           val payloadType = StructType(schema.fields)
           val chType = ArrayType(StructType(Seq(
             StructField("t", StringType),
@@ -1658,7 +2071,7 @@ class Lake(spark: SparkSession, val root: String) {
     * [[changesBetweenCommits]]). */
   private[graft] def changePlanBetween(table: String, fromVersion: Long,
       toVersion: Long, expectedIncarnation: Option[String] = None)
-      : Seq[(Long, String, Seq[(String, String, Long)])] = {
+      : Seq[(Long, String, Seq[ChangeFile])] = {
     require(fromVersion <= toVersion,
       s"changesBetweenCommits of $table needs fromVersion <= toVersion " +
         s"(got $fromVersion > $toVersion)")
@@ -1718,14 +2131,56 @@ class Lake(spark: SparkSession, val root: String) {
             val cur = resolveManifest(table, inc, kinds, v).map(_._1).toSet
             ((cur -- prev).toSeq, (prev -- cur).toSeq)
           }
-        def side(rels: Seq[String], kind: String)
-            : Option[(Long, String, Seq[(String, String, Long)])] =
-          if (rels.isEmpty) None
-          else Some((v, kind,
-            resolveLiveOrRetired(table, rels.sorted,
-              s"changesBetweenCommits($fromVersion, $toVersion)")
-              .map { case (p, b) => (chainOfRel(p), p, b) }))
-        side(removed, "delete").toSeq ++ side(added, "insert")
+        // deletion-vector state around the commit: a removed file's
+        // rows read through the vector it carried BEFORE the commit
+        // (already-deleted rows must not re-emit as deletes); a
+        // surviving file whose vector CHANGED emits its position
+        // diffs — newly-deleted rows as deletes, restore-resurrected
+        // rows as inserts. `#dvs` heads make this free for dv-less
+        // history (both maps resolve empty without body reads).
+        val dvPrev = if (v == 1) Map.empty[String, Dv.Ref]
+          else resolveDvMap(table, inc, kinds, v - 1)
+        val dvCur = resolveDvMap(table, inc, kinds, v)
+        val addedSet = added.toSet
+        val removedSet = removed.toSet
+        val grown = (dvPrev.keySet ++ dvCur.keySet).toSeq.sorted
+          .filterNot(r => addedSet(r) || removedSet(r))
+          .flatMap { rel =>
+            if (dvPrev.get(rel) == dvCur.get(rel)) None
+            else {
+              val cur = dvCur.get(rel).map(dvPositions(table, _))
+                .getOrElse(Array.empty[Long])
+              val prev = dvPrev.get(rel).map(dvPositions(table, _))
+                .getOrElse(Array.empty[Long])
+              Some((rel, Dv.minus(cur, prev), Dv.minus(prev, cur)))
+            }
+          }
+        def files(rels: Seq[String], dvPin: Map[String, Dv.Ref],
+                  include: Map[String, Array[Long]] = Map.empty)
+            : Seq[ChangeFile] =
+          resolveLiveOrRetired(table, rels.sorted,
+            s"changesBetweenCommits($fromVersion, $toVersion)")
+            .map { case (p, b) =>
+              val rel = relAnywhere(p)
+              include.get(rel) match {
+                case Some(ps) => ChangeFile(chainOfRel(p), p, b,
+                  include = Some(ps))
+                case None => ChangeFile(chainOfRel(p), p, b,
+                  exclude = dvPin.get(rel))
+              }
+            }
+        val delFiles = files(removed, dvPrev) ++
+          files(grown.collect { case (r, d, _) if d.nonEmpty => r },
+            dvPrev, grown.collect { case (r, d, _) if d.nonEmpty =>
+              (r, d) }.toMap)
+        val insFiles = files(added, dvCur) ++
+          files(grown.collect { case (r, _, u) if u.nonEmpty => r },
+            dvCur, grown.collect { case (r, _, u) if u.nonEmpty =>
+              (r, u) }.toMap)
+        def side(fs0: Seq[ChangeFile], kind: String)
+            : Option[(Long, String, Seq[ChangeFile])] =
+          if (fs0.isEmpty) None else Some((v, kind, fs0))
+        side(delFiles, "delete").toSeq ++ side(insFiles, "insert")
       }
     }
   }
@@ -1965,7 +2420,9 @@ class Lake(spark: SparkSession, val root: String) {
                               delta: Option[(Seq[(String, Long)],
                                 Set[String])] = None,
                               what: String = "",
-                              extraHeads: Seq[String] = Seq.empty): Long = {
+                              extraHeads: Seq[String] = Seq.empty,
+                              dvChanges: Map[String, Dv.Ref] = Map.empty,
+                              dvDrops: Set[String] = Set.empty): Long = {
     val d = manifestDir(table)
     val (kinds, inc0) = manifestState(table)
     // first publish of this incarnation: mint the `.id-` marker the
@@ -1986,6 +2443,26 @@ class Lake(spark: SparkSession, val root: String) {
       added.size + removed.size < entries.size }
     val asDelta = delta.isDefined && kinds.nonEmpty &&
       deltasSinceCheckpoint < checkpointEvery && deltaSmaller
+    // ── resulting deletion-vector state ──
+    // prev map − (explicit drops ∪ refs whose data file this commit
+    // removes) + this commit's new/replaced vectors; restricted to
+    // the final entry set (a checkpoint published from a listing may
+    // have lost files behind the manifest's back). The data file of
+    // every CHANGED vector must be in the final set — a dangling ref
+    // is a planning-time wrong result, refuse at the source.
+    val entryRelSet = entries.map(_._1).toSet
+    require(dvChanges.keySet.subsetOf(entryRelSet),
+      s"dv publish of $table names data file(s) outside the manifest: " +
+        dvChanges.keySet.diff(entryRelSet).take(3).mkString(", "))
+    val prevDv: Map[String, Dv.Ref] = kinds.lastOption.map {
+      case (pv, _) => resolveDvMap(table, inc0, kinds, pv)
+    }.getOrElse(Map.empty)
+    val removedRelSet = delta.map(_._2).getOrElse(Set.empty)
+    val dropSet = dvDrops ++ prevDv.keySet.intersect(removedRelSet)
+    val resultDv = (prevDv -- dropSet ++ dvChanges)
+      .filter { case (rel, _) => entryRelSet(rel) }
+    val dvGated = resultDv.nonEmpty
+    val dvChanged = dvChanges.nonEmpty || dropSet.nonEmpty
     // every commit leads with `#ts=<epoch-millis>` (the wall-clock
     // `TIMESTAMP AS OF` resolves against — [[versionAtTimestamp]]) and
     // `#op=<operation>` (what committed this version — compaction and
@@ -2001,19 +2478,49 @@ class Lake(spark: SparkSession, val root: String) {
     // so N is pinned at [[Lake.SupportedReaderVersion]] = 1.
     // [[readManifestBody]] refuses a higher N loudly, naming the
     // feature the writer recorded after the number.
+    // the reader gate records what the table REQUIRES, not what this
+    // build supports: 2 only while deletion vectors exist (the first
+    // non-skip-safe convention), else 1 — so dv-less tables stay
+    // readable by v1 builds. Deltas normally carry no gate; a
+    // dv-gated delta MUST (any fold containing dv state reads it).
+    // The writer gate rides every dv-gated commit for the same
+    // reason, checked by [[requireWritable]] against the LATEST
+    // commit — which this stamping discipline makes sufficient.
+    val minReaderHead =
+      if (!asDelta)
+        Seq(if (dvGated) "#minReader=2 deletion-vectors"
+        else s"#minReader=1")
+      else if (dvGated) Seq("#minReader=2 deletion-vectors")
+      else Seq.empty
     val heads = Seq(s"#ts=${System.currentTimeMillis()}") ++
       (if (what.nonEmpty) Seq(s"#op=$what") else Seq.empty) ++
-      (if (!asDelta) Seq(s"#minReader=${Lake.SupportedReaderVersion}")
-      else Seq.empty) ++
-      extraHeads
+      minReaderHead ++
+      (if (dvGated) Seq("#minWriter=2 deletion-vectors") else Seq.empty) ++
+      extraHeads ++
+      (if (dvGated) Seq(s"#dvs=${resultDv.size}") else Seq.empty) ++
+      (if (asDelta && dvChanged) Seq("#dvc=1") else Seq.empty)
+    // dv body lines ('#'-prefixed: invisible to entry parsers):
+    // checkpoints carry the FULL map, deltas only this commit's
+    // changes — and only when it has any (#dvc)
+    val dvLines =
+      if (!asDelta)
+        resultDv.toSeq.sortBy(_._1).map { case (rel, r) =>
+          s"#dv=${b64(rel.getBytes("UTF-8"))}\t${r.name}\t${r.cardinality}"
+        }
+      else if (dvChanged)
+        dropSet.toSeq.sorted.map(r => s"#dv-=${b64(r.getBytes("UTF-8"))}") ++
+          dvChanges.toSeq.sortBy(_._1).map { case (rel, r) =>
+            s"#dv+=${b64(rel.getBytes("UTF-8"))}\t${r.name}\t${r.cardinality}"
+          }
+      else Seq.empty
     val body =
       if (asDelta) {
         val (added, removedRel) = delta.get
-        (heads ++
+        (heads ++ dvLines ++
           (removedRel.toSeq.sorted.map(r => s"-${b64(r.getBytes("UTF-8"))}") ++
           added.sortBy(_._1).map { case (rel, b) =>
             s"+${b64(rel.getBytes("UTF-8"))}\t$b" })).mkString("\n")
-      } else (heads ++ entries.sortBy(_._1).map { case (rel, b) =>
+      } else (heads ++ dvLines ++ entries.sortBy(_._1).map { case (rel, b) =>
         s"${b64(rel.getBytes("UTF-8"))}\t$b"
       }).mkString("\n")
     val name = if (asDelta) f"v$v%09d.d.txt" else f"v$v%09d.txt"
@@ -2027,6 +2534,9 @@ class Lake(spark: SparkSession, val root: String) {
     }
     manifestCache.put((table, inc, v), entries.sortBy(_._1))
     manifestCache.keySet.removeIf(k => k._1 == table &&
+      (k._2 != inc || k._3 <= v - 8))
+    dvMapCache.put((table, inc, v), resultDv)
+    dvMapCache.keySet.removeIf(k => k._1 == table &&
       (k._2 != inc || k._3 <= v - 8))
     if (!asDelta) {
       // retention anchored to checkpoints, never mid-chain, with a
@@ -2131,13 +2641,30 @@ class Lake(spark: SparkSession, val root: String) {
                           // can never lose the optimistic race
                           removedFromBase:
                             Option[Seq[(String, Long)] => Seq[String]] = None,
-                          extraHeads: Seq[String] = Seq.empty)
+                          extraHeads: Seq[String] = Seq.empty,
+                          // deletion-vector transaction state: new or
+                          // replaced vectors (rel → ref), explicit
+                          // drops (restore), and the OPTIMISTIC check —
+                          // the vector each touched file carried when
+                          // this write PLANNED (None = none). A rival
+                          // commit that changed any of them since makes
+                          // this write's scan stale (it read through
+                          // the old vector), so it aborts with nothing
+                          // landed, exactly like the removed-file check.
+                          dvChanges: Map[String, Dv.Ref] = Map.empty,
+                          dvDrops: Set[String] = Set.empty,
+                          dvExpected: Map[String, Option[Dv.Ref]] = Map.empty)
                          (land: => Seq[(String, Long)])
       : Seq[(String, Long)] = {
     val (lock, token) = acquireCommitLock(table)
     val added = try {
-      val base: Seq[(String, Long)] = latestManifest(table).map(_._2)
-        .getOrElse {
+      // ONE metadata listing decides the gate, the base entries and
+      // the dv state this transaction validates against
+      val (kindsTx, incTx) = manifestState(table)
+      requireWritable(table, kindsTx, incTx)
+      val base: Seq[(String, Long)] = kindsTx.lastOption.map {
+        case (bv, _) => resolveManifest(table, incTx, kindsTx, bv)
+      }.getOrElse {
           val adopted =
             listInventory(table).map(f => (relOf(table, f._2), f._3))
           requireLakeLayout(table, adopted)
@@ -2154,6 +2681,24 @@ class Lake(spark: SparkSession, val root: String) {
           s"${gone.size} file(s) this write planned against were " +
           s"already retired by another writer (re-plan and retry): " +
           gone.take(3).mkString(", "))
+      if (dvChanges.nonEmpty || dvExpected.nonEmpty || dvDrops.nonEmpty) {
+        val curDv = kindsTx.lastOption.map { case (bv, _) =>
+          resolveDvMap(table, incTx, kindsTx, bv) }.getOrElse(Map.empty)
+        val dvGone = dvChanges.keys.filterNot(baseSet)
+        if (dvGone.nonEmpty) throw new Lake.ConcurrentWriteException(
+          s"$what of $table conflicts with a concurrent commit - " +
+            s"${dvGone.size} file(s) this write planned deletion " +
+            "vectors for were already rewritten (re-plan and retry): " +
+            dvGone.take(3).mkString(", "))
+        val dvStale = dvExpected.collect {
+          case (rel, exp) if curDv.get(rel) != exp => rel
+        }
+        if (dvStale.nonEmpty) throw new Lake.ConcurrentWriteException(
+          s"$what of $table conflicts with a concurrent commit - " +
+            s"${dvStale.size} file(s) this write read gained or " +
+            "changed a deletion vector since it planned (its scan is " +
+            "stale; re-plan and retry): " + dvStale.take(3).mkString(", "))
+      }
       if (plannedChains.nonEmpty) {
         val intruders = base.collect {
           case (rel, b) if plannedChains(chainOfRel(rel)) &&
@@ -2176,7 +2721,8 @@ class Lake(spark: SparkSession, val root: String) {
       publishManifest(table,
         base.filterNot(e => removedSet(e._1)) ++ added,
         delta = Some((added, removedSet)), what = what,
-        extraHeads = extraHeads)
+        extraHeads = extraHeads, dvChanges = dvChanges,
+        dvDrops = dvDrops)
       afterPublish()
       added
     } finally releaseCommitLock(lock, token)
@@ -2212,6 +2758,8 @@ class Lake(spark: SparkSession, val root: String) {
   def refreshManifest(table: String): Long = {
     val (lock, token) = acquireCommitLock(table)
     try {
+      val (kindsR, incR) = manifestState(table)
+      requireWritable(table, kindsR, incR)
       val entries = listInventory(table).map(f => (relOf(table, f._2), f._3))
       requireLakeLayout(table, entries)
       publishManifest(table, entries, what = "refresh")
@@ -2310,9 +2858,16 @@ class Lake(spark: SparkSession, val root: String) {
                                    removedAbs: Seq[String],
                                    retain: Boolean): Unit = {
     val chains = removedAbs.map(chainOfRel).distinct.sorted
+    // the row-level scan reads RAW files (its caller materializes any
+    // deletion vectors first), so every replaced file must still be
+    // vector-FREE at commit — a vector a rival added since makes this
+    // rewrite resurrect its deletes, refuse loudly instead
+    val dvExpectedR: Map[String, Option[Dv.Ref]] =
+      removedAbs.map(p => relAnywhere(p) ->
+        (None: Option[Dv.Ref])).toMap
     try {
       landPartitioned(tmp, table, "replace", "rowLevelReplace",
-        removedAbs = removedAbs,
+        removedAbs = removedAbs, dvExpected = dvExpectedR,
         afterPublish = () => {
           removeReplaced(table, "rowLevelReplace", removedAbs, retain)
           chains.foreach { c =>
@@ -2388,7 +2943,14 @@ class Lake(spark: SparkSession, val root: String) {
               retain: Boolean = false,
               onlyChains: Seq[String] = Seq.empty): Int = {
     val plan = compactionPlan(table, targetBytes)
-    val multi = plan.groupBy(t => (t._1, t._2)).filter(_._2.size > 1)
+    val dvAtPlan = dvMapOf(table)
+    // single-file bins are normally churn (already compact) — EXCEPT
+    // a deletion-vector-bearing file: compaction is the vector's
+    // MATERIALIZATION vehicle (rewrite through it, drop the ref), so
+    // dv'd singletons rewrite too
+    val multi = plan.groupBy(t => (t._1, t._2))
+      .filter { case (_, fl) => fl.size > 1 ||
+        fl.exists(f => dvAtPlan.contains(relAnywhere(f._3))) }
       .filter { case ((chain, _), _) =>
         onlyChains.isEmpty || onlyChains.contains(chain) }
     if (multi.isEmpty) return 0
@@ -2397,17 +2959,22 @@ class Lake(spark: SparkSession, val root: String) {
     multi.toSeq.sortBy(_._1).foreach { case ((chain, _), files) =>
       val paths = files.map(_._3)
       val schema = effectiveSchema(table)
-      val merged = spark.read.schema(schema)
-        .option("basePath", dir(table))
-        .parquet(paths: _*)
+      // dv-aware rewrite scan: the output MATERIALIZES each input's
+      // vector (deleted rows dropped for good); the manifest publish
+      // drops the refs with the removed files
+      val merged = readEntries(table,
+          files.map(f => (f._1, f._3, f._4)), schema, dvAtPlan)
         .drop("chain_name")
         .coalesce(1)
+      val dvExpected: Map[String, Option[Dv.Ref]] = paths.map(p =>
+        relAnywhere(p) -> dvAtPlan.get(relAnywhere(p))).toMap
       val tmp = stagingDir(s"compact-$table")
       merged.write.mode("overwrite").options(writeOptions(table))
         .parquet(tmp.toString)
       val tgtDir =
         new Path(s"${dir(table)}/chain_name=${escapeChain(chain)}")
-      manifestTxn(table, "compaction", paths, afterPublish =
+      manifestTxn(table, "compaction", paths, dvExpected = dvExpected,
+          afterPublish =
           () => removeReplaced(table, "compaction", paths, retain)) {
         landStaged(tmp, tgtDir, "compacted") match {
           case None => throw new java.io.IOException(
@@ -2467,6 +3034,7 @@ class Lake(spark: SparkSession, val root: String) {
           s"${clash.mkString(", ")} - these names are reserved by the " +
           "layout pipeline; rename them or drop the write.layout property")
     }
+    val dvAtPlan = dvMapOf(table)
     val byChain = fileInventory(table).groupBy(_._1)
       .filter { case (chain, _) =>
         onlyChains.isEmpty || onlyChains.contains(chain) }
@@ -2481,12 +3049,12 @@ class Lake(spark: SparkSession, val root: String) {
       // churn guard (compact's single-file-bin rule): a single-file
       // chain that would rewrite into a single file again gains no
       // pruning granularity — rewriting it only burns I/O and
-      // invalidates snapshots
-      if (files.size == 1 && nOut == 1) ()
+      // invalidates snapshots. EXCEPT a dv'd file: clustering is a
+      // materialization vehicle like compact.
+      if (files.size == 1 && nOut == 1 &&
+          !dvAtPlan.contains(relAnywhere(paths.head))) ()
       else {
-      val base = spark.read.schema(schema)
-        .option("basePath", dir(table))
-        .parquet(paths: _*)
+      val base = readEntries(table, files, schema, dvAtPlan)
         .drop("chain_name")
       val clustered = zorder match {
         case None => base
@@ -2504,7 +3072,10 @@ class Lake(spark: SparkSession, val root: String) {
         .parquet(tmp.toString)
       val tgtDir =
         new Path(s"${dir(table)}/chain_name=${escapeChain(chain)}")
-      manifestTxn(table, "clustering", paths, afterPublish =
+      val dvExpected: Map[String, Option[Dv.Ref]] = paths.map(p =>
+        relAnywhere(p) -> dvAtPlan.get(relAnywhere(p))).toMap
+      manifestTxn(table, "clustering", paths, dvExpected = dvExpected,
+          afterPublish =
           () => removeReplaced(table, "clustering", paths, retain)) {
         landStaged(tmp, tgtDir, "clustered") match {
           case None => throw new java.io.IOException(
@@ -2518,6 +3089,52 @@ class Lake(spark: SparkSession, val root: String) {
       }
     }
     rewritten
+  }
+
+  /** Materialize deletion vectors: copy-on-write rewrite of exactly
+    * the DV-bearing files (optionally narrowed to `onlyRels`), each
+    * read THROUGH its vector so the output drops the deleted rows for
+    * good and the manifest publish drops the refs. A rewrite-only
+    * commit (`#op=dv-materialize` ∈ [[rewriteOps]]): no logical row
+    * changes, invisible to the change feeds. The SQL row-level ops
+    * (UPDATE/MERGE) run this first — their group-based rewrite
+    * machinery reads raw files and would otherwise resurrect DV'd
+    * rows — and operators can call it to shed vector debt without a
+    * full compaction. Returns the number of files rewritten. */
+  def materializeDvs(table: String,
+                     onlyRels: Set[String] = Set.empty): Int = {
+    val dvAtPlan = dvMapOf(table)
+    if (dvAtPlan.isEmpty) return 0
+    val targets = fileInventory(table).filter { e =>
+      val rel = relAnywhere(e._2)
+      dvAtPlan.contains(rel) && (onlyRels.isEmpty || onlyRels(rel))
+    }
+    if (targets.isEmpty) return 0
+    val schema = effectiveSchema(table)
+    val targetPaths = targets.map(_._2)
+    val dvExpected: Map[String, Option[Dv.Ref]] = targetPaths.map(p =>
+      relAnywhere(p) -> dvAtPlan.get(relAnywhere(p))).toMap
+    val chains = targets.map(_._1).distinct.sorted
+    val tmp = stagingDir(s"dvmat-$table")
+    readEntries(table, targets, schema, dvAtPlan)
+      .write.mode("overwrite").options(writeOptions(table))
+      .partitionBy("chain_name").parquet(tmp.toString)
+    try landPartitioned(tmp, table, "dvmat", "dv-materialize",
+      removedAbs = targetPaths, dvExpected = dvExpected,
+      afterPublish = () => {
+        // retained: pinned snapshots of the pre-materialize state
+        // stay readable (file + vector both survive until vacuum)
+        removeReplaced(table, "dv-materialize", targetPaths,
+          retain = true)
+        chains.foreach { c =>
+          val p = new Path(s"${dir(table)}/chain_name=${escapeChain(c)}")
+          if (fs.exists(p) && !fs.listStatus(p).exists(s0 =>
+              s0.getPath.getName.endsWith(".parquet")))
+            fs.delete(p, true)
+        }
+      })
+    finally fs.delete(tmp, true)
+    targets.size
   }
 
   // ── File-grain key-range pruning for upsert ────────────────────────
@@ -3341,7 +3958,7 @@ class Lake(spark: SparkSession, val root: String) {
     val (kinds, inc) = manifestState(table)
     val pre = s"$appId:"
     val fromHeaders = kinds.iterator
-      .map { case (v, d) => commitHeaderFull(table, inc, v, d)._3 }
+      .map { case (v, d) => commitHeads(table, inc, v, d).txn }
       .filter(_.startsWith(pre))
       .flatMap(_.stripPrefix(pre).toLongOption)
       .foldLeft(-1L)(math.max)
@@ -3720,15 +4337,73 @@ class Lake(spark: SparkSession, val root: String) {
       }
     }
 
-    // ── merge: anti-join ONLY the touched files ──
-    val touchedPaths = touched.map(_._2)
+    // ── merge-on-read election (dv.maxFraction > 0) ──
+    // A touched file whose matched-key fraction fits takes a vector
+    // (its matched rows are the update's pre-images — deleted in
+    // place; the update rows land as ordinary appends below) and is
+    // never rewritten; the rest copy-on-write as before. Matching is
+    // ONE keyed left join over the touched files' dv-aware scan.
+    val dvAtPlan = dvMapOf(table)
+    val (dvFraction, dvPosCap) = dvKnobs(table)
+    def pathKey(p: String): String = new Path(p).toUri.getPath
+    val keyDistinct = updates.select(keys.map(col): _*).distinct()
+    val (dvChanges: Map[String, Dv.Ref],
+         cowTouched: Seq[(String, String, Long)]) =
+      if (dvFraction <= 0.0 || touched.isEmpty || dataKeys.isEmpty)
+        (Map.empty[String, Dv.Ref], touched)
+      else {
+        val meta = scanWithMeta(table, touched, schema, dvAtPlan)
+        val marked = meta.join(keyDistinct.withColumn("__m", lit(1)),
+          keys, "left")
+        val counts = marked.groupBy(col("__file"))
+          .agg(count(lit(1)).as("__total"),
+            sum(when(col("__m").isNotNull, 1L).otherwise(0L))
+              .as("__matched"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        var cum = 0L
+        val electRaw = counts.collect {
+          case (raw, total, matched)
+              if matched > 0L && total > 0L &&
+                matched.toDouble / total <= dvFraction &&
+                cum + matched <= dvPosCap =>
+            cum += matched
+            raw
+        }.toSeq
+        if (electRaw.isEmpty) (Map.empty[String, Dv.Ref], touched)
+        else {
+          val electKeys = electRaw.map(pathKey).toSet
+          val positions = marked.filter(col("__m").isNotNull)
+            .filter(col("__file").isInCollection(electRaw))
+            .select(col("__file"), col("__idx"))
+            .collect()
+            .groupBy(r => pathKey(r.getString(0)))
+            .map { case (k, rows) => (k, rows.map(_.getLong(1)).sorted) }
+          val changes = touched.filter(e => electKeys(pathKey(e._2)))
+            .map { e =>
+              val rel = relAnywhere(e._2)
+              val fresh = positions.getOrElse(pathKey(e._2),
+                Array.empty[Long])
+              val merged0 = dvAtPlan.get(rel) match {
+                case Some(old) => Dv.union(dvPositions(table, old), fresh)
+                case None => fresh
+              }
+              rel -> writeDvFile(table, merged0)
+            }.toMap
+          (changes, touched.filterNot(e => electKeys(pathKey(e._2))))
+        }
+      }
+    val dvExpected: Map[String, Option[Dv.Ref]] = touched.map(e =>
+      relAnywhere(e._2) -> dvAtPlan.get(relAnywhere(e._2))).toMap
+
+    // ── merge: anti-join ONLY the copy-on-write touched files ──
+    val touchedPaths = cowTouched.map(_._2)
     val survivors =
       if (touchedPaths.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).option("basePath", dir(table))
-        .parquet(touchedPaths: _*)
-        .join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      else readEntries(table, cowTouched, schema, dvAtPlan)
+        .join(keyDistinct, keys, "left_anti")
     // NULL deleteCol (e.g. a change file written before the column
     // existed, read back as typed nulls) means "not a tombstone" —
     // without the coalesce such rows would be anti-joined out of
@@ -3801,11 +4476,12 @@ class Lake(spark: SparkSession, val root: String) {
       .parquet(tmp.toString)
     val added =
       try landPartitioned(tmp, table, "upsert", "upsert",
-        removedAbs = touched.map(_._2),
+        removedAbs = touchedPaths,
         plannedChains = chains.toSet,
         plannedRel = plannedRelSet,
         intruderGuard = intruderGuard,
         extraHeads = txn.toSeq.map { case (a, b) => s"#txn=$a:$b" },
+        dvChanges = dvChanges, dvExpected = dvExpected,
         // under the commit lock (see manifestTxn's afterPublish):
         // retire/delete the replaced originals, then drop any chain
         // directory the merge emptied. Both are lock-order-sensitive:
@@ -3814,7 +4490,7 @@ class Lake(spark: SparkSession, val root: String) {
         // concurrent writer landing a fresh file into the "empty"
         // chain between our listStatus and the recursive delete.
         afterPublish = () => {
-          removeReplaced(table, "upsert", touched.map(_._2), retain)
+          removeReplaced(table, "upsert", touchedPaths, retain)
           chains.foreach { c =>
             val p = new Path(s"${dir(table)}/chain_name=${escapeChain(c)}")
             if (fs.exists(p) && !fs.listStatus(p).exists(s0 =>
@@ -3823,8 +4499,11 @@ class Lake(spark: SparkSession, val root: String) {
           }
         })
       finally fs.delete(tmp, true)
+    // rewrittenBytes counts COPY-ON-WRITE bytes only: vector-elected
+    // files are the bytes merge-on-read saved (ScaleProbe grades the
+    // CoW cost; the dv sidecars are O(positions))
     UpsertStats(chainFiles.size, touched.size,
-      touched.map(_._3).sum, added.size)
+      cowTouched.map(_._3).sum, added.size)
   }
 
   /** [[upsert]] with bounded optimistic-concurrency retries: a
@@ -3908,19 +4587,81 @@ class Lake(spark: SparkSession, val root: String) {
     val schema = effectiveSchema(table)
     val inv = fileInventory(table)
     if (inv.isEmpty) return UpsertStats(0, 0, 0L, 0)
+    val dvAtPlan = dvMapOf(table)
     def pathKey(p: String): String = new Path(p).toUri.getPath
     val touchedKeys = read(table).filter(predicate)
       .select(input_file_name().as("f")).distinct()
       .collect().map(r => pathKey(r.getString(0))).toSet
     val touched = inv.filter(e => touchedKeys.contains(pathKey(e._2)))
     if (touched.isEmpty) return UpsertStats(inv.size, 0, 0L, 0)
-    val touchedPaths = touched.map(_._2)
-    val chains = touched.map(_._1).distinct.sorted
-    val survivors = spark.read.schema(schema)
-      .option("basePath", dir(table))
-      .parquet(touchedPaths: _*)
-      .filter(!coalesce(predicate, lit(false)))
-      .select(schema.fieldNames.toSeq.map(col): _*)
+
+    // ── merge-on-read election (dv.maxFraction > 0) ──
+    // One distributed pass over the touched files (through their
+    // existing vectors) yields per-file (live rows, matching rows);
+    // files whose matched fraction fits take a VECTOR — positions
+    // harvested in a second, predicate-pushed pass, merged with the
+    // old vector, written as a fresh immutable sidecar — and are
+    // NEVER rewritten; the rest copy-on-write exactly as before.
+    val (dvFraction, dvPosCap) = dvKnobs(table)
+    val matchCond = coalesce(predicate, lit(false))
+    val (dvChanges: Map[String, Dv.Ref], cowTouched) =
+      if (dvFraction <= 0.0) (Map.empty[String, Dv.Ref], touched)
+      else {
+        val meta = scanWithMeta(table, touched, schema, dvAtPlan)
+        val counts = meta.groupBy(col("__file"))
+          .agg(count(lit(1)).as("__total"),
+            sum(when(matchCond, 1L).otherwise(0L)).as("__matched"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        var cum = 0L
+        val electRaw = counts.collect {
+          case (raw, total, matched)
+              if matched > 0L && total > 0L &&
+                matched.toDouble / total <= dvFraction &&
+                cum + matched <= dvPosCap =>
+            cum += matched
+            raw
+        }.toSeq
+        if (electRaw.isEmpty) (Map.empty[String, Dv.Ref], touched)
+        else {
+          val electKeys = electRaw.map(pathKey).toSet
+          val positions = meta.filter(matchCond)
+            .filter(col("__file").isInCollection(electRaw))
+            .select(col("__file"), col("__idx"))
+            .collect()
+            .groupBy(r => pathKey(r.getString(0)))
+            .map { case (k, rows) => (k, rows.map(_.getLong(1)).sorted) }
+          val changes = touched.filter(e => electKeys(pathKey(e._2)))
+            .map { e =>
+              val rel = relAnywhere(e._2)
+              val fresh = positions.getOrElse(pathKey(e._2),
+                Array.empty[Long])
+              val merged = dvAtPlan.get(rel) match {
+                case Some(old) => Dv.union(dvPositions(table, old), fresh)
+                case None => fresh
+              }
+              rel -> writeDvFile(table, merged)
+            }.toMap
+          (changes, touched.filterNot(e => electKeys(pathKey(e._2))))
+        }
+      }
+    val dvExpected: Map[String, Option[Dv.Ref]] = touched.map(e =>
+      relAnywhere(e._2) -> dvAtPlan.get(relAnywhere(e._2))).toMap
+
+    val touchedPaths = cowTouched.map(_._2)
+    if (cowTouched.isEmpty) {
+      // vector-only delete: one metadata transaction, ZERO data files
+      // rewritten — the headline merge-on-read win
+      preCommitHook()
+      manifestTxn(table, "deleteWhere", Seq.empty,
+        dvChanges = dvChanges, dvExpected = dvExpected) { Seq.empty }
+      return UpsertStats(inv.size, touched.size, 0L, 0)
+    }
+    val chains = cowTouched.map(_._1).distinct.sorted
+    val survivors =
+      readEntries(table, cowTouched, schema, dvAtPlan)
+        .filter(!matchCond)
+        .select(schema.fieldNames.toSeq.map(col): _*)
     val tmp = stagingDir(s"delete-$table")
     preStageHook() // same unlocked staging-scan race window as upsert
     survivors.write.mode("overwrite").options(writeOptions(table))
@@ -3929,6 +4670,7 @@ class Lake(spark: SparkSession, val root: String) {
     val added =
       try landPartitioned(tmp, table, "delete", "deleteWhere",
         removedAbs = touchedPaths,
+        dvChanges = dvChanges, dvExpected = dvExpected,
         afterPublish = () => {
           removeReplaced(table, "deleteWhere", touchedPaths, retain)
           chains.foreach { c =>
@@ -3939,7 +4681,8 @@ class Lake(spark: SparkSession, val root: String) {
           }
         })
       finally fs.delete(tmp, true)
-    UpsertStats(inv.size, touched.size, touched.map(_._3).sum, added.size)
+    UpsertStats(inv.size, touched.size,
+      cowTouched.map(_._3).sum, added.size)
   }
 
   /** [[deleteWhere]] with the same bounded optimistic-concurrency
@@ -4113,7 +4856,7 @@ class Lake(spark: SparkSession, val root: String) {
     // the scanned subset reads through the manifest index too: the
     // driver already knows (chain, path, bytes) for every survivor, so
     // Spark plans the scan without touching the filesystem
-    val df = readEntries(table, scanned, schema)
+    val df = readEntries(table, scanned, schema, dvMapOf(table))
     (df.filter(residual),
       ScanStats(files.size, scanned.size, scanned.map(_._3).sum,
         files.map(_._3).sum))
@@ -4177,7 +4920,7 @@ class Lake(spark: SparkSession, val root: String) {
           }
         }
     }
-    (readEntries(table, scanned, schema).filter(residual),
+    (readEntries(table, scanned, schema, dvMapOf(table)).filter(residual),
       ScanStats(files.size, scanned.size, scanned.map(_._3).sum,
         files.map(_._3).sum))
   }
@@ -4305,12 +5048,13 @@ class Lake(spark: SparkSession, val root: String) {
     // without the anchor that check is impossible and an expired
     // rewrite's churn would flow through silently (parsers skip `#`
     // lines, so pre-anchor snapshots read back unchanged)
-    val (files, anchor) = {
+    val (files, anchor, pinnedDv) = {
       val (kinds, inc) = manifestState(table)
       kinds.lastOption match {
         case Some((mv, _)) =>
           (resolveManifest(table, inc, kinds, mv).map(_._1).sorted,
-            Some((inc, mv)))
+            Some((inc, mv)),
+            resolveDvMap(table, inc, kinds, mv))
         case None =>
           val base = fs.makeQualified(new Path(dir(table))).toString
           def listing(): Seq[String] = listInventory(table).map(_._2)
@@ -4325,11 +5069,17 @@ class Lake(spark: SparkSession, val root: String) {
           require(fs0 == again,
             s"table $table is changing beneath snapshot (append in " +
               "flight) - retry when writes quiesce")
-          (fs0, None)
+          (fs0, None, Map.empty[String, Dv.Ref])
       }
     }
+    // the pinned dv refs ride the snapshot body ('#'-prefixed: old
+    // parsers skip them): a pinned read must apply the vectors
+    // CURRENT AT PIN TIME, not whatever grew later
     val body = anchor.toSeq.flatMap { case (inc, mv) =>
-      Seq(s"#inc=$inc", s"#commit=$mv") } ++ files
+      Seq(s"#inc=$inc", s"#commit=$mv") } ++
+      pinnedDv.toSeq.sortBy(_._1).map { case (rel, r) =>
+        s"#dv=${b64(rel.getBytes("UTF-8"))}\t${r.name}\t${r.cardinality}"
+      } ++ files
     fs.mkdirs(snapDir(table))
     var v = math.max(snapshotVersions(table).lastOption.getOrElse(0L),
       expiredHighWater(table)) + 1
@@ -4412,7 +5162,24 @@ class Lake(spark: SparkSession, val root: String) {
     * [[readAt]]). */
   def readSince(table: String, sinceVersion: Long,
                 upTo: Option[Long] = None): DataFrame = {
-    val baseFiles = manifestFiles(table, sinceVersion).toSet
+    val baseBody = snapshotBody(table, sinceVersion)
+    val baseFiles = baseBody.filterNot(_.startsWith("#")).toSet
+    // deletion-vector drift breaks append-only semantics exactly like
+    // a CoW rewrite breaks it (rows changed without file swaps), so
+    // it refuses the same way: every base file's vector must be
+    // UNCHANGED between the base pin and the target state, and no
+    // fresh file may carry one
+    val baseDv = parseSnapshotDvMap(baseBody)
+    val targetDv = upTo match {
+      case Some(v) => parseSnapshotDvMap(snapshotBody(table, v))
+      case None => dvMapOf(table)
+    }
+    val dvDrift = baseFiles.filter(r => baseDv.get(r) != targetDv.get(r))
+    require(dvDrift.isEmpty,
+      s"snapshot v$sinceVersion of $table invalidated for incremental " +
+        "read - deletion vectors changed on base file(s) (rows were " +
+        "deleted merge-on-read; the table is no longer append-only " +
+        s"over the base): ${dvDrift.take(5).mkString(", ")}")
     val gone = baseFiles.filterNot(r =>
       fs.exists(new Path(s"${dir(table)}/$r")))
     // NOTE: retention does NOT rescue incremental reads — a retained
@@ -4447,6 +5214,12 @@ class Lake(spark: SparkSession, val root: String) {
       s"incremental read of $table invalidated - target files missing " +
         s"(rewritten by compaction or upsert, or expired): " +
         s"${freshGone.take(5).mkString(", ")}")
+    val freshDvd = fresh.filter(targetDv.contains)
+    require(freshDvd.isEmpty,
+      s"incremental read of $table invalidated - file(s) appended " +
+        "since the base already carry deletion vectors (rows deleted " +
+        "merge-on-read; 'files newer than the base' no longer means " +
+        s"'rows appended since'): ${freshDvd.take(5).mkString(", ")}")
     val schema = effectiveSchema(table)
     inSchemaOrder(spark.read.schema(schema)
       .option("basePath", dir(table))
@@ -4489,11 +5262,13 @@ class Lake(spark: SparkSession, val root: String) {
     * partial corpus silently standing in for a pinned one is the
     * failure mode this API exists to prevent. */
   def readAt(table: String, version: Long): DataFrame = {
-    val rel = manifestFiles(table, version)
+    val body = snapshotBody(table, version)
+    val rel = body.filterNot(_.startsWith("#"))
     if (rel.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         effectiveSchema(table))
+    val pinnedDv = parseSnapshotDvMap(body)
     val live = rel.filter(r => fs.exists(new Path(s"${dir(table)}/$r")))
     val liveSet = live.toSet
     val retired = rel.filterNot(liveSet)
@@ -4505,16 +5280,53 @@ class Lake(spark: SparkSession, val root: String) {
         s"vacuum-expired): ${missing.take(5).mkString(", ")}" +
         (if (missing.size > 5) s" (+${missing.size - 5} more)" else ""))
     val schema = effectiveSchema(table)
-    def rd(basePath: String, rels: Seq[String]) =
-      inSchemaOrder(spark.read.schema(schema)
-        .option("basePath", basePath)
-        .parquet(rels.map(r => s"$basePath/$r"): _*), schema)
+    // each location splits by pinned-vector presence: clean files read
+    // plain, DV'd files read through the vector CURRENT AT PIN TIME
+    // (a vector grown since must not hide rows from the pinned view —
+    // it is a DIFFERENT, later-named file, so it can't: refs are
+    // immutable by name)
+    def rd(basePath: String, rels: Seq[String]): Seq[DataFrame] = {
+      val (dvd, clean) = rels.partition(pinnedDv.contains)
+      val parts = Seq.newBuilder[DataFrame]
+      if (clean.nonEmpty)
+        parts += inSchemaOrder(spark.read.schema(schema)
+          .option("basePath", basePath)
+          .parquet(clean.map(r => s"$basePath/$r"): _*), schema)
+      if (dvd.nonEmpty) {
+        val sel: Map[String, graft.functions.DvSel] = dvd.map(r =>
+          new Path(s"$basePath/$r").toUri.getPath ->
+            (graft.functions.ExcludeDv(
+              dvFilePath(table, pinnedDv(r).name))
+              : graft.functions.DvSel)).toMap
+        parts += inSchemaOrder(spark.read.schema(schema)
+          .option("basePath", basePath)
+          .parquet(dvd.map(r => s"$basePath/$r"): _*)
+          .filter(dvSelectCol(sel)), schema)
+      }
+      parts.result()
+    }
     val parts =
-      (if (live.nonEmpty) Seq(rd(dir(table), live)) else Seq.empty) ++
+      (if (live.nonEmpty) rd(dir(table), live) else Seq.empty) ++
       (if (retired.nonEmpty)
-        Seq(rd(retiredDir(table).toString, retired)) else Seq.empty)
+        rd(retiredDir(table).toString, retired) else Seq.empty)
     parts.reduce(_.unionByName(_))
   }
+
+  /** The dv map snapshot `version` pinned (empty for pre-dv pins) —
+    * the `VERSION AS OF` SQL path's vector source. */
+  private[graft] def snapshotDvMap(table: String,
+                                   version: Long): Map[String, Dv.Ref] =
+    parseSnapshotDvMap(snapshotBody(table, version))
+
+  /** DV-aware scan over an explicit (absPath, bytes) entry set — the
+    * SQL catalog's fallback plan for DV-bearing tables (its normal
+    * DSv2 parquet scan cannot filter rows by position). Declared
+    * column order. */
+  private[graft] def scanEntriesWithDv(table: String,
+      entries: Seq[(String, Long)], schema: StructType,
+      dv: Map[String, Dv.Ref]): DataFrame =
+    readEntries(table,
+      entries.map(e => (chainOfRel(e._1), e._1, e._2)), schema, dv)
 
   /** Retention GC: keep the newest `keepLast` snapshot manifests,
     * delete the older ones, then delete every RETIRED file that no
@@ -4562,11 +5374,26 @@ class Lake(spark: SparkSession, val root: String) {
     * recover state (v3/helpers/data_update.py:29–59); the snapshot
     * registry makes recovery a metadata transaction instead. */
   def restoreTable(table: String, version: Long): (Int, Int) = {
-    val rels = manifestFiles(table, version) // loud when no snapshot
+    val bodyR = snapshotBody(table, version) // loud when no snapshot
+    val rels = bodyR.filterNot(_.startsWith("#"))
     val resolved = resolveLiveOrRetired(table, rels,
       s"restore to snapshot v$version")
     val byRel = rels.zip(resolved).toMap
     val targetSet = rels.toSet
+    // the restored state's deletion vectors are the PINNED ones: a
+    // vector grown since the pin rolls back (explicit drop — the only
+    // operation that ever SHRINKS a file's vector), a pinned vector a
+    // later rewrite dropped comes back with its file. Any concurrent
+    // vector write between this plan and the commit is a loud
+    // retryable conflict (dvExpected covers every restored file).
+    val pinnedDv = parseSnapshotDvMap(bodyR)
+    val curDv = dvMapOf(table)
+    val dvChangesR = pinnedDv.filter { case (rel, ref) =>
+      !curDv.get(rel).contains(ref) }
+    val dvDropsR = curDv.keySet.filter(r =>
+      targetSet(r) && !pinnedDv.contains(r))
+    val dvExpectedR: Map[String, Option[Dv.Ref]] =
+      rels.map(r => r -> curDv.get(r)).toMap
     val retiredBase = fs.makeQualified(retiredDir(table)).toString
     // stashed by the removal closure (runs first, under the lock) for
     // the land + afterPublish stages of the SAME transaction
@@ -4579,6 +5406,8 @@ class Lake(spark: SparkSession, val root: String) {
         removedRels = base.map(_._1).filterNot(targetSet)
         removedRels
       },
+      dvChanges = dvChangesR, dvDrops = dvDropsR,
+      dvExpected = dvExpectedR,
       afterPublish = () => retire(table,
         removedRels.map(r => s"${dir(table)}/$r"))) {
       val toUnretire = rels.filterNot(baseRels)
@@ -4782,6 +5611,37 @@ class Lake(spark: SparkSession, val root: String) {
         .foreach { d =>
           if (fs.listStatus(d.getPath).isEmpty) fs.delete(d.getPath, true)
         }
+    }
+    // ── deletion-vector GC ──
+    // A vector file stays while ANY retained commit's dv map still
+    // references it (CDC replays read historical vectors) or ANY
+    // surviving snapshot pinned it (VERSION AS OF applies it); an
+    // unreferenced vector older than `staleCommitMs` sweeps — the age
+    // gate protects vectors staged by an in-flight write that hasn't
+    // published yet (they're unreferenced until their commit lands).
+    val dvd = dvDir(table)
+    if (fs.exists(dvd)) {
+      val (kindsV, incV) = manifestState(table)
+      val pinnedDvNames: Set[String] = {
+        val b = Set.newBuilder[String]
+        kindsV.foreach { case (v, _) =>
+          resolveDvMap(table, incV, kindsV, v, cache = false)
+            .values.foreach(r => b += r.name)
+        }
+        remaining.foreach(v =>
+          parseSnapshotDvMap(snapshotBody(table, v))
+            .values.foreach(r => b += r.name))
+        b.result()
+      }
+      val now = System.currentTimeMillis()
+      fs.listStatus(dvd).foreach { st =>
+        if (st.isFile && !pinnedDvNames(st.getPath.getName) &&
+            now - st.getModificationTime > staleCommitMs &&
+            fs.delete(st.getPath, false)) {
+          files += 1
+          bytes += st.getLen
+        }
+      }
     }
     VacuumStats(reallyExpired.size, files, bytes)
   }

@@ -705,12 +705,15 @@ class LakeManifestSpec extends SparkSpec {
         org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
       finally in.close()
     }
-    assert(body.contains(s"#minReader=${Lake.SupportedReaderVersion}"),
-      "checkpoint manifests must carry the pinned protocol gate")
+    // the gate records what the table REQUIRES, not what the build
+    // supports: a vector-free table stamps 1 so v1 readers interop
+    // (LakeDvSpec pins the dv-bearing 2-stamp)
+    assert(body.contains("#minReader=1"),
+      "checkpoint manifests must carry the protocol gate the table " +
+        "requires (1 without deletion vectors)")
     // simulate a FUTURE writer: the table now depends on a convention
     // this parser predates
-    val future = body.replace(
-      s"#minReader=${Lake.SupportedReaderVersion}",
+    val future = body.replace("#minReader=1",
       s"#minReader=${Lake.SupportedReaderVersion + 1} enriched-tombstones")
     val out = fs.create(ckpt, true)
     try out.write(future.getBytes("UTF-8")) finally out.close()
