@@ -58,11 +58,23 @@ import org.apache.spark.sql.functions._
   * engine acknowledges batches — the staging area must stay BOUNDED
   * (<= 1 un-reaped range) no matter how many commits the stream has
   * drained, or a long-lived consumer leaks disk.
+  *
+  * `dv` FLAG (r18, third arg, cdc modes): the history additionally
+  * carries DELETION-VECTOR churn — `dv.maxFraction=0.5` on the
+  * table, a one-row vector delete every `b % 10 == 3`, and the
+  * retained upserts become vector upserts — so every decade's drain
+  * replays vector-grown position diffs (the `__changes`/`__enriched`
+  * staged paths) against historical vectors the hammering vacuum may
+  * only free once nothing retained references them. The likeliest
+  * silent-wrong-result hole (a vector referencing a vacuum-eligible
+  * file) sits exactly on this path; the drain-equals-batch require
+  * is the tripwire.
   */
 object LongStreamProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(100)
     val mode = args.lift(1).getOrElse("upsert")
+    val dvMode = args.lift(2).contains("dv")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -123,15 +135,24 @@ object LongStreamProbe {
       }.toDF("chain_name", "name", "transaction_hash", "block_number",
         "tx_index", "from_address", "amount", "amount0", "amount1",
         "tokenId", "log_index")
+      if (dvMode) lake.setTableProperties(table,
+        Map("dv.maxFraction" -> "0.5"))
       var lastDrained = lake.latestCommitVersion(table).getOrElse(0L)
       (1 to n).foreach { b =>
         if (b % 10 == 7)
-          // retained upsert: delete+insert pairs in the feed
-          lake.upsert(rows(b * 20 - 40 until b * 20 - 35, i => s"u$b-$i")
+          // retained upsert: delete+insert pairs in the feed (a
+          // VECTOR upsert under the dv flag - same logical change)
+          lake.upsertRetrying(
+            rows(b * 20 - 40 until b * 20 - 35, i => s"u$b-$i")
             .coalesce(1), table, Seq("chain_name", "transaction_hash"),
             retain = true)
         else lake.append(
           rows(b * 20 until (b + 1) * 20, i => s"$i").coalesce(1), table)
+        if (dvMode && b % 10 == 3)
+          // one-row merge-on-read delete: a vector-grown commit whose
+          // replay reads historical vectors under the vacuum hammer
+          lake.deleteWhereRetrying(table,
+            col("block_number") === (1000L + b * 20 - 18), retain = true)
         if (b % 20 == 10)
           // rewrite-only commit: must be INVISIBLE to the feed
           lake.compact(table, targetBytes = 1L << 26, retain = true)
@@ -191,9 +212,9 @@ object LongStreamProbe {
                 "survive the drain - the commit-time GC is not keeping up")
           }
           val probeName =
-            if (enrichedMode) s"cdc_enriched_stream${
+            (if (enrichedMode) s"cdc_enriched_stream${
               if (vacuumMode) "_vacuum" else ""}"
-            else "cdc_stream"
+            else "cdc_stream") + (if (dvMode) "_dv" else "")
           println(f"""{"probe":"$probeName%s","batches":$b,""" +
             f""""commits_drained":${latest - lastDrained},""" +
             f""""rows":${sink.get()},"drain_sec":$drainSec%.2f,""" +

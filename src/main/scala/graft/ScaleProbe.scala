@@ -822,7 +822,17 @@ object ScaleProbe {
     // stale value behind. Asserted exactly; the emitted line carries
     // the conflict/retry distribution — the liveness evidence specs
     // can't produce.
-    if (only.forall(_.contains("multi_writer_stress"))) {
+    // `dv = true` (multi_writer_stress_dv): the same 8-writer storm
+    // with MERGE-ON-READ churn — updates vector-delete their
+    // pre-images in place (dv.maxFraction), and a concurrent DELETER
+    // thread lands one-row-fraction vector deletes on slices their
+    // owner has ALREADY updated (watching per-writer progress keeps
+    // the final state deterministic), racing the owners' upserts, the
+    // maintenance compactor's materializing rewrites, and each other
+    // on the per-file vector version check. Exact-state require'd:
+    // every slice ends at sliceRows - 4 rows with the same values the
+    // plain storm proves.
+    def multiWriterStress(dv: Boolean): Unit = {
       import graft.v3.{Lake, Schemas}
       val root = java.nio.file.Files
         .createTempDirectory("probe-mwlake").toString
@@ -854,6 +864,22 @@ object ScaleProbe {
       val maintSkips = new java.util.concurrent.atomic.AtomicInteger
       val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]
       val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      if (dv) {
+        // vector-enable BEFORE any writer commits (properties are a
+        // registry write, not a manifest transaction)
+        new Lake(spark, root).setTableProperties(Schemas.Nfp,
+          Map("dv.maxFraction" -> "0.9"))
+      }
+      // per-writer progress: slice b of writer w is safe to
+      // vector-delete from once its owner applied batch b+1 (the
+      // update), so the deleted keys are never touched again and the
+      // final state stays exact
+      val progress = new java.util.concurrent.atomic
+        .AtomicIntegerArray(writers)
+      val dvConflicts = new java.util.concurrent.atomic.AtomicInteger
+      def doomedHashes(w: Int, b: Int): Seq[String] =
+        (0 until sliceRows by 50).map(i =>
+          pad(w.toLong * 1000000000L + b.toLong * 10000L + i))
       val t0 = System.nanoTime()
       val writerThreads = (0 until writers).map { w =>
         new Thread(() => {
@@ -870,10 +896,41 @@ object ScaleProbe {
                 maxAttempts = 64, backoffMs = 25L,
                 onConflict = (_, _) => myConflicts += 1)
               conflictsPerBatch.add(myConflicts)
+              progress.set(w, b + 1)
             }
           } catch { case e: Throwable => failed.compareAndSet(null, e) }
         }, s"mw-writer-$w")
       }
+      val deleted = Array.fill(writers, batches)(false)
+      def deletePass(dLake: Lake, fin: Boolean): Unit =
+        for (w <- 0 until writers; b <- 0 until batches)
+          if (!deleted(w)(b) &&
+              (fin || progress.get(w) > b + 1)) {
+            dLake.deleteWhereRetrying(Schemas.Nfp,
+              col("transaction_hash")
+                .isin(doomedHashes(w, b).map(lit(_)): _*),
+              retain = true, maxAttempts = 64, backoffMs = 25L)
+            deleted(w)(b) = true
+          }
+      val deleterThread: Option[Thread] =
+        if (!dv) None
+        else {
+          val t = new Thread(() => {
+            val dLake = new Lake(spark, root)
+            while (!stop.get()) {
+              try deletePass(dLake, fin = false)
+              catch {
+                case e: Throwable if Lake.isRetryableRace(e, root) =>
+                  dvConflicts.incrementAndGet()
+                case e: Throwable => failed.compareAndSet(null, e)
+              }
+              Thread.sleep(200L)
+            }
+          }, "mw-deleter")
+          t.setDaemon(true)
+          t.start()
+          Some(t)
+        }
       val maintThread = new Thread(() => {
         val mLake = new Lake(spark, root)
         while (!stop.get()) {
@@ -900,6 +957,11 @@ object ScaleProbe {
       writerThreads.foreach(_.join())
       stop.set(true)
       maintThread.join()
+      deleterThread.foreach(_.join(5000L))
+      if (dv && failed.get() == null)
+        // deterministic tail: whatever the concurrent deleter did not
+        // reach (incl. the never-updated last slices) deletes now
+        deletePass(new Lake(spark, root), fin = true)
       val sec = (System.nanoTime() - t0) / 1e9
       if (failed.get() != null) throw failed.get()
       // exact final state: slice b of writer w reads "<b+1>u"... no -
@@ -914,11 +976,16 @@ object ScaleProbe {
         .map(r => ((r.getLong(0), r.getLong(1)), (r.getString(2),
           r.getLong(3)))).toMap
       // slice b was updated by batch b+1 (value "<b+1>u") except the
-      // last slice, which keeps its insert value "<batches>"
+      // last slice, which keeps its insert value "<batches>"; under
+      // the dv storm every slice additionally lost its 4 doomed keys
+      // to vector deletes
+      val perSlice =
+        if (dv) sliceRows.toLong - doomedHashes(0, 0).size
+        else sliceRows.toLong
       val expected = (for { w <- 0 until writers; b <- 0 until batches }
         yield ((w.toLong, b.toLong),
           (if (b < batches - 1) s"${b + 1}u" else s"$batches",
-            sliceRows.toLong))).toMap
+            perSlice))).toMap
       val diverged = (got.keySet ++ expected.keySet).filter(k0 =>
         got.get(k0) != expected.get(k0))
       require(diverged.isEmpty,
@@ -935,14 +1002,21 @@ object ScaleProbe {
       val hist = dist.groupBy(identity).toSeq.sortBy(_._1)
         .map { case (c, xs) => s""""$c":${xs.size}""" }
         .mkString("{", ",", "}")
-      println(f"""{"probe":"multi_writer_stress","k":$k,"sec":$sec%.2f,""" +
+      val probeName =
+        if (dv) "multi_writer_stress_dv" else "multi_writer_stress"
+      println(f"""{"probe":"$probeName%s","k":$k,"sec":$sec%.2f,""" +
         f""""writers":$writers,"commits":${writers * batches},""" +
         f""""conflicts":${dist.sum},"retry_hist":$hist,""" +
         f""""maint_runs":${maintRuns.get()},"maint_skips":${maintSkips.get()},""" +
+        (if (dv) f""""dv_conflicts":${dvConflicts.get()},""" else "") +
         f""""max_retries_one_batch":${if (dist.isEmpty) 0 else dist.max}}""")
       org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(root))
     }
+    if (only.forall(s => s.contains("multi_writer_stress") ||
+        s.contains("multi_writer_stress_dv")))
+      multiWriterStress(dv =
+        only.exists(_.contains("multi_writer_stress_dv")))
 
     // ── NFP attribution join + segment-capped ingest at 20× ──────────
     // lazy: only the two nfp probes pay the k× orders replication

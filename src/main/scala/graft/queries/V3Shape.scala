@@ -2346,6 +2346,94 @@ object V3Shape {
         |    CAST(li AS BIGINT) AS log_index, count(*) AS n,
         |    CAST(sum(a0) AS BIGINT) AS sum_a0
         |  FROM pin GROUP BY 2, 3
-        |ORDER BY 1, 2, 3""".stripMargin))
+        |ORDER BY 1, 2, 3""".stripMargin)),
+
+    // METADATA-ONLY AGGREGATES — round-18's answer-from-metadata fast
+    // path (Delta/Iceberg's COUNT/MIN/MAX without a scan): a bare
+    // aggregate over a stats-complete lake table plans as a
+    // LocalTableScan — literally ZERO scan tasks, require'd in-row —
+    // served from the manifest's file list + the stats sidecar's row
+    // counts and bounds. The 'scan' leg proves the FALLBACK on a
+    // stats-disabled twin (same data, ordinary scan, same values);
+    // the 'dv' leg deletes merge-on-read and cross-checks the
+    // vector-adjusted metadata count against the scan's answer.
+    ("s35_metadata_aggs",
+      ((s: SparkSession, d: String) => {
+        import graft.v3.{Lake, Schemas}
+        val orders = Tables.orders(s, d)
+        val k = col("o_orderkey")
+        val root = s"/tmp/graft-metaagg-lake/${Llm.sfCacheKey(d)}"
+        val lake = new Lake(s, root)
+        lake.dropTable(Schemas.Nfp)
+        lake.dropTable("nfp_nostats")
+        val mx = orders.agg(max(k)).first().getLong(0)
+        val h = mx / 2 + 1
+        (0 until 2).foreach { j =>
+          val wave = nfpFromOrders(
+            orders.filter(k >= j * h && k < (j + 1) * h), twoChains = true)
+          lake.append(wave.coalesce(1), Schemas.Nfp)
+        }
+        // the fallback twin: same rows, stats collection disabled
+        lake.createTable("nfp_nostats", lake.effectiveSchema(Schemas.Nfp))
+        lake.setTableProperties("nfp_nostats",
+          Map("stats.collect" -> "false"))
+        lake.append(nfpFromOrders(orders, twoChains = true).coalesce(1),
+          "nfp_nostats")
+        val cat = "graft_ma_" +
+          Llm.sfCacheKey(d).replaceAll("[^A-Za-z0-9]", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        def aggDf(from: String) = s.sql(
+          s"""SELECT count(*) AS n, min(block_number) AS mn,
+             |  max(block_number) AS mx, min(transaction_hash) AS smn,
+             |  max(transaction_hash) AS smx FROM $from""".stripMargin)
+        def metadataServed(df: org.apache.spark.sql.DataFrame): Boolean = {
+          val plan = df.queryExecution.executedPlan.toString
+          plan.contains("LocalTableScan") && !plan.contains("BatchScan") &&
+            !plan.contains("FileScan")
+        }
+        val meta = aggDf(s"$cat.nfp")
+        require(metadataServed(meta),
+          "the bare aggregate scheduled scan tasks - it must serve " +
+            "from manifest + sidecar metadata alone:\n" +
+            meta.queryExecution.executedPlan)
+        val scan = aggDf(s"$cat.nfp_nostats")
+        require(!metadataServed(scan),
+          "the stats-disabled twin must fall back to an ordinary scan")
+        // merge-on-read delete, then the vector-adjusted count must
+        // match the scanned truth exactly
+        lake.setTableProperties(Schemas.Nfp,
+          Map("dv.maxFraction" -> "0.3"))
+        s.sql(s"""DELETE FROM $cat.nfp
+          | WHERE log_index = 3 AND chain_name = 'ethereum'""".stripMargin)
+        require(lake.dvMapOf(Schemas.Nfp).nonEmpty,
+          "the small DELETE must take vectors")
+        val dv = aggDf(s"$cat.nfp")
+        val dvN = dv.first().getLong(0)
+        require(lake.metadataRowCount(Schemas.Nfp).contains(dvN),
+          s"vector-adjusted metadata count diverged from the scan: " +
+            s"${lake.metadataRowCount(Schemas.Nfp)} vs $dvN")
+        def tag(df: org.apache.spark.sql.DataFrame, src: String) =
+          df.withColumn("src", lit(src)).select(col("src"), col("n"),
+            col("mn"), col("mx"), col("smn"), col("smx"))
+        tag(dv, "dv").unionAll(tag(meta, "meta"))
+          .unionAll(tag(scan, "scan"))
+          .orderBy(col("src")).localCheckpoint()
+      }): Q,
+      Some("""WITH base AS (SELECT o_orderkey AS k FROM orders),
+        |full_v AS (SELECT count(*) AS n,
+        |    min(1000 + k % 97) AS mn, max(1000 + k % 97) AS mx,
+        |    min(concat('0xtx', lpad(CAST(k AS VARCHAR), 12, '0'))) AS smn,
+        |    max(concat('0xtx', lpad(CAST(k AS VARCHAR), 12, '0'))) AS smx
+        |  FROM base),
+        |dv_v AS (SELECT count(*) AS n,
+        |    min(1000 + k % 97) AS mn, max(1000 + k % 97) AS mx,
+        |    min(concat('0xtx', lpad(CAST(k AS VARCHAR), 12, '0'))) AS smn,
+        |    max(concat('0xtx', lpad(CAST(k AS VARCHAR), 12, '0'))) AS smx
+        |  FROM base WHERE NOT (k % 2 = 0 AND k % 7 = 3))
+        |SELECT 'dv' AS src, * FROM dv_v
+        |UNION ALL SELECT 'meta' AS src, * FROM full_v
+        |UNION ALL SELECT 'scan' AS src, * FROM full_v
+        |ORDER BY 1""".stripMargin))
   )
 }

@@ -624,7 +624,70 @@ private[graft] class LakeTable(
     }
     val dataSchema =
       StructType(tableSchema.fields.filterNot(f => partCols.contains(f.name)))
-    ParquetScanBuilder(spark, index, tableSchema, dataSchema, options)
+    new MetadataAggScanBuilder(
+      ParquetScanBuilder(spark, index, tableSchema, dataSchema, options),
+      serveAgg)
+  }
+
+  /** Serve a bare (no GROUP BY, no filters — the builder gates that)
+    * COUNT(*)/MIN/MAX aggregation straight from manifest + sidecar
+    * metadata: Some((schema, row)) = the final answer, zero scan
+    * tasks; None = some fact is missing (partial stats, vectors under
+    * MIN/MAX, exotic function) → ordinary scan. */
+  private def serveAgg(agg: org.apache.spark.sql.connector.expressions
+      .aggregate.Aggregation)
+      : Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.types.{LongType, StructField}
+    if (agg.groupByExpressions.nonEmpty) return None
+    if (agg.aggregateExpressions.isEmpty) return None
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        Some(r.fieldNames.head)
+      case _ => None
+    }
+    val fields = Seq.newBuilder[StructField]
+    val values = Seq.newBuilder[Any]
+    // VERSION-BOUND serving: answers come from the entry set + dv map
+    // THIS table instance was loaded with, never from a refetched
+    // current state — a pinned `VERSION AS OF` (or a load raced by a
+    // newer commit) must aggregate its own snapshot. Pinned loads over
+    // retired files simply miss sidecar entries (keyed by live path)
+    // and fall back to the scan — conservative, never wrong.
+    agg.aggregateExpressions.foreach {
+      case _: CountStar =>
+        lake.metadataRowCountFor(lakeTable, entries, dv) match {
+          case Some(n) =>
+            fields += StructField("count(*)", LongType, nullable = false)
+            values += n
+          case None => return None
+        }
+      case m: Min => colOf(m.column) match {
+        case Some(c) =>
+          lake.metadataBoundsFor(lakeTable, entries, dv, c) match {
+            case Some((lo, _)) =>
+              fields += StructField(s"min($c)", tableSchema(c).dataType)
+              values += lo
+            case None => return None
+          }
+        case None => return None
+      }
+      case m: Max => colOf(m.column) match {
+        case Some(c) =>
+          lake.metadataBoundsFor(lakeTable, entries, dv, c) match {
+            case Some((_, hi)) =>
+              fields += StructField(s"max($c)", tableSchema(c).dataType)
+              values += hi
+            case None => return None
+          }
+        case None => return None
+      }
+      case _ => return None
+    }
+    Some((StructType(fields.result()),
+      org.apache.spark.sql.catalyst.InternalRow.fromSeq(values.result())))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -644,6 +707,68 @@ private[graft] class LakeTable(
             tableSchema.fieldNames.toSeq.map(org.apache.spark.sql
               .functions.col): _*), lakeTable)
         }
+    }
+}
+
+/** Spark's own parquet scan builder plus METADATA-ONLY aggregate
+  * serving: a bare `SELECT count(*) / min(c) / max(c) FROM t` (no
+  * WHERE, no GROUP BY) answers from the manifest + stats sidecar as a
+  * [[org.apache.spark.sql.connector.read.LocalScan]] — literally zero
+  * scan tasks, the Delta/Iceberg answer-from-metadata fast path —
+  * whenever every live file carries the needed fact; anything missing
+  * falls through to the stock parquet scan (and its own footer-level
+  * aggregate pushdown, when enabled). Filters disarm the
+  * interception: a filtered aggregate needs the rows. */
+private[graft] class MetadataAggScanBuilder(
+    delegate: ParquetScanBuilder,
+    serve: org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+      => Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)])
+  extends ScanBuilder
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+
+  private var sawFilters = false
+  private var served
+      : Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] =
+    None
+
+  override def pushFilters(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    if (filters.nonEmpty) sawFilters = true
+    delegate.pushFilters(filters)
+  }
+
+  override def pushedFilters()
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    delegate.pushedFilters
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    delegate.pruneColumns(requiredSchema)
+
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = {
+    served = if (sawFilters) None else serve(aggregation)
+    served.isDefined || delegate.pushAggregation(aggregation)
+  }
+
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean =
+    served.isDefined || delegate.supportCompletePushDown(aggregation)
+
+  override def build(): org.apache.spark.sql.connector.read.Scan =
+    served match {
+      case Some((schema, row)) =>
+        new org.apache.spark.sql.connector.read.LocalScan {
+          override def rows(): Array[org.apache.spark.sql.catalyst
+            .InternalRow] = Array(row)
+          override def readSchema(): StructType = schema
+          override def description(): String = "LakeMetadataAggScan"
+        }
+      case None => delegate.build()
     }
 }
 

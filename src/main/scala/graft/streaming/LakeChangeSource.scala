@@ -439,17 +439,67 @@ private[graft] class LakeChangeStream(
   /** Materialize `df` under `<checkpoint>/<area>/b<from>-<to>` (once —
     * the `_graft_staged` sentinel makes a re-planned batch reuse it)
     * and plan the staged parquet. Shared by the enriched mode and the
-    * DV-batch fallback. */
+    * DV-batch fallback.
+    *
+    * CONCURRENT RESTARTS of the same stream (two drivers racing on
+    * one checkpoint — an orchestrator double-start, a zombie driver)
+    * can plan the SAME range simultaneously; two overwrite jobs into
+    * one directory would tear each other's output mid-write, so
+    * staging SERIALIZES on a create-exclusive per-range lock: the
+    * winner writes and publishes the sentinel, losers wait for the
+    * sentinel and reuse (the range's content is deterministic from
+    * the commit log, so whoever wins writes the same bytes). A lock
+    * whose holder crashed breaks by age; a held lock that outlives
+    * the wait refuses loudly rather than reading a possibly-torn
+    * stage. */
   private def stagePlan(area: String,
-                        df: org.apache.spark.sql.DataFrame,
+                        df: => org.apache.spark.sql.DataFrame,
                         from: Long, to: Long): Array[InputPartition] = {
     require(checkpointLocation.nonEmpty,
       s"lake-changes $area staging needs the stream's checkpointLocation")
     val stage = new Path(s"$checkpointLocation/$area/b$from-$to")
     val staged = new Path(stage, "_graft_staged")
-    if (!fs.exists(staged)) {
-      df.write.mode("overwrite").parquet(stage.toString)
-      fs.create(staged, true).close()
+    val lock = new Path(s"$checkpointLocation/$area/.b$from-$to.lock")
+    val staleLockMs = 600000L
+    val deadline = System.currentTimeMillis() + 300000L
+    var done = fs.exists(staged)
+    while (!done) {
+      val claimed =
+        try { fs.create(lock, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      if (claimed) {
+        try {
+          // double-check under the lock: a rival may have completed
+          // between our sentinel probe and the claim
+          if (!fs.exists(staged)) {
+            df.write.mode("overwrite").parquet(stage.toString)
+            fs.create(staged, true).close()
+          }
+        } finally fs.delete(lock, false)
+        done = true
+      } else {
+        // a rival holds the range: wait for its sentinel (reuse), a
+        // vanished lock (retry the claim), or break a crashed
+        // holder's stale claim
+        val holder =
+          try Option(fs.getFileStatus(lock))
+          catch { case _: java.io.FileNotFoundException => None }
+        holder match {
+          case Some(st) if System.currentTimeMillis() -
+              st.getModificationTime > staleLockMs =>
+            fs.delete(lock, false) // crashed holder; re-claim next spin
+          case Some(_) =>
+            if (fs.exists(staged)) done = true
+            else if (System.currentTimeMillis() > deadline)
+              throw new IllegalStateException(
+                s"lake-changes staging lock $lock held beyond the " +
+                  "wait budget - a rival driver is still staging this " +
+                  "range (or crashed without aging out); refusing to " +
+                  "read a possibly-torn stage")
+            else Thread.sleep(50)
+          case None => () // released: retry the claim immediately
+        }
+      }
     }
     val files = fs.listStatus(stage)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))

@@ -4016,6 +4016,125 @@ class Lake(spark: SparkSession, val root: String) {
     }
   }
 
+  // ── Metadata-only aggregates ───────────────────────────────────────
+  //
+  // Bare COUNT(*) / MIN / MAX over a lake table need not schedule a
+  // single scan task: the manifest names every live file, and the
+  // stats sidecar already persists per-file row counts (the `#nulls`
+  // pseudo-entries) and column bounds — Delta/Iceberg answer these
+  // from metadata for the same reason. Serving is STRICT: any file
+  // missing the needed fact makes the answer None and the caller
+  // falls back to the ordinary scan (conservative, never wrong).
+
+  /** The table's exact live row count from manifest + sidecar row
+    * counts, deletion-vector cardinalities subtracted; None when any
+    * file lacks a known row count (stats disabled, not yet collected,
+    * or no numNulls in a foreign footer). Zero data I/O: one folded
+    * sidecar + the manifest. */
+  private[graft] def metadataRowCount(table: String): Option[Long] =
+    metadataRowCountFor(table,
+      fileInventory(table).map(e => (e._2, e._3)), dvMapOf(table))
+
+  /** [[metadataRowCount]] over an EXPLICIT (absPath, bytes) entry set
+    * + dv map — the SQL path passes the set its table instance is
+    * BOUND to, so a pinned `VERSION AS OF` (or a load raced by a
+    * newer commit) never answers from a different version's state. */
+  private[graft] def metadataRowCountFor(table: String,
+      entries: Seq[(String, Long)],
+      dv: Map[String, Dv.Ref]): Option[Long] = {
+    if (entries.isEmpty) return Some(0L)
+    val cols = statsColumns(table)
+    if (cols.isEmpty) return None
+    loadStats(table)
+    var total = 0L
+    entries.foreach { case (abs, bytes) =>
+      // ANY column's #nulls entry carries the file's row count
+      val rc = cols.iterator.map(c =>
+        rangeCache.get(rangeKey(abs, bytes, s"$c#nulls")))
+        .collectFirst { case r if r != null && r.isDefined =>
+          r.get._2.asInstanceOf[Long] }
+      rc match {
+        case Some(n) => total += n -
+          dv.get(relAnywhere(abs)).map(_.cardinality).getOrElse(0L)
+        case None => return None
+      }
+    }
+    Some(total)
+  }
+
+  /** The table's exact (min, max) of `column` as Catalyst INTERNAL
+    * values from the sidecar bounds; `(null, null)` = SQL NULL (empty
+    * table or all-null column). None = not provable: any file without
+    * usable bounds that is not provably all-null, an unrepresentable
+    * column type — or ANY deletion vector on the table (a vector may
+    * hold the extremum; sub-file stats can't see which rows died). */
+  private[graft] def metadataBounds(table: String,
+                                    column: String): Option[(Any, Any)] =
+    metadataBoundsFor(table,
+      fileInventory(table).map(e => (e._2, e._3)), dvMapOf(table), column)
+
+  /** [[metadataBounds]] over an explicit entry set + dv map (see
+    * [[metadataRowCountFor]]'s version-binding rationale). */
+  private[graft] def metadataBoundsFor(table: String,
+      entries: Seq[(String, Long)], dv: Map[String, Dv.Ref],
+      column: String): Option[(Any, Any)] = {
+    val schema = effectiveSchema(table)
+    if (!schema.fieldNames.contains(column)) return None
+    val dt = schema(column).dataType
+    if (!prunableStatsType(dt) || column == "chain_name") return None
+    if (dv.nonEmpty) return None
+    loadStats(table)
+    var mn: Any = null
+    var mx: Any = null
+    entries.foreach { case (abs, bytes) =>
+      val r = rangeCache.get(rangeKey(abs, bytes, column))
+      if (r != null && r.isDefined) {
+        val (lo, hi) = r.get
+        mn = if (mn == null || keyCmp(lo, mn) < 0) lo else mn
+        mx = if (mx == null || keyCmp(hi, mx) > 0) hi else mx
+      } else {
+        // no usable bounds: only a provably EMPTY or ALL-NULL file
+        // contributes nothing to min/max; anything else unproves
+        val nulls = rangeCache.get(rangeKey(abs, bytes, s"$column#nulls"))
+        val allNull = nulls != null && nulls.isDefined && {
+          val (nc, rc) = nulls.get
+          nc.asInstanceOf[Long] == rc.asInstanceOf[Long]
+        }
+        if (!allNull) return None
+      }
+    }
+    Some((cmpToInternal(mn, dt), cmpToInternal(mx, dt)))
+  }
+
+  /** A cmp-domain stats value back to Spark's internal representation
+    * under the column's type (the inverse of the extraction mapping). */
+  private def cmpToInternal(v: Any,
+      dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    if (v == null) return null
+    dt match {
+      case StringType => org.apache.spark.unsafe.types.UTF8String
+        .fromBytes(v.asInstanceOf[Array[Byte]])
+      case LongType | TimestampType => v.asInstanceOf[Long]
+      case IntegerType | DateType => v.asInstanceOf[Long].toInt
+      case ShortType => v.asInstanceOf[Long].toShort
+      case ByteType => v.asInstanceOf[Long].toByte
+      case DoubleType => v.asInstanceOf[Double]
+      case FloatType => v.asInstanceOf[Double].toFloat
+      case d: DecimalType if d.precision <= 18 =>
+        org.apache.spark.sql.types.Decimal(
+          BigDecimal(java.math.BigDecimal.valueOf(
+            v.asInstanceOf[Long], d.scale)), d.precision, d.scale)
+      case d: DecimalType =>
+        org.apache.spark.sql.types.Decimal(
+          BigDecimal(new java.math.BigDecimal(
+            v.asInstanceOf[java.math.BigInteger], d.scale)),
+          d.precision, d.scale)
+      case other => throw new IllegalStateException(
+        s"no internal mapping for metadata bounds of type $other")
+    }
+  }
+
   /** Normalize a driver-side key value into the domain [[keyCmp]]
     * compares (UTF-8 bytes for strings, widened long for integrals) —
     * the same domain [[footerRange]] returns stats in. */

@@ -284,6 +284,64 @@ class LakeChangeStreamSpec extends SparkSpec {
     assert(msgs(e3).exists(_.contains("grain")), msgs(e3).mkString("; "))
   }
 
+  test("concurrent restarts of ONE enriched checkpoint racing the same staged range are benign: one writer, everyone reads the same rows") {
+    val root = Files.createTempDirectory("lake-cs11").toString
+    val ck = Files.createTempDirectory("lake-cs11-ck").toString
+    val lake = new Lake(spark, root)
+    val ks = Seq("chain_name", "transaction_hash")
+    lake.append(rows(0 until 30).coalesce(1), Schemas.Nfp)
+    val v0 = lake.latestCommitVersion(Schemas.Nfp).get
+    lake.upsert(rows(Seq(1, 2), amt = i => s"u$i").coalesce(1),
+      Schemas.Nfp, ks, retain = true)
+    val v1 = lake.latestCommitVersion(Schemas.Nfp).get
+    val inc = lake.currentIncarnation(Schemas.Nfp).get
+    // eight rival "drivers" (instances sharing the checkpoint) plan
+    // the SAME range at once — the per-range staging lock must admit
+    // ONE writer; everyone else reuses the completed stage
+    val streams = (0 until 8).map(_ => new LakeChangeStream(spark, root,
+      Schemas.Nfp, LakeChangesProvider.changeSchema(
+        lake.effectiveSchema(Schemas.Nfp)),
+      startingVersion = Some(v0), maxVersionsPerBatch = None,
+      keysOpt = Some(ks), checkpointLocation = ck))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val plans = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(streams.map(st =>
+          scala.concurrent.Future(st.planInputPartitions(
+            LakeCommitOffset(v0, inc), LakeCommitOffset(v1, inc))))),
+        scala.concurrent.duration.Duration.Inf)
+      assert(plans.forall(_.nonEmpty))
+      assert(plans.map(_.length).distinct.size == 1,
+        "rival planners saw different staged file sets")
+    } finally pool.shutdown()
+    // the staged range is complete and content-exact vs the batch feed
+    val fs = new org.apache.hadoop.fs.Path(ck).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(s"$ck/__enriched/b$v0-$v1")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(stage, "_graft_staged")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$ck/__enriched/.b$v0-$v1.lock")), "winner must release the lock")
+    val got = spark.read.parquet(stage.toString)
+    val want = lake.changesBetweenCommitsEnriched(Schemas.Nfp, v0, v1, ks)
+    assert(key(got.collect().toSeq) == key(want.collect().toSeq),
+      "racing staging tore the range's content")
+    // a CRASHED holder's stale lock breaks by age instead of wedging
+    // every future restart
+    val stale = new org.apache.hadoop.fs.Path(
+      s"$ck/__enriched/.b0-$v0.lock")
+    fs.create(stale, false).close()
+    fs.setTimes(stale, System.currentTimeMillis() - 3600000L, -1)
+    val late = new LakeChangeStream(spark, root, Schemas.Nfp,
+      LakeChangesProvider.changeSchema(lake.effectiveSchema(Schemas.Nfp)),
+      startingVersion = Some(0L), maxVersionsPerBatch = None,
+      keysOpt = Some(ks), checkpointLocation = ck)
+    assert(late.planInputPartitions(LakeCommitOffset(0L, inc),
+      LakeCommitOffset(v0, inc)).nonEmpty,
+      "a stale staging lock wedged the restart")
+  }
+
   test("startingTimestamp on a legacy log WITHOUT #ts headers refuses loudly (never a silent full replay)") {
     val root = Files.createTempDirectory("lake-cs8").toString
     val tmp = Files.createTempDirectory("lake-cs8-ck").toString
