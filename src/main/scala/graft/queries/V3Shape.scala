@@ -1918,7 +1918,8 @@ object V3Shape {
             StructField("chain_name", StringType, nullable = true),
             StructField("k", LongType, nullable = true),
             StructField("px", DoubleType, nullable = true),
-            StructField("pd", DecimalType(18, 2), nullable = true))))
+            StructField("pd", DecimalType(18, 2), nullable = true),
+            StructField("pw", DecimalType(38, 2), nullable = true))))
         }
         (0 until 4).foreach { j =>
           val w = orders.filter(k >= j * q && k < (j + 1) * q)
@@ -1930,7 +1931,16 @@ object V3Shape {
             // exact decimal from a string literal (never through a
             // double): k.25 at scale 2, INT64-backed in parquet
             concat(k.cast("string"), lit(".25"))
-              .cast("decimal(18,2)").as("pd")).coalesce(1), t2)
+              .cast("decimal(18,2)").as("pd"),
+            // WIDE decimal (38,2): FIXED_LEN_BYTE_ARRAY in parquet,
+            // SIGNED big-endian stats — pw = k - 2q + 0.25 makes the
+            // first two waves entirely NEGATIVE (exact decimal
+            // arithmetic, never through a double)
+            (k.cast("decimal(38,2)") -
+              lit(java.math.BigDecimal.valueOf(2 * q))
+                .cast("decimal(38,2)") +
+              lit(new java.math.BigDecimal("0.25")).cast("decimal(38,2)"))
+              .cast("decimal(38,2)").as("pw")).coalesce(1), t2)
         }
         val dir2 = s"$root/$t2"
         def seam2 = graft.plans.DataSkipping.skipStats(dir2)
@@ -1972,7 +1982,25 @@ object V3Shape {
         require(p3._1 - p2._1 == 4 && p3._2 - p2._2 == 1,
           s"decimal-bound skipping kept ${p3._2 - p2._2} of " +
             s"${p3._1 - p2._1} (expected 1 of 4)")
+        // WIDE-DECIMAL leg (r18): decimal(38,2) stats are SIGNED
+        // big-endian FLBA bounds — an entirely-negative range
+        // [-q, 0) selects wave 1 exactly (the sign boundary an
+        // unsigned byte comparison inverts); kept-file require'd.
+        val pwRange = lake.read(t2)
+          .filter(col("pw") >= lit(java.math.BigDecimal.valueOf(-q))
+              .cast("decimal(38,2)") &&
+            col("pw") < lit(java.math.BigDecimal.ZERO)
+              .cast("decimal(38,2)"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_a0"))
+          .select(lit("pw").as("src"), lit(-4L).as("log_index"),
+            col("n"), col("sum_a0").cast("long").as("sum_a0"))
+          .localCheckpoint()
+        val p4 = seam2
+        require(p4._1 - p3._1 == 4 && p4._2 - p3._2 == 1,
+          s"wide-decimal (FLBA) skipping kept ${p4._2 - p3._2} of " +
+            s"${p4._1 - p3._1} (expected 1 of 4)")
         out.unionByName(pxRange).unionByName(pxNull).unionByName(pdRange)
+          .unionByName(pwRange)
           .orderBy(col("src"), col("log_index"))
       }): Q,
       Some("""WITH mxq AS (SELECT max(o_orderkey) // 4 + 1 AS q FROM orders)
@@ -1996,6 +2024,11 @@ object V3Shape {
         |WHERE o_orderkey % 10 = 0 AND o_orderkey < q
         |UNION ALL
         |SELECT 'pd' AS src, CAST(-3 AS BIGINT) AS log_index,
+        |  count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_a0
+        |FROM orders, mxq
+        |WHERE o_orderkey >= q AND o_orderkey < 2 * q
+        |UNION ALL
+        |SELECT 'pw' AS src, CAST(-4 AS BIGINT) AS log_index,
         |  count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_a0
         |FROM orders, mxq
         |WHERE o_orderkey >= q AND o_orderkey < 2 * q
