@@ -371,24 +371,39 @@ private[graft] class LakeChangeStream(
     if (checkpointLocation.nonEmpty) {
       val marker = new Path(s"$checkpointLocation/__graft_keys")
       val current = keysOpt.map(_.mkString(",")).getOrElse("-")
-      val stored =
+      def stored(): Option[String] =
         try {
           val in = fs.open(marker)
           try Some(new String(
             org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
           finally in.close()
         } catch { case _: java.io.FileNotFoundException => None }
-      stored match {
-        case Some(s) => require(s == current,
-          s"lake-changes checkpoint of $lakeTable was written with " +
-            s"keys='$s' but this restart passed keys='$current' - the " +
-            "feed's grain cannot change mid-stream (downstream state " +
-            "is keyed on it); restart from a fresh checkpoint")
+      def refuse(s: String): Unit = require(s == current,
+        s"lake-changes checkpoint of $lakeTable was written with " +
+          s"keys='$s' but this restart passed keys='$current' - the " +
+          "feed's grain cannot change mid-stream (downstream state " +
+          "is keyed on it); restart from a fresh checkpoint")
+      stored() match {
+        case Some(s) => refuse(s)
         case None =>
-          val tmp = new Path(s"$checkpointLocation/.__graft_keys-tmp")
-          val out = fs.create(tmp, true)
-          try out.write(current.getBytes("UTF-8")) finally out.close()
-          if (!fs.rename(tmp, marker)) fs.delete(tmp, false)
+          // first plan mints the marker. UNIQUELY-NAMED tmp + tolerant
+          // rename: rival drivers of the same checkpoint may mint
+          // concurrently (same content for a legitimate same-keys
+          // race), and the local FS's checksum shadow files make even
+          // a same-name create/delete race throw — whoever loses just
+          // verifies the surviving marker below
+          val tmp = new Path(s"$checkpointLocation/" +
+            s".__graft_keys-${java.util.UUID.randomUUID()}")
+          try {
+            val out = fs.create(tmp, true)
+            try out.write(current.getBytes("UTF-8")) finally out.close()
+            if (!fs.rename(tmp, marker)) fs.delete(tmp, false)
+          } catch {
+            case _: java.io.IOException =>
+              try fs.delete(tmp, false)
+              catch { case _: java.io.IOException => () }
+          }
+          stored().foreach(refuse)
       }
     }
   }
@@ -462,21 +477,40 @@ private[graft] class LakeChangeStream(
     val lock = new Path(s"$checkpointLocation/$area/.b$from-$to.lock")
     val staleLockMs = 600000L
     val deadline = System.currentTimeMillis() + 300000L
+    // SAME-JVM rivals (two streams of one driver, the common
+    // double-start) serialize deterministically on a process mutex;
+    // the filesystem lock below covers cross-JVM rivals BEST-EFFORT
+    // (Hadoop's local create(overwrite=false) is check-then-create,
+    // not O_EXCL — a slipped-through loser's write job dies on the
+    // winner's overwrite and simply retries: the content is
+    // deterministic, so whoever completes writes the same bytes).
+    val jvmLock = LakeChangeStream.stageLock(stage.toString)
     var done = fs.exists(staged)
     while (!done) {
-      val claimed =
-        try { fs.create(lock, false).close(); true }
-        catch { case _: java.io.IOException => false }
-      if (claimed) {
-        try {
+      val claimed = jvmLock.synchronized {
+        if (fs.exists(staged)) { done = true; false }
+        else
+          try { fs.create(lock, false).close(); true }
+          catch { case _: java.io.IOException => false }
+      }
+      if (done) ()
+      else if (claimed) {
+        try jvmLock.synchronized {
           // double-check under the lock: a rival may have completed
           // between our sentinel probe and the claim
           if (!fs.exists(staged)) {
             df.write.mode("overwrite").parquet(stage.toString)
             fs.create(staged, true).close()
           }
+          done = true
+        } catch {
+          // a cross-JVM rival slipped the non-atomic claim and its
+          // overwrite tore ours mid-write: lost the race — re-check
+          // the sentinel and retry (deterministic content)
+          case e @ (_: java.io.IOException
+              | _: org.apache.spark.SparkException) =>
+            if (System.currentTimeMillis() > deadline) throw e
         } finally fs.delete(lock, false)
-        done = true
       } else {
         // a rival holds the range: wait for its sentinel (reuse), a
         // vanished lock (retry the claim), or break a crashed
@@ -587,6 +621,17 @@ private[graft] class LakeChangeStream(
 }
 
 private[graft] object LakeChangeStream {
+  /** Per-stage-path process mutexes for the staging serialization
+    * (bounded: clear-all past 256 — a stage path is hot only while
+    * its batch plans). */
+  private val stageLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private[streaming] def stageLock(path: String): Object = {
+    if (stageLocks.size > 256) stageLocks.clear()
+    stageLocks.computeIfAbsent(path, _ => new Object)
+  }
+
   /** Test/probe seam: each stream's listing COUNTER, keyed by
     * (root, table) — zero-listing assertions must observe the
     * CONSUMER's own planning instance (listCalls is per-Lake), not an
