@@ -808,6 +808,80 @@ object ScaleProbe {
         f""""files":${hst.files},"scanned":${hst.scanned}}""")
     }
 
+    // ── Dynamic file pruning at k×: the dim-filtered join must touch
+    // O(matching files), not O(table) ────────────────────────────────
+    // k single-file waves with DISJOINT monotone block ranges (file j
+    // covers [j·10⁹ + …)); the dim's 'hit' keys live in ONE wave. The
+    // pruned join reports the skip seam's (candidates, kept) — the
+    // claim is the file count, the timing contrast vs the unfiltered
+    // twin is the cost it buys back.
+    // lazy: the bloom section above forward-references the shared
+    // lazy ordersK, and an intervening strict val would break it
+    lazy val dfpSection = Set("dfp_build", "dfp_join_pruned",
+      "dfp_join_full")
+    if (only.forall(s => s.exists(dfpSection))) {
+      import graft.v3.{Lake, Schemas}
+      val root = java.nio.file.Files
+        .createTempDirectory("probe-dfplake").toString
+      val lake = new Lake(spark, root)
+      val orders0 = Tables.orders(spark, sfDir)
+      def factSeg(j: Int): DataFrame = orders0.select(
+        lit("ethereum").as("chain_name"),
+        lit("IncreaseLiquidity").as("name"),
+        concat(lit("0xtx"), lpad((col("o_orderkey") +
+          lit(j.toLong * 1000000000L)).cast("string"), 13, "0"))
+          .as("transaction_hash"),
+        (col("o_orderkey") + lit(j.toLong * 1000000000L))
+          .as("block_number"),
+        pmod(col("o_orderkey"), lit(13)).as("tx_index"),
+        concat(lit("0xu"), col("o_custkey").cast("string"))
+          .as("from_address"),
+        col("o_custkey").cast("string").as("amount"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").cast("string")
+          .as("amount0"),
+        pmod(col("o_orderkey"), lit(1000)).cast("string").as("amount1"),
+        pmod(col("o_orderkey"), lit(997)).cast("string").as("tokenId"),
+        pmod(col("o_orderkey"), lit(7)).as("log_index"))
+      val tb = System.nanoTime()
+      (0 until k).foreach(j =>
+        lake.append(factSeg(j).coalesce(1), Schemas.Nfp))
+      println(f"""{"probe":"dfp_build","k":$k,"sec":${(System.nanoTime() - tb) / 1e9}%.2f}""")
+      val mn = orders0.agg(min(col("o_orderkey"))).first().getLong(0)
+      val target = k / 2
+      // 'hit' keys inside wave `target`; 'miss' keys one per OTHER wave
+      // (the dim filter is selective, and pruning has something to do)
+      spark.range(100).select(
+        (lit(target.toLong * 1000000000L + mn) + col("id") * 7)
+          .as("bn"), lit("hit").as("grp"))
+        .unionByName(spark.range(k).select(
+          (col("id") * 1000000000L + mn + 3).as("bn"),
+          lit("miss").as("grp")))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/dfp_dim")
+      spark.read.parquet(s"$root/dfp_dim")
+        .createOrReplaceTempView("probe_dfp_dim")
+      val cat = "probe_dfp_cat"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.LakeCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      def seam = graft.plans.DataSkipping.skipStats(s"$root/nfp")
+        .getOrElse((0L, 0L))
+      val s0 = seam
+      val t0 = System.nanoTime()
+      spark.sql(s"""SELECT count(*) AS n,
+        |  sum(CAST(f.amount0 AS BIGINT)) AS s
+        |FROM $cat.nfp f JOIN probe_dfp_dim d ON f.block_number = d.bn
+        |WHERE d.grp = 'hit'""".stripMargin).collect()
+      val s1 = seam
+      println(f"""{"probe":"dfp_join_pruned","k":$k,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,""" +
+        f""""cand":${s1._1 - s0._1},"kept":${s1._2 - s0._2}}""")
+      val t1 = System.nanoTime()
+      spark.sql(s"""SELECT count(*) AS n,
+        |  sum(CAST(f.amount0 AS BIGINT)) AS s
+        |FROM $cat.nfp f JOIN probe_dfp_dim d ON f.block_number = d.bn""".stripMargin)
+        .collect()
+      println(f"""{"probe":"dfp_join_full","k":$k,"sec":${(System.nanoTime() - t1) / 1e9}%.2f}""")
+    }
+
     // ── Multi-writer stress: liveness under REAL contention ──────────
     // The race specs are deterministic (hook-seamed single collisions);
     // this probe runs 8 GENUINELY concurrent writers — each its own

@@ -2467,6 +2467,231 @@ object V3Shape {
         |SELECT 'dv' AS src, * FROM dv_v
         |UNION ALL SELECT 'meta' AS src, * FROM full_v
         |UNION ALL SELECT 'scan' AS src, * FROM full_v
-        |ORDER BY 1""".stripMargin))
+        |ORDER BY 1""".stripMargin)),
+
+    // DYNAMIC FILE PRUNING — round-18's star-join lever (Delta DFP /
+    // Iceberg runtime filtering, via Spark's SupportsRuntimeFiltering
+    // seam): the dim side's surviving join-key values reach the fact
+    // scan at EXECUTION time and whole fact files drop through the
+    // stats sidecar's [min, max] envelopes before any task schedules.
+    // Graded requires: at least one runtime walk kept exactly 1 of 4
+    // fact files (seam-counted, never timing), the plan carries a
+    // dynamic-pruning subquery, and planning stayed zero-listing.
+    ("s36_dynamic_file_pruning",
+      ((s: SparkSession, d: String) => {
+        import graft.v3.{Lake, Schemas}
+        val orders = Tables.orders(s, d)
+        val k = col("o_orderkey")
+        // block_number = 1000 + k: monotone in the wave key, so each
+        // single-file wave carries a TIGHT disjoint range on the JOIN
+        // key — the layout a clustered/append-ordered fact table has
+        def derive(df: org.apache.spark.sql.DataFrame) = df.select(
+          lit("ethereum").as("chain_name"),
+          lit("IncreaseLiquidity").as("name"),
+          concat(lit("0xtx"), lpad(k.cast("string"), 12, "0"))
+            .as("transaction_hash"),
+          (lit(1000L) + k).as("block_number"),
+          pmod(k, lit(13)).as("tx_index"),
+          concat(lit("0xu"), col("o_custkey").cast("string"))
+            .as("from_address"),
+          col("o_custkey").cast("string").as("amount"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long")
+            .cast("string").as("amount0"),
+          pmod(k, lit(1000)).cast("string").as("amount1"),
+          pmod(k, lit(997)).cast("string").as("tokenId"),
+          pmod(k, lit(7)).as("log_index"))
+        val mx = orders.agg(max(k)).first().getLong(0)
+        val q = mx / 4 + 1
+        val root = s"/tmp/graft-dfp-lake/${Llm.sfCacheKey(d)}"
+        val lake = new Lake(s, root)
+        lake.dropTable(Schemas.Nfp)
+        lake.dropTable("dfp_dim")
+        (0 until 4).foreach(j =>
+          lake.append(derive(orders.filter(k >= j * q && k < (j + 1) * q))
+            .coalesce(1), Schemas.Nfp))
+        // the dim: every 29th key, 'hit' ONLY in wave 1 — the static
+        // dim filter is what makes runtime pruning possible. A lake
+        // table so the filter survives as a Filter node (a
+        // LocalRelation dim constant-folds it away).
+        locally {
+          import org.apache.spark.sql.types._
+          lake.createTable("dfp_dim", StructType(Seq(
+            StructField("chain_name", StringType, nullable = true),
+            StructField("bn", LongType, nullable = true),
+            StructField("grp", StringType, nullable = true))))
+        }
+        lake.append(orders.filter(pmod(k, lit(29)) === 0).select(
+          lit("ethereum").as("chain_name"),
+          (lit(1000L) + k).as("bn"),
+          when(k >= q && k < 2 * q, lit("hit")).otherwise(lit("miss"))
+            .as("grp")).coalesce(1), "dfp_dim")
+        val cat = "graft_dfp_" +
+          Llm.sfCacheKey(d).replaceAll("[^A-Za-z0-9]", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        val dirStr = s"$root/${Schemas.Nfp}"
+        def seam = graft.plans.DataSkipping.skipStats(dirStr)
+          .getOrElse((0L, 0L))
+        val s0 = seam
+        val joined = s.sql(
+          s"""SELECT f.log_index, count(*) AS n,
+             |  CAST(sum(CAST(f.amount0 AS BIGINT)) AS BIGINT) AS sum_a0
+             |FROM $cat.${Schemas.Nfp} f JOIN $cat.dfp_dim d
+             |  ON f.block_number = d.bn
+             |WHERE d.grp = 'hit'
+             |GROUP BY f.log_index
+             |ORDER BY f.log_index""".stripMargin)
+        // checkpoint AFTER capturing the join's own plan — the
+        // checkpointed frame is a LogicalRDD with the original plan
+        // (and its runtime-filter evidence) gone
+        val out = joined.localCheckpoint()
+        val s1 = seam
+        val (cand, kept) = (s1._1 - s0._1, s1._2 - s0._2)
+        // every data-filtered walk covers the 4 fact files: static
+        // pushdown (isnotnull) keeps 4/4, the RUNTIME walk keeps 1/4
+        // — each runtime-pruned walk is a deficit of exactly 3
+        require(cand > 0 && cand % 4 == 0 && (cand - kept) % 3 == 0 &&
+          (cand - kept) / 3 >= 1,
+          s"dynamic file pruning kept $kept of $cand candidate files " +
+            "- expected at least one runtime walk keeping 1 of 4")
+        require(joined.queryExecution.executedPlan.toString
+            .contains("dynamicpruning"),
+          "no dynamic-pruning subquery was planted on the fact scan")
+        val catLake = graft.sources.LakeCatalog.instance(cat)
+          .flatMap(_.currentLake).getOrElse(
+            throw new IllegalStateException("catalog served no query"))
+        require(catLake.listCalls.get() == 0L,
+          s"the SQL catalog fell back to ${catLake.listCalls.get()} " +
+            "recursive listing(s) - plans must be manifest-served")
+        out
+      }): Q,
+      Some("""WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |qq AS (SELECT (max(k) // 4) + 1 AS q FROM base),
+        |hit AS (SELECT k FROM base, qq
+        |  WHERE k % 29 = 0 AND k >= q AND k < 2 * q)
+        |SELECT CAST(b.k % 7 AS BIGINT) AS log_index, count(*) AS n,
+        |  CAST(sum(b.cents) AS BIGINT) AS sum_a0
+        |FROM base b JOIN hit h ON b.k = h.k
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // WRITE CONSTRAINTS — round-18's Delta-style invariants: CHECK
+    // expressions + NOT NULL columns declared through SQL DDL
+    // (ALTER TABLE SET TBLPROPERTIES), validated against existing
+    // rows at declaration and enforced on every data-adding path.
+    // Graded legs, all in-row: a violating SQL INSERT refuses naming
+    // the constraint with the table untouched; a violating SQL UPDATE
+    // dies at the staged-file gate unpublished; tombstones stay
+    // exempt; declaring a constraint existing data violates refuses;
+    // and the surviving lifecycle's final state hash-matches the
+    // oracle's recomputation.
+    ("s37_write_constraints",
+      ((s: SparkSession, d: String) => {
+        import graft.v3.{Lake, Schemas}
+        val orders = Tables.orders(s, d)
+        val k = col("o_orderkey")
+        def derive(df: org.apache.spark.sql.DataFrame) = df.select(
+          lit("ethereum").as("chain_name"),
+          lit("IncreaseLiquidity").as("name"),
+          concat(lit("0xtx"), lpad(k.cast("string"), 12, "0"))
+            .as("transaction_hash"),
+          (lit(1000L) + k).as("block_number"),
+          pmod(k, lit(13)).as("tx_index"),
+          concat(lit("0xu"), col("o_custkey").cast("string"))
+            .as("from_address"),
+          col("o_custkey").cast("string").as("amount"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long")
+            .cast("string").as("amount0"),
+          pmod(k, lit(1000)).cast("string").as("amount1"),
+          pmod(k, lit(997)).cast("string").as("tokenId"),
+          pmod(k, lit(7)).as("log_index"))
+        val root = s"/tmp/graft-ck-lake/${Llm.sfCacheKey(d)}"
+        val lake = new Lake(s, root)
+        lake.dropTable(Schemas.Nfp)
+        lake.append(derive(orders.filter(pmod(k, lit(17)) =!= 0))
+          .coalesce(2), Schemas.Nfp)
+        val cat = "graft_ck_" +
+          Llm.sfCacheKey(d).replaceAll("[^A-Za-z0-9]", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        // declare through the SQL DDL surface
+        s.sql(s"""ALTER TABLE $cat.${Schemas.Nfp} SET TBLPROPERTIES(
+          |  'constraint.check.nonneg_amount' =
+          |    'CAST(amount0 AS BIGINT) >= 0',
+          |  'constraint.notnull' = 'transaction_hash')""".stripMargin)
+        // legal SQL INSERT passes the inline guard
+        derive(orders.filter(pmod(k, lit(17)) === 0))
+          .createOrReplaceTempView("ck_tranche")
+        s.sql(s"INSERT INTO $cat.${Schemas.Nfp} " +
+          "SELECT * FROM ck_tranche")
+        def version = lake.latestCommitVersion(Schemas.Nfp)
+        // 1. violating INSERT refuses naming the constraint; nothing
+        //    lands
+        val v1 = version
+        val e1 = try {
+          s.sql(s"INSERT INTO $cat.${Schemas.Nfp} SELECT chain_name, " +
+            "name, transaction_hash, block_number, tx_index, " +
+            "from_address, amount, '-1' AS amount0, amount1, tokenId, " +
+            "log_index FROM ck_tranche")
+          null: Throwable
+        } catch { case t: Throwable => t }
+        require(e1 != null, "a violating INSERT must refuse")
+        def causes(t: Throwable): String = {
+          var c = t; val sb = new StringBuilder
+          while (c != null) { sb.append(c.getMessage).append('\n')
+            c = c.getCause }
+          sb.toString
+        }
+        require(causes(e1).contains("nonneg_amount"),
+          s"violation must name the constraint:\n${causes(e1)}")
+        require(version == v1, "the violating INSERT landed a commit")
+        // 2. tombstones are EXEMPT: delete k%101==0 with a payload
+        //    that would violate the CHECK
+        lake.upsert(derive(orders.filter(pmod(k, lit(101)) === 0))
+          .withColumn("amount0", lit("-999"))
+          .withColumn("__del", lit(true)),
+          Schemas.Nfp, Seq("chain_name", "transaction_hash"),
+          deleteCol = Some("__del"))
+        // 3. legal SQL UPDATE passes the staged-file gate
+        s.sql(s"UPDATE $cat.${Schemas.Nfp} SET amount0 = '0' " +
+          "WHERE log_index = 5")
+        // 4. violating SQL UPDATE dies AT THE GATE, unpublished
+        val v4 = version
+        val e4 = try {
+          s.sql(s"UPDATE $cat.${Schemas.Nfp} SET amount0 = '-5' " +
+            "WHERE log_index = 3")
+          null: Throwable
+        } catch { case t: Throwable => t }
+        require(e4 != null && causes(e4).contains("nonneg_amount"),
+          "a violating UPDATE must refuse naming the constraint")
+        require(version == v4, "the violating UPDATE published")
+        // 5. declaring a constraint existing rows violate refuses and
+        //    commits nothing
+        val e5 = try {
+          lake.setTableProperties(Schemas.Nfp, Map(
+            "constraint.check.impossible" ->
+              "CAST(amount1 AS BIGINT) < 0"))
+          null: Throwable
+        } catch { case t: Throwable => t }
+        require(e5 != null && !lake.tableProperties(Schemas.Nfp)
+            .contains("constraint.check.impossible"),
+          "ADD CONSTRAINT over violating data must refuse uncommitted")
+        s.sql(
+          s"""SELECT log_index, count(*) AS n,
+             |  CAST(sum(CAST(amount0 AS BIGINT)) AS BIGINT) AS sum_a0
+             |FROM $cat.${Schemas.Nfp}
+             |GROUP BY log_index ORDER BY log_index""".stripMargin)
+          .localCheckpoint()
+      }): Q,
+      Some("""WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |kept AS (SELECT k,
+        |    CASE WHEN k % 7 = 5 THEN 0 ELSE cents END AS a0
+        |  FROM base WHERE k % 101 <> 0)
+        |SELECT CAST(k % 7 AS BIGINT) AS log_index, count(*) AS n,
+        |  CAST(sum(a0) AS BIGINT) AS sum_a0
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -626,7 +626,18 @@ private[graft] class LakeTable(
       StructType(tableSchema.fields.filterNot(f => partCols.contains(f.name)))
     new MetadataAggScanBuilder(
       ParquetScanBuilder(spark, index, tableSchema, dataSchema, options),
-      serveAgg)
+      serveAgg,
+      wrap = {
+        // dynamic file pruning: joins against this table hand their
+        // build-side key values to the scan at execution, pruning
+        // partitions (chain_name) and stats-covered files before any
+        // task schedules (RuntimeSkippingScan)
+        case p: org.apache.spark.sql.execution.datasources.v2.parquet
+            .ParquetScan =>
+          new RuntimeSkippingScan(p, tableSchema, partCols.toSet,
+            lake.statsColumns(lakeTable).toSet)
+        case s => s
+      })
   }
 
   /** Serve a bare (no GROUP BY, no filters — the builder gates that)
@@ -722,7 +733,9 @@ private[graft] class LakeTable(
 private[graft] class MetadataAggScanBuilder(
     delegate: ParquetScanBuilder,
     serve: org.apache.spark.sql.connector.expressions.aggregate.Aggregation
-      => Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)])
+      => Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)],
+    wrap: org.apache.spark.sql.connector.read.Scan
+      => org.apache.spark.sql.connector.read.Scan = identity)
   extends ScanBuilder
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
@@ -768,7 +781,7 @@ private[graft] class MetadataAggScanBuilder(
           override def readSchema(): StructType = schema
           override def description(): String = "LakeMetadataAggScan"
         }
-      case None => delegate.build()
+      case None => wrap(delegate.build())
     }
 }
 

@@ -402,7 +402,7 @@ class Lake(spark: SparkSession, val root: String) {
   private[graft] def append(df: DataFrame, table: String,
                             txn: Option[(String, Long)]): Unit = {
     val tmp = stagingDir(s"append-$table")
-    df.write.mode("overwrite")
+    enforceConstraints(df, table).write.mode("overwrite")
       .options(writeOptions(table))
       .partitionBy("chain_name")
       .parquet(tmp.toString)
@@ -686,6 +686,39 @@ class Lake(spark: SparkSession, val root: String) {
             s"${sch.fieldNames.mkString(", ")})")
       }
     }
+    // constraint keys validate the EXPRESSION and the table's EXISTING
+    // rows at set time (the published formats' ADD CONSTRAINT
+    // posture): one O(table) scan per added constraint, loud refusal
+    // with a violating-row example — a constraint that admits data it
+    // forbids is a wrong result waiting to be read back
+    kv.filter { case (k, v) => v != null &&
+        (k.startsWith("constraint.check.") || k == "constraint.notnull") }
+      .foreach {
+        case (k, sql) if k.startsWith("constraint.check.") =>
+          val name = k.stripPrefix("constraint.check.")
+          require(name.nonEmpty &&
+            name.forall(c => c.isLetterOrDigit || c == '_'),
+            s"CHECK constraint name '$name' must be [A-Za-z0-9_]+")
+          val bad = read(table)
+            .filter(!coalesce(expr(sql).cast("boolean"), lit(true)))
+            .limit(1).collect()
+          require(bad.isEmpty,
+            s"cannot add CHECK constraint $name ($sql) to $table - an " +
+              s"existing row violates it: ${bad.head}")
+        case (_, cols) =>
+          val names = cols.split(',').map(_.trim).filter(_.nonEmpty)
+          val schema = effectiveSchema(table)
+          val missing = names.filterNot(schema.fieldNames.contains)
+          require(missing.isEmpty,
+            s"constraint.notnull for $table names unknown column(s) " +
+              s"${missing.mkString(", ")}")
+          names.foreach { c =>
+            val bad = read(table).filter(col(c).isNull).limit(1).collect()
+            require(bad.isEmpty,
+              s"cannot add NOT NULL($c) to $table - an existing row " +
+                s"is null there: ${bad.head}")
+          }
+      }
     val next = (tableProperties(table) ++ kv).filter(_._2 != null)
     val d = propsDir(table)
     fs.mkdirs(d)
@@ -714,6 +747,100 @@ class Lake(spark: SparkSession, val root: String) {
     tableProperties(table).get("write.bloom.columns")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+
+  // ── Write constraints ──────────────────────────────────────────────
+  //
+  // Delta-style invariants, declared as table properties and enforced
+  // on every data-adding path:
+  //   constraint.check.<name> = SQL boolean expression over the
+  //     table's columns — SQL-standard semantics: a row violates only
+  //     when the expression evaluates FALSE; NULL passes.
+  //   constraint.notnull = comma-separated columns refusing nulls.
+  // setTableProperties validates both the expression and the table's
+  // EXISTING rows at declaration time, so enforcement only ever
+  // guards incoming data. append/ingest/streaming/upsert guard
+  // INLINE (a codegen'd assert_true inside the write job — fail-fast,
+  // no extra pass, nothing lands); SQL UPDATE/MERGE validate the
+  // staged replacement files before the manifest transaction
+  // ([[replaceStaged]] — O(staged rows), constraint-bearing tables
+  // only). Constraint-free tables pay nothing anywhere.
+
+  /** The table's declared constraints: (check name → SQL expr) sorted
+    * by name, plus the NOT NULL column list. */
+  private[graft] def tableConstraints(table: String)
+      : (Seq[(String, String)], Seq[String]) = {
+    val props = tableProperties(table)
+    val checks = props.toSeq.collect {
+      case (k, v) if k.startsWith("constraint.check.") =>
+        (k.stripPrefix("constraint.check."), v)
+    }.sortBy(_._1)
+    val notnull = props.get("constraint.notnull").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    (checks, notnull)
+  }
+
+  /** `df` with every declared constraint compiled to a per-row guard
+    * (assert_true: raises naming the constraint and the violating row
+    * as JSON; evaluates to null otherwise). Rows where `exempt` is
+    * true skip the checks — upsert TOMBSTONES carry no payload, only
+    * a key to delete. A CHECK whose referenced columns are absent
+    * from `df` (schema-evolution batches predating the column) reads
+    * them as null and therefore PASSES — skipped outright; an absent
+    * NOT NULL column, by the same reading, would land nulls and
+    * refuses loudly instead. */
+  private[graft] def enforceConstraints(df: DataFrame, table: String,
+                                        exempt: Option[Column] = None)
+      : DataFrame = {
+    val (checks, notnull) = tableConstraints(table)
+    if (checks.isEmpty && notnull.isEmpty) return df
+    val have = df.columns.toSet
+    notnull.filterNot(have).headOption.foreach(c => throw
+      new IllegalArgumentException(
+        s"write to $table omits NOT NULL column $c - the batch would " +
+          "land nulls the constraint forbids"))
+    def referenced(sql: String): Seq[String] =
+      spark.sessionState.sqlParser.parseExpression(sql).collect {
+        case a: org.apache.spark.sql.catalyst.analysis
+            .UnresolvedAttribute => a.name
+      }
+    val rowJson = to_json(struct(df.columns.toSeq.map(col): _*))
+    val ex = exempt.getOrElse(lit(false))
+    val guards: Seq[Column] =
+      checks.filter(c => referenced(c._2).forall(have))
+        .map { case (name, sql) =>
+          assert_true(ex || coalesce(expr(sql).cast("boolean"), lit(true)),
+            concat(lit(s"CHECK constraint $name ($sql) violated by " +
+              "row: "), rowJson))
+        } ++
+      notnull.map { c =>
+        assert_true(ex || col(c).isNotNull,
+          concat(lit(s"NOT NULL constraint violated: column $c is " +
+            "null in row: "), rowJson))
+      }
+    val tagged = guards.zipWithIndex.foldLeft(df) { case (acc, (g, i)) =>
+      acc.withColumn(s"__graft_ck_$i", g)
+    }
+    guards.indices
+      .foldLeft(tagged)((acc, i) => acc.filter(col(s"__graft_ck_$i").isNull))
+      .drop(guards.indices.map(i => s"__graft_ck_$i"): _*)
+  }
+
+  /** Constraint gate for write paths that stage through Spark's own
+    * parquet writers (SQL UPDATE/MERGE): one validating pass over the
+    * staged hive-partitioned output BEFORE the manifest transaction —
+    * a violation aborts with nothing published. No-op without
+    * constraints. */
+  private def validateStagedConstraints(table: String, tmp: Path): Unit = {
+    val (checks, notnull) = tableConstraints(table)
+    if (checks.isEmpty && notnull.isEmpty) return
+    if (!fs.exists(tmp)) return
+    val staged = spark.read
+      .schema(effectiveSchema(table))
+      .option("basePath", tmp.toString)
+      .parquet(tmp.toString)
+    enforceConstraints(staged, table).count()
+    ()
+  }
 
   /** The table's declared 2-D storage layout (property
     * `write.layout = zorder(x,y)`): the two columns whose interleaved
@@ -2866,6 +2993,11 @@ class Lake(spark: SparkSession, val root: String) {
       removedAbs.map(p => relAnywhere(p) ->
         (None: Option[Dv.Ref])).toMap
     try {
+      // UPDATE/MERGE rows staged through Spark's own writers never
+      // passed the inline guard — validate the replacement files
+      // BEFORE the manifest transaction (violation = loud abort,
+      // nothing published)
+      validateStagedConstraints(table, tmp)
       landPartitioned(tmp, table, "replace", "rowLevelReplace",
         removedAbs = removedAbs, dvExpected = dvExpectedR,
         afterPublish = () => {
@@ -4245,7 +4377,7 @@ class Lake(spark: SparkSession, val root: String) {
   /** `retain = true` moves the rewritten-away files into the retention
     * area instead of deleting them, keeping pre-upsert snapshots
     * READABLE ([[readAt]]) until [[vacuum]] expires them. */
-  def upsert(updates: DataFrame, table: String, keys: Seq[String],
+  def upsert(updates0: DataFrame, table: String, keys: Seq[String],
              deleteCol: Option[String] = None,
              checkUnique: Boolean = true,
              maxKeyCollect: Int = 1 << 20,
@@ -4263,6 +4395,11 @@ class Lake(spark: SparkSession, val root: String) {
       "upsert keys must include the partition column chain_name - " +
         "without it an existing row in an unnamed chain silently " +
         "survives next to its replacement (duplicate key)")
+    // constraint guard rides the batch inline (evaluated wherever the
+    // plan first executes — fail-fast, nothing lands); TOMBSTONES are
+    // exempt: they carry a key to delete, not payload
+    val updates = enforceConstraints(updates0, table,
+      exempt = deleteCol.map(col))
     val schema = effectiveSchema(table)
     if (checkUnique) {
       val dups = updates.groupBy(keys.map(col): _*)
