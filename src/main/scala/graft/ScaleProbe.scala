@@ -882,6 +882,41 @@ object ScaleProbe {
       println(f"""{"probe":"dfp_join_full","k":$k,"sec":${(System.nanoTime() - t1) / 1e9}%.2f}""")
     }
 
+    // ── Incremental MV refresh at k×: O(changed files), not O(table) ─
+    // k waves build the source; the full initial load is O(table) by
+    // design, then a 10-row churn of ONE wave must refresh in time
+    // governed by the churn, not by k — the super-linear cliff this
+    // probe hunts is the incremental path accidentally rescanning the
+    // table.
+    lazy val mvSection = Set("mv_full_load", "mv_incr_refresh")
+    if (only.forall(s => s.exists(mvSection))) {
+      import graft.v3.{Lake, Schemas}
+      val lake = new Lake(spark, java.nio.file.Files
+        .createTempDirectory("probe-mvlake").toString)
+      val orders0 = Tables.orders(spark, sfDir)
+      def seg(j: Int): DataFrame = nfpSeg(j, orders0)
+      (0 until k).foreach(j =>
+        lake.append(seg(j).coalesce(1), Schemas.Nfp))
+      lake.createMaterializedView("nfp_mv", Schemas.Nfp,
+        Seq("chain_name", "log_index"),
+        Map("cents" -> "CAST(amount0 AS BIGINT)"))
+      val t0 = System.nanoTime()
+      val r1 = lake.refreshMaterializedView("nfp_mv")
+      require(r1.mode == "full", s"initial load must be full: $r1")
+      println(f"""{"probe":"mv_full_load","k":$k,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      // churn ONE wave: 10 updated rows, retained so the feed replays
+      lake.upsertRetrying(seg(0).limit(10)
+        .withColumn("amount0", lit("999999"))
+        .withColumn("__del", lit(false)),
+        Schemas.Nfp, Seq("chain_name", "transaction_hash"),
+        deleteCol = Some("__del"), retain = true)
+      val t1 = System.nanoTime()
+      val r2 = lake.refreshMaterializedView("nfp_mv")
+      require(r2.mode == "incremental",
+        s"churn refresh must be incremental: $r2")
+      println(f"""{"probe":"mv_incr_refresh","k":$k,"sec":${(System.nanoTime() - t1) / 1e9}%.2f}""")
+    }
+
     // ── Multi-writer stress: liveness under REAL contention ──────────
     // The race specs are deterministic (hook-seamed single collisions);
     // this probe runs 8 GENUINELY concurrent writers — each its own

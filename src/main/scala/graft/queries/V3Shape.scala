@@ -2692,6 +2692,196 @@ object V3Shape {
         |  FROM base WHERE k % 101 <> 0)
         |SELECT CAST(k % 7 AS BIGINT) AS log_index, count(*) AS n,
         |  CAST(sum(a0) AS BIGINT) AS sum_a0
-        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin))
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // GENERATED COLUMNS — Delta's GENERATED ALWAYS AS, as
+    // `generated.col.<name>` table properties: a write omitting the
+    // column gets it COMPUTED from the expression; one supplying it
+    // gets every row VALIDATED null-safely (divergence refuses
+    // naming the column, nothing lands); declaring an expression the
+    // existing rows diverge from refuses uncommitted. The graded
+    // state mixes computed and validated waves and hash-matches the
+    // oracle's recomputation of the expression.
+    ("s38_generated_columns",
+      ((s: SparkSession, d: String) => {
+        import graft.v3.{Lake, Schemas}
+        val orders = Tables.orders(s, d)
+        val k = col("o_orderkey")
+        def derive(df: org.apache.spark.sql.DataFrame) = df.select(
+          lit("ethereum").as("chain_name"),
+          lit("IncreaseLiquidity").as("name"),
+          concat(lit("0xtx"), lpad(k.cast("string"), 12, "0"))
+            .as("transaction_hash"),
+          (lit(1000L) + k).as("block_number"),
+          pmod(k, lit(13)).as("tx_index"),
+          concat(lit("0xu"), col("o_custkey").cast("string"))
+            .as("from_address"),
+          col("o_custkey").cast("string").as("amount"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long")
+            .cast("string").as("amount0"),
+          pmod(k, lit(1000)).cast("string").as("amount1"),
+          pmod(k, lit(997)).cast("string").as("tokenId"),
+          pmod(k, lit(7)).as("log_index"))
+        val root = s"/tmp/graft-gen-lake/${Llm.sfCacheKey(d)}"
+        val lake = new Lake(s, root)
+        lake.dropTable(Schemas.Nfp)
+        lake.append(derive(orders.filter(pmod(k, lit(3)) === 0))
+          .coalesce(1), Schemas.Nfp)
+        val cat = "graft_gen_" +
+          Llm.sfCacheKey(d).replaceAll("[^A-Za-z0-9]", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        // 1. declaring an expression the existing rows diverge from
+        //    refuses and commits nothing
+        val eDecl = try {
+          lake.setTableProperties(Schemas.Nfp, Map(
+            "generated.col.log_index" -> "pmod(block_number, 5)"))
+          null: Throwable
+        } catch { case t: Throwable => t }
+        require(eDecl != null && !lake.tableProperties(Schemas.Nfp)
+            .contains("generated.col.log_index"),
+          "a diverging generation expression must refuse uncommitted")
+        // 2. the matching expression declares through SQL DDL, plus a
+        //    DEFAULT on `name` (filled when omitted, never validated)
+        s.sql(s"""ALTER TABLE $cat.${Schemas.Nfp} SET TBLPROPERTIES(
+          |  'generated.col.log_index' =
+          |    'pmod(block_number - 1000, 7)',
+          |  'default.col.name' = '''IncreaseLiquidity''')""".stripMargin)
+        // 3. COMPUTED: a batch omitting BOTH the generated column and
+        //    the defaulted one
+        lake.append(derive(orders.filter(pmod(k, lit(3)) === 1))
+          .drop("log_index").drop("name").coalesce(1), Schemas.Nfp)
+        require(lake.read(Schemas.Nfp)
+            .filter(col("name").isNull ||
+              col("name") =!= "IncreaseLiquidity").count() == 0L,
+          "the omitted defaulted column must read back as its default")
+        // 4. VALIDATED: a correct supplied batch through SQL INSERT
+        derive(orders.filter(pmod(k, lit(3)) === 2))
+          .createOrReplaceTempView("gen_tranche")
+        s.sql(s"INSERT INTO $cat.${Schemas.Nfp} " +
+          "SELECT * FROM gen_tranche")
+        // 5. a divergent supplied batch refuses naming the column
+        def version = lake.latestCommitVersion(Schemas.Nfp)
+        val v0 = version
+        val eBad = try {
+          s.sql(s"INSERT INTO $cat.${Schemas.Nfp} SELECT chain_name, " +
+            "name, concat(transaction_hash, 'x'), block_number, " +
+            "tx_index, from_address, amount, amount0, amount1, " +
+            "tokenId, 99 AS log_index FROM gen_tranche")
+          null: Throwable
+        } catch { case t: Throwable => t }
+        def causes(t: Throwable): String = {
+          var c = t; val sb = new StringBuilder
+          while (c != null) { sb.append(c.getMessage).append('\n')
+            c = c.getCause }
+          sb.toString
+        }
+        require(eBad != null &&
+          causes(eBad).contains("generated column log_index"),
+          "a divergent supplied batch must refuse naming the column")
+        require(version == v0, "the divergent INSERT landed a commit")
+        s.sql(
+          s"""SELECT log_index, count(*) AS n,
+             |  CAST(sum(CAST(amount0 AS BIGINT)) AS BIGINT) AS sum_a0
+             |FROM $cat.${Schemas.Nfp}
+             |GROUP BY log_index ORDER BY log_index""".stripMargin)
+          .localCheckpoint()
+      }): Q,
+      Some("""WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT CAST(k % 7 AS BIGINT) AS log_index, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_a0
+        |FROM base GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // INCREMENTAL MATERIALIZED VIEW — SUM/COUNT aggregates stored as
+    // a lake table and refreshed in O(changed files) from the commit
+    // log's change feed (inserts add, deletes subtract, rewrite-only
+    // commits contribute nothing), with exactly-once bookkeeping on
+    // the #txn sink-transaction machinery. Graded legs, in-row: the
+    // initial refresh is a FULL load, the post-churn refresh is
+    // INCREMENTAL, the no-change refresh is a NOOP, and the final
+    // view equals a from-scratch recomputation (exceptAll both ways)
+    // before hash-matching the oracle.
+    ("s39_materialized_view",
+      ((s: SparkSession, d: String) => {
+        import graft.v3.{Lake, Schemas}
+        val orders = Tables.orders(s, d)
+        val k = col("o_orderkey")
+        def derive(df: org.apache.spark.sql.DataFrame) = df.select(
+          lit("ethereum").as("chain_name"),
+          lit("IncreaseLiquidity").as("name"),
+          concat(lit("0xtx"), lpad(k.cast("string"), 12, "0"))
+            .as("transaction_hash"),
+          (lit(1000L) + k).as("block_number"),
+          pmod(k, lit(13)).as("tx_index"),
+          concat(lit("0xu"), col("o_custkey").cast("string"))
+            .as("from_address"),
+          col("o_custkey").cast("string").as("amount"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long")
+            .cast("string").as("amount0"),
+          pmod(k, lit(1000)).cast("string").as("amount1"),
+          pmod(k, lit(997)).cast("string").as("tokenId"),
+          pmod(k, lit(7)).as("log_index"))
+        val root = s"/tmp/graft-mv-lake/${Llm.sfCacheKey(d)}"
+        val lake = new Lake(s, root)
+        lake.dropTable(Schemas.Nfp)
+        lake.dropTable("nfp_mv")
+        lake.append(derive(orders.filter(pmod(k, lit(3)) =!= 2))
+          .coalesce(1), Schemas.Nfp)
+        lake.createMaterializedView("nfp_mv", Schemas.Nfp,
+          Seq("chain_name", "log_index"),
+          Map("cents" -> "CAST(amount0 AS BIGINT)"))
+        val r1 = lake.refreshMaterializedView("nfp_mv")
+        require(r1.mode == "full",
+          s"the initial refresh must be a full load, got $r1")
+        // churn: an insert wave, +5 updates on k%10==0 (k%90!=0),
+        // deletes of k%90==0
+        lake.append(derive(orders.filter(pmod(k, lit(3)) === 2))
+          .coalesce(1), Schemas.Nfp)
+        lake.upsertRetrying(
+          derive(orders.filter(pmod(k, lit(10)) === 0 &&
+              pmod(k, lit(90)) =!= 0))
+            .withColumn("amount0",
+              (col("amount0").cast("long") + 5).cast("string"))
+            .withColumn("__del", lit(false))
+            .unionByName(derive(orders.filter(pmod(k, lit(90)) === 0))
+              .withColumn("__del", lit(true))),
+          Schemas.Nfp, Seq("chain_name", "transaction_hash"),
+          deleteCol = Some("__del"), retain = true)
+        val r2 = lake.refreshMaterializedView("nfp_mv")
+        require(r2.mode == "incremental",
+          s"the post-churn refresh must be incremental, got $r2")
+        val r3 = lake.refreshMaterializedView("nfp_mv")
+        require(r3.mode == "noop",
+          s"an up-to-date view must refresh as a noop, got $r3")
+        // the view must equal a from-scratch recomputation EXACTLY
+        val mv = lake.read("nfp_mv")
+          .select(col("chain_name"), col("log_index"), col("cents"),
+            col("mv_count"))
+        val exp = lake.read(Schemas.Nfp)
+          .groupBy(col("chain_name"), col("log_index"))
+          .agg(sum(col("amount0").cast("long")).cast("long")
+            .as("cents"), count(lit(1)).as("mv_count"))
+        require(mv.exceptAll(exp).count() == 0L &&
+          exp.exceptAll(mv).count() == 0L,
+          "the refreshed view diverged from a from-scratch recompute")
+        require(lake.listCalls.get() == 0L,
+          s"the MV lifecycle performed ${lake.listCalls.get()} " +
+            "recursive listing(s) - refresh must be manifest-served")
+        mv.orderBy(col("chain_name"), col("log_index"))
+          .localCheckpoint()
+      }): Q,
+      Some("""WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |after AS (SELECT k,
+        |    CASE WHEN k % 10 = 0 AND k % 90 <> 0 THEN cents + 5
+        |      ELSE cents END AS c
+        |  FROM base WHERE k % 90 <> 0)
+        |SELECT 'ethereum' AS chain_name, CAST(k % 7 AS BIGINT)
+        |    AS log_index, CAST(sum(c) AS BIGINT) AS cents,
+        |  count(*) AS mv_count
+        |FROM after GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -124,6 +124,17 @@ object LakeMaintenance {
       // before stats existed (adoption/upgrade) or before a
       // stats.columns change - new commits warm their own stats
       (lake, t, _) => Seq(Seq(lake.analyzeTable(t))), argSpec = ""),
+    Fn("graft_mv_refresh", "graft_mv_refresh('catalog.view')",
+      Seq("mode" -> StringType, "from_version" -> LongType,
+        "to_version" -> LongType),
+      // bring a materialized view up to its source's latest commit
+      // (Lake.refreshMaterializedView: full on first load or a broken
+      // change window, incremental otherwise, noop when current)
+      (lake, t, _) => {
+        val r = lake.refreshMaterializedView(t)
+        Seq(Seq(UTF8String.fromString(r.mode), r.fromVersion,
+          r.toVersion))
+      }, argSpec = ""),
     Fn("graft_detail", "graft_detail('catalog.table')",
       Seq("version" -> LongType, "num_files" -> LongType,
         "size_bytes" -> LongType, "num_partitions" -> LongType,

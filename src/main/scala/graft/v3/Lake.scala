@@ -402,7 +402,7 @@ class Lake(spark: SparkSession, val root: String) {
   private[graft] def append(df: DataFrame, table: String,
                             txn: Option[(String, Long)]): Unit = {
     val tmp = stagingDir(s"append-$table")
-    enforceConstraints(df, table).write.mode("overwrite")
+    applyWritePolicies(df, table).write.mode("overwrite")
       .options(writeOptions(table))
       .partitionBy("chain_name")
       .parquet(tmp.toString)
@@ -692,8 +692,55 @@ class Lake(spark: SparkSession, val root: String) {
     // with a violating-row example — a constraint that admits data it
     // forbids is a wrong result waiting to be read back
     kv.filter { case (k, v) => v != null &&
-        (k.startsWith("constraint.check.") || k == "constraint.notnull") }
+        (k.startsWith("constraint.check.") || k == "constraint.notnull" ||
+          k.startsWith("generated.col.") || k.startsWith("default.col.")) }
       .foreach {
+        case (k, sql) if k.startsWith("default.col.") =>
+          val name = k.stripPrefix("default.col.")
+          val schema = effectiveSchema(table)
+          require(schema.fieldNames.contains(name),
+            s"default.col.$name for $table names an unknown column")
+          require(!(generatedColumns(table).map(_._1).toSet ++
+              kv.keys.filter(_.startsWith("generated.col."))
+                .map(_.stripPrefix("generated.col."))).contains(name),
+            s"column $name of $table cannot be both DEFAULT and " +
+              "generated - a default yields to supplied values, a " +
+              "generated column refuses them")
+          // parse-check the expression now (a typo'd default would
+          // otherwise only surface on the next omitting write)
+          spark.sessionState.sqlParser.parseExpression(sql)
+          ()
+        case (k, sql) if k.startsWith("generated.col.") =>
+          require(!(defaultColumns(table).map(_._1).toSet ++
+              kv.keys.filter(_.startsWith("default.col."))
+                .map(_.stripPrefix("default.col.")))
+              .contains(k.stripPrefix("generated.col.")),
+            s"column ${k.stripPrefix("generated.col.")} of $table " +
+              "cannot be both DEFAULT and generated")
+          val name = k.stripPrefix("generated.col.")
+          val schema = effectiveSchema(table)
+          require(schema.fieldNames.contains(name),
+            s"generated.col.$name for $table names an unknown column")
+          val refs = spark.sessionState.sqlParser.parseExpression(sql)
+            .collect { case a: org.apache.spark.sql.catalyst.analysis
+                .UnresolvedAttribute => a.name }
+          require(!refs.contains(name),
+            s"generated column $name of $table references itself")
+          val otherGens = (generatedColumns(table).map(_._1).toSet ++
+            kv.keys.filter(_.startsWith("generated.col."))
+              .map(_.stripPrefix("generated.col."))) - name
+          val chained = refs.filter(otherGens)
+          require(chained.isEmpty,
+            s"generated column $name of $table references generated " +
+              s"column(s) ${chained.mkString(", ")} - generation " +
+              "expressions must depend on stored columns only")
+          val dt = schema(name).dataType
+          val bad = read(table)
+            .filter(!(col(name) <=> expr(sql).cast(dt)))
+            .limit(1).collect()
+          require(bad.isEmpty,
+            s"cannot declare generated column $name AS ($sql) on " +
+              s"$table - an existing row diverges: ${bad.head}")
         case (k, sql) if k.startsWith("constraint.check.") =>
           val name = k.stripPrefix("constraint.check.")
           require(name.nonEmpty &&
@@ -779,6 +826,84 @@ class Lake(spark: SparkSession, val root: String) {
     (checks, notnull)
   }
 
+  /** The table's GENERATED columns (Delta's `GENERATED ALWAYS AS`):
+    * property `generated.col.<name>` = SQL expression over the
+    * table's OTHER columns. A write that omits the column gets it
+    * COMPUTED; one that supplies it gets every row VALIDATED
+    * (null-safe equality against the expression — a divergent value
+    * refuses naming the column). Declaration validates the
+    * expression, its references (schema columns, not themselves
+    * generated, never the column itself) and the table's existing
+    * rows. */
+  private[graft] def generatedColumns(table: String): Seq[(String, String)] =
+    tableProperties(table).toSeq.collect {
+      case (k, v) if k.startsWith("generated.col.") =>
+        (k.stripPrefix("generated.col."), v)
+    }.sortBy(_._1)
+
+  /** Generated-column gate for one batch: compute absent columns,
+    * guard present ones (rows where `exempt` is true skip
+    * validation — tombstones). Returns `df` untouched when the table
+    * declares none. */
+  private[graft] def applyGeneratedColumns(df: DataFrame, table: String,
+                                           exempt: Option[Column] = None)
+      : DataFrame = {
+    val gens = generatedColumns(table)
+    if (gens.isEmpty) return df
+    val schema = effectiveSchema(table)
+    val ex = exempt.getOrElse(lit(false))
+    val have = df.columns.toSet
+    val rowJson = to_json(struct(df.columns.toSeq.map(col): _*))
+    val (toCompute, toValidate) = gens.partition(g => !have(g._1))
+    val computed = toCompute.foldLeft(df) { case (acc, (name, sql)) =>
+      acc.withColumn(name, expr(sql).cast(schema(name).dataType))
+    }
+    val guards = toValidate.map { case (name, sql) =>
+      assert_true(ex ||
+        col(name) <=> expr(sql).cast(schema(name).dataType),
+        concat(lit(s"generated column $name must equal $sql - " +
+          "violated by row: "), rowJson))
+    }
+    val tagged = guards.zipWithIndex.foldLeft(computed) {
+      case (acc, (g, i)) => acc.withColumn(s"__graft_gen_$i", g)
+    }
+    guards.indices
+      .foldLeft(tagged)((acc, i) =>
+        acc.filter(col(s"__graft_gen_$i").isNull))
+      .drop(guards.indices.map(i => s"__graft_gen_$i"): _*)
+  }
+
+  /** The table's DEFAULT columns (`default.col.<name>` = SQL expr):
+    * computed when a batch omits the column, never validated when it
+    * supplies one — the SQL `DEFAULT` clause, vs generated columns'
+    * always-enforced invariant. A column cannot be both. */
+  private[graft] def defaultColumns(table: String): Seq[(String, String)] =
+    tableProperties(table).toSeq.collect {
+      case (k, v) if k.startsWith("default.col.") =>
+        (k.stripPrefix("default.col."), v)
+    }.sortBy(_._1)
+
+  private def applyDefaultColumns(df: DataFrame, table: String): DataFrame = {
+    val defs = defaultColumns(table).filterNot(d =>
+      df.columns.contains(d._1))
+    if (defs.isEmpty) return df
+    val schema = effectiveSchema(table)
+    defs.foldLeft(df) { case (acc, (name, sql)) =>
+      acc.withColumn(name, expr(sql).cast(schema(name).dataType))
+    }
+  }
+
+  /** The combined write gate every data-adding batch passes: DEFAULT
+    * columns first, then generated columns, then CHECK / NOT NULL
+    * guards (each later stage may reference the earlier ones'
+    * output). */
+  private[graft] def applyWritePolicies(df: DataFrame, table: String,
+                                        exempt: Option[Column] = None)
+      : DataFrame =
+    enforceConstraints(
+      applyGeneratedColumns(applyDefaultColumns(df, table), table, exempt),
+      table, exempt)
+
   /** `df` with every declared constraint compiled to a per-row guard
     * (assert_true: raises naming the constraint and the violating row
     * as JSON; evaluates to null otherwise). Rows where `exempt` is
@@ -832,13 +957,14 @@ class Lake(spark: SparkSession, val root: String) {
     * constraints. */
   private def validateStagedConstraints(table: String, tmp: Path): Unit = {
     val (checks, notnull) = tableConstraints(table)
-    if (checks.isEmpty && notnull.isEmpty) return
+    if (checks.isEmpty && notnull.isEmpty &&
+      generatedColumns(table).isEmpty) return
     if (!fs.exists(tmp)) return
     val staged = spark.read
       .schema(effectiveSchema(table))
       .option("basePath", tmp.toString)
       .parquet(tmp.toString)
-    enforceConstraints(staged, table).count()
+    applyWritePolicies(staged, table).count()
     ()
   }
 
@@ -4398,7 +4524,7 @@ class Lake(spark: SparkSession, val root: String) {
     // constraint guard rides the batch inline (evaluated wherever the
     // plan first executes — fail-fast, nothing lands); TOMBSTONES are
     // exempt: they carry a key to delete, not payload
-    val updates = enforceConstraints(updates0, table,
+    val updates = applyWritePolicies(updates0, table,
       exempt = deleteCol.map(col))
     val schema = effectiveSchema(table)
     if (checkUnique) {
@@ -5900,5 +6026,181 @@ class Lake(spark: SparkSession, val root: String) {
       }
     }
     VacuumStats(reallyExpired.size, files, bytes)
+  }
+
+  // ── Materialized views (incremental refresh from the change feed) ──
+  //
+  // A materialized aggregate over a lake table, stored AS a lake
+  // table and refreshed in O(changed files) from the commit log's
+  // change feed instead of O(table) recomputation — the incremental
+  // materialized view the published warehouses hang off their CDC
+  // primitives. Distributive aggregates only (SUM over a SQL
+  // expression, plus the row count): each refresh replays
+  // `changesBetweenCommits(lastReflected, latest]` — inserts add,
+  // deletes subtract, rewrite-only commits (compaction/clustering)
+  // contribute nothing — and upserts the touched GROUPS into the view
+  // table. AVG derives as sum/count at query time; MIN/MAX are not
+  // incrementally maintainable under deletes and are refused at
+  // definition by construction (there is no way to declare them).
+  //
+  // Exactly-once bookkeeping rides the sink-txn machinery: every
+  // refresh commit lands `#txn=__mv:<view>:<srcVersion>` ATOMICALLY
+  // with the view's manifest publish (plus the durable progress
+  // marker), so a crash-replayed refresh dedupes instead of
+  // double-applying, and the view's last reflected source version is
+  // readable from its own commit log ([[lastSinkBatch]]).
+
+  private def mvAppId(view: String) = s"__mv:$view"
+
+  case class MvRefresh(mode: String, fromVersion: Long, toVersion: Long,
+                       stats: Option[UpsertStats])
+
+  /** Define `view` as SUM/COUNT aggregates of `src` grouped by
+    * `groupCols` (must include the partition column chain_name).
+    * `sums` maps output column → SQL expression over `src`'s columns,
+    * summed as BIGINT; the view additionally carries `mv_count` (the
+    * group's row count). Creates the view's lake table and persists
+    * the definition as its table properties; [[refreshMaterializedView]]
+    * does the initial full load. */
+  def createMaterializedView(view: String, src: String,
+                             groupCols: Seq[String],
+                             sums: Map[String, String]): Unit = {
+    require(groupCols.contains("chain_name"),
+      "materialized view group columns must include chain_name - the " +
+        "view is itself a lake table and partitions by it")
+    require(sums.nonEmpty, "a materialized view needs at least one SUM")
+    val srcSchema = effectiveSchema(src)
+    val missing = groupCols.filterNot(srcSchema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"materialized view group column(s) ${missing.mkString(", ")} " +
+        s"not in $src")
+    val reserved = (groupCols :+ "mv_count").toSet
+    require(sums.keys.forall(o => !reserved(o)),
+      "sum output names collide with group columns or mv_count")
+    sums.values.foreach(spark.sessionState.sqlParser.parseExpression(_))
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val schema = StructType(
+      groupCols.map(c => srcSchema(c).copy(nullable = true)) ++
+        sums.keys.toSeq.sorted.map(StructField(_, LongType,
+          nullable = true)) :+
+        StructField("mv_count", LongType, nullable = true))
+    createTable(view, schema)
+    setTableProperties(view, Map(
+      "mv.src" -> src,
+      "mv.group" -> groupCols.mkString(","),
+      "mv.incarnation" -> currentIncarnation(src).getOrElse(
+        throw new IllegalArgumentException(
+          s"create the materialized view after $src has commits - " +
+            "its incarnation identity pins the version numbering"))) ++
+      sums.map { case (o, e) => s"mv.sum.$o" -> e })
+  }
+
+  /** Bring `view` up to its source's latest commit. Incremental
+    * (O(files changed since the last refresh)) when the change
+    * window is still retained AND replayable — source updates/deletes
+    * must run `retain = true` (the Delta-CDF posture: un-retained
+    * rewrites delete their pre-images, so the feed refuses) — else
+    * `full` on the initial load or, when `allowFullRebuild`, whenever
+    * the window broke (that refusal propagates otherwise). No-op when
+    * already current. NULL-valued group keys refuse loudly through
+    * the view upsert (the view is KEYED by its groups; coalesce nulls
+    * in the source first). Concurrent-safe: the view upsert retries
+    * rivals, and a replayed refresh dedupes on the `#txn` header. */
+  def refreshMaterializedView(view: String,
+                              allowFullRebuild: Boolean = true)
+      : MvRefresh = {
+    val props = tableProperties(view)
+    val src = props.getOrElse("mv.src", throw new IllegalArgumentException(
+      s"$view is not a materialized view (no mv.src property)"))
+    val groupCols = props("mv.group").split(',').toSeq
+    val sums = props.toSeq.collect {
+      case (k, e) if k.startsWith("mv.sum.") =>
+        (k.stripPrefix("mv.sum."), e)
+    }.sortBy(_._1)
+    require(currentIncarnation(src).contains(props("mv.incarnation")),
+      s"source $src of $view was dropped and recreated since the " +
+        "view's definition - its versions restarted; drop and " +
+        "recreate the view")
+    val v1 = latestCommitVersion(src).getOrElse(
+      return MvRefresh("noop", -1L, -1L, None))
+    val v0 = lastSinkBatch(view, mvAppId(view))
+    if (v0 == v1) return MvRefresh("noop", v0, v1, None)
+
+    def sumCols(sgn: Column): Seq[Column] =
+      sums.map { case (o, e) =>
+        sum(sgn * coalesce(expr(e).cast("long"), lit(0L))).as(o) } :+
+        sum(sgn).cast("long").as("mv_count")
+    val gcols = groupCols.map(col)
+
+    def fullLoad(): MvRefresh = {
+      // pin the aggregate to ONE source version: plan against the
+      // current manifest, then require no commit landed while
+      // planning (retry absorbs the race)
+      var tries = 0
+      while (true) {
+        val vPin = latestCommitVersion(src).getOrElse(-1L)
+        val plus = sumCols(lit(1L))
+        val fresh = read(src).groupBy(gcols: _*).agg(
+          plus.head, plus.tail: _*)
+        if (latestCommitVersion(src).getOrElse(-1L) == vPin) {
+          // tombstone groups that vanished since the last state
+          val stale = read(view).select(gcols: _*)
+            .exceptAll(fresh.select(gcols: _*))
+            .select((groupCols.map(col) ++
+              sums.map(s => lit(null).cast("long").as(s._1)) :+
+              lit(null).cast("long").as("mv_count")): _*)
+            .withColumn("__del", lit(true))
+          val out = fresh.withColumn("__del", lit(false))
+            .unionByName(stale)
+          val st = upsertRetrying(out, view, groupCols,
+            deleteCol = Some("__del"), checkUnique = false,
+            txn = Some((mvAppId(view), vPin)))
+          recordSinkBatch(view, mvAppId(view), vPin)
+          return MvRefresh("full", v0, vPin, Some(st))
+        }
+        tries += 1
+        require(tries < 8,
+          s"full MV load of $view raced 8 straight commits of $src")
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
+    if (v0 < 0L) return fullLoad()
+    val changes =
+      try changesBetweenCommits(src, v0, v1,
+        expectedIncarnation = Some(props("mv.incarnation")))
+      catch {
+        case e: IllegalArgumentException if allowFullRebuild =>
+          // part of the window expired (manifest retention / vacuum)
+          return fullLoad()
+      }
+    val sgn = when(col("_change_type") === "insert", lit(1L))
+      .otherwise(lit(-1L))
+    val delta = changes.groupBy(gcols: _*).agg(
+      sumCols(sgn).head, sumCols(sgn).tail: _*)
+    val cur = read(view)
+    // NULL-SAFE group join: a null-valued group key must still find
+    // its existing view row (plain equi-join would orphan it into a
+    // duplicate)
+    val joinCond = groupCols.map(c => col(s"d.$c") <=> col(s"c.$c"))
+      .reduce(_ && _)
+    val merged = delta.as("d").join(cur.as("c"), joinCond, "left")
+      .select((groupCols.map(c => col(s"d.$c").as(c)) ++
+        sums.map { case (o, _) =>
+          (coalesce(col(s"c.$o"), lit(0L)) + col(s"d.$o")).as(o) } :+
+        (coalesce(col("c.mv_count"), lit(0L)) + col("d.mv_count"))
+          .as("mv_count")): _*)
+      .withColumn("__del", col("mv_count") === 0L)
+      // a negative count means the change feed and the view state
+      // diverged - refuse loudly rather than materialize garbage
+      .withColumn("mv_count", when(col("mv_count") < 0L,
+        raise_error(concat(lit(s"materialized view $view went " +
+          "negative on group "), to_json(struct(gcols: _*)))))
+        .otherwise(col("mv_count")))
+    val st = upsertRetrying(merged, view, groupCols,
+      deleteCol = Some("__del"), checkUnique = false,
+      txn = Some((mvAppId(view), v1)))
+    recordSinkBatch(view, mvAppId(view), v1)
+    MvRefresh("incremental", v0, v1, Some(st))
   }
 }
