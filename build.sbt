@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // measurement channel for the optimization rounds: extra -D flags
+  // (e.g. spark.* conf A/B) without editing the entry points
+  sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq
+    .flatMap(_.split("\\s+").filter(_.nonEmpty).toSeq)

@@ -76,7 +76,7 @@ object LongStreamProbe {
     val mode = args.lift(1).getOrElse("upsert")
     val dvMode = args.lift(2).contains("dv")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
+    val spark = graft.fs.FastLocalFs.configure(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

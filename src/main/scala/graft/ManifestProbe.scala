@@ -43,7 +43,7 @@ object ManifestProbe {
     // cross-contaminate GC like v1/dsv2 do.
     val runStats = mode == "stats"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
+    val spark = graft.fs.FastLocalFs.configure(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

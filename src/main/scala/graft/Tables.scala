@@ -18,10 +18,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `epoch_us(ts)` matches `ts_us` exactly in either generation.
   */
 object Tables {
+  /** Schema memo: one footer-inference per DISTINCT FILE STATE.
+    *
+    * `spark.read.parquet(path)` re-infers the schema on every call —
+    * a footer open + thrift parse + merge job. The registry invokes
+    * these readers thousands of times per bench/verify run (189
+    * queries × reps × 1-3 tables each), so inference alone costs
+    * tens of seconds of pure metadata re-derivation (measured ~0.1 s
+    * of the 0.58 s warm a1_groupby_sum, guide §1/§6). A catalog
+    * metastore is how production Spark avoids exactly this; path
+    * reads get the same treatment here. The key is (canonical path,
+    * mtime, length): a REGENERATED corpus (new driver round, new
+    * bytes at the same path) misses the memo and re-infers — this
+    * caches table METADATA, never data or results. */
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), org.apache.spark.sql.types.StructType]()
+
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val f = new java.io.File(path)
+    val schema = schemaMemo.computeIfAbsent(
+      (f.getCanonicalPath, f.lastModified, f.length),
+      _ => spark.read.parquet(path).schema)
+    val df = spark.read.schema(schema).parquet(path)
     if (name == "events") {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}

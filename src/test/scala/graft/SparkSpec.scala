@@ -3,9 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Shared local session for specs — one per suite (lazy). */
+/** Shared local session for specs — one per suite (lazy). Runs under
+  * the same fork-free local FS as every runMain entry point
+  * ([[graft.fs.FastLocalFs]]), so the full suite validates the
+  * filesystem the bench and verify paths actually use. */
 trait SparkSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
+  lazy val spark: SparkSession = graft.fs.FastLocalFs.configure(
+    SparkSession.builder())
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
