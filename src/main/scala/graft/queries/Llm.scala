@@ -759,11 +759,18 @@ object Llm {
     val base = java.nio.file.Files.createTempDirectory(prefix)
     try body(base.toString).localCheckpoint()
     finally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(base)
-      try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
+      // the tree is per-run-unique and fully dead once the result is
+      // checkpointed, so the O(files) physical delete runs on the
+      // async purge worker instead of the caller (measured ~0.4 s of
+      // deleteImpl samples inside streamed rows; guide §1.2). The
+      // worker's shutdown hook keeps the no-garbage-on-exit guarantee.
+      graft.fs.AsyncPurge.submit(() => {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(base)
+        try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      })
     }
   }
 

@@ -1115,19 +1115,49 @@ class Lake(spark: SparkSession, val root: String) {
       fs.create(new Path(snapDir(table), f"v$snapHi%09d.expired"), true)
         .close()
       fs.listStatus(snapDir(table)).map(_.getPath).foreach { q =>
-        if (q.getName != f"v$snapHi%09d.expired") fs.delete(q, false)
+        if (q.getName != f"v$snapHi%09d.expired") trashOne(q)
       }
-    } else if (fs.exists(snapDir(table)))
-      fs.delete(snapDir(table), true)
+    } else trashOne(snapDir(table))
     Seq(retiredDir(table), statsDir(table), streamTxnDir(table),
         schemaDir(table), propsDir(table), manifestDir(table))
-      .foreach(d => if (fs.exists(d)) fs.delete(d, true))
+      .foreach(trashOne)
     statsFoldedShards.remove(table)
     manifestCache.keySet.removeIf(_._1 == table)
     inventoryCache.keySet.removeIf(_._1 == table)
     relationCache.keySet.removeIf(_._1 == table)
     commitHeaderCache.keySet.removeIf(_._1 == table)
-    fs.exists(p) && fs.delete(p, true)
+    val existed = fs.exists(p)
+    if (existed) trashOne(p)
+    existed && !fs.exists(p)
+  }
+
+  /** Dead-tree disposal for [[dropTable]]: the caller's contract is
+    * "the PATH is gone when this returns", which an O(1) same-device
+    * rename into the lake-root trash delivers; the O(files) physical
+    * purge runs on [[graft.fs.AsyncPurge]]'s background worker (a
+    * drop of a many-thousand-file incarnation was a multi-hundred-ms
+    * synchronous stall on the caller — guide §1.2, measured in the
+    * BenchProfile deleteImpl samples). Rename failure (cross-device,
+    * concurrent recreate of the trash slot) falls back to the old
+    * synchronous delete, so the visible postcondition never weakens.
+    * Trash lives under `$root/.trash` — dot-hidden from every listing
+    * (Spark's and [[listInventory]]'s conventions both skip dot
+    * names) — and each disposal also sweeps trash left by a
+    * hard-killed predecessor, so a crash leaks at most until the next
+    * drop on the same lake root. */
+  private def trashOne(q: Path): Unit = {
+    if (!fs.exists(q)) return
+    val trashRoot = new Path(s"$root/.trash")
+    fs.mkdirs(trashRoot)
+    val slot = new Path(trashRoot,
+      s"${q.getName}-${System.nanoTime()}-${Thread.currentThread().getId}")
+    if (fs.rename(q, slot)) {
+      val fsRef = fs
+      graft.fs.AsyncPurge.submit(() => { fsRef.delete(trashRoot, true); () })
+    } else {
+      fs.delete(q, true)
+      ()
+    }
   }
 
   /** Per-file inventory of one table: (chain_name, path, bytes) —
