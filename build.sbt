@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's one-line JSON from the forked JVM's stdout.
+// sbt's default LoggedOutput re-prints every forked line with an
+// "[info] " prefix, which has made that line unparseable-as-JSON in
+// every round so far (BENCH_r01..r18 all carry "parsed": null, even
+// r01 whose complete line sat inside the captured tail). StdoutOutput
+// passes the forked process's stdout through verbatim. Scoped to run
+// only — the test framework keeps sbt's logger.
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

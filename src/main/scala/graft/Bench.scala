@@ -82,39 +82,30 @@ object Bench {
     val total = results.map(_._2).sum
     val sentinelJson = sentinelSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"sentinel":{"name":"$sentinelName","secs":$sentinelJson},"sf":"${jsonStr(sfDir)}"}"""
-    println(line)
-    // tail-proof headline: the driver captures only stdout's tail, and
-    // the big line above head-truncates once the per-query map outgrows
-    // the window (r6 §wrong-1). This short trailer always fits.
-    println(s"""{"bench_total":$total,"n_queries":${results.size},"errors":${results.count(_._3.isDefined)}}""")
-    // also land the line in a file: the driver captures stdout's tail,
-    // which has truncated long runs' leading entries before (r5 §wrong-6)
+    // land the line in a file before anything else: the driver captures
+    // stdout's tail, which has truncated long runs' leading entries
+    // before (r5 §wrong-6)
     try {
       val out = java.nio.file.Paths.get("target/bench_last.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"bench_last.json write failed: $e") }
-    // full per-row artifact as a COMMITTED file (r9 verdict #6): the
-    // BENCH_r*.json stdout tail loses the head rows, so cross-round
-    // per-row comparison needs the complete name→seconds map on disk.
-    // SPARK_GRAFT_BENCH_ROUND names the round; unset → inferred as
-    // 1 + the highest committed BENCH_r{N}.json in the cwd (the round
-    // in flight), falling back to "dev" outside the repo root.
+    // full per-row artifact for cross-round per-row comparison (r9
+    // verdict #6). SPARK_GRAFT_BENCH_ROUND names the round explicitly;
+    // UNSET means "not a round-closing twin" and lands in target/ —
+    // r18's auto-inference (1 + max committed BENCH_r{N}) let the
+    // driver's own runs OVERWRITE the committed r18 closing twin and
+    // squat on the r19 name (r18 verdict §wrong-2), so never guess.
     try {
-      val round = sys.env.get("SPARK_GRAFT_BENCH_ROUND").getOrElse {
-        val pat = "BENCH_r(\\d+)\\.json".r
-        Option(new java.io.File(".").listFiles()).toSeq.flatten
-          .map(_.getName).collect { case pat(n) => n.toInt }
-          .maxOption.map(n => f"${n + 1}%02d").getOrElse("dev")
-      }
       val rows = results.map { case (k, v, e) =>
         s"""    "${jsonStr(k)}": {"sec": $v${
           e.fold("")(x => s""", "err": "${jsonStr(x)}"""")}}"""
       }.mkString("{\n", ",\n", "\n  }")
+      val round = sys.env.get("SPARK_GRAFT_BENCH_ROUND")
       val body =
         s"""{
-           |  "round": "${jsonStr(round)}",
+           |  "round": "${jsonStr(round.getOrElse("unset"))}",
            |  "sf": "${jsonStr(sfDir)}",
            |  "reps": $reps,
            |  "total_sec": $total,
@@ -123,11 +114,27 @@ object Bench {
            |  "rows": $rows
            |}
            |""".stripMargin
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(s"bench_rows_r$round.json"),
-        body.getBytes("UTF-8"))
+      val dest = round match {
+        case Some(r) => java.nio.file.Paths.get(s"bench_rows_r$r.json")
+        case None =>
+          java.nio.file.Files.createDirectories(
+            java.nio.file.Paths.get("target"))
+          java.nio.file.Paths.get("target/bench_rows_last.json")
+      }
+      java.nio.file.Files.write(dest, body.getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"bench_rows write failed: $e") }
+    // stop the session BEFORE printing the contract line: executor/
+    // cleanup log traffic can no longer interleave with stdout, and the
+    // JSON lines are the last thing this JVM writes there.
     spark.stop()
+    // THE contract line (bare — build.sbt routes forked stdout through
+    // verbatim since r19, no "[info] " prefix to break a JSON parse).
+    println(line)
+    // Tail-proof compact headline LAST (r18 verdict §next-2): the
+    // driver's capture window holds only stdout's last ~2 KB, which the
+    // per-query line outgrew at 189 rows. This one always fits intact
+    // and points at the full artifact.
+    println(s"""{"bench_total":$total,"n_queries":${results.size},"errors":${results.count(_._3.isDefined)},"unit":"sec","sf":"${jsonStr(sfDir)}","rows_file":"target/bench_last.json"}""")
   }
 }

@@ -27,9 +27,14 @@ object OptProbe {
     val variants: Seq[(String, Map[String, String])] =
       variantSpec.split('|').toSeq.map { v =>
         val i = v.indexOf(':')
+        require(i >= 0, s"bad variant token [$v] — want label:k=v;k=v")
         val label = v.substring(0, i)
         val kvs = v.substring(i + 1).split(';').filter(_.nonEmpty)
-          .map { kv => val j = kv.indexOf('='); kv.take(j) -> kv.drop(j + 1) }
+          .map { kv =>
+            val j = kv.indexOf('=')
+            require(j > 0, s"bad conf token [$kv] in variant [$label] — want k=v")
+            kv.take(j) -> kv.drop(j + 1)
+          }
           .toMap
         label -> kvs
       }

@@ -34,13 +34,32 @@ object Tables {
   private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
     (String, Long, Long), org.apache.spark.sql.types.StructType]()
 
+  /** Memo-key state of `f`: (mtime, length) for a plain file; for a
+    * DIRECTORY table, a hash over every child's (name, mtime, length)
+    * — a part file rewritten in place would otherwise preserve the
+    * dir-level mtime/entry-count and serve a stale schema (r18 verdict
+    * §wrong-4; pinned by TablesSpec's rewrite-in-place test). One
+    * readdir per invocation — still no footer open on a memo hit. */
+  private[graft] def fileState(f: java.io.File): (Long, Long) =
+    if (!f.isDirectory) (f.lastModified, f.length)
+    else {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty)
+      var h = 1469598103934665603L // FNV-1a over the child states
+      def mix(x: Long): Unit = { h ^= x; h *= 1099511628211L }
+      kids.sortBy(_.getName).foreach { k =>
+        mix(k.getName.hashCode.toLong); mix(k.lastModified); mix(k.length)
+      }
+      (h, kids.length.toLong)
+    }
+
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/$name.parquet"
     val f = new java.io.File(path)
+    val st = fileState(f)
     val schema = schemaMemo.computeIfAbsent(
-      (f.getCanonicalPath, f.lastModified, f.length),
+      (f.getCanonicalPath, st._1, st._2),
       _ => spark.read.parquet(path).schema)
     val df = spark.read.schema(schema).parquet(path)
     if (name == "events") {

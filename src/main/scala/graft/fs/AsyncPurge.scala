@@ -13,25 +13,30 @@ package graft.fs
   * temp dir nobody else can see) and hands the physical purge here.
   *
   * Delivery guarantee: a daemon worker drains the queue; a JVM
-  * shutdown hook drains what remains (bounded wait) so a normal exit
-  * leaves no garbage — the one window is a hard kill, which leaves
-  * only already-renamed trash that the NEXT purge in the same
-  * location sweeps. Failures are logged, never thrown: a stray
-  * undeleted tree costs disk, not correctness. */
+  * shutdown hook drains what remains and waits briefly for the
+  * worker's in-flight task (both bounded), so a normal exit is
+  * garbage-free except when the drain deadline itself expires — that
+  * window, like a hard kill, leaves only already-renamed trash that
+  * the NEXT purge in the same location sweeps. Failures are logged,
+  * never thrown: a stray undeleted tree costs disk, not
+  * correctness. */
 object AsyncPurge {
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
   private val queue =
     new java.util.concurrent.LinkedBlockingQueue[() => Unit]()
   private val started = new java.util.concurrent.atomic.AtomicBoolean(false)
+  /** True while the worker is executing a task (drain waits on it). */
+  private val workerBusy = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   private def ensureWorker(): Unit =
     if (started.compareAndSet(false, true)) {
       val t = new Thread(() => {
         while (true) {
           val task = queue.take()
+          workerBusy.set(true)
           try task() catch {
             case e: Throwable => log.warn(s"async purge failed: $e")
-          }
+          } finally workerBusy.set(false)
         }
       }, "graft-async-purge")
       t.setDaemon(true)
@@ -47,17 +52,21 @@ object AsyncPurge {
   }
 
   /** Best-effort synchronous drain (shutdown hook / test seam): runs
-    * queued purges on the calling thread until empty or the deadline
-    * passes. */
+    * queued purges on the calling thread, then waits briefly for the
+    * worker's in-flight task. Every task DEQUEUED here runs — the
+    * deadline only stops further dequeuing (an already-polled task
+    * must not be dropped, r18 advice §1). */
   def drain(timeoutMs: Long): Unit = {
     val deadline = System.nanoTime() + timeoutMs * 1000000L
     var task = queue.poll()
-    while (task != null && System.nanoTime() < deadline) {
+    while (task != null) {
       try task() catch {
         case e: Throwable => log.warn(s"async purge failed: $e")
       }
-      task = queue.poll()
+      task = if (System.nanoTime() < deadline) queue.poll() else null
     }
+    while (workerBusy.get() && System.nanoTime() < deadline)
+      Thread.sleep(5L)
   }
 
   /** Pending-task count (test seam). */

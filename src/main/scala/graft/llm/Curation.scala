@@ -67,11 +67,15 @@ object Curation {
     * and fan consumers out from that table instead of executor-local
     * storage. */
   private def cleanedText(df: DataFrame, text: String, id: String,
-                          mat: Materializer): DataFrame =
+                          mat: Materializer): DataFrame = {
+    // the fused clean expression (r19): one String materialization and
+    // gated regex passes instead of the 13-node chain — byte-identical
+    // to redactText(stripMarkupText(_)), pinned by CleanTextSpec
+    graft.functions.CleanTextExpr.register(df.sparkSession)
     mat(graft.ops.Ops.parallelizeInput(df, col(id))
       .select(col(id),
-        TextAnalysis.redactText(TextAnalysis.stripMarkupText(col(text)))
-          .as(text)))
+        graft.functions.CleanTextExpr.of(col(text)).as(text)))
+  }
 
   /** Gate verdicts over the cleaned text: (id, reasons, keep),
     * materialized — the frame is tiny (three columns) and every caller
@@ -179,24 +183,38 @@ object Curation {
                       shards: Int = 8, k: Int = 5, maxDf: Int = 5,
                       minJaccard: Double = 0.5,
                       pairSource: PairSource = null): DataFrame = {
-    val cleaned = cleanedText(df, text, id, LocalCheckpoint)
+    // phase labels (guide §1.5): the row runs ~40 jobs; labeling the
+    // EAGER stages is what lets BenchProfile attribute them
+    val sc = df.sparkSession.sparkContext
+    def phase[T](p: String)(f: => T): T = {
+      sc.setJobDescription(s"neardup:$p")
+      try f finally sc.setJobDescription(null)
+    }
+    // clean-stage checkpoint kept: an r19 A/B with NoMaterialize
+    // (recompute the fused clean in both consumers) measured SLOWER
+    // (7.97 vs 6.96 s BenchOne min) — the stage's parallelizeInput
+    // repartition re-runs per consumer and costs more than the
+    // materialization
+    val cleaned = phase("clean-ckpt")(
+      cleanedText(df, text, id, LocalCheckpoint))
     // the gate has exactly ONE consumer here (the keep filter), so the
     // gateVerdicts checkpoint would be a wasted corpus-wide
     // materialization — same rule, no checkpoint
     val gate = TextAnalysis.qualityGate(cleaned, text, id)
       .select(col(id), col("keep"))
     // keep the TEXT through the exact stage: the fuzzy stage shingles it
-    val keptTxt = cleaned
+    val keptTxt = phase("gate+kept-ckpt")(cleaned
       .join(gate.filter(col("keep")).select(col(id)), Seq(id))
       .select(col(id), col(text),
         md5(col(text).cast("binary")).as("clean_md5"))
-      .localCheckpoint() // fans into the exact keeper and the shingle pass
+      .localCheckpoint()) // fans into the exact keeper and the shingle pass
     val exactSurv = keepMinPerDigest(keptTxt, id)
     val src = if (pairSource != null) pairSource
       else defaultPairSource(k, maxDf, minJaccard)
-    val pairs = src(exactSurv, text, id).select(col("a"), col("b"))
+    val pairs = phase("pairs")(
+      src(exactSurv, text, id).select(col("a"), col("b")))
     // cluster label IS the min id — every non-label member drops
-    val fuzzyDrops = Dedup.duplicateClusters(pairs)
+    val fuzzyDrops = phase("cc")(Dedup.duplicateClusters(pairs))
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as(id))
     val survivors = exactSurv.join(fuzzyDrops, Seq(id), "left_anti")

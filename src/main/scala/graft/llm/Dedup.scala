@@ -468,16 +468,15 @@ object Dedup {
         dedup = false)
       .repartition(col("shingle")).dropDuplicates("shingle", id)
       .localCheckpoint()
-    val sizes = shD.groupBy(col(id)).agg(count(lit(1)).as("n"))
     val cand = lshCandidatePairs(minhashSignatures(shD, id, numPerms),
-        id, bands, numPerms / bands)
-      .cache() // near-dup-sized; read by the rerank's three consumers
-    val out = jaccardRerank(shD, cand, sizes, id, minJaccard)
-    // materialize the (tiny) result eagerly so the interior cache can
-    // be released before returning (same rule as ngramJaccardPairs)
-    val snap = out.localCheckpoint()
-    cand.unpersist(false)
-    snap
+      id, bands, numPerms / bands)
+    // jaccardRerank consumes `cand` exactly once (one bounded take) —
+    // no cache needed since r19; sizes are computed inside the rerank
+    // over candidate docs only
+    val out = jaccardRerank(shD, cand, id, minJaccard)
+    // materialize the (tiny) result eagerly (same rule as
+    // ngramJaccardPairs)
+    out.localCheckpoint()
   }
 
   /** [[minhashLshReranked]] with (bands, rowsPerBand) chosen by the
@@ -541,28 +540,80 @@ object Dedup {
     * of [[ngramJaccardPairs]] (posting-list candidates) and
     * [[minhashLshReranked]] (banded-LSH candidates). Intersection
     * counts only touch candidate documents: restricting `shD` to
-    * candidate docs first (broadcast semi — candDocs is tiny by
-    * construction) keeps the pair expansion linear in the candidate
-    * set instead of the whole corpus. Every shared shingle of a
-    * candidate pair contributes one posting-list pair, so the per-pair
-    * count is exactly |S_a ∩ S_b|. `shD` must hold DISTINCT
-    * (id, shingle) rows; `sizes` their per-id counts. Output:
-    * (a, b, jacc_bp) with Jaccard ≥ `minJaccard`, exact basis points. */
+    * candidate docs first keeps the pair expansion linear in the
+    * candidate set instead of the whole corpus. Every shared shingle
+    * of a candidate pair contributes one posting-list pair, so the
+    * per-pair count is exactly |S_a ∩ S_b|. `shD` must hold DISTINCT
+    * (id, shingle) rows. Output: (a, b, jacc_bp) with Jaccard ≥
+    * `minJaccard`, exact basis points.
+    *
+    * r19: the candidate set is pulled to the driver ONCE (bounded by
+    * [[MaxDriverPairs]], the same near-dup-sized bound
+    * [[duplicateClusters]] already relies on for its union-find — the
+    * pairs emitted here end up on the driver there anyway). What that
+    * buys at this job's scale is JOB COUNT, the measured bottleneck
+    * (BenchProfile: the pair stage ran ~20 sub-second jobs = ~70% of
+    * llm_curation_neardup's wall with a near-empty task load): the
+    * candidate-doc restriction becomes an InSet filter pushed into the
+    * checkpoint scan, the pair semi-join builds from a LocalRelation
+    * (no scan job, no AQE subquery round), and doc sizes are computed
+    * over candidate docs only (their only consumer) instead of a
+    * corpus-wide aggregate. Above the bound, the pre-r19 fully
+    * distributed shape runs unchanged — that is the 100 TB path. */
+  private[graft] val MaxDriverPairs = 1000000
+
+  /** The driver-pairs bound, conf-overridable
+    * (`spark.graft.rerank.driverPairs.max`; set ≤0 to force the fully
+    * distributed path) — the deployment-level scale lever, and the
+    * OptProbe channel for same-JVM A/Bs of the two shapes. */
+  private def maxDriverPairs(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("spark.graft.rerank.driverPairs.max")
+      .map(_.toInt).getOrElse(MaxDriverPairs)
+
   private def jaccardRerank(shD: DataFrame, cand: DataFrame,
-                            sizes: DataFrame, id: String,
+                            id: String,
                             minJaccard: Double): DataFrame = {
-    val candDocs = cand.select(col("a").as(id))
-      .union(cand.select(col("b").as(id))).distinct()
-    val shC = shD.join(broadcast(candDocs), Seq(id), "left_semi")
+    val spark = shD.sparkSession
+    val bound = math.max(maxDriverPairs(spark), 0)
+    val candRows = cand.select(col("a"), col("b")).take(bound + 1)
+    val abSchema = org.apache.spark.sql.types.StructType(
+      cand.select(col("a"), col("b")).schema.fields)
+    if (candRows.isEmpty)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        abSchema.add("jacc_bp", org.apache.spark.sql.types.LongType))
+    val small = candRows.nonEmpty && candRows.length <= bound
+    // the pair set every consumer below joins against: a LocalRelation
+    // when driver-sized, the distributed frame above the bound
+    val candL =
+      if (small) spark.createDataFrame(
+        java.util.Arrays.asList(candRows: _*), abSchema)
+      else cand.select(col("a"), col("b"))
+    val shC =
+      if (small) {
+        val docs: Seq[Any] =
+          candRows.flatMap(r => Seq(r.get(0), r.get(1))).distinct.toSeq
+        shD.filter(col(id).isInCollection(docs))
+      } else {
+        val candDocs = candL.select(col("a").as(id))
+          .union(candL.select(col("b").as(id))).distinct()
+        shD.join(broadcast(candDocs), Seq(id), "left_semi")
+      }
+    // per-candidate-doc distinct-shingle counts — the only sizes the
+    // jaccard denominator ever reads (inter's a/b ⊆ candidate docs)
+    val sizes = shC.groupBy(col(id)).agg(count(lit(1)).as("n"))
+    // broadcast hints only on the driver-sized path; the fallback keeps
+    // the planner's choice (a >1M-pair relation must not be forced)
+    def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val interPost = shC.groupBy(col("shingle"))
       .agg(sort_array(collect_set(col(id))).as("ids"))
       .filter(size(col("ids")) >= 2)
     val inter = listPairs(interPost)
-      .join(cand, Seq("a", "b"), "left_semi")
+      .join(maybeB(candL), Seq("a", "b"), "left_semi")
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
     inter
-      .join(sizes.select(col(id).as("a"), col("n").as("na")), Seq("a"))
-      .join(sizes.select(col(id).as("b"), col("n").as("nb")), Seq("b"))
+      .join(maybeB(sizes.select(col(id).as("a"), col("n").as("na"))), Seq("a"))
+      .join(maybeB(sizes.select(col(id).as("b"), col("n").as("nb"))), Seq("b"))
       .withColumn("jacc", lit(1.0) * col("c") / (col("na") + col("nb") - col("c")))
       .filter(col("jacc") >= minJaccard)
       .select(col("a"), col("b"),
@@ -589,7 +640,6 @@ object Dedup {
     val shD = shinglesFromToks(tokenize(df, text, id), id, k, dedup = false)
       .repartition(col("shingle")).dropDuplicates("shingle", id)
       .localCheckpoint()
-    val sizes = shD.groupBy(col(id)).agg(count(lit(1)).as("n"))
     // candidate pairs via per-shingle posting lists: only shingles
     // shared by 2..maxDf distinct documents contribute, so list state
     // is bounded by maxDf and pairs are generated ROW-LOCALLY from
@@ -600,19 +650,16 @@ object Dedup {
     val rare = dfreq.filter(col("df").between(2, maxDf)).select("shingle")
     val postings = shD.join(rare.hint("shuffle_hash"), Seq("shingle"))
       .groupBy(col("shingle")).agg(sort_array(collect_set(col(id))).as("ids"))
+    // jaccardRerank consumes `cand` exactly once (one bounded take) —
+    // no cache needed since r19; sizes are computed inside the rerank
+    // over candidate docs only
     val cand = listPairs(postings).distinct()
-      .cache() // tiny (near-dup pairs); read by three consumers below
-    val out = jaccardRerank(shD, cand, sizes, id, minJaccard)
-    // materialize the (tiny) pair set eagerly so the interior caches can
-    // be dropped before returning — callers (duplicateClusters chief
-    // among them) otherwise re-trigger the shingle pipeline per action
-    // and leak sh/cand for the session
-    val snap = out.localCheckpoint()
-    // sh's checkpoint blocks are released by the ContextCleaner once
-    // the frame goes out of scope; only the cand cache needs explicit
-    // release
-    cand.unpersist(false)
-    snap
+    val out = jaccardRerank(shD, cand, id, minJaccard)
+    // materialize the (tiny) pair set eagerly — callers
+    // (duplicateClusters chief among them) otherwise re-trigger the
+    // shingle pipeline per action. sh's checkpoint blocks are released
+    // by the ContextCleaner once the frame goes out of scope.
+    out.localCheckpoint()
     }
   }
 
@@ -1073,16 +1120,19 @@ object Dedup {
                         driverThreshold: Long = 1000000L): DataFrame = {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .distinct().cache()
+      .distinct()
     // near-dup graphs are tiny relative to their corpus; below the
     // threshold a driver-side union-find beats O(diameter) Spark rounds
     // (same min-id labels either way — the distributed path is the
-    // fleet-scale fallback, exercised in LlmSpec with threshold 0)
-    val nEdges = edges.count()
-    if (nEdges <= driverThreshold) {
-      val spark = pairs.sparkSession
-      import spark.implicits._
-      val es = edges.as[(Long, Long)].collect()
+    // fleet-scale fallback, exercised in LlmSpec with threshold 0).
+    // ONE bounded take probes the size AND fetches the edges (r19: the
+    // old count-then-collect pair ran two jobs over the same frame)
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val probe = edges.as[(Long, Long)]
+      .take(math.min(driverThreshold, Int.MaxValue - 1L).toInt + 1)
+    if (probe.length <= driverThreshold) {
+      val es = probe
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -1097,9 +1147,11 @@ object Dedup {
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
       }
       val out = parent.keys.toSeq.sorted.map(n => (n, find(n)))
-      edges.unpersist()
       return out.toDF("id", "cluster")
     }
+    // fleet-scale distributed path: cache edges — every propagation
+    // round below re-reads them
+    edges.cache()
     var labels = edges.select(col("src").as("n")).distinct()
       .withColumn("label", col("n")).localCheckpoint()
     var changed = 1L

@@ -1153,7 +1153,18 @@ class Lake(spark: SparkSession, val root: String) {
       s"${q.getName}-${System.nanoTime()}-${Thread.currentThread().getId}")
     if (fs.rename(q, slot)) {
       val fsRef = fs
-      graft.fs.AsyncPurge.submit(() => { fsRef.delete(trashRoot, true); () })
+      // purge the SLOT just renamed (clear ownership, no redundant
+      // full-trash walk per submission — r18 advice §3), plus one
+      // sweep of stale sibling slots a hard-killed predecessor left:
+      // anything in .trash is disposal-pending by construction, and a
+      // sweep racing a concurrent rename-in at worst leaves that slot
+      // for ITS OWN queued purge
+      graft.fs.AsyncPurge.submit(() => {
+        fsRef.delete(slot, true)
+        Option(fsRef.globStatus(new Path(trashRoot, "*")))
+          .getOrElse(Array.empty).foreach(s => fsRef.delete(s.getPath, true))
+        ()
+      })
     } else {
       fs.delete(q, true)
       ()
