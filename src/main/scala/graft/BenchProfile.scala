@@ -51,13 +51,13 @@ object BenchProfile {
     // work): 20 ms wall sampling of the top ~25 frames during the last
     // rep; attach-based jstack is unavailable in the sandbox.
     val mainThread = Thread.currentThread()
-    val samples = new java.util.concurrent.ConcurrentLinkedQueue[Array[StackTraceElement]]()
+    val samples = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Array[StackTraceElement])]()
     @volatile var sampling = false
     val sampler = new Thread(() => {
       while (!Thread.interrupted()) {
         if (sampling) {
           val st = mainThread.getStackTrace
-          if (st.nonEmpty) samples.add(st.take(40))
+          if (st.nonEmpty) samples.add((System.currentTimeMillis(), st.take(40)))
         }
         try Thread.sleep(20) catch { case _: InterruptedException => return }
       }
@@ -102,7 +102,8 @@ object BenchProfile {
     // driver-side sampling summary: top graft/spark frames by sample
     // count (20 ms/sample), skipping pure JDK noise frames
     import scala.jdk.CollectionConverters._
-    val all = samples.asScala.toSeq
+    val stamped = samples.asScala.toSeq
+    val all = stamped.map(_._2)
     println(s"-- main-thread samples: ${all.size} (x20ms) --")
     def interesting(f: StackTraceElement): Boolean = {
       val c = f.getClassName
@@ -111,9 +112,28 @@ object BenchProfile {
     }
     // leaf-most interesting frame per sample = where driver time goes
     all.flatMap(_.find(interesting))
-      .groupBy(f => s"${f.getClassName}.${f.getMethodName}")
+      .groupBy(f => s"${f.getClassName}.${f.getMethodName}").toSeq
       .map { case (k, g) => (g.size, k) }.toSeq.sortBy(-_._1).take(30)
       .foreach { case (n, k) => println(f"  $n%5d  $k") }
+    // the driver GAP itself: samples whose timestamp falls OUTSIDE every
+    // recorded job window — this is where jobs=N sumJobWall vs wall diverge
+    val windows = js.map(j => (j.start, if (j.end > 0) j.end else Long.MaxValue))
+    val gapSamples = stamped.filter { case (t, _) =>
+      !windows.exists { case (s, e) => t >= s && t <= e } }.map(_._2)
+    println(s"-- BETWEEN-JOB (driver gap) samples: ${gapSamples.size} (x20ms); top signatures --")
+    def sig(st: Array[StackTraceElement]): String = {
+      val ints = st.filter(interesting).take(2)
+      val picked = if (ints.nonEmpty) ints else st.take(2)
+      picked.map(f => s"${f.getClassName.split('.').last}.${f.getMethodName}")
+        .mkString(" <- ")
+    }
+    gapSamples.groupBy(sig).toSeq.map { case (k, g) => (g.size, k) }
+      .toSeq.sortBy(-_._1).take(25)
+      .foreach { case (n, k) => println(f"  $n%5d  ${k.take(220)}") }
+    println("-- BETWEEN-JOB full stacks, first 4 distinct --")
+    gapSamples.distinctBy(sig).take(4).foreach { st =>
+      st.take(28).foreach(f => println(s"    $f")); println("    ----")
+    }
     // full stacks for the fs/Shell hotspots (who forks `chmod`/`ls`?)
     val hotPat = sys.env.getOrElse("SPARK_GRAFT_STACK_PAT", "Shell|deleteImpl")
     val hot = all.filter(_.exists(f =>
@@ -125,7 +145,7 @@ object BenchProfile {
     // and the top graft-frame (anywhere in stack) attribution
     println("-- graft frames anywhere in stack --")
     all.flatMap(_.find(f => f.getClassName.startsWith("graft.")))
-      .groupBy(f => s"${f.getClassName}.${f.getMethodName}:${f.getLineNumber}")
+      .groupBy(f => s"${f.getClassName}.${f.getMethodName}:${f.getLineNumber}").toSeq
       .map { case (k, g) => (g.size, k) }.toSeq.sortBy(-_._1).take(30)
       .foreach { case (n, k) => println(f"  $n%5d  $k") }
     spark.stop()

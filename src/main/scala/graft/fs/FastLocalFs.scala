@@ -38,6 +38,53 @@ import org.apache.hadoop.fs.permission.FsPermission
   * checkpoint manager uses).
   */
 class FastRawLocalFileSystem extends RawLocalFileSystem {
+  /** Fork-free link status. The stock path
+    * (`deprecatedGetFileLinkStatusInternal`, taken whenever libhadoop
+    * is absent) shells out to `readlink` for EVERY call — and every
+    * FileContext rename calls it twice (src + dst existence checks in
+    * `AbstractFileSystem.renameInternal`), which is 2+ forks per
+    * micro-batch in Structured Streaming's checkpoint manager
+    * (offset log + commit log + state files; BenchProfile s27 showed
+    * the forkAndExec stacks under
+    * `FileContextBasedCheckpointFileManager.renameTempFile`). NIO
+    * reads the same lstat/readlink(2) without a subprocess; semantics
+    * mirror the stock method bit-for-bit: follow-the-link status with
+    * the target recorded for symlinks, plain status for regular
+    * paths, a synthetic zero status for dangling links, FNF
+    * otherwise. */
+  override def getFileLinkStatus(f: Path): org.apache.hadoop.fs.FileStatus = {
+    val nioP = pathToFile(f).toPath
+    val target =
+      try {
+        if (java.nio.file.Files.isSymbolicLink(nioP))
+          java.nio.file.Files.readSymbolicLink(nioP).toString
+        else ""
+      } catch {
+        case _: UnsupportedOperationException | _: java.io.IOException =>
+          return super.getFileLinkStatus(f)
+      }
+    val fi =
+      try {
+        val st = getFileStatus(f)
+        if (target.isEmpty) st
+        else new org.apache.hadoop.fs.FileStatus(st.getLen, false,
+          st.getReplication, st.getBlockSize, st.getModificationTime,
+          st.getAccessTime, st.getPermission, st.getOwner, st.getGroup,
+          new Path(target), f)
+      } catch {
+        case e: java.io.FileNotFoundException =>
+          if (target.nonEmpty) // dangling link, same shape as stock
+            new org.apache.hadoop.fs.FileStatus(0, false, 0, 0, 0, 0,
+              FsPermission.getDefault, "", "", new Path(target), f)
+          else throw e
+      }
+    // stock getFileLinkStatus fully qualifies the link target — keep that
+    if (fi.isSymlink)
+      fi.setSymlink(org.apache.hadoop.fs.FSLinkResolver
+        .qualifySymlinkTarget(getUri, fi.getPath, fi.getSymlink))
+    fi
+  }
+
   override def setPermission(p: Path, permission: FsPermission): Unit = {
     if (permission == null) return
     val f = pathToFile(p).toPath

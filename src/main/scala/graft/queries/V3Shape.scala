@@ -2863,8 +2863,19 @@ object V3Shape {
           .groupBy(col("chain_name"), col("log_index"))
           .agg(sum(col("amount0").cast("long")).cast("long")
             .as("cents"), count(lit(1)).as("mv_count"))
-        require(mv.exceptAll(exp).count() == 0L &&
-          exp.exceptAll(mv).count() == 0L,
+        // multiset equality in ONE action (guide §2.4): signed-count
+        // union — any row whose +1/−1 tallies don't cancel is a
+        // divergence. Same strength as the two-sided exceptAll (robust
+        // to duplicate keys on either side) at half the passes: the
+        // old form ran TWO count() actions, each re-evaluating both
+        // aggregates.
+        require(mv.withColumn("__sgn", lit(1L))
+            .unionByName(exp.withColumn("__sgn", lit(-1L)))
+            .groupBy(col("chain_name"), col("log_index"), col("cents"),
+              col("mv_count"))
+            .agg(sum(col("__sgn")).as("__d"))
+            .filter(col("__d") =!= 0L)
+            .isEmpty,
           "the refreshed view diverged from a from-scratch recompute")
         require(lake.listCalls.get() == 0L,
           s"the MV lifecycle performed ${lake.listCalls.get()} " +

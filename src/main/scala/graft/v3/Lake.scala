@@ -408,7 +408,7 @@ class Lake(spark: SparkSession, val root: String) {
       .parquet(tmp.toString)
     try landPartitioned(tmp, table, "part", "append", removedAbs = Seq.empty,
       extraHeads = txn.toSeq.map { case (a, b) => s"#txn=$a:$b" })
-    finally fs.delete(tmp, true)
+    finally trashOne(tmp)
     ()
   }
 
@@ -1131,7 +1131,12 @@ class Lake(spark: SparkSession, val root: String) {
     existed && !fs.exists(p)
   }
 
-  /** Dead-tree disposal for [[dropTable]]: the caller's contract is
+  /** Dead-tree disposal for [[dropTable]] and every staging-tree
+    * cleanup ([[landStaged]], [[replaceStaged]], the write finallys —
+    * after landing renames the parquet out, the staged dir still holds
+    * `_SUCCESS`/`_temporary`/`.crc` trees whose recursive delete was a
+    * measured ~140 ms stall inside the DSv2 commit): the caller's
+    * contract is
     * "the PATH is gone when this returns", which an O(1) same-device
     * rename into the lake-root trash delivers; the O(files) physical
     * purge runs on [[graft.fs.AsyncPurge]]'s background worker (a
@@ -3137,7 +3142,7 @@ class Lake(spark: SparkSession, val root: String) {
   private[graft] def stagingPath(tag: String): Path = stagingDir(tag)
 
   /** Discard a staging dir (abort path of an external staged write). */
-  private[graft] def dropStaging(tmp: Path): Unit = { fs.delete(tmp, true); () }
+  private[graft] def dropStaging(tmp: Path): Unit = trashOne(tmp)
 
   /** Land an externally staged `chain_name=`-partitioned directory as
     * a REPLACE: one manifest transaction that removes `removedAbs`
@@ -3177,7 +3182,7 @@ class Lake(spark: SparkSession, val root: String) {
           }
         })
       ()
-    } finally fs.delete(tmp, true)
+    } finally trashOne(tmp)
   }
 
   /** Rename every staged `.parquet` under `tmp` into `tgtDir` with
@@ -3203,10 +3208,10 @@ class Lake(spark: SparkSession, val root: String) {
       }
     if (!allRenamed) {
       landed.foreach(p => fs.delete(p._1, false))
-      fs.delete(tmp, true)
+      trashOne(tmp)
       None
     } else {
-      fs.delete(tmp, true)
+      trashOne(tmp)
       Some(landed.toSeq)
     }
   }
@@ -3432,7 +3437,7 @@ class Lake(spark: SparkSession, val root: String) {
             fs.delete(p, true)
         }
       })
-    finally fs.delete(tmp, true)
+    finally trashOne(tmp)
     targets.size
   }
 
@@ -4921,7 +4926,7 @@ class Lake(spark: SparkSession, val root: String) {
               fs.delete(p, true)
           }
         })
-      finally fs.delete(tmp, true)
+      finally trashOne(tmp)
     // rewrittenBytes counts COPY-ON-WRITE bytes only: vector-elected
     // files are the bytes merge-on-read saved (ScaleProbe grades the
     // CoW cost; the dv sidecars are O(positions))
@@ -5103,7 +5108,7 @@ class Lake(spark: SparkSession, val root: String) {
               fs.delete(p, true)
           }
         })
-      finally fs.delete(tmp, true)
+      finally trashOne(tmp)
     UpsertStats(inv.size, touched.size,
       cowTouched.map(_._3).sum, added.size)
   }
@@ -6184,15 +6189,22 @@ class Lake(spark: SparkSession, val root: String) {
         val fresh = read(src).groupBy(gcols: _*).agg(
           plus.head, plus.tail: _*)
         if (latestCommitVersion(src).getOrElse(-1L) == vPin) {
-          // tombstone groups that vanished since the last state
-          val stale = read(view).select(gcols: _*)
-            .exceptAll(fresh.select(gcols: _*))
-            .select((groupCols.map(col) ++
-              sums.map(s => lit(null).cast("long").as(s._1)) :+
-              lit(null).cast("long").as("mv_count")): _*)
-            .withColumn("__del", lit(true))
-          val out = fresh.withColumn("__del", lit(false))
-            .unionByName(stale)
+          // tombstone groups that vanished since the last state — an
+          // empty view (initial load) provably has none, so skip the
+          // exceptAll shuffle + empty-scan leg outright (guide §2.4:
+          // remove the pass, don't tune it)
+          val out = if (fileInventory(view).isEmpty)
+            fresh.withColumn("__del", lit(false))
+          else {
+            val stale = read(view).select(gcols: _*)
+              .exceptAll(fresh.select(gcols: _*))
+              .select((groupCols.map(col) ++
+                sums.map(s => lit(null).cast("long").as(s._1)) :+
+                lit(null).cast("long").as("mv_count")): _*)
+              .withColumn("__del", lit(true))
+            fresh.withColumn("__del", lit(false))
+              .unionByName(stale)
+          }
           val st = upsertRetrying(out, view, groupCols,
             deleteCol = Some("__del"), checkUnique = false,
             txn = Some((mvAppId(view), vPin)))

@@ -102,6 +102,61 @@ class FastLocalFsSpec extends AnyFunSuite {
     assert(fc.getFileStatus(f).getLen == 5L)
   }
 
+  test("getFileLinkStatus matches the stock fork path: regular, symlink, dangling") {
+    val dir = tmpDir()
+    val fastRaw = new FastRawLocalFileSystem
+    fastRaw.initialize(new java.net.URI("file:///"), new Configuration())
+    val stock = newStockRaw()
+    // regular file
+    val reg = Paths.get(s"$dir/reg.txt")
+    Files.write(reg, "abc".getBytes("UTF-8"))
+    val fr = fastRaw.getFileLinkStatus(new Path(reg.toString))
+    val sr = stock.getFileLinkStatus(new Path(reg.toString))
+    assert(fr.getLen == sr.getLen && fr.isSymlink == sr.isSymlink &&
+      fr.isDirectory == sr.isDirectory)
+    assert(!fr.isSymlink)
+    // live symlink: follow-the-link length, target recorded
+    val link = Paths.get(s"$dir/link.txt")
+    Files.createSymbolicLink(link, reg)
+    val fl = fastRaw.getFileLinkStatus(new Path(link.toString))
+    val sl = stock.getFileLinkStatus(new Path(link.toString))
+    assert(fl.isSymlink && sl.isSymlink)
+    assert(fl.getSymlink.toString == sl.getSymlink.toString)
+    assert(fl.getLen == sl.getLen && fl.getLen == 3L)
+    // dangling symlink: synthetic zero status, target still recorded
+    val dang = Paths.get(s"$dir/dangling")
+    Files.createSymbolicLink(dang, Paths.get(s"$dir/nowhere"))
+    val fd = fastRaw.getFileLinkStatus(new Path(dang.toString))
+    val sd = stock.getFileLinkStatus(new Path(dang.toString))
+    assert(fd.isSymlink && sd.isSymlink)
+    assert(fd.getSymlink.toString == sd.getSymlink.toString)
+    assert(fd.getLen == sd.getLen)
+    // missing path: FileNotFoundException, same as stock
+    intercept[java.io.FileNotFoundException] {
+      fastRaw.getFileLinkStatus(new Path(s"$dir/missing"))
+    }
+    intercept[java.io.FileNotFoundException] {
+      stock.getFileLinkStatus(new Path(s"$dir/missing"))
+    }
+    // and the FileContext rename the checkpoint manager drives goes
+    // through without the readlink fork (behavioral parity: rename
+    // with OVERWRITE replaces the destination)
+    val conf = new Configuration()
+    conf.set("fs.AbstractFileSystem.file.impl", classOf[FastLocalFs].getName)
+    val fc = FileContext.getFileContext(new java.net.URI("file:///"), conf)
+    val src = new Path(s"$dir/tmp.log"); val dst = new Path(s"$dir/0.log")
+    val o1 = fc.create(src,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE))
+    o1.write("v1".getBytes("UTF-8")); o1.close()
+    val o2 = fc.create(dst,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE))
+    o2.write("v0".getBytes("UTF-8")); o2.close()
+    fc.rename(src, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    assert(new String(Files.readAllBytes(Paths.get(s"$dir/0.log")),
+      "UTF-8") == "v1")
+    assert(!Files.exists(Paths.get(s"$dir/tmp.log")))
+  }
+
   test("FileSystem.get with fs.file.impl serves the fast class for file://") {
     val conf = new Configuration()
     conf.set("fs.file.impl", classOf[FastLocalFileSystem].getName)
