@@ -53,11 +53,20 @@ object BenchProfile {
     val mainThread = Thread.currentThread()
     val samples = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Array[StackTraceElement])]()
     @volatile var sampling = false
+    // streamed rows do their per-batch work on the stream-execution
+    // thread, not main — sample it too when present (thread discovery
+    // re-runs each tick; stream threads are born mid-rep)
+    val streamSamples = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Array[StackTraceElement])]()
     val sampler = new Thread(() => {
       while (!Thread.interrupted()) {
         if (sampling) {
           val st = mainThread.getStackTrace
           if (st.nonEmpty) samples.add((System.currentTimeMillis(), st.take(40)))
+          import scala.jdk.CollectionConverters._
+          Thread.getAllStackTraces.asScala.foreach { case (t, stt) =>
+            if (t.getName.startsWith("stream execution thread") && stt.nonEmpty)
+              streamSamples.add((System.currentTimeMillis(), stt.take(40)))
+          }
         }
         try Thread.sleep(20) catch { case _: InterruptedException => return }
       }
@@ -133,6 +142,26 @@ object BenchProfile {
     println("-- BETWEEN-JOB full stacks, first 4 distinct --")
     gapSamples.distinctBy(sig).take(4).foreach { st =>
       st.take(28).foreach(f => println(s"    $f")); println("    ----")
+    }
+    // stream-execution-thread attribution (streamed rows): leaf-most
+    // interesting frame + between-job signatures, same protocol
+    val sAll = streamSamples.asScala.toSeq
+    if (sAll.nonEmpty) {
+      println(s"-- STREAM-THREAD samples: ${sAll.size} (x20ms) --")
+      sAll.flatMap(_._2.find(interesting))
+        .groupBy(f => s"${f.getClassName}.${f.getMethodName}").toSeq
+        .map { case (k, g) => (g.size, k) }.sortBy(-_._1).take(25)
+        .foreach { case (n, k) => println(f"  $n%5d  $k") }
+      val sGap = sAll.filter { case (t, _) =>
+        !windows.exists { case (s0, e) => t >= s0 && t <= e } }.map(_._2)
+      println(s"-- STREAM-THREAD between-job samples: ${sGap.size}; top signatures --")
+      sGap.groupBy(sig).toSeq.map { case (k, g) => (g.size, k) }
+        .sortBy(-_._1).take(20)
+        .foreach { case (n, k) => println(f"  $n%5d  ${k.take(220)}") }
+      println("-- STREAM-THREAD between-job full stacks, first 4 distinct --")
+      sGap.distinctBy(sig).take(4).foreach { st =>
+        st.take(26).foreach(f => println(s"    $f")); println("    ----")
+      }
     }
     // full stacks for the fs/Shell hotspots (who forks `chmod`/`ls`?)
     val hotPat = sys.env.getOrElse("SPARK_GRAFT_STACK_PAT", "Shell|deleteImpl")

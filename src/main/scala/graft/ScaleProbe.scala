@@ -1210,6 +1210,70 @@ object ScaleProbe {
         maxPieceLen = 4, minCount = 100L, iters = 8))
     }
 
+    // ── r19 config-last re-probes (r18 VERDICT item 7; opt-in) ───────
+    // Both experiments were measured and REJECTED at sf0.1 in r18; the
+    // claim was they flip at scale. These probes measure at k× volume
+    // BEFORE any conf/code change ships (guide §1.2: configuration
+    // last). percentile_*: a5's aggregate shape at high group
+    // cardinality (k× events, ~200k groups vs the graded row's 3) —
+    // builtin map-based Percentile vs a sort+window restructure of
+    // comparable work (cost probe, not bit-parity). aqe_*: the same
+    // two-shuffle agg+join under default parallelism-first coalescing
+    // vs advisory-size coalescing; pairs run interleaved twice to
+    // cancel JIT warm-up ordering.
+    if (only.exists(s => s.contains("percentile_k") || s.contains("aqe_k"))) {
+      val grouped = events.select(
+        pmod(col("user_id"), lit(200000L)).as("g"), col("value"))
+      def pBuiltin() = grouped.groupBy(col("g"))
+        .agg(expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.99)").as("p99"))
+      def pSortWin() = {
+        import org.apache.spark.sql.expressions.Window
+        val byG = Window.partitionBy(col("g"))
+        val w = byG.orderBy(col("value"))
+        grouped
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(byG))
+          .filter(col("rn") === ((col("n") + 1) / 2) ||
+            col("rn") === ceil(col("n") * 0.99))
+          .groupBy(col("g")).agg(min(col("value")).as("p50ish"),
+            max(col("value")).as("p99ish"))
+      }
+      def aqeQ() = {
+        val agg1 = events.groupBy(col("user_id"))
+          .agg(sum(col("value")).as("s"), count(lit(1)).as("n"))
+        agg1.join(events.select(col("user_id"), col("event_type")),
+            Seq("user_id"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("s")).as("ss"), sum(col("n")).as("nn"))
+      }
+      def timed(name: String)(df: => DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"$name","k":$k,"sec":$sec%.2f}""")
+      }
+      (1 to 2).foreach { r =>
+        if (only.exists(_.contains("percentile_k"))) {
+          timed(s"percentile_k_builtin_$r")(pBuiltin())
+          timed(s"percentile_k_sortwin_$r")(pSortWin())
+        }
+        if (only.exists(_.contains("aqe_k"))) {
+          timed(s"aqe_k_default_$r")(aqeQ())
+          spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            "false")
+          spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+          timed(s"aqe_k_advisory64m_$r")(aqeQ())
+          spark.conf.unset(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst")
+          spark.conf.unset(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        }
+      }
+    }
+
     spark.stop()
   }
 }

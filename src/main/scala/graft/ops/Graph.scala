@@ -108,8 +108,17 @@ object Graph {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val edgesD = edges.join(deg, Seq("src")).localCheckpoint()
     val base = (scale * (dampDen - dampNum)) / (dampDen * nSeeds)
+    // LOOP-INVARIANT: the node→seed flag never changes, so mark nodes
+    // once and checkpoint — the old form rebuilt the broadcast seed
+    // join inside every iteration (each its own query after the
+    // checkpoint, so the exchange could never be reused): K broadcast
+    // builds collapse to one (guide §2.4)
     val isSeed = seedSet.withColumn("__seed", lit(true))
-    var r = nodes.join(broadcast(isSeed), Seq("node"), "left")
+    val nodesSeeded = nodes.join(broadcast(isSeed), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("__seed"), lit(false)).as("__seed"))
+      .localCheckpoint()
+    var r = nodesSeeded
       .select(col("node"), when(col("__seed"), lit(scale / nSeeds))
         .otherwise(lit(0L)).as("r"))
       .localCheckpoint()
@@ -119,7 +128,7 @@ object Graph {
         .select(col("dst").as("node"),
           call_function("div", col("r"), col("deg")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_c"))
-      r = nodes.join(broadcast(isSeed), Seq("node"), "left")
+      r = nodesSeeded
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
           (when(col("__seed"), lit(base)).otherwise(lit(0L)) +

@@ -576,7 +576,15 @@ private[graft] class LakeChangeStream(
         keys, Option(so.inc).filter(_.nonEmpty)), from, to)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  /** Built ONCE per stream, not per micro-batch: the factory is
+    * deterministic in (schemas, session conf) — all fixed for the
+    * stream's life — and each `ParquetScanBuilder.createReaderFactory`
+    * serializes + broadcasts the full Hadoop Configuration (~MBs,
+    * profiled as per-batch `Configuration.write` time on the stream
+    * thread). Spark calls [[createReaderFactory]] for every batch;
+    * caching turns 1–3 conf broadcasts per micro-batch into 1–3 per
+    * stream. */
+  private lazy val readerFactoryOnce: PartitionReaderFactory =
     keysOpt match {
       case Some(_) =>
         // enriched batches scan their STAGED parquet: the change-tag
@@ -615,6 +623,9 @@ private[graft] class LakeChangeStream(
           .createReaderFactory()
         DispatchingChangeReaderFactory(tagged, staged)
     }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    readerFactoryOnce
 
   override def toString: String =
     s"LakeChangeStream($lakeTable, starting=$startingVersion)"
